@@ -1,38 +1,582 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 to a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` provides the
+DuckDB twin for each SQL-expressible query. Column names and types are
+aligned on both sides; float outputs are rounded identically (money-scale
+sums to 2 dp, scores/ratios to 6 dp) so the order-insensitive value hash
+is stable across engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from riskloc_spark.data import RCA_ATTRIBUTES, RCA_EVENTS_SQL, load_table, rca_events
+from riskloc_spark.functions.scores import (
+    add_deviation_score,
+    add_explanatory_power,
+    add_partition,
+    add_weight,
+    get_cutoff,
+)
+from riskloc_spark.functions import text as T
+from riskloc_spark.operators.adtributor import adtributor_candidates, merge_dimensions
+from riskloc_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash_dedup,
+)
+from riskloc_spark.operators.riskloc import riskloc_df
+from riskloc_spark.operators.similarity import cosine, knn_bruteforce
+
+from riskloc_spark.functions.scores import add_surprise
+
+
+# --------------------------------------------------------------------------
+# Spark query builders
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter((F.col("o_orderdate") < cutoff) & (F.col("l_shipdate") > cutoff))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()
+        )
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: load_table(spark, sf_dir, n) for n in (
+        "customer", "orders", "lineitem", "supplier", "nation", "region")}
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.hour("ts").cast("int").alias("hr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def rca_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rca_events(spark, sf_dir).select(
+        "event_type",
+        "hr",
+        "ub",
+        F.round("real", 6).alias("real"),
+        F.round("predict", 6).alias("predict"),
+    )
+
+
+def rca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = rca_events(spark, sf_dir)
+    df = add_explanatory_power(df)
+    df = add_deviation_score(df)
+    return df.select(
+        "event_type",
+        "hr",
+        "ub",
+        F.round("ep", 6).alias("ep"),
+        F.round("deviation", 6).alias("deviation"),
+    )
+
+
+def rca_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = add_deviation_score(rca_events(spark, sf_dir))
+    cutoff = get_cutoff(df, n_remove=5)
+    df = add_weight(add_partition(df, cutoff), cutoff)
+    return df.select(
+        "event_type",
+        "hr",
+        "ub",
+        F.round("deviation", 6).alias("deviation"),
+        F.col("partition").cast("int").alias("part"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+def adtributor_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = rca_events(spark, sf_dir)
+    el = merge_dimensions(df, RCA_ATTRIBUTES, derived=False)
+    el = add_explanatory_power(el, derived=False)
+    el = add_surprise(el, derived=False, merged_divide=len(RCA_ATTRIBUTES))
+    return el.select(
+        "dimension",
+        "element",
+        F.round("ep", 6).alias("ep"),
+        F.round("surprise", 6).alias("surprise"),
+    )
+
+
+def adtributor_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = rca_events(spark, sf_dir)
+    picked = adtributor_candidates(df, RCA_ATTRIBUTES, teep=0.05, tep=0.1)
+    return picked.select(
+        "dimension",
+        "element",
+        F.round("ep", 6).alias("ep"),
+        F.round("surprise", 6).alias("surprise"),
+    )
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(txt).cast("int").alias("n_tokens"),
+        F.round(T.punct_ratio(txt), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio(txt), 6).alias("stopword_ratio"),
+        F.round(T.quality_score(txt), 2).alias("quality"),
+        T.lang_id(txt).alias("lang_pred"),
+    )
+
+
+def lang_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    stats = d.select(
+        "source",
+        T.token_count(txt).cast("int").alias("n_tokens"),
+        T.quality_score(txt).alias("quality"),
+        T.lang_id(txt).alias("lang_pred"),
+    )
+    return (
+        stats.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.7))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        )
+    )
+
+
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id")
+
+
+def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_bruteforce(emb, queries, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rnk"),
+    )
+
+
+def riskloc_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = rca_events(spark, sf_dir)
+    return riskloc_df(
+        spark, df, RCA_ATTRIBUTES, risk_threshold=0.3, max_iterations=10
+    )
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(d, jaccard_threshold=0.5)
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_dedup(d, max_hamming=3)
+
+
+def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    l, r = emb.alias("l"), emb.alias("r")
+    return (
+        l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            cosine(F.col("l.embedding"), F.col("r.embedding")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full RiskLoc root-cause localization on the sf0.001
+    events-derived RCA frame."""
+    return riskloc_rca(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "events_hourly": events_hourly,
+        "rca_frame": rca_frame,
+        "rca_scores": rca_scores,
+        "rca_partition": rca_partition,
+        "adtributor_elements": adtributor_elements,
+        "adtributor_candidates": adtributor_candidates_q,
+        "text_stats": text_stats,
+        "lang_quality_by_source": lang_quality_by_source,
+        "dedup_exact": dedup_exact_q,
+        "knn_bruteforce": knn_bruteforce_q,
+        "embedding_near_dup_exact": embedding_near_dup_exact,
+        "riskloc_rca": riskloc_rca,
+        "minhash_pairs": minhash_pairs,
+        "simhash_pairs": simhash_pairs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL
+# --------------------------------------------------------------------------
+
+_RCA_CTE = f"rca AS ({RCA_EVENTS_SQL})"
+
+_STOPWORDS_SQL = "['the','and','of','to','a','in','is','it','that','for']"
+
+_TEXT_STATS_CTE = f"""
+stats AS (
+  SELECT doc_id, source,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_tokens,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?]', '', 'g')) AS DOUBLE)
+              / length(text) END AS punct_ratio,
+    CASE WHEN trim(text) = '' THEN 0.0
+         ELSE CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
+              / len(string_split_regex(trim(text), '\\s+')) END AS stopword_ratio
+  FROM documents
+),
+scored_docs AS (
+  SELECT *,
+    (CASE WHEN n_tokens >= 5 AND n_tokens <= 10000 THEN 0.4 ELSE 0.0 END
+     + CASE WHEN punct_ratio > 0.0 AND punct_ratio < 0.2 THEN 0.3 ELSE 0.0 END
+     + CASE WHEN stopword_ratio > 0.05 THEN 0.3 ELSE 0.0 END) AS quality,
+    CASE WHEN stopword_ratio >= 0.08 THEN 'en' ELSE 'unk' END AS lang_pred
+  FROM stats
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(SUM(l_quantity), 2) AS sum_qty,
+                   round(SUM(l_extendedprice), 2) AS sum_base_price,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(AVG(l_quantity), 6) AS avg_qty,
+                   round(AVG(l_extendedprice), 6) AS avg_price,
+                   round(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(SUM(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+                   COUNT(*) AS n_events,
+                   round(SUM(value), 4) AS sum_value,
+                   round(AVG(value), 6) AS avg_value
+            FROM events
+            GROUP BY event_type, hr
+        """,
+        "rca_frame": f"""
+            WITH {_RCA_CTE}
+            SELECT event_type, hr, ub,
+                   round("real", 6) AS "real",
+                   round(predict, 6) AS predict
+            FROM rca
+        """,
+        "rca_scores": f"""
+            WITH {_RCA_CTE},
+            tot AS (SELECT SUM("real") AS A, SUM(predict) AS Ff FROM rca)
+            SELECT event_type, hr, ub,
+                   round(("real" - predict) / (A - Ff), 6) AS ep,
+                   round(CASE WHEN predict + "real" = 0 THEN 0.0
+                         ELSE 2 * (predict - "real") / (predict + "real") END, 6) AS deviation
+            FROM rca CROSS JOIN tot
+        """,
+        "rca_partition": f"""
+            WITH {_RCA_CTE},
+            scored AS (
+              SELECT *, CASE WHEN predict + "real" = 0 THEN 0.0
+                        ELSE 2 * (predict - "real") / (predict + "real") END AS deviation
+              FROM rca
+            ),
+            devs AS (SELECT DISTINCT deviation AS d FROM scored),
+            lo AS (SELECT MAX(d) AS v FROM (SELECT d FROM devs ORDER BY d ASC LIMIT 6)),
+            hi AS (SELECT MIN(d) AS v FROM (SELECT d FROM devs ORDER BY d DESC LIMIT 6)),
+            cut AS (SELECT CASE WHEN abs(lo.v) <= abs(hi.v) THEN -lo.v ELSE -hi.v END AS cutoff
+                    FROM lo CROSS JOIN hi),
+            parts AS (
+              SELECT s.*, c.cutoff,
+                     CASE WHEN c.cutoff >= 0
+                          THEN (CASE WHEN s.deviation > c.cutoff THEN 1 ELSE 0 END)
+                          ELSE (CASE WHEN s.deviation < c.cutoff THEN 1 ELSE 0 END)
+                     END AS part
+              FROM scored s CROSS JOIN cut c
+            )
+            SELECT event_type, hr, ub,
+                   round(deviation, 6) AS deviation,
+                   CAST(part AS INT) AS part,
+                   round(LEAST(
+                     CASE WHEN part = 1 THEN abs(deviation)
+                          WHEN "real" = 0 AND predict = 0 THEN 0.0
+                          ELSE abs(cutoff - deviation) END, 1.0), 6) AS weight
+            FROM parts
+        """,
+        "adtributor_elements": f"""
+            WITH {_RCA_CTE},
+            el AS (
+              SELECT CAST(event_type AS VARCHAR) AS element, 'event_type' AS dimension,
+                     SUM("real") AS "real", SUM(predict) AS predict FROM rca GROUP BY 1
+              UNION ALL
+              SELECT CAST(hr AS VARCHAR), 'hr', SUM("real"), SUM(predict) FROM rca GROUP BY 1
+              UNION ALL
+              SELECT CAST(ub AS VARCHAR), 'ub', SUM("real"), SUM(predict) FROM rca GROUP BY 1
+            ),
+            tot AS (SELECT SUM("real") AS A, SUM(predict) AS Ff FROM el)
+            SELECT dimension, element,
+                   round(("real" - predict) / (A - Ff), 6) AS ep,
+                   round(
+                     0.5 * (
+                       CASE WHEN predict = 0 OR (predict / (Ff / 3.0) + "real" / (A / 3.0)) = 0 THEN 0.0
+                            ELSE (predict / (Ff / 3.0)) * ln(2 * (predict / (Ff / 3.0))
+                                 / (predict / (Ff / 3.0) + "real" / (A / 3.0))) END
+                       + CASE WHEN "real" = 0 OR (predict / (Ff / 3.0) + "real" / (A / 3.0)) = 0 THEN 0.0
+                              ELSE ("real" / (A / 3.0)) * ln(2 * ("real" / (A / 3.0))
+                                   / (predict / (Ff / 3.0) + "real" / (A / 3.0))) END
+                     ), 6) AS surprise
+            FROM el CROSS JOIN tot
+        """,
+        "adtributor_candidates": f"""
+            WITH {_RCA_CTE},
+            el AS (
+              SELECT CAST(event_type AS VARCHAR) AS element, 'event_type' AS dimension,
+                     SUM("real") AS "real", SUM(predict) AS predict FROM rca GROUP BY 1
+              UNION ALL
+              SELECT CAST(hr AS VARCHAR), 'hr', SUM("real"), SUM(predict) FROM rca GROUP BY 1
+              UNION ALL
+              SELECT CAST(ub AS VARCHAR), 'ub', SUM("real"), SUM(predict) FROM rca GROUP BY 1
+            ),
+            tot AS (SELECT SUM("real") AS A, SUM(predict) AS Ff FROM el),
+            scored AS (
+              SELECT dimension, element,
+                     ("real" - predict) / (A - Ff) AS ep,
+                     0.5 * (
+                       CASE WHEN predict = 0 OR (predict / (Ff / 3.0) + "real" / (A / 3.0)) = 0 THEN 0.0
+                            ELSE (predict / (Ff / 3.0)) * ln(2 * (predict / (Ff / 3.0))
+                                 / (predict / (Ff / 3.0) + "real" / (A / 3.0))) END
+                       + CASE WHEN "real" = 0 OR (predict / (Ff / 3.0) + "real" / (A / 3.0)) = 0 THEN 0.0
+                              ELSE ("real" / (A / 3.0)) * ln(2 * ("real" / (A / 3.0))
+                                   / (predict / (Ff / 3.0) + "real" / (A / 3.0))) END
+                     ) AS surprise
+              FROM el CROSS JOIN tot
+            ),
+            ranked AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY dimension ORDER BY surprise DESC, element ASC) AS rn,
+                     SUM(CASE WHEN ep > 0.05 THEN ep ELSE 0.0 END)
+                       OVER (PARTITION BY dimension ORDER BY surprise DESC, element ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum_ep
+              FROM scored
+            ),
+            stops AS (
+              SELECT dimension,
+                     MIN(CASE WHEN ep > 0.05 AND cum_ep > 0.1 THEN rn END) AS stop_rn
+              FROM ranked GROUP BY dimension
+            )
+            SELECT r.dimension, r.element, round(r.ep, 6) AS ep, round(r.surprise, 6) AS surprise
+            FROM ranked r JOIN stops s ON r.dimension = s.dimension
+            WHERE r.rn <= s.stop_rn AND r.ep > 0.05
+        """,
+        "text_stats": f"""
+            WITH {_TEXT_STATS_CTE}
+            SELECT doc_id, n_tokens,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(stopword_ratio, 6) AS stopword_ratio,
+                   round(quality, 2) AS quality,
+                   lang_pred
+            FROM scored_docs
+        """,
+        "lang_quality_by_source": f"""
+            WITH {_TEXT_STATS_CTE}
+            SELECT source, COUNT(*) AS n_docs,
+                   round(AVG(n_tokens), 6) AS avg_tokens
+            FROM scored_docs
+            WHERE lang_pred = 'en' AND quality >= 0.7
+            GROUP BY source
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id
+            FROM (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+              FROM documents
+            )
+            GROUP BY norm
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+              FROM embeddings WHERE vec_id < 8
+            ),
+            c AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings),
+            s AS (
+              SELECT query_id, vec_id,
+                     list_dot_product(qe, ee)
+                     / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ee, ee))) AS cs
+              FROM q CROSS JOIN c
+            ),
+            r AS (
+              SELECT query_id, vec_id, round(cs, 6) AS cos_sim,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cs DESC, vec_id ASC) AS INT) AS rnk
+              FROM s
+            )
+            SELECT query_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
+        """,
+        "embedding_near_dup_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                     6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+        """,
+        # riskloc_rca / minhash_pairs / simhash_pairs: iterative or
+        # engine-hash-based — rows-only check (documented in SURVEY §2).
+    }

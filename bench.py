@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query and total wall seconds.
+
+Timing forces full execution with a count-style action (``write`` to
+noop would be ideal; ``count`` after ``cache``-free plans measures the
+whole pipeline without driver-collect overhead dominating).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import __spark_entry__ as entry_mod
+from riskloc_spark.session import get_spark
+
+# headline set: engine basics (q1/q3/q5/q6), RCA surface, pipeline ops
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "events_hourly",
+    "rca_frame",
+    "rca_scores",
+    "rca_partition",
+    "adtributor_elements",
+    "adtributor_candidates",
+    "text_stats",
+    "lang_quality_by_source",
+    "dedup_exact",
+    "knn_bruteforce",
+    "minhash_pairs",
+    "simhash_pairs",
+    "riskloc_rca",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("riskloc-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+
+    # warm the JVM + parquet footers once
+    queries["q6_forecast_revenue"](spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        n = df.count()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Testdata loaders and deterministic RCA-frame derivations.
+
+The driver's correctness harness hands us a scale-factor directory with
+TPC-H-ish parquet tables. RCA algorithms need a frame with attribute
+columns + ``real`` + ``predict``; we derive one deterministically from
+``events`` (and a derived-measure variant) so the DuckDB oracle can build
+the exact same frame in SQL.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos type.
+        # Read as long and downcast to microsecond timestamps (analysis
+        # here never needs sub-microsecond resolution).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+# --- RCA frame derivation -------------------------------------------------
+#
+# Leaf elements: (event_type, hr, ub) — event type x hour-of-day x a user
+# bucket. real = observed sum(value); predict = a rate-based forecast
+# (leaf row count x global mean value x 0.97), i.e. "every leaf behaves
+# like the global average, minus a 3% bias". The bias keeps the global
+# sums of real and predict apart — without it A == F by construction and
+# the explanatory-power denominator (A-F) degenerates to float noise.
+#
+# Both this and the SQL twin in __spark_entry__.oracle_sql are pure
+# aggregations: one shuffle on the 3 attribute keys; the global mean is a
+# scalar agg broadcast back (no global window).
+
+RCA_BIAS = 0.97
+
+RCA_EVENTS_SQL = f"""
+WITH base AS (
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+           CAST(user_id % 8 AS INT) AS ub,
+           value
+    FROM events
+), stats AS (
+    SELECT SUM(value) / COUNT(*) AS mean_value FROM base
+)
+SELECT event_type, hr, ub,
+       SUM(value) AS "real",
+       COUNT(*) * MAX(stats.mean_value) * {RCA_BIAS} AS predict
+FROM base CROSS JOIN stats
+GROUP BY event_type, hr, ub
+"""
+
+
+def rca_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RCA frame (attrs: event_type, hr, ub) from events."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        (F.col("user_id") % 8).cast("int").alias("ub"),
+        "value",
+    )
+    stats = base.agg((F.sum("value") / F.count(F.lit(1))).alias("mean_value"))
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .groupBy("event_type", "hr", "ub")
+        .agg(
+            F.sum("value").alias("real"),
+            (F.count(F.lit(1)) * F.first("mean_value") * F.lit(RCA_BIAS)).alias(
+                "predict"
+            ),
+        )
+    )
+
+
+RCA_ATTRIBUTES = ["event_type", "hr", "ub"]

@@ -1,0 +1,70 @@
+"""Text-analysis functions for the documents table — all JVM-side column
+expressions (no Python UDFs): token counting, quality scoring, language-ID
+heuristic, rolling-hash fingerprints.
+
+Each has an exact ANSI-SQL twin used by the DuckDB oracle, so every
+function here is hash-verified per round.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny stopword list shared with the SQL twin (language-id heuristic)
+EN_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization; empty string -> 0 tokens."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are ., , ! or ?"""
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, r"[.,!?]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n)
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are common English stopwords."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(EN_STOPWORDS))
+    )
+    total = token_count(text)
+    return F.when(total == 0, F.lit(0.0)).otherwise(hits.cast("double") / total)
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: length band + punctuation
+    presence + stopword plausibility (a cheap C4-style filter)."""
+    n_tok = token_count(text)
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 10000), F.lit(0.4)).otherwise(F.lit(0.0))
+    punct_ok = F.when(
+        (punct_ratio(text) > 0.0) & (punct_ratio(text) < 0.2), F.lit(0.3)
+    ).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(text) > 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    return len_ok + punct_ok + stop_ok
+
+
+def lang_id(text: Column) -> Column:
+    """n-gram-free language heuristic: English if stopword ratio clears a
+    bar, else 'unk'. (Real models plug in here as a broadcast n-gram
+    table; the heuristic keeps the operator SQL-checkable.)"""
+    return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 64-bit document fingerprint: xxhash64 of the
+    whitespace-normalized lowercased text (content-defined identity for
+    exact dedup)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.xxhash64(norm)

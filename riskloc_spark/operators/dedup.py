@@ -1,0 +1,284 @@
+"""Deduplication operators over the documents table.
+
+Scale design: every variant is expressed so the heavy comparison work is
+a hash-partitioned shuffle (groupBy / bucket join), never an O(n^2) cross
+join. MinHash/SimHash signatures are built with JVM-side hash functions
+(xxhash64 with per-permutation seeds) — no Python in the hot path.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm_text(col):
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact (normalized) text.
+
+    groupBy on the normalized text hash — one shuffle, map-side combine;
+    at 100 TB this is the canonical hash-dedup (hash collisions at 64 bit
+    are ~n^2/2^64, acceptable; use two hashes for paranoia).
+    """
+    h = F.xxhash64(_norm_text(F.col(text_col))).alias("__h")
+    keep = df.select(F.col(id_col), h).groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), on=id_col, how="inner")
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingles as an array column (JVM-side)."""
+    toks = F.split(_norm_text(col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for permutation k, min over
+    shingles of xxhash64(shingle, seed=k). array<long> column 'sig'."""
+    sh = shingles(F.col(text_col), shingle_n).alias("__sh")
+    base = df.select(F.col(id_col), sh)
+
+    def perm_min(k: int):
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(k)))
+        )
+
+    sig = F.array(*[perm_min(k) for k in range(num_hashes)]).alias("sig")
+    return base.select(F.col(id_col), sig)
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs via banded LSH: band signature -> bucket -> join
+    within bucket only. Returns candidate pairs with estimated Jaccard
+    (signature agreement rate) >= threshold.
+
+    Scale: the only shuffle is on (band, band_hash); bucket sizes are
+    bounded by collision rate, and AQE skew-join splits hot buckets.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+
+    banded = sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(num_hashes)
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document: per-bit majority vote of token hashes.
+
+    One explode + one groupBy(id) with 64 flat conditional sums — a single
+    shuffle on the doc id, everything in whole-stage codegen. (A nested
+    per-bit ``aggregate`` over the token array looks tidy but builds a
+    64x-duplicated expression tree that breaks codegen at width.)
+    """
+
+    def smask(i: int) -> int:
+        # signed two's-complement so bit 63 fits a long
+        return (1 << i) if i < 63 else (1 << i) - (1 << 64)
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(_norm_text(F.col(text_col)), " ")).alias("__tok"),
+    ).withColumn("__h", F.xxhash64("__tok"))
+
+    aggs = [
+        F.sum(
+            F.when(F.col("__h").bitwiseAND(F.lit(smask(i))) != 0, 1).otherwise(-1)
+        ).alias(f"__b{i}")
+        for i in range(num_bits)
+    ]
+    votes = toks.groupBy(id_col).agg(*aggs)
+
+    sh = F.lit(0)
+    for i in range(num_bits):
+        sh = sh.bitwiseOR(
+            F.when(F.col(f"__b{i}") > 0, F.lit(smask(i))).otherwise(F.lit(0))
+        )
+    return votes.select(F.col(id_col), sh.alias("sh"))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_bits: int = 64,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, found via the
+    pigeonhole block trick: split the 64-bit hash into blocks; any pair
+    within distance d shares at least one exact block (blocks > d), so
+    candidate generation is a join on (block_idx, block_value)."""
+    assert num_blocks > max_hamming
+    block_bits = num_bits // num_blocks
+    mask = (1 << block_bits) - 1
+
+    sh = simhash_table(df, text_col, id_col, num_bits)
+    blocked = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned("sh", b * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("blk_val"),
+                    )
+                    for b in range(num_blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sh", "bb.blk", "bb.blk_val")
+
+    pairs = (
+        blocked.alias("l")
+        .join(
+            blocked.alias("r"),
+            on=[
+                F.col("l.blk") == F.col("r.blk"),
+                F.col("l.blk_val") == F.col("r.blk_val"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs, generated by
+    an inverted-index join on shingle hash (only pairs sharing >=1 shingle
+    are compared — no cross join). Jaccard from co-occurrence counts:
+    |A∩B| / (|A| + |B| - |A∩B|)."""
+    sh = shingles(F.col(text_col), shingle_n)
+    exploded = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("__s"))
+        .withColumn("__sh", F.xxhash64("__s"))
+        .drop("__s")
+    )
+    sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+
+    inter = (
+        exploded.alias("l")
+        .join(
+            exploded.alias("r"),
+            on=[
+                F.col("l.__sh") == F.col("r.__sh"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("n", "n_a"), inter.id_a == sizes[id_col])
+        .drop(id_col)
+        .join(
+            sizes.withColumnRenamed("n", "n_b").withColumnRenamed(id_col, "__idb"),
+            F.col("id_b") == F.col("__idb"),
+        )
+        .drop("__idb")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

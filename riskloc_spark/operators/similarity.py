@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k with the query side broadcast (exact,
+O(n·q), the correctness oracle). Scale path: LSH-bucketed search via
+random hyperplanes — candidates only within matching buckets, recall
+traded via number of tables/bits.
+
+All vector math is JVM-side (`zip_with` + `aggregate`); no Python UDFs.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    # cast BEFORE multiplying: float*float loses bits the DuckDB oracle
+    # (double math) keeps
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = l2_norm(a) * l2_norm(b)
+    return F.when(d == 0, F.lit(0.0)).otherwise(dot(a, b) / d)
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for every query vector.
+
+    The query side is broadcast (small by construction); ranking uses a
+    window partitioned by query — the shuffle key is query_id, so work
+    scales with corpus x queries/partitions, never a global sort.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(q)
+    ).select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane (driver-side tiny)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [float(x) for x in rng.standard_normal(dim)]
+
+
+def lsh_bucket_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_bits: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 13,
+) -> DataFrame:
+    """Approximate top-k: sign-random-projection LSH buckets; candidates
+    are corpus rows whose bucket matches the query's bucket, ranked by
+    exact cosine. 100-TB path: the corpus is shuffled once on bucket
+    (or bucketed at write time), the query side broadcasts.
+    """
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = [_hyperplane(dim, seed + i) for i in range(num_bits)]
+
+    def bucket_of(vec: Column) -> Column:
+        bits = [
+            F.when(
+                dot(vec, F.array(*[F.lit(p) for p in plane])) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            for i, plane in enumerate(planes)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out.bitwiseOR(b)
+        return out
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), bucket_of(F.col(vec_col)).alias("__bkt")
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        bucket_of(F.col(vec_col)).alias("__bkt"),
+    )
+    scored = c.join(F.broadcast(q), on="__bkt").select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    num_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold) via LSH buckets:
+    pairs are only compared within a bucket (plus no global cross join)."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = [_hyperplane(dim, seed + i) for i in range(num_bits)]
+
+    def bucket_of(vec: Column) -> Column:
+        bits = [
+            F.when(
+                dot(vec, F.array(*[F.lit(p) for p in plane])) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            for i, plane in enumerate(planes)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out.bitwiseOR(b)
+        return out
+
+    b = df.select(F.col(id_col), F.col(vec_col), bucket_of(F.col(vec_col)).alias("__bkt"))
+    pairs = (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            on=[
+                F.col("l.__bkt") == F.col("r.__bkt"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return pairs

@@ -1,0 +1,55 @@
+"""Cuboid enumeration + per-cuboid element statistics.
+
+A "cuboid" is a subset of the attribute dimensions; an "element" is one
+combination of values for those dimensions. The search algorithms
+(riskloc / hotspot / autoroot / squeeze) all need per-element aggregates
+over the leaf frame — computed here as ONE ``groupBy(cuboid)`` pass so the
+whole cuboid costs a single shuffle regardless of element count.
+
+The decomposition trick for hotspot (ref algorithms/hotspot.py:40-63):
+gps / ps scores of a *set* of elements are exact functions of per-element
+sums, because the ripple ratio V_e/F_e is per-element. So MCTS can run on
+the driver over this compact stats frame — no leaf data leaves the
+executors.
+"""
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cuboids_of_layer(attributes: list[str], layer: int) -> list[list[str]]:
+    """All dimension subsets of the given size, in reference order
+    (itertools.combinations over the sorted attribute list)."""
+    return [list(c) for c in combinations(attributes, layer)]
+
+
+def element_stats(df: DataFrame, cuboid: list[str]) -> DataFrame:
+    """Per-element sufficient statistics for set-scoring (hotspot ps/gps).
+
+    For element e: n_e, V_e=sum(real), F_e=sum(predict),
+    B_e = sum|real-predict|,            Q_e = sum (real-predict)^2,
+    A_e = sum|real - predict*V_e/F_e|,  P_e = sum (real - predict*V_e/F_e)^2.
+
+    Window + groupBy share the same hash partitioning → one shuffle.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*cuboid)
+    V = F.sum("real").over(w)
+    Fs = F.sum("predict").over(w)
+    ratio = F.when(Fs != 0, V / Fs).otherwise(F.lit(0.0))
+    a = F.col("predict") * ratio
+
+    df2 = df.withColumn("__a", a)
+    return df2.groupBy(*cuboid).agg(
+        F.count(F.lit(1)).alias("n_e"),
+        F.sum("real").alias("V_e"),
+        F.sum("predict").alias("F_e"),
+        F.sum(F.abs(F.col("real") - F.col("predict"))).alias("B_e"),
+        F.sum(F.pow(F.col("real") - F.col("predict"), F.lit(2.0))).alias("Q_e"),
+        F.sum(F.abs(F.col("real") - F.col("__a"))).alias("A_e"),
+        F.sum(F.pow(F.col("real") - F.col("__a"), F.lit(2.0))).alias("P_e"),
+    )
