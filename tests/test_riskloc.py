@@ -54,6 +54,22 @@ def test_riskloc_df_shape(spark):
     assert out.count() >= 1
 
 
+def test_riskloc_driver_vs_distributed_parity(spark):
+    """The adaptive driver fast-path and the distributed explode path must
+    produce identical root causes (same elements, scores, layers)."""
+    pdf = make_instance(anomaly=("a3", "b0"), seed=11)
+    df = spark.createDataFrame(pdf)
+    fast = riskloc(df, ["a", "b", "c"], risk_threshold=0.3)
+    dist = riskloc(df, ["a", "b", "c"], risk_threshold=0.3, driver_rows=None)
+    assert len(fast) == len(dist)
+    for f, d in zip(fast, dist):
+        assert f["cuboid"] == d["cuboid"]
+        assert f["elements"] == d["elements"]
+        assert f["layer"] == d["layer"]
+        assert abs(f["risk score"] - d["risk score"]) < 1e-9
+        assert abs(f["ep_score"] - d["ep_score"]) < 1e-9
+
+
 def test_riskloc_no_anomaly(spark):
     pdf = make_instance(severity=(0.0, 0.0))
     df = spark.createDataFrame(pdf)
