@@ -24,14 +24,22 @@ from riskloc_spark.functions.scores import (
     get_cutoff,
 )
 from riskloc_spark.functions import text as T
-from riskloc_spark.operators.adtributor import adtributor_candidates, merge_dimensions
+from riskloc_spark.operators.adtributor import (
+    adtributor_candidates,
+    merge_dimensions,
+    rev_adtributor_candidates,
+)
+from riskloc_spark.operators.autoroot import autoroot
+from riskloc_spark.operators.hotspot import hotspot
+from riskloc_spark.operators.squeeze import squeeze
 from riskloc_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
+    ngram_jaccard_pairs,
     simhash_dedup,
 )
 from riskloc_spark.operators.riskloc import riskloc_df
-from riskloc_spark.operators.similarity import cosine, knn_bruteforce
+from riskloc_spark.operators.similarity import cosine, knn_bruteforce, lsh_bucket_knn
 
 from riskloc_spark.functions.scores import add_surprise
 
@@ -286,6 +294,73 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rev_adtributor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = rca_events(spark, sf_dir)
+    out = rev_adtributor_candidates(df, RCA_ATTRIBUTES, teep=0.05, k=2)
+    return out.select(
+        "dimension",
+        "element",
+        F.round("ep", 6).alias("ep"),
+        F.round("surprise", 6).alias("surprise"),
+    )
+
+
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(d, shingle_n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_bucket_knn(emb, queries, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rnk"),
+    )
+
+
+def _causes_to_df(spark, causes, score_key, schema_score):
+    rows = [
+        (
+            "&".join(sorted(f"{d}={v}" for d, v in zip(rc["cuboid"], el))),
+            float(rc[score_key]),
+            int(rc["layer"]),
+        )
+        for rc in causes
+        for el in rc["elements"]
+    ]
+    return spark.createDataFrame(
+        rows, f"root_cause string, {schema_score} double, layer int"
+    )
+
+
+def autoroot_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = rca_events(spark, sf_dir)
+    return _causes_to_df(
+        spark, autoroot(df, RCA_ATTRIBUTES), "avg", "avg_score"
+    )
+
+
+def hotspot_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = rca_events(spark, sf_dir)
+    best = hotspot(df, RCA_ATTRIBUTES, pt=0.67, m=100, scoring="gps")
+    return _causes_to_df(spark, [best], "score", "score")
+
+
+def squeeze_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = rca_events(spark, sf_dir)
+    causes = squeeze(df, RCA_ATTRIBUTES)
+    return spark.createDataFrame(
+        [(s,) for s in causes], "root_cause string"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full RiskLoc root-cause localization on the sf0.001
     events-derived RCA frame."""
@@ -310,8 +385,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": knn_bruteforce_q,
         "embedding_near_dup_exact": embedding_near_dup_exact,
         "riskloc_rca": riskloc_rca,
+        "rev_adtributor": rev_adtributor_q,
+        "autoroot_rca": autoroot_rca,
+        "hotspot_rca": hotspot_rca,
+        "squeeze_rca": squeeze_rca,
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash_pairs,
+        "ngram_jaccard": ngram_jaccard_q,
+        "knn_lsh": knn_lsh_q,
     }
 
 
@@ -577,6 +658,79 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
         """,
-        # riskloc_rca / minhash_pairs / simhash_pairs: iterative or
-        # engine-hash-based — rows-only check (documented in SURVEY §2).
+        "rev_adtributor": f"""
+            WITH {_RCA_CTE},
+            el AS (
+              SELECT CAST(event_type AS VARCHAR) AS element, 'event_type' AS dimension,
+                     SUM("real") AS "real", SUM(predict) AS predict FROM rca GROUP BY 1
+              UNION ALL
+              SELECT CAST(hr AS VARCHAR), 'hr', SUM("real"), SUM(predict) FROM rca GROUP BY 1
+              UNION ALL
+              SELECT CAST(ub AS VARCHAR), 'ub', SUM("real"), SUM(predict) FROM rca GROUP BY 1
+            ),
+            tot AS (SELECT SUM("real") AS A, SUM(predict) AS Ff FROM el),
+            scored AS (
+              SELECT dimension, element,
+                     ("real" - predict) / (A - Ff) AS ep,
+                     0.5 * (
+                       CASE WHEN predict = 0 OR (predict / (Ff / 3.0) + "real" / (A / 3.0)) = 0 THEN 0.0
+                            ELSE (predict / (Ff / 3.0)) * ln(2 * (predict / (Ff / 3.0))
+                                 / (predict / (Ff / 3.0) + "real" / (A / 3.0))) END
+                       + CASE WHEN "real" = 0 OR (predict / (Ff / 3.0) + "real" / (A / 3.0)) = 0 THEN 0.0
+                              ELSE ("real" / (A / 3.0)) * ln(2 * ("real" / (A / 3.0))
+                                   / (predict / (Ff / 3.0) + "real" / (A / 3.0))) END
+                     ) AS surprise
+              FROM el CROSS JOIN tot
+            ),
+            dim_stats AS (
+              SELECT dimension,
+                     COUNT(*) AS n_total,
+                     SUM(CASE WHEN ep > 0.05 THEN 1 ELSE 0 END) AS n_cand,
+                     SUM(CASE WHEN ep > 0.05 THEN surprise END) AS dim_surprise
+              FROM scored GROUP BY dimension
+            ),
+            picked AS (
+              SELECT dimension FROM dim_stats
+              WHERE n_cand > 0 AND n_cand < n_total
+              ORDER BY dim_surprise DESC, dimension ASC LIMIT 2
+            )
+            SELECT s.dimension, s.element,
+                   round(s.ep, 6) AS ep, round(s.surprise, 6) AS surprise
+            FROM scored s JOIN picked p ON s.dimension = p.dimension
+            WHERE s.ep > 0.05
+        """,
+        "ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_transform(range(1, len(w) - 1),
+                                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                     END AS shl
+              FROM toks
+            ),
+            ex AS (
+              SELECT DISTINCT doc_id, s
+              FROM (SELECT doc_id, unnest(shl) AS s FROM sh)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+            inter AS (
+              SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS i
+              FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(CAST(i AS DOUBLE) / (a.n + b.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes a ON id_a = a.doc_id
+            JOIN sizes b ON id_b = b.doc_id
+            WHERE CAST(i AS DOUBLE) / (a.n + b.n - i) >= 0.5
+        """,
+        # riskloc_rca / autoroot_rca / hotspot_rca / squeeze_rca: iterative
+        # driver-orchestrated searches; minhash_pairs / simhash_pairs /
+        # knn_lsh: engine-hash-based — rows-only check (SURVEY §2/§5).
     }

@@ -144,6 +144,37 @@ def adtributor(
     ]
 
 
+def rev_adtributor_candidates(
+    df: DataFrame,
+    dimensions: list[str],
+    teep: float = 0.1,
+    k: int = 3,
+    derived: bool = False,
+) -> DataFrame:
+    """Declarative core of rev_adtributor (ref rev_rec_adtributor.py:15-34)
+    as a DataFrame: candidate elements (ep > teep) of the top-k dimensions
+    whose candidates form a strict subset of the dimension's elements.
+
+    Dimension stats aggregate to #dims rows (tiny), so the top-k pick is a
+    sorted limit and the fan-back to elements is a broadcast join — no
+    second shuffle of the element frame."""
+    elements = _scored_elements(df, dimensions, derived)
+    dim_stats = (
+        elements.groupBy("dimension")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("ep") > teep, 1).otherwise(0)).alias("n_cand"),
+            F.sum(F.when(F.col("ep") > teep, F.col("surprise"))).alias("dim_surprise"),
+        )
+        .filter((F.col("n_cand") > 0) & (F.col("n_cand") < F.col("n_total")))
+        .orderBy(F.col("dim_surprise").desc(), F.col("dimension").asc())
+        .limit(k)
+    )
+    return elements.filter(F.col("ep") > teep).join(
+        F.broadcast(dim_stats.select("dimension")), "dimension"
+    ).select("dimension", "element", "ep", "surprise")
+
+
 def rev_adtributor(
     df: DataFrame,
     dimensions: list[str],
