@@ -32,6 +32,11 @@ from riskloc_spark.operators.adtributor import (
 from riskloc_spark.operators.autoroot import autoroot
 from riskloc_spark.operators.hotspot import hotspot
 from riskloc_spark.operators.squeeze import squeeze
+from riskloc_spark.operators.robustspot import (
+    adapt_frame,
+    add_influence_degree,
+    robustspot_df,
+)
 from riskloc_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
@@ -361,6 +366,19 @@ def squeeze_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def robustspot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = adapt_frame(rca_events(spark, sf_dir), derived=False)
+    out = add_influence_degree(df)
+    return out.select(
+        "event_type", "hr", "ub", F.round("ID", 6).alias("influence_degree")
+    )
+
+
+def robustspot_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = rca_events(spark, sf_dir)
+    return robustspot_df(spark, df, RCA_ATTRIBUTES, k=3, derived=False)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full RiskLoc root-cause localization on the sf0.001
     events-derived RCA frame."""
@@ -389,6 +407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autoroot_rca": autoroot_rca,
         "hotspot_rca": hotspot_rca,
         "squeeze_rca": squeeze_rca,
+        "robustspot_scores": robustspot_scores,
+        "robustspot_rca": robustspot_rca,
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash_pairs,
         "ngram_jaccard": ngram_jaccard_q,
@@ -730,7 +750,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes b ON id_b = b.doc_id
             WHERE CAST(i AS DOUBLE) / (a.n + b.n - i) >= 0.5
         """,
-        # riskloc_rca / autoroot_rca / hotspot_rca / squeeze_rca: iterative
-        # driver-orchestrated searches; minhash_pairs / simhash_pairs /
-        # knn_lsh: engine-hash-based — rows-only check (SURVEY §2/§5).
+        "robustspot_scores": f"""
+            WITH {_RCA_CTE},
+            ad AS (
+              SELECT event_type, hr, ub, "real" AS k_real, predict AS k_predict
+              FROM rca WHERE "real" > 0 OR predict > 0
+            ),
+            tot AS (SELECT SUM(k_real) AS sv, SUM(k_predict) AS sf, COUNT(*) AS n FROM ad)
+            SELECT event_type, hr, ub,
+                   round(1 - 1 / (abs((k_real - k_predict)
+                         / (((sv - k_real) / (n - 1)) - ((sf - k_predict) / (n - 1)))) + 1),
+                         6) AS influence_degree
+            FROM ad CROSS JOIN tot
+        """,
+        # riskloc_rca / autoroot_rca / hotspot_rca / squeeze_rca /
+        # robustspot_rca: iterative driver-orchestrated searches;
+        # minhash_pairs / simhash_pairs / knn_lsh: engine-hash-based —
+        # rows-only check (SURVEY §2/§5).
     }

@@ -1,0 +1,94 @@
+"""RobustSpot: ID/CA scoring parity (Spark vs local mirror) and
+end-to-end contrast-anomaly localization."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from riskloc_spark.operators.robustspot import (
+    _ca_local,
+    _id_local,
+    adapt_frame,
+    add_contribution_ability,
+    add_influence_degree,
+    robustspot,
+    robustspot_df,
+)
+
+
+@pytest.fixture(scope="module")
+def derived_pdf():
+    """Derived-measure RCA case: success/total pairs per leaf; leaves with
+    a=a1 have a crashed success rate."""
+    rng = np.random.default_rng(5)
+    rows = []
+    for a in [f"a{i}" for i in range(4)]:
+        for b in [f"b{i}" for i in range(4)]:
+            for c in [f"c{i}" for i in range(3)]:
+                total = float(rng.integers(500, 1500))
+                ok_rate = 0.95 + rng.uniform(-0.01, 0.01)
+                real_ok = total * ok_rate
+                if a == "a1":
+                    real_ok = total * 0.30
+                rows.append((a, b, c, real_ok, total * 0.95, total, total))
+    return pd.DataFrame(
+        rows,
+        columns=["a", "b", "c", "real_a", "predict_a", "real_b", "predict_b"],
+    )
+
+
+def test_id_ca_spark_vs_local(spark, derived_pdf):
+    df = adapt_frame(spark.createDataFrame(derived_pdf), derived=True)
+    got = (
+        add_contribution_ability(add_influence_degree(df))
+        .select("a", "b", "c", "ID", "CA")
+        .toPandas()
+        .sort_values(["a", "b", "c"])
+        .reset_index(drop=True)
+    )
+
+    p = derived_pdf.assign(
+        value_real=derived_pdf["real_b"] - derived_pdf["real_a"],
+        value_predict=derived_pdf["predict_b"] - derived_pdf["predict_a"],
+        cnt_real=derived_pdf["real_b"],
+        cnt_predict=derived_pdf["predict_b"],
+    )
+    p = p.assign(
+        k_real=p["value_real"] / p["cnt_real"],
+        k_predict=p["value_predict"] / p["cnt_predict"],
+    )
+    want_id = _id_local(p)
+    want_ca = _ca_local(p)
+    p = p.assign(ID=want_id, CA=want_ca).sort_values(["a", "b", "c"]).reset_index(drop=True)
+
+    np.testing.assert_allclose(got["ID"].to_numpy(), p["ID"].to_numpy(), rtol=1e-9)
+    np.testing.assert_allclose(got["CA"].to_numpy(), p["CA"].to_numpy(), rtol=1e-9)
+
+
+def test_robustspot_finds_contrast_anomaly(spark, derived_pdf):
+    df = spark.createDataFrame(derived_pdf)
+    causes = robustspot(df, ["a", "b", "c"], k=3, derived=True)
+    assert causes, "no root cause returned"
+    flat = {item for mc in causes for cause in mc for item in cause}
+    assert ("a", "a1") in flat
+
+
+def test_robustspot_df_shape(spark, derived_pdf):
+    out = robustspot_df(spark, spark.createDataFrame(derived_pdf), ["a", "b", "c"], derived=True)
+    assert out.columns == ["root_cause", "rank"]
+    assert out.count() >= 1
+
+
+def test_robustspot_plain_measures(spark):
+    rng = np.random.default_rng(9)
+    rows = []
+    for a in [f"a{i}" for i in range(4)]:
+        for b in [f"b{i}" for i in range(5)]:
+            predict = float(rng.uniform(50, 150))
+            real = predict * (1 + rng.uniform(-0.02, 0.02))
+            if a == "a2":
+                real = predict * 3.0
+            rows.append((a, b, real, predict))
+    pdf = pd.DataFrame(rows, columns=["a", "b", "real", "predict"])
+    causes = robustspot(spark.createDataFrame(pdf), ["a", "b"], k=3, derived=False)
+    flat = {item for mc in causes for cause in mc for item in cause}
+    assert ("a", "a2") in flat
