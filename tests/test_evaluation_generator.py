@@ -1,0 +1,84 @@
+"""Evaluation scoring (vs reference semantics) and the synthetic
+instance generator, closing the reference's own validation loop:
+generate -> localize -> score F1."""
+import math
+
+import pytest
+
+from riskloc_spark.evaluation import (
+    evaluate_batch,
+    f1,
+    root_cause_postprocessing,
+    score_root_causes,
+)
+from riskloc_spark.generator import generate_rca_instance
+from riskloc_spark.operators.riskloc import riskloc
+
+
+def test_score_root_causes_basic():
+    tp, fp, fn, truth = score_root_causes(["a=a1&b=b2", "c=c3"], "b=b2&a=a1;d=d4")
+    assert (tp, fp, fn) == (1, 1, 1)
+    assert truth == ["a=a1&b=b2", "d=d4"]
+
+
+def test_score_root_causes_empty_preds():
+    tp, fp, fn, truth = score_root_causes([], "a=a1;a=a2")
+    assert (tp, fp, fn) == (0, 0, 2)
+
+
+def test_postprocessing_shapes():
+    # riskloc/autoroot-style dicts
+    rcs = [{"cuboid": ["b", "a"], "elements": [["b2", "a1"]]}]
+    assert root_cause_postprocessing(rcs, "riskloc") == ["a=a1&b=b2"]
+    # adtributor dimension/elements form
+    ad = [{"dimension": "a", "elements": ["a1", "a2"]}]
+    assert root_cause_postprocessing(ad, "adtributor") == ["a=a1", "a=a2"]
+    # robustspot nested tuples
+    rs = [[(("a", "a1"), ("b", "b2"))]]
+    assert root_cause_postprocessing(rs, "robustspot") == ["a=a1&b=b2"]
+    # squeeze passthrough strings
+    assert root_cause_postprocessing(["b=b1&a=a2"], "squeeze") == ["a=a2&b=b1"]
+
+
+def test_f1():
+    assert f1(0, 0, 0) == 0.0
+    assert f1(2, 1, 1) == pytest.approx(2 * 2 / (2 * 2 + 1 + 1))
+
+
+def test_generator_structure(spark):
+    dims = {"a": 4, "b": 3, "c": 5}
+    df, label, meta = generate_rca_instance(spark, dims, seed=42)
+    assert df.count() == math.prod(dims.values())
+    assert set(df.columns) == {"a", "b", "c", "real", "predict"}
+    assert label  # at least one anomaly
+    for cause in label.split(";"):
+        for pred in cause.split("&"):
+            d, v = pred.split("=")
+            assert d in dims and v.startswith(d)
+    # determinism
+    df2, label2, _ = generate_rca_instance(spark, dims, seed=42)
+    assert label2 == label
+    assert df2.agg({"real": "sum"}).first()[0] == df.agg({"real": "sum"}).first()[0]
+
+
+def test_generate_localize_score_loop(spark):
+    """The reference's validation protocol: inject, localize, F1 > 0."""
+    dims = {"a": 6, "b": 5, "c": 4}
+    results = []
+    for seed in (7, 19):
+        df, label, _ = generate_rca_instance(
+            spark,
+            dims,
+            seed=seed,
+            zero_rate=(0.0, 0.0),
+            noise_level=(0.0, 0.05),
+            anomaly_severity=(0.7, 0.9),
+            num_anomaly=(1, 1),
+            num_anomaly_elements=(1, 1),
+        )
+        causes = riskloc(df, list(dims), risk_threshold=0.3)
+        preds = root_cause_postprocessing(causes, "riskloc")
+        results.append((preds, label))
+    agg = evaluate_batch(results)
+    assert agg["tp"] >= 1, f"expected at least one hit: {results}"
+    assert agg["f1"] > 0.0
