@@ -1,0 +1,5 @@
+from riskloc_spark.streaming.pipeline import (  # noqa: F401
+    events_stream,
+    rca_foreach_batch,
+    windowed_kpi_stream,
+)

@@ -1,0 +1,111 @@
+"""Structured Streaming surface: continuous deviation scoring and
+micro-batch RCA triggering.
+
+The reference is batch-only (one CSV per anomalous timestamp); this is
+the streaming generalization: the same leaf aggregation the batch RCA
+frame uses, expressed as a watermarked windowed aggregation, plus a
+``foreachBatch`` hook that runs any batch RCA operator on each
+micro-batch's completed windows.
+
+Scale notes: the watermark bounds window state; the baseline join is a
+broadcast (dims: event_type — tiny); all scoring is the same column
+algebra as the batch path (riskloc_spark.functions.scores), so plans
+stay JVM-side.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events table layout (TESTDATA.md).
+
+    The parquet stores ts as TIMESTAMP(NANOS); like
+    riskloc_spark.data.load_table we read it as long and downcast to
+    microseconds. The file-stream source requires a *directory*; a direct
+    file path is translated to parent-dir + pathGlobFilter."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_kpi_stream(
+    events: DataFrame,
+    baseline: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per (window, event_type) KPI vs a broadcast baseline rate.
+
+    real = sum(value); predict = n_events * baseline mean value (the same
+    rate-forecast shape as the batch RCA frame); deviation is the batch
+    formula. Late events beyond the watermark are dropped — state is
+    bounded by (#windows in watermark horizon) x |event_type|.
+    """
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.sum("value").alias("real"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    joined = agg.join(F.broadcast(baseline), on="event_type", how="left")
+    predict = F.col("n_events") * F.coalesce(F.col("mean_value"), F.lit(0.0))
+    denom = predict + F.col("real")
+    deviation = F.when(denom == 0, F.lit(0.0)).otherwise(
+        2.0 * (predict - F.col("real")) / denom
+    )
+    return (
+        joined.withColumn("predict", predict)
+        .withColumn("deviation", deviation)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "real",
+            "predict",
+            "deviation",
+        )
+    )
+
+
+def rca_foreach_batch(
+    rca_fn: Callable[[DataFrame], Any],
+    sink: list,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch adapter: run a batch RCA operator on each micro-batch
+    and append (batch_id, result) to ``sink``.
+
+    The micro-batch frame is a normal batch DataFrame, so every operator
+    in riskloc_spark.operators works unchanged — this is the
+    batch/streaming unification point.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sink.append((batch_id, rca_fn(batch_df)))
+
+    return handle

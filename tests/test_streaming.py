@@ -1,0 +1,100 @@
+"""Structured Streaming pipeline: stream results must equal the batch
+computation over the same files (availableNow trigger + memory sink)."""
+import pytest
+from pyspark.sql import functions as F
+
+from riskloc_spark.data import load_table
+from riskloc_spark.streaming import (
+    events_stream,
+    rca_foreach_batch,
+    windowed_kpi_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def baseline(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    return ev.groupBy("event_type").agg(F.avg("value").alias("mean_value"))
+
+
+def test_windowed_kpi_stream_matches_batch(spark, baseline, tmp_path):
+    stream = events_stream(spark, f"{SF_DIR}/events.parquet")
+    scored = windowed_kpi_stream(stream, baseline, window="1 hour")
+
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("kpi_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.table("kpi_stream").toPandas()
+    assert len(got) > 0
+
+    # batch twin over the same data
+    ev = load_table(spark, SF_DIR, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.sum("value").alias("real"), F.count(F.lit(1)).alias("n_events"))
+        .join(F.broadcast(baseline), "event_type")
+        .withColumn("predict", F.col("n_events") * F.col("mean_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "real",
+            "predict",
+        )
+        .toPandas()
+    )
+    g = got.set_index(["window_start", "event_type"]).sort_index()
+    b = batch.set_index(["window_start", "event_type"]).sort_index()
+    # append mode emits a window once the watermark passes it; the tail
+    # windows after the final watermark stay in state — all *emitted*
+    # windows must match the batch twin exactly
+    common = g.index.intersection(b.index)
+    assert len(common) == len(g), "stream emitted a window batch doesn't have"
+    assert len(g) >= len(b) - 2 * len(got["event_type"].unique()) - 4
+    bb = b.loc[common]
+    assert (g["real"] - bb["real"]).abs().max() < 1e-6
+    assert (g["predict"] - bb["predict"]).abs().max() < 1e-6
+    # deviation column is present and bounded
+    assert got["deviation"].abs().max() <= 2.0
+
+
+def test_rca_foreach_batch_trigger(spark, baseline, tmp_path):
+    """Each micro-batch runs a batch RCA operator (adtributor candidates
+    on the windowed frame) — batch/streaming unification."""
+    from riskloc_spark.operators.adtributor import adtributor_candidates
+
+    stream = events_stream(spark, f"{SF_DIR}/events.parquet")
+    scored = windowed_kpi_stream(stream, baseline, window="6 hours")
+
+    results: list = []
+
+    def rca(batch_df):
+        frame = batch_df.select(
+            "event_type",
+            F.hour("window_start").cast("string").alias("hr"),
+            "real",
+            "predict",
+        )
+        return adtributor_candidates(
+            frame, ["event_type", "hr"], teep=0.01, tep=0.05
+        ).collect()
+
+    q = (
+        scored.writeStream.foreachBatch(rca_foreach_batch(rca, results))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert results, "foreachBatch never fired"
+    batch_ids = [bid for bid, _ in results]
+    assert batch_ids == sorted(batch_ids)
