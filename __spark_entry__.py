@@ -37,6 +37,7 @@ from riskloc_spark.operators.robustspot import (
     add_influence_degree,
     robustspot_df,
 )
+from riskloc_spark.operators.multimodal import decode_media, documents_as_media
 from riskloc_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
@@ -379,6 +380,17 @@ def robustspot_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robustspot_df(spark, df, RCA_ATTRIBUTES, k=3, derived=False)
 
 
+def media_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = documents_as_media(load_table(spark, sf_dir, "documents"))
+    out = decode_media(d)
+    return out.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full RiskLoc root-cause localization on the sf0.001
     events-derived RCA frame."""
@@ -413,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": simhash_pairs,
         "ngram_jaccard": ngram_jaccard_q,
         "knn_lsh": knn_lsh_q,
+        "media_decode": media_decode_q,
     }
 
 

@@ -1,0 +1,65 @@
+"""Multimodal plumbing: schemas, mapInPandas batch shape, determinism.
+Decode kernels are stubbed (no image libs in container); the Spark-side
+contracts are what's under test."""
+import pytest
+from pyspark.sql import functions as F
+
+from riskloc_spark.data import load_table
+from riskloc_spark.operators.multimodal import (
+    decode_media,
+    documents_as_media,
+    media_features,
+    resize_media,
+    sample_frames,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return documents_as_media(load_table(spark, SF_DIR, "documents"))
+
+
+def test_decode_media_schema_and_determinism(spark, media):
+    out = decode_media(media)
+    assert out.schema["meta"].dataType.fieldNames() == [
+        "width", "height", "n_channels", "duration_ms", "n_frames",
+    ]
+    n = media.count()
+    assert out.count() == n  # decode is 1:1
+
+    a = out.select("media_id", "meta.width", "meta.n_frames").toPandas()
+    b = decode_media(media).select("media_id", "meta.width", "meta.n_frames").toPandas()
+    assert a.sort_values("media_id").equals(b.sort_values("media_id"))
+
+
+def test_media_features_dim_and_norm(spark, media):
+    out = media_features(media, dim=16)
+    rows = out.limit(5).collect()
+    for r in rows:
+        assert len(r["feature"]) == 16
+        norm = sum(x * x for x in r["feature"]) ** 0.5
+        assert abs(norm - 1.0) < 1e-3
+
+
+def test_resize_media_contract(spark, media):
+    out = resize_media(media.limit(20), width=64, height=64)
+    pdf = out.toPandas()
+    assert (pdf["meta"].apply(lambda m: m["width"]) == 64).all()
+    target = 64 * 64 // 64
+    assert pdf["payload"].apply(len).eq(target).all()
+
+
+def test_sample_frames_explodes_inside_worker(spark, media):
+    sub = media.limit(10)
+    out = sample_frames(sub, every_n=10)
+    pdf = out.toPandas()
+    assert set(pdf.columns) == {"media_id", "frame_idx", "frame"}
+    assert len(pdf) >= 10  # at least frame 0 per media
+    assert (pdf["frame_idx"] % 10 == 0).all()
+    # no extra shuffle: mapInPandas keeps input partitioning
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan.split("MapInPandas")[0]
