@@ -31,9 +31,18 @@ BENCH_QUERIES = [
     "lang_quality_by_source",
     "dedup_exact",
     "knn_bruteforce",
+    "knn_lsh",
     "minhash_pairs",
     "simhash_pairs",
+    "ngram_jaccard",
+    "media_decode",
     "riskloc_rca",
+    "rev_adtributor",
+    "autoroot_rca",
+    "hotspot_rca",
+    "squeeze_rca",
+    "robustspot_scores",
+    "robustspot_rca",
 ]
 
 

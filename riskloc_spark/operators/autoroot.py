@@ -179,17 +179,123 @@ def merge_root_causes(
     return causes
 
 
+def _search_cluster_driver(
+    pdf, cluster_pdf, attributes: list[str], delta_threshold: float,
+    z: int, totals: dict[str, float],
+) -> dict[str, Any] | None:
+    """pandas mirror of search_cluster — same formulas, same tie order;
+    parity-tested against the distributed path."""
+    best: dict[str, Any] = {"avg": -1.0}
+    N, Bp_tot = totals["N"], totals["Bp_tot"]
+    for layer in range(1, len(attributes) + 1):
+        for cuboid in cuboids_of_layer(attributes, layer):
+            if layer == len(attributes) and (1.0 / z) <= delta_threshold:
+                continue
+            xs = cluster_pdf.groupby(cuboid, sort=False).size().rename("x")
+            xs = xs[(xs / z) > delta_threshold]
+            if not len(xs):
+                continue
+
+            g = pdf.groupby(cuboid, sort=False)
+            Ve = g["real"].transform("sum")
+            Fe = g["predict"].transform("sum")
+            vhat = np.where(Fe != 0, pdf["predict"] * Ve / Fe, 0.0)
+            v = pdf["real"]
+            a_term = np.where(v == 0, 0.0, np.abs(v - vhat) / v)
+            b_term = np.where(v == 0, 0.0, np.abs(v - pdf["predict"]) / v)
+            t = pdf.assign(__a=a_term, __b=b_term)
+            terms = t.groupby(cuboid, sort=False).agg(
+                n_full=("__a", "size"), Ap_e=("__a", "sum"), Bp_e=("__b", "sum")
+            )
+            joined = terms.join(xs, how="inner")
+            joined = joined[(joined["x"] / joined["n_full"]) > delta_threshold]
+            if not len(joined):
+                continue
+            a = joined["Ap_e"] / joined["n_full"]
+            b = joined["Bp_e"] / joined["n_full"]
+            n_rest = N - joined["n_full"]
+            c = np.where(n_rest > 0, (Bp_tot - joined["Bp_e"]) / n_rest, 0.0)
+            joined = joined.assign(
+                NPS=1 - (a + c) / (b + c), LF=joined["x"] / joined["n_full"]
+            )
+            joined = joined.sort_index(kind="stable").sort_values(
+                "NPS", ascending=False, kind="stable"
+            )
+            row = joined.iloc[0]
+            key = row.name if layer > 1 else (row.name,)
+            CF = row["x"] / z
+            avg = (row["NPS"] + row["LF"] + CF) / 3
+            if avg > best["avg"]:
+                best = {
+                    "elements": [[str(k) for k in key]],
+                    "layer": layer,
+                    "cuboid": list(cuboid),
+                    "LF": float(row["LF"]),
+                    "CF": float(CF),
+                    "NPS": float(row["NPS"]),
+                    "avg": float(avg),
+                }
+    return best if "elements" in best else None
+
+
+def _autoroot_driver(
+    pdf, attributes: list[str], delta_threshold: float
+) -> list[dict[str, Any]]:
+    """Driver-side mirror of the full autoroot loop on a collected leaf
+    frame (attrs as string, real, predict, deviation)."""
+    relevant = pdf[pdf["deviation"].abs() > 0.2]
+    if not len(relevant):
+        return []
+    ends = kde_boundaries(relevant["deviation"].to_numpy())
+    cl = np.full(len(relevant), -1)
+    for i, end in enumerate(ends):
+        cl = np.where(relevant["deviation"] <= end, i, cl)
+    relevant = relevant.assign(cluster=cl)
+
+    v = pdf["real"]
+    bp = np.where(v == 0, 0.0, np.abs(v - pdf["predict"]) / v)
+    totals = {"N": float(len(pdf)), "Bp_tot": float(bp.sum())}
+
+    cluster_root_causes = []
+    for cluster in sorted(relevant["cluster"].unique()):
+        sub = relevant[relevant["cluster"] == cluster]
+        z = len(sub)
+        if z == 0:
+            continue
+        rc = _search_cluster_driver(
+            pdf, sub, attributes, delta_threshold, z, totals
+        )
+        if rc is not None:
+            rc["cluster"] = int(cluster)
+            cluster_root_causes.append(rc)
+    return merge_root_causes(cluster_root_causes, max_layer=len(attributes))
+
+
 def autoroot(
     df: DataFrame,
     attributes: list[str],
     delta_threshold: float = 0.1,
     max_kde_sample: int | None = None,
     seed: int = 11,
+    driver_rows: int | None = 200_000,
 ) -> list[dict[str, Any]]:
-    """Reference autoroot.py:147-170."""
+    """Reference autoroot.py:147-170.
+
+    Adaptive like riskloc: deviation scoring is distributed; when the
+    aggregated leaf frame is driver-sized (cheap limit-probe), the
+    KDE-cluster + per-cluster cuboid search runs vectorized on pandas
+    (the search launches dozens of tiny sequential jobs otherwise); both
+    paths share formulas and are parity-tested. ``driver_rows=None``
+    forces the distributed path."""
     df = add_deviation_score(df)
     for d in attributes:
         df = df.withColumn(d, F.col(d).cast("string"))
+
+    if driver_rows is not None:
+        sel = df.select(*attributes, "real", "predict", "deviation")
+        if sel.limit(driver_rows + 1).count() <= driver_rows:
+            return _autoroot_driver(sel.toPandas(), attributes, delta_threshold)
+
     df = df.persist()
 
     relevant = df.filter(F.abs(F.col("deviation")) > 0.2)

@@ -250,13 +250,166 @@ def _locate_in_cuboid(
     return rc, best_score
 
 
+def _locate_in_cuboid_local(
+    pdf, cuboid: list[str], cluster_mask, normal_mask, options: SqueezeOptions
+) -> tuple[list[dict[str, str]], float]:
+    """pandas mirror of _locate_in_cuboid — same stats, ranks, and ps
+    score; parity-tested against the distributed path."""
+    import pandas as pd
+
+    sel = (cluster_mask | normal_mask)
+    t = pdf.assign(
+        __abn=cluster_mask.astype(int),
+        __vsel=np.where(sel, pdf["real"], np.nan),
+        __fsel=np.where(sel, pdf["predict"], np.nan),
+    )
+    g = t.groupby(cuboid, sort=False)
+    stats = g.agg(
+        num_elements=("__abn", "sum"),
+        descents=("__abn", "size"),
+        V_e=("__vsel", "sum"),
+        F_e=("__fsel", "sum"),
+    )
+    stats = stats[stats["num_elements"] > 0]
+    if not len(stats):
+        return [], float("-inf")
+
+    order = (stats["num_elements"] / stats["descents"].clip(lower=1e-4)).sort_values(
+        ascending=False, kind="stable"
+    )
+    rows = stats.loc[order.index]
+    total_elements = g.ngroups
+    n_partitions = min(
+        len(rows), options.max_num_elements_single_cluster, total_elements - 1
+    )
+    if n_partitions <= 0:
+        return [], float("-inf")
+
+    keys = [
+        k if isinstance(k, tuple) else (k,) for k in rows.index[:n_partitions]
+    ]
+    rank_of = {k: i + 1 for i, k in enumerate(keys)}
+    key_series = pd.Series(
+        list(zip(*[pdf[d] for d in cuboid])), index=pdf.index
+    )
+    rank = key_series.map(rank_of)
+
+    v_prefix = np.cumsum(rows["V_e"].fillna(0.0).to_numpy())
+    f_prefix = np.cumsum(rows["F_e"].fillna(0.0).to_numpy())
+
+    sub_mask = (cluster_mask | normal_mask).to_numpy()
+    real = pdf["real"].to_numpy()
+    predict = pdf["predict"].to_numpy()
+    rank_np = rank.to_numpy(dtype=float)
+
+    def div(x: float, y: float) -> float:
+        if y and y > 0:
+            return x / y
+        return 0.0 if x == 0 else float("inf")
+
+    best_p, best_score = 1, float("-inf")
+    for p in range(1, n_partitions + 1):
+        r_p = float(v_prefix[p - 1] / f_prefix[p - 1]) if f_prefix[p - 1] else 0.0
+        in_p = sub_mask & ~np.isnan(rank_np) & (rank_np <= p)
+        out_p = sub_mask & ~in_p
+        d1 = float(np.abs(real[in_p] - predict[in_p] * r_p).sum())
+        n1 = float(in_p.sum())
+        d2 = float(np.abs(real[out_p] - predict[out_p]).sum())
+        n2 = float(out_p.sum())
+        b1 = float(np.abs(real[in_p] - predict[in_p]).sum())
+        denom = div(b1, n1) + div(d2, n2)
+        score = 1 - (div(d1, n1) + div(d2, n2)) / denom if denom else float("-inf")
+        if score > best_score:
+            best_p, best_score = p, score
+
+    rc = [dict(zip(cuboid, (str(v) for v in k))) for k in keys[:best_p]]
+    return rc, best_score
+
+
+def _squeeze_driver(pdf, attributes: list[str], options: SqueezeOptions) -> list[str]:
+    """Driver-side mirror of the locate phase on a collected leaf frame
+    (attrs as string, real, predict, deviation, metric)."""
+    from riskloc_spark.plans.cuboid import cuboids_of_layer
+
+    deviations = pdf["deviation"].to_numpy()
+    metrics = pdf["metric"].to_numpy()
+
+    if options.enable_filter and len(metrics):
+        threshold = kpi_filter_threshold(metrics)
+        cluster_input = deviations[metrics > threshold]
+    else:
+        cluster_input = deviations
+    if len(cluster_input) == 0:
+        return []
+    ranges = density_cluster_1d(cluster_input, options)
+    if not ranges:
+        return []
+
+    in_any = np.logical_or.reduce(
+        [(deviations >= lo) & (deviations <= hi) for lo, hi in ranges]
+    )
+    abn_vals = deviations[in_any]
+    min_abn_abs = float(np.min(np.abs(abn_vals))) if len(abn_vals) else 0.0
+    normal_mask = pdf["deviation"].abs() < min_abn_abs
+
+    if options.score_weight == "auto":
+        n_clusters = len(ranges)
+        g_cluster = np.log(n_clusters + 1) / n_clusters
+        num_attr = sum(pdf[a].nunique() for a in attributes)
+        g_attribute = num_attr / np.log(num_attr + 1)
+        n_abnormal = int(in_any.sum())
+        g_coverage = -np.log(max(n_abnormal, 1) / max(len(deviations), 1))
+        score_weight = float(g_cluster * g_attribute * g_coverage)
+    else:
+        score_weight = float(options.score_weight)
+
+    root_causes: list[str] = []
+    for lo, hi in ranges:
+        cluster_mask = (pdf["deviation"] >= lo) & (pdf["deviation"] <= hi)
+        ret_lists: list[dict[str, Any]] = []
+        for layer in range(1, len(attributes) + 1):
+            for cuboid in cuboids_of_layer(attributes, layer):
+                rc, score = _locate_in_cuboid_local(
+                    pdf, cuboid, cluster_mask, normal_mask, options
+                )
+                ret_lists.append(
+                    {
+                        "rc": rc,
+                        "score": score,
+                        "n_ele": len(rc),
+                        "layer": layer,
+                        "rank": score * score_weight - len(rc) * layer,
+                    }
+                )
+            if any(r["score"] > options.ps_upper_bound for r in ret_lists):
+                break
+        ret_lists.sort(key=lambda r: r["rank"], reverse=True)
+        if ret_lists and ret_lists[0]["rc"]:
+            rc_str = ";".join(
+                sorted(
+                    "&".join(f"{k}={v}" for k, v in sorted(e.items()))
+                    for e in ret_lists[0]["rc"]
+                )
+            )
+            root_causes.append(rc_str)
+    return sorted(set(root_causes))
+
+
 def squeeze(
     df: DataFrame,
     attributes: list[str],
     options: SqueezeOptions | None = None,
+    driver_rows: int | None = 200_000,
 ) -> list[str]:
     """Reference squeeze.py:108-302 (plain measures). Returns root-cause
-    strings 'd1=v1&d2=v2' (one per cluster), unified format."""
+    strings 'd1=v1&d2=v2' (one per cluster), unified format.
+
+    Adaptive like riskloc/autoroot: scoring columns are distributed; when
+    the aggregated leaf frame is driver-sized (limit-probe), the
+    cluster + locate phase runs vectorized on pandas (it otherwise
+    launches ~3 tiny jobs per cuboid per cluster); both paths share
+    formulas and are parity-tested. ``driver_rows=None`` forces the
+    distributed path."""
     options = options or SqueezeOptions()
 
     df = df.filter(F.col("predict") > 0)
@@ -273,6 +426,18 @@ def squeeze(
     df = df.withColumn("deviation", dev).withColumn(
         "metric", F.abs(F.col("real") - F.col("predict"))
     )
+
+    if driver_rows is not None:
+        sel = df.select(
+            *[F.col(a).cast("string").alias(a) for a in attributes],
+            F.col("real").cast("double"),
+            F.col("predict").cast("double"),
+            F.col("deviation").cast("double"),
+            F.col("metric").cast("double"),
+        )
+        if sel.limit(driver_rows + 1).count() <= driver_rows:
+            return _squeeze_driver(sel.toPandas(), attributes, options)
+
     df = df.persist()
     try:
         sel = df.select("deviation", "metric")

@@ -53,3 +53,19 @@ def test_autoroot_no_anomaly(spark):
     df = spark.createDataFrame(pdf)
     causes = autoroot(df, ["a", "b", "c"])
     assert causes == []
+
+
+def test_autoroot_driver_vs_distributed_parity(spark):
+    """Adaptive driver fast-path must match the distributed path."""
+    pdf = make_instance(seed=21, anomaly=("a0", "b3"))
+    df = spark.createDataFrame(pdf)
+    fast = autoroot(df, ["a", "b", "c"])
+    dist = autoroot(df, ["a", "b", "c"], driver_rows=None)
+    assert len(fast) == len(dist)
+    key = lambda rc: (rc["layer"], rc["cuboid"], rc["elements"])  # noqa: E731
+    for f, d in zip(sorted(fast, key=key), sorted(dist, key=key)):
+        assert f["cuboid"] == d["cuboid"]
+        assert f["elements"] == d["elements"]
+        assert f["layer"] == d["layer"]
+        for s in ("NPS", "LF", "CF", "avg"):
+            assert abs(f[s] - d[s]) < 1e-9, s

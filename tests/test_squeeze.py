@@ -65,3 +65,12 @@ def test_squeeze_multiple_causes(spark):
     causes = squeeze(df, ["a", "b", "c"])
     joined = ";".join(causes)
     assert "a=a1" in joined and "a=a3" in joined
+
+
+def test_squeeze_driver_vs_distributed_parity(spark):
+    """Adaptive driver fast-path must match the distributed path."""
+    pdf = make_instance(seed=33, anomaly=("a1", "b0"))
+    df = spark.createDataFrame(pdf)
+    fast = squeeze(df, ["a", "b", "c"])
+    dist = squeeze(df, ["a", "b", "c"], driver_rows=None)
+    assert fast == dist
