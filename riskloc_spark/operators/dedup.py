@@ -15,6 +15,18 @@ def _norm_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the scan yields
+    fewer splits (a small/single-row-group file reads as ONE partition
+    and would serialize the whole shingle/hash pipeline on one core).
+    At scale the scan already has >= defaultParallelism splits and this
+    is a no-op — no shuffle is added."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id document per exact (normalized) text.
 
@@ -44,17 +56,30 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: for permutation k, min over
-    shingles of xxhash64(shingle, seed=k). array<long> column 'sig'."""
-    sh = shingles(F.col(text_col), shingle_n).alias("__sh")
-    base = df.select(F.col(id_col), sh)
+    shingles of xxhash64(shingle, seed=k). array<long> column 'sig'.
 
-    def perm_min(k: int):
-        return F.array_min(
-            F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(k)))
-        )
-
-    sig = F.array(*[perm_min(k) for k in range(num_hashes)]).alias("sig")
-    return base.select(F.col(id_col), sig)
+    Shape: explode shingles once, then ONE groupBy(id) with num_hashes
+    ``min`` aggregates (map-side combine, whole-stage codegen). The
+    array-lambda formulation (array_min over transform per permutation)
+    looks shuffle-free but Catalyst's projection collapse inlines the
+    shingle expression into every permutation column — the text is
+    re-shingled num_hashes times per row. The explode+agg plan hashes
+    each shingle num_hashes times but shingles once; measured ~2.5x
+    faster end-to-end at sf0.1."""
+    ex = spread_small_scan(df).select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"),
+    )
+    agg = ex.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("__s", F.lit(k))).alias(f"__h{k}")
+            for k in range(num_hashes)
+        ]
+    )
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__h{k}") for k in range(num_hashes)]).alias("sig"),
+    )
 
 
 def minhash_lsh_dedup(
@@ -74,7 +99,10 @@ def minhash_lsh_dedup(
     bounded by collision rate, and AQE skew-join splits hot buckets.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # both sides of the bucket self-join (and the pair-dedup exchange)
+    # would recompute the signature pipeline — cache it (small: one row
+    # per doc; Spark evicts LRU under pressure)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
 
     banded = sigs.select(
         id_col,
@@ -102,7 +130,19 @@ def minhash_lsh_dedup(
 
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(num_hashes)
+    )
+    # compute + threshold the estimate BEFORE the pair-dedup exchange so
+    # the shuffle carries (id_a, id_b, est) doubles, never the signature
+    # arrays, and below-threshold pairs don't shuffle at all
+    return (
         left.join(
             right,
             on=[
@@ -117,21 +157,10 @@ def minhash_lsh_dedup(
             F.col("l.sig").alias("sig_a"),
             F.col("r.sig").alias("sig_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
-                lambda x: x,
-            )
-        ).cast("double")
-        / F.lit(num_hashes)
-    )
-    return (
-        pairs.withColumn("est_jaccard", est)
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -150,7 +179,7 @@ def simhash_table(
         # signed two's-complement so bit 63 fits a long
         return (1 << i) if i < 63 else (1 << i) - (1 << 64)
 
-    toks = df.select(
+    toks = spread_small_scan(df).select(
         F.col(id_col),
         F.explode(F.split(_norm_text(F.col(text_col)), " ")).alias("__tok"),
     ).withColumn("__h", F.xxhash64("__tok"))
@@ -187,7 +216,8 @@ def simhash_dedup(
     block_bits = num_bits // num_blocks
     mask = (1 << block_bits) - 1
 
-    sh = simhash_table(df, text_col, id_col, num_bits)
+    # cache: both join sides + the dedup exchange reuse the hash table
+    sh = simhash_table(df, text_col, id_col, num_bits).persist()
     blocked = sh.select(
         id_col,
         "sh",
@@ -222,13 +252,15 @@ def simhash_dedup(
             F.col("l.sh").alias("sh_a"),
             F.col("r.sh").alias("sh_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # hamming-filter BEFORE the pair-dedup exchange: the shuffle carries
+    # only qualifying (id_a, id_b, hamming) rows
     return (
         pairs.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -244,10 +276,13 @@ def ngram_jaccard_pairs(
     are compared — no cross join). Jaccard from co-occurrence counts:
     |A∩B| / (|A| + |B| - |A∩B|)."""
     sh = shingles(F.col(text_col), shingle_n)
+    # cache: reused by the pair self-join (both sides) and the size agg
     exploded = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("__s"))
+        spread_small_scan(df)
+        .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("__s"))
         .withColumn("__sh", F.xxhash64("__s"))
         .drop("__s")
+        .persist()
     )
     sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from riskloc_spark.operators.dedup import spread_small_scan
+
 
 def dot(a: Column, b: Column) -> Column:
     # cast BEFORE multiplying: float*float loses bits the DuckDB oracle
@@ -55,7 +57,9 @@ def knn_bruteforce(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qv")
     )
-    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(
+    scored = spread_small_scan(
+        corpus.select(F.col(id_col), F.col(vec_col))
+    ).crossJoin(
         F.broadcast(q)
     ).select(
         query_id_col,
@@ -114,7 +118,7 @@ def lsh_bucket_knn(
             out = out.bitwiseOR(b)
         return out
 
-    c = corpus.select(
+    c = spread_small_scan(corpus).select(
         F.col(id_col), F.col(vec_col), bucket_of(F.col(vec_col)).alias("__bkt")
     )
     q = queries.select(
@@ -162,7 +166,9 @@ def embedding_near_dup(
             out = out.bitwiseOR(b)
         return out
 
-    b = df.select(F.col(id_col), F.col(vec_col), bucket_of(F.col(vec_col)).alias("__bkt"))
+    b = spread_small_scan(df).select(
+        F.col(id_col), F.col(vec_col), bucket_of(F.col(vec_col)).alias("__bkt")
+    )
     pairs = (
         b.alias("l")
         .join(
