@@ -446,24 +446,29 @@ def riskloc(
     df = add_deviation_score(df)
 
     if driver_rows is not None:
+        # persist across probe + collect — the leaf-frame lineage (scan +
+        # leaf agg + broadcast sums) would otherwise recompute per action
         sel = df.select(
             *[F.col(a).cast("string").alias(a) for a in attributes],
             F.col("real").cast("double"),
             F.col("predict").cast("double"),
             F.col("ep").cast("double"),
             F.col("deviation").cast("double"),
-        )
-        if sel.limit(driver_rows + 1).count() <= driver_rows:
-            return _riskloc_driver(
-                sel.toPandas(),
-                attributes,
-                risk_threshold,
-                pep_threshold,
-                n_remove,
-                remove_relative,
-                prune_elements,
-                max_iterations,
-            )
+        ).persist()
+        try:
+            if sel.limit(driver_rows + 1).count() <= driver_rows:
+                return _riskloc_driver(
+                    sel.toPandas(),
+                    attributes,
+                    risk_threshold,
+                    pep_threshold,
+                    n_remove,
+                    remove_relative,
+                    prune_elements,
+                    max_iterations,
+                )
+        finally:
+            sel.unpersist()
 
     cutoff = get_cutoff(df, n_remove, relative=remove_relative)
     df = add_partition(df, cutoff)

@@ -260,13 +260,17 @@ def robustspot(
         "value_real",
         "value_predict",
     )
-    n = sel.limit(driver_rows + 1).count()
-    if n > driver_rows:
-        raise ValueError(
-            f"robustspot leaf frame exceeds driver_rows={driver_rows}; "
-            "aggregate attributes further or raise the limit"
-        )
-    pdf0 = sel.toPandas()
+    sel = sel.persist()
+    try:
+        n = sel.limit(driver_rows + 1).count()
+        if n > driver_rows:
+            raise ValueError(
+                f"robustspot leaf frame exceeds driver_rows={driver_rows}; "
+                "aggregate attributes further or raise the limit"
+            )
+        pdf0 = sel.toPandas()
+    finally:
+        sel.unpersist()
 
     def drop_top(p: pd.DataFrame, cause) -> pd.DataFrame:
         return p[~_match_mask(p, cause)]

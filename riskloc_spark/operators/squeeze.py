@@ -434,9 +434,12 @@ def squeeze(
             F.col("predict").cast("double"),
             F.col("deviation").cast("double"),
             F.col("metric").cast("double"),
-        )
-        if sel.limit(driver_rows + 1).count() <= driver_rows:
-            return _squeeze_driver(sel.toPandas(), attributes, options)
+        ).persist()
+        try:
+            if sel.limit(driver_rows + 1).count() <= driver_rows:
+                return _squeeze_driver(sel.toPandas(), attributes, options)
+        finally:
+            sel.unpersist()
 
     df = df.persist()
     try:
