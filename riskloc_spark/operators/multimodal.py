@@ -201,8 +201,15 @@ def sample_frames(
 
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Adapter for the testdata documents table: text payload as binary —
-    lets every media kernel be exercised on real distributed data."""
-    return df.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "utf-8").alias("payload"),
+    lets every media kernel be exercised on real distributed data.
+
+    Fans out a small single-split scan first: a 1-partition input would
+    serialize every Arrow-batched Python kernel on one core."""
+    from riskloc_spark.operators.dedup import spread_small_scan
+
+    return spread_small_scan(
+        df.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
     )

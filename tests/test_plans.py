@@ -1,0 +1,85 @@
+"""Physical-plan audits (SURVEY §5/§6): predicate pushdown, column
+pruning, broadcast joins, and shuffle counts — the properties that make
+the operators survive a 100x scale-up."""
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from riskloc_spark.data import load_table, rca_events
+from riskloc_spark.functions.scores import add_explanatory_power
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_q6_pushdown_and_pruning(spark):
+    df = entry_mod.queries()["q6_forecast_revenue"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "PushedFilters:" in plan
+    # range filters on shipdate/discount/quantity reach the parquet scan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0]
+    # column pruning: a 4-column projection must not read the whole table
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_q5_broadcasts_small_dims(spark):
+    df = entry_mod.queries()["q5_local_supplier_volume"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    # nation/region (tiny dims) must come in as broadcast joins, not
+    # shuffle joins
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_global_sums_are_broadcast_not_window(spark):
+    """scores attach global sums via crossJoin(broadcast(agg)) — the plan
+    must show a broadcast nested loop with a 1-row build side, never an
+    Exchange SinglePartition window over the full frame."""
+    df = add_explanatory_power(rca_events(spark, SF_DIR))
+    plan = plan_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_knn_broadcasts_query_side(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    from riskloc_spark.operators.similarity import knn_bruteforce
+
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = plan_str(knn_bruteforce(emb, queries, k=5), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_riskloc_layer_scores_single_shuffle(spark):
+    """All cuboids of a layer are scored through ONE exchange: the window
+    and the groupBy share the (cid, elem) hash partitioning."""
+    from riskloc_spark.operators.riskloc import _layer_scores
+
+    df = spark.createDataFrame(
+        [("a1", "b1", 1.0, 1.1, 0.1, 0.1, 1, 1.0, 0.1)],
+        "a string, b string, real double, predict double, ep double,"
+        " ep_z double, partition int, weight double, deviation double",
+    )
+    scores = _layer_scores(df, [["a"], ["b"]], None)
+    plan = plan_str(scores, "simple")
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}:\n{plan}"
+
+
+def test_minhash_signature_plan_shape(spark):
+    """Signature build: exactly one shuffle (the groupBy on doc id after
+    the shingle explode) plus the fan-out repartition of a small scan."""
+    from riskloc_spark.operators.dedup import minhash_signatures
+
+    d = load_table(spark, SF_DIR, "documents")
+    plan = plan_str(minhash_signatures(d), "simple")
+    # one round-robin fan-out + one hash exchange for the aggregation
+    assert plan.count("Exchange hashpartitioning") == 1
