@@ -380,6 +380,11 @@ def robustspot_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robustspot_df(spark, df, RCA_ATTRIBUTES, k=3, derived=False)
 
 
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
 def media_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = documents_as_media(load_table(spark, sf_dir, "documents"))
     out = decode_media(d)
@@ -426,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": ngram_jaccard_q,
         "knn_lsh": knn_lsh_q,
         "media_decode": media_decode_q,
+        "doc_fingerprints": doc_fingerprints,
     }
 
 

@@ -80,6 +80,8 @@ def test_minhash_signature_plan_shape(spark):
     from riskloc_spark.operators.dedup import minhash_signatures
 
     d = load_table(spark, SF_DIR, "documents")
-    plan = plan_str(minhash_signatures(d), "simple")
+    # num_hashes differs from every other test so the logical plan can't
+    # resolve to a frame another test persisted (cache lookup is by plan)
+    plan = plan_str(minhash_signatures(d, num_hashes=16), "simple")
     # one round-robin fan-out + one hash exchange for the aggregation
     assert plan.count("Exchange hashpartitioning") == 1
