@@ -21,7 +21,12 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from riskloc_spark.plans.cuboid import cuboids_of_layer, element_stats
+from riskloc_spark.plans.cuboid import (
+    ELEM_SEP,
+    cuboids_of_layer,
+    element_stats,
+    element_stats_all,
+)
 
 
 class _SetScorer:
@@ -159,6 +164,9 @@ def _mcts(
     return best_state, max_q
 
 
+_STAT_KEYS = ("n_e", "V_e", "F_e", "A_e", "B_e", "P_e", "Q_e")
+
+
 def _collect_stats(
     df: DataFrame, cuboid: list[str], max_elements: int | None
 ) -> tuple[dict[tuple, dict[str, float]], DataFrame]:
@@ -170,11 +178,35 @@ def _collect_stats(
     rows = stats_df.collect()
     stats = {
         tuple(str(r[d]) for d in cuboid): {
-            k: float(r[k]) for k in ("n_e", "V_e", "F_e", "A_e", "B_e", "P_e", "Q_e")
+            k: float(r[k]) for k in _STAT_KEYS
         }
         for r in rows
     }
     return stats, stats_df
+
+
+def _collect_stats_all(
+    df: DataFrame, cuboids: list[list[str]], max_elements: int | None
+) -> list[dict[tuple, dict[str, float]]]:
+    """Stats for EVERY cuboid in one fused job (element_stats_all)."""
+    stats_df = element_stats_all(df, cuboids)
+    if max_elements is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("cid").orderBy(
+            F.abs(F.col("V_e") - F.col("F_e")).desc(), F.col("elem").asc()
+        )
+        stats_df = (
+            stats_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_elements)
+            .drop("__rn")
+        )
+    out: list[dict[tuple, dict[str, float]]] = [dict() for _ in cuboids]
+    for r in stats_df.collect():
+        out[r["cid"]][tuple(r["elem"].split(ELEM_SEP))] = {
+            k: float(r[k]) for k in _STAT_KEYS
+        }
+    return out
 
 
 def hotspot(
@@ -206,9 +238,19 @@ def hotspot(
     rng = random.Random(seed)
     candidate_set: list[dict[str, Any]] = []
     try:
+        # ALL cuboid stats in one fused job — pruning only filters the
+        # driver-side element lists, so precollection is semantics-free
+        all_cuboids = [
+            c
+            for layer in range(1, len(dimensions) + 1)
+            for c in cuboids_of_layer(dimensions, layer)
+        ]
+        all_stats = _collect_stats_all(df, all_cuboids, max_elements)
+        stats_of = dict(zip(map(tuple, all_cuboids), all_stats))
+
         for layer in range(1, len(dimensions) + 1):
             for cuboid in cuboids_of_layer(dimensions, layer):
-                stats, _ = _collect_stats(df, cuboid, max_elements)
+                stats = stats_of[tuple(cuboid)]
                 elements = list(stats.keys())
 
                 if use_pruning and layer > 1:

@@ -26,6 +26,49 @@ def cuboids_of_layer(attributes: list[str], layer: int) -> list[list[str]]:
     return [list(c) for c in combinations(attributes, layer)]
 
 
+ELEM_SEP = "\x1f"
+
+
+def element_stats_all(df: DataFrame, cuboids: list[list[str]]) -> DataFrame:
+    """element_stats for MANY cuboids in ONE shuffle.
+
+    Each row explodes into one (cid, elem-key) pair per cuboid; a single
+    window + groupBy on (cid, elem) then yields every cuboid's element
+    statistics — the same fusion riskloc's layer search uses, so a whole
+    hotspot stats sweep is one job instead of one per cuboid."""
+    from pyspark.sql import Window
+
+    structs = [
+        F.struct(
+            F.lit(i).alias("cid"),
+            F.concat_ws(
+                ELEM_SEP, *[F.col(d).cast("string") for d in cuboid]
+            ).alias("elem"),
+        )
+        for i, cuboid in enumerate(cuboids)
+    ]
+    ex = df.select(
+        F.explode(F.array(*structs)).alias("ce"), "real", "predict"
+    ).select(F.col("ce.cid").alias("cid"), F.col("ce.elem").alias("elem"), "real", "predict")
+
+    w = Window.partitionBy("cid", "elem")
+    V = F.sum("real").over(w)
+    Fs = F.sum("predict").over(w)
+    ratio = F.when(Fs != 0, V / Fs).otherwise(F.lit(0.0))
+    a = F.col("predict") * ratio
+
+    ex = ex.withColumn("__a", a)
+    return ex.groupBy("cid", "elem").agg(
+        F.count(F.lit(1)).alias("n_e"),
+        F.sum("real").alias("V_e"),
+        F.sum("predict").alias("F_e"),
+        F.sum(F.abs(F.col("real") - F.col("predict"))).alias("B_e"),
+        F.sum(F.pow(F.col("real") - F.col("predict"), F.lit(2.0))).alias("Q_e"),
+        F.sum(F.abs(F.col("real") - F.col("__a"))).alias("A_e"),
+        F.sum(F.pow(F.col("real") - F.col("__a"), F.lit(2.0))).alias("P_e"),
+    )
+
+
 def element_stats(df: DataFrame, cuboid: list[str]) -> DataFrame:
     """Per-element sufficient statistics for set-scoring (hotspot ps/gps).
 
