@@ -15,7 +15,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from riskloc_spark.data import RCA_ATTRIBUTES, RCA_EVENTS_SQL, load_table, rca_events
+from riskloc_spark.data import (
+    RCA_ATTRIBUTES,
+    RCA_EVENTS_DERIVED_SQL,
+    RCA_EVENTS_SQL,
+    load_table,
+    rca_events,
+    rca_events_derived,
+)
 from riskloc_spark.functions.scores import (
     add_deviation_score,
     add_explanatory_power,
@@ -380,6 +387,26 @@ def robustspot_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robustspot_df(spark, df, RCA_ATTRIBUTES, k=3, derived=False)
 
 
+def rca_derived_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = rca_events_derived(spark, sf_dir)
+    df = add_explanatory_power(df, derived=True)
+    df = add_surprise(df, derived=True)
+    return df.select(
+        "event_type",
+        "hr",
+        "ub",
+        F.round("ep", 6).alias("ep"),
+        F.round("surprise", 6).alias("surprise"),
+    )
+
+
+def riskloc_rca_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = rca_events_derived(spark, sf_dir)
+    return riskloc_df(
+        spark, df, RCA_ATTRIBUTES, risk_threshold=0.3, derived=True, max_iterations=5
+    )
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
@@ -412,6 +439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rca_frame": rca_frame,
         "rca_scores": rca_scores,
         "rca_partition": rca_partition,
+        "rca_derived_scores": rca_derived_scores,
+        "riskloc_rca_derived": riskloc_rca_derived,
         "adtributor_elements": adtributor_elements,
         "adtributor_candidates": adtributor_candidates_q,
         "text_stats": text_stats,
@@ -768,6 +797,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes a ON id_a = a.doc_id
             JOIN sizes b ON id_b = b.doc_id
             WHERE CAST(i AS DOUBLE) / (a.n + b.n - i) >= 0.5
+        """,
+        "rca_derived_scores": f"""
+            WITH rcad AS ({RCA_EVENTS_DERIVED_SQL}),
+            tot AS (
+              SELECT SUM(predict_a) AS Fa, SUM(predict_b) AS Fb,
+                     SUM(real_a) AS Aa, SUM(real_b) AS Ab
+              FROM rcad
+            ),
+            raw AS (
+              SELECT r.*, t.Fa, t.Fb, t.Aa, t.Ab,
+                     ((real_a - predict_a) * t.Fb - (real_b - predict_b) * t.Fa)
+                       / (t.Fb * (t.Fb + real_b - predict_b)) AS ep_raw
+              FROM rcad r CROSS JOIN tot t
+            ),
+            eps AS (SELECT SUM(ep_raw) AS ep_sum FROM raw)
+            SELECT event_type, hr, ub,
+                   round(ep_raw / e.ep_sum, 6) AS ep,
+                   round(
+                     0.5 * (
+                       CASE WHEN predict_a / Fa = 0 OR (predict_a / Fa + real_a / Aa) = 0 THEN 0.0
+                            ELSE (predict_a / Fa) * ln(2 * (predict_a / Fa)
+                                 / (predict_a / Fa + real_a / Aa)) END
+                       + CASE WHEN real_a / Aa = 0 OR (predict_a / Fa + real_a / Aa) = 0 THEN 0.0
+                              ELSE (real_a / Aa) * ln(2 * (real_a / Aa)
+                                   / (predict_a / Fa + real_a / Aa)) END
+                     )
+                     + 0.5 * (
+                       CASE WHEN predict_b / Fb = 0 OR (predict_b / Fb + real_b / Ab) = 0 THEN 0.0
+                            ELSE (predict_b / Fb) * ln(2 * (predict_b / Fb)
+                                 / (predict_b / Fb + real_b / Ab)) END
+                       + CASE WHEN real_b / Ab = 0 OR (predict_b / Fb + real_b / Ab) = 0 THEN 0.0
+                              ELSE (real_b / Ab) * ln(2 * (real_b / Ab)
+                                   / (predict_b / Fb + real_b / Ab)) END
+                     ), 6) AS surprise
+            FROM raw CROSS JOIN eps e
         """,
         "robustspot_scores": f"""
             WITH {_RCA_CTE},

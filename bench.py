@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "media_decode",
     "riskloc_rca",
+    "rca_derived_scores",
+    "riskloc_rca_derived",
     "rev_adtributor",
     "autoroot_rca",
     "hotspot_rca",

@@ -98,3 +98,60 @@ def rca_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RCA_ATTRIBUTES = ["event_type", "hr", "ub"]
+
+# Derived-measure twin: KPI = a/b (value-per-event rate). predict_b gets
+# a 2% inflation so the b-measure carries its own forecast error — the
+# derived formulas degenerate otherwise.
+RCA_DERIVED_BIAS_B = 1.02
+
+RCA_EVENTS_DERIVED_SQL = f"""
+WITH base AS (
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+           CAST(user_id % 8 AS INT) AS ub,
+           value
+    FROM events
+), stats AS (
+    SELECT SUM(value) / COUNT(*) AS mean_value FROM base
+)
+SELECT event_type, hr, ub,
+       SUM(value) AS real_a,
+       CAST(COUNT(*) AS DOUBLE) AS real_b,
+       COUNT(*) * MAX(stats.mean_value) * {RCA_BIAS} AS predict_a,
+       CAST(COUNT(*) AS DOUBLE) * {RCA_DERIVED_BIAS_B} AS predict_b,
+       SUM(value) / CAST(COUNT(*) AS DOUBLE) AS "real",
+       (COUNT(*) * MAX(stats.mean_value) * {RCA_BIAS})
+           / (CAST(COUNT(*) AS DOUBLE) * {RCA_DERIVED_BIAS_B}) AS predict
+FROM base CROSS JOIN stats
+GROUP BY event_type, hr, ub
+"""
+
+
+def rca_events_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-measure RCA frame: a = value sum, b = event count; KPI =
+    a/b. Same single-shuffle shape as rca_events."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        (F.col("user_id") % 8).cast("int").alias("ub"),
+        "value",
+    )
+    stats = base.agg((F.sum("value") / F.count(F.lit(1))).alias("mean_value"))
+    agg = (
+        base.crossJoin(F.broadcast(stats))
+        .groupBy("event_type", "hr", "ub")
+        .agg(
+            F.sum("value").alias("real_a"),
+            F.count(F.lit(1)).cast("double").alias("real_b"),
+            (F.count(F.lit(1)) * F.first("mean_value") * F.lit(RCA_BIAS)).alias(
+                "predict_a"
+            ),
+            (F.count(F.lit(1)).cast("double") * F.lit(RCA_DERIVED_BIAS_B)).alias(
+                "predict_b"
+            ),
+        )
+    )
+    return agg.withColumn("real", F.col("real_a") / F.col("real_b")).withColumn(
+        "predict", F.col("predict_a") / F.col("predict_b")
+    )
