@@ -52,7 +52,12 @@ from riskloc_spark.operators.dedup import (
     simhash_dedup,
 )
 from riskloc_spark.operators.riskloc import riskloc_df
-from riskloc_spark.operators.similarity import cosine, knn_bruteforce, lsh_bucket_knn
+from riskloc_spark.operators.similarity import (
+    cosine,
+    ivf_knn,
+    knn_bruteforce,
+    lsh_bucket_knn,
+)
 
 from riskloc_spark.functions.scores import add_surprise
 
@@ -338,6 +343,20 @@ def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_knn(emb, queries, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rnk"),
+    )
+
+
 def _causes_to_df(spark, causes, score_key, schema_score):
     rows = [
         (
@@ -459,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": simhash_pairs,
         "ngram_jaccard": ngram_jaccard_q,
         "knn_lsh": knn_lsh_q,
+        "knn_ivf": knn_ivf_q,
         "media_decode": media_decode_q,
         "doc_fingerprints": doc_fingerprints,
     }

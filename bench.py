@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
     "minhash_pairs",
     "simhash_pairs",
     "ngram_jaccard",

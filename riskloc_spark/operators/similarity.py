@@ -186,3 +186,109 @@ def embedding_near_dup(
         .filter(F.col("cos_sim") >= threshold)
     )
     return pairs
+
+
+def _kmeans_fit(sample, n_clusters: int, n_iter: int, seed: int):
+    """Tiny Lloyd's k-means on a driver sample (numpy). The coarse
+    quantizer for IVF needs only rough centroids; the sample is bounded
+    by the caller."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(n_iter):
+        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 6,
+    fit_sample: int = 10_000,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer ->
+    corpus partitioned by nearest centroid -> each query probes only its
+    ``n_probe`` nearest cells, ranked by exact cosine inside them.
+
+    100-TB shape: the quantizer is fit once on a bounded driver sample;
+    assignment is a broadcast argmin over n_clusters centroid literals
+    (JVM-side, no shuffle); the probe is an equi-join on cell id — the
+    corpus shuffles once on cell (or is bucketed by cell at write time),
+    queries broadcast. Recall is tuned by n_probe/n_clusters without
+    ever approaching the O(n*q) cross join. (On near-uniform synthetic
+    vectors recall ~= probed fraction; real embedding corpora cluster,
+    which is what makes IVF pruning effective.)
+    """
+    from pyspark.sql import Window
+    import numpy as np
+
+    sample = [
+        r[0]
+        for r in spread_small_scan(corpus.select(vec_col)).limit(fit_sample).collect()
+    ]
+    centroids = _kmeans_fit(sample, n_clusters, n_iter, seed)
+
+    def nearest_cells(vec: Column, n: int) -> list[Column]:
+        """Distance to each centroid as column algebra; returns the cell
+        ids of the n smallest, via sorted array of (dist, cid) structs."""
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(float(v)) for v in c]),
+                            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("dist"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        top = F.slice(F.array_sort(dists), 1, n)
+        return top
+
+    c = spread_small_scan(corpus).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(nearest_cells(F.col(vec_col), 1), 1)["cid"].alias("__cell"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        F.explode(
+            F.transform(
+                nearest_cells(F.col(vec_col), n_probe), lambda s: s["cid"]
+            )
+        ).alias("__cell"),
+    )
+    scored = c.join(F.broadcast(q), on="__cell").select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
