@@ -55,8 +55,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
 
-    # warm the JVM + parquet footers once
+    # warm the JVM + parquet footers + Python worker pool once
     queries["q6_forecast_revenue"](spark, sf_dir).count()
+    spark.range(64).repartition(64).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     per_query: dict[str, float] = {}
     for name in BENCH_QUERIES:

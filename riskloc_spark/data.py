@@ -76,7 +76,11 @@ GROUP BY event_type, hr, ub
 
 
 def rca_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic RCA frame (attrs: event_type, hr, ub) from events."""
+    """Deterministic RCA frame (attrs: event_type, hr, ub) from events.
+
+    NOTE: no fan-out repartition here — reordering the float partial sums
+    shifts the last bits of real/predict and breaks round-to-6-decimals
+    parity with the DuckDB oracle (which sums in file order)."""
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
         "event_type",
@@ -129,7 +133,8 @@ GROUP BY event_type, hr, ub
 
 def rca_events_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived-measure RCA frame: a = value sum, b = event count; KPI =
-    a/b. Same single-shuffle shape as rca_events."""
+    a/b. Same single-shuffle shape as rca_events (and the same no-fan-out
+    note: float-sum order must match the oracle)."""
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
         "event_type",
