@@ -292,14 +292,14 @@ def autoroot(
         df = df.withColumn(d, F.col(d).cast("string"))
 
     if driver_rows is not None:
-        sel = df.select(*attributes, "real", "predict", "deviation").persist()
-        try:
-            if sel.limit(driver_rows + 1).count() <= driver_rows:
-                return _autoroot_driver(
-                    sel.toPandas(), attributes, delta_threshold
-                )
-        finally:
-            sel.unpersist()
+        # one action: limit-probe and collect fused (see riskloc)
+        pdf = (
+            df.select(*attributes, "real", "predict", "deviation")
+            .limit(driver_rows + 1)
+            .toPandas()
+        )
+        if len(pdf) <= driver_rows:
+            return _autoroot_driver(pdf, attributes, delta_threshold)
 
     df = df.persist()
 

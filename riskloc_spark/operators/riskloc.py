@@ -446,29 +446,27 @@ def riskloc(
     df = add_deviation_score(df)
 
     if driver_rows is not None:
-        # persist across probe + collect — the leaf-frame lineage (scan +
-        # leaf agg + broadcast sums) would otherwise recompute per action
+        # probe and collect in ONE action: limit(k+1).toPandas() stops
+        # scanning once k+1 rows exist; len(pdf) > k means "too big"
         sel = df.select(
             *[F.col(a).cast("string").alias(a) for a in attributes],
             F.col("real").cast("double"),
             F.col("predict").cast("double"),
             F.col("ep").cast("double"),
             F.col("deviation").cast("double"),
-        ).persist()
-        try:
-            if sel.limit(driver_rows + 1).count() <= driver_rows:
-                return _riskloc_driver(
-                    sel.toPandas(),
-                    attributes,
-                    risk_threshold,
-                    pep_threshold,
-                    n_remove,
-                    remove_relative,
-                    prune_elements,
-                    max_iterations,
-                )
-        finally:
-            sel.unpersist()
+        )
+        pdf = sel.limit(driver_rows + 1).toPandas()
+        if len(pdf) <= driver_rows:
+            return _riskloc_driver(
+                pdf,
+                attributes,
+                risk_threshold,
+                pep_threshold,
+                n_remove,
+                remove_relative,
+                prune_elements,
+                max_iterations,
+            )
 
     cutoff = get_cutoff(df, n_remove, relative=remove_relative)
     df = add_partition(df, cutoff)

@@ -260,17 +260,12 @@ def robustspot(
         "value_real",
         "value_predict",
     )
-    sel = sel.persist()
-    try:
-        n = sel.limit(driver_rows + 1).count()
-        if n > driver_rows:
-            raise ValueError(
-                f"robustspot leaf frame exceeds driver_rows={driver_rows}; "
-                "aggregate attributes further or raise the limit"
-            )
-        pdf0 = sel.toPandas()
-    finally:
-        sel.unpersist()
+    pdf0 = sel.limit(driver_rows + 1).toPandas()
+    if len(pdf0) > driver_rows:
+        raise ValueError(
+            f"robustspot leaf frame exceeds driver_rows={driver_rows}; "
+            "aggregate attributes further or raise the limit"
+        )
 
     def drop_top(p: pd.DataFrame, cause) -> pd.DataFrame:
         return p[~_match_mask(p, cause)]

@@ -428,18 +428,20 @@ def squeeze(
     )
 
     if driver_rows is not None:
-        sel = df.select(
-            *[F.col(a).cast("string").alias(a) for a in attributes],
-            F.col("real").cast("double"),
-            F.col("predict").cast("double"),
-            F.col("deviation").cast("double"),
-            F.col("metric").cast("double"),
-        ).persist()
-        try:
-            if sel.limit(driver_rows + 1).count() <= driver_rows:
-                return _squeeze_driver(sel.toPandas(), attributes, options)
-        finally:
-            sel.unpersist()
+        # one action: limit-probe and collect fused (see riskloc)
+        pdf = (
+            df.select(
+                *[F.col(a).cast("string").alias(a) for a in attributes],
+                F.col("real").cast("double"),
+                F.col("predict").cast("double"),
+                F.col("deviation").cast("double"),
+                F.col("metric").cast("double"),
+            )
+            .limit(driver_rows + 1)
+            .toPandas()
+        )
+        if len(pdf) <= driver_rows:
+            return _squeeze_driver(pdf, attributes, options)
 
     df = df.persist()
     try:

@@ -101,3 +101,13 @@ def test_hotspot_ps_scoring(spark, inst):
     result = hotspot(df, ["a", "b"], pt=0.5, m=100, scoring="ps", seed=3)
     flat = {v for e in result["elements"] for v in e}
     assert "a1" in flat
+
+
+def test_hotspot_ps_scoring_with_pruning(spark):
+    """The ps path uses hierarchical pruning (ref hotspot.py:203-209):
+    layer-2 elements must refine a layer-1 candidate."""
+    pdf = make_instance()
+    best = hotspot(spark.createDataFrame(pdf), ["a", "b"], pt=0.5, m=50, scoring="ps")
+    assert best["score"] > 0
+    flat = {v for e in best["elements"] for v in e}
+    assert flat, "empty selection"

@@ -74,3 +74,22 @@ def test_squeeze_driver_vs_distributed_parity(spark):
     fast = squeeze(df, ["a", "b", "c"])
     dist = squeeze(df, ["a", "b", "c"], driver_rows=None)
     assert fast == dist
+
+
+def test_squeeze_derived_ratio_input(spark):
+    """Derived measures enter squeeze as ratio columns (the reference's
+    Squeeze(data_list=[a,b], op=divide) computes v=a/b, f=a_f/b_f and
+    proceeds identically) — verify localization still works."""
+    rng = np.random.default_rng(8)
+    rows = []
+    for a in [f"a{i}" for i in range(4)]:
+        for b in [f"b{i}" for i in range(5)]:
+            total = float(rng.integers(500, 1500))
+            ok = total * (0.95 + rng.uniform(-0.01, 0.01))
+            if a == "a2":
+                ok = total * 0.3
+            # ratio KPI columns as produced by read_rca_csv_derived
+            rows.append((a, b, ok / total, 0.95))
+    pdf = pd.DataFrame(rows, columns=["a", "b", "real", "predict"])
+    causes = squeeze(spark.createDataFrame(pdf), ["a", "b"])
+    assert causes and "a=a2" in ";".join(causes)
