@@ -370,13 +370,37 @@ def _riskloc_driver(
     remove_relative: bool,
     prune_elements: bool,
     max_iterations: int,
+    derived: bool,
 ) -> list[dict[str, Any]]:
-    """Driver-side search over a collected leaf frame (columns: attrs as
-    string, real, predict, ep, deviation). Mirrors the distributed path
-    exactly — tests assert both give identical causes."""
+    """Driver-side search over a collected RAW leaf frame (attrs as
+    string, real, predict [+ a/b measures when derived]). EP and
+    deviation are computed here — in the distributed plan the EP global
+    sums are a broadcast subquery that recomputes the leaf frame inside
+    the same action, so collecting raw and scoring locally saves a full
+    extra pass. Mirrors the distributed formulas exactly — tests assert
+    both paths give identical causes."""
     import math
 
     import numpy as np
+
+    # deviation (scores.add_deviation_score) — row-local
+    denom = pdf["predict"] + pdf["real"]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dev = np.where(denom == 0, 0.0, 2.0 * (pdf["predict"] - pdf["real"]) / denom)
+    pdf = pdf.assign(deviation=dev)
+
+    # ep (scores.add_explanatory_power) — global sums over this frame
+    if derived:
+        Fa, Fb = pdf["predict_a"].sum(), pdf["predict_b"].sum()
+        n = (pdf["real_a"] - pdf["predict_a"]) * Fb - (
+            pdf["real_b"] - pdf["predict_b"]
+        ) * Fa
+        d = Fb * (Fb + pdf["real_b"] - pdf["predict_b"])
+        ep = n / d
+        pdf = pdf.assign(ep=ep / ep.sum())
+    else:
+        A, Ftot = pdf["real"].sum(), pdf["predict"].sum()
+        pdf = pdf.assign(ep=(pdf["real"] - pdf["predict"]) / (A - Ftot))
 
     cutoff = _driver_cutoff(pdf["deviation"].to_numpy(), n_remove, remove_relative)
     anomaly_right = math.copysign(1, cutoff) > 0 if cutoff == 0 else cutoff >= 0
@@ -442,18 +466,18 @@ def riskloc(
     explode-per-layer path. Both paths share formulas and are
     parity-tested against each other; set ``driver_rows=None`` to force
     the distributed path."""
-    df = add_explanatory_power(df, derived)
-    df = add_deviation_score(df)
-
     if driver_rows is not None:
-        # probe and collect in ONE action: limit(k+1).toPandas() stops
-        # scanning once k+1 rows exist; len(pdf) > k means "too big"
+        # probe and collect the RAW frame in ONE action:
+        # limit(k+1).toPandas() stops scanning once k+1 rows exist;
+        # len(pdf) > k means "too big". EP/deviation are computed locally
+        # — in the distributed plan the EP global sums are a broadcast
+        # subquery that recomputes the leaf frame within the same action.
+        measures = ["real", "predict"] + (
+            ["real_a", "real_b", "predict_a", "predict_b"] if derived else []
+        )
         sel = df.select(
             *[F.col(a).cast("string").alias(a) for a in attributes],
-            F.col("real").cast("double"),
-            F.col("predict").cast("double"),
-            F.col("ep").cast("double"),
-            F.col("deviation").cast("double"),
+            *[F.col(m).cast("double").alias(m) for m in measures],
         )
         pdf = sel.limit(driver_rows + 1).toPandas()
         if len(pdf) <= driver_rows:
@@ -466,7 +490,11 @@ def riskloc(
                 remove_relative,
                 prune_elements,
                 max_iterations,
+                derived,
             )
+
+    df = add_explanatory_power(df, derived)
+    df = add_deviation_score(df)
 
     cutoff = get_cutoff(df, n_remove, relative=remove_relative)
     df = add_partition(df, cutoff)

@@ -9,6 +9,8 @@ All vector math is JVM-side (`zip_with` + `aggregate`); no Python UDFs.
 """
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -242,42 +244,36 @@ def ivf_knn(
     ]
     centroids = _kmeans_fit(sample, n_clusters, n_iter, seed)
 
-    def nearest_cells(vec: Column, n: int) -> list[Column]:
-        """Distance to each centroid as column algebra; returns the cell
-        ids of the n smallest, via sorted array of (dist, cid) structs."""
-        dists = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            vec,
-                            F.array(*[F.lit(float(v)) for v in c]),
-                            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ).alias("dist"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
-        top = F.slice(F.array_sort(dists), 1, n)
-        return top
+    # centroid assignment as an Arrow-vectorized pandas UDF: a batch
+    # (b x dim) @ centroid matmul replaces 2*n_clusters interpreted
+    # higher-order-function lambdas per row — this is the sanctioned
+    # Pandas-UDF case (built-in column algebra can't express the matmul)
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids  # (n_clusters x dim), closure-captured (tiny)
+
+    def _dists(series: "pd.Series") -> "np.ndarray":
+        x = np.stack(series.to_numpy())
+        return ((x[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+
+    @pandas_udf("int")
+    def cell_of(v: pd.Series) -> pd.Series:
+        return pd.Series(_dists(v).argmin(axis=1))
+
+    @pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        idx = np.argsort(_dists(v), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(idx.tolist()))
 
     c = spread_small_scan(corpus).select(
         F.col(id_col),
         F.col(vec_col),
-        F.element_at(nearest_cells(F.col(vec_col), 1), 1)["cid"].alias("__cell"),
+        cell_of(F.col(vec_col)).alias("__cell"),
     )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qv"),
-        F.explode(
-            F.transform(
-                nearest_cells(F.col(vec_col), n_probe), lambda s: s["cid"]
-            )
-        ).alias("__cell"),
+        F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
     )
     scored = c.join(F.broadcast(q), on="__cell").select(
         query_id_col,

@@ -413,6 +413,36 @@ def squeeze(
     options = options or SqueezeOptions()
 
     df = df.filter(F.col("predict") > 0)
+
+    if driver_rows is not None:
+        # one action: limit-probe and collect the RAW filtered frame (see
+        # riskloc); the min-real shift and deviation/metric columns are
+        # computed locally so no scalar pre-job runs
+        pdf = (
+            df.select(
+                *[F.col(a).cast("string").alias(a) for a in attributes],
+                F.col("real").cast("double"),
+                F.col("predict").cast("double"),
+            )
+            .limit(driver_rows + 1)
+            .toPandas()
+        )
+        if len(pdf) <= driver_rows:
+            min_real = float(pdf["real"].min()) if len(pdf) else 0.0
+            if min_real < 0:
+                pdf = pdf.assign(real=pdf["real"] - min_real)
+            denom = (pdf["predict"] + pdf["real"]).to_numpy()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dev = np.where(
+                    denom == 0,
+                    0.0,
+                    (pdf["predict"] - pdf["real"]) / denom,
+                )
+            pdf = pdf.assign(
+                deviation=dev, metric=(pdf["real"] - pdf["predict"]).abs()
+            )
+            return _squeeze_driver(pdf, attributes, options)
+
     # injection-error shift (ref squeeze.py:36)
     min_real = df.agg(F.min("real")).first()[0] or 0.0
     if min_real < 0:
@@ -426,22 +456,6 @@ def squeeze(
     df = df.withColumn("deviation", dev).withColumn(
         "metric", F.abs(F.col("real") - F.col("predict"))
     )
-
-    if driver_rows is not None:
-        # one action: limit-probe and collect fused (see riskloc)
-        pdf = (
-            df.select(
-                *[F.col(a).cast("string").alias(a) for a in attributes],
-                F.col("real").cast("double"),
-                F.col("predict").cast("double"),
-                F.col("deviation").cast("double"),
-                F.col("metric").cast("double"),
-            )
-            .limit(driver_rows + 1)
-            .toPandas()
-        )
-        if len(pdf) <= driver_rows:
-            return _squeeze_driver(pdf, attributes, options)
 
     df = df.persist()
     try:
