@@ -61,12 +61,18 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    # min of 2 runs per query: the box this runs on shares cores with
+    # other tenants, and a single sample can catch a 5-10x transient
+    # spike on any one query; the min is the steady-state cost
     per_query: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        n = df.count()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            df.count()
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])

@@ -7,7 +7,7 @@ join. MinHash/SimHash signatures are built with JVM-side hash functions
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

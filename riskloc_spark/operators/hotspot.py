@@ -16,8 +16,6 @@ import math
 import random
 from typing import Any
 
-import numpy as np
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

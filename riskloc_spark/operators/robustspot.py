@@ -26,8 +26,6 @@ Spark-first split of the work:
 from __future__ import annotations
 
 from itertools import chain, combinations
-from typing import Any
-
 import numpy as np
 import pandas as pd
 
