@@ -406,6 +406,22 @@ def robustspot_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robustspot_df(spark, df, RCA_ATTRIBUTES, k=3, derived=False)
 
 
+def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: JSON props parsed JVM-side
+    (get_json_object) and aggregated — no Python in the path."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
 def rca_derived_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = rca_events_derived(spark, sf_dir)
     df = add_explanatory_power(df, derived=True)
@@ -455,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
         "events_hourly": events_hourly,
+        "events_props_agg": events_props_agg,
         "rca_frame": rca_frame,
         "rca_scores": rca_scores,
         "rca_partition": rca_partition,
@@ -577,6 +594,14 @@ def oracle_sql() -> dict[str, str]:
                    round(AVG(value), 6) AS avg_value
             FROM events
             GROUP BY event_type, hr
+        """,
+        "events_props_agg": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   round(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
+            FROM events
+            GROUP BY event_type
         """,
         "rca_frame": f"""
             WITH {_RCA_CTE}

@@ -22,6 +22,7 @@ BENCH_QUERIES = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "events_hourly",
+    "events_props_agg",
     "rca_frame",
     "rca_scores",
     "rca_partition",
