@@ -1,5 +1,6 @@
 from riskloc_spark.streaming.pipeline import (  # noqa: F401
     events_stream,
+    ewma_anomaly_stream,
     rca_foreach_batch,
     windowed_kpi_stream,
 )

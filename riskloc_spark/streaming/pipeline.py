@@ -109,3 +109,105 @@ def rca_foreach_batch(
         sink.append((batch_id, rca_fn(batch_df)))
 
     return handle
+
+
+def ewma_anomaly_stream(
+    events: DataFrame,
+    alpha: float = 0.3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per
+    event_type, hourly windowing AND an EWMA forecast carried across
+    micro-batches, both inside the state function (Spark does not allow
+    stateful ops after a streaming aggregation, so the windowing cannot
+    be a groupBy upstream). A window is emitted when the first row of a
+    LATER window arrives — emit-on-close semantics — with its deviation
+    from the forecast and an anomaly flag.
+
+    State per key is four scalars (ewma, n, open window start, open
+    window sum) — bounded regardless of stream length. This is the
+    template for reference-style RCA measures ("predict" from history)
+    computed *online* instead of from a separate forecast file.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("real", T.DoubleType()),
+            T.StructField("predict", T.DoubleType()),
+            T.StructField("deviation", T.DoubleType()),
+            T.StructField("is_anomaly", T.BooleanType()),
+        ]
+    )
+    # open-window start as epoch micros (-1 = none): keeps state flat
+    state_schema = T.StructType(
+        [
+            T.StructField("ewma", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("open_us", T.LongType()),
+            T.StructField("open_sum", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        (event_type,) = key
+        ewma, n, open_us, open_sum = (
+            state.get if state.exists else (0.0, 0, -1, 0.0)
+        )
+        rows = []
+
+        def close_window(ws_us: int, real: float):
+            nonlocal ewma, n
+            predict = ewma if n > 0 else real
+            denom = predict + real
+            deviation = 0.0 if denom == 0 else 2.0 * (predict - real) / denom
+            rows.append(
+                (
+                    event_type,
+                    pd.Timestamp(ws_us, unit="us"),
+                    real,
+                    predict,
+                    deviation,
+                    bool(abs(deviation) > threshold),
+                )
+            )
+            ewma = real if n == 0 else alpha * real + (1 - alpha) * ewma
+            n += 1
+
+        batch = pd.concat(list(pdfs))
+        if len(batch):
+            ws = batch["ts"].dt.floor("h")
+            agg = batch.groupby(ws)["value"].sum().sort_index()
+            for w, val in agg.items():
+                w_us = int(w.value // 1_000)
+                if open_us == -1:
+                    open_us, open_sum = w_us, float(val)
+                elif w_us == open_us:
+                    open_sum += float(val)
+                else:
+                    close_window(open_us, open_sum)
+                    open_us, open_sum = w_us, float(val)
+        state.update((ewma, n, open_us, open_sum))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "window_start", "real", "predict",
+                "deviation", "is_anomaly",
+            ],
+        )
+
+    return (
+        events.select("event_type", "ts", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -98,3 +98,57 @@ def test_rca_foreach_batch_trigger(spark, baseline, tmp_path):
     assert results, "foreachBatch never fired"
     batch_ids = [bid for bid, _ in results]
     assert batch_ids == sorted(batch_ids)
+
+
+def test_ewma_anomaly_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState: EWMA forecast state carried across the
+    stream; outputs match an offline EWMA replay of the same windows."""
+    import pandas as pd
+
+    from riskloc_spark.streaming import ewma_anomaly_stream
+
+    stream = events_stream(spark, f"{SF_DIR}/events.parquet")
+    out = ewma_anomaly_stream(stream, alpha=0.3, threshold=0.5)
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ewma_stream").toPandas()
+    assert len(got) > 0
+    assert set(got.columns) == {
+        "event_type", "window_start", "real", "predict", "deviation", "is_anomaly",
+    }
+
+    # offline replay: same windows through the same EWMA recurrence
+    ev = load_table(spark, SF_DIR, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.sum("value").alias("real"))
+        .select("event_type", F.col("win.start").alias("window_start"), "real")
+        .toPandas()
+        .sort_values(["event_type", "window_start"])
+    )
+    for et, grp in got.groupby("event_type"):
+        grp = grp.sort_values("window_start").reset_index(drop=True)
+        replay = (
+            batch[batch["event_type"] == et]
+            .sort_values("window_start")
+            .reset_index(drop=True)
+        )
+        # emit-on-close: every window except the final (still-open) one
+        assert len(grp) == len(replay) - 1
+        ewma, n = 0.0, 0
+        for i, r in grp.iterrows():
+            real_b = replay.loc[i, "real"]
+            assert r["window_start"] == replay.loc[i, "window_start"]
+            assert abs(r["real"] - real_b) < 1e-6
+            predict = ewma if n > 0 else real_b
+            assert abs(r["predict"] - predict) < 1e-6
+            ewma = real_b if n == 0 else 0.3 * real_b + 0.7 * ewma
+            n += 1
