@@ -138,6 +138,35 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface: top-3 customers by order revenue per
+    nation (dense rank over a partitioned window after a broadcast-dim
+    join)."""
+    from pyspark.sql import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "n_name",
+            "c_custkey",
+            F.round("revenue", 2).alias("revenue"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return (
@@ -470,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q_top_customers_per_nation": q_top_customers_per_nation,
         "events_hourly": events_hourly,
         "events_props_agg": events_props_agg,
         "rca_frame": rca_frame,
@@ -585,6 +615,23 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1998-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        "q_top_customers_per_nation": """
+            WITH rev AS (
+              SELECT o_custkey, SUM(o_totalprice) AS revenue
+              FROM orders GROUP BY o_custkey
+            ),
+            ranked AS (
+              SELECT n_name, c_custkey, revenue,
+                     CAST(row_number() OVER (
+                       PARTITION BY n_name
+                       ORDER BY revenue DESC, c_custkey ASC) AS INT) AS rnk
+              FROM rev
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+            )
+            SELECT n_name, c_custkey, round(revenue, 2) AS revenue, rnk
+            FROM ranked WHERE rnk <= 3
         """,
         "events_hourly": """
             SELECT event_type,

@@ -21,6 +21,7 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q_top_customers_per_nation",
     "events_hourly",
     "events_props_agg",
     "rca_frame",
