@@ -23,3 +23,24 @@ def test_ivf_recall_vs_bruteforce(spark):
     # every query must still return k results (cells are never empty
     # enough to starve a query at these sizes)
     assert ivf.groupby("query_id").size().min() >= 1
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    from riskloc_spark.operators.similarity import lsh_bucket_knn
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = knn_bruteforce(emb, queries, k=5).toPandas()
+    lsh = lsh_bucket_knn(emb, queries, k=5, num_bits=4).toPandas()
+    bfset = set(map(tuple, bf[["query_id", "vec_id"]].values))
+    lset = set(map(tuple, lsh[["query_id", "vec_id"]].values))
+    # the true nearest neighbor (rank 1 = the query itself, cos=1) is in
+    # the query's own bucket by construction
+    self_pairs = {(q, q) for q in bf["query_id"].unique()}
+    assert self_pairs <= lset
+    recall = len(bfset & lset) / len(bfset)
+    # random (structure-free) vectors: sign-LSH recall tracks bucket
+    # occupancy; 4 bits / 16 buckets gives a stable floor on this corpus
+    assert recall >= 0.3, f"recall {recall}"
