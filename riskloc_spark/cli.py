@@ -46,7 +46,11 @@ def run_method(df, dfs, attributes, algorithm, derived, spark, args):
     if algorithm == "robustspot":
         from riskloc_spark.operators.robustspot import robustspot
 
-        return robustspot(df, attributes, derived=derived)
+        # RS-format frames already carry failure counts in the a measure;
+        # skip the reference's success->failure flip (see adapt_frame)
+        return robustspot(
+            df, attributes, derived=derived, flip_derived=not args.rs_data
+        )
     raise ValueError(f"method {algorithm} not implemented")
 
 

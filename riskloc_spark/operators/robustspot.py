@@ -35,8 +35,16 @@ from pyspark.sql import functions as F
 from riskloc_spark.operators.squeeze import kneedle_knee
 
 
-def adapt_frame(df: DataFrame, derived: bool) -> DataFrame:
-    """Reference robustspot.py:15-36: normalize to k/cnt/value measures."""
+def adapt_frame(df: DataFrame, derived: bool, flip_derived: bool = True) -> DataFrame:
+    """Reference robustspot.py:15-36: normalize to k/cnt/value measures.
+
+    ``flip_derived=True`` is the reference behavior: value = b - a ("fix
+    k to be 1 - success rate", robustspot.py:30-32) — correct when the a
+    measure counts successes (the D dataset). For frames whose a measure
+    is ALREADY the failure count (the RobustSpot minute format after
+    read_robustspot_csv, robustspot_data_utils.py:21), the reference
+    applies the same flip anyway and inverts the measure; pass
+    ``flip_derived=False`` to keep k as the failure rate there."""
     if derived:
         df = df.filter(
             (F.col("real_a") > 0)
@@ -44,8 +52,12 @@ def adapt_frame(df: DataFrame, derived: bool) -> DataFrame:
             | (F.col("real_b") > 0)
             | (F.col("predict_b") > 0)
         )
-        value_real = F.col("real_b") - F.col("real_a")
-        value_predict = F.col("predict_b") - F.col("predict_a")
+        if flip_derived:
+            value_real = F.col("real_b") - F.col("real_a")
+            value_predict = F.col("predict_b") - F.col("predict_a")
+        else:
+            value_real = F.col("real_a")
+            value_predict = F.col("predict_a")
         return (
             df.withColumn("value_real", value_real)
             .withColumn("value_predict", value_predict)
@@ -232,6 +244,7 @@ def robustspot(
     confidence_threshold: float = 0.8,
     lambda_amplification: float = 100,
     driver_rows: int = 2_000_000,
+    flip_derived: bool = True,
 ) -> list[list[tuple]]:
     """Full RobustSpot (ref robustspot.py:39-113).
 
@@ -246,7 +259,7 @@ def robustspot(
     if not derived:
         contribution_ability_threshold = -1  # ref robustspot.py:45
 
-    base = adapt_frame(df, derived)
+    base = adapt_frame(df, derived, flip_derived)
     for d in attributes:
         base = base.withColumn(d, F.col(d).cast("string"))
     sel = base.select(
