@@ -645,7 +645,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_agg": """
             SELECT event_type,
                    COUNT(*) AS n,
-                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    round(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
             FROM events
             GROUP BY event_type
@@ -765,7 +765,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens,
                    round(punct_ratio, 6) AS punct_ratio,
                    round(stopword_ratio, 6) AS stopword_ratio,
-                   round(quality, 2) AS quality,
+                   CAST(round(quality, 2) AS DOUBLE) AS quality,
                    lang_pred
             FROM scored_docs
         """,
