@@ -487,6 +487,179 @@ def media_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Interior scoring surfaces of the iterative RCA searches.
+#
+# The full riskloc/hotspot/autoroot/squeeze searches are driver-orchestrated
+# (no SQL oracle possible), but their *scoring interiors* — the distributed
+# jobs that do all the per-leaf math — are pure aggregations. Exposing them
+# as oracled queries puts the actual algebra under the DuckDB gate.
+# --------------------------------------------------------------------------
+
+def hotspot_element_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hotspot's sufficient statistics (plans/cuboid.py element_stats_all):
+    every cuboid of every layer in ONE explode + shuffle."""
+    from riskloc_spark.plans.cuboid import cuboids_of_layer, element_stats_all
+
+    df = rca_events(spark, sf_dir)
+    cuboids = [
+        c
+        for layer in range(1, len(RCA_ATTRIBUTES) + 1)
+        for c in cuboids_of_layer(RCA_ATTRIBUTES, layer)
+    ]
+    out = element_stats_all(df, cuboids)
+    return out.select(
+        "cid",
+        "elem",
+        "n_e",
+        F.round("V_e", 6).alias("V_e"),
+        F.round("F_e", 6).alias("F_e"),
+        F.round("B_e", 6).alias("B_e"),
+        F.round("Q_e", 6).alias("Q_e"),
+        F.round("A_e", 6).alias("A_e"),
+        F.round("P_e", 6).alias("P_e"),
+    )
+
+
+def autoroot_nps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """autoroot's NPS scoring interior (operators/autoroot.py _nps_terms +
+    the NPS/LF formulas of search_cluster) over layer-1 cuboids, with the
+    |deviation|>0.2 relevant set standing in for a KDE cluster."""
+    from riskloc_spark.operators.autoroot import _nps_terms
+
+    df = add_deviation_score(rca_events(spark, sf_dir))
+    df = df.select(
+        *[F.col(a).cast("string").alias(a) for a in RCA_ATTRIBUTES],
+        "real",
+        "predict",
+        "deviation",
+    )
+    relevant = df.filter(F.abs(F.col("deviation")) > 0.2)
+    tot = df.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.sum(
+            F.when(F.col("real") == 0, F.lit(0.0)).otherwise(
+                F.abs(F.col("real") - F.col("predict")) / F.col("real")
+            )
+        ).alias("Bp_tot"),
+    )
+    outs = []
+    for dim in RCA_ATTRIBUTES:
+        xs = relevant.groupBy(dim).agg(F.count(F.lit(1)).alias("x"))
+        terms = _nps_terms(df, [dim])
+        j = xs.join(terms, on=dim).crossJoin(F.broadcast(tot))
+        a = F.col("Ap_e") / F.col("n_full")
+        b = F.col("Bp_e") / F.col("n_full")
+        n_rest = F.col("N") - F.col("n_full")
+        c = F.when(n_rest > 0, (F.col("Bp_tot") - F.col("Bp_e")) / n_rest).otherwise(
+            F.lit(0.0)
+        )
+        nps = F.when(b + c != 0, 1 - (a + c) / (b + c)).otherwise(F.lit(0.0))
+        outs.append(
+            j.select(
+                F.lit(dim).alias("dimension"),
+                F.col(dim).alias("element"),
+                "x",
+                "n_full",
+                F.round(nps, 6).alias("nps"),
+                F.round(F.col("x") / F.col("n_full"), 6).alias("lf"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def squeeze_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """squeeze's locate pass 1 (operators/squeeze.py _locate_in_cuboid):
+    per-element abnormal counts / descents / selected measure sums, with
+    deterministic cluster (dev >= 0.1) and normal (|dev| < 0.05) predicates
+    standing in for the density-cluster ranges."""
+    df = rca_events(spark, sf_dir).filter(F.col("predict") > 0)
+    dev = F.when(
+        F.col("predict") + F.col("real") == 0, F.lit(0.0)
+    ).otherwise(
+        (F.col("predict") - F.col("real")) / (F.col("predict") + F.col("real"))
+    )
+    df = df.withColumn("deviation", dev)
+    cluster_pred = F.col("deviation") >= 0.1
+    normal_pred = F.abs(F.col("deviation")) < 0.05
+    outs = []
+    for dim in RCA_ATTRIBUTES:
+        stats = (
+            df.select(
+                F.col(dim).cast("string").alias("element"),
+                "real",
+                "predict",
+                cluster_pred.cast("int").alias("__abn"),
+                normal_pred.cast("int").alias("__norm"),
+            )
+            .groupBy("element")
+            .agg(
+                F.sum("__abn").alias("num_elements"),
+                F.count(F.lit(1)).alias("descents"),
+                F.sum(
+                    F.when(F.col("__abn") + F.col("__norm") > 0, F.col("real"))
+                ).alias("V_e"),
+                F.sum(
+                    F.when(F.col("__abn") + F.col("__norm") > 0, F.col("predict"))
+                ).alias("F_e"),
+            )
+            .filter(F.col("num_elements") > 0)
+            .select(
+                F.lit(dim).alias("dimension"),
+                "element",
+                "num_elements",
+                "descents",
+                F.round("V_e", 6).alias("V_e"),
+                F.round("F_e", 6).alias("F_e"),
+            )
+        )
+        outs.append(stats)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def riskloc_layer_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """riskloc's per-element layer scoring (operators/riskloc.py
+    _layer_scores) for all layer-1 cuboids: the exact high/low/risk algebra
+    the search ranks elements by, on the fully prepared (ep / partition /
+    weight / ep-sign-flip) frame."""
+    from riskloc_spark.operators.riskloc import _layer_scores
+    from riskloc_spark.plans.cuboid import cuboids_of_layer
+
+    df = rca_events(spark, sf_dir)
+    df = add_explanatory_power(df)
+    df = add_deviation_score(df)
+    cutoff = get_cutoff(df, n_remove=5)
+    df = add_partition(df, cutoff)
+    df = add_weight(df, cutoff)
+    ep_sum_row = df.filter(F.col("partition") == 1).agg(F.sum("ep")).first()
+    if (ep_sum_row[0] or 0.0) < 0:
+        df = df.withColumn("ep", -F.col("ep"))
+    df = df.withColumn(
+        "ep_z", F.when(F.col("ep") > 0, F.col("ep")).otherwise(F.lit(0.0))
+    )
+    scores = _layer_scores(df, cuboids_of_layer(RCA_ATTRIBUTES, 1), None)
+    return scores.select(
+        "cid",
+        "elem",
+        F.round("n_anom", 6).alias("n_anom"),
+        F.round("n_norm", 6).alias("n_norm"),
+        F.round("ep", 6).alias("ep"),
+        F.round("ep_z", 6).alias("ep_z"),
+        F.col("part_sum").cast("bigint").alias("part_sum"),
+        F.round("w1", 6).alias("w1"),
+        F.round("w2", 6).alias("w2"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("risk", 6).alias("risk"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full RiskLoc root-cause localization on the sf0.001
     events-derived RCA frame."""
@@ -528,6 +701,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": knn_ivf_q,
         "media_decode": media_decode_q,
         "doc_fingerprints": doc_fingerprints,
+        "hotspot_element_stats": hotspot_element_stats_q,
+        "autoroot_nps": autoroot_nps_q,
+        "squeeze_cluster_stats": squeeze_cluster_stats_q,
+        "riskloc_layer_scores": riskloc_layer_scores_q,
     }
 
 
@@ -562,6 +739,216 @@ scored_docs AS (
   FROM stats
 )
 """
+
+
+def _hotspot_element_stats_sql() -> str:
+    """DuckDB twin of plans/cuboid.element_stats_all over all cuboids of
+    the RCA attribute set (cid order = cuboids_of_layer enumeration)."""
+    from riskloc_spark.plans.cuboid import cuboids_of_layer
+
+    cuboids = [
+        c
+        for layer in range(1, len(RCA_ATTRIBUTES) + 1)
+        for c in cuboids_of_layer(RCA_ATTRIBUTES, layer)
+    ]
+    parts = []
+    for cid, cuboid in enumerate(cuboids):
+        dims = ", ".join(cuboid)
+        elem = "concat_ws(chr(31), " + ", ".join(
+            f"CAST({d} AS VARCHAR)" for d in cuboid
+        ) + ")"
+        parts.append(f"""
+            SELECT {cid} AS cid, {elem} AS elem,
+                   COUNT(*) AS n_e,
+                   round(SUM("real"), 6) AS V_e,
+                   round(SUM(predict), 6) AS F_e,
+                   round(SUM(ABS("real" - predict)), 6) AS B_e,
+                   round(SUM(POWER("real" - predict, 2)), 6) AS Q_e,
+                   round(SUM(ABS("real" - __a)), 6) AS A_e,
+                   round(SUM(POWER("real" - __a, 2)), 6) AS P_e
+            FROM (
+              SELECT *, predict * (CASE WHEN Fe <> 0 THEN Ve / Fe ELSE 0.0 END) AS __a
+              FROM (
+                SELECT *,
+                       SUM("real") OVER (PARTITION BY {dims}) AS Ve,
+                       SUM(predict) OVER (PARTITION BY {dims}) AS Fe
+                FROM rca
+              )
+            )
+            GROUP BY 1, 2""")
+    return f"WITH {_RCA_CTE}\n" + "\nUNION ALL\n".join(parts)
+
+
+def _autoroot_nps_sql() -> str:
+    """DuckDB twin of autoroot's _nps_terms + NPS/LF over layer-1 cuboids
+    (relevant set = |deviation| > 0.2)."""
+    parts = []
+    for dim in RCA_ATTRIBUTES:
+        parts.append(f"""
+            SELECT '{dim}' AS dimension, t.element, x.x, t.n_full,
+                   round(CASE WHEN (t.Bp_e / t.n_full
+                               + CASE WHEN (tot.N - t.n_full) > 0
+                                      THEN (tot.Bp_tot - t.Bp_e) / (tot.N - t.n_full)
+                                      ELSE 0.0 END) <> 0
+                         THEN 1 - (t.Ap_e / t.n_full
+                               + CASE WHEN (tot.N - t.n_full) > 0
+                                      THEN (tot.Bp_tot - t.Bp_e) / (tot.N - t.n_full)
+                                      ELSE 0.0 END)
+                              / (t.Bp_e / t.n_full
+                               + CASE WHEN (tot.N - t.n_full) > 0
+                                      THEN (tot.Bp_tot - t.Bp_e) / (tot.N - t.n_full)
+                                      ELSE 0.0 END)
+                         ELSE 0.0 END, 6) AS nps,
+                   round(CAST(x.x AS DOUBLE) / t.n_full, 6) AS lf
+            FROM (
+              SELECT CAST({dim} AS VARCHAR) AS element, COUNT(*) AS n_full,
+                     SUM(CASE WHEN "real" = 0 THEN 0.0
+                         ELSE ABS("real" - vhat) / "real" END) AS Ap_e,
+                     SUM(CASE WHEN "real" = 0 THEN 0.0
+                         ELSE ABS("real" - predict) / "real" END) AS Bp_e
+              FROM (
+                SELECT *, CASE WHEN Fe <> 0 THEN predict * Ve / Fe ELSE 0.0 END AS vhat
+                FROM (
+                  SELECT *,
+                         SUM("real") OVER (PARTITION BY {dim}) AS Ve,
+                         SUM(predict) OVER (PARTITION BY {dim}) AS Fe
+                  FROM dev
+                )
+              ) GROUP BY 1
+            ) t
+            JOIN (
+              SELECT CAST({dim} AS VARCHAR) AS element, COUNT(*) AS x
+              FROM dev WHERE ABS(deviation) > 0.2 GROUP BY 1
+            ) x ON t.element = x.element
+            CROSS JOIN tot""")
+    return f"""
+        WITH {_RCA_CTE},
+        dev AS (
+          SELECT *, CASE WHEN predict + "real" = 0 THEN 0.0
+                    ELSE 2 * (predict - "real") / (predict + "real") END AS deviation
+          FROM rca
+        ),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS N,
+                 SUM(CASE WHEN "real" = 0 THEN 0.0
+                     ELSE ABS("real" - predict) / "real" END) AS Bp_tot
+          FROM dev
+        )
+    """ + "\nUNION ALL\n".join(parts)
+
+
+def _squeeze_cluster_stats_sql() -> str:
+    """DuckDB twin of squeeze's _locate_in_cuboid pass-1 stats with the
+    deterministic cluster/normal predicates of squeeze_cluster_stats_q."""
+    parts = []
+    for dim in RCA_ATTRIBUTES:
+        parts.append(f"""
+            SELECT '{dim}' AS dimension, CAST({dim} AS VARCHAR) AS element,
+                   CAST(SUM(__abn) AS BIGINT) AS num_elements,
+                   COUNT(*) AS descents,
+                   round(SUM(CASE WHEN __abn + __norm > 0 THEN "real" END), 6) AS V_e,
+                   round(SUM(CASE WHEN __abn + __norm > 0 THEN predict END), 6) AS F_e
+            FROM flagged
+            GROUP BY 1, 2
+            HAVING SUM(__abn) > 0""")
+    return f"""
+        WITH {_RCA_CTE},
+        dev AS (
+          SELECT *, CASE WHEN predict + "real" = 0 THEN 0.0
+                    ELSE (predict - "real") / (predict + "real") END AS deviation
+          FROM rca WHERE predict > 0
+        ),
+        flagged AS (
+          SELECT *,
+                 CASE WHEN deviation >= 0.1 THEN 1 ELSE 0 END AS __abn,
+                 CASE WHEN ABS(deviation) < 0.05 THEN 1 ELSE 0 END AS __norm
+          FROM dev
+        )
+    """ + "\nUNION ALL\n".join(parts)
+
+
+def _riskloc_layer_scores_sql() -> str:
+    """DuckDB twin of riskloc's _layer_scores over layer-1 cuboids, on the
+    fully prepared frame (ep, cutoff n_remove=5, partition, weight,
+    anomaly-ep sign flip, ep_z)."""
+    layer_parts = []
+    for cid, dim in enumerate(RCA_ATTRIBUTES):
+        layer_parts.append(f"""
+            SELECT {cid} AS cid, CAST({dim} AS VARCHAR) AS elem,
+                   COALESCE(SUM(CASE WHEN part = 1 THEN weight END), 0.0) AS n_anom,
+                   COALESCE(SUM(CASE WHEN part = 0 THEN weight END), 0.0) AS n_norm,
+                   SUM(ep2) AS ep, SUM(ep_z) AS ep_z,
+                   CAST(SUM(part) AS BIGINT) AS part_sum,
+                   AVG(CASE WHEN "real" <> 0 AND predict <> 0 THEN
+                       ABS(CASE WHEN (predict * R / P + "real") = 0 THEN 0.0
+                           ELSE 2.0 * (predict * R / P - "real")
+                                / (predict * R / P + "real") END) END) AS w1,
+                   AVG(CASE WHEN "real" <> 0 AND predict <> 0
+                       THEN ABS(deviation) END) AS w2
+            FROM (
+              SELECT *,
+                     SUM(CASE WHEN "real" <> 0 AND predict <> 0 THEN "real" END)
+                       OVER (PARTITION BY {dim}) AS R,
+                     SUM(CASE WHEN "real" <> 0 AND predict <> 0 THEN predict END)
+                       OVER (PARTITION BY {dim}) AS P
+              FROM prepared
+            )
+            GROUP BY 1, 2""")
+    union = "\nUNION ALL\n".join(layer_parts)
+    return f"""
+        WITH {_RCA_CTE},
+        tot AS (SELECT SUM("real") AS A, SUM(predict) AS Ff FROM rca),
+        scored AS (
+          SELECT rca.*, ("real" - predict) / (A - Ff) AS ep,
+                 CASE WHEN predict + "real" = 0 THEN 0.0
+                 ELSE 2 * (predict - "real") / (predict + "real") END AS deviation
+          FROM rca CROSS JOIN tot
+        ),
+        devs AS (SELECT DISTINCT deviation AS d FROM scored),
+        lo AS (SELECT MAX(d) AS v FROM (SELECT d FROM devs ORDER BY d ASC LIMIT 6)),
+        hi AS (SELECT MIN(d) AS v FROM (SELECT d FROM devs ORDER BY d DESC LIMIT 6)),
+        cut AS (SELECT CASE WHEN abs(lo.v) <= abs(hi.v) THEN -lo.v ELSE -hi.v END AS cutoff
+                FROM lo CROSS JOIN hi),
+        parts AS (
+          SELECT s.*, c.cutoff,
+                 CASE WHEN c.cutoff >= 0
+                      THEN (CASE WHEN s.deviation > c.cutoff THEN 1 ELSE 0 END)
+                      ELSE (CASE WHEN s.deviation < c.cutoff THEN 1 ELSE 0 END)
+                 END AS part
+          FROM scored s CROSS JOIN cut c
+        ),
+        pw AS (
+          SELECT *, LEAST(
+                   CASE WHEN part = 1 THEN abs(deviation)
+                        WHEN "real" = 0 AND predict = 0 THEN 0.0
+                        ELSE abs(cutoff - deviation) END, 1.0) AS weight
+          FROM parts
+        ),
+        eps AS (SELECT SUM(CASE WHEN part = 1 THEN ep END) AS s FROM pw),
+        prepared AS (
+          SELECT pw.*,
+                 CASE WHEN e.s < 0 THEN -ep ELSE ep END AS ep2,
+                 CASE WHEN (CASE WHEN e.s < 0 THEN -ep ELSE ep END) > 0
+                      THEN (CASE WHEN e.s < 0 THEN -ep ELSE ep END)
+                      ELSE 0.0 END AS ep_z
+          FROM pw CROSS JOIN eps e
+        ),
+        layer AS (
+          {union}
+        )
+        SELECT cid, elem,
+               round(n_anom, 6) AS n_anom, round(n_norm, 6) AS n_norm,
+               round(ep, 6) AS ep, round(ep_z, 6) AS ep_z, part_sum,
+               round(w1, 6) AS w1, round(w2, 6) AS w2,
+               round(high, 6) AS high, round(low, 6) AS low,
+               round(high - low, 6) AS risk
+        FROM (
+          SELECT *, n_anom / (n_anom + n_norm + 1.0) AS high,
+                 CASE WHEN w2 IS NULL OR w2 = 0 OR w1 IS NULL THEN 0.0
+                      ELSE w1 / w2 END AS low
+          FROM layer
+        )
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -938,6 +1325,10 @@ def oracle_sql() -> dict[str, str]:
                          6) AS influence_degree
             FROM ad CROSS JOIN tot
         """,
+        "hotspot_element_stats": _hotspot_element_stats_sql(),
+        "autoroot_nps": _autoroot_nps_sql(),
+        "squeeze_cluster_stats": _squeeze_cluster_stats_sql(),
+        "riskloc_layer_scores": _riskloc_layer_scores_sql(),
         # riskloc_rca / autoroot_rca / hotspot_rca / squeeze_rca /
         # robustspot_rca: iterative driver-orchestrated searches;
         # minhash_pairs / simhash_pairs / knn_lsh: engine-hash-based —
