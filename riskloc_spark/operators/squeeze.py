@@ -8,9 +8,11 @@ anomaly_amount_fileter.py). Spark-first division of labor:
   (v1,a1)/(v2,f2) L1 distances becomes ONE agg with P conditional sums —
   P <= max_num_elements_single_cluster);
 * 1-D density clustering over deviation values: driver-side numpy over
-  the (optionally capped) collected deviation vector, mirroring the
-  reference's histogram method; cluster membership goes back distributed
-  as range predicates.
+  DISTINCT (value, count) pairs — exact and bounded by
+  ``max_driver_pairs``; past the bound a fixed-width histogram of the
+  same size stands in (the reference's method is histogram-based, so
+  the approximation is semantics-preserving). Cluster membership goes
+  back distributed as range predicates; raw rows never reach the driver.
 
 Deviations from the reference, both forced by environment (kneed/scipy
 unavailable) and documented here:
@@ -42,7 +44,12 @@ class SqueezeOptions:
     score_weight: str | float = "auto"
     max_num_elements_single_cluster: int = 12
     ps_upper_bound: float = 0.90
-    max_driver_sample: int | None = None  # scale cap for the 1-D collect
+    # Bound on rows transferred to the driver by the distributed path's
+    # 1-D machinery. The path collects DISTINCT (deviation / metric)
+    # values with counts — exact — and falls back to a fixed-width
+    # histogram of this many buckets when the distinct count exceeds it,
+    # so driver transfer is O(max_driver_pairs) regardless of frame size.
+    max_driver_pairs: int = 200_000
 
 
 # --------------------------------------------------------------------------
@@ -131,6 +138,128 @@ def density_cluster_1d(
         if len(members) == 0 or np.mean(np.abs(members)) < max_normal:
             continue
         ranges.append((float(members.min()), float(members.max())))
+    return ranges
+
+
+# --------------------------------------------------------------------------
+# weighted 1-D machinery: identical math over (distinct value, count)
+# pairs, so the distributed path never ships raw rows to the driver
+# --------------------------------------------------------------------------
+
+def _weighted_percentile(
+    values: np.ndarray, counts: np.ndarray, q: float
+) -> float:
+    """np.percentile (linear / type-7) of the expanded array, from sorted
+    distinct values + counts — without expanding."""
+    n = int(counts.sum())
+    if n == 0:
+        return float("nan")
+    pos = (n - 1) * (q / 100.0)
+    lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+    cum = np.cumsum(counts)
+    v_lo = float(values[np.searchsorted(cum, lo, side="right")])
+    v_hi = float(values[np.searchsorted(cum, hi, side="right")])
+    return v_lo + (v_hi - v_lo) * (pos - lo)
+
+
+def kpi_filter_threshold_weighted(
+    values: np.ndarray, counts: np.ndarray
+) -> float:
+    """kpi_filter_threshold over (distinct metric, count) pairs: the same
+    scott-bandwidth gaussian-KDE CDF knee, with every kernel weighted by
+    its count. Exact for the expanded array."""
+    if len(values) == 0:
+        return 0.0
+    if len(values) == 1:
+        return float(values[0])
+    n = int(counts.sum())
+    mean = float((values * counts).sum() / n)
+    sigma = float(np.sqrt((counts * (values - mean) ** 2).sum() / (n - 1)))
+    if sigma == 0:
+        return float(values.min())
+    h = sigma * n ** (-1.0 / 5.0)  # scott
+    x = np.linspace(values.min(), values.max(), 1000)
+    dens = np.zeros_like(x)
+    for s in range(0, len(values), 8192):  # chunked: O(8k x 1k) temp
+        v = values[s : s + 8192, None]
+        c = counts[s : s + 8192, None]
+        z = (x[None, :] - v) / h
+        dens += (np.exp(-0.5 * z * z) * c).sum(axis=0)
+    dens /= n * h * np.sqrt(2 * np.pi)
+    y = np.cumsum(dens)
+    knee = kneedle_knee(x, y)
+    return float(values.min()) if knee is None else knee
+
+
+def _auto_bin_edges_weighted(
+    values: np.ndarray, counts: np.ndarray
+) -> list[float]:
+    """np.histogram_bin_edges(x, 'auto') from sorted distinct values +
+    counts: max(Freedman-Diaconis, Sturges) bin count, linspace edges.
+    Parity-tested against numpy on expanded arrays."""
+    n = int(counts.sum())
+    first, last = float(values[0]), float(values[-1])
+    ptp = last - first
+    if ptp == 0:
+        first -= 0.5
+        last += 0.5
+    iqr = _weighted_percentile(values, counts, 75) - _weighted_percentile(
+        values, counts, 25
+    )
+    fd_bw = 2.0 * iqr * n ** (-1.0 / 3.0)
+    sturges_bw = ptp / (np.log2(n) + 1)
+    bw = min(fd_bw, sturges_bw) if fd_bw else sturges_bw
+    n_bins = int(np.ceil((last - first) / bw)) if bw > 0 else 1
+    return np.linspace(first, last, n_bins + 1).tolist()
+
+
+def density_cluster_1d_weighted(
+    values: np.ndarray, counts: np.ndarray, options: SqueezeOptions
+) -> list[tuple[float, float]]:
+    """density_cluster_1d over (distinct deviation, count) pairs — the
+    same histogram / smoothing / extrema walk, weights standing in for
+    repeated values. Exact for the expanded array."""
+    if len(values) == 0 or counts.sum() == 0:
+        return []
+    order = np.argsort(values, kind="stable")
+    values, counts = values[order], counts[order]
+
+    edges = _auto_bin_edges_weighted(values, counts)
+    edges = [edges[0] - 0.1 * i for i in range(-5, 0, -1)] + edges + [
+        edges[-1] + 0.1 * i for i in range(1, 6)
+    ]
+    h, edges_arr = np.histogram(values, bins=edges, weights=counts, density=True)
+    h = h / 100.0
+    bins = np.convolve(edges_arr, [1, 1], "valid") / 2
+
+    if options.cluster_smooth_window_size == "auto":
+        window = max(int(np.count_nonzero(h > 0)) // 10, 1)
+    else:
+        window = int(options.cluster_smooth_window_size)
+    smoothed = np.convolve(h, np.ones(window), mode="valid") / window
+    smoothed = np.concatenate([h[: window - 1], smoothed])
+
+    max_idx = [i for i in _relextrema_wrap(smoothed, True) if smoothed[i] > 0]
+    min_idx = _relextrema_wrap(smoothed, False)
+    boundaries = np.asarray(
+        [float("-inf")] + [bins[i] for i in min_idx] + [float("inf")]
+    )
+
+    max_normal = options.max_normal_deviation
+    if max_normal == "auto":
+        max_normal = float((np.abs(values) * counts).sum() / counts.sum())
+
+    ranges: list[tuple[float, float]] = []
+    for i in max_idx:
+        lo = boundaries[np.searchsorted(boundaries, bins[i], side="right") - 1]
+        hi = boundaries[np.searchsorted(boundaries, bins[i], side="left")]
+        m = (values >= lo) & (values <= hi)
+        if not m.any():
+            continue
+        mean_abs = float((np.abs(values[m]) * counts[m]).sum() / counts[m].sum())
+        if mean_abs < max_normal:
+            continue
+        ranges.append((float(values[m].min()), float(values[m].max())))
     return ranges
 
 
@@ -459,31 +588,109 @@ def squeeze(
 
     df = df.persist()
     try:
-        sel = df.select("deviation", "metric")
-        if options.max_driver_sample is not None:
-            sel = sel.limit(options.max_driver_sample)
-        arr = np.array(
-            [(r[0], r[1]) for r in sel.collect()], dtype=float
-        ).reshape(-1, 2)
-        deviations, metrics = arr[:, 0], arr[:, 1]
+        B = options.max_driver_pairs
 
-        if options.enable_filter and len(metrics):
-            threshold = kpi_filter_threshold(metrics)
-            cluster_input = deviations[metrics > threshold]
+        def _bucketed(col_df, col: str, flag=None):
+            """B-bucket histogram fallback: (values, counts[, flag_counts])
+            with bucket centers standing in for member values."""
+            mn, mx = col_df.agg(F.min(col), F.max(col)).first()
+            if mn is None:
+                return np.array([]), np.array([]), np.array([])
+            if mn == mx:
+                n = col_df.count()
+                ns = (
+                    col_df.filter(flag).count() if flag is not None else n
+                )
+                return (
+                    np.array([mn], float),
+                    np.array([float(n)]),
+                    np.array([float(ns)]),
+                )
+            b = F.least(
+                F.floor((F.col(col) - F.lit(mn)) / F.lit(mx - mn) * B),
+                F.lit(B - 1),
+            ).alias("__b")
+            keys = [b] + ([flag.alias("__sel")] if flag is not None else [])
+            rows = (
+                col_df.groupBy(*keys).agg(F.count(F.lit(1)).alias("c")).collect()
+            )
+            width = (mx - mn) / B
+            agg: dict[float, list[float]] = {}
+            for r in rows:
+                v = mn + (r["__b"] + 0.5) * width
+                t = agg.setdefault(v, [0.0, 0.0])
+                t[0] += r["c"]
+                if flag is None or r["__sel"]:
+                    t[1] += r["c"]
+            vals = np.array(sorted(agg))
+            return (
+                vals,
+                np.array([agg[v][0] for v in vals]),
+                np.array([agg[v][1] for v in vals]),
+            )
+
+        # --- KPI filter threshold: distinct (metric, count) pairs, exact
+        # when they fit in B, else B-bucket histogram -------------------
+        if options.enable_filter:
+            rows = (
+                df.groupBy("metric")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .limit(B + 1)
+                .collect()
+            )
+            if len(rows) <= B:
+                if not rows:
+                    return []
+                arr = np.array([(r[0], r[1]) for r in rows], dtype=float)
+                order = np.argsort(arr[:, 0], kind="stable")
+                m_vals, m_cnts = arr[order, 0], arr[order, 1]
+            else:
+                m_vals, m_cnts, _ = _bucketed(df.select("metric"), "metric")
+            threshold = kpi_filter_threshold_weighted(m_vals, m_cnts)
+            sel_pred = F.col("metric") > F.lit(threshold)
         else:
-            cluster_input = deviations
-        if len(cluster_input) == 0:
+            sel_pred = F.lit(True)
+
+        # --- deviation pairs: ONE bounded job yields both the cluster
+        # input (selected rows) and the full-frame weights ---------------
+        rows = (
+            df.groupBy("deviation", sel_pred.alias("__sel"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .limit(B + 1)
+            .collect()
+        )
+        if len(rows) <= B:
+            agg: dict[float, list[float]] = {}
+            for r in rows:
+                t = agg.setdefault(float(r[0]), [0.0, 0.0])
+                t[0] += r[2]
+                if r[1]:
+                    t[1] += r[2]
+            values = np.array(sorted(agg))
+            tot_cnts = np.array([agg[v][0] for v in values])
+            sel_cnts = np.array([agg[v][1] for v in values])
+        else:
+            values, tot_cnts, sel_cnts = _bucketed(
+                df.select("deviation", "metric"), "deviation", flag=sel_pred
+            )
+        if len(values) == 0:
             return []
 
-        ranges = density_cluster_1d(cluster_input, options)
+        cl_mask = sel_cnts > 0
+        if not cl_mask.any():
+            return []
+        ranges = density_cluster_1d_weighted(
+            values[cl_mask], sel_cnts[cl_mask], options
+        )
         if not ranges:
             return []
 
         # abnormal = union of cluster ranges; normal = |dev| below the
         # least-abnormal |dev| (ref squeeze.py:99-106)
-        abn_vals = deviations[
-            np.logical_or.reduce([(deviations >= lo) & (deviations <= hi) for lo, hi in ranges])
-        ]
+        in_any = np.logical_or.reduce(
+            [(values >= lo) & (values <= hi) for lo, hi in ranges]
+        )
+        abn_vals = values[in_any]
         min_abn_abs = float(np.min(np.abs(abn_vals))) if len(abn_vals) else 0.0
         normal_pred = F.abs(F.col("deviation")) < F.lit(min_abn_abs)
 
@@ -497,12 +704,8 @@ def squeeze(
                 ).first()
             )
             g_attribute = num_attr / np.log(num_attr + 1)
-            n_abnormal = int(np.sum(
-                np.logical_or.reduce(
-                    [(deviations >= lo) & (deviations <= hi) for lo, hi in ranges]
-                )
-            ))
-            n_total = len(deviations)
+            n_abnormal = int(tot_cnts[in_any].sum())
+            n_total = int(tot_cnts.sum())
             g_coverage = -np.log(max(n_abnormal, 1) / max(n_total, 1))
             score_weight = float(g_cluster * g_attribute * g_coverage)
         else:

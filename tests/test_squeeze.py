@@ -7,8 +7,13 @@ import pandas as pd
 
 from riskloc_spark.operators.squeeze import (
     SqueezeOptions,
+    _auto_bin_edges_weighted,
+    _weighted_percentile,
     density_cluster_1d,
+    density_cluster_1d_weighted,
     kneedle_knee,
+    kpi_filter_threshold,
+    kpi_filter_threshold_weighted,
     squeeze,
 )
 
@@ -74,6 +79,72 @@ def test_squeeze_driver_vs_distributed_parity(spark):
     fast = squeeze(df, ["a", "b", "c"])
     dist = squeeze(df, ["a", "b", "c"], driver_rows=None)
     assert fast == dist
+
+
+def _rand_arrays(seed, n=400):
+    rng = np.random.default_rng(seed)
+    # duplicated values so weights > 1 actually occur
+    return np.round(
+        np.concatenate([rng.normal(0, 0.05, n), rng.normal(0.7, 0.1, n // 5)]), 3
+    )
+
+
+def test_weighted_percentile_matches_numpy():
+    for seed in range(5):
+        x = _rand_arrays(seed)
+        vals, cnts = np.unique(x, return_counts=True)
+        for q in (25, 50, 75, 90):
+            assert _weighted_percentile(vals, cnts.astype(float), q) == (
+                np.percentile(x, q)
+            )
+
+
+def test_auto_bin_edges_weighted_matches_numpy():
+    for seed in range(5):
+        x = _rand_arrays(seed)
+        vals, cnts = np.unique(x, return_counts=True)
+        got = _auto_bin_edges_weighted(vals, cnts.astype(float))
+        want = np.histogram_bin_edges(x, "auto").tolist()
+        assert np.allclose(got, want, rtol=0, atol=1e-12)
+    # degenerate: single distinct value
+    assert _auto_bin_edges_weighted(np.array([2.0]), np.array([7.0])) == (
+        np.histogram_bin_edges(np.full(7, 2.0), "auto").tolist()
+    )
+
+
+def test_density_cluster_weighted_matches_raw():
+    """The weighted core over (distinct value, count) pairs must reproduce
+    the raw-array clustering the driver path uses."""
+    for seed in range(5):
+        x = _rand_arrays(seed)
+        vals, cnts = np.unique(x, return_counts=True)
+        raw = density_cluster_1d(x, SqueezeOptions())
+        weighted = density_cluster_1d_weighted(
+            vals, cnts.astype(float), SqueezeOptions()
+        )
+        assert raw == weighted
+
+
+def test_kpi_threshold_weighted_matches_raw():
+    for seed in range(5):
+        x = np.abs(_rand_arrays(seed)) * 100
+        vals, cnts = np.unique(x, return_counts=True)
+        raw = kpi_filter_threshold(x)
+        weighted = kpi_filter_threshold_weighted(vals, cnts.astype(float))
+        assert abs(raw - weighted) < 1e-9
+
+
+def test_squeeze_distributed_histogram_fallback(spark):
+    """With max_driver_pairs smaller than the distinct-value count, the
+    distributed path must switch to the bucketed histogram and still
+    localize the injected cause — no unbounded driver collect exists."""
+    pdf = make_instance()
+    df = spark.createDataFrame(pdf)
+    # 96 leaves with distinct deviations > 64 pairs -> histogram fallback
+    opts = SqueezeOptions(max_driver_pairs=64)
+    causes = squeeze(df, ["a", "b", "c"], options=opts, driver_rows=None)
+    joined = ";".join(causes)
+    assert "a=a1" in joined and "b=b2" in joined
 
 
 def test_squeeze_derived_ratio_input(spark):
