@@ -7,9 +7,10 @@ subset are exact functions of per-element sufficient statistics
 per-element. So each cuboid costs ONE distributed pass; the MCTS runs on
 the driver over a compact stats table and never touches leaf data.
 
-Scale note: stats rows per cuboid = #elements. For very-high-cardinality
-cuboids cap the driver transfer with ``max_elements`` (keeps the
-highest-|V-F| elements — the only ones that can score)."""
+Scale note: stats rows per cuboid = #elements. ``max_elements`` caps the
+driver transfer per cuboid (default 20k, ranked by |V-F| — the anomaly
+magnitude; un-anomalous elements can't contribute to a ps/gps score), so
+the collect is bounded regardless of cuboid cardinality."""
 from __future__ import annotations
 
 import math
@@ -213,10 +214,16 @@ def hotspot(
     pt: float = 0.67,
     m: int = 200,
     scoring: str = "gps",
-    max_elements: int | None = None,
+    max_elements: int | None = 20_000,
     seed: int = 0,
 ) -> dict[str, Any]:
-    """Reference hotspot.py:218-260. Returns the best candidate dict."""
+    """Reference hotspot.py:218-260. Returns the best candidate dict.
+
+    ``max_elements`` bounds the per-cuboid driver transfer (default 20k):
+    elements are ranked by |V_e - F_e| — the anomaly magnitude that alone
+    determines whether an element can contribute to a ps/gps score — and
+    only the top slice reaches the MCTS. ``None`` restores the unbounded
+    collect (test/debug only; at scale a cuboid can exceed driver memory)."""
     assert scoring in ("ps", "gps")
     use_pruning = scoring != "gps"
 

@@ -103,6 +103,18 @@ def test_hotspot_ps_scoring(spark, inst):
     assert "a1" in flat
 
 
+def test_hotspot_max_elements_cap(spark, inst):
+    """The default driver-transfer cap keeps the |V-F| top slice; a tiny
+    cap must still surface the planted anomaly (it dominates |V-F|)."""
+    _, df = inst
+    for cap in (5, None):
+        best = hotspot(df, ["a", "b"], pt=0.67, m=100, scoring="gps", seed=3,
+                       max_elements=cap)
+        flat = {v for e in best["elements"] for v in e}
+        assert "a1" in flat, f"cap={cap}"
+        assert best["score"] >= 0.67, f"cap={cap}"
+
+
 def test_hotspot_ps_scoring_with_pruning(spark):
     """The ps path uses hierarchical pruning (ref hotspot.py:203-209):
     layer-2 elements must refine a layer-1 candidate."""
