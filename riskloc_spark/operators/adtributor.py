@@ -198,7 +198,7 @@ def rev_adtributor(
             ).alias("elements"),
         )
         .filter((F.col("n_cand") > 0) & (F.col("n_cand") < F.col("n_total")))
-        .orderBy(F.col("surprise").desc())
+        .orderBy(F.col("surprise").desc(), F.col("dimension").asc())
         .limit(k)
         .collect()
     )
@@ -213,19 +213,11 @@ def rev_adtributor(
     ]
 
 
-def rev_rec_adtributor(
-    df: DataFrame,
-    dimensions: list[str],
-    teep: float = 0.1,
-    k: int = 3,
-    derived: bool = False,
-) -> list[dict[str, Any]]:
-    """Recursive refinement (ref rev_rec_adtributor.py:37-74): each
-    candidate element is drilled into over the remaining dimensions; if
-    every child yields a deeper explanation, the refined set replaces the
-    parent. Driver recursion; each level's work is declarative."""
-    explanatory_set = rev_adtributor(df, dimensions, teep, k, derived)
-
+def _refine_and_dedupe(explanatory_set, dimensions, make_child):
+    """Shared recursion body of rev_rec_adtributor (ref
+    rev_rec_adtributor.py:37-74): drill each candidate element into the
+    remaining dimensions via ``make_child(cand_set, element, remaining)``;
+    a refinement replaces its parent only if EVERY element refines."""
     new_explanatory_set: list[dict[str, Any]] = []
     for cand_set in explanatory_set:
         cand_set["elements"] = [[e] for e in cand_set["elements"]]
@@ -235,10 +227,7 @@ def rev_rec_adtributor(
         refined: list[dict[str, Any]] = []
         if remaining:
             for element in cand_set["elements"]:
-                sub = df.filter(
-                    F.col(cand_set["dimension"]).cast("string") == element[0]
-                )
-                child = rev_rec_adtributor(sub, remaining, teep, k, derived)
+                child = make_child(cand_set, element, remaining)
                 if not child:
                     refined = []
                     break
@@ -263,3 +252,145 @@ def rev_rec_adtributor(
         )
         seen.setdefault(key, cs)
     return list(seen.values())
+
+
+# --------------------------------------------------------------------------
+# pandas mirror of the recursive search (adaptive driver fast-path, same
+# pattern as riskloc/autoroot/squeeze): the recursion launches a full
+# element aggregation per candidate element per depth — dozens of tiny
+# sequential Spark jobs. When the leaf frame is driver-sized, the whole
+# recursion runs vectorized locally; parity-tested vs the distributed path.
+# --------------------------------------------------------------------------
+
+def _scored_elements_pd(pdf, dimensions: list[str], derived: bool):
+    """pandas mirror of _scored_elements (merge_dimensions + EP + surprise
+    with merged_divide=len(dimensions)) — same formulas and guards."""
+    import numpy as np
+    import pandas as pd
+
+    measures = (
+        ["real_a", "real_b", "predict_a", "predict_b"] if derived else ["real", "predict"]
+    )
+    parts = []
+    for d in dimensions:
+        g = (
+            pdf.groupby(pdf[d].astype(str), sort=False)[measures]
+            .sum()
+            .reset_index(names="element")
+        )
+        g["dimension"] = d
+        parts.append(g)
+    el = pd.concat(parts, ignore_index=True)
+    if derived:
+        el["predict"] = el["predict_a"] / el["predict_b"]
+        el["real"] = el["real_a"] / el["real_b"]
+
+    if derived:
+        Fa, Fb = el["predict_a"].sum(), el["predict_b"].sum()
+        n = (el["real_a"] - el["predict_a"]) * Fb - (el["real_b"] - el["predict_b"]) * Fa
+        d_ = Fb * (Fb + el["real_b"] - el["predict_b"])
+        ep = n / d_
+        el["ep"] = ep / ep.sum()
+    else:
+        A, Ff = el["real"].sum(), el["predict"].sum()
+        el["ep"] = (el["real"] - el["predict"]) / (A - Ff)
+
+    divide = len(dimensions)
+
+    def surprise_term(real_col, predict_col, F_tot, A_tot):
+        p = el[predict_col] / (F_tot / divide)
+        q = el[real_col] / (A_tot / divide)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p_term = np.where(
+                (p == 0) | (p + q == 0), 0.0, p * np.log(2.0 * p / (p + q))
+            )
+            q_term = np.where(
+                (q == 0) | (p + q == 0), 0.0, q * np.log(2.0 * q / (p + q))
+            )
+        return 0.5 * (p_term + q_term)
+
+    if derived:
+        el["surprise"] = surprise_term(
+            "real_a", "predict_a", el["predict_a"].sum(), el["real_a"].sum()
+        ) + surprise_term(
+            "real_b", "predict_b", el["predict_b"].sum(), el["real_b"].sum()
+        )
+    else:
+        el["surprise"] = surprise_term("real", "predict", Ff, A)
+    return el
+
+
+def _rev_adtributor_pd(pdf, dimensions, teep, k, derived):
+    el = _scored_elements_pd(pdf, dimensions, derived)
+    causes = []
+    for dim in dimensions:
+        g = el[el["dimension"] == dim]
+        cand = g[g["ep"] > teep]
+        if len(cand) == 0 or len(cand) >= len(g):
+            continue
+        causes.append(
+            {
+                "elements": sorted(cand["element"]),
+                "explanatory_power": float(cand["ep"].sum()),
+                "surprise": float(cand["surprise"].sum()),
+                "dimension": dim,
+            }
+        )
+    causes.sort(key=lambda c: (-c["surprise"], c["dimension"]))
+    return causes[:k]
+
+
+def _rev_rec_adtributor_pd(pdf, dimensions, teep, k, derived):
+    explanatory_set = _rev_adtributor_pd(pdf, dimensions, teep, k, derived)
+
+    def make_child(cand_set, element, remaining):
+        sub = pdf[pdf[cand_set["dimension"]].astype(str) == element[0]]
+        return _rev_rec_adtributor_pd(sub, remaining, teep, k, derived)
+
+    return _refine_and_dedupe(explanatory_set, dimensions, make_child)
+
+
+def rev_rec_adtributor(
+    df: DataFrame,
+    dimensions: list[str],
+    teep: float = 0.1,
+    k: int = 3,
+    derived: bool = False,
+    driver_rows: int | None = 200_000,
+) -> list[dict[str, Any]]:
+    """Recursive refinement (ref rev_rec_adtributor.py:37-74): each
+    candidate element is drilled into over the remaining dimensions; if
+    every child yields a deeper explanation, the refined set replaces the
+    parent.
+
+    Adaptive like riskloc: when the leaf frame is driver-sized (cheap
+    limit-probe fused with the collect), the whole recursion runs
+    vectorized on pandas — it otherwise launches a full element
+    aggregation per candidate element per depth. ``driver_rows=None``
+    forces the distributed recursion; both paths share the recursion body
+    (_refine_and_dedupe) and are parity-tested."""
+    if driver_rows is not None:
+        measures = (
+            ["real_a", "real_b", "predict_a", "predict_b"]
+            if derived
+            else ["real", "predict"]
+        )
+        sel = df.select(
+            *[F.col(a).cast("string").alias(a) for a in dimensions],
+            *[F.col(m).cast("double").alias(m) for m in measures],
+        )
+        pdf = sel.limit(driver_rows + 1).toPandas()
+        if len(pdf) <= driver_rows:
+            return _rev_rec_adtributor_pd(pdf, dimensions, teep, k, derived)
+
+    explanatory_set = rev_adtributor(df, dimensions, teep, k, derived)
+
+    def make_child(cand_set, element, remaining):
+        sub = df.filter(
+            F.col(cand_set["dimension"]).cast("string") == element[0]
+        )
+        return rev_rec_adtributor(
+            sub, remaining, teep, k, derived, driver_rows=driver_rows
+        )
+
+    return _refine_and_dedupe(explanatory_set, dimensions, make_child)

@@ -82,3 +82,36 @@ def test_rev_rec_adtributor_runs(spark, rca_pdf):
     assert isinstance(got, list)
     flat = [e for cs in got for el in cs["elements"] for e in el]
     assert "a2" in flat
+
+
+def _canon(causes):
+    return sorted(
+        (
+            cs["dimension"],
+            tuple(tuple(e) if isinstance(e, list) else (e,) for e in cs["elements"]),
+            round(cs["explanatory_power"], 9),
+            round(cs["surprise"], 9),
+        )
+        for cs in causes
+    )
+
+
+def test_rev_rec_adtributor_driver_vs_distributed_parity(spark, rca_pdf):
+    """The adaptive driver fast-path must match the distributed recursion."""
+    df = spark.createDataFrame(rca_pdf)
+    fast = rev_rec_adtributor(df, ["a", "b"])
+    dist = rev_rec_adtributor(df, ["a", "b"], driver_rows=None)
+    assert _canon(fast) == _canon(dist)
+
+
+def test_rev_rec_adtributor_parity_multi_cause(spark, rca_pdf):
+    """Parity on a frame where two dimensions carry anomalies and the
+    recursion actually refines (multi-level)."""
+    pdf = rca_pdf.copy()
+    mask = (pdf["a"] == "a4") & (pdf["b"] == "b1")
+    pdf.loc[mask, "real"] = pdf.loc[mask, "predict"] * 2.5
+    df = spark.createDataFrame(pdf)
+    fast = rev_rec_adtributor(df, ["a", "b"], teep=0.05)
+    dist = rev_rec_adtributor(df, ["a", "b"], teep=0.05, driver_rows=None)
+    assert _canon(fast) == _canon(dist)
+    assert fast, "no causes found"
