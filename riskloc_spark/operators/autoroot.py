@@ -3,14 +3,14 @@
 Parity: reference algorithms/autoroot.py. Spark-first split of labor:
 
 * deviation scoring + relevance filter: distributed column algebra;
-* 1-D KDE (scipy gaussian_kde, Silverman) is fitted on the driver from
-  the (bounded, optionally sampled) deviation values of relevant leaves —
-  the fit is O(sample), assignment back is a distributed WHEN-chain over
-  the handful of cluster boundaries;
+* 1-D KDE (Silverman bandwidth) is fitted on the driver from DISTINCT
+  (deviation, count) pairs of relevant leaves — bounded, with a
+  histogram fallback past the bound; assignment back is a distributed
+  WHEN-chain over the handful of cluster boundaries;
 * NPS scoring: the reference loops splits and scans the full frame per
-  split; here ALL elements of a cuboid are scored in one pass from
-  per-element sums (the nan_to_num guards of the reference are explicit
-  WHEN guards), and only per-cuboid winners reach the driver.
+  split; here ALL (cluster, cuboid, element) scores come from ONE
+  explode + shuffle (_search_all_clusters — the riskloc _layer_scores
+  pattern), and only the per-(cluster, cuboid) winners reach the driver.
 """
 from __future__ import annotations
 
@@ -45,6 +45,28 @@ def kde_boundaries(values: np.ndarray) -> list[float]:
     # density at grid points: mean of gaussian kernels (vectorized n x 400)
     z = (s[None, :] - values[:, None]) / h
     e = np.exp(-0.5 * z * z).mean(axis=0) / (h * math.sqrt(2 * math.pi))
+    interior = np.arange(1, len(s) - 1)
+    mi = interior[(e[interior] < e[interior - 1]) & (e[interior] < e[interior + 1])]
+    return sorted(np.concatenate((s[mi], [np.inf])).tolist(), reverse=True)
+
+
+def kde_boundaries_weighted(
+    values: np.ndarray, counts: np.ndarray
+) -> list[float]:
+    """kde_boundaries over (distinct deviation, count) pairs — every
+    kernel weighted by its count; exact for the expanded array. Lets the
+    distributed path collect O(distinct) pairs instead of raw rows."""
+    if len(values) == 1:
+        return [float("inf")]
+    n = int(counts.sum())
+    mean = float((values * counts).sum() / n)
+    sigma = float(np.sqrt((counts * (values - mean) ** 2).sum() / (n - 1)))
+    h = sigma * (3.0 * n / 4.0) ** (-1.0 / 5.0)
+    s = np.linspace(-2, 2, 400)
+    z = (s[None, :] - values[:, None]) / h
+    e = (np.exp(-0.5 * z * z) * counts[:, None]).sum(axis=0) / (
+        n * h * math.sqrt(2 * math.pi)
+    )
     interior = np.arange(1, len(s) - 1)
     mi = interior[(e[interior] < e[interior - 1]) & (e[interior] < e[interior + 1])]
     return sorted(np.concatenate((s[mi], [np.inf])).tolist(), reverse=True)
@@ -86,67 +108,151 @@ def _nps_terms(df: DataFrame, cuboid: list[str]) -> DataFrame:
     )
 
 
-def search_cluster(
+def _search_all_clusters(
     df: DataFrame,
-    df_cluster: DataFrame,
     attributes: list[str],
+    clusters: list[int],
+    z_of: dict[int, int],
     delta_threshold: float,
-    z: int,
     totals: dict[str, float],
-) -> dict[str, Any] | None:
-    """Best candidate for one cluster (ref autoroot.py:94-144), with all
-    per-element scoring pushed into Spark."""
-    best_root_cause: dict[str, Any] = {"avg": -1.0}
-    for layer in range(1, len(attributes) + 1):
-        for cuboid in cuboids_of_layer(attributes, layer):
-            if layer == len(attributes) and (1.0 / z) <= delta_threshold:
-                continue
+) -> dict[int, dict[str, Any]]:
+    """Best candidate of EVERY (cluster, layer, cuboid) in ONE Spark job
+    (ref autoroot.py:94-144).
 
-            xs = (
-                df_cluster.groupBy(*cuboid)
-                .agg(F.count(F.lit(1)).alias("x"))
-                .filter((F.col("x") / z) > delta_threshold)
-            )
-            terms = _nps_terms(df, cuboid)
-            joined = xs.join(terms, on=cuboid, how="inner").withColumn(
-                "LF", F.col("x") / F.col("n_full")
-            ).filter(F.col("LF") > delta_threshold)
+    The per-cuboid loop of the reference becomes the riskloc
+    ``_layer_scores`` explode: each row fans out to one (cid, elem) pair
+    per cuboid; a shared window + groupBy computes the NPS terms
+    (cluster-independent) alongside one conditional cluster count per
+    cluster. A second explode melts the cluster counts, per-cluster
+    filters apply, and a rank window keeps only each (cluster, cuboid)
+    winner — O(#clusters x #cuboids) rows reach the driver, and the
+    whole search costs one shuffle of #cuboids x |df| rows instead of
+    O(#clusters x #cuboids) sequential jobs."""
+    from riskloc_spark.plans.cuboid import ELEM_SEP
 
-            N, Bp_tot = totals["N"], totals["Bp_tot"]
-            a = F.col("Ap_e") / F.col("n_full")
-            b = F.col("Bp_e") / F.col("n_full")
-            n_rest = F.lit(N) - F.col("n_full")
-            c = F.when(n_rest > 0, (F.lit(Bp_tot) - F.col("Bp_e")) / n_rest).otherwise(
-                F.lit(0.0)
-            )
-            nps = 1 - ((a + c) / (b + c))
-            scored = joined.withColumn("NPS", nps)
+    n_attrs = len(attributes)
+    cuboids = [
+        (layer, c)
+        for layer in range(1, n_attrs + 1)
+        for c in cuboids_of_layer(attributes, layer)
+    ]
+    structs = [
+        F.struct(
+            F.lit(i).alias("cid"),
+            F.concat_ws(ELEM_SEP, *[F.col(d).cast("string") for d in c]).alias(
+                "elem"
+            ),
+        )
+        for i, (_, c) in enumerate(cuboids)
+    ]
+    ex = df.select(
+        F.explode(F.array(*structs)).alias("ce"), "real", "predict", "cluster"
+    ).select(
+        F.col("ce.cid").alias("cid"),
+        F.col("ce.elem").alias("elem"),
+        "real",
+        "predict",
+        "cluster",
+    )
 
-            # reference iterates splits in key order keeping strict-> max:
-            # first maximum in ascending key order wins
-            top = (
-                scored.orderBy(
-                    F.col("NPS").desc(), *[F.col(d).asc() for d in cuboid]
+    w = Window.partitionBy("cid", "elem")
+    Ve = F.sum("real").over(w)
+    Fe = F.sum("predict").over(w)
+    vhat = F.when(Fe != 0, F.col("predict") * Ve / Fe).otherwise(F.lit(0.0))
+    v = F.col("real")
+    a_term = F.when(v == 0, F.lit(0.0)).otherwise(F.abs(v - vhat) / v)
+    b_term = F.when(v == 0, F.lit(0.0)).otherwise(
+        F.abs(v - F.col("predict")) / v
+    )
+    agg = (
+        ex.withColumn("__a", a_term)
+        .withColumn("__b", b_term)
+        .groupBy("cid", "elem")
+        .agg(
+            F.count(F.lit(1)).alias("n_full"),
+            F.sum("__a").alias("Ap_e"),
+            F.sum("__b").alias("Bp_e"),
+            *[
+                F.sum(
+                    F.when(F.col("cluster") == c, 1).otherwise(0)
+                ).alias(f"__x_{c}")
+                for c in clusters
+            ],
+        )
+    )
+
+    N, Bp_tot = totals["N"], totals["Bp_tot"]
+    a = F.col("Ap_e") / F.col("n_full")
+    b = F.col("Bp_e") / F.col("n_full")
+    n_rest = F.lit(N) - F.col("n_full")
+    c_t = F.when(n_rest > 0, (F.lit(Bp_tot) - F.col("Bp_e")) / n_rest).otherwise(
+        F.lit(0.0)
+    )
+    scored = agg.withColumn("NPS", 1 - ((a + c_t) / (b + c_t)))
+
+    # melt the per-cluster counts; z and the (x/z) filter vary by cluster
+    z_expr = F.lit(None).cast("double")
+    for c in clusters:
+        z_expr = F.when(F.col("cluster") == c, F.lit(float(z_of[c]))).otherwise(
+            z_expr
+        )
+    melted = (
+        scored.select(
+            "cid",
+            "elem",
+            "n_full",
+            "NPS",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("cluster"),
+                            F.col(f"__x_{c}").alias("x"),
+                        )
+                        for c in clusters
+                    ]
                 )
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                continue
-            row = top[0].asDict()
-            CF = row["x"] / z
-            avg_score = (row["NPS"] + row["LF"] + CF) / 3
-            if avg_score > best_root_cause["avg"]:
-                best_root_cause = {
-                    "elements": [[str(row[d]) for d in cuboid]],
-                    "layer": layer,
-                    "cuboid": list(cuboid),
-                    "LF": row["LF"],
-                    "CF": CF,
-                    "NPS": row["NPS"],
-                    "avg": avg_score,
-                }
-    return best_root_cause if "elements" in best_root_cause else None
+            ).alias("cx"),
+        )
+        .select("cid", "elem", "n_full", "NPS", "cx.cluster", "cx.x")
+        .withColumn("z", z_expr)
+        .filter((F.col("x") / F.col("z")) > delta_threshold)
+        .withColumn("LF", F.col("x") / F.col("n_full"))
+        .filter(F.col("LF") > delta_threshold)
+    )
+
+    # reference iterates splits in key order keeping strict-> max: first
+    # maximum in ascending key order wins; \x1f-concat preserves tuple order
+    rank_w = Window.partitionBy("cluster", "cid").orderBy(
+        F.col("NPS").desc(), F.col("elem").asc()
+    )
+    winners = (
+        melted.withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") == 1)
+        .collect()
+    )
+
+    best_of: dict[int, dict[str, Any]] = {}
+    for row in sorted(winners, key=lambda r: (r["cluster"], r["cid"])):
+        cluster, cid = row["cluster"], row["cid"]
+        layer, cuboid = cuboids[cid]
+        z = z_of[cluster]
+        if layer == n_attrs and (1.0 / z) <= delta_threshold:
+            continue  # ref autoroot.py:99 — leaf cuboid skipped per cluster
+        CF = row["x"] / z
+        avg_score = (row["NPS"] + row["LF"] + CF) / 3
+        best = best_of.get(cluster, {"avg": -1.0})
+        if avg_score > best["avg"]:
+            best_of[cluster] = {
+                "elements": [row["elem"].split(ELEM_SEP)],
+                "layer": layer,
+                "cuboid": list(cuboid),
+                "LF": row["LF"],
+                "CF": CF,
+                "NPS": row["NPS"],
+                "avg": avg_score,
+            }
+    return best_of
 
 
 def _is_subset(parent: list[set], child: list[set]) -> bool:
@@ -286,7 +392,11 @@ def autoroot(
     KDE-cluster + per-cluster cuboid search runs vectorized on pandas
     (the search launches dozens of tiny sequential jobs otherwise); both
     paths share formulas and are parity-tested. ``driver_rows=None``
-    forces the distributed path."""
+    forces the distributed path, where the KDE fits on bounded distinct
+    (deviation, count) pairs (``max_kde_sample`` overrides the 200k
+    bound; ``seed`` is kept for API compatibility — the path is now
+    deterministic) and the whole (cluster x cuboid) search is ONE
+    explode job (_search_all_clusters)."""
     df = add_deviation_score(df)
     for d in attributes:
         df = df.withColumn(d, F.col(d).cast("string"))
@@ -302,41 +412,85 @@ def autoroot(
             return _autoroot_driver(pdf, attributes, delta_threshold)
 
     df = df.persist()
+    try:
+        rel_pred = F.abs(F.col("deviation")) > 0.2
 
-    relevant = df.filter(F.abs(F.col("deviation")) > 0.2)
-    dev_df = relevant.select("deviation")
-    if max_kde_sample is not None:
-        dev_df = dev_df.sample(fraction=1.0, seed=seed).limit(max_kde_sample)
-    values = np.array([r[0] for r in dev_df.collect()])
-    if len(values) == 0:
-        df.unpersist()
-        return []
-
-    ends = kde_boundaries(values)
-    relevant = assign_clusters(relevant, ends).persist()
-    clusters = [r[0] for r in relevant.select("cluster").distinct().collect()]
-
-    totals_row = df.agg(
-        F.count(F.lit(1)).alias("N"),
-        F.sum(
-            F.when(F.col("real") == 0, F.lit(0.0)).otherwise(
-                F.abs(F.col("real") - F.col("predict")) / F.col("real")
+        # KDE input: distinct (deviation, count) pairs, bounded (same
+        # pattern as squeeze); past the bound a B-bucket histogram of
+        # centers stands in — raw rows never reach the driver.
+        B = max_kde_sample or 200_000
+        rows = (
+            df.filter(rel_pred)
+            .groupBy("deviation")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .limit(B + 1)
+            .collect()
+        )
+        if not rows:
+            return []
+        if len(rows) <= B:
+            arr = np.array([(float(r[0]), float(r[1])) for r in rows])
+        else:
+            mn, mx = (
+                df.filter(rel_pred).agg(F.min("deviation"), F.max("deviation")).first()
             )
-        ).alias("Bp_tot"),
-    ).first()
-    totals = {"N": float(totals_row["N"]), "Bp_tot": float(totals_row["Bp_tot"])}
+            if mn == mx:
+                n = df.filter(rel_pred).count()
+                arr = np.array([(float(mn), float(n))])
+            else:
+                b = F.least(
+                    F.floor((F.col("deviation") - F.lit(mn)) / F.lit(mx - mn) * B),
+                    F.lit(B - 1),
+                )
+                width = (mx - mn) / B
+                arr = np.array(
+                    [
+                        (mn + (r[0] + 0.5) * width, float(r[1]))
+                        for r in df.filter(rel_pred)
+                        .groupBy(b.alias("__b"))
+                        .agg(F.count(F.lit(1)).alias("c"))
+                        .collect()
+                    ]
+                )
+        order = np.argsort(arr[:, 0], kind="stable")
+        ends = kde_boundaries_weighted(arr[order, 0], arr[order, 1])
 
-    cluster_root_causes = []
-    for cluster in clusters:
-        df_cluster = relevant.filter(F.col("cluster") == cluster)
-        z = df_cluster.count()
-        if z == 0:
-            continue
-        rc = search_cluster(df, df_cluster, attributes, delta_threshold, z, totals)
-        if rc is not None:
-            rc["cluster"] = cluster
-            cluster_root_causes.append(rc)
+        df_cl = assign_clusters(df, ends).withColumn(
+            "cluster", F.when(rel_pred, F.col("cluster"))
+        )
+        z_rows = (
+            df_cl.filter(F.col("cluster").isNotNull())
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("z"))
+            .collect()
+        )
+        z_of = {int(r["cluster"]): int(r["z"]) for r in z_rows if r["z"] > 0}
+        clusters = sorted(z_of)
+        if not clusters:
+            return []
 
-    relevant.unpersist()
-    df.unpersist()
+        totals_row = df.agg(
+            F.count(F.lit(1)).alias("N"),
+            F.sum(
+                F.when(F.col("real") == 0, F.lit(0.0)).otherwise(
+                    F.abs(F.col("real") - F.col("predict")) / F.col("real")
+                )
+            ).alias("Bp_tot"),
+        ).first()
+        totals = {
+            "N": float(totals_row["N"]),
+            "Bp_tot": float(totals_row["Bp_tot"]),
+        }
+
+        best_of = _search_all_clusters(
+            df_cl, attributes, clusters, z_of, delta_threshold, totals
+        )
+        cluster_root_causes = []
+        for cluster in clusters:
+            rc = best_of.get(cluster)
+            if rc is not None:
+                rc["cluster"] = cluster
+                cluster_root_causes.append(rc)
+    finally:
+        df.unpersist()
     return merge_root_causes(cluster_root_causes, max_layer=len(attributes))

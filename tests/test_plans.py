@@ -85,3 +85,46 @@ def test_minhash_signature_plan_shape(spark):
     plan = plan_str(minhash_signatures(d, num_hashes=16), "simple")
     # one round-robin fan-out + one hash exchange for the aggregation
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_autoroot_distributed_job_count_is_constant(spark):
+    """The fused distributed search costs a CONSTANT number of actions
+    (pairs probe, cluster sizes, totals, fused winners) — the old path
+    launched one orderBy().limit(1) job per (cluster x cuboid). AQE may
+    split each action into a few stage-jobs, so assert a small constant
+    bound rather than an exact count."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from riskloc_spark.operators.autoroot import autoroot
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for a, b in itertools.product(
+        [f"a{i}" for i in range(4)], [f"b{i}" for i in range(5)]
+    ):
+        predict = float(rng.uniform(80, 120))
+        real = predict * (1 + rng.uniform(-0.01, 0.01))
+        if a == "a1":
+            real = predict * 0.2
+        if a == "a3":
+            real = predict * 1.8  # second cluster on the other side
+        rows.append((a, b, real, predict))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["a", "b", "real", "predict"])
+    )
+
+    sc = spark.sparkContext
+    sc.setJobGroup("autoroot-jobcount", "distributed autoroot")
+    causes = autoroot(df, ["a", "b"], driver_rows=None)
+    job_ids = sc.statusTracker().getJobIdsForGroup("autoroot-jobcount")
+    sc.setJobGroup("", "")
+    assert causes, "no causes found"
+    flat = [e for c in causes for el in c["elements"] for e in el]
+    assert "a1" in flat and "a3" in flat
+    # 4 actions; allow AQE stage-splitting headroom. The pre-fix path
+    # needed > 30 jobs on this instance (2 clusters x 3 cuboids x several
+    # jobs each plus per-cluster counts).
+    assert len(job_ids) <= 16, f"{len(job_ids)} jobs: {job_ids}"
