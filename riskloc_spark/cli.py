@@ -1,103 +1,469 @@
-"""CLI mirroring the reference's run.py: algorithm + data path (+label).
+"""CLI mirroring the reference's run.py + utils/argument_parser.py.
 
 Usage:
-    python -m riskloc_spark.cli <algorithm> <data> [options]
+    python -m riskloc_spark.cli <algorithm> <data> [common options] [algorithm options]
 
-Algorithms: riskloc, autoroot, squeeze, hotspot, adtributor,
-r_adtributor, robustspot (ref run.py / utils/run_utils.py:14-56).
+Algorithms and their options (defaults = reference argument_parser.py):
+  riskloc       --risk-threshold 0.5 --pep-threshold 0.02 --n-remove 5
+                --remove-relative --prune-elements/--no-prune-elements
+  autoroot      --delta-threshold 0.25
+  squeeze       --ps-upper-bound 0.9 --max-num-elements-single-cluster 12
+  hotspot       --pt 0.8 --m 200 --scoring gps|ps
+  adtributor    --tep 0.1 --teep 0.1 --k 3
+  r_adtributor  --teep 0.2 --k 3
+  robustspot    --k 3 --lambda-amplification 100
+                --contribution-ability-threshold 0.0 --confidence-threshold 0.8
 
-Data forms:
-  plain      <case>.csv with attr columns + real + predict
-  derived    <case> with <case>.a.csv / <case>.b.csv next to it
-  robustspot --rs-data: minute-grain csv (needs --timestamp)
+Data forms (ref run.py:39-53):
+  <case>.csv        plain: attr columns + real + predict
+  <case>            derived: <case>.a.csv / <case>.b.csv next to it
+                    (auto-detected when <data>.a.csv exists)
+  --rs-data         RobustSpot minute-grain csv (single file: needs
+                    --timestamp; directory: timestamps from anomaly.yaml)
+  <directory>       batch mode (ref run.py:10-36): every deepest-level
+                    folder's files are instances; dataset name = first
+                    path component under the directory. Dataset 'D' and
+                    'RS' imply --derived, 'RS' implies --rs-data (ref
+                    run.py:26-27). Labels come from injection_info.csv
+                    (timestamp,set) or anomaly.yaml (RS). Writes
+                    <algorithm>-all<suffix>.csv and
+                    <algorithm>-summary<suffix>.csv with per-instance and
+                    per-folder aggregate F1 (ref run_utils.py
+                    result_post_processing).
+
+The reference fans instances over a process pool because pandas is
+single-threaded; here ONE SparkSession runs instances sequentially and
+parallelizes each across cores (executors on a cluster).
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import time
+
+ALGORITHMS = (
+    "riskloc",
+    "autoroot",
+    "squeeze",
+    "hotspot",
+    "adtributor",
+    "r_adtributor",
+    "robustspot",
+)
+
+# subcommand options forwarded to the operator (name -> default); mirrors
+# reference utils/argument_parser.py:15-75
+ALGO_OPTIONS: dict[str, dict[str, object]] = {
+    "riskloc": {
+        "risk_threshold": 0.5,
+        "pep_threshold": 0.02,
+        "n_remove": 5,
+        "remove_relative": False,
+        "prune_elements": True,
+    },
+    "autoroot": {"delta_threshold": 0.25},
+    "squeeze": {"ps_upper_bound": 0.9, "max_num_elements_single_cluster": 12},
+    "hotspot": {"pt": 0.8, "m": 200, "scoring": "gps"},
+    "adtributor": {"tep": 0.1, "teep": 0.1, "k": 3},
+    "r_adtributor": {"teep": 0.2, "k": 3},
+    "robustspot": {
+        "k": 3,
+        "lambda_amplification": 100,
+        "contribution_ability_threshold": 0.0,
+        "confidence_threshold": 0.8,
+    },
+}
 
 
-def run_method(df, dfs, attributes, algorithm, derived, spark, args):
-    """Dispatch (ref utils/run_utils.py:14-56)."""
+def _str2bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("boolean value expected")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="riskloc_spark", description="riskloc_spark runner")
+    sub = p.add_subparsers(dest="algorithm", required=True)
+
+    def common(sp: argparse.ArgumentParser) -> None:
+        sp.add_argument("data", help="csv / derived base path / directory")
+        sp.add_argument(
+            "--derived", type=_str2bool, nargs="?", const=True, default=None,
+            help="derived dataset (auto: D/RS dataset names, or <data>.a.csv exists)",
+        )
+        sp.add_argument("--rs-data", action="store_true")
+        sp.add_argument("--timestamp", type=int, help="anomalous minute for --rs-data")
+        sp.add_argument("--label", help="ground-truth 'd=v&d=v;...' for F1 scoring")
+        sp.add_argument("--cpus", default=None, help="local parallelism override")
+        sp.add_argument("--output-suffix", default="", help="suffix for batch csvs")
+        sp.add_argument("--output-dir", default=".", help="directory for batch csvs")
+
+    sp = sub.add_parser("riskloc")
+    common(sp)
+    sp.add_argument("--risk-threshold", type=float, default=0.5)
+    sp.add_argument("--pep-threshold", type=float, default=0.02)
+    sp.add_argument("--n-remove", type=int, default=5)
+    sp.add_argument("--remove-relative", type=_str2bool, nargs="?", const=True, default=False)
+    sp.add_argument("--prune-elements", type=_str2bool, nargs="?", const=True, default=True)
+
+    sp = sub.add_parser("autoroot")
+    common(sp)
+    sp.add_argument("--delta-threshold", type=float, default=0.25)
+
+    sp = sub.add_parser("squeeze")
+    common(sp)
+    sp.add_argument("--ps-upper-bound", type=float, default=0.9)
+    sp.add_argument("--max-num-elements-single-cluster", type=int, default=12)
+
+    sp = sub.add_parser("hotspot")
+    common(sp)
+    sp.add_argument("--pt", type=float, default=0.8)
+    sp.add_argument("--m", type=int, default=200)
+    sp.add_argument("--scoring", choices=["gps", "ps"], default="gps")
+
+    sp = sub.add_parser("adtributor")
+    common(sp)
+    sp.add_argument("--tep", type=float, default=0.1)
+    sp.add_argument("--teep", type=float, default=0.1)
+    sp.add_argument("--k", type=int, default=3)
+
+    sp = sub.add_parser("r_adtributor")
+    common(sp)
+    sp.add_argument("--teep", type=float, default=0.2)
+    sp.add_argument("--k", type=int, default=3)
+
+    sp = sub.add_parser("robustspot")
+    common(sp)
+    sp.add_argument("--k", type=int, default=3)
+    sp.add_argument("--lambda-amplification", type=float, default=100)
+    sp.add_argument("--contribution-ability-threshold", type=float, default=0.0)
+    sp.add_argument("--confidence-threshold", type=float, default=0.8)
+
+    return p
+
+
+def run_method(df, attributes, algorithm, derived, opts, rs_data=False):
+    """Dispatch (ref utils/run_utils.py:14-56) with per-algorithm args."""
     if algorithm == "riskloc":
         from riskloc_spark.operators.riskloc import riskloc
 
-        return riskloc(df, attributes, derived=derived, risk_threshold=args.risk_threshold)
+        return riskloc(df, attributes, derived=derived, **opts)
     if algorithm == "autoroot":
         from riskloc_spark.operators.autoroot import autoroot
 
-        return autoroot(df, attributes)
+        return autoroot(df, attributes, **opts)
     if algorithm == "squeeze":
-        from riskloc_spark.operators.squeeze import squeeze
+        from riskloc_spark.operators.squeeze import SqueezeOptions, squeeze
 
-        return squeeze(df, attributes)
+        return squeeze(df, attributes, options=SqueezeOptions(**opts))
     if algorithm == "hotspot":
         from riskloc_spark.operators.hotspot import hotspot
 
-        return [hotspot(df, attributes)]
+        return [hotspot(df, attributes, **opts)]
     if algorithm == "adtributor":
         from riskloc_spark.operators.adtributor import adtributor
 
-        return adtributor(df, attributes, derived=derived)
+        return adtributor(df, attributes, derived=derived, **opts)
     if algorithm == "r_adtributor":
         from riskloc_spark.operators.adtributor import rev_rec_adtributor
 
-        return rev_rec_adtributor(df, attributes, derived=derived)
+        return rev_rec_adtributor(df, attributes, derived=derived, **opts)
     if algorithm == "robustspot":
         from riskloc_spark.operators.robustspot import robustspot
 
         # RS-format frames already carry failure counts in the a measure;
         # skip the reference's success->failure flip (see adapt_frame)
         return robustspot(
-            df, attributes, derived=derived, flip_derived=not args.rs_data
+            df, attributes, derived=derived, flip_derived=not rs_data, **opts
         )
     raise ValueError(f"method {algorithm} not implemented")
 
 
-def main(argv: list[str] | None = None) -> int:
-    p = argparse.ArgumentParser(description="riskloc_spark runner")
-    p.add_argument("algorithm", choices=[
-        "riskloc", "autoroot", "squeeze", "hotspot",
-        "adtributor", "r_adtributor", "robustspot",
-    ])
-    p.add_argument("data", help="csv path (plain), case base path (derived/rs)")
-    p.add_argument("--derived", action="store_true")
-    p.add_argument("--rs-data", action="store_true")
-    p.add_argument("--timestamp", type=int, help="anomalous minute for --rs-data")
-    p.add_argument("--label", help="ground-truth 'd=v&d=v;...' for F1 scoring")
-    p.add_argument("--risk-threshold", type=float, default=0.5)
-    p.add_argument("--cpus", default=None, help="local parallelism override")
-    args = p.parse_args(argv)
+# --------------------------------------------------------------------------
+# labels (ref run_utils.py get_label / robustspot_data_utils)
+# --------------------------------------------------------------------------
 
-    from riskloc_spark.session import get_spark
+def _read_anomaly_yaml(path: str) -> list[dict]:
+    """anomaly.yaml: list of {data, timestamp, cause} entries where cause
+    is a list of flat dicts (ref robustspot_data_utils.get_rs_anomaly).
+    Uses pyyaml when importable, else a minimal parser for that shape."""
+    text = open(path, encoding="utf-8").read()
+    try:
+        import yaml  # type: ignore
 
-    spark = get_spark("riskloc-spark-cli", master=f"local[{args.cpus}]" if args.cpus else None)
-    spark.sparkContext.setLogLevel("ERROR")
+        return yaml.safe_load(text)
+    except ImportError:
+        entries: list[dict] = []
+        cur: dict = {}
+        cause_item: dict = {}
+        in_cause = False
+        item_indent = 0
+        for raw in text.splitlines():
+            if not raw.strip() or raw.strip().startswith("#"):
+                continue
+            indent = len(raw) - len(raw.lstrip())
+            body = raw.strip()
+            if indent == 0 and body.startswith("- "):
+                cur = {}
+                entries.append(cur)
+                in_cause = False
+                body = body[2:]
+                if ":" not in body:
+                    continue
+            elif body.startswith("- ") and in_cause:
+                cause_item = {}
+                cur["cause"].append(cause_item)
+                item_indent = indent
+                body = body[2:]
+                if ":" not in body:
+                    continue
+                k, v = body.split(":", 1)
+                cause_item[k.strip()] = _yaml_scalar(v)
+                continue
+            if ":" in body:
+                k, v = body.split(":", 1)
+                k, v = k.strip(), v.strip()
+                if k == "cause" and v == "":
+                    cur["cause"] = []
+                    in_cause = True
+                elif in_cause and indent > item_indent:
+                    cause_item[k] = _yaml_scalar(v)
+                else:
+                    in_cause = False
+                    cur[k] = _yaml_scalar(v)
+        return entries
 
+
+def _yaml_scalar(v: str):
+    v = v.strip()
+    if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+        return v[1:-1]  # quoted -> always a string
+    try:
+        return int(v)
+    except ValueError:
+        try:
+            return float(v)
+        except ValueError:
+            return v
+
+
+def _rs_anomaly(directory: str, file_stem: str) -> dict:
+    entries = _read_anomaly_yaml(os.path.join(directory, "anomaly.yaml"))
+    return [d for d in entries if str(d.get("data")) == file_stem][0]
+
+
+def rs_label(directory: str, file_stem: str) -> str:
+    """'d=v&d=v;...' label from anomaly.yaml (ref
+    robustspot_data_utils.get_rs_label)."""
+    causes = _rs_anomaly(directory, file_stem)["cause"]
+    if not isinstance(causes, list):
+        causes = [causes]
+    return ";".join(
+        "&".join(f"{k}={v}" for k, v in c.items()) for c in causes
+    )
+
+
+def injection_label(directory: str, file_stem: str) -> str | None:
+    """Label from injection_info.csv (columns timestamp,set) — ref
+    run_utils.get_label."""
+    import csv
+
+    path = os.path.join(directory, "injection_info.csv")
+    if not os.path.exists(path):
+        return None
+    with open(path, newline="", encoding="utf-8") as fh:
+        for row in csv.DictReader(fh):
+            if str(row.get("timestamp")) == file_stem:
+                return row.get("set")
+    return None
+
+
+# --------------------------------------------------------------------------
+# batch mode (ref run.py:10-36, run_utils.get_instances /
+# result_post_processing)
+# --------------------------------------------------------------------------
+
+def get_instances(root: str) -> list[tuple[str, str, str, str]]:
+    """(dataset, subdir, file_stem, dirpath) for every instance file in
+    every deepest-level directory under root (ref run_utils.py:111-140)."""
+    instances = []
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        if dirnames:
+            continue
+        rel = os.path.relpath(dirpath, root)
+        parts = [] if rel == "." else rel.split(os.sep)
+        dataset = parts[0] if parts else os.path.basename(os.path.abspath(root))
+        subdir = os.path.join(*parts[1:]) if len(parts) > 1 else ""
+        stems = sorted(
+            {
+                f.split(".")[0]
+                for f in filenames
+                if f not in ("injection_info.csv", "anomaly.yaml")
+                and not f.startswith(".")
+            }
+        )
+        for s in stems:
+            instances.append((dataset, subdir, s, dirpath))
+    return instances
+
+
+def run_instance(spark, dirpath, file_stem, algorithm, opts, derived, rs_data):
+    """One instance: read, run, score (ref run.py:56-95). Returns
+    (F1, TP, FP, FN, runtime, preds, label)."""
+    from riskloc_spark.evaluation import (
+        f1 as f1_of,
+        root_cause_postprocessing,
+        score_root_causes,
+    )
     from riskloc_spark.sources import (
         read_rca_csv,
         read_rca_csv_derived,
         read_robustspot_csv,
     )
 
+    if rs_data:
+        anomaly = _rs_anomaly(dirpath, file_stem)
+        df, attributes = read_robustspot_csv(
+            spark, os.path.join(dirpath, file_stem + ".csv"), int(anomaly["timestamp"])
+        )
+        label = rs_label(dirpath, file_stem)
+    elif derived:
+        base = os.path.join(dirpath, file_stem)
+        df, attributes = read_rca_csv_derived(spark, base + ".a.csv", base + ".b.csv")
+        label = injection_label(dirpath, file_stem)
+    else:
+        df, attributes = read_rca_csv(spark, os.path.join(dirpath, file_stem + ".csv"))
+        label = injection_label(dirpath, file_stem)
+
+    start = time.time()
+    root_causes = run_method(df, attributes, algorithm, derived, opts, rs_data)
+    preds = root_cause_postprocessing(root_causes, algorithm)
+    runtime = time.time() - start
+
+    if label is None:
+        return None, 0, 0, 0, runtime, preds, label
+    tp, fp, fn, _ = score_root_causes(preds, label)
+    return f1_of(tp, fp, fn), tp, fp, fn, runtime, preds, label
+
+
+def run_directory(spark, root, algorithm, opts, derived_flag, suffix, output_dir):
+    """Batch run + aggregate-F1 csvs (ref run.py:10-36,
+    run_utils.result_post_processing)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    for dataset, subdir, stem, dirpath in get_instances(root):
+        derived = derived_flag if derived_flag is not None else dataset in ("D", "RS")
+        rs_data = dataset == "RS"
+        f1_v, tp, fp, fn, runtime, preds, label = run_instance(
+            spark, dirpath, stem, algorithm, opts, derived, rs_data
+        )
+        print(
+            json.dumps(
+                {
+                    "dataset": dataset,
+                    "folder": subdir,
+                    "file": stem,
+                    "f1": f1_v,
+                    "root_causes": list(preds),
+                    "label": label,
+                }
+            )
+        )
+        rows.append((dataset, subdir, stem, f1_v, tp, fp, fn, runtime))
+
+    df = pd.DataFrame(
+        rows, columns=["Dataset", "Folder", "File", "F1", "TP", "FP", "FN", "Time"]
+    ).sort_values(["Dataset", "Folder"])
+
+    summary = df.copy()
+    # ref result_post_processing: the A dataset's folder names encode
+    # (elements, layer); regroup them for the summary
+    a_split = (
+        "layer_" + summary["Folder"].str.split("_").str[-1]
+        + "_elements_" + summary["Folder"].str.split("_").str[-3]
+    )
+    summary["Folder"] = np.where(summary["Dataset"] == "A", a_split, summary["Folder"])
+    summary = (
+        summary.groupby(["Dataset", "Folder"], as_index=False)
+        .agg({"TP": "sum", "FP": "sum", "FN": "sum", "Time": "sum"})
+        .sort_values(["Dataset", "Folder"])
+    )
+    summary["F1-score"] = 2 * summary["TP"] / (
+        2 * summary["TP"] + summary["FP"] + summary["FN"]
+    )
+
+    os.makedirs(output_dir, exist_ok=True)
+    df.to_csv(os.path.join(output_dir, f"{algorithm}-all{suffix}.csv"), index=False)
+    summary.to_csv(
+        os.path.join(output_dir, f"{algorithm}-summary{suffix}.csv"), index=False
+    )
+    print(summary.to_string(index=False))
+    return df, summary
+
+
+def _csv_suffix(output_suffix: str, opts: dict) -> str:
+    # ref run.py:107-110
+    argument_list = [k + "-" + str(v).replace(".", "") for k, v in opts.items()]
+    suffix = "-".join(["", output_suffix, *argument_list])
+    return suffix if output_suffix != "" else "-" + "-".join(argument_list)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = build_parser()
+    args = p.parse_args(argv)
+    opts = {k: getattr(args, k) for k in ALGO_OPTIONS[args.algorithm]}
+
+    from riskloc_spark.session import get_spark
+
+    spark = get_spark(
+        "riskloc-spark-cli", master=f"local[{args.cpus}]" if args.cpus else None
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if os.path.isdir(args.data):
+        run_directory(
+            spark,
+            args.data,
+            args.algorithm,
+            opts,
+            args.derived,
+            _csv_suffix(args.output_suffix, opts),
+            args.output_dir,
+        )
+        return 0
+
+    from riskloc_spark.evaluation import root_cause_postprocessing, score_root_causes
+    from riskloc_spark.sources import (
+        read_rca_csv,
+        read_rca_csv_derived,
+        read_robustspot_csv,
+    )
+
+    base = args.data[:-4] if args.data.endswith(".csv") else args.data
+    derived = args.derived
+    if derived is None:
+        derived = os.path.exists(base + ".a.csv") and not args.rs_data
+
     if args.rs_data:
         if args.timestamp is None:
             p.error("--rs-data requires --timestamp")
         df, attributes = read_robustspot_csv(spark, args.data, args.timestamp)
         derived = True
-    elif args.derived:
-        df, attributes = read_rca_csv_derived(
-            spark, args.data + ".a.csv", args.data + ".b.csv"
-        )
-        derived = True
+    elif derived:
+        df, attributes = read_rca_csv_derived(spark, base + ".a.csv", base + ".b.csv")
     else:
         df, attributes = read_rca_csv(spark, args.data)
-        derived = False
 
-    root_causes = run_method(df, None, attributes, args.algorithm, derived, spark, args)
-
-    from riskloc_spark.evaluation import root_cause_postprocessing, score_root_causes
-
+    root_causes = run_method(
+        df, attributes, args.algorithm, derived, opts, args.rs_data
+    )
     preds = root_cause_postprocessing(root_causes, args.algorithm)
     out = {"algorithm": args.algorithm, "root_causes": list(preds)}
     if args.label:

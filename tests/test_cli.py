@@ -105,3 +105,125 @@ def test_cli_robustspot_rs_data(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert any("cdn=cdn2" in rc for rc in out["root_causes"]), out
+
+
+def test_parser_exposes_reference_algorithm_args():
+    """Per-algorithm options mirror reference utils/argument_parser.py."""
+    from riskloc_spark.cli import ALGO_OPTIONS, build_parser
+
+    p = build_parser()
+    a = p.parse_args(
+        ["riskloc", "x.csv", "--pep-threshold", "0.05", "--n-remove", "7",
+         "--remove-relative", "--prune-elements", "false"]
+    )
+    assert (a.pep_threshold, a.n_remove, a.remove_relative, a.prune_elements) == (
+        0.05, 7, True, False
+    )
+    a = p.parse_args(["autoroot", "x.csv", "--delta-threshold", "0.3"])
+    assert a.delta_threshold == 0.3
+    a = p.parse_args(
+        ["robustspot", "x.csv", "--k", "5", "--lambda-amplification", "50",
+         "--contribution-ability-threshold", "0.1", "--confidence-threshold", "0.7"]
+    )
+    assert (a.k, a.lambda_amplification, a.contribution_ability_threshold,
+            a.confidence_threshold) == (5, 50, 0.1, 0.7)
+    a = p.parse_args(["squeeze", "x.csv", "--ps-upper-bound", "0.8",
+                      "--max-num-elements-single-cluster", "6"])
+    assert (a.ps_upper_bound, a.max_num_elements_single_cluster) == (0.8, 6)
+    a = p.parse_args(["hotspot", "x.csv", "--pt", "0.7", "--m", "50",
+                      "--scoring", "ps"])
+    assert (a.pt, a.m, a.scoring) == (0.7, 50, "ps")
+    # defaults match the reference parser
+    for algo, opts in ALGO_OPTIONS.items():
+        ns = p.parse_args([algo, "x.csv"])
+        for k, v in opts.items():
+            assert getattr(ns, k) == v, (algo, k)
+
+
+def test_anomaly_yaml_fallback_parser(tmp_path):
+    """The import-gated minimal parser handles the reference's
+    anomaly.yaml shape (list of {data, timestamp, cause:[{k:v}]})."""
+    from riskloc_spark.cli import _read_anomaly_yaml, rs_label
+
+    text = """\
+- data: '1001'
+  timestamp: 1700000000
+  cause:
+  - cdn: c1
+    bitrate: b2
+- data: '1002'
+  timestamp: 1700000060
+  cause:
+  - cdn: c3
+"""
+    p = tmp_path / "anomaly.yaml"
+    p.write_text(text)
+    # with pyyaml present
+    entries = _read_anomaly_yaml(str(p))
+    assert entries[0]["data"] == "1001" and entries[0]["timestamp"] == 1700000000
+    assert rs_label(str(tmp_path), "1001") == "bitrate=b2&cdn=c1" or (
+        rs_label(str(tmp_path), "1001") == "cdn=c1&bitrate=b2"
+    )
+    # force the fallback parser by making `import yaml` fail
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_yaml(name, *a, **kw):
+        if name == "yaml":
+            raise ImportError(name)
+        return real_import(name, *a, **kw)
+
+    builtins.__import__ = no_yaml
+    try:
+        entries2 = _read_anomaly_yaml(str(p))
+    finally:
+        builtins.__import__ = real_import
+    assert entries2 == entries
+
+
+def test_cli_directory_batch_run(tmp_path):
+    """Directory mode (ref run.py:10-36): 2 instances under one dataset
+    folder, labels from injection_info.csv, per-instance + aggregate F1
+    csvs written."""
+    rng = np.random.default_rng(11)
+    d = tmp_path / "data" / "S" / "week1"
+    d.mkdir(parents=True)
+    labels = []
+    for ts, (ca, cb) in [("1001", ("a1", "b2")), ("1002", ("a0", "b3"))]:
+        rows = []
+        for a in [f"a{i}" for i in range(4)]:
+            for b in [f"b{i}" for i in range(4)]:
+                for c in [f"c{i}" for i in range(3)]:
+                    predict = float(rng.uniform(50, 150))
+                    real = predict * (1 + rng.uniform(-0.02, 0.02))
+                    if a == ca and b == cb:
+                        real = predict * (1 - 0.85)
+                    rows.append((a, b, c, real, predict))
+        pd.DataFrame(rows, columns=["a", "b", "c", "real", "predict"]).to_csv(
+            d / f"{ts}.csv", index=False
+        )
+        labels.append({"timestamp": ts, "set": f"a={ca}&b={cb}"})
+    pd.DataFrame(labels).to_csv(d / "injection_info.csv", index=False)
+
+    outdir = tmp_path / "out"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "riskloc",
+            str(tmp_path / "data"), "--risk-threshold", "0.3",
+            "--cpus", "4", "--output-dir", str(outdir),
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    all_csvs = list(outdir.glob("riskloc-all*.csv"))
+    summary_csvs = list(outdir.glob("riskloc-summary*.csv"))
+    assert len(all_csvs) == 1 and len(summary_csvs) == 1
+    per_inst = pd.read_csv(all_csvs[0])
+    assert len(per_inst) == 2
+    assert set(per_inst["File"].astype(str)) == {"1001", "1002"}
+    assert (per_inst["F1"] == 1.0).all(), per_inst
+    summary = pd.read_csv(summary_csvs[0])
+    assert len(summary) == 1
+    assert summary.loc[0, "Dataset"] == "S"
+    assert summary.loc[0, "F1-score"] == 1.0
