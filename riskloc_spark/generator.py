@@ -187,3 +187,158 @@ def generate_rca_instance(
         "properties": properties,
     }
     return df, label, meta
+
+
+# --------------------------------------------------------------------------
+# named presets + dataset persistence (ref generate_dataset.py:30-67 and
+# the __main__ writer at :287-313)
+# --------------------------------------------------------------------------
+
+# The S/L/H configurations published in the reference's comments
+# (generate_dataset.py:34-58): dimension sizes, seed, and the parameter
+# ranges that differ from the defaults.
+PRESETS: dict[str, dict[str, Any]] = {
+    "S": {
+        "dimensions": {"a": 10, "b": 12, "c": 10, "d": 8, "e": 5},
+        "seed": 121,
+        "noise_level": (0.0, 0.25),
+        "anomaly_severity": (0.2, 1.0),
+        "anomaly_deviation": (0.0, 0.1),
+        "num_anomaly": (1, 3),
+        "num_anomaly_elements": (1, 3),
+        "only_last_layer": False,
+    },
+    "L": {
+        "dimensions": {"a": 10, "b": 24, "c": 10, "d": 15},
+        "seed": 122,
+        "noise_level": (0.0, 0.1),
+        "anomaly_severity": (0.5, 1.0),
+        "anomaly_deviation": (0.0, 0.0),
+        "num_anomaly": (1, 5),
+        "num_anomaly_elements": (1, 1),
+        "only_last_layer": True,
+    },
+    "H": {
+        "dimensions": {"a": 10, "b": 5, "c": 250, "d": 20, "e": 8, "f": 12},
+        "seed": 123,
+        "noise_level": (0.0, 0.25),
+        "anomaly_severity": (0.2, 1.0),
+        "anomaly_deviation": (0.0, 0.1),
+        "num_anomaly": (1, 3),
+        "num_anomaly_elements": (1, 3),
+        "only_last_layer": False,
+    },
+}
+
+
+def preset_config(preset: str, **overrides) -> dict[str, Any]:
+    """A copy of a named preset with overrides applied (e.g. scaled-down
+    ``dimensions`` for tests)."""
+    cfg = {k: v for k, v in PRESETS[preset].items()}
+    cfg.update(overrides)
+    return cfg
+
+
+def instance_metadata(
+    df: DataFrame, meta: dict[str, Any]
+) -> dict[str, Any]:
+    """The reference's per-instance metadata row (create_metadata,
+    generate_dataset.py:203-229) as ONE distributed aggregation."""
+    from functools import reduce as _reduce
+
+    masks = [_mask(a) for a in meta["anomalies"]]
+    m = _reduce(lambda a, b: a | b, masks)
+    err = F.abs(F.col("real") - F.col("predict"))
+    row = df.agg(
+        F.sum("real").alias("tr"),
+        F.sum("predict").alias("tp"),
+        F.sum(F.when(~m, F.abs(F.col("predict")))).alias("npa"),
+        F.sum(F.when(~m, err)).alias("npe"),
+        F.sum(F.when(m, F.abs(F.col("predict")))).alias("apa"),
+        F.sum(F.when(m, err)).alias("ape"),
+    ).first()
+    tp = row["tp"] or 0.0
+    props = meta["properties"]
+    return {
+        "total_real_amount": round(row["tr"] or 0.0, 2),
+        "total_predict_amount": round(tp, 2),
+        "normal_predict_amount": round(row["npa"] or 0.0, 2),
+        "normal_predict_error": round(row["npe"] or 0.0, 2),
+        "abnormal_predict_amount": round(row["apa"] or 0.0, 2),
+        "abnormal_predict_error": round(row["ape"] or 0.0, 2),
+        "anomaly_significance": round((row["ape"] or 0.0) / tp if tp else 0.0, 2),
+        "zero_rate": round(meta["zero_rate"], 2),
+        "noise_level": round(meta["noise_level"], 2),
+        "elements_per_anomaly": ";".join(
+            str(len(a["cuboids"])) for a in meta["anomalies"]
+        ),
+        "anomaly_severity": ";".join(str(round(p["severity"], 2)) for p in props),
+        "anomaly_deviation": ";".join(str(round(p["deviation"], 2)) for p in props),
+        "anomaly_direction": meta["direction"],
+    }
+
+
+def _write_single_csv(df: DataFrame, path: str) -> None:
+    """Write a frame as ONE csv file (the reference's on-disk format is a
+    single csv per instance). coalesce(1) keeps the write streaming
+    through one task instead of materializing on the driver."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(path) or ".")
+    try:
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+        shutil.move(part, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_rca_dataset(
+    spark: SparkSession,
+    out_dir: str,
+    preset: str | None = None,
+    num_instances: int = 1,
+    **overrides,
+) -> list[str]:
+    """Generate and persist a labeled dataset directory (ref
+    generate_dataset.py:297-313): one <name>.csv per instance plus an
+    injection_info.csv with the label ('set') and metadata columns. The
+    output is directly consumable by the CLI's directory batch mode.
+    Returns the instance file names."""
+    import csv
+    import os
+
+    cfg = preset_config(preset, **overrides) if preset else dict(overrides)
+    seed0 = cfg.pop("seed", 123)
+    rng = random.Random(seed0)
+    os.makedirs(out_dir, exist_ok=True)
+
+    used: set[str] = set()
+    names: list[str] = []
+    info_rows: list[dict[str, Any]] = []
+    for i in range(num_instances):
+        name = str(rng.randint(10**5, 10**6 - 1))
+        while name in used:
+            name = str(rng.randint(10**5, 10**6 - 1))
+        used.add(name)
+        names.append(name)
+
+        df, label, meta = generate_rca_instance(spark, seed=seed0 + i, **cfg)
+        df = df.persist()
+        try:
+            md = instance_metadata(df, meta)
+            _write_single_csv(df, os.path.join(out_dir, name + ".csv"))
+        finally:
+            df.unpersist()
+        info_rows.append({"timestamp": name, "set": label, **md})
+
+    with open(
+        os.path.join(out_dir, "injection_info.csv"), "w", newline="", encoding="utf-8"
+    ) as fh:
+        w = csv.DictWriter(fh, fieldnames=list(info_rows[0].keys()))
+        w.writeheader()
+        w.writerows(info_rows)
+    return names

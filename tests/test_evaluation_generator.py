@@ -82,3 +82,62 @@ def test_generate_localize_score_loop(spark):
     agg = evaluate_batch(results)
     assert agg["tp"] >= 1, f"expected at least one hit: {results}"
     assert agg["f1"] > 0.0
+
+
+def test_preset_configs_match_reference():
+    """S/L/H presets carry the reference's published configurations
+    (generate_dataset.py:34-58 comments)."""
+    from riskloc_spark.generator import PRESETS, preset_config
+
+    assert PRESETS["S"]["dimensions"] == {"a": 10, "b": 12, "c": 10, "d": 8, "e": 5}
+    assert PRESETS["L"]["dimensions"] == {"a": 10, "b": 24, "c": 10, "d": 15}
+    assert PRESETS["H"]["dimensions"] == {
+        "a": 10, "b": 5, "c": 250, "d": 20, "e": 8, "f": 12,
+    }
+    assert PRESETS["L"]["only_last_layer"] is True
+    assert PRESETS["L"]["num_anomaly_elements"] == (1, 1)
+    assert (PRESETS["S"]["seed"], PRESETS["L"]["seed"], PRESETS["H"]["seed"]) == (
+        121, 122, 123
+    )
+    # overrides apply without mutating the preset
+    cfg = preset_config("S", dimensions={"a": 4, "b": 4})
+    assert cfg["dimensions"] == {"a": 4, "b": 4}
+    assert PRESETS["S"]["dimensions"]["a"] == 10
+
+
+def test_write_dataset_and_solve_end_to_end(spark, tmp_path):
+    """write_rca_dataset persists a preset-shaped labeled dataset that the
+    CLI's directory batch runner consumes and solves (ref __main__ writer
+    + run.py workflow)."""
+    import pandas as pd
+
+    from riskloc_spark.cli import run_directory
+    from riskloc_spark.generator import write_rca_dataset
+
+    out = tmp_path / "gen" / "S"
+    names = write_rca_dataset(
+        spark,
+        str(out),
+        preset="S",
+        num_instances=2,
+        dimensions={"a": 5, "b": 5, "c": 4},  # scaled-down for test speed
+        zero_rate=(0.0, 0.0),
+        noise_level=(0.0, 0.05),
+        anomaly_severity=(0.7, 0.9),
+        num_anomaly=(1, 1),
+        num_anomaly_elements=(1, 1),
+    )
+    assert len(names) == 2
+    info = pd.read_csv(out / "injection_info.csv")
+    assert set(info["timestamp"].astype(str)) == set(names)
+    assert {"set", "anomaly_significance", "total_real_amount"} <= set(info.columns)
+
+    all_df, summary = run_directory(
+        spark, str(tmp_path / "gen"), "riskloc",
+        {"risk_threshold": 0.3, "pep_threshold": 0.02, "n_remove": 5,
+         "remove_relative": False, "prune_elements": True},
+        derived_flag=None, suffix="", output_dir=str(tmp_path / "res"),
+    )
+    assert len(all_df) == 2
+    assert summary["TP"].sum() >= 1
+    assert summary["F1-score"].iloc[0] > 0
