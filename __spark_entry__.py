@@ -660,6 +660,43 @@ def riskloc_layer_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_kpi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming surface under the correctness gate: the
+    windowed KPI stream (riskloc_spark.streaming.windowed_kpi_stream)
+    executed as bounded micro-batches (availableNow trigger) into a
+    memory sink. Output is deterministic aggregates, so the DuckDB twin
+    hash-checks the streaming path end-to-end (complete output mode —
+    the watermark still bounds state, emission is not gated on it)."""
+    import uuid
+
+    from riskloc_spark.streaming.pipeline import events_stream, windowed_kpi_stream
+
+    ev = events_stream(spark, f"{sf_dir}/events.parquet")
+    base = load_table(spark, sf_dir, "events")
+    baseline = base.groupBy("event_type").agg(
+        (F.sum("value") / F.count(F.lit(1))).alias("mean_value")
+    )
+    out = windowed_kpi_stream(ev, baseline)
+    name = "streaming_kpi_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name).select(
+        "event_type",
+        "window_start",
+        "n_events",
+        F.round("real", 4).alias("real"),
+        F.round("predict", 6).alias("predict"),
+        F.round("deviation", 6).alias("deviation"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full RiskLoc root-cause localization on the sf0.001
     events-derived RCA frame."""
@@ -705,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autoroot_nps": autoroot_nps_q,
         "squeeze_cluster_stats": squeeze_cluster_stats_q,
         "riskloc_layer_scores": riskloc_layer_scores_q,
+        "streaming_kpi": streaming_kpi_q,
     }
 
 
@@ -1324,6 +1362,27 @@ def oracle_sql() -> dict[str, str]:
                          / (((sv - k_real) / (n - 1)) - ((sf - k_predict) / (n - 1)))) + 1),
                          6) AS influence_degree
             FROM ad CROSS JOIN tot
+        """,
+        "streaming_kpi": """
+            WITH bl AS (
+              SELECT event_type, SUM(value) / COUNT(*) AS mean_value
+              FROM events GROUP BY 1
+            ),
+            w AS (
+              SELECT event_type, date_trunc('hour', ts) AS window_start,
+                     SUM(value) AS v, COUNT(*) AS n_events
+              FROM events GROUP BY 1, 2
+            )
+            SELECT w.event_type, CAST(window_start AS TIMESTAMP) AS window_start,
+                   n_events,
+                   round(v, 4) AS "real",
+                   round(n_events * COALESCE(mean_value, 0.0), 6) AS predict,
+                   round(CASE WHEN n_events * COALESCE(mean_value, 0.0) + v = 0
+                         THEN 0.0
+                         ELSE 2 * (n_events * COALESCE(mean_value, 0.0) - v)
+                              / (n_events * COALESCE(mean_value, 0.0) + v) END,
+                         6) AS deviation
+            FROM w LEFT JOIN bl ON w.event_type = bl.event_type
         """,
         "hotspot_element_stats": _hotspot_element_stats_sql(),
         "autoroot_nps": _autoroot_nps_sql(),

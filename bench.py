@@ -48,6 +48,11 @@ BENCH_QUERIES = [
     "squeeze_rca",
     "robustspot_scores",
     "robustspot_rca",
+    "hotspot_element_stats",
+    "autoroot_nps",
+    "squeeze_cluster_stats",
+    "riskloc_layer_scores",
+    "streaming_kpi",
 ]
 
 
