@@ -22,6 +22,14 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     At scale the scan already has >= defaultParallelism splits and this
     is a no-op — no shuffle is added."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        # metadata-only fast path: >= target files means >= target scan
+        # splits, so the common at-scale case never touches the RDD API
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
+    # small scan: exact split count via the (cheap at this size) RDD plan
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -192,12 +200,18 @@ def simhash_table(
     ]
     votes = toks.groupBy(id_col).agg(*aggs)
 
-    sh = F.lit(0)
-    for i in range(num_bits):
-        sh = sh.bitwiseOR(
-            F.when(F.col(f"__b{i}") > 0, F.lit(smask(i))).otherwise(F.lit(0))
-        )
-    return votes.select(F.col(id_col), sh.alias("sh"))
+    # balanced OR tree (depth log2(bits), not bits): a 64-deep linear
+    # chain measurably slows Catalyst's expression walks per invocation
+    terms = [
+        F.when(F.col(f"__b{i}") > 0, F.lit(smask(i))).otherwise(F.lit(0))
+        for i in range(num_bits)
+    ]
+    while len(terms) > 1:
+        terms = [
+            terms[j].bitwiseOR(terms[j + 1]) if j + 1 < len(terms) else terms[j]
+            for j in range(0, len(terms), 2)
+        ]
+    return votes.select(F.col(id_col), terms[0].alias("sh"))
 
 
 def simhash_dedup(
