@@ -660,6 +660,75 @@ def riskloc_layer_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join surface (TPC-H q4 shape adapted to the testdata schema):
+    orders in a quarter having at least one returned lineitem. The EXISTS
+    becomes a left-semi hash join — no duplication, no distinct."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    returned = l.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface: customers with no 1997 orders, per market
+    segment (NOT EXISTS -> left-anti hash join; the subquery filter is
+    pushed below the join build side)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP surface: (event_type, hour) hierarchy with subtotal and
+    grand-total rows — one pass, Spark expands grouping sets without
+    rescanning."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.hour("ts").cast("int").alias("hr"), "value")
+        .rollup("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction surface (stub kernel, deterministic):
+    Arrow-batched mapInPandas producing fixed-dim unit vectors; checked
+    rows-only (numpy-seeded kernel has no SQL twin)."""
+    from riskloc_spark.operators.multimodal import documents_as_media, media_features
+
+    d = documents_as_media(load_table(spark, sf_dir, "documents"))
+    out = media_features(d, dim=16)
+    return out.select(
+        "media_id",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x), 4).alias(
+            "sq_norm"
+        ),
+    )
+
+
 def streaming_kpi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming surface under the correctness gate: the
     windowed KPI stream (riskloc_spark.streaming.windowed_kpi_stream)
@@ -743,6 +812,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squeeze_cluster_stats": squeeze_cluster_stats_q,
         "riskloc_layer_scores": riskloc_layer_scores_q,
         "streaming_kpi": streaming_kpi_q,
+        "q4_priority_semi": q4_priority_semi,
+        "q_customers_without_orders": q_customers_without_orders,
+        "events_rollup": events_rollup,
+        "media_features": media_features_q,
     }
 
 
@@ -1362,6 +1435,36 @@ def oracle_sql() -> dict[str, str]:
                          / (((sv - k_real) / (n - 1)) - ((sf - k_predict) / (n - 1)))) + 1),
                          6) AS influence_degree
             FROM ad CROSS JOIN tot
+        """,
+        "q4_priority_semi": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+              )
+            GROUP BY o_orderpriority
+        """,
+        "q_customers_without_orders": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+            )
+            GROUP BY c_mktsegment
+        """,
+        "events_rollup": """
+            SELECT event_type,
+                   CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+                   COUNT(*) AS n_events,
+                   round(SUM(value), 4) AS sum_value
+            FROM events
+            GROUP BY ROLLUP(event_type, hr)
         """,
         "streaming_kpi": """
             WITH bl AS (

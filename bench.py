@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "squeeze_cluster_stats",
     "riskloc_layer_scores",
     "streaming_kpi",
+    "q4_priority_semi",
+    "q_customers_without_orders",
+    "events_rollup",
+    "media_features",
 ]
 
 
