@@ -128,3 +128,25 @@ def test_autoroot_distributed_job_count_is_constant(spark):
     # needed > 30 jobs on this instance (2 clusters x 3 cuboids x several
     # jobs each plus per-cluster counts).
     assert len(job_ids) <= 16, f"{len(job_ids)} jobs: {job_ids}"
+
+
+def test_semi_anti_join_plan_shapes(spark):
+    """EXISTS / NOT EXISTS surfaces compile to semi/anti hash joins with
+    the subquery filters pushed below the build side — not to distinct +
+    inner join."""
+    semi = plan_str(entry_mod.q4_priority_semi(spark, SF_DIR), "simple")
+    assert "LeftSemi" in semi
+    anti = plan_str(entry_mod.q_customers_without_orders(spark, SF_DIR), "simple")
+    assert "LeftAnti" in anti
+    # the 1997 filter sits below the anti join (pushed into the scan side)
+    assert "PushedFilters" in plan_str(
+        entry_mod.q_customers_without_orders(spark, SF_DIR), "formatted"
+    )
+
+
+def test_rollup_single_scan(spark):
+    """ROLLUP expands grouping sets from ONE scan of events — the plan
+    must contain a single parquet scan, not one per grouping set."""
+    plan = plan_str(entry_mod.events_rollup(spark, SF_DIR), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
