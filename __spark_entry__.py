@@ -572,7 +572,7 @@ def autoroot_nps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def squeeze_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """squeeze's locate pass 1 (operators/squeeze.py _locate_in_cuboid):
+    """squeeze's locate pass 1 (operators/squeeze.py _locate_all):
     per-element abnormal counts / descents / selected measure sums, with
     deterministic cluster (dev >= 0.1) and normal (|dev| < 0.05) predicates
     standing in for the density-cluster ranges."""

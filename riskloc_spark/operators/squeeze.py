@@ -4,9 +4,11 @@ Parity: reference algorithms/squeeze/ (squeeze.py, density_cluster.py,
 anomaly_amount_fileter.py). Spark-first division of labor:
 
 * leaf deviation scores, KPI filter metric, per-cuboid element stats and
-  partition scoring: distributed (the reference's per-partition scan of
-  (v1,a1)/(v2,f2) L1 distances becomes ONE agg with P conditional sums —
-  P <= max_num_elements_single_cluster);
+  partition scoring: distributed, fused across ALL (cluster, cuboid)
+  pairs (_locate_all): 2 stats jobs total plus one ps-score job per
+  cluster — the reference's per-partition scan of (v1,a1)/(v2,f2) L1
+  distances becomes conditional sums over descent-rank WHEN-chains,
+  P <= max_num_elements_single_cluster per cuboid;
 * 1-D density clustering over deviation values: driver-side numpy over
   DISTINCT (value, count) pairs — exact and bounded by
   ``max_driver_pairs``; past the bound a fixed-width histogram of the
@@ -267,116 +269,184 @@ def density_cluster_1d_weighted(
 # distributed locate
 # --------------------------------------------------------------------------
 
-def _locate_in_cuboid(
+def _div(x: float, y: float) -> float:
+    if y and y > 0:
+        return x / y
+    return 0.0 if x == 0 else float("inf")
+
+
+def _locate_all(
     df: DataFrame,
-    cuboid: list[str],
-    cluster_pred,
+    attributes: list[str],
+    ranges: list[tuple[float, float]],
     normal_pred,
     options: SqueezeOptions,
-) -> tuple[list[dict[str, str]], float]:
-    """Reference squeeze.py:136-239 with both passes distributed.
+) -> dict[tuple[int, int], tuple[list[dict[str, str]], float]]:
+    """Reference squeeze.py:136-239 for ALL (cluster, cuboid) pairs with
+    a CONSTANT number of jobs.
 
-    Pass 1: per-element abnormal counts + total descents + measure sums.
-    Pass 2: ONE agg computing, for every candidate partition size p, the
-    L1 terms of the ps score via conditional sums over the descent-rank.
+    Pass 1 (2 jobs, all clusters fused): every row explodes to one
+    (cuboid, element) pair; a single groupBy yields per-element descents
+    plus one conditional (abnormal count, V, F) triple per cluster, and a
+    second tiny agg counts elements per cuboid. Pass 2 (1 job per
+    cluster): descent-rank WHEN-chains for every cuboid's top elements
+    feed one groupBy(cid) computing the ps-score L1 terms for every
+    partition size p — versus the previous ~3 sequential jobs per
+    (cluster x cuboid). Returns {(cluster, cid): (rc, score)}; cid
+    indexes the all-layers cuboid enumeration.
     """
-    elem_cols = [F.col(d).cast("string").alias(d) for d in cuboid]
+    from riskloc_spark.plans.cuboid import ELEM_SEP, cuboids_of_layer
 
-    stats = (
-        df.select(
-            *elem_cols,
-            "real",
-            "predict",
-            cluster_pred.cast("int").alias("__abn"),
-            normal_pred.cast("int").alias("__norm"),
-        )
-        .groupBy(*cuboid)
-        .agg(
-            F.sum("__abn").alias("num_elements"),
-            F.count(F.lit(1)).alias("descents"),
-            F.sum(F.when(F.col("__abn") + F.col("__norm") > 0, F.col("real"))).alias("V_e"),
-            F.sum(F.when(F.col("__abn") + F.col("__norm") > 0, F.col("predict"))).alias(
-                "F_e"
+    cuboids = [
+        c
+        for layer in range(1, len(attributes) + 1)
+        for c in cuboids_of_layer(attributes, layer)
+    ]
+    n_cl = len(ranges)
+
+    cl = F.lit(None).cast("int")
+    for ci, (lo, hi) in enumerate(ranges):  # ranges are disjoint
+        cl = F.when(
+            (F.col("deviation") >= F.lit(lo)) & (F.col("deviation") <= F.lit(hi)),
+            F.lit(ci),
+        ).otherwise(cl)
+
+    structs = [
+        F.struct(
+            F.lit(i).alias("cid"),
+            F.concat_ws(ELEM_SEP, *[F.col(d).cast("string") for d in c]).alias(
+                "elem"
             ),
         )
-        .filter(F.col("num_elements") > 0)
-        .collect()
-    )
-    if not stats:
-        return [], float("-inf")
-
-    rows = sorted(
-        (r.asDict() for r in stats),
-        key=lambda r: r["num_elements"] / max(r["descents"], 1e-4),
-        reverse=True,
-    )
-    total_elements = (
-        df.select(*[F.col(d) for d in cuboid]).distinct().count()
-    )
-    n_partitions = min(
-        len(rows), options.max_num_elements_single_cluster, total_elements - 1
-    )
-    if n_partitions <= 0:
-        return [], float("-inf")
-
-    # rank map: element tuple -> descent rank (1-based); only the first
-    # n_partitions ranks are ever tested, so the WHEN-chain stays tiny
-    rank_expr = F.lit(None).cast("int")
-    for rank_i in range(min(len(rows), n_partitions), 0, -1):
-        r = rows[rank_i - 1]
-        cond = None
-        for d in cuboid:
-            eq = F.col(d).cast("string") == F.lit(str(r[d]))
-            cond = eq if cond is None else (cond & eq)
-        rank_expr = F.when(cond, F.lit(rank_i)).otherwise(rank_expr)
-
-    # prefix ratios r_p from element sums (driver, tiny)
-    v_prefix = np.cumsum([r["V_e"] or 0.0 for r in rows])
-    f_prefix = np.cumsum([r["F_e"] or 0.0 for r in rows])
-
-    sub = df.filter(cluster_pred | normal_pred).withColumn("__rank", rank_expr)
-    aggs = []
-    for p in range(1, n_partitions + 1):
-        r_p = float(v_prefix[p - 1] / f_prefix[p - 1]) if f_prefix[p - 1] else 0.0
-        in_p = F.col("__rank").isNotNull() & (F.col("__rank") <= p)
-        aggs.extend(
-            [
-                F.sum(
-                    F.when(in_p, F.abs(F.col("real") - F.col("predict") * F.lit(r_p)))
-                ).alias(f"d1_{p}"),
-                F.sum(F.when(in_p, F.lit(1))).alias(f"n1_{p}"),
-                F.sum(
-                    F.when(~in_p, F.abs(F.col("real") - F.col("predict")))
-                ).alias(f"d2_{p}"),
-                F.sum(F.when(~in_p, F.lit(1))).alias(f"n2_{p}"),
-                F.sum(
-                    F.when(in_p, F.abs(F.col("real") - F.col("predict")))
-                ).alias(f"b1_{p}"),
-            ]
-        )
-    terms = sub.agg(*aggs).first()
-
-    def div(x: float, y: float) -> float:
-        if y and y > 0:
-            return x / y
-        return 0.0 if x == 0 else float("inf")
-
-    best_p, best_score = 1, float("-inf")
-    for p in range(1, n_partitions + 1):
-        d1 = float(terms[f"d1_{p}"] or 0.0)
-        n1 = float(terms[f"n1_{p}"] or 0.0)
-        d2 = float(terms[f"d2_{p}"] or 0.0)
-        n2 = float(terms[f"n2_{p}"] or 0.0)
-        b1 = float(terms[f"b1_{p}"] or 0.0)
-        denom = div(b1, n1) + div(d2, n2)
-        score = 1 - (div(d1, n1) + div(d2, n2)) / denom if denom else float("-inf")
-        if score > best_score:
-            best_p, best_score = p, score
-
-    rc = [
-        {d: str(r[d]) for d in cuboid} for r in rows[:best_p]
+        for i, c in enumerate(cuboids)
     ]
-    return rc, best_score
+    ex = df.select(
+        F.explode(F.array(*structs)).alias("ce"),
+        "real",
+        "predict",
+        cl.alias("__cl"),
+        normal_pred.alias("__nm"),
+    ).select(
+        F.col("ce.cid").alias("cid"), F.col("ce.elem").alias("elem"),
+        "real", "predict", "__cl", "__nm",
+    )
+
+    aggs = [F.count(F.lit(1)).alias("descents")]
+    for c in range(n_cl):
+        sel = (F.col("__cl") == c) | F.col("__nm")
+        aggs += [
+            F.sum((F.col("__cl") == c).cast("int")).alias(f"ne_{c}"),
+            F.sum(F.when(sel, F.col("real"))).alias(f"V_{c}"),
+            F.sum(F.when(sel, F.col("predict"))).alias(f"F_{c}"),
+        ]
+    any_abn = None
+    for c in range(n_cl):
+        t = F.col(f"ne_{c}") > 0
+        any_abn = t if any_abn is None else (any_abn | t)
+    stats_rows = [
+        r.asDict()
+        for r in ex.groupBy("cid", "elem").agg(*aggs).filter(any_abn).collect()
+    ]
+    totals = {
+        r["cid"]: r["n"]
+        for r in ex.groupBy("cid").agg(F.countDistinct("elem").alias("n")).collect()
+    }
+
+    per_cid: dict[int, list[dict]] = {}
+    for r in stats_rows:
+        per_cid.setdefault(r["cid"], []).append(r)
+
+    results: dict[tuple[int, int], tuple[list[dict[str, str]], float]] = {}
+    for ci in range(n_cl):
+        # driver: per cuboid, descent-ratio-ranked top elements + prefixes
+        plan: dict[int, dict] = {}
+        for cid, rows in per_cid.items():
+            rows_c = [r for r in rows if r[f"ne_{ci}"] > 0]
+            if not rows_c:
+                continue
+            # elem-asc pre-sort makes ratio ties deterministic
+            rows_c.sort(key=lambda r: r["elem"])
+            rows_c.sort(
+                key=lambda r: r[f"ne_{ci}"] / max(r["descents"], 1e-4),
+                reverse=True,
+            )
+            n_partitions = min(
+                len(rows_c),
+                options.max_num_elements_single_cluster,
+                totals.get(cid, 0) - 1,
+            )
+            if n_partitions <= 0:
+                continue
+            top = rows_c[: int(n_partitions)]
+            v_prefix = np.cumsum([r[f"V_{ci}"] or 0.0 for r in rows_c])
+            f_prefix = np.cumsum([r[f"F_{ci}"] or 0.0 for r in rows_c])
+            plan[cid] = {
+                "top": top,
+                "n_partitions": int(n_partitions),
+                "r_p": [
+                    float(v_prefix[p - 1] / f_prefix[p - 1]) if f_prefix[p - 1] else 0.0
+                    for p in range(1, int(n_partitions) + 1)
+                ],
+            }
+        if not plan:
+            continue
+
+        # combined rank WHEN-chain: (cid, elem) -> descent rank
+        rank_expr = F.lit(None).cast("int")
+        for cid, info in plan.items():
+            for rank_i in range(len(info["top"]), 0, -1):
+                cond = (F.col("cid") == cid) & (
+                    F.col("elem") == F.lit(info["top"][rank_i - 1]["elem"])
+                )
+                rank_expr = F.when(cond, F.lit(rank_i)).otherwise(rank_expr)
+
+        p_max = max(info["n_partitions"] for info in plan.values())
+        sub = ex.filter((F.col("__cl") == ci) | F.col("__nm")).withColumn(
+            "__rank", rank_expr
+        )
+        aggs2 = []
+        for p in range(1, p_max + 1):
+            # r_p varies per cuboid: a tiny WHEN-chain over cid literals
+            rp = F.lit(None).cast("double")
+            for cid, info in plan.items():
+                if p <= info["n_partitions"]:
+                    rp = F.when(F.col("cid") == cid, F.lit(info["r_p"][p - 1])).otherwise(rp)
+            in_p = F.col("__rank").isNotNull() & (F.col("__rank") <= p)
+            aggs2 += [
+                F.sum(F.when(in_p, F.abs(F.col("real") - F.col("predict") * rp))).alias(f"d1_{p}"),
+                F.sum(F.when(in_p, F.lit(1))).alias(f"n1_{p}"),
+                F.sum(F.when(~in_p, F.abs(F.col("real") - F.col("predict")))).alias(f"d2_{p}"),
+                F.sum(F.when(~in_p, F.lit(1))).alias(f"n2_{p}"),
+                F.sum(F.when(in_p, F.abs(F.col("real") - F.col("predict")))).alias(f"b1_{p}"),
+            ]
+        terms = {r["cid"]: r for r in sub.groupBy("cid").agg(*aggs2).collect()}
+
+        for cid, info in plan.items():
+            t = terms.get(cid)
+            if t is None:
+                continue
+            best_p, best_score = 1, float("-inf")
+            for p in range(1, info["n_partitions"] + 1):
+                d1 = float(t[f"d1_{p}"] or 0.0)
+                n1 = float(t[f"n1_{p}"] or 0.0)
+                d2 = float(t[f"d2_{p}"] or 0.0)
+                n2 = float(t[f"n2_{p}"] or 0.0)
+                b1 = float(t[f"b1_{p}"] or 0.0)
+                denom = _div(b1, n1) + _div(d2, n2)
+                score = (
+                    1 - (_div(d1, n1) + _div(d2, n2)) / denom
+                    if denom
+                    else float("-inf")
+                )
+                if score > best_score:
+                    best_p, best_score = p, score
+            cuboid = cuboids[cid]
+            rc = [
+                dict(zip(cuboid, r["elem"].split(ELEM_SEP)))
+                for r in info["top"][:best_p]
+            ]
+            results[(ci, cid)] = (rc, best_score)
+    return results
 
 
 def _locate_in_cuboid_local(
@@ -403,6 +473,9 @@ def _locate_in_cuboid_local(
     if not len(stats):
         return [], float("-inf")
 
+    # element-key pre-sort, then stable ratio sort: same deterministic
+    # tie order as the distributed _locate_all ranking
+    stats = stats.sort_index()
     order = (stats["num_elements"] / stats["descents"].clip(lower=1e-4)).sort_values(
         ascending=False, kind="stable"
     )
@@ -713,17 +786,20 @@ def squeeze(
 
         from riskloc_spark.plans.cuboid import cuboids_of_layer
 
+        # fused locate: constant job count for ALL (cluster, cuboid)
+        # pairs; the per-layer early break is emulated on the driver
+        # (ret_lists truncated at the first layer containing a score
+        # above ps_upper_bound — identical contents to the sequential
+        # loop that stopped computing there)
+        located = _locate_all(df, attributes, ranges, normal_pred, options)
+
         root_causes: list[str] = []
-        for lo, hi in ranges:
-            cluster_pred = (F.col("deviation") >= F.lit(lo)) & (
-                F.col("deviation") <= F.lit(hi)
-            )
+        for ci in range(len(ranges)):
             ret_lists: list[dict[str, Any]] = []
+            idx = 0
             for layer in range(1, len(attributes) + 1):
-                for cuboid in cuboids_of_layer(attributes, layer):
-                    rc, score = _locate_in_cuboid(
-                        df, cuboid, cluster_pred, normal_pred, options
-                    )
+                for _cuboid in cuboids_of_layer(attributes, layer):
+                    rc, score = located.get((ci, idx), ([], float("-inf")))
                     ret_lists.append(
                         {
                             "rc": rc,
@@ -733,6 +809,7 @@ def squeeze(
                             "rank": score * score_weight - len(rc) * layer,
                         }
                     )
+                    idx += 1
                 if any(r["score"] > options.ps_upper_bound for r in ret_lists):
                     break
             ret_lists.sort(key=lambda r: r["rank"], reverse=True)

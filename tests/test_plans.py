@@ -150,3 +150,41 @@ def test_rollup_single_scan(spark):
     plan = plan_str(entry_mod.events_rollup(spark, SF_DIR), "simple")
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan
+
+
+def test_squeeze_distributed_job_count_is_constant(spark):
+    """The fused locate costs a constant number of actions (KPI pairs,
+    deviation pairs, stats, per-cuboid totals, countDistinct weights,
+    and one ps-score job per cluster) — the old path ran ~3 jobs per
+    (cluster x cuboid)."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from riskloc_spark.operators.squeeze import squeeze
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for a, b, c in itertools.product(
+        [f"a{i}" for i in range(4)], [f"b{i}" for i in range(4)],
+        [f"c{i}" for i in range(6)],
+    ):
+        predict = float(rng.uniform(80, 120))
+        real = predict * (1 + rng.uniform(-0.02, 0.02))
+        if (a, b) == ("a1", "b2"):
+            real = predict * (1 - 0.75 - rng.uniform(0, 0.05))
+        rows.append((a, b, c, real, predict))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["a", "b", "c", "real", "predict"])
+    )
+
+    sc = spark.sparkContext
+    sc.setJobGroup("squeeze-jobcount", "distributed squeeze")
+    causes = squeeze(df, ["a", "b", "c"], driver_rows=None)
+    job_ids = sc.statusTracker().getJobIdsForGroup("squeeze-jobcount")
+    sc.setJobGroup("", "")
+    assert causes and "a=a1" in ";".join(causes)
+    # ~8 actions (+ AQE stage-splitting headroom); the pre-fix path ran
+    # > 40 jobs on this 7-cuboid instance
+    assert len(job_ids) <= 24, f"{len(job_ids)} jobs: {job_ids}"
