@@ -262,30 +262,15 @@ def _refine_and_dedupe(explanatory_set, dimensions, make_child):
 # recursion runs vectorized locally; parity-tested vs the distributed path.
 # --------------------------------------------------------------------------
 
-def _scored_elements_pd(pdf, dimensions: list[str], derived: bool):
-    """pandas mirror of _scored_elements (merge_dimensions + EP + surprise
-    with merged_divide=len(dimensions)) — same formulas and guards."""
+def _score_element_frame(el, n_dims: int, derived: bool):
+    """EP + surprise (merged_divide=n_dims) over a merged element frame
+    with summed measures — the scoring half of _scored_elements, shared
+    by the pandas fast-path and the fused distributed recursion."""
     import numpy as np
-    import pandas as pd
 
-    measures = (
-        ["real_a", "real_b", "predict_a", "predict_b"] if derived else ["real", "predict"]
-    )
-    parts = []
-    for d in dimensions:
-        g = (
-            pdf.groupby(pdf[d].astype(str), sort=False)[measures]
-            .sum()
-            .reset_index(names="element")
-        )
-        g["dimension"] = d
-        parts.append(g)
-    el = pd.concat(parts, ignore_index=True)
     if derived:
         el["predict"] = el["predict_a"] / el["predict_b"]
         el["real"] = el["real_a"] / el["real_b"]
-
-    if derived:
         Fa, Fb = el["predict_a"].sum(), el["predict_b"].sum()
         n = (el["real_a"] - el["predict_a"]) * Fb - (el["real_b"] - el["predict_b"]) * Fa
         d_ = Fb * (Fb + el["real_b"] - el["predict_b"])
@@ -295,11 +280,9 @@ def _scored_elements_pd(pdf, dimensions: list[str], derived: bool):
         A, Ff = el["real"].sum(), el["predict"].sum()
         el["ep"] = (el["real"] - el["predict"]) / (A - Ff)
 
-    divide = len(dimensions)
-
     def surprise_term(real_col, predict_col, F_tot, A_tot):
-        p = el[predict_col] / (F_tot / divide)
-        q = el[real_col] / (A_tot / divide)
+        p = el[predict_col] / (F_tot / n_dims)
+        q = el[real_col] / (A_tot / n_dims)
         with np.errstate(divide="ignore", invalid="ignore"):
             p_term = np.where(
                 (p == 0) | (p + q == 0), 0.0, p * np.log(2.0 * p / (p + q))
@@ -320,8 +303,31 @@ def _scored_elements_pd(pdf, dimensions: list[str], derived: bool):
     return el
 
 
-def _rev_adtributor_pd(pdf, dimensions, teep, k, derived):
-    el = _scored_elements_pd(pdf, dimensions, derived)
+def _scored_elements_pd(pdf, dimensions: list[str], derived: bool):
+    """pandas mirror of _scored_elements (merge_dimensions + EP + surprise
+    with merged_divide=len(dimensions)) — same formulas and guards."""
+    import pandas as pd
+
+    measures = (
+        ["real_a", "real_b", "predict_a", "predict_b"] if derived else ["real", "predict"]
+    )
+    parts = []
+    for d in dimensions:
+        g = (
+            pdf.groupby(pdf[d].astype(str), sort=False)[measures]
+            .sum()
+            .reset_index(names="element")
+        )
+        g["dimension"] = d
+        parts.append(g)
+    el = pd.concat(parts, ignore_index=True)
+    return _score_element_frame(el, len(dimensions), derived)
+
+
+def _rev_candidates_from_elements(el, dimensions, teep, k):
+    """rev_adtributor candidate selection over a scored element frame:
+    ep > teep, strict subset of the dimension's elements, top-k dims by
+    candidate surprise (dimension-asc tiebreak)."""
     causes = []
     for dim in dimensions:
         g = el[el["dimension"] == dim]
@@ -340,6 +346,11 @@ def _rev_adtributor_pd(pdf, dimensions, teep, k, derived):
     return causes[:k]
 
 
+def _rev_adtributor_pd(pdf, dimensions, teep, k, derived):
+    el = _scored_elements_pd(pdf, dimensions, derived)
+    return _rev_candidates_from_elements(el, dimensions, teep, k)
+
+
 def _rev_rec_adtributor_pd(pdf, dimensions, teep, k, derived):
     explanatory_set = _rev_adtributor_pd(pdf, dimensions, teep, k, derived)
 
@@ -348,6 +359,96 @@ def _rev_rec_adtributor_pd(pdf, dimensions, teep, k, derived):
         return _rev_rec_adtributor_pd(sub, remaining, teep, k, derived)
 
     return _refine_and_dedupe(explanatory_set, dimensions, make_child)
+
+
+def _rev_rec_distributed_fused(df, dimensions, teep, k, derived):
+    """Distributed rev_rec_adtributor with ONE explode job per recursion
+    DEPTH (not per candidate element): every live branch's sub-frame
+    element sums are computed together — each row fans out to one
+    (branch, dim, value) struct per matching branch context — and the
+    reverse-adtributor candidate selection runs on the (tiny) collected
+    sums. The driver then replays the reference's refine/merge semantics
+    over the precomputed tree. Jobs = recursion depth, versus
+    O(k * elements^depth) sequential aggregations before."""
+    import copy
+
+    import pandas as pd
+
+    measures = (
+        ["real_a", "real_b", "predict_a", "predict_b"] if derived else ["real", "predict"]
+    )
+
+    # node: (id, context [(dim, val), ...], dims list)
+    nodes = {0: ([], sorted(dimensions))}
+    computed: dict[int, list[dict[str, Any]]] = {}
+    children: dict[tuple[int, str, str], int] = {}
+    level = [0]
+    next_id = 1
+
+    while level:
+        structs = []
+        for nid in level:
+            ctx, dims = nodes[nid]
+            pred = None
+            for d, v in ctx:
+                eq = F.col(d).cast("string") == F.lit(v)
+                pred = eq if pred is None else (pred & eq)
+            for d in dims:
+                s = F.struct(
+                    F.lit(nid).alias("nid"),
+                    F.lit(d).alias("dim"),
+                    F.col(d).cast("string").alias("element"),
+                )
+                structs.append(s if pred is None else F.when(pred, s))
+
+        ex = (
+            df.select(F.explode(F.array(*structs)).alias("ce"), *measures)
+            .filter(F.col("ce").isNotNull())
+            .groupBy("ce.nid", "ce.dim", "ce.element")
+            .agg(*[F.sum(m).alias(m) for m in measures])
+        )
+        rows = ex.collect()
+
+        by_node: dict[int, list] = {}
+        for r in rows:
+            by_node.setdefault(r["nid"], []).append(r)
+        new_level = []
+        for nid in level:
+            ctx, dims = nodes[nid]
+            node_rows = by_node.get(nid, [])
+            if not node_rows:
+                computed[nid] = []
+                continue
+            el = pd.DataFrame(
+                [[r["dim"], r["element"], *[r[m] for m in measures]] for r in node_rows],
+                columns=["dimension", "element", *measures],
+            )
+            el = _score_element_frame(el, len(dims), derived)
+            cands = _rev_candidates_from_elements(el, dims, teep, k)
+            computed[nid] = cands
+            for cand in cands:
+                remaining = sorted(set(dims) - {cand["dimension"]})
+                if not remaining:
+                    continue
+                for element in cand["elements"]:
+                    cid = next_id
+                    next_id += 1
+                    nodes[cid] = (ctx + [(cand["dimension"], element)], remaining)
+                    children[(nid, cand["dimension"], element)] = cid
+                    new_level.append(cid)
+        level = new_level
+
+    def build(nid: int) -> list[dict[str, Any]]:
+        ctx, dims = nodes[nid]
+        expl = copy.deepcopy(computed[nid])
+
+        def make_child(cand_set, element, remaining):
+            cid = children.get((nid, cand_set["dimension"], element[0]))
+            return build(cid) if cid is not None else []
+
+        return _refine_and_dedupe(expl, dims, make_child)
+
+    return build(0)
 
 
 def rev_rec_adtributor(
@@ -365,10 +466,11 @@ def rev_rec_adtributor(
 
     Adaptive like riskloc: when the leaf frame is driver-sized (cheap
     limit-probe fused with the collect), the whole recursion runs
-    vectorized on pandas — it otherwise launches a full element
-    aggregation per candidate element per depth. ``driver_rows=None``
-    forces the distributed recursion; both paths share the recursion body
-    (_refine_and_dedupe) and are parity-tested."""
+    vectorized on pandas. ``driver_rows=None`` forces the distributed
+    path, where each recursion DEPTH is one fused explode job across all
+    live branches (_rev_rec_distributed_fused). Both paths share the
+    recursion body (_refine_and_dedupe) and the candidate-selection /
+    scoring code, and are parity-tested."""
     if driver_rows is not None:
         measures = (
             ["real_a", "real_b", "predict_a", "predict_b"]
@@ -383,14 +485,4 @@ def rev_rec_adtributor(
         if len(pdf) <= driver_rows:
             return _rev_rec_adtributor_pd(pdf, dimensions, teep, k, derived)
 
-    explanatory_set = rev_adtributor(df, dimensions, teep, k, derived)
-
-    def make_child(cand_set, element, remaining):
-        sub = df.filter(
-            F.col(cand_set["dimension"]).cast("string") == element[0]
-        )
-        return rev_rec_adtributor(
-            sub, remaining, teep, k, derived, driver_rows=driver_rows
-        )
-
-    return _refine_and_dedupe(explanatory_set, dimensions, make_child)
+    return _rev_rec_distributed_fused(df, dimensions, teep, k, derived)

@@ -188,3 +188,36 @@ def test_squeeze_distributed_job_count_is_constant(spark):
     # ~8 actions (+ AQE stage-splitting headroom); the pre-fix path ran
     # > 40 jobs on this 7-cuboid instance
     assert len(job_ids) <= 24, f"{len(job_ids)} jobs: {job_ids}"
+
+
+def test_rev_rec_distributed_job_count_is_depth_bound(spark):
+    """The fused recursion runs ONE explode job per depth across all
+    branches — the old path ran a full element aggregation per candidate
+    element per depth."""
+    import numpy as np
+    import pandas as pd
+
+    from riskloc_spark.operators.adtributor import rev_rec_adtributor
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for a in range(5):
+        for b in range(4):
+            predict = float(rng.uniform(80, 120))
+            real = predict
+            if a == 2:
+                real = predict * 0.3
+            rows.append((f"a{a}", f"b{b}", real, predict))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["a", "b", "real", "predict"])
+    )
+
+    sc = spark.sparkContext
+    sc.setJobGroup("revrec-jobcount", "distributed rev_rec")
+    causes = rev_rec_adtributor(df, ["a", "b"], driver_rows=None)
+    job_ids = sc.statusTracker().getJobIdsForGroup("revrec-jobcount")
+    sc.setJobGroup("", "")
+    flat = [e for cs in causes for el in cs["elements"] for e in el]
+    assert "a2" in flat
+    # 2 depths -> 2 actions (+ AQE stage-splitting headroom)
+    assert len(job_ids) <= 8, f"{len(job_ids)} jobs: {job_ids}"
