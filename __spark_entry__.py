@@ -660,6 +660,22 @@ def riskloc_layer_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adtributor_elements_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-measure adtributor element scoring: merge_dimensions with
+    a/b measure sums, derived EP (normalized) and derived surprise with
+    the merged divide — the derived twin of adtributor_elements."""
+    df = rca_events_derived(spark, sf_dir)
+    el = merge_dimensions(df, RCA_ATTRIBUTES, derived=True)
+    el = add_explanatory_power(el, derived=True)
+    el = add_surprise(el, derived=True, merged_divide=len(RCA_ATTRIBUTES))
+    return el.select(
+        "dimension",
+        "element",
+        F.round("ep", 6).alias("ep"),
+        F.round("surprise", 6).alias("surprise"),
+    )
+
+
 def q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-join surface (TPC-H q4 shape adapted to the testdata schema):
     orders in a quarter having at least one returned lineitem. The EXISTS
@@ -812,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squeeze_cluster_stats": squeeze_cluster_stats_q,
         "riskloc_layer_scores": riskloc_layer_scores_q,
         "streaming_kpi": streaming_kpi_q,
+        "adtributor_elements_derived": adtributor_elements_derived,
         "q4_priority_semi": q4_priority_semi,
         "q_customers_without_orders": q_customers_without_orders,
         "events_rollup": events_rollup,
@@ -1435,6 +1452,57 @@ def oracle_sql() -> dict[str, str]:
                          / (((sv - k_real) / (n - 1)) - ((sf - k_predict) / (n - 1)))) + 1),
                          6) AS influence_degree
             FROM ad CROSS JOIN tot
+        """,
+        "adtributor_elements_derived": f"""
+            WITH rcad AS ({RCA_EVENTS_DERIVED_SQL}),
+            el AS (
+              SELECT CAST(event_type AS VARCHAR) AS element, 'event_type' AS dimension,
+                     SUM(real_a) AS real_a, SUM(real_b) AS real_b,
+                     SUM(predict_a) AS predict_a, SUM(predict_b) AS predict_b
+              FROM rcad GROUP BY 1
+              UNION ALL
+              SELECT CAST(hr AS VARCHAR), 'hr', SUM(real_a), SUM(real_b),
+                     SUM(predict_a), SUM(predict_b) FROM rcad GROUP BY 1
+              UNION ALL
+              SELECT CAST(ub AS VARCHAR), 'ub', SUM(real_a), SUM(real_b),
+                     SUM(predict_a), SUM(predict_b) FROM rcad GROUP BY 1
+            ),
+            tot AS (
+              SELECT SUM(predict_a) AS Fa, SUM(predict_b) AS Fb,
+                     SUM(real_a) AS Aa, SUM(real_b) AS Ab
+              FROM el
+            ),
+            raw AS (
+              SELECT el.*, t.Fa, t.Fb, t.Aa, t.Ab,
+                     ((real_a - predict_a) * t.Fb - (real_b - predict_b) * t.Fa)
+                       / (t.Fb * (t.Fb + real_b - predict_b)) AS ep_raw
+              FROM el CROSS JOIN tot t
+            ),
+            eps AS (SELECT SUM(ep_raw) AS ep_sum FROM raw)
+            SELECT dimension, element,
+                   round(ep_raw / e.ep_sum, 6) AS ep,
+                   round(
+                     0.5 * (
+                       CASE WHEN predict_a / (Fa / 3.0) = 0
+                                 OR (predict_a / (Fa / 3.0) + real_a / (Aa / 3.0)) = 0 THEN 0.0
+                            ELSE (predict_a / (Fa / 3.0)) * ln(2 * (predict_a / (Fa / 3.0))
+                                 / (predict_a / (Fa / 3.0) + real_a / (Aa / 3.0))) END
+                       + CASE WHEN real_a / (Aa / 3.0) = 0
+                                   OR (predict_a / (Fa / 3.0) + real_a / (Aa / 3.0)) = 0 THEN 0.0
+                              ELSE (real_a / (Aa / 3.0)) * ln(2 * (real_a / (Aa / 3.0))
+                                   / (predict_a / (Fa / 3.0) + real_a / (Aa / 3.0))) END
+                     )
+                     + 0.5 * (
+                       CASE WHEN predict_b / (Fb / 3.0) = 0
+                                 OR (predict_b / (Fb / 3.0) + real_b / (Ab / 3.0)) = 0 THEN 0.0
+                            ELSE (predict_b / (Fb / 3.0)) * ln(2 * (predict_b / (Fb / 3.0))
+                                 / (predict_b / (Fb / 3.0) + real_b / (Ab / 3.0))) END
+                       + CASE WHEN real_b / (Ab / 3.0) = 0
+                                   OR (predict_b / (Fb / 3.0) + real_b / (Ab / 3.0)) = 0 THEN 0.0
+                              ELSE (real_b / (Ab / 3.0)) * ln(2 * (real_b / (Ab / 3.0))
+                                   / (predict_b / (Fb / 3.0) + real_b / (Ab / 3.0))) END
+                     ), 6) AS surprise
+            FROM raw CROSS JOIN eps e
         """,
         "q4_priority_semi": """
             SELECT o_orderpriority, COUNT(*) AS order_count
