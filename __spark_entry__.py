@@ -660,6 +660,20 @@ def riskloc_layer_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def robustspot_ca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robustspot's contribution-ability interior (operators/robustspot.py
+    add_contribution_ability over the derived adapt_frame) — with
+    influence degree (robustspot_scores) this puts both of the mining
+    loop's scoring columns under the gate."""
+    from riskloc_spark.operators.robustspot import add_contribution_ability
+
+    df = adapt_frame(rca_events_derived(spark, sf_dir), derived=True)
+    out = add_contribution_ability(df)
+    return out.select(
+        "event_type", "hr", "ub", F.round("CA", 6).alias("ca")
+    )
+
+
 def adtributor_elements_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived-measure adtributor element scoring: merge_dimensions with
     a/b measure sums, derived EP (normalized) and derived surprise with
@@ -829,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "riskloc_layer_scores": riskloc_layer_scores_q,
         "streaming_kpi": streaming_kpi_q,
         "adtributor_elements_derived": adtributor_elements_derived,
+        "robustspot_ca": robustspot_ca_q,
         "q4_priority_semi": q4_priority_semi,
         "q_customers_without_orders": q_customers_without_orders,
         "events_rollup": events_rollup,
@@ -1451,6 +1466,28 @@ def oracle_sql() -> dict[str, str]:
                    round(1 - 1 / (abs((k_real - k_predict)
                          / (((sv - k_real) / (n - 1)) - ((sf - k_predict) / (n - 1)))) + 1),
                          6) AS influence_degree
+            FROM ad CROSS JOIN tot
+        """,
+        "robustspot_ca": f"""
+            WITH rcad AS ({RCA_EVENTS_DERIVED_SQL}),
+            ad AS (
+              SELECT event_type, hr, ub,
+                     real_b - real_a AS value_real,
+                     predict_b - predict_a AS value_predict,
+                     real_b AS cnt_real, predict_b AS cnt_predict
+              FROM rcad
+              WHERE real_a > 0 OR predict_a > 0 OR real_b > 0 OR predict_b > 0
+            ),
+            tot AS (
+              SELECT SUM(value_predict) AS fm, SUM(cnt_predict) AS fd FROM ad
+            )
+            SELECT event_type, hr, ub,
+                   round(CASE WHEN fm = 0 OR (cnt_real + fd - cnt_predict) = 0
+                         THEN 0.0
+                         ELSE (fd / fm)
+                              * ((value_real + (fm - value_predict))
+                                 / (cnt_real + (fd - cnt_predict))) - 1.0
+                         END, 6) AS ca
             FROM ad CROSS JOIN tot
         """,
         "adtributor_elements_derived": f"""
