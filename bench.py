@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "q_customers_without_orders",
     "events_rollup",
     "media_features",
+    "adtributor_elements_derived",
+    "robustspot_ca",
 ]
 
 

@@ -81,6 +81,21 @@ def test_squeeze_driver_vs_distributed_parity(spark):
     assert fast == dist
 
 
+def test_squeeze_multi_cluster_distributed_parity(spark):
+    """Parity with TWO deviation clusters (opposite directions): the
+    fused locate's per-cluster conditional columns must reproduce the
+    fast path exactly."""
+    pdf = make_instance()
+    mask = (pdf["a"] == "a3") & (pdf["b"] == "b0")
+    pdf.loc[mask, "real"] = pdf.loc[mask, "predict"] * 1.9
+    df = spark.createDataFrame(pdf)
+    fast = squeeze(df, ["a", "b", "c"])
+    dist = squeeze(df, ["a", "b", "c"], driver_rows=None)
+    assert fast == dist
+    joined = ";".join(fast)
+    assert "a=a1" in joined and "a=a3" in joined
+
+
 def _rand_arrays(seed, n=400):
     rng = np.random.default_rng(seed)
     # duplicated values so weights > 1 actually occur
