@@ -339,47 +339,75 @@ def _locate_all(
             F.sum(F.when(sel, F.col("real"))).alias(f"V_{c}"),
             F.sum(F.when(sel, F.col("predict"))).alias(f"F_{c}"),
         ]
-    any_abn = None
-    for c in range(n_cl):
-        t = F.col(f"ne_{c}") > 0
-        any_abn = t if any_abn is None else (any_abn | t)
-    stats_rows = [
-        r.asDict()
-        for r in ex.groupBy("cid", "elem").agg(*aggs).filter(any_abn).collect()
-    ]
+    from pyspark.sql import Window
+
+    # melt per-cluster columns, then keep only each (cluster, cuboid)'s
+    # top elements by descent ratio: ranks AND ripple-ratio prefixes both
+    # stop at n_partitions <= max_num_elements_single_cluster, so the
+    # driver transfer is bounded by #clusters x #cuboids x that cap
+    # regardless of element cardinality (n_rows rides along for the
+    # n_partitions bound)
+    stats = ex.groupBy("cid", "elem").agg(*aggs)
+    melted = (
+        stats.select(
+            "cid",
+            "elem",
+            "descents",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("cluster"),
+                            F.col(f"ne_{c}").alias("ne"),
+                            F.col(f"V_{c}").alias("V"),
+                            F.col(f"F_{c}").alias("Fv"),
+                        )
+                        for c in range(n_cl)
+                    ]
+                )
+            ).alias("cx"),
+        )
+        .select("cid", "elem", "descents", "cx.cluster", "cx.ne", "cx.V", "cx.Fv")
+        .filter(F.col("ne") > 0)
+    )
+    ratio = F.col("ne") / F.greatest(F.col("descents"), F.lit(1e-4))
+    w_rank = Window.partitionBy("cluster", "cid").orderBy(
+        ratio.desc(), F.col("elem").asc()
+    )
+    w_all = Window.partitionBy("cluster", "cid")
+    cap = int(options.max_num_elements_single_cluster)
+    top_rows = (
+        melted.withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__n_rows", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("__rn") <= cap)
+        .collect()
+    )
     totals = {
         r["cid"]: r["n"]
         for r in ex.groupBy("cid").agg(F.countDistinct("elem").alias("n")).collect()
     }
 
-    per_cid: dict[int, list[dict]] = {}
-    for r in stats_rows:
-        per_cid.setdefault(r["cid"], []).append(r)
+    per_key: dict[tuple[int, int], list] = {}
+    for r in top_rows:
+        per_key.setdefault((r["cluster"], r["cid"]), []).append(r)
 
     results: dict[tuple[int, int], tuple[list[dict[str, str]], float]] = {}
     for ci in range(n_cl):
-        # driver: per cuboid, descent-ratio-ranked top elements + prefixes
         plan: dict[int, dict] = {}
-        for cid, rows in per_cid.items():
-            rows_c = [r for r in rows if r[f"ne_{ci}"] > 0]
-            if not rows_c:
+        for (cluster, cid), rows_c in per_key.items():
+            if cluster != ci:
                 continue
-            # elem-asc pre-sort makes ratio ties deterministic
-            rows_c.sort(key=lambda r: r["elem"])
-            rows_c.sort(
-                key=lambda r: r[f"ne_{ci}"] / max(r["descents"], 1e-4),
-                reverse=True,
-            )
+            rows_c = sorted(rows_c, key=lambda r: r["__rn"])
             n_partitions = min(
-                len(rows_c),
+                rows_c[0]["__n_rows"],
                 options.max_num_elements_single_cluster,
                 totals.get(cid, 0) - 1,
             )
             if n_partitions <= 0:
                 continue
             top = rows_c[: int(n_partitions)]
-            v_prefix = np.cumsum([r[f"V_{ci}"] or 0.0 for r in rows_c])
-            f_prefix = np.cumsum([r[f"F_{ci}"] or 0.0 for r in rows_c])
+            v_prefix = np.cumsum([r["V"] or 0.0 for r in top])
+            f_prefix = np.cumsum([r["Fv"] or 0.0 for r in top])
             plan[cid] = {
                 "top": top,
                 "n_partitions": int(n_partitions),
