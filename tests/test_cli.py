@@ -227,3 +227,40 @@ def test_cli_directory_batch_run(tmp_path):
     assert len(summary) == 1
     assert summary.loc[0, "Dataset"] == "S"
     assert summary.loc[0, "F1-score"] == 1.0
+
+
+def test_directory_batch_rs_dataset(spark, tmp_path):
+    """RS dataset folder in batch mode: anomaly.yaml supplies timestamps
+    and labels, the RobustSpot reader and flip semantics apply."""
+    from riskloc_spark.cli import run_directory
+
+    ts = 1_700_000_000
+    rng = np.random.default_rng(12)
+    d = tmp_path / "data" / "RS"
+    d.mkdir(parents=True)
+    rows = []
+    for i in range(6):
+        t = ts - i * 60
+        for cdn in ["cdn1", "cdn2", "cdn3"]:
+            for bitrate in ["hd", "sd"]:
+                total = 100.0
+                ok = total * (0.95 + rng.uniform(-0.01, 0.01))
+                if cdn == "cdn2" and i == 0:
+                    ok = total * 0.2
+                rows.append((t, cdn, bitrate, round(ok, 2), total))
+    pd.DataFrame(rows, columns=["min", "cdn", "bitrate", "value", "cnt"]).to_csv(
+        d / "1001.csv", index=False
+    )
+    (d / "anomaly.yaml").write_text(
+        f"- data: '1001'\n  timestamp: {ts}\n  cause:\n  - cdn: cdn2\n"
+    )
+
+    all_df, summary = run_directory(
+        spark, str(tmp_path / "data"), "robustspot",
+        {"k": 3, "lambda_amplification": 100,
+         "contribution_ability_threshold": 0.0, "confidence_threshold": 0.8},
+        derived_flag=None, suffix="", output_dir=str(tmp_path / "res"),
+    )
+    assert len(all_df) == 1
+    assert summary.loc[0, "Dataset"] == "RS"
+    assert summary.loc[0, "TP"] >= 1, all_df
