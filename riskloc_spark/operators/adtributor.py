@@ -402,7 +402,10 @@ def _rev_rec_distributed_fused(df, dimensions, teep, k, derived):
                 structs.append(s if pred is None else F.when(pred, s))
 
         ex = (
-            df.select(F.explode(F.array(*structs)).alias("ce"), *measures)
+            df.select(
+                F.explode(F.array(*structs)).alias("ce"),
+                *[F.col(m).cast("double").alias(m) for m in measures],
+            )
             .filter(F.col("ce").isNotNull())
             .groupBy("ce.nid", "ce.dim", "ce.element")
             .agg(*[F.sum(m).alias(m) for m in measures])
