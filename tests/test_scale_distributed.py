@@ -1,0 +1,55 @@
+"""Scale-path capstone: the DISTRIBUTED searches on a leaf frame larger
+than driver_rows, so the adaptive fast-path cannot engage — this is the
+code that runs at 100x, end to end.
+
+562,500 leaves (30x30x25x25) exceed the 200k driver bound; riskloc takes
+the fused explode-per-layer path and autoroot the fused
+all-clusters-one-job path, with the KDE fitting on bounded
+(deviation, count) pairs. Both must localize the planted layer-2 cause
+exactly. (~30s on local[4]; squeeze's distributed locate also passes on
+this instance but takes ~90s, so it is exercised at this size only by
+the parity/job-count tests.)"""
+import pytest
+
+from riskloc_spark.evaluation import root_cause_postprocessing
+from riskloc_spark.generator import generate_rca_instance
+
+DIMS = {"a": 30, "b": 30, "c": 25, "d": 25}
+
+
+@pytest.fixture(scope="module")
+def big_instance(spark):
+    # seed 13 plants a layer-2 anomaly (b24 & c6) covering 750 leaves
+    df, label, _ = generate_rca_instance(
+        spark,
+        DIMS,
+        seed=13,
+        zero_rate=(0.0, 0.0),
+        noise_level=(0.0, 0.05),
+        anomaly_severity=(0.7, 0.9),
+        num_anomaly=(1, 1),
+        num_anomaly_elements=(1, 1),
+    )
+    df = df.persist()
+    assert label == "b=b24&c=c6"
+    assert df.count() == 562_500
+    yield df, label
+    df.unpersist()
+
+
+def test_riskloc_distributed_at_562k_leaves(spark, big_instance):
+    from riskloc_spark.operators.riskloc import riskloc
+
+    df, label = big_instance
+    causes = riskloc(df, list(DIMS), risk_threshold=0.3)
+    preds = root_cause_postprocessing(causes, "riskloc")
+    assert label in preds, preds
+
+
+def test_autoroot_distributed_at_562k_leaves(spark, big_instance):
+    from riskloc_spark.operators.autoroot import autoroot
+
+    df, label = big_instance
+    causes = autoroot(df, list(DIMS))
+    preds = root_cause_postprocessing(causes, "autoroot")
+    assert label in preds, preds
