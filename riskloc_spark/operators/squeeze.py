@@ -382,9 +382,12 @@ def _locate_all(
         .filter(F.col("__rn") <= cap)
         .collect()
     )
+    # element totals from the aggregated stats frame (one row per
+    # (cid, elem)) — reuses the stats exchange instead of re-exploding
+    # and re-aggregating the base frame
     totals = {
         r["cid"]: r["n"]
-        for r in ex.groupBy("cid").agg(F.countDistinct("elem").alias("n")).collect()
+        for r in stats.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
 
     per_key: dict[tuple[int, int], list] = {}
