@@ -1,0 +1,82 @@
+"""Property tests (SURVEY §5): score identities that must hold for ANY
+non-degenerate RCA frame — hypothesis generates the leaf measures, Spark
+evaluates the real scoring columns."""
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import strategies as st
+
+from riskloc_spark.functions.scores import (
+    add_deviation_score,
+    add_explanatory_power,
+    add_partition,
+    add_surprise,
+    add_weight,
+    get_cutoff,
+)
+
+measure = st.floats(
+    min_value=0.0, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+frames = st.lists(st.tuples(measure, measure), min_size=4, max_size=20)
+
+relaxed = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+
+
+def _df(spark, rows):
+    pdf = pd.DataFrame(
+        [(f"e{i}", r, p) for i, (r, p) in enumerate(rows)],
+        columns=["d1", "real", "predict"],
+    )
+    return spark.createDataFrame(pdf)
+
+
+@given(rows=frames)
+@relaxed
+def test_ep_sums_to_one(spark, rows):
+    A = sum(r for r, _ in rows)
+    Ff = sum(p for _, p in rows)
+    assume(abs(A - Ff) > 1e-6 * max(A, Ff, 1.0))
+    out = add_explanatory_power(_df(spark, rows))
+    total = out.agg({"ep": "sum"}).first()[0]
+    assert total == pytest.approx(1.0, rel=1e-6)
+
+
+@given(rows=frames)
+@relaxed
+def test_deviation_bounded_and_zero_on_exact_forecast(spark, rows):
+    out = add_deviation_score(_df(spark, rows)).collect()
+    for row in out:
+        assert -2.0 <= row["deviation"] <= 2.0
+        if row["real"] == row["predict"]:
+            assert row["deviation"] == 0.0
+
+
+@given(rows=frames)
+@relaxed
+def test_weight_in_unit_interval(spark, rows):
+    df = add_deviation_score(_df(spark, rows))
+    cutoff = get_cutoff(df, n_remove=1)
+    out = add_weight(add_partition(df, cutoff), cutoff).collect()
+    for row in out:
+        assert 0.0 <= row["weight"] <= 1.0
+        assert row["partition"] in (0, 1)
+
+
+@given(rows=frames)
+@relaxed
+def test_surprise_nonnegative(spark, rows):
+    # each element's surprise is a pointwise JS-divergence contribution:
+    # 0.5*(p*log(2p/(p+q)) + q*log(2q/(p+q))) >= 0 by the log-sum
+    # inequality; guards map degenerate p/q to 0
+    assume(sum(r for r, _ in rows) > 0 and sum(p for _, p in rows) > 0)
+    out = add_surprise(_df(spark, rows)).collect()
+    for row in out:
+        assert row["surprise"] >= -1e-12
+        assert math.isfinite(row["surprise"])
