@@ -507,17 +507,20 @@ def hotspot_element_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for layer in range(1, len(RCA_ATTRIBUTES) + 1)
         for c in cuboids_of_layer(RCA_ATTRIBUTES, layer)
     ]
-    out = element_stats_all(df, cuboids)
+    # exact_sums: DECIMAL(38,9) per-term sums → order-independent, so the
+    # 6-decimal gate surface is stable across JVM runs (r2's one red row
+    # was a parallel-sum-ordering artifact at a .5e-6 boundary).
+    out = element_stats_all(df, cuboids, exact_sums=True)
     return out.select(
         "cid",
         "elem",
         "n_e",
-        F.round("V_e", 6).alias("V_e"),
-        F.round("F_e", 6).alias("F_e"),
-        F.round("B_e", 6).alias("B_e"),
-        F.round("Q_e", 6).alias("Q_e"),
-        F.round("A_e", 6).alias("A_e"),
-        F.round("P_e", 6).alias("P_e"),
+        F.round("V_e", 6).cast("double").alias("V_e"),
+        F.round("F_e", 6).cast("double").alias("F_e"),
+        F.round("B_e", 6).cast("double").alias("B_e"),
+        F.round("Q_e", 6).cast("double").alias("Q_e"),
+        F.round("A_e", 6).cast("double").alias("A_e"),
+        F.round("P_e", 6).cast("double").alias("P_e"),
     )
 
 
@@ -535,18 +538,22 @@ def autoroot_nps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deviation",
     )
     relevant = df.filter(F.abs(F.col("deviation")) > 0.2)
+    # DECIMAL term sums → order-independent gate surface (see
+    # hotspot_element_stats_q).
     tot = df.agg(
         F.count(F.lit(1)).alias("N"),
         F.sum(
-            F.when(F.col("real") == 0, F.lit(0.0)).otherwise(
-                F.abs(F.col("real") - F.col("predict")) / F.col("real")
-            )
-        ).alias("Bp_tot"),
+            F.when(F.col("real") == 0, F.lit(0.0))
+            .otherwise(F.abs(F.col("real") - F.col("predict")) / F.col("real"))
+            .cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("Bp_tot"),
     )
     outs = []
     for dim in RCA_ATTRIBUTES:
         xs = relevant.groupBy(dim).agg(F.count(F.lit(1)).alias("x"))
-        terms = _nps_terms(df, [dim])
+        terms = _nps_terms(df, [dim], exact_sums=True)
         j = xs.join(terms, on=dim).crossJoin(F.broadcast(tot))
         a = F.col("Ap_e") / F.col("n_full")
         b = F.col("Bp_e") / F.col("n_full")
@@ -599,11 +606,17 @@ def squeeze_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.sum("__abn").alias("num_elements"),
                 F.count(F.lit(1)).alias("descents"),
+                # DECIMAL sums → order-independent hash surface (see
+                # hotspot_element_stats_q).
                 F.sum(
-                    F.when(F.col("__abn") + F.col("__norm") > 0, F.col("real"))
+                    F.when(
+                        F.col("__abn") + F.col("__norm") > 0, F.col("real")
+                    ).cast("decimal(38,9)")
                 ).alias("V_e"),
                 F.sum(
-                    F.when(F.col("__abn") + F.col("__norm") > 0, F.col("predict"))
+                    F.when(
+                        F.col("__abn") + F.col("__norm") > 0, F.col("predict")
+                    ).cast("decimal(38,9)")
                 ).alias("F_e"),
             )
             .filter(F.col("num_elements") > 0)
@@ -612,8 +625,8 @@ def squeeze_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "element",
                 "num_elements",
                 "descents",
-                F.round("V_e", 6).alias("V_e"),
-                F.round("F_e", 6).alias("F_e"),
+                F.round("V_e", 6).cast("double").alias("V_e"),
+                F.round("F_e", 6).cast("double").alias("F_e"),
             )
         )
         outs.append(stats)
@@ -643,7 +656,11 @@ def riskloc_layer_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = df.withColumn(
         "ep_z", F.when(F.col("ep") > 0, F.col("ep")).otherwise(F.lit(0.0))
     )
-    scores = _layer_scores(df, cuboids_of_layer(RCA_ATTRIBUTES, 1), None)
+    # exact_sums: DECIMAL aggregation → order-independent gate surface
+    # (see hotspot_element_stats_q).
+    scores = _layer_scores(
+        df, cuboids_of_layer(RCA_ATTRIBUTES, 1), None, exact_sums=True
+    )
     return scores.select(
         "cid",
         "elem",
@@ -894,27 +911,30 @@ def _hotspot_element_stats_sql() -> str:
         for layer in range(1, len(RCA_ATTRIBUTES) + 1)
         for c in cuboids_of_layer(RCA_ATTRIBUTES, layer)
     ]
+    # DECIMAL(38,9) per-term sums mirror the Spark side's exact_sums mode:
+    # order-independent aggregation → stable 6-decimal hash surface.
+    dec = "DECIMAL(38,9)"
     parts = []
     for cid, cuboid in enumerate(cuboids):
         dims = ", ".join(cuboid)
         elem = "concat_ws(chr(31), " + ", ".join(
-            f"CAST({d} AS VARCHAR)" for d in cuboid
+            f"COALESCE(CAST({d} AS VARCHAR), 'None')" for d in cuboid
         ) + ")"
         parts.append(f"""
             SELECT {cid} AS cid, {elem} AS elem,
                    COUNT(*) AS n_e,
-                   round(SUM("real"), 6) AS V_e,
-                   round(SUM(predict), 6) AS F_e,
-                   round(SUM(ABS("real" - predict)), 6) AS B_e,
-                   round(SUM(POWER("real" - predict, 2)), 6) AS Q_e,
-                   round(SUM(ABS("real" - __a)), 6) AS A_e,
-                   round(SUM(POWER("real" - __a, 2)), 6) AS P_e
+                   CAST(round(SUM(CAST("real" AS {dec})), 6) AS DOUBLE) AS V_e,
+                   CAST(round(SUM(CAST(predict AS {dec})), 6) AS DOUBLE) AS F_e,
+                   CAST(round(SUM(CAST(ABS("real" - predict) AS {dec})), 6) AS DOUBLE) AS B_e,
+                   CAST(round(SUM(CAST(("real" - predict) * ("real" - predict) AS {dec})), 6) AS DOUBLE) AS Q_e,
+                   CAST(round(SUM(CAST(ABS("real" - __a) AS {dec})), 6) AS DOUBLE) AS A_e,
+                   CAST(round(SUM(CAST(("real" - __a) * ("real" - __a) AS {dec})), 6) AS DOUBLE) AS P_e
             FROM (
               SELECT *, predict * (CASE WHEN Fe <> 0 THEN Ve / Fe ELSE 0.0 END) AS __a
               FROM (
                 SELECT *,
-                       SUM("real") OVER (PARTITION BY {dims}) AS Ve,
-                       SUM(predict) OVER (PARTITION BY {dims}) AS Fe
+                       CAST(SUM(CAST("real" AS {dec})) OVER (PARTITION BY {dims}) AS DOUBLE) AS Ve,
+                       CAST(SUM(CAST(predict AS {dec})) OVER (PARTITION BY {dims}) AS DOUBLE) AS Fe
                 FROM rca
               )
             )
@@ -945,16 +965,20 @@ def _autoroot_nps_sql() -> str:
                    round(CAST(x.x AS DOUBLE) / t.n_full, 6) AS lf
             FROM (
               SELECT CAST({dim} AS VARCHAR) AS element, COUNT(*) AS n_full,
-                     SUM(CASE WHEN "real" = 0 THEN 0.0
-                         ELSE ABS("real" - vhat) / "real" END) AS Ap_e,
-                     SUM(CASE WHEN "real" = 0 THEN 0.0
-                         ELSE ABS("real" - predict) / "real" END) AS Bp_e
+                     CAST(SUM(CAST(CASE WHEN "real" = 0 THEN 0.0
+                         ELSE ABS("real" - vhat) / "real" END
+                         AS DECIMAL(38,9))) AS DOUBLE) AS Ap_e,
+                     CAST(SUM(CAST(CASE WHEN "real" = 0 THEN 0.0
+                         ELSE ABS("real" - predict) / "real" END
+                         AS DECIMAL(38,9))) AS DOUBLE) AS Bp_e
               FROM (
                 SELECT *, CASE WHEN Fe <> 0 THEN predict * Ve / Fe ELSE 0.0 END AS vhat
                 FROM (
                   SELECT *,
-                         SUM("real") OVER (PARTITION BY {dim}) AS Ve,
-                         SUM(predict) OVER (PARTITION BY {dim}) AS Fe
+                         CAST(SUM(CAST("real" AS DECIMAL(38,9)))
+                              OVER (PARTITION BY {dim}) AS DOUBLE) AS Ve,
+                         CAST(SUM(CAST(predict AS DECIMAL(38,9)))
+                              OVER (PARTITION BY {dim}) AS DOUBLE) AS Fe
                   FROM dev
                 )
               ) GROUP BY 1
@@ -973,8 +997,9 @@ def _autoroot_nps_sql() -> str:
         ),
         tot AS (
           SELECT CAST(COUNT(*) AS BIGINT) AS N,
-                 SUM(CASE WHEN "real" = 0 THEN 0.0
-                     ELSE ABS("real" - predict) / "real" END) AS Bp_tot
+                 CAST(SUM(CAST(CASE WHEN "real" = 0 THEN 0.0
+                     ELSE ABS("real" - predict) / "real" END
+                     AS DECIMAL(38,9))) AS DOUBLE) AS Bp_tot
           FROM dev
         )
     """ + "\nUNION ALL\n".join(parts)
@@ -989,8 +1014,10 @@ def _squeeze_cluster_stats_sql() -> str:
             SELECT '{dim}' AS dimension, CAST({dim} AS VARCHAR) AS element,
                    CAST(SUM(__abn) AS BIGINT) AS num_elements,
                    COUNT(*) AS descents,
-                   round(SUM(CASE WHEN __abn + __norm > 0 THEN "real" END), 6) AS V_e,
-                   round(SUM(CASE WHEN __abn + __norm > 0 THEN predict END), 6) AS F_e
+                   CAST(round(SUM(CAST(CASE WHEN __abn + __norm > 0 THEN "real" END
+                                       AS DECIMAL(38,9))), 6) AS DOUBLE) AS V_e,
+                   CAST(round(SUM(CAST(CASE WHEN __abn + __norm > 0 THEN predict END
+                                       AS DECIMAL(38,9))), 6) AS DOUBLE) AS F_e
             FROM flagged
             GROUP BY 1, 2
             HAVING SUM(__abn) > 0""")
@@ -1018,22 +1045,28 @@ def _riskloc_layer_scores_sql() -> str:
     for cid, dim in enumerate(RCA_ATTRIBUTES):
         layer_parts.append(f"""
             SELECT {cid} AS cid, CAST({dim} AS VARCHAR) AS elem,
-                   COALESCE(SUM(CASE WHEN part = 1 THEN weight END), 0.0) AS n_anom,
-                   COALESCE(SUM(CASE WHEN part = 0 THEN weight END), 0.0) AS n_norm,
-                   SUM(ep2) AS ep, SUM(ep_z) AS ep_z,
+                   COALESCE(CAST(SUM(CAST(CASE WHEN part = 1 THEN weight END
+                       AS DECIMAL(38,9))) AS DOUBLE), 0.0) AS n_anom,
+                   COALESCE(CAST(SUM(CAST(CASE WHEN part = 0 THEN weight END
+                       AS DECIMAL(38,9))) AS DOUBLE), 0.0) AS n_norm,
+                   CAST(SUM(CAST(ep2 AS DECIMAL(38,9))) AS DOUBLE) AS ep,
+                   CAST(SUM(CAST(ep_z AS DECIMAL(38,9))) AS DOUBLE) AS ep_z,
                    CAST(SUM(part) AS BIGINT) AS part_sum,
-                   AVG(CASE WHEN "real" <> 0 AND predict <> 0 THEN
+                   CAST(SUM(CAST(CASE WHEN "real" <> 0 AND predict <> 0 THEN
                        ABS(CASE WHEN (predict * R / P + "real") = 0 THEN 0.0
                            ELSE 2.0 * (predict * R / P - "real")
-                                / (predict * R / P + "real") END) END) AS w1,
-                   AVG(CASE WHEN "real" <> 0 AND predict <> 0
-                       THEN ABS(deviation) END) AS w2
+                                / (predict * R / P + "real") END) END
+                       AS DECIMAL(38,9))) AS DOUBLE)
+                     / COUNT(CASE WHEN "real" <> 0 AND predict <> 0 THEN 1 END) AS w1,
+                   CAST(SUM(CAST(CASE WHEN "real" <> 0 AND predict <> 0
+                       THEN ABS(deviation) END AS DECIMAL(38,9))) AS DOUBLE)
+                     / COUNT(CASE WHEN "real" <> 0 AND predict <> 0 THEN 1 END) AS w2
             FROM (
               SELECT *,
-                     SUM(CASE WHEN "real" <> 0 AND predict <> 0 THEN "real" END)
-                       OVER (PARTITION BY {dim}) AS R,
-                     SUM(CASE WHEN "real" <> 0 AND predict <> 0 THEN predict END)
-                       OVER (PARTITION BY {dim}) AS P
+                     CAST(SUM(CAST(CASE WHEN "real" <> 0 AND predict <> 0 THEN "real" END
+                       AS DECIMAL(38,9))) OVER (PARTITION BY {dim}) AS DOUBLE) AS R,
+                     CAST(SUM(CAST(CASE WHEN "real" <> 0 AND predict <> 0 THEN predict END
+                       AS DECIMAL(38,9))) OVER (PARTITION BY {dim}) AS DOUBLE) AS P
               FROM prepared
             )
             GROUP BY 1, 2""")

@@ -27,14 +27,17 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos type.
-        # Read as long and downcast to microsecond timestamps (analysis
-        # here never needs sub-microsecond resolution).
+        # events.ts has been written both as TIMESTAMP(MICROS) (reads as a
+        # timestamp type directly) and as TIMESTAMP(NANOS) (no Spark type —
+        # read as long via nanosAsLong and downcast; sub-microsecond
+        # resolution is never needed here). Handle both.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        if dict(df.dtypes)["ts"] == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -83,27 +83,43 @@ def assign_clusters(df: DataFrame, ends: list[float]) -> DataFrame:
     return df.withColumn("cluster", expr)
 
 
-def _nps_terms(df: DataFrame, cuboid: list[str]) -> DataFrame:
+def _nps_terms(
+    df: DataFrame, cuboid: list[str], exact_sums: bool = False
+) -> DataFrame:
     """Per-element NPS building blocks over the FULL frame:
     n_full, Ap_e = sum nan0(|v - f*Ve/Fe| / v), Bp_e = sum nan0(|v-f| / v).
-    """
+
+    ``exact_sums=True`` routes the window sums and the term sums through
+    DECIMAL(38,9) so aggregation is order-independent (used by the
+    ``autoroot_nps`` oracle gate; the search path keeps doubles)."""
     w = Window.partitionBy(*cuboid)
-    Ve = F.sum("real").over(w)
-    Fe = F.sum("predict").over(w)
+    if exact_sums:
+        Ve = F.sum(F.col("real").cast("decimal(38,9)")).over(w).cast("double")
+        Fe = F.sum(F.col("predict").cast("decimal(38,9)")).over(w).cast("double")
+    else:
+        Ve = F.sum("real").over(w)
+        Fe = F.sum("predict").over(w)
     vhat = F.when(Fe != 0, F.col("predict") * Ve / Fe).otherwise(F.lit(0.0))
     v = F.col("real")
     a_term = F.when(v == 0, F.lit(0.0)).otherwise(F.abs(v - vhat) / v)
     b_term = F.when(v == 0, F.lit(0.0)).otherwise(
         F.abs(v - F.col("predict")) / v
     )
+
+    def s(name):
+        c = F.col(name)
+        if exact_sums:
+            return F.sum(c.cast("decimal(38,9)")).cast("double")
+        return F.sum(c)
+
     return (
         df.withColumn("__a", a_term)
         .withColumn("__b", b_term)
         .groupBy(*cuboid)
         .agg(
             F.count(F.lit(1)).alias("n_full"),
-            F.sum("__a").alias("Ap_e"),
-            F.sum("__b").alias("Bp_e"),
+            s("__a").alias("Ap_e"),
+            s("__b").alias("Bp_e"),
         )
     )
 

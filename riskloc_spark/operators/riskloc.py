@@ -38,7 +38,10 @@ _SEP = "\x1f"
 
 
 def _layer_scores(
-    df: DataFrame, cuboids: list[list[str]], pruned: dict | None
+    df: DataFrame,
+    cuboids: list[list[str]],
+    pruned: dict | None,
+    exact_sums: bool = False,
 ) -> DataFrame:
     """Per-element riskloc scores for ALL cuboids of a layer in ONE shuffle.
 
@@ -82,10 +85,19 @@ def _layer_scores(
     w = Window.partitionBy("cid", "elem")
     valid = (F.col("real") != 0) & (F.col("predict") != 0)
 
+    _DEC = "decimal(38,9)"
+
+    def _wsum(term):
+        # exact_sums: DECIMAL window sums are order-independent, so the
+        # oracle gate surface is stable across runs (search path: doubles).
+        if exact_sums:
+            return F.sum(term.cast(_DEC)).over(w).cast("double")
+        return F.sum(term).over(w)
+
     # low-risk needs a = predict * R/P with R,P sums over the element's
     # valid rows (ref riskloc.py:57-72); window gives them per-row.
-    R = F.sum(F.when(valid, F.col("real"))).over(w)
-    P = F.sum(F.when(valid, F.col("predict"))).over(w)
+    R = _wsum(F.when(valid, F.col("real")))
+    P = _wsum(F.when(valid, F.col("predict")))
     a = F.col("predict") * R / P
     denom = a + F.col("real")
     d = F.when(denom == 0, F.lit(0.0)).otherwise(2.0 * (a - F.col("real")) / denom)
@@ -94,18 +106,30 @@ def _layer_scores(
         "__absdev", F.when(valid, F.abs(F.col("deviation")))
     )
 
+    def _sum(term):
+        if exact_sums:
+            return F.sum(term.cast(_DEC)).cast("double")
+        return F.sum(term)
+
+    def _avg(name):
+        if exact_sums:
+            # avg as exact-sum / non-null count (F.avg on doubles is
+            # order-dependent via its partial sums).
+            return F.sum(F.col(name).cast(_DEC)).cast("double") / F.count(name)
+        return F.avg(name)
+
     agg = ex.groupBy("cid", "elem").agg(
-        F.coalesce(F.sum(F.when(F.col("partition") == 1, F.col("weight"))), F.lit(0.0)).alias(
-            "n_anom"
-        ),
-        F.coalesce(F.sum(F.when(F.col("partition") == 0, F.col("weight"))), F.lit(0.0)).alias(
-            "n_norm"
-        ),
-        F.sum("ep").alias("ep"),
-        F.sum("ep_z").alias("ep_z"),
+        F.coalesce(
+            _sum(F.when(F.col("partition") == 1, F.col("weight"))), F.lit(0.0)
+        ).alias("n_anom"),
+        F.coalesce(
+            _sum(F.when(F.col("partition") == 0, F.col("weight"))), F.lit(0.0)
+        ).alias("n_norm"),
+        _sum(F.col("ep")).alias("ep"),
+        _sum(F.col("ep_z")).alias("ep_z"),
         F.sum("partition").alias("part_sum"),
-        F.avg("__absd").alias("w1"),
-        F.avg("__absdev").alias("w2"),
+        _avg("__absd").alias("w1"),
+        _avg("__absdev").alias("w2"),
     )
 
     high = F.col("n_anom") / (F.col("n_anom") + F.col("n_norm") + 1.0)

@@ -29,20 +29,32 @@ def cuboids_of_layer(attributes: list[str], layer: int) -> list[list[str]]:
 ELEM_SEP = "\x1f"
 
 
-def element_stats_all(df: DataFrame, cuboids: list[list[str]]) -> DataFrame:
+DECIMAL_EXACT = "decimal(38,9)"
+
+
+def element_stats_all(
+    df: DataFrame, cuboids: list[list[str]], exact_sums: bool = False
+) -> DataFrame:
     """element_stats for MANY cuboids in ONE shuffle.
 
     Each row explodes into one (cid, elem-key) pair per cuboid; a single
     window + groupBy on (cid, elem) then yields every cuboid's element
     statistics — the same fusion riskloc's layer search uses, so a whole
-    hotspot stats sweep is one job instead of one per cuboid."""
+    hotspot stats sweep is one job instead of one per cuboid.
+
+    ``exact_sums=True`` casts every per-row term to DECIMAL(38,9) before
+    the SUMs, making the aggregates order-independent (decimal addition is
+    exact and associative; double addition is not, so parallel partial-sum
+    ordering can flip the last rounded digit between runs). Used by the
+    oracle gate query; the search path keeps native doubles for speed."""
     from pyspark.sql import Window
 
     structs = [
         F.struct(
             F.lit(i).alias("cid"),
             F.concat_ws(
-                ELEM_SEP, *[F.col(d).cast("string") for d in cuboid]
+                ELEM_SEP,
+                *[F.coalesce(F.col(d).cast("string"), F.lit("None")) for d in cuboid],
             ).alias("elem"),
         )
         for i, cuboid in enumerate(cuboids)
@@ -52,20 +64,34 @@ def element_stats_all(df: DataFrame, cuboids: list[list[str]]) -> DataFrame:
     ).select(F.col("ce.cid").alias("cid"), F.col("ce.elem").alias("elem"), "real", "predict")
 
     w = Window.partitionBy("cid", "elem")
-    V = F.sum("real").over(w)
-    Fs = F.sum("predict").over(w)
+    if exact_sums:
+        # exact (order-independent) window sums, then one deterministic
+        # IEEE division — both engines see bit-identical V_e/F_e ratios.
+        V = F.sum(F.col("real").cast(DECIMAL_EXACT)).over(w).cast("double")
+        Fs = F.sum(F.col("predict").cast(DECIMAL_EXACT)).over(w).cast("double")
+    else:
+        V = F.sum("real").over(w)
+        Fs = F.sum("predict").over(w)
     ratio = F.when(Fs != 0, V / Fs).otherwise(F.lit(0.0))
     a = F.col("predict") * ratio
 
     ex = ex.withColumn("__a", a)
+    diff = F.col("real") - F.col("predict")
+    diffa = F.col("real") - F.col("__a")
+
+    def s(term):
+        # x*x (exactly-rounded IEEE multiply, identical across engines)
+        # instead of pow(x, 2) — libm pow may differ by 1 ulp per engine.
+        return F.sum(term.cast(DECIMAL_EXACT) if exact_sums else term)
+
     return ex.groupBy("cid", "elem").agg(
         F.count(F.lit(1)).alias("n_e"),
-        F.sum("real").alias("V_e"),
-        F.sum("predict").alias("F_e"),
-        F.sum(F.abs(F.col("real") - F.col("predict"))).alias("B_e"),
-        F.sum(F.pow(F.col("real") - F.col("predict"), F.lit(2.0))).alias("Q_e"),
-        F.sum(F.abs(F.col("real") - F.col("__a"))).alias("A_e"),
-        F.sum(F.pow(F.col("real") - F.col("__a"), F.lit(2.0))).alias("P_e"),
+        s(F.col("real")).alias("V_e"),
+        s(F.col("predict")).alias("F_e"),
+        s(F.abs(diff)).alias("B_e"),
+        s(diff * diff).alias("Q_e"),
+        s(F.abs(diffa)).alias("A_e"),
+        s(diffa * diffa).alias("P_e"),
     )
 
 
