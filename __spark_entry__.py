@@ -938,7 +938,11 @@ def _hotspot_element_stats_sql() -> str:
                 FROM rca
               )
             )
-            GROUP BY 1, 2""")
+            GROUP BY 2""")
+        # GROUP BY the elem key only: cid is a constant per UNION branch,
+        # and grouping on it makes DuckDB's binder unify the round(.., 6)
+        # precision literal with the grouped constant →
+        # "ROUND(DECIMAL, INTEGER) with non-constant precision".
     return f"WITH {_RCA_CTE}\n" + "\nUNION ALL\n".join(parts)
 
 
@@ -1052,22 +1056,30 @@ def _riskloc_layer_scores_sql() -> str:
                    CAST(SUM(CAST(ep2 AS DECIMAL(38,9))) AS DOUBLE) AS ep,
                    CAST(SUM(CAST(ep_z AS DECIMAL(38,9))) AS DOUBLE) AS ep_z,
                    CAST(SUM(part) AS BIGINT) AS part_sum,
-                   CAST(SUM(CAST(CASE WHEN "real" <> 0 AND predict <> 0 THEN
-                       ABS(CASE WHEN (predict * R / P + "real") = 0 THEN 0.0
-                           ELSE 2.0 * (predict * R / P - "real")
-                                / (predict * R / P + "real") END) END
-                       AS DECIMAL(38,9))) AS DOUBLE)
-                     / COUNT(CASE WHEN "real" <> 0 AND predict <> 0 THEN 1 END) AS w1,
-                   CAST(SUM(CAST(CASE WHEN "real" <> 0 AND predict <> 0
-                       THEN ABS(deviation) END AS DECIMAL(38,9))) AS DOUBLE)
-                     / COUNT(CASE WHEN "real" <> 0 AND predict <> 0 THEN 1 END) AS w2
+                   CAST(SUM(CAST(w1_term AS DECIMAL(38,9))) AS DOUBLE)
+                     / COUNT(w1_term) AS w1,
+                   CAST(SUM(CAST(w2_term AS DECIMAL(38,9))) AS DOUBLE)
+                     / COUNT(w2_term) AS w2
             FROM (
+              -- terms materialized per-row so SUM/COUNT skip NULLs exactly
+              -- like Spark's null-skipping avg: when P = 0 the Spark side's
+              -- a = predict*R/P is NULL (div-by-zero -> NULL) and the term
+              -- drops out of both numerator and denominator.
               SELECT *,
-                     CAST(SUM(CAST(CASE WHEN "real" <> 0 AND predict <> 0 THEN "real" END
-                       AS DECIMAL(38,9))) OVER (PARTITION BY {dim}) AS DOUBLE) AS R,
-                     CAST(SUM(CAST(CASE WHEN "real" <> 0 AND predict <> 0 THEN predict END
-                       AS DECIMAL(38,9))) OVER (PARTITION BY {dim}) AS DOUBLE) AS P
-              FROM prepared
+                     CASE WHEN "real" <> 0 AND predict <> 0 AND P <> 0 THEN
+                         ABS(CASE WHEN (predict * R / P + "real") = 0 THEN 0.0
+                             ELSE 2.0 * (predict * R / P - "real")
+                                  / (predict * R / P + "real") END) END AS w1_term,
+                     CASE WHEN "real" <> 0 AND predict <> 0
+                          THEN ABS(deviation) END AS w2_term
+              FROM (
+                SELECT *,
+                       CAST(SUM(CAST(CASE WHEN "real" <> 0 AND predict <> 0 THEN "real" END
+                         AS DECIMAL(38,9))) OVER (PARTITION BY {dim}) AS DOUBLE) AS R,
+                       CAST(SUM(CAST(CASE WHEN "real" <> 0 AND predict <> 0 THEN predict END
+                         AS DECIMAL(38,9))) OVER (PARTITION BY {dim}) AS DOUBLE) AS P
+                FROM prepared
+              )
             )
             GROUP BY 1, 2""")
     union = "\nUNION ALL\n".join(layer_parts)

@@ -20,35 +20,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-    ]
-)
-
-
 def events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over the events table layout (TESTDATA.md).
 
-    The parquet stores ts as TIMESTAMP(NANOS); like
-    riskloc_spark.data.load_table we read it as long and downcast to
-    microseconds. The file-stream source requires a *directory*; a direct
-    file path is translated to parent-dir + pathGlobFilter."""
+    The events parquet has been written both as TIMESTAMP(MICROS) (reads
+    as a Spark timestamp directly) and as TIMESTAMP(NANOS) (no Spark
+    type — read as long via nanosAsLong and downcast). Mirror
+    riskloc_spark.data.load_table: infer the physical schema from a
+    batch read of the same path and only downcast when ts is bigint.
+    The file-stream source requires a *directory*; a direct file path is
+    translated to parent-dir + pathGlobFilter."""
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENT_SCHEMA)
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    dt = dict(raw.dtypes)["ts"]
+    if dt == "bigint":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    elif dt == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (with tz). Pin the session tz to
+        # UTC so the ntz->timestamp cast preserves wall-clock and hourly
+        # window boundaries match date_trunc('hour', ts) on the ntz value
+        # (a half-hour-offset session tz would shift window alignment).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_kpi_stream(
