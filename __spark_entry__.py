@@ -532,7 +532,10 @@ def autoroot_nps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = add_deviation_score(rca_events(spark, sf_dir))
     df = df.select(
-        *[F.col(a).cast("string").alias(a) for a in RCA_ATTRIBUTES],
+        # NULL -> "None" matches the SQL twin's COALESCE and keeps NULL
+        # join keys from dropping rows.
+        *[F.coalesce(F.col(a).cast("string"), F.lit("None")).alias(a)
+          for a in RCA_ATTRIBUTES],
         "real",
         "predict",
         "deviation",
@@ -596,7 +599,7 @@ def squeeze_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for dim in RCA_ATTRIBUTES:
         stats = (
             df.select(
-                F.col(dim).cast("string").alias("element"),
+                F.coalesce(F.col(dim).cast("string"), F.lit("None")).alias("element"),
                 "real",
                 "predict",
                 cluster_pred.cast("int").alias("__abn"),
@@ -968,7 +971,7 @@ def _autoroot_nps_sql() -> str:
                          ELSE 0.0 END, 6) AS nps,
                    round(CAST(x.x AS DOUBLE) / t.n_full, 6) AS lf
             FROM (
-              SELECT CAST({dim} AS VARCHAR) AS element, COUNT(*) AS n_full,
+              SELECT COALESCE(CAST({dim} AS VARCHAR), 'None') AS element, COUNT(*) AS n_full,
                      CAST(SUM(CAST(CASE WHEN "real" = 0 THEN 0.0
                          ELSE ABS("real" - vhat) / "real" END
                          AS DECIMAL(38,9))) AS DOUBLE) AS Ap_e,
@@ -988,7 +991,7 @@ def _autoroot_nps_sql() -> str:
               ) GROUP BY 1
             ) t
             JOIN (
-              SELECT CAST({dim} AS VARCHAR) AS element, COUNT(*) AS x
+              SELECT COALESCE(CAST({dim} AS VARCHAR), 'None') AS element, COUNT(*) AS x
               FROM dev WHERE ABS(deviation) > 0.2 GROUP BY 1
             ) x ON t.element = x.element
             CROSS JOIN tot""")
@@ -1015,7 +1018,7 @@ def _squeeze_cluster_stats_sql() -> str:
     parts = []
     for dim in RCA_ATTRIBUTES:
         parts.append(f"""
-            SELECT '{dim}' AS dimension, CAST({dim} AS VARCHAR) AS element,
+            SELECT '{dim}' AS dimension, COALESCE(CAST({dim} AS VARCHAR), 'None') AS element,
                    CAST(SUM(__abn) AS BIGINT) AS num_elements,
                    COUNT(*) AS descents,
                    CAST(round(SUM(CAST(CASE WHEN __abn + __norm > 0 THEN "real" END
@@ -1048,7 +1051,7 @@ def _riskloc_layer_scores_sql() -> str:
     layer_parts = []
     for cid, dim in enumerate(RCA_ATTRIBUTES):
         layer_parts.append(f"""
-            SELECT {cid} AS cid, CAST({dim} AS VARCHAR) AS elem,
+            SELECT {cid} AS cid, COALESCE(CAST({dim} AS VARCHAR), 'None') AS elem,
                    COALESCE(CAST(SUM(CAST(CASE WHEN part = 1 THEN weight END
                        AS DECIMAL(38,9))) AS DOUBLE), 0.0) AS n_anom,
                    COALESCE(CAST(SUM(CAST(CASE WHEN part = 0 THEN weight END

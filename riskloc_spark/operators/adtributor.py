@@ -29,7 +29,9 @@ def merge_dimensions(df: DataFrame, dimensions: list[str], derived: bool) -> Dat
     )
     parts = []
     for d in dimensions:
-        agg = df.groupBy(F.col(d).cast("string").alias("element")).agg(
+        agg = df.groupBy(
+            F.coalesce(F.col(d).cast("string"), F.lit("None")).alias("element")
+        ).agg(
             *[F.sum(m).alias(m) for m in measures]
         )
         parts.append(agg.withColumn("dimension", F.lit(d)))
@@ -391,13 +393,17 @@ def _rev_rec_distributed_fused(df, dimensions, teep, k, derived):
             ctx, dims = nodes[nid]
             pred = None
             for d, v in ctx:
-                eq = F.col(d).cast("string") == F.lit(v)
+                eq = F.coalesce(
+                    F.col(d).cast("string"), F.lit("None")
+                ) == F.lit(v)
                 pred = eq if pred is None else (pred & eq)
             for d in dims:
                 s = F.struct(
                     F.lit(nid).alias("nid"),
                     F.lit(d).alias("dim"),
-                    F.col(d).cast("string").alias("element"),
+                    F.coalesce(
+                        F.col(d).cast("string"), F.lit("None")
+                    ).alias("element"),
                 )
                 structs.append(s if pred is None else F.when(pred, s))
 
@@ -481,7 +487,8 @@ def rev_rec_adtributor(
             else ["real", "predict"]
         )
         sel = df.select(
-            *[F.col(a).cast("string").alias(a) for a in dimensions],
+            *[F.coalesce(F.col(a).cast("string"), F.lit("None")).alias(a)
+              for a in dimensions],
             *[F.col(m).cast("double").alias(m) for m in measures],
         )
         pdf = sel.limit(driver_rows + 1).toPandas()

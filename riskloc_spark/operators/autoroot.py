@@ -144,7 +144,7 @@ def _search_all_clusters(
     winner — O(#clusters x #cuboids) rows reach the driver, and the
     whole search costs one shuffle of #cuboids x |df| rows instead of
     O(#clusters x #cuboids) sequential jobs."""
-    from riskloc_spark.plans.cuboid import ELEM_SEP
+    from riskloc_spark.plans.cuboid import ELEM_SEP, elem_expr
 
     n_attrs = len(attributes)
     cuboids = [
@@ -155,9 +155,7 @@ def _search_all_clusters(
     structs = [
         F.struct(
             F.lit(i).alias("cid"),
-            F.concat_ws(ELEM_SEP, *[F.col(d).cast("string") for d in c]).alias(
-                "elem"
-            ),
+            elem_expr(c).alias("elem"),
         )
         for i, (_, c) in enumerate(cuboids)
     ]
@@ -415,7 +413,9 @@ def autoroot(
     explode job (_search_all_clusters)."""
     df = add_deviation_score(df)
     for d in attributes:
-        df = df.withColumn(d, F.col(d).cast("string"))
+        df = df.withColumn(
+            d, F.coalesce(F.col(d).cast("string"), F.lit("None"))
+        )
 
     if driver_rows is not None:
         # one action: limit-probe and collect fused (see riskloc)

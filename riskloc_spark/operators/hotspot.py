@@ -230,7 +230,9 @@ def hotspot(
     # string-normalize attribute values once so driver-side set logic is
     # type-stable (reference operates on raw numpy tuples)
     for d in dimensions:
-        df = df.withColumn(d, F.col(d).cast("string"))
+        df = df.withColumn(
+            d, F.coalesce(F.col(d).cast("string"), F.lit("None"))
+        )
     df = df.persist()
 
     totals_row = df.agg(

@@ -26,7 +26,7 @@ from riskloc_spark.functions.scores import (
     add_weight,
     get_cutoff,
 )
-from riskloc_spark.plans.cuboid import cuboids_of_layer
+from riskloc_spark.plans.cuboid import cuboids_of_layer, elem_expr
 
 
 def _scalar(df: DataFrame, col) -> float:
@@ -55,14 +55,16 @@ def _layer_scores(
     """
     structs = []
     for idx, cuboid in enumerate(cuboids):
-        elem = F.concat_ws(_SEP, *[F.col(d).cast("string") for d in cuboid])
+        elem = elem_expr(cuboid, _SEP)
         s = F.struct(F.lit(idx).alias("cid"), elem.alias("elem"))
         excl = None
         if pruned:
             for dim in cuboid:
                 values = pruned.get((dim,))
                 if values:
-                    e = F.col(dim).cast("string").isin(values)
+                    e = F.coalesce(
+                        F.col(dim).cast("string"), F.lit("None")
+                    ).isin(values)
                     excl = e if excl is None else (excl | e)
         structs.append(s if excl is None else F.when(~excl, s))
 
@@ -500,7 +502,8 @@ def riskloc(
             ["real_a", "real_b", "predict_a", "predict_b"] if derived else []
         )
         sel = df.select(
-            *[F.col(a).cast("string").alias(a) for a in attributes],
+            *[F.coalesce(F.col(a).cast("string"), F.lit("None")).alias(a)
+              for a in attributes],
             *[F.col(m).cast("double").alias(m) for m in measures],
         )
         pdf = sel.limit(driver_rows + 1).toPandas()
@@ -563,7 +566,9 @@ def riskloc(
         for rc in root_causes:
             c = None
             for dim, val in zip(rc["cuboid"], rc["elements"][0]):
-                eq = F.col(dim).cast("string") == F.lit(val)
+                eq = F.coalesce(
+                    F.col(dim).cast("string"), F.lit("None")
+                ) == F.lit(val)
                 c = eq if c is None else (c & eq)
             cond = c if cond is None else (cond | c)
         current = base.filter(~cond)

@@ -261,7 +261,9 @@ def robustspot(
 
     base = adapt_frame(df, derived, flip_derived)
     for d in attributes:
-        base = base.withColumn(d, F.col(d).cast("string"))
+        base = base.withColumn(
+            d, F.coalesce(F.col(d).cast("string"), F.lit("None"))
+        )
     sel = base.select(
         *attributes,
         "k_real",

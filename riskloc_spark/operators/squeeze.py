@@ -295,7 +295,7 @@ def _locate_all(
     (cluster x cuboid). Returns {(cluster, cid): (rc, score)}; cid
     indexes the all-layers cuboid enumeration.
     """
-    from riskloc_spark.plans.cuboid import ELEM_SEP, cuboids_of_layer
+    from riskloc_spark.plans.cuboid import ELEM_SEP, cuboids_of_layer, elem_expr
 
     cuboids = [
         c
@@ -312,12 +312,7 @@ def _locate_all(
         ).otherwise(cl)
 
     structs = [
-        F.struct(
-            F.lit(i).alias("cid"),
-            F.concat_ws(ELEM_SEP, *[F.col(d).cast("string") for d in c]).alias(
-                "elem"
-            ),
-        )
+        F.struct(F.lit(i).alias("cid"), elem_expr(c).alias("elem"))
         for i, c in enumerate(cuboids)
     ]
     ex = df.select(
@@ -653,7 +648,8 @@ def squeeze(
         # computed locally so no scalar pre-job runs
         pdf = (
             df.select(
-                *[F.col(a).cast("string").alias(a) for a in attributes],
+                *[F.coalesce(F.col(a).cast("string"), F.lit("None")).alias(a)
+                  for a in attributes],
                 F.col("real").cast("double"),
                 F.col("predict").cast("double"),
             )

@@ -32,6 +32,17 @@ ELEM_SEP = "\x1f"
 DECIMAL_EXACT = "decimal(38,9)"
 
 
+def elem_expr(cuboid: list[str], sep: str = ELEM_SEP):
+    """Element-key expression for a cuboid: sep-joined string values with
+    NULLs mapped to 'None' (matching the driver paths' str() rendering).
+    concat_ws silently *drops* NULL parts, which would collapse distinct
+    tuples and misalign elem.split against the cuboid's dimension list —
+    every distributed elem construction must go through this."""
+    return F.concat_ws(
+        sep, *[F.coalesce(F.col(d).cast("string"), F.lit("None")) for d in cuboid]
+    )
+
+
 def element_stats_all(
     df: DataFrame, cuboids: list[list[str]], exact_sums: bool = False
 ) -> DataFrame:
@@ -50,13 +61,7 @@ def element_stats_all(
     from pyspark.sql import Window
 
     structs = [
-        F.struct(
-            F.lit(i).alias("cid"),
-            F.concat_ws(
-                ELEM_SEP,
-                *[F.coalesce(F.col(d).cast("string"), F.lit("None")) for d in cuboid],
-            ).alias("elem"),
-        )
+        F.struct(F.lit(i).alias("cid"), elem_expr(cuboid).alias("elem"))
         for i, cuboid in enumerate(cuboids)
     ]
     ex = df.select(
