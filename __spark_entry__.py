@@ -422,6 +422,16 @@ def squeeze_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def squeeze_rca_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full derived-measure squeeze search (rows-only: the clustering +
+    locate orchestration is not SQL-expressible)."""
+    df = rca_events_derived(spark, sf_dir)
+    causes = squeeze(df, RCA_ATTRIBUTES, derived=True)
+    return spark.createDataFrame(
+        [(s,) for s in causes] or [("<none>",)], "root_cause string"
+    )
+
+
 def robustspot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = adapt_frame(rca_events(spark, sf_dir), derived=False)
     out = add_influence_degree(df)
@@ -630,6 +640,75 @@ def squeeze_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "descents",
                 F.round("V_e", 6).cast("double").alias("V_e"),
                 F.round("F_e", 6).cast("double").alias("F_e"),
+            )
+        )
+        outs.append(stats)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def squeeze_derived_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-measure squeeze's locate pass 1 (operators/squeeze.py
+    _locate_all with derived=True): deviation on the a/b ratio KPI, but
+    the selected measure sums are of the SEPARATE a and b measures — the
+    ripple ratio is op(sum a, sum b), ref squeeze.py:192-199."""
+    df = rca_events_derived(spark, sf_dir).filter(
+        (F.col("predict_a") > 0) & (F.col("predict_b") > 0)
+    )
+    # the frame's own real/predict are the unguarded ratios; squeeze
+    # recomputes with the op's 0-where-0 guard — do the same here
+    ratio = lambda a, b: F.when(  # noqa: E731
+        F.col(b) != 0, F.col(a) / F.col(b)
+    ).otherwise(F.lit(0.0))
+    df = df.withColumn("real", ratio("real_a", "real_b")).withColumn(
+        "predict", ratio("predict_a", "predict_b")
+    )
+    dev = F.when(
+        F.col("predict") + F.col("real") == 0, F.lit(0.0)
+    ).otherwise(
+        (F.col("predict") - F.col("real")) / (F.col("predict") + F.col("real"))
+    )
+    df = df.withColumn("deviation", dev)
+    cluster_pred = F.col("deviation") >= 0.1
+    normal_pred = F.abs(F.col("deviation")) < 0.05
+    outs = []
+    for dim in RCA_ATTRIBUTES:
+        sel = F.col("__abn") + F.col("__norm") > 0
+
+        def dsum(col):
+            return F.sum(F.when(sel, F.col(col)).cast("decimal(38,9)"))
+
+        stats = (
+            df.select(
+                F.coalesce(F.col(dim).cast("string"), F.lit("None")).alias("element"),
+                "real_a",
+                "predict_a",
+                "real_b",
+                "predict_b",
+                cluster_pred.cast("int").alias("__abn"),
+                normal_pred.cast("int").alias("__norm"),
+            )
+            .groupBy("element")
+            .agg(
+                F.sum("__abn").alias("num_elements"),
+                F.count(F.lit(1)).alias("descents"),
+                dsum("real_a").alias("Va_e"),
+                dsum("predict_a").alias("Fa_e"),
+                dsum("real_b").alias("Vb_e"),
+                dsum("predict_b").alias("Fb_e"),
+            )
+            .filter(F.col("num_elements") > 0)
+            .select(
+                F.lit(dim).alias("dimension"),
+                "element",
+                "num_elements",
+                "descents",
+                F.round("Va_e", 6).cast("double").alias("Va_e"),
+                F.round("Fa_e", 6).cast("double").alias("Fa_e"),
+                F.round("Vb_e", 6).cast("double").alias("Vb_e"),
+                F.round("Fb_e", 6).cast("double").alias("Fb_e"),
             )
         )
         outs.append(stats)
@@ -848,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autoroot_rca": autoroot_rca,
         "hotspot_rca": hotspot_rca,
         "squeeze_rca": squeeze_rca,
+        "squeeze_rca_derived": squeeze_rca_derived,
         "robustspot_scores": robustspot_scores,
         "robustspot_rca": robustspot_rca,
         "minhash_pairs": minhash_pairs,
@@ -860,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_element_stats": hotspot_element_stats_q,
         "autoroot_nps": autoroot_nps_q,
         "squeeze_cluster_stats": squeeze_cluster_stats_q,
+        "squeeze_derived_cluster_stats": squeeze_derived_cluster_stats_q,
         "riskloc_layer_scores": riskloc_layer_scores_q,
         "streaming_kpi": streaming_kpi_q,
         "adtributor_elements_derived": adtributor_elements_derived,
@@ -1034,6 +1115,47 @@ def _squeeze_cluster_stats_sql() -> str:
           SELECT *, CASE WHEN predict + "real" = 0 THEN 0.0
                     ELSE (predict - "real") / (predict + "real") END AS deviation
           FROM rca WHERE predict > 0
+        ),
+        flagged AS (
+          SELECT *,
+                 CASE WHEN deviation >= 0.1 THEN 1 ELSE 0 END AS __abn,
+                 CASE WHEN ABS(deviation) < 0.05 THEN 1 ELSE 0 END AS __norm
+          FROM dev
+        )
+    """ + "\nUNION ALL\n".join(parts)
+
+
+def _squeeze_derived_cluster_stats_sql() -> str:
+    """DuckDB twin of squeeze_derived_cluster_stats_q."""
+    parts = []
+    for dim in RCA_ATTRIBUTES:
+        parts.append(f"""
+            SELECT '{dim}' AS dimension, COALESCE(CAST({dim} AS VARCHAR), 'None') AS element,
+                   CAST(SUM(__abn) AS BIGINT) AS num_elements,
+                   COUNT(*) AS descents,
+                   CAST(round(SUM(CAST(CASE WHEN __abn + __norm > 0 THEN real_a END
+                                       AS DECIMAL(38,9))), 6) AS DOUBLE) AS Va_e,
+                   CAST(round(SUM(CAST(CASE WHEN __abn + __norm > 0 THEN predict_a END
+                                       AS DECIMAL(38,9))), 6) AS DOUBLE) AS Fa_e,
+                   CAST(round(SUM(CAST(CASE WHEN __abn + __norm > 0 THEN real_b END
+                                       AS DECIMAL(38,9))), 6) AS DOUBLE) AS Vb_e,
+                   CAST(round(SUM(CAST(CASE WHEN __abn + __norm > 0 THEN predict_b END
+                                       AS DECIMAL(38,9))), 6) AS DOUBLE) AS Fb_e
+            FROM flagged
+            GROUP BY 1, 2
+            HAVING SUM(__abn) > 0""")
+    return f"""
+        WITH rcad AS ({RCA_EVENTS_DERIVED_SQL}),
+        ratios AS (
+          SELECT *,
+                 CASE WHEN real_b <> 0 THEN real_a / real_b ELSE 0.0 END AS r,
+                 CASE WHEN predict_b <> 0 THEN predict_a / predict_b ELSE 0.0 END AS p
+          FROM rcad WHERE predict_a > 0 AND predict_b > 0
+        ),
+        dev AS (
+          SELECT *, CASE WHEN p + r = 0 THEN 0.0
+                    ELSE (p - r) / (p + r) END AS deviation
+          FROM ratios
         ),
         flagged AS (
           SELECT *,
@@ -1643,6 +1765,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_element_stats": _hotspot_element_stats_sql(),
         "autoroot_nps": _autoroot_nps_sql(),
         "squeeze_cluster_stats": _squeeze_cluster_stats_sql(),
+        "squeeze_derived_cluster_stats": _squeeze_derived_cluster_stats_sql(),
         "riskloc_layer_scores": _riskloc_layer_scores_sql(),
         # riskloc_rca / autoroot_rca / hotspot_rca / squeeze_rca /
         # robustspot_rca: iterative driver-orchestrated searches;

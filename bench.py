@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "autoroot_rca",
     "hotspot_rca",
     "squeeze_rca",
+    "squeeze_rca_derived",
+    "squeeze_derived_cluster_stats",
     "robustspot_scores",
     "robustspot_rca",
     "hotspot_element_stats",

@@ -160,7 +160,9 @@ def run_method(df, attributes, algorithm, derived, opts, rs_data=False):
     if algorithm == "squeeze":
         from riskloc_spark.operators.squeeze import SqueezeOptions, squeeze
 
-        return squeeze(df, attributes, options=SqueezeOptions(**opts))
+        return squeeze(
+            df, attributes, options=SqueezeOptions(**opts), derived=derived
+        )
     if algorithm == "hotspot":
         from riskloc_spark.operators.hotspot import hotspot
 

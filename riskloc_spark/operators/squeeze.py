@@ -275,12 +275,28 @@ def _div(x: float, y: float) -> float:
     return 0.0 if x == 0 else float("inf")
 
 
+def _ratio0(x: float, y: float) -> float:
+    """np.divide(x, y, out=zeros, where=y != 0): the reference's derived
+    ``op`` (run_utils.py:38) — 0 where the denominator is 0."""
+    return x / y if y != 0 else 0.0
+
+
+def _derived_ripple(va: float, vb: float, fa: float, fb: float) -> float:
+    """Derived-mode ripple ratio r_p (ref squeeze.py:192-199): the op is
+    applied to the *summed* a/b frames — (sum a.real / sum b.real) /
+    (sum a.predict / sum b.predict) — not to summed per-leaf ratios."""
+    real = _ratio0(va, vb)
+    predict = _ratio0(fa, fb)
+    return real / predict if predict else 0.0
+
+
 def _locate_all(
     df: DataFrame,
     attributes: list[str],
     ranges: list[tuple[float, float]],
     normal_pred,
     options: SqueezeOptions,
+    derived: bool = False,
 ) -> dict[tuple[int, int], tuple[list[dict[str, str]], float]]:
     """Reference squeeze.py:136-239 for ALL (cluster, cuboid) pairs with
     a CONSTANT number of jobs.
@@ -315,25 +331,40 @@ def _locate_all(
         F.struct(F.lit(i).alias("cid"), elem_expr(c).alias("elem"))
         for i, c in enumerate(cuboids)
     ]
+    # derived mode carries the separate a/b measures through the explode:
+    # the ripple ratio is op(sum a, sum b), so the per-element sums must
+    # be of the raw measures, not the per-leaf ratios
+    measure_cols = (
+        ["real_a", "predict_a", "real_b", "predict_b"] if derived else []
+    )
     ex = df.select(
         F.explode(F.array(*structs)).alias("ce"),
         "real",
         "predict",
+        *measure_cols,
         cl.alias("__cl"),
         normal_pred.alias("__nm"),
     ).select(
         F.col("ce.cid").alias("cid"), F.col("ce.elem").alias("elem"),
-        "real", "predict", "__cl", "__nm",
+        "real", "predict", *measure_cols, "__cl", "__nm",
     )
 
     aggs = [F.count(F.lit(1)).alias("descents")]
     for c in range(n_cl):
         sel = (F.col("__cl") == c) | F.col("__nm")
-        aggs += [
-            F.sum((F.col("__cl") == c).cast("int")).alias(f"ne_{c}"),
-            F.sum(F.when(sel, F.col("real"))).alias(f"V_{c}"),
-            F.sum(F.when(sel, F.col("predict"))).alias(f"F_{c}"),
-        ]
+        aggs.append(F.sum((F.col("__cl") == c).cast("int")).alias(f"ne_{c}"))
+        if derived:
+            aggs += [
+                F.sum(F.when(sel, F.col("real_a"))).alias(f"Va_{c}"),
+                F.sum(F.when(sel, F.col("predict_a"))).alias(f"Fa_{c}"),
+                F.sum(F.when(sel, F.col("real_b"))).alias(f"Vb_{c}"),
+                F.sum(F.when(sel, F.col("predict_b"))).alias(f"Fb_{c}"),
+            ]
+        else:
+            aggs += [
+                F.sum(F.when(sel, F.col("real"))).alias(f"V_{c}"),
+                F.sum(F.when(sel, F.col("predict"))).alias(f"F_{c}"),
+            ]
     from pyspark.sql import Window
 
     # melt per-cluster columns, then keep only each (cluster, cuboid)'s
@@ -343,6 +374,20 @@ def _locate_all(
     # regardless of element cardinality (n_rows rides along for the
     # n_partitions bound)
     stats = ex.groupBy("cid", "elem").agg(*aggs)
+    if derived:
+        melt_fields = lambda c: [  # noqa: E731
+            F.col(f"Va_{c}").alias("Va"),
+            F.col(f"Fa_{c}").alias("Fa"),
+            F.col(f"Vb_{c}").alias("Vb"),
+            F.col(f"Fb_{c}").alias("Fb"),
+        ]
+        melt_cols = ["cx.Va", "cx.Fa", "cx.Vb", "cx.Fb"]
+    else:
+        melt_fields = lambda c: [  # noqa: E731
+            F.col(f"V_{c}").alias("V"),
+            F.col(f"F_{c}").alias("Fv"),
+        ]
+        melt_cols = ["cx.V", "cx.Fv"]
     melted = (
         stats.select(
             "cid",
@@ -354,15 +399,14 @@ def _locate_all(
                         F.struct(
                             F.lit(c).alias("cluster"),
                             F.col(f"ne_{c}").alias("ne"),
-                            F.col(f"V_{c}").alias("V"),
-                            F.col(f"F_{c}").alias("Fv"),
+                            *melt_fields(c),
                         )
                         for c in range(n_cl)
                     ]
                 )
             ).alias("cx"),
         )
-        .select("cid", "elem", "descents", "cx.cluster", "cx.ne", "cx.V", "cx.Fv")
+        .select("cid", "elem", "descents", "cx.cluster", "cx.ne", *melt_cols)
         .filter(F.col("ne") > 0)
     )
     ratio = F.col("ne") / F.greatest(F.col("descents"), F.lit(1e-4))
@@ -404,15 +448,28 @@ def _locate_all(
             if n_partitions <= 0:
                 continue
             top = rows_c[: int(n_partitions)]
-            v_prefix = np.cumsum([r["V"] or 0.0 for r in top])
-            f_prefix = np.cumsum([r["Fv"] or 0.0 for r in top])
+            if derived:
+                va = np.cumsum([r["Va"] or 0.0 for r in top])
+                fa = np.cumsum([r["Fa"] or 0.0 for r in top])
+                vb = np.cumsum([r["Vb"] or 0.0 for r in top])
+                fb = np.cumsum([r["Fb"] or 0.0 for r in top])
+                r_p = [
+                    _derived_ripple(va[p - 1], vb[p - 1], fa[p - 1], fb[p - 1])
+                    for p in range(1, int(n_partitions) + 1)
+                ]
+            else:
+                v_prefix = np.cumsum([r["V"] or 0.0 for r in top])
+                f_prefix = np.cumsum([r["Fv"] or 0.0 for r in top])
+                r_p = [
+                    float(v_prefix[p - 1] / f_prefix[p - 1])
+                    if f_prefix[p - 1]
+                    else 0.0
+                    for p in range(1, int(n_partitions) + 1)
+                ]
             plan[cid] = {
                 "top": top,
                 "n_partitions": int(n_partitions),
-                "r_p": [
-                    float(v_prefix[p - 1] / f_prefix[p - 1]) if f_prefix[p - 1] else 0.0
-                    for p in range(1, int(n_partitions) + 1)
-                ],
+                "r_p": r_p,
             }
         if not plan:
             continue
@@ -476,24 +533,41 @@ def _locate_all(
 
 
 def _locate_in_cuboid_local(
-    pdf, cuboid: list[str], cluster_mask, normal_mask, options: SqueezeOptions
+    pdf,
+    cuboid: list[str],
+    cluster_mask,
+    normal_mask,
+    options: SqueezeOptions,
+    derived: bool = False,
 ) -> tuple[list[dict[str, str]], float]:
     """pandas mirror of _locate_in_cuboid — same stats, ranks, and ps
     score; parity-tested against the distributed path."""
     import pandas as pd
 
     sel = (cluster_mask | normal_mask)
-    t = pdf.assign(
-        __abn=cluster_mask.astype(int),
-        __vsel=np.where(sel, pdf["real"], np.nan),
-        __fsel=np.where(sel, pdf["predict"], np.nan),
-    )
+    assigns = {"__abn": cluster_mask.astype(int)}
+    if derived:
+        for m in ("real_a", "predict_a", "real_b", "predict_b"):
+            assigns[f"__{m}sel"] = np.where(sel, pdf[m], np.nan)
+    else:
+        assigns["__vsel"] = np.where(sel, pdf["real"], np.nan)
+        assigns["__fsel"] = np.where(sel, pdf["predict"], np.nan)
+    t = pdf.assign(**assigns)
     g = t.groupby(cuboid, sort=False)
+    sum_cols = (
+        dict(
+            Va_e=("__real_asel", "sum"),
+            Fa_e=("__predict_asel", "sum"),
+            Vb_e=("__real_bsel", "sum"),
+            Fb_e=("__predict_bsel", "sum"),
+        )
+        if derived
+        else dict(V_e=("__vsel", "sum"), F_e=("__fsel", "sum"))
+    )
     stats = g.agg(
         num_elements=("__abn", "sum"),
         descents=("__abn", "size"),
-        V_e=("__vsel", "sum"),
-        F_e=("__fsel", "sum"),
+        **sum_cols,
     )
     stats = stats[stats["num_elements"] > 0]
     if not len(stats):
@@ -522,8 +596,14 @@ def _locate_in_cuboid_local(
     )
     rank = key_series.map(rank_of)
 
-    v_prefix = np.cumsum(rows["V_e"].fillna(0.0).to_numpy())
-    f_prefix = np.cumsum(rows["F_e"].fillna(0.0).to_numpy())
+    if derived:
+        va = np.cumsum(rows["Va_e"].fillna(0.0).to_numpy())
+        fa = np.cumsum(rows["Fa_e"].fillna(0.0).to_numpy())
+        vb = np.cumsum(rows["Vb_e"].fillna(0.0).to_numpy())
+        fb = np.cumsum(rows["Fb_e"].fillna(0.0).to_numpy())
+    else:
+        v_prefix = np.cumsum(rows["V_e"].fillna(0.0).to_numpy())
+        f_prefix = np.cumsum(rows["F_e"].fillna(0.0).to_numpy())
 
     sub_mask = (cluster_mask | normal_mask).to_numpy()
     real = pdf["real"].to_numpy()
@@ -537,7 +617,14 @@ def _locate_in_cuboid_local(
 
     best_p, best_score = 1, float("-inf")
     for p in range(1, n_partitions + 1):
-        r_p = float(v_prefix[p - 1] / f_prefix[p - 1]) if f_prefix[p - 1] else 0.0
+        if derived:
+            r_p = _derived_ripple(va[p - 1], vb[p - 1], fa[p - 1], fb[p - 1])
+        else:
+            r_p = (
+                float(v_prefix[p - 1] / f_prefix[p - 1])
+                if f_prefix[p - 1]
+                else 0.0
+            )
         in_p = sub_mask & ~np.isnan(rank_np) & (rank_np <= p)
         out_p = sub_mask & ~in_p
         d1 = float(np.abs(real[in_p] - predict[in_p] * r_p).sum())
@@ -554,9 +641,15 @@ def _locate_in_cuboid_local(
     return rc, best_score
 
 
-def _squeeze_driver(pdf, attributes: list[str], options: SqueezeOptions) -> list[str]:
+def _squeeze_driver(
+    pdf,
+    attributes: list[str],
+    options: SqueezeOptions,
+    derived: bool = False,
+) -> list[str]:
     """Driver-side mirror of the locate phase on a collected leaf frame
-    (attrs as string, real, predict, deviation, metric)."""
+    (attrs as string, real, predict, deviation, metric; derived adds the
+    raw a/b measure columns)."""
     from riskloc_spark.plans.cuboid import cuboids_of_layer
 
     deviations = pdf["deviation"].to_numpy()
@@ -598,7 +691,8 @@ def _squeeze_driver(pdf, attributes: list[str], options: SqueezeOptions) -> list
         for layer in range(1, len(attributes) + 1):
             for cuboid in cuboids_of_layer(attributes, layer):
                 rc, score = _locate_in_cuboid_local(
-                    pdf, cuboid, cluster_mask, normal_mask, options
+                    pdf, cuboid, cluster_mask, normal_mask, options,
+                    derived=derived,
                 )
                 ret_lists.append(
                     {
@@ -628,9 +722,17 @@ def squeeze(
     attributes: list[str],
     options: SqueezeOptions | None = None,
     driver_rows: int | None = 200_000,
+    derived: bool = False,
 ) -> list[str]:
-    """Reference squeeze.py:108-302 (plain measures). Returns root-cause
-    strings 'd1=v1&d2=v2' (one per cluster), unified format.
+    """Reference squeeze.py:108-302. Returns root-cause strings
+    'd1=v1&d2=v2' (one per cluster), unified format.
+
+    ``derived=True`` is the reference's ``data_list=[df_a, df_b],
+    op=divide`` mode (run_utils.py:31-45): the frame must carry
+    ``real_a / predict_a / real_b / predict_b``; the per-leaf KPI is the
+    a/b ratio (0 where the denominator is 0), deviation / clustering /
+    ps-score distances run on the ratio, and ONLY the ripple ratio uses
+    the separate a/b sums (op over summed frames, squeeze.py:192-199).
 
     Adaptive like riskloc/autoroot: scoring columns are distributed; when
     the aggregated leaf frame is driver-sized (limit-probe), the
@@ -640,7 +742,20 @@ def squeeze(
     distributed path."""
     options = options or SqueezeOptions()
 
-    df = df.filter(F.col("predict") > 0)
+    measure_cols = (
+        ["real_a", "predict_a", "real_b", "predict_b"] if derived else []
+    )
+    if derived:
+        # valid rows: every input frame's predict > 0 (ref squeeze.py:29)
+        df = df.filter((F.col("predict_a") > 0) & (F.col("predict_b") > 0))
+        ratio = lambda a, b: F.when(  # noqa: E731
+            F.col(b) != 0, F.col(a) / F.col(b)
+        ).otherwise(F.lit(0.0))
+        df = df.withColumn("real", ratio("real_a", "real_b")).withColumn(
+            "predict", ratio("predict_a", "predict_b")
+        )
+    else:
+        df = df.filter(F.col("predict") > 0)
 
     if driver_rows is not None:
         # one action: limit-probe and collect the RAW filtered frame (see
@@ -652,6 +767,7 @@ def squeeze(
                   for a in attributes],
                 F.col("real").cast("double"),
                 F.col("predict").cast("double"),
+                *[F.col(m).cast("double") for m in measure_cols],
             )
             .limit(driver_rows + 1)
             .toPandas()
@@ -670,9 +786,9 @@ def squeeze(
             pdf = pdf.assign(
                 deviation=dev, metric=(pdf["real"] - pdf["predict"]).abs()
             )
-            return _squeeze_driver(pdf, attributes, options)
+            return _squeeze_driver(pdf, attributes, options, derived=derived)
 
-    # injection-error shift (ref squeeze.py:36)
+    # injection-error shift (ref squeeze.py:36) — on the derived KPI
     min_real = df.agg(F.min("real")).first()[0] or 0.0
     if min_real < 0:
         df = df.withColumn("real", F.col("real") - F.lit(min_real))
@@ -818,7 +934,9 @@ def squeeze(
         # (ret_lists truncated at the first layer containing a score
         # above ps_upper_bound — identical contents to the sequential
         # loop that stopped computing there)
-        located = _locate_all(df, attributes, ranges, normal_pred, options)
+        located = _locate_all(
+            df, attributes, ranges, normal_pred, options, derived=derived
+        )
 
         root_causes: list[str] = []
         for ci in range(len(ranges)):

@@ -179,3 +179,55 @@ def test_squeeze_derived_ratio_input(spark):
     pdf = pd.DataFrame(rows, columns=["a", "b", "real", "predict"])
     causes = squeeze(spark.createDataFrame(pdf), ["a", "b"])
     assert causes and "a=a2" in ";".join(causes)
+
+
+def make_derived_instance(seed=8, anomaly="a2", rate_drop=0.3):
+    """Separate a (numerator) and b (denominator) measures, the shape
+    read_rca_csv_derived produces: the KPI is a success-ratio a/b."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for a in [f"a{i}" for i in range(4)]:
+        for b in [f"b{i}" for i in range(5)]:
+            for c in [f"c{i}" for i in range(4)]:
+                total = float(rng.integers(500, 1500))
+                total_f = total * (1 + rng.uniform(-0.01, 0.01))
+                rate = 0.95 + rng.uniform(-0.01, 0.01)
+                # distinct per-leaf severities: a constant drop collapses
+                # to one distinct deviation and the density histogram
+                # degenerates (same caveat as make_instance)
+                anom_rate = rate_drop + rng.uniform(0, 0.05)
+                ok = total * (anom_rate if a == anomaly else rate)
+                ok_f = total_f * 0.95
+                rows.append((a, b, c, ok, ok_f, total, total_f))
+    return pd.DataFrame(
+        rows,
+        columns=["a", "b", "c", "real_a", "predict_a", "real_b", "predict_b"],
+    )
+
+
+def test_squeeze_derived_finds_cause(spark):
+    """derived=True (ref Squeeze(data_list=[a,b], op=divide)): driver path."""
+    df = spark.createDataFrame(make_derived_instance())
+    causes = squeeze(df, ["a", "b", "c"], derived=True)
+    assert causes and "a=a2" in ";".join(causes)
+
+
+def test_squeeze_derived_driver_vs_distributed_parity(spark):
+    df = spark.createDataFrame(make_derived_instance(seed=31, anomaly="a0"))
+    drv = squeeze(df, ["a", "b", "c"], derived=True)
+    dist = squeeze(df, ["a", "b", "c"], derived=True, driver_rows=None)
+    assert drv == dist
+    assert "a=a0" in ";".join(drv)
+
+
+def test_squeeze_derived_ripple_uses_separate_sums(spark):
+    """The ripple ratio must be op(sum a, sum b), not sum of per-leaf
+    ratios: construct a partition where the two disagree and check the
+    derived search still returns a cause (exercises _derived_ripple)."""
+    from riskloc_spark.operators.squeeze import _derived_ripple
+
+    # ratio-of-sums: (10+90)/(100+100)=0.5; mean of ratios: (0.1+0.9)/2=0.5
+    # but with uneven denominators they diverge:
+    assert _derived_ripple(10.0, 100.0, 50.0, 100.0) == (10.0 / 100.0) / 0.5
+    assert _derived_ripple(0.0, 0.0, 0.0, 0.0) == 0.0
+    assert _derived_ripple(5.0, 0.0, 3.0, 6.0) == 0.0
