@@ -317,13 +317,23 @@ def riskloc_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # portable md5-derived hash so the whole signature -> band -> bucket
+    # -> pair algebra is oracle-checked against DuckDB (production code
+    # defaults to xxhash64; the pipeline shape is identical)
+    from riskloc_spark.operators.dedup import md5_hash64
+
     d = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_dedup(d, jaccard_threshold=0.5)
+    out = minhash_lsh_dedup(d, jaccard_threshold=0.5, hash_fn=md5_hash64)
+    return out.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from riskloc_spark.operators.dedup import md5_hash64
+
     d = load_table(spark, sf_dir, "documents")
-    return simhash_dedup(d, max_hamming=3)
+    return simhash_dedup(d, max_hamming=3, hash_fn=md5_hash64)
 
 
 def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,7 +493,9 @@ def riskloc_rca_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+    return d.select(
+        "doc_id", T.fingerprint(F.col("text"), portable=True).alias("fp")
+    )
 
 
 def media_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1125,6 +1137,145 @@ def _squeeze_cluster_stats_sql() -> str:
     """ + "\nUNION ALL\n".join(parts)
 
 
+# portable md5-derived 60-bit hash (operators/dedup.md5_hash64 twin)
+_MD5H = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _minhash_pairs_sql() -> str:
+    """DuckDB twin of minhash_lsh_dedup(hash_fn=md5_hash64): shingle ->
+    32 seeded minhashes -> 8 banded buckets -> bucket join -> signature
+    agreement >= 0.5 (operators/dedup.py:112-194)."""
+    h_seeded = _MD5H.format(x="concat(s, ':', CAST(k AS VARCHAR))")
+    h_band = _MD5H.format(
+        x="string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)"
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE list_transform(range(1, len(t) - 1),
+                                     i -> array_to_string(t[i:i+2], ' '))
+                 END AS ss
+          FROM toks
+        ),
+        shingled AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        sigs AS (
+          SELECT doc_id, k, MIN({h_seeded}) AS mh
+          FROM shingled CROSS JOIN range(32) t(k)
+          GROUP BY doc_id, k
+        ),
+        bands AS (
+          SELECT doc_id, k // 4 AS band, {h_band} AS bucket
+          FROM sigs GROUP BY doc_id, k // 4
+        ),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM bands l JOIN bands r
+            ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        ),
+        est AS (
+          SELECT c.id_a, c.id_b,
+                 SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 32.0 AS ej
+          FROM cand c
+          JOIN sigs a ON a.doc_id = c.id_a
+          JOIN sigs b ON b.doc_id = c.id_b AND b.k = a.k
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, round(ej, 6) AS est_jaccard
+        FROM est WHERE ej >= 0.5
+    """
+
+
+def _simhash_pairs_sql() -> str:
+    """DuckDB twin of simhash_dedup(hash_fn=md5_hash64): per-bit token
+    majority vote -> 4 pigeonhole blocks -> block join -> hamming <= 3
+    (operators/dedup.py:197-296). The md5 hash is 60-bit, so bits 60-63
+    never vote positive in either engine — range(60) suffices."""
+    h_tok = _MD5H.format(x="tok")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split({_NORM_TEXT}, ' ')) AS tok
+          FROM documents
+        ),
+        hashes AS (SELECT doc_id, {h_tok} AS hv FROM toks),
+        votes AS (
+          SELECT doc_id, i,
+                 SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hashes CROSS JOIN range(60) t(i)
+          GROUP BY doc_id, i
+        ),
+        simh AS (
+          SELECT doc_id,
+                 CAST(COALESCE(SUM(CASE WHEN v > 0
+                     THEN (CAST(1 AS BIGINT) << i) ELSE 0 END), 0) AS BIGINT) AS sh
+          FROM votes GROUP BY doc_id
+        ),
+        blocked AS (
+          SELECT doc_id, sh, b AS blk, (sh >> CAST(b * 16 AS INT)) & 65535 AS blk_val
+          FROM simh CROSS JOIN range(4) t(b)
+        ),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                          l.sh AS sha, r.sh AS shb
+          FROM blocked l JOIN blocked r
+            ON l.blk = r.blk AND l.blk_val = r.blk_val AND l.doc_id < r.doc_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+        FROM pairs WHERE bit_count(xor(sha, shb)) <= 3
+    """
+
+
+def _knn_lsh_sql() -> str:
+    """DuckDB twin of lsh_bucket_knn (operators/similarity.py:89-143):
+    the 8 sign-random-projection hyperplanes are driver-side
+    deterministic constants (seed 13), inlined here as DOUBLE[]
+    literals; bucket-join then exact cosine top-5."""
+    from riskloc_spark.operators.similarity import _hyperplane
+
+    planes = [_hyperplane(64, 13 + i) for i in range(8)]
+
+    def bucket(col: str) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, {lit}) >= 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + "\n + ".join(terms) + ")"
+
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe,
+                 {bucket("embedding::DOUBLE[]")} AS bkt
+          FROM embeddings WHERE vec_id < 8
+        ),
+        c AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ee,
+                 {bucket("embedding::DOUBLE[]")} AS bkt
+          FROM embeddings
+        ),
+        s AS (
+          SELECT query_id, vec_id,
+                 list_dot_product(qe, ee)
+                 / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ee, ee))) AS cs
+          FROM q JOIN c USING (bkt)
+        ),
+        r AS (
+          SELECT query_id, vec_id, round(cs, 6) AS cos_sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cs DESC, vec_id ASC) AS INT) AS rnk
+          FROM s
+        )
+        SELECT query_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
+    """
+
+
 def _squeeze_derived_cluster_stats_sql() -> str:
     """DuckDB twin of squeeze_derived_cluster_stats_q."""
     parts = []
@@ -1558,6 +1709,12 @@ def oracle_sql() -> dict[str, str]:
                    round(s.ep, 6) AS ep, round(s.surprise, 6) AS surprise
             FROM scored s JOIN picked p ON s.dimension = p.dimension
             WHERE s.ep > 0.05
+        """,
+        "minhash_pairs": _minhash_pairs_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
+        "knn_lsh": _knn_lsh_sql(),
+        "doc_fingerprints": f"""
+            SELECT doc_id, {_MD5H.format(x=_NORM_TEXT)} AS fp FROM documents
         """,
         "ngram_jaccard": """
             WITH toks AS (

@@ -62,9 +62,15 @@ def lang_id(text: Column) -> Column:
     return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("unk"))
 
 
-def fingerprint(text: Column) -> Column:
+def fingerprint(text: Column, portable: bool = False) -> Column:
     """Deterministic 64-bit document fingerprint: xxhash64 of the
     whitespace-normalized lowercased text (content-defined identity for
-    exact dedup)."""
+    exact dedup). ``portable=True`` swaps in the md5-derived 60-bit hash
+    (operators/dedup.md5_hash64) so the value is reproducible in any
+    ANSI-SQL engine — used by the oracle gate."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    if portable:
+        from riskloc_spark.operators.dedup import md5_hash64
+
+        return md5_hash64(norm)
     return F.xxhash64(norm)

@@ -15,6 +15,24 @@ def _norm_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def xxhash64_fn(col, seed: int | None = None):
+    """Default signature hash: JVM xxhash64 (fastest, codegen'd)."""
+    return F.xxhash64(col) if seed is None else F.xxhash64(col, F.lit(seed))
+
+
+def md5_hash64(col, seed: int | None = None):
+    """Portable 60-bit hash: the first 15 hex chars of md5, parsed as an
+    integer. Bit-identical in any ANSI-SQL engine
+    (``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``), so signature
+    pipelines built on it can be oracle-checked against DuckDB. Seeding
+    appends ':<seed>' to the input. Production paths keep xxhash64 —
+    md5 is ~5x more expensive per call."""
+    inp = col.cast("string")
+    if seed is not None:
+        inp = F.concat_ws(":", inp, F.lit(str(seed)))
+    return F.conv(F.substring(F.md5(inp), 1, 15), 16, 10).cast("long")
+
+
 def spread_small_scan(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's parallelism when the scan yields
     fewer splits (a small/single-row-group file reads as ONE partition
@@ -62,6 +80,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    hash_fn=xxhash64_fn,
 ) -> DataFrame:
     """MinHash signature per document: for permutation k, min over
     shingles of xxhash64(shingle, seed=k). array<long> column 'sig'.
@@ -80,7 +99,7 @@ def minhash_signatures(
     )
     agg = ex.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64("__s", F.lit(k))).alias(f"__h{k}")
+            F.min(hash_fn(F.col("__s"), k)).alias(f"__h{k}")
             for k in range(num_hashes)
         ]
     )
@@ -98,6 +117,7 @@ def minhash_lsh_dedup(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
+    hash_fn=xxhash64_fn,
 ) -> DataFrame:
     """Near-dup pairs via banded LSH: band signature -> bucket -> join
     within bucket only. Returns candidate pairs with estimated Jaccard
@@ -110,7 +130,9 @@ def minhash_lsh_dedup(
     # both sides of the bucket self-join (and the pair-dedup exchange)
     # would recompute the signature pipeline — cache it (small: one row
     # per doc; Spark evicts LRU under pressure)
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, hash_fn=hash_fn
+    ).persist()
 
     banded = sigs.select(
         id_col,
@@ -120,7 +142,7 @@ def minhash_lsh_dedup(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        hash_fn(
                             F.concat_ws(
                                 ",",
                                 *[
@@ -173,7 +195,11 @@ def minhash_lsh_dedup(
 
 
 def simhash_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 64,
+    hash_fn=xxhash64_fn,
 ) -> DataFrame:
     """64-bit SimHash per document: per-bit majority vote of token hashes.
 
@@ -190,7 +216,7 @@ def simhash_table(
     toks = spread_small_scan(df).select(
         F.col(id_col),
         F.explode(F.split(_norm_text(F.col(text_col)), " ")).alias("__tok"),
-    ).withColumn("__h", F.xxhash64("__tok"))
+    ).withColumn("__h", hash_fn(F.col("__tok")))
 
     aggs = [
         F.sum(
@@ -221,6 +247,7 @@ def simhash_dedup(
     max_hamming: int = 3,
     num_bits: int = 64,
     num_blocks: int = 4,
+    hash_fn=xxhash64_fn,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, found via the
     pigeonhole block trick: split the 64-bit hash into blocks; any pair
@@ -231,7 +258,7 @@ def simhash_dedup(
     mask = (1 << block_bits) - 1
 
     # cache: both join sides + the dedup exchange reuse the hash table
-    sh = simhash_table(df, text_col, id_col, num_bits).persist()
+    sh = simhash_table(df, text_col, id_col, num_bits, hash_fn=hash_fn).persist()
     blocked = sh.select(
         id_col,
         "sh",
