@@ -363,18 +363,28 @@ def _rev_rec_adtributor_pd(pdf, dimensions, teep, k, derived):
     return _refine_and_dedupe(explanatory_set, dimensions, make_child)
 
 
-def _rev_rec_distributed_fused(df, dimensions, teep, k, derived):
+def _rev_rec_distributed_fused(
+    df, dimensions, teep, k, derived, max_candidates_per_dim: int = 10_000
+):
     """Distributed rev_rec_adtributor with ONE explode job per recursion
     DEPTH (not per candidate element): every live branch's sub-frame
     element sums are computed together — each row fans out to one
-    (branch, dim, value) struct per matching branch context — and the
-    reverse-adtributor candidate selection runs on the (tiny) collected
-    sums. The driver then replays the reference's refine/merge semantics
-    over the precomputed tree. Jobs = recursion depth, versus
+    (branch, dim, value) struct per matching branch context. EP and
+    surprise are scored DISTRIBUTED (window sums per branch, mirroring
+    _score_element_frame), the ``ep > teep`` candidate filter applies
+    before any exchange to the driver, and a rank window caps the
+    collect at ``max_candidates_per_dim`` rows per (branch, dimension) —
+    so a user-id-like attribute with millions of elements collects at
+    most the cap, never the cardinality. Per-candidate-set EP/surprise
+    sums and the strict-subset counts come from exact window aggregates
+    over the FULL (pre-cap) candidate set, so the cap can only truncate
+    a pathological candidate *list* (> cap elements above teep), never
+    skew the scores; truncation drops the lowest-EP elements.
+
+    The driver then replays the reference's refine/merge semantics over
+    the collected tree. Jobs = recursion depth, versus
     O(k * elements^depth) sequential aggregations before."""
     import copy
-
-    import pandas as pd
 
     measures = (
         ["real_a", "real_b", "predict_a", "predict_b"] if derived else ["real", "predict"]
@@ -407,7 +417,7 @@ def _rev_rec_distributed_fused(df, dimensions, teep, k, derived):
                 )
                 structs.append(s if pred is None else F.when(pred, s))
 
-        ex = (
+        el = (
             df.select(
                 F.explode(F.array(*structs)).alias("ce"),
                 *[F.col(m).cast("double").alias(m) for m in measures],
@@ -415,35 +425,121 @@ def _rev_rec_distributed_fused(df, dimensions, teep, k, derived):
             .filter(F.col("ce").isNotNull())
             .groupBy("ce.nid", "ce.dim", "ce.element")
             .agg(*[F.sum(m).alias(m) for m in measures])
+            .select(
+                F.col("nid"), F.col("dim"), F.col("element"), *measures
+            )
         )
-        rows = ex.collect()
 
-        by_node: dict[int, list] = {}
+        # distributed mirror of _score_element_frame: per-branch totals
+        # via window sums (the old path collected the whole element frame
+        # and scored in pandas — unbounded for high-cardinality dims)
+        w_nid = Window.partitionBy("nid")
+        w_nd = Window.partitionBy("nid", "dim")
+        # n_dims varies per branch; known on the driver -> literal map
+        nd_map = F.create_map(
+            *[
+                lit
+                for nid in level
+                for lit in (F.lit(nid), F.lit(float(len(nodes[nid][1]))))
+            ]
+        )
+        nd = nd_map[F.col("nid")]
+
+        def sterm(rc, pc, Ftot, Atot):
+            p = F.col(pc) / (Ftot / nd)
+            q = F.col(rc) / (Atot / nd)
+            pt = F.when((p == 0) | (p + q == 0), F.lit(0.0)).otherwise(
+                p * F.log(2.0 * p / (p + q))
+            )
+            qt = F.when((q == 0) | (p + q == 0), F.lit(0.0)).otherwise(
+                q * F.log(2.0 * q / (p + q))
+            )
+            return 0.5 * (pt + qt)
+
+        if derived:
+            Fa = F.sum("predict_a").over(w_nid)
+            Fb = F.sum("predict_b").over(w_nid)
+            Aa = F.sum("real_a").over(w_nid)
+            Ab = F.sum("real_b").over(w_nid)
+            n_ = (F.col("real_a") - F.col("predict_a")) * Fb - (
+                F.col("real_b") - F.col("predict_b")
+            ) * Fa
+            d_ = Fb * (Fb + F.col("real_b") - F.col("predict_b"))
+            el = el.withColumn("__ept", n_ / d_)
+            el = el.withColumn(
+                "ep", F.col("__ept") / F.sum("__ept").over(w_nid)
+            )
+            surprise = sterm("real_a", "predict_a", Fa, Aa) + sterm(
+                "real_b", "predict_b", Fb, Ab
+            )
+        else:
+            A = F.sum("real").over(w_nid)
+            Ff = F.sum("predict").over(w_nid)
+            el = el.withColumn(
+                "ep", (F.col("real") - F.col("predict")) / (A - Ff)
+            )
+            surprise = sterm("real", "predict", Ff, A)
+        el = el.withColumn("surprise", surprise).withColumn(
+            "__ng", F.count(F.lit(1)).over(w_nd)
+        )
+
+        cand = (
+            el.filter(F.col("ep") > teep)
+            .withColumn("__ncand", F.count(F.lit(1)).over(w_nd))
+            .withColumn("__ep_sum", F.sum("ep").over(w_nd))
+            .withColumn("__sur_sum", F.sum("surprise").over(w_nd))
+        )
+        w_rank = Window.partitionBy("nid", "dim").orderBy(
+            F.col("ep").desc(), F.col("element").asc()
+        )
+        rows = (
+            cand.withColumn("__rn", F.row_number().over(w_rank))
+            .filter(F.col("__rn") <= max_candidates_per_dim)
+            .select(
+                "nid", "dim", "element", "__ng", "__ncand",
+                "__ep_sum", "__sur_sum",
+            )
+            .collect()
+        )
+
+        by_nd: dict[tuple[int, str], list] = {}
         for r in rows:
-            by_node.setdefault(r["nid"], []).append(r)
+            by_nd.setdefault((r["nid"], r["dim"]), []).append(r)
         new_level = []
         for nid in level:
             ctx, dims = nodes[nid]
-            node_rows = by_node.get(nid, [])
-            if not node_rows:
-                computed[nid] = []
-                continue
-            el = pd.DataFrame(
-                [[r["dim"], r["element"], *[r[m] for m in measures]] for r in node_rows],
-                columns=["dimension", "element", *measures],
-            )
-            el = _score_element_frame(el, len(dims), derived)
-            cands = _rev_candidates_from_elements(el, dims, teep, k)
+            causes = []
+            for dim in dims:
+                rs = by_nd.get((nid, dim))
+                if not rs:
+                    continue
+                r0 = rs[0]
+                # candidate set must be a strict subset of the dimension's
+                # elements (counts are exact pre-cap window aggregates)
+                if r0["__ncand"] >= r0["__ng"]:
+                    continue
+                causes.append(
+                    {
+                        "elements": sorted(r["element"] for r in rs),
+                        "explanatory_power": float(r0["__ep_sum"]),
+                        "surprise": float(r0["__sur_sum"]),
+                        "dimension": dim,
+                    }
+                )
+            causes.sort(key=lambda c: (-c["surprise"], c["dimension"]))
+            cands = causes[:k]
             computed[nid] = cands
-            for cand in cands:
-                remaining = sorted(set(dims) - {cand["dimension"]})
+            for cand_set in cands:
+                remaining = sorted(set(dims) - {cand_set["dimension"]})
                 if not remaining:
                     continue
-                for element in cand["elements"]:
+                for element in cand_set["elements"]:
                     cid = next_id
                     next_id += 1
-                    nodes[cid] = (ctx + [(cand["dimension"], element)], remaining)
-                    children[(nid, cand["dimension"], element)] = cid
+                    nodes[cid] = (
+                        ctx + [(cand_set["dimension"], element)], remaining
+                    )
+                    children[(nid, cand_set["dimension"], element)] = cid
                     new_level.append(cid)
         level = new_level
 
@@ -467,6 +563,7 @@ def rev_rec_adtributor(
     k: int = 3,
     derived: bool = False,
     driver_rows: int | None = 200_000,
+    max_candidates_per_dim: int = 10_000,
 ) -> list[dict[str, Any]]:
     """Recursive refinement (ref rev_rec_adtributor.py:37-74): each
     candidate element is drilled into over the remaining dimensions; if
@@ -495,4 +592,7 @@ def rev_rec_adtributor(
         if len(pdf) <= driver_rows:
             return _rev_rec_adtributor_pd(pdf, dimensions, teep, k, derived)
 
-    return _rev_rec_distributed_fused(df, dimensions, teep, k, derived)
+    return _rev_rec_distributed_fused(
+        df, dimensions, teep, k, derived,
+        max_candidates_per_dim=max_candidates_per_dim,
+    )

@@ -221,3 +221,43 @@ def test_rev_rec_distributed_job_count_is_depth_bound(spark):
     assert "a2" in flat
     # 2 depths -> 2 actions (+ AQE stage-splitting headroom)
     assert len(job_ids) <= 8, f"{len(job_ids)} jobs: {job_ids}"
+
+
+def test_rev_rec_collect_is_capped_per_dim(spark):
+    """The fused recursion's driver transfer is bounded by
+    max_candidates_per_dim regardless of dimension cardinality: with a
+    small cap on a frame where MANY elements pass teep, the candidate
+    list truncates to the cap (lowest-EP dropped) while the EP/surprise
+    sums stay exact (pre-cap window aggregates)."""
+    import pandas as pd
+
+    from riskloc_spark.operators.adtributor import rev_rec_adtributor
+
+    # 40 'u' elements, each with identical positive anomaly -> every one
+    # passes teep on the u dimension
+    rows = []
+    for u in range(40):
+        for b in range(2):
+            rows.append((f"u{u:02d}", f"b{b}", 50.0, 100.0))
+    # one normal element so the candidate set is a strict subset
+    rows.append(("normal", "b0", 100.0, 100.0))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["u", "b", "real", "predict"])
+    )
+
+    causes = rev_rec_adtributor(
+        df, ["u", "b"], teep=0.001, driver_rows=None,
+        max_candidates_per_dim=5,
+    )
+    u_sets = [
+        cs for cs in causes if any(e[0].startswith("u") for e in cs["elements"])
+    ]
+    assert u_sets, causes
+    for cs in u_sets:
+        assert len(cs["elements"]) <= 5, cs
+
+    # uncapped parity check on the same frame: distributed == driver path
+    drv = rev_rec_adtributor(df, ["u", "b"], teep=0.001, driver_rows=10**9)
+    dist = rev_rec_adtributor(df, ["u", "b"], teep=0.001, driver_rows=None)
+    key = lambda cs: (cs["dimension"], tuple(map(tuple, cs["elements"])))
+    assert sorted(map(key, drv)) == sorted(map(key, dist))
