@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
+    "knn_ivf_warm",
     "minhash_pairs",
     "simhash_pairs",
     "ngram_jaccard",

@@ -209,6 +209,26 @@ def _kmeans_fit(sample, n_clusters: int, n_iter: int, seed: int):
     return centroids
 
 
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    fit_sample: int = 10_000,
+    n_iter: int = 10,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> "np.ndarray":
+    """Fit the IVF coarse quantizer once: driver k-means on a bounded
+    sample. Returns the (n_clusters x dim) centroid array — pass it to
+    ``ivf_knn(centroids=...)`` to serve queries without refitting (the
+    fit is the whole cold-start cost: a collect + O(sample x clusters)
+    numpy loop, ~10x the cost of one warm probe at sf0.1)."""
+    sample = [
+        r[0]
+        for r in spread_small_scan(corpus.select(vec_col)).limit(fit_sample).collect()
+    ]
+    return _kmeans_fit(sample, n_clusters, n_iter, seed)
+
+
 def ivf_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -221,12 +241,15 @@ def ivf_knn(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 7,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer ->
     corpus partitioned by nearest centroid -> each query probes only its
     ``n_probe`` nearest cells, ranked by exact cosine inside them.
 
-    100-TB shape: the quantizer is fit once on a bounded driver sample;
+    100-TB shape: the quantizer is fit once on a bounded driver sample
+    (or passed in precomputed via ``centroids`` — a query-serving path
+    must NOT refit per call; use ivf_fit_centroids once and reuse);
     assignment is a broadcast argmin over n_clusters centroid literals
     (JVM-side, no shuffle); the probe is an equi-join on cell id — the
     corpus shuffles once on cell (or is bucketed by cell at write time),
@@ -238,11 +261,10 @@ def ivf_knn(
     from pyspark.sql import Window
     import numpy as np
 
-    sample = [
-        r[0]
-        for r in spread_small_scan(corpus.select(vec_col)).limit(fit_sample).collect()
-    ]
-    centroids = _kmeans_fit(sample, n_clusters, n_iter, seed)
+    if centroids is None:
+        centroids = ivf_fit_centroids(
+            corpus, n_clusters, fit_sample, n_iter, vec_col, seed
+        )
 
     # centroid assignment as an Arrow-vectorized pandas UDF: a batch
     # (b x dim) @ centroid matmul replaces 2*n_clusters interpreted

@@ -44,3 +44,22 @@ def test_lsh_recall_vs_bruteforce(spark):
     # random (structure-free) vectors: sign-LSH recall tracks bucket
     # occupancy; 4 bits / 16 buckets gives a stable floor on this corpus
     assert recall >= 0.3, f"recall {recall}"
+
+
+def test_ivf_precomputed_centroids_match_cold(spark):
+    """The query-serving path (centroids fit once via ivf_fit_centroids,
+    reused across calls) must return exactly the per-call-fit results —
+    same sample, same seed, same quantizer."""
+    from riskloc_spark.operators.similarity import ivf_fit_centroids
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ivf_fit_centroids(emb)
+    cold = ivf_knn(emb, queries, k=5).collect()
+    warm = ivf_knn(emb, queries, k=5, centroids=cents).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(
+        [(r["query_id"], r["rank"], r["vec_id"]) for r in cold]
+    ) == sorted([(r["query_id"], r["rank"], r["vec_id"]) for r in warm])
