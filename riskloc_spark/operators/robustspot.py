@@ -127,6 +127,20 @@ def _id_threshold(pos_ids: np.ndarray) -> float:
     return threshold
 
 
+def _id_threshold_weighted(values: np.ndarray, counts: np.ndarray) -> float:
+    """_id_threshold over (distinct ID, count) pairs — exact for the
+    expanded array: duplicates of a value only add CDF points at the same
+    x with lower y, which can never be the kneedle max, so the knee over
+    distinct values with cumulative counts is the knee over raw rows."""
+    if len(values) == 0:
+        return 0.5
+    order = np.argsort(values, kind="stable")
+    xs, cs = values[order], counts[order]
+    cdf = np.cumsum(cs) / cs.sum()
+    knee = kneedle_knee(xs, cdf)
+    return 0.5 if knee is None else float(knee)
+
+
 def _match_mask(pdf: pd.DataFrame, cause) -> pd.Series:
     m = pd.Series(True, index=pdf.index)
     for col, val in cause:
@@ -149,17 +163,16 @@ def _weighted_mode(pdf: pd.DataFrame, col: str, w: pd.Series):
     return agg.idxmax()
 
 
-def _mine(
-    before: pd.DataFrame,
+def _mine_candidates(
     after: pd.DataFrame,
     weights: pd.Series,
     attributes: list[str],
     confidence_threshold: float,
 ) -> list[tuple]:
-    """Rule mining on the (weight-expanded) anomalous frame
-    (ref mining.py:76-106). Weighted counts replace physical row
-    expansion: count(X) over the expanded frame == sum of weights of rows
-    matching X."""
+    """Candidate generation half of the rule mining (ref mining.py:76-99):
+    frequent items + association rules over the (weight-expanded)
+    anomalous frame. Only touches ``after`` — delta ranking against the
+    full frame is the caller's job (local or distributed)."""
     if len(after) == 0 or weights.sum() <= 0:
         return []
     # frequent item per column = weighted mode (pandas .mode() of the
@@ -190,12 +203,32 @@ def _mine(
                 cross.append(c)
     causes = [tuple(c) for c in cross]
     causes.extend(powerset(frequent, 1, 2))
+    return causes
 
+
+def _rank_by_delta(causes: list[tuple], deltas: np.ndarray) -> list[tuple]:
+    top = np.argsort(deltas, kind="stable")[:5]
+    return [tuple(sorted(causes[i], key=lambda it: it[0])) for i in top]
+
+
+def _mine(
+    before: pd.DataFrame,
+    after: pd.DataFrame,
+    weights: pd.Series,
+    attributes: list[str],
+    confidence_threshold: float,
+) -> list[tuple]:
+    """Rule mining on the (weight-expanded) anomalous frame
+    (ref mining.py:76-106). Weighted counts replace physical row
+    expansion: count(X) over the expanded frame == sum of weights of rows
+    matching X."""
+    causes = _mine_candidates(after, weights, attributes, confidence_threshold)
+    if not causes:
+        return []
     deltas = np.array(
         [_support(before, c) - _support(after, c) for c in causes]
     )
-    top = np.argsort(deltas, kind="stable")[:5]
-    return [tuple(sorted(causes[i], key=lambda it: it[0])) for i in top]
+    return _rank_by_delta(causes, deltas)
 
 
 def _id_local(p: pd.DataFrame) -> pd.Series:
@@ -235,84 +268,45 @@ def _select_frame(
     return pdf, after, w.astype(float)
 
 
-def robustspot(
-    df: DataFrame,
-    attributes: list[str],
-    k: int = 3,
-    derived: bool = False,
-    contribution_ability_threshold: float = 0.0,
-    confidence_threshold: float = 0.8,
-    lambda_amplification: float = 100,
-    driver_rows: int = 2_000_000,
-    flip_derived: bool = True,
-) -> list[list[tuple]]:
-    """Full RobustSpot (ref robustspot.py:39-113).
+def _match_pred(cause):
+    """Spark predicate for one cause tuple ((col, val), ...)."""
+    cond = None
+    for col, val in cause:
+        eq = F.col(col) == F.lit(val)
+        cond = eq if cond is None else (cond & eq)
+    return cond if cond is not None else F.lit(True)
 
-    The adapted leaf frame is computed distributed, then collected for
-    the 7-round mining schedule (the frame is the *leaf aggregate* of the
-    RCA case — bounded by the attribute-cardinality product, and the
-    reference algorithm is defined over exactly this compact frame).
-    ID/CA are recomputed per round on the round's subset, matching the
-    reference's leave-one-out semantics. ``driver_rows`` guards the
-    collect.
-    """
-    if not derived:
-        contribution_ability_threshold = -1  # ref robustspot.py:45
 
-    base = adapt_frame(df, derived, flip_derived)
-    for d in attributes:
-        base = base.withColumn(
-            d, F.coalesce(F.col(d).cast("string"), F.lit("None"))
-        )
-    sel = base.select(
-        *attributes,
-        "k_real",
-        "k_predict",
-        "cnt_real",
-        "cnt_predict",
-        "value_real",
-        "value_predict",
+def _supports_dist(frame: DataFrame, causes: list) -> np.ndarray:
+    """_support for MANY causes (or cause-lists) in ONE aggregation:
+    each cause becomes a conditional count, so the driver sees
+    len(causes) numbers, never rows."""
+    if not causes:
+        return np.zeros(0)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(causes):
+        members = c if isinstance(c, list) else [c]
+        expr = None
+        for m in members:
+            t = F.when(_match_pred(m), 1).otherwise(0)
+            expr = t if expr is None else (expr + t)
+        aggs.append(F.sum(expr).alias(f"__c{i}"))
+    row = frame.agg(*aggs).first()
+    n = row["__n"] or 0
+    if n == 0:
+        return np.zeros(len(causes))
+    return np.array(
+        [float(row[f"__c{i}"] or 0) / n for i in range(len(causes))]
     )
-    pdf0 = sel.limit(driver_rows + 1).toPandas()
-    if len(pdf0) > driver_rows:
-        raise ValueError(
-            f"robustspot leaf frame exceeds driver_rows={driver_rows}; "
-            "aggregate attributes further or raise the limit"
-        )
 
-    def drop_top(p: pd.DataFrame, cause) -> pd.DataFrame:
-        return p[~_match_mask(p, cause)]
 
-    # mining schedule (ref robustspot.py:54-69): round 0 on the full
-    # frame; rounds (dim1 in 1..3, dim2 in 1..2) drop earlier top causes
-    before_list: list[pd.DataFrame | None] = [None] * 7
-    after_list: list[pd.DataFrame | None] = [None] * 7
-    mined: list[list[tuple] | None] = [None] * 7
+def _final_merge(mined, support_before0, after0: pd.DataFrame, k: int):
+    """Cross-iteration merge + rank (ref final.py:5-70,
+    robustspot.py:71-97), shared by the driver and distributed paths.
+    ``support_before0(causes)`` returns supports over the round-0 full
+    frame (local _support or one distributed aggregation); ``after0`` is
+    the (always driver-sized) round-0 anomalous frame."""
 
-    def run(index: int, before_pdf: pd.DataFrame):
-        before, after, w = _select_frame(
-            before_pdf, attributes, derived,
-            contribution_ability_threshold, lambda_amplification,
-        )
-        before_list[index] = before
-        after_list[index] = after
-        mined[index] = _mine(before, after, w, attributes, confidence_threshold)
-
-    run(0, pdf0)
-    for dim1 in (1, 2, 3):
-        i1 = 2 * dim1 - 1  # dim2 == 1
-        tops = mined[0] or []
-        if len(tops) >= dim1:
-            run(i1, drop_top(before_list[0], tops[dim1 - 1]))
-        else:
-            mined[i1], before_list[i1], after_list[i1] = [], before_list[0], before_list[0].iloc[0:0]
-        i2 = 2 * dim1  # dim2 == 2
-        if mined[i1]:
-            run(i2, drop_top(before_list[i1], mined[i1][0]))
-        else:
-            mined[i2] = []
-
-    # cross-iteration merge (ref final.py:5-49, robustspot.py:71-97)
     def merge2(a: list[tuple], b: list[tuple]) -> list[list[tuple]]:
         out = []
         for c1 in a:
@@ -358,7 +352,9 @@ def robustspot(
     # (robustspot.py:80-88, marked TODO upstream); on datasets without a
     # p2p column it is a no-op, so it is intentionally not generalized.
 
-    # merge_larger_dimension (final.py:52-70)
+    # merge_larger_dimension (final.py:52-70) — batch the needed supports
+    # into one call so the distributed path runs one aggregation
+    merge_checks = []
     for idx, mc in enumerate(merge_res):
         if len(mc) > 1:
             record: dict[str, list] = {}
@@ -369,10 +365,17 @@ def robustspot(
                         record[col].append(val)
             keep = [(c, v[0]) for c, v in record.items() if len(v) == 1]
             if keep:
-                before_support = _support(before_list[0], mc)
-                after_support = _support(before_list[0], tuple(keep))
-                if after_support > 0 and before_support / after_support >= 0.9:
-                    merge_res[idx] = [tuple(keep)]
+                merge_checks.append((idx, mc, tuple(keep)))
+    if merge_checks:
+        queries = [list(mc) for _, mc, _ in merge_checks] + [
+            kp for _, _, kp in merge_checks
+        ]
+        sups = support_before0(queries)
+        m = len(merge_checks)
+        for j, (idx, mc, keep) in enumerate(merge_checks):
+            before_support, after_support = sups[j], sups[m + j]
+            if after_support > 0 and before_support / after_support >= 0.9:
+                merge_res[idx] = [keep]
 
     seen: list = []
     out_res: list[list[tuple]] = []
@@ -382,14 +385,237 @@ def robustspot(
             seen.append(s)
             out_res.append(mc)
 
-    deltas = np.array(
-        [
-            _support(before_list[0], list(mc)) - _support(after_list[0], list(mc))
-            for mc in out_res
-        ]
+    if not out_res:
+        return []
+    deltas = support_before0([list(mc) for mc in out_res]) - np.array(
+        [_support(after0, list(mc)) for mc in out_res]
     )
     order = np.argsort(deltas, kind="stable")[:k]
     return [out_res[i] for i in order]
+
+
+def robustspot(
+    df: DataFrame,
+    attributes: list[str],
+    k: int = 3,
+    derived: bool = False,
+    contribution_ability_threshold: float = 0.0,
+    confidence_threshold: float = 0.8,
+    lambda_amplification: float = 100,
+    driver_rows: int = 2_000_000,
+    flip_derived: bool = True,
+) -> list[list[tuple]]:
+    """Full RobustSpot (ref robustspot.py:39-113).
+
+    The adapted leaf frame is computed distributed, then collected for
+    the 7-round mining schedule (the frame is the *leaf aggregate* of the
+    RCA case — bounded by the attribute-cardinality product, and the
+    reference algorithm is defined over exactly this compact frame).
+    ID/CA are recomputed per round on the round's subset, matching the
+    reference's leave-one-out semantics. ``driver_rows`` guards the
+    collect.
+    """
+    if not derived:
+        contribution_ability_threshold = -1  # ref robustspot.py:45
+
+    base = adapt_frame(df, derived, flip_derived)
+    for d in attributes:
+        base = base.withColumn(
+            d, F.coalesce(F.col(d).cast("string"), F.lit("None"))
+        )
+    sel = base.select(
+        *attributes,
+        "k_real",
+        "k_predict",
+        "cnt_real",
+        "cnt_predict",
+        "value_real",
+        "value_predict",
+    )
+    pdf0 = sel.limit(driver_rows + 1).toPandas()
+    if len(pdf0) > driver_rows:
+        # wide-cardinality case: the full leaf frame cannot sit on the
+        # driver — run the distributed mirror (ID/CA column algebra +
+        # bounded knee pairs + conditional-count supports; only the
+        # anomalous rows ever collect)
+        return _robustspot_distributed(
+            sel,
+            attributes,
+            derived,
+            contribution_ability_threshold,
+            confidence_threshold,
+            lambda_amplification,
+            k,
+        )
+
+    def drop_top(p: pd.DataFrame, cause) -> pd.DataFrame:
+        return p[~_match_mask(p, cause)]
+
+    # mining schedule (ref robustspot.py:54-69): round 0 on the full
+    # frame; rounds (dim1 in 1..3, dim2 in 1..2) drop earlier top causes
+    before_list: list[pd.DataFrame | None] = [None] * 7
+    after_list: list[pd.DataFrame | None] = [None] * 7
+    mined: list[list[tuple] | None] = [None] * 7
+
+    def run(index: int, before_pdf: pd.DataFrame):
+        before, after, w = _select_frame(
+            before_pdf, attributes, derived,
+            contribution_ability_threshold, lambda_amplification,
+        )
+        before_list[index] = before
+        after_list[index] = after
+        mined[index] = _mine(before, after, w, attributes, confidence_threshold)
+
+    run(0, pdf0)
+    for dim1 in (1, 2, 3):
+        i1 = 2 * dim1 - 1  # dim2 == 1
+        tops = mined[0] or []
+        if len(tops) >= dim1:
+            run(i1, drop_top(before_list[0], tops[dim1 - 1]))
+        else:
+            mined[i1], before_list[i1], after_list[i1] = [], before_list[0], before_list[0].iloc[0:0]
+        i2 = 2 * dim1  # dim2 == 2
+        if mined[i1]:
+            run(i2, drop_top(before_list[i1], mined[i1][0]))
+        else:
+            mined[i2] = []
+
+    # cross-iteration merge (ref final.py:5-49, robustspot.py:71-97)
+    def support_before0(causes):
+        return np.array(
+            [
+                _support(
+                    before_list[0], list(c) if isinstance(c, list) else c
+                )
+                for c in causes
+            ]
+        )
+
+    return _final_merge(mined, support_before0, after_list[0], k)
+
+
+def _robustspot_distributed(
+    sel: DataFrame,
+    attributes: list[str],
+    derived: bool,
+    contribution_ability_threshold: float,
+    confidence_threshold: float,
+    lambda_amplification: float,
+    k: int,
+    max_pairs: int = 200_000,
+    after_rows: int = 2_000_000,
+) -> list[list[tuple]]:
+    """robustspot beyond driver-sized leaf frames: the full frame never
+    leaves the executors.
+
+    Per round: ID/CA are the same global-sum column algebra
+    (add_influence_degree / add_contribution_ability) on the round's
+    filtered frame; the knee threshold fits on DISTINCT (ID, count)
+    pairs (bounded by ``max_pairs``, histogram fallback past it — ID is
+    in [0,1)); only rows passing the ID/CA filter collect (they ARE the
+    anomaly — small by construction, honestly guarded by
+    ``after_rows``); support deltas and the final merge run as
+    conditional-count aggregations (one job, len(causes) numbers).
+    Dropped-cause rounds become predicate pushdowns instead of pandas
+    row drops. Parity-tested against the driver path."""
+    sel = sel.persist()
+    try:
+        before_pred: list = [None] * 7  # Spark predicate; None = full frame
+        after_list: list = [None] * 7
+        mined: list = [None] * 7
+
+        def frame_of(pred):
+            return sel.filter(pred) if pred is not None else sel
+
+        def run(index: int, pred) -> None:
+            scored = add_contribution_ability(
+                add_influence_degree(frame_of(pred))
+            )
+            rows = (
+                scored.filter(F.col("ID") > 0)
+                .groupBy("ID")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .limit(max_pairs + 1)
+                .collect()
+            )
+            if len(rows) <= max_pairs:
+                vals = np.array([float(r[0]) for r in rows])
+                cnts = np.array([float(r[1]) for r in rows])
+            else:
+                B = max_pairs
+                b = F.least(F.floor(F.col("ID") * B), F.lit(B - 1))
+                hrows = (
+                    scored.filter(F.col("ID") > 0)
+                    .groupBy(b.alias("__b"))
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .collect()
+                )
+                vals = np.array([(r["__b"] + 0.5) / B for r in hrows])
+                cnts = np.array([float(r["c"]) for r in hrows])
+            thr = _id_threshold_weighted(vals, cnts)
+
+            after = (
+                scored.filter(
+                    (F.col("ID") > thr)
+                    & (F.col("CA") > contribution_ability_threshold)
+                )
+                .select(*attributes, "ID", "CA")
+                .limit(after_rows + 1)
+                .toPandas()
+            )
+            if len(after) > after_rows:
+                raise ValueError(
+                    f"robustspot anomalous set exceeds after_rows="
+                    f"{after_rows}; the ID/CA filter selected most of the "
+                    "frame — not an anomaly-localization case"
+                )
+            if derived:
+                w = (after["ID"] * after["CA"] * lambda_amplification).astype(int)
+            else:
+                w = (after["ID"] * lambda_amplification).astype(int)
+            w = w.astype(float)
+
+            before_pred[index] = pred
+            after_list[index] = after
+            causes = _mine_candidates(
+                after, w, attributes, confidence_threshold
+            )
+            if not causes:
+                mined[index] = []
+                return
+            deltas = _supports_dist(frame_of(pred), causes) - np.array(
+                [_support(after, c) for c in causes]
+            )
+            mined[index] = _rank_by_delta(causes, deltas)
+
+        def and_pred(base_pred, cause):
+            p = ~_match_pred(cause)
+            return p if base_pred is None else (base_pred & p)
+
+        run(0, None)
+        for dim1 in (1, 2, 3):
+            i1 = 2 * dim1 - 1  # dim2 == 1
+            tops = mined[0] or []
+            if len(tops) >= dim1:
+                run(i1, and_pred(before_pred[0], tops[dim1 - 1]))
+            else:
+                mined[i1] = []
+                before_pred[i1] = before_pred[0]
+                after_list[i1] = (
+                    after_list[0].iloc[0:0] if after_list[0] is not None else None
+                )
+            i2 = 2 * dim1  # dim2 == 2
+            if mined[i1]:
+                run(i2, and_pred(before_pred[i1], mined[i1][0]))
+            else:
+                mined[i2] = []
+
+        def support_before0(causes):
+            return _supports_dist(sel, causes)
+
+        return _final_merge(mined, support_before0, after_list[0], k)
+    finally:
+        sel.unpersist()
 
 
 def robustspot_df(spark, df: DataFrame, attributes: list[str], **kwargs) -> DataFrame:

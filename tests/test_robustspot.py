@@ -92,3 +92,43 @@ def test_robustspot_plain_measures(spark):
     causes = robustspot(spark.createDataFrame(pdf), ["a", "b"], k=3, derived=False)
     flat = {item for mc in causes for cause in mc for item in cause}
     assert ("a", "a2") in flat
+
+
+def test_robustspot_distributed_parity(spark, derived_pdf):
+    """A frame over driver_rows routes to the distributed path and must
+    return the same causes as the driver path (same knee, same mining,
+    same merge — only the execution substrate differs)."""
+    df = spark.createDataFrame(derived_pdf)
+    drv = robustspot(df, ["a", "b", "c"], derived=True)
+    dist = robustspot(df, ["a", "b", "c"], derived=True, driver_rows=10)
+    assert drv == dist
+    flat = {f"{c}={v}" for mc in dist for cause in mc for c, v in cause}
+    assert "a=a1" in flat
+
+
+def test_robustspot_wide_cardinality_localizes(spark):
+    """A wide-cardinality instance that previously raised (leaf frame >
+    driver_rows) now localizes via the distributed path."""
+    rng = np.random.default_rng(17)
+    rows = []
+    for u in range(3000):
+        total = float(rng.integers(500, 1500))
+        ok_rate = 0.95 + rng.uniform(-0.01, 0.01)
+        real_ok = total * ok_rate
+        region = f"r{u % 5}"
+        if region == "r2":
+            real_ok = total * 0.25
+        rows.append((f"u{u:04d}", region, real_ok, total * 0.95, total, total))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["user", "region", "real_a", "predict_a", "real_b", "predict_b"],
+    )
+    df = spark.createDataFrame(pdf)
+    # CA scales as 1/n_leaves, so int(ID*CA*lambda) needs a larger
+    # lambda at this cardinality for nonzero expansion weights
+    causes = robustspot(
+        df, ["user", "region"], derived=True, driver_rows=1000,
+        lambda_amplification=1e5,
+    )
+    flat = {f"{c}={v}" for mc in causes for cause in mc for c, v in cause}
+    assert "region=r2" in flat, causes
