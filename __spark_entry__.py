@@ -756,6 +756,45 @@ def squeeze_derived_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFra
     return out
 
 
+_SIG_LABEL = "event_type=click&hr=3;event_type=view&ub=5"
+
+
+def dataset_significance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """statistics.set_label + instance_significance under the hash gate:
+    per-label leaf counts, predict amounts, |real-predict| errors, and
+    error share of total predict (the significance numerator/denominator
+    algebra of dataset_statistics.py:118-133) on the RCA frame with a
+    deterministic two-cause label."""
+    from riskloc_spark.statistics import set_label
+
+    df = set_label(rca_events(spark, sf_dir), _SIG_LABEL)
+    err = F.abs(F.col("real") - F.col("predict"))
+    tot = df.agg(
+        F.sum(F.col("predict").cast("decimal(38,9)"))
+        .cast("double")
+        .alias("__tp")
+    )
+    out = (
+        df.withColumn("__err", err)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_leaves"),
+            F.sum(F.col("predict").cast("decimal(38,9)")).alias("pa"),
+            F.sum(F.col("__err").cast("decimal(38,9)")).alias("pe"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.select(
+        "label",
+        "n_leaves",
+        F.round("pa", 6).cast("double").alias("predict_amount"),
+        F.round("pe", 6).cast("double").alias("predict_error"),
+        F.round(F.col("pe").cast("double") / F.col("__tp"), 6).alias(
+            "error_share"
+        ),
+    )
+
+
 def riskloc_layer_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """riskloc's per-element layer scoring (operators/riskloc.py
     _layer_scores) for all layer-1 cuboids: the exact high/low/risk algebra
@@ -981,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squeeze_cluster_stats": squeeze_cluster_stats_q,
         "squeeze_derived_cluster_stats": squeeze_derived_cluster_stats_q,
         "riskloc_layer_scores": riskloc_layer_scores_q,
+        "dataset_significance": dataset_significance_q,
         "streaming_kpi": streaming_kpi_q,
         "adtributor_elements_derived": adtributor_elements_derived,
         "robustspot_ca": robustspot_ca_q,
@@ -1951,6 +1991,29 @@ def oracle_sql() -> dict[str, str]:
         "squeeze_cluster_stats": _squeeze_cluster_stats_sql(),
         "squeeze_derived_cluster_stats": _squeeze_derived_cluster_stats_sql(),
         "riskloc_layer_scores": _riskloc_layer_scores_sql(),
+        "dataset_significance": f"""
+            WITH {_RCA_CTE},
+            labeled AS (
+              SELECT *,
+                     CASE WHEN event_type = 'view' AND ub = 5
+                            THEN 'event_type=view&ub=5'
+                          WHEN event_type = 'click' AND hr = 3
+                            THEN 'event_type=click&hr=3'
+                          ELSE 'normal' END AS label
+              FROM rca
+            ),
+            tot AS (
+              SELECT CAST(SUM(CAST(predict AS DECIMAL(38,9))) AS DOUBLE) AS tp
+              FROM labeled
+            )
+            SELECT label, COUNT(*) AS n_leaves,
+                   CAST(round(SUM(CAST(predict AS DECIMAL(38,9))), 6) AS DOUBLE) AS predict_amount,
+                   CAST(round(SUM(CAST(ABS("real" - predict) AS DECIMAL(38,9))), 6) AS DOUBLE) AS predict_error,
+                   round(CAST(SUM(CAST(ABS("real" - predict) AS DECIMAL(38,9))) AS DOUBLE)
+                         / MAX(tot.tp), 6) AS error_share
+            FROM labeled CROSS JOIN tot
+            GROUP BY label
+        """,
         # riskloc_rca / autoroot_rca / hotspot_rca / squeeze_rca /
         # robustspot_rca: iterative driver-orchestrated searches;
         # minhash_pairs / simhash_pairs / knn_lsh: engine-hash-based —

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "autoroot_nps",
     "squeeze_cluster_stats",
     "riskloc_layer_scores",
+    "dataset_significance",
     "streaming_kpi",
     "q4_priority_semi",
     "q_customers_without_orders",
