@@ -63,7 +63,13 @@ ALGO_OPTIONS: dict[str, dict[str, object]] = {
         "prune_elements": True,
     },
     "autoroot": {"delta_threshold": 0.25},
-    "squeeze": {"ps_upper_bound": 0.9, "max_num_elements_single_cluster": 12},
+    "squeeze": {
+        "ps_upper_bound": 0.9,
+        "max_num_elements_single_cluster": 12,
+        "density_estimation_method": "histogram",
+        "histogram_bar_width": "auto",
+        "max_normal_deviation": 0.20,
+    },
     "hotspot": {"pt": 0.8, "m": 200, "scoring": "gps"},
     "adtributor": {"tep": 0.1, "teep": 0.1, "k": 3},
     "r_adtributor": {"teep": 0.2, "k": 3},
@@ -119,6 +125,21 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--ps-upper-bound", type=float, default=0.9)
     sp.add_argument("--max-num-elements-single-cluster", type=int, default=12)
+    sp.add_argument(
+        "--density-estimation-method",
+        choices=["histogram", "kde"],
+        default="histogram",
+    )
+    sp.add_argument(
+        "--histogram-bar-width",
+        type=lambda v: v if v == "auto" else float(v),
+        default="auto",
+    )
+    sp.add_argument(
+        "--max-normal-deviation",
+        type=lambda v: v if v == "auto" else float(v),
+        default=0.20,
+    )
 
     sp = sub.add_parser("hotspot")
     common(sp)

@@ -36,13 +36,27 @@ from pyspark.sql import functions as F
 
 @dataclass
 class SqueezeOptions:
-    """Mirrors reference squeeze_option.py (subset that affects results)."""
+    """Mirrors reference squeeze_option.py (full knob surface).
 
+    ``max_allowed_deviation_bias/std`` and ``normal_deviation_std`` are
+    carried for API parity but inert — the reference's density cluster
+    path never reads them (they belong to commented-out scoring
+    variants, squeeze.py:178-179 / density_cluster.py:63-75)."""
+
+    debug: bool = False
     enable_filter: bool = True
+    cluster_method: str = "density"  # reference cluster_factory: only one
+    density_estimation_method: str = "histogram"  # 'histogram' | 'kde'
+    density_smooth_conv_kernel: tuple = (1.0,)
+    kde_bw_method: str | float | None = None
+    kde_weights: Any | None = None
     histogram_bar_width: str | float = "auto"
+    max_allowed_deviation_bias: float = 0.10  # inert (see docstring)
+    max_allowed_deviation_std: float = 0.01  # inert
     cluster_smooth_window_size: str | int = "auto"
     max_normal_deviation: str | float = 0.20
     least_descent_score: float = 0.6
+    normal_deviation_std: float = 0.1  # inert
     score_weight: str | float = "auto"
     max_num_elements_single_cluster: int = 12
     ps_upper_bound: float = 0.90
@@ -100,20 +114,93 @@ def _relextrema_wrap(arr: np.ndarray, greater: bool) -> np.ndarray:
     return np.where((arr <= left) & (arr <= right))[0]
 
 
+def _gaussian_kde_density(
+    array: np.ndarray,
+    bw_method=None,
+    weights=None,
+    conv_kernel=(1.0,),
+) -> tuple[np.ndarray, np.ndarray]:
+    """scipy.stats.gaussian_kde re-implementation (scipy unavailable in
+    this environment): scott factor by default ('silverman' or a scalar
+    factor accepted), optional weights; sampled at 0.01 steps over
+    [min, max) and 'full'-convolved with the smoothing kernel, truncated
+    back to the sample grid so bins stay aligned
+    (ref density_cluster.py:27-33)."""
+    x = np.asarray(array, float)
+    w = np.ones(len(x)) if weights is None else np.asarray(weights, float)
+    w = w / w.sum()
+    neff = 1.0 / np.sum(w**2)
+    if bw_method is None or bw_method == "scott":
+        factor = neff ** (-1.0 / 5.0)
+    elif bw_method == "silverman":
+        factor = (neff * 3.0 / 4.0) ** (-1.0 / 5.0)
+    else:
+        factor = float(bw_method)
+    mean = np.sum(w * x)
+    denom = 1.0 - np.sum(w**2)
+    var = (
+        np.sum(w * (x - mean) ** 2) / denom if denom > 0 else 0.0
+    )
+    bw = np.sqrt(var) * factor
+    if bw == 0:
+        bw = 1e-12
+    samples = np.arange(x.min(), x.max(), 0.01)
+    if len(samples) == 0:
+        samples = np.array([float(x.min())])
+    dens = np.zeros_like(samples)
+    for s in range(0, len(x), 8192):  # chunked: bounded temp
+        xs = x[s : s + 8192, None]
+        ws = w[s : s + 8192, None]
+        z = (samples[None, :] - xs) / bw
+        dens += (ws * np.exp(-0.5 * z * z)).sum(axis=0)
+    dens /= bw * np.sqrt(2 * np.pi)
+    ck = np.asarray(conv_kernel, float)
+    dens = (np.convolve(dens, ck, "full") / ck.sum())[: len(samples)]
+    return dens, samples
+
+
+def _density_and_bins(
+    array: np.ndarray, options: SqueezeOptions, counts: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Density estimate + bin centers per the option surface: histogram
+    ('auto' or fixed bar width, ref density_cluster.py:35-46) or KDE.
+    ``counts`` (distributed path) act as repeat-weights — exact for the
+    expanded array."""
+    assert options.cluster_method == "density"
+    if options.density_estimation_method == "kde":
+        w = counts if counts is not None else options.kde_weights
+        return _gaussian_kde_density(
+            array,
+            options.kde_bw_method,
+            w,
+            options.density_smooth_conv_kernel,
+        )
+    width = options.histogram_bar_width
+    if width == "auto":
+        if counts is None:
+            edges = np.histogram_bin_edges(array, "auto").tolist()
+        else:
+            edges = _auto_bin_edges_weighted(array, counts)
+        edges = [edges[0] - 0.1 * i for i in range(-5, 0, -1)] + edges + [
+            edges[-1] + 0.1 * i for i in range(1, 6)
+        ]
+    else:
+        edges = np.arange(
+            array.min() - width * 6, array.max() + width * 5, width
+        )
+    h, edges_arr = np.histogram(array, bins=edges, weights=counts, density=True)
+    h = h / 100.0
+    return h, np.convolve(edges_arr, [1, 1], "valid") / 2
+
+
 def density_cluster_1d(
     array: np.ndarray, options: SqueezeOptions
 ) -> list[tuple[float, float]]:
-    """Histogram density clustering (ref density_cluster.py:35-140).
+    """Histogram/KDE density clustering (ref density_cluster.py:35-140).
     Returns deviation [lo, hi] ranges of the anomalous clusters."""
     if len(array) == 0:
         return []
-    edges = np.histogram_bin_edges(array, "auto").tolist()
-    edges = [edges[0] - 0.1 * i for i in range(-5, 0, -1)] + edges + [
-        edges[-1] + 0.1 * i for i in range(1, 6)
-    ]
-    h, edges_arr = np.histogram(array, bins=edges, density=True)
-    h = h / 100.0
-    bins = np.convolve(edges_arr, [1, 1], "valid") / 2
+    h, bins = _density_and_bins(array, options)
 
     if options.cluster_smooth_window_size == "auto":
         window = max(int(np.count_nonzero(h > 0)) // 10, 1)
@@ -226,13 +313,7 @@ def density_cluster_1d_weighted(
     order = np.argsort(values, kind="stable")
     values, counts = values[order], counts[order]
 
-    edges = _auto_bin_edges_weighted(values, counts)
-    edges = [edges[0] - 0.1 * i for i in range(-5, 0, -1)] + edges + [
-        edges[-1] + 0.1 * i for i in range(1, 6)
-    ]
-    h, edges_arr = np.histogram(values, bins=edges, weights=counts, density=True)
-    h = h / 100.0
-    bins = np.convolve(edges_arr, [1, 1], "valid") / 2
+    h, bins = _density_and_bins(values, options, counts=counts)
 
     if options.cluster_smooth_window_size == "auto":
         window = max(int(np.count_nonzero(h > 0)) // 10, 1)

@@ -29,6 +29,19 @@ def cuboids_of_layer(attributes: list[str], layer: int) -> list[list[str]]:
 ELEM_SEP = "\x1f"
 
 
+# Gate-surface accumulator type. Validity envelope: casting each per-row
+# term to DECIMAL(38,9) quantizes at 1e-9, so (a) terms below 5e-10 round
+# to zero and (b) accumulated per-row rounding error grows up to n*5e-10.
+# The 6-decimal rounded gate surface therefore stays faithful to the
+# double-sum reference semantics while n * 5e-10 << 5e-7, i.e. up to
+# ~1e3 rows per aggregated element with same-sign worst-case rounding —
+# and in expectation (errors are +/- uniform) far beyond; the RCA gate
+# frames aggregate 10-1e3 rows/element with terms in [1e-3, 1e6], well
+# inside. For frames with terms near or below 1e-9 (e.g. normalized
+# shares on billion-row elements), scale the terms before the cast or
+# widen the scale. The SEARCH paths use native doubles — this type only
+# shapes the oracle-gate hash surface, where both engines apply the
+# identical quantization.
 DECIMAL_EXACT = "decimal(38,9)"
 
 

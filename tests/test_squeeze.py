@@ -231,3 +231,52 @@ def test_squeeze_derived_ripple_uses_separate_sums(spark):
     assert _derived_ripple(10.0, 100.0, 50.0, 100.0) == (10.0 / 100.0) / 0.5
     assert _derived_ripple(0.0, 0.0, 0.0, 0.0) == 0.0
     assert _derived_ripple(5.0, 0.0, 3.0, 6.0) == 0.0
+
+
+def test_squeeze_option_surface_parity():
+    """Every knob of the reference SqueezeOption exists on
+    SqueezeOptions (squeeze_option.py:1-36)."""
+    ref_knobs = {
+        "debug", "enable_filter", "cluster_method",
+        "density_estimation_method", "density_smooth_conv_kernel",
+        "kde_bw_method", "kde_weights", "histogram_bar_width",
+        "max_allowed_deviation_bias", "max_allowed_deviation_std",
+        "cluster_smooth_window_size", "max_normal_deviation",
+        "least_descent_score", "normal_deviation_std", "score_weight",
+        "max_num_elements_single_cluster", "ps_upper_bound",
+    }
+    ours = set(SqueezeOptions.__dataclass_fields__)
+    missing = ref_knobs - ours
+    assert not missing, missing
+
+
+def test_density_cluster_fixed_bar_width():
+    rng = np.random.default_rng(2)
+    arr = np.concatenate([rng.normal(0, 0.01, 300), rng.normal(0.8, 0.02, 30)])
+    ranges = density_cluster_1d(
+        arr, SqueezeOptions(histogram_bar_width=0.05)
+    )
+    assert ranges and any(lo > 0.5 for lo, hi in ranges)
+
+
+def test_density_cluster_kde_method():
+    rng = np.random.default_rng(3)
+    arr = np.concatenate([rng.normal(0, 0.01, 300), rng.normal(0.8, 0.02, 30)])
+    ranges = density_cluster_1d(
+        arr, SqueezeOptions(density_estimation_method="kde")
+    )
+    assert ranges and any(lo > 0.5 for lo, hi in ranges)
+
+
+def test_density_cluster_weighted_kde_matches_raw():
+    """KDE clustering over (distinct value, count) pairs == the raw
+    expanded array (counts act as repeat-weights)."""
+    rng = np.random.default_rng(4)
+    raw = np.round(
+        np.concatenate([rng.normal(0, 0.01, 400), rng.normal(0.7, 0.02, 40)]), 3
+    )
+    vals, cnts = np.unique(raw, return_counts=True)
+    opts = SqueezeOptions(density_estimation_method="kde")
+    assert density_cluster_1d(raw, opts) == density_cluster_1d_weighted(
+        vals, cnts.astype(float), opts
+    )
