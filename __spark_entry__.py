@@ -262,24 +262,47 @@ def adtributor_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     txt = F.col("text")
-    return d.select(
+    # two-stage select: token split / punct regex computed ONCE per row;
+    # quality/lang are cheap CASE arithmetic over the stats columns
+    # (Catalyst keeps the stage split because the split expressions are
+    # non-cheap and multiply referenced)
+    base = d.select(
         "doc_id",
         T.token_count(txt).cast("int").alias("n_tokens"),
-        F.round(T.punct_ratio(txt), 6).alias("punct_ratio"),
-        F.round(T.stopword_ratio(txt), 6).alias("stopword_ratio"),
-        F.round(T.quality_score(txt), 2).alias("quality"),
-        T.lang_id(txt).alias("lang_pred"),
+        T.punct_ratio(txt).alias("__punct"),
+        T.stopword_ratio(txt).alias("__stop"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round("__punct", 6).alias("punct_ratio"),
+        F.round("__stop", 6).alias("stopword_ratio"),
+        F.round(
+            T.quality_score_from(
+                F.col("n_tokens"), F.col("__punct"), F.col("__stop")
+            ),
+            2,
+        ).alias("quality"),
+        T.lang_id_from(F.col("__stop")).alias("lang_pred"),
     )
 
 
 def lang_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     txt = F.col("text")
-    stats = d.select(
+    base = d.select(
         "source",
         T.token_count(txt).cast("int").alias("n_tokens"),
-        T.quality_score(txt).alias("quality"),
-        T.lang_id(txt).alias("lang_pred"),
+        T.punct_ratio(txt).alias("__punct"),
+        T.stopword_ratio(txt).alias("__stop"),
+    )
+    stats = base.select(
+        "source",
+        "n_tokens",
+        T.quality_score_from(
+            F.col("n_tokens"), F.col("__punct"), F.col("__stop")
+        ).alias("quality"),
+        T.lang_id_from(F.col("__stop")).alias("lang_pred"),
     )
     return (
         stats.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.7))

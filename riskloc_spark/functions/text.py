@@ -43,23 +43,37 @@ def stopword_ratio(text: Column) -> Column:
     return F.when(total == 0, F.lit(0.0)).otherwise(hits.cast("double") / total)
 
 
+def quality_score_from(n_tok: Column, punct: Column, stop: Column) -> Column:
+    """quality_score over PRECOMPUTED stats columns — use this form when
+    several scores share a row (token split / regex computed once; the
+    single-column quality_score(text) builds each ratio expression
+    afresh, and the duplicated splits survive into the physical plan)."""
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 10000), F.lit(0.4)).otherwise(F.lit(0.0))
+    punct_ok = F.when(
+        (punct > 0.0) & (punct < 0.2), F.lit(0.3)
+    ).otherwise(F.lit(0.0))
+    stop_ok = F.when(stop > 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    return len_ok + punct_ok + stop_ok
+
+
 def quality_score(text: Column) -> Column:
     """Heuristic document quality in [0,1]: length band + punctuation
     presence + stopword plausibility (a cheap C4-style filter)."""
-    n_tok = token_count(text)
-    len_ok = F.when((n_tok >= 5) & (n_tok <= 10000), F.lit(0.4)).otherwise(F.lit(0.0))
-    punct_ok = F.when(
-        (punct_ratio(text) > 0.0) & (punct_ratio(text) < 0.2), F.lit(0.3)
-    ).otherwise(F.lit(0.0))
-    stop_ok = F.when(stopword_ratio(text) > 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
-    return len_ok + punct_ok + stop_ok
+    return quality_score_from(
+        token_count(text), punct_ratio(text), stopword_ratio(text)
+    )
+
+
+def lang_id_from(stop: Column) -> Column:
+    """lang_id over a precomputed stopword-ratio column."""
+    return F.when(stop >= 0.08, F.lit("en")).otherwise(F.lit("unk"))
 
 
 def lang_id(text: Column) -> Column:
     """n-gram-free language heuristic: English if stopword ratio clears a
     bar, else 'unk'. (Real models plug in here as a broadcast n-gram
     table; the heuristic keeps the operator SQL-checkable.)"""
-    return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("unk"))
+    return lang_id_from(stopword_ratio(text))
 
 
 def fingerprint(text: Column, portable: bool = False) -> Column:
