@@ -18,24 +18,33 @@ from riskloc_spark.functions.scores import add_explanatory_power, add_surprise
 
 
 def merge_dimensions(df: DataFrame, dimensions: list[str], derived: bool) -> DataFrame:
-    """Union of per-dimension element aggregates (ref adtributor.py:6-20).
+    """Per-dimension element aggregates (ref adtributor.py:6-20) as ONE
+    explode + ONE groupBy: each row fans out to a (dimension, element)
+    struct per dimension, so the base frame is scanned once — the former
+    per-dimension union re-derived the whole upstream lineage (for the
+    RCA frame: the events aggregation) once per dimension.
 
-    Output: element (string), dimension, and summed measures. Each groupBy
-    is an independent shuffle on its own (low-cardinality) key — Spark runs
-    the union branches in parallel stages.
+    Output: element (string), summed measures, dimension.
     """
     measures = (
         ["real_a", "real_b", "predict_a", "predict_b"] if derived else ["real", "predict"]
     )
-    parts = []
-    for d in dimensions:
-        agg = df.groupBy(
-            F.coalesce(F.col(d).cast("string"), F.lit("None")).alias("element")
-        ).agg(
-            *[F.sum(m).alias(m) for m in measures]
+    structs = [
+        F.struct(
+            F.lit(d).alias("dimension"),
+            F.coalesce(F.col(d).cast("string"), F.lit("None")).alias("element"),
         )
-        parts.append(agg.withColumn("dimension", F.lit(d)))
-    elements = reduce(lambda a, b: a.unionByName(b), parts)
+        for d in dimensions
+    ]
+    elements = (
+        df.select(F.explode(F.array(*structs)).alias("de"), *measures)
+        .groupBy(
+            F.col("de.dimension").alias("dimension"),
+            F.col("de.element").alias("element"),
+        )
+        .agg(*[F.sum(m).alias(m) for m in measures])
+        .select("element", *measures, "dimension")
+    )
     if derived:
         elements = elements.withColumn(
             "predict", F.col("predict_a") / F.col("predict_b")
@@ -44,7 +53,12 @@ def merge_dimensions(df: DataFrame, dimensions: list[str], derived: bool) -> Dat
 
 
 def _scored_elements(df: DataFrame, dimensions: list[str], derived: bool) -> DataFrame:
-    elements = merge_dimensions(df, dimensions, derived)
+    # persist: the EP and surprise scalar-total subqueries plus the main
+    # frame would each re-derive the merge (and its whole upstream
+    # lineage) otherwise — measured 24 base-table scans for the plain
+    # adtributor element query before. The frame is one row per
+    # (dimension, element); Spark evicts LRU under pressure.
+    elements = merge_dimensions(df, dimensions, derived).persist()
     elements = add_explanatory_power(elements, derived)
     elements = add_surprise(elements, derived, merged_divide=len(dimensions))
     return elements
