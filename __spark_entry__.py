@@ -521,7 +521,9 @@ def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rca_derived_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = rca_events_derived(spark, sf_dir)
+    # persist: derived EP + surprise run three scalar-total subqueries,
+    # each re-deriving the events aggregation otherwise (16 base scans)
+    df = rca_events_derived(spark, sf_dir).persist()
     df = add_explanatory_power(df, derived=True)
     df = add_surprise(df, derived=True)
     return df.select(
@@ -610,7 +612,7 @@ def autoroot_nps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "real",
         "predict",
         "deviation",
-    )
+    ).persist()  # the per-dim loop (xs + nps terms + totals) reuses it
     relevant = df.filter(F.abs(F.col("deviation")) > 0.2)
     # DECIMAL term sums → order-independent gate surface (see
     # hotspot_element_stats_q).
