@@ -35,11 +35,14 @@ def punct_ratio(text: Column) -> Column:
 
 def stopword_ratio(text: Column) -> Column:
     """Fraction of tokens that are common English stopwords."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    trimmed = F.trim(text)
+    toks = F.split(F.lower(trimmed), r"\s+")
     hits = F.size(
         F.filter(toks, lambda t: t.isin(EN_STOPWORDS))
     )
-    total = token_count(text)
+    # total from the SAME split (lowercasing doesn't change whitespace),
+    # not token_count(text) — that would build a second split expression
+    total = F.when(trimmed == "", F.lit(0)).otherwise(F.size(toks))
     return F.when(total == 0, F.lit(0.0)).otherwise(hits.cast("double") / total)
 
 

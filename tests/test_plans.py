@@ -261,3 +261,43 @@ def test_rev_rec_collect_is_capped_per_dim(spark):
     dist = rev_rec_adtributor(df, ["u", "b"], teep=0.001, driver_rows=None)
     key = lambda cs: (cs["dimension"], tuple(map(tuple, cs["elements"])))
     assert sorted(map(key, drv)) == sorted(map(key, dist))
+
+
+def test_merge_dimensions_single_scan(spark):
+    """merge_dimensions must scan its input once (explode + one groupBy),
+    not once per dimension — for RCA queries the input is itself an
+    aggregation, so per-dimension unions re-derived the whole lineage."""
+    import pandas as pd
+
+    from riskloc_spark.operators.adtributor import merge_dimensions
+
+    pdf = pd.DataFrame(
+        {"a": ["x", "y"], "b": ["u", "v"], "real": [1.0, 2.0], "predict": [1.0, 2.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    plan = (
+        merge_dimensions(df, ["a", "b"], derived=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ExistingRDD") <= 1, plan
+    import re
+
+    assert len(re.findall(r"Exchange", plan)) <= 2, plan
+
+
+def test_text_stats_single_split_per_row(spark):
+    """text_stats/lang_quality must not duplicate the token-split
+    expression: the two-stage select keeps one split + one regex per row
+    (quality/lang are CASE arithmetic over the stats columns)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["text_stats"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # token count: 1 split; stopword_ratio: one lowered-split tree
+    # referenced 3x in the plan STRING (hits / zero-guard / divisor —
+    # codegen's subexpression elimination computes it once at runtime).
+    # Before the two-stage restructure the plan carried ~8 independent
+    # split trees (quality_score and lang_id each rebuilt the ratios).
+    assert plan.count("split(") <= 4, plan.count("split(")
