@@ -407,11 +407,28 @@ def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_knn's full probe machinery (assignment argmin, 6-cell probe,
+    in-cell cosine top-5) under the hash gate: the quantizer seeds are
+    the first 16 embeddings by vec_id — data-driven and sf-agnostic, so
+    the DuckDB twin derives the identical centroids from the view (an
+    iterative k-means fit is not SQL-expressible; the fitted-quantizer
+    path is exercised by knn_ivf_warm + the recall/determinism tests)."""
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
+    seeds = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.select("embedding", "vec_id")
+            .orderBy("vec_id")
+            .limit(16)
+            .collect()
+        ]
+    )
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ivf_knn(emb, queries, k=5)
+    out = ivf_knn(emb, queries, k=5, centroids=seeds)
     return out.select(
         "query_id",
         "vec_id",
@@ -1368,6 +1385,57 @@ def _knn_lsh_sql() -> str:
     """
 
 
+def _knn_ivf_sql() -> str:
+    """DuckDB twin of knn_ivf_q: quantizer seeds = first 16 embeddings
+    by vec_id (derived from the view — sf-agnostic), assignment is
+    nearest-seed (first-min tie-break = np.argmin), each query probes
+    its 6 nearest cells (stable order = ORDER BY d, cell), exact cosine
+    top-5 inside them."""
+    return """
+        WITH seeds AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                 embedding::DOUBLE[] AS ce
+          FROM embeddings ORDER BY vec_id LIMIT 16
+        ),
+        c AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings
+        ),
+        cells AS (
+          SELECT vec_id, ee, cell FROM (
+            SELECT c.vec_id, c.ee, s.cell,
+                   row_number() OVER (PARTITION BY c.vec_id
+                        ORDER BY list_distance(c.ee, s.ce), s.cell) AS rn
+            FROM c CROSS JOIN seeds s
+          ) WHERE rn = 1
+        ),
+        q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+          FROM embeddings WHERE vec_id < 8
+        ),
+        probes AS (
+          SELECT query_id, qe, cell FROM (
+            SELECT q.query_id, q.qe, s.cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                        ORDER BY list_distance(q.qe, s.ce), s.cell) AS rn
+            FROM q CROSS JOIN seeds s
+          ) WHERE rn <= 6
+        ),
+        s AS (
+          SELECT query_id, vec_id,
+                 list_dot_product(qe, ee)
+                 / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ee, ee))) AS cs
+          FROM probes p JOIN cells cl ON p.cell = cl.cell
+        ),
+        r AS (
+          SELECT query_id, vec_id, round(cs, 6) AS cos_sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cs DESC, vec_id ASC) AS INT) AS rnk
+          FROM s
+        )
+        SELECT query_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
+    """
+
+
 def _squeeze_derived_cluster_stats_sql() -> str:
     """DuckDB twin of squeeze_derived_cluster_stats_q."""
     parts = []
@@ -1805,6 +1873,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "knn_lsh": _knn_lsh_sql(),
+        "knn_ivf": _knn_ivf_sql(),
         "doc_fingerprints": f"""
             SELECT doc_id, {_MD5H.format(x=_NORM_TEXT)} AS fp FROM documents
         """,

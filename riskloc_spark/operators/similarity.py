@@ -216,15 +216,22 @@ def ivf_fit_centroids(
     n_iter: int = 10,
     vec_col: str = "embedding",
     seed: int = 7,
+    id_col: str = "vec_id",
 ) -> "np.ndarray":
     """Fit the IVF coarse quantizer once: driver k-means on a bounded
-    sample. Returns the (n_clusters x dim) centroid array — pass it to
-    ``ivf_knn(centroids=...)`` to serve queries without refitting (the
-    fit is the whole cold-start cost: a collect + O(sample x clusters)
-    numpy loop, ~10x the cost of one warm probe at sf0.1)."""
+    DETERMINISTIC sample (first ``fit_sample`` rows by ``id_col`` — a
+    TakeOrdered, no full sort; a bare limit would be partition-order
+    dependent, making the quantizer unreproducible across runs and
+    un-oracle-able). Returns the (n_clusters x dim) centroid array —
+    pass it to ``ivf_knn(centroids=...)`` to serve queries without
+    refitting (the fit is the whole cold-start cost: a collect +
+    O(sample x clusters) numpy loop, ~10x one warm probe at sf0.1)."""
     sample = [
         r[0]
-        for r in spread_small_scan(corpus.select(vec_col)).limit(fit_sample).collect()
+        for r in corpus.select(vec_col, id_col)
+        .orderBy(id_col)
+        .limit(fit_sample)
+        .collect()
     ]
     return _kmeans_fit(sample, n_clusters, n_iter, seed)
 
@@ -263,7 +270,7 @@ def ivf_knn(
 
     if centroids is None:
         centroids = ivf_fit_centroids(
-            corpus, n_clusters, fit_sample, n_iter, vec_col, seed
+            corpus, n_clusters, fit_sample, n_iter, vec_col, seed, id_col
         )
 
     # centroid assignment as an Arrow-vectorized pandas UDF: a batch
