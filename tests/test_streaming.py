@@ -152,3 +152,58 @@ def test_ewma_anomaly_stream_stateful(spark, tmp_path):
             assert abs(r["predict"] - predict) < 1e-6
             ewma = real_b if n == 0 else 0.3 * real_b + 0.7 * ewma
             n += 1
+
+
+def test_events_stream_handles_all_ts_physical_layouts(spark, tmp_path):
+    """Regression lock for the r3 streaming corruption: the events
+    parquet has been written as TIMESTAMP(NANOS) (reads as bigint via
+    nanosAsLong), TIMESTAMP(MICROS) NTZ, and plain TIMESTAMP across
+    testdata generations. events_stream must yield identical wall-clock
+    timestamps for all three — the old forced-LongType schema divided
+    MICROS by 1000 and landed every event in January 1970."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.to_datetime(
+        ["2024-05-01 10:15:00", "2024-05-01 11:45:30", "2024-05-02 03:00:01"]
+    )
+    base = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": ts,
+            "user_id": [10, 20, 30],
+            "event_type": ["a", "b", "a"],
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    layouts = {
+        "nanos": pa.timestamp("ns"),
+        "micros_ntz": pa.timestamp("us"),
+        "micros_utc": pa.timestamp("us", tz="UTC"),
+    }
+    got = {}
+    for name, typ in layouts.items():
+        d = tmp_path / name
+        d.mkdir()
+        table = pa.Table.from_pandas(base)
+        idx = table.schema.get_field_index("ts")
+        table = table.set_column(
+            idx, pa.field("ts", typ), table.column("ts").cast(typ)
+        )
+        pq.write_table(table, d / "events.parquet")
+
+        stream = events_stream(spark, str(d / "events.parquet"))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(f"layout_{name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        rows = spark.table(f"layout_{name}").orderBy("event_id").collect()
+        got[name] = [r["ts"].replace(tzinfo=None) for r in rows]
+        assert all(t.year == 2024 for t in got[name]), (name, got[name])
+    assert got["nanos"] == got["micros_ntz"] == got["micros_utc"], got
