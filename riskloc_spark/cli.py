@@ -108,6 +108,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--cpus", default=None, help="local parallelism override")
         sp.add_argument("--output-suffix", default="", help="suffix for batch csvs")
         sp.add_argument("--output-dir", default=".", help="directory for batch csvs")
+        sp.add_argument(
+            "--debug", action="store_true",
+            help="verbose run diagnostics (ref run.py --debug): INFO "
+            "Spark logs + DEBUG riskloc_spark logging",
+        )
 
     sp = sub.add_parser("riskloc")
     common(sp)
@@ -448,7 +453,14 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(
         "riskloc-spark-cli", master=f"local[{args.cpus}]" if args.cpus else None
     )
-    spark.sparkContext.setLogLevel("ERROR")
+    if args.debug:
+        import logging
+
+        logging.basicConfig(level=logging.DEBUG)
+        logging.getLogger("riskloc_spark").setLevel(logging.DEBUG)
+        spark.sparkContext.setLogLevel("INFO")
+    else:
+        spark.sparkContext.setLogLevel("ERROR")
 
     if os.path.isdir(args.data):
         run_directory(
