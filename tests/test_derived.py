@@ -64,3 +64,25 @@ def test_adtributor_derived_finds_cause(spark, derived_pdf):
     top = out[0]
     assert top["dimension"] == "a"
     assert "a1" in top["elements"]
+
+
+def test_riskloc_derived_driver_vs_distributed_parity(spark, derived_pdf):
+    df = spark.createDataFrame(derived_pdf)
+    drv = riskloc(df, ["a", "b"], derived=True, risk_threshold=0.3)
+    dist = riskloc(
+        df, ["a", "b"], derived=True, risk_threshold=0.3, driver_rows=None
+    )
+    key = lambda c: (tuple(c["cuboid"]), tuple(map(tuple, c["elements"])))
+    assert sorted(map(key, drv)) == sorted(map(key, dist))
+
+
+def test_rev_rec_derived_driver_vs_distributed_parity(spark, derived_pdf):
+    """Exercises the fused recursion's derived branch (window-summed EP
+    normalization + two-term surprise) against the pandas path."""
+    from riskloc_spark.operators.adtributor import rev_rec_adtributor
+
+    df = spark.createDataFrame(derived_pdf)
+    drv = rev_rec_adtributor(df, ["a", "b"], derived=True, driver_rows=10**9)
+    dist = rev_rec_adtributor(df, ["a", "b"], derived=True, driver_rows=None)
+    key = lambda cs: (cs["dimension"], tuple(map(tuple, cs["elements"])))
+    assert sorted(map(key, drv)) == sorted(map(key, dist))
