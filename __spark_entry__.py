@@ -685,48 +685,53 @@ def squeeze_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = df.withColumn("deviation", dev)
     cluster_pred = F.col("deviation") >= 0.1
     normal_pred = F.abs(F.col("deviation")) < 0.05
-    outs = []
-    for dim in RCA_ATTRIBUTES:
-        stats = (
-            df.select(
-                F.coalesce(F.col(dim).cast("string"), F.lit("None")).alias("element"),
-                "real",
-                "predict",
-                cluster_pred.cast("int").alias("__abn"),
-                normal_pred.cast("int").alias("__norm"),
-            )
-            .groupBy("element")
-            .agg(
-                F.sum("__abn").alias("num_elements"),
-                F.count(F.lit(1)).alias("descents"),
-                # DECIMAL sums → order-independent hash surface (see
-                # hotspot_element_stats_q).
-                F.sum(
-                    F.when(
-                        F.col("__abn") + F.col("__norm") > 0, F.col("real")
-                    ).cast("decimal(38,9)")
-                ).alias("V_e"),
-                F.sum(
-                    F.when(
-                        F.col("__abn") + F.col("__norm") > 0, F.col("predict")
-                    ).cast("decimal(38,9)")
-                ).alias("F_e"),
-            )
-            .filter(F.col("num_elements") > 0)
-            .select(
-                F.lit(dim).alias("dimension"),
-                "element",
-                "num_elements",
-                "descents",
-                F.round("V_e", 6).cast("double").alias("V_e"),
-                F.round("F_e", 6).cast("double").alias("F_e"),
-            )
+    # one explode + one groupBy over all dims (the per-dim union scanned
+    # the events aggregation once per dimension)
+    structs = [
+        F.struct(
+            F.lit(d).alias("dimension"),
+            F.coalesce(F.col(d).cast("string"), F.lit("None")).alias("element"),
         )
-        outs.append(stats)
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+        for d in RCA_ATTRIBUTES
+    ]
+    ex = df.select(
+        F.explode(F.array(*structs)).alias("de"),
+        "real",
+        "predict",
+        cluster_pred.cast("int").alias("__abn"),
+        normal_pred.cast("int").alias("__norm"),
+    )
+    return (
+        ex.groupBy(
+            F.col("de.dimension").alias("dimension"),
+            F.col("de.element").alias("element"),
+        )
+        .agg(
+            F.sum("__abn").alias("num_elements"),
+            F.count(F.lit(1)).alias("descents"),
+            # DECIMAL sums → order-independent hash surface (see
+            # hotspot_element_stats_q).
+            F.sum(
+                F.when(
+                    F.col("__abn") + F.col("__norm") > 0, F.col("real")
+                ).cast("decimal(38,9)")
+            ).alias("V_e"),
+            F.sum(
+                F.when(
+                    F.col("__abn") + F.col("__norm") > 0, F.col("predict")
+                ).cast("decimal(38,9)")
+            ).alias("F_e"),
+        )
+        .filter(F.col("num_elements") > 0)
+        .select(
+            "dimension",
+            "element",
+            "num_elements",
+            "descents",
+            F.round("V_e", 6).cast("double").alias("V_e"),
+            F.round("F_e", 6).cast("double").alias("F_e"),
+        )
+    )
 
 
 def squeeze_derived_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,49 +758,52 @@ def squeeze_derived_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFra
     df = df.withColumn("deviation", dev)
     cluster_pred = F.col("deviation") >= 0.1
     normal_pred = F.abs(F.col("deviation")) < 0.05
-    outs = []
-    for dim in RCA_ATTRIBUTES:
-        sel = F.col("__abn") + F.col("__norm") > 0
+    sel = F.col("__abn") + F.col("__norm") > 0
 
-        def dsum(col):
-            return F.sum(F.when(sel, F.col(col)).cast("decimal(38,9)"))
+    def dsum(col):
+        return F.sum(F.when(sel, F.col(col)).cast("decimal(38,9)"))
 
-        stats = (
-            df.select(
-                F.coalesce(F.col(dim).cast("string"), F.lit("None")).alias("element"),
-                "real_a",
-                "predict_a",
-                "real_b",
-                "predict_b",
-                cluster_pred.cast("int").alias("__abn"),
-                normal_pred.cast("int").alias("__norm"),
-            )
-            .groupBy("element")
-            .agg(
-                F.sum("__abn").alias("num_elements"),
-                F.count(F.lit(1)).alias("descents"),
-                dsum("real_a").alias("Va_e"),
-                dsum("predict_a").alias("Fa_e"),
-                dsum("real_b").alias("Vb_e"),
-                dsum("predict_b").alias("Fb_e"),
-            )
-            .filter(F.col("num_elements") > 0)
-            .select(
-                F.lit(dim).alias("dimension"),
-                "element",
-                "num_elements",
-                "descents",
-                F.round("Va_e", 6).cast("double").alias("Va_e"),
-                F.round("Fa_e", 6).cast("double").alias("Fa_e"),
-                F.round("Vb_e", 6).cast("double").alias("Vb_e"),
-                F.round("Fb_e", 6).cast("double").alias("Fb_e"),
-            )
+    structs = [
+        F.struct(
+            F.lit(d).alias("dimension"),
+            F.coalesce(F.col(d).cast("string"), F.lit("None")).alias("element"),
         )
-        outs.append(stats)
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+        for d in RCA_ATTRIBUTES
+    ]
+    ex = df.select(
+        F.explode(F.array(*structs)).alias("de"),
+        "real_a",
+        "predict_a",
+        "real_b",
+        "predict_b",
+        cluster_pred.cast("int").alias("__abn"),
+        normal_pred.cast("int").alias("__norm"),
+    )
+    return (
+        ex.groupBy(
+            F.col("de.dimension").alias("dimension"),
+            F.col("de.element").alias("element"),
+        )
+        .agg(
+            F.sum("__abn").alias("num_elements"),
+            F.count(F.lit(1)).alias("descents"),
+            dsum("real_a").alias("Va_e"),
+            dsum("predict_a").alias("Fa_e"),
+            dsum("real_b").alias("Vb_e"),
+            dsum("predict_b").alias("Fb_e"),
+        )
+        .filter(F.col("num_elements") > 0)
+        .select(
+            "dimension",
+            "element",
+            "num_elements",
+            "descents",
+            F.round("Va_e", 6).cast("double").alias("Va_e"),
+            F.round("Fa_e", 6).cast("double").alias("Fa_e"),
+            F.round("Vb_e", 6).cast("double").alias("Vb_e"),
+            F.round("Fb_e", 6).cast("double").alias("Fb_e"),
+        )
+    )
 
 
 _SIG_LABEL = "event_type=click&hr=3;event_type=view&ub=5"
