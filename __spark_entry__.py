@@ -617,8 +617,11 @@ def hotspot_element_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def autoroot_nps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """autoroot's NPS scoring interior (operators/autoroot.py _nps_terms +
     the NPS/LF formulas of search_cluster) over layer-1 cuboids, with the
-    |deviation|>0.2 relevant set standing in for a KDE cluster."""
-    from riskloc_spark.operators.autoroot import _nps_terms
+    |deviation|>0.2 relevant set standing in for a KDE cluster. Fused:
+    every dimension rides one explode + one shared window + one groupBy
+    (the per-dim loop ran a window, a relevant-count agg, and a join per
+    dimension)."""
+    from pyspark.sql import Window
 
     df = add_deviation_score(rca_events(spark, sf_dir))
     df = df.select(
@@ -629,46 +632,64 @@ def autoroot_nps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "real",
         "predict",
         "deviation",
-    ).persist()  # the per-dim loop (xs + nps terms + totals) reuses it
-    relevant = df.filter(F.abs(F.col("deviation")) > 0.2)
+    ).persist()  # totals subquery reuses it
     # DECIMAL term sums → order-independent gate surface (see
     # hotspot_element_stats_q).
+    b_term = F.when(F.col("real") == 0, F.lit(0.0)).otherwise(
+        F.abs(F.col("real") - F.col("predict")) / F.col("real")
+    )
     tot = df.agg(
         F.count(F.lit(1)).alias("N"),
-        F.sum(
-            F.when(F.col("real") == 0, F.lit(0.0))
-            .otherwise(F.abs(F.col("real") - F.col("predict")) / F.col("real"))
-            .cast("decimal(38,9)")
-        )
-        .cast("double")
-        .alias("Bp_tot"),
+        F.sum(b_term.cast("decimal(38,9)")).cast("double").alias("Bp_tot"),
     )
-    outs = []
-    for dim in RCA_ATTRIBUTES:
-        xs = relevant.groupBy(dim).agg(F.count(F.lit(1)).alias("x"))
-        terms = _nps_terms(df, [dim], exact_sums=True)
-        j = xs.join(terms, on=dim).crossJoin(F.broadcast(tot))
-        a = F.col("Ap_e") / F.col("n_full")
-        b = F.col("Bp_e") / F.col("n_full")
-        n_rest = F.col("N") - F.col("n_full")
-        c = F.when(n_rest > 0, (F.col("Bp_tot") - F.col("Bp_e")) / n_rest).otherwise(
-            F.lit(0.0)
+    structs = [
+        F.struct(F.lit(d).alias("dimension"), F.col(d).alias("element"))
+        for d in RCA_ATTRIBUTES
+    ]
+    ex = df.select(
+        F.explode(F.array(*structs)).alias("de"), "real", "predict", "deviation"
+    ).select(
+        F.col("de.dimension").alias("dimension"),
+        F.col("de.element").alias("element"),
+        "real",
+        "predict",
+        "deviation",
+    )
+    w = Window.partitionBy("dimension", "element")
+    Ve = F.sum(F.col("real").cast("decimal(38,9)")).over(w).cast("double")
+    Fe = F.sum(F.col("predict").cast("decimal(38,9)")).over(w).cast("double")
+    vhat = F.when(Fe != 0, F.col("predict") * Ve / Fe).otherwise(F.lit(0.0))
+    a_term = F.when(F.col("real") == 0, F.lit(0.0)).otherwise(
+        F.abs(F.col("real") - vhat) / F.col("real")
+    )
+    agg = (
+        ex.withColumn("__a", a_term)
+        .withColumn("__b", b_term)
+        .groupBy("dimension", "element")
+        .agg(
+            F.count(F.lit(1)).alias("n_full"),
+            F.sum(F.col("__a").cast("decimal(38,9)")).cast("double").alias("Ap_e"),
+            F.sum(F.col("__b").cast("decimal(38,9)")).cast("double").alias("Bp_e"),
+            F.sum((F.abs(F.col("deviation")) > 0.2).cast("long")).alias("x"),
         )
-        nps = F.when(b + c != 0, 1 - (a + c) / (b + c)).otherwise(F.lit(0.0))
-        outs.append(
-            j.select(
-                F.lit(dim).alias("dimension"),
-                F.col(dim).alias("element"),
-                "x",
-                "n_full",
-                F.round(nps, 6).alias("nps"),
-                F.round(F.col("x") / F.col("n_full"), 6).alias("lf"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+        .filter(F.col("x") > 0)  # the relevant-set inner join
+        .crossJoin(F.broadcast(tot))
+    )
+    a = F.col("Ap_e") / F.col("n_full")
+    b = F.col("Bp_e") / F.col("n_full")
+    n_rest = F.col("N") - F.col("n_full")
+    c = F.when(n_rest > 0, (F.col("Bp_tot") - F.col("Bp_e")) / n_rest).otherwise(
+        F.lit(0.0)
+    )
+    nps = F.when(b + c != 0, 1 - (a + c) / (b + c)).otherwise(F.lit(0.0))
+    return agg.select(
+        "dimension",
+        "element",
+        "x",
+        "n_full",
+        F.round(nps, 6).alias("nps"),
+        F.round(F.col("x") / F.col("n_full"), 6).alias("lf"),
+    )
 
 
 def squeeze_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
