@@ -877,6 +877,9 @@ def riskloc_layer_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = rca_events(spark, sf_dir)
     df = add_explanatory_power(df)
     df = add_deviation_score(df)
+    # persist: get_cutoff's top-k probes, the ep-sign action, and the
+    # EP-totals subquery otherwise each re-derive the events aggregation
+    df = df.persist()
     cutoff = get_cutoff(df, n_remove=5)
     df = add_partition(df, cutoff)
     df = add_weight(df, cutoff)
