@@ -40,6 +40,11 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "ngram_jaccard",
     "media_decode",
+    "doc_fingerprints",
+    # embedding_near_dup_exact is excluded: the deliberate O(n^2)
+    # all-pairs oracle baseline (~24s at sf0.1) — the headline
+    # near-dup operators are the LSH/minhash/simhash paths above;
+    # the correctness gate still checks it at sf0.01
     "riskloc_rca",
     "rca_derived_scores",
     "riskloc_rca_derived",

@@ -40,6 +40,14 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d == 0, F.lit(0.0)).otherwise(dot(a, b) / d)
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine() with PRECOMPUTED per-side norms: in pairwise joins the
+    norms must be computed once per vector before the join, not once per
+    pair (same IEEE ops as cosine(), so results are bit-identical)."""
+    d = na * nb
+    return F.when(d == 0, F.lit(0.0)).otherwise(dot(a, b) / d)
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -57,16 +65,22 @@ def knn_bruteforce(
     from pyspark.sql import Window
 
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qv")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
     scored = spread_small_scan(
-        corpus.select(F.col(id_col), F.col(vec_col))
+        corpus.select(
+            F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__cn")
+        )
     ).crossJoin(
         F.broadcast(q)
     ).select(
         query_id_col,
         id_col,
-        cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+        cosine_with_norms(
+            F.col(vec_col), F.col("__qv"), F.col("__cn"), F.col("__qn")
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
