@@ -183,7 +183,10 @@ def embedding_near_dup(
         return out
 
     b = spread_small_scan(df).select(
-        F.col(id_col), F.col(vec_col), bucket_of(F.col(vec_col)).alias("__bkt")
+        F.col(id_col),
+        F.col(vec_col),
+        bucket_of(F.col(vec_col)).alias("__bkt"),
+        l2_norm(F.col(vec_col)).alias("__n"),
     )
     pairs = (
         b.alias("l")
@@ -197,7 +200,12 @@ def embedding_near_dup(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cos_sim"),
+            cosine_with_norms(
+                F.col(f"l.{vec_col}"),
+                F.col(f"r.{vec_col}"),
+                F.col("l.__n"),
+                F.col("r.__n"),
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
