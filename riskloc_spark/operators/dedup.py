@@ -317,44 +317,72 @@ def ngram_jaccard_pairs(
     are compared — no cross join). Jaccard from co-occurrence counts:
     |A∩B| / (|A| + |B| - |A∩B|)."""
     sh = shingles(F.col(text_col), shingle_n)
-    # cache: reused by the pair self-join (both sides) and the size agg
-    exploded = (
+    # AllPairs prefix filter (set-similarity join literature): under any
+    # global shingle order, two sets with J >= t must share an element
+    # within each set's first (n - ceil(t*n) + 1) elements — so only
+    # PREFIX shingles are indexed for candidate generation, pruning the
+    # inverted-index join ~(1-t)^2 of the full all-shared-shingles join.
+    # floor instead of ceil keeps the prefix one element longer, immune
+    # to float rounding of t*n. Verification is exact: array_intersect
+    # of the full (distinct, hashed) shingle arrays per candidate pair.
+    hashed = F.sort_array(
+        F.transform(F.array_distinct(sh), lambda s: F.xxhash64(s))
+    )
+    docs = (
         spread_small_scan(df)
-        .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("__s"))
-        .withColumn("__sh", F.xxhash64("__s"))
-        .drop("__s")
+        .select(F.col(id_col), hashed.alias("__arr"))
+        .withColumn("__n", F.size("__arr"))
+        .withColumn(
+            "__prefix",
+            F.slice(
+                "__arr",
+                1,
+                F.greatest(
+                    F.col("__n")
+                    - F.floor(F.lit(threshold) * F.col("__n")).cast("int")
+                    + 1,
+                    F.lit(1),
+                ),
+            ),
+        )
         .persist()
     )
-    sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-
-    inter = (
-        exploded.alias("l")
+    cand = (
+        docs.select(F.col(id_col), F.explode("__prefix").alias("__h"))
+        .alias("l")
         .join(
-            exploded.alias("r"),
+            docs.select(F.col(id_col), F.explode("__prefix").alias("__h")).alias("r"),
             on=[
-                F.col("l.__sh") == F.col("r.__sh"),
+                F.col("l.__h") == F.col("r.__h"),
                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
             ],
         )
-        .groupBy(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("n", "n_a"), inter.id_a == sizes[id_col])
-        .drop(id_col)
-        .join(
-            sizes.withColumnRenamed("n", "n_b").withColumnRenamed(id_col, "__idb"),
-            F.col("id_b") == F.col("__idb"),
-        )
-        .drop("__idb")
+    left = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__arr").alias("__arr_a"),
+        F.col("__n").alias("n_a"),
+    )
+    right = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__arr").alias("__arr_b"),
+        F.col("__n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("__arr_a", "__arr_b"))
+    return (
+        cand.join(left, "id_a")
+        .join(right, "id_b")
+        .withColumn("__i", inter)
         .withColumn(
             "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+            F.col("__i").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("__i")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
