@@ -20,7 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-def events_stream(spark: SparkSession, path: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, path: str, options: dict | None = None
+) -> DataFrame:
     """File-source stream over the events table layout (TESTDATA.md).
 
     The events parquet has been written both as TIMESTAMP(MICROS) (reads
@@ -35,6 +37,8 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
+    for k, v in (options or {}).items():  # e.g. maxFilesPerTrigger
+        reader = reader.option(k, v)
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)

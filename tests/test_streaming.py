@@ -207,3 +207,66 @@ def test_events_stream_handles_all_ts_physical_layouts(spark, tmp_path):
         got[name] = [r["ts"].replace(tzinfo=None) for r in rows]
         assert all(t.year == 2024 for t in got[name]), (name, got[name])
     assert got["nanos"] == got["micros_ntz"] == got["micros_utc"], got
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics (append mode): an event older than
+    (max seen ts - watermark) arriving in a later micro-batch is dropped
+    — its already-closed window is emitted exactly once with the on-time
+    count. Three files processed one per micro-batch (mtime-ordered via
+    os.utime + maxFilesPerTrigger=1)."""
+    import os
+
+    import pandas as pd
+
+    d = tmp_path / "events"
+    d.mkdir()
+
+    def write(name, ts_list, mtime):
+        path = d / name
+        pd.DataFrame(
+            {
+                "event_id": range(len(ts_list)),
+                "ts": pd.to_datetime(ts_list),
+                "user_id": [1] * len(ts_list),
+                "event_type": ["a"] * len(ts_list),
+                "value": [1.0] * len(ts_list),
+            }
+        ).to_parquet(path)
+        os.utime(path, (mtime, mtime))
+
+    # batch 1: window 10:00 gets 2 events; max ts 14:30 -> wm 12:30
+    write("b1.parquet",
+          ["2024-05-01 10:10:00", "2024-05-01 10:20:00",
+           "2024-05-01 14:30:00"], 1_000_000)
+    # batch 2: fresh event; window 10 (end 11:00 < wm 12:30) is emitted
+    # and its state evicted during this batch
+    write("b2.parquet", ["2024-05-01 15:00:00"], 1_000_100)
+    # batch 3: LATE 10:40 (window already emitted+evicted) + fresh 18:00
+    write("b3.parquet",
+          ["2024-05-01 10:40:00", "2024-05-01 18:00:00"], 1_000_200)
+
+    baseline = spark.createDataFrame(
+        pd.DataFrame({"event_type": ["a"], "mean_value": [1.0]})
+    )
+    stream = events_stream(spark, str(d), options={"maxFilesPerTrigger": "1"})
+    scored = windowed_kpi_stream(stream, baseline, window="1 hour",
+                                 watermark="2 hours")
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    rows = {}
+    for r in spark.table("late_drop").collect():
+        rows.setdefault(r["window_start"].hour, []).append(r["n_events"])
+    # window 10 emitted ONCE with the 2 on-time events; the too-late
+    # 10:40 row (arriving after emission + state eviction) is dropped —
+    # no re-emission, no duplicate, no phantom 1-event window
+    assert rows.get(10) == [2], rows
