@@ -8,7 +8,6 @@ final (tiny) candidate sets are collected.
 """
 from __future__ import annotations
 
-from functools import reduce
 from typing import Any
 
 from pyspark.sql import DataFrame, Window

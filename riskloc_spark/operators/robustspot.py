@@ -128,17 +128,30 @@ def _id_threshold(pos_ids: np.ndarray) -> float:
 
 
 def _id_threshold_weighted(values: np.ndarray, counts: np.ndarray) -> float:
-    """_id_threshold over (distinct ID, count) pairs — exact for the
-    expanded array: duplicates of a value only add CDF points at the same
-    x with lower y, which can never be the kneedle max, so the knee over
-    distinct values with cumulative counts is the knee over raw rows."""
-    if len(values) == 0:
+    """_id_threshold over (distinct ID, count) pairs — exact vs the
+    expanded raw array. The raw path runs kneedle on n CDF points with
+    y in [1/n, 1]; within a duplicated value only the LAST raw row (max
+    cumulative y at that x) can attain the max of yn - xn, so evaluating
+    at cumulative counts is exact — PROVIDED the normalization uses the
+    raw extremes (y.min = 1/n, y.max = 1, len gate on n rows), not the
+    distinct-pair extremes (counts[0]/n would shift the knee on ~20% of
+    duplicate-heavy samples). Inlined kneedle so the raw normalization is
+    reproduced bit-for-bit (kneedle_knee would use distinct extremes)."""
+    n = int(counts.sum())
+    if n == 0:
+        return 0.5
+    if n < 3:  # raw kneedle_knee returns None below 3 rows
         return 0.5
     order = np.argsort(values, kind="stable")
     xs, cs = values[order], counts[order]
-    cdf = np.cumsum(cs) / cs.sum()
-    knee = kneedle_knee(xs, cdf)
-    return 0.5 if knee is None else float(knee)
+    xn = (xs - xs[0]) / (xs[-1] - xs[0] + 1e-300)
+    cdf = np.cumsum(cs) / n
+    yn = (cdf - 1.0 / n) / (1.0 - 1.0 / n + 1e-300)
+    diff = yn - xn
+    i = int(np.argmax(diff))
+    if diff[i] <= 0:
+        return 0.5
+    return float(xs[i])
 
 
 def _match_mask(pdf: pd.DataFrame, cause) -> pd.Series:

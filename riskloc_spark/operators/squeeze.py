@@ -119,17 +119,35 @@ def _gaussian_kde_density(
     bw_method=None,
     weights=None,
     conv_kernel=(1.0,),
+    weights_are_counts: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """scipy.stats.gaussian_kde re-implementation (scipy unavailable in
     this environment): scott factor by default ('silverman' or a scalar
     factor accepted), optional weights; sampled at 0.01 steps over
     [min, max) and 'full'-convolved with the smoothing kernel, truncated
     back to the sample grid so bins stay aligned
-    (ref density_cluster.py:27-33)."""
+    (ref density_cluster.py:27-33).
+
+    ``weights_are_counts``: the weights are integer row multiplicities
+    (the distributed path's (value, count) pairs) and the result must
+    equal the KDE of the count-expanded array. scipy's weighted-sample
+    formulas give neff = 1/sum(w_norm^2) = n^2/sum(c^2) and variance
+    denominator 1 - sum(w_norm^2), both of which DIFFER from the
+    expanded array's neff = n and denominator 1 - 1/n whenever any count
+    > 1 — up to ~40% bandwidth/density error on duplicate-heavy frames.
+    Passing counts=True substitutes the expanded-array statistics; the
+    density sum itself is exactly multiplicity-weighted either way."""
     x = np.asarray(array, float)
     w = np.ones(len(x)) if weights is None else np.asarray(weights, float)
-    w = w / w.sum()
-    neff = 1.0 / np.sum(w**2)
+    if weights_are_counts:
+        n_expanded = w.sum()
+        w = w / n_expanded
+        neff = n_expanded
+        sum_w2 = 1.0 / n_expanded if n_expanded > 0 else 1.0
+    else:
+        w = w / w.sum()
+        neff = 1.0 / np.sum(w**2)
+        sum_w2 = np.sum(w**2)
     if bw_method is None or bw_method == "scott":
         factor = neff ** (-1.0 / 5.0)
     elif bw_method == "silverman":
@@ -137,7 +155,7 @@ def _gaussian_kde_density(
     else:
         factor = float(bw_method)
     mean = np.sum(w * x)
-    denom = 1.0 - np.sum(w**2)
+    denom = 1.0 - sum_w2
     var = (
         np.sum(w * (x - mean) ** 2) / denom if denom > 0 else 0.0
     )
@@ -164,8 +182,9 @@ def _density_and_bins(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Density estimate + bin centers per the option surface: histogram
     ('auto' or fixed bar width, ref density_cluster.py:35-46) or KDE.
-    ``counts`` (distributed path) act as repeat-weights — exact for the
-    expanded array."""
+    ``counts`` (distributed path) are row multiplicities — exact for the
+    expanded array (for KDE via the expanded-array neff/variance, see
+    _gaussian_kde_density weights_are_counts)."""
     assert options.cluster_method == "density"
     if options.density_estimation_method == "kde":
         w = counts if counts is not None else options.kde_weights
@@ -174,6 +193,7 @@ def _density_and_bins(
             options.kde_bw_method,
             w,
             options.density_smooth_conv_kernel,
+            weights_are_counts=counts is not None,
         )
     width = options.histogram_bar_width
     if width == "auto":

@@ -20,23 +20,46 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Static events schema (TESTDATA.md layout): the fallback when the
+# stream directory is empty at start — a standard structured-streaming
+# startup state where the batch probe below cannot infer a schema.
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
 def events_stream(
-    spark: SparkSession, path: str, options: dict | None = None
+    spark: SparkSession,
+    path: str,
+    options: dict | None = None,
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """File-source stream over the events table layout (TESTDATA.md).
 
     The events parquet has been written both as TIMESTAMP(MICROS) (reads
-    as a Spark timestamp directly) and as TIMESTAMP(NANOS) (no Spark
-    type — read as long via nanosAsLong and downcast). Mirror
+    as a Spark timestamp directly), TIMESTAMP_NTZ, and TIMESTAMP(NANOS)
+    (no Spark type — read as long via nanosAsLong and downcast). Mirror
     riskloc_spark.data.load_table: infer the physical schema from a
     batch read of the same path and only downcast when ts is bigint.
+    When the directory holds no files yet (normal stream startup) the
+    probe cannot infer — fall back to ``schema`` or EVENT_SCHEMA.
     The file-stream source requires a *directory*; a direct file path is
     translated to parent-dir + pathGlobFilter."""
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(schema)
+    try:
+        probed = spark.read.parquet(path).schema
+    except Exception:  # AnalysisException: unable to infer (no files yet)
+        probed = schema if schema is not None else EVENT_SCHEMA
+    reader = spark.readStream.schema(probed)
     for k, v in (options or {}).items():  # e.g. maxFilesPerTrigger
         reader = reader.option(k, v)
     if os.path.isfile(path):
@@ -49,12 +72,16 @@ def events_stream(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
     elif dt == "timestamp_ntz":
-        # Watermarks require TIMESTAMP (with tz). Pin the session tz to
-        # UTC so the ntz->timestamp cast preserves wall-clock and hourly
-        # window boundaries match date_trunc('hour', ts) on the ntz value
-        # (a half-hour-offset session tz would shift window alignment).
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        # Watermarks require TIMESTAMP (with tz). Treat the ntz
+        # wall-clock as UTC via interval arithmetic from the ntz epoch:
+        # micros-exact and independent of spark.sql.session.timeZone
+        # (a plain cast would shift hourly window alignment under an
+        # offset session tz, and pinning the session tz here was a
+        # hidden global side effect on unrelated queries).
+        epoch_us = (
+            F.col("ts") - F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
+        ).cast("decimal(28,6)") * F.lit(1_000_000)
+        raw = raw.withColumn("ts", F.timestamp_micros(epoch_us.cast("long")))
     return raw
 
 

@@ -132,3 +132,33 @@ def test_robustspot_wide_cardinality_localizes(spark):
     )
     flat = {f"{c}={v}" for mc in causes for cause in mc for c, v in cause}
     assert "region=r2" in flat, causes
+
+
+def test_id_threshold_weighted_parity_with_duplicates():
+    """_id_threshold_weighted over (distinct value, count) pairs must be
+    bit-identical to _id_threshold over the count-expanded raw array —
+    including duplicate-heavy samples, where the CDF extremes of the
+    distinct pairs (counts[0]/n) differ from the raw extremes (1/n) and
+    the len>=3 gate must count rows, not distinct values."""
+    from riskloc_spark.operators.robustspot import (
+        _id_threshold,
+        _id_threshold_weighted,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(200):
+        n_distinct = int(rng.integers(1, 12))
+        vals = np.round(rng.uniform(0.0, 1.0, n_distinct), 1)
+        vals = np.unique(vals)
+        cnts = rng.integers(1, 6, len(vals)).astype(float)
+        raw = np.repeat(vals, cnts.astype(int))
+        assert _id_threshold_weighted(vals, cnts) == _id_threshold(raw), (
+            vals, cnts,
+        )
+    # row-count gate: 1 distinct value repeated >=3 times runs kneedle
+    assert _id_threshold_weighted(np.array([0.7]), np.array([5.0])) == (
+        _id_threshold(np.repeat(0.7, 5))
+    )
+    # <3 rows total: no knee either way
+    assert _id_threshold_weighted(np.array([0.2, 0.9]), np.array([1.0, 1.0])) == 0.5
+    assert _id_threshold_weighted(np.array([]), np.array([])) == 0.5

@@ -280,3 +280,25 @@ def test_density_cluster_weighted_kde_matches_raw():
     assert density_cluster_1d(raw, opts) == density_cluster_1d_weighted(
         vals, cnts.astype(float), opts
     )
+
+
+def test_weighted_kde_density_matches_expanded_array():
+    """KDE over (distinct value, count) pairs with weights_are_counts
+    must reproduce the count-expanded array's density: same Scott
+    bandwidth (neff = n rows, not n^2/sum(c^2)) and same variance
+    denominator (1 - 1/n). Duplicate-heavy on purpose — the
+    scipy-weighted formulas are up to ~40% off here."""
+    from riskloc_spark.operators.squeeze import _gaussian_kde_density
+
+    rng = np.random.default_rng(17)
+    raw = np.round(
+        np.concatenate([rng.normal(0, 0.05, 400), rng.normal(0.7, 0.05, 40)]), 2
+    )
+    vals, cnts = np.unique(raw, return_counts=True)
+    assert (cnts > 1).any()  # duplicate-heavy by construction
+    d_raw, s_raw = _gaussian_kde_density(raw)
+    d_w, s_w = _gaussian_kde_density(
+        vals, weights=cnts.astype(float), weights_are_counts=True
+    )
+    np.testing.assert_allclose(s_w, s_raw)
+    np.testing.assert_allclose(d_w, d_raw, rtol=1e-9)

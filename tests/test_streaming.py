@@ -270,3 +270,72 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # 10:40 row (arriving after emission + state eviction) is dropped —
     # no re-emission, no duplicate, no phantom 1-event window
     assert rows.get(10) == [2], rows
+
+
+def test_events_stream_empty_dir_falls_back_to_static_schema(spark, tmp_path):
+    """A stream directory with no files yet is a normal startup state:
+    the batch schema probe cannot infer, so events_stream must fall back
+    to the static EVENT_SCHEMA instead of throwing."""
+    from riskloc_spark.streaming.pipeline import EVENT_SCHEMA
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    stream = events_stream(spark, str(d))
+    assert stream.isStreaming
+    assert stream.schema == EVENT_SCHEMA
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
+def test_events_stream_ntz_independent_of_session_tz(spark, tmp_path):
+    """The NTZ->timestamp conversion must treat the wall-clock as UTC via
+    interval arithmetic — NOT by mutating spark.sql.session.timeZone, and
+    NOT via a cast (which interprets the wall-clock in the session tz, so
+    an offset tz like +05:30 would shift hourly window alignment)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "ntz"
+    d.mkdir()
+    base = pd.DataFrame(
+        {
+            "event_id": [1],
+            "ts": pd.to_datetime(["2024-05-01 10:15:00"]),
+            "user_id": [10],
+            "event_type": ["a"],
+            "value": [1.0],
+        }
+    )
+    table = pa.Table.from_pandas(base)
+    idx = table.schema.get_field_index("ts")
+    table = table.set_column(
+        idx, pa.field("ts", pa.timestamp("us")), table.column("ts").cast(pa.timestamp("us"))
+    )
+    pq.write_table(table, d / "events.parquet")
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        stream = events_stream(spark, str(d))
+        # no hidden session mutation
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Kolkata"
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("ntz_tz_independent")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        got_us = (
+            spark.table("ntz_tz_independent")
+            .select(F.unix_micros("ts").alias("us"))
+            .collect()[0]["us"]
+        )
+        expect_us = int(
+            pd.Timestamp("2024-05-01 10:15:00", tz="UTC").value // 1_000
+        )
+        assert got_us == expect_us, (got_us, expect_us)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
