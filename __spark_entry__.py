@@ -360,6 +360,19 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(d, max_hamming=3, hash_fn=md5_hash64)
 
 
+def dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP resolution: the same md5-gated minhash pair graph
+    as `minhash_pairs`, closed transitively into (doc_id, group_id,
+    is_representative) via distributed hash-min connected components
+    (operators/dedup.py:connected_components). Every document appears —
+    unpaired docs as singleton groups."""
+    from riskloc_spark.operators.dedup import dedup_groups, md5_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(d, jaccard_threshold=0.5, hash_fn=md5_hash64)
+    return dedup_groups(pairs, documents=d)
+
+
 def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from riskloc_spark.operators.similarity import cosine_with_norms, l2_norm
 
@@ -1094,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robustspot_rca": robustspot_rca,
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash_pairs,
+        "dedup_groups": dedup_groups_q,
         "ngram_jaccard": ngram_jaccard_q,
         "knn_lsh": knn_lsh_q,
         "knn_ivf": knn_ivf_q,
@@ -1340,6 +1354,31 @@ def _minhash_pairs_sql() -> str:
         )
         SELECT id_a, id_b, round(ej, 6) AS est_jaccard
         FROM est WHERE ej >= 0.5
+    """
+
+
+def _dedup_groups_sql() -> str:
+    """DuckDB twin of dedup_groups over the md5-gated minhash pair graph:
+    transitive closure by recursive CTE (reachability from each paired
+    vertex), component label = min reachable id; unpaired documents are
+    singleton groups of themselves."""
+    return f"""
+        WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+        ),
+        comp AS (SELECT id, MIN(r) AS group_id FROM reach GROUP BY id)
+        SELECT d.doc_id,
+               COALESCE(comp.group_id, d.doc_id) AS group_id,
+               d.doc_id = COALESCE(comp.group_id, d.doc_id) AS is_representative
+        FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
     """
 
 
@@ -1914,6 +1953,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.ep > 0.05
         """,
         "minhash_pairs": _minhash_pairs_sql(),
+        "dedup_groups": _dedup_groups_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "knn_lsh": _knn_lsh_sql(),
         "knn_ivf": _knn_ivf_sql(),

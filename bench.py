@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "knn_ivf_warm",
     "minhash_pairs",
     "simhash_pairs",
+    "dedup_groups",
     "ngram_jaccard",
     "media_decode",
     "doc_fingerprints",

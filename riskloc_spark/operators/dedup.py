@@ -386,3 +386,119 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame | None = None,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components of the similarity-pair graph by hash-min
+    label propagation with pointer jumping. Returns (id_col, group_id)
+    where group_id is the minimum vertex id in the component.
+
+    Each round is two shuffle joins + one groupBy, all AQE-friendly:
+      1. neighbor-min: label'(v) = min(label(v), min_{u in N(v)} label(u))
+      2. pointer jump: label''(v) = min(label'(v), label(label'(v)))
+    Labels are monotonically non-increasing and always ids within the
+    component, so the fixpoint assigns every vertex its component's min
+    id; the jump step halves label-chains, giving O(log diameter) rounds
+    (near-dup components are dense and shallow — 2-4 rounds typical).
+    Convergence is detected by the (strictly decreasing until fixpoint)
+    global label sum — one scalar agg per round, no change-count join.
+    Per-round results are localCheckpoint'ed to truncate lineage; a
+    long-lived production job should prefer a reliable checkpoint dir.
+
+    ``vertices`` (optional, e.g. the full corpus ids): rows that appear
+    in no pair come out as singleton groups of themselves.
+    """
+    edges = pairs.select(
+        F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")
+    ).union(pairs.select(F.col(dst_col), F.col(src_col)))
+    verts = edges.select(F.col("__u").alias("__id"))
+    if vertices is not None:
+        verts = verts.union(vertices.select(F.col(id_col).alias("__id")))
+    verts = verts.distinct()
+
+    # persist the (big) edge side already hash-partitioned on the join
+    # key: the cached partitioning is visible to the planner, so each
+    # round's edge-label join only shuffles the (small) labels frame —
+    # the edge set never re-exchanges across rounds
+    edges = edges.repartition("__v").persist()
+    labels = verts.select("__id", F.col("__id").alias("__lbl")).localCheckpoint()
+    prev_sum = labels.agg(
+        F.sum(F.col("__lbl").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges["__v"] == labels["__id"])
+            .groupBy("__u")
+            .agg(F.min("__lbl").alias("__nb"))
+        )
+        cand = (
+            labels.join(nbr, labels["__id"] == nbr["__u"], "left")
+            .select("__id", F.least("__lbl", "__nb").alias("__cand"))
+        )
+        parent = labels.select(
+            F.col("__id").alias("__pid"), F.col("__lbl").alias("__plbl")
+        )
+        new_labels = (
+            cand.join(parent, cand["__cand"] == parent["__pid"], "left")
+            .select(
+                "__id",
+                F.least("__cand", "__plbl").alias("__lbl"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("__lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    edges.unpersist()
+    return labels.select(
+        F.col("__id").alias(id_col), F.col("__lbl").alias("group_id")
+    )
+
+
+def dedup_groups(
+    pairs: DataFrame,
+    documents: DataFrame | None = None,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Resolve near-dup PAIRS (minhash_lsh_dedup / simhash_dedup /
+    ngram_jaccard_pairs output) into GROUPS: the transitive closure of
+    the pair graph, one canonical representative (min id) per group.
+
+    This is the piece a 100-TB dedup run needs after LSH: A~B and B~C
+    must land A, B, C in ONE group even when A≁C directly. Fully
+    distributed (see connected_components) — no driver-side closure.
+    Returns (id_col, group_id, is_representative); pass ``documents``
+    to include unpaired docs as singleton groups, making the output a
+    complete doc -> group map (filter is_representative for the kept
+    corpus).
+    """
+    cc = connected_components(
+        pairs,
+        vertices=documents,
+        src_col=src_col,
+        dst_col=dst_col,
+        id_col=id_col,
+        max_iterations=max_iterations,
+    )
+    return cc.withColumn(
+        "is_representative", F.col(id_col) == F.col("group_id")
+    )

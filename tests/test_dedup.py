@@ -58,3 +58,94 @@ def test_ngram_jaccard_values(spark, docs):
     found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
     assert found[(0, 100)] == pytest.approx(1.0)  # normalization-exact copy
     assert 0.5 <= found[(1, 101)] < 1.0
+
+
+def _union_find_groups(n_ids, pair_list):
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id label per component
+    return {i: min(j for j in n_ids if find(j) == find(i)) for i in n_ids}
+
+
+def test_dedup_groups_transitive_chain(spark):
+    """A~B and B~C (but A and C never paired directly) must still land
+    all three in ONE group — the transitive closure the pair output
+    alone does not give."""
+    from riskloc_spark.operators.dedup import dedup_groups
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]})
+    )
+    out = {
+        r["doc_id"]: (r["group_id"], r["is_representative"])
+        for r in dedup_groups(pairs).collect()
+    }
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False)}
+
+
+def test_dedup_groups_singletons_and_multiple_components(spark):
+    from riskloc_spark.operators.dedup import dedup_groups
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [10, 20], "id_b": [11, 21]})
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10, 11, 20, 21, 99], "text": ["x"] * 5})
+    )
+    out = {
+        r["doc_id"]: (r["group_id"], r["is_representative"])
+        for r in dedup_groups(pairs, documents=docs).collect()
+    }
+    assert out == {
+        10: (10, True), 11: (10, False),
+        20: (20, True), 21: (20, False),
+        99: (99, True),  # unpaired doc -> singleton group
+    }
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random sparse pair graph vs a driver union-find oracle: identical
+    min-id component labels for every vertex."""
+    from riskloc_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(7)
+    ids = list(range(200))
+    pair_list = [
+        tuple(sorted(rng.choice(ids, size=2, replace=False).tolist()))
+        for _ in range(120)
+    ]
+    expect = _union_find_groups(ids, pair_list)
+    pairs = spark.createDataFrame(
+        pd.DataFrame(pair_list, columns=["id_a", "id_b"])
+    )
+    verts = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in connected_components(pairs, vertices=verts).collect()
+    }
+    assert got == expect
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """A 64-vertex path graph (worst-case diameter) must converge well
+    under the O(diameter) bound — pointer jumping compresses label
+    chains, so rounds ~ O(log diameter)."""
+    from riskloc_spark.operators.dedup import connected_components
+
+    n = 64
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)})
+    )
+    out = connected_components(pairs, max_iterations=10).collect()
+    assert {r["group_id"] for r in out} == {0}
+    assert len(out) == n

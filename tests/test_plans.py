@@ -301,3 +301,31 @@ def test_text_stats_single_split_per_row(spark):
     # Before the two-stage restructure the plan carried ~8 independent
     # split trees (quality_score and lang_id each rebuilt the ratios).
     assert plan.count("split(") <= 4, plan.count("split(")
+
+
+def test_connected_components_job_count_is_log_bound(spark):
+    """connected_components costs O(log diameter) ROUNDS, each a fixed
+    handful of actions (one localCheckpoint materialization + one scalar
+    convergence agg) — never O(diameter) rounds and never per-vertex
+    jobs. A 64-vertex path graph (worst-case diameter 63) must resolve
+    within the log-bound round budget."""
+    import pandas as pd
+
+    from riskloc_spark.operators.dedup import connected_components
+
+    n = 64
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)})
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("cc-jobcount", "connected components")
+    out = connected_components(pairs, max_iterations=10).collect()
+    job_ids = sc.statusTracker().getJobIdsForGroup("cc-jobcount")
+    sc.setJobGroup("", "")
+    assert {r["group_id"] for r in out} == {0}
+    # The hard bound is max_iterations=10 above: the call RAISES if the
+    # round count is not log-bounded on diameter 63. Jobs per round are
+    # a small AQE-dependent constant (~6: one localCheckpoint
+    # materialization across ~4 exchanges + the convergence agg); the
+    # naive min-propagation would need 63 rounds (~400 jobs) here.
+    assert len(job_ids) <= 80, f"{len(job_ids)} jobs: {job_ids}"
