@@ -374,28 +374,13 @@ def dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from riskloc_spark.operators.similarity import cosine_with_norms, l2_norm
+    # the deliberate O(n^2) correctness baseline for the LSH path — the
+    # operator itself refuses corpora past max_rows (gate runs sf0.01)
+    from riskloc_spark.operators.similarity import embedding_near_dup_exact_pairs
 
-    # norms once per vector BEFORE the O(n^2) pair join (3x less per-pair
-    # work; bit-identical values)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("__n")
-    )
-    l, r = emb.alias("l"), emb.alias("r")
-    return (
-        l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
-        .select(
-            F.col("l.vec_id").alias("id_a"),
-            F.col("r.vec_id").alias("id_b"),
-            cosine_with_norms(
-                F.col("l.embedding"),
-                F.col("r.embedding"),
-                F.col("l.__n"),
-                F.col("r.__n"),
-            ).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.4)
-        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_exact_pairs(emb, threshold=0.4).select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
     )
 
 

@@ -52,13 +52,33 @@ def _content_hash(data: bytes) -> np.random.Generator:
 
 
 def _decode_kernel(data: bytes) -> dict:
-    """STUB (no Pillow in container): deterministic fake metadata.
+    """Decode media metadata for one payload.
 
-    A real implementation opens the payload and reads true dimensions;
-    the fake derives plausible values from the content hash so tests can
-    assert determinism end-to-end."""
-    if _HAVE_PIL:  # pragma: no cover
-        raise NotImplementedError("real decode not wired in this container")
+    With Pillow available, a REAL decode: open the payload and read true
+    width / height / channel count / frame count. Payloads Pillow cannot
+    identify (non-image bytes — e.g. the text-as-binary test adapter)
+    fall back to the deterministic stub, so the pipeline keeps working
+    on mixed corpora and the dependency appearing is an upgrade, not an
+    outage. Without Pillow (this container), always the stub:
+    content-hash-derived plausible metadata, so tests can assert
+    determinism end-to-end."""
+    if _HAVE_PIL:
+        import io
+
+        try:
+            with Image.open(io.BytesIO(data)) as im:
+                n_frames = int(getattr(im, "n_frames", 1))
+                n_channels = len(im.getbands())
+                duration = int(im.info.get("duration", 0))
+                return {
+                    "width": int(im.width),
+                    "height": int(im.height),
+                    "n_channels": n_channels,
+                    "duration_ms": duration * n_frames,
+                    "n_frames": n_frames,
+                }
+        except Exception:
+            pass  # unidentifiable payload -> deterministic stub below
     rng = _content_hash(data)
     w = int(rng.integers(64, 1920))
     h = int(rng.integers(64, 1080))

@@ -92,6 +92,51 @@ def knn_bruteforce(
     )
 
 
+def embedding_near_dup_exact_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int | None = 50_000,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup — the deliberate O(n^2)
+    correctness baseline for embedding_near_dup (the LSH-bucketed
+    production path). Norms are computed once per vector before the
+    self-join (bit-identical to inline cosine, 3x less per-pair work).
+
+    GUARDED: refuses corpora above ``max_rows`` (cheap limit-probe, no
+    full count) — at 10^5 rows this plan is already 5x10^9 pair
+    comparisons, and pointing it at a real corpus is always a mistake;
+    validate the LSH path on a sample instead. Pass ``max_rows=None``
+    to override explicitly."""
+    if max_rows is not None:
+        n = df.select(id_col).limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_near_dup_exact_pairs: corpus exceeds max_rows="
+                f"{max_rows} (O(n^2) exact baseline; use embedding_near_dup "
+                f"for real corpora, or pass max_rows=None to override)"
+            )
+    emb = df.select(
+        id_col, vec_col, l2_norm(F.col(vec_col)).alias("__n")
+    )
+    l, r = emb.alias("l"), emb.alias("r")
+    return (
+        l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cosine_with_norms(
+                F.col(f"l.{vec_col}"),
+                F.col(f"r.{vec_col}"),
+                F.col("l.__n"),
+                F.col("r.__n"),
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane (driver-side tiny)."""
     import numpy as np

@@ -63,3 +63,47 @@ def test_sample_frames_explodes_inside_worker(spark, media):
         out._jdf.queryExecution(), "simple"
     )
     assert "Exchange" not in plan.split("MapInPandas")[0]
+
+
+def test_decode_kernel_uses_real_pil_when_available(monkeypatch):
+    """Guard-polarity lock: when Pillow IS importable, _decode_kernel
+    must decode for real (true dimensions from Image.open) — the old
+    guard raised NotImplementedError, turning the dependency appearing
+    into an outage. Unidentifiable payloads still fall back to the
+    deterministic stub. PIL is absent in this container, so the module
+    surface is monkeypatched."""
+    from riskloc_spark.operators import multimodal as mm
+
+    class FakeImage:
+        width, height = 640, 480
+        n_frames = 2
+        info = {"duration": 40}
+
+        def getbands(self):
+            return ("R", "G", "B")
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class FakeImageModule:
+        @staticmethod
+        def open(fp):
+            if fp.read(4) != b"\x89PNG":
+                raise OSError("cannot identify image file")
+            return FakeImage()
+
+    monkeypatch.setattr(mm, "_HAVE_PIL", True)
+    monkeypatch.setattr(mm, "Image", FakeImageModule, raising=False)
+
+    meta = mm._decode_kernel(b"\x89PNG" + b"\x00" * 16)
+    assert meta == {
+        "width": 640, "height": 480, "n_channels": 3,
+        "duration_ms": 80, "n_frames": 2,
+    }
+    # non-image payload: deterministic stub, not an exception
+    stub = mm._decode_kernel(b"plain text payload")
+    monkeypatch.setattr(mm, "_HAVE_PIL", False)
+    assert stub == mm._decode_kernel(b"plain text payload")

@@ -63,3 +63,24 @@ def test_ivf_precomputed_centroids_match_cold(spark):
     assert sorted(
         [(r["query_id"], r["rank"], r["vec_id"]) for r in cold]
     ) == sorted([(r["query_id"], r["rank"], r["vec_id"]) for r in warm])
+
+
+def test_exact_pairs_guard_refuses_large_corpus(spark):
+    """The O(n^2) exact baseline must refuse a corpus past max_rows (so
+    nobody points it at a real corpus by accident) — and the probe is a
+    limit(max_rows+1), not a full count."""
+    import pandas as pd
+
+    from riskloc_spark.operators.similarity import (
+        embedding_near_dup_exact_pairs,
+    )
+
+    rows = pd.DataFrame(
+        {"vec_id": range(20), "embedding": [[1.0, 0.0]] * 20}
+    )
+    df = spark.createDataFrame(rows)
+    with pytest.raises(ValueError, match="max_rows"):
+        embedding_near_dup_exact_pairs(df, max_rows=10).count()
+    # under the cap (or explicitly overridden) it runs
+    assert embedding_near_dup_exact_pairs(df, max_rows=20).count() == 190
+    assert embedding_near_dup_exact_pairs(df, max_rows=None).count() == 190
