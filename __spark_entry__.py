@@ -1055,6 +1055,86 @@ def streaming_kpi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_kpi_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode + watermark streaming gate — the bounded-state path
+    (streaming_kpi runs complete mode, which retains every window in
+    state; this is the shape a continuous production stream must use).
+
+    The events table is re-staged as three mtime-ordered stream files:
+    A = on-time rows with ts < max - 1h (bulk), A2 = on-time rows in
+    the last hour (keeps the newest windows open and carries the max-ts
+    row), B = the planted-late subset (event_id % 97 == 0 AND
+    ts < max - 5h). Three files because Spark's late-input filter uses
+    a one-trigger-LAGGING watermark (verified empirically: late rows in
+    the batch right after the bulk are accepted — numRowsDroppedByWatermark
+    = 0 — and wrongly emitted; in the third batch the filter watermark
+    is max(A) - 2h and every B row is dropped). State eviction uses the
+    current-batch watermark, so across batches the emitted set is
+    exactly the windows with window_end <= max_ts - 2h (emission rule
+    window_end <= wm, also verified), aggregated over on-time rows
+    only. The DuckDB twin reproduces that window set in SQL — planted
+    late rows excluded, open windows excluded."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from riskloc_spark.streaming.pipeline import events_stream, windowed_kpi_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    late_cut = mx - datetime.timedelta(hours=5)
+    fresh_cut = mx - datetime.timedelta(hours=1)
+    late_cond = (F.col("event_id") % 97 == 0) & (F.col("ts") < F.lit(late_cut))
+
+    stage = tempfile.mkdtemp(prefix="skpi_append_")
+    try:
+        stream_dir = os.path.join(stage, "stream")
+        os.makedirs(stream_dir)
+        for name, frame, mtime in (
+            ("a.parquet", ev.filter(~late_cond & (F.col("ts") < F.lit(fresh_cut))), 1_000_000),
+            ("a2.parquet", ev.filter(~late_cond & (F.col("ts") >= F.lit(fresh_cut))), 1_000_100),
+            ("b.parquet", ev.filter(late_cond), 1_000_200),
+        ):
+            out_dir = os.path.join(stage, name + ".dir")
+            frame.coalesce(1).write.mode("overwrite").parquet(out_dir)
+            part = [f for f in os.listdir(out_dir) if f.startswith("part-")][0]
+            dst = os.path.join(stream_dir, name)
+            shutil.move(os.path.join(out_dir, part), dst)
+            os.utime(dst, (mtime, mtime))
+
+        baseline = ev.groupBy("event_type").agg(
+            (F.sum("value") / F.count(F.lit(1))).alias("mean_value")
+        )
+        stream = events_stream(
+            spark, stream_dir, options={"maxFilesPerTrigger": "1"}
+        )
+        out = windowed_kpi_stream(
+            stream, baseline, window="1 hour", watermark="2 hours"
+        )
+        qname = "streaming_kpi_append_" + uuid.uuid4().hex[:8]
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(qname).select(
+        "event_type",
+        "window_start",
+        "n_events",
+        F.round("real", 4).alias("real"),
+        F.round("predict", 6).alias("predict"),
+        F.round("deviation", 6).alias("deviation"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full RiskLoc root-cause localization on the sf0.001
     events-derived RCA frame."""
@@ -1106,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "riskloc_layer_scores": riskloc_layer_scores_q,
         "dataset_significance": dataset_significance_q,
         "streaming_kpi": streaming_kpi_q,
+        "streaming_kpi_append": streaming_kpi_append_q,
         "adtributor_elements_derived": adtributor_elements_derived,
         "robustspot_ca": robustspot_ca_q,
         "q4_priority_semi": q4_priority_semi,
@@ -2147,6 +2228,37 @@ def oracle_sql() -> dict[str, str]:
                               / (n_events * COALESCE(mean_value, 0.0) + v) END,
                          6) AS deviation
             FROM w LEFT JOIN bl ON w.event_type = bl.event_type
+        """,
+        "streaming_kpi_append": """
+            WITH mt AS (SELECT MAX(ts) AS mx FROM events),
+            ontime AS (
+              SELECT e.* FROM events e, mt
+              WHERE NOT (e.event_id % 97 = 0
+                         AND e.ts < mt.mx - INTERVAL 5 HOUR)
+            ),
+            bl AS (
+              SELECT event_type, SUM(value) / COUNT(*) AS mean_value
+              FROM events GROUP BY 1
+            ),
+            w AS (
+              SELECT event_type, date_trunc('hour', ts) AS ws,
+                     SUM(value) AS v, COUNT(*) AS n_events
+              FROM ontime GROUP BY 1, 2
+            ),
+            closed AS (
+              SELECT w.* FROM w, mt
+              WHERE ws + INTERVAL 1 HOUR <= mt.mx - INTERVAL 2 HOUR
+            )
+            SELECT c.event_type, CAST(ws AS TIMESTAMP) AS window_start,
+                   n_events,
+                   round(v, 4) AS "real",
+                   round(n_events * COALESCE(mean_value, 0.0), 6) AS predict,
+                   round(CASE WHEN n_events * COALESCE(mean_value, 0.0) + v = 0
+                         THEN 0.0
+                         ELSE 2 * (n_events * COALESCE(mean_value, 0.0) - v)
+                              / (n_events * COALESCE(mean_value, 0.0) + v) END,
+                         6) AS deviation
+            FROM closed c LEFT JOIN bl ON c.event_type = bl.event_type
         """,
         "hotspot_element_stats": _hotspot_element_stats_sql(),
         "autoroot_nps": _autoroot_nps_sql(),

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "riskloc_layer_scores",
     "dataset_significance",
     "streaming_kpi",
+    "streaming_kpi_append",
     "q4_priority_semi",
     "q_customers_without_orders",
     "events_rollup",
