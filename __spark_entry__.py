@@ -1055,6 +1055,69 @@ def streaming_kpi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def robustspot_supports_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robustspot's distributed mining-support interior (_supports_dist,
+    operators/robustspot.py — ref mining.py support semantics): MANY
+    causes as ONE conditional-count aggregation, including a 2-condition
+    cause and a cause-LIST (support = sum of member supports). The
+    driver sees len(causes) numbers, never rows."""
+    from riskloc_spark.operators.robustspot import _supports_dist, adapt_frame
+
+    df = adapt_frame(rca_events(spark, sf_dir), derived=False)
+    causes = [
+        (("event_type", "click"),),
+        (("event_type", "view"),),
+        (("hr", 3),),
+        (("ub", 5),),
+        (("event_type", "click"), ("hr", 3)),
+        [(("event_type", "view"),), (("ub", 5),)],
+    ]
+    labels = [
+        "event_type=click",
+        "event_type=view",
+        "hr=3",
+        "ub=5",
+        "event_type=click&hr=3",
+        "[event_type=view;ub=5]",
+    ]
+    sup = _supports_dist(df, causes)
+    rows = [(l, round(float(s), 9)) for l, s in zip(labels, sup)]
+    return spark.createDataFrame(rows, "cause string, support double")
+
+
+def hotspot_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hotspot SEARCH itself (not just its stats) under the oracle:
+    on a 2-dim slice of the RCA frame with 2 values per dimension, every
+    cuboid has <= 4 elements, so the MCTS permutation tree has <= 64
+    nodes and m=200 iterations enumerate it EXHAUSTIVELY — the returned
+    candidate is the exact argmax of gps over all element subsets of all
+    cuboids, which DuckDB reproduces by bitmask subset enumeration.
+    pt=1.5 (> the gps upper bound of 1) disables early exit so argmax
+    semantics hold. The rng only affects exploration order, not the
+    exhaustive argmax (verified: seeds 0..4 return identical results)."""
+    from riskloc_spark.operators.hotspot import hotspot
+
+    df = rca_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "error") & F.col("ub").isin(1, 5)
+    )
+    best = hotspot(
+        df, ["event_type", "ub"], pt=1.5, m=200, scoring="gps", seed=0
+    )
+    elements = sorted(
+        "&".join(f"{d}={v}" for d, v in zip(best["cuboid"], e))
+        for e in best["elements"]
+    )
+    row = (
+        best["layer"],
+        "&".join(best["cuboid"]),
+        ";".join(elements),
+        round(float(best["score"]), 6),
+    )
+    return spark.createDataFrame(
+        [row], "layer int, cuboid string, elements string, score double"
+    )
+
+
 def streaming_kpi_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-mode + watermark streaming gate — the bounded-state path
     (streaming_kpi runs complete mode, which retains every window in
@@ -1187,6 +1250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_significance": dataset_significance_q,
         "streaming_kpi": streaming_kpi_q,
         "streaming_kpi_append": streaming_kpi_append_q,
+        "hotspot_search": hotspot_search_q,
+        "robustspot_supports": robustspot_supports_q,
         "adtributor_elements_derived": adtributor_elements_derived,
         "robustspot_ca": robustspot_ca_q,
         "q4_priority_semi": q4_priority_semi,
@@ -1445,6 +1510,94 @@ def _dedup_groups_sql() -> str:
                COALESCE(comp.group_id, d.doc_id) AS group_id,
                d.doc_id = COALESCE(comp.group_id, d.doc_id) AS is_representative
         FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+    """
+
+
+def _hotspot_search_sql() -> str:
+    """DuckDB twin of the EXHAUSTIVE hotspot search (hotspot_search_q):
+    per-cuboid element stats (native double sums, mirroring the search
+    path) -> bitmask enumeration of every non-empty element subset ->
+    gps score -> global argmax by (score DESC, layer ASC, size ASC) —
+    the same ordering as hotspot()'s final candidate sort."""
+    cuboids = [
+        (0, 1, ["event_type"]),
+        (1, 1, ["ub"]),
+        (2, 2, ["event_type", "ub"]),
+    ]
+    parts = []
+    for cid, layer, dims in cuboids:
+        dims_sql = ", ".join(dims)
+        label = " || '&' || ".join(
+            f"'{d}=' || COALESCE(CAST({d} AS VARCHAR), 'None')" for d in dims
+        )
+        cuboid_str = "&".join(dims)
+        parts.append(f"""
+            SELECT {cid} AS cid, {layer} AS layer, '{cuboid_str}' AS cuboid,
+                   {label} AS elem,
+                   COUNT(*) AS n_e,
+                   SUM(ABS("real" - __a)) AS A_e,
+                   SUM(ABS("real" - predict)) AS B_e
+            FROM (
+              SELECT *, predict * (CASE WHEN Fe <> 0 THEN Ve / Fe ELSE 0.0 END) AS __a
+              FROM (
+                SELECT *,
+                       SUM("real") OVER (PARTITION BY {dims_sql}) AS Ve,
+                       SUM(predict) OVER (PARTITION BY {dims_sql}) AS Fe
+                FROM frame
+              )
+            )
+            GROUP BY {dims_sql}""")
+    stats_union = "\nUNION ALL\n".join(parts)
+    return f"""
+        WITH {_RCA_CTE},
+        frame AS (
+          SELECT event_type, hr, ub, "real", predict FROM rca
+          WHERE event_type IN ('click', 'error') AND ub IN (1, 5)
+        ),
+        tot AS (
+          SELECT COUNT(*) AS N, SUM(ABS("real" - predict)) AS B_tot
+          FROM frame
+        ),
+        stats AS ({stats_union}),
+        idx AS (
+          SELECT *,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY elem) - 1
+                      AS INT) AS i,
+                 CAST(COUNT(*) OVER (PARTITION BY cid) AS INT) AS n_elems
+          FROM stats
+        ),
+        masks AS (SELECT CAST(UNNEST(range(1, 16)) AS INT) AS mask),
+        subsets AS (
+          SELECT cid, MAX(layer) AS layer, MAX(cuboid) AS cuboid, mask,
+                 SUM(n_e) AS n, SUM(A_e) AS A, SUM(B_e) AS B,
+                 COUNT(*) AS set_size,
+                 string_agg(elem, ';' ORDER BY elem) AS elements
+          FROM idx JOIN masks ON ((mask >> i) & 1) = 1
+          WHERE mask < (1 << n_elems)
+          GROUP BY cid, mask
+        ),
+        scored AS (
+          SELECT s.layer, s.cuboid, s.elements, s.set_size,
+                 CASE WHEN (s.B / s.n
+                            + CASE WHEN (tot.N - s.n) > 0
+                                   THEN (tot.B_tot - s.B) / (tot.N - s.n)
+                                   ELSE 0.0 END) <> 0
+                      THEN 1 - ((s.A / s.n
+                            + CASE WHEN (tot.N - s.n) > 0
+                                   THEN (tot.B_tot - s.B) / (tot.N - s.n)
+                                   ELSE 0.0 END)
+                           / (s.B / s.n
+                            + CASE WHEN (tot.N - s.n) > 0
+                                   THEN (tot.B_tot - s.B) / (tot.N - s.n)
+                                   ELSE 0.0 END))
+                      ELSE 0.0 END AS score
+          FROM subsets s CROSS JOIN tot
+        )
+        SELECT CAST(layer AS INT) AS layer, cuboid, elements,
+               round(score, 6) AS score
+        FROM scored
+        ORDER BY score DESC, layer ASC, set_size ASC
+        LIMIT 1
     """
 
 
@@ -2259,6 +2412,28 @@ def oracle_sql() -> dict[str, str]:
                               / (n_events * COALESCE(mean_value, 0.0) + v) END,
                          6) AS deviation
             FROM closed c LEFT JOIN bl ON c.event_type = bl.event_type
+        """,
+        "hotspot_search": _hotspot_search_sql(),
+        "robustspot_supports": f"""
+            WITH {_RCA_CTE}
+            SELECT 'event_type=click' AS cause,
+                   round(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) AS support FROM rca
+            UNION ALL
+            SELECT 'event_type=view',
+                   round(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) FROM rca
+            UNION ALL
+            SELECT 'hr=3',
+                   round(CAST(SUM(CASE WHEN hr = 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) FROM rca
+            UNION ALL
+            SELECT 'ub=5',
+                   round(CAST(SUM(CASE WHEN ub = 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) FROM rca
+            UNION ALL
+            SELECT 'event_type=click&hr=3',
+                   round(CAST(SUM(CASE WHEN event_type = 'click' AND hr = 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) FROM rca
+            UNION ALL
+            SELECT '[event_type=view;ub=5]',
+                   round(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                              + SUM(CASE WHEN ub = 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) FROM rca
         """,
         "hotspot_element_stats": _hotspot_element_stats_sql(),
         "autoroot_nps": _autoroot_nps_sql(),

@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "squeeze_derived_cluster_stats",
     "robustspot_scores",
     "robustspot_rca",
+    "hotspot_search",
+    "robustspot_supports",
     "hotspot_element_stats",
     "autoroot_nps",
     "squeeze_cluster_stats",

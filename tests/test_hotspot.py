@@ -123,3 +123,65 @@ def test_hotspot_ps_scoring_with_pruning(spark):
     assert best["score"] > 0
     flat = {v for e in best["elements"] for v in e}
     assert flat, "empty selection"
+
+
+def test_mcts_exhaustive_on_small_instance_matches_bruteforce(spark):
+    """With <= 4 elements per cuboid, m=200 MCTS iterations enumerate the
+    whole permutation tree (<= 64 nodes), so hotspot() must return the
+    exact argmax of gps over ALL element subsets of ALL cuboids — the
+    property the hotspot_search oracle gate relies on. Verified against
+    a driver brute force, across seeds (rng must only affect exploration
+    order)."""
+    rng = np.random.default_rng(3)
+    rows = []
+    for a in ["a0", "a1"]:
+        for b in ["b0", "b1"]:
+            for i in range(6):
+                predict = float(rng.uniform(90, 110))
+                real = predict * (0.3 if (a, b) == ("a1", "b0") else 1.0)
+                rows.append((a, b, real, predict))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["a", "b", "real", "predict"])
+    )
+
+    # driver brute force over every subset of every cuboid
+    pdf = pd.DataFrame(rows, columns=["a", "b", "real", "predict"])
+    N = len(pdf)
+    B_tot = float(np.abs(pdf["real"] - pdf["predict"]).sum())
+    best = None
+    for layer, dims in [(1, ["a"]), (1, ["b"]), (2, ["a", "b"])]:
+        grp = pdf.groupby(dims)
+        stats = {}
+        for key, g in grp:
+            key = key if isinstance(key, tuple) else (key,)
+            V, Fv = g["real"].sum(), g["predict"].sum()
+            ratio = V / Fv if Fv != 0 else 0.0
+            av = g["predict"] * ratio
+            stats[tuple(map(str, key))] = dict(
+                n_e=len(g),
+                A_e=float(np.abs(g["real"] - av).sum()),
+                B_e=float(np.abs(g["real"] - g["predict"]).sum()),
+            )
+        elems = sorted(stats)
+        for r in range(1, len(elems) + 1):
+            for sel in itertools.combinations(elems, r):
+                n = sum(stats[e]["n_e"] for e in sel)
+                A = sum(stats[e]["A_e"] for e in sel)
+                Bv = sum(stats[e]["B_e"] for e in sel)
+                a_m, b_m = A / n, Bv / n
+                c = (B_tot - Bv) / (N - n) if (N - n) > 0 else 0.0
+                score = 1 - ((a_m + c) / (b_m + c)) if (b_m + c) != 0 else 0.0
+                cand = (score, -layer, -len(sel), dims, sel)
+                # argmax by (score, -layer, -len) like hotspot's final sort
+                if best is None or cand[:3] > best[:3]:
+                    best = cand
+    want = (best[3], tuple(sorted(best[4])), round(best[0], 6))
+
+    for seed in range(4):
+        got = hotspot(df, ["a", "b"], pt=1.5, m=200, scoring="gps", seed=seed)
+        got_key = (
+            got["cuboid"],
+            tuple(sorted(tuple(e) for e in got["elements"])),
+            round(got["score"], 6),
+        )
+        assert got_key == want, (seed, got_key, want)
