@@ -84,3 +84,49 @@ def test_exact_pairs_guard_refuses_large_corpus(spark):
     # under the cap (or explicitly overridden) it runs
     assert embedding_near_dup_exact_pairs(df, max_rows=20).count() == 190
     assert embedding_near_dup_exact_pairs(df, max_rows=None).count() == 190
+
+
+def test_ivf_multiprobe_recall_curve_on_clustered_corpus(spark):
+    """Multi-probe recall curve on a CLUSTERED corpus (the IVF premise —
+    real embedding corpora cluster; the near-uniform testdata embeddings
+    are the worst case where recall ~= probed fraction): recall@5 must
+    be monotone in n_probe and >= 0.95 at n_probe=4, with the quantizer
+    fit ONCE and reused (equi-join probe path preserved)."""
+    import numpy as np
+    import pandas as pd
+
+    from riskloc_spark.operators.similarity import ivf_fit_centroids
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((8, 16)) * 5.0
+    vecs = []
+    for i in range(800):
+        c = centers[i % 8]
+        vecs.append((c + rng.standard_normal(16) * 0.4).astype(np.float32))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(800), "embedding": [v.tolist() for v in vecs]}
+        )
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": range(10),
+                "embedding": [vecs[i * 37].tolist() for i in range(10)],
+            }
+        )
+    )
+    bf = knn_bruteforce(corpus, queries, k=5).toPandas()
+    bfset = set(map(tuple, bf[["query_id", "vec_id"]].values))
+
+    cents = ivf_fit_centroids(corpus, n_clusters=8, fit_sample=800)
+    recalls = {}
+    for n_probe in (1, 2, 4):
+        ivf = ivf_knn(
+            corpus, queries, k=5, n_clusters=8, n_probe=n_probe,
+            centroids=cents,
+        ).toPandas()
+        ivset = set(map(tuple, ivf[["query_id", "vec_id"]].values))
+        recalls[n_probe] = len(bfset & ivset) / len(bfset)
+    assert recalls[1] <= recalls[2] + 1e-9 and recalls[2] <= recalls[4] + 1e-9, recalls
+    assert recalls[4] >= 0.95, recalls
