@@ -102,18 +102,66 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
+        out["scale"] = scale_block(spark)
+    print(json.dumps(out))
     spark.stop()
+
+
+def scale_block(spark) -> dict:
+    """Data-bound distributed-path timings: the full searches on a
+    562,500-leaf generated RCA instance (past every driver_rows bound,
+    so the adaptive driver fast-path cannot engage — this is the code
+    that runs at 100x). One timed run each (the cold cost IS the scale
+    story; sf0.1 headline times are scheduler-bound and do not track
+    this). ``found`` records whether the planted layer-2 cause was
+    localized, so the seconds can't silently buy wrong answers.
+    Skip with SPARK_GRAFT_SCALE=0."""
+    from riskloc_spark.evaluation import root_cause_postprocessing
+    from riskloc_spark.generator import generate_rca_instance
+    from riskloc_spark.operators.autoroot import autoroot
+    from riskloc_spark.operators.riskloc import riskloc
+    from riskloc_spark.operators.robustspot import robustspot
+    from riskloc_spark.operators.squeeze import squeeze
+
+    dims = {"a": 30, "b": 30, "c": 25, "d": 25}  # 562,500 leaves
+    df, label, _ = generate_rca_instance(
+        spark,
+        dims,
+        seed=13,
+        zero_rate=(0.0, 0.0),
+        noise_level=(0.0, 0.05),
+        anomaly_severity=(0.7, 0.9),
+        num_anomaly=(1, 1),
+        num_anomaly_elements=(1, 1),
+    )
+    df = df.persist()
+    n_leaves = df.count()
+    attrs = list(dims)
+    runs = [
+        ("riskloc", lambda: riskloc(df, attrs, risk_threshold=0.3)),
+        ("autoroot", lambda: autoroot(df, attrs)),
+        ("squeeze", lambda: squeeze(df, attrs)),
+        # driver_rows=1000: forces the distributed path (default bound
+        # is 2M; the point here is the at-scale code, not the fast-path)
+        ("robustspot", lambda: robustspot(df, attrs, driver_rows=1000)),
+    ]
+    times: dict[str, float] = {}
+    found: dict[str, bool] = {}
+    for name, fn in runs:
+        t0 = time.perf_counter()
+        causes = fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+        found[name] = label in root_cause_postprocessing(causes, name)
+    df.unpersist()
+    return {"leaves": n_leaves, "label": label, "sec": times, "found": found}
 
 
 if __name__ == "__main__":

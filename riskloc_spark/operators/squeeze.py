@@ -438,6 +438,11 @@ def _locate_all(
     measure_cols = (
         ["real_a", "predict_a", "real_b", "predict_b"] if derived else []
     )
+    # persist the exploded frame: the stats aggregation, the per-cuboid
+    # totals, AND every per-cluster locate job scan it — without the
+    # cache each action re-derives the (rows x cuboids) explode from the
+    # base frame (at 562k leaves x 15 cuboids that is 8.4M rows rebuilt
+    # n_cl+2 times)
     ex = df.select(
         F.explode(F.array(*structs)).alias("ce"),
         "real",
@@ -448,7 +453,7 @@ def _locate_all(
     ).select(
         F.col("ce.cid").alias("cid"), F.col("ce.elem").alias("elem"),
         "real", "predict", *measure_cols, "__cl", "__nm",
-    )
+    ).persist()
 
     aggs = [F.count(F.lit(1)).alias("descents")]
     for c in range(n_cl):
@@ -575,18 +580,23 @@ def _locate_all(
         if not plan:
             continue
 
-        # combined rank WHEN-chain: (cid, elem) -> descent rank
-        rank_expr = F.lit(None).cast("int")
-        for cid, info in plan.items():
-            for rank_i in range(len(info["top"]), 0, -1):
-                cond = (F.col("cid") == cid) & (
-                    F.col("elem") == F.lit(info["top"][rank_i - 1]["elem"])
-                )
-                rank_expr = F.when(cond, F.lit(rank_i)).otherwise(rank_expr)
+        # (cid, elem) -> descent rank as a BROADCAST-join lookup: the
+        # former nested WHEN-chain (up to #cuboids x cap branches) was
+        # evaluated per exploded row — codegen-hostile and O(chain) per
+        # row; a broadcast hash join is O(1) per row and the lookup is
+        # tiny (<= #cuboids x cap entries)
+        rank_rows = [
+            (cid, info["top"][rank_i - 1]["elem"], rank_i)
+            for cid, info in plan.items()
+            for rank_i in range(1, len(info["top"]) + 1)
+        ]
+        rank_df = df.sparkSession.createDataFrame(
+            rank_rows, "cid int, elem string, __rank int"
+        )
 
         p_max = max(info["n_partitions"] for info in plan.values())
-        sub = ex.filter((F.col("__cl") == ci) | F.col("__nm")).withColumn(
-            "__rank", rank_expr
+        sub = ex.filter((F.col("__cl") == ci) | F.col("__nm")).join(
+            F.broadcast(rank_df), on=["cid", "elem"], how="left"
         )
         aggs2 = []
         for p in range(1, p_max + 1):
@@ -630,6 +640,7 @@ def _locate_all(
                 for r in info["top"][:best_p]
             ]
             results[(ci, cid)] = (rc, best_score)
+    ex.unpersist()
     return results
 
 
