@@ -541,17 +541,37 @@ def _robustspot_distributed(
             return sel.filter(pred) if pred is not None else sel
 
         def run(index: int, pred) -> None:
+            # persist the scored frame for the round: the knee probe AND
+            # the anomalous-row collect both scan it, and ID/CA each pull
+            # a scalar-total broadcast — uncached, the whole scoring ran
+            # twice per round (3 actions x 7 rounds was the wall-clock)
             scored = add_contribution_ability(
                 add_influence_degree(frame_of(pred))
+            ).persist()
+            # HLL pre-gate: when distinct IDs are CLEARLY past max_pairs
+            # (>1.2x, beyond the sketch's error), skip straight to the
+            # histogram — the exact probe would aggregate all distinct
+            # IDs and ship max_pairs rows to the driver only to discover
+            # the overflow (~2s per round at 562k leaves). Ambiguous or
+            # small estimates still run the exact probe, so the exact /
+            # histogram decision boundary is unchanged.
+            approx = (
+                scored.filter(F.col("ID") > 0)
+                .agg(F.approx_count_distinct("ID", 0.05).alias("d"))
+                .first()["d"]
             )
             rows = (
-                scored.filter(F.col("ID") > 0)
-                .groupBy("ID")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .limit(max_pairs + 1)
-                .collect()
+                (
+                    scored.filter(F.col("ID") > 0)
+                    .groupBy("ID")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .limit(max_pairs + 1)
+                    .collect()
+                )
+                if approx <= max_pairs * 1.2
+                else None
             )
-            if len(rows) <= max_pairs:
+            if rows is not None and len(rows) <= max_pairs:
                 vals = np.array([float(r[0]) for r in rows])
                 cnts = np.array([float(r[1]) for r in rows])
             else:
@@ -576,6 +596,7 @@ def _robustspot_distributed(
                 .limit(after_rows + 1)
                 .toPandas()
             )
+            scored.unpersist()
             if len(after) > after_rows:
                 raise ValueError(
                     f"robustspot anomalous set exceeds after_rows="
