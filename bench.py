@@ -155,13 +155,20 @@ def scale_block(spark) -> dict:
     ]
     times: dict[str, float] = {}
     found: dict[str, bool] = {}
+    errors: dict[str, str] = {}
     for name, fn in runs:
         t0 = time.perf_counter()
-        causes = fn()
-        times[name] = round(time.perf_counter() - t0, 3)
-        found[name] = label in root_cause_postprocessing(causes, name)
+        try:
+            causes = fn()
+            times[name] = round(time.perf_counter() - t0, 3)
+            found[name] = label in root_cause_postprocessing(causes, name)
+        except Exception as e:  # one operator failing must not lose the
+            errors[name] = f"{type(e).__name__}: {e}"[:200]  # whole bench
     df.unpersist()
-    return {"leaves": n_leaves, "label": label, "sec": times, "found": found}
+    out = {"leaves": n_leaves, "label": label, "sec": times, "found": found}
+    if errors:
+        out["errors"] = errors
+    return out
 
 
 if __name__ == "__main__":

@@ -80,3 +80,46 @@ def test_surprise_nonnegative(spark, rows):
     for row in out:
         assert row["surprise"] >= -1e-12
         assert math.isfinite(row["surprise"])
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(edges=edge_lists)
+@relaxed
+def test_connected_components_equals_union_find(spark, edges):
+    """For ANY pair list (self-loops and duplicates included), the
+    distributed hash-min components must equal a driver union-find:
+    every vertex labeled with its component's min id."""
+    from riskloc_spark.operators.dedup import connected_components
+
+    pairs = [(a, b) for a, b in edges if a != b]
+    assume(pairs)
+    ids = sorted({v for p in pairs for v in p})
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: min(j for j in ids if find(j) == find(i)) for i in ids}
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["id_a", "id_b"])
+    )
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in connected_components(sdf).collect()
+    }
+    assert got == expect
