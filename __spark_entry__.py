@@ -1198,6 +1198,44 @@ def streaming_kpi_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom STATEFUL streaming operator (ewma_anomaly_stream,
+    applyInPandasWithState) under the hash gate: with the whole events
+    file in one availableNow batch, the emit-on-close EWMA semantics
+    are deterministic — per event_type, hourly windows in time order,
+    each closed window emitted with predict = EWMA of prior windows
+    (seeded with the first window's real), the LAST window left open
+    and never emitted. The DuckDB twin replays the same recursion with
+    a recursive CTE over ROW_NUMBER-indexed windows."""
+    import uuid
+
+    from riskloc_spark.streaming.pipeline import (
+        events_stream,
+        ewma_anomaly_stream,
+    )
+
+    ev = events_stream(spark, f"{sf_dir}/events.parquet")
+    out = ewma_anomaly_stream(ev, alpha=0.3, threshold=0.5)
+    qname = "streaming_ewma_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(qname).select(
+        "event_type",
+        "window_start",
+        F.round("real", 4).alias("real"),
+        F.round("predict", 6).alias("predict"),
+        F.round("deviation", 6).alias("deviation"),
+        "is_anomaly",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full RiskLoc root-cause localization on the sf0.001
     events-derived RCA frame."""
@@ -1252,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kpi_append": streaming_kpi_append_q,
         "hotspot_search": hotspot_search_q,
         "robustspot_supports": robustspot_supports_q,
+        "streaming_ewma": streaming_ewma_q,
         "adtributor_elements_derived": adtributor_elements_derived,
         "robustspot_ca": robustspot_ca_q,
         "q4_priority_semi": q4_priority_semi,
@@ -2414,6 +2453,43 @@ def oracle_sql() -> dict[str, str]:
             FROM closed c LEFT JOIN bl ON c.event_type = bl.event_type
         """,
         "hotspot_search": _hotspot_search_sql(),
+        "streaming_ewma": """
+            WITH RECURSIVE win AS (
+              SELECT event_type, date_trunc('hour', ts) AS ws,
+                     SUM(value) AS v,
+                     CAST(ROW_NUMBER() OVER (
+                        PARTITION BY event_type
+                        ORDER BY date_trunc('hour', ts)) - 1 AS INT) AS idx,
+                     CAST(COUNT(*) OVER (PARTITION BY event_type) AS INT)
+                        AS n_win
+              FROM events GROUP BY 1, 2
+            ),
+            -- predict_0 = v_0 (n=0 seeds the forecast with the first
+            -- real); ewma_after_k = 0.3*v_k + 0.7*ewma_after_{k-1}
+            rec(event_type, idx, predict, ewma) AS (
+              SELECT event_type, 0, v, v FROM win WHERE idx = 0
+              UNION ALL
+              SELECT r.event_type, r.idx + 1, r.ewma,
+                     0.3 * w.v + 0.7 * r.ewma
+              FROM rec r JOIN win w
+                ON w.event_type = r.event_type AND w.idx = r.idx + 1
+            ),
+            joined AS (
+              SELECT w.event_type, w.ws, w.v, r.predict, w.idx, w.n_win,
+                     CASE WHEN r.predict + w.v = 0 THEN 0.0
+                          ELSE 2.0 * (r.predict - w.v) / (r.predict + w.v)
+                     END AS dev
+              FROM win w JOIN rec r
+                ON r.event_type = w.event_type AND r.idx = w.idx
+            )
+            SELECT event_type, CAST(ws AS TIMESTAMP) AS window_start,
+                   round(v, 4) AS "real",
+                   round(predict, 6) AS predict,
+                   round(dev, 6) AS deviation,
+                   ABS(dev) > 0.5 AS is_anomaly
+            FROM joined
+            WHERE idx < n_win - 1  -- emit-on-close: last window stays open
+        """,
         "robustspot_supports": f"""
             WITH {_RCA_CTE}
             SELECT 'event_type=click' AS cause,

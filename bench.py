@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "dataset_significance",
     "streaming_kpi",
     "streaming_kpi_append",
+    "streaming_ewma",
     "q4_priority_semi",
     "q_customers_without_orders",
     "events_rollup",
