@@ -1198,6 +1198,39 @@ def streaming_kpi_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def riskloc_first_cause_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The riskloc SEARCH itself (first pass) under the oracle: the full
+    operator with max_iterations=1 — prepared frame, layer-1 pruning,
+    all-7-cuboid element scoring, candidate thresholds, and the
+    reference scan order are all deterministic (no rng), so DuckDB
+    replays the complete first search pass in SQL
+    (_riskloc_first_cause_sql). Iterations beyond the first only add
+    found-cause row removal (riskloc.py:565-574) and stay covered by
+    the rows-only riskloc_rca + planted-cause + dual-path parity."""
+    from riskloc_spark.operators.riskloc import riskloc
+
+    df = rca_events(spark, sf_dir)
+    causes = riskloc(df, RCA_ATTRIBUTES, risk_threshold=0.3, max_iterations=1)
+    rows = []
+    for rc in causes[:1]:
+        el = rc["elements"][0]
+        rows.append(
+            (
+                "&".join(sorted(f"{d}={v}" for d, v in zip(rc["cuboid"], el))),
+                int(rc["layer"]),
+                round(float(rc["ep_score"]), 6),
+                round(float(rc["risk score"]), 6),
+                round(float(rc["high risk score"]), 6),
+                round(float(rc["low risk score"]), 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "root_cause string, layer int, ep_score double, risk double,"
+        " high double, low double",
+    )
+
+
 def streaming_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom STATEFUL streaming operator (ewma_anomaly_stream,
     applyInPandasWithState) under the hash gate: with the whole events
@@ -1291,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_search": hotspot_search_q,
         "robustspot_supports": robustspot_supports_q,
         "streaming_ewma": streaming_ewma_q,
+        "riskloc_first_cause": riskloc_first_cause_q,
         "adtributor_elements_derived": adtributor_elements_derived,
         "robustspot_ca": robustspot_ca_q,
         "q4_priority_semi": q4_priority_semi,
@@ -1817,6 +1851,148 @@ def _squeeze_derived_cluster_stats_sql() -> str:
     """ + "\nUNION ALL\n".join(parts)
 
 
+def _riskloc_prepared_ctes() -> str:
+    """Shared CTE chain building riskloc's fully prepared leaf frame in
+    SQL: ep (global sums), deviation, cutoff (n_remove=5 distinct
+    deviations), partition, weight, anomaly-ep sign flip (ep2), ep_z —
+    mirror of operators/riskloc.py:523-538 / _riskloc_driver:412-448.
+    Used by the riskloc_layer_scores and riskloc_first_cause oracles."""
+    return f"""{_RCA_CTE},
+        tot AS (SELECT SUM("real") AS A, SUM(predict) AS Ff FROM rca),
+        scored AS (
+          SELECT rca.*, ("real" - predict) / (A - Ff) AS ep,
+                 CASE WHEN predict + "real" = 0 THEN 0.0
+                 ELSE 2 * (predict - "real") / (predict + "real") END AS deviation
+          FROM rca CROSS JOIN tot
+        ),
+        devs AS (SELECT DISTINCT deviation AS d FROM scored),
+        lo AS (SELECT MAX(d) AS v FROM (SELECT d FROM devs ORDER BY d ASC LIMIT 6)),
+        hi AS (SELECT MIN(d) AS v FROM (SELECT d FROM devs ORDER BY d DESC LIMIT 6)),
+        cut AS (SELECT CASE WHEN abs(lo.v) <= abs(hi.v) THEN -lo.v ELSE -hi.v END AS cutoff
+                FROM lo CROSS JOIN hi),
+        parts AS (
+          SELECT s.*, c.cutoff,
+                 CASE WHEN c.cutoff >= 0
+                      THEN (CASE WHEN s.deviation > c.cutoff THEN 1 ELSE 0 END)
+                      ELSE (CASE WHEN s.deviation < c.cutoff THEN 1 ELSE 0 END)
+                 END AS part
+          FROM scored s CROSS JOIN cut c
+        ),
+        pw AS (
+          SELECT *, LEAST(
+                   CASE WHEN part = 1 THEN abs(deviation)
+                        WHEN "real" = 0 AND predict = 0 THEN 0.0
+                        ELSE abs(cutoff - deviation) END, 1.0) AS weight
+          FROM parts
+        ),
+        eps AS (SELECT SUM(CASE WHEN part = 1 THEN ep END) AS s FROM pw),
+        prepared AS (
+          SELECT pw.*,
+                 CASE WHEN e.s < 0 THEN -ep ELSE ep END AS ep2,
+                 CASE WHEN (CASE WHEN e.s < 0 THEN -ep ELSE ep END) > 0
+                      THEN (CASE WHEN e.s < 0 THEN -ep ELSE ep END)
+                      ELSE 0.0 END AS ep_z
+          FROM pw CROSS JOIN eps e
+        )"""
+
+
+def _riskloc_first_cause_sql() -> str:
+    """DuckDB twin of the FIRST riskloc search pass (riskloc with
+    max_iterations=1, risk_threshold=0.3): the prepared frame, layer-1
+    element pruning (ep_z < adj OR part_sum = 0, ref riskloc.py:89-96),
+    per-element scoring for all 7 cuboids with pruned values excluded
+    from layers >= 2, candidate filter (part_sum > 0 AND ep > adj AND
+    risk >= 0.3), per-cuboid max-EP, and the reference scan order:
+    lowest layer wins, then max ep, then earliest cuboid."""
+    cuboids = [
+        (0, 1, ["event_type"]),
+        (1, 1, ["hr"]),
+        (2, 1, ["ub"]),
+        (3, 2, ["event_type", "hr"]),
+        (4, 2, ["event_type", "ub"]),
+        (5, 2, ["hr", "ub"]),
+        (6, 3, ["event_type", "hr", "ub"]),
+    ]
+    branches = []
+    for cid, layer, dims in cuboids:
+        dims_sql = ", ".join(dims)
+        label = " || '&' || ".join(
+            f"'{d}=' || COALESCE(CAST({d} AS VARCHAR), 'None')" for d in dims
+        )
+        if layer == 1:
+            excl = ""
+        else:
+            conds = " OR ".join(
+                f"(ps.dim = '{d}' AND ps.val = COALESCE(CAST(p.{d} AS VARCHAR), 'None'))"
+                for d in dims
+            )
+            excl = f"WHERE NOT EXISTS (SELECT 1 FROM pruneset ps WHERE {conds})"
+        branches.append(f"""
+            SELECT {cid} AS cid, {layer} AS layer, {label} AS elem,
+                   COALESCE(SUM(CASE WHEN part = 1 THEN weight END), 0.0) AS n_anom,
+                   COALESCE(SUM(CASE WHEN part = 0 THEN weight END), 0.0) AS n_norm,
+                   SUM(ep2) AS ep,
+                   SUM(part) AS part_sum,
+                   AVG(w1_term) AS w1,
+                   AVG(w2_term) AS w2
+            FROM (
+              SELECT *,
+                     CASE WHEN "real" <> 0 AND predict <> 0 AND P <> 0 THEN
+                         ABS(CASE WHEN (predict * R / P + "real") = 0 THEN 0.0
+                             ELSE 2.0 * (predict * R / P - "real")
+                                  / (predict * R / P + "real") END) END AS w1_term,
+                     CASE WHEN "real" <> 0 AND predict <> 0
+                          THEN ABS(deviation) END AS w2_term
+              FROM (
+                SELECT *,
+                       SUM(CASE WHEN "real" <> 0 AND predict <> 0 THEN "real" END)
+                         OVER (PARTITION BY {dims_sql}) AS R,
+                       SUM(CASE WHEN "real" <> 0 AND predict <> 0 THEN predict END)
+                         OVER (PARTITION BY {dims_sql}) AS P
+                FROM (SELECT * FROM prepared p {excl})
+              )
+            )
+            GROUP BY {dims_sql}""")
+    union = "\nUNION ALL\n".join(branches)
+    l1_parts = "\nUNION ALL\n".join(
+        f"""SELECT '{d}' AS dim, COALESCE(CAST({d} AS VARCHAR), 'None') AS val,
+                   SUM(ep_z) AS epz, SUM(part) AS ps
+            FROM prepared GROUP BY 2"""
+        for d in RCA_ATTRIBUTES
+    )
+    return f"""
+        WITH {_riskloc_prepared_ctes()},
+        adj AS (SELECT COALESCE(ABS(s), 0.0) * 0.02 AS v FROM eps),
+        l1 AS ({l1_parts}),
+        pruneset AS (
+          SELECT l1.dim, l1.val FROM l1 CROSS JOIN adj
+          WHERE l1.epz < adj.v OR l1.ps = 0
+        ),
+        layer AS ({union}),
+        scored_layers AS (
+          SELECT *, n_anom / (n_anom + n_norm + 1.0) AS high,
+                 CASE WHEN w2 IS NULL OR w2 = 0 OR w1 IS NULL THEN 0.0
+                      ELSE w1 / w2 END AS low
+          FROM layer
+        ),
+        cands AS (
+          SELECT * FROM (
+            SELECT sl.*, ROW_NUMBER() OVER (
+                     PARTITION BY cid ORDER BY ep DESC, elem ASC) AS rn
+            FROM scored_layers sl CROSS JOIN adj
+            WHERE part_sum > 0 AND ep > adj.v AND (high - low) >= 0.3
+          ) WHERE rn = 1
+        )
+        SELECT elem AS root_cause, CAST(layer AS INT) AS layer,
+               round(ep, 6) AS ep_score,
+               round(high - low, 6) AS risk,
+               round(high, 6) AS high, round(low, 6) AS low
+        FROM cands
+        ORDER BY layer ASC, ep DESC, cid ASC
+        LIMIT 1
+    """
+
+
 def _riskloc_layer_scores_sql() -> str:
     """DuckDB twin of riskloc's _layer_scores over layer-1 cuboids, on the
     fully prepared frame (ep, cutoff n_remove=5, partition, weight,
@@ -1860,43 +2036,7 @@ def _riskloc_layer_scores_sql() -> str:
             GROUP BY 1, 2""")
     union = "\nUNION ALL\n".join(layer_parts)
     return f"""
-        WITH {_RCA_CTE},
-        tot AS (SELECT SUM("real") AS A, SUM(predict) AS Ff FROM rca),
-        scored AS (
-          SELECT rca.*, ("real" - predict) / (A - Ff) AS ep,
-                 CASE WHEN predict + "real" = 0 THEN 0.0
-                 ELSE 2 * (predict - "real") / (predict + "real") END AS deviation
-          FROM rca CROSS JOIN tot
-        ),
-        devs AS (SELECT DISTINCT deviation AS d FROM scored),
-        lo AS (SELECT MAX(d) AS v FROM (SELECT d FROM devs ORDER BY d ASC LIMIT 6)),
-        hi AS (SELECT MIN(d) AS v FROM (SELECT d FROM devs ORDER BY d DESC LIMIT 6)),
-        cut AS (SELECT CASE WHEN abs(lo.v) <= abs(hi.v) THEN -lo.v ELSE -hi.v END AS cutoff
-                FROM lo CROSS JOIN hi),
-        parts AS (
-          SELECT s.*, c.cutoff,
-                 CASE WHEN c.cutoff >= 0
-                      THEN (CASE WHEN s.deviation > c.cutoff THEN 1 ELSE 0 END)
-                      ELSE (CASE WHEN s.deviation < c.cutoff THEN 1 ELSE 0 END)
-                 END AS part
-          FROM scored s CROSS JOIN cut c
-        ),
-        pw AS (
-          SELECT *, LEAST(
-                   CASE WHEN part = 1 THEN abs(deviation)
-                        WHEN "real" = 0 AND predict = 0 THEN 0.0
-                        ELSE abs(cutoff - deviation) END, 1.0) AS weight
-          FROM parts
-        ),
-        eps AS (SELECT SUM(CASE WHEN part = 1 THEN ep END) AS s FROM pw),
-        prepared AS (
-          SELECT pw.*,
-                 CASE WHEN e.s < 0 THEN -ep ELSE ep END AS ep2,
-                 CASE WHEN (CASE WHEN e.s < 0 THEN -ep ELSE ep END) > 0
-                      THEN (CASE WHEN e.s < 0 THEN -ep ELSE ep END)
-                      ELSE 0.0 END AS ep_z
-          FROM pw CROSS JOIN eps e
-        ),
+        WITH {_riskloc_prepared_ctes()},
         layer AS (
           {union}
         )
@@ -2516,6 +2656,7 @@ def oracle_sql() -> dict[str, str]:
         "squeeze_cluster_stats": _squeeze_cluster_stats_sql(),
         "squeeze_derived_cluster_stats": _squeeze_derived_cluster_stats_sql(),
         "riskloc_layer_scores": _riskloc_layer_scores_sql(),
+        "riskloc_first_cause": _riskloc_first_cause_sql(),
         "dataset_significance": f"""
             WITH {_RCA_CTE},
             labeled AS (

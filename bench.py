@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     # near-dup operators are the LSH/minhash/simhash paths above;
     # the correctness gate still checks it at sf0.01
     "riskloc_rca",
+    "riskloc_first_cause",
     "rca_derived_scores",
     "riskloc_rca_derived",
     "rev_adtributor",
