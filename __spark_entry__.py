@@ -1198,6 +1198,43 @@ def streaming_kpi_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def squeeze_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """squeeze's density CLUSTERING itself (density_cluster_1d — the
+    driver-numpy phase with no prior oracle coverage) under the gate,
+    on the fixed-bar-width branch, which is SQL-expressible end to end:
+    histogram over arange edges (density-normalized), auto smoothing
+    window (nonzero bins // 10), trailing-mean smoothing, CIRCULAR
+    relextrema (np.roll wrap), minima boundaries, member ranges, and
+    the mean(|dev|) >= max_normal_deviation (0.20) filter. Deviation and the
+    min-real shift mirror squeeze()'s driver path exactly."""
+    import numpy as np
+
+    from riskloc_spark.operators.squeeze import SqueezeOptions, density_cluster_1d
+
+    df = rca_events(spark, sf_dir).filter(F.col("predict") > 0)
+    pdf = df.select(
+        F.col("real").cast("double"), F.col("predict").cast("double")
+    ).toPandas()
+    real = pdf["real"].to_numpy()
+    mn = float(real.min()) if len(real) else 0.0
+    if mn < 0:
+        real = real - mn
+    denom = pdf["predict"].to_numpy() + real
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dev = np.where(
+            denom == 0, 0.0, (pdf["predict"].to_numpy() - real) / denom
+        )
+    ranges = density_cluster_1d(
+        dev, SqueezeOptions(histogram_bar_width=0.05)
+    )
+    rows = [
+        (i, round(lo, 6), round(hi, 6)) for i, (lo, hi) in enumerate(ranges)
+    ]
+    return spark.createDataFrame(
+        rows, "cluster int, lo double, hi double"
+    )
+
+
 def riskloc_first_cause_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The riskloc SEARCH itself (first pass) under the oracle: the full
     operator with max_iterations=1 — prepared frame, layer-1 pruning,
@@ -1325,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robustspot_supports": robustspot_supports_q,
         "streaming_ewma": streaming_ewma_q,
         "riskloc_first_cause": riskloc_first_cause_q,
+        "squeeze_clusters": squeeze_clusters_q,
         "adtributor_elements_derived": adtributor_elements_derived,
         "robustspot_ca": robustspot_ca_q,
         "q4_priority_semi": q4_priority_semi,
@@ -1849,6 +1887,124 @@ def _squeeze_derived_cluster_stats_sql() -> str:
           FROM dev
         )
     """ + "\nUNION ALL\n".join(parts)
+
+
+def _squeeze_clusters_sql() -> str:
+    """DuckDB twin of density_cluster_1d on the fixed-bar-width branch
+    (squeeze_clusters_q): arange edges (w=0.05, start = min - 6w, stop =
+    max + 5w — the 6w/5w products written as expressions so IEEE
+    rounding matches numpy), np.histogram bin rule (right-open bins,
+    last edge inclusive), density normalization / 100, auto smoothing
+    window = max(nonzero bins // 10, 1) as a correlated trailing mean
+    (the window size is data-dependent, so no constant-frame window
+    function), circular relextrema via LAG/LEAD wrapped with first/last,
+    minima boundaries with +/- infinity sentinels, and the
+    mean(|member dev|) >= mean(|dev|) cluster filter."""
+    return f"""
+        WITH {_RCA_CTE},
+        base AS (SELECT "real" AS r0, predict AS p FROM rca WHERE predict > 0),
+        mnr AS (SELECT MIN(r0) AS m FROM base),
+        dev AS (
+          SELECT CASE WHEN p + r = 0 THEN 0.0 ELSE (p - r) / (p + r) END AS d
+          FROM (
+            SELECT CASE WHEN mnr.m < 0 THEN r0 - mnr.m ELSE r0 END AS r, p
+            FROM base CROSS JOIN mnr
+          )
+        ),
+        st AS (
+          -- max_normal_deviation default = 0.20 (ref squeeze_option.py:26),
+          -- not the 'auto' mean(|dev|) branch
+          SELECT MIN(d) AS dmin, MAX(d) AS dmax, COUNT(*) AS n,
+                 0.20 AS max_normal
+          FROM dev
+        ),
+        ne AS (
+          SELECT CAST(CEIL(((dmax + 5e-2 * 5) - (dmin - 5e-2 * 6)) / 5e-2)
+                      AS BIGINT) AS k
+          FROM st
+        ),
+        -- np.arange fill semantics (numpy _fill): e0 = start,
+        -- e1 = start + step, e_i>=2 = start + i * delta with
+        -- delta = fl((start + step) - start) — NOT start + i*step
+        grid AS (
+          SELECT dmin - 5e-2 * 6 AS e0,
+                 ((dmin - 5e-2 * 6) + 5e-2) - (dmin - 5e-2 * 6) AS delta
+          FROM st
+        ),
+        edges AS (
+          SELECT i,
+                 CASE WHEN i = 0 THEN e0
+                      WHEN i = 1 THEN e0 + 5e-2
+                      ELSE e0 + i * delta END AS e
+          FROM grid CROSS JOIN (SELECT UNNEST(range((SELECT k FROM ne))) AS i)
+        ),
+        bins AS (
+          SELECT l.i AS bi, l.e AS lo_e, r.e AS hi_e, (l.e + r.e) / 2 AS center
+          FROM edges l JOIN edges r ON r.i = l.i + 1
+        ),
+        lastbin AS (SELECT MAX(bi) AS mb FROM bins),
+        binsx AS (
+          SELECT b.*, lb.mb, s.n FROM bins b CROSS JOIN lastbin lb
+          CROSS JOIN st s
+        ),
+        hist AS (
+          -- np.histogram(density=True) computes count/db/total (two
+          -- divisions, in that order) — count/(total*db) is 1 ulp off
+          SELECT b.bi, b.center,
+                 COUNT(v.d) / (b.hi_e - b.lo_e) / b.n / 100.0 AS h
+          FROM binsx b
+          LEFT JOIN dev v
+            ON (v.d >= b.lo_e AND v.d < b.hi_e)
+            OR (b.bi = b.mb AND v.d = b.hi_e)
+          GROUP BY b.bi, b.center, b.lo_e, b.hi_e, b.n
+        ),
+        win AS (
+          SELECT GREATEST(COUNT(*) FILTER (WHERE h > 0) // 10, 1) AS w
+          FROM hist
+        ),
+        sm AS (
+          SELECT a.bi, a.center,
+                 CASE WHEN a.bi < w.w - 1 THEN a.h
+                      ELSE (SELECT SUM(b.h) FROM hist b
+                            WHERE b.bi BETWEEN a.bi - w.w + 1 AND a.bi) / w.w
+                 END AS s
+          FROM hist a CROSS JOIN win w
+        ),
+        wrapped AS (
+          SELECT bi, center, s,
+                 COALESCE(LAG(s) OVER (ORDER BY bi),
+                          (SELECT s FROM sm ORDER BY bi DESC LIMIT 1)) AS ls,
+                 COALESCE(LEAD(s) OVER (ORDER BY bi),
+                          (SELECT s FROM sm ORDER BY bi ASC LIMIT 1)) AS rs
+          FROM sm
+        ),
+        maxima AS (
+          SELECT center FROM wrapped WHERE s > ls AND s > rs AND s > 0
+        ),
+        bnds AS (
+          SELECT center AS b FROM wrapped WHERE s <= ls AND s <= rs
+          UNION ALL SELECT CAST('-infinity' AS DOUBLE)
+          UNION ALL SELECT CAST('infinity' AS DOUBLE)
+        ),
+        rng AS (
+          SELECT m.center,
+                 (SELECT MAX(b) FROM bnds WHERE b <= m.center) AS lo,
+                 (SELECT MIN(b) FROM bnds WHERE b >= m.center) AS hi
+          FROM maxima m
+        ),
+        clusters AS (
+          SELECT
+            (SELECT MIN(d) FROM dev WHERE d >= r.lo AND d <= r.hi) AS cmin,
+            (SELECT MAX(d) FROM dev WHERE d >= r.lo AND d <= r.hi) AS cmax,
+            (SELECT AVG(ABS(d)) FROM dev WHERE d >= r.lo AND d <= r.hi) AS cmean,
+            (SELECT COUNT(*) FROM dev WHERE d >= r.lo AND d <= r.hi) AS cn
+          FROM rng r
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cmin) - 1 AS INT) AS cluster,
+               round(cmin, 6) AS lo, round(cmax, 6) AS hi
+        FROM clusters CROSS JOIN st
+        WHERE cn > 0 AND cmean >= st.max_normal
+    """
 
 
 def _riskloc_prepared_ctes() -> str:
@@ -2657,6 +2813,7 @@ def oracle_sql() -> dict[str, str]:
         "squeeze_derived_cluster_stats": _squeeze_derived_cluster_stats_sql(),
         "riskloc_layer_scores": _riskloc_layer_scores_sql(),
         "riskloc_first_cause": _riskloc_first_cause_sql(),
+        "squeeze_clusters": _squeeze_clusters_sql(),
         "dataset_significance": f"""
             WITH {_RCA_CTE},
             labeled AS (

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "hotspot_element_stats",
     "autoroot_nps",
     "squeeze_cluster_stats",
+    "squeeze_clusters",
     "riskloc_layer_scores",
     "dataset_significance",
     "streaming_kpi",
