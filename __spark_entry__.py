@@ -2787,25 +2787,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE idx < n_win - 1  -- emit-on-close: last window stays open
         """,
         "robustspot_supports": f"""
-            WITH {_RCA_CTE}
+            -- rcaf mirrors adapt_frame(derived=False)'s row filter
+            -- (operators/robustspot.py): rows with real<=0 AND
+            -- predict<=0 are dropped before support computation
+            WITH {_RCA_CTE},
+            rcaf AS (SELECT * FROM rca WHERE "real" > 0 OR predict > 0)
             SELECT 'event_type=click' AS cause,
-                   round(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) AS support FROM rca
+                   round(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) AS support FROM rcaf
             UNION ALL
             SELECT 'event_type=view',
-                   round(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) FROM rca
+                   round(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) FROM rcaf
             UNION ALL
             SELECT 'hr=3',
-                   round(CAST(SUM(CASE WHEN hr = 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) FROM rca
+                   round(CAST(SUM(CASE WHEN hr = 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) FROM rcaf
             UNION ALL
             SELECT 'ub=5',
-                   round(CAST(SUM(CASE WHEN ub = 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) FROM rca
+                   round(CAST(SUM(CASE WHEN ub = 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) FROM rcaf
             UNION ALL
             SELECT 'event_type=click&hr=3',
-                   round(CAST(SUM(CASE WHEN event_type = 'click' AND hr = 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) FROM rca
+                   round(CAST(SUM(CASE WHEN event_type = 'click' AND hr = 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) FROM rcaf
             UNION ALL
             SELECT '[event_type=view;ub=5]',
                    round(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-                              + SUM(CASE WHEN ub = 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) FROM rca
+                              + SUM(CASE WHEN ub = 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) FROM rcaf
         """,
         "hotspot_element_stats": _hotspot_element_stats_sql(),
         "autoroot_nps": _autoroot_nps_sql(),

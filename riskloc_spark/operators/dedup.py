@@ -428,44 +428,60 @@ def connected_components(
     # round's edge-label join only shuffles the (small) labels frame —
     # the edge set never re-exchanges across rounds
     edges = edges.repartition("__v").persist()
-    labels = verts.select("__id", F.col("__id").alias("__lbl")).localCheckpoint()
-    prev_sum = labels.agg(
-        F.sum(F.col("__lbl").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
 
-    for _ in range(max_iterations):
-        nbr = (
-            edges.join(labels, edges["__v"] == labels["__id"])
-            .groupBy("__u")
-            .agg(F.min("__lbl").alias("__nb"))
-        )
-        cand = (
-            labels.join(nbr, labels["__id"] == nbr["__u"], "left")
-            .select("__id", F.least("__lbl", "__nb").alias("__cand"))
-        )
-        parent = labels.select(
-            F.col("__id").alias("__pid"), F.col("__lbl").alias("__plbl")
-        )
-        new_labels = (
-            cand.join(parent, cand["__cand"] == parent["__pid"], "left")
-            .select(
-                "__id",
-                F.least("__cand", "__plbl").alias("__lbl"),
-            )
-            .localCheckpoint()
-        )
-        cur_sum = new_labels.agg(
-            F.sum(F.col("__lbl").cast("decimal(38,0)")).alias("s")
+    # type-agnostic convergence signal: sum of label hashes. Labels move
+    # strictly (per-vertex, toward the component min) until the fixpoint,
+    # so consecutive-round equality of this sum means "no label changed"
+    # up to a ~2^-64 per-round xxhash64 sum collision. (A plain numeric
+    # label sum is monotone and collision-free but silently NULLs out for
+    # string/UUID ids — None == None would fake convergence after one
+    # round.)
+    def _label_sig(frame: DataFrame):
+        return frame.agg(
+            F.sum(
+                F.xxhash64(F.col("__lbl").cast("string")).cast("decimal(38,0)")
+            ).alias("s")
         ).collect()[0]["s"]
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} rounds"
-        )
-    edges.unpersist()
+
+    try:
+        labels = verts.select(
+            "__id", F.col("__id").alias("__lbl")
+        ).localCheckpoint()
+        prev_sig = _label_sig(labels)
+
+        for _ in range(max_iterations):
+            nbr = (
+                edges.join(labels, edges["__v"] == labels["__id"])
+                .groupBy("__u")
+                .agg(F.min("__lbl").alias("__nb"))
+            )
+            cand = (
+                labels.join(nbr, labels["__id"] == nbr["__u"], "left")
+                .select("__id", F.least("__lbl", "__nb").alias("__cand"))
+            )
+            parent = labels.select(
+                F.col("__id").alias("__pid"), F.col("__lbl").alias("__plbl")
+            )
+            new_labels = (
+                cand.join(parent, cand["__cand"] == parent["__pid"], "left")
+                .select(
+                    "__id",
+                    F.least("__cand", "__plbl").alias("__lbl"),
+                )
+                .localCheckpoint()
+            )
+            cur_sig = _label_sig(new_labels)
+            labels = new_labels
+            if cur_sig == prev_sig:
+                break
+            prev_sig = cur_sig
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in"
+                f" {max_iterations} rounds"
+            )
+    finally:
+        edges.unpersist()
     return labels.select(
         F.col("__id").alias(id_col), F.col("__lbl").alias("group_id")
     )

@@ -27,11 +27,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 try:  # pragma: no cover - not installed in this container
-    from PIL import Image  # noqa: F401
+    from PIL import Image, UnidentifiedImageError  # noqa: F401
 
     _HAVE_PIL = True
 except ImportError:
     _HAVE_PIL = False
+
+    class UnidentifiedImageError(Exception):
+        """Placeholder for PIL.UnidentifiedImageError when PIL is absent."""
 
 
 MEDIA_META = T.StructType(
@@ -69,7 +72,7 @@ def _decode_kernel(data: bytes) -> dict:
             with Image.open(io.BytesIO(data)) as im:
                 n_frames = int(getattr(im, "n_frames", 1))
                 n_channels = len(im.getbands())
-                duration = int(im.info.get("duration", 0))
+                duration = int(im.info.get("duration", 0) or 0)
                 return {
                     "width": int(im.width),
                     "height": int(im.height),
@@ -77,8 +80,18 @@ def _decode_kernel(data: bytes) -> dict:
                     "duration_ms": duration * n_frames,
                     "n_frames": n_frames,
                 }
+        except UnidentifiedImageError:
+            pass  # not an image payload -> deterministic stub below
         except Exception:
-            pass  # unidentifiable payload -> deterministic stub below
+            # a REAL image that failed to decode (truncated/corrupt/
+            # bomb-guard): surface nulls, never fabricate dimensions
+            return {
+                "width": None,
+                "height": None,
+                "n_channels": None,
+                "duration_ms": None,
+                "n_frames": None,
+            }
     rng = _content_hash(data)
     w = int(rng.integers(64, 1920))
     h = int(rng.integers(64, 1080))

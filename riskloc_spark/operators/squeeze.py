@@ -454,193 +454,195 @@ def _locate_all(
         F.col("ce.cid").alias("cid"), F.col("ce.elem").alias("elem"),
         "real", "predict", *measure_cols, "__cl", "__nm",
     ).persist()
+    try:
 
-    aggs = [F.count(F.lit(1)).alias("descents")]
-    for c in range(n_cl):
-        sel = (F.col("__cl") == c) | F.col("__nm")
-        aggs.append(F.sum((F.col("__cl") == c).cast("int")).alias(f"ne_{c}"))
-        if derived:
-            aggs += [
-                F.sum(F.when(sel, F.col("real_a"))).alias(f"Va_{c}"),
-                F.sum(F.when(sel, F.col("predict_a"))).alias(f"Fa_{c}"),
-                F.sum(F.when(sel, F.col("real_b"))).alias(f"Vb_{c}"),
-                F.sum(F.when(sel, F.col("predict_b"))).alias(f"Fb_{c}"),
-            ]
-        else:
-            aggs += [
-                F.sum(F.when(sel, F.col("real"))).alias(f"V_{c}"),
-                F.sum(F.when(sel, F.col("predict"))).alias(f"F_{c}"),
-            ]
-    from pyspark.sql import Window
-
-    # melt per-cluster columns, then keep only each (cluster, cuboid)'s
-    # top elements by descent ratio: ranks AND ripple-ratio prefixes both
-    # stop at n_partitions <= max_num_elements_single_cluster, so the
-    # driver transfer is bounded by #clusters x #cuboids x that cap
-    # regardless of element cardinality (n_rows rides along for the
-    # n_partitions bound)
-    stats = ex.groupBy("cid", "elem").agg(*aggs)
-    if derived:
-        melt_fields = lambda c: [  # noqa: E731
-            F.col(f"Va_{c}").alias("Va"),
-            F.col(f"Fa_{c}").alias("Fa"),
-            F.col(f"Vb_{c}").alias("Vb"),
-            F.col(f"Fb_{c}").alias("Fb"),
-        ]
-        melt_cols = ["cx.Va", "cx.Fa", "cx.Vb", "cx.Fb"]
-    else:
-        melt_fields = lambda c: [  # noqa: E731
-            F.col(f"V_{c}").alias("V"),
-            F.col(f"F_{c}").alias("Fv"),
-        ]
-        melt_cols = ["cx.V", "cx.Fv"]
-    melted = (
-        stats.select(
-            "cid",
-            "elem",
-            "descents",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("cluster"),
-                            F.col(f"ne_{c}").alias("ne"),
-                            *melt_fields(c),
-                        )
-                        for c in range(n_cl)
-                    ]
-                )
-            ).alias("cx"),
-        )
-        .select("cid", "elem", "descents", "cx.cluster", "cx.ne", *melt_cols)
-        .filter(F.col("ne") > 0)
-    )
-    ratio = F.col("ne") / F.greatest(F.col("descents"), F.lit(1e-4))
-    w_rank = Window.partitionBy("cluster", "cid").orderBy(
-        ratio.desc(), F.col("elem").asc()
-    )
-    w_all = Window.partitionBy("cluster", "cid")
-    cap = int(options.max_num_elements_single_cluster)
-    top_rows = (
-        melted.withColumn("__rn", F.row_number().over(w_rank))
-        .withColumn("__n_rows", F.count(F.lit(1)).over(w_all))
-        .filter(F.col("__rn") <= cap)
-        .collect()
-    )
-    # element totals from the aggregated stats frame (one row per
-    # (cid, elem)) — reuses the stats exchange instead of re-exploding
-    # and re-aggregating the base frame
-    totals = {
-        r["cid"]: r["n"]
-        for r in stats.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-
-    per_key: dict[tuple[int, int], list] = {}
-    for r in top_rows:
-        per_key.setdefault((r["cluster"], r["cid"]), []).append(r)
-
-    results: dict[tuple[int, int], tuple[list[dict[str, str]], float]] = {}
-    for ci in range(n_cl):
-        plan: dict[int, dict] = {}
-        for (cluster, cid), rows_c in per_key.items():
-            if cluster != ci:
-                continue
-            rows_c = sorted(rows_c, key=lambda r: r["__rn"])
-            n_partitions = min(
-                rows_c[0]["__n_rows"],
-                options.max_num_elements_single_cluster,
-                totals.get(cid, 0) - 1,
-            )
-            if n_partitions <= 0:
-                continue
-            top = rows_c[: int(n_partitions)]
+        aggs = [F.count(F.lit(1)).alias("descents")]
+        for c in range(n_cl):
+            sel = (F.col("__cl") == c) | F.col("__nm")
+            aggs.append(F.sum((F.col("__cl") == c).cast("int")).alias(f"ne_{c}"))
             if derived:
-                va = np.cumsum([r["Va"] or 0.0 for r in top])
-                fa = np.cumsum([r["Fa"] or 0.0 for r in top])
-                vb = np.cumsum([r["Vb"] or 0.0 for r in top])
-                fb = np.cumsum([r["Fb"] or 0.0 for r in top])
-                r_p = [
-                    _derived_ripple(va[p - 1], vb[p - 1], fa[p - 1], fb[p - 1])
-                    for p in range(1, int(n_partitions) + 1)
+                aggs += [
+                    F.sum(F.when(sel, F.col("real_a"))).alias(f"Va_{c}"),
+                    F.sum(F.when(sel, F.col("predict_a"))).alias(f"Fa_{c}"),
+                    F.sum(F.when(sel, F.col("real_b"))).alias(f"Vb_{c}"),
+                    F.sum(F.when(sel, F.col("predict_b"))).alias(f"Fb_{c}"),
                 ]
             else:
-                v_prefix = np.cumsum([r["V"] or 0.0 for r in top])
-                f_prefix = np.cumsum([r["Fv"] or 0.0 for r in top])
-                r_p = [
-                    float(v_prefix[p - 1] / f_prefix[p - 1])
-                    if f_prefix[p - 1]
-                    else 0.0
-                    for p in range(1, int(n_partitions) + 1)
+                aggs += [
+                    F.sum(F.when(sel, F.col("real"))).alias(f"V_{c}"),
+                    F.sum(F.when(sel, F.col("predict"))).alias(f"F_{c}"),
                 ]
-            plan[cid] = {
-                "top": top,
-                "n_partitions": int(n_partitions),
-                "r_p": r_p,
-            }
-        if not plan:
-            continue
+        from pyspark.sql import Window
 
-        # (cid, elem) -> descent rank as a BROADCAST-join lookup: the
-        # former nested WHEN-chain (up to #cuboids x cap branches) was
-        # evaluated per exploded row — codegen-hostile and O(chain) per
-        # row; a broadcast hash join is O(1) per row and the lookup is
-        # tiny (<= #cuboids x cap entries)
-        rank_rows = [
-            (cid, info["top"][rank_i - 1]["elem"], rank_i)
-            for cid, info in plan.items()
-            for rank_i in range(1, len(info["top"]) + 1)
-        ]
-        rank_df = df.sparkSession.createDataFrame(
-            rank_rows, "cid int, elem string, __rank int"
-        )
-
-        p_max = max(info["n_partitions"] for info in plan.values())
-        sub = ex.filter((F.col("__cl") == ci) | F.col("__nm")).join(
-            F.broadcast(rank_df), on=["cid", "elem"], how="left"
-        )
-        aggs2 = []
-        for p in range(1, p_max + 1):
-            # r_p varies per cuboid: a tiny WHEN-chain over cid literals
-            rp = F.lit(None).cast("double")
-            for cid, info in plan.items():
-                if p <= info["n_partitions"]:
-                    rp = F.when(F.col("cid") == cid, F.lit(info["r_p"][p - 1])).otherwise(rp)
-            in_p = F.col("__rank").isNotNull() & (F.col("__rank") <= p)
-            aggs2 += [
-                F.sum(F.when(in_p, F.abs(F.col("real") - F.col("predict") * rp))).alias(f"d1_{p}"),
-                F.sum(F.when(in_p, F.lit(1))).alias(f"n1_{p}"),
-                F.sum(F.when(~in_p, F.abs(F.col("real") - F.col("predict")))).alias(f"d2_{p}"),
-                F.sum(F.when(~in_p, F.lit(1))).alias(f"n2_{p}"),
-                F.sum(F.when(in_p, F.abs(F.col("real") - F.col("predict")))).alias(f"b1_{p}"),
+        # melt per-cluster columns, then keep only each (cluster, cuboid)'s
+        # top elements by descent ratio: ranks AND ripple-ratio prefixes both
+        # stop at n_partitions <= max_num_elements_single_cluster, so the
+        # driver transfer is bounded by #clusters x #cuboids x that cap
+        # regardless of element cardinality (n_rows rides along for the
+        # n_partitions bound)
+        stats = ex.groupBy("cid", "elem").agg(*aggs)
+        if derived:
+            melt_fields = lambda c: [  # noqa: E731
+                F.col(f"Va_{c}").alias("Va"),
+                F.col(f"Fa_{c}").alias("Fa"),
+                F.col(f"Vb_{c}").alias("Vb"),
+                F.col(f"Fb_{c}").alias("Fb"),
             ]
-        terms = {r["cid"]: r for r in sub.groupBy("cid").agg(*aggs2).collect()}
+            melt_cols = ["cx.Va", "cx.Fa", "cx.Vb", "cx.Fb"]
+        else:
+            melt_fields = lambda c: [  # noqa: E731
+                F.col(f"V_{c}").alias("V"),
+                F.col(f"F_{c}").alias("Fv"),
+            ]
+            melt_cols = ["cx.V", "cx.Fv"]
+        melted = (
+            stats.select(
+                "cid",
+                "elem",
+                "descents",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("cluster"),
+                                F.col(f"ne_{c}").alias("ne"),
+                                *melt_fields(c),
+                            )
+                            for c in range(n_cl)
+                        ]
+                    )
+                ).alias("cx"),
+            )
+            .select("cid", "elem", "descents", "cx.cluster", "cx.ne", *melt_cols)
+            .filter(F.col("ne") > 0)
+        )
+        ratio = F.col("ne") / F.greatest(F.col("descents"), F.lit(1e-4))
+        w_rank = Window.partitionBy("cluster", "cid").orderBy(
+            ratio.desc(), F.col("elem").asc()
+        )
+        w_all = Window.partitionBy("cluster", "cid")
+        cap = int(options.max_num_elements_single_cluster)
+        top_rows = (
+            melted.withColumn("__rn", F.row_number().over(w_rank))
+            .withColumn("__n_rows", F.count(F.lit(1)).over(w_all))
+            .filter(F.col("__rn") <= cap)
+            .collect()
+        )
+        # element totals from the aggregated stats frame (one row per
+        # (cid, elem)) — reuses the stats exchange instead of re-exploding
+        # and re-aggregating the base frame
+        totals = {
+            r["cid"]: r["n"]
+            for r in stats.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
 
-        for cid, info in plan.items():
-            t = terms.get(cid)
-            if t is None:
-                continue
-            best_p, best_score = 1, float("-inf")
-            for p in range(1, info["n_partitions"] + 1):
-                d1 = float(t[f"d1_{p}"] or 0.0)
-                n1 = float(t[f"n1_{p}"] or 0.0)
-                d2 = float(t[f"d2_{p}"] or 0.0)
-                n2 = float(t[f"n2_{p}"] or 0.0)
-                b1 = float(t[f"b1_{p}"] or 0.0)
-                denom = _div(b1, n1) + _div(d2, n2)
-                score = (
-                    1 - (_div(d1, n1) + _div(d2, n2)) / denom
-                    if denom
-                    else float("-inf")
+        per_key: dict[tuple[int, int], list] = {}
+        for r in top_rows:
+            per_key.setdefault((r["cluster"], r["cid"]), []).append(r)
+
+        results: dict[tuple[int, int], tuple[list[dict[str, str]], float]] = {}
+        for ci in range(n_cl):
+            plan: dict[int, dict] = {}
+            for (cluster, cid), rows_c in per_key.items():
+                if cluster != ci:
+                    continue
+                rows_c = sorted(rows_c, key=lambda r: r["__rn"])
+                n_partitions = min(
+                    rows_c[0]["__n_rows"],
+                    options.max_num_elements_single_cluster,
+                    totals.get(cid, 0) - 1,
                 )
-                if score > best_score:
-                    best_p, best_score = p, score
-            cuboid = cuboids[cid]
-            rc = [
-                dict(zip(cuboid, r["elem"].split(ELEM_SEP)))
-                for r in info["top"][:best_p]
+                if n_partitions <= 0:
+                    continue
+                top = rows_c[: int(n_partitions)]
+                if derived:
+                    va = np.cumsum([r["Va"] or 0.0 for r in top])
+                    fa = np.cumsum([r["Fa"] or 0.0 for r in top])
+                    vb = np.cumsum([r["Vb"] or 0.0 for r in top])
+                    fb = np.cumsum([r["Fb"] or 0.0 for r in top])
+                    r_p = [
+                        _derived_ripple(va[p - 1], vb[p - 1], fa[p - 1], fb[p - 1])
+                        for p in range(1, int(n_partitions) + 1)
+                    ]
+                else:
+                    v_prefix = np.cumsum([r["V"] or 0.0 for r in top])
+                    f_prefix = np.cumsum([r["Fv"] or 0.0 for r in top])
+                    r_p = [
+                        float(v_prefix[p - 1] / f_prefix[p - 1])
+                        if f_prefix[p - 1]
+                        else 0.0
+                        for p in range(1, int(n_partitions) + 1)
+                    ]
+                plan[cid] = {
+                    "top": top,
+                    "n_partitions": int(n_partitions),
+                    "r_p": r_p,
+                }
+            if not plan:
+                continue
+
+            # (cid, elem) -> descent rank as a BROADCAST-join lookup: the
+            # former nested WHEN-chain (up to #cuboids x cap branches) was
+            # evaluated per exploded row — codegen-hostile and O(chain) per
+            # row; a broadcast hash join is O(1) per row and the lookup is
+            # tiny (<= #cuboids x cap entries)
+            rank_rows = [
+                (cid, info["top"][rank_i - 1]["elem"], rank_i)
+                for cid, info in plan.items()
+                for rank_i in range(1, len(info["top"]) + 1)
             ]
-            results[(ci, cid)] = (rc, best_score)
-    ex.unpersist()
+            rank_df = df.sparkSession.createDataFrame(
+                rank_rows, "cid int, elem string, __rank int"
+            )
+
+            p_max = max(info["n_partitions"] for info in plan.values())
+            sub = ex.filter((F.col("__cl") == ci) | F.col("__nm")).join(
+                F.broadcast(rank_df), on=["cid", "elem"], how="left"
+            )
+            aggs2 = []
+            for p in range(1, p_max + 1):
+                # r_p varies per cuboid: a tiny WHEN-chain over cid literals
+                rp = F.lit(None).cast("double")
+                for cid, info in plan.items():
+                    if p <= info["n_partitions"]:
+                        rp = F.when(F.col("cid") == cid, F.lit(info["r_p"][p - 1])).otherwise(rp)
+                in_p = F.col("__rank").isNotNull() & (F.col("__rank") <= p)
+                aggs2 += [
+                    F.sum(F.when(in_p, F.abs(F.col("real") - F.col("predict") * rp))).alias(f"d1_{p}"),
+                    F.sum(F.when(in_p, F.lit(1))).alias(f"n1_{p}"),
+                    F.sum(F.when(~in_p, F.abs(F.col("real") - F.col("predict")))).alias(f"d2_{p}"),
+                    F.sum(F.when(~in_p, F.lit(1))).alias(f"n2_{p}"),
+                    F.sum(F.when(in_p, F.abs(F.col("real") - F.col("predict")))).alias(f"b1_{p}"),
+                ]
+            terms = {r["cid"]: r for r in sub.groupBy("cid").agg(*aggs2).collect()}
+
+            for cid, info in plan.items():
+                t = terms.get(cid)
+                if t is None:
+                    continue
+                best_p, best_score = 1, float("-inf")
+                for p in range(1, info["n_partitions"] + 1):
+                    d1 = float(t[f"d1_{p}"] or 0.0)
+                    n1 = float(t[f"n1_{p}"] or 0.0)
+                    d2 = float(t[f"d2_{p}"] or 0.0)
+                    n2 = float(t[f"n2_{p}"] or 0.0)
+                    b1 = float(t[f"b1_{p}"] or 0.0)
+                    denom = _div(b1, n1) + _div(d2, n2)
+                    score = (
+                        1 - (_div(d1, n1) + _div(d2, n2)) / denom
+                        if denom
+                        else float("-inf")
+                    )
+                    if score > best_score:
+                        best_p, best_score = p, score
+                cuboid = cuboids[cid]
+                rc = [
+                    dict(zip(cuboid, r["elem"].split(ELEM_SEP)))
+                    for r in info["top"][:best_p]
+                ]
+                results[(ci, cid)] = (rc, best_score)
+    finally:
+        ex.unpersist()
     return results
 
 

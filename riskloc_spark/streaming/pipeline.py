@@ -55,9 +55,17 @@ def events_stream(
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.errors import AnalysisException
+
     try:
         probed = spark.read.parquet(path).schema
-    except Exception:  # AnalysisException: unable to infer (no files yet)
+    except AnalysisException:
+        # "Unable to infer schema": no files yet. Other read errors
+        # (bad path permissions, corrupt footers) still fail fast.
+        # NOTE: the fallback assumes MICROS/NTZ files will arrive — a
+        # TIMESTAMP(NANOS) file landing later reads as INT64 and will
+        # mismatch this schema; for a NANOS-producing source pass the
+        # bigint schema explicitly.
         probed = schema if schema is not None else EVENT_SCHEMA
     reader = spark.readStream.schema(probed)
     for k, v in (options or {}).items():  # e.g. maxFilesPerTrigger

@@ -60,23 +60,6 @@ def test_ngram_jaccard_values(spark, docs):
     assert 0.5 <= found[(1, 101)] < 1.0
 
 
-def _union_find_groups(n_ids, pair_list):
-    parent = {i: i for i in n_ids}
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in pair_list:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    # min-id label per component
-    return {i: min(j for j in n_ids if find(j) == find(i)) for i in n_ids}
-
-
 def test_dedup_groups_transitive_chain(spark):
     """A~B and B~C (but A and C never paired directly) must still land
     all three in ONE group — the transitive closure the pair output
@@ -124,7 +107,9 @@ def test_connected_components_matches_union_find(spark):
         tuple(sorted(rng.choice(ids, size=2, replace=False).tolist()))
         for _ in range(120)
     ]
-    expect = _union_find_groups(ids, pair_list)
+    from conftest import union_find_groups
+
+    expect = union_find_groups(ids, pair_list)
     pairs = spark.createDataFrame(
         pd.DataFrame(pair_list, columns=["id_a", "id_b"])
     )
@@ -149,3 +134,23 @@ def test_connected_components_long_chain_converges_fast(spark):
     out = connected_components(pairs, max_iterations=10).collect()
     assert {r["group_id"] for r in out} == {0}
     assert len(out) == n
+
+
+def test_connected_components_string_ids(spark):
+    """Regression lock (review finding): with string/UUID ids the old
+    numeric-label-sum convergence check NULLed out and faked
+    convergence after one round, silently splitting components. The
+    hash-sum signal must resolve a string-id chain completely."""
+    from riskloc_spark.operators.dedup import dedup_groups
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": ["a", "b", "c"], "id_b": ["b", "c", "d"]})
+    )
+    out = {
+        r["doc_id"]: (r["group_id"], r["is_representative"])
+        for r in dedup_groups(pairs).collect()
+    }
+    assert out == {
+        "a": ("a", True), "b": ("a", False),
+        "c": ("a", False), "d": ("a", False),
+    }

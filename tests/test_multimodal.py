@@ -91,8 +91,11 @@ def test_decode_kernel_uses_real_pil_when_available(monkeypatch):
     class FakeImageModule:
         @staticmethod
         def open(fp):
-            if fp.read(4) != b"\x89PNG":
-                raise OSError("cannot identify image file")
+            head = fp.read(4)
+            if head == b"TRNC":  # a real image that fails mid-decode
+                raise OSError("broken data stream")
+            if head != b"\x89PNG":
+                raise mm.UnidentifiedImageError("cannot identify image file")
             return FakeImage()
 
     monkeypatch.setattr(mm, "_HAVE_PIL", True)
@@ -102,6 +105,11 @@ def test_decode_kernel_uses_real_pil_when_available(monkeypatch):
     assert meta == {
         "width": 640, "height": 480, "n_channels": 3,
         "duration_ms": 80, "n_frames": 2,
+    }
+    # corrupt/truncated IMAGE: nulls, never fabricated dimensions
+    assert mm._decode_kernel(b"TRNC" + b"\x00" * 16) == {
+        "width": None, "height": None, "n_channels": None,
+        "duration_ms": None, "n_frames": None,
     }
     # non-image payload: deterministic stub, not an exception
     stub = mm._decode_kernel(b"plain text payload")

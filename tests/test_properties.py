@@ -101,19 +101,9 @@ def test_connected_components_equals_union_find(spark, edges):
     assume(pairs)
     ids = sorted({v for p in pairs for v in p})
 
-    parent = {i: i for i in ids}
+    from conftest import union_find_groups
 
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    expect = {i: min(j for j in ids if find(j) == find(i)) for i in ids}
+    expect = union_find_groups(ids, pairs)
 
     sdf = spark.createDataFrame(
         pd.DataFrame(pairs, columns=["id_a", "id_b"])
