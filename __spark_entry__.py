@@ -1235,6 +1235,31 @@ def squeeze_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def squeeze_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL squeeze search under the oracle: the real operator with
+    histogram_bar_width=0.05 (the SQL-expressible clustering branch,
+    see squeeze_clusters) and enable_filter=False (the KPI pre-filter's
+    KDE knee is driver-numpy-only). Everything else is the operator's
+    default surface — clustering, normal mask, auto score_weight,
+    per-(cluster x cuboid) locate with descent ranking, ripple ratios,
+    ps-score argmax, ps_upper_bound layer cut, rank-based winner, and
+    root-cause string assembly — replayed end-to-end by
+    _squeeze_search_sql."""
+    from riskloc_spark.operators.squeeze import SqueezeOptions, squeeze
+
+    df = rca_events(spark, sf_dir)
+    causes = squeeze(
+        df,
+        RCA_ATTRIBUTES,
+        options=SqueezeOptions(
+            histogram_bar_width=0.05, enable_filter=False
+        ),
+    )
+    return spark.createDataFrame(
+        [(c,) for c in causes], "root_cause string"
+    )
+
+
 def riskloc_first_cause_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The riskloc SEARCH itself (first pass) under the oracle: the full
     operator with max_iterations=1 — prepared frame, layer-1 pruning,
@@ -1363,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ewma": streaming_ewma_q,
         "riskloc_first_cause": riskloc_first_cause_q,
         "squeeze_clusters": squeeze_clusters_q,
+        "squeeze_search": squeeze_search_q,
         "adtributor_elements_derived": adtributor_elements_derived,
         "robustspot_ca": robustspot_ca_q,
         "q4_priority_semi": q4_priority_semi,
@@ -1889,31 +1915,33 @@ def _squeeze_derived_cluster_stats_sql() -> str:
     """ + "\nUNION ALL\n".join(parts)
 
 
-def _squeeze_clusters_sql() -> str:
-    """DuckDB twin of density_cluster_1d on the fixed-bar-width branch
-    (squeeze_clusters_q): arange edges (w=0.05, start = min - 6w, stop =
-    max + 5w — the 6w/5w products written as expressions so IEEE
-    rounding matches numpy), np.histogram bin rule (right-open bins,
-    last edge inclusive), density normalization / 100, auto smoothing
-    window = max(nonzero bins // 10, 1) as a correlated trailing mean
-    (the window size is data-dependent, so no constant-frame window
-    function), circular relextrema via LAG/LEAD wrapped with first/last,
-    minima boundaries with +/- infinity sentinels, and the
-    mean(|member dev|) >= mean(|dev|) cluster filter."""
-    return f"""
-        WITH {_RCA_CTE},
-        base AS (SELECT "real" AS r0, predict AS p FROM rca WHERE predict > 0),
-        mnr AS (SELECT MIN(r0) AS m FROM base),
-        dev AS (
-          SELECT CASE WHEN p + r = 0 THEN 0.0 ELSE (p - r) / (p + r) END AS d
+def _squeeze_cluster_ctes() -> str:
+    """Shared CTE chain: rca frame -> squeeze deviation -> fixed-width
+    (w=0.05) histogram density clustering, ending in ``ranges`` —
+    one row per anomalous cluster with UNROUNDED member [lo, hi].
+    ``rows_`` carries the string-cast attributes + measures so the
+    search oracle can reuse the same chain. Bit-exactness notes:
+    float literals written 5e-2 (DuckDB parses 0.05 as DECIMAL),
+    np.arange fill semantics (e_i = start + i*fl((start+step)-start)),
+    and np.histogram's density = count/width/total division order."""
+    return f"""{_RCA_CTE},
+        rows_ AS MATERIALIZED (
+          SELECT COALESCE(CAST(event_type AS VARCHAR), 'None') AS event_type,
+                 COALESCE(CAST(hr AS VARCHAR), 'None') AS hr,
+                 COALESCE(CAST(ub AS VARCHAR), 'None') AS ub,
+                 r, p,
+                 CASE WHEN p + r = 0 THEN 0.0 ELSE (p - r) / (p + r) END AS d
           FROM (
-            SELECT CASE WHEN mnr.m < 0 THEN r0 - mnr.m ELSE r0 END AS r, p
-            FROM base CROSS JOIN mnr
+            SELECT b.*, CASE WHEN mnr.m < 0 THEN r0 - mnr.m ELSE r0 END AS r
+            FROM (SELECT event_type, hr, ub, "real" AS r0, predict AS p
+                  FROM rca WHERE predict > 0) b
+            CROSS JOIN (SELECT MIN("real") AS m
+                        FROM rca WHERE predict > 0) mnr
           )
         ),
+        dev AS (SELECT d FROM rows_),
         st AS (
-          -- max_normal_deviation default = 0.20 (ref squeeze_option.py:26),
-          -- not the 'auto' mean(|dev|) branch
+          -- max_normal_deviation default = 0.20 (ref squeeze_option.py:26)
           SELECT MIN(d) AS dmin, MAX(d) AS dmax, COUNT(*) AS n,
                  0.20 AS max_normal
           FROM dev
@@ -1999,11 +2027,207 @@ def _squeeze_clusters_sql() -> str:
             (SELECT AVG(ABS(d)) FROM dev WHERE d >= r.lo AND d <= r.hi) AS cmean,
             (SELECT COUNT(*) FROM dev WHERE d >= r.lo AND d <= r.hi) AS cn
           FROM rng r
+        ),
+        ranges AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY cmin) - 1 AS INT) AS cl,
+                 cmin AS lo, cmax AS hi
+          FROM clusters CROSS JOIN st
+          WHERE cn > 0 AND cmean >= st.max_normal
+        )"""
+
+
+def _squeeze_clusters_sql() -> str:
+    """DuckDB twin of density_cluster_1d on the fixed-bar-width branch
+    (squeeze_clusters_q) — see _squeeze_cluster_ctes for the chain and
+    the bit-exactness notes."""
+    return f"""
+        WITH {_squeeze_cluster_ctes()}
+        SELECT cl AS cluster, round(lo, 6) AS lo, round(hi, 6) AS hi
+        FROM ranges
+    """
+
+
+def _squeeze_search_sql() -> str:
+    """DuckDB twin of the FULL squeeze search (squeeze_search_q:
+    fixed-bar-width clustering, enable_filter=False): the shared
+    cluster chain (_squeeze_cluster_ctes) -> normal mask (|d| <
+    min |abnormal d|) -> auto score_weight -> per-(cluster, cuboid)
+    element stats, descent-ratio ranking capped at
+    min(#kept, 12, #elements-1), prefix ripple ratios r_p, ps-score
+    terms for every partition size p, per-cuboid argmax (first max),
+    ps_upper_bound=0.90 layer cut, and the per-cluster winner by
+    rank = score*weight - p*layer with enumeration-order tie-break.
+    Output: DISTINCT root-cause strings (no floats — FP noise can only
+    flip decisions, which the three-scale gate runs would surface)."""
+    cuboids = [
+        (0, 1, ["event_type"]),
+        (1, 1, ["hr"]),
+        (2, 1, ["ub"]),
+        (3, 2, ["event_type", "hr"]),
+        (4, 2, ["event_type", "ub"]),
+        (5, 2, ["hr", "ub"]),
+        (6, 3, ["event_type", "hr", "ub"]),
+    ]
+
+    def label(dims):
+        return " || '&' || ".join(f"'{d}=' || {d}" for d in dims)
+
+    estat_parts, rowsel_parts = [], []
+    for cid, layer, dims in cuboids:
+        dims_sql = ", ".join(dims)
+        lb = label(dims)
+        sel = "(r.d >= g.lo AND r.d <= g.hi) OR r.is_normal"
+        estat_parts.append(f"""
+            SELECT g.cl, {cid} AS cid, {layer} AS layer, {lb} AS elem,
+                   SUM(CASE WHEN r.d >= g.lo AND r.d <= g.hi
+                       THEN 1 ELSE 0 END) AS num_elements,
+                   COUNT(*) AS descents,
+                   SUM(CASE WHEN {sel} THEN r.rr END) AS V_e,
+                   SUM(CASE WHEN {sel} THEN r.pp END) AS F_e,
+                   (SELECT COUNT(*) FROM
+                      (SELECT DISTINCT {dims_sql} FROM rows_)) AS total_elements
+            FROM rowsn r CROSS JOIN ranges g
+            GROUP BY g.cl, {dims_sql}""")
+        rowsel_parts.append(f"""
+            SELECT g.cl, {cid} AS cid, {lb} AS elem, r.rr, r.pp
+            FROM rowsn r CROSS JOIN ranges g
+            WHERE {sel}""")
+    estats_union = "\nUNION ALL\n".join(estat_parts)
+    rowsel_union = "\nUNION ALL\n".join(rowsel_parts)
+    inf = "CAST('infinity' AS DOUBLE)"
+    ninf = "CAST('-infinity' AS DOUBLE)"
+    return f"""
+        WITH {_squeeze_cluster_ctes()},
+        rowsn AS MATERIALIZED (
+          SELECT r.event_type, r.hr, r.ub, r.r AS rr, r.p AS pp, r.d,
+                 ABS(r.d) < (
+                   SELECT COALESCE(MIN(ABS(x.d)), 0.0) FROM rows_ x
+                   WHERE EXISTS (SELECT 1 FROM ranges g
+                                 WHERE x.d >= g.lo AND x.d <= g.hi)
+                 ) AS is_normal
+          FROM rows_ r
+        ),
+        sw AS (
+          SELECT (LN(nc + 1.0) / nc) * (na / LN(na + 1.0)) * gcov AS w
+          FROM (
+            SELECT CAST((SELECT COUNT(*) FROM ranges) AS DOUBLE) AS nc,
+                   CAST((SELECT COUNT(DISTINCT event_type)
+                              + COUNT(DISTINCT hr)
+                              + COUNT(DISTINCT ub) FROM rows_) AS DOUBLE) AS na,
+                   -LN(CAST(GREATEST((
+                        SELECT COUNT(*) FROM rows_ x
+                        WHERE EXISTS (SELECT 1 FROM ranges g
+                                      WHERE x.d >= g.lo AND x.d <= g.hi)
+                      ), 1) AS DOUBLE)
+                      / GREATEST((SELECT COUNT(*) FROM rows_), 1)) AS gcov
+          )
+        ),
+        estats AS ({estats_union}),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY cl, cid
+                     ORDER BY (CAST(num_elements AS DOUBLE) / descents) DESC,
+                              elem ASC) AS INT) AS rnk,
+                 COUNT(*) OVER (PARTITION BY cl, cid) AS n_kept
+          FROM estats WHERE num_elements > 0
+        ),
+        pref AS (
+          SELECT cl, cid, layer, elem, rnk,
+                 SUM(COALESCE(V_e, 0.0)) OVER (PARTITION BY cl, cid
+                     ORDER BY rnk) AS vp,
+                 SUM(COALESCE(F_e, 0.0)) OVER (PARTITION BY cl, cid
+                     ORDER BY rnk) AS fp
+          FROM ranked WHERE rnk <= LEAST(n_kept, 12, total_elements - 1)
+        ),
+        rp AS (
+          SELECT cl, cid, layer, rnk AS p_sz,
+                 CASE WHEN fp <> 0 THEN vp / fp ELSE 0.0 END AS r_p
+          FROM pref
+        ),
+        rowsel AS ({rowsel_union}),
+        terms AS (
+          SELECT rs.cl, rs.cid, q.p_sz, MAX(q.r_p) AS r_p,
+                 MAX(q.layer) AS layer,
+                 SUM(CASE WHEN t.rnk <= q.p_sz
+                     THEN ABS(rs.rr - rs.pp * q.r_p) END) AS d1,
+                 SUM(CASE WHEN t.rnk <= q.p_sz THEN 1 ELSE 0 END) AS n1,
+                 SUM(CASE WHEN t.rnk IS NULL OR t.rnk > q.p_sz
+                     THEN ABS(rs.rr - rs.pp) END) AS d2,
+                 SUM(CASE WHEN t.rnk IS NULL OR t.rnk > q.p_sz
+                     THEN 1 ELSE 0 END) AS n2,
+                 SUM(CASE WHEN t.rnk <= q.p_sz
+                     THEN ABS(rs.rr - rs.pp) END) AS b1
+          FROM rowsel rs
+          LEFT JOIN (SELECT cl, cid, elem, rnk FROM pref) t
+            ON t.cl = rs.cl AND t.cid = rs.cid AND t.elem = rs.elem
+          JOIN rp q ON q.cl = rs.cl AND q.cid = rs.cid
+          GROUP BY rs.cl, rs.cid, q.p_sz
+        ),
+        pscore AS (
+          SELECT cl, cid, layer, p_sz,
+                 CASE WHEN denom = 0 THEN {ninf}
+                      ELSE 1 - num / denom END AS score
+          FROM (
+            SELECT *,
+              (CASE WHEN n1 > 0 THEN COALESCE(b1, 0.0) / n1
+                    WHEN COALESCE(b1, 0.0) = 0 THEN 0.0 ELSE {inf} END)
+              + (CASE WHEN n2 > 0 THEN COALESCE(d2, 0.0) / n2
+                      WHEN COALESCE(d2, 0.0) = 0 THEN 0.0 ELSE {inf} END)
+                AS denom,
+              (CASE WHEN n1 > 0 THEN COALESCE(d1, 0.0) / n1
+                    WHEN COALESCE(d1, 0.0) = 0 THEN 0.0 ELSE {inf} END)
+              + (CASE WHEN n2 > 0 THEN COALESCE(d2, 0.0) / n2
+                      WHEN COALESCE(d2, 0.0) = 0 THEN 0.0 ELSE {inf} END)
+                AS num
+            FROM terms
+          )
+        ),
+        best AS (
+          SELECT cl, cid, layer, p_sz AS p, score FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY cl, cid
+                ORDER BY (CASE WHEN isnan(score) THEN {ninf}
+                          ELSE score END) DESC, p_sz ASC) AS brn
+            FROM pscore
+          ) WHERE brn = 1
+        ),
+        allc AS (
+          SELECT g.cl, c.cid, c.layer
+          FROM ranges g CROSS JOIN (VALUES {", ".join(f"({cid}, {layer})" for cid, layer, _ in cuboids)}) c(cid, layer)
+        ),
+        entries AS (
+          SELECT a.cl, a.cid, a.layer, b.p,
+                 COALESCE(CASE WHEN isnan(b.score) THEN {ninf}
+                          ELSE b.score END, {ninf}) AS score
+          FROM allc a LEFT JOIN best b
+            ON b.cl = a.cl AND b.cid = a.cid
+        ),
+        layercut AS (
+          SELECT cl, COALESCE(MIN(CASE WHEN score > 0.90 THEN layer END),
+                              99) AS lstar
+          FROM entries GROUP BY cl
+        ),
+        kept AS (
+          SELECT e.*,
+                 CASE WHEN e.score = {ninf} THEN {ninf}
+                      ELSE e.score * (SELECT w FROM sw) - e.p * e.layer
+                 END AS rnk_score
+          FROM entries e JOIN layercut lc ON lc.cl = e.cl
+          WHERE e.layer <= lc.lstar
+        ),
+        winner AS (
+          SELECT cl, cid, p FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY cl
+                ORDER BY rnk_score DESC, cid ASC) AS wrn
+            FROM kept
+          ) WHERE wrn = 1
+        ),
+        rc AS (
+          SELECT w.cl, string_agg(t.elem, ';' ORDER BY t.elem) AS root_cause
+          FROM winner w JOIN pref t
+            ON t.cl = w.cl AND t.cid = w.cid AND t.rnk <= w.p
+          WHERE w.p IS NOT NULL
+          GROUP BY w.cl
         )
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cmin) - 1 AS INT) AS cluster,
-               round(cmin, 6) AS lo, round(cmax, 6) AS hi
-        FROM clusters CROSS JOIN st
-        WHERE cn > 0 AND cmean >= st.max_normal
+        SELECT DISTINCT root_cause FROM rc
     """
 
 
@@ -2818,6 +3042,7 @@ def oracle_sql() -> dict[str, str]:
         "riskloc_layer_scores": _riskloc_layer_scores_sql(),
         "riskloc_first_cause": _riskloc_first_cause_sql(),
         "squeeze_clusters": _squeeze_clusters_sql(),
+        "squeeze_search": _squeeze_search_sql(),
         "dataset_significance": f"""
             WITH {_RCA_CTE},
             labeled AS (

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "autoroot_nps",
     "squeeze_cluster_stats",
     "squeeze_clusters",
+    "squeeze_search",
     "riskloc_layer_scores",
     "dataset_significance",
     "streaming_kpi",
