@@ -1235,6 +1235,48 @@ def squeeze_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def robustspot_round0_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robustspot's ROUND-0 mining under the oracle: the real driver
+    pipeline (_select_frame -> _mine) on the adapted non-derived frame —
+    ID scoring, the kneedle ID threshold over raw positive IDs, integer
+    amplified weights, weighted-mode frequent items, association-rule
+    confidence (> 0.8) over the frequent-item powerset, support deltas
+    (exact integer-count ratios), and the (delta, cause) ranking. The
+    DuckDB twin replays every step; confidences and deltas are ratios
+    of integers so the only FP surface is the ID/kneedle algebra (same
+    formulas both engines). Rounds 1-6 only re-run this on
+    cause-filtered frames (covered by rows-only robustspot_rca +
+    dual-path parity)."""
+    from riskloc_spark.operators.robustspot import (
+        _mine,
+        _select_frame,
+        adapt_frame,
+    )
+
+    base = adapt_frame(rca_events(spark, sf_dir), derived=False)
+    for d in RCA_ATTRIBUTES:
+        base = base.withColumn(
+            d, F.coalesce(F.col(d).cast("string"), F.lit("None"))
+        )
+    pdf0 = base.select(
+        *RCA_ATTRIBUTES,
+        "k_real",
+        "k_predict",
+        "cnt_real",
+        "cnt_predict",
+        "value_real",
+        "value_predict",
+    ).toPandas()
+    # non-derived robustspot: contribution_ability_threshold = -1
+    before, after, w = _select_frame(pdf0, RCA_ATTRIBUTES, False, -1, 100)
+    mined = _mine(before, after, w, RCA_ATTRIBUTES, 0.8)
+    rows = [
+        (i, "&".join(f"{c}={v}" for c, v in cause))
+        for i, cause in enumerate(mined)
+    ]
+    return spark.createDataFrame(rows, "rnk int, root_cause string")
+
+
 def squeeze_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL squeeze search under the oracle: the real operator with
     histogram_bar_width=0.05 (the SQL-expressible clustering branch,
@@ -1389,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "riskloc_first_cause": riskloc_first_cause_q,
         "squeeze_clusters": squeeze_clusters_q,
         "squeeze_search": squeeze_search_q,
+        "robustspot_round0": robustspot_round0_q,
         "adtributor_elements_derived": adtributor_elements_derived,
         "robustspot_ca": robustspot_ca_q,
         "q4_priority_semi": q4_priority_semi,
@@ -2044,6 +2087,167 @@ def _squeeze_clusters_sql() -> str:
         WITH {_squeeze_cluster_ctes()}
         SELECT cl AS cluster, round(lo, 6) AS lo, round(hi, 6) AS hi
         FROM ranges
+    """
+
+
+def _robustspot_round0_sql() -> str:
+    """DuckDB twin of robustspot_round0_q — see that docstring. The
+    kneedle threshold mirrors _id_threshold exactly: CDF over RAW
+    positive-ID rows (rn/n), extremes-normalized diff, first argmax,
+    0.5 fallback below 3 rows or when no diff is positive."""
+    et, hr, ub = ("a.event_type = f.f_et", "a.hr = f.f_hr", "a.ub = f.f_ub")
+    return f"""
+        WITH {_RCA_CTE},
+        ad AS MATERIALIZED (
+          SELECT COALESCE(CAST(event_type AS VARCHAR), 'None') AS event_type,
+                 COALESCE(CAST(hr AS VARCHAR), 'None') AS hr,
+                 COALESCE(CAST(ub AS VARCHAR), 'None') AS ub,
+                 "real" AS k_real, predict AS k_predict
+          FROM rca WHERE "real" > 0 OR predict > 0
+        ),
+        tot AS (SELECT SUM(k_real) AS sv, SUM(k_predict) AS sf,
+                       COUNT(*) AS n FROM ad),
+        scored AS MATERIALIZED (
+          SELECT ad.*,
+                 1 - 1 / (abs((k_real - k_predict)
+                     / (((sv - k_real) / (n - 1))
+                        - ((sf - k_predict) / (n - 1)))) + 1) AS id
+          FROM ad CROSS JOIN tot
+        ),
+        ids AS (
+          SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rn,
+                 COUNT(*) OVER () AS n,
+                 MIN(id) OVER () AS xmin, MAX(id) OVER () AS xmax
+          FROM scored WHERE id > 0
+        ),
+        knee AS (
+          SELECT CASE
+            WHEN (SELECT COALESCE(MAX(n), 0) FROM ids) < 3 THEN 0.5
+            ELSE COALESCE((
+              SELECT x FROM (
+                SELECT id AS x,
+                       ((CAST(rn AS DOUBLE) / n - 1.0 / n)
+                          / (1.0 - 1.0 / n + 1e-300))
+                       - ((id - xmin) / (xmax - xmin + 1e-300)) AS diff,
+                       rn
+                FROM ids
+              ) WHERE diff > 0 ORDER BY diff DESC, rn ASC LIMIT 1
+            ), 0.5) END AS thr
+        ),
+        aft AS MATERIALIZED (
+          -- CA = 0 for every non-derived row and the threshold is -1,
+          -- so the anomalous filter reduces to ID > knee; weights are
+          -- trunc(ID * 100) like pandas .astype(int)
+          SELECT s.*, CAST(TRUNC(s.id * 100) AS DOUBLE) AS w
+          FROM scored s CROSS JOIN knee WHERE s.id > knee.thr
+        ),
+        fvals AS (
+          SELECT
+            (SELECT event_type FROM aft GROUP BY event_type
+             ORDER BY SUM(w) DESC, event_type ASC LIMIT 1) AS f_et,
+            (SELECT hr FROM aft GROUP BY hr
+             ORDER BY SUM(w) DESC, hr ASC LIMIT 1) AS f_hr,
+            (SELECT ub FROM aft GROUP BY ub
+             ORDER BY SUM(w) DESC, ub ASC LIMIT 1) AS f_ub,
+            (SELECT COALESCE(SUM(w), 0) FROM aft) AS wtot,
+            (SELECT COUNT(*) FROM aft) AS n_aft,
+            (SELECT COUNT(*) FROM scored) AS n_bef
+        ),
+        wc AS (
+          SELECT f.*,
+            SUM(CASE WHEN {et} THEN a.w ELSE 0 END) AS w_e,
+            SUM(CASE WHEN {hr} THEN a.w ELSE 0 END) AS w_h,
+            SUM(CASE WHEN {ub} THEN a.w ELSE 0 END) AS w_u,
+            SUM(CASE WHEN {et} AND {hr} THEN a.w ELSE 0 END) AS w_eh,
+            SUM(CASE WHEN {et} AND {ub} THEN a.w ELSE 0 END) AS w_eu,
+            SUM(CASE WHEN {hr} AND {ub} THEN a.w ELSE 0 END) AS w_hu,
+            SUM(CASE WHEN {et} AND {hr} AND {ub} THEN a.w ELSE 0 END) AS w_ehu
+          FROM aft a CROSS JOIN fvals f
+          GROUP BY ALL
+        ),
+        conf AS (
+          SELECT *,
+            (CASE WHEN w_e > 0 THEN w_eh / w_e ELSE 0.0 END > 0.8
+             OR CASE WHEN w_h > 0 THEN w_eh / w_h ELSE 0.0 END > 0.8)
+              AS pass_eh,
+            (CASE WHEN w_e > 0 THEN w_eu / w_e ELSE 0.0 END > 0.8
+             OR CASE WHEN w_u > 0 THEN w_eu / w_u ELSE 0.0 END > 0.8)
+              AS pass_eu,
+            (CASE WHEN w_h > 0 THEN w_hu / w_h ELSE 0.0 END > 0.8
+             OR CASE WHEN w_u > 0 THEN w_hu / w_u ELSE 0.0 END > 0.8)
+              AS pass_hu,
+            (CASE WHEN w_e > 0 THEN w_ehu / w_e ELSE 0.0 END > 0.8
+             OR CASE WHEN w_h > 0 THEN w_ehu / w_h ELSE 0.0 END > 0.8
+             OR CASE WHEN w_u > 0 THEN w_ehu / w_u ELSE 0.0 END > 0.8
+             OR CASE WHEN w_eh > 0 THEN w_ehu / w_eh ELSE 0.0 END > 0.8
+             OR CASE WHEN w_eu > 0 THEN w_ehu / w_eu ELSE 0.0 END > 0.8
+             OR CASE WHEN w_hu > 0 THEN w_ehu / w_hu ELSE 0.0 END > 0.8)
+              AS pass_ehu
+          FROM wc
+        ),
+        sup AS (
+          -- support deltas: before = full adapted frame, after = aft;
+          -- exact integer-count ratios in both engines
+          SELECT c.*,
+            CAST((SELECT COUNT(*) FROM scored s WHERE s.event_type = c.f_et)
+                 AS DOUBLE) / c.n_bef
+              - CAST((SELECT COUNT(*) FROM aft a WHERE a.event_type = c.f_et)
+                     AS DOUBLE) / c.n_aft AS d_e,
+            CAST((SELECT COUNT(*) FROM scored s WHERE s.hr = c.f_hr)
+                 AS DOUBLE) / c.n_bef
+              - CAST((SELECT COUNT(*) FROM aft a WHERE a.hr = c.f_hr)
+                     AS DOUBLE) / c.n_aft AS d_h,
+            CAST((SELECT COUNT(*) FROM scored s WHERE s.ub = c.f_ub)
+                 AS DOUBLE) / c.n_bef
+              - CAST((SELECT COUNT(*) FROM aft a WHERE a.ub = c.f_ub)
+                     AS DOUBLE) / c.n_aft AS d_u,
+            CAST((SELECT COUNT(*) FROM scored s
+                  WHERE s.event_type = c.f_et AND s.hr = c.f_hr)
+                 AS DOUBLE) / c.n_bef
+              - CAST((SELECT COUNT(*) FROM aft a
+                      WHERE a.event_type = c.f_et AND a.hr = c.f_hr)
+                     AS DOUBLE) / c.n_aft AS d_eh,
+            CAST((SELECT COUNT(*) FROM scored s
+                  WHERE s.event_type = c.f_et AND s.ub = c.f_ub)
+                 AS DOUBLE) / c.n_bef
+              - CAST((SELECT COUNT(*) FROM aft a
+                      WHERE a.event_type = c.f_et AND a.ub = c.f_ub)
+                     AS DOUBLE) / c.n_aft AS d_eu,
+            CAST((SELECT COUNT(*) FROM scored s
+                  WHERE s.hr = c.f_hr AND s.ub = c.f_ub)
+                 AS DOUBLE) / c.n_bef
+              - CAST((SELECT COUNT(*) FROM aft a
+                      WHERE a.hr = c.f_hr AND a.ub = c.f_ub)
+                     AS DOUBLE) / c.n_aft AS d_hu,
+            CAST((SELECT COUNT(*) FROM scored s
+                  WHERE s.event_type = c.f_et AND s.hr = c.f_hr
+                    AND s.ub = c.f_ub) AS DOUBLE) / c.n_bef
+              - CAST((SELECT COUNT(*) FROM aft a
+                      WHERE a.event_type = c.f_et AND a.hr = c.f_hr
+                        AND a.ub = c.f_ub) AS DOUBLE) / c.n_aft AS d_ehu
+          FROM conf c
+        ),
+        cands AS (
+          SELECT 'event_type=' || f_et AS cause, d_e AS delta, TRUE AS keep
+          FROM sup
+          UNION ALL SELECT 'hr=' || f_hr, d_h, TRUE FROM sup
+          UNION ALL SELECT 'ub=' || f_ub, d_u, TRUE FROM sup
+          UNION ALL SELECT 'event_type=' || f_et || '&hr=' || f_hr,
+                           d_eh, pass_eh FROM sup
+          UNION ALL SELECT 'event_type=' || f_et || '&ub=' || f_ub,
+                           d_eu, pass_eu FROM sup
+          UNION ALL SELECT 'hr=' || f_hr || '&ub=' || f_ub,
+                           d_hu, pass_hu FROM sup
+          UNION ALL SELECT 'event_type=' || f_et || '&hr=' || f_hr
+                           || '&ub=' || f_ub, d_ehu, pass_ehu FROM sup
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY delta ASC, cause ASC) - 1
+                    AS INT) AS rnk,
+               cause AS root_cause
+        FROM cands
+        WHERE keep AND (SELECT wtot FROM fvals) > 0
+        ORDER BY rnk
+        LIMIT 5
     """
 
 
@@ -3043,6 +3247,7 @@ def oracle_sql() -> dict[str, str]:
         "riskloc_first_cause": _riskloc_first_cause_sql(),
         "squeeze_clusters": _squeeze_clusters_sql(),
         "squeeze_search": _squeeze_search_sql(),
+        "robustspot_round0": _robustspot_round0_sql(),
         "dataset_significance": f"""
             WITH {_RCA_CTE},
             labeled AS (

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "robustspot_rca",
     "hotspot_search",
     "robustspot_supports",
+    "robustspot_round0",
     "hotspot_element_stats",
     "autoroot_nps",
     "squeeze_cluster_stats",

@@ -207,7 +207,10 @@ def _mine_candidates(
                 rules.add((lhs, tuple(s - set(lhs))))
 
     cross: list[set] = []
-    for lhs, rhs in rules:
+    # sorted: Python set iteration order is hash-randomized across
+    # interpreter runs, which made the candidate order (and thus the
+    # delta-tie ranking downstream) nondeterministic run-to-run
+    for lhs, rhs in sorted(rules):
         denom = wcount(lhs)
         conf = wcount(lhs + rhs) / denom if denom > 0 else 0.0
         if conf > confidence_threshold:
@@ -220,8 +223,14 @@ def _mine_candidates(
 
 
 def _rank_by_delta(causes: list[tuple], deltas: np.ndarray) -> list[tuple]:
-    top = np.argsort(deltas, kind="stable")[:5]
-    return [tuple(sorted(causes[i], key=lambda it: it[0])) for i in top]
+    """Top-5 causes by support delta, ascending. Delta ties break on the
+    canonical cause content (col-sorted), NOT list position — the
+    reference's positional order is downstream of Python set-iteration
+    noise and varies across interpreter runs; content ordering makes
+    results reproducible (and SQL-expressible for the round-0 gate)."""
+    canon = [tuple(sorted(c, key=lambda it: it[0])) for c in causes]
+    order = sorted(range(len(causes)), key=lambda i: (deltas[i], canon[i]))
+    return [canon[i] for i in order[:5]]
 
 
 def _mine(
