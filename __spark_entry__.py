@@ -1277,6 +1277,38 @@ def robustspot_round0_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rnk int, root_cause string")
 
 
+def riskloc_first_cause_derived_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-measure twin of riskloc_first_cause: the full operator in
+    derived mode (a/b-split EP normalized by its own sum, KPI = a/b
+    ratio) with max_iterations=1, replayed end-to-end by
+    _riskloc_first_cause_sql(derived=True)."""
+    from riskloc_spark.operators.riskloc import riskloc
+
+    df = rca_events_derived(spark, sf_dir)
+    causes = riskloc(
+        df, RCA_ATTRIBUTES, risk_threshold=0.3, derived=True,
+        max_iterations=1,
+    )
+    rows = []
+    for rc in causes[:1]:
+        el = rc["elements"][0]
+        rows.append(
+            (
+                "&".join(sorted(f"{d}={v}" for d, v in zip(rc["cuboid"], el))),
+                int(rc["layer"]),
+                round(float(rc["ep_score"]), 6),
+                round(float(rc["risk score"]), 6),
+                round(float(rc["high risk score"]), 6),
+                round(float(rc["low risk score"]), 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "root_cause string, layer int, ep_score double, risk double,"
+        " high double, low double",
+    )
+
+
 def squeeze_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL squeeze search under the oracle: the real operator with
     histogram_bar_width=0.05 (the SQL-expressible clustering branch,
@@ -1429,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robustspot_supports": robustspot_supports_q,
         "streaming_ewma": streaming_ewma_q,
         "riskloc_first_cause": riskloc_first_cause_q,
+        "riskloc_first_cause_derived": riskloc_first_cause_derived_q,
         "squeeze_clusters": squeeze_clusters_q,
         "squeeze_search": squeeze_search_q,
         "robustspot_round0": robustspot_round0_q,
@@ -2435,20 +2468,38 @@ def _squeeze_search_sql() -> str:
     """
 
 
-def _riskloc_prepared_ctes() -> str:
+def _riskloc_prepared_ctes(derived: bool = False) -> str:
     """Shared CTE chain building riskloc's fully prepared leaf frame in
-    SQL: ep (global sums), deviation, cutoff (n_remove=5 distinct
-    deviations), partition, weight, anomaly-ep sign flip (ep2), ep_z —
-    mirror of operators/riskloc.py:523-538 / _riskloc_driver:412-448.
-    Used by the riskloc_layer_scores and riskloc_first_cause oracles."""
-    return f"""{_RCA_CTE},
+    SQL: ep (global sums; derived mode uses the a/b-split EP normalized
+    by its own sum, _riskloc_driver:419-426), deviation, cutoff
+    (n_remove=5 distinct deviations), partition, weight, anomaly-ep
+    sign flip (ep2), ep_z — mirror of operators/riskloc.py:523-538 /
+    _riskloc_driver:412-448. Used by the riskloc_layer_scores and
+    riskloc_first_cause[_derived] oracles."""
+    if derived:
+        scored = f"""rcad AS ({RCA_EVENTS_DERIVED_SQL}),
+        tot AS (SELECT SUM(predict_a) AS Fa, SUM(predict_b) AS Fb FROM rcad),
+        ep0t AS (
+          SELECT rcad.*,
+                 ((real_a - predict_a) * Fb - (real_b - predict_b) * Fa)
+                   / (Fb * (Fb + real_b - predict_b)) AS ep0,
+                 CASE WHEN predict + "real" = 0 THEN 0.0
+                 ELSE 2 * (predict - "real") / (predict + "real") END AS deviation
+          FROM rcad CROSS JOIN tot
+        ),
+        scored AS (
+          SELECT *, ep0 / (SELECT SUM(ep0) FROM ep0t) AS ep FROM ep0t
+        ),"""
+    else:
+        scored = f"""{_RCA_CTE},
         tot AS (SELECT SUM("real") AS A, SUM(predict) AS Ff FROM rca),
         scored AS (
           SELECT rca.*, ("real" - predict) / (A - Ff) AS ep,
                  CASE WHEN predict + "real" = 0 THEN 0.0
                  ELSE 2 * (predict - "real") / (predict + "real") END AS deviation
           FROM rca CROSS JOIN tot
-        ),
+        ),"""
+    return f"""{scored}
         devs AS (SELECT DISTINCT deviation AS d FROM scored),
         lo AS (SELECT MAX(d) AS v FROM (SELECT d FROM devs ORDER BY d ASC LIMIT 6)),
         hi AS (SELECT MIN(d) AS v FROM (SELECT d FROM devs ORDER BY d DESC LIMIT 6)),
@@ -2480,7 +2531,7 @@ def _riskloc_prepared_ctes() -> str:
         )"""
 
 
-def _riskloc_first_cause_sql() -> str:
+def _riskloc_first_cause_sql(derived: bool = False) -> str:
     """DuckDB twin of the FIRST riskloc search pass (riskloc with
     max_iterations=1, risk_threshold=0.3): the prepared frame, layer-1
     element pruning (ep_z < adj OR part_sum = 0, ref riskloc.py:89-96),
@@ -2545,7 +2596,7 @@ def _riskloc_first_cause_sql() -> str:
         for d in RCA_ATTRIBUTES
     )
     return f"""
-        WITH {_riskloc_prepared_ctes()},
+        WITH {_riskloc_prepared_ctes(derived)},
         adj AS (SELECT COALESCE(ABS(s), 0.0) * 0.02 AS v FROM eps),
         l1 AS ({l1_parts}),
         pruneset AS (
@@ -3245,6 +3296,7 @@ def oracle_sql() -> dict[str, str]:
         "squeeze_derived_cluster_stats": _squeeze_derived_cluster_stats_sql(),
         "riskloc_layer_scores": _riskloc_layer_scores_sql(),
         "riskloc_first_cause": _riskloc_first_cause_sql(),
+        "riskloc_first_cause_derived": _riskloc_first_cause_sql(derived=True),
         "squeeze_clusters": _squeeze_clusters_sql(),
         "squeeze_search": _squeeze_search_sql(),
         "robustspot_round0": _robustspot_round0_sql(),

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     # the correctness gate still checks it at sf0.01
     "riskloc_rca",
     "riskloc_first_cause",
+    "riskloc_first_cause_derived",
     "rca_derived_scores",
     "riskloc_rca_derived",
     "rev_adtributor",
