@@ -1235,6 +1235,28 @@ def squeeze_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def squeeze_search_derived_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-measure twin of squeeze_search: the full operator in
+    derived mode (KPI = a/b ratio for deviation/clustering/ps
+    distances, ripple ratios from the SEPARATE summed a/b measures —
+    ref squeeze.py:192-199) on the same SQL-expressible option
+    surface, replayed by _squeeze_search_sql(derived=True)."""
+    from riskloc_spark.operators.squeeze import SqueezeOptions, squeeze
+
+    df = rca_events_derived(spark, sf_dir)
+    causes = squeeze(
+        df,
+        RCA_ATTRIBUTES,
+        options=SqueezeOptions(
+            histogram_bar_width=0.05, enable_filter=False
+        ),
+        derived=True,
+    )
+    return spark.createDataFrame(
+        [(c,) for c in causes], "root_cause string"
+    )
+
+
 def robustspot_round0_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robustspot's ROUND-0 mining under the oracle: the real driver
     pipeline (_select_frame -> _mine) on the adapted non-derived frame —
@@ -1464,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "riskloc_first_cause_derived": riskloc_first_cause_derived_q,
         "squeeze_clusters": squeeze_clusters_q,
         "squeeze_search": squeeze_search_q,
+        "squeeze_search_derived": squeeze_search_derived_q,
         "robustspot_round0": robustspot_round0_q,
         "adtributor_elements_derived": adtributor_elements_derived,
         "robustspot_ca": robustspot_ca_q,
@@ -1991,7 +2014,7 @@ def _squeeze_derived_cluster_stats_sql() -> str:
     """ + "\nUNION ALL\n".join(parts)
 
 
-def _squeeze_cluster_ctes() -> str:
+def _squeeze_cluster_ctes(derived: bool = False) -> str:
     """Shared CTE chain: rca frame -> squeeze deviation -> fixed-width
     (w=0.05) histogram density clustering, ending in ``ranges`` —
     one row per anomalous cluster with UNROUNDED member [lo, hi].
@@ -2000,19 +2023,39 @@ def _squeeze_cluster_ctes() -> str:
     float literals written 5e-2 (DuckDB parses 0.05 as DECIMAL),
     np.arange fill semantics (e_i = start + i*fl((start+step)-start)),
     and np.histogram's density = count/width/total division order."""
-    return f"""{_RCA_CTE},
+    if derived:
+        # squeeze derived mode (squeeze.py:860-868): filter predict_a>0
+        # AND predict_b>0, per-leaf KPI = a/b ratio (0 where b = 0),
+        # deviation and clustering on the ratio; the raw a/b measures
+        # ride along for the locate phase's ripple ratios
+        frame = f"""rcad AS ({RCA_EVENTS_DERIVED_SQL}),
+        fbase AS (
+          SELECT event_type, hr, ub, real_a, real_b, predict_a, predict_b,
+                 CASE WHEN real_b <> 0 THEN real_a / real_b ELSE 0.0 END AS r0,
+                 CASE WHEN predict_b <> 0 THEN predict_a / predict_b
+                      ELSE 0.0 END AS p
+          FROM rcad WHERE predict_a > 0 AND predict_b > 0
+        ),"""
+        measures = "real_a, real_b, predict_a, predict_b,"
+    else:
+        frame = f"""{_RCA_CTE},
+        fbase AS (
+          SELECT event_type, hr, ub, "real" AS r0, predict AS p
+          FROM rca WHERE predict > 0
+        ),"""
+        measures = ""
+    return f"""{frame}
         rows_ AS MATERIALIZED (
           SELECT COALESCE(CAST(event_type AS VARCHAR), 'None') AS event_type,
                  COALESCE(CAST(hr AS VARCHAR), 'None') AS hr,
                  COALESCE(CAST(ub AS VARCHAR), 'None') AS ub,
+                 {measures}
                  r, p,
                  CASE WHEN p + r = 0 THEN 0.0 ELSE (p - r) / (p + r) END AS d
           FROM (
             SELECT b.*, CASE WHEN mnr.m < 0 THEN r0 - mnr.m ELSE r0 END AS r
-            FROM (SELECT event_type, hr, ub, "real" AS r0, predict AS p
-                  FROM rca WHERE predict > 0) b
-            CROSS JOIN (SELECT MIN("real") AS m
-                        FROM rca WHERE predict > 0) mnr
+            FROM fbase b
+            CROSS JOIN (SELECT MIN(r0) AS m FROM fbase) mnr
           )
         ),
         dev AS (SELECT d FROM rows_),
@@ -2284,7 +2327,7 @@ def _robustspot_round0_sql() -> str:
     """
 
 
-def _squeeze_search_sql() -> str:
+def _squeeze_search_sql(derived: bool = False) -> str:
     """DuckDB twin of the FULL squeeze search (squeeze_search_q:
     fixed-bar-width clustering, enable_filter=False): the shared
     cluster chain (_squeeze_cluster_ctes) -> normal mask (|d| <
@@ -2309,6 +2352,14 @@ def _squeeze_search_sql() -> str:
     def label(dims):
         return " || '&' || ".join(f"'{d}=' || {d}" for d in dims)
 
+    if derived:
+        msum = """SUM(CASE WHEN {sel} THEN r.real_a END) AS Va_e,
+                   SUM(CASE WHEN {sel} THEN r.predict_a END) AS Fa_e,
+                   SUM(CASE WHEN {sel} THEN r.real_b END) AS Vb_e,
+                   SUM(CASE WHEN {sel} THEN r.predict_b END) AS Fb_e,"""
+    else:
+        msum = """SUM(CASE WHEN {sel} THEN r.rr END) AS V_e,
+                   SUM(CASE WHEN {sel} THEN r.pp END) AS F_e,"""
     estat_parts, rowsel_parts = [], []
     for cid, layer, dims in cuboids:
         dims_sql = ", ".join(dims)
@@ -2319,8 +2370,7 @@ def _squeeze_search_sql() -> str:
                    SUM(CASE WHEN r.d >= g.lo AND r.d <= g.hi
                        THEN 1 ELSE 0 END) AS num_elements,
                    COUNT(*) AS descents,
-                   SUM(CASE WHEN {sel} THEN r.rr END) AS V_e,
-                   SUM(CASE WHEN {sel} THEN r.pp END) AS F_e,
+                   {msum.format(sel=sel)}
                    (SELECT COUNT(*) FROM
                       (SELECT DISTINCT {dims_sql} FROM rows_)) AS total_elements
             FROM rowsn r CROSS JOIN ranges g
@@ -2333,10 +2383,33 @@ def _squeeze_search_sql() -> str:
     rowsel_union = "\nUNION ALL\n".join(rowsel_parts)
     inf = "CAST('infinity' AS DOUBLE)"
     ninf = "CAST('-infinity' AS DOUBLE)"
+    if derived:
+        prefix_cols = """SUM(COALESCE(Va_e, 0.0)) OVER (PARTITION BY cl, cid
+                     ORDER BY rnk) AS vap,
+                 SUM(COALESCE(Fa_e, 0.0)) OVER (PARTITION BY cl, cid
+                     ORDER BY rnk) AS fap,
+                 SUM(COALESCE(Vb_e, 0.0)) OVER (PARTITION BY cl, cid
+                     ORDER BY rnk) AS vbp,
+                 SUM(COALESCE(Fb_e, 0.0)) OVER (PARTITION BY cl, cid
+                     ORDER BY rnk) AS fbp"""
+        # _derived_ripple: real = va/vb (0 if vb=0); predict = fa/fb
+        # (0 if fb=0); r_p = real/predict if predict else 0
+        ripple_expr = """CASE WHEN (CASE WHEN fbp <> 0 THEN fap / fbp
+                                    ELSE 0.0 END) <> 0
+                 THEN (CASE WHEN vbp <> 0 THEN vap / vbp ELSE 0.0 END)
+                      / (CASE WHEN fbp <> 0 THEN fap / fbp ELSE 0.0 END)
+                 ELSE 0.0 END"""
+    else:
+        prefix_cols = """SUM(COALESCE(V_e, 0.0)) OVER (PARTITION BY cl, cid
+                     ORDER BY rnk) AS vp,
+                 SUM(COALESCE(F_e, 0.0)) OVER (PARTITION BY cl, cid
+                     ORDER BY rnk) AS fp"""
+        ripple_expr = "CASE WHEN fp <> 0 THEN vp / fp ELSE 0.0 END"
     return f"""
-        WITH {_squeeze_cluster_ctes()},
+        WITH {_squeeze_cluster_ctes(derived)},
         rowsn AS MATERIALIZED (
-          SELECT r.event_type, r.hr, r.ub, r.r AS rr, r.p AS pp, r.d,
+          SELECT r.event_type, r.hr, r.ub, {"r.real_a, r.real_b, r.predict_a, r.predict_b," if derived else ""}
+                 r.r AS rr, r.p AS pp, r.d,
                  ABS(r.d) < (
                    SELECT COALESCE(MIN(ABS(x.d)), 0.0) FROM rows_ x
                    WHERE EXISTS (SELECT 1 FROM ranges g
@@ -2369,15 +2442,12 @@ def _squeeze_search_sql() -> str:
         ),
         pref AS (
           SELECT cl, cid, layer, elem, rnk,
-                 SUM(COALESCE(V_e, 0.0)) OVER (PARTITION BY cl, cid
-                     ORDER BY rnk) AS vp,
-                 SUM(COALESCE(F_e, 0.0)) OVER (PARTITION BY cl, cid
-                     ORDER BY rnk) AS fp
+                 {prefix_cols}
           FROM ranked WHERE rnk <= LEAST(n_kept, 12, total_elements - 1)
         ),
         rp AS (
           SELECT cl, cid, layer, rnk AS p_sz,
-                 CASE WHEN fp <> 0 THEN vp / fp ELSE 0.0 END AS r_p
+                 {ripple_expr} AS r_p
           FROM pref
         ),
         rowsel AS ({rowsel_union}),
@@ -3299,6 +3369,7 @@ def oracle_sql() -> dict[str, str]:
         "riskloc_first_cause_derived": _riskloc_first_cause_sql(derived=True),
         "squeeze_clusters": _squeeze_clusters_sql(),
         "squeeze_search": _squeeze_search_sql(),
+        "squeeze_search_derived": _squeeze_search_sql(derived=True),
         "robustspot_round0": _robustspot_round0_sql(),
         "dataset_significance": f"""
             WITH {_RCA_CTE},

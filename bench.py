@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "squeeze_cluster_stats",
     "squeeze_clusters",
     "squeeze_search",
+    "squeeze_search_derived",
     "riskloc_layer_scores",
     "dataset_significance",
     "streaming_kpi",
