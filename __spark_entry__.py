@@ -2014,6 +2014,21 @@ def _squeeze_derived_cluster_stats_sql() -> str:
     """ + "\nUNION ALL\n".join(parts)
 
 
+def _rca_cuboids() -> list:
+    """(cid, layer, dims) enumeration over RCA_ATTRIBUTES in
+    cuboids_of_layer order — the single source for every search
+    oracle's cuboid table (three hardcoded copies could silently
+    desynchronize from the operator enumeration)."""
+    from riskloc_spark.plans.cuboid import cuboids_of_layer
+
+    out, cid = [], 0
+    for layer in range(1, len(RCA_ATTRIBUTES) + 1):
+        for c in cuboids_of_layer(RCA_ATTRIBUTES, layer):
+            out.append((cid, layer, list(c)))
+            cid += 1
+    return out
+
+
 def _squeeze_cluster_ctes(derived: bool = False) -> str:
     """Shared CTE chain: rca frame -> squeeze deviation -> fixed-width
     (w=0.05) histogram density clustering, ending in ``ranges`` —
@@ -2184,10 +2199,17 @@ def _robustspot_round0_sql() -> str:
         tot AS (SELECT SUM(k_real) AS sv, SUM(k_predict) AS sf,
                        COUNT(*) AS n FROM ad),
         scored AS MATERIALIZED (
+          -- pandas _id_local: x/0 gives +/-inf -> ID = 1.0 (0/0 gives
+          -- NaN -> excluded by every > comparison); DuckDB float
+          -- division by zero yields NULL, so emulate explicitly
           SELECT ad.*,
-                 1 - 1 / (abs((k_real - k_predict)
-                     / (((sv - k_real) / (n - 1))
-                        - ((sf - k_predict) / (n - 1)))) + 1) AS id
+                 CASE WHEN (((sv - k_real) / (n - 1))
+                            - ((sf - k_predict) / (n - 1))) = 0
+                      THEN CASE WHEN k_real = k_predict THEN NULL
+                           ELSE 1.0 END
+                      ELSE 1 - 1 / (abs((k_real - k_predict)
+                          / (((sv - k_real) / (n - 1))
+                             - ((sf - k_predict) / (n - 1)))) + 1) END AS id
           FROM ad CROSS JOIN tot
         ),
         ids AS (
@@ -2338,16 +2360,14 @@ def _squeeze_search_sql(derived: bool = False) -> str:
     ps_upper_bound=0.90 layer cut, and the per-cluster winner by
     rank = score*weight - p*layer with enumeration-order tie-break.
     Output: DISTINCT root-cause strings (no floats — FP noise can only
-    flip decisions, which the three-scale gate runs would surface)."""
-    cuboids = [
-        (0, 1, ["event_type"]),
-        (1, 1, ["hr"]),
-        (2, 1, ["ub"]),
-        (3, 2, ["event_type", "hr"]),
-        (4, 2, ["event_type", "ub"]),
-        (5, 2, ["hr", "ub"]),
-        (6, 3, ["event_type", "hr", "ub"]),
-    ]
+    flip decisions, which the three-scale gate runs would surface).
+
+    Collation caveat: descent-ratio ties break on the concatenated
+    'd=v&d=v' elem string, while the pandas path orders per-column
+    value tuples — these agree for every character >= '&' (0x26),
+    which covers this frame's alphabet (letters/digits/'None'), but
+    values containing '!', space, etc. would collate differently."""
+    cuboids = _rca_cuboids()
 
     def label(dims):
         return " || '&' || ".join(f"'{d}=' || {d}" for d in dims)
@@ -2577,7 +2597,10 @@ def _riskloc_prepared_ctes(derived: bool = False) -> str:
                 FROM lo CROSS JOIN hi),
         parts AS (
           SELECT s.*, c.cutoff,
-                 CASE WHEN c.cutoff >= 0
+                 -- mirror Python's copysign tie: cutoff == -0.0 means the
+                 -- NEGATIVE side is anomalous (scores.add_partition:120)
+                 CASE WHEN (CASE WHEN c.cutoff = 0 THEN NOT signbit(c.cutoff)
+                            ELSE c.cutoff >= 0 END)
                       THEN (CASE WHEN s.deviation > c.cutoff THEN 1 ELSE 0 END)
                       ELSE (CASE WHEN s.deviation < c.cutoff THEN 1 ELSE 0 END)
                  END AS part
@@ -2609,15 +2632,7 @@ def _riskloc_first_cause_sql(derived: bool = False) -> str:
     from layers >= 2, candidate filter (part_sum > 0 AND ep > adj AND
     risk >= 0.3), per-cuboid max-EP, and the reference scan order:
     lowest layer wins, then max ep, then earliest cuboid."""
-    cuboids = [
-        (0, 1, ["event_type"]),
-        (1, 1, ["hr"]),
-        (2, 1, ["ub"]),
-        (3, 2, ["event_type", "hr"]),
-        (4, 2, ["event_type", "ub"]),
-        (5, 2, ["hr", "ub"]),
-        (6, 3, ["event_type", "hr", "ub"]),
-    ]
+    cuboids = _rca_cuboids()
     branches = []
     for cid, layer, dims in cuboids:
         dims_sql = ", ".join(dims)
@@ -2876,7 +2891,10 @@ def oracle_sql() -> dict[str, str]:
                     FROM lo CROSS JOIN hi),
             parts AS (
               SELECT s.*, c.cutoff,
-                     CASE WHEN c.cutoff >= 0
+                     -- mirror Python's copysign tie: cutoff == -0.0 means the
+                 -- NEGATIVE side is anomalous (scores.add_partition:120)
+                 CASE WHEN (CASE WHEN c.cutoff = 0 THEN NOT signbit(c.cutoff)
+                            ELSE c.cutoff >= 0 END)
                           THEN (CASE WHEN s.deviation > c.cutoff THEN 1 ELSE 0 END)
                           ELSE (CASE WHEN s.deviation < c.cutoff THEN 1 ELSE 0 END)
                      END AS part

@@ -227,24 +227,36 @@ def _dedup_scale(spark, n_base: int = 50_000, dup_every: int = 50) -> dict:
     t0 = _t.perf_counter()
     pairs = minhash_lsh_dedup(corpus, jaccard_threshold=0.5)
     groups = dedup_groups(pairs, documents=corpus)
-    grouped = {
-        r["doc_id"]: r["group_id"]
-        for r in groups.filter(~F.col("is_representative")).collect()
-    }
+    group_of = {r["doc_id"]: r["group_id"] for r in groups.collect()}
     wall = round(_t.perf_counter() - t0, 3)
     corpus.unpersist()
 
-    planted = {i + n_base: i for i in range(0, n_base, dup_every)}
-    hits = sum(1 for d, g in grouped.items() if planted.get(d) == g)
-    false_merges = sum(
-        1 for d, g in grouped.items() if planted.get(d) != g
+    # recall = planted pairs that landed in the SAME group (regardless
+    # of which doc represents it); false-merge groups = non-singleton
+    # groups that are not exactly one planted (base, base+n_base) pair
+    planted = [(i, i + n_base) for i in range(0, n_base, dup_every)]
+    hits = sum(1 for b, d in planted if group_of[b] == group_of[d])
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for doc, g in group_of.items():
+        members[g].append(doc)
+    bad_groups = sum(
+        1
+        for ms in members.values()
+        if len(ms) > 1
+        and not (
+            len(ms) == 2
+            and max(ms) - min(ms) == n_base
+            and min(ms) % dup_every == 0
+        )
     )
     return {
         "docs": n_docs,
         "sec": wall,
         "planted_pairs": len(planted),
         "recall": round(hits / len(planted), 4),
-        "false_merges": false_merges,
+        "false_merge_groups": bad_groups,
     }
 
 
