@@ -1331,6 +1331,46 @@ def riskloc_first_cause_derived_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def robustspot_round0_derived_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-measure twin of robustspot_round0: adapt_frame in derived
+    mode (flip: value = b - a, k = value/cnt), CA threshold 0.0 and
+    weights trunc(ID*CA*100) — the full derived round-0 mining
+    (_select_frame -> _mine) replayed by _robustspot_round0_sql
+    (derived=True)."""
+    from riskloc_spark.operators.robustspot import (
+        _mine,
+        _select_frame,
+        adapt_frame,
+    )
+
+    base = adapt_frame(rca_events_derived(spark, sf_dir), derived=True)
+    for d in RCA_ATTRIBUTES:
+        base = base.withColumn(
+            d, F.coalesce(F.col(d).cast("string"), F.lit("None"))
+        )
+    pdf0 = base.select(
+        *RCA_ATTRIBUTES,
+        "k_real",
+        "k_predict",
+        "cnt_real",
+        "cnt_predict",
+        "value_real",
+        "value_predict",
+    ).toPandas()
+    # lambda = 10_000: this frame's CA magnitudes (~1e-2, from the 2%
+    # derived b-bias) truncate to all-zero weights at the default 100,
+    # which degenerates the mining to the empty path at every sf
+    before, after, w = _select_frame(
+        pdf0, RCA_ATTRIBUTES, True, 0.0, 10_000
+    )
+    mined = _mine(before, after, w, RCA_ATTRIBUTES, 0.8)
+    rows = [
+        (i, "&".join(f"{c}={v}" for c, v in cause))
+        for i, cause in enumerate(mined)
+    ]
+    return spark.createDataFrame(rows, "rnk int, root_cause string")
+
+
 def squeeze_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL squeeze search under the oracle: the real operator with
     histogram_bar_width=0.05 (the SQL-expressible clustering branch,
@@ -1488,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squeeze_search": squeeze_search_q,
         "squeeze_search_derived": squeeze_search_derived_q,
         "robustspot_round0": robustspot_round0_q,
+        "robustspot_round0_derived": robustspot_round0_derived_q,
         "adtributor_elements_derived": adtributor_elements_derived,
         "robustspot_ca": robustspot_ca_q,
         "q4_priority_semi": q4_priority_semi,
@@ -2181,23 +2222,52 @@ def _squeeze_clusters_sql() -> str:
     """
 
 
-def _robustspot_round0_sql() -> str:
+def _robustspot_round0_sql(derived: bool = False) -> str:
     """DuckDB twin of robustspot_round0_q — see that docstring. The
     kneedle threshold mirrors _id_threshold exactly: CDF over RAW
     positive-ID rows (rn/n), extremes-normalized diff, first argmax,
     0.5 fallback below 3 rows or when no diff is positive."""
     et, hr, ub = ("a.event_type = f.f_et", "a.hr = f.f_hr", "a.ub = f.f_ub")
-    return f"""
-        WITH {_RCA_CTE},
-        ad AS MATERIALIZED (
+    if derived:
+        # adapt_frame(derived=True, flip): value = b - a, cnt = b,
+        # k = value / cnt; any-measure-positive row filter
+        frame_cte = f"rcad AS ({RCA_EVENTS_DERIVED_SQL})"
+        frame_sql = """
+          SELECT COALESCE(CAST(event_type AS VARCHAR), 'None') AS event_type,
+                 COALESCE(CAST(hr AS VARCHAR), 'None') AS hr,
+                 COALESCE(CAST(ub AS VARCHAR), 'None') AS ub,
+                 (real_b - real_a) / real_b AS k_real,
+                 (predict_b - predict_a) / predict_b AS k_predict,
+                 real_b AS cnt_real, predict_b AS cnt_predict,
+                 real_b - real_a AS value_real,
+                 predict_b - predict_a AS value_predict
+          FROM rcad
+          WHERE real_a > 0 OR predict_a > 0 OR real_b > 0 OR predict_b > 0"""
+        # CA: rate1*rate2 - 1 with pandas fillna(0) for 0/0 (NULL in
+        # DuckDB) — see _ca_local; this frame has no zero denominators
+        ca_expr = """COALESCE(
+            (fd / fm) * ((value_real + (fm - value_predict))
+                         / (cnt_real + (fd - cnt_predict))) - 1, 0.0)"""
+        aft_filter = "s.id > knee.thr AND s.ca > 0.0"
+        w_expr = "CAST(TRUNC(s.id * s.ca * 10000) AS DOUBLE)"
+        ca_tot = ", SUM(value_predict) AS fm, SUM(cnt_predict) AS fd"
+    else:
+        frame_cte = _RCA_CTE
+        frame_sql = """
           SELECT COALESCE(CAST(event_type AS VARCHAR), 'None') AS event_type,
                  COALESCE(CAST(hr AS VARCHAR), 'None') AS hr,
                  COALESCE(CAST(ub AS VARCHAR), 'None') AS ub,
                  "real" AS k_real, predict AS k_predict
-          FROM rca WHERE "real" > 0 OR predict > 0
-        ),
+          FROM rca WHERE "real" > 0 OR predict > 0"""
+        ca_expr = "0.0"
+        aft_filter = "s.id > knee.thr"
+        w_expr = "CAST(TRUNC(s.id * 100) AS DOUBLE)"
+        ca_tot = ""
+    return f"""
+        WITH {frame_cte},
+        ad AS MATERIALIZED ({frame_sql}),
         tot AS (SELECT SUM(k_real) AS sv, SUM(k_predict) AS sf,
-                       COUNT(*) AS n FROM ad),
+                       COUNT(*) AS n{ca_tot} FROM ad),
         scored AS MATERIALIZED (
           -- pandas _id_local: x/0 gives +/-inf -> ID = 1.0 (0/0 gives
           -- NaN -> excluded by every > comparison); DuckDB float
@@ -2209,7 +2279,8 @@ def _robustspot_round0_sql() -> str:
                            ELSE 1.0 END
                       ELSE 1 - 1 / (abs((k_real - k_predict)
                           / (((sv - k_real) / (n - 1))
-                             - ((sf - k_predict) / (n - 1)))) + 1) END AS id
+                             - ((sf - k_predict) / (n - 1)))) + 1) END AS id,
+                 {ca_expr} AS ca
           FROM ad CROSS JOIN tot
         ),
         ids AS (
@@ -2236,8 +2307,8 @@ def _robustspot_round0_sql() -> str:
           -- CA = 0 for every non-derived row and the threshold is -1,
           -- so the anomalous filter reduces to ID > knee; weights are
           -- trunc(ID * 100) like pandas .astype(int)
-          SELECT s.*, CAST(TRUNC(s.id * 100) AS DOUBLE) AS w
-          FROM scored s CROSS JOIN knee WHERE s.id > knee.thr
+          SELECT s.*, {w_expr} AS w
+          FROM scored s CROSS JOIN knee WHERE {aft_filter}
         ),
         fvals AS (
           SELECT
@@ -3389,6 +3460,7 @@ def oracle_sql() -> dict[str, str]:
         "squeeze_search": _squeeze_search_sql(),
         "squeeze_search_derived": _squeeze_search_sql(derived=True),
         "robustspot_round0": _robustspot_round0_sql(),
+        "robustspot_round0_derived": _robustspot_round0_sql(derived=True),
         "dataset_significance": f"""
             WITH {_RCA_CTE},
             labeled AS (

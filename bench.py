@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "hotspot_search",
     "robustspot_supports",
     "robustspot_round0",
+    "robustspot_round0_derived",
     "hotspot_element_stats",
     "autoroot_nps",
     "squeeze_cluster_stats",
