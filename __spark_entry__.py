@@ -1018,6 +1018,20 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting surface: whitespace tokens + BPE-ish pre-tokenizer
+    pieces (functions/text.bpe_token_count) per document — the LLM
+    token-budget estimator, lookahead-free so Java and RE2 agree."""
+    from riskloc_spark.functions.text import bpe_token_count, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("int").alias("n_tokens"),
+        bpe_token_count(F.col("text")).cast("int").alias("n_bpe_pieces"),
+    )
+
+
 def streaming_kpi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming surface under the correctness gate: the
     windowed KPI stream (riskloc_spark.streaming.windowed_kpi_stream)
@@ -1490,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adtributor_elements": adtributor_elements,
         "adtributor_candidates": adtributor_candidates_q,
         "text_stats": text_stats,
+        "token_stats": token_stats_q,
         "lang_quality_by_source": lang_quality_by_source,
         "dedup_exact": dedup_exact_q,
         "knn_bruteforce": knn_bruteforce_q,
@@ -3145,6 +3160,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.ep > 0.05
         """,
         "minhash_pairs": _minhash_pairs_sql(),
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END AS INT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INT) AS n_bpe_pieces
+            FROM documents
+        """,
         "dedup_groups": _dedup_groups_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "knn_lsh": _knn_lsh_sql(),

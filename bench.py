@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "adtributor_elements",
     "adtributor_candidates",
     "text_stats",
+    "token_stats",
     "lang_quality_by_source",
     "dedup_exact",
     "knn_bruteforce",

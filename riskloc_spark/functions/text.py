@@ -91,3 +91,21 @@ def fingerprint(text: Column, portable: bool = False) -> Column:
 
         return md5_hash64(norm)
     return F.xxhash64(norm)
+
+
+# GPT-2-style pre-tokenizer pieces: contraction suffixes, space-prefixed
+# letter / digit / other-symbol runs, residual whitespace. Lookahead-free
+# on purpose — Java (Spark) and RE2 (DuckDB) regex engines agree on it,
+# so the count is oracle-checkable. (The canonical GPT-2 pattern's
+# `\s+(?!\S)` lookahead is unsupported by RE2.)
+BPE_PIECE_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token-budget estimate: the number of pre-tokenizer pieces
+    under BPE_PIECE_REGEX. Pieces upper-bound real BPE token counts
+    (each piece splits into >= 1 tokens under a merge table), which is
+    the budget-planning quantity a corpus pipeline needs without
+    shipping a vocab; a real tokenizer plugs in as a broadcast merge
+    table over these pieces."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PIECE_REGEX), 0))
