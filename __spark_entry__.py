@@ -1271,6 +1271,38 @@ def squeeze_search_derived_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def autoroot_search_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The autoroot SEARCH + MERGE under the oracle: the real operator
+    with injectable cluster boundaries (cluster_ends=[inf, 0.0] — two
+    deterministic pseudo-clusters replacing the KDE fit, whose exp()
+    grid is the one numpy piece with no bit-portable SQL twin). The
+    whole remainder is replayed in SQL: relevance filter, cluster
+    assignment, per-(cluster x cuboid) NPS candidates with the x/z and
+    LF > 0.1 filters, the leaf-cuboid skip, (NPS, elem) winners,
+    (avg, cuboid-order) per-cluster best, and merge_root_causes'
+    same-layer + parent/child subset drops."""
+    from riskloc_spark.operators.autoroot import autoroot
+
+    df = rca_events(spark, sf_dir)
+    causes = autoroot(
+        df, RCA_ATTRIBUTES, cluster_ends=[float("inf"), 0.0]
+    )
+    rows = [
+        (
+            "&".join(
+                sorted(f"{d}={v}" for d, v in zip(rc["cuboid"], el))
+            ),
+            int(rc["layer"]),
+            round(float(rc["avg"]), 6),
+        )
+        for rc in causes
+        for el in rc["elements"]
+    ]
+    return spark.createDataFrame(
+        rows, "root_cause string, layer int, avg_score double"
+    )
+
+
 def robustspot_round0_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robustspot's ROUND-0 mining under the oracle: the real driver
     pipeline (_select_frame -> _mine) on the adapted non-derived frame —
@@ -1543,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squeeze_search": squeeze_search_q,
         "squeeze_search_derived": squeeze_search_derived_q,
         "robustspot_round0": robustspot_round0_q,
+        "autoroot_search_fixed": autoroot_search_fixed_q,
         "robustspot_round0_derived": robustspot_round0_derived_q,
         "adtributor_elements_derived": adtributor_elements_derived,
         "robustspot_ca": robustspot_ca_q,
@@ -2432,6 +2465,136 @@ def _robustspot_round0_sql(derived: bool = False) -> str:
         WHERE keep AND (SELECT wtot FROM fvals) > 0
         ORDER BY rnk
         LIMIT 5
+    """
+
+
+def _autoroot_search_sql() -> str:
+    """DuckDB twin of autoroot_search_fixed_q. Cluster rule for
+    ends=[inf, 0.0]: descending-overwrite assignment gives cluster 1
+    for deviation <= 0, else 0 (relevant rows only). NPS terms over the
+    FULL frame (windowed Ve/Fe ratio baseline), per-cluster x counts,
+    the reference's filter and tie orders, and merge_root_causes as
+    list_has_all subset drops."""
+    parts = []
+    for cid, layer, dims in _rca_cuboids():
+        dims_sql = ", ".join(dims)
+        label = " || '&' || ".join(f"'{d}=' || {d}" for d in dims)
+        vals = "concat_ws(chr(31), " + ", ".join(dims) + ")"
+        parts.append(f"""
+            SELECT {cid} AS cid, {layer} AS layer, {label} AS elem,
+                   {vals} AS vals,
+                   COUNT(*) AS n_full,
+                   SUM(a_term) AS Ap_e,
+                   SUM(b_term) AS Bp_e,
+                   SUM(CASE WHEN cluster = 0 THEN 1 ELSE 0 END) AS x0,
+                   SUM(CASE WHEN cluster = 1 THEN 1 ELSE 0 END) AS x1
+            FROM (
+              SELECT *,
+                     CASE WHEN r = 0 THEN 0.0
+                          ELSE ABS(r - (CASE WHEN Fe <> 0 THEN p * Ve / Fe
+                                        ELSE 0.0 END)) / r END AS a_term
+              FROM (
+                SELECT *,
+                       SUM(r) OVER (PARTITION BY {dims_sql}) AS Ve,
+                       SUM(p) OVER (PARTITION BY {dims_sql}) AS Fe
+                FROM rows_
+              )
+            )
+            GROUP BY {dims_sql}""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+        WITH {_RCA_CTE},
+        rows_ AS MATERIALIZED (
+          SELECT COALESCE(CAST(event_type AS VARCHAR), 'None') AS event_type,
+                 COALESCE(CAST(hr AS VARCHAR), 'None') AS hr,
+                 COALESCE(CAST(ub AS VARCHAR), 'None') AS ub,
+                 r, p, d,
+                 CASE WHEN r = 0 THEN 0.0 ELSE ABS(r - p) / r END AS b_term,
+                 CASE WHEN ABS(d) <= 0.2 THEN NULL
+                      WHEN d <= 0.0 THEN 1 ELSE 0 END AS cluster
+          FROM (
+            SELECT event_type, hr, ub, "real" AS r, predict AS p,
+                   CASE WHEN predict + "real" = 0 THEN 0.0
+                        ELSE 2 * (predict - "real") / (predict + "real")
+                   END AS d
+            FROM rca
+          )
+        ),
+        tot AS (SELECT COUNT(*) AS N, SUM(b_term) AS Bp_tot FROM rows_),
+        zs AS (
+          SELECT cluster, CAST(COUNT(*) AS DOUBLE) AS z
+          FROM rows_ WHERE cluster IS NOT NULL GROUP BY cluster
+        ),
+        estats AS ({union}),
+        melted AS (
+          SELECT u.cid, u.layer, u.elem, u.vals, u.n_full,
+                 u.cluster, u.x, zs.z
+          FROM (
+            SELECT cid, layer, elem, vals, n_full,
+                   0 AS cluster, CAST(x0 AS DOUBLE) AS x FROM estats
+            UNION ALL
+            SELECT cid, layer, elem, vals, n_full,
+                   1 AS cluster, CAST(x1 AS DOUBLE) AS x FROM estats
+          ) u
+          JOIN zs ON zs.cluster = u.cluster
+          WHERE u.x / zs.z > 0.1
+            AND u.x / u.n_full > 0.1
+            AND NOT (u.layer = {len(RCA_ATTRIBUTES)} AND 1.0 / zs.z <= 0.1)
+        ),
+        scoredm AS (
+          SELECT m.*,
+                 1 - ((e.Ap_e / e.n_full
+                       + CASE WHEN (t.N - e.n_full) > 0
+                              THEN (t.Bp_tot - e.Bp_e) / (t.N - e.n_full)
+                              ELSE 0.0 END)
+                      / (e.Bp_e / e.n_full
+                       + CASE WHEN (t.N - e.n_full) > 0
+                              THEN (t.Bp_tot - e.Bp_e) / (t.N - e.n_full)
+                              ELSE 0.0 END)) AS NPS,
+                 m.x / m.n_full AS LF, m.x / m.z AS CF
+          FROM melted m
+          JOIN estats e ON e.cid = m.cid AND e.elem = m.elem
+          CROSS JOIN tot t
+        ),
+        winners AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster, cid
+                ORDER BY NPS DESC, vals ASC) AS rn
+            FROM scoredm
+          ) WHERE rn = 1
+        ),
+        bests AS (
+          SELECT *, string_split(vals, chr(31)) AS vlist FROM (
+            SELECT *, (NPS + LF + CF) / 3 AS avg_s,
+                   ROW_NUMBER() OVER (PARTITION BY cluster
+                       ORDER BY (NPS + LF + CF) / 3 DESC, cid ASC) AS brn
+            FROM winners
+          ) WHERE brn = 1
+        ),
+        -- merge_root_causes: drop the earlier-cluster cause of a
+        -- same-layer subset pair, then drop children whose value set
+        -- contains a surviving lower-layer parent's value set
+        -- NOT EXISTS with LIST-typed correlated columns trips DuckDB
+        -- 1.0's binder; anti left-joins express the same drops
+        surv1 AS (
+          SELECT b.cid, b.layer, b.elem, b.vals, b.vlist, b.avg_s
+          FROM bests b
+          LEFT JOIN bests o
+            ON o.cluster > b.cluster AND o.layer = b.layer
+            AND list_has_all(o.vlist, b.vlist)
+          WHERE o.cid IS NULL
+        ),
+        finalc AS (
+          SELECT ch.elem, ch.layer, ch.avg_s
+          FROM surv1 ch
+          LEFT JOIN surv1 par
+            ON par.layer < ch.layer
+            AND list_has_all(ch.vlist, par.vlist)
+          WHERE par.cid IS NULL
+        )
+        SELECT elem AS root_cause, CAST(layer AS INT) AS layer,
+               round(avg_s, 6) AS avg_score
+        FROM finalc
     """
 
 
@@ -3484,6 +3647,7 @@ def oracle_sql() -> dict[str, str]:
         "squeeze_search": _squeeze_search_sql(),
         "squeeze_search_derived": _squeeze_search_sql(derived=True),
         "robustspot_round0": _robustspot_round0_sql(),
+        "autoroot_search_fixed": _autoroot_search_sql(),
         "robustspot_round0_derived": _robustspot_round0_sql(derived=True),
         "dataset_significance": f"""
             WITH {_RCA_CTE},

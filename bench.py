@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "robustspot_round0_derived",
     "hotspot_element_stats",
     "autoroot_nps",
+    "autoroot_search_fixed",
     "squeeze_cluster_stats",
     "squeeze_clusters",
     "squeeze_search",

@@ -359,14 +359,19 @@ def _search_cluster_driver(
 
 
 def _autoroot_driver(
-    pdf, attributes: list[str], delta_threshold: float
+    pdf, attributes: list[str], delta_threshold: float,
+    cluster_ends: list[float] | None = None,
 ) -> list[dict[str, Any]]:
     """Driver-side mirror of the full autoroot loop on a collected leaf
     frame (attrs as string, real, predict, deviation)."""
     relevant = pdf[pdf["deviation"].abs() > 0.2]
     if not len(relevant):
         return []
-    ends = kde_boundaries(relevant["deviation"].to_numpy())
+    ends = (
+        list(cluster_ends)
+        if cluster_ends is not None
+        else kde_boundaries(relevant["deviation"].to_numpy())
+    )
     cl = np.full(len(relevant), -1)
     for i, end in enumerate(ends):
         cl = np.where(relevant["deviation"] <= end, i, cl)
@@ -398,6 +403,7 @@ def autoroot(
     max_kde_sample: int | None = None,
     seed: int = 11,
     driver_rows: int | None = 200_000,
+    cluster_ends: list[float] | None = None,
 ) -> list[dict[str, Any]]:
     """Reference autoroot.py:147-170.
 
@@ -425,7 +431,9 @@ def autoroot(
             .toPandas()
         )
         if len(pdf) <= driver_rows:
-            return _autoroot_driver(pdf, attributes, delta_threshold)
+            return _autoroot_driver(
+                pdf, attributes, delta_threshold, cluster_ends
+            )
 
     df = df.persist()
     try:
@@ -434,17 +442,21 @@ def autoroot(
         # KDE input: distinct (deviation, count) pairs, bounded (same
         # pattern as squeeze); past the bound a B-bucket histogram of
         # centers stands in — raw rows never reach the driver.
+        # ``cluster_ends`` (injectable boundaries, e.g. for the
+        # autoroot_search_fixed oracle gate) skips the KDE fit entirely.
         B = max_kde_sample or 200_000
-        rows = (
+        rows = None if cluster_ends is not None else (
             df.filter(rel_pred)
             .groupBy("deviation")
             .agg(F.count(F.lit(1)).alias("c"))
             .limit(B + 1)
             .collect()
         )
-        if not rows:
+        if cluster_ends is not None:
+            ends = list(cluster_ends)
+        elif not rows:
             return []
-        if len(rows) <= B:
+        elif len(rows) <= B:
             arr = np.array([(float(r[0]), float(r[1])) for r in rows])
         else:
             mn, mx = (
@@ -468,8 +480,9 @@ def autoroot(
                         .collect()
                     ]
                 )
-        order = np.argsort(arr[:, 0], kind="stable")
-        ends = kde_boundaries_weighted(arr[order, 0], arr[order, 1])
+        if cluster_ends is None:
+            order = np.argsort(arr[:, 0], kind="stable")
+            ends = kde_boundaries_weighted(arr[order, 0], arr[order, 1])
 
         df_cl = assign_clusters(df, ends).withColumn(
             "cluster", F.when(rel_pred, F.col("cluster"))
