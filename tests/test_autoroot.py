@@ -69,3 +69,24 @@ def test_autoroot_driver_vs_distributed_parity(spark):
         assert f["layer"] == d["layer"]
         for s in ("NPS", "LF", "CF", "avg"):
             assert abs(f[s] - d[s]) < 1e-9, s
+
+
+def test_injectable_cluster_ends_dual_path_parity(spark):
+    """cluster_ends (the oracle gate's KDE bypass) must produce
+    identical causes on the driver and distributed paths."""
+    from riskloc_spark.data import rca_events
+    from riskloc_spark.operators.autoroot import autoroot
+
+    df = rca_events(spark, "/root/testdata/sf0.001")
+    ends = [float("inf"), 0.0]
+    attrs = ["event_type", "hr", "ub"]
+    a = autoroot(df, attrs, cluster_ends=ends)
+    b = autoroot(df, attrs, cluster_ends=ends, driver_rows=None)
+
+    def key(cs):
+        return sorted(
+            (c["layer"], tuple(map(tuple, c["elements"])), round(c["avg"], 9))
+            for c in cs
+        )
+
+    assert key(a) == key(b) and a, (a, b)
