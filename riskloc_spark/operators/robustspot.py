@@ -557,45 +557,37 @@ def _robustspot_distributed(
             scored = add_contribution_ability(
                 add_influence_degree(frame_of(pred))
             ).persist()
-            # HLL pre-gate: when distinct IDs are OVERWHELMINGLY past
-            # max_pairs (>2x — a 2x overestimate at rsd=0.05 is ~20
-            # sigma, i.e. never), skip straight to the histogram — the
-            # exact probe would aggregate all distinct IDs and ship
-            # max_pairs rows to the driver only to discover the
-            # overflow (~2s per round at 562k leaves). Anything <= 2x
-            # still runs the exact probe, so the exact/histogram
-            # decision boundary stays deterministic in practice; the
-            # sketch can only skip work, not change which path a
-            # borderline frame takes.
+            # ONE aggregation decides exact-vs-histogram AND doubles as
+            # the histogram: buckets partition the ID domain (bucket is
+            # a function of ID), so the per-bucket EXACT distinct
+            # counts sum to the exact global distinct count — no
+            # sketch, and no separate max_pairs-row limit probe that
+            # existed only to detect overflow. The small case pays one
+            # extra collect of the true (ID, count) pairs, bounded by
+            # the just-proven distinct count <= max_pairs.
             try:
-                approx = (
+                B = max_pairs
+                b = F.least(F.floor(F.col("ID") * B), F.lit(B - 1))
+                hrows = (
                     scored.filter(F.col("ID") > 0)
-                    .agg(F.approx_count_distinct("ID", 0.05).alias("d"))
-                    .first()["d"]
+                    .groupBy(b.alias("__b"))
+                    .agg(
+                        F.count(F.lit(1)).alias("c"),
+                        F.countDistinct("ID").alias("d"),
+                    )
+                    .collect()
                 )
-                rows = (
-                    (
+                n_distinct = sum(r["d"] for r in hrows)
+                if n_distinct <= max_pairs:
+                    rows = (
                         scored.filter(F.col("ID") > 0)
                         .groupBy("ID")
                         .agg(F.count(F.lit(1)).alias("c"))
-                        .limit(max_pairs + 1)
                         .collect()
                     )
-                    if approx <= max_pairs * 2
-                    else None
-                )
-                if rows is not None and len(rows) <= max_pairs:
                     vals = np.array([float(r[0]) for r in rows])
                     cnts = np.array([float(r[1]) for r in rows])
                 else:
-                    B = max_pairs
-                    b = F.least(F.floor(F.col("ID") * B), F.lit(B - 1))
-                    hrows = (
-                        scored.filter(F.col("ID") > 0)
-                        .groupBy(b.alias("__b"))
-                        .agg(F.count(F.lit(1)).alias("c"))
-                        .collect()
-                    )
                     vals = np.array([(r["__b"] + 0.5) / B for r in hrows])
                     cnts = np.array([float(r["c"]) for r in hrows])
                 thr = _id_threshold_weighted(vals, cnts)
