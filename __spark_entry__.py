@@ -1198,8 +1198,30 @@ def streaming_kpi_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                "streaming_kpi_append: availableNow run did not finish in "
+                "300s — emitted window set would be truncated"
+            )
+        # Pin the Spark behavior the gate depends on: every planted
+        # late row (file b) must be dropped by the watermark. If a
+        # Spark version changes late-row admission timing, fail HERE
+        # with a diagnosable message, not as an opaque hash mismatch.
+        n_late = ev.filter(late_cond).count()
+        n_dropped = sum(
+            so.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for so in p.get("stateOperators", [])
+        )
         q.stop()
+        if n_dropped != n_late:
+            raise AssertionError(
+                f"streaming_kpi_append: watermark dropped {n_dropped} rows, "
+                f"expected all {n_late} planted late rows — Spark's late-"
+                "input admission semantics changed; re-pin the staging"
+            )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     return spark.table(qname).select(
@@ -1598,14 +1620,14 @@ _TEXT_STATS_CTE = f"""
 stats AS (
   SELECT doc_id, source,
     CAST(CASE WHEN trim(text) = '' THEN 0
-         ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_tokens,
+         ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS INT) AS n_tokens,
     CASE WHEN length(text) = 0 THEN 0.0
          ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?]', '', 'g')) AS DOUBLE)
               / length(text) END AS punct_ratio,
     CASE WHEN trim(text) = '' THEN 0.0
-         ELSE CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         ELSE CAST(len(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                                    x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
-              / len(string_split_regex(trim(text), '\\s+')) END AS stopword_ratio
+              / len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS stopword_ratio
   FROM documents
 ),
 scored_docs AS (
@@ -1641,12 +1663,12 @@ def _hotspot_element_stats_sql() -> str:
         parts.append(f"""
             SELECT {cid} AS cid, {elem} AS elem,
                    COUNT(*) AS n_e,
-                   CAST(round(SUM(CAST("real" AS {dec})), 6) AS DOUBLE) AS V_e,
-                   CAST(round(SUM(CAST(predict AS {dec})), 6) AS DOUBLE) AS F_e,
-                   CAST(round(SUM(CAST(ABS("real" - predict) AS {dec})), 6) AS DOUBLE) AS B_e,
-                   CAST(round(SUM(CAST(("real" - predict) * ("real" - predict) AS {dec})), 6) AS DOUBLE) AS Q_e,
-                   CAST(round(SUM(CAST(ABS("real" - __a) AS {dec})), 6) AS DOUBLE) AS A_e,
-                   CAST(round(SUM(CAST(("real" - __a) * ("real" - __a) AS {dec})), 6) AS DOUBLE) AS P_e
+                   CAST(round(SUM(CAST("real" AS {dec})), 6) + 0e0 AS DOUBLE) AS V_e,
+                   CAST(round(SUM(CAST(predict AS {dec})), 6) + 0e0 AS DOUBLE) AS F_e,
+                   CAST(round(SUM(CAST(ABS("real" - predict) AS {dec})), 6) + 0e0 AS DOUBLE) AS B_e,
+                   CAST(round(SUM(CAST(("real" - predict) * ("real" - predict) AS {dec})), 6) + 0e0 AS DOUBLE) AS Q_e,
+                   CAST(round(SUM(CAST(ABS("real" - __a) AS {dec})), 6) + 0e0 AS DOUBLE) AS A_e,
+                   CAST(round(SUM(CAST(("real" - __a) * ("real" - __a) AS {dec})), 6) + 0e0 AS DOUBLE) AS P_e
             FROM (
               SELECT *, predict * (CASE WHEN Fe <> 0 THEN Ve / Fe ELSE 0.0 END) AS __a
               FROM (
@@ -1683,8 +1705,8 @@ def _autoroot_nps_sql() -> str:
                                + CASE WHEN (tot.N - t.n_full) > 0
                                       THEN (tot.Bp_tot - t.Bp_e) / (tot.N - t.n_full)
                                       ELSE 0.0 END)
-                         ELSE 0.0 END, 6) AS nps,
-                   round(CAST(x.x AS DOUBLE) / t.n_full, 6) AS lf
+                         ELSE 0.0 END, 6) + 0e0 AS nps,
+                   round(CAST(x.x AS DOUBLE) / t.n_full, 6) + 0e0 AS lf
             FROM (
               SELECT COALESCE(CAST({dim} AS VARCHAR), 'None') AS element, COUNT(*) AS n_full,
                      CAST(SUM(CAST(CASE WHEN "real" = 0 THEN 0.0
@@ -1737,9 +1759,9 @@ def _squeeze_cluster_stats_sql() -> str:
                    CAST(SUM(__abn) AS BIGINT) AS num_elements,
                    COUNT(*) AS descents,
                    CAST(round(SUM(CAST(CASE WHEN __abn + __norm > 0 THEN "real" END
-                                       AS DECIMAL(38,9))), 6) AS DOUBLE) AS V_e,
+                                       AS DECIMAL(38,9))), 6) + 0e0 AS DOUBLE) AS V_e,
                    CAST(round(SUM(CAST(CASE WHEN __abn + __norm > 0 THEN predict END
-                                       AS DECIMAL(38,9))), 6) AS DOUBLE) AS F_e
+                                       AS DECIMAL(38,9))), 6) + 0e0 AS DOUBLE) AS F_e
             FROM flagged
             GROUP BY 1, 2
             HAVING SUM(__abn) > 0""")
@@ -1762,7 +1784,7 @@ def _squeeze_cluster_stats_sql() -> str:
 # portable md5-derived 60-bit hash (operators/dedup.md5_hash64 twin)
 _MD5H = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
-_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM_TEXT = "regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')"
 
 
 def _minhash_pairs_sql() -> str:
@@ -1808,7 +1830,7 @@ def _minhash_pairs_sql() -> str:
           JOIN sigs b ON b.doc_id = c.id_b AND b.k = a.k
           GROUP BY 1, 2
         )
-        SELECT id_a, id_b, round(ej, 6) AS est_jaccard
+        SELECT id_a, id_b, round(ej, 6) + 0e0 AS est_jaccard
         FROM est WHERE ej >= 0.5
     """
 
@@ -1919,7 +1941,7 @@ def _hotspot_search_sql() -> str:
           FROM subsets s CROSS JOIN tot
         )
         SELECT CAST(layer AS INT) AS layer, cuboid, elements,
-               round(score, 6) AS score
+               round(score, 6) + 0e0 AS score
         FROM scored
         ORDER BY score DESC, layer ASC, set_size ASC
         LIMIT 1
@@ -2002,7 +2024,7 @@ def _knn_lsh_sql() -> str:
           FROM q JOIN c USING (bkt)
         ),
         r AS (
-          SELECT query_id, vec_id, round(cs, 6) AS cos_sim,
+          SELECT query_id, vec_id, round(cs, 6) + 0e0 AS cos_sim,
                  CAST(row_number() OVER (PARTITION BY query_id
                       ORDER BY cs DESC, vec_id ASC) AS INT) AS rnk
           FROM s
@@ -2053,7 +2075,7 @@ def _knn_ivf_sql() -> str:
           FROM probes p JOIN cells cl ON p.cell = cl.cell
         ),
         r AS (
-          SELECT query_id, vec_id, round(cs, 6) AS cos_sim,
+          SELECT query_id, vec_id, round(cs, 6) + 0e0 AS cos_sim,
                  CAST(row_number() OVER (PARTITION BY query_id
                       ORDER BY cs DESC, vec_id ASC) AS INT) AS rnk
           FROM s
@@ -2071,13 +2093,13 @@ def _squeeze_derived_cluster_stats_sql() -> str:
                    CAST(SUM(__abn) AS BIGINT) AS num_elements,
                    COUNT(*) AS descents,
                    CAST(round(SUM(CAST(CASE WHEN __abn + __norm > 0 THEN real_a END
-                                       AS DECIMAL(38,9))), 6) AS DOUBLE) AS Va_e,
+                                       AS DECIMAL(38,9))), 6) + 0e0 AS DOUBLE) AS Va_e,
                    CAST(round(SUM(CAST(CASE WHEN __abn + __norm > 0 THEN predict_a END
-                                       AS DECIMAL(38,9))), 6) AS DOUBLE) AS Fa_e,
+                                       AS DECIMAL(38,9))), 6) + 0e0 AS DOUBLE) AS Fa_e,
                    CAST(round(SUM(CAST(CASE WHEN __abn + __norm > 0 THEN real_b END
-                                       AS DECIMAL(38,9))), 6) AS DOUBLE) AS Vb_e,
+                                       AS DECIMAL(38,9))), 6) + 0e0 AS DOUBLE) AS Vb_e,
                    CAST(round(SUM(CAST(CASE WHEN __abn + __norm > 0 THEN predict_b END
-                                       AS DECIMAL(38,9))), 6) AS DOUBLE) AS Fb_e
+                                       AS DECIMAL(38,9))), 6) + 0e0 AS DOUBLE) AS Fb_e
             FROM flagged
             GROUP BY 1, 2
             HAVING SUM(__abn) > 0""")
@@ -2265,7 +2287,7 @@ def _squeeze_clusters_sql() -> str:
     the bit-exactness notes."""
     return f"""
         WITH {_squeeze_cluster_ctes()}
-        SELECT cl AS cluster, round(lo, 6) AS lo, round(hi, 6) AS hi
+        SELECT cl AS cluster, round(lo, 6) + 0e0 AS lo, round(hi, 6) + 0e0 AS hi
         FROM ranges
     """
 
@@ -2445,21 +2467,25 @@ def _robustspot_round0_sql(derived: bool = False) -> str:
           FROM conf c
         ),
         cands AS (
-          SELECT 'event_type=' || f_et AS cause, d_e AS delta, TRUE AS keep
+          -- grp: delta ties rank cross-rule causes (multi-item, grp 0)
+          -- before single-item powerset causes (grp 1), mirroring
+          -- _rank_by_delta's two-level key
+          SELECT 'event_type=' || f_et AS cause, d_e AS delta,
+                 TRUE AS keep, 1 AS grp
           FROM sup
-          UNION ALL SELECT 'hr=' || f_hr, d_h, TRUE FROM sup
-          UNION ALL SELECT 'ub=' || f_ub, d_u, TRUE FROM sup
+          UNION ALL SELECT 'hr=' || f_hr, d_h, TRUE, 1 FROM sup
+          UNION ALL SELECT 'ub=' || f_ub, d_u, TRUE, 1 FROM sup
           UNION ALL SELECT 'event_type=' || f_et || '&hr=' || f_hr,
-                           d_eh, pass_eh FROM sup
+                           d_eh, pass_eh, 0 FROM sup
           UNION ALL SELECT 'event_type=' || f_et || '&ub=' || f_ub,
-                           d_eu, pass_eu FROM sup
+                           d_eu, pass_eu, 0 FROM sup
           UNION ALL SELECT 'hr=' || f_hr || '&ub=' || f_ub,
-                           d_hu, pass_hu FROM sup
+                           d_hu, pass_hu, 0 FROM sup
           UNION ALL SELECT 'event_type=' || f_et || '&hr=' || f_hr
-                           || '&ub=' || f_ub, d_ehu, pass_ehu FROM sup
+                           || '&ub=' || f_ub, d_ehu, pass_ehu, 0 FROM sup
         )
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY delta ASC, cause ASC) - 1
-                    AS INT) AS rnk,
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY delta ASC, grp ASC, cause ASC)
+                    - 1 AS INT) AS rnk,
                cause AS root_cause
         FROM cands
         WHERE keep AND (SELECT wtot FROM fvals) > 0
@@ -2593,7 +2619,7 @@ def _autoroot_search_sql() -> str:
           WHERE par.cid IS NULL
         )
         SELECT elem AS root_cause, CAST(layer AS INT) AS layer,
-               round(avg_s, 6) AS avg_score
+               round(avg_s, 6) + 0e0 AS avg_score
         FROM finalc
     """
 
@@ -2953,9 +2979,9 @@ def _riskloc_first_cause_sql(derived: bool = False) -> str:
           ) WHERE rn = 1
         )
         SELECT elem AS root_cause, CAST(layer AS INT) AS layer,
-               round(ep, 6) AS ep_score,
-               round(high - low, 6) AS risk,
-               round(high, 6) AS high, round(low, 6) AS low
+               round(ep, 6) + 0e0 AS ep_score,
+               round(high - low, 6) + 0e0 AS risk,
+               round(high, 6) + 0e0 AS high, round(low, 6) + 0e0 AS low
         FROM cands
         ORDER BY layer ASC, ep DESC, cid ASC
         LIMIT 1
@@ -3010,11 +3036,11 @@ def _riskloc_layer_scores_sql() -> str:
           {union}
         )
         SELECT cid, elem,
-               round(n_anom, 6) AS n_anom, round(n_norm, 6) AS n_norm,
-               round(ep, 6) AS ep, round(ep_z, 6) AS ep_z, part_sum,
-               round(w1, 6) AS w1, round(w2, 6) AS w2,
-               round(high, 6) AS high, round(low, 6) AS low,
-               round(high - low, 6) AS risk
+               round(n_anom, 6) + 0e0 AS n_anom, round(n_norm, 6) + 0e0 AS n_norm,
+               round(ep, 6) + 0e0 AS ep, round(ep_z, 6) + 0e0 AS ep_z, part_sum,
+               round(w1, 6) + 0e0 AS w1, round(w2, 6) + 0e0 AS w2,
+               round(high, 6) + 0e0 AS high, round(low, 6) + 0e0 AS low,
+               round(high - low, 6) + 0e0 AS risk
         FROM (
           SELECT *, n_anom / (n_anom + n_norm + 1.0) AS high,
                  CASE WHEN w2 IS NULL OR w2 = 0 OR w1 IS NULL THEN 0.0
@@ -3028,13 +3054,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(SUM(l_quantity), 2) AS sum_qty,
-                   round(SUM(l_extendedprice), 2) AS sum_base_price,
-                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   round(AVG(l_quantity), 6) AS avg_qty,
-                   round(AVG(l_extendedprice), 6) AS avg_price,
-                   round(AVG(l_discount), 6) AS avg_disc,
+                   round(SUM(l_quantity), 2) + 0e0 AS sum_qty,
+                   round(SUM(l_extendedprice), 2) + 0e0 AS sum_base_price,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2) + 0e0 AS sum_disc_price,
+                   round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) + 0e0 AS sum_charge,
+                   round(AVG(l_quantity), 6) + 0e0 AS avg_qty,
+                   round(AVG(l_extendedprice), 6) + 0e0 AS avg_price,
+                   round(AVG(l_discount), 6) + 0e0 AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -3042,7 +3068,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey,
-                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2) + 0e0 AS revenue,
                    o_orderdate, o_orderpriority
             FROM customer
             JOIN orders ON c_custkey = o_custkey
@@ -3056,7 +3082,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_local_supplier_volume": """
             SELECT n_name,
-                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2) + 0e0 AS revenue
             FROM customer
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -3069,7 +3095,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "q6_forecast_revenue": """
-            SELECT round(SUM(l_extendedprice * l_discount), 2) AS revenue
+            SELECT round(SUM(l_extendedprice * l_discount), 2) + 0e0 AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -3090,15 +3116,15 @@ def oracle_sql() -> dict[str, str]:
               JOIN customer ON o_custkey = c_custkey
               JOIN nation ON c_nationkey = n_nationkey
             )
-            SELECT n_name, c_custkey, round(revenue, 2) AS revenue, rnk
+            SELECT n_name, c_custkey, round(revenue, 2) + 0e0 AS revenue, rnk
             FROM ranked WHERE rnk <= 3
         """,
         "events_hourly": """
             SELECT event_type,
                    CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
                    COUNT(*) AS n_events,
-                   round(SUM(value), 4) AS sum_value,
-                   round(AVG(value), 6) AS avg_value
+                   round(SUM(value), 4) + 0e0 AS sum_value,
+                   round(AVG(value), 6) + 0e0 AS avg_value
             FROM events
             GROUP BY event_type, hr
         """,
@@ -3106,24 +3132,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    COUNT(*) AS n,
                    CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-                   round(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
+                   round(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 6) + 0e0 AS avg_k
             FROM events
             GROUP BY event_type
         """,
         "rca_frame": f"""
             WITH {_RCA_CTE}
             SELECT event_type, hr, ub,
-                   round("real", 6) AS "real",
-                   round(predict, 6) AS predict
+                   round("real", 6) + 0e0 AS "real",
+                   round(predict, 6) + 0e0 AS predict
             FROM rca
         """,
         "rca_scores": f"""
             WITH {_RCA_CTE},
             tot AS (SELECT SUM("real") AS A, SUM(predict) AS Ff FROM rca)
             SELECT event_type, hr, ub,
-                   round(("real" - predict) / (A - Ff), 6) AS ep,
+                   round(("real" - predict) / (A - Ff), 6) + 0e0 AS ep,
                    round(CASE WHEN predict + "real" = 0 THEN 0.0
-                         ELSE 2 * (predict - "real") / (predict + "real") END, 6) AS deviation
+                         ELSE 2 * (predict - "real") / (predict + "real") END, 6) + 0e0 AS deviation
             FROM rca CROSS JOIN tot
         """,
         "rca_partition": f"""
@@ -3150,12 +3176,12 @@ def oracle_sql() -> dict[str, str]:
               FROM scored s CROSS JOIN cut c
             )
             SELECT event_type, hr, ub,
-                   round(deviation, 6) AS deviation,
+                   round(deviation, 6) + 0e0 AS deviation,
                    CAST(part AS INT) AS part,
                    round(LEAST(
                      CASE WHEN part = 1 THEN abs(deviation)
                           WHEN "real" = 0 AND predict = 0 THEN 0.0
-                          ELSE abs(cutoff - deviation) END, 1.0), 6) AS weight
+                          ELSE abs(cutoff - deviation) END, 1.0), 6) + 0e0 AS weight
             FROM parts
         """,
         "adtributor_elements": f"""
@@ -3170,7 +3196,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             tot AS (SELECT SUM("real") AS A, SUM(predict) AS Ff FROM el)
             SELECT dimension, element,
-                   round(("real" - predict) / (A - Ff), 6) AS ep,
+                   round(("real" - predict) / (A - Ff), 6) + 0e0 AS ep,
                    round(
                      0.5 * (
                        CASE WHEN predict = 0 OR (predict / (Ff / 3.0) + "real" / (A / 3.0)) = 0 THEN 0.0
@@ -3179,7 +3205,7 @@ def oracle_sql() -> dict[str, str]:
                        + CASE WHEN "real" = 0 OR (predict / (Ff / 3.0) + "real" / (A / 3.0)) = 0 THEN 0.0
                               ELSE ("real" / (A / 3.0)) * ln(2 * ("real" / (A / 3.0))
                                    / (predict / (Ff / 3.0) + "real" / (A / 3.0))) END
-                     ), 6) AS surprise
+                     ), 6) + 0e0 AS surprise
             FROM el CROSS JOIN tot
         """,
         "adtributor_candidates": f"""
@@ -3219,23 +3245,23 @@ def oracle_sql() -> dict[str, str]:
                      MIN(CASE WHEN ep > 0.05 AND cum_ep > 0.1 THEN rn END) AS stop_rn
               FROM ranked GROUP BY dimension
             )
-            SELECT r.dimension, r.element, round(r.ep, 6) AS ep, round(r.surprise, 6) AS surprise
+            SELECT r.dimension, r.element, round(r.ep, 6) + 0e0 AS ep, round(r.surprise, 6) + 0e0 AS surprise
             FROM ranked r JOIN stops s ON r.dimension = s.dimension
             WHERE r.rn <= s.stop_rn AND r.ep > 0.05
         """,
         "text_stats": f"""
             WITH {_TEXT_STATS_CTE}
             SELECT doc_id, n_tokens,
-                   round(punct_ratio, 6) AS punct_ratio,
-                   round(stopword_ratio, 6) AS stopword_ratio,
-                   CAST(round(quality, 2) AS DOUBLE) AS quality,
+                   round(punct_ratio, 6) + 0e0 AS punct_ratio,
+                   round(stopword_ratio, 6) + 0e0 AS stopword_ratio,
+                   CAST(round(quality, 2) + 0e0 AS DOUBLE) AS quality,
                    lang_pred
             FROM scored_docs
         """,
         "lang_quality_by_source": f"""
             WITH {_TEXT_STATS_CTE}
             SELECT source, COUNT(*) AS n_docs,
-                   round(AVG(n_tokens), 6) AS avg_tokens
+                   round(AVG(n_tokens), 6) + 0e0 AS avg_tokens
             FROM scored_docs
             WHERE lang_pred = 'en' AND quality >= 0.7
             GROUP BY source
@@ -3244,7 +3270,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id
             FROM (
               SELECT doc_id,
-                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+                     regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS norm
               FROM documents
             )
             GROUP BY norm
@@ -3262,7 +3288,7 @@ def oracle_sql() -> dict[str, str]:
               FROM q CROSS JOIN c
             ),
             r AS (
-              SELECT query_id, vec_id, round(cs, 6) AS cos_sim,
+              SELECT query_id, vec_id, round(cs, 6) + 0e0 AS cos_sim,
                      CAST(row_number() OVER (PARTITION BY query_id
                           ORDER BY cs DESC, vec_id ASC) AS INT) AS rnk
               FROM s
@@ -3318,7 +3344,7 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY dim_surprise DESC, dimension ASC LIMIT 2
             )
             SELECT s.dimension, s.element,
-                   round(s.ep, 6) AS ep, round(s.surprise, 6) AS surprise
+                   round(s.ep, 6) + 0e0 AS ep, round(s.surprise, 6) + 0e0 AS surprise
             FROM scored s JOIN picked p ON s.dimension = p.dimension
             WHERE s.ep > 0.05
         """,
@@ -3326,10 +3352,10 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": """
             SELECT doc_id,
                    CAST(CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                        ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))
                         END AS INT) AS n_tokens,
                    CAST(len(regexp_extract_all(text,
-                        '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INT) AS n_bpe_pieces
+                        '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+')) AS INT) AS n_bpe_pieces
             FROM documents
         """,
         "dedup_groups": _dedup_groups_sql(),
@@ -3342,7 +3368,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": """
             WITH toks AS (
               SELECT doc_id,
-                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+                     string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ') AS w
               FROM documents
             ),
             sh AS (
@@ -3364,7 +3390,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             )
             SELECT id_a, id_b,
-                   round(CAST(i AS DOUBLE) / (a.n + b.n - i), 6) AS jaccard
+                   round(CAST(i AS DOUBLE) / (a.n + b.n - i), 6) + 0e0 AS jaccard
             FROM inter
             JOIN sizes a ON id_a = a.doc_id
             JOIN sizes b ON id_b = b.doc_id
@@ -3385,7 +3411,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             eps AS (SELECT SUM(ep_raw) AS ep_sum FROM raw)
             SELECT event_type, hr, ub,
-                   round(ep_raw / e.ep_sum, 6) AS ep,
+                   round(ep_raw / e.ep_sum, 6) + 0e0 AS ep,
                    round(
                      0.5 * (
                        CASE WHEN predict_a / Fa = 0 OR (predict_a / Fa + real_a / Aa) = 0 THEN 0.0
@@ -3402,7 +3428,7 @@ def oracle_sql() -> dict[str, str]:
                        + CASE WHEN real_b / Ab = 0 OR (predict_b / Fb + real_b / Ab) = 0 THEN 0.0
                               ELSE (real_b / Ab) * ln(2 * (real_b / Ab)
                                    / (predict_b / Fb + real_b / Ab)) END
-                     ), 6) AS surprise
+                     ), 6) + 0e0 AS surprise
             FROM raw CROSS JOIN eps e
         """,
         "robustspot_scores": f"""
@@ -3437,7 +3463,7 @@ def oracle_sql() -> dict[str, str]:
                          ELSE (fd / fm)
                               * ((value_real + (fm - value_predict))
                                  / (cnt_real + (fd - cnt_predict))) - 1.0
-                         END, 6) AS ca
+                         END, 6) + 0e0 AS ca
             FROM ad CROSS JOIN tot
         """,
         "adtributor_elements_derived": f"""
@@ -3467,7 +3493,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             eps AS (SELECT SUM(ep_raw) AS ep_sum FROM raw)
             SELECT dimension, element,
-                   round(ep_raw / e.ep_sum, 6) AS ep,
+                   round(ep_raw / e.ep_sum, 6) + 0e0 AS ep,
                    round(
                      0.5 * (
                        CASE WHEN predict_a / (Fa / 3.0) = 0
@@ -3488,7 +3514,7 @@ def oracle_sql() -> dict[str, str]:
                                    OR (predict_b / (Fb / 3.0) + real_b / (Ab / 3.0)) = 0 THEN 0.0
                               ELSE (real_b / (Ab / 3.0)) * ln(2 * (real_b / (Ab / 3.0))
                                    / (predict_b / (Fb / 3.0) + real_b / (Ab / 3.0))) END
-                     ), 6) AS surprise
+                     ), 6) + 0e0 AS surprise
             FROM raw CROSS JOIN eps e
         """,
         "q4_priority_semi": """
@@ -3517,7 +3543,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
                    COUNT(*) AS n_events,
-                   round(SUM(value), 4) AS sum_value
+                   round(SUM(value), 4) + 0e0 AS sum_value
             FROM events
             GROUP BY ROLLUP(event_type, hr)
         """,
@@ -3533,8 +3559,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT w.event_type, CAST(window_start AS TIMESTAMP) AS window_start,
                    n_events,
-                   round(v, 4) AS "real",
-                   round(n_events * COALESCE(mean_value, 0.0), 6) AS predict,
+                   round(v, 4) + 0e0 AS "real",
+                   round(n_events * COALESCE(mean_value, 0.0), 6) + 0e0 AS predict,
                    round(CASE WHEN n_events * COALESCE(mean_value, 0.0) + v = 0
                          THEN 0.0
                          ELSE 2 * (n_events * COALESCE(mean_value, 0.0) - v)
@@ -3564,8 +3590,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c.event_type, CAST(ws AS TIMESTAMP) AS window_start,
                    n_events,
-                   round(v, 4) AS "real",
-                   round(n_events * COALESCE(mean_value, 0.0), 6) AS predict,
+                   round(v, 4) + 0e0 AS "real",
+                   round(n_events * COALESCE(mean_value, 0.0), 6) + 0e0 AS predict,
                    round(CASE WHEN n_events * COALESCE(mean_value, 0.0) + v = 0
                          THEN 0.0
                          ELSE 2 * (n_events * COALESCE(mean_value, 0.0) - v)
@@ -3604,9 +3630,9 @@ def oracle_sql() -> dict[str, str]:
                 ON r.event_type = w.event_type AND r.idx = w.idx
             )
             SELECT event_type, CAST(ws AS TIMESTAMP) AS window_start,
-                   round(v, 4) AS "real",
-                   round(predict, 6) AS predict,
-                   round(dev, 6) AS deviation,
+                   round(v, 4) + 0e0 AS "real",
+                   round(predict, 6) + 0e0 AS predict,
+                   round(dev, 6) + 0e0 AS deviation,
                    ABS(dev) > 0.5 AS is_anomaly
             FROM joined
             WHERE idx < n_win - 1  -- emit-on-close: last window stays open
@@ -3618,7 +3644,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_RCA_CTE},
             rcaf AS (SELECT * FROM rca WHERE "real" > 0 OR predict > 0)
             SELECT 'event_type=click' AS cause,
-                   round(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) AS support FROM rcaf
+                   round(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) + 0e0 AS support FROM rcaf
             UNION ALL
             SELECT 'event_type=view',
                    round(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) FROM rcaf
@@ -3665,10 +3691,10 @@ def oracle_sql() -> dict[str, str]:
               FROM labeled
             )
             SELECT label, COUNT(*) AS n_leaves,
-                   CAST(round(SUM(CAST(predict AS DECIMAL(38,9))), 6) AS DOUBLE) AS predict_amount,
-                   CAST(round(SUM(CAST(ABS("real" - predict) AS DECIMAL(38,9))), 6) AS DOUBLE) AS predict_error,
+                   CAST(round(SUM(CAST(predict AS DECIMAL(38,9))), 6) + 0e0 AS DOUBLE) AS predict_amount,
+                   CAST(round(SUM(CAST(ABS("real" - predict) AS DECIMAL(38,9))), 6) + 0e0 AS DOUBLE) AS predict_error,
                    round(CAST(SUM(CAST(ABS("real" - predict) AS DECIMAL(38,9))) AS DOUBLE)
-                         / MAX(tot.tp), 6) AS error_share
+                         / MAX(tot.tp), 6) + 0e0 AS error_share
             FROM labeled CROSS JOIN tot
             GROUP BY label
         """,

@@ -13,12 +13,19 @@ from pyspark.sql import functions as F
 # tiny stopword list shared with the SQL twin (language-id heuristic)
 EN_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
 
+# Engine-identical whitespace class. Java's \s is [ \t\n\x0B\f\r] while
+# RE2's (DuckDB's) \s is [\t\n\f\r ] — no vertical tab — so a document
+# containing VT would tokenize differently under the two engines and
+# flap the hash gate. Spelling the class out (\x0B parses identically
+# in both) removes the divergence; the SQL twins use the same class.
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+
 
 def token_count(text: Column) -> Column:
     """Whitespace tokenization; empty string -> 0 tokens."""
     trimmed = F.trim(text)
     return F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+        F.size(F.split(trimmed, WS_CLASS + "+"))
     )
 
 
@@ -36,7 +43,7 @@ def punct_ratio(text: Column) -> Column:
 def stopword_ratio(text: Column) -> Column:
     """Fraction of tokens that are common English stopwords."""
     trimmed = F.trim(text)
-    toks = F.split(F.lower(trimmed), r"\s+")
+    toks = F.split(F.lower(trimmed), WS_CLASS + "+")
     hits = F.size(
         F.filter(toks, lambda t: t.isin(EN_STOPWORDS))
     )
@@ -85,7 +92,7 @@ def fingerprint(text: Column, portable: bool = False) -> Column:
     exact dedup). ``portable=True`` swaps in the md5-derived 60-bit hash
     (operators/dedup.md5_hash64) so the value is reproducible in any
     ANSI-SQL engine — used by the oracle gate."""
-    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(text)), WS_CLASS + "+", " ")
     if portable:
         from riskloc_spark.operators.dedup import md5_hash64
 
@@ -97,8 +104,12 @@ def fingerprint(text: Column, portable: bool = False) -> Column:
 # letter / digit / other-symbol runs, residual whitespace. Lookahead-free
 # on purpose — Java (Spark) and RE2 (DuckDB) regex engines agree on it,
 # so the count is oracle-checkable. (The canonical GPT-2 pattern's
-# `\s+(?!\S)` lookahead is unsupported by RE2.)
-BPE_PIECE_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# `\s+(?!\S)` lookahead is unsupported by RE2; whitespace is the
+# explicit WS_CLASS because the engines' \s definitions differ on VT.)
+BPE_PIECE_REGEX = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+    + r"| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|" + WS_CLASS + "+"
+)
 
 
 def bpe_token_count(text: Column) -> Column:

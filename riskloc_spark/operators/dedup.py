@@ -10,9 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from riskloc_spark.functions.text import WS_CLASS
+
 
 def _norm_text(col):
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(col)), WS_CLASS + "+", " ")
 
 
 def xxhash64_fn(col, seed: int | None = None):

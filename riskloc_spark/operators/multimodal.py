@@ -7,16 +7,22 @@ with a typed metadata struct, and every kernel runs as an Arrow-batched
 ``mapInPandas`` over partitions, so the Spark side (schema, batching,
 partition parallelism, no driver collects) is real and tested.
 
-DECODE KERNELS ARE STUBBED: the container has no image/audio libs, so
-``_decode_kernel``/``_resize_kernel``/``_frame_kernel`` fall back to a
-clearly-marked deterministic fake (content-hash derived) when Pillow is
-absent. The fake preserves every contract the pipeline relies on
-(determinism, schema, per-row independence), so swapping in a real
-decoder changes no Spark-side code.
+DECODE: real header parsing for the three dominant image formats —
+PNG (IHDR + APNG acTL), GIF87a/89a (logical screen descriptor + image
+block walk), JPEG (SOFn scan) — implemented with ``struct`` only, no
+dependency (``parse_image_header``). Pillow, when present, remains the
+preferred branch (full decode, all formats). Payloads that match no
+known magic fall back to a clearly-marked deterministic fake
+(content-hash derived) so mixed corpora keep flowing; payloads whose
+magic matches but whose header is truncated/corrupt surface NULL
+metadata — dimensions are never fabricated for real images.
+``resize``/``frame-sample`` pixel kernels remain stubbed (no codec in
+the container); their Spark-side plumbing is real and tested.
 """
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -48,6 +54,185 @@ MEDIA_META = T.StructType(
 )
 
 
+_NULL_META = {
+    "width": None,
+    "height": None,
+    "n_channels": None,
+    "duration_ms": None,
+    "n_frames": None,
+}
+
+# PNG color type -> band count (matches Pillow's len(im.getbands()):
+# gray, RGB, palette ('P' = 1 band), gray+alpha, RGBA).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# JPEG SOFn markers carrying frame dimensions (C4=DHT, C8=JPG ext,
+# CC=DAC are in the C0-CF range but are NOT frame headers).
+_JPEG_SOF = {
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+}
+
+
+def _parse_png(data: bytes) -> dict | None:
+    """PNG: 8-byte magic, then chunks of (len u32 BE, type, payload,
+    crc). IHDR is first: width/height u32 BE, bit depth, color type.
+    APNG stores the frame count in an acTL chunk before IDAT."""
+    if len(data) < 33:  # magic + IHDR chunk is 33 bytes minimum
+        return None
+    if data[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack(">II", data[16:24])
+    color_type = data[25]
+    n_channels = _PNG_CHANNELS.get(color_type)
+    if width == 0 or height == 0 or n_channels is None:
+        return None
+    n_frames, pos = 1, 8
+    while pos + 8 <= len(data):  # chunk walk, bounded by the payload
+        (length,) = struct.unpack(">I", data[pos: pos + 4])
+        ctype = data[pos + 4: pos + 8]
+        if ctype == b"acTL" and pos + 12 <= len(data):
+            (n_frames,) = struct.unpack(">I", data[pos + 8: pos + 12])
+            n_frames = max(int(n_frames), 1)
+            break
+        if ctype in (b"IDAT", b"IEND"):
+            break
+        pos += 12 + length  # len + type + payload + crc
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_channels": n_channels,
+        "duration_ms": 0,
+        "n_frames": n_frames,
+    }
+
+
+def _parse_gif(data: bytes) -> dict | None:
+    """GIF: 6-byte magic, logical screen descriptor (width/height u16
+    LE), optional global color table, then a block stream — 0x21
+    extensions (sub-blocks until a 0 terminator), 0x2C image
+    descriptors (one per frame), 0x3B trailer. The first Graphic
+    Control Extension's delay (1/100 s) matches Pillow's
+    im.info['duration'] (ms)."""
+    if len(data) < 13:
+        return None
+    width, height = struct.unpack("<HH", data[6:10])
+    if width == 0 or height == 0:
+        return None
+    flags = data[10]
+    pos = 13
+    if flags & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        pos += 3 * (2 << (flags & 0x07))
+    n_frames, delay_ms = 0, 0
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(data):
+            size = data[p]
+            p += 1
+            if size == 0:
+                return p
+            p += size
+        return p
+
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte, then sub-blocks
+            if pos + 2 > len(data):
+                return None
+            label = data[pos + 1]
+            if (
+                label == 0xF9
+                and delay_ms == 0
+                and pos + 6 <= len(data)
+                and data[pos + 2] == 4
+            ):
+                (delay,) = struct.unpack("<H", data[pos + 4: pos + 6])
+                delay_ms = int(delay) * 10
+            pos = skip_subblocks(pos + 2)
+        elif block == 0x2C:  # image descriptor: 9 bytes + local table
+            if pos + 10 > len(data):
+                return None
+            lflags = data[pos + 9]
+            pos += 10
+            if lflags & 0x80:
+                pos += 3 * (2 << (lflags & 0x07))
+            pos += 1  # LZW minimum code size
+            pos = skip_subblocks(pos)
+            n_frames += 1
+        else:  # malformed block stream
+            return None
+    if n_frames == 0:
+        return None
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_channels": 1,  # palette-based, Pillow mode 'P' = 1 band
+        "duration_ms": delay_ms * n_frames,
+        "n_frames": n_frames,
+    }
+
+
+def _parse_jpeg(data: bytes) -> dict | None:
+    """JPEG: marker walk from SOI to the first SOFn segment, which
+    carries precision(1) height(2 BE) width(2 BE) components(1)."""
+    pos = 2  # past SOI
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers, no length field
+            continue
+        (seg_len,) = struct.unpack(">H", data[pos + 2: pos + 4])
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF:
+            if pos + 10 > len(data):
+                return None
+            height, width = struct.unpack(">HH", data[pos + 5: pos + 9])
+            n_channels = data[pos + 9]
+            if width == 0 or height == 0 or n_channels == 0:
+                return None
+            return {
+                "width": int(width),
+                "height": int(height),
+                "n_channels": int(n_channels),
+                "duration_ms": 0,
+                "n_frames": 1,
+            }
+        pos += 2 + seg_len
+    return None
+
+
+def parse_image_header(data: bytes) -> dict | None:
+    """Dependency-free metadata decode for PNG / GIF / JPEG payloads.
+
+    Returns the MEDIA_META dict for a parseable image, the NULL-meta
+    dict (all fields None) when the magic matches a known format but
+    the header is truncated or malformed (a real image must never get
+    fabricated dimensions), and None when the payload matches no known
+    image magic (caller decides the fallback)."""
+    data = bytes(data)
+    fmt = None
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        fmt = _parse_png
+    elif data[:6] in (b"GIF87a", b"GIF89a"):
+        fmt = _parse_gif
+    elif data[:2] == b"\xff\xd8":
+        fmt = _parse_jpeg
+    if fmt is None:
+        return None
+    try:
+        meta = fmt(data)
+    except (struct.error, IndexError):
+        meta = None
+    return meta if meta is not None else dict(_NULL_META)
+
+
 def _content_hash(data: bytes) -> np.random.Generator:
     """Deterministic per-payload RNG — the stub decoder's entropy source."""
     seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "big")
@@ -58,13 +243,13 @@ def _decode_kernel(data: bytes) -> dict:
     """Decode media metadata for one payload.
 
     With Pillow available, a REAL decode: open the payload and read true
-    width / height / channel count / frame count. Payloads Pillow cannot
-    identify (non-image bytes — e.g. the text-as-binary test adapter)
-    fall back to the deterministic stub, so the pipeline keeps working
-    on mixed corpora and the dependency appearing is an upgrade, not an
-    outage. Without Pillow (this container), always the stub:
-    content-hash-derived plausible metadata, so tests can assert
-    determinism end-to-end."""
+    width / height / channel count / frame count. Without Pillow (this
+    container), PNG / GIF / JPEG payloads still get a REAL header
+    decode via ``parse_image_header`` (struct-only, no dependency).
+    Payloads matching no known image magic (non-image bytes — e.g. the
+    text-as-binary test adapter) fall back to the deterministic stub,
+    so the pipeline keeps working on mixed corpora and a richer decoder
+    appearing is an upgrade, not an outage."""
     if _HAVE_PIL:
         import io
 
@@ -81,17 +266,14 @@ def _decode_kernel(data: bytes) -> dict:
                     "n_frames": n_frames,
                 }
         except UnidentifiedImageError:
-            pass  # not an image payload -> deterministic stub below
+            pass  # not an image payload -> header parse / stub below
         except Exception:
             # a REAL image that failed to decode (truncated/corrupt/
             # bomb-guard): surface nulls, never fabricate dimensions
-            return {
-                "width": None,
-                "height": None,
-                "n_channels": None,
-                "duration_ms": None,
-                "n_frames": None,
-            }
+            return dict(_NULL_META)
+    parsed = parse_image_header(data)
+    if parsed is not None:
+        return parsed
     rng = _content_hash(data)
     w = int(rng.integers(64, 1920))
     h = int(rng.integers(64, 1080))
@@ -221,7 +403,8 @@ def sample_frames(
             ids, idxs, frames = [], [], []
             for mid, b in zip(pdf[id_col], pdf[bytes_col]):
                 b = bytes(b)
-                n_frames = _decode_kernel(b)["n_frames"]
+                # None = corrupt real image (null meta): nothing to sample
+                n_frames = _decode_kernel(b)["n_frames"] or 0
                 size = max(len(b) // max(n_frames, 1), 1)
                 for i in range(0, n_frames, every_n):
                     ids.append(mid)

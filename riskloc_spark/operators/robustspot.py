@@ -223,13 +223,21 @@ def _mine_candidates(
 
 
 def _rank_by_delta(causes: list[tuple], deltas: np.ndarray) -> list[tuple]:
-    """Top-5 causes by support delta, ascending. Delta ties break on the
-    canonical cause content (col-sorted), NOT list position — the
-    reference's positional order is downstream of Python set-iteration
-    noise and varies across interpreter runs; content ordering makes
-    results reproducible (and SQL-expressible for the round-0 gate)."""
+    """Top-5 causes by support delta, ascending. Delta ties break first
+    on source group — cross-rule causes (len >= 2) before single-item
+    powerset causes, the deterministic part of the reference's
+    positional order (mining.py appends cross first, stable sort keeps
+    it) — then on canonical cause content (col-sorted). Content replaces
+    the reference's WITHIN-group positional order, which is downstream
+    of Python set-iteration noise and varies across interpreter runs;
+    the two-level key makes results reproducible (and SQL-expressible
+    for the round-0 gate) while preserving the reproducible half of the
+    reference's tie ordering."""
     canon = [tuple(sorted(c, key=lambda it: it[0])) for c in causes]
-    order = sorted(range(len(causes)), key=lambda i: (deltas[i], canon[i]))
+    order = sorted(
+        range(len(causes)),
+        key=lambda i: (deltas[i], 0 if len(causes[i]) >= 2 else 1, canon[i]),
+    )
     return [canon[i] for i in order[:5]]
 
 

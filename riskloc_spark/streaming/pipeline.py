@@ -59,13 +59,18 @@ def events_stream(
 
     try:
         probed = spark.read.parquet(path).schema
-    except AnalysisException:
-        # "Unable to infer schema": no files yet. Other read errors
-        # (bad path permissions, corrupt footers) still fail fast.
+    except AnalysisException as e:
+        # Only the empty-directory case may fall back (no files yet is
+        # normal stream startup). A nonexistent / mistyped path also
+        # raises AnalysisException (PATH_NOT_FOUND) — that, and every
+        # other read error (permissions, corrupt footers), fails fast.
         # NOTE: the fallback assumes MICROS/NTZ files will arrive — a
         # TIMESTAMP(NANOS) file landing later reads as INT64 and will
         # mismatch this schema; for a NANOS-producing source pass the
         # bigint schema explicitly.
+        err_class = getattr(e, "getErrorClass", lambda: None)() or ""
+        if "UNABLE_TO_INFER_SCHEMA" not in err_class:
+            raise
         probed = schema if schema is not None else EVENT_SCHEMA
     reader = spark.readStream.schema(probed)
     for k, v in (options or {}).items():  # e.g. maxFilesPerTrigger

@@ -115,3 +115,133 @@ def test_decode_kernel_uses_real_pil_when_available(monkeypatch):
     stub = mm._decode_kernel(b"plain text payload")
     monkeypatch.setattr(mm, "_HAVE_PIL", False)
     assert stub == mm._decode_kernel(b"plain text payload")
+
+
+# ---------------------------------------------------------------------------
+# Dependency-free real header decode (round 6): hand-built payloads with
+# known dimensions; parse_image_header must return exact metadata.
+
+import binascii
+import struct
+import zlib
+
+
+def _png_chunk(typ, payload):
+    return (
+        struct.pack(">I", len(payload)) + typ + payload
+        + struct.pack(">I", binascii.crc32(typ + payload))
+    )
+
+
+def _make_png(width=1, height=1, color_type=2, actl_frames=None):
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    body = _png_chunk(b"IHDR", ihdr)
+    if actl_frames is not None:
+        body += _png_chunk(b"acTL", struct.pack(">II", actl_frames, 0))
+    row = b"\x00" + b"\x7f" * (3 * width)
+    body += _png_chunk(b"IDAT", zlib.compress(row * height))
+    body += _png_chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
+def _make_gif(width=3, height=5, n_frames=2, delay_centisec=50):
+    out = b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+    for _ in range(n_frames):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_centisec) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out += b"\x02" + b"\x02\x44\x01" + b"\x00"  # LZW min + one sub-block
+    return out + b"\x3b"
+
+
+def _make_jpeg(width=9, height=7, n_channels=3):
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 8 + 3 * n_channels)
+        + b"\x08" + struct.pack(">HH", height, width)
+        + bytes([n_channels]) + b"\x01\x11\x00" * n_channels
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_parse_image_header_png():
+    from riskloc_spark.operators.multimodal import parse_image_header
+
+    meta = parse_image_header(_make_png(width=17, height=23, color_type=2))
+    assert meta == {
+        "width": 17, "height": 23, "n_channels": 3,
+        "duration_ms": 0, "n_frames": 1,
+    }
+    # color types map to Pillow band counts
+    assert parse_image_header(_make_png(color_type=0))["n_channels"] == 1
+    assert parse_image_header(_make_png(color_type=6))["n_channels"] == 4
+    # APNG: acTL chunk carries the frame count
+    assert parse_image_header(_make_png(actl_frames=5))["n_frames"] == 5
+
+
+def test_parse_image_header_gif():
+    from riskloc_spark.operators.multimodal import parse_image_header
+
+    meta = parse_image_header(_make_gif(width=3, height=5, n_frames=2))
+    assert meta == {
+        "width": 3, "height": 5, "n_channels": 1,
+        "duration_ms": 1000,  # 50 centisec * 10 ms * 2 frames
+        "n_frames": 2,
+    }
+    assert parse_image_header(_make_gif(n_frames=4))["n_frames"] == 4
+
+
+def test_parse_image_header_jpeg():
+    from riskloc_spark.operators.multimodal import parse_image_header
+
+    meta = parse_image_header(_make_jpeg(width=9, height=7, n_channels=3))
+    assert meta == {
+        "width": 9, "height": 7, "n_channels": 3,
+        "duration_ms": 0, "n_frames": 1,
+    }
+    assert parse_image_header(_make_jpeg(n_channels=1))["n_channels"] == 1
+
+
+def test_parse_image_header_corrupt_and_unknown():
+    from riskloc_spark.operators.multimodal import parse_image_header
+
+    # known magic + truncated header: NULL meta, never fabricated dims
+    null_meta = {
+        "width": None, "height": None, "n_channels": None,
+        "duration_ms": None, "n_frames": None,
+    }
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n\x00\x00") == null_meta
+    assert parse_image_header(b"GIF89a\x03\x00") == null_meta
+    assert parse_image_header(b"\xff\xd8\xff\xc0\x00\x02") == null_meta
+    # unknown magic: None (caller falls back to the stub)
+    assert parse_image_header(b"plain text payload") is None
+
+
+def test_decode_kernel_real_headers_without_pil():
+    """Without Pillow, PNG/GIF/JPEG payloads get REAL dimensions from the
+    header parser — not stub metadata."""
+    from riskloc_spark.operators import multimodal as mm
+
+    assert not mm._HAVE_PIL  # this container
+    meta = mm._decode_kernel(_make_png(width=640, height=480))
+    assert (meta["width"], meta["height"]) == (640, 480)
+    meta = mm._decode_kernel(_make_gif(width=12, height=34, n_frames=3))
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (12, 34, 3)
+    meta = mm._decode_kernel(_make_jpeg(width=800, height=600))
+    assert (meta["width"], meta["height"]) == (800, 600)
+
+
+def test_decode_media_real_images_end_to_end(spark):
+    """Mixed corpus through the distributed decode: real images yield
+    true dimensions, non-image payloads keep the deterministic stub."""
+    rows = [
+        (1, _make_png(width=32, height=16)),
+        (2, _make_gif(width=8, height=4, n_frames=2)),
+        (3, _make_jpeg(width=20, height=10)),
+        (4, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r["meta"] for r in decode_media(df).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (32, 16)
+    assert (out[2]["width"], out[2]["height"], out[2]["n_frames"]) == (8, 4, 2)
+    assert (out[3]["width"], out[3]["height"]) == (20, 10)
+    assert out[4]["width"] is not None  # stub still fills plausible meta

@@ -162,3 +162,31 @@ def test_id_threshold_weighted_parity_with_duplicates():
     # <3 rows total: no knee either way
     assert _id_threshold_weighted(np.array([0.2, 0.9]), np.array([1.0, 1.0])) == 0.5
     assert _id_threshold_weighted(np.array([]), np.array([])) == 0.5
+
+
+def test_rank_by_delta_tie_groups_cross_before_powerset():
+    """Delta ties: cross-rule causes (multi-item) must precede
+    single-item powerset causes — the deterministic half of the
+    reference's positional tie order (mining.py appends cross first;
+    Python's stable sort keeps them ahead). Within a group, ties break
+    on canonical content (round-6 ADVICE)."""
+    import numpy as np
+
+    from riskloc_spark.operators.robustspot import _rank_by_delta
+
+    causes = [
+        (("hr", "9"),),                       # single-item, delta 0.5
+        (("ub", "2"), ("event_type", "x")),   # cross,       delta 0.5
+        (("event_type", "a"),),               # single-item, delta 0.5
+        (("hr", "1"), ("ub", "7")),           # cross,       delta 0.5
+        (("ub", "3"),),                       # delta -1.0: lowest first
+    ]
+    ranked = _rank_by_delta(causes, np.array([0.5, 0.5, 0.5, 0.5, -1.0]))
+    assert ranked[0] == (("ub", "3"),)
+    # all cross causes before any single-item cause on the tied delta,
+    # each group internally content-ordered
+    assert ranked[1:3] == [
+        (("event_type", "x"), ("ub", "2")),
+        (("hr", "1"), ("ub", "7")),
+    ]
+    assert ranked[3:] == [(("event_type", "a"),), (("hr", "9"),)]

@@ -286,6 +286,19 @@ def test_events_stream_empty_dir_falls_back_to_static_schema(spark, tmp_path):
     assert dict(stream.dtypes)["ts"] == "timestamp"
 
 
+def test_events_stream_missing_path_fails_fast(spark, tmp_path):
+    """Only UNABLE_TO_INFER_SCHEMA (empty dir) may fall back to the
+    static schema. A nonexistent / mistyped path raises
+    AnalysisException(PATH_NOT_FOUND) too, and silently streaming from a
+    typo'd path with a guessed schema would be a data-loss bug — it must
+    re-raise (round-6 ADVICE)."""
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException) as exc:
+        events_stream(spark, str(tmp_path / "no_such_subdir"))
+    assert "PATH_NOT_FOUND" in (exc.value.getErrorClass() or "")
+
+
 def test_events_stream_ntz_independent_of_session_tz(spark, tmp_path):
     """The NTZ->timestamp conversion must treat the wall-clock as UTC via
     interval arithmetic — NOT by mutating spark.sql.session.timeZone, and

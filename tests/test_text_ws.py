@@ -1,0 +1,79 @@
+"""Whitespace-class engine agreement (round 6, ADVICE): Java's \\s
+includes vertical tab (U+000B), RE2's does not — both engines now use
+the explicit WS_CLASS, so VT-bearing documents must tokenize identically
+in Spark and DuckDB. These strings never appear in the test corpus; this
+test manufactures them."""
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from riskloc_spark.functions.text import (
+    WS_CLASS,
+    bpe_token_count,
+    token_count,
+)
+
+TRICKY = [
+    "plain words here",
+    "vertical\x0btab separated",        # VT: the divergent character
+    "form\x0cfeed and\ttab and\nnewline",
+    "mixed \x0b \x0c \r\n runs",
+    "",
+    "   ",
+    "ends with vt\x0b",
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRICKY)], "id long, text string"
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(TRICKY)))
+    return sdf, con
+
+
+def test_token_count_agrees_on_vt(frames):
+    sdf, con = frames
+    got = {
+        r["id"]: r["n"]
+        for r in sdf.select("id", token_count(F.col("text")).alias("n")).collect()
+    }
+    want = dict(
+        con.execute(
+            "SELECT id, CAST(CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) "
+            "END AS INT) FROM t"
+        ).fetchall()
+    )
+    assert got == want
+    # the VT row must actually split (2 tokens) — the old Java-\s-only
+    # behavior in DuckDB would have returned 1
+    assert got[1] == 3
+
+
+def test_bpe_pieces_agree_on_vt(frames):
+    sdf, con = frames
+    got = {
+        r["id"]: r["n"]
+        for r in sdf.select(
+            "id", bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    want = dict(
+        con.execute(
+            "SELECT id, CAST(len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+"
+            "| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+')) AS INT) "
+            "FROM t"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_ws_class_is_engine_identical():
+    """The class spells out exactly Java's \\s set, so neither engine's
+    shorthand semantics are load-bearing."""
+    assert WS_CLASS == r"[ \t\n\x0B\f\r]"
