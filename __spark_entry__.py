@@ -1271,6 +1271,92 @@ def squeeze_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _metric_box_density(x, v, c):
+    """Box density for the KPI pre-filter gate: halfwidth scaled to the
+    metric range (metrics span arbitrary magnitudes, unlike deviations).
+    (max - min) / 20.0 is one subtraction + one division — exact in
+    both engines (SQL: (MAX(metric) - MIN(metric)) / 2e1)."""
+    import numpy as np
+
+    from riskloc_spark.operators.squeeze import box_density
+
+    return box_density(
+        x, v, c, halfwidth=float((np.max(v) - np.min(v)) / 20.0)
+    )
+
+
+def squeeze_clusters_kde_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """squeeze's KDE clustering branch under the gate via the injectable
+    density (kde_density_fn=box_density — the density-level analogue of
+    autoroot's cluster_ends): the non-bit-portable gaussian exp() grid
+    is replaced by portable box counting, and everything else in the
+    kde branch runs for REAL — the arange(min, max, 0.01) sample grid
+    (numpy fill semantics), the (1,2,1) smoothing-kernel np.convolve
+    ('full', truncated, /4), the auto smoothing window, circular
+    relextrema, minima boundaries, member ranges, and the max_normal
+    filter (ref density_cluster.py:27-33 kde branch)."""
+    import numpy as np
+
+    from riskloc_spark.operators.squeeze import (
+        SqueezeOptions,
+        box_density,
+        density_cluster_1d,
+    )
+
+    df = rca_events(spark, sf_dir).filter(F.col("predict") > 0)
+    pdf = df.select(
+        F.col("real").cast("double"), F.col("predict").cast("double")
+    ).toPandas()
+    real = pdf["real"].to_numpy()
+    mn = float(real.min()) if len(real) else 0.0
+    if mn < 0:
+        real = real - mn
+    denom = pdf["predict"].to_numpy() + real
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dev = np.where(
+            denom == 0, 0.0, (pdf["predict"].to_numpy() - real) / denom
+        )
+    ranges = density_cluster_1d(
+        dev,
+        SqueezeOptions(
+            density_estimation_method="kde",
+            density_smooth_conv_kernel=(1.0, 2.0, 1.0),
+            kde_density_fn=box_density,
+        ),
+    )
+    rows = [
+        (i, round(lo, 6), round(hi, 6)) for i, (lo, hi) in enumerate(ranges)
+    ]
+    return spark.createDataFrame(
+        rows, "cluster int, lo double, hi double"
+    )
+
+
+def squeeze_search_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL squeeze search with enable_filter=True under the gate —
+    the last excluded option of the search surface (ref
+    anomaly_amount_fileter.py). The KPI pre-filter's KDE is replaced by
+    the injected box density (filter_density_fn); the CDF cumsum,
+    kneedle knee, min-fallback, metric > threshold row filter, and the
+    entire downstream search run for REAL, replayed by
+    _squeeze_search_sql(variant='filtered')."""
+    from riskloc_spark.operators.squeeze import SqueezeOptions, squeeze
+
+    df = rca_events(spark, sf_dir)
+    causes = squeeze(
+        df,
+        RCA_ATTRIBUTES,
+        options=SqueezeOptions(
+            histogram_bar_width=0.05,
+            enable_filter=True,
+            filter_density_fn=_metric_box_density,
+        ),
+    )
+    return spark.createDataFrame(
+        [(c,) for c in causes], "root_cause string"
+    )
+
+
 def squeeze_search_derived_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived-measure twin of squeeze_search: the full operator in
     derived mode (KPI = a/b ratio for deviation/clustering/ps
@@ -1309,6 +1395,37 @@ def autoroot_search_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     causes = autoroot(
         df, RCA_ATTRIBUTES, cluster_ends=[float("inf"), 0.0]
     )
+    rows = [
+        (
+            "&".join(
+                sorted(f"{d}={v}" for d, v in zip(rc["cuboid"], el))
+            ),
+            int(rc["layer"]),
+            round(float(rc["avg"]), 6),
+        )
+        for rc in causes
+        for el in rc["elements"]
+    ]
+    return spark.createDataFrame(
+        rows, "root_cause string, layer int, avg_score double"
+    )
+
+
+def autoroot_kde_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The autoroot KDE-clustering path under the oracle via the
+    injectable density (kde_density_fn=box_density — one level deeper
+    than autoroot_search_fixed's cluster_ends): only the gaussian exp()
+    kernel sum is replaced by portable box counting; the REAL
+    linspace(-2, 2, 400) grid, strict-minima boundary detection
+    (ref autoroot.py:30-47), descending ends ordering, cluster
+    assignment, and the whole search + merge run for real, so the
+    data-dependent boundary derivation the fixed-ends gate skipped is
+    now hash-checked (_autoroot_kde_sql)."""
+    from riskloc_spark.operators.autoroot import autoroot
+    from riskloc_spark.operators.squeeze import box_density
+
+    df = rca_events(spark, sf_dir)
+    causes = autoroot(df, RCA_ATTRIBUTES, kde_density_fn=box_density)
     rows = [
         (
             "&".join(
@@ -1594,10 +1711,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "riskloc_first_cause": riskloc_first_cause_q,
         "riskloc_first_cause_derived": riskloc_first_cause_derived_q,
         "squeeze_clusters": squeeze_clusters_q,
+        "squeeze_clusters_kde": squeeze_clusters_kde_q,
         "squeeze_search": squeeze_search_q,
+        "squeeze_search_filtered": squeeze_search_filtered_q,
         "squeeze_search_derived": squeeze_search_derived_q,
         "robustspot_round0": robustspot_round0_q,
         "autoroot_search_fixed": autoroot_search_fixed_q,
+        "autoroot_kde_fixed": autoroot_kde_fixed_q,
         "robustspot_round0_derived": robustspot_round0_derived_q,
         "adtributor_elements_derived": adtributor_elements_derived,
         "robustspot_ca": robustspot_ca_q,
@@ -2140,15 +2260,31 @@ def _rca_cuboids() -> list:
     return out
 
 
-def _squeeze_cluster_ctes(derived: bool = False) -> str:
-    """Shared CTE chain: rca frame -> squeeze deviation -> fixed-width
-    (w=0.05) histogram density clustering, ending in ``ranges`` —
-    one row per anomalous cluster with UNROUNDED member [lo, hi].
-    ``rows_`` carries the string-cast attributes + measures so the
-    search oracle can reuse the same chain. Bit-exactness notes:
-    float literals written 5e-2 (DuckDB parses 0.05 as DECIMAL),
-    np.arange fill semantics (e_i = start + i*fl((start+step)-start)),
-    and np.histogram's density = count/width/total division order."""
+def _squeeze_cluster_ctes(derived: bool = False, variant: str = "hist") -> str:
+    """Shared CTE chain: rca frame -> squeeze deviation -> density
+    clustering, ending in ``ranges`` — one row per anomalous cluster
+    with UNROUNDED member [lo, hi]. ``rows_`` carries the string-cast
+    attributes + measures so the search oracle can reuse the same chain.
+    Bit-exactness notes: float literals written 5e-2 (DuckDB parses
+    0.05 as DECIMAL), np.arange fill semantics
+    (e_i = start + i*fl((start+step)-start)), and np.histogram's
+    density = count/width/total division order.
+
+    ``variant``:
+    - 'hist': fixed-bar-width (0.05) histogram branch (squeeze_clusters
+      / squeeze_search gates).
+    - 'kde': the operator's kde branch with the injected bit-portable
+      box density (kde_density_fn=box_density) — arange(min, max, 0.01)
+      sample grid, box counts / n, np.convolve with the (1,2,1)
+      smoothing kernel ('full', ascending-index accumulation,
+      truncated, / kernel-sum) — squeeze_clusters_kde gate.
+    - 'filtered': 'hist' plus the enable_filter=True KPI pre-filter
+      (ref anomaly_amount_fileter.py) with the injected box density
+      over the metric linspace grid: CDF via recursive-CTE cumsum
+      (DuckDB's windowed SUM is segment-tree, NOT sequential), kneedle
+      knee, threshold fallback to min; the clustering input is then
+      deviations of rows with metric > threshold. Callers must write
+      WITH RECURSIVE — squeeze_search_filtered gate."""
     if derived:
         # squeeze derived mode (squeeze.py:860-868): filter predict_a>0
         # AND predict_b>0, per-leaf KPI = a/b ratio (0 where b = 0),
@@ -2170,28 +2306,107 @@ def _squeeze_cluster_ctes(derived: bool = False) -> str:
           FROM rca WHERE predict > 0
         ),"""
         measures = ""
-    return f"""{frame}
-        rows_ AS MATERIALIZED (
-          SELECT COALESCE(CAST(event_type AS VARCHAR), 'None') AS event_type,
-                 COALESCE(CAST(hr AS VARCHAR), 'None') AS hr,
-                 COALESCE(CAST(ub AS VARCHAR), 'None') AS ub,
-                 {measures}
-                 r, p,
-                 CASE WHEN p + r = 0 THEN 0.0 ELSE (p - r) / (p + r) END AS d
-          FROM (
-            SELECT b.*, CASE WHEN mnr.m < 0 THEN r0 - mnr.m ELSE r0 END AS r
-            FROM fbase b
-            CROSS JOIN (SELECT MIN(r0) AS m FROM fbase) mnr
-          )
+    metric_col = (
+        ",\n                 ABS(r - p) AS metric" if variant == "filtered" else ""
+    )
+    if variant == "filtered":
+        # KPI pre-filter threshold: knee of the CDF of the injected box
+        # density over np.linspace(mmin, mmax, 1000). linspace fill:
+        # x_i = fl(i * fl((b-a)/(n-1))) + a, endpoint pinned to b.
+        # Box halfwidth = (mmax - mmin) / 20 (mirrors the query's
+        # metric_box_density closure). np.cumsum is strictly sequential
+        # -> recursive CTE. Kneedle: first argmax of yn - xn, knee only
+        # if the max difference is positive, else threshold = min.
+        dev_cte = """mst AS MATERIALIZED (
+          SELECT MIN(metric) AS mmin, MAX(metric) AS mmax,
+                 CAST(COUNT(*) AS DOUBLE) AS nm,
+                 COUNT(DISTINCT metric) AS ndist,
+                 (MAX(metric) - MIN(metric)) / 2e1 AS hw
+          FROM rows_
         ),
-        dev AS (SELECT d FROM rows_),
-        st AS (
-          -- max_normal_deviation default = 0.20 (ref squeeze_option.py:26)
-          SELECT MIN(d) AS dmin, MAX(d) AS dmax, COUNT(*) AS n,
-                 0.20 AS max_normal
-          FROM dev
+        tgrid AS MATERIALIZED (
+          SELECT i, CASE WHEN i = 999 THEN mmax
+                       ELSE CAST(i AS DOUBLE) * ((mmax - mmin) / 999) + mmin
+                  END AS x
+          FROM mst CROSS JOIN (SELECT UNNEST(range(1000)) AS i)
         ),
-        ne AS (
+        tdens AS MATERIALIZED (
+          SELECT g.i, g.x,
+                 CAST((SELECT COUNT(*) FROM rows_ r, mst m
+                       WHERE r.metric >= g.x - m.hw
+                         AND r.metric <= g.x + m.hw) AS DOUBLE)
+                   / (SELECT nm FROM mst) AS dens
+          FROM tgrid g
+        ),
+        tcum AS (
+          SELECT i, x, dens, dens AS y FROM tdens WHERE i = 0
+          UNION ALL
+          SELECT t.i, t.x, t.dens, c.y + t.dens
+          FROM tdens t JOIN tcum c ON t.i = c.i + 1
+        ),
+        tnorm AS MATERIALIZED (
+          SELECT i, x,
+                 (y - (SELECT MIN(y) FROM tcum))
+                   / ((SELECT MAX(y) FROM tcum)
+                      - (SELECT MIN(y) FROM tcum) + 1e-300)
+                 - (x - (SELECT mmin FROM mst))
+                   / ((SELECT mmax FROM mst)
+                      - (SELECT mmin FROM mst) + 1e-300) AS diff
+          FROM tcum
+        ),
+        tknee AS MATERIALIZED (
+          SELECT x, diff FROM tnorm ORDER BY diff DESC, i ASC LIMIT 1
+        ),
+        thr AS MATERIALIZED (
+          SELECT CASE WHEN (SELECT ndist FROM mst) = 1
+                        THEN (SELECT mmin FROM mst)
+                      WHEN (SELECT diff FROM tknee) <= 0
+                        THEN (SELECT mmin FROM mst)
+                      ELSE (SELECT x FROM tknee) END AS t
+        ),
+        dev AS MATERIALIZED (
+          SELECT d FROM rows_ WHERE metric > (SELECT t FROM thr)),"""
+    else:
+        dev_cte = "dev AS (SELECT d FROM rows_),"
+    if variant == "kde":
+        # the operator's kde branch with kde_density_fn=box_density:
+        # sample grid np.arange(min, max, 0.01) (numpy _fill: e0=start,
+        # e1=start+step, e_i = start + i*fl((start+step)-start)); box
+        # density = count within +-0.05 / n; then the REAL smoothing
+        # kernel np.convolve(dens, (1,2,1), 'full')/4 truncated to the
+        # grid — accumulation ascends the density index
+        # ((a[i-2]*1 + a[i-1]*2) + a[i]*1), absent terms skipped.
+        density_chain = """nk AS (
+          SELECT CAST(CEIL((dmax - dmin) / 1e-2) AS BIGINT) AS k FROM st
+        ),
+        kgrid AS (
+          SELECT dmin AS e0, ((dmin + 1e-2) - dmin) AS delta FROM st
+        ),
+        samples AS (
+          SELECT i, CASE WHEN i = 0 THEN e0
+                         WHEN i = 1 THEN e0 + 1e-2
+                         ELSE e0 + i * delta END AS s
+          FROM kgrid CROSS JOIN (
+            SELECT UNNEST(range((SELECT GREATEST(k, 1) FROM nk))) AS i)
+        ),
+        rawd AS (
+          SELECT m.i, m.s,
+                 CAST((SELECT COUNT(*) FROM dev v
+                       WHERE v.d >= m.s - 5e-2
+                         AND v.d <= m.s + 5e-2) AS DOUBLE)
+                   / (SELECT CAST(n AS DOUBLE) FROM st) AS r
+          FROM samples m
+        ),
+        hist AS (
+          SELECT i AS bi, s AS center,
+                 ((COALESCE(l2, 0e0) + COALESCE(l1, 0e0) * 2) + r) / 4 AS h
+          FROM (SELECT i, s, r,
+                       LAG(r, 2) OVER (ORDER BY i) AS l2,
+                       LAG(r, 1) OVER (ORDER BY i) AS l1
+                FROM rawd)
+        ),"""
+    else:
+        density_chain = """ne AS (
           SELECT CAST(CEIL(((dmax + 5e-2 * 5) - (dmin - 5e-2 * 6)) / 5e-2)
                       AS BIGINT) AS k
           FROM st
@@ -2230,7 +2445,29 @@ def _squeeze_cluster_ctes(derived: bool = False) -> str:
             ON (v.d >= b.lo_e AND v.d < b.hi_e)
             OR (b.bi = b.mb AND v.d = b.hi_e)
           GROUP BY b.bi, b.center, b.lo_e, b.hi_e, b.n
+        ),"""
+    return f"""{frame}
+        rows_ AS MATERIALIZED (
+          SELECT COALESCE(CAST(event_type AS VARCHAR), 'None') AS event_type,
+                 COALESCE(CAST(hr AS VARCHAR), 'None') AS hr,
+                 COALESCE(CAST(ub AS VARCHAR), 'None') AS ub,
+                 {measures}
+                 r, p,
+                 CASE WHEN p + r = 0 THEN 0.0 ELSE (p - r) / (p + r) END AS d{metric_col}
+          FROM (
+            SELECT b.*, CASE WHEN mnr.m < 0 THEN r0 - mnr.m ELSE r0 END AS r
+            FROM fbase b
+            CROSS JOIN (SELECT MIN(r0) AS m FROM fbase) mnr
+          )
         ),
+        {dev_cte}
+        st AS (
+          -- max_normal_deviation default = 0.20 (ref squeeze_option.py:26)
+          SELECT MIN(d) AS dmin, MAX(d) AS dmax, COUNT(*) AS n,
+                 0.20 AS max_normal
+          FROM dev
+        ),
+        {density_chain}
         win AS (
           SELECT GREATEST(COUNT(*) FILTER (WHERE h > 0) // 10, 1) AS w
           FROM hist
@@ -2281,12 +2518,13 @@ def _squeeze_cluster_ctes(derived: bool = False) -> str:
         )"""
 
 
-def _squeeze_clusters_sql() -> str:
-    """DuckDB twin of density_cluster_1d on the fixed-bar-width branch
-    (squeeze_clusters_q) — see _squeeze_cluster_ctes for the chain and
-    the bit-exactness notes."""
+def _squeeze_clusters_sql(variant: str = "hist") -> str:
+    """DuckDB twin of density_cluster_1d — 'hist' = the fixed-bar-width
+    branch (squeeze_clusters_q), 'kde' = the kde branch with the
+    injected box density (squeeze_clusters_kde_q). See
+    _squeeze_cluster_ctes for the chains and the bit-exactness notes."""
     return f"""
-        WITH {_squeeze_cluster_ctes()}
+        WITH {_squeeze_cluster_ctes(variant=variant)}
         SELECT cl AS cluster, round(lo, 6) + 0e0 AS lo, round(hi, 6) + 0e0 AS hi
         FROM ranges
     """
@@ -2624,7 +2862,176 @@ def _autoroot_search_sql() -> str:
     """
 
 
-def _squeeze_search_sql(derived: bool = False) -> str:
+def _autoroot_kde_sql() -> str:
+    """DuckDB twin of autoroot_kde_fixed_q — _autoroot_search_sql
+    generalized from fixed ends=[inf, 0.0] (two hardcoded x0/x1
+    columns) to DATA-DEPENDENT ends derived from the injected box
+    density: linspace(-2, 2, 400) grid (numpy fill: s_i =
+    fl(i * fl(4/399)) - 2, endpoint pinned), box counts / n over the
+    relevant deviations, strict interior minima (e[i-1] > e[i] <
+    e[i+1]), ends = minima + inf descending, cluster = MAX(end index)
+    with end >= deviation; per-(element, cluster) x counts replace the
+    fixed columns. The single-distinct-deviation early return
+    (kde_boundaries -> [inf]) is the nd > 1 guard."""
+    estat_parts, x_parts = [], []
+    for cid, layer, dims in _rca_cuboids():
+        dims_sql = ", ".join(dims)
+        label = " || '&' || ".join(f"'{d}=' || {d}" for d in dims)
+        vals = "concat_ws(chr(31), " + ", ".join(dims) + ")"
+        estat_parts.append(f"""
+            SELECT {cid} AS cid, {layer} AS layer, {label} AS elem,
+                   {vals} AS vals,
+                   COUNT(*) AS n_full,
+                   SUM(a_term) AS Ap_e,
+                   SUM(b_term) AS Bp_e
+            FROM (
+              SELECT *,
+                     CASE WHEN r = 0 THEN 0.0
+                          ELSE ABS(r - (CASE WHEN Fe <> 0 THEN p * Ve / Fe
+                                        ELSE 0.0 END)) / r END AS a_term
+              FROM (
+                SELECT *,
+                       SUM(r) OVER (PARTITION BY {dims_sql}) AS Ve,
+                       SUM(p) OVER (PARTITION BY {dims_sql}) AS Fe
+                FROM rows_
+              )
+            )
+            GROUP BY {dims_sql}""")
+        x_parts.append(f"""
+            SELECT {cid} AS cid, cluster, {label} AS elem,
+                   CAST(COUNT(*) AS DOUBLE) AS x
+            FROM rows_ WHERE cluster IS NOT NULL
+            GROUP BY {dims_sql}, cluster""")
+    estats_union = "\nUNION ALL\n".join(estat_parts)
+    x_union = "\nUNION ALL\n".join(x_parts)
+    return f"""
+        WITH {_RCA_CTE},
+        rows0 AS MATERIALIZED (
+          SELECT COALESCE(CAST(event_type AS VARCHAR), 'None') AS event_type,
+                 COALESCE(CAST(hr AS VARCHAR), 'None') AS hr,
+                 COALESCE(CAST(ub AS VARCHAR), 'None') AS ub,
+                 r, p, d,
+                 CASE WHEN r = 0 THEN 0.0 ELSE ABS(r - p) / r END AS b_term
+          FROM (
+            SELECT event_type, hr, ub, "real" AS r, predict AS p,
+                   CASE WHEN predict + "real" = 0 THEN 0.0
+                        ELSE 2 * (predict - "real") / (predict + "real")
+                   END AS d
+            FROM rca
+          )
+        ),
+        relv AS MATERIALIZED (SELECT d FROM rows0 WHERE ABS(d) > 0.2),
+        nrel AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n, COUNT(DISTINCT d) AS nd
+          FROM relv
+        ),
+        kgrid AS MATERIALIZED (
+          SELECT i, CASE WHEN i = 399 THEN 2e0
+                      ELSE CAST(i AS DOUBLE) * (4e0 / 399) + (-2e0) END AS s
+          FROM range(400) t(i)
+        ),
+        kdens AS MATERIALIZED (
+          SELECT g.i, g.s,
+                 CAST((SELECT COUNT(*) FROM relv v
+                       WHERE v.d >= g.s - 5e-2
+                         AND v.d <= g.s + 5e-2) AS DOUBLE)
+                   / (SELECT n FROM nrel) AS e
+          FROM kgrid g
+        ),
+        mins AS MATERIALIZED (
+          SELECT s FROM (
+            SELECT i, s, e,
+                   LAG(e) OVER (ORDER BY i) AS pe,
+                   LEAD(e) OVER (ORDER BY i) AS ne
+            FROM kdens
+          ) WHERE i BETWEEN 1 AND 398 AND e < pe AND e < ne
+        ),
+        ends AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY e DESC) - 1 AS INT) AS ci,
+                 e
+          FROM (
+            SELECT CAST('infinity' AS DOUBLE) AS e
+            UNION ALL
+            SELECT s FROM mins WHERE (SELECT nd FROM nrel) > 1
+          )
+        ),
+        rows_ AS MATERIALIZED (
+          SELECT r.*,
+                 CASE WHEN ABS(r.d) <= 0.2 THEN NULL
+                      ELSE (SELECT MAX(ci) FROM ends e WHERE e.e >= r.d)
+                 END AS cluster
+          FROM rows0 r
+        ),
+        tot AS (SELECT COUNT(*) AS N, SUM(b_term) AS Bp_tot FROM rows_),
+        zs AS (
+          SELECT cluster, CAST(COUNT(*) AS DOUBLE) AS z
+          FROM rows_ WHERE cluster IS NOT NULL GROUP BY cluster
+        ),
+        estats AS ({estats_union}),
+        xstats AS ({x_union}),
+        melted AS (
+          SELECT x.cid, e.layer, x.elem, e.vals, e.n_full,
+                 x.cluster, x.x, zs.z
+          FROM xstats x
+          JOIN zs ON zs.cluster = x.cluster
+          JOIN estats e ON e.cid = x.cid AND e.elem = x.elem
+          WHERE x.x / zs.z > 0.1
+            AND x.x / e.n_full > 0.1
+            AND NOT (e.layer = {len(RCA_ATTRIBUTES)} AND 1.0 / zs.z <= 0.1)
+        ),
+        scoredm AS (
+          SELECT m.*,
+                 1 - ((e.Ap_e / e.n_full
+                       + CASE WHEN (t.N - e.n_full) > 0
+                              THEN (t.Bp_tot - e.Bp_e) / (t.N - e.n_full)
+                              ELSE 0.0 END)
+                      / (e.Bp_e / e.n_full
+                       + CASE WHEN (t.N - e.n_full) > 0
+                              THEN (t.Bp_tot - e.Bp_e) / (t.N - e.n_full)
+                              ELSE 0.0 END)) AS NPS,
+                 m.x / m.n_full AS LF, m.x / m.z AS CF
+          FROM melted m
+          JOIN estats e ON e.cid = m.cid AND e.elem = m.elem
+          CROSS JOIN tot t
+        ),
+        winners AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster, cid
+                ORDER BY NPS DESC, vals ASC) AS rn
+            FROM scoredm
+          ) WHERE rn = 1
+        ),
+        bests AS (
+          SELECT *, string_split(vals, chr(31)) AS vlist FROM (
+            SELECT *, (NPS + LF + CF) / 3 AS avg_s,
+                   ROW_NUMBER() OVER (PARTITION BY cluster
+                       ORDER BY (NPS + LF + CF) / 3 DESC, cid ASC) AS brn
+            FROM winners
+          ) WHERE brn = 1
+        ),
+        surv1 AS (
+          SELECT b.cid, b.layer, b.elem, b.vals, b.vlist, b.avg_s
+          FROM bests b
+          LEFT JOIN bests o
+            ON o.cluster > b.cluster AND o.layer = b.layer
+            AND list_has_all(o.vlist, b.vlist)
+          WHERE o.cid IS NULL
+        ),
+        finalc AS (
+          SELECT ch.elem, ch.layer, ch.avg_s
+          FROM surv1 ch
+          LEFT JOIN surv1 par
+            ON par.layer < ch.layer
+            AND list_has_all(ch.vlist, par.vlist)
+          WHERE par.cid IS NULL
+        )
+        SELECT elem AS root_cause, CAST(layer AS INT) AS layer,
+               round(avg_s, 6) + 0e0 AS avg_score
+        FROM finalc
+    """
+
+
+def _squeeze_search_sql(derived: bool = False, variant: str = "hist") -> str:
     """DuckDB twin of the FULL squeeze search (squeeze_search_q:
     fixed-bar-width clustering, enable_filter=False): the shared
     cluster chain (_squeeze_cluster_ctes) -> normal mask (|d| <
@@ -2700,8 +3107,9 @@ def _squeeze_search_sql(derived: bool = False) -> str:
                  SUM(COALESCE(F_e, 0.0)) OVER (PARTITION BY cl, cid
                      ORDER BY rnk) AS fp"""
         ripple_expr = "CASE WHEN fp <> 0 THEN vp / fp ELSE 0.0 END"
+    recursive = "RECURSIVE " if variant == "filtered" else ""
     return f"""
-        WITH {_squeeze_cluster_ctes(derived)},
+        WITH {recursive}{_squeeze_cluster_ctes(derived, variant=variant)},
         rowsn AS MATERIALIZED (
           SELECT r.event_type, r.hr, r.ub, {"r.real_a, r.real_b, r.predict_a, r.predict_b," if derived else ""}
                  r.r AS rr, r.p AS pp, r.d,
@@ -3670,10 +4078,13 @@ def oracle_sql() -> dict[str, str]:
         "riskloc_first_cause": _riskloc_first_cause_sql(),
         "riskloc_first_cause_derived": _riskloc_first_cause_sql(derived=True),
         "squeeze_clusters": _squeeze_clusters_sql(),
+        "squeeze_clusters_kde": _squeeze_clusters_sql(variant="kde"),
         "squeeze_search": _squeeze_search_sql(),
+        "squeeze_search_filtered": _squeeze_search_sql(variant="filtered"),
         "squeeze_search_derived": _squeeze_search_sql(derived=True),
         "robustspot_round0": _robustspot_round0_sql(),
         "autoroot_search_fixed": _autoroot_search_sql(),
+        "autoroot_kde_fixed": _autoroot_kde_sql(),
         "robustspot_round0_derived": _robustspot_round0_sql(derived=True),
         "dataset_significance": f"""
             WITH {_RCA_CTE},

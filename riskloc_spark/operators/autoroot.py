@@ -26,7 +26,16 @@ from riskloc_spark.functions.scores import add_deviation_score
 from riskloc_spark.plans.cuboid import cuboids_of_layer
 
 
-def kde_boundaries(values: np.ndarray) -> list[float]:
+def _boundaries_from_density(s: np.ndarray, e: np.ndarray) -> list[float]:
+    """Ends from a density over the grid: strict interior minima
+    (e[i-1] > e[i] < e[i+1], matching scipy.signal.argrelextrema with
+    np.less) + inf, descending."""
+    interior = np.arange(1, len(s) - 1)
+    mi = interior[(e[interior] < e[interior - 1]) & (e[interior] < e[interior + 1])]
+    return sorted(np.concatenate((s[mi], [np.inf])).tolist(), reverse=True)
+
+
+def kde_boundaries(values: np.ndarray, density_fn=None) -> list[float]:
     """Cluster boundaries: local minima of a Silverman-bandwidth gaussian
     KDE evaluated on 400 points of [-2,2] (ref autoroot.py:30-47).
     Returns the 'ends' list in descending order (inf first).
@@ -35,41 +44,50 @@ def kde_boundaries(values: np.ndarray) -> list[float]:
     Silverman factor for 1-D is (3n/4)^(-1/5), scaled by the sample std
     (ddof=1) — the same bandwidth scipy's gaussian_kde(bw='silverman')
     uses; minima are strict (e[i-1] > e[i] < e[i+1]), matching
-    scipy.signal.argrelextrema(e, np.less)."""
+    scipy.signal.argrelextrema(e, np.less).
+
+    ``density_fn`` (oracle-gate injection — the density-level analogue
+    of ``cluster_ends``): (samples, values, counts|None) -> density
+    array replacing only the non-bit-portable exp() kernel sum; the
+    grid, minima detection, ends ordering, cluster assignment, and the
+    whole downstream search stay REAL (autoroot_kde_fixed gate)."""
     if len(np.unique(values)) == 1:
         return [float("inf")]
-    n = len(values)
-    sigma = values.std(ddof=1)
-    h = sigma * (3.0 * n / 4.0) ** (-1.0 / 5.0)
     s = np.linspace(-2, 2, 400)
-    # density at grid points: mean of gaussian kernels (vectorized n x 400)
-    z = (s[None, :] - values[:, None]) / h
-    e = np.exp(-0.5 * z * z).mean(axis=0) / (h * math.sqrt(2 * math.pi))
-    interior = np.arange(1, len(s) - 1)
-    mi = interior[(e[interior] < e[interior - 1]) & (e[interior] < e[interior + 1])]
-    return sorted(np.concatenate((s[mi], [np.inf])).tolist(), reverse=True)
+    if density_fn is not None:
+        e = np.asarray(density_fn(s, values, None), float)
+    else:
+        n = len(values)
+        sigma = values.std(ddof=1)
+        h = sigma * (3.0 * n / 4.0) ** (-1.0 / 5.0)
+        # density at grid points: mean of gaussian kernels (n x 400)
+        z = (s[None, :] - values[:, None]) / h
+        e = np.exp(-0.5 * z * z).mean(axis=0) / (h * math.sqrt(2 * math.pi))
+    return _boundaries_from_density(s, e)
 
 
 def kde_boundaries_weighted(
-    values: np.ndarray, counts: np.ndarray
+    values: np.ndarray, counts: np.ndarray, density_fn=None
 ) -> list[float]:
     """kde_boundaries over (distinct deviation, count) pairs — every
     kernel weighted by its count; exact for the expanded array. Lets the
-    distributed path collect O(distinct) pairs instead of raw rows."""
+    distributed path collect O(distinct) pairs instead of raw rows.
+    ``density_fn`` as in kde_boundaries (counts forwarded)."""
     if len(values) == 1:
         return [float("inf")]
-    n = int(counts.sum())
-    mean = float((values * counts).sum() / n)
-    sigma = float(np.sqrt((counts * (values - mean) ** 2).sum() / (n - 1)))
-    h = sigma * (3.0 * n / 4.0) ** (-1.0 / 5.0)
     s = np.linspace(-2, 2, 400)
-    z = (s[None, :] - values[:, None]) / h
-    e = (np.exp(-0.5 * z * z) * counts[:, None]).sum(axis=0) / (
-        n * h * math.sqrt(2 * math.pi)
-    )
-    interior = np.arange(1, len(s) - 1)
-    mi = interior[(e[interior] < e[interior - 1]) & (e[interior] < e[interior + 1])]
-    return sorted(np.concatenate((s[mi], [np.inf])).tolist(), reverse=True)
+    if density_fn is not None:
+        e = np.asarray(density_fn(s, values, counts), float)
+    else:
+        n = int(counts.sum())
+        mean = float((values * counts).sum() / n)
+        sigma = float(np.sqrt((counts * (values - mean) ** 2).sum() / (n - 1)))
+        h = sigma * (3.0 * n / 4.0) ** (-1.0 / 5.0)
+        z = (s[None, :] - values[:, None]) / h
+        e = (np.exp(-0.5 * z * z) * counts[:, None]).sum(axis=0) / (
+            n * h * math.sqrt(2 * math.pi)
+        )
+    return _boundaries_from_density(s, e)
 
 
 def assign_clusters(df: DataFrame, ends: list[float]) -> DataFrame:
@@ -361,6 +379,7 @@ def _search_cluster_driver(
 def _autoroot_driver(
     pdf, attributes: list[str], delta_threshold: float,
     cluster_ends: list[float] | None = None,
+    kde_density_fn=None,
 ) -> list[dict[str, Any]]:
     """Driver-side mirror of the full autoroot loop on a collected leaf
     frame (attrs as string, real, predict, deviation)."""
@@ -370,7 +389,7 @@ def _autoroot_driver(
     ends = (
         list(cluster_ends)
         if cluster_ends is not None
-        else kde_boundaries(relevant["deviation"].to_numpy())
+        else kde_boundaries(relevant["deviation"].to_numpy(), kde_density_fn)
     )
     cl = np.full(len(relevant), -1)
     for i, end in enumerate(ends):
@@ -404,6 +423,7 @@ def autoroot(
     seed: int = 11,
     driver_rows: int | None = 200_000,
     cluster_ends: list[float] | None = None,
+    kde_density_fn=None,
 ) -> list[dict[str, Any]]:
     """Reference autoroot.py:147-170.
 
@@ -432,7 +452,8 @@ def autoroot(
         )
         if len(pdf) <= driver_rows:
             return _autoroot_driver(
-                pdf, attributes, delta_threshold, cluster_ends
+                pdf, attributes, delta_threshold, cluster_ends,
+                kde_density_fn,
             )
 
     df = df.persist()
@@ -482,7 +503,9 @@ def autoroot(
                 )
         if cluster_ends is None:
             order = np.argsort(arr[:, 0], kind="stable")
-            ends = kde_boundaries_weighted(arr[order, 0], arr[order, 1])
+            ends = kde_boundaries_weighted(
+                arr[order, 0], arr[order, 1], kde_density_fn
+            )
 
         df_cl = assign_clusters(df, ends).withColumn(
             "cluster", F.when(rel_pred, F.col("cluster"))

@@ -66,11 +66,45 @@ class SqueezeOptions:
     # histogram of this many buckets when the distinct count exceeds it,
     # so driver transfer is O(max_driver_pairs) regardless of frame size.
     max_driver_pairs: int = 200_000
+    # Oracle-gate injection points (the squeeze analogue of autoroot's
+    # ``cluster_ends``): callables (samples, values, counts|None) ->
+    # density array, replacing ONLY the non-bit-portable gaussian exp()
+    # kernel evaluation. Everything downstream — conv smoothing kernel,
+    # auto window, circular extrema, boundaries, member ranges, CDF
+    # cumsum + kneedle knee, the filter application — runs for REAL and
+    # gets a DuckDB twin (squeeze_clusters_kde / squeeze_search_filtered
+    # gates). None = the real gaussian KDE.
+    kde_density_fn: Any | None = None
+    filter_density_fn: Any | None = None
 
 
 # --------------------------------------------------------------------------
 # driver-side 1-D machinery (numpy)
 # --------------------------------------------------------------------------
+
+def box_density(
+    samples: np.ndarray,
+    values: np.ndarray,
+    counts: np.ndarray | None = None,
+    halfwidth: float = 0.05,
+) -> np.ndarray:
+    """Bit-portable density estimate for the oracle gates: a box kernel
+    — density at sample s = (total count of values within +-halfwidth
+    of s) / n. Integer count sums are exact under any summation order
+    and the single double division reproduces bit-for-bit in ANSI SQL,
+    unlike the gaussian exp() grid. Injected via
+    SqueezeOptions.kde_density_fn / filter_density_fn (and autoroot's
+    kde_density_fn) so the REAL downstream cluster / knee logic runs
+    under the DuckDB hash gate."""
+    v = np.asarray(values, float)
+    c = np.ones(len(v)) if counts is None else np.asarray(counts, float)
+    n = float(c.sum())
+    out = np.empty(len(samples), dtype=float)
+    for j, s in enumerate(samples):
+        m = (v >= s - halfwidth) & (v <= s + halfwidth)
+        out[j] = float(c[m].sum()) / n
+    return out
+
 
 def kneedle_knee(x: np.ndarray, y: np.ndarray) -> float | None:
     """Kneedle knee for a concave increasing curve: maximum of the
@@ -88,19 +122,26 @@ def kneedle_knee(x: np.ndarray, y: np.ndarray) -> float | None:
     return float(x[i])
 
 
-def kpi_filter_threshold(metrics: np.ndarray) -> float:
+def kpi_filter_threshold(metrics: np.ndarray, density_fn=None) -> float:
     """|v-f| threshold (ref anomaly_amount_fileter.py): knee of the KDE
-    CDF of the metric. Gaussian KDE with scott bandwidth in numpy."""
+    CDF of the metric. Gaussian KDE with scott bandwidth in numpy.
+
+    ``density_fn`` (oracle-gate injection, filter_density_fn) replaces
+    only the gaussian density over the linspace grid; the CDF cumsum,
+    kneedle knee, and min-fallback stay REAL."""
     if len(np.unique(metrics)) == 1:
         return float(np.min(metrics))
-    n = len(metrics)
-    sigma = metrics.std(ddof=1)
-    if sigma == 0:
-        return float(np.min(metrics))
-    h = sigma * n ** (-1.0 / 5.0)  # scott
     x = np.linspace(metrics.min(), metrics.max(), 1000)
-    z = (x[None, :] - metrics[:, None]) / h
-    dens = np.exp(-0.5 * z * z).mean(axis=0) / (h * np.sqrt(2 * np.pi))
+    if density_fn is not None:
+        dens = np.asarray(density_fn(x, metrics, None), float)
+    else:
+        n = len(metrics)
+        sigma = metrics.std(ddof=1)
+        if sigma == 0:
+            return float(np.min(metrics))
+        h = sigma * n ** (-1.0 / 5.0)  # scott
+        z = (x[None, :] - metrics[:, None]) / h
+        dens = np.exp(-0.5 * z * z).mean(axis=0) / (h * np.sqrt(2 * np.pi))
     y = np.cumsum(dens)
     knee = kneedle_knee(x, y)
     return float(np.min(metrics)) if knee is None else knee
@@ -120,6 +161,7 @@ def _gaussian_kde_density(
     weights=None,
     conv_kernel=(1.0,),
     weights_are_counts: bool = False,
+    density_fn=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """scipy.stats.gaussian_kde re-implementation (scipy unavailable in
     this environment): scott factor by default ('silverman' or a scalar
@@ -136,8 +178,28 @@ def _gaussian_kde_density(
     expanded array's neff = n and denominator 1 - 1/n whenever any count
     > 1 — up to ~40% bandwidth/density error on duplicate-heavy frames.
     Passing counts=True substitutes the expanded-array statistics; the
-    density sum itself is exactly multiplicity-weighted either way."""
+    density sum itself is exactly multiplicity-weighted either way.
+
+    ``density_fn`` (oracle-gate injection, SqueezeOptions.kde_density_fn)
+    replaces the bandwidth fit + gaussian kernel accumulation with
+    density_fn(samples, array, counts|None); the sample grid and the
+    smoothing-kernel convolution + truncation stay REAL."""
     x = np.asarray(array, float)
+    if density_fn is not None:
+        samples = np.arange(x.min(), x.max(), 0.01)
+        if len(samples) == 0:
+            samples = np.array([float(x.min())])
+        dens = np.asarray(
+            density_fn(
+                samples,
+                x,
+                np.asarray(weights, float) if weights_are_counts else None,
+            ),
+            float,
+        )
+        ck = np.asarray(conv_kernel, float)
+        dens = (np.convolve(dens, ck, "full") / ck.sum())[: len(samples)]
+        return dens, samples
     w = np.ones(len(x)) if weights is None else np.asarray(weights, float)
     if weights_are_counts:
         n_expanded = w.sum()
@@ -194,6 +256,7 @@ def _density_and_bins(
             w,
             options.density_smooth_conv_kernel,
             weights_are_counts=counts is not None,
+            density_fn=options.kde_density_fn,
         )
     width = options.histogram_bar_width
     if width == "auto":
@@ -272,29 +335,33 @@ def _weighted_percentile(
 
 
 def kpi_filter_threshold_weighted(
-    values: np.ndarray, counts: np.ndarray
+    values: np.ndarray, counts: np.ndarray, density_fn=None
 ) -> float:
     """kpi_filter_threshold over (distinct metric, count) pairs: the same
     scott-bandwidth gaussian-KDE CDF knee, with every kernel weighted by
-    its count. Exact for the expanded array."""
+    its count. Exact for the expanded array. ``density_fn`` as in
+    kpi_filter_threshold (counts forwarded)."""
     if len(values) == 0:
         return 0.0
     if len(values) == 1:
         return float(values[0])
-    n = int(counts.sum())
-    mean = float((values * counts).sum() / n)
-    sigma = float(np.sqrt((counts * (values - mean) ** 2).sum() / (n - 1)))
-    if sigma == 0:
-        return float(values.min())
-    h = sigma * n ** (-1.0 / 5.0)  # scott
     x = np.linspace(values.min(), values.max(), 1000)
-    dens = np.zeros_like(x)
-    for s in range(0, len(values), 8192):  # chunked: O(8k x 1k) temp
-        v = values[s : s + 8192, None]
-        c = counts[s : s + 8192, None]
-        z = (x[None, :] - v) / h
-        dens += (np.exp(-0.5 * z * z) * c).sum(axis=0)
-    dens /= n * h * np.sqrt(2 * np.pi)
+    if density_fn is not None:
+        dens = np.asarray(density_fn(x, values, counts), float)
+    else:
+        n = int(counts.sum())
+        mean = float((values * counts).sum() / n)
+        sigma = float(np.sqrt((counts * (values - mean) ** 2).sum() / (n - 1)))
+        if sigma == 0:
+            return float(values.min())
+        h = sigma * n ** (-1.0 / 5.0)  # scott
+        dens = np.zeros_like(x)
+        for s in range(0, len(values), 8192):  # chunked: O(8k x 1k) temp
+            v = values[s : s + 8192, None]
+            c = counts[s : s + 8192, None]
+            z = (x[None, :] - v) / h
+            dens += (np.exp(-0.5 * z * z) * c).sum(axis=0)
+        dens /= n * h * np.sqrt(2 * np.pi)
     y = np.cumsum(dens)
     knee = kneedle_knee(x, y)
     return float(values.min()) if knee is None else knee
@@ -770,7 +837,9 @@ def _squeeze_driver(
     metrics = pdf["metric"].to_numpy()
 
     if options.enable_filter and len(metrics):
-        threshold = kpi_filter_threshold(metrics)
+        threshold = kpi_filter_threshold(
+            metrics, density_fn=options.filter_density_fn
+        )
         cluster_input = deviations[metrics > threshold]
     else:
         cluster_input = deviations
@@ -976,7 +1045,9 @@ def squeeze(
                 m_vals, m_cnts = arr[order, 0], arr[order, 1]
             else:
                 m_vals, m_cnts, _ = _bucketed(df.select("metric"), "metric")
-            threshold = kpi_filter_threshold_weighted(m_vals, m_cnts)
+            threshold = kpi_filter_threshold_weighted(
+                m_vals, m_cnts, density_fn=options.filter_density_fn
+            )
             sel_pred = F.col("metric") > F.lit(threshold)
         else:
             sel_pred = F.lit(True)

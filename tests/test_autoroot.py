@@ -90,3 +90,45 @@ def test_injectable_cluster_ends_dual_path_parity(spark):
         )
 
     assert key(a) == key(b) and a, (a, b)
+
+
+def test_injected_density_dual_path_parity(spark):
+    """kde_density_fn (the density-level injection behind the
+    autoroot_kde_fixed gate) must produce identical causes on the
+    driver path (raw deviations) and the distributed path (distinct
+    (deviation, count) pairs) — box_density's count weighting makes the
+    two inputs exactly equivalent."""
+    from riskloc_spark.data import rca_events
+    from riskloc_spark.operators.autoroot import autoroot
+    from riskloc_spark.operators.squeeze import box_density
+
+    df = rca_events(spark, "/root/testdata/sf0.001")
+    attrs = ["event_type", "hr", "ub"]
+    a = autoroot(df, attrs, kde_density_fn=box_density)
+    b = autoroot(df, attrs, kde_density_fn=box_density, driver_rows=None)
+
+    def key(cs):
+        return sorted(
+            (c["layer"], tuple(map(tuple, c["elements"])), round(c["avg"], 9))
+            for c in cs
+        )
+
+    assert key(a) == key(b)
+    assert a  # the injected density still finds causes on this frame
+
+
+def test_box_density_weighted_equals_expanded():
+    """box_density over (distinct value, count) pairs == box_density
+    over the count-expanded array (the driver/distributed equivalence
+    the parity above relies on)."""
+    import numpy as np
+
+    from riskloc_spark.operators.squeeze import box_density
+
+    rng = np.random.default_rng(5)
+    vals = np.round(rng.normal(0, 1, 40), 2)
+    uniq, cnt = np.unique(vals, return_counts=True)
+    samples = np.linspace(-2, 2, 57)
+    a = box_density(samples, vals)
+    b = box_density(samples, uniq, cnt.astype(float))
+    assert np.array_equal(a, b)

@@ -302,3 +302,58 @@ def test_weighted_kde_density_matches_expanded_array():
     )
     np.testing.assert_allclose(s_w, s_raw)
     np.testing.assert_allclose(d_w, d_raw, rtol=1e-9)
+
+
+def test_injected_kde_density_dual_path_parity(spark):
+    """The kde clustering branch with the injected box density (the
+    squeeze_clusters_kde gate) must agree between the driver path (raw
+    deviations) and the distributed path ((value, count) pairs)."""
+    from riskloc_spark.data import rca_events
+    from riskloc_spark.operators.squeeze import (
+        SqueezeOptions,
+        box_density,
+        squeeze,
+    )
+
+    df = rca_events(spark, "/root/testdata/sf0.001")
+    opts = SqueezeOptions(
+        density_estimation_method="kde",
+        density_smooth_conv_kernel=(1.0, 2.0, 1.0),
+        kde_density_fn=box_density,
+        enable_filter=False,
+    )
+    attrs = ["event_type", "hr", "ub"]
+    fast = squeeze(df, attrs, options=opts)
+    dist = squeeze(df, attrs, options=opts, driver_rows=None)
+    assert fast == dist
+
+
+def test_filter_density_injection_dual_path_parity(spark):
+    """enable_filter=True with the injected box density (the
+    squeeze_search_filtered gate): threshold + filtered clustering must
+    agree between the driver and distributed paths, and the filter must
+    actually change the cluster input (threshold > 0 rows dropped)."""
+    import numpy as np
+
+    from riskloc_spark.data import rca_events
+    from riskloc_spark.operators.squeeze import (
+        SqueezeOptions,
+        box_density,
+        squeeze,
+    )
+
+    def metric_box(x, v, c):
+        return box_density(
+            x, v, c, halfwidth=float((np.max(v) - np.min(v)) / 20.0)
+        )
+
+    df = rca_events(spark, "/root/testdata/sf0.001")
+    opts = SqueezeOptions(
+        histogram_bar_width=0.05,
+        enable_filter=True,
+        filter_density_fn=metric_box,
+    )
+    attrs = ["event_type", "hr", "ub"]
+    fast = squeeze(df, attrs, options=opts)
+    dist = squeeze(df, attrs, options=opts, driver_rows=None)
+    assert fast == dist
