@@ -1209,18 +1209,31 @@ def streaming_kpi_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # late row (file b) must be dropped by the watermark. If a
         # Spark version changes late-row admission timing, fail HERE
         # with a diagnosable message, not as an opaque hash mismatch.
+        # numRowsDroppedByWatermark counts rows entering the STATE
+        # operator — i.e. map-side PARTIAL aggregates of the late
+        # events, not raw events — so the exact count depends on how
+        # the partial aggregation batched them: bounded below by the
+        # late rows' distinct (window, event_type) group count and
+        # above by the raw late-row count.
         n_late = ev.filter(late_cond).count()
+        n_groups = (
+            ev.filter(late_cond)
+            .select(F.window("ts", "1 hour"), "event_type")
+            .distinct()
+            .count()
+        )
         n_dropped = sum(
             so.get("numRowsDroppedByWatermark", 0)
             for p in q.recentProgress
             for so in p.get("stateOperators", [])
         )
         q.stop()
-        if n_dropped != n_late:
+        if not (n_groups <= n_dropped <= n_late):
             raise AssertionError(
-                f"streaming_kpi_append: watermark dropped {n_dropped} rows, "
-                f"expected all {n_late} planted late rows — Spark's late-"
-                "input admission semantics changed; re-pin the staging"
+                f"streaming_kpi_append: watermark dropped {n_dropped} "
+                f"state-input rows, expected between {n_groups} (late "
+                f"group count) and {n_late} (raw late rows) — Spark's "
+                "late-input admission semantics changed; re-pin the staging"
             )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -1268,6 +1281,72 @@ def squeeze_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "cluster int, lo double, hi double"
+    )
+
+
+def squeeze_clusters_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """squeeze's DEFAULT clustering surface under the gate:
+    histogram_bar_width='auto' — np.histogram_bin_edges(array, 'auto')
+    (min(Freedman-Diaconis, Sturges) width, type-7 IQR with numpy's
+    lerp branch, linspace edges) plus the reference's edge padding
+    (whose LEFT pad is an empty Python range — mirrored faithfully),
+    then the same density/smoothing/extrema walk
+    (ref density_cluster.py:37-41)."""
+    import numpy as np
+
+    from riskloc_spark.operators.squeeze import SqueezeOptions, density_cluster_1d
+
+    df = rca_events(spark, sf_dir).filter(F.col("predict") > 0)
+    pdf = df.select(
+        F.col("real").cast("double"), F.col("predict").cast("double")
+    ).toPandas()
+    real = pdf["real"].to_numpy()
+    mn = float(real.min()) if len(real) else 0.0
+    if mn < 0:
+        real = real - mn
+    denom = pdf["predict"].to_numpy() + real
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dev = np.where(
+            denom == 0, 0.0, (pdf["predict"].to_numpy() - real) / denom
+        )
+    ranges = density_cluster_1d(dev, SqueezeOptions())  # auto bar width
+    rows = [
+        (i, round(lo, 6), round(hi, 6)) for i, (lo, hi) in enumerate(ranges)
+    ]
+    return spark.createDataFrame(
+        rows, "cluster int, lo double, hi double"
+    )
+
+
+def squeeze_auto_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auto-bin-edge algebra itself under the gate (companion to
+    squeeze_clusters_auto, whose cluster output is empty at the larger
+    scales): np.histogram_bin_edges(dev, 'auto') + the reference's edge
+    padding, emitted as (i, edge) — non-empty and data-dependent at
+    every scale, so the FD/Sturges/percentile/linspace algebra is
+    hash-checked even where the downstream max_normal filter leaves no
+    clusters."""
+    import numpy as np
+
+    df = rca_events(spark, sf_dir).filter(F.col("predict") > 0)
+    pdf = df.select(
+        F.col("real").cast("double"), F.col("predict").cast("double")
+    ).toPandas()
+    real = pdf["real"].to_numpy()
+    mn = float(real.min()) if len(real) else 0.0
+    if mn < 0:
+        real = real - mn
+    denom = pdf["predict"].to_numpy() + real
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dev = np.where(
+            denom == 0, 0.0, (pdf["predict"].to_numpy() - real) / denom
+        )
+    edges = np.histogram_bin_edges(dev, "auto").tolist()
+    edges = [edges[0] - 0.1 * i for i in range(-5, 0, -1)] + edges + [
+        edges[-1] + 0.1 * i for i in range(1, 6)
+    ]
+    return spark.createDataFrame(
+        [(i, round(e, 6)) for i, e in enumerate(edges)], "i int, edge double"
     )
 
 
@@ -1484,6 +1563,49 @@ def robustspot_round0_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rnk int, root_cause string")
 
 
+def robustspot_round1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robustspot's ROUND-1 mining under the oracle: round 0's top cause
+    is dropped from the adapted frame (ref robustspot.py:54-69
+    drop_top) and the WHOLE mining round re-runs on the residual — the
+    ID/CA leave-one-out sums, kneedle threshold, weights, frequent
+    items, rules, and deltas all change with the removed rows, which is
+    the per-round recomputation the round-0 gate could not cover
+    (_robustspot_round1_sql)."""
+    from riskloc_spark.operators.robustspot import (
+        _match_mask,
+        _mine,
+        _select_frame,
+        adapt_frame,
+    )
+
+    base = adapt_frame(rca_events(spark, sf_dir), derived=False)
+    for d in RCA_ATTRIBUTES:
+        base = base.withColumn(
+            d, F.coalesce(F.col(d).cast("string"), F.lit("None"))
+        )
+    pdf0 = base.select(
+        *RCA_ATTRIBUTES,
+        "k_real",
+        "k_predict",
+        "cnt_real",
+        "cnt_predict",
+        "value_real",
+        "value_predict",
+    ).toPandas()
+    before0, after0, w0 = _select_frame(pdf0, RCA_ATTRIBUTES, False, -1, 100)
+    mined0 = _mine(before0, after0, w0, RCA_ATTRIBUTES, 0.8)
+    rows = []
+    if mined0:
+        resid = before0[~_match_mask(before0, mined0[0])]
+        b1, a1, w1 = _select_frame(resid, RCA_ATTRIBUTES, False, -1, 100)
+        mined1 = _mine(b1, a1, w1, RCA_ATTRIBUTES, 0.8)
+        rows = [
+            (i, "&".join(f"{c}={v}" for c, v in cause))
+            for i, cause in enumerate(mined1)
+        ]
+    return spark.createDataFrame(rows, "rnk int, root_cause string")
+
+
 def riskloc_first_cause_derived_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived-measure twin of riskloc_first_cause: the full operator in
     derived mode (a/b-split EP normalized by its own sum, KPI = a/b
@@ -1614,6 +1736,43 @@ def riskloc_first_cause_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def riskloc_two_pass_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """riskloc's ITERATIVE found-cause removal under the oracle: the
+    full operator with max_iterations=2. Pass 1 is the deterministic
+    first search (riskloc_first_cause); the winner's rows are then
+    excluded from the SAME prepared frame (no recomputation of
+    ep/cutoff/partition/weight — riskloc.py keeps found causes as an
+    exclusion predicate over the one cached base) and the search
+    re-runs with the accumulated layer-1 prune state, gated on the
+    per-iteration anomalous-ep stop check. DuckDB replays both passes
+    (_riskloc_two_pass_sql), closing the iteration logic that was
+    previously covered only by rows-only checks + planted-cause
+    tests."""
+    from riskloc_spark.operators.riskloc import riskloc
+
+    df = rca_events(spark, sf_dir)
+    causes = riskloc(df, RCA_ATTRIBUTES, risk_threshold=0.3, max_iterations=2)
+    rows = []
+    for i, rc in enumerate(causes[:2]):
+        el = rc["elements"][0]
+        rows.append(
+            (
+                i,
+                "&".join(sorted(f"{d}={v}" for d, v in zip(rc["cuboid"], el))),
+                int(rc["layer"]),
+                round(float(rc["ep_score"]), 6),
+                round(float(rc["risk score"]), 6),
+                round(float(rc["high risk score"]), 6),
+                round(float(rc["low risk score"]), 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "iteration int, root_cause string, layer int, ep_score double,"
+        " risk double, high double, low double",
+    )
+
+
 def streaming_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom STATEFUL streaming operator (ewma_anomaly_stream,
     applyInPandasWithState) under the hash gate: with the whole events
@@ -1709,13 +1868,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robustspot_supports": robustspot_supports_q,
         "streaming_ewma": streaming_ewma_q,
         "riskloc_first_cause": riskloc_first_cause_q,
+        "riskloc_two_pass": riskloc_two_pass_q,
         "riskloc_first_cause_derived": riskloc_first_cause_derived_q,
         "squeeze_clusters": squeeze_clusters_q,
         "squeeze_clusters_kde": squeeze_clusters_kde_q,
+        "squeeze_clusters_auto": squeeze_clusters_auto_q,
+        "squeeze_auto_edges": squeeze_auto_edges_q,
         "squeeze_search": squeeze_search_q,
         "squeeze_search_filtered": squeeze_search_filtered_q,
         "squeeze_search_derived": squeeze_search_derived_q,
         "robustspot_round0": robustspot_round0_q,
+        "robustspot_round1": robustspot_round1_q,
         "autoroot_search_fixed": autoroot_search_fixed_q,
         "autoroot_kde_fixed": autoroot_kde_fixed_q,
         "robustspot_round0_derived": robustspot_round0_derived_q,
@@ -2260,6 +2423,28 @@ def _rca_cuboids() -> list:
     return out
 
 
+_SQUEEZE_HIST_TAIL = """bins AS (
+          SELECT l.i AS bi, l.e AS lo_e, r.e AS hi_e, (l.e + r.e) / 2 AS center
+          FROM edges l JOIN edges r ON r.i = l.i + 1
+        ),
+        lastbin AS (SELECT MAX(bi) AS mb FROM bins),
+        binsx AS (
+          SELECT b.*, lb.mb, s.n FROM bins b CROSS JOIN lastbin lb
+          CROSS JOIN st s
+        ),
+        hist AS (
+          -- np.histogram(density=True) computes count/db/total (two
+          -- divisions, in that order) — count/(total*db) is 1 ulp off
+          SELECT b.bi, b.center,
+                 COUNT(v.d) / (b.hi_e - b.lo_e) / b.n / 100.0 AS h
+          FROM binsx b
+          LEFT JOIN dev v
+            ON (v.d >= b.lo_e AND v.d < b.hi_e)
+            OR (b.bi = b.mb AND v.d = b.hi_e)
+          GROUP BY b.bi, b.center, b.lo_e, b.hi_e, b.n
+        ),"""
+
+
 def _squeeze_cluster_ctes(derived: bool = False, variant: str = "hist") -> str:
     """Shared CTE chain: rca frame -> squeeze deviation -> density
     clustering, ending in ``ranges`` — one row per anomalous cluster
@@ -2405,6 +2590,74 @@ def _squeeze_cluster_ctes(derived: bool = False, variant: str = "hist") -> str:
                        LAG(r, 1) OVER (ORDER BY i) AS l1
                 FROM rawd)
         ),"""
+    elif variant == "auto":
+        # the operator's DEFAULT clustering surface: np.histogram_bin_edges
+        # (array, 'auto') = linspace(first, last, n_bins+1) with bin width
+        # min(Freedman-Diaconis, Sturges) — IQR from type-7 percentiles
+        # with numpy's _lerp branch (t >= 0.5 computes b - (b-a)*(1-t)),
+        # FD = (2*iqr) * n^(-1/3), Sturges = ptp/(log2(n)+1), ptp==0 ->
+        # single bin over [first-0.5, last+0.5]; then the reference's
+        # edge padding (density_cluster.py:39): the LEFT pad
+        # [e0 - 0.1*i for i in range(-5, 0, -1)] is an EMPTY Python
+        # range — faithfully mirrored — and the right pad appends
+        # e_last + 0.1*i for i in 1..5. glibc pow/log2 are correctly
+        # rounded, so POW/LOG2 match numpy bitwise.
+        density_chain = """sdev AS MATERIALIZED (
+          SELECT d, ROW_NUMBER() OVER (ORDER BY d) - 1 AS rn FROM dev
+        ),
+        pst AS MATERIALIZED (
+          SELECT n,
+                 CASE WHEN dmax = dmin THEN dmin - 5e-1 ELSE dmin END AS fe,
+                 CASE WHEN dmax = dmin THEN dmax + 5e-1 ELSE dmax END AS le
+          FROM st
+        ),
+        perc AS MATERIALIZED (
+          SELECT p75 - p25 AS iqr FROM (
+            SELECT
+              CASE WHEN f25 >= 5e-1
+                   THEN v25b - (v25b - v25a) * (1 - f25)
+                   ELSE v25a + (v25b - v25a) * f25 END AS p25,
+              CASE WHEN f75 >= 5e-1
+                   THEN v75b - (v75b - v75a) * (1 - f75)
+                   ELSE v75a + (v75b - v75a) * f75 END AS p75
+            FROM (
+              SELECT
+                (SELECT d FROM sdev WHERE rn = CAST(FLOOR((n-1) * 25e-2) AS BIGINT)) AS v25a,
+                (SELECT d FROM sdev WHERE rn = LEAST(CAST(FLOOR((n-1) * 25e-2) AS BIGINT) + 1, n - 1)) AS v25b,
+                (n-1) * 25e-2 - FLOOR((n-1) * 25e-2) AS f25,
+                (SELECT d FROM sdev WHERE rn = CAST(FLOOR((n-1) * 75e-2) AS BIGINT)) AS v75a,
+                (SELECT d FROM sdev WHERE rn = LEAST(CAST(FLOOR((n-1) * 75e-2) AS BIGINT) + 1, n - 1)) AS v75b,
+                (n-1) * 75e-2 - FLOOR((n-1) * 75e-2) AS f75
+              FROM st
+            )
+          )
+        ),
+        abw AS MATERIALIZED (
+          SELECT CASE WHEN fd <> 0 THEN LEAST(fd, sturges) ELSE sturges END AS bw
+          FROM (
+            SELECT (2e0 * (SELECT iqr FROM perc))
+                     * POW(CAST(n AS DOUBLE), -1e0 / 3e0) AS fd,
+                   (le - fe) / (LOG2(CAST(n AS DOUBLE)) + 1e0) AS sturges
+            FROM pst
+          )
+        ),
+        nb AS MATERIALIZED (
+          SELECT CASE WHEN (SELECT bw FROM abw) > 0
+                      THEN CAST(CEIL((le - fe) / (SELECT bw FROM abw)) AS BIGINT)
+                      ELSE 1 END AS k,
+                 fe, le
+          FROM pst
+        ),
+        edges AS MATERIALIZED (
+          -- linspace fill (i * step + first, endpoint pinned) for the
+          -- k+1 core edges, then 5 right-pad edges at le + 0.1*i
+          SELECT i, CASE WHEN i = k THEN le
+                         WHEN i > k THEN le + 1e-1 * CAST(i - k AS DOUBLE)
+                         ELSE CAST(i AS DOUBLE) * ((le - fe) / k) + fe
+                    END AS e
+          FROM nb CROSS JOIN (SELECT UNNEST(range((SELECT k + 6 FROM nb))) AS i)
+        ),
+        """ + _SQUEEZE_HIST_TAIL
     else:
         density_chain = """ne AS (
           SELECT CAST(CEIL(((dmax + 5e-2 * 5) - (dmin - 5e-2 * 6)) / 5e-2)
@@ -2426,26 +2679,7 @@ def _squeeze_cluster_ctes(derived: bool = False, variant: str = "hist") -> str:
                       ELSE e0 + i * delta END AS e
           FROM grid CROSS JOIN (SELECT UNNEST(range((SELECT k FROM ne))) AS i)
         ),
-        bins AS (
-          SELECT l.i AS bi, l.e AS lo_e, r.e AS hi_e, (l.e + r.e) / 2 AS center
-          FROM edges l JOIN edges r ON r.i = l.i + 1
-        ),
-        lastbin AS (SELECT MAX(bi) AS mb FROM bins),
-        binsx AS (
-          SELECT b.*, lb.mb, s.n FROM bins b CROSS JOIN lastbin lb
-          CROSS JOIN st s
-        ),
-        hist AS (
-          -- np.histogram(density=True) computes count/db/total (two
-          -- divisions, in that order) — count/(total*db) is 1 ulp off
-          SELECT b.bi, b.center,
-                 COUNT(v.d) / (b.hi_e - b.lo_e) / b.n / 100.0 AS h
-          FROM binsx b
-          LEFT JOIN dev v
-            ON (v.d >= b.lo_e AND v.d < b.hi_e)
-            OR (b.bi = b.mb AND v.d = b.hi_e)
-          GROUP BY b.bi, b.center, b.lo_e, b.hi_e, b.n
-        ),"""
+        """ + _SQUEEZE_HIST_TAIL
     return f"""{frame}
         rows_ AS MATERIALIZED (
           SELECT COALESCE(CAST(event_type AS VARCHAR), 'None') AS event_type,
@@ -2530,12 +2764,10 @@ def _squeeze_clusters_sql(variant: str = "hist") -> str:
     """
 
 
-def _robustspot_round0_sql(derived: bool = False) -> str:
-    """DuckDB twin of robustspot_round0_q — see that docstring. The
-    kneedle threshold mirrors _id_threshold exactly: CDF over RAW
-    positive-ID rows (rn/n), extremes-normalized diff, first argmax,
-    0.5 fallback below 3 rows or when no diff is positive."""
-    et, hr, ub = ("a.event_type = f.f_et", "a.hr = f.f_hr", "a.ub = f.f_ub")
+def _robustspot_frame_parts(derived: bool = False):
+    """Shared frame/expression fragments for the robustspot round twins
+    (adapt_frame + per-round expressions) — see _robustspot_round0_sql
+    for semantics notes."""
     if derived:
         # adapt_frame(derived=True, flip): value = b - a, cnt = b,
         # k = value / cnt; any-measure-positive row filter
@@ -2556,7 +2788,7 @@ def _robustspot_round0_sql(derived: bool = False) -> str:
         ca_expr = """COALESCE(
             (fd / fm) * ((value_real + (fm - value_predict))
                          / (cnt_real + (fd - cnt_predict))) - 1, 0.0)"""
-        aft_filter = "s.id > knee.thr AND s.ca > 0.0"
+        aft_filter = "s.id > knee{sfx}.thr AND s.ca > 0.0"
         w_expr = "CAST(TRUNC(s.id * s.ca * 10000) AS DOUBLE)"
         ca_tot = ", SUM(value_predict) AS fm, SUM(cnt_predict) AS fd"
     else:
@@ -2568,15 +2800,30 @@ def _robustspot_round0_sql(derived: bool = False) -> str:
                  "real" AS k_real, predict AS k_predict
           FROM rca WHERE "real" > 0 OR predict > 0"""
         ca_expr = "0.0"
-        aft_filter = "s.id > knee.thr"
+        aft_filter = "s.id > knee{sfx}.thr"
         w_expr = "CAST(TRUNC(s.id * 100) AS DOUBLE)"
         ca_tot = ""
-    return f"""
-        WITH {frame_cte},
-        ad AS MATERIALIZED ({frame_sql}),
-        tot AS (SELECT SUM(k_real) AS sv, SUM(k_predict) AS sf,
-                       COUNT(*) AS n{ca_tot} FROM ad),
-        scored AS MATERIALIZED (
+    return frame_cte, frame_sql, ca_expr, aft_filter, w_expr, ca_tot
+
+
+def _robustspot_mine_ctes(sfx: str, src: str, derived: bool = False) -> str:
+    """One robustspot mining round (_select_frame -> _mine) as a CTE
+    block over source frame ``src`` (an adapted leaf frame): ID/CA
+    leave-one-out scoring RECOMPUTED on the round's frame, kneedle ID
+    threshold, amplified integer weights, weighted-mode frequent items,
+    rule confidences, support deltas, and the structured candidate set
+    (typ + f-values carried so later rounds can drop the top cause's
+    rows). Emits tot{sfx} .. cands{sfx}."""
+    _, _, ca_expr, aft_filter, w_expr, ca_tot = _robustspot_frame_parts(derived)
+    aft_filter = aft_filter.format(sfx=sfx)
+    et, hr, ub = (
+        f"a.event_type = f.f_et", f"a.hr = f.f_hr", f"a.ub = f.f_ub"
+    )
+    return f"""tot{sfx} AS (
+          SELECT SUM(k_real) AS sv, SUM(k_predict) AS sf,
+                 COUNT(*) AS n{ca_tot} FROM {src}
+        ),
+        scored{sfx} AS MATERIALIZED (
           -- pandas _id_local: x/0 gives +/-inf -> ID = 1.0 (0/0 gives
           -- NaN -> excluded by every > comparison); DuckDB float
           -- division by zero yields NULL, so emulate explicitly
@@ -2589,17 +2836,17 @@ def _robustspot_round0_sql(derived: bool = False) -> str:
                           / (((sv - k_real) / (n - 1))
                              - ((sf - k_predict) / (n - 1)))) + 1) END AS id,
                  {ca_expr} AS ca
-          FROM ad CROSS JOIN tot
+          FROM {src} ad CROSS JOIN tot{sfx}
         ),
-        ids AS (
+        ids{sfx} AS (
           SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rn,
                  COUNT(*) OVER () AS n,
                  MIN(id) OVER () AS xmin, MAX(id) OVER () AS xmax
-          FROM scored WHERE id > 0
+          FROM scored{sfx} WHERE id > 0
         ),
-        knee AS (
+        knee{sfx} AS (
           SELECT CASE
-            WHEN (SELECT COALESCE(MAX(n), 0) FROM ids) < 3 THEN 0.5
+            WHEN (SELECT COALESCE(MAX(n), 0) FROM ids{sfx}) < 3 THEN 0.5
             ELSE COALESCE((
               SELECT x FROM (
                 SELECT id AS x,
@@ -2607,30 +2854,30 @@ def _robustspot_round0_sql(derived: bool = False) -> str:
                           / (1.0 - 1.0 / n + 1e-300))
                        - ((id - xmin) / (xmax - xmin + 1e-300)) AS diff,
                        rn
-                FROM ids
+                FROM ids{sfx}
               ) WHERE diff > 0 ORDER BY diff DESC, rn ASC LIMIT 1
             ), 0.5) END AS thr
         ),
-        aft AS MATERIALIZED (
+        aft{sfx} AS MATERIALIZED (
           -- CA = 0 for every non-derived row and the threshold is -1,
           -- so the anomalous filter reduces to ID > knee; weights are
           -- trunc(ID * 100) like pandas .astype(int)
           SELECT s.*, {w_expr} AS w
-          FROM scored s CROSS JOIN knee WHERE {aft_filter}
+          FROM scored{sfx} s CROSS JOIN knee{sfx} WHERE {aft_filter}
         ),
-        fvals AS (
+        fvals{sfx} AS (
           SELECT
-            (SELECT event_type FROM aft GROUP BY event_type
+            (SELECT event_type FROM aft{sfx} GROUP BY event_type
              ORDER BY SUM(w) DESC, event_type ASC LIMIT 1) AS f_et,
-            (SELECT hr FROM aft GROUP BY hr
+            (SELECT hr FROM aft{sfx} GROUP BY hr
              ORDER BY SUM(w) DESC, hr ASC LIMIT 1) AS f_hr,
-            (SELECT ub FROM aft GROUP BY ub
+            (SELECT ub FROM aft{sfx} GROUP BY ub
              ORDER BY SUM(w) DESC, ub ASC LIMIT 1) AS f_ub,
-            (SELECT COALESCE(SUM(w), 0) FROM aft) AS wtot,
-            (SELECT COUNT(*) FROM aft) AS n_aft,
-            (SELECT COUNT(*) FROM scored) AS n_bef
+            (SELECT COALESCE(SUM(w), 0) FROM aft{sfx}) AS wtot,
+            (SELECT COUNT(*) FROM aft{sfx}) AS n_aft,
+            (SELECT COUNT(*) FROM scored{sfx}) AS n_bef
         ),
-        wc AS (
+        wc{sfx} AS (
           SELECT f.*,
             SUM(CASE WHEN {et} THEN a.w ELSE 0 END) AS w_e,
             SUM(CASE WHEN {hr} THEN a.w ELSE 0 END) AS w_h,
@@ -2639,10 +2886,10 @@ def _robustspot_round0_sql(derived: bool = False) -> str:
             SUM(CASE WHEN {et} AND {ub} THEN a.w ELSE 0 END) AS w_eu,
             SUM(CASE WHEN {hr} AND {ub} THEN a.w ELSE 0 END) AS w_hu,
             SUM(CASE WHEN {et} AND {hr} AND {ub} THEN a.w ELSE 0 END) AS w_ehu
-          FROM aft a CROSS JOIN fvals f
+          FROM aft{sfx} a CROSS JOIN fvals{sfx} f
           GROUP BY ALL
         ),
-        conf AS (
+        conf{sfx} AS (
           SELECT *,
             (CASE WHEN w_e > 0 THEN w_eh / w_e ELSE 0.0 END > 0.8
              OR CASE WHEN w_h > 0 THEN w_eh / w_h ELSE 0.0 END > 0.8)
@@ -2660,77 +2907,138 @@ def _robustspot_round0_sql(derived: bool = False) -> str:
              OR CASE WHEN w_eu > 0 THEN w_ehu / w_eu ELSE 0.0 END > 0.8
              OR CASE WHEN w_hu > 0 THEN w_ehu / w_hu ELSE 0.0 END > 0.8)
               AS pass_ehu
-          FROM wc
+          FROM wc{sfx}
         ),
-        sup AS (
-          -- support deltas: before = full adapted frame, after = aft;
+        sup{sfx} AS (
+          -- support deltas: before = the round's frame, after = aft;
           -- exact integer-count ratios in both engines
           SELECT c.*,
-            CAST((SELECT COUNT(*) FROM scored s WHERE s.event_type = c.f_et)
+            CAST((SELECT COUNT(*) FROM scored{sfx} s WHERE s.event_type = c.f_et)
                  AS DOUBLE) / c.n_bef
-              - CAST((SELECT COUNT(*) FROM aft a WHERE a.event_type = c.f_et)
+              - CAST((SELECT COUNT(*) FROM aft{sfx} a WHERE a.event_type = c.f_et)
                      AS DOUBLE) / c.n_aft AS d_e,
-            CAST((SELECT COUNT(*) FROM scored s WHERE s.hr = c.f_hr)
+            CAST((SELECT COUNT(*) FROM scored{sfx} s WHERE s.hr = c.f_hr)
                  AS DOUBLE) / c.n_bef
-              - CAST((SELECT COUNT(*) FROM aft a WHERE a.hr = c.f_hr)
+              - CAST((SELECT COUNT(*) FROM aft{sfx} a WHERE a.hr = c.f_hr)
                      AS DOUBLE) / c.n_aft AS d_h,
-            CAST((SELECT COUNT(*) FROM scored s WHERE s.ub = c.f_ub)
+            CAST((SELECT COUNT(*) FROM scored{sfx} s WHERE s.ub = c.f_ub)
                  AS DOUBLE) / c.n_bef
-              - CAST((SELECT COUNT(*) FROM aft a WHERE a.ub = c.f_ub)
+              - CAST((SELECT COUNT(*) FROM aft{sfx} a WHERE a.ub = c.f_ub)
                      AS DOUBLE) / c.n_aft AS d_u,
-            CAST((SELECT COUNT(*) FROM scored s
+            CAST((SELECT COUNT(*) FROM scored{sfx} s
                   WHERE s.event_type = c.f_et AND s.hr = c.f_hr)
                  AS DOUBLE) / c.n_bef
-              - CAST((SELECT COUNT(*) FROM aft a
+              - CAST((SELECT COUNT(*) FROM aft{sfx} a
                       WHERE a.event_type = c.f_et AND a.hr = c.f_hr)
                      AS DOUBLE) / c.n_aft AS d_eh,
-            CAST((SELECT COUNT(*) FROM scored s
+            CAST((SELECT COUNT(*) FROM scored{sfx} s
                   WHERE s.event_type = c.f_et AND s.ub = c.f_ub)
                  AS DOUBLE) / c.n_bef
-              - CAST((SELECT COUNT(*) FROM aft a
+              - CAST((SELECT COUNT(*) FROM aft{sfx} a
                       WHERE a.event_type = c.f_et AND a.ub = c.f_ub)
                      AS DOUBLE) / c.n_aft AS d_eu,
-            CAST((SELECT COUNT(*) FROM scored s
+            CAST((SELECT COUNT(*) FROM scored{sfx} s
                   WHERE s.hr = c.f_hr AND s.ub = c.f_ub)
                  AS DOUBLE) / c.n_bef
-              - CAST((SELECT COUNT(*) FROM aft a
+              - CAST((SELECT COUNT(*) FROM aft{sfx} a
                       WHERE a.hr = c.f_hr AND a.ub = c.f_ub)
                      AS DOUBLE) / c.n_aft AS d_hu,
-            CAST((SELECT COUNT(*) FROM scored s
+            CAST((SELECT COUNT(*) FROM scored{sfx} s
                   WHERE s.event_type = c.f_et AND s.hr = c.f_hr
                     AND s.ub = c.f_ub) AS DOUBLE) / c.n_bef
-              - CAST((SELECT COUNT(*) FROM aft a
+              - CAST((SELECT COUNT(*) FROM aft{sfx} a
                       WHERE a.event_type = c.f_et AND a.hr = c.f_hr
                         AND a.ub = c.f_ub) AS DOUBLE) / c.n_aft AS d_ehu
-          FROM conf c
+          FROM conf{sfx} c
         ),
-        cands AS (
+        cands{sfx} AS (
           -- grp: delta ties rank cross-rule causes (multi-item, grp 0)
           -- before single-item powerset causes (grp 1), mirroring
-          -- _rank_by_delta's two-level key
-          SELECT 'event_type=' || f_et AS cause, d_e AS delta,
+          -- _rank_by_delta's two-level key; typ + f-values carried so a
+          -- later round can drop the winning cause's rows
+          SELECT 'e' AS typ, f_et, f_hr, f_ub, wtot,
+                 'event_type=' || f_et AS cause, d_e AS delta,
                  TRUE AS keep, 1 AS grp
-          FROM sup
-          UNION ALL SELECT 'hr=' || f_hr, d_h, TRUE, 1 FROM sup
-          UNION ALL SELECT 'ub=' || f_ub, d_u, TRUE, 1 FROM sup
-          UNION ALL SELECT 'event_type=' || f_et || '&hr=' || f_hr,
-                           d_eh, pass_eh, 0 FROM sup
-          UNION ALL SELECT 'event_type=' || f_et || '&ub=' || f_ub,
-                           d_eu, pass_eu, 0 FROM sup
-          UNION ALL SELECT 'hr=' || f_hr || '&ub=' || f_ub,
-                           d_hu, pass_hu, 0 FROM sup
-          UNION ALL SELECT 'event_type=' || f_et || '&hr=' || f_hr
-                           || '&ub=' || f_ub, d_ehu, pass_ehu, 0 FROM sup
-        )
+          FROM sup{sfx}
+          UNION ALL SELECT 'h', f_et, f_hr, f_ub, wtot,
+                           'hr=' || f_hr, d_h, TRUE, 1 FROM sup{sfx}
+          UNION ALL SELECT 'u', f_et, f_hr, f_ub, wtot,
+                           'ub=' || f_ub, d_u, TRUE, 1 FROM sup{sfx}
+          UNION ALL SELECT 'eh', f_et, f_hr, f_ub, wtot,
+                           'event_type=' || f_et || '&hr=' || f_hr,
+                           d_eh, pass_eh, 0 FROM sup{sfx}
+          UNION ALL SELECT 'eu', f_et, f_hr, f_ub, wtot,
+                           'event_type=' || f_et || '&ub=' || f_ub,
+                           d_eu, pass_eu, 0 FROM sup{sfx}
+          UNION ALL SELECT 'hu', f_et, f_hr, f_ub, wtot,
+                           'hr=' || f_hr || '&ub=' || f_ub,
+                           d_hu, pass_hu, 0 FROM sup{sfx}
+          UNION ALL SELECT 'ehu', f_et, f_hr, f_ub, wtot,
+                           'event_type=' || f_et || '&hr=' || f_hr
+                           || '&ub=' || f_ub, d_ehu, pass_ehu, 0 FROM sup{sfx}
+        )"""
+
+
+def _robustspot_round0_sql(derived: bool = False) -> str:
+    """DuckDB twin of robustspot_round0_q — see that docstring. The
+    kneedle threshold mirrors _id_threshold exactly: CDF over RAW
+    positive-ID rows (rn/n), extremes-normalized diff, first argmax,
+    0.5 fallback below 3 rows or when no diff is positive."""
+    frame_cte, frame_sql, *_ = _robustspot_frame_parts(derived)
+    return f"""
+        WITH {frame_cte},
+        ad AS MATERIALIZED ({frame_sql}),
+        {_robustspot_mine_ctes("", "ad", derived)}
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY delta ASC, grp ASC, cause ASC)
                     - 1 AS INT) AS rnk,
                cause AS root_cause
         FROM cands
-        WHERE keep AND (SELECT wtot FROM fvals) > 0
+        WHERE keep AND wtot > 0
         ORDER BY rnk
         LIMIT 5
     """
 
+
+def _robustspot_round1_sql() -> str:
+    """DuckDB twin of robustspot_round1_q: round 0's top cause (rank 0)
+    is dropped from the adapted frame by its structured (typ, f-values)
+    shape (ref robustspot.py:54-69 drop_top), then the ENTIRE mining
+    round re-runs on the residual — ID/CA leave-one-out sums, kneedle
+    threshold, weights, frequent items, rules, and deltas all
+    recomputed (the leave-one-out recomputation is exactly what the
+    round-0 gate could not cover). Empty when round 0 mined nothing."""
+    frame_cte, frame_sql, *_ = _robustspot_frame_parts(False)
+    return f"""
+        WITH {frame_cte},
+        ad AS MATERIALIZED ({frame_sql}),
+        {_robustspot_mine_ctes("", "ad", False)},
+        top0 AS MATERIALIZED (
+          SELECT typ, f_et, f_hr, f_ub FROM cands
+          WHERE keep AND wtot > 0
+          ORDER BY delta ASC, grp ASC, cause ASC LIMIT 1
+        ),
+        ad1 AS MATERIALIZED (
+          SELECT a.* FROM ad a WHERE NOT EXISTS (
+            SELECT 1 FROM top0 t WHERE
+              (t.typ = 'e' AND a.event_type = t.f_et) OR
+              (t.typ = 'h' AND a.hr = t.f_hr) OR
+              (t.typ = 'u' AND a.ub = t.f_ub) OR
+              (t.typ = 'eh' AND a.event_type = t.f_et AND a.hr = t.f_hr) OR
+              (t.typ = 'eu' AND a.event_type = t.f_et AND a.ub = t.f_ub) OR
+              (t.typ = 'hu' AND a.hr = t.f_hr AND a.ub = t.f_ub) OR
+              (t.typ = 'ehu' AND a.event_type = t.f_et
+               AND a.hr = t.f_hr AND a.ub = t.f_ub)
+          )
+        ),
+        {_robustspot_mine_ctes("1", "ad1", False)}
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY delta ASC, grp ASC, cause ASC)
+                    - 1 AS INT) AS rnk,
+               cause AS root_cause
+        FROM cands1
+        WHERE keep AND wtot > 0 AND EXISTS (SELECT 1 FROM top0)
+        ORDER BY rnk
+        LIMIT 5
+    """
 
 def _autoroot_search_sql() -> str:
     """DuckDB twin of autoroot_search_fixed_q. Cluster rule for
@@ -3307,29 +3615,41 @@ def _riskloc_prepared_ctes(derived: bool = False) -> str:
         )"""
 
 
-def _riskloc_first_cause_sql(derived: bool = False) -> str:
-    """DuckDB twin of the FIRST riskloc search pass (riskloc with
-    max_iterations=1, risk_threshold=0.3): the prepared frame, layer-1
-    element pruning (ep_z < adj OR part_sum = 0, ref riskloc.py:89-96),
-    per-element scoring for all 7 cuboids with pruned values excluded
-    from layers >= 2, candidate filter (part_sum > 0 AND ep > adj AND
-    risk >= 0.3), per-cuboid max-EP, and the reference scan order:
-    lowest layer wins, then max ep, then earliest cuboid."""
+def _riskloc_pass_ctes(src: str, sfx: str, prior: list[str]) -> str:
+    """One riskloc search pass as a CTE block over source frame ``src``
+    (a prepared-column frame): layer-1 prune scan (appending to the
+    prune state, ref riskloc.py:89-96 / _driver_search), per-element
+    scoring for all 7 cuboids, candidate filter, per-cuboid max-EP.
+    ``prior`` lists pruneset CTE names from earlier passes — the prune
+    dict ACCUMULATES across iterations, so layer-1 branches exclude the
+    prior passes' pruned values (the pass's own prunes are computed
+    from the already-excluded frame) and layer >= 2 branches exclude
+    prior + this pass's. Emits l1{sfx}, pruneset{sfx}, layer{sfx},
+    scored_layers{sfx}, cands{sfx}."""
     cuboids = _rca_cuboids()
+
+    def excl_clause(dims, pruneset_names):
+        if not pruneset_names:
+            return ""
+        parts = []
+        for ps_name in pruneset_names:
+            conds = " OR ".join(
+                f"(ps.dim = '{d}' AND ps.val = COALESCE(CAST(p.{d} AS VARCHAR), 'None'))"
+                for d in dims
+            )
+            parts.append(
+                f"NOT EXISTS (SELECT 1 FROM {ps_name} ps WHERE {conds})"
+            )
+        return "WHERE " + " AND ".join(parts)
+
     branches = []
     for cid, layer, dims in cuboids:
         dims_sql = ", ".join(dims)
         label = " || '&' || ".join(
             f"'{d}=' || COALESCE(CAST({d} AS VARCHAR), 'None')" for d in dims
         )
-        if layer == 1:
-            excl = ""
-        else:
-            conds = " OR ".join(
-                f"(ps.dim = '{d}' AND ps.val = COALESCE(CAST(p.{d} AS VARCHAR), 'None'))"
-                for d in dims
-            )
-            excl = f"WHERE NOT EXISTS (SELECT 1 FROM pruneset ps WHERE {conds})"
+        ps_names = list(prior) if layer == 1 else list(prior) + [f"pruneset{sfx}"]
+        excl = excl_clause(dims, ps_names)
         branches.append(f"""
             SELECT {cid} AS cid, {layer} AS layer, {label} AS elem,
                    COALESCE(SUM(CASE WHEN part = 1 THEN weight END), 0.0) AS n_anom,
@@ -3352,40 +3672,54 @@ def _riskloc_first_cause_sql(derived: bool = False) -> str:
                          OVER (PARTITION BY {dims_sql}) AS R,
                        SUM(CASE WHEN "real" <> 0 AND predict <> 0 THEN predict END)
                          OVER (PARTITION BY {dims_sql}) AS P
-                FROM (SELECT * FROM prepared p {excl})
+                FROM (SELECT * FROM {src} p {excl})
               )
             )
             GROUP BY {dims_sql}""")
     union = "\nUNION ALL\n".join(branches)
-    l1_parts = "\nUNION ALL\n".join(
-        f"""SELECT '{d}' AS dim, COALESCE(CAST({d} AS VARCHAR), 'None') AS val,
+    l1_parts = []
+    for d in RCA_ATTRIBUTES:
+        excl = excl_clause([d], prior)
+        l1_parts.append(
+            f"""SELECT '{d}' AS dim, COALESCE(CAST({d} AS VARCHAR), 'None') AS val,
                    SUM(ep_z) AS epz, SUM(part) AS ps
-            FROM prepared GROUP BY 2"""
-        for d in RCA_ATTRIBUTES
-    )
-    return f"""
-        WITH {_riskloc_prepared_ctes(derived)},
-        adj AS (SELECT COALESCE(ABS(s), 0.0) * 0.02 AS v FROM eps),
-        l1 AS ({l1_parts}),
-        pruneset AS (
-          SELECT l1.dim, l1.val FROM l1 CROSS JOIN adj
-          WHERE l1.epz < adj.v OR l1.ps = 0
+            FROM (SELECT * FROM {src} p {excl}) GROUP BY 2"""
+        )
+    l1_union = "\nUNION ALL\n".join(l1_parts)
+    return f"""l1{sfx} AS ({l1_union}),
+        pruneset{sfx} AS (
+          SELECT l.dim, l.val FROM l1{sfx} l CROSS JOIN adj
+          WHERE l.epz < adj.v OR l.ps = 0
         ),
-        layer AS ({union}),
-        scored_layers AS (
+        layer{sfx} AS ({union}),
+        scored_layers{sfx} AS (
           SELECT *, n_anom / (n_anom + n_norm + 1.0) AS high,
                  CASE WHEN w2 IS NULL OR w2 = 0 OR w1 IS NULL THEN 0.0
                       ELSE w1 / w2 END AS low
-          FROM layer
+          FROM layer{sfx}
         ),
-        cands AS (
+        cands{sfx} AS (
           SELECT * FROM (
             SELECT sl.*, ROW_NUMBER() OVER (
                      PARTITION BY cid ORDER BY ep DESC, elem ASC) AS rn
-            FROM scored_layers sl CROSS JOIN adj
+            FROM scored_layers{sfx} sl CROSS JOIN adj
             WHERE part_sum > 0 AND ep > adj.v AND (high - low) >= 0.3
           ) WHERE rn = 1
-        )
+        )"""
+
+
+def _riskloc_first_cause_sql(derived: bool = False) -> str:
+    """DuckDB twin of the FIRST riskloc search pass (riskloc with
+    max_iterations=1, risk_threshold=0.3): the prepared frame, layer-1
+    element pruning (ep_z < adj OR part_sum = 0, ref riskloc.py:89-96),
+    per-element scoring for all 7 cuboids with pruned values excluded
+    from layers >= 2, candidate filter (part_sum > 0 AND ep > adj AND
+    risk >= 0.3), per-cuboid max-EP, and the reference scan order:
+    lowest layer wins, then max ep, then earliest cuboid."""
+    return f"""
+        WITH {_riskloc_prepared_ctes(derived)},
+        adj AS (SELECT COALESCE(ABS(s), 0.0) * 0.02 AS v FROM eps),
+        {_riskloc_pass_ctes("prepared", "", [])}
         SELECT elem AS root_cause, CAST(layer AS INT) AS layer,
                round(ep, 6) + 0e0 AS ep_score,
                round(high - low, 6) + 0e0 AS risk,
@@ -3393,6 +3727,63 @@ def _riskloc_first_cause_sql(derived: bool = False) -> str:
         FROM cands
         ORDER BY layer ASC, ep DESC, cid ASC
         LIMIT 1
+    """
+
+
+def _riskloc_two_pass_sql() -> str:
+    """DuckDB twin of riskloc_two_pass_q (riskloc, max_iterations=2):
+    pass 1 = the first-cause search; the winner's leaf rows are removed
+    from the prepared frame by matching the winning cuboid's label
+    conjunction (ref riskloc.py:565-574 — found causes become an
+    exclusion predicate over the SAME prepared columns, nothing is
+    recomputed); pass 2 re-runs the search over the residual with the
+    ACCUMULATED prune state, gated on the iteration stop-check
+    sum(anomalous ep) >= adj threshold over the residual."""
+    cuboids = _rca_cuboids()
+    match_w1 = " OR ".join(
+        "(w.cid = {cid} AND {label} = w.elem)".format(
+            cid=cid,
+            label=" || '&' || ".join(
+                f"'{d}=' || COALESCE(CAST(p.{d} AS VARCHAR), 'None')"
+                for d in dims
+            ),
+        )
+        for cid, _layer, dims in cuboids
+    )
+    return f"""
+        WITH {_riskloc_prepared_ctes()},
+        adj AS (SELECT COALESCE(ABS(s), 0.0) * 0.02 AS v FROM eps),
+        {_riskloc_pass_ctes("prepared", "", [])},
+        w1 AS MATERIALIZED (
+          SELECT cid, elem, layer, ep, high, low
+          FROM cands ORDER BY layer ASC, ep DESC, cid ASC LIMIT 1
+        ),
+        resid AS MATERIALIZED (
+          SELECT p.* FROM prepared p
+          WHERE NOT EXISTS (SELECT 1 FROM w1 w WHERE {match_w1})
+        ),
+        stop2 AS MATERIALIZED (
+          SELECT COALESCE(SUM(ep2), 0.0) AS ep_sum
+          FROM resid WHERE part = 1
+        ),
+        {_riskloc_pass_ctes("resid", "2", ["pruneset"])},
+        w2 AS MATERIALIZED (
+          SELECT cid, elem, layer, ep, high, low
+          FROM cands2 ORDER BY layer ASC, ep DESC, cid ASC LIMIT 1
+        ),
+        allw AS (
+          SELECT 0 AS it, elem, layer, ep, high, low FROM w1
+          UNION ALL
+          SELECT 1, elem, layer, ep, high, low FROM w2
+          WHERE EXISTS (SELECT 1 FROM w1)
+            AND (SELECT ep_sum FROM stop2) >= (SELECT v FROM adj)
+        )
+        SELECT CAST(it AS INT) AS iteration, elem AS root_cause,
+               CAST(layer AS INT) AS layer,
+               round(ep, 6) + 0e0 AS ep_score,
+               round(high - low, 6) + 0e0 AS risk,
+               round(high, 6) + 0e0 AS high, round(low, 6) + 0e0 AS low
+        FROM allw
     """
 
 
@@ -4076,13 +4467,20 @@ def oracle_sql() -> dict[str, str]:
         "squeeze_derived_cluster_stats": _squeeze_derived_cluster_stats_sql(),
         "riskloc_layer_scores": _riskloc_layer_scores_sql(),
         "riskloc_first_cause": _riskloc_first_cause_sql(),
+        "riskloc_two_pass": _riskloc_two_pass_sql(),
         "riskloc_first_cause_derived": _riskloc_first_cause_sql(derived=True),
         "squeeze_clusters": _squeeze_clusters_sql(),
         "squeeze_clusters_kde": _squeeze_clusters_sql(variant="kde"),
+        "squeeze_clusters_auto": _squeeze_clusters_sql(variant="auto"),
+        "squeeze_auto_edges": f"""
+            WITH {_squeeze_cluster_ctes(variant="auto")}
+            SELECT CAST(i AS INT) AS i, round(e, 6) + 0e0 AS edge FROM edges
+        """,
         "squeeze_search": _squeeze_search_sql(),
         "squeeze_search_filtered": _squeeze_search_sql(variant="filtered"),
         "squeeze_search_derived": _squeeze_search_sql(derived=True),
         "robustspot_round0": _robustspot_round0_sql(),
+        "robustspot_round1": _robustspot_round1_sql(),
         "autoroot_search_fixed": _autoroot_search_sql(),
         "autoroot_kde_fixed": _autoroot_kde_sql(),
         "robustspot_round0_derived": _robustspot_round0_sql(derived=True),

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     # the correctness gate still checks it at sf0.01
     "riskloc_rca",
     "riskloc_first_cause",
+    "riskloc_two_pass",
     "riskloc_first_cause_derived",
     "rca_derived_scores",
     "riskloc_rca_derived",
@@ -63,14 +64,20 @@ BENCH_QUERIES = [
     "hotspot_search",
     "robustspot_supports",
     "robustspot_round0",
+    "robustspot_round1",
     "robustspot_round0_derived",
     "hotspot_element_stats",
     "autoroot_nps",
     "autoroot_search_fixed",
     "squeeze_cluster_stats",
     "squeeze_clusters",
+    "squeeze_clusters_kde",
+    "squeeze_clusters_auto",
+    "squeeze_auto_edges",
     "squeeze_search",
+    "squeeze_search_filtered",
     "squeeze_search_derived",
+    "autoroot_kde_fixed",
     "riskloc_layer_scores",
     "dataset_significance",
     "streaming_kpi",
@@ -85,23 +92,38 @@ BENCH_QUERIES = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _fresh_session(sf_dir: str, queries):
+    """New SparkSession with the standard bench warmup (JVM + parquet
+    footers + Python worker pool)."""
     spark = get_spark("riskloc-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = entry_mod.queries()
-
-    # warm the JVM + parquet footers + Python worker pool once
     queries["q6_forecast_revenue"](spark, sf_dir).count()
     spark.range(64).repartition(64).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
+    return spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # SPARK_GRAFT_ISOLATED=K (0 = off): restart the session every K
+    # queries, so per-query numbers stop carrying O(#queries) shared-JVM
+    # session drift (persisted caches, code cache, GC pressure) — the
+    # cross-round comparisons in rounds 4/5 each needed hand re-timing
+    # to prove in-bench "regressions" were session growth. K=1 is full
+    # isolation (~4s session spin-up per query, not counted in timings).
+    isolated = int(os.environ.get("SPARK_GRAFT_ISOLATED", "0"))
+    queries = entry_mod.queries()
+    spark = _fresh_session(sf_dir, queries)
 
     # min of 2 runs per query: the box this runs on shares cores with
     # other tenants, and a single sample can catch a 5-10x transient
     # spike on any one query; the min is the steady-state cost
     per_query: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for qi, name in enumerate(BENCH_QUERIES):
+        if isolated and qi and qi % isolated == 0:
+            spark.stop()
+            spark = _fresh_session(sf_dir, queries)
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -119,6 +141,8 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
     }
+    if isolated:
+        out["isolated"] = isolated
     if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
         out["scale"] = scale_block(spark)
     print(json.dumps(out))

@@ -108,8 +108,21 @@ def get_cutoff(df: DataFrame, n_remove: int = 5, relative: bool = False) -> floa
         n_distinct = devs.count()
         n_remove = int(math.ceil(n_distinct * n_remove / 100))
     k = n_remove + 1
-    smallest = [r[0] for r in devs.orderBy(F.col("deviation").asc()).limit(k).collect()]
-    largest = [r[0] for r in devs.orderBy(F.col("deviation").desc()).limit(k).collect()]
+    # both ends in ONE action: union the two TakeOrdered subtrees
+    # (limit-after-sort never materializes a full sort) and tag the side
+    both = (
+        devs.orderBy(F.col("deviation").asc())
+        .limit(k)
+        .select(F.lit(0).alias("side"), "deviation")
+        .unionAll(
+            devs.orderBy(F.col("deviation").desc())
+            .limit(k)
+            .select(F.lit(1).alias("side"), "deviation")
+        )
+        .collect()
+    )
+    smallest = [r["deviation"] for r in both if r["side"] == 0]
+    largest = [r["deviation"] for r in both if r["side"] == 1]
     min_val = max(smallest)  # n_remove+1-th smallest
     max_val = min(largest)  # n_remove+1-th largest
     return -min(min_val, max_val, key=abs)

@@ -264,6 +264,10 @@ def _density_and_bins(
             edges = np.histogram_bin_edges(array, "auto").tolist()
         else:
             edges = _auto_bin_edges_weighted(array, counts)
+        # reference-faithful padding (density_cluster.py:39): the LEFT
+        # pad's range(-5, 0, -1) is EMPTY in Python — the reference has
+        # the same expression, so only the right pad exists. Mirrored
+        # exactly (and hash-gated by squeeze_auto_edges).
         edges = [edges[0] - 0.1 * i for i in range(-5, 0, -1)] + edges + [
             edges[-1] + 0.1 * i for i in range(1, 6)
         ]
