@@ -176,6 +176,52 @@ def _weighted_mode(pdf: pd.DataFrame, col: str, w: pd.Series):
     return agg.idxmax()
 
 
+def _subset_sums(
+    pdf: pd.DataFrame, causes: list, weights: np.ndarray | None = None
+) -> np.ndarray:
+    """Matching-row count (or weight sum) for MANY causes drawn from a
+    small shared (col, val) item set — mining causes are always subsets
+    of the <= #attributes frequent items. One signature pass over the
+    frame (bit i set iff the row matches item i) + a 2^d-bucket
+    aggregation replaces a full per-cause boolean mask: this was the
+    driver-side hotspot at 562k leaves (64 CPU-seconds of masks -> one
+    O(n*d) pass). Counts and the integer-valued amplified weights sum
+    exactly under any order, so results are bit-identical to the
+    per-cause masks (the round gates stay green)."""
+    items = sorted({it for c in causes for it in c})
+    counter = _subset_counter(pdf, items, weights)
+    return np.array([counter(c) for c in causes])
+
+
+def _subset_counter(
+    pdf: pd.DataFrame, items: list, weights: np.ndarray | None = None
+):
+    """Compile the signature pass once; the returned callable sums the
+    matching count/weight for any cause whose items are in ``items``."""
+    sig = np.zeros(len(pdf), dtype=np.int64)
+    for bit, (col, val) in enumerate(items):
+        sig |= (pdf[col].to_numpy() == val).astype(np.int64) << bit
+    n_groups = 1 << len(items)
+    gsum = np.bincount(sig, weights=weights, minlength=n_groups).astype(float)
+    idx = np.arange(n_groups)
+    bit_of = {item: 1 << i for i, item in enumerate(items)}
+
+    def count(cause) -> float:
+        bits = 0
+        for it in cause:
+            bits |= bit_of[it]
+        return float(gsum[(idx & bits) == bits].sum())
+
+    return count
+
+
+def _subset_supports(pdf: pd.DataFrame, causes: list) -> np.ndarray:
+    """_support for causes sharing a small item set (see _subset_sums)."""
+    if len(pdf) == 0:
+        return np.zeros(len(causes))
+    return _subset_sums(pdf, causes) / len(pdf)
+
+
 def _mine_candidates(
     after: pd.DataFrame,
     weights: pd.Series,
@@ -196,8 +242,9 @@ def _mine_candidates(
     def powerset(items, lo, hi):
         return chain.from_iterable(combinations(items, r) for r in range(lo, hi))
 
-    def wcount(cause) -> float:
-        return float(weights[_match_mask(after, cause)].sum())
+    # every rule cause is a subset of ``frequent``: one signature pass
+    # replaces a boolean mask per rule (see _subset_counter — exact)
+    wcount = _subset_counter(after, frequent, np.asarray(weights, float))
 
     rules = set()
     for itemset in powerset(frequent, 2, 4):
@@ -255,9 +302,9 @@ def _mine(
     causes = _mine_candidates(after, weights, attributes, confidence_threshold)
     if not causes:
         return []
-    deltas = np.array(
-        [_support(before, c) - _support(after, c) for c in causes]
-    )
+    # subset-signature supports: one pass over each frame (the per-cause
+    # masks over the full `before` frame were quadratic-ish driver cost)
+    deltas = _subset_supports(before, causes) - _subset_supports(after, causes)
     return _rank_by_delta(causes, deltas)
 
 
@@ -631,8 +678,8 @@ def _robustspot_distributed(
             if not causes:
                 mined[index] = []
                 return
-            deltas = _supports_dist(frame_of(pred), causes) - np.array(
-                [_support(after, c) for c in causes]
+            deltas = _supports_dist(frame_of(pred), causes) - _subset_supports(
+                after, causes
             )
             mined[index] = _rank_by_delta(causes, deltas)
 
@@ -641,22 +688,42 @@ def _robustspot_distributed(
             return p if base_pred is None else (base_pred & p)
 
         run(0, None)
+        # The round schedule has exactly two dependency waves: rounds
+        # 1/3/5 each depend only on round 0's top causes, and rounds
+        # 2/4/6 each depend only on their wave-1 partner. Each round is
+        # ~3 tiny sequential actions on the persisted frame —
+        # job-count-bound, not data-bound — so the independent rounds
+        # of a wave submit their jobs CONCURRENTLY (Spark schedules
+        # concurrent actions on one context fine; rounds write disjoint
+        # indices). Same per-round code, same results, ~1/3 the
+        # sequential job-gap wall-clock.
+        from concurrent.futures import ThreadPoolExecutor
+
+        tops = mined[0] or []
+        wave1 = []
         for dim1 in (1, 2, 3):
             i1 = 2 * dim1 - 1  # dim2 == 1
-            tops = mined[0] or []
             if len(tops) >= dim1:
-                run(i1, and_pred(before_pred[0], tops[dim1 - 1]))
+                wave1.append((i1, and_pred(before_pred[0], tops[dim1 - 1])))
             else:
                 mined[i1] = []
                 before_pred[i1] = before_pred[0]
                 after_list[i1] = (
                     after_list[0].iloc[0:0] if after_list[0] is not None else None
                 )
-            i2 = 2 * dim1  # dim2 == 2
+        if wave1:
+            with ThreadPoolExecutor(len(wave1)) as ex:
+                list(ex.map(lambda t: run(*t), wave1))
+        wave2 = []
+        for dim1 in (1, 2, 3):
+            i1, i2 = 2 * dim1 - 1, 2 * dim1  # dim2 == 2
             if mined[i1]:
-                run(i2, and_pred(before_pred[i1], mined[i1][0]))
+                wave2.append((i2, and_pred(before_pred[i1], mined[i1][0])))
             else:
                 mined[i2] = []
+        if wave2:
+            with ThreadPoolExecutor(len(wave2)) as ex:
+                list(ex.map(lambda t: run(*t), wave2))
 
         def support_before0(causes):
             return _supports_dist(sel, causes)
