@@ -1606,6 +1606,38 @@ def robustspot_round1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rnk int, root_cause string")
 
 
+def riskloc_two_pass_derived_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-measure twin of riskloc_two_pass: two search iterations
+    with found-cause removal in derived mode, replayed by
+    _riskloc_two_pass_sql(derived=True)."""
+    from riskloc_spark.operators.riskloc import riskloc
+
+    df = rca_events_derived(spark, sf_dir)
+    causes = riskloc(
+        df, RCA_ATTRIBUTES, risk_threshold=0.3, derived=True,
+        max_iterations=2,
+    )
+    rows = []
+    for i, rc in enumerate(causes[:2]):
+        el = rc["elements"][0]
+        rows.append(
+            (
+                i,
+                "&".join(sorted(f"{d}={v}" for d, v in zip(rc["cuboid"], el))),
+                int(rc["layer"]),
+                round(float(rc["ep_score"]), 6),
+                round(float(rc["risk score"]), 6),
+                round(float(rc["high risk score"]), 6),
+                round(float(rc["low risk score"]), 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "iteration int, root_cause string, layer int, ep_score double,"
+        " risk double, high double, low double",
+    )
+
+
 def riskloc_first_cause_derived_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived-measure twin of riskloc_first_cause: the full operator in
     derived mode (a/b-split EP normalized by its own sum, KPI = a/b
@@ -1869,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ewma": streaming_ewma_q,
         "riskloc_first_cause": riskloc_first_cause_q,
         "riskloc_two_pass": riskloc_two_pass_q,
+        "riskloc_two_pass_derived": riskloc_two_pass_derived_q,
         "riskloc_first_cause_derived": riskloc_first_cause_derived_q,
         "squeeze_clusters": squeeze_clusters_q,
         "squeeze_clusters_kde": squeeze_clusters_kde_q,
@@ -3605,7 +3638,7 @@ def _riskloc_prepared_ctes(derived: bool = False) -> str:
           FROM parts
         ),
         eps AS (SELECT SUM(CASE WHEN part = 1 THEN ep END) AS s FROM pw),
-        prepared AS (
+        prepared AS MATERIALIZED (
           SELECT pw.*,
                  CASE WHEN e.s < 0 THEN -ep ELSE ep END AS ep2,
                  CASE WHEN (CASE WHEN e.s < 0 THEN -ep ELSE ep END) > 0
@@ -3730,7 +3763,7 @@ def _riskloc_first_cause_sql(derived: bool = False) -> str:
     """
 
 
-def _riskloc_two_pass_sql() -> str:
+def _riskloc_two_pass_sql(derived: bool = False) -> str:
     """DuckDB twin of riskloc_two_pass_q (riskloc, max_iterations=2):
     pass 1 = the first-cause search; the winner's leaf rows are removed
     from the prepared frame by matching the winning cuboid's label
@@ -3751,7 +3784,7 @@ def _riskloc_two_pass_sql() -> str:
         for cid, _layer, dims in cuboids
     )
     return f"""
-        WITH {_riskloc_prepared_ctes()},
+        WITH {_riskloc_prepared_ctes(derived)},
         adj AS (SELECT COALESCE(ABS(s), 0.0) * 0.02 AS v FROM eps),
         {_riskloc_pass_ctes("prepared", "", [])},
         w1 AS MATERIALIZED (
@@ -4468,6 +4501,7 @@ def oracle_sql() -> dict[str, str]:
         "riskloc_layer_scores": _riskloc_layer_scores_sql(),
         "riskloc_first_cause": _riskloc_first_cause_sql(),
         "riskloc_two_pass": _riskloc_two_pass_sql(),
+        "riskloc_two_pass_derived": _riskloc_two_pass_sql(derived=True),
         "riskloc_first_cause_derived": _riskloc_first_cause_sql(derived=True),
         "squeeze_clusters": _squeeze_clusters_sql(),
         "squeeze_clusters_kde": _squeeze_clusters_sql(variant="kde"),

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "riskloc_rca",
     "riskloc_first_cause",
     "riskloc_two_pass",
+    "riskloc_two_pass_derived",
     "riskloc_first_cause_derived",
     "rca_derived_scores",
     "riskloc_rca_derived",

@@ -190,3 +190,48 @@ def test_rank_by_delta_tie_groups_cross_before_powerset():
         (("hr", "1"), ("ub", "7")),
     ]
     assert ranked[3:] == [(("event_type", "a"),), (("hr", "9"),)]
+
+
+def test_subset_counter_bit_equal_to_masks():
+    """The signature-pass support/weight computation must be BIT-equal
+    to the per-cause boolean masks it replaced (round-6 perf work) —
+    integer counts and integer-valued weights sum exactly under any
+    order, so even the hash gates must not move."""
+    import numpy as np
+    import pandas as pd
+
+    from riskloc_spark.operators.robustspot import (
+        _match_mask,
+        _subset_counter,
+        _subset_sums,
+        _subset_supports,
+        _support,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "a": rng.choice([f"a{i}" for i in range(5)], n),
+            "b": rng.choice([f"b{i}" for i in range(4)], n),
+            "c": rng.choice([f"c{i}" for i in range(3)], n),
+        }
+    )
+    w = rng.integers(1, 200, n).astype(float)
+    items = [("a", "a1"), ("b", "b2"), ("c", "c0")]
+    causes = [
+        (items[0],),
+        (items[1],),
+        (items[0], items[1]),
+        (items[1], items[2]),
+        (items[0], items[1], items[2]),
+    ]
+    counter = _subset_counter(pdf, items, w)
+    for c in causes:
+        assert counter(c) == float(w[_match_mask(pdf, c).to_numpy()].sum())
+    got = _subset_sums(pdf, causes)
+    want = np.array([float(_match_mask(pdf, c).sum()) for c in causes])
+    assert np.array_equal(got, want)
+    sup = _subset_supports(pdf, causes)
+    want_sup = np.array([_support(pdf, c) for c in causes])
+    assert np.array_equal(sup, want_sup)
