@@ -1132,6 +1132,36 @@ def hotspot_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hotspot_search_ps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hotspot's ps-scoring search variant under the oracle — the same
+    exhaustive 2-dim slice as hotspot_search, scoring='ps' (euclidean
+    ripple-replacement distance, ref hotspot.py:29-37): the argmax now
+    exercises the P_e/Q_e squared-residual decomposition and the
+    sqrt/clamp decision, previously covered only by element stats +
+    the scorer-decomposition unit test."""
+    from riskloc_spark.operators.hotspot import hotspot
+
+    df = rca_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "error") & F.col("ub").isin(1, 5)
+    )
+    best = hotspot(
+        df, ["event_type", "ub"], pt=1.5, m=200, scoring="ps", seed=0
+    )
+    elements = sorted(
+        "&".join(f"{d}={v}" for d, v in zip(best["cuboid"], e))
+        for e in best["elements"]
+    )
+    row = (
+        best["layer"],
+        "&".join(best["cuboid"]),
+        ";".join(elements),
+        round(float(best["score"]), 6),
+    )
+    return spark.createDataFrame(
+        [row], "layer int, cuboid string, elements string, score double"
+    )
+
+
 def streaming_kpi_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-mode + watermark streaming gate — the bounded-state path
     (streaming_kpi runs complete mode, which retains every window in
@@ -1897,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kpi": streaming_kpi_q,
         "streaming_kpi_append": streaming_kpi_append_q,
         "hotspot_search": hotspot_search_q,
+        "hotspot_search_ps": hotspot_search_ps_q,
         "robustspot_supports": robustspot_supports_q,
         "streaming_ewma": streaming_ewma_q,
         "riskloc_first_cause": riskloc_first_cause_q,
@@ -2176,12 +2207,16 @@ def _dedup_groups_sql() -> str:
     """
 
 
-def _hotspot_search_sql() -> str:
-    """DuckDB twin of the EXHAUSTIVE hotspot search (hotspot_search_q):
-    per-cuboid element stats (native double sums, mirroring the search
-    path) -> bitmask enumeration of every non-empty element subset ->
-    gps score -> global argmax by (score DESC, layer ASC, size ASC) —
-    the same ordering as hotspot()'s final candidate sort."""
+def _hotspot_search_sql(scoring: str = "gps") -> str:
+    """DuckDB twin of the EXHAUSTIVE hotspot search (hotspot_search_q /
+    hotspot_search_ps_q): per-cuboid element stats (native double sums,
+    mirroring the search path) -> bitmask enumeration of every
+    non-empty element subset -> gps or ps score -> global argmax by
+    (score DESC, layer ASC, size ASC) — the same ordering as
+    hotspot()'s final candidate sort. ps (ref hotspot.py:29-37) sums
+    the per-element squared-residual decomposition P_e/Q_e (squares as
+    x*x, never POW — libm pow can differ 1 ulp per engine) and clamps
+    at 0."""
     cuboids = [
         (0, 1, ["event_type"]),
         (1, 1, ["ub"]),
@@ -2199,7 +2234,9 @@ def _hotspot_search_sql() -> str:
                    {label} AS elem,
                    COUNT(*) AS n_e,
                    SUM(ABS("real" - __a)) AS A_e,
-                   SUM(ABS("real" - predict)) AS B_e
+                   SUM(ABS("real" - predict)) AS B_e,
+                   SUM(("real" - __a) * ("real" - __a)) AS P_e,
+                   SUM(("real" - predict) * ("real" - predict)) AS Q_e
             FROM (
               SELECT *, predict * (CASE WHEN Fe <> 0 THEN Ve / Fe ELSE 0.0 END) AS __a
               FROM (
@@ -2211,6 +2248,54 @@ def _hotspot_search_sql() -> str:
             )
             GROUP BY {dims_sql}""")
     stats_union = "\nUNION ALL\n".join(parts)
+    if scoring == "ps":
+        score_expr = """CASE WHEN tot.Q_tot = 0 THEN 0.0
+                 ELSE GREATEST(1 - SQRT(tot.Q_tot - s.Q + s.P)
+                               / SQRT(tot.Q_tot), 0.0) END"""
+        # ps runs WITH hierarchical pruning (hotspot: use_pruning =
+        # scoring != 'gps', ref hotspot.py:203-209): a layer-2 element
+        # survives only if it refines EVERY layer-1 parent candidate
+        # (the per-prev filters apply sequentially = AND) — i.e. its
+        # event_type value is in cuboid-0's winning set AND its ub
+        # value is in cuboid-1's winning set. A layer-2 subset is
+        # admissible iff every member element survives.
+        prune_ctes = """,
+        w0m AS (
+          SELECT unnest(string_split(elements, ';')) AS pe FROM (
+            SELECT elements FROM scored WHERE cid = 0
+            ORDER BY score DESC, set_size ASC, elements ASC LIMIT 1
+          )
+        ),
+        w1m AS (
+          SELECT unnest(string_split(elements, ';')) AS pe FROM (
+            SELECT elements FROM scored WHERE cid = 1
+            ORDER BY score DESC, set_size ASC, elements ASC LIMIT 1
+          )
+        )"""
+        prune_where = """WHERE s.cid IN (0, 1)
+           OR NOT EXISTS (
+             SELECT 1 FROM unnest(string_split(s.elements, ';')) AS t(mem)
+             WHERE NOT (
+               EXISTS (SELECT 1 FROM w0m WHERE mem LIKE pe || '&%')
+               AND EXISTS (SELECT 1 FROM w1m WHERE mem LIKE '%&' || pe)
+             )
+           )"""
+    else:
+        score_expr = """CASE WHEN (s.B / s.n
+                            + CASE WHEN (tot.N - s.n) > 0
+                                   THEN (tot.B_tot - s.B) / (tot.N - s.n)
+                                   ELSE 0.0 END) <> 0
+                      THEN 1 - ((s.A / s.n
+                            + CASE WHEN (tot.N - s.n) > 0
+                                   THEN (tot.B_tot - s.B) / (tot.N - s.n)
+                                   ELSE 0.0 END)
+                           / (s.B / s.n
+                            + CASE WHEN (tot.N - s.n) > 0
+                                   THEN (tot.B_tot - s.B) / (tot.N - s.n)
+                                   ELSE 0.0 END))
+                      ELSE 0.0 END"""
+        prune_ctes = ""
+        prune_where = ""
     return f"""
         WITH {_RCA_CTE},
         frame AS (
@@ -2218,7 +2303,8 @@ def _hotspot_search_sql() -> str:
           WHERE event_type IN ('click', 'error') AND ub IN (1, 5)
         ),
         tot AS (
-          SELECT COUNT(*) AS N, SUM(ABS("real" - predict)) AS B_tot
+          SELECT COUNT(*) AS N, SUM(ABS("real" - predict)) AS B_tot,
+                 SUM(("real" - predict) * ("real" - predict)) AS Q_tot
           FROM frame
         ),
         stats AS ({stats_union}),
@@ -2233,6 +2319,7 @@ def _hotspot_search_sql() -> str:
         subsets AS (
           SELECT cid, MAX(layer) AS layer, MAX(cuboid) AS cuboid, mask,
                  SUM(n_e) AS n, SUM(A_e) AS A, SUM(B_e) AS B,
+                 SUM(P_e) AS P, SUM(Q_e) AS Q,
                  COUNT(*) AS set_size,
                  string_agg(elem, ';' ORDER BY elem) AS elements
           FROM idx JOIN masks ON ((mask >> i) & 1) = 1
@@ -2240,25 +2327,14 @@ def _hotspot_search_sql() -> str:
           GROUP BY cid, mask
         ),
         scored AS (
-          SELECT s.layer, s.cuboid, s.elements, s.set_size,
-                 CASE WHEN (s.B / s.n
-                            + CASE WHEN (tot.N - s.n) > 0
-                                   THEN (tot.B_tot - s.B) / (tot.N - s.n)
-                                   ELSE 0.0 END) <> 0
-                      THEN 1 - ((s.A / s.n
-                            + CASE WHEN (tot.N - s.n) > 0
-                                   THEN (tot.B_tot - s.B) / (tot.N - s.n)
-                                   ELSE 0.0 END)
-                           / (s.B / s.n
-                            + CASE WHEN (tot.N - s.n) > 0
-                                   THEN (tot.B_tot - s.B) / (tot.N - s.n)
-                                   ELSE 0.0 END))
-                      ELSE 0.0 END AS score
+          SELECT s.cid, s.layer, s.cuboid, s.elements, s.set_size,
+                 {score_expr} AS score
           FROM subsets s CROSS JOIN tot
-        )
+        ){prune_ctes}
         SELECT CAST(layer AS INT) AS layer, cuboid, elements,
                round(score, 6) + 0e0 AS score
-        FROM scored
+        FROM scored s
+        {prune_where}
         ORDER BY score DESC, layer ASC, set_size ASC
         LIMIT 1
     """
@@ -4432,6 +4508,7 @@ def oracle_sql() -> dict[str, str]:
             FROM closed c LEFT JOIN bl ON c.event_type = bl.event_type
         """,
         "hotspot_search": _hotspot_search_sql(),
+        "hotspot_search_ps": _hotspot_search_sql(scoring="ps"),
         "streaming_ewma": """
             WITH RECURSIVE win AS (
               SELECT event_type, date_trunc('hour', ts) AS ws,

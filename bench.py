@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "robustspot_scores",
     "robustspot_rca",
     "hotspot_search",
+    "hotspot_search_ps",
     "robustspot_supports",
     "robustspot_round0",
     "robustspot_round1",

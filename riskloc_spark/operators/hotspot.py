@@ -235,10 +235,14 @@ def hotspot(
         )
     df = df.persist()
 
+    # x*x instead of pow(x, 2): exactly-rounded IEEE multiply, matching
+    # element_stats_all's Q_e terms and the DuckDB twin bitwise (libm
+    # pow may differ by 1 ulp per engine)
+    _qd = F.col("real") - F.col("predict")
     totals_row = df.agg(
         F.count(F.lit(1)).alias("N"),
         F.sum(F.abs(F.col("real") - F.col("predict"))).alias("B_tot"),
-        F.sum(F.pow(F.col("real") - F.col("predict"), F.lit(2.0))).alias("Q_tot"),
+        F.sum(_qd * _qd).alias("Q_tot"),
     ).first()
     totals = {k: float(totals_row[k]) for k in ("N", "B_tot", "Q_tot")}
 
