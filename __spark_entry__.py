@@ -1277,18 +1277,12 @@ def streaming_kpi_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def squeeze_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """squeeze's density CLUSTERING itself (density_cluster_1d — the
-    driver-numpy phase with no prior oracle coverage) under the gate,
-    on the fixed-bar-width branch, which is SQL-expressible end to end:
-    histogram over arange edges (density-normalized), auto smoothing
-    window (nonzero bins // 10), trailing-mean smoothing, CIRCULAR
-    relextrema (np.roll wrap), minima boundaries, member ranges, and
-    the mean(|dev|) >= max_normal_deviation (0.20) filter. Deviation and the
-    min-real shift mirror squeeze()'s driver path exactly."""
+def _squeeze_dev_array(spark: SparkSession, sf_dir: str):
+    """Shared driver-side deviation array for the squeeze clustering
+    gates — ONE copy of the min-real shift + zero-denominator deviation
+    algebra (squeeze()'s driver path), so the four gates can never
+    drift apart on it."""
     import numpy as np
-
-    from riskloc_spark.operators.squeeze import SqueezeOptions, density_cluster_1d
 
     df = rca_events(spark, sf_dir).filter(F.col("predict") > 0)
     pdf = df.select(
@@ -1300,9 +1294,23 @@ def squeeze_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         real = real - mn
     denom = pdf["predict"].to_numpy() + real
     with np.errstate(divide="ignore", invalid="ignore"):
-        dev = np.where(
+        return np.where(
             denom == 0, 0.0, (pdf["predict"].to_numpy() - real) / denom
         )
+
+
+def squeeze_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """squeeze's density CLUSTERING itself (density_cluster_1d — the
+    driver-numpy phase with no prior oracle coverage) under the gate,
+    on the fixed-bar-width branch, which is SQL-expressible end to end:
+    histogram over arange edges (density-normalized), auto smoothing
+    window (nonzero bins // 10), trailing-mean smoothing, CIRCULAR
+    relextrema (np.roll wrap), minima boundaries, member ranges, and
+    the mean(|dev|) >= max_normal_deviation (0.20) filter. Deviation and the
+    min-real shift mirror squeeze()'s driver path exactly."""
+    from riskloc_spark.operators.squeeze import SqueezeOptions, density_cluster_1d
+
+    dev = _squeeze_dev_array(spark, sf_dir)
     ranges = density_cluster_1d(
         dev, SqueezeOptions(histogram_bar_width=0.05)
     )
@@ -1322,23 +1330,9 @@ def squeeze_clusters_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (whose LEFT pad is an empty Python range — mirrored faithfully),
     then the same density/smoothing/extrema walk
     (ref density_cluster.py:37-41)."""
-    import numpy as np
-
     from riskloc_spark.operators.squeeze import SqueezeOptions, density_cluster_1d
 
-    df = rca_events(spark, sf_dir).filter(F.col("predict") > 0)
-    pdf = df.select(
-        F.col("real").cast("double"), F.col("predict").cast("double")
-    ).toPandas()
-    real = pdf["real"].to_numpy()
-    mn = float(real.min()) if len(real) else 0.0
-    if mn < 0:
-        real = real - mn
-    denom = pdf["predict"].to_numpy() + real
-    with np.errstate(divide="ignore", invalid="ignore"):
-        dev = np.where(
-            denom == 0, 0.0, (pdf["predict"].to_numpy() - real) / denom
-        )
+    dev = _squeeze_dev_array(spark, sf_dir)
     ranges = density_cluster_1d(dev, SqueezeOptions())  # auto bar width
     rows = [
         (i, round(lo, 6), round(hi, 6)) for i, (lo, hi) in enumerate(ranges)
@@ -1358,19 +1352,7 @@ def squeeze_auto_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters."""
     import numpy as np
 
-    df = rca_events(spark, sf_dir).filter(F.col("predict") > 0)
-    pdf = df.select(
-        F.col("real").cast("double"), F.col("predict").cast("double")
-    ).toPandas()
-    real = pdf["real"].to_numpy()
-    mn = float(real.min()) if len(real) else 0.0
-    if mn < 0:
-        real = real - mn
-    denom = pdf["predict"].to_numpy() + real
-    with np.errstate(divide="ignore", invalid="ignore"):
-        dev = np.where(
-            denom == 0, 0.0, (pdf["predict"].to_numpy() - real) / denom
-        )
+    dev = _squeeze_dev_array(spark, sf_dir)
     edges = np.histogram_bin_edges(dev, "auto").tolist()
     edges = [edges[0] - 0.1 * i for i in range(-5, 0, -1)] + edges + [
         edges[-1] + 0.1 * i for i in range(1, 6)
@@ -1404,27 +1386,13 @@ def squeeze_clusters_kde_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('full', truncated, /4), the auto smoothing window, circular
     relextrema, minima boundaries, member ranges, and the max_normal
     filter (ref density_cluster.py:27-33 kde branch)."""
-    import numpy as np
-
     from riskloc_spark.operators.squeeze import (
         SqueezeOptions,
         box_density,
         density_cluster_1d,
     )
 
-    df = rca_events(spark, sf_dir).filter(F.col("predict") > 0)
-    pdf = df.select(
-        F.col("real").cast("double"), F.col("predict").cast("double")
-    ).toPandas()
-    real = pdf["real"].to_numpy()
-    mn = float(real.min()) if len(real) else 0.0
-    if mn < 0:
-        real = real - mn
-    denom = pdf["predict"].to_numpy() + real
-    with np.errstate(divide="ignore", invalid="ignore"):
-        dev = np.where(
-            denom == 0, 0.0, (pdf["predict"].to_numpy() - real) / denom
-        )
+    dev = _squeeze_dev_array(spark, sf_dir)
     ranges = density_cluster_1d(
         dev,
         SqueezeOptions(
@@ -2216,7 +2184,15 @@ def _hotspot_search_sql(scoring: str = "gps") -> str:
     hotspot()'s final candidate sort. ps (ref hotspot.py:29-37) sums
     the per-element squared-residual decomposition P_e/Q_e (squares as
     x*x, never POW — libm pow can differ 1 ulp per engine) and clamps
-    at 0."""
+    at 0.
+
+    Tie caveat (ps pruning parents): the SQL layer-1 winner breaks
+    exact score ties by (set_size ASC, elements ASC) while _mcts's
+    new_q == max_q branch keeps a first-found superset over an
+    equal-scoring subset — an EXACT float tie between a set and its
+    superset could pick different prune parents per engine. Not
+    observed at any tested scale; real-valued ps scores make exact
+    ties measure-zero."""
     cuboids = [
         (0, 1, ["event_type"]),
         (1, 1, ["ub"]),
@@ -2715,7 +2691,10 @@ def _squeeze_cluster_ctes(derived: bool = False, variant: str = "hist") -> str:
           SELECT d, ROW_NUMBER() OVER (ORDER BY d) - 1 AS rn FROM dev
         ),
         pst AS MATERIALIZED (
-          SELECT n,
+          -- numpy: the WIDTH estimators (FD/Sturges) use the RAW data
+          -- ptp; only the outer edges are widened to +-0.5 when the
+          -- data has zero range (then both widths are 0 -> 1 bin)
+          SELECT n, dmax - dmin AS rawptp,
                  CASE WHEN dmax = dmin THEN dmin - 5e-1 ELSE dmin END AS fe,
                  CASE WHEN dmax = dmin THEN dmax + 5e-1 ELSE dmax END AS le
           FROM st
@@ -2746,7 +2725,7 @@ def _squeeze_cluster_ctes(derived: bool = False, variant: str = "hist") -> str:
           FROM (
             SELECT (2e0 * (SELECT iqr FROM perc))
                      * POW(CAST(n AS DOUBLE), -1e0 / 3e0) AS fd,
-                   (le - fe) / (LOG2(CAST(n AS DOUBLE)) + 1e0) AS sturges
+                   rawptp / (LOG2(CAST(n AS DOUBLE)) + 1e0) AS sturges
             FROM pst
           )
         ),

@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 from riskloc_spark.plans.cuboid import (
     ELEM_SEP,
     cuboids_of_layer,
-    element_stats,
     element_stats_all,
 )
 
@@ -164,24 +163,6 @@ def _mcts(
 
 
 _STAT_KEYS = ("n_e", "V_e", "F_e", "A_e", "B_e", "P_e", "Q_e")
-
-
-def _collect_stats(
-    df: DataFrame, cuboid: list[str], max_elements: int | None
-) -> tuple[dict[tuple, dict[str, float]], DataFrame]:
-    stats_df = element_stats(df, cuboid)
-    if max_elements is not None:
-        stats_df = stats_df.orderBy(
-            F.abs(F.col("V_e") - F.col("F_e")).desc()
-        ).limit(max_elements)
-    rows = stats_df.collect()
-    stats = {
-        tuple(str(r[d]) for d in cuboid): {
-            k: float(r[k]) for k in _STAT_KEYS
-        }
-        for r in rows
-    }
-    return stats, stats_df
 
 
 def _collect_stats_all(

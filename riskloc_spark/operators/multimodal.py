@@ -122,7 +122,7 @@ def _parse_gif(data: bytes) -> dict | None:
     pos = 13
     if flags & 0x80:  # global color table: 3 * 2^(N+1) bytes
         pos += 3 * (2 << (flags & 0x07))
-    n_frames, delay_ms = 0, 0
+    n_frames, delay_ms, seen_gce = 0, 0, False
 
     def skip_subblocks(p: int) -> int:
         while p < len(data):
@@ -141,14 +141,18 @@ def _parse_gif(data: bytes) -> dict | None:
             if pos + 2 > len(data):
                 return None
             label = data[pos + 1]
+            # FIRST GCE's delay, even when 0 — Pillow's im.info['duration']
+            # is frame 0's delay, so keying on nonzero would make the
+            # metadata depend on whether Pillow is installed
             if (
                 label == 0xF9
-                and delay_ms == 0
+                and not seen_gce
                 and pos + 6 <= len(data)
                 and data[pos + 2] == 4
             ):
                 (delay,) = struct.unpack("<H", data[pos + 4: pos + 6])
                 delay_ms = int(delay) * 10
+                seen_gce = True
             pos = skip_subblocks(pos + 2)
         elif block == 0x2C:  # image descriptor: 9 bytes + local table
             if pos + 10 > len(data):

@@ -99,11 +99,16 @@ def box_density(
     v = np.asarray(values, float)
     c = np.ones(len(v)) if counts is None else np.asarray(counts, float)
     n = float(c.sum())
-    out = np.empty(len(samples), dtype=float)
-    for j, s in enumerate(samples):
-        m = (v >= s - halfwidth) & (v <= s + halfwidth)
-        out[j] = float(c[m].sum()) / n
-    return out
+    # sort once + binary search per sample instead of a full-vector
+    # comparison per sample: O((n + s) log n) vs O(n * s); the window
+    # count is the SAME integer (cum[hi] - cum[lo]), so results are
+    # bit-identical to the mask form
+    order = np.argsort(v, kind="stable")
+    vs, cs = v[order], c[order]
+    cum = np.concatenate(([0.0], np.cumsum(cs)))
+    lo = np.searchsorted(vs, samples - halfwidth, side="left")
+    hi = np.searchsorted(vs, samples + halfwidth, side="right")
+    return (cum[hi] - cum[lo]) / n
 
 
 def kneedle_knee(x: np.ndarray, y: np.ndarray) -> float | None:
@@ -189,11 +194,14 @@ def _gaussian_kde_density(
         samples = np.arange(x.min(), x.max(), 0.01)
         if len(samples) == 0:
             samples = np.array([float(x.min())])
+        # forward weights whether they are multiplicities (distributed
+        # counts) or user kde_weights — dropping the latter made the
+        # injected path diverge from the real-KDE branch's weighting
         dens = np.asarray(
             density_fn(
                 samples,
                 x,
-                np.asarray(weights, float) if weights_are_counts else None,
+                np.asarray(weights, float) if weights is not None else None,
             ),
             float,
         )

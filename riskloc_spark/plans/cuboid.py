@@ -136,7 +136,14 @@ def element_stats(df: DataFrame, cuboid: list[str]) -> DataFrame:
         F.sum("real").alias("V_e"),
         F.sum("predict").alias("F_e"),
         F.sum(F.abs(F.col("real") - F.col("predict"))).alias("B_e"),
-        F.sum(F.pow(F.col("real") - F.col("predict"), F.lit(2.0))).alias("Q_e"),
+        # x*x, not pow(x, 2): exactly-rounded IEEE multiply, matching
+        # element_stats_all and the DuckDB twins bitwise
+        F.sum(
+            (F.col("real") - F.col("predict"))
+            * (F.col("real") - F.col("predict"))
+        ).alias("Q_e"),
         F.sum(F.abs(F.col("real") - F.col("__a"))).alias("A_e"),
-        F.sum(F.pow(F.col("real") - F.col("__a"), F.lit(2.0))).alias("P_e"),
+        F.sum(
+            (F.col("real") - F.col("__a")) * (F.col("real") - F.col("__a"))
+        ).alias("P_e"),
     )
