@@ -245,3 +245,21 @@ def test_decode_media_real_images_end_to_end(spark):
     assert (out[2]["width"], out[2]["height"], out[2]["n_frames"]) == (8, 4, 2)
     assert (out[3]["width"], out[3]["height"]) == (20, 10)
     assert out[4]["width"] is not None  # stub still fills plausible meta
+
+
+def test_parse_gif_first_frame_zero_delay_matches_pillow_semantics():
+    """Pillow's im.info['duration'] is frame 0's GCE delay even when it
+    is 0 — the header parser must not skip ahead to the first NONZERO
+    delay (code-review finding: metadata must not depend on whether
+    Pillow is installed)."""
+    from riskloc_spark.operators.multimodal import parse_image_header
+
+    out = b"GIF89a" + struct.pack("<HH", 2, 2) + b"\x00\x00\x00"
+    for delay in (0, 7):  # frame 0 delay 0, frame 1 delay 7cs
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+        out += b"\x02" + b"\x01\x44" + b"\x00"
+    out += b"\x3b"
+    meta = parse_image_header(out)
+    assert meta["n_frames"] == 2
+    assert meta["duration_ms"] == 0  # frame 0's delay * n_frames = 0

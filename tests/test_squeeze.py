@@ -357,3 +357,17 @@ def test_filter_density_injection_dual_path_parity(spark):
     fast = squeeze(df, attrs, options=opts)
     dist = squeeze(df, attrs, options=opts, driver_rows=None)
     assert fast == dist
+
+
+def test_auto_bin_edges_degenerate_zero_range_matches_numpy():
+    """All-equal deviations: numpy widens the OUTER edges by +-0.5 but
+    the width estimators see the raw zero range -> exactly one core bin
+    (code-review finding: the SQL twin computed Sturges from the
+    widened range and emitted log2(n)+1 bins). Locks the numpy side the
+    twin mirrors."""
+    import numpy as np
+
+    x = np.full(100, 0.25)
+    edges = np.histogram_bin_edges(x, "auto")
+    assert len(edges) == 2
+    assert edges[0] == -0.25 and edges[1] == 0.75
