@@ -1,0 +1,101 @@
+"""Plan-level guarantees of the scale-path writers: bucketed tables
+join without exchanges; partitioned layouts prune directories at
+planning time. These are the two layout properties that decide whether
+a 100-TB join/scan is feasible, so they are asserted on the PHYSICAL
+plan, not just on results."""
+import pytest
+from pyspark.sql import functions as F
+
+from riskloc_spark.data import load_table
+from riskloc_spark.sources.writers import (
+    read_bucketed,
+    write_bucketed,
+    write_partitioned,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force sort-merge joins so the exchange-elimination is what's
+    under test (tiny test tables would otherwise broadcast, which has
+    no shuffle either way)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path, no_broadcast):
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    write_bucketed(
+        docs, "t_docs_b", "doc_id", 8, path=str(tmp_path / "docs")
+    )
+    write_bucketed(
+        emb, "t_emb_b", "doc_id", 8, path=str(tmp_path / "emb")
+    )
+    try:
+        a = read_bucketed(spark, "t_docs_b")
+        b = read_bucketed(spark, "t_emb_b")
+        joined = a.join(b, "doc_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        # the whole point: neither side reshuffles — bucket i joins
+        # bucket i straight off disk
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+        # contrast: the same join over plain path reads DOES exchange
+        plain = (
+            spark.read.parquet(str(tmp_path / "docs"))
+            .join(spark.read.parquet(str(tmp_path / "emb")), "doc_id")
+        )
+        assert "Exchange" in _plan(plain)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_emb_b")
+
+
+def test_bucketed_aggregation_has_no_exchange(spark, tmp_path, no_broadcast):
+    docs = load_table(spark, SF_DIR, "documents")
+    write_bucketed(
+        docs, "t_docs_agg", "doc_id", 8, path=str(tmp_path / "d2")
+    )
+    try:
+        agg = read_bucketed(spark, "t_docs_agg").groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        assert "Exchange" not in _plan(agg)
+        assert agg.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_docs_agg")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "bysource")
+    write_partitioned(docs, out, "source")
+    src = docs.select("source").first()["source"]
+    n_sources = docs.select("source").distinct().count()
+    assert n_sources > 1
+    back = spark.read.parquet(out)
+    one = back.filter(F.col("source") == src)
+    plan = _plan(one)
+    # the source predicate lands in the scan's PartitionFilters —
+    # applied at planning time against directory names, so non-matching
+    # partitions are never opened (no row-level Filter needed for it)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "source" in pf
+    # round-trip fidelity on the partition slice + the full set
+    assert one.count() == docs.filter(F.col("source") == src).count()
+    assert back.count() == docs.count()
