@@ -1132,6 +1132,66 @@ def hotspot_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) under the
+    gate: the events file plus an exact-duplicate copy of every 13th
+    event are staged as ONE availableNow batch, so the in-batch dedup
+    semantics are deterministic (duplicates are bit-identical rows —
+    whichever copy survives, the emitted set is the distinct events).
+    The DuckDB twin is the original events relation itself. The
+    watermark-bounded state EVICTION semantics (a duplicate arriving
+    after its key aged out is re-emitted — the explicit bounded-state
+    trade) are pinned empirically in
+    tests/test_streaming.py::test_streaming_dedup_state_eviction."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from riskloc_spark.data import load_table
+    from riskloc_spark.streaming.pipeline import (
+        dedup_events_stream,
+        events_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="sdedup_")
+    try:
+        stream_dir = os.path.join(stage, "stream")
+        os.makedirs(stream_dir)
+        for name, frame in (
+            ("a.parquet", ev),
+            ("b.parquet", ev.filter(F.col("event_id") % 13 == 0)),
+        ):
+            out_dir = os.path.join(stage, name + ".dir")
+            frame.coalesce(1).write.mode("overwrite").parquet(out_dir)
+            part = [
+                f for f in os.listdir(out_dir) if f.startswith("part-")
+            ][0]
+            shutil.move(
+                os.path.join(out_dir, part), os.path.join(stream_dir, name)
+            )
+        stream = events_stream(spark, stream_dir)
+        out = dedup_events_stream(stream, ["event_id"], watermark="2 hours")
+        qname = "streaming_dedup_" + uuid.uuid4().hex[:8]
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_dedup: run did not finish in 300s")
+        q.stop()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(qname).select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
 def hotspot_search_ps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hotspot's ps-scoring search variant under the oracle — the same
     exhaustive 2-dim slice as hotspot_search, scoring='ps' (euclidean
@@ -1898,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_search_ps": hotspot_search_ps_q,
         "robustspot_supports": robustspot_supports_q,
         "streaming_ewma": streaming_ewma_q,
+        "streaming_dedup": streaming_dedup_q,
         "riskloc_first_cause": riskloc_first_cause_q,
         "riskloc_two_pass": riskloc_two_pass_q,
         "riskloc_two_pass_derived": riskloc_two_pass_derived_q,
@@ -4433,6 +4494,10 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(value), 4) + 0e0 AS sum_value
             FROM events
             GROUP BY ROLLUP(event_type, hr)
+        """,
+        "streaming_dedup": """
+            SELECT event_id, event_type, round(value, 6) + 0e0 AS value
+            FROM events
         """,
         "streaming_kpi": """
             WITH bl AS (

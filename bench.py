@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "streaming_kpi",
     "streaming_kpi_append",
     "streaming_ewma",
+    "streaming_dedup",
     "q4_priority_semi",
     "q_customers_without_orders",
     "events_rollup",

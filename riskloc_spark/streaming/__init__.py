@@ -1,4 +1,5 @@
 from riskloc_spark.streaming.pipeline import (  # noqa: F401
+    dedup_events_stream,
     events_stream,
     ewma_anomaly_stream,
     rca_foreach_batch,

@@ -258,3 +258,29 @@ def ewma_anomaly_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_events_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication with WATERMARK-BOUNDED state — the
+    shape a continuous ingestion pipeline needs (the batch dedup
+    operators assume a closed corpus; a stream must forget).
+
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival of each
+    key and drops any duplicate arriving within the watermark horizon
+    of it; keys older than the event-time watermark are evicted from
+    state, so memory is bounded by (keys per horizon), not by stream
+    lifetime. The trade is explicit and documented: a duplicate
+    arriving AFTER its original has aged past the watermark is emitted
+    again — exact-once dedup over unbounded time is impossible with
+    bounded state, and the horizon is the knob.
+
+    ``key_cols`` defaults to the event identity (event_id). The
+    watermark column must be the event-time ``ts``."""
+    keys = key_cols or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

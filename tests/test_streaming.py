@@ -352,3 +352,88 @@ def test_events_stream_ntz_independent_of_session_tz(spark, tmp_path):
         assert got_us == expect_us, (got_us, expect_us)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_streaming_dedup_state_eviction(spark, tmp_path):
+    """Pins dropDuplicatesWithinWatermark's bounded-state trade, which
+    the streaming_dedup gate cannot see (single batch): a duplicate
+    arriving while its key is within the watermark horizon is DROPPED;
+    a duplicate of a key that aged past the horizon is RE-EMITTED (the
+    state was evicted — exact-once over unbounded time is impossible
+    with bounded state). Staged as mtime-ordered files with
+    maxFilesPerTrigger=1, late data >= two triggers after the
+    watermark-advancing data (the one-trigger-lagging filter pinned in
+    round 5)."""
+    import os
+    import shutil
+    import uuid
+    from datetime import datetime
+
+    import pandas as pd
+
+    from riskloc_spark.streaming.pipeline import (
+        dedup_events_stream,
+        events_stream,
+    )
+
+    T0 = datetime(2024, 1, 10, 12, 0, 0)
+
+    def mk(event_id, hours_before):
+        return {
+            "event_id": event_id,
+            "ts": pd.Timestamp(T0) - pd.Timedelta(hours=hours_before),
+            "user_id": 1,
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    # A: old event K (10h before max-ts), recent event R (0.5h), max row.
+    # After A the watermark is T0 - 2h, so K's state (expires at its
+    # event time + 2h = T0 - 8h) is evictable; R's is not.
+    a = pd.DataFrame([mk(100, 10.0), mk(200, 0.5), mk(300, 0.0)])
+    # B: a filler row above the watermark — its trigger carries out the
+    # eviction of K (state eviction uses the CURRENT batch's watermark,
+    # the round-5 finding; input FILTERING lags one trigger, which is
+    # why the duplicates arrive in a third file)
+    b = pd.DataFrame([mk(400, 0.2)])
+    # C: duplicates with FRESH timestamps (same event_id, above the
+    # watermark — an old-ts duplicate would be discarded as late INPUT
+    # before ever consulting the dedup state): K's key was evicted ->
+    # re-emitted; R's key is still in state -> dropped
+    c = pd.DataFrame([mk(100, 0.3), mk(200, 0.25)])
+    for i, (name, pdf) in enumerate([("a", a), ("b", b), ("c", c)]):
+        tmp = tmp_path / f"{name}.dir"
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        part = [f for f in os.listdir(tmp) if f.startswith("part-")][0]
+        dst = stream_dir / f"{name}.parquet"
+        shutil.move(str(tmp / part), str(dst))
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    stream = events_stream(
+        spark, str(stream_dir), options={"maxFilesPerTrigger": "1"}
+    )
+    out = dedup_events_stream(stream, ["event_id"], watermark="2 hours")
+    qname = "sded_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    q.stop()
+    ids = [
+        r["event_id"] for r in spark.table(qname).select("event_id").collect()
+    ]
+    from collections import Counter
+
+    counts = Counter(ids)
+    assert counts[200] == 1, counts  # in-horizon duplicate dropped
+    assert counts[100] == 2, counts  # evicted key re-emitted
+    assert counts[300] == 1 and counts[400] == 1, counts
