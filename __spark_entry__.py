@@ -314,6 +314,21 @@ def lang_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_curate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation pipeline (curate_corpus: shared-stat
+    projection -> quality >= 0.5 -> lang == 'en' -> exact dedup keeping
+    the lowest doc_id per normalized text) under the gate — the
+    composed decision surface, not just its parts."""
+    from riskloc_spark.operators.corpus import curate_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    out = curate_corpus(d, min_quality=0.5, lang="en")
+    return out.select(
+        "doc_id", "source",
+        F.round("quality", 6).alias("quality"), "lang_pred",
+    )
+
+
 def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return exact_dedup(d).select("doc_id")
@@ -1927,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": token_stats_q,
         "lang_quality_by_source": lang_quality_by_source,
         "dedup_exact": dedup_exact_q,
+        "corpus_curate": corpus_curate_q,
         "knn_bruteforce": knn_bruteforce_q,
         "embedding_near_dup_exact": embedding_near_dup_exact,
         "riskloc_rca": riskloc_rca,
@@ -4213,6 +4229,25 @@ def oracle_sql() -> dict[str, str]:
             FROM scored_docs
             WHERE lang_pred = 'en' AND quality >= 0.7
             GROUP BY source
+        """,
+        "corpus_curate": f"""
+            WITH {_TEXT_STATS_CTE},
+            kept AS (
+              SELECT s.doc_id, s.source, s.quality, s.lang_pred, d.text
+              FROM scored_docs s JOIN documents d ON d.doc_id = s.doc_id
+              WHERE s.quality >= 0.5 AND s.lang_pred = 'en'
+            ),
+            surv AS (
+              SELECT MIN(doc_id) AS doc_id FROM (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)),
+                                      '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS norm
+                FROM kept
+              ) GROUP BY norm
+            )
+            SELECT k.doc_id, k.source,
+                   round(k.quality, 6) + 0e0 AS quality, k.lang_pred
+            FROM kept k JOIN surv USING (doc_id)
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id

@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "token_stats",
     "lang_quality_by_source",
     "dedup_exact",
+    "corpus_curate",
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",

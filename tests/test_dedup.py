@@ -154,3 +154,27 @@ def test_connected_components_string_ids(spark):
         "a": ("a", True), "b": ("a", False),
         "c": ("a", False), "d": ("a", False),
     }
+
+
+def test_curate_corpus_filters_and_dedups(spark):
+    """Composed curation: junk (too short / no stopwords) is dropped,
+    non-English dropped, exact duplicates keep the lowest id, and the
+    decision columns ride along."""
+    from riskloc_spark.operators.corpus import curate_corpus
+
+    good = (
+        "the quick brown fox, jumps over the lazy dog. it is a fine day "
+        "for all of the animals in the field."
+    )
+    rows = [
+        (1, good, "a"),
+        (2, good, "a"),                      # exact duplicate -> dropped
+        (3, "short", "a"),                   # too few tokens
+        (4, "uno dos tres quatro cinco seis siete ocho nueve diez once doce, trece catorce quince.", "a"),  # no EN stopwords
+        (5, good + " extra tail of words here.", "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate_corpus(df, min_quality=0.5, lang="en")
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 5}
+    assert all(r["quality"] >= 0.5 and r["lang_pred"] == "en" for r in got.values())
