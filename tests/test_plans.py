@@ -358,3 +358,23 @@ def test_get_cutoff_single_action(spark):
     devs = sorted(pdf["deviation"].unique())
     min_val, max_val = max(devs[:6]), min(devs[-6:])
     assert cutoff == -min(min_val, max_val, key=abs)
+
+
+def test_curate_corpus_plan_shape(spark):
+    """The curation pipeline must stay a single-exchange plan: stat
+    projection + both filters fuse into the scan side (no exchange
+    before the dedup groupBy), and the dedup join broadcasts the small
+    keep-set side."""
+    from riskloc_spark.data import load_table
+    from riskloc_spark.operators.corpus import curate_corpus
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = curate_corpus(d, min_quality=0.5, lang="en")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # one aggregation exchange (the dedup groupBy); the join back to the
+    # surviving ids broadcasts, adding only broadcast exchanges
+    shuffles = plan.count("Exchange hashpartitioning")
+    assert shuffles <= 1, plan
+    assert "BroadcastHashJoin" in plan
