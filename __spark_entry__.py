@@ -329,6 +329,27 @@ def corpus_curate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_curate_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-dup curation pipeline end-to-end under the gate:
+    quality/language filters -> MinHash+LSH pairs over the survivors ->
+    connected-components group closure -> one representative per group.
+    The DuckDB twin chains the curation CTE into the parameterized
+    minhash twin (_minhash_pairs_sql(src='kept')) and the recursive-CTE
+    closure — the composed pipeline, filters feeding the pair graph."""
+    from riskloc_spark.operators.corpus import curate_corpus_near_dup
+    from riskloc_spark.operators.dedup import md5_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    out = curate_corpus_near_dup(
+        d, min_quality=0.5, lang="en", jaccard_threshold=0.5,
+        hash_fn=md5_hash64,
+    )
+    return out.select(
+        "doc_id", "source",
+        F.round("quality", 6).alias("quality"), "lang_pred",
+    )
+
+
 def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return exact_dedup(d).select("doc_id")
@@ -1943,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_by_source": lang_quality_by_source,
         "dedup_exact": dedup_exact_q,
         "corpus_curate": corpus_curate_q,
+        "corpus_curate_near_dup": corpus_curate_near_dup_q,
         "knn_bruteforce": knn_bruteforce_q,
         "embedding_near_dup_exact": embedding_near_dup_exact,
         "riskloc_rca": riskloc_rca,
@@ -2179,17 +2201,18 @@ _MD5H = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 _NORM_TEXT = "regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')"
 
 
-def _minhash_pairs_sql() -> str:
+def _minhash_pairs_sql(src: str = "documents") -> str:
     """DuckDB twin of minhash_lsh_dedup(hash_fn=md5_hash64): shingle ->
     32 seeded minhashes -> 8 banded buckets -> bucket join -> signature
-    agreement >= 0.5 (operators/dedup.py:112-194)."""
+    agreement >= 0.5 (operators/dedup.py:112-194). ``src``: any relation
+    with (doc_id, text) — the curation gate feeds a filtered one."""
     h_seeded = _MD5H.format(x="concat(s, ':', CAST(k AS VARCHAR))")
     h_band = _MD5H.format(
         x="string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)"
     )
     return f"""
         WITH toks AS (
-          SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM documents
+          SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM {src}
         ),
         sh AS (
           SELECT doc_id,
@@ -4229,6 +4252,30 @@ def oracle_sql() -> dict[str, str]:
             FROM scored_docs
             WHERE lang_pred = 'en' AND quality >= 0.7
             GROUP BY source
+        """,
+        "corpus_curate_near_dup": f"""
+            WITH RECURSIVE {_TEXT_STATS_CTE},
+            kept AS (
+              SELECT s.doc_id, s.source, s.quality, s.lang_pred, d.text
+              FROM scored_docs s JOIN documents d ON d.doc_id = s.doc_id
+              WHERE s.quality >= 0.5 AND s.lang_pred = 'en'
+            ),
+            pairs AS ({_minhash_pairs_sql(src="kept")}),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, r) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+            ),
+            comp AS (SELECT id, MIN(r) AS group_id FROM reach GROUP BY id)
+            SELECT k.doc_id, k.source,
+                   round(k.quality, 6) + 0e0 AS quality, k.lang_pred
+            FROM kept k LEFT JOIN comp ON comp.id = k.doc_id
+            WHERE COALESCE(comp.group_id, k.doc_id) = k.doc_id
         """,
         "corpus_curate": f"""
             WITH {_TEXT_STATS_CTE},

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "lang_quality_by_source",
     "dedup_exact",
     "corpus_curate",
+    "corpus_curate_near_dup",
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",

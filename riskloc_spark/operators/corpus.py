@@ -25,26 +25,18 @@ from riskloc_spark.functions.text import (
 from riskloc_spark.operators.dedup import exact_dedup
 
 
-def curate_corpus(
+def score_and_filter(
     df: DataFrame,
     min_quality: float = 0.5,
     lang: str | None = "en",
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Filter + dedup a document corpus in one declarative pipeline.
-
-    1. Shared-stat projection (token/punct/stopword computed ONCE — the
-       round-4 lesson: per-score recomputation survives into the
-       physical plan).
-    2. Quality filter: heuristic C4-style score >= ``min_quality``.
-    3. Language filter: keep ``lang`` (None = keep all).
-    4. Exact dedup: lowest id per normalized text (one hash shuffle).
-
-    Returns the surviving rows of ``df`` plus the ``quality`` and
-    ``lang_pred`` columns the decision was made on — a curation
-    pipeline that discards its own evidence is unauditable.
-    """
+    """Quality + language filtering with a shared-stat projection
+    (token/punct/stopword computed ONCE — the round-4 lesson:
+    per-score recomputation survives into the physical plan). Returns
+    the surviving rows plus the ``quality`` and ``lang_pred`` columns
+    the decision was made on — a curation pipeline that discards its
+    own evidence is unauditable."""
     t = F.col(text_col)
     stats = df.select(
         "*",
@@ -63,4 +55,55 @@ def curate_corpus(
     kept = scored.filter(F.col("quality") >= F.lit(min_quality))
     if lang is not None:
         kept = kept.filter(F.col("lang_pred") == F.lit(lang))
+    return kept
+
+
+def curate_corpus(
+    df: DataFrame,
+    min_quality: float = 0.5,
+    lang: str | None = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Filter + EXACT dedup in one declarative pipeline: shared-stat
+    projection -> quality >= ``min_quality`` -> language filter ->
+    lowest id per normalized text (one hash shuffle)."""
+    kept = score_and_filter(df, min_quality, lang, text_col)
     return exact_dedup(kept, text_col=text_col, id_col=id_col)
+
+
+def curate_corpus_near_dup(
+    df: DataFrame,
+    min_quality: float = 0.5,
+    lang: str | None = "en",
+    jaccard_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=None,
+) -> DataFrame:
+    """Filter + NEAR-dup dedup: the filters of ``curate_corpus``, then
+    MinHash+LSH candidate pairs over the SURVIVORS, connected-components
+    group resolution (A~B and B~C collapse to one group even when A is
+    not directly similar to C), and one representative (min id) kept per
+    group. This is the full 100-TB curation shape: every stage is a
+    bounded shuffle — no all-pairs comparison anywhere.
+
+    ``hash_fn`` defaults to the production xxhash64; the oracle gate
+    passes the portable md5 variant."""
+    from riskloc_spark.operators.dedup import (
+        dedup_groups,
+        minhash_lsh_dedup,
+        xxhash64_fn,
+    )
+
+    kept = score_and_filter(df, min_quality, lang, text_col)
+    pairs = minhash_lsh_dedup(
+        kept,
+        text_col=text_col,
+        id_col=id_col,
+        jaccard_threshold=jaccard_threshold,
+        hash_fn=hash_fn or xxhash64_fn,
+    )
+    groups = dedup_groups(pairs, documents=kept, id_col=id_col)
+    reps = groups.filter(F.col("is_representative")).select(id_col)
+    return kept.join(reps, on=id_col, how="inner")

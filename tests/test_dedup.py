@@ -178,3 +178,35 @@ def test_curate_corpus_filters_and_dedups(spark):
     got = {r["doc_id"]: r for r in out.collect()}
     assert set(got) == {1, 5}
     assert all(r["quality"] >= 0.5 and r["lang_pred"] == "en" for r in got.values())
+
+
+def test_curate_corpus_near_dup_collapses_groups(spark):
+    """Near-dup curation: a chain A~B, B~C collapses to ONE kept
+    representative even though A and C are not directly similar, and
+    quality-rejected documents never enter the pair graph."""
+    from riskloc_spark.operators.corpus import curate_corpus_near_dup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and it is a fine "
+        "day for all of the animals in the big green field near the "
+        "old red barn, with many things to see and do for everyone."
+    )
+    words = base.split()
+    a = " ".join(words)
+    b = " ".join(words[:-3] + ["x1", "x2", "x3"])       # ~ a
+    c = " ".join(["y1", "y2", "y3"] + words[3:-3] + ["x1", "x2", "x3"])  # ~ b
+    rows = [
+        (1, a, "s"),
+        (2, b, "s"),
+        (3, c, "s"),
+        (4, "short junk", "s"),  # filtered before the pair graph
+        (5, "completely different text about the history of the sea and " * 3, "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate_corpus_near_dup(df, min_quality=0.5, lang="en",
+                                 jaccard_threshold=0.3)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert 4 not in kept
+    # the a~b~c chain keeps exactly its min id
+    assert 1 in kept and 2 not in kept and 3 not in kept
+    assert 5 in kept
