@@ -15,7 +15,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from riskloc_spark.functions.text import (
-    char_count,
     lang_id_from,
     punct_ratio,
     quality_score_from,
@@ -43,7 +42,6 @@ def score_and_filter(
         token_count(t).alias("__tok"),
         punct_ratio(t).alias("__punct"),
         stopword_ratio(t).alias("__stop"),
-        char_count(t).alias("__chars"),
     )
     scored = stats.select(
         "*",
@@ -51,7 +49,7 @@ def score_and_filter(
             F.col("__tok"), F.col("__punct"), F.col("__stop")
         ).alias("quality"),
         lang_id_from(F.col("__stop")).alias("lang_pred"),
-    ).drop("__tok", "__punct", "__stop", "__chars")
+    ).drop("__tok", "__punct", "__stop")
     kept = scored.filter(F.col("quality") >= F.lit(min_quality))
     if lang is not None:
         kept = kept.filter(F.col("lang_pred") == F.lit(lang))
@@ -96,7 +94,10 @@ def curate_corpus_near_dup(
         xxhash64_fn,
     )
 
-    kept = score_and_filter(df, min_quality, lang, text_col)
+    # persist: the filtered frame feeds the minhash pipeline, the
+    # group-resolution vertex set, AND the final representative join —
+    # three scans of the full stat projection otherwise
+    kept = score_and_filter(df, min_quality, lang, text_col).persist()
     pairs = minhash_lsh_dedup(
         kept,
         text_col=text_col,
@@ -104,6 +105,13 @@ def curate_corpus_near_dup(
         jaccard_threshold=jaccard_threshold,
         hash_fn=hash_fn or xxhash64_fn,
     )
-    groups = dedup_groups(pairs, documents=kept, id_col=id_col)
-    reps = groups.filter(F.col("is_representative")).select(id_col)
-    return kept.join(reps, on=id_col, how="inner")
+    try:
+        groups = dedup_groups(pairs, documents=kept, id_col=id_col)
+        reps = groups.filter(F.col("is_representative")).select(id_col)
+        # materialize before unpersist: the caller gets a plan over the
+        # resolved representatives, not over a vanished cache
+        out = kept.join(reps, on=id_col, how="inner")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        kept.unpersist()
+    return out

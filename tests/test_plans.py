@@ -365,14 +365,11 @@ def test_curate_corpus_plan_shape(spark):
     projection + both filters fuse into the scan side (no exchange
     before the dedup groupBy), and the dedup join broadcasts the small
     keep-set side."""
-    from riskloc_spark.data import load_table
     from riskloc_spark.operators.corpus import curate_corpus
 
-    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    d = load_table(spark, SF_DIR, "documents")
     out = curate_corpus(d, min_quality=0.5, lang="en")
-    plan = out._sc._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted"
-    )
+    plan = plan_str(out)
     # one aggregation exchange (the dedup groupBy); the join back to the
     # surviving ids broadcasts, adding only broadcast exchanges
     shuffles = plan.count("Exchange hashpartitioning")

@@ -38,13 +38,13 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path, no_broadcast):
     emb = load_table(spark, SF_DIR, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
-    write_bucketed(
-        docs, "t_docs_b", "doc_id", 8, path=str(tmp_path / "docs")
-    )
-    write_bucketed(
-        emb, "t_emb_b", "doc_id", 8, path=str(tmp_path / "emb")
-    )
     try:
+        write_bucketed(
+            docs, "t_docs_b", "doc_id", 8, path=str(tmp_path / "docs")
+        )
+        write_bucketed(
+            emb, "t_emb_b", "doc_id", 8, path=str(tmp_path / "emb")
+        )
         a = read_bucketed(spark, "t_docs_b")
         b = read_bucketed(spark, "t_emb_b")
         joined = a.join(b, "doc_id")
@@ -67,10 +67,10 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path, no_broadcast):
 
 def test_bucketed_aggregation_has_no_exchange(spark, tmp_path, no_broadcast):
     docs = load_table(spark, SF_DIR, "documents")
-    write_bucketed(
-        docs, "t_docs_agg", "doc_id", 8, path=str(tmp_path / "d2")
-    )
     try:
+        write_bucketed(
+            docs, "t_docs_agg", "doc_id", 8, path=str(tmp_path / "d2")
+        )
         agg = read_bucketed(spark, "t_docs_agg").groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n")
         )
