@@ -1168,6 +1168,36 @@ def hotspot_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rev_adtributor_rec_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL recursive r_adtributor under the oracle via the 2-dim
+    slice trick (hotspot_search's move): with dimensions =
+    [event_type, ub] the recursion depth is exactly two, so the whole
+    operator — level-0 candidate selection, per-parent-element child
+    candidate sets over the remaining dimension, the
+    every-element-must-refine replacement rule, EP multiplication down
+    the refinement, and the reference's concatenated-values dedupe
+    (rev_rec_adtributor.py:6-12, faithfully including its
+    separator-free key) — is SQL-expressible
+    (_rev_adtributor_rec_sql). The per-level candidate surface for 3
+    dims stays covered by rev_adtributor."""
+    from riskloc_spark.operators.adtributor import rev_rec_adtributor
+
+    df = rca_events(spark, sf_dir)
+    out = rev_rec_adtributor(df, ["event_type", "ub"], teep=0.05, k=2)
+    rows = [
+        (
+            "&".join(cs["cuboid"]),
+            ";".join(",".join(e) for e in cs["elements"]),
+            round(float(cs["explanatory_power"]), 6),
+            round(float(cs["surprise"]), 6),
+        )
+        for cs in out
+    ]
+    return spark.createDataFrame(
+        rows, "cuboid string, elements string, ep double, surprise double"
+    )
+
+
 def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (dropDuplicatesWithinWatermark) under the
     gate: the events file plus an exact-duplicate copy of every 13th
@@ -1969,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_exact": embedding_near_dup_exact,
         "riskloc_rca": riskloc_rca,
         "rev_adtributor": rev_adtributor_q,
+        "rev_adtributor_rec": rev_adtributor_rec_q,
         "autoroot_rca": autoroot_rca,
         "hotspot_rca": hotspot_rca,
         "squeeze_rca": squeeze_rca,
@@ -2272,6 +2303,148 @@ def _dedup_groups_sql() -> str:
                COALESCE(comp.group_id, d.doc_id) AS group_id,
                d.doc_id = COALESCE(comp.group_id, d.doc_id) AS is_representative
         FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+    """
+
+
+def _rev_adtributor_rec_sql() -> str:
+    """DuckDB twin of rev_adtributor_rec_q (full recursion on the 2-dim
+    slice). Level 0: element frame over BOTH dims, EP normalized by the
+    element-frame totals (2x the leaf totals — _score_element_frame
+    sums the concatenated per-dim frames), surprise with
+    merged_divide=2; candidates = ep > teep AND a strict subset;
+    top-k=2 dims by (surprise DESC, dim ASC). Level 1: per parent
+    (dim, value) context, the remaining dim's elements scored over the
+    SUB-frame (own totals, merged_divide=1); the parent is replaced
+    only if EVERY parent element's context yields a candidate set;
+    refined rows multiply EP down and keep the child surprise. Dedupe:
+    the reference's separator-free concatenated-values key, first
+    occurrence in (parent rank, parent element) order wins."""
+    return f"""
+        WITH {_RCA_CTE},
+        f AS (
+          SELECT COALESCE(CAST(event_type AS VARCHAR), 'None') AS e,
+                 COALESCE(CAST(ub AS VARCHAR), 'None') AS u,
+                 "real" AS r, predict AS p
+          FROM rca
+        ),
+        el0 AS (
+          SELECT 'event_type' AS dim, e AS val, SUM(r) AS r, SUM(p) AS p
+          FROM f GROUP BY e
+          UNION ALL
+          SELECT 'ub', u, SUM(r), SUM(p) FROM f GROUP BY u
+        ),
+        t0 AS (SELECT SUM(r) AS A2, SUM(p) AS F2 FROM el0),
+        scored0 AS (
+          SELECT dim, val,
+                 (r - p) / (A2 - F2) AS ep,
+                 0.5 * (
+                   CASE WHEN (p / (F2 / 2)) = 0
+                          OR (p / (F2 / 2) + r / (A2 / 2)) = 0 THEN 0.0
+                        ELSE (p / (F2 / 2)) * ln(2.0 * (p / (F2 / 2))
+                             / (p / (F2 / 2) + r / (A2 / 2))) END
+                   + CASE WHEN (r / (A2 / 2)) = 0
+                            OR (p / (F2 / 2) + r / (A2 / 2)) = 0 THEN 0.0
+                          ELSE (r / (A2 / 2)) * ln(2.0 * (r / (A2 / 2))
+                               / (p / (F2 / 2) + r / (A2 / 2))) END
+                 ) AS surprise
+          FROM el0 CROSS JOIN t0
+        ),
+        c0el AS MATERIALIZED (SELECT * FROM scored0 WHERE ep > 5e-2),
+        c0 AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT c.dim, SUM(c.ep) AS ep, SUM(c.surprise) AS surprise,
+                   CAST(ROW_NUMBER() OVER (
+                     ORDER BY SUM(c.surprise) DESC, c.dim ASC) AS INT) AS rk
+            FROM c0el c
+            GROUP BY c.dim
+            HAVING COUNT(*) < (SELECT COUNT(*) FROM scored0 s
+                               WHERE s.dim = c.dim)
+          ) WHERE rk <= 2
+        ),
+        el1 AS (
+          SELECT 'event_type' AS pdim, e AS pval, u AS val,
+                 SUM(r) AS r, SUM(p) AS p
+          FROM f GROUP BY e, u
+          UNION ALL
+          SELECT 'ub', u, e, SUM(r), SUM(p) FROM f GROUP BY u, e
+        ),
+        scored1 AS (
+          SELECT pdim, pval, val,
+                 (r - p) / (A1 - F1) AS ep,
+                 0.5 * (
+                   CASE WHEN (p / F1) = 0 OR (p / F1 + r / A1) = 0 THEN 0.0
+                        ELSE (p / F1) * ln(2.0 * (p / F1)
+                             / (p / F1 + r / A1)) END
+                   + CASE WHEN (r / A1) = 0 OR (p / F1 + r / A1) = 0 THEN 0.0
+                          ELSE (r / A1) * ln(2.0 * (r / A1)
+                               / (p / F1 + r / A1)) END
+                 ) AS surprise
+          FROM (
+            SELECT *, SUM(r) OVER (PARTITION BY pdim, pval) AS A1,
+                      SUM(p) OVER (PARTITION BY pdim, pval) AS F1
+            FROM el1
+          )
+        ),
+        c1el AS MATERIALIZED (SELECT * FROM scored1 WHERE ep > 5e-2),
+        c1 AS MATERIALIZED (
+          SELECT c.pdim, c.pval, SUM(c.ep) AS ep, SUM(c.surprise) AS surprise
+          FROM c1el c
+          GROUP BY c.pdim, c.pval
+          HAVING COUNT(*) < (SELECT COUNT(*) FROM scored1 s
+                             WHERE s.pdim = c.pdim AND s.pval = c.pval)
+        ),
+        okd AS MATERIALIZED (
+          SELECT c0.dim, c0.rk, c0.ep, c0.surprise,
+                 NOT EXISTS (
+                   SELECT 1 FROM c0el pe
+                   WHERE pe.dim = c0.dim
+                     AND NOT EXISTS (SELECT 1 FROM c1
+                                     WHERE c1.pdim = pe.dim
+                                       AND c1.pval = pe.val)
+                 ) AS refined
+          FROM c0
+        ),
+        finalrows AS (
+          -- refined: one row per (parent element, its child set)
+          SELECT 'event_type&ub' AS cuboid,
+                 (SELECT string_agg(
+                    CASE WHEN m.val < pe.val
+                         THEN m.val || ',' || pe.val
+                         ELSE pe.val || ',' || m.val END, ';'
+                    ORDER BY m.val)
+                  FROM c1el m
+                  WHERE m.pdim = pe.dim AND m.pval = pe.val) AS elements,
+                 (SELECT string_agg(
+                    CASE WHEN m.val < pe.val
+                         THEN m.val || pe.val
+                         ELSE pe.val || m.val END, ''
+                    ORDER BY m.val)
+                  FROM c1el m
+                  WHERE m.pdim = pe.dim AND m.pval = pe.val) AS dkey,
+                 c1.ep * o.ep AS ep, c1.surprise AS surprise,
+                 o.rk AS ord1, pe.val AS ord2
+          FROM okd o
+          JOIN c0el pe ON pe.dim = o.dim
+          JOIN c1 ON c1.pdim = pe.dim AND c1.pval = pe.val
+          WHERE o.refined
+          UNION ALL
+          -- unrefined: the parent set survives as singletons
+          SELECT o.dim,
+                 (SELECT string_agg(pe.val, ';' ORDER BY pe.val)
+                  FROM c0el pe WHERE pe.dim = o.dim),
+                 (SELECT string_agg(pe.val, '' ORDER BY pe.val)
+                  FROM c0el pe WHERE pe.dim = o.dim),
+                 o.ep, o.surprise, o.rk, ''
+          FROM okd o WHERE NOT o.refined
+        )
+        SELECT cuboid, elements,
+               round(ep, 6) + 0e0 AS ep,
+               round(surprise, 6) + 0e0 AS surprise
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY dkey ORDER BY ord1 ASC, ord2 ASC) AS drn
+          FROM finalrows
+        ) WHERE drn = 1
     """
 
 
@@ -4337,6 +4510,7 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
         """,
+        "rev_adtributor_rec": _rev_adtributor_rec_sql(),
         "rev_adtributor": f"""
             WITH {_RCA_CTE},
             el AS (

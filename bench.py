@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "rca_derived_scores",
     "riskloc_rca_derived",
     "rev_adtributor",
+    "rev_adtributor_rec",
     "autoroot_rca",
     "hotspot_rca",
     "squeeze_rca",
