@@ -263,3 +263,22 @@ def test_parse_gif_first_frame_zero_delay_matches_pillow_semantics():
     meta = parse_image_header(out)
     assert meta["n_frames"] == 2
     assert meta["duration_ms"] == 0  # frame 0's delay * n_frames = 0
+
+
+def test_parse_image_header_never_raises_on_arbitrary_bytes():
+    """The header parser ingests arbitrary corpus payloads — it must
+    classify or reject, never throw (fuzzed, plus adversarial prefixes
+    that start like each format and go wrong)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from riskloc_spark.operators.multimodal import parse_image_header
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(min_size=0, max_size=200))
+    def run(payload):
+        for prefix in (b"", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8"):
+            out = parse_image_header(prefix + payload)
+            assert out is None or isinstance(out, dict)
+
+    run()
