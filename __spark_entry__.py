@@ -612,14 +612,26 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = documents_as_media(load_table(spark, sf_dir, "documents"))
-    out = decode_media(d)
-    return out.select(
-        "media_id",
-        F.col("meta.width").alias("width"),
-        F.col("meta.height").alias("height"),
-        F.col("meta.n_frames").alias("n_frames"),
+    """REAL PNG pixel decode under the hash gate (round 7): deterministic
+    PNGs are synthesized per doc id (formula contract in
+    operators/multimodal.py) with CYCLING row filters, shipped through a
+    binary column, decoded by the stdlib zlib+numpy codec
+    (operators/png.py — all five unfilter branches, bit depths 8/16,
+    gray/RGB/palette/RGBA), and reduced to integer pixel statistics.
+    The oracle replays the generator formula in closed-form SQL, so any
+    bug in filtering, bit packing, palette expansion, or sample order
+    breaks the hash."""
+    from riskloc_spark.operators.dedup import spread_small_scan
+    from riskloc_spark.operators.multimodal import (
+        png_pixel_stats,
+        synthesize_png_corpus,
     )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synthesize_png_corpus(spread_small_scan(d))
+    return png_pixel_stats(media)
 
 
 # --------------------------------------------------------------------------
@@ -1039,19 +1051,25 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction surface (stub kernel, deterministic):
-    Arrow-batched mapInPandas producing fixed-dim unit vectors; checked
-    rows-only (numpy-seeded kernel has no SQL twin)."""
-    from riskloc_spark.operators.multimodal import documents_as_media, media_features
-
-    d = documents_as_media(load_table(spark, sf_dir, "documents"))
-    out = media_features(d, dim=16)
-    return out.select(
-        "media_id",
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x), 4).alias(
-            "sq_norm"
-        ),
+    """The REAL resize path under the hash gate (round 7): synthetic PNGs
+    -> resize_media (nearest-neighbor floor mapping, RE-ENCODED as PNG)
+    -> second decode -> integer stats of the resized pixels. Gates the
+    full encode -> decode -> resample -> re-encode -> decode chain; the
+    oracle replays the floor-mapping resample (src = dst*extent_src //
+    extent_dst) on the generator formula in closed-form SQL."""
+    from riskloc_spark.operators.dedup import spread_small_scan
+    from riskloc_spark.operators.multimodal import (
+        png_pixel_stats,
+        resize_media,
+        synthesize_png_corpus,
     )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synthesize_png_corpus(spread_small_scan(d))
+    resized = resize_media(media, width=4, height=3, method="nearest")
+    return png_pixel_stats(resized)
 
 
 def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1981,6 +1999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the no-oracle rows (driver-orchestrated full searches, fitted-
     # quantizer warm path, media ops) sit last so they never consume a
     # scored slot.
+        "media_decode": media_decode_q,
+        "media_features": media_features_q,
         "robustspot_supports": robustspot_supports_q,
         "streaming_ewma": streaming_ewma_q,
         "streaming_dedup": streaming_dedup_q,
@@ -2054,8 +2074,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squeeze_rca_derived": squeeze_rca_derived,
         "robustspot_rca": robustspot_rca,
         "knn_ivf_warm": knn_ivf_warm_q,
-        "media_decode": media_decode_q,
-        "media_features": media_features_q,
     }
 
 
@@ -4216,6 +4234,45 @@ def _riskloc_layer_scores_sql() -> str:
     """
 
 
+# Synthetic-PNG gate twins: dims + closed-form sample values per the
+# formula contract in riskloc_spark/operators/multimodal.py (_synth_png).
+_PNG_DIMS_CTE = """dims AS MATERIALIZED (
+              SELECT doc_id AS media_id,
+                     doc_id % 5 AS cs,
+                     CASE doc_id % 5 WHEN 0 THEN 4 + doc_id % 5
+                          WHEN 1 THEN 3 + doc_id % 4
+                          WHEN 2 THEN 4 + doc_id % 6
+                          WHEN 3 THEN 3 + doc_id % 3
+                          ELSE 2 + doc_id % 3 END AS w,
+                     CASE doc_id % 5 WHEN 0 THEN 3 + doc_id % 4
+                          WHEN 1 THEN 2 + doc_id % 3
+                          WHEN 2 THEN 3 + doc_id % 5
+                          WHEN 3 THEN 2 + doc_id % 3
+                          ELSE 2 + doc_id % 4 END AS h,
+                     CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3
+                          WHEN 2 THEN 3 WHEN 3 THEN 1 ELSE 4 END AS c,
+                     CASE WHEN doc_id % 5 = 3 THEN 16 ELSE 8 END AS bit_depth,
+                     CASE doc_id % 5 WHEN 0 THEN 0 WHEN 1 THEN 2
+                          WHEN 2 THEN 3 WHEN 3 THEN 0 ELSE 6 END AS color_type
+              FROM documents
+            )"""
+
+
+def _png_value_sql(m: str, cs: str, s: str) -> str:
+    """Closed-form sample value v({m}, {s}) of the synthetic PNG corpus
+    (palette case expands index -> RGB exactly as decoded_samples does)."""
+    return f"""CASE {cs}
+                 WHEN 0 THEN ({m} * 31 + {s} * 7) % 256
+                 WHEN 1 THEN ({m} * 17 + {s} * 11) % 256
+                 WHEN 2 THEN CASE {s} % 3
+                   WHEN 0 THEN ((({m} + {s} // 3) % 16) * 37 + {m}) % 256
+                   WHEN 1 THEN ((({m} + {s} // 3) % 16) * 59 + {m}) % 256
+                   ELSE ((({m} + {s} // 3) % 16) * 83 + {m}) % 256 END
+                 WHEN 3 THEN ({m} * 257 + {s} * 4099) % 65536
+                 ELSE ({m} * 13 + {s} * 5) % 256
+               END"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -4923,6 +4980,61 @@ def oracle_sql() -> dict[str, str]:
                          / MAX(tot.tp), 6) + 0e0 AS error_share
             FROM labeled CROSS JOIN tot
             GROUP BY label
+        """,
+        "media_decode": f"""
+            WITH {_PNG_DIMS_CTE},
+            samples AS (
+              SELECT media_id, cs, w, h, c, bit_depth, color_type,
+                     unnest(range(0, w * h * c)) AS s
+              FROM dims
+            ),
+            vals AS (
+              SELECT *, {_png_value_sql("media_id", "cs", "s")} AS v
+              FROM samples
+            )
+            SELECT media_id,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(c AS INTEGER) AS n_channels,
+                   CAST(bit_depth AS INTEGER) AS bit_depth,
+                   CAST(color_type AS INTEGER) AS color_type,
+                   CAST(SUM(v) AS BIGINT) AS pix_sum,
+                   CAST(SUM(v * ((s % 97) + 1)) AS BIGINT) AS pix_wsum,
+                   CAST(MIN(v) AS BIGINT) AS pix_min,
+                   CAST(MAX(v) AS BIGINT) AS pix_max
+            FROM vals
+            GROUP BY media_id, w, h, c, bit_depth, color_type
+        """,
+        "media_features": f"""
+            WITH {_PNG_DIMS_CTE},
+            dest AS (
+              SELECT media_id, cs, w, h, c, bit_depth, color_type,
+                     unnest(range(0, 12 * c)) AS t
+              FROM dims
+            ),
+            mapped AS (
+              SELECT media_id, cs, c, bit_depth, color_type, t,
+                     ((((t // (4 * c)) * h) // 3) * w
+                      + ((((t % (4 * c)) // c) * w) // 4)) * c
+                     + (t % c) AS s
+              FROM dest
+            ),
+            vals AS (
+              SELECT *, {_png_value_sql("media_id", "cs", "s")} AS v
+              FROM mapped
+            )
+            SELECT media_id,
+                   CAST(4 AS INTEGER) AS width,
+                   CAST(3 AS INTEGER) AS height,
+                   CAST(c AS INTEGER) AS n_channels,
+                   CAST(bit_depth AS INTEGER) AS bit_depth,
+                   CAST(color_type AS INTEGER) AS color_type,
+                   CAST(SUM(v) AS BIGINT) AS pix_sum,
+                   CAST(SUM(v * ((t % 97) + 1)) AS BIGINT) AS pix_wsum,
+                   CAST(MIN(v) AS BIGINT) AS pix_min,
+                   CAST(MAX(v) AS BIGINT) AS pix_max
+            FROM vals
+            GROUP BY media_id, c, bit_depth, color_type
         """,
         # riskloc_rca / autoroot_rca / hotspot_rca / squeeze_rca /
         # robustspot_rca: iterative driver-orchestrated searches;

@@ -8,16 +8,20 @@ with a typed metadata struct, and every kernel runs as an Arrow-batched
 partition parallelism, no driver collects) is real and tested.
 
 DECODE: real header parsing for the three dominant image formats —
-PNG (IHDR + APNG acTL), GIF87a/89a (logical screen descriptor + image
-block walk), JPEG (SOFn scan) — implemented with ``struct`` only, no
-dependency (``parse_image_header``). Pillow, when present, remains the
-preferred branch (full decode, all formats). Payloads that match no
-known magic fall back to a clearly-marked deterministic fake
+PNG (IHDR + APNG acTL/fcTL), GIF87a/89a (logical screen descriptor +
+image block walk), JPEG (SOFn scan) — implemented with ``struct`` only,
+no dependency (``parse_image_header``). For PNG the PIXEL path is real
+too: ``operators/png.py`` decodes non-interlaced PNGs (all five
+scanline filters, bit depths 1-16, gray/RGB/palette/alpha) with stdlib
+``zlib`` + numpy, so ``media_features`` and ``resize_media`` operate on
+true pixels for PNG payloads. Pillow, when present, remains the
+preferred metadata branch (full decode, all formats). Payloads that
+match no known magic fall back to a clearly-marked deterministic fake
 (content-hash derived) so mixed corpora keep flowing; payloads whose
 magic matches but whose header is truncated/corrupt surface NULL
-metadata — dimensions are never fabricated for real images.
-``resize``/``frame-sample`` pixel kernels remain stubbed (no codec in
-the container); their Spark-side plumbing is real and tested.
+metadata — dimensions are never fabricated for real images. JPEG/GIF
+pixel decode (entropy coding) stays honestly stubbed — no codec in the
+container.
 """
 from __future__ import annotations
 
@@ -76,7 +80,11 @@ _JPEG_SOF = {
 def _parse_png(data: bytes) -> dict | None:
     """PNG: 8-byte magic, then chunks of (len u32 BE, type, payload,
     crc). IHDR is first: width/height u32 BE, bit depth, color type.
-    APNG stores the frame count in an acTL chunk before IDAT."""
+    APNG stores the frame count in an acTL chunk before IDAT and the
+    per-frame delay in each fcTL chunk (delay_num u16 / delay_den u16
+    at payload offsets 20/22; den 0 means 1/100 s per spec) — the first
+    fcTL's delay matches Pillow's im.info['duration'], so APNG metadata
+    does not flap on whether Pillow is installed."""
     if len(data) < 33:  # magic + IHDR chunk is 33 bytes minimum
         return None
     if data[12:16] != b"IHDR":
@@ -86,22 +94,32 @@ def _parse_png(data: bytes) -> dict | None:
     n_channels = _PNG_CHANNELS.get(color_type)
     if width == 0 or height == 0 or n_channels is None:
         return None
-    n_frames, pos = 1, 8
+    n_frames, delay_ms, pos = 1, 0, 8
+    seen_actl = False
     while pos + 8 <= len(data):  # chunk walk, bounded by the payload
         (length,) = struct.unpack(">I", data[pos: pos + 4])
         ctype = data[pos + 4: pos + 8]
         if ctype == b"acTL" and pos + 12 <= len(data):
             (n_frames,) = struct.unpack(">I", data[pos + 8: pos + 12])
             n_frames = max(int(n_frames), 1)
-            break
-        if ctype in (b"IDAT", b"IEND"):
+            seen_actl = True
+        elif ctype == b"fcTL" and seen_actl and length >= 24:
+            start = pos + 8
+            if start + 24 <= len(data):
+                num, den = struct.unpack(
+                    ">HH", data[start + 20: start + 24]
+                )
+                den = den or 100  # spec: denominator 0 -> 1/100 s
+                delay_ms = (num * 1000) // den
+            break  # first fcTL only (frame 0's delay, Pillow semantics)
+        elif ctype in (b"IDAT", b"IEND"):
             break
         pos += 12 + length  # len + type + payload + crc
     return {
         "width": int(width),
         "height": int(height),
         "n_channels": n_channels,
-        "duration_ms": 0,
+        "duration_ms": delay_ms * n_frames,
         "n_frames": n_frames,
     }
 
@@ -315,15 +333,38 @@ def decode_media(
     return df.join(decoded, on=id_col, how="inner")
 
 
+def _png_feature(samples: "np.ndarray", dim: int) -> "np.ndarray":
+    """REAL feature vector from decoded pixels: up to 4 normalized
+    channel means, then a (dim-4)-bin gray histogram (pixel fraction).
+    Deterministic pure-pixel math — the embedding a no-model pipeline
+    can actually compute."""
+    h, w, c = samples.shape
+    maxv = float(samples.max()) or 1.0
+    out = np.zeros(dim, dtype=np.float64)
+    for ch in range(min(c, 4)):
+        out[ch] = samples[:, :, ch].mean() / maxv
+    n_bins = dim - 4
+    if n_bins > 0:
+        gray = samples.mean(axis=2) / maxv  # [0, 1]
+        hist, _ = np.histogram(gray, bins=n_bins, range=(0.0, 1.0))
+        out[4:] = hist / (h * w)
+    return out.astype(np.float32)
+
+
 def media_features(
     df: DataFrame,
     dim: int = 32,
     bytes_col: str = "payload",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Fixed-dim feature vector per payload (STUB kernel: content-hash
-    seeded unit vector; a real one embeds pixels). Output:
+    """Fixed-dim feature vector per payload. PNG payloads get a REAL
+    pixel-derived feature (channel means + gray histogram via the
+    dependency-free codec in operators/png.py); other payloads fall
+    back to the content-hash-seeded stub vector (honest stand-in for
+    formats whose entropy decode needs a codec library). Output:
     (id, feature array<float>)."""
+    from riskloc_spark.operators.png import decode_png, decoded_samples
+
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -335,6 +376,12 @@ def media_features(
         for pdf in batches:
             feats = []
             for b in pdf[bytes_col]:
+                decoded = decode_png(bytes(b))
+                if decoded is not None:
+                    feats.append(
+                        _png_feature(decoded_samples(decoded), dim).tolist()
+                    )
+                    continue
                 v = _content_hash(b).standard_normal(dim)
                 v = (v / np.linalg.norm(v)).astype(np.float32)
                 feats.append(v.tolist())
@@ -349,9 +396,22 @@ def resize_media(
     height: int,
     bytes_col: str = "payload",
     id_col: str = "media_id",
+    method: str = "nearest",
 ) -> DataFrame:
-    """Resize kernel plumbing (STUB: truncated/padded payload standing in
-    for re-encoded pixels). Output: (id, payload, meta) at target size."""
+    """Resize each payload to (width, height). PNG payloads are REALLY
+    resized — decode via operators/png.py, nearest-neighbor or bilinear
+    resample (``method``), re-encode as PNG (palette images resample
+    their index plane with nearest regardless, the only
+    palette-preserving choice). Non-PNG payloads keep the deterministic
+    stub (truncated/padded bytes) so mixed corpora flow. Output:
+    (id, payload, meta) at target size."""
+    from riskloc_spark.operators.png import (
+        decode_png,
+        encode_png,
+        resize_bilinear,
+        resize_nearest,
+    )
+
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -366,6 +426,36 @@ def resize_media(
             payloads, metas = [], []
             for b in pdf[bytes_col]:
                 b = bytes(b)
+                decoded = decode_png(b)
+                if decoded is not None:
+                    px = decoded["pixels"]
+                    if method == "bilinear" and decoded["color_type"] != 3:
+                        rs = np.rint(
+                            resize_bilinear(px, width, height)
+                        ).astype(np.int64)
+                    else:
+                        rs = resize_nearest(px, width, height)
+                    if rs.shape[2] == 1:
+                        rs = rs[:, :, 0]
+                    payloads.append(
+                        encode_png(
+                            rs,
+                            decoded["color_type"],
+                            decoded["bit_depth"],
+                            palette=decoded["palette"],
+                            filter_mode=0,
+                        )
+                    )
+                    metas.append(
+                        {
+                            "width": width,
+                            "height": height,
+                            "n_channels": _PNG_CHANNELS[decoded["color_type"]],
+                            "duration_ms": 0,
+                            "n_frames": 1,
+                        }
+                    )
+                    continue
                 resized = (b * (target_len // max(len(b), 1) + 1))[:target_len]
                 payloads.append(resized)
                 metas.append(
@@ -417,6 +507,144 @@ def sample_frames(
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, bytes_col).mapInPandas(run, schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# Deterministic synthetic PNG corpus + pixel-stat surfaces.
+#
+# These put the REAL pixel codec under the DuckDB hash gate: payloads are
+# synthesized from the row id by a closed-form formula (below), encoded
+# with CYCLING row filters (so decode exercises all five unfilter
+# branches), shipped through a binary column, decoded, and reduced to
+# integer pixel statistics. The oracle replays the FORMULA in SQL —
+# any bug in filtering, bit packing, palette expansion, sample order, or
+# the resize mapping breaks the hash.
+#
+# Formula contract (d = media id, s = linear sample index over (y, x,
+# channel) row-major, p = pixel index, all % on non-negative ints):
+#   case d%5 == 0: gray8    W=4+d%5, H=3+d%4,  v = (d*31  + s*7)    % 256
+#   case d%5 == 1: rgb8     W=3+d%4, H=2+d%3,  v = (d*17  + s*11)   % 256
+#   case d%5 == 2: palette8 W=4+d%6, H=3+d%5,  idx(p) = (d+p) % 16,
+#                  pal[j] = ((j*37+d)%256, (j*59+d)%256, (j*83+d)%256)
+#   case d%5 == 3: gray16   W=3+d%3, H=2+d%3,  v = (d*257 + s*4099) % 65536
+#   case d%5 == 4: rgba8    W=2+d%3, H=2+d%4,  v = (d*13  + s*5)    % 256
+# --------------------------------------------------------------------------
+
+
+def _synth_png(d: int) -> bytes:
+    from riskloc_spark.operators.png import encode_png
+
+    case = d % 5
+    if case == 0:
+        w, h = 4 + d % 5, 3 + d % 4
+        v = (d * 31 + np.arange(w * h, dtype=np.int64) * 7) % 256
+        return encode_png(v.reshape(h, w), 0, 8, filter_mode="cycle")
+    if case == 1:
+        w, h = 3 + d % 4, 2 + d % 3
+        v = (d * 17 + np.arange(w * h * 3, dtype=np.int64) * 11) % 256
+        return encode_png(v.reshape(h, w, 3), 2, 8, filter_mode="cycle")
+    if case == 2:
+        w, h = 4 + d % 6, 3 + d % 5
+        idx = (d + np.arange(w * h, dtype=np.int64)) % 16
+        j = np.arange(16, dtype=np.int64)
+        pal = np.stack(
+            [(j * 37 + d) % 256, (j * 59 + d) % 256, (j * 83 + d) % 256], axis=1
+        ).astype(np.uint8)
+        return encode_png(idx.reshape(h, w), 3, 8, palette=pal, filter_mode="cycle")
+    if case == 3:
+        w, h = 3 + d % 3, 2 + d % 3
+        v = (d * 257 + np.arange(w * h, dtype=np.int64) * 4099) % 65536
+        return encode_png(v.reshape(h, w), 0, 16, filter_mode="cycle")
+    w, h = 2 + d % 3, 2 + d % 4
+    v = (d * 13 + np.arange(w * h * 4, dtype=np.int64) * 5) % 256
+    return encode_png(v.reshape(h, w, 4), 6, 8, filter_mode="cycle")
+
+
+def synthesize_png_corpus(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(id) -> (id, payload): deterministic PNGs per the formula contract
+    above, built inside an Arrow-batched mapInPandas (no driver loop)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [_synth_png(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=out_schema)
+
+
+_PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("color_type", T.IntegerType()),
+        T.StructField("pix_sum", T.LongType()),
+        T.StructField("pix_wsum", T.LongType()),
+        T.StructField("pix_min", T.LongType()),
+        T.StructField("pix_max", T.LongType()),
+    ]
+)
+
+
+def _pixel_stats_row(mid: int, decoded: dict | None) -> dict:
+    from riskloc_spark.operators.png import decoded_samples
+
+    if decoded is None:
+        return {
+            "media_id": mid, "width": None, "height": None,
+            "n_channels": None, "bit_depth": None, "color_type": None,
+            "pix_sum": None, "pix_wsum": None, "pix_min": None,
+            "pix_max": None,
+        }
+    samples = decoded_samples(decoded)
+    h, w, c = samples.shape
+    flat = samples.reshape(-1)
+    weights = (np.arange(flat.size, dtype=np.int64) % 97) + 1
+    return {
+        "media_id": mid,
+        "width": w,
+        "height": h,
+        "n_channels": c,
+        "bit_depth": decoded["bit_depth"],
+        "color_type": decoded["color_type"],
+        "pix_sum": int(flat.sum()),
+        "pix_wsum": int((flat * weights).sum()),
+        "pix_min": int(flat.min()),
+        "pix_max": int(flat.max()),
+    }
+
+
+def png_pixel_stats(
+    df: DataFrame, bytes_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Decode PNG payloads and reduce to integer pixel statistics
+    (position-weighted checksum catches sample-order bugs). Undecodable
+    payloads surface NULL stats."""
+    from riskloc_spark.operators.png import decode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _pixel_stats_row(int(mid), decode_png(bytes(b)))
+                for mid, b in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in _PNG_STATS_SCHEMA])
+
+    return df.select(
+        F.col(id_col).alias("media_id"), F.col(bytes_col).alias("payload")
+    ).mapInPandas(run, schema=_PNG_STATS_SCHEMA)
 
 
 def documents_as_media(df: DataFrame) -> DataFrame:

@@ -1,0 +1,315 @@
+"""Dependency-free PNG pixel codec: stdlib ``zlib``/``binascii`` + numpy.
+
+This makes the multimodal pipeline's decode / resize / featurize kernels
+REAL for the dominant image format without any external codec:
+
+- ``decode_png``: full pixel decode of non-interlaced PNGs — bit depths
+  1/2/4/8/16, color types 0 (gray) / 2 (RGB) / 3 (palette) /
+  4 (gray+alpha) / 6 (RGBA), all five scanline filters (None/Sub/Up/
+  Average/Paeth, PNG spec §9). Adam7-interlaced images return None
+  (out of scope, stated — the stub path handles them upstream).
+- ``encode_png``: the inverse, with a selectable per-row filter
+  strategy so round-trip tests exercise every unfilter branch.
+- ``resize_nearest`` / ``resize_bilinear``: numpy resampling kernels.
+- ``expand_palette``: palette index plane -> RGB.
+
+Filter math notes: unfiltering is per-row sequential by spec. None/Up
+are fully vectorized; Sub is a per-lane ``cumsum`` (mod-256 via uint8
+wraparound); Average/Paeth carry an inherent byte-serial dependency and
+run as per-byte loops over the row (fine for the small-image kernels
+here; a production path would push these rows through numba/C).
+
+JPEG/GIF pixel decode stays out of scope (entropy decoding needs a
+real codec library); see operators/multimodal.py for the honest stubs.
+"""
+from __future__ import annotations
+
+import binascii
+import struct
+import zlib
+
+import numpy as np
+
+_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+_VALID_DEPTHS = {
+    0: {1, 2, 4, 8, 16},
+    2: {8, 16},
+    3: {1, 2, 4, 8},
+    4: {8, 16},
+    6: {8, 16},
+}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", binascii.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def _pack_row(samples: np.ndarray, bit_depth: int) -> bytes:
+    """One row of integer samples -> the PNG byte layout (MSB-first
+    bit packing below 8, big-endian u16 at 16)."""
+    if bit_depth == 8:
+        return samples.astype(np.uint8).tobytes()
+    if bit_depth == 16:
+        return samples.astype(">u2").tobytes()
+    per_byte = 8 // bit_depth
+    n = len(samples)
+    padded = np.zeros(((n + per_byte - 1) // per_byte) * per_byte, dtype=np.uint8)
+    padded[:n] = samples
+    bits = np.unpackbits(padded.reshape(-1, 1), axis=1)[:, 8 - bit_depth:]
+    return np.packbits(bits.reshape(-1, 8 // bit_depth * bit_depth)).tobytes()
+
+
+def _unpack_row(row: np.ndarray, bit_depth: int, n_samples: int) -> np.ndarray:
+    """Inverse of _pack_row: filtered-row bytes -> integer samples."""
+    if bit_depth == 8:
+        return row[:n_samples].astype(np.int64)
+    if bit_depth == 16:
+        return row.view(">u2")[:n_samples].astype(np.int64)
+    bits = np.unpackbits(row)
+    vals = bits.reshape(-1, bit_depth)
+    weights = 1 << np.arange(bit_depth - 1, -1, -1)
+    return (vals * weights).sum(axis=1)[:n_samples].astype(np.int64)
+
+
+def encode_png(
+    pixels: np.ndarray,
+    color_type: int,
+    bit_depth: int = 8,
+    palette: np.ndarray | None = None,
+    filter_mode: int | str = "cycle",
+) -> bytes:
+    """Encode a pixel array as a non-interlaced PNG.
+
+    ``pixels``: (H, W) for color types 0/3, (H, W, C) otherwise; integer
+    sample values already in [0, 2^bit_depth). ``palette``: (N, 3) uint8
+    for color type 3. ``filter_mode``: an int 0-4 applied to every row,
+    or "cycle" (row y uses filter y % 5) so round trips cover all five
+    unfilter branches.
+    """
+    if bit_depth not in _VALID_DEPTHS[color_type]:
+        raise ValueError(f"bit depth {bit_depth} invalid for color type {color_type}")
+    channels = _CHANNELS[color_type]
+    pixels = np.asarray(pixels)
+    if channels == 1:
+        if pixels.ndim == 3:
+            pixels = pixels[:, :, 0]
+        height, width = pixels.shape
+        flat_rows = pixels.reshape(height, width)
+    else:
+        height, width, c = pixels.shape
+        if c != channels:
+            raise ValueError(f"expected {channels} channels, got {c}")
+        flat_rows = pixels.reshape(height, width * channels)
+
+    stride = (width * channels * bit_depth + 7) // 8
+    bpp = max(1, channels * bit_depth // 8)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        line = np.frombuffer(
+            _pack_row(flat_rows[y], bit_depth), dtype=np.uint8
+        ).copy()
+        if len(line) < stride:
+            line = np.concatenate([line, np.zeros(stride - len(line), np.uint8)])
+        ftype = (y % 5) if filter_mode == "cycle" else int(filter_mode)
+        if ftype == 0:
+            filt = line
+        elif ftype == 1:  # Sub
+            shifted = np.zeros_like(line)
+            shifted[bpp:] = line[:-bpp]
+            filt = line - shifted  # uint8 wraps mod 256
+        elif ftype == 2:  # Up
+            filt = line - prev
+        elif ftype == 3:  # Average
+            filt = np.empty_like(line)
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                filt[i] = (int(line[i]) - ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            filt = np.empty_like(line)
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                filt[i] = (int(line[i]) - _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad filter {ftype}")
+        raw.append(ftype)
+        raw.extend(filt.tobytes())
+        prev = line
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    out = bytearray(_MAGIC)
+    out += _chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette required for color type 3")
+        out += _chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_png(data: bytes) -> dict | None:
+    """Decode a PNG payload to pixels.
+
+    Returns ``{"pixels": (H, W, C) int64 array, "bit_depth": int,
+    "color_type": int, "palette": (N, 3) uint8 | None}`` — palette
+    images keep their index plane in ``pixels`` (C=1) with the palette
+    alongside, matching Pillow's mode-'P' single band. Returns None for
+    non-PNG payloads, Adam7-interlaced images, or corrupt streams.
+    """
+    data = bytes(data)
+    if data[:8] != _MAGIC or len(data) < 33:
+        return None
+    try:
+        if data[12:16] != b"IHDR":
+            return None
+        width, height = struct.unpack(">II", data[16:24])
+        bit_depth, color_type, comp, filt, interlace = struct.unpack(
+            ">BBBBB", data[24:29]
+        )
+        if (
+            width == 0
+            or height == 0
+            or comp != 0
+            or filt != 0
+            or interlace != 0  # Adam7 out of scope
+            or color_type not in _CHANNELS
+            or bit_depth not in _VALID_DEPTHS[color_type]
+        ):
+            return None
+        palette = None
+        idat = bytearray()
+        pos = 8
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos: pos + 4])
+            ctype = data[pos + 4: pos + 8]
+            payload = data[pos + 8: pos + 8 + length]
+            if len(payload) < length:
+                return None
+            if ctype == b"PLTE":
+                if length % 3 != 0 or length == 0:
+                    return None
+                palette = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat += payload
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        if not idat or (color_type == 3 and palette is None):
+            return None
+        raw = zlib.decompress(bytes(idat))
+    except (zlib.error, struct.error, ValueError):
+        return None
+
+    channels = _CHANNELS[color_type]
+    stride = (width * channels * bit_depth + 7) // 8
+    if len(raw) != height * (stride + 1):
+        return None
+    bpp = max(1, channels * bit_depth // 8)
+
+    lines = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).copy()
+        pos += stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: per-lane prefix sum, uint8 wrap
+            for lane in range(bpp):
+                line[lane::bpp] = np.cumsum(line[lane::bpp], dtype=np.int64) & 0xFF
+        elif ftype == 2:  # Up
+            line += prev
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                line[i] = (int(line[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                line[i] = (int(line[i]) + _paeth(a, b, c)) & 0xFF
+        else:
+            return None
+        lines[y] = line
+        prev = line
+
+    n_samples = width * channels
+    out = np.empty((height, n_samples), dtype=np.int64)
+    for y in range(height):
+        out[y] = _unpack_row(lines[y], bit_depth, n_samples)
+    pixels = out.reshape(height, width, channels)
+    if color_type == 3 and palette is not None and pixels.max() >= len(palette):
+        return None  # index out of palette range
+    return {
+        "pixels": pixels,
+        "bit_depth": int(bit_depth),
+        "color_type": int(color_type),
+        "palette": palette,
+    }
+
+
+def expand_palette(pixels: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    """Palette index plane (H, W, 1) -> RGB (H, W, 3)."""
+    return palette[pixels[:, :, 0]].astype(np.int64)
+
+
+def decoded_samples(decoded: dict) -> np.ndarray:
+    """Canonical sample array for stats/features: palette images expand
+    to RGB; everything else passes through. Shape (H, W, C), int64."""
+    if decoded["color_type"] == 3:
+        return expand_palette(decoded["pixels"], decoded["palette"])
+    return decoded["pixels"]
+
+
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample with the floor mapping
+    src = dst * src_extent // dst_extent (pure integer math — the SQL
+    oracle replays it exactly)."""
+    sh, sw = pixels.shape[0], pixels.shape[1]
+    ys = (np.arange(height, dtype=np.int64) * sh) // height
+    xs = (np.arange(width, dtype=np.int64) * sw) // width
+    return pixels[np.ix_(ys, xs)]
+
+
+def resize_bilinear(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Bilinear resample, half-pixel-center convention
+    (src = (dst + 0.5) * scale - 0.5, edges clamped — PIL/OpenCV
+    default). Returns float64; callers round/cast as needed."""
+    sh, sw = pixels.shape[0], pixels.shape[1]
+    arr = pixels.astype(np.float64)
+    fy = (np.arange(height) + 0.5) * (sh / height) - 0.5
+    fx = (np.arange(width) + 0.5) * (sw / width) - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, sh - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, sw - 1)
+    y1 = np.minimum(y0 + 1, sh - 1)
+    x1 = np.minimum(x0 + 1, sw - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    top = arr[np.ix_(y0, x0)] * (1 - wx) + arr[np.ix_(y0, x1)] * wx
+    bot = arr[np.ix_(y1, x0)] * (1 - wx) + arr[np.ix_(y1, x1)] * wx
+    return top * (1 - wy) + bot * wy
