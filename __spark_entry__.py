@@ -1111,7 +1111,9 @@ def streaming_kpi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_kpi: run did not finish in 300s")
     q.stop()
     return spark.table(name).select(
         "event_type",
@@ -1973,7 +1975,9 @@ def streaming_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_ewma: run did not finish in 300s")
     q.stop()
     return spark.table(qname).select(
         "event_type",

@@ -108,10 +108,15 @@ def curate_corpus_near_dup(
     try:
         groups = dedup_groups(pairs, documents=kept, id_col=id_col)
         reps = groups.filter(F.col("is_representative")).select(id_col)
-        # materialize before unpersist: the caller gets a plan over the
-        # resolved representatives, not over a vanished cache
+        # materialize ONLY the tiny representative-id frame before the
+        # cache vanishes — localCheckpointing the full curated output
+        # would push the whole surviving corpus into non-reliable
+        # executor-local storage (unrecoverable on executor loss, and a
+        # surprise action in a DataFrame-returning API). The returned
+        # frame stays a lazy, recomputable join of the filter plan
+        # against the resolved ids.
+        reps = reps.localCheckpoint(eager=True)
         out = kept.join(reps, on=id_col, how="inner")
-        out = out.localCheckpoint(eager=True)
     finally:
         kept.unpersist()
     return out

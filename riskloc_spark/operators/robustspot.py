@@ -193,11 +193,31 @@ def _subset_sums(
     return np.array([counter(c) for c in causes])
 
 
+# Above this many items the 2^d bincount table stops paying for itself
+# (2^20 doubles = 8 MB; 25+ would be multi-GB, and >= 64 would silently
+# overflow the int64 bit shifts) — fall back to per-cause masks.
+_SUBSET_ITEM_BOUND = 20
+
+
 def _subset_counter(
     pdf: pd.DataFrame, items: list, weights: np.ndarray | None = None
 ):
     """Compile the signature pass once; the returned callable sums the
     matching count/weight for any cause whose items are in ``items``."""
+    if len(items) > _SUBSET_ITEM_BOUND:
+        # per-cause mask fallback: O(#causes * n) instead of a 2^d table
+        masks = {
+            item: (pdf[item[0]].to_numpy() == item[1]) for item in items
+        }
+        w = None if weights is None else np.asarray(weights, float)
+
+        def count_masked(cause) -> float:
+            m = np.ones(len(pdf), dtype=bool)
+            for it in cause:
+                m &= masks[it]
+            return float(m.sum()) if w is None else float(w[m].sum())
+
+        return count_masked
     sig = np.zeros(len(pdf), dtype=np.int64)
     for bit, (col, val) in enumerate(items):
         sig |= (pdf[col].to_numpy() == val).astype(np.int64) << bit

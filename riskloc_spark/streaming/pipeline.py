@@ -68,7 +68,15 @@ def events_stream(
         # TIMESTAMP(NANOS) file landing later reads as INT64 and will
         # mismatch this schema; for a NANOS-producing source pass the
         # bigint schema explicitly.
-        err_class = getattr(e, "getErrorClass", lambda: None)() or ""
+        # getCondition is the PySpark 4 name; getErrorClass is its
+        # deprecated alias (removed eventually — keying only on the old
+        # name would turn every normal no-files-yet startup into a hard
+        # failure once it goes away).
+        err_class = (
+            getattr(e, "getCondition", lambda: None)()
+            or getattr(e, "getErrorClass", lambda: None)()
+            or ""
+        )
         if "UNABLE_TO_INFER_SCHEMA" not in err_class:
             raise
         probed = schema if schema is not None else EVENT_SCHEMA

@@ -235,3 +235,41 @@ def test_subset_counter_bit_equal_to_masks():
     sup = _subset_supports(pdf, causes)
     want_sup = np.array([_support(pdf, c) for c in causes])
     assert np.array_equal(sup, want_sup)
+
+
+def test_subset_counter_wide_item_fallback():
+    """Past _SUBSET_ITEM_BOUND items the 2^d bincount table would be
+    multi-GB (and >= 64 items would overflow the bit shifts): the
+    counter must switch to per-cause masks and return identical sums."""
+    import numpy as np
+    import pandas as pd
+
+    from riskloc_spark.operators.robustspot import (
+        _SUBSET_ITEM_BOUND,
+        _match_mask,
+        _subset_counter,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    cols = [f"d{i}" for i in range(6)]
+    pdf = pd.DataFrame(
+        {c: rng.choice([f"{c}v{j}" for j in range(5)], n) for c in cols}
+    )
+    # 24 (col, val) items > the 20-item bound -> mask fallback
+    items = [(c, f"{c}v{j}") for c in cols for j in range(4)]
+    assert len(items) > _SUBSET_ITEM_BOUND
+    w = rng.integers(1, 100, n).astype(float)
+    causes = [
+        (items[0],),
+        (items[0], items[5]),
+        (items[2], items[9], items[13]),
+        tuple(items[i] for i in (1, 6, 11, 16)),
+    ]
+    counter = _subset_counter(pdf, items, w)
+    for c in causes:
+        assert counter(c) == float(w[_match_mask(pdf, c).to_numpy()].sum())
+    # unweighted path too
+    counter0 = _subset_counter(pdf, items)
+    for c in causes:
+        assert counter0(c) == float(_match_mask(pdf, c).sum())

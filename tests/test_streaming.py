@@ -31,7 +31,7 @@ def test_windowed_kpi_stream_matches_batch(spark, baseline, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     got = spark.table("kpi_stream").toPandas()
     assert len(got) > 0
@@ -93,7 +93,7 @@ def test_rca_foreach_batch_trigger(spark, baseline, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     assert results, "foreachBatch never fired"
     batch_ids = [bid for bid, _ in results]
@@ -118,7 +118,7 @@ def test_ewma_anomaly_stream_stateful(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got = spark.table("ewma_stream").toPandas()
     assert len(got) > 0
     assert set(got.columns) == {
@@ -201,7 +201,7 @@ def test_events_stream_handles_all_ts_physical_layouts(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         q.stop()
         rows = spark.table(f"layout_{name}").orderBy("event_id").collect()
         got[name] = [r["ts"].replace(tzinfo=None) for r in rows]
@@ -260,7 +260,7 @@ def test_watermark_drops_late_events(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
     q.stop()
 
     rows = {}
@@ -339,7 +339,7 @@ def test_events_stream_ntz_independent_of_session_tz(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         q.stop()
         got_us = (
             spark.table("ntz_tz_independent")
