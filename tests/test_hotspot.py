@@ -256,3 +256,225 @@ def test_mcts_stochastic_region_seeded_vs_bruteforce():
     assert CountingRandom.draws > 0  # the stochastic branch executed
     assert hits == 20, f"brute-force max found in only {hits}/20 seeds"
     assert math.isfinite(brute) and brute > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-7: pruning x non-exhaustive MCTS interaction on a 3-dim slice
+# ---------------------------------------------------------------------------
+
+def _element_stats_pandas(pdf, dims):
+    """element_stats_all semantics in pandas (plans/cuboid.py:120-148)."""
+    stats = {}
+    for key, g in pdf.groupby(dims):
+        key = key if isinstance(key, tuple) else (key,)
+        V, Fv = float(g["real"].sum()), float(g["predict"].sum())
+        ratio = V / Fv if Fv != 0 else 0.0
+        a = g["predict"] * ratio
+        d = g["real"] - g["predict"]
+        da = g["real"] - a
+        stats[tuple(map(str, key))] = dict(
+            n_e=len(g),
+            A_e=float(np.abs(da).sum()),
+            B_e=float(np.abs(d).sum()),
+            P_e=float((da * da).sum()),
+            Q_e=float((d * d).sum()),
+        )
+    return stats
+
+
+def _argmax_subset(stats, totals, scoring):
+    """Exact argmax of ps/gps over ALL non-empty element subsets via
+    meet-in-the-middle (vectorized outer sums — handles ~20 elements).
+    Returns (best_elements, best_score, runner_up_gap)."""
+    elems = sorted(stats)
+    k = len(elems)
+    if k == 0:
+        return [], 0.0, np.inf
+    keys = ("n_e", "A_e", "B_e", "P_e", "Q_e")
+    vals = {s: np.array([stats[e][s] for e in elems]) for s in keys}
+
+    def half_sums(idx):
+        m = len(idx)
+        out = {s: np.zeros(1 << m) for s in keys}
+        for mask in range(1, 1 << m):
+            lb = mask & -mask
+            j = lb.bit_length() - 1
+            for s in keys:
+                out[s][mask] = out[s][mask ^ lb] + vals[s][idx[j]]
+        return out
+
+    lo_idx = list(range(k // 2))
+    hi_idx = list(range(k // 2, k))
+    lo = half_sums(lo_idx)
+    hi = half_sums(hi_idx)
+    # outer combine: axis 0 = hi mask, axis 1 = lo mask
+    S = {s: hi[s][:, None] + lo[s][None, :] for s in keys}
+    n, A, B, P, Q = (S[s] for s in keys)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if scoring == "gps":
+            a = np.where(n > 0, A / np.maximum(n, 1), 0.0)
+            b = np.where(n > 0, B / np.maximum(n, 1), 0.0)
+            rest = totals["N"] - n
+            c = np.where(rest > 0, (totals["B_tot"] - B) / np.maximum(rest, 1), 0.0)
+            denom = b + c
+            score = np.where(denom != 0, 1 - (a + c) / np.where(denom == 0, 1, denom), 0.0)
+        else:
+            q_tot = totals["Q_tot"]
+            score = np.maximum(1 - np.sqrt(q_tot - Q + P) / np.sqrt(q_tot), 0.0)
+    score[0, 0] = -np.inf  # empty subset excluded
+    flat = score.ravel()
+    order = np.argsort(flat)
+    best_flat, second = order[-1], flat[order[-2]]
+    hi_mask, lo_mask = divmod(int(best_flat), 1 << len(lo_idx))
+    sel = [elems[lo_idx[j]] for j in range(len(lo_idx)) if lo_mask >> j & 1]
+    sel += [elems[hi_idx[j]] for j in range(len(hi_idx)) if hi_mask >> j & 1]
+    return sel, float(flat[best_flat]), float(flat[best_flat] - second)
+
+
+def _exhaustive_hotspot(pdf, dims, scoring):
+    """Emulates the full hotspot pipeline with EXACT per-cuboid subset
+    argmax (same pruning rule, same final sort) — the ground truth the
+    MCTS search must reproduce."""
+    from riskloc_spark.plans.cuboid import cuboids_of_layer
+
+    N = len(pdf)
+    d = pdf["real"] - pdf["predict"]
+    totals = dict(
+        N=float(N),
+        B_tot=float(np.abs(d).sum()),
+        Q_tot=float((d * d).sum()),
+    )
+    candidates = []
+    min_gap = np.inf
+    for layer in range(1, len(dims) + 1):
+        for cuboid in cuboids_of_layer(dims, layer):
+            stats = _element_stats_pandas(pdf, cuboid)
+            elements = sorted(stats)
+            if scoring == "ps" and layer > 1:
+                prev = [
+                    c["elements"]
+                    for c in candidates
+                    if c["layer"] == layer - 1 and set(c["cuboid"]) < set(cuboid)
+                ]
+                for parent_sel in prev:
+                    elements = [
+                        e for e in elements
+                        if any(set(pe) < set(e) for pe in parent_sel)
+                    ]
+            sub_stats = {e: stats[e] for e in elements}
+            sel, score, gap = _argmax_subset(sub_stats, totals, scoring)
+            if np.isfinite(gap):
+                min_gap = min(min_gap, gap)
+            candidates.append(
+                dict(layer=layer, cuboid=list(cuboid), score=score, elements=sel)
+            )
+    best = sorted(
+        candidates,
+        key=lambda c: (c["score"], -c["layer"], -len(c["elements"])),
+        reverse=True,
+    )[0]
+    return best, min_gap
+
+
+def _pruning_instance(seed=23):
+    """4 x 4 x 2 slice: anomalies across a1-a3 x b0-b2 with distinct
+    magnitudes. Layer-1 ps winners span 3 values per dimension, so the
+    pruned layer-2 (a, b) cuboid keeps 9 of 16 elements — a permutation
+    tree m=200 cannot enumerate — while remaining brute-forceable.
+
+    ps is modular in the per-element stats (score rises exactly with
+    Q_e - P_e of each added element), so an instance where normal cells
+    fit the ripple well would have its TRUE argmax = "select everything"
+    (marginal gains on every normal cell) — unreachable for a budgeted
+    MCTS and not the behavior under test. Normal cells here carry
+    heterogeneous relative deviations (one large-predict accurate leaf +
+    one small-predict 30%-high leaf), which makes ripple replacement
+    strictly WORSE than the forecast (P_e > Q_e), so the exact argmax is
+    the planted six-element set."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    sev = {("a1", "b0"): 0.62, ("a1", "b1"): 0.5, ("a2", "b0"): 0.44,
+           ("a2", "b2"): 0.37, ("a3", "b1"): 0.3, ("a3", "b2"): 0.23}
+    for a in [f"a{i}" for i in range(4)]:
+        for b in [f"b{i}" for i in range(4)]:
+            for c in ["c0", "c1"]:
+                if (a, b) in sev:
+                    # uniform multiplicative drop: ripple fits, P_e ~ 0
+                    for f0 in (100.0, 10.0):
+                        f = f0 * (1 + rng.uniform(-0.01, 0.01))
+                        rows.append((a, b, c, f * (1 - sev[(a, b)]), f))
+                else:
+                    f1 = 100 * (1 + rng.uniform(-0.01, 0.01))
+                    v1 = f1 * (1 + rng.uniform(-0.003, 0.003))
+                    f2 = 10 * (1 + rng.uniform(-0.01, 0.01))
+                    rows.append((a, b, c, v1, f1))
+                    rows.append((a, b, c, f2 * 1.3, f2))
+    return pd.DataFrame(rows, columns=["a", "b", "c", "real", "predict"])
+
+
+def test_hotspot_pruning_times_nonexhaustive_mcts(spark):
+    """Round-7 VERDICT item: on a 3-dim slice where hierarchical pruning
+    (ps scoring) actually gates layer-2 candidates AND the pruned
+    element count still defeats m=200 enumeration, the returned
+    candidate must match an exhaustive emulation of the whole pipeline
+    (same pruning, exact subset argmax per cuboid, same final sort) —
+    seed-swept, under ps. A UCB/backup bias that only shows on big
+    cuboids, or a pruning-rule regression, fails here."""
+    pdf = _pruning_instance()
+    want, gap = _exhaustive_hotspot(pdf, ["a", "b", "c"], "ps")
+    assert gap > 1e-9, "instance has near-tied argmax; tests would flap"
+    # the regime is real: pruning gates candidates (16 -> 9 elements at
+    # (a, b)) AND 9 elements defeat m=200 enumeration (round-6 pin)
+    d = pdf["real"] - pdf["predict"]
+    totals = dict(
+        N=float(len(pdf)),
+        B_tot=float(np.abs(d).sum()),
+        Q_tot=float((d * d).sum()),
+    )
+    sel_a, _, _ = _argmax_subset(_element_stats_pandas(pdf, ["a"]), totals, "ps")
+    sel_b, _, _ = _argmax_subset(_element_stats_pandas(pdf, ["b"]), totals, "ps")
+    stats_ab = _element_stats_pandas(pdf, ["a", "b"])
+    surv = [
+        e for e in stats_ab
+        if any(set(p) < set(e) for p in sel_a)
+        and any(set(p) < set(e) for p in sel_b)
+    ]
+    assert len(stats_ab) == 16 and len(surv) == 9
+    assert want["cuboid"] == ["a", "b"] and len(want["elements"]) == 6
+    df = spark.createDataFrame(pdf)
+    for seed in range(6):
+        got = hotspot(df, ["a", "b", "c"], pt=1.5, m=200, scoring="ps", seed=seed)
+        assert got["cuboid"] == want["cuboid"], (seed, got, want)
+        assert sorted(map(tuple, got["elements"])) == sorted(
+            map(tuple, want["elements"])
+        ), (seed, got, want)
+        assert abs(got["score"] - want["score"]) < 1e-9, (seed, got, want)
+
+
+def test_hotspot_gps_nonexhaustive_matches_exhaustive_3dim(spark):
+    """Same property under gps (no pruning): 3 x 3 x 2 gives an
+    18-element layer-3 cuboid (2^18 subsets, meet-in-the-middle brute
+    force) the MCTS cannot enumerate with m=200."""
+    rng = np.random.default_rng(31)
+    rows = []
+    sev = {("a1", "b0"): 0.6, ("a2", "b1"): 0.45}
+    for a in ["a0", "a1", "a2"]:
+        for b in ["b0", "b1", "b2"]:
+            for c in ["c0", "c1"]:
+                for _ in range(3):
+                    predict = float(rng.uniform(80, 120))
+                    real = predict * (1 + rng.uniform(-0.02, 0.02))
+                    if (a, b) in sev:
+                        real = predict * (1 - sev[(a, b)])
+                    rows.append((a, b, c, real, predict))
+    pdf = pd.DataFrame(rows, columns=["a", "b", "c", "real", "predict"])
+    want, gap = _exhaustive_hotspot(pdf, ["a", "b", "c"], "gps")
+    assert gap > 1e-9
+    df = spark.createDataFrame(pdf)
+    for seed in range(6):
+        got = hotspot(df, ["a", "b", "c"], pt=1.5, m=200, scoring="gps", seed=seed)
+        assert got["cuboid"] == want["cuboid"], (seed, got, want)
+        assert sorted(map(tuple, got["elements"])) == sorted(
+            map(tuple, want["elements"])
+        ), (seed, got, want)
+        assert abs(got["score"] - want["score"]) < 1e-9, (seed, got, want)
