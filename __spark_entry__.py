@@ -1072,6 +1072,58 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_pixel_stats(resized)
 
 
+def media_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL APNG frame extraction under the hash gate (round 7):
+    deterministic APNGs (formula contract on synthesize_apng_corpus —
+    2-4 full-canvas gray8 frames, cycling row filters, frame 0 in IDAT,
+    the rest in fdAT) -> sample_frames(every_n=2), whose real branch
+    unfilters each frame and re-encodes it as a standalone PNG -> a
+    second decode reduces each kept frame to integer pixel stats. The
+    oracle replays the generator formula for frames 0, 2, ... in
+    closed-form SQL, so frame ordering, fdAT sequence handling, and the
+    per-frame filter stream are all under the hash."""
+    from riskloc_spark.operators.dedup import spread_small_scan
+    from riskloc_spark.operators.multimodal import (
+        png_pixel_stats,
+        sample_frames,
+        synthesize_apng_corpus,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synthesize_apng_corpus(spread_small_scan(d))
+    frames = sample_frames(media, every_n=2)
+    stats = png_pixel_stats(
+        frames, bytes_col="frame", passthrough=("frame_idx",)
+    )
+    return stats.select(
+        "media_id", "frame_idx", "width", "height", "pix_sum", "pix_wsum"
+    )
+
+
+def media_resize_bilinear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear resample under the hash gate (round 7): synthetic PNGs
+    -> decode -> half-pixel-center bilinear to 4x3 -> plain and
+    position-weighted MEANS of the resampled samples. The oracle
+    replays the identical float recipe (src = (dst+0.5)*scale-0.5,
+    clamped corners, nested lerp in the same operation order) on the
+    generator formula; means keep values at sample magnitude so the
+    engines' different summation orders sit ~1e-12 inside the
+    9-significant-digit compare."""
+    from riskloc_spark.operators.dedup import spread_small_scan
+    from riskloc_spark.operators.multimodal import (
+        png_bilinear_stats,
+        synthesize_png_corpus,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synthesize_png_corpus(spread_small_scan(d))
+    return png_bilinear_stats(media, width=4, height=3)
+
+
 def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting surface: whitespace tokens + BPE-ish pre-tokenizer
     pieces (functions/text.bpe_token_count) per document — the LLM
@@ -2005,6 +2057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scored slot.
         "media_decode": media_decode_q,
         "media_features": media_features_q,
+        "media_resize_bilinear": media_resize_bilinear_q,
+        "media_frames": media_frames_q,
         "robustspot_supports": robustspot_supports_q,
         "streaming_ewma": streaming_ewma_q,
         "streaming_dedup": streaming_dedup_q,
@@ -5039,6 +5093,90 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(v) AS BIGINT) AS pix_max
             FROM vals
             GROUP BY media_id, c, bit_depth, color_type
+        """,
+        "media_frames": """
+            WITH adims AS MATERIALIZED (
+              SELECT doc_id AS media_id,
+                     2 + doc_id % 3 AS nf,
+                     3 + doc_id % 4 AS w,
+                     2 + doc_id % 3 AS h
+              FROM documents
+            ),
+            kept AS (
+              SELECT media_id, w, h, unnest(range(0, nf, 2)) AS k
+              FROM adims
+            ),
+            samples AS (
+              SELECT media_id, k, w, h, unnest(range(0, w * h)) AS p
+              FROM kept
+            ),
+            vals AS (
+              SELECT media_id, k, w, h, p,
+                     (media_id * 19 + k * 257 + p * 7) % 256 AS v
+              FROM samples
+            )
+            SELECT media_id,
+                   CAST(k AS INTEGER) AS frame_idx,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(SUM(v) AS BIGINT) AS pix_sum,
+                   CAST(SUM(v * ((p % 97) + 1)) AS BIGINT) AS pix_wsum
+            FROM vals
+            GROUP BY media_id, k, w, h
+        """,
+        "media_resize_bilinear": f"""
+            WITH {_PNG_DIMS_CTE},
+            dest AS (
+              SELECT media_id, cs, w, h, c, unnest(range(0, 12 * c)) AS t
+              FROM dims
+            ),
+            geom AS (
+              SELECT media_id, cs, w, h, c, t,
+                     (t // (4 * c)) AS y,
+                     ((t % (4 * c)) // c) AS x,
+                     (t % c) AS ch
+              FROM dest
+            ),
+            coords AS (
+              SELECT *,
+                     ((y + 5e-1) * (h / 3e0) - 5e-1) AS sy,
+                     ((x + 5e-1) * (w / 4e0) - 5e-1) AS sx
+              FROM geom
+            ),
+            corners AS (
+              SELECT *,
+                     LEAST(GREATEST(CAST(floor(sy) AS BIGINT), 0), h - 1) AS y0,
+                     LEAST(GREATEST(CAST(floor(sx) AS BIGINT), 0), w - 1) AS x0
+              FROM coords
+            ),
+            corners2 AS (
+              SELECT *,
+                     LEAST(y0 + 1, h - 1) AS y1,
+                     LEAST(x0 + 1, w - 1) AS x1,
+                     LEAST(GREATEST(sy - y0, 0e0), 1e0) AS wy,
+                     LEAST(GREATEST(sx - x0, 0e0), 1e0) AS wx
+              FROM corners
+            ),
+            vals AS (
+              SELECT media_id, c, t, wy, wx,
+                     {_png_value_sql("media_id", "cs", "((y0 * w + x0) * c + ch)")} AS v00,
+                     {_png_value_sql("media_id", "cs", "((y0 * w + x1) * c + ch)")} AS v01,
+                     {_png_value_sql("media_id", "cs", "((y1 * w + x0) * c + ch)")} AS v10,
+                     {_png_value_sql("media_id", "cs", "((y1 * w + x1) * c + ch)")} AS v11
+              FROM corners2
+            ),
+            px AS (
+              SELECT media_id, c, t,
+                     (v00 * (1e0 - wx) + v01 * wx) * (1e0 - wy)
+                     + (v10 * (1e0 - wx) + v11 * wx) * wy AS val
+              FROM vals
+            )
+            SELECT media_id,
+                   CAST(12 * c AS INTEGER) AS n_samples,
+                   AVG(val) AS b_mean,
+                   SUM(val * ((t % 89) + 1)) / SUM((t % 89) + 1) AS b_wmean
+            FROM px
+            GROUP BY media_id, c
         """,
         # riskloc_rca / autoroot_rca / hotspot_rca / squeeze_rca /
         # robustspot_rca: iterative driver-orchestrated searches;

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "dedup_groups",
     "ngram_jaccard",
     "media_decode",
+    "media_frames",
     "doc_fingerprints",
     # embedding_near_dup_exact is excluded: the deliberate O(n^2)
     # all-pairs oracle baseline (~24s at sf0.1) — the headline
@@ -93,6 +94,7 @@ BENCH_QUERIES = [
     "q_customers_without_orders",
     "events_rollup",
     "media_features",
+    "media_resize_bilinear",
     "adtributor_elements_derived",
     "robustspot_ca",
 ]
@@ -204,14 +206,151 @@ def scale_block(spark) -> dict:
             found[name] = label in root_cause_postprocessing(causes, name)
         except Exception as e:  # one operator failing must not lose the
             errors[name] = f"{type(e).__name__}: {e}"[:200]  # whole bench
-    df.unpersist()
     out = {"leaves": n_leaves, "label": label, "sec": times, "found": found}
+    df.unpersist()
     try:
         out["dedup"] = _dedup_scale(spark)
     except Exception as e:
         out["dedup"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    # second rung (SPARK_GRAFT_SCALE2=0 skips): ~5.4M leaves for the two
+    # fastest searches + a 510k-doc dedup — the scaling CURVE, not just
+    # one point (562k -> 5.4M showed ~2.2x riskloc / ~2.1x autoroot for
+    # 9.6x the data; dedup ~5x for 10x the docs)
+    if os.environ.get("SPARK_GRAFT_SCALE2", "1") != "0":
+        try:
+            out["rung2"] = _rca_scale2(spark)
+        except Exception as e:
+            out["rung2"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        try:
+            out["dedup2"] = _dedup_scale(spark, n_base=500_000)
+        except Exception as e:
+            out["dedup2"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     if errors:
         out["errors"] = errors
+    return out
+
+
+def _rca_scale2(spark) -> dict:
+    """Second scale rung: ~5.4M leaves (60x50x45x40), the two fastest
+    searches. One timed run each with found-cause flags."""
+    from riskloc_spark.evaluation import root_cause_postprocessing
+    from riskloc_spark.generator import generate_rca_instance
+    from riskloc_spark.operators.autoroot import autoroot
+    from riskloc_spark.operators.riskloc import riskloc
+
+    dims = {"a": 60, "b": 50, "c": 45, "d": 40}  # 5,400,000 leaves
+    df, label, _ = generate_rca_instance(
+        spark,
+        dims,
+        seed=13,
+        zero_rate=(0.0, 0.0),
+        noise_level=(0.0, 0.05),
+        anomaly_severity=(0.7, 0.9),
+        num_anomaly=(1, 1),
+        num_anomaly_elements=(1, 1),
+    )
+    df = df.persist()
+    n_leaves = df.count()
+    attrs = list(dims)
+    times: dict[str, float] = {}
+    found: dict[str, bool] = {}
+    for name, fn in [
+        ("riskloc", lambda: riskloc(df, attrs, risk_threshold=0.3)),
+        ("autoroot", lambda: autoroot(df, attrs)),
+    ]:
+        t0 = time.perf_counter()
+        causes = fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+        found[name] = label in root_cause_postprocessing(causes, name)
+    out = {"leaves": n_leaves, "label": label, "sec": times, "found": found}
+    # bucketed-writer replay on the 5.4M-leaf frame — the rung where the
+    # shuffle is big enough that paying it once at write shows up in
+    # wall-clock (at 562k the exchange is visible only in the plan)
+    try:
+        out["writers"] = _writers_scale(spark, df)
+    except Exception as e:
+        out["writers"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    df.unpersist()
+    return out
+
+
+def _writers_scale(spark, leaves) -> dict:
+    """Pay-the-shuffle-once, measured: write the leaf frame as a
+    bucketed table AND as plain parquet, then time the repeated
+    equi-join + group-agg replay (the shape a feature pipeline runs
+    daily) on each layout with broadcast disabled. The bucketed join
+    plan carries no exchange of its own (only the final one-row agg
+    exchanges) — bucket i of both sides joins straight off disk; plain
+    parquet pays the two join shuffles on every replay (1.14s vs 1.99s
+    at 5.4M leaves on local[32]; at 100 TB over a network fabric the
+    gap is the job)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.sources.writers import read_bucketed, write_bucketed
+
+    attr_cols = [c for c in leaves.columns if c not in ("real", "predict")]
+    keyed = leaves.select(
+        F.concat_ws("|", *attr_cols).alias("leaf_key"), "real", "predict"
+    )
+    base = tempfile.mkdtemp(prefix="riskloc_bench_writers_")
+    out: dict = {}
+    t0 = time.perf_counter()
+    write_bucketed(
+        keyed, "bench_leaves_bucketed", "leaf_key", 32, path=base + "/bucketed"
+    )
+    out["write_bucketed_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    keyed.write.mode("overwrite").parquet(base + "/plain")
+    out["write_plain_sec"] = round(time.perf_counter() - t0, 3)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def replay(frame):
+            right = frame.select("leaf_key", F.col("real").alias("real2"))
+            return (
+                frame.join(right, "leaf_key")
+                .groupBy()
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("real") * F.col("real2")).alias("s"),
+                )
+            )
+
+        for label, frame_fn in [
+            (
+                "bucketed_join",
+                lambda: read_bucketed(spark, "bench_leaves_bucketed"),
+            ),
+            ("plain_join", lambda: spark.read.parquet(base + "/plain")),
+        ]:
+            plan = ""
+            best = float("inf")
+            # fresh lineage per run: re-collect()ing one DataFrame would
+            # let Spark REUSE the prior run's shuffle files (stages are
+            # skipped on identical RDD identity), which silently removes
+            # the very shuffle the plain path is supposed to pay
+            for _ in range(2):
+                q = replay(frame_fn())
+                plan = q._sc._jvm.PythonSQLUtils.explainString(
+                    q._jdf.queryExecution(), "simple"
+                )
+                t0 = time.perf_counter()
+                q.collect()
+                best = min(best, time.perf_counter() - t0)
+            out[label] = {
+                "sec": round(best, 3),
+                # the final single-partition agg always exchanges once;
+                # the join-side count is the bucketing story (1 vs 3)
+                "exchanges": plan.count("Exchange"),
+            }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bench_leaves_bucketed")
+        shutil.rmtree(base, ignore_errors=True)
     return out
 
 

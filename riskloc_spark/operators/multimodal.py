@@ -480,10 +480,20 @@ def sample_frames(
     bytes_col: str = "payload",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Frame sampling: one output row per kept frame (STUB frames: fixed
-    byte slices of the payload). The row explosion happens inside the
-    worker — output partitioning follows input partitioning, no extra
-    shuffle."""
+    """Frame sampling: one output row per kept frame. APNG payloads get
+    REAL frames — ``decode_apng_frames`` (operators/png.py) extracts and
+    unfilters each full-canvas frame, and every kept frame is re-encoded
+    as a standalone PNG (palette/bit depth preserved), so downstream
+    kernels see genuine single-frame images. Other payloads keep the
+    deterministic stub (fixed byte slices). The row explosion happens
+    inside the worker — output partitioning follows input partitioning,
+    no extra shuffle."""
+    from riskloc_spark.operators.png import (
+        decode_apng_frames,
+        decode_png,
+        encode_png,
+    )
+
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -497,6 +507,22 @@ def sample_frames(
             ids, idxs, frames = [], [], []
             for mid, b in zip(pdf[id_col], pdf[bytes_col]):
                 b = bytes(b)
+                decoded_frames = decode_apng_frames(b)
+                if decoded_frames is not None:
+                    head = decode_png(b)  # color type / depth / palette
+                    for i in range(0, len(decoded_frames), every_n):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(
+                            encode_png(
+                                decoded_frames[i]["pixels"],
+                                head["color_type"],
+                                head["bit_depth"],
+                                palette=head["palette"],
+                                filter_mode=0,
+                            )
+                        )
+                    continue
                 # None = corrupt real image (null meta): nothing to sample
                 n_frames = _decode_kernel(b)["n_frames"] or 0
                 size = max(len(b) // max(n_frames, 1), 1)
@@ -582,6 +608,48 @@ def synthesize_png_corpus(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     return df.select(id_col).mapInPandas(run, schema=out_schema)
 
 
+def _synth_apng(d: int) -> bytes:
+    """Deterministic APNG per the formula contract documented on
+    ``synthesize_apng_corpus``."""
+    from riskloc_spark.operators.png import encode_apng
+
+    nf = 2 + d % 3
+    w, h = 3 + d % 4, 2 + d % 3
+    frames = [
+        ((d * 19 + k * 257 + np.arange(w * h, dtype=np.int64) * 7) % 256)
+        .reshape(h, w)
+        for k in range(nf)
+    ]
+    return encode_apng(
+        frames, 0, 8, delay=(1 + d % 4, 10), filter_mode="cycle"
+    )
+
+
+def synthesize_apng_corpus(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(id) -> (id, payload): deterministic APNGs. Formula contract
+    (d = media id, k = frame, p = sample index row-major):
+      n_frames = 2 + d%3,  W = 3 + d%4,  H = 2 + d%3,  gray8,
+      v(k, p) = (d*19 + k*257 + p*7) % 256,  per-frame delay (1+d%4)/10,
+    encoded with CYCLING row filters per frame."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [_synth_apng(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=out_schema)
+
+
 _PNG_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -627,24 +695,102 @@ def _pixel_stats_row(mid: int, decoded: dict | None) -> dict:
 
 
 def png_pixel_stats(
-    df: DataFrame, bytes_col: str = "payload", id_col: str = "media_id"
+    df: DataFrame,
+    bytes_col: str = "payload",
+    id_col: str = "media_id",
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Decode PNG payloads and reduce to integer pixel statistics
     (position-weighted checksum catches sample-order bugs). Undecodable
-    payloads surface NULL stats."""
+    payloads surface NULL stats. ``passthrough`` columns (e.g. a
+    frame index) are carried through unchanged."""
     from riskloc_spark.operators.png import decode_png
+
+    pass_fields = [df.schema[c] for c in passthrough]
+    schema = T.StructType(
+        [_PNG_STATS_SCHEMA[0], *pass_fields, *_PNG_STATS_SCHEMA[1:]]
+    )
+    names = [f.name for f in schema]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [
-                _pixel_stats_row(int(mid), decode_png(bytes(b)))
-                for mid, b in zip(pdf["media_id"], pdf["payload"])
-            ]
-            yield pd.DataFrame(rows, columns=[f.name for f in _PNG_STATS_SCHEMA])
+            rows = []
+            for i, (mid, b) in enumerate(zip(pdf["media_id"], pdf["payload"])):
+                row = _pixel_stats_row(int(mid), decode_png(bytes(b)))
+                for c in passthrough:
+                    row[c] = pdf[c].iloc[i]
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=names)
+
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        *passthrough,
+        F.col(bytes_col).alias("payload"),
+    ).mapInPandas(run, schema=schema)
+
+
+_PNG_BILINEAR_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("b_mean", T.DoubleType()),
+        T.StructField("b_wmean", T.DoubleType()),
+    ]
+)
+
+
+def png_bilinear_stats(
+    df: DataFrame,
+    width: int,
+    height: int,
+    bytes_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Bilinear-resample stats per PNG payload: decode, resample to
+    (width, height) with half-pixel-center bilinear (palette expanded
+    to RGB first — index interpolation is meaningless), emit the plain
+    and position-weighted means of the resampled samples. Means (not
+    sums) keep the values at sample magnitude, so the oracle's
+    different summation order stays far inside the 9-significant-digit
+    gate compare."""
+    from riskloc_spark.operators.png import (
+        decode_png,
+        decoded_samples,
+        resize_bilinear,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_png(bytes(b))
+                if decoded is None:
+                    rows.append(
+                        {
+                            "media_id": int(mid), "n_samples": None,
+                            "b_mean": None, "b_wmean": None,
+                        }
+                    )
+                    continue
+                rs = resize_bilinear(
+                    decoded_samples(decoded), width, height
+                ).reshape(-1)
+                wts = (np.arange(rs.size) % 89) + 1
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_samples": int(rs.size),
+                        "b_mean": float(rs.mean()),
+                        "b_wmean": float((rs * wts).sum() / wts.sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _PNG_BILINEAR_SCHEMA]
+            )
 
     return df.select(
         F.col(id_col).alias("media_id"), F.col(bytes_col).alias("payload")
-    ).mapInPandas(run, schema=_PNG_STATS_SCHEMA)
+    ).mapInPandas(run, schema=_PNG_BILINEAR_SCHEMA)
 
 
 def documents_as_media(df: DataFrame) -> DataFrame:

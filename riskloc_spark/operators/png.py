@@ -90,36 +90,16 @@ def _unpack_row(row: np.ndarray, bit_depth: int, n_samples: int) -> np.ndarray:
     return (vals * weights).sum(axis=1)[:n_samples].astype(np.int64)
 
 
-def encode_png(
-    pixels: np.ndarray,
-    color_type: int,
-    bit_depth: int = 8,
-    palette: np.ndarray | None = None,
-    filter_mode: int | str = "cycle",
+def _filter_stream(
+    flat_rows: np.ndarray,
+    width: int,
+    height: int,
+    channels: int,
+    bit_depth: int,
+    filter_mode: int | str,
 ) -> bytes:
-    """Encode a pixel array as a non-interlaced PNG.
-
-    ``pixels``: (H, W) for color types 0/3, (H, W, C) otherwise; integer
-    sample values already in [0, 2^bit_depth). ``palette``: (N, 3) uint8
-    for color type 3. ``filter_mode``: an int 0-4 applied to every row,
-    or "cycle" (row y uses filter y % 5) so round trips cover all five
-    unfilter branches.
-    """
-    if bit_depth not in _VALID_DEPTHS[color_type]:
-        raise ValueError(f"bit depth {bit_depth} invalid for color type {color_type}")
-    channels = _CHANNELS[color_type]
-    pixels = np.asarray(pixels)
-    if channels == 1:
-        if pixels.ndim == 3:
-            pixels = pixels[:, :, 0]
-        height, width = pixels.shape
-        flat_rows = pixels.reshape(height, width)
-    else:
-        height, width, c = pixels.shape
-        if c != channels:
-            raise ValueError(f"expected {channels} channels, got {c}")
-        flat_rows = pixels.reshape(height, width * channels)
-
+    """Rows of samples -> the PNG filter stream (filter byte + filtered
+    bytes per scanline), ready for zlib."""
     stride = (width * channels * bit_depth + 7) // 8
     bpp = max(1, channels * bit_depth // 8)
     raw = bytearray()
@@ -156,6 +136,43 @@ def encode_png(
         raw.append(ftype)
         raw.extend(filt.tobytes())
         prev = line
+    return bytes(raw)
+
+
+def _flat_rows(pixels: np.ndarray, color_type: int) -> tuple:
+    """Pixel array -> (rows-of-samples, width, height, channels)."""
+    channels = _CHANNELS[color_type]
+    pixels = np.asarray(pixels)
+    if channels == 1:
+        if pixels.ndim == 3:
+            pixels = pixels[:, :, 0]
+        height, width = pixels.shape
+        return pixels.reshape(height, width), width, height, channels
+    height, width, c = pixels.shape
+    if c != channels:
+        raise ValueError(f"expected {channels} channels, got {c}")
+    return pixels.reshape(height, width * channels), width, height, channels
+
+
+def encode_png(
+    pixels: np.ndarray,
+    color_type: int,
+    bit_depth: int = 8,
+    palette: np.ndarray | None = None,
+    filter_mode: int | str = "cycle",
+) -> bytes:
+    """Encode a pixel array as a non-interlaced PNG.
+
+    ``pixels``: (H, W) for color types 0/3, (H, W, C) otherwise; integer
+    sample values already in [0, 2^bit_depth). ``palette``: (N, 3) uint8
+    for color type 3. ``filter_mode``: an int 0-4 applied to every row,
+    or "cycle" (row y uses filter y % 5) so round trips cover all five
+    unfilter branches.
+    """
+    if bit_depth not in _VALID_DEPTHS[color_type]:
+        raise ValueError(f"bit depth {bit_depth} invalid for color type {color_type}")
+    flat_rows, width, height, channels = _flat_rows(pixels, color_type)
+    raw = _filter_stream(flat_rows, width, height, channels, bit_depth, filter_mode)
 
     ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
     out = bytearray(_MAGIC)
@@ -222,7 +239,24 @@ def decode_png(data: bytes) -> dict | None:
     except (zlib.error, struct.error, ValueError):
         return None
 
-    channels = _CHANNELS[color_type]
+    pixels = _decode_raw(raw, width, height, bit_depth, _CHANNELS[color_type])
+    if pixels is None:
+        return None
+    if color_type == 3 and palette is not None and pixels.max() >= len(palette):
+        return None  # index out of palette range
+    return {
+        "pixels": pixels,
+        "bit_depth": int(bit_depth),
+        "color_type": int(color_type),
+        "palette": palette,
+    }
+
+
+def _decode_raw(
+    raw: bytes, width: int, height: int, bit_depth: int, channels: int
+):
+    """Decompressed filter stream -> (H, W, C) int64 sample array, or
+    None for length mismatches / invalid filter bytes."""
     stride = (width * channels * bit_depth + 7) // 8
     if len(raw) != height * (stride + 1):
         return None
@@ -262,15 +296,7 @@ def decode_png(data: bytes) -> dict | None:
     out = np.empty((height, n_samples), dtype=np.int64)
     for y in range(height):
         out[y] = _unpack_row(lines[y], bit_depth, n_samples)
-    pixels = out.reshape(height, width, channels)
-    if color_type == 3 and palette is not None and pixels.max() >= len(palette):
-        return None  # index out of palette range
-    return {
-        "pixels": pixels,
-        "bit_depth": int(bit_depth),
-        "color_type": int(color_type),
-        "palette": palette,
-    }
+    return out.reshape(height, width, channels)
 
 
 def expand_palette(pixels: np.ndarray, palette: np.ndarray) -> np.ndarray:
@@ -313,3 +339,148 @@ def resize_bilinear(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     top = arr[np.ix_(y0, x0)] * (1 - wx) + arr[np.ix_(y0, x1)] * wx
     bot = arr[np.ix_(y1, x0)] * (1 - wx) + arr[np.ix_(y1, x1)] * wx
     return top * (1 - wy) + bot * wy
+
+
+# ---------------------------------------------------------------------------
+# APNG: full-frame animations (the screen-capture / synthetic shape).
+#
+# APNG stores frame 0 in IDAT and later frames in fdAT chunks (a 4-byte
+# sequence number + IDAT-format data), each preceded by an fcTL control
+# chunk (geometry + delay + dispose/blend ops). Scope here: every frame
+# covers the full canvas at (0, 0) — sub-region frames with dispose/
+# blend composition return None (compositing semantics need an actual
+# renderer; full-frame is what the frame-sampling pipeline consumes).
+# ---------------------------------------------------------------------------
+
+
+def encode_apng(
+    frames: list,
+    color_type: int = 0,
+    bit_depth: int = 8,
+    palette: np.ndarray | None = None,
+    delay: tuple = (1, 10),
+    filter_mode: int | str = "cycle",
+) -> bytes:
+    """Encode same-size frames as an APNG (frame 0 in IDAT, the rest in
+    fdAT; one fcTL per frame; sequence numbers per spec)."""
+    if not frames:
+        raise ValueError("at least one frame required")
+    if bit_depth not in _VALID_DEPTHS[color_type]:
+        raise ValueError(f"bit depth {bit_depth} invalid for color type {color_type}")
+    first, width, height, channels = _flat_rows(frames[0], color_type)
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    out = bytearray(_MAGIC)
+    out += _chunk(b"IHDR", ihdr)
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette required for color type 3")
+        out += _chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    seq = 0
+    for k, frame in enumerate(frames):
+        rows, w, h, _ = _flat_rows(frame, color_type)
+        if (w, h) != (width, height):
+            raise ValueError("all frames must match the canvas size")
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, width, height, 0, 0, delay[0], delay[1], 0, 0
+        )
+        out += _chunk(b"fcTL", fctl)
+        seq += 1
+        data = zlib.compress(
+            _filter_stream(rows, width, height, channels, bit_depth, filter_mode), 6
+        )
+        if k == 0:
+            out += _chunk(b"IDAT", data)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + data)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_apng_frames(data: bytes) -> list | None:
+    """Decode an APNG into per-frame pixel arrays.
+
+    Returns ``[{"pixels": (H, W, C) int64, "delay_num": int,
+    "delay_den": int}, ...]`` for full-frame animations, or None when
+    the payload is not an APNG (no acTL), is not a PNG at all, uses
+    sub-region/composited frames, or is corrupt. Palette animations
+    return index planes; pass each through ``expand_palette`` with the
+    shared palette (``decode_png(data)["palette"]``) as needed."""
+    data = bytes(data)
+    if data[:8] != _MAGIC or len(data) < 33 or data[12:16] != b"IHDR":
+        return None
+    try:
+        width, height = struct.unpack(">II", data[16:24])
+        bit_depth, color_type, comp, filt, interlace = struct.unpack(
+            ">BBBBB", data[24:29]
+        )
+        if (
+            width == 0 or height == 0 or comp != 0 or filt != 0
+            or interlace != 0 or color_type not in _CHANNELS
+            or bit_depth not in _VALID_DEPTHS[color_type]
+        ):
+            return None
+        n_frames = None
+        palette = None
+        frames: list[dict] = []
+        current: dict | None = None
+        pos = 8
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos: pos + 4])
+            ctype = data[pos + 4: pos + 8]
+            payload = data[pos + 8: pos + 8 + length]
+            if len(payload) < length:
+                return None
+            if ctype == b"acTL":
+                (n_frames,) = struct.unpack(">I", payload[:4])
+            elif ctype == b"PLTE":
+                if length % 3 != 0 or length == 0:
+                    return None
+                palette = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+            elif ctype == b"fcTL":
+                if length < 26:
+                    return None
+                _seq, fw, fh, fx, fy, dnum, dden, dispose, blend = struct.unpack(
+                    ">IIIIIHHBB", payload[:26]
+                )
+                if (fw, fh, fx, fy) != (width, height, 0, 0):
+                    return None  # sub-region/composited: out of scope
+                current = {"delay_num": int(dnum), "delay_den": int(dden),
+                           "data": bytearray()}
+                frames.append(current)
+            elif ctype == b"IDAT":
+                if current is not None:  # frame 0 participates
+                    current["data"] += payload
+            elif ctype == b"fdAT":
+                if current is None or length < 4:
+                    return None
+                current["data"] += payload[4:]  # strip sequence number
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        if n_frames is None or not frames or len(frames) != n_frames:
+            return None
+        if color_type == 3 and palette is None:
+            return None
+        out = []
+        channels = _CHANNELS[color_type]
+        for fr in frames:
+            if not fr["data"]:
+                return None
+            raw = zlib.decompress(bytes(fr["data"]))
+            pixels = _decode_raw(raw, width, height, bit_depth, channels)
+            if pixels is None:
+                return None
+            if color_type == 3 and pixels.max() >= len(palette):
+                return None
+            out.append(
+                {
+                    "pixels": pixels,
+                    "delay_num": fr["delay_num"],
+                    "delay_den": fr["delay_den"],
+                }
+            )
+        return out
+    except (zlib.error, struct.error, ValueError):
+        return None

@@ -35,6 +35,7 @@ def write_bucketed(
     path: str | None = None,
     sort: bool = True,
     mode: str = "overwrite",
+    prepartition: bool = True,
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sorted) parquet
     table. ``path`` makes it an EXTERNAL table at that location;
@@ -42,8 +43,22 @@ def write_bucketed(
     should be sized so one bucket of the largest co-located join side
     fits an executor core's working memory at target scale (buckets
     are the unit of join parallelism — too few limits cores, too many
-    makes small files)."""
+    makes small files).
+
+    ``prepartition`` repartitions on the bucket columns before writing.
+    Without it, every write task emits a file for every bucket it sees
+    — T tasks x B buckets small files, each bucket a concatenation of
+    per-task sorted runs the reader cannot treat as sorted. With it,
+    ``repartition(num_buckets, cols)`` uses the same Murmur3 hash as
+    the bucket assignment, so each bucket is exactly ONE sorted file:
+    minimum file count, and the scan preserves the sort order. This IS
+    the pay-once shuffle; disable only when the input is already
+    partitioned compatibly."""
     cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    if prepartition:
+        from pyspark.sql import functions as F
+
+        df = df.repartition(num_buckets, *[F.col(c) for c in cols])
     w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *cols)
     if sort:
         w = w.sortBy(*cols)

@@ -340,3 +340,99 @@ def test_decode_never_raises_on_adversarial_bytes():
             assert out is None or isinstance(out, dict)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# APNG (round 7): full-frame animation codec + real frame sampling
+# ---------------------------------------------------------------------------
+
+def test_apng_round_trip_formats():
+    from riskloc_spark.operators.png import decode_apng_frames, encode_apng
+
+    rng = np.random.default_rng(3)
+    for ct, bd, shape, pal_n in [
+        (0, 8, (4, 5), None), (2, 8, (3, 4, 3), None),
+        (3, 8, (3, 3), 8), (0, 16, (2, 3), None), (6, 8, (2, 2, 4), None),
+    ]:
+        hi = pal_n if pal_n else (1 << bd)
+        frames = [rng.integers(0, hi, size=shape) for _ in range(3)]
+        pal = (
+            rng.integers(0, 256, size=(pal_n, 3)).astype(np.uint8)
+            if pal_n
+            else None
+        )
+        data = encode_apng(frames, ct, bd, palette=pal, delay=(2, 7))
+        out = decode_apng_frames(data)
+        assert out is not None and len(out) == 3, (ct, bd)
+        for f, o in zip(frames, out):
+            got = o["pixels"][:, :, 0] if np.ndim(f) == 2 else o["pixels"]
+            assert np.array_equal(got, f), (ct, bd)
+            assert (o["delay_num"], o["delay_den"]) == (2, 7)
+
+
+def test_apng_rejections():
+    from riskloc_spark.operators.png import decode_apng_frames, encode_apng
+
+    # plain PNG (no acTL) is not an animation
+    arr = np.arange(12).reshape(3, 4)
+    assert decode_apng_frames(encode_png(arr, 0, 8)) is None
+    assert decode_apng_frames(b"junk") is None
+    # sub-region frame -> out of scope, None (never a wrong composite)
+    good = encode_apng([arr, arr], 0, 8)
+    idx = good.find(b"fcTL")
+    bad = bytearray(good)
+    # fcTL payload: seq(4) w(4) h(4) x(4) y(4)... shrink frame width
+    struct.pack_into(">I", bad, idx + 4 + 4, 2)
+    assert decode_apng_frames(bytes(bad)) is None
+
+
+def test_apng_header_metadata_consistency():
+    """parse_image_header's APNG n_frames/duration must agree with the
+    actual frame list the pixel codec extracts."""
+    from riskloc_spark.operators.multimodal import parse_image_header
+    from riskloc_spark.operators.png import decode_apng_frames, encode_apng
+
+    frames = [np.full((2, 2), k, dtype=np.int64) for k in range(4)]
+    data = encode_apng(frames, 0, 8, delay=(3, 10))
+    meta = parse_image_header(data)
+    out = decode_apng_frames(data)
+    assert meta["n_frames"] == len(out) == 4
+    assert meta["duration_ms"] == 300 * 4
+
+
+def test_synth_apng_matches_formula():
+    from riskloc_spark.operators.multimodal import _synth_apng
+    from riskloc_spark.operators.png import decode_apng_frames
+
+    for d in range(20):
+        out = decode_apng_frames(_synth_apng(d))
+        nf, w, h = 2 + d % 3, 3 + d % 4, 2 + d % 3
+        assert len(out) == nf
+        for k, fr in enumerate(out):
+            p = np.arange(w * h, dtype=np.int64)
+            expect = ((d * 19 + k * 257 + p * 7) % 256).reshape(h, w)
+            assert np.array_equal(fr["pixels"][:, :, 0], expect), (d, k)
+            assert (fr["delay_num"], fr["delay_den"]) == (1 + d % 4, 10)
+
+
+def test_sample_frames_real_apng_path(spark):
+    """End-to-end Spark path: APNG payloads yield REAL standalone-PNG
+    frames at the sampled indices."""
+    from riskloc_spark.operators.multimodal import _synth_apng, sample_frames
+
+    rows = [(int(i), bytearray(_synth_apng(i))) for i in range(12)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = sample_frames(df, every_n=2).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for d in range(12):
+        nf, w, h = 2 + d % 3, 3 + d % 4, 2 + d % 3
+        kept = sorted(r["frame_idx"] for r in by_media[d])
+        assert kept == list(range(0, nf, 2)), d
+        for r in by_media[d]:
+            dec = decode_png(bytes(r["frame"]))
+            assert dec is not None
+            p = np.arange(w * h, dtype=np.int64)
+            expect = ((d * 19 + r["frame_idx"] * 257 + p * 7) % 256).reshape(h, w)
+            assert np.array_equal(dec["pixels"][:, :, 0], expect)
