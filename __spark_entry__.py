@@ -45,7 +45,6 @@ from riskloc_spark.operators.robustspot import (
     add_influence_degree,
     robustspot_df,
 )
-from riskloc_spark.operators.multimodal import decode_media, documents_as_media
 from riskloc_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup,

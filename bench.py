@@ -250,28 +250,38 @@ def _rca_scale2(spark) -> dict:
         num_anomaly_elements=(1, 1),
     )
     df = df.persist()
-    n_leaves = df.count()
-    attrs = list(dims)
-    times: dict[str, float] = {}
-    found: dict[str, bool] = {}
-    for name, fn in [
-        ("riskloc", lambda: riskloc(df, attrs, risk_threshold=0.3)),
-        ("autoroot", lambda: autoroot(df, attrs)),
-    ]:
-        t0 = time.perf_counter()
-        causes = fn()
-        times[name] = round(time.perf_counter() - t0, 3)
-        found[name] = label in root_cause_postprocessing(causes, name)
-    out = {"leaves": n_leaves, "label": label, "sec": times, "found": found}
-    # bucketed-writer replay on the 5.4M-leaf frame — the rung where the
-    # shuffle is big enough that paying it once at write shows up in
-    # wall-clock (at 562k the exchange is visible only in the plan)
     try:
-        out["writers"] = _writers_scale(spark, df)
-    except Exception as e:
-        out["writers"] = {"error": f"{type(e).__name__}: {e}"[:200]}
-    df.unpersist()
-    return out
+        n_leaves = df.count()
+        attrs = list(dims)
+        times: dict[str, float] = {}
+        found: dict[str, bool] = {}
+        errors: dict[str, str] = {}
+        for name, fn in [
+            ("riskloc", lambda: riskloc(df, attrs, risk_threshold=0.3)),
+            ("autoroot", lambda: autoroot(df, attrs)),
+        ]:
+            t0 = time.perf_counter()
+            try:
+                causes = fn()
+                times[name] = round(time.perf_counter() - t0, 3)
+                found[name] = label in root_cause_postprocessing(causes, name)
+            except Exception as e:
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+        out = {"leaves": n_leaves, "label": label, "sec": times, "found": found}
+        # bucketed-writer replay on the 5.4M-leaf frame — the rung where
+        # the shuffle is big enough that paying it once at write shows up
+        # in wall-clock (at 562k the exchange is visible only in the plan)
+        try:
+            out["writers"] = _writers_scale(spark, df)
+        except Exception as e:
+            out["writers"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        if errors:
+            out["errors"] = errors
+        return out
+    finally:
+        # a failure above must not leave 5.4M cached leaves pinned for
+        # the rest of the bench
+        df.unpersist()
 
 
 def _writers_scale(spark, leaves) -> dict:

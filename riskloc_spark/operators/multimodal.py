@@ -112,6 +112,12 @@ def _parse_png(data: bytes) -> dict | None:
                 den = den or 100  # spec: denominator 0 -> 1/100 s
                 delay_ms = (num * 1000) // den
             break  # first fcTL only (frame 0's delay, Pillow semantics)
+        elif ctype == b"IDAT" and seen_actl:
+            # legal APNG order acTL, IDAT, fcTL, ... (default image
+            # excluded from the animation): the first fcTL comes AFTER
+            # IDAT — keep walking (chunk skip is cheap) or the delay
+            # would silently read as 0 only in that layout
+            pass
         elif ctype in (b"IDAT", b"IEND"):
             break
         pos += 12 + length  # len + type + payload + crc
@@ -341,7 +347,7 @@ def _png_feature(samples: "np.ndarray", dim: int) -> "np.ndarray":
     h, w, c = samples.shape
     maxv = float(samples.max()) or 1.0
     out = np.zeros(dim, dtype=np.float64)
-    for ch in range(min(c, 4)):
+    for ch in range(min(c, 4, dim)):  # dim may be < channel count
         out[ch] = samples[:, :, ch].mean() / maxv
     n_bins = dim - 4
     if n_bins > 0:
@@ -488,11 +494,7 @@ def sample_frames(
     deterministic stub (fixed byte slices). The row explosion happens
     inside the worker — output partitioning follows input partitioning,
     no extra shuffle."""
-    from riskloc_spark.operators.png import (
-        decode_apng_frames,
-        decode_png,
-        encode_png,
-    )
+    from riskloc_spark.operators.png import decode_apng_frames, encode_png
 
     out_schema = T.StructType(
         [
@@ -507,18 +509,17 @@ def sample_frames(
             ids, idxs, frames = [], [], []
             for mid, b in zip(pdf[id_col], pdf[bytes_col]):
                 b = bytes(b)
-                decoded_frames = decode_apng_frames(b)
-                if decoded_frames is not None:
-                    head = decode_png(b)  # color type / depth / palette
-                    for i in range(0, len(decoded_frames), every_n):
+                anim = decode_apng_frames(b)
+                if anim is not None:
+                    for i in range(0, len(anim["frames"]), every_n):
                         ids.append(mid)
                         idxs.append(i)
                         frames.append(
                             encode_png(
-                                decoded_frames[i]["pixels"],
-                                head["color_type"],
-                                head["bit_depth"],
-                                palette=head["palette"],
+                                anim["frames"][i]["pixels"],
+                                anim["color_type"],
+                                anim["bit_depth"],
+                                palette=anim["palette"],
                                 filter_mode=0,
                             )
                         )

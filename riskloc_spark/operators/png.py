@@ -32,6 +32,27 @@ import numpy as np
 
 _MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# Decompression-bomb guard: a ~10 MB payload can declare 100000x100000
+# and inflate to tens of GB per executor task. Reject images whose
+# sample count exceeds this bound (2^26 samples = 512 MB as int64 —
+# far above any thumbnail/feature pipeline, far below an OOM).
+MAX_SAMPLES = 1 << 26
+
+
+def _inflate_exact(data: bytes, expected: int) -> bytes | None:
+    """zlib-decompress with a hard output bound: returns exactly
+    ``expected`` bytes, or None if the stream yields more, fewer, or is
+    corrupt. Never materializes more than ``expected`` + 1 bytes, so a
+    crafted high-ratio stream cannot balloon executor memory."""
+    d = zlib.decompressobj()
+    out = d.decompress(data, expected + 1)
+    if len(out) > expected:  # bomb: wants more than the header declares
+        return None
+    out += d.flush()
+    if len(out) != expected:
+        return None
+    return out
+
 # color type -> samples per pixel
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
@@ -213,6 +234,7 @@ def decode_png(data: bytes) -> dict | None:
             or interlace != 0  # Adam7 out of scope
             or color_type not in _CHANNELS
             or bit_depth not in _VALID_DEPTHS[color_type]
+            or width * height * _CHANNELS[color_type] > MAX_SAMPLES
         ):
             return None
         palette = None
@@ -235,8 +257,12 @@ def decode_png(data: bytes) -> dict | None:
             pos += 12 + length
         if not idat or (color_type == 3 and palette is None):
             return None
-        raw = zlib.decompress(bytes(idat))
-    except (zlib.error, struct.error, ValueError):
+        channels = _CHANNELS[color_type]
+        stride = (width * channels * bit_depth + 7) // 8
+        raw = _inflate_exact(bytes(idat), height * (stride + 1))
+        if raw is None:
+            return None
+    except (zlib.error, struct.error, ValueError, MemoryError):
         return None
 
     pixels = _decode_raw(raw, width, height, bit_depth, _CHANNELS[color_type])
@@ -398,15 +424,16 @@ def encode_apng(
     return bytes(out)
 
 
-def decode_apng_frames(data: bytes) -> list | None:
+def decode_apng_frames(data: bytes) -> dict | None:
     """Decode an APNG into per-frame pixel arrays.
 
-    Returns ``[{"pixels": (H, W, C) int64, "delay_num": int,
-    "delay_den": int}, ...]`` for full-frame animations, or None when
-    the payload is not an APNG (no acTL), is not a PNG at all, uses
-    sub-region/composited frames, or is corrupt. Palette animations
-    return index planes; pass each through ``expand_palette`` with the
-    shared palette (``decode_png(data)["palette"]``) as needed."""
+    Returns ``{"frames": [{"pixels": (H, W, C) int64, "delay_num": int,
+    "delay_den": int}, ...], "color_type": int, "bit_depth": int,
+    "palette": (N, 3) uint8 | None}`` for full-frame animations, or
+    None when the payload is not an APNG (no acTL), is not a PNG at
+    all, uses sub-region/composited frames, or is corrupt. Palette
+    animations return index planes; pass each through
+    ``expand_palette`` with the shared ``palette`` as needed."""
     data = bytes(data)
     if data[:8] != _MAGIC or len(data) < 33 or data[12:16] != b"IHDR":
         return None
@@ -419,6 +446,7 @@ def decode_apng_frames(data: bytes) -> list | None:
             width == 0 or height == 0 or comp != 0 or filt != 0
             or interlace != 0 or color_type not in _CHANNELS
             or bit_depth not in _VALID_DEPTHS[color_type]
+            or width * height * _CHANNELS[color_type] > MAX_SAMPLES
         ):
             return None
         n_frames = None
@@ -463,12 +491,17 @@ def decode_apng_frames(data: bytes) -> list | None:
             return None
         if color_type == 3 and palette is None:
             return None
-        out = []
         channels = _CHANNELS[color_type]
+        if n_frames * width * height * channels > MAX_SAMPLES:
+            return None  # total animation size bomb guard
+        stride = (width * channels * bit_depth + 7) // 8
+        out = []
         for fr in frames:
             if not fr["data"]:
                 return None
-            raw = zlib.decompress(bytes(fr["data"]))
+            raw = _inflate_exact(bytes(fr["data"]), height * (stride + 1))
+            if raw is None:
+                return None
             pixels = _decode_raw(raw, width, height, bit_depth, channels)
             if pixels is None:
                 return None
@@ -481,6 +514,11 @@ def decode_apng_frames(data: bytes) -> list | None:
                     "delay_den": fr["delay_den"],
                 }
             )
-        return out
-    except (zlib.error, struct.error, ValueError):
+        return {
+            "frames": out,
+            "color_type": int(color_type),
+            "bit_depth": int(bit_depth),
+            "palette": palette,
+        }
+    except (zlib.error, struct.error, ValueError, MemoryError):
         return None

@@ -362,9 +362,12 @@ def test_apng_round_trip_formats():
             else None
         )
         data = encode_apng(frames, ct, bd, palette=pal, delay=(2, 7))
-        out = decode_apng_frames(data)
-        assert out is not None and len(out) == 3, (ct, bd)
-        for f, o in zip(frames, out):
+        anim = decode_apng_frames(data)
+        assert anim is not None and len(anim["frames"]) == 3, (ct, bd)
+        assert anim["color_type"] == ct and anim["bit_depth"] == bd
+        if pal_n:
+            assert np.array_equal(anim["palette"], pal)
+        for f, o in zip(frames, anim["frames"]):
             got = o["pixels"][:, :, 0] if np.ndim(f) == 2 else o["pixels"]
             assert np.array_equal(got, f), (ct, bd)
             assert (o["delay_num"], o["delay_den"]) == (2, 7)
@@ -395,7 +398,7 @@ def test_apng_header_metadata_consistency():
     frames = [np.full((2, 2), k, dtype=np.int64) for k in range(4)]
     data = encode_apng(frames, 0, 8, delay=(3, 10))
     meta = parse_image_header(data)
-    out = decode_apng_frames(data)
+    out = decode_apng_frames(data)["frames"]
     assert meta["n_frames"] == len(out) == 4
     assert meta["duration_ms"] == 300 * 4
 
@@ -405,7 +408,7 @@ def test_synth_apng_matches_formula():
     from riskloc_spark.operators.png import decode_apng_frames
 
     for d in range(20):
-        out = decode_apng_frames(_synth_apng(d))
+        out = decode_apng_frames(_synth_apng(d))["frames"]
         nf, w, h = 2 + d % 3, 3 + d % 4, 2 + d % 3
         assert len(out) == nf
         for k, fr in enumerate(out):
@@ -436,3 +439,53 @@ def test_sample_frames_real_apng_path(spark):
             p = np.arange(w * h, dtype=np.int64)
             expect = ((d * 19 + r["frame_idx"] * 257 + p * 7) % 256).reshape(h, w)
             assert np.array_equal(dec["pixels"][:, :, 0], expect)
+
+
+def test_apng_fctl_after_idat_duration():
+    """Legal APNG chunk order acTL, IDAT, fcTL, fdAT (default image
+    excluded from the animation): the header parser must still find the
+    first fcTL's delay instead of reporting duration 0 (round-7 review
+    finding)."""
+    from riskloc_spark.operators.multimodal import parse_image_header
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    actl = struct.pack(">II", 2, 0)
+    raw = bytes([0, 1, 2])  # one row, filter 0
+    fctl = struct.pack(">IIIIIHHBB", 1, 2, 1, 0, 0, 1, 5, 0, 0)  # 200 ms
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"acTL", actl)
+        + _chunk(b"IDAT", _stored_idat(raw))      # default image, no fcTL
+        + _chunk(b"fcTL", fctl)                   # first animation frame
+        + _chunk(b"fdAT", struct.pack(">I", 2) + _stored_idat(raw))
+        + _chunk(b"IEND", b"")
+    )
+    meta = parse_image_header(png)
+    assert meta["n_frames"] == 2
+    assert meta["duration_ms"] == 200 * 2
+
+
+def test_decode_rejects_dimension_bombs():
+    """A small payload declaring enormous dimensions must be rejected
+    before any allocation (decompression-bomb guard), and a stream
+    producing more bytes than the header admits must not decode."""
+    from riskloc_spark.operators.png import MAX_SAMPLES, decode_png
+
+    # 100000 x 100000 gray8 header: > MAX_SAMPLES, rejected at header
+    ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 1000))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(bomb) is None
+    assert 100_000 * 100_000 > MAX_SAMPLES
+    # stream longer than the declared dims admit -> None (not a crash)
+    over = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(bytes([0, 1, 2]) * 50))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(over) is None
