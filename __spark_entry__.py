@@ -1101,6 +1101,29 @@ def media_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_gif_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode under the hash gate (round 7): deterministic
+    GIFs (formula contract on synthesize_gif_corpus — multi-frame,
+    8-color palette, odd ids INTERLACED) are LZW-encoded, shipped
+    through a binary column, decoded by the pure-Python LZW codec
+    (operators/gif.py — variable code widths verified against the
+    published sample stream, 4-pass de-interlace), and reduced to
+    per-frame integer stats over the index plane and the
+    palette-expanded RGB. The oracle replays the generator formula in
+    closed-form SQL."""
+    from riskloc_spark.operators.dedup import spread_small_scan
+    from riskloc_spark.operators.multimodal import (
+        gif_frame_stats,
+        synthesize_gif_corpus,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synthesize_gif_corpus(spread_small_scan(d))
+    return gif_frame_stats(media)
+
+
 def media_resize_bilinear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bilinear resample under the hash gate (round 7): synthetic PNGs
     -> decode -> half-pixel-center bilinear to 4x3 -> plain and
@@ -2058,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": media_features_q,
         "media_resize_bilinear": media_resize_bilinear_q,
         "media_frames": media_frames_q,
+        "media_gif_decode": media_gif_decode_q,
         "robustspot_supports": robustspot_supports_q,
         "streaming_ewma": streaming_ewma_q,
         "streaming_dedup": streaming_dedup_q,
@@ -5092,6 +5116,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(v) AS BIGINT) AS pix_max
             FROM vals
             GROUP BY media_id, c, bit_depth, color_type
+        """,
+        "media_gif_decode": """
+            WITH gdims AS MATERIALIZED (
+              SELECT doc_id AS media_id,
+                     1 + doc_id % 3 AS nf,
+                     3 + doc_id % 5 AS w,
+                     2 + doc_id % 4 AS h
+              FROM documents
+            ),
+            kept AS (
+              SELECT media_id, w, h, unnest(range(0, nf)) AS k
+              FROM gdims
+            ),
+            samples AS (
+              SELECT media_id, k, w, h, unnest(range(0, w * h)) AS p
+              FROM kept
+            ),
+            vals AS (
+              SELECT media_id, k, w, h, p,
+                     (media_id + k * 11 + p * 3) % 8 AS idx
+              FROM samples
+            )
+            SELECT media_id,
+                   CAST(k AS INTEGER) AS frame_idx,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(SUM(idx) AS BIGINT) AS idx_sum,
+                   CAST(SUM(idx * ((p % 97) + 1)) AS BIGINT) AS idx_wsum,
+                   CAST(SUM((idx * 41 + media_id) % 256
+                            + (idx * 67 + media_id) % 256
+                            + (idx * 29 + media_id) % 256) AS BIGINT) AS rgb_sum
+            FROM vals
+            GROUP BY media_id, k, w, h
         """,
         "media_frames": """
             WITH adims AS MATERIALIZED (

@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "media_decode",
     "media_frames",
+    "media_gif_decode",
     "doc_fingerprints",
     # embedding_near_dup_exact is excluded: the deliberate O(n^2)
     # all-pairs oracle baseline (~24s at sf0.1) — the headline

@@ -378,14 +378,27 @@ def media_features(
         ]
     )
 
+    from riskloc_spark.operators.gif import decode_gif_frames, expand_gif_palette
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for b in pdf[bytes_col]:
-                decoded = decode_png(bytes(b))
+                b = bytes(b)
+                decoded = decode_png(b)
                 if decoded is not None:
                     feats.append(
                         _png_feature(decoded_samples(decoded), dim).tolist()
+                    )
+                    continue
+                gif = decode_gif_frames(b)
+                if gif is not None:
+                    # frame 0's expanded RGB — Pillow's mode-'P' frame-0
+                    # convention for animated inputs
+                    feats.append(
+                        _png_feature(
+                            expand_gif_palette(gif["frames"][0]), dim
+                        ).tolist()
                     )
                     continue
                 v = _content_hash(b).standard_normal(dim)
@@ -411,6 +424,7 @@ def resize_media(
     palette-preserving choice). Non-PNG payloads keep the deterministic
     stub (truncated/padded bytes) so mixed corpora flow. Output:
     (id, payload, meta) at target size."""
+    from riskloc_spark.operators.gif import decode_gif_frames, encode_gif
     from riskloc_spark.operators.png import (
         decode_png,
         encode_png,
@@ -462,6 +476,31 @@ def resize_media(
                         }
                     )
                     continue
+                gif = decode_gif_frames(b)
+                if gif is not None:
+                    # nearest on the frame-0 index plane (the only
+                    # palette-preserving resample), re-encoded as a
+                    # single-frame GIF with the same palette
+                    fr = gif["frames"][0]
+                    rs = resize_nearest(
+                        fr["indices"][:, :, None], width, height
+                    )[:, :, 0]
+                    pal = fr["palette"]
+                    if len(pal) < 4:  # encoder needs 2^k >= 4 entries
+                        pal = np.vstack(
+                            [pal, np.zeros((4 - len(pal), 3), np.uint8)]
+                        )
+                    payloads.append(encode_gif([rs], pal))
+                    metas.append(
+                        {
+                            "width": width,
+                            "height": height,
+                            "n_channels": 1,
+                            "duration_ms": 0,
+                            "n_frames": 1,
+                        }
+                    )
+                    continue
                 resized = (b * (target_len // max(len(b), 1) + 1))[:target_len]
                 payloads.append(resized)
                 metas.append(
@@ -494,6 +533,7 @@ def sample_frames(
     deterministic stub (fixed byte slices). The row explosion happens
     inside the worker — output partitioning follows input partitioning,
     no extra shuffle."""
+    from riskloc_spark.operators.gif import decode_gif_frames, encode_gif
     from riskloc_spark.operators.png import decode_apng_frames, encode_png
 
     out_schema = T.StructType(
@@ -523,6 +563,28 @@ def sample_frames(
                                 filter_mode=0,
                             )
                         )
+                    continue
+                gif = decode_gif_frames(b)
+                if gif is not None and all(
+                    (fr["x"], fr["y"], fr["w"], fr["h"])
+                    == (0, 0, gif["width"], gif["height"])
+                    for fr in gif["frames"]
+                ):
+                    # full-canvas animation: REAL frames, each re-encoded
+                    # as a standalone single-frame GIF. Sub-region frames
+                    # (dispose/blend composition) fall through to the
+                    # stub — emitting an uncomposited region as "the
+                    # frame" would be silently wrong pixels.
+                    for i in range(0, len(gif["frames"]), every_n):
+                        fr = gif["frames"][i]
+                        pal = fr["palette"]
+                        if len(pal) < 4:  # encoder needs 2^k >= 4
+                            pal = np.vstack(
+                                [pal, np.zeros((4 - len(pal), 3), np.uint8)]
+                            )
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(encode_gif([fr["indices"]], pal))
                     continue
                 # None = corrupt real image (null meta): nothing to sample
                 n_frames = _decode_kernel(b)["n_frames"] or 0
@@ -649,6 +711,104 @@ def synthesize_apng_corpus(df: DataFrame, id_col: str = "media_id") -> DataFrame
             )
 
     return df.select(id_col).mapInPandas(run, schema=out_schema)
+
+
+def _synth_gif(d: int) -> bytes:
+    """Deterministic GIF per the formula contract documented on
+    ``synthesize_gif_corpus``."""
+    from riskloc_spark.operators.gif import encode_gif
+
+    nf = 1 + d % 3
+    w, h = 3 + d % 5, 2 + d % 4
+    j = np.arange(8, dtype=np.int64)
+    pal = np.stack(
+        [(j * 41 + d) % 256, (j * 67 + d) % 256, (j * 29 + d) % 256], axis=1
+    ).astype(np.uint8)
+    frames = [
+        ((d + k * 11 + np.arange(w * h, dtype=np.int64) * 3) % 8).reshape(h, w)
+        for k in range(nf)
+    ]
+    return encode_gif(
+        frames, pal, delay_ms=10 * (1 + d % 5), interlace=bool(d % 2)
+    )
+
+
+def synthesize_gif_corpus(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(id) -> (id, payload): deterministic GIFs. Formula contract
+    (d = media id, k = frame, p = pixel index row-major):
+      n_frames = 1 + d%3,  W = 3 + d%5,  H = 2 + d%4,  8-color palette
+      pal[j] = ((j*41+d)%256, (j*67+d)%256, (j*29+d)%256),
+      idx(k, p) = (d + k*11 + p*3) % 8,  delay 10*(1+d%5) ms,
+      INTERLACED when d is odd (the decoder must undo the 4-pass row
+      interleave to recover the formula)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [_synth_gif(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=out_schema)
+
+
+_GIF_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("idx_sum", T.LongType()),
+        T.StructField("idx_wsum", T.LongType()),
+        T.StructField("rgb_sum", T.LongType()),
+    ]
+)
+
+
+def gif_frame_stats(
+    df: DataFrame, bytes_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Decode GIF payloads (full LZW + de-interlace) and reduce every
+    frame to integer statistics over the index plane AND the
+    palette-expanded RGB values. Undecodable payloads emit no rows."""
+    from riskloc_spark.operators.gif import decode_gif_frames, expand_gif_palette
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                gif = decode_gif_frames(bytes(b))
+                if gif is None:
+                    continue
+                for k, fr in enumerate(gif["frames"]):
+                    idx = fr["indices"].reshape(-1)
+                    wts = (np.arange(idx.size, dtype=np.int64) % 97) + 1
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": k,
+                            "width": fr["w"],
+                            "height": fr["h"],
+                            "idx_sum": int(idx.sum()),
+                            "idx_wsum": int((idx * wts).sum()),
+                            "rgb_sum": int(expand_gif_palette(fr).sum()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _GIF_STATS_SCHEMA]
+            )
+
+    return df.select(
+        F.col(id_col).alias("media_id"), F.col(bytes_col).alias("payload")
+    ).mapInPandas(run, schema=_GIF_STATS_SCHEMA)
 
 
 _PNG_STATS_SCHEMA = T.StructType(
