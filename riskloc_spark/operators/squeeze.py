@@ -619,7 +619,9 @@ def _locate_all(
         for r in top_rows:
             per_key.setdefault((r["cluster"], r["cid"]), []).append(r)
 
-        results: dict[tuple[int, int], tuple[list[dict[str, str]], float]] = {}
+        # build every cluster's locate plan (top elements + ripple
+        # prefixes) from the already-collected capped rows
+        plans: dict[int, dict[int, dict]] = {}
         for ci in range(n_cl):
             plan: dict[int, dict] = {}
             for (cluster, cid), rows_c in per_key.items():
@@ -657,94 +659,118 @@ def _locate_all(
                     "n_partitions": int(n_partitions),
                     "r_p": r_p,
                 }
-            if not plan:
-                continue
+            if plan:
+                plans[ci] = plan
 
-            # (cid, elem) -> descent rank as a BROADCAST-join lookup: the
-            # former nested WHEN-chain (up to #cuboids x cap branches) was
-            # evaluated per exploded row — codegen-hostile and O(chain) per
-            # row; a broadcast hash join is O(1) per row and the lookup is
-            # tiny (<= #cuboids x cap entries)
+        results: dict[tuple[int, int], tuple[list[dict[str, str]], float]] = {}
+        if plans:
+            # ONE fused locate job for ALL clusters (round 7; formerly one
+            # full scan of the exploded cache per cluster). The broadcast
+            # lookup carries (cluster, cid, elem) -> rank AND the per-p
+            # ripple ratios as plain columns (no WHEN-chains at all), the
+            # join is INNER so only ranked rows aggregate, and each
+            # cluster's unranked remainder — the old null-rank bucket —
+            # is recovered as universe totals minus ranked sums from one
+            # tiny conditional-agg pass over the cache. 2 scans total
+            # instead of n_clusters.
+            p_max = max(
+                info["n_partitions"]
+                for plan in plans.values()
+                for info in plan.values()
+            )
             rank_rows = [
-                (cid, info["top"][rank_i - 1]["elem"], rank_i)
+                (
+                    ci,
+                    cid,
+                    info["top"][rank_i - 1]["elem"],
+                    rank_i,
+                    *[
+                        float(info["r_p"][p - 1])
+                        if p <= info["n_partitions"]
+                        else None
+                        for p in range(1, p_max + 1)
+                    ],
+                )
+                for ci, plan in plans.items()
                 for cid, info in plan.items()
                 for rank_i in range(1, len(info["top"]) + 1)
             ]
+            rp_schema = ", ".join(f"rp_{p} double" for p in range(1, p_max + 1))
             rank_df = df.sparkSession.createDataFrame(
-                rank_rows, "cid int, elem string, __rank int"
+                rank_rows,
+                f"cluster int, cid int, elem string, __rank int, {rp_schema}",
             )
 
-            p_max = max(info["n_partitions"] for info in plan.values())
-            sub = ex.filter((F.col("__cl") == ci) | F.col("__nm")).join(
-                F.broadcast(rank_df), on=["cid", "elem"], how="left"
-            )
-            # ONE small groupBy(cid, rank) instead of 5*p_max conditional
-            # sums over every exploded row: n1/n2/b1/d2 for every p are
-            # prefix/suffix combinations of per-rank partials (rank <= p
-            # is nested in p), leaving only the ripple L1 term d1 —
-            # whose multiplier r_p genuinely varies with p — as per-p
-            # aggregation columns, and those only evaluate on ranked
-            # rows (the WHEN guard short-circuits for the null-rank
-            # majority). At 562k leaves this cut the per-cluster locate
-            # job's expression work ~4x.
-            sub = sub.withColumn(
-                "__ad", F.abs(F.col("real") - F.col("predict"))
+            uni_aggs = []
+            for c in plans:
+                selc = (F.col("__cl") == c) | F.col("__nm")
+                uni_aggs.append(F.sum(selc.cast("long")).alias(f"cnt_{c}"))
+                uni_aggs.append(
+                    F.sum(
+                        F.when(selc, F.abs(F.col("real") - F.col("predict")))
+                    ).alias(f"sad_{c}")
+                )
+            uni = {
+                r["cid"]: r for r in ex.groupBy("cid").agg(*uni_aggs).collect()
+            }
+
+            joined = (
+                ex.join(F.broadcast(rank_df), on=["cid", "elem"], how="inner")
+                .filter((F.col("__cl") == F.col("cluster")) | F.col("__nm"))
+                .withColumn("__ad", F.abs(F.col("real") - F.col("predict")))
             )
             aggs2 = [
                 F.count(F.lit(1)).alias("cnt"),
                 F.sum("__ad").alias("sad"),
             ]
             for p in range(1, p_max + 1):
-                # r_p varies per cuboid: a tiny WHEN-chain over cid literals
-                rp = F.lit(None).cast("double")
-                for cid, info in plan.items():
-                    if p <= info["n_partitions"]:
-                        rp = F.when(F.col("cid") == cid, F.lit(info["r_p"][p - 1])).otherwise(rp)
                 aggs2.append(
                     F.sum(
-                        F.when(
-                            F.col("__rank").isNotNull(),
-                            F.abs(F.col("real") - F.col("predict") * rp),
-                        )
+                        F.abs(F.col("real") - F.col("predict") * F.col(f"rp_{p}"))
                     ).alias(f"pd1_{p}")
                 )
-            part_rows = sub.groupBy("cid", "__rank").agg(*aggs2).collect()
-            parts: dict[int, dict] = {}
+            part_rows = (
+                joined.groupBy("cluster", "cid", "__rank").agg(*aggs2).collect()
+            )
+            parts: dict[tuple[int, int], dict] = {}
             for r in part_rows:
-                parts.setdefault(r["cid"], {})[r["__rank"]] = r
+                parts.setdefault((r["cluster"], r["cid"]), {})[r["__rank"]] = r
 
-            for cid, info in plan.items():
-                by_rank = parts.get(cid)
-                if by_rank is None:
-                    continue
-                ranks = sorted(k for k in by_rank if k is not None)
-                null_row = by_rank.get(None)
-                best_p, best_score = 1, float("-inf")
-                for p in range(1, info["n_partitions"] + 1):
-                    inp = [by_rank[k] for k in ranks if k <= p]
-                    outp = [by_rank[k] for k in ranks if k > p]
-                    d1 = sum(float(r[f"pd1_{p}"] or 0.0) for r in inp)
-                    n1 = float(sum(r["cnt"] for r in inp))
-                    b1 = sum(float(r["sad"] or 0.0) for r in inp)
-                    d2 = sum(float(r["sad"] or 0.0) for r in outp)
-                    n2 = float(sum(r["cnt"] for r in outp))
-                    if null_row is not None:
-                        d2 += float(null_row["sad"] or 0.0)
-                        n2 += float(null_row["cnt"])
-                    denom = _div(b1, n1) + _div(d2, n2)
-                    score = (
-                        1 - (_div(d1, n1) + _div(d2, n2)) / denom
-                        if denom
-                        else float("-inf")
+            for ci, plan in plans.items():
+                for cid, info in plan.items():
+                    by_rank = parts.get((ci, cid))
+                    if not by_rank:
+                        continue
+                    ranks = sorted(by_rank)
+                    ranked_cnt = float(sum(r["cnt"] for r in by_rank.values()))
+                    ranked_sad = sum(
+                        float(r["sad"] or 0.0) for r in by_rank.values()
                     )
-                    if score > best_score:
-                        best_p, best_score = p, score
-                cuboid = cuboids[cid]
-                rc = [
-                    dict(zip(cuboid, r["elem"].split(ELEM_SEP)))
-                    for r in info["top"][:best_p]
-                ]
-                results[(ci, cid)] = (rc, best_score)
+                    rest_cnt = float(uni[cid][f"cnt_{ci}"] or 0) - ranked_cnt
+                    rest_sad = float(uni[cid][f"sad_{ci}"] or 0.0) - ranked_sad
+                    best_p, best_score = 1, float("-inf")
+                    for p in range(1, info["n_partitions"] + 1):
+                        inp = [by_rank[k] for k in ranks if k <= p]
+                        outp = [by_rank[k] for k in ranks if k > p]
+                        d1 = sum(float(r[f"pd1_{p}"] or 0.0) for r in inp)
+                        n1 = float(sum(r["cnt"] for r in inp))
+                        b1 = sum(float(r["sad"] or 0.0) for r in inp)
+                        d2 = sum(float(r["sad"] or 0.0) for r in outp) + rest_sad
+                        n2 = float(sum(r["cnt"] for r in outp)) + rest_cnt
+                        denom = _div(b1, n1) + _div(d2, n2)
+                        score = (
+                            1 - (_div(d1, n1) + _div(d2, n2)) / denom
+                            if denom
+                            else float("-inf")
+                        )
+                        if score > best_score:
+                            best_p, best_score = p, score
+                    cuboid = cuboids[cid]
+                    rc = [
+                        dict(zip(cuboid, r["elem"].split(ELEM_SEP)))
+                        for r in info["top"][:best_p]
+                    ]
+                    results[(ci, cid)] = (rc, best_score)
     finally:
         ex.unpersist()
     return results
@@ -1047,37 +1073,42 @@ def squeeze(
                 F.lit(B - 1),
             ).alias("__b")
             keys = [b] + ([flag.alias("__sel")] if flag is not None else [])
-            rows = (
-                col_df.groupBy(*keys).agg(F.count(F.lit(1)).alias("c")).collect()
+            # toPandas: Arrow batches move the up-to-2B bucket rows ~10x
+            # cheaper than row-pickle collect() (measured 2.7s -> 0.3s on
+            # the 562k-leaf scale instance)
+            pdf_b = (
+                col_df.groupBy(*keys).agg(F.count(F.lit(1)).alias("c")).toPandas()
             )
             width = (mx - mn) / B
-            agg: dict[float, list[float]] = {}
-            for r in rows:
-                v = mn + (r["__b"] + 0.5) * width
-                t = agg.setdefault(v, [0.0, 0.0])
-                t[0] += r["c"]
-                if flag is None or r["__sel"]:
-                    t[1] += r["c"]
-            vals = np.array(sorted(agg))
+            bidx = pdf_b["__b"].to_numpy(np.int64)
+            cnt = pdf_b["c"].to_numpy(float)
+            if flag is not None:
+                selc = cnt * pdf_b["__sel"].fillna(False).to_numpy(bool)
+            else:
+                selc = cnt
+            # bucket value is monotone in __b, so unique(bidx) sorts
+            # identically to the old sorted-by-value dict
+            ub, inv = np.unique(bidx, return_inverse=True)
+            vals = mn + (ub + 0.5) * width
             return (
                 vals,
-                np.array([agg[v][0] for v in vals]),
-                np.array([agg[v][1] for v in vals]),
+                np.bincount(inv, weights=cnt),
+                np.bincount(inv, weights=selc),
             )
 
         # --- KPI filter threshold: distinct (metric, count) pairs, exact
         # when they fit in B, else B-bucket histogram -------------------
         if options.enable_filter:
-            rows = (
+            pdf_m = (
                 df.groupBy("metric")
                 .agg(F.count(F.lit(1)).alias("c"))
                 .limit(B + 1)
-                .collect()
+                .toPandas()  # single action, Arrow transfer (see _bucketed)
             )
-            if len(rows) <= B:
-                if not rows:
+            if len(pdf_m) <= B:
+                if pdf_m.empty:
                     return []
-                arr = np.array([(r[0], r[1]) for r in rows], dtype=float)
+                arr = pdf_m.to_numpy(dtype=float)
                 order = np.argsort(arr[:, 0], kind="stable")
                 m_vals, m_cnts = arr[order, 0], arr[order, 1]
             else:
@@ -1091,22 +1122,19 @@ def squeeze(
 
         # --- deviation pairs: ONE bounded job yields both the cluster
         # input (selected rows) and the full-frame weights ---------------
-        rows = (
+        pdf_d = (
             df.groupBy("deviation", sel_pred.alias("__sel"))
             .agg(F.count(F.lit(1)).alias("c"))
             .limit(B + 1)
-            .collect()
+            .toPandas()  # single action, Arrow transfer (see _bucketed)
         )
-        if len(rows) <= B:
-            agg: dict[float, list[float]] = {}
-            for r in rows:
-                t = agg.setdefault(float(r[0]), [0.0, 0.0])
-                t[0] += r[2]
-                if r[1]:
-                    t[1] += r[2]
-            values = np.array(sorted(agg))
-            tot_cnts = np.array([agg[v][0] for v in values])
-            sel_cnts = np.array([agg[v][1] for v in values])
+        if len(pdf_d) <= B:
+            dv = pdf_d["deviation"].to_numpy(float)
+            sel = pdf_d["__sel"].fillna(False).to_numpy(bool)
+            cnt = pdf_d["c"].to_numpy(float)
+            values, inv = np.unique(dv, return_inverse=True)
+            tot_cnts = np.bincount(inv, weights=cnt)
+            sel_cnts = np.bincount(inv, weights=cnt * sel)
         else:
             values, tot_cnts, sel_cnts = _bucketed(
                 df.select("deviation", "metric"), "deviation", flag=sel_pred
