@@ -1124,6 +1124,29 @@ def media_gif_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_frame_stats(media)
 
 
+def media_jpeg_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode under the hash gate (round 7):
+    deterministic constant-tile grayscale JPEGs (formula contract on
+    synthesize_jpeg_corpus; DC quantizer 13 makes the lossy round trip
+    exactly reproducible) are Huffman-encoded, shipped through a binary
+    column, decoded by the pure-numpy codec (operators/jpeg.py —
+    marker walk, in-file DHT/DQT tables, entropy decode with byte
+    unstuffing, DC prediction, dequant + IDCT), and reduced to integer
+    pixel stats. The oracle replays constant_block_round_trip(v, 13)
+    per tile in closed-form SQL."""
+    from riskloc_spark.operators.dedup import spread_small_scan
+    from riskloc_spark.operators.multimodal import (
+        jpeg_pixel_stats,
+        synthesize_jpeg_corpus,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synthesize_jpeg_corpus(spread_small_scan(d))
+    return jpeg_pixel_stats(media)
+
+
 def media_resize_bilinear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bilinear resample under the hash gate (round 7): synthetic PNGs
     -> decode -> half-pixel-center bilinear to 4x3 -> plain and
@@ -2082,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_bilinear": media_resize_bilinear_q,
         "media_frames": media_frames_q,
         "media_gif_decode": media_gif_decode_q,
+        "media_jpeg_decode": media_jpeg_decode_q,
         "robustspot_supports": robustspot_supports_q,
         "streaming_ewma": streaming_ewma_q,
         "streaming_dedup": streaming_dedup_q,
@@ -5116,6 +5140,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(v) AS BIGINT) AS pix_max
             FROM vals
             GROUP BY media_id, c, bit_depth, color_type
+        """,
+        "media_jpeg_decode": """
+            WITH jdims AS MATERIALIZED (
+              SELECT doc_id AS media_id,
+                     2 + doc_id % 3 AS tw,
+                     1 + doc_id % 2 AS th
+              FROM documents
+            ),
+            px AS (
+              SELECT media_id, tw, th,
+                     unnest(range(0, tw * th * 64)) AS s
+              FROM jdims
+            ),
+            tiles AS (
+              -- pixel s (row-major over the 8*tw x 8*th image) sits in
+              -- tile t = (y//8)*tw + x//8
+              SELECT media_id, tw, th, s,
+                     ((s // (8 * tw)) // 8) * tw + ((s % (8 * tw)) // 8) AS t
+              FROM px
+            ),
+            vals AS (
+              SELECT media_id, tw, th, s,
+                     (media_id * 23 + t * 71) % 256 AS v
+              FROM tiles
+            ),
+            dec AS (
+              -- constant_block_round_trip(v, 13): dc = floor((8v-1024)/13
+              -- + 0.5) (tie-free for odd q), sample = clip(floor((dc*13 +
+              -- 1028)/8)) — exact double arithmetic at these magnitudes
+              SELECT media_id, tw, th, s,
+                     LEAST(GREATEST(CAST(floor(
+                       (CAST(floor((8 * v - 1024) / 13e0 + 5e-1) AS BIGINT)
+                        * 13 + 1028) / 8e0
+                     ) AS BIGINT), 0), 255) AS f
+              FROM vals
+            )
+            SELECT media_id,
+                   CAST(8 * tw AS INTEGER) AS width,
+                   CAST(8 * th AS INTEGER) AS height,
+                   CAST(1 AS INTEGER) AS n_channels,
+                   CAST(SUM(f) AS BIGINT) AS pix_sum,
+                   CAST(SUM(f * ((s % 97) + 1)) AS BIGINT) AS pix_wsum,
+                   CAST(MIN(f) AS BIGINT) AS pix_min,
+                   CAST(MAX(f) AS BIGINT) AS pix_max
+            FROM dec
+            GROUP BY media_id, tw, th
         """,
         "media_gif_decode": """
             WITH gdims AS MATERIALIZED (

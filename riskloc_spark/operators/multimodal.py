@@ -379,6 +379,7 @@ def media_features(
     )
 
     from riskloc_spark.operators.gif import decode_gif_frames, expand_gif_palette
+    from riskloc_spark.operators.jpeg import decode_jpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -400,6 +401,10 @@ def media_features(
                             expand_gif_palette(gif["frames"][0]), dim
                         ).tolist()
                     )
+                    continue
+                jpg = decode_jpeg(b)
+                if jpg is not None:
+                    feats.append(_png_feature(jpg, dim).tolist())
                     continue
                 v = _content_hash(b).standard_normal(dim)
                 v = (v / np.linalg.norm(v)).astype(np.float32)
@@ -425,6 +430,7 @@ def resize_media(
     stub (truncated/padded bytes) so mixed corpora flow. Output:
     (id, payload, meta) at target size."""
     from riskloc_spark.operators.gif import decode_gif_frames, encode_gif
+    from riskloc_spark.operators.jpeg import decode_jpeg, encode_jpeg
     from riskloc_spark.operators.png import (
         decode_png,
         encode_png,
@@ -471,6 +477,28 @@ def resize_media(
                             "width": width,
                             "height": height,
                             "n_channels": _PNG_CHANNELS[decoded["color_type"]],
+                            "duration_ms": 0,
+                            "n_frames": 1,
+                        }
+                    )
+                    continue
+                jpg = decode_jpeg(b)
+                if jpg is not None:
+                    # real resample on true pixels, re-encoded as a
+                    # baseline 4:4:4 JPEG
+                    if method == "bilinear":
+                        rs = np.rint(resize_bilinear(jpg, width, height))
+                    else:
+                        rs = resize_nearest(jpg, width, height)
+                    rs = rs.astype(np.int64)
+                    payloads.append(
+                        encode_jpeg(rs[:, :, 0] if rs.shape[2] == 1 else rs)
+                    )
+                    metas.append(
+                        {
+                            "width": width,
+                            "height": height,
+                            "n_channels": jpg.shape[2],
                             "duration_ms": 0,
                             "n_frames": 1,
                         }
@@ -758,6 +786,116 @@ def synthesize_gif_corpus(df: DataFrame, id_col: str = "media_id") -> DataFrame:
             )
 
     return df.select(id_col).mapInPandas(run, schema=out_schema)
+
+
+def _gate_jpeg_qtable():
+    """Annex K luminance table with DC quantizer 13: odd q00 keeps the
+    encoder's float-DCT epsilon away from every rounding boundary (see
+    operators/jpeg.py), making constant-block round trips EXACT."""
+    from riskloc_spark.operators.jpeg import _QTABLE_LUM
+
+    q = _QTABLE_LUM.reshape(8, 8).copy()
+    q[0, 0] = 13
+    return q
+
+
+def _synth_jpeg(d: int) -> bytes:
+    """Deterministic baseline JPEG per the formula contract documented
+    on ``synthesize_jpeg_corpus``."""
+    from riskloc_spark.operators.jpeg import encode_jpeg
+
+    tw, th = 2 + d % 3, 1 + d % 2
+    t = np.arange(tw * th, dtype=np.int64)
+    tiles = ((d * 23 + t * 71) % 256).reshape(th, tw)
+    img = np.kron(tiles, np.ones((8, 8), dtype=np.int64))
+    return encode_jpeg(img, qtable=_gate_jpeg_qtable())
+
+
+def synthesize_jpeg_corpus(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(id) -> (id, payload): deterministic grayscale baseline JPEGs of
+    constant 8x8 tiles. Formula contract (d = media id, t = tile index
+    row-major):
+      tiles across = 2 + d%3,  tiles down = 1 + d%2,
+      tile value v(t) = (d*23 + t*71) % 256,
+      DC quantizer 13 (tie-free), Annex K AC quantizers, 4:4:4.
+    Constant tiles make the lossy pipeline EXACTLY reproducible: each
+    decoded tile equals constant_block_round_trip(v, 13), the closed
+    form the oracle recomputes in SQL — so the Huffman tables, byte
+    stuffing, DC prediction, zigzag, and quantization round trip are
+    all under the hash."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [_synth_jpeg(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=out_schema)
+
+
+def jpeg_pixel_stats(
+    df: DataFrame, bytes_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Decode baseline JPEG payloads (full Huffman + dequant + IDCT)
+    and reduce to integer pixel statistics. Undecodable payloads
+    surface NULL stats."""
+    from riskloc_spark.operators.jpeg import decode_jpeg
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("pix_sum", T.LongType()),
+            T.StructField("pix_wsum", T.LongType()),
+            T.StructField("pix_min", T.LongType()),
+            T.StructField("pix_max", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_jpeg(bytes(b))
+                if px is None:
+                    rows.append(
+                        {
+                            "media_id": int(mid), "width": None,
+                            "height": None, "n_channels": None,
+                            "pix_sum": None, "pix_wsum": None,
+                            "pix_min": None, "pix_max": None,
+                        }
+                    )
+                    continue
+                h, w, c = px.shape
+                flat = px.reshape(-1)
+                wts = (np.arange(flat.size, dtype=np.int64) % 97) + 1
+                rows.append(
+                    {
+                        "media_id": int(mid), "width": w, "height": h,
+                        "n_channels": c,
+                        "pix_sum": int(flat.sum()),
+                        "pix_wsum": int((flat * wts).sum()),
+                        "pix_min": int(flat.min()),
+                        "pix_max": int(flat.max()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.select(
+        F.col(id_col).alias("media_id"), F.col(bytes_col).alias("payload")
+    ).mapInPandas(run, schema=schema)
 
 
 _GIF_STATS_SCHEMA = T.StructType(

@@ -1,0 +1,234 @@
+"""The dependency-free baseline JPEG codec (operators/jpeg.py):
+exact constant-block round trips (the tie-free rounding contract the
+media_jpeg_decode oracle replays), lossy-bound checks on smooth and
+random content, 4:2:0 subsampling, restart markers via a hand-built
+file, canonical Huffman code construction pinned against the published
+Annex K values, and rejection of out-of-scope variants."""
+import struct
+
+import numpy as np
+import pytest
+
+from riskloc_spark.operators.jpeg import (
+    _AC_LUM_BITS,
+    _AC_LUM_VALS,
+    _DC_LUM_BITS,
+    _DC_LUM_VALS,
+    _QTABLE_LUM,
+    _BitWriter,
+    _encode_coef,
+    _huff_codes,
+    constant_block_round_trip,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+RNG = np.random.default_rng(17)
+GQ = _QTABLE_LUM.reshape(8, 8).copy()
+GQ[0, 0] = 13  # tie-free DC quantizer (gate contract)
+
+
+def test_constant_blocks_exact_for_every_gray_value():
+    for v in range(256):
+        dec = decode_jpeg(encode_jpeg(np.full((8, 8), v), qtable=GQ))
+        expect = constant_block_round_trip(v, 13)
+        uniq = np.unique(dec)
+        assert len(uniq) == 1 and uniq[0] == expect, (v, uniq, expect)
+
+
+def test_constant_tile_grid_matches_formula():
+    tiles = RNG.integers(0, 256, size=(3, 4))
+    img = np.kron(tiles, np.ones((8, 8), dtype=int))
+    dec = decode_jpeg(encode_jpeg(img, qtable=GQ))
+    f = np.vectorize(lambda v: constant_block_round_trip(int(v), 13))
+    expect = np.kron(f(tiles), np.ones((8, 8), dtype=int))
+    assert np.array_equal(dec[:, :, 0], expect)
+
+
+def test_smooth_gradient_small_error():
+    x = np.linspace(0, 255, 64)
+    img = np.clip(x[None, :] * 0.5 + x[:, None] * 0.5, 0, 255).astype(int)
+    dec = decode_jpeg(encode_jpeg(img))[:, :, 0]
+    assert np.abs(dec - img).max() <= 5
+
+
+def test_random_noise_round_trip_valid():
+    img = RNG.integers(0, 256, size=(24, 40))
+    dec = decode_jpeg(encode_jpeg(img))[:, :, 0]
+    assert dec.shape == img.shape
+    assert dec.min() >= 0 and dec.max() <= 255
+    # quality-50 tables crush noise; just require better than DC-only
+    mse = ((dec - img) ** 2).mean()
+    assert mse < np.var(img)
+
+
+def test_color_flat_exact_and_gradient_bounded():
+    smooth = np.zeros((16, 16, 3), dtype=int)
+    smooth[:, :, 0], smooth[:, :, 1], smooth[:, :, 2] = 200, 100, 50
+    assert np.abs(decode_jpeg(encode_jpeg(smooth)) - smooth).max() == 0
+    x = np.linspace(0, 255, 32)
+    grad = np.stack(
+        [x[None, :].repeat(32, 0), x[:, None].repeat(32, 1),
+         np.full((32, 32), 128.0)], axis=2,
+    ).astype(int)
+    assert np.abs(decode_jpeg(encode_jpeg(grad)) - grad).max() <= 10
+
+
+def test_420_subsampling():
+    smooth = np.zeros((16, 16, 3), dtype=int)
+    smooth[:, :, 0], smooth[:, :, 1], smooth[:, :, 2] = 200, 100, 50
+    dec = decode_jpeg(encode_jpeg(smooth, subsampling="420"))
+    assert dec.shape == (16, 16, 3)
+    assert np.abs(dec - smooth).max() == 0
+    img = RNG.integers(0, 256, size=(19, 27, 3))
+    assert decode_jpeg(encode_jpeg(img, subsampling="420")).shape == (19, 27, 3)
+
+
+def test_odd_dimensions():
+    img = RNG.integers(0, 256, size=(13, 21))
+    assert decode_jpeg(encode_jpeg(img)).shape == (13, 21, 1)
+
+
+def test_canonical_huffman_codes_match_published_tables():
+    """_huff_codes must realize the canonical code assignment of ITU
+    T.81 Annex C for the Annex K DC luminance spec: lengths [2,3,3,3,
+    3,3,4,5,...] and lexicographically increasing codes."""
+    codes = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    # published DC luminance codes (symbol: (code, bits))
+    expect = {
+        0: (0b00, 2), 1: (0b010, 3), 2: (0b011, 3), 3: (0b100, 3),
+        4: (0b101, 3), 5: (0b110, 3), 6: (0b1110, 4), 7: (0b11110, 5),
+        8: (0b111110, 6), 9: (0b1111110, 7), 10: (0b11111110, 8),
+        11: (0b111111110, 9),
+    }
+    assert codes == expect
+    # AC table structural invariants: 162 symbols, EOB is 4 bits (1010)
+    ac = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    assert len(ac) == 162
+    assert ac[0x00] == (0b1010, 4)  # published EOB code
+    assert ac[0xF0] == (0b11111111001, 11)  # published ZRL code
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _dc_only_stream(v: int, pred: int, q00: int) -> bytes:
+    """Hand-built entropy stream for one constant block: DC diff +
+    EOB, byte-aligned."""
+    dc_codes = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    dc = int(np.floor((8 * v - 1024) / q00 + 0.5))
+    w = _BitWriter()
+    s, bits = _encode_coef(dc - pred)
+    code, length = dc_codes[s]
+    w.write(code, length)
+    if s:
+        w.write(bits, s)
+    code, length = ac_codes[0x00]
+    w.write(code, length)
+    w.flush()
+    return bytes(w.out)
+
+
+def test_restart_markers_hand_built_file():
+    """DRI + RSTn: a 16x8 grayscale with restart_interval=1 — two
+    independently coded MCUs separated by RST0, DC predictor reset.
+    Hand-assembled, so it exercises the decoder's restart path without
+    our encoder (which never emits DRI)."""
+    zz_q = GQ.reshape(-1)[
+        np.argsort(np.argsort(np.arange(64)))  # placeholder, replaced below
+    ]
+    from riskloc_spark.operators.jpeg import _ZIGZAG
+
+    zz_q = GQ.reshape(-1)[_ZIGZAG]
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in zz_q))
+    out += _seg(
+        0xC0, bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0])
+    )
+    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS))
+    out += _seg(0xDD, struct.pack(">H", 1))  # restart every MCU
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += _dc_only_stream(100, 0, 13)
+    out += b"\xff\xd0"  # RST0
+    out += _dc_only_stream(200, 0, 13)  # predictor RESET: diff from 0
+    out += b"\xff\xd9"
+    dec = decode_jpeg(bytes(out))
+    assert dec is not None and dec.shape == (8, 16, 1)
+    assert np.all(dec[:, :8, 0] == constant_block_round_trip(100, 13))
+    assert np.all(dec[:, 8:, 0] == constant_block_round_trip(200, 13))
+
+
+def test_rejections():
+    img = RNG.integers(0, 256, size=(8, 8))
+    good = encode_jpeg(img)
+    assert decode_jpeg(b"junk") is None
+    assert decode_jpeg(good[:40]) is None
+    # progressive (SOF2) out of scope
+    prog = bytearray(good)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    assert decode_jpeg(bytes(prog)) is None
+    # 12-bit precision out of scope
+    twelve = bytearray(good)
+    twelve[i + 4] = 12
+    assert decode_jpeg(bytes(twelve)) is None
+    # dimension bomb rejected before allocation
+    bomb = bytearray(good)
+    struct.pack_into(">HH", bomb, i + 5, 60000, 60000)
+    assert decode_jpeg(bytes(bomb)) is None
+
+
+def test_odd_q_tie_free_contract():
+    with pytest.raises(ValueError):
+        constant_block_round_trip(10, 16)  # even q: ties possible
+
+
+def test_synth_jpeg_matches_formula():
+    from riskloc_spark.operators.multimodal import _synth_jpeg
+
+    for d in range(20):
+        px = decode_jpeg(_synth_jpeg(d))
+        tw, th = 2 + d % 3, 1 + d % 2
+        assert px.shape == (8 * th, 8 * tw, 1)
+        t = np.arange(tw * th)
+        v = (d * 23 + t * 71) % 256
+        f = np.vectorize(lambda x: constant_block_round_trip(int(x), 13))
+        expect = np.kron(f(v).reshape(th, tw), np.ones((8, 8), dtype=int))
+        assert np.array_equal(px[:, :, 0], expect), d
+
+
+def test_resize_media_jpeg_path(spark):
+    from riskloc_spark.operators.multimodal import _synth_jpeg, resize_media
+    from riskloc_spark.operators.png import resize_nearest
+
+    rows = [(int(i), bytearray(_synth_jpeg(i))) for i in range(8)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = resize_media(df, width=8, height=8).collect()
+    for r in out:
+        dec = decode_jpeg(bytes(r["payload"]))
+        assert dec is not None and dec.shape[:2] == (8, 8)
+        src = decode_jpeg(_synth_jpeg(r["media_id"]))
+        expect = resize_nearest(src, 8, 8)
+        # the resample mixes tile values inside one 8x8 block, so the
+        # re-encode is genuinely lossy (ringing at the step edges under
+        # the quality-50 AC quantizers): bound the MEAN error and keep
+        # a generous per-pixel cap
+        err = np.abs(dec - expect)
+        assert err.mean() <= 10 and err.max() <= 80
+
+
+def test_decode_never_raises_on_adversarial_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.binary(min_size=0, max_size=150))
+    def check(tail):
+        for payload in (tail, b"\xff\xd8" + tail):
+            out = decode_jpeg(payload)
+            assert out is None or isinstance(out, np.ndarray)
+
+    check()
