@@ -230,6 +230,8 @@ def decode_gif_frames(data: bytes) -> dict | None:
         frames = []
         delay_ms = 0
         transparent = None
+        total_samples = 0  # LZW expands ~1000x: bound the ANIMATION, not
+        # just each frame, or a small multi-frame payload decodes to GBs
         while pos < len(data):
             block = data[pos]
             if block == 0x3B:  # trailer
@@ -256,6 +258,9 @@ def decode_gif_frames(data: bytes) -> dict | None:
                 lflags = data[pos + 9]
                 pos += 10
                 if fw == 0 or fh == 0 or fw * fh > MAX_SAMPLES:
+                    return None
+                total_samples += fw * fh
+                if total_samples > MAX_SAMPLES:
                     return None
                 pal = global_pal
                 if lflags & 0x80:
@@ -311,13 +316,17 @@ def encode_gif(
     interlace: bool = False,
 ) -> bytes:
     """Encode full-canvas index-plane frames as a GIF. ``palette`` is a
-    (N, 3) uint8 global table; N must be a power of two >= 4 (GIF table
-    sizes are 2^(k+1))."""
+    (N, 3) uint8 global table; N must be a power of two (GIF table
+    sizes are 2^(k+1)); 2-entry tables are padded to 4 internally
+    (the LZW minimum code size is 2)."""
     if not frames:
         raise ValueError("at least one frame required")
+    palette = np.asarray(palette, dtype=np.uint8)
+    if len(palette) == 2:
+        palette = np.vstack([palette, np.zeros((2, 3), np.uint8)])
     n = len(palette)
     if n < 4 or n & (n - 1):
-        raise ValueError("palette size must be a power of two >= 4")
+        raise ValueError("palette size must be a power of two >= 2")
     k = n.bit_length() - 2  # 2 << k == n
     h, w = np.asarray(frames[0]).shape
     min_code_size = max(2, n.bit_length() - 1)

@@ -304,7 +304,8 @@ def decode_jpeg(data: bytes) -> np.ndarray | None:
                 )
             pos += 2 + seg_len
         return None
-    except (struct.error, IndexError, ValueError, MemoryError):
+    except (struct.error, IndexError, ValueError, MemoryError,
+            ZeroDivisionError):
         return None
 
 
@@ -312,12 +313,21 @@ def _decode_scan(
     data, pos, frame, scan, qtables, htables, restart_interval
 ) -> np.ndarray | None:
     width, height, comps = frame["w"], frame["h"], frame["comps"]
+    # EVERY component's sampling factors validated (a zero nibble on one
+    # component would pass an hmax/vmax-only check and divide by zero)
+    if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
+        return None
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    if hmax not in (1, 2) or vmax not in (1, 2):
-        return None
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    # Padded-allocation invariant: with u16 dimensions MCU rounding
+    # cannot actually push past MAX_SAMPLES when the nominal w*h*nc
+    # bound held (verified at the extreme corner in the tests) — kept
+    # as a cheap guard so a future format extension cannot silently
+    # void the bomb bound.
+    if mcux * 8 * hmax * mcuy * 8 * vmax > MAX_SAMPLES:
+        return None
     planes = []
     for c in comps:
         pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]

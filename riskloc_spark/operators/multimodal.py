@@ -513,12 +513,7 @@ def resize_media(
                     rs = resize_nearest(
                         fr["indices"][:, :, None], width, height
                     )[:, :, 0]
-                    pal = fr["palette"]
-                    if len(pal) < 4:  # encoder needs 2^k >= 4 entries
-                        pal = np.vstack(
-                            [pal, np.zeros((4 - len(pal), 3), np.uint8)]
-                        )
-                    payloads.append(encode_gif([rs], pal))
+                    payloads.append(encode_gif([rs], fr["palette"]))
                     metas.append(
                         {
                             "width": width,
@@ -596,23 +591,22 @@ def sample_frames(
                 if gif is not None and all(
                     (fr["x"], fr["y"], fr["w"], fr["h"])
                     == (0, 0, gif["width"], gif["height"])
+                    and fr["transparent_idx"] is None
                     for fr in gif["frames"]
                 ):
-                    # full-canvas animation: REAL frames, each re-encoded
-                    # as a standalone single-frame GIF. Sub-region frames
-                    # (dispose/blend composition) fall through to the
-                    # stub — emitting an uncomposited region as "the
-                    # frame" would be silently wrong pixels.
+                    # full-canvas OPAQUE animation: REAL frames, each
+                    # re-encoded as a standalone single-frame GIF.
+                    # Sub-region frames AND transparency-optimized ones
+                    # (a transparent index means "show the previous
+                    # frame's pixel" — a full-canvas frame can still
+                    # require compositing) fall through to the stub:
+                    # emitting an uncomposited plane as "the frame"
+                    # would be silently wrong pixels.
                     for i in range(0, len(gif["frames"]), every_n):
                         fr = gif["frames"][i]
-                        pal = fr["palette"]
-                        if len(pal) < 4:  # encoder needs 2^k >= 4
-                            pal = np.vstack(
-                                [pal, np.zeros((4 - len(pal), 3), np.uint8)]
-                            )
                         ids.append(mid)
                         idxs.append(i)
-                        frames.append(encode_gif([fr["indices"]], pal))
+                        frames.append(encode_gif([fr["indices"]], fr["palette"]))
                     continue
                 # None = corrupt real image (null meta): nothing to sample
                 n_frames = _decode_kernel(b)["n_frames"] or 0

@@ -241,3 +241,53 @@ def test_lzw_round_trip_property():
         assert dec is not None and np.array_equal(dec, idx)
 
     check()
+
+
+def test_total_animation_bomb_rejected():
+    """Per-frame bounds are not enough: many frames of a large canvas
+    must trip the ANIMATION-total guard (round-7 review finding)."""
+    from unittest.mock import patch
+
+    import riskloc_spark.operators.gif as G
+
+    pal = RNG.integers(0, 256, size=(4, 3)).astype(np.uint8)
+    frame = np.zeros((64, 64), dtype=int)
+    data = encode_gif([frame] * 5, pal)
+    # 5 * 4096 samples; patch the bound below that total (but above a
+    # single frame) and the decode must refuse
+    with patch.object(G, "MAX_SAMPLES", 10000):
+        assert G.decode_gif_frames(data) is None
+    assert decode_gif_frames(data) is not None  # real bound: fine
+
+
+def test_two_entry_palette_padded_by_encoder():
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    frame = RNG.integers(0, 2, size=(4, 4))
+    out = decode_gif_frames(encode_gif([frame], pal))
+    assert np.array_equal(out["frames"][0]["indices"], frame)
+
+
+def test_sample_frames_skips_transparency_optimized_gifs(spark):
+    """A full-canvas frame with a transparency index means 'show the
+    previous frame's pixel' — sample_frames must fall back to the stub
+    rather than emit the uncomposited plane as real pixels."""
+    import struct as _s
+
+    from riskloc_spark.operators.multimodal import sample_frames
+
+    pal = RNG.integers(0, 256, size=(4, 3)).astype(np.uint8)
+    frames = [RNG.integers(0, 4, size=(3, 3)) for _ in range(2)]
+    data = bytearray(encode_gif(frames, pal, delay_ms=100))
+    # set the transparency flag + index in the first GCE
+    i = data.find(bytes([0x21, 0xF9]))
+    assert i > 0
+    data[i + 3] |= 0x01  # transparent color flag
+    data[i + 6] = 2      # transparent index
+    out = decode_gif_frames(bytes(data))
+    assert out["frames"][0]["transparent_idx"] == 2
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(data)))], "media_id long, payload binary"
+    )
+    rows = sample_frames(df, every_n=1).collect()
+    # stub path: frames are byte slices of the payload, not valid GIFs
+    assert all(decode_gif_frames(bytes(r["frame"])) is None for r in rows)

@@ -232,3 +232,29 @@ def test_decode_never_raises_on_adversarial_bytes():
             assert out is None or isinstance(out, np.ndarray)
 
     check()
+
+
+def test_zero_sampling_factor_rejected():
+    """A corrupt SOF with a zero h/v nibble on one component must
+    return None, not ZeroDivisionError (round-7 review finding)."""
+    img = np.zeros((8, 8, 3), dtype=int)
+    good = encode_jpeg(img)
+    i = good.find(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[i + 12] = 0x10  # component 1: h=1, v=0
+    assert decode_jpeg(bytes(bad)) is None
+    bad[i + 12] = 0x01  # h=0, v=1
+    assert decode_jpeg(bytes(bad)) is None
+
+
+def test_padded_allocation_invariant():
+    """JPEG dimensions are u16, so MCU padding can never push the
+    padded Y plane past MAX_SAMPLES when the nominal w*h*nc bound
+    holds — verified at the extreme corner (the decoder still carries
+    a padded-size guard as a cheap invariant)."""
+    from riskloc_spark.operators.png import MAX_SAMPLES
+
+    w, h = 65535, 1024
+    assert w * h < MAX_SAMPLES
+    padded = ((w + 15) // 16 * 16) * ((h + 15) // 16 * 16)
+    assert padded <= MAX_SAMPLES
