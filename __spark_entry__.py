@@ -1124,6 +1124,34 @@ def media_gif_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_frame_stats(media)
 
 
+def media_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The header-metadata surface itself under the hash gate
+    (round 7): a mixed corpus rotates PNG / APNG / GIF payloads per id,
+    decode_media's dependency-free header parsers (IHDR + acTL/fcTL,
+    logical screen descriptor + block walk) extract width / height /
+    channels / frame count / duration, and the oracle recomputes every
+    field from the three formula contracts in closed-form SQL."""
+    from riskloc_spark.operators.dedup import spread_small_scan
+    from riskloc_spark.operators.multimodal import (
+        decode_media,
+        synthesize_mixed_media_corpus,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synthesize_mixed_media_corpus(spread_small_scan(d))
+    out = decode_media(media)
+    return out.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_channels").alias("n_channels"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
 def media_jpeg_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode under the hash gate (round 7):
     deterministic constant-tile grayscale JPEGs (formula contract on
@@ -2106,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": media_frames_q,
         "media_gif_decode": media_gif_decode_q,
         "media_jpeg_decode": media_jpeg_decode_q,
+        "media_meta": media_meta_q,
         "robustspot_supports": robustspot_supports_q,
         "streaming_ewma": streaming_ewma_q,
         "streaming_dedup": streaming_dedup_q,
@@ -5140,6 +5169,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(v) AS BIGINT) AS pix_max
             FROM vals
             GROUP BY media_id, c, bit_depth, color_type
+        """,
+        "media_meta": """
+            SELECT doc_id AS media_id,
+                   CAST(CASE doc_id % 3
+                     WHEN 0 THEN CASE doc_id % 5
+                       WHEN 0 THEN 4 + doc_id % 5 WHEN 1 THEN 3 + doc_id % 4
+                       WHEN 2 THEN 4 + doc_id % 6 WHEN 3 THEN 3 + doc_id % 3
+                       ELSE 2 + doc_id % 3 END
+                     WHEN 1 THEN 3 + doc_id % 4
+                     ELSE 3 + doc_id % 5 END AS INTEGER) AS width,
+                   CAST(CASE doc_id % 3
+                     WHEN 0 THEN CASE doc_id % 5
+                       WHEN 0 THEN 3 + doc_id % 4 WHEN 1 THEN 2 + doc_id % 3
+                       WHEN 2 THEN 3 + doc_id % 5 WHEN 3 THEN 2 + doc_id % 3
+                       ELSE 2 + doc_id % 4 END
+                     WHEN 1 THEN 2 + doc_id % 3
+                     ELSE 2 + doc_id % 4 END AS INTEGER) AS height,
+                   CAST(CASE doc_id % 3
+                     WHEN 0 THEN CASE doc_id % 5
+                       WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1
+                       WHEN 3 THEN 1 ELSE 4 END
+                     ELSE 1 END AS INTEGER) AS n_channels,
+                   CAST(CASE doc_id % 3
+                     WHEN 0 THEN 0
+                     WHEN 1 THEN ((1 + doc_id % 4) * 100)
+                                 * (2 + doc_id % 3)
+                     ELSE (10 * (1 + doc_id % 5)) * (1 + doc_id % 3)
+                   END AS BIGINT) AS duration_ms,
+                   CAST(CASE doc_id % 3
+                     WHEN 0 THEN 1
+                     WHEN 1 THEN 2 + doc_id % 3
+                     ELSE 1 + doc_id % 3 END AS INTEGER) AS n_frames
+            FROM documents
         """,
         "media_jpeg_decode": """
             WITH jdims AS MATERIALIZED (

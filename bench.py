@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "media_frames",
     "media_gif_decode",
     "media_jpeg_decode",
+    "media_meta",
     "doc_fingerprints",
     # embedding_near_dup_exact is excluded: the deliberate O(n^2)
     # all-pairs oracle baseline (~24s at sf0.1) — the headline

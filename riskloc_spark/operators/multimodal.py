@@ -782,6 +782,35 @@ def synthesize_gif_corpus(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     return df.select(id_col).mapInPandas(run, schema=out_schema)
 
 
+def synthesize_mixed_media_corpus(
+    df: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """(id) -> (id, payload): round-robin of the three animated-capable
+    synthetic corpora — PNG (d%3==0), APNG (d%3==1), GIF (d%3==2), each
+    per its own formula contract — so one frame exercises every header
+    parser in ``decode_media``."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    makers = {0: _synth_png, 1: _synth_apng, 2: _synth_gif}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [
+                        makers[int(i) % 3](int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=out_schema)
+
+
 def _gate_jpeg_qtable():
     """Annex K luminance table with DC quantizer 13: odd q00 keeps the
     encoder's float-DCT epsilon away from every rounding boundary (see
