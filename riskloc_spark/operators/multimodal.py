@@ -645,15 +645,21 @@ def sample_frames(
 def _synth_png(d: int) -> bytes:
     from riskloc_spark.operators.png import encode_png
 
+    # odd ids encode ADAM7-interlaced: the pixel VALUES (and thus the
+    # SQL twin) are unchanged, but decode must undo the 7-pass
+    # interleave — putting the interlace path under the existing hash
+    il = bool(d % 2)
     case = d % 5
     if case == 0:
         w, h = 4 + d % 5, 3 + d % 4
         v = (d * 31 + np.arange(w * h, dtype=np.int64) * 7) % 256
-        return encode_png(v.reshape(h, w), 0, 8, filter_mode="cycle")
+        return encode_png(v.reshape(h, w), 0, 8, filter_mode="cycle", interlace=il)
     if case == 1:
         w, h = 3 + d % 4, 2 + d % 3
         v = (d * 17 + np.arange(w * h * 3, dtype=np.int64) * 11) % 256
-        return encode_png(v.reshape(h, w, 3), 2, 8, filter_mode="cycle")
+        return encode_png(
+            v.reshape(h, w, 3), 2, 8, filter_mode="cycle", interlace=il
+        )
     if case == 2:
         w, h = 4 + d % 6, 3 + d % 5
         idx = (d + np.arange(w * h, dtype=np.int64)) % 16
@@ -661,14 +667,17 @@ def _synth_png(d: int) -> bytes:
         pal = np.stack(
             [(j * 37 + d) % 256, (j * 59 + d) % 256, (j * 83 + d) % 256], axis=1
         ).astype(np.uint8)
-        return encode_png(idx.reshape(h, w), 3, 8, palette=pal, filter_mode="cycle")
+        return encode_png(
+            idx.reshape(h, w), 3, 8, palette=pal, filter_mode="cycle",
+            interlace=il,
+        )
     if case == 3:
         w, h = 3 + d % 3, 2 + d % 3
         v = (d * 257 + np.arange(w * h, dtype=np.int64) * 4099) % 65536
-        return encode_png(v.reshape(h, w), 0, 16, filter_mode="cycle")
+        return encode_png(v.reshape(h, w), 0, 16, filter_mode="cycle", interlace=il)
     w, h = 2 + d % 3, 2 + d % 4
     v = (d * 13 + np.arange(w * h * 4, dtype=np.int64) * 5) % 256
-    return encode_png(v.reshape(h, w, 4), 6, 8, filter_mode="cycle")
+    return encode_png(v.reshape(h, w, 4), 6, 8, filter_mode="cycle", interlace=il)
 
 
 def synthesize_png_corpus(df: DataFrame, id_col: str = "media_id") -> DataFrame:

@@ -3,13 +3,15 @@
 This makes the multimodal pipeline's decode / resize / featurize kernels
 REAL for the dominant image format without any external codec:
 
-- ``decode_png``: full pixel decode of non-interlaced PNGs — bit depths
-  1/2/4/8/16, color types 0 (gray) / 2 (RGB) / 3 (palette) /
-  4 (gray+alpha) / 6 (RGBA), all five scanline filters (None/Sub/Up/
-  Average/Paeth, PNG spec §9). Adam7-interlaced images return None
-  (out of scope, stated — the stub path handles them upstream).
-- ``encode_png``: the inverse, with a selectable per-row filter
-  strategy so round-trip tests exercise every unfilter branch.
+- ``decode_png``: full pixel decode of PNGs — bit depths 1/2/4/8/16,
+  color types 0 (gray) / 2 (RGB) / 3 (palette) / 4 (gray+alpha) /
+  6 (RGBA), all five scanline filters (None/Sub/Up/Average/Paeth, PNG
+  spec §9), and BOTH interlace methods (none + Adam7: each of the 7
+  passes is an independently filtered sub-image scattered onto its
+  (y0::dy, x0::dx) grid).
+- ``encode_png``: the inverse (Adam7 included), with a selectable
+  per-row filter strategy so round-trip tests exercise every unfilter
+  branch.
 - ``resize_nearest`` / ``resize_bilinear``: numpy resampling kernels.
 - ``expand_palette``: palette index plane -> RGB.
 
@@ -19,8 +21,8 @@ wraparound); Average/Paeth carry an inherent byte-serial dependency and
 run as per-byte loops over the row (fine for the small-image kernels
 here; a production path would push these rows through numba/C).
 
-JPEG/GIF pixel decode stays out of scope (entropy decoding needs a
-real codec library); see operators/multimodal.py for the honest stubs.
+GIF and baseline JPEG live in sibling modules (operators/gif.py,
+operators/jpeg.py); progressive JPEG stays out of scope.
 """
 from __future__ import annotations
 
@@ -55,6 +57,25 @@ def _inflate_exact(data: bytes, expected: int) -> bytes | None:
 
 # color type -> samples per pixel
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step). Each pass
+# is an independently filtered sub-image; the IDAT stream concatenates
+# the passes' scanline streams (empty passes contribute nothing).
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _adam7_passes(width: int, height: int):
+    """Non-empty passes as (x0, y0, dx, dy, pass_w, pass_h)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
 
 _VALID_DEPTHS = {
     0: {1, 2, 4, 8, 16},
@@ -181,8 +202,9 @@ def encode_png(
     bit_depth: int = 8,
     palette: np.ndarray | None = None,
     filter_mode: int | str = "cycle",
+    interlace: bool = False,
 ) -> bytes:
-    """Encode a pixel array as a non-interlaced PNG.
+    """Encode a pixel array as a PNG (``interlace`` selects Adam7).
 
     ``pixels``: (H, W) for color types 0/3, (H, W, C) otherwise; integer
     sample values already in [0, 2^bit_depth). ``palette``: (N, 3) uint8
@@ -193,9 +215,26 @@ def encode_png(
     if bit_depth not in _VALID_DEPTHS[color_type]:
         raise ValueError(f"bit depth {bit_depth} invalid for color type {color_type}")
     flat_rows, width, height, channels = _flat_rows(pixels, color_type)
-    raw = _filter_stream(flat_rows, width, height, channels, bit_depth, filter_mode)
+    if interlace:
+        norm = np.asarray(pixels)
+        if channels == 1 and norm.ndim == 3:
+            norm = norm[:, :, 0]
+        raw = b"".join(
+            _filter_stream(
+                _flat_rows(norm[y0::dy, x0::dx], color_type)[0],
+                pw, ph, channels, bit_depth, filter_mode,
+            )
+            for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height)
+        )
+    else:
+        raw = _filter_stream(
+            flat_rows, width, height, channels, bit_depth, filter_mode
+        )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0,
+        1 if interlace else 0,
+    )
     out = bytearray(_MAGIC)
     out += _chunk(b"IHDR", ihdr)
     if color_type == 3:
@@ -231,7 +270,7 @@ def decode_png(data: bytes) -> dict | None:
             or height == 0
             or comp != 0
             or filt != 0
-            or interlace != 0  # Adam7 out of scope
+            or interlace not in (0, 1)  # 0 = none, 1 = Adam7
             or color_type not in _CHANNELS
             or bit_depth not in _VALID_DEPTHS[color_type]
             or width * height * _CHANNELS[color_type] > MAX_SAMPLES
@@ -258,14 +297,24 @@ def decode_png(data: bytes) -> dict | None:
         if not idat or (color_type == 3 and palette is None):
             return None
         channels = _CHANNELS[color_type]
-        stride = (width * channels * bit_depth + 7) // 8
-        raw = _inflate_exact(bytes(idat), height * (stride + 1))
+        if interlace:
+            expected = sum(
+                ph * (((pw * channels * bit_depth + 7) // 8) + 1)
+                for _, _, _, _, pw, ph in _adam7_passes(width, height)
+            )
+        else:
+            stride = (width * channels * bit_depth + 7) // 8
+            expected = height * (stride + 1)
+        raw = _inflate_exact(bytes(idat), expected)
         if raw is None:
             return None
     except (zlib.error, struct.error, ValueError, MemoryError):
         return None
 
-    pixels = _decode_raw(raw, width, height, bit_depth, _CHANNELS[color_type])
+    if interlace:
+        pixels = _decode_adam7(raw, width, height, bit_depth, channels)
+    else:
+        pixels = _decode_raw(raw, width, height, bit_depth, channels)
     if pixels is None:
         return None
     if color_type == 3 and palette is not None and pixels.max() >= len(palette):
@@ -276,6 +325,26 @@ def decode_png(data: bytes) -> dict | None:
         "color_type": int(color_type),
         "palette": palette,
     }
+
+
+def _decode_adam7(
+    raw: bytes, width: int, height: int, bit_depth: int, channels: int
+):
+    """Adam7: decode each pass's independently-filtered sub-image and
+    scatter it onto the (y0::dy, x0::dx) grid."""
+    out = np.zeros((height, width, channels), dtype=np.int64)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+        stride = (pw * channels * bit_depth + 7) // 8
+        n = ph * (stride + 1)
+        sub = _decode_raw(raw[pos: pos + n], pw, ph, bit_depth, channels)
+        if sub is None:
+            return None
+        pos += n
+        out[y0::dy, x0::dx] = sub
+    if pos != len(raw):
+        return None
+    return out
 
 
 def _decode_raw(
