@@ -10,18 +10,31 @@ partition parallelism, no driver collects) is real and tested.
 DECODE: real header parsing for the three dominant image formats —
 PNG (IHDR + APNG acTL/fcTL), GIF87a/89a (logical screen descriptor +
 image block walk), JPEG (SOFn scan) — implemented with ``struct`` only,
-no dependency (``parse_image_header``). For PNG the PIXEL path is real
-too: ``operators/png.py`` decodes non-interlaced PNGs (all five
-scanline filters, bit depths 1-16, gray/RGB/palette/alpha) with stdlib
-``zlib`` + numpy, so ``media_features`` and ``resize_media`` operate on
-true pixels for PNG payloads. Pillow, when present, remains the
-preferred metadata branch (full decode, all formats). Payloads that
-match no known magic fall back to a clearly-marked deterministic fake
+no dependency (``parse_image_header``). The PIXEL path is real for all
+four formats too, with zero dependencies (stdlib ``zlib`` +
+pure-Python LZW/Huffman + numpy): ``operators/png.py`` decodes every
+PNG (all five scanline filters, bit depths 1-16, all five color types,
+none + Adam7 interlace) and extracts APNG full-canvas frames;
+``operators/gif.py`` decodes GIF's complete LZW index stream
+(interlace, local/global palettes); ``operators/jpeg.py`` decodes
+baseline sequential JPEG (in-file Huffman tables, DC prediction,
+restart markers, dequant + IDCT; progressive/arithmetic/12-bit return
+None). So ``media_features``, ``resize_media`` and ``sample_frames``
+operate on true pixels for PNG/APNG/GIF/JPEG payloads. Pillow, when
+present, remains the preferred metadata branch. Payloads that match no
+known magic fall back to a clearly-marked deterministic fake
 (content-hash derived) so mixed corpora keep flowing; payloads whose
 magic matches but whose header is truncated/corrupt surface NULL
-metadata — dimensions are never fabricated for real images. JPEG/GIF
-pixel decode (entropy coding) stays honestly stubbed — no codec in the
-container.
+metadata — dimensions are never fabricated for real images.
+
+Throughput caveat (honest 100-TB envelope): the entropy stages (GIF
+LZW, JPEG Huffman, PNG Paeth/Average rows) are per-symbol Python —
+they parallelize per-partition with no driver involvement, but a
+production multimodal corpus wants a native codec behind the same
+mapInPandas plumbing. ``MAX_DECODE_BYTES`` bounds how large a payload
+the pure-Python decoders will attempt (bigger payloads take the same
+fallback as unknown formats), so one multi-megapixel image cannot
+stall an executor task for minutes.
 """
 from __future__ import annotations
 
@@ -76,15 +89,25 @@ _JPEG_SOF = {
     m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
 }
 
+# Pixel-decode payload budget for the ENTROPY-coded formats (GIF LZW,
+# JPEG Huffman) whose decoders are per-symbol pure Python: a real
+# multi-megapixel payload would hold an executor task for minutes, so
+# payloads above this take the same fallback path as unknown formats
+# (stub feature / stub resize) instead of decoding. PNG is exempt — its
+# hot path is stdlib-zlib + numpy and is separately bomb-guarded by
+# png.MAX_SAMPLES. Raise this when a native codec backs the kernels.
+MAX_DECODE_BYTES = 4 * 1024 * 1024
+
 
 def _parse_png(data: bytes) -> dict | None:
     """PNG: 8-byte magic, then chunks of (len u32 BE, type, payload,
     crc). IHDR is first: width/height u32 BE, bit depth, color type.
     APNG stores the frame count in an acTL chunk before IDAT and the
     per-frame delay in each fcTL chunk (delay_num u16 / delay_den u16
-    at payload offsets 20/22; den 0 means 1/100 s per spec) — the first
-    fcTL's delay matches Pillow's im.info['duration'], so APNG metadata
-    does not flap on whether Pillow is installed."""
+    at payload offsets 20/22; den 0 means 1/100 s per spec).
+    duration_ms SUMS the per-fcTL delays over the whole chunk walk, so
+    variable-delay APNGs report their true total duration; frames whose
+    fcTL is missing/truncated contribute 0 (never fabricated)."""
     if len(data) < 33:  # magic + IHDR chunk is 33 bytes minimum
         return None
     if data[12:16] != b"IHDR":
@@ -110,22 +133,26 @@ def _parse_png(data: bytes) -> dict | None:
                     ">HH", data[start + 20: start + 24]
                 )
                 den = den or 100  # spec: denominator 0 -> 1/100 s
-                delay_ms = (num * 1000) // den
-            break  # first fcTL only (frame 0's delay, Pillow semantics)
+                # sum EVERY frame's delay (variable-delay APNGs exist;
+                # frame-0-times-n was wrong for them)
+                delay_ms += (num * 1000) // den
         elif ctype == b"IDAT" and seen_actl:
             # legal APNG order acTL, IDAT, fcTL, ... (default image
-            # excluded from the animation): the first fcTL comes AFTER
-            # IDAT — keep walking (chunk skip is cheap) or the delay
-            # would silently read as 0 only in that layout
+            # excluded from the animation): fcTL chunks come after
+            # IDAT — keep walking (chunk skip is cheap) or the delays
+            # would silently read as 0 in that layout
             pass
-        elif ctype in (b"IDAT", b"IEND"):
+        elif ctype == b"IDAT":
+            # non-animated PNG: nothing after IDAT matters for metadata
+            break
+        elif ctype == b"IEND":
             break
         pos += 12 + length  # len + type + payload + crc
     return {
         "width": int(width),
         "height": int(height),
         "n_channels": n_channels,
-        "duration_ms": delay_ms * n_frames,
+        "duration_ms": delay_ms,
         "n_frames": n_frames,
     }
 
@@ -134,9 +161,10 @@ def _parse_gif(data: bytes) -> dict | None:
     """GIF: 6-byte magic, logical screen descriptor (width/height u16
     LE), optional global color table, then a block stream — 0x21
     extensions (sub-blocks until a 0 terminator), 0x2C image
-    descriptors (one per frame), 0x3B trailer. The first Graphic
-    Control Extension's delay (1/100 s) matches Pillow's
-    im.info['duration'] (ms)."""
+    descriptors (one per frame), 0x3B trailer. duration_ms sums EVERY
+    Graphic Control Extension's delay (1/100 s units), so
+    variable-delay animations report their true total duration; frames
+    without a GCE contribute 0."""
     if len(data) < 13:
         return None
     width, height = struct.unpack("<HH", data[6:10])
@@ -146,7 +174,7 @@ def _parse_gif(data: bytes) -> dict | None:
     pos = 13
     if flags & 0x80:  # global color table: 3 * 2^(N+1) bytes
         pos += 3 * (2 << (flags & 0x07))
-    n_frames, delay_ms, seen_gce = 0, 0, False
+    n_frames, delay_ms = 0, 0
 
     def skip_subblocks(p: int) -> int:
         while p < len(data):
@@ -165,18 +193,15 @@ def _parse_gif(data: bytes) -> dict | None:
             if pos + 2 > len(data):
                 return None
             label = data[pos + 1]
-            # FIRST GCE's delay, even when 0 — Pillow's im.info['duration']
-            # is frame 0's delay, so keying on nonzero would make the
-            # metadata depend on whether Pillow is installed
+            # sum every GCE's delay (even 0) — the per-frame delays of
+            # a variable-delay animation must all count
             if (
                 label == 0xF9
-                and not seen_gce
                 and pos + 6 <= len(data)
                 and data[pos + 2] == 4
             ):
                 (delay,) = struct.unpack("<H", data[pos + 4: pos + 6])
-                delay_ms = int(delay) * 10
-                seen_gce = True
+                delay_ms += int(delay) * 10
             pos = skip_subblocks(pos + 2)
         elif block == 0x2C:  # image descriptor: 9 bytes + local table
             if pos + 10 > len(data):
@@ -196,7 +221,7 @@ def _parse_gif(data: bytes) -> dict | None:
         "width": int(width),
         "height": int(height),
         "n_channels": 1,  # palette-based, Pillow mode 'P' = 1 band
-        "duration_ms": delay_ms * n_frames,
+        "duration_ms": delay_ms,
         "n_frames": n_frames,
     }
 
@@ -286,11 +311,24 @@ def _decode_kernel(data: bytes) -> dict:
                 n_frames = int(getattr(im, "n_frames", 1))
                 n_channels = len(im.getbands())
                 duration = int(im.info.get("duration", 0) or 0)
+                if n_frames > 1:
+                    # sum the true per-frame delays (variable-delay
+                    # animations) — mirrors the struct-parser semantics
+                    try:
+                        total = 0
+                        for k in range(n_frames):
+                            im.seek(k)
+                            total += int(im.info.get("duration", 0) or 0)
+                        duration_ms = total
+                    except (EOFError, OSError):
+                        duration_ms = duration * n_frames
+                else:
+                    duration_ms = duration
                 return {
                     "width": int(im.width),
                     "height": int(im.height),
                     "n_channels": n_channels,
-                    "duration_ms": duration * n_frames,
+                    "duration_ms": duration_ms,
                     "n_frames": n_frames,
                 }
         except UnidentifiedImageError:
@@ -363,12 +401,15 @@ def media_features(
     bytes_col: str = "payload",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Fixed-dim feature vector per payload. PNG payloads get a REAL
-    pixel-derived feature (channel means + gray histogram via the
-    dependency-free codec in operators/png.py); other payloads fall
-    back to the content-hash-seeded stub vector (honest stand-in for
-    formats whose entropy decode needs a codec library). Output:
-    (id, feature array<float>)."""
+    """Fixed-dim feature vector per payload. PNG/APNG, GIF and baseline
+    JPEG payloads get a REAL pixel-derived feature — channel means +
+    gray histogram (``_png_feature``) over the dependency-free codecs
+    in operators/png.py, gif.py and jpeg.py (GIF uses frame 0's
+    palette-expanded RGB; JPEG the full Huffman+IDCT decode). Payloads
+    matching no known magic — and GIF/JPEG payloads over
+    ``MAX_DECODE_BYTES`` (their entropy decoders are per-symbol
+    Python) — fall back to the content-hash-seeded stub vector.
+    Output: (id, feature array<float>)."""
     from riskloc_spark.operators.png import decode_png, decoded_samples
 
     out_schema = T.StructType(
@@ -392,20 +433,21 @@ def media_features(
                         _png_feature(decoded_samples(decoded), dim).tolist()
                     )
                     continue
-                gif = decode_gif_frames(b)
-                if gif is not None:
-                    # frame 0's expanded RGB — Pillow's mode-'P' frame-0
-                    # convention for animated inputs
-                    feats.append(
-                        _png_feature(
-                            expand_gif_palette(gif["frames"][0]), dim
-                        ).tolist()
-                    )
-                    continue
-                jpg = decode_jpeg(b)
-                if jpg is not None:
-                    feats.append(_png_feature(jpg, dim).tolist())
-                    continue
+                if len(b) <= MAX_DECODE_BYTES:
+                    gif = decode_gif_frames(b)
+                    if gif is not None:
+                        # frame 0's expanded RGB — Pillow's mode-'P'
+                        # frame-0 convention for animated inputs
+                        feats.append(
+                            _png_feature(
+                                expand_gif_palette(gif["frames"][0]), dim
+                            ).tolist()
+                        )
+                        continue
+                    jpg = decode_jpeg(b)
+                    if jpg is not None:
+                        feats.append(_png_feature(jpg, dim).tolist())
+                        continue
                 v = _content_hash(b).standard_normal(dim)
                 v = (v / np.linalg.norm(v)).astype(np.float32)
                 feats.append(v.tolist())
@@ -422,13 +464,15 @@ def resize_media(
     id_col: str = "media_id",
     method: str = "nearest",
 ) -> DataFrame:
-    """Resize each payload to (width, height). PNG payloads are REALLY
-    resized — decode via operators/png.py, nearest-neighbor or bilinear
-    resample (``method``), re-encode as PNG (palette images resample
-    their index plane with nearest regardless, the only
-    palette-preserving choice). Non-PNG payloads keep the deterministic
-    stub (truncated/padded bytes) so mixed corpora flow. Output:
-    (id, payload, meta) at target size."""
+    """Resize each payload to (width, height). PNG, baseline-JPEG and
+    GIF payloads are REALLY resized — decode via the dependency-free
+    codecs, nearest-neighbor or bilinear resample (``method``),
+    re-encode in the source format (palette images resample their
+    index plane with nearest regardless, the only palette-preserving
+    choice; GIF resamples frame 0). Payloads matching no known magic —
+    and GIF/JPEG payloads over ``MAX_DECODE_BYTES`` — keep the
+    deterministic stub (truncated/padded bytes) so mixed corpora flow.
+    Output: (id, payload, meta) at target size."""
     from riskloc_spark.operators.gif import decode_gif_frames, encode_gif
     from riskloc_spark.operators.jpeg import decode_jpeg, encode_jpeg
     from riskloc_spark.operators.png import (
@@ -482,7 +526,7 @@ def resize_media(
                         }
                     )
                     continue
-                jpg = decode_jpeg(b)
+                jpg = decode_jpeg(b) if len(b) <= MAX_DECODE_BYTES else None
                 if jpg is not None:
                     # real resample on true pixels, re-encoded as a
                     # baseline 4:4:4 JPEG
@@ -504,7 +548,9 @@ def resize_media(
                         }
                     )
                     continue
-                gif = decode_gif_frames(b)
+                gif = (
+                    decode_gif_frames(b) if len(b) <= MAX_DECODE_BYTES else None
+                )
                 if gif is not None:
                     # nearest on the frame-0 index plane (the only
                     # palette-preserving resample), re-encoded as a
@@ -551,11 +597,13 @@ def sample_frames(
     """Frame sampling: one output row per kept frame. APNG payloads get
     REAL frames — ``decode_apng_frames`` (operators/png.py) extracts and
     unfilters each full-canvas frame, and every kept frame is re-encoded
-    as a standalone PNG (palette/bit depth preserved), so downstream
-    kernels see genuine single-frame images. Other payloads keep the
-    deterministic stub (fixed byte slices). The row explosion happens
-    inside the worker — output partitioning follows input partitioning,
-    no extra shuffle."""
+    as a standalone PNG (palette/bit depth preserved) — and so do
+    full-canvas OPAQUE GIF animations (each kept frame re-encoded as a
+    single-frame GIF). Sub-region/transparency-optimized GIFs,
+    unknown-magic payloads, and GIF payloads over ``MAX_DECODE_BYTES``
+    keep the deterministic stub (fixed byte slices). The row explosion
+    happens inside the worker — output partitioning follows input
+    partitioning, no extra shuffle."""
     from riskloc_spark.operators.gif import decode_gif_frames, encode_gif
     from riskloc_spark.operators.png import decode_apng_frames, encode_png
 
@@ -587,7 +635,9 @@ def sample_frames(
                             )
                         )
                     continue
-                gif = decode_gif_frames(b)
+                gif = (
+                    decode_gif_frames(b) if len(b) <= MAX_DECODE_BYTES else None
+                )
                 if gif is not None and all(
                     (fr["x"], fr["y"], fr["w"], fr["h"])
                     == (0, 0, gif["width"], gif["height"])

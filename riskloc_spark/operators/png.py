@@ -252,8 +252,10 @@ def decode_png(data: bytes) -> dict | None:
     Returns ``{"pixels": (H, W, C) int64 array, "bit_depth": int,
     "color_type": int, "palette": (N, 3) uint8 | None}`` — palette
     images keep their index plane in ``pixels`` (C=1) with the palette
-    alongside, matching Pillow's mode-'P' single band. Returns None for
-    non-PNG payloads, Adam7-interlaced images, or corrupt streams.
+    alongside, matching Pillow's mode-'P' single band. Both interlace
+    methods decode (none + Adam7 — the 7-pass de-interleave in
+    ``_decode_adam7``). Returns None for non-PNG payloads or corrupt
+    streams.
     """
     data = bytes(data)
     if data[:8] != _MAGIC or len(data) < 33:

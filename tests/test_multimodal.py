@@ -1,6 +1,7 @@
 """Multimodal plumbing: schemas, mapInPandas batch shape, determinism.
-Decode kernels are stubbed (no image libs in container); the Spark-side
-contracts are what's under test."""
+Header parsing and PNG/APNG/GIF/JPEG pixel decode are REAL and
+dependency-free (operators/png.py, gif.py, jpeg.py); unknown-magic
+payloads (e.g. text-as-binary) take the deterministic stub path."""
 import pytest
 from pyspark.sql import functions as F
 
@@ -77,7 +78,13 @@ def test_decode_kernel_uses_real_pil_when_available(monkeypatch):
     class FakeImage:
         width, height = 640, 480
         n_frames = 2
+        # variable per-frame delays: duration_ms must SUM them (40+60),
+        # not multiply frame 0's by n_frames (would be 80)
+        _durations = {0: 40, 1: 60}
         info = {"duration": 40}
+
+        def seek(self, k):
+            self.info = {"duration": self._durations[k]}
 
         def getbands(self):
             return ("R", "G", "B")
@@ -104,7 +111,7 @@ def test_decode_kernel_uses_real_pil_when_available(monkeypatch):
     meta = mm._decode_kernel(b"\x89PNG" + b"\x00" * 16)
     assert meta == {
         "width": 640, "height": 480, "n_channels": 3,
-        "duration_ms": 80, "n_frames": 2,
+        "duration_ms": 100, "n_frames": 2,
     }
     # corrupt/truncated IMAGE: nulls, never fabricated dimensions
     assert mm._decode_kernel(b"TRNC" + b"\x00" * 16) == {
@@ -184,7 +191,7 @@ def test_parse_image_header_gif():
     meta = parse_image_header(_make_gif(width=3, height=5, n_frames=2))
     assert meta == {
         "width": 3, "height": 5, "n_channels": 1,
-        "duration_ms": 1000,  # 50 centisec * 10 ms * 2 frames
+        "duration_ms": 1000,  # sum of per-frame GCE delays: 2 x 500 ms
         "n_frames": 2,
     }
     assert parse_image_header(_make_gif(n_frames=4))["n_frames"] == 4
@@ -247,11 +254,10 @@ def test_decode_media_real_images_end_to_end(spark):
     assert out[4]["width"] is not None  # stub still fills plausible meta
 
 
-def test_parse_gif_first_frame_zero_delay_matches_pillow_semantics():
-    """Pillow's im.info['duration'] is frame 0's GCE delay even when it
-    is 0 — the header parser must not skip ahead to the first NONZERO
-    delay (code-review finding: metadata must not depend on whether
-    Pillow is installed)."""
+def test_parse_gif_variable_delay_sums_per_frame():
+    """duration_ms sums EVERY frame's GCE delay (variable-delay
+    animations report their true total) — frame-0-times-n was wrong for
+    them (round-8 ADVICE fix; same change in the APNG fcTL walk)."""
     from riskloc_spark.operators.multimodal import parse_image_header
 
     out = b"GIF89a" + struct.pack("<HH", 2, 2) + b"\x00\x00\x00"
@@ -262,7 +268,7 @@ def test_parse_gif_first_frame_zero_delay_matches_pillow_semantics():
     out += b"\x3b"
     meta = parse_image_header(out)
     assert meta["n_frames"] == 2
-    assert meta["duration_ms"] == 0  # frame 0's delay * n_frames = 0
+    assert meta["duration_ms"] == 70  # 0 + 7 centiseconds
 
 
 def test_parse_image_header_never_raises_on_arbitrary_bytes():

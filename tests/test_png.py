@@ -192,24 +192,33 @@ def test_decode_rejects_bad_inputs():
 
 
 def test_apng_fctl_duration():
-    """parse_image_header derives APNG duration from the first fcTL's
-    delay fraction — no Pillow-present/absent flap (ADVICE r6)."""
+    """parse_image_header SUMS the per-fcTL delay fractions over the
+    chunk walk (round-8 ADVICE: frame-0-times-n was wrong for
+    variable-delay APNGs) — still no Pillow-present/absent flap."""
     from riskloc_spark.operators.multimodal import parse_image_header
 
     ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
     actl = struct.pack(">II", 3, 0)  # 3 frames
-    fctl = struct.pack(">IIIIIHHBB", 0, 4, 4, 0, 0, 1, 4, 0, 0)  # 1/4 s
+    # VARIABLE delays: 1/4 s, 1/2 s, 3/4 s -> total 1500 ms
+    fctls = [
+        struct.pack(">IIIIIHHBB", k, 4, 4, 0, 0, 1 + k, 4, 0, 0)
+        for k in range(3)
+    ]
     png = (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr)
         + _chunk(b"acTL", actl)
-        + _chunk(b"fcTL", fctl)
+        + _chunk(b"fcTL", fctls[0])
         + _chunk(b"IDAT", _stored_idat(b""))
+        + _chunk(b"fcTL", fctls[1])
+        + _chunk(b"fdAT", b"\x00\x00\x00\x01")
+        + _chunk(b"fcTL", fctls[2])
+        + _chunk(b"fdAT", b"\x00\x00\x00\x02")
         + _chunk(b"IEND", b"")
     )
     meta = parse_image_header(png)
     assert meta["n_frames"] == 3
-    assert meta["duration_ms"] == 250 * 3
+    assert meta["duration_ms"] == 250 + 500 + 750
     # delay_den == 0 means 1/100 s per spec
     fctl0 = struct.pack(">IIIIIHHBB", 0, 4, 4, 0, 0, 7, 0, 0, 0)
     png0 = (
@@ -220,7 +229,7 @@ def test_apng_fctl_duration():
         + _chunk(b"IDAT", _stored_idat(b""))
         + _chunk(b"IEND", b"")
     )
-    assert parse_image_header(png0)["duration_ms"] == 70 * 3
+    assert parse_image_header(png0)["duration_ms"] == 70  # one fcTL seen
 
 
 def test_resize_nearest_floor_mapping():
@@ -449,8 +458,10 @@ def test_sample_frames_real_apng_path(spark):
 def test_apng_fctl_after_idat_duration():
     """Legal APNG chunk order acTL, IDAT, fcTL, fdAT (default image
     excluded from the animation): the header parser must still find the
-    first fcTL's delay instead of reporting duration 0 (round-7 review
-    finding)."""
+    fcTL delays instead of reporting duration 0 (round-7 review
+    finding); round 8: duration is the SUM of the fcTLs present (the
+    hand-built payload carries one fcTL, so 200 ms — a frame whose fcTL
+    is absent contributes 0, never a fabricated copy)."""
     from riskloc_spark.operators.multimodal import parse_image_header
 
     ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
@@ -468,7 +479,7 @@ def test_apng_fctl_after_idat_duration():
     )
     meta = parse_image_header(png)
     assert meta["n_frames"] == 2
-    assert meta["duration_ms"] == 200 * 2
+    assert meta["duration_ms"] == 200
 
 
 def test_decode_rejects_dimension_bombs():
