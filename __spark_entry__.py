@@ -886,6 +886,70 @@ def squeeze_derived_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFra
 _SIG_LABEL = "event_type=click&hr=3;event_type=view&ub=5"
 
 
+def evaluation_f1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """score_root_causes / evaluate_batch under the hash gate (round 8;
+    VERDICT r7 Missing #4): deterministic per-case predictions and
+    labels are derived from the RCA frame — per event_type, the label
+    is the top-2 leaves by |real - predict| as 'hr=H&ub=U' causes (the
+    SECOND written dim-REVERSED, exercising canonical()'s sort), and
+    the predictions are the top-3 leaves by real. The lexicographically
+    smallest event_type gets NO predictions (the empty-prediction
+    branch: tp=0, fp=0, fn=n_true) and the largest gets its first
+    prediction DUPLICATED (duplicates count as FPs via len(preds)-tp).
+    evaluate_df computes per-case TP/FP/FN/F1 plus the '__total__'
+    aggregate; the oracle replays the construction and the set algebra
+    in SQL (ref utils/evaluation.py:4-28, run.py:10-36)."""
+    from pyspark.sql import Window
+
+    from riskloc_spark.evaluation import evaluate_df
+
+    rca = rca_events(spark, sf_dir)
+    dev = F.abs(F.col("real") - F.col("predict"))
+    w_dev = Window.partitionBy("event_type").orderBy(
+        dev.desc(), F.col("hr").asc(), F.col("ub").asc()
+    )
+    w_real = Window.partitionBy("event_type").orderBy(
+        F.col("real").desc(), F.col("hr").asc(), F.col("ub").asc()
+    )
+    ranked = (
+        rca.withColumn("rn_dev", F.row_number().over(w_dev))
+        .withColumn("rn_real", F.row_number().over(w_real))
+        .filter((F.col("rn_dev") <= 2) | (F.col("rn_real") <= 3))
+    )
+    bounds = rca.agg(
+        F.min("event_type").alias("et_min"), F.max("event_type").alias("et_max")
+    )
+    cause = F.concat(
+        F.lit("hr="), F.col("hr"), F.lit("&ub="), F.col("ub")
+    )
+    cause_rev = F.concat(
+        F.lit("ub="), F.col("ub"), F.lit("&hr="), F.col("hr")
+    )
+    labels = ranked.groupBy("event_type").agg(
+        F.concat_ws(
+            ";",
+            F.max(F.when(F.col("rn_dev") == 1, cause)),
+            F.max(F.when(F.col("rn_dev") == 2, cause_rev)),
+        ).alias("label")
+    ).select(F.col("event_type").alias("case_id"), "label")
+    preds0 = (
+        ranked.filter(F.col("rn_real") <= 3)
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("event_type") != F.col("et_min"))
+        .select(
+            F.col("event_type").alias("case_id"),
+            cause.alias("pred"),
+            "rn_real",
+            "et_max",
+        )
+    )
+    dup = preds0.filter(
+        (F.col("case_id") == F.col("et_max")) & (F.col("rn_real") == 1)
+    )
+    preds = preds0.unionByName(dup).select("case_id", "pred")
+    return evaluate_df(preds, labels)
+
+
 def dataset_significance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """statistics.set_label + instance_significance under the hash gate:
     per-label leaf counts, predict amounts, |real-predict| errors, and
@@ -1049,9 +1113,11 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REAL resize path under the hash gate (round 7): synthetic PNGs
-    -> resize_media (nearest-neighbor floor mapping, RE-ENCODED as PNG)
+def media_resize_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL nearest-resize path under the hash gate (round 7; named
+    ``media_features`` until round 8 — renamed because it gates the
+    RESIZE pipeline, not the feature kernel): synthetic PNGs ->
+    resize_media (nearest-neighbor floor mapping, RE-ENCODED as PNG)
     -> second decode -> integer stats of the resized pixels. Gates the
     full encode -> decode -> resample -> re-encode -> decode chain; the
     oracle replays the floor-mapping resample (src = dst*extent_src //
@@ -1069,6 +1135,39 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_png_corpus(spread_small_scan(d))
     resized = resize_media(media, width=4, height=3, method="nearest")
     return png_pixel_stats(resized)
+
+
+def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL feature kernel under the hash gate (round 8): gray8
+    synthetic PNGs (corpus case d%5==0) -> media_features(dim=16) —
+    channel mean / maxv plus a 12-bin gray histogram (pixel fractions),
+    float32 — exploded to (media_id, i, feat). The oracle recomputes
+    the formula pixels, the mean, and np.histogram's uniform-bin fast
+    path BIT-EXACTLY in SQL: idx = trunc(g*12) with the linspace-edge
+    decrement/increment corrections (edges[i] = i*(1/12), last edge
+    pinned to 1.0), then count/(h*w), float32 cast, round 6. Pinned
+    against np.histogram for every gray8 id up to sf0.1 scale before
+    porting (round-8 finding)."""
+    from riskloc_spark.operators.dedup import spread_small_scan
+    from riskloc_spark.operators.multimodal import (
+        media_features,
+        synthesize_png_corpus,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    media = synthesize_png_corpus(spread_small_scan(d))
+    feats = media_features(media, dim=16)
+    return feats.select(
+        "media_id", F.posexplode("feature").alias("i", "f")
+    ).select(
+        "media_id",
+        F.col("i").cast("int").alias("i"),
+        F.round(F.col("f").cast("double"), 6).alias("feat"),
+    )
 
 
 def media_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2130,11 +2229,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scored slot.
         "media_decode": media_decode_q,
         "media_features": media_features_q,
+        "media_resize_nearest": media_resize_nearest_q,
         "media_resize_bilinear": media_resize_bilinear_q,
         "media_frames": media_frames_q,
         "media_gif_decode": media_gif_decode_q,
         "media_jpeg_decode": media_jpeg_decode_q,
         "media_meta": media_meta_q,
+        "evaluation_f1": evaluation_f1_q,
         "robustspot_supports": robustspot_supports_q,
         "streaming_ewma": streaming_ewma_q,
         "streaming_dedup": streaming_dedup_q,
@@ -5139,7 +5240,143 @@ def oracle_sql() -> dict[str, str]:
             FROM vals
             GROUP BY media_id, w, h, c, bit_depth, color_type
         """,
+        "evaluation_f1": f"""
+            WITH {_RCA_CTE},
+            ranked AS (
+              SELECT event_type, hr, ub,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY ABS("real" - predict) DESC, hr ASC, ub ASC)
+                       AS rn_dev,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY "real" DESC, hr ASC, ub ASC) AS rn_real
+              FROM rca
+            ),
+            bounds AS (
+              SELECT MIN(event_type) AS et_min, MAX(event_type) AS et_max
+              FROM rca
+            ),
+            labels AS (
+              SELECT event_type AS case_id,
+                     concat_ws(';',
+                       MAX(CASE WHEN rn_dev = 1
+                             THEN 'hr=' || hr || '&ub=' || ub END),
+                       MAX(CASE WHEN rn_dev = 2
+                             THEN 'ub=' || ub || '&hr=' || hr END)) AS label
+              FROM ranked GROUP BY event_type
+            ),
+            preds0 AS (
+              SELECT r.event_type AS case_id,
+                     'hr=' || hr || '&ub=' || ub AS pred, rn_real
+              FROM ranked r CROSS JOIN bounds b
+              WHERE rn_real <= 3 AND r.event_type <> b.et_min
+            ),
+            preds AS (
+              SELECT case_id, pred FROM preds0
+              UNION ALL
+              SELECT case_id, pred FROM preds0 CROSS JOIN bounds b
+              WHERE case_id = b.et_max AND rn_real = 1
+            ),
+            canon AS (
+              SELECT DISTINCT case_id,
+                     array_to_string(list_sort(string_split(c, '&')), '&')
+                       AS tl
+              FROM (SELECT case_id, unnest(string_split(label, ';')) AS c
+                    FROM labels)
+            ),
+            ntrue AS (
+              SELECT case_id, COUNT(*) AS n_true FROM canon GROUP BY case_id
+            ),
+            npred AS (
+              SELECT case_id, COUNT(*) AS n_pred FROM preds GROUP BY case_id
+            ),
+            hits AS (
+              SELECT c.case_id, COUNT(*) AS tp FROM canon c
+              WHERE EXISTS (SELECT 1 FROM preds p
+                            WHERE p.case_id = c.case_id AND p.pred = c.tl)
+              GROUP BY c.case_id
+            ),
+            per AS (
+              SELECT t.case_id,
+                     COALESCE(h.tp, 0) AS tp,
+                     GREATEST(COALESCE(np.n_pred, 0) - COALESCE(h.tp, 0),
+                              0) AS fp,
+                     t.n_true - COALESCE(h.tp, 0) AS fn
+              FROM ntrue t
+              LEFT JOIN npred np USING (case_id)
+              LEFT JOIN hits h USING (case_id)
+            ),
+            allrows AS (
+              SELECT case_id, tp, fp, fn FROM per
+              UNION ALL
+              SELECT '__total__', SUM(tp), SUM(fp), SUM(fn) FROM per
+            )
+            SELECT case_id,
+                   CAST(tp AS BIGINT) AS tp,
+                   CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn,
+                   round(CASE WHEN 2 * tp + fp + fn = 0 THEN 0e0
+                              ELSE 2e0 * tp / (2 * tp + fp + fn) END,
+                         6) + 0e0 AS f1
+            FROM allrows
+        """,
         "media_features": f"""
+            WITH {_PNG_DIMS_CTE},
+            g8 AS (SELECT media_id, w, h FROM dims WHERE cs = 0),
+            vals AS (
+              SELECT media_id, w, h,
+                     CAST((media_id * 31 + s * 7) % 256 AS DOUBLE) AS v
+              FROM (SELECT media_id, w, h,
+                           unnest(range(0, w * h)) AS s FROM g8)
+            ),
+            stats AS (
+              SELECT media_id, MAX(w) AS w, MAX(h) AS h,
+                     COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sv,
+                     CASE WHEN MAX(v) = 0 THEN 1e0 ELSE MAX(v) END AS maxv
+              FROM vals GROUP BY media_id
+            ),
+            -- np.histogram uniform fast path, bit-exact: idx=trunc(g*12),
+            -- clamp 12->11, then the linspace-edge corrections (edges[i]
+            -- = i*(1/12) for i<=11; edges[12]=1.0 is never referenced
+            -- because the increment check requires idx != 11)
+            binned AS (
+              SELECT v.media_id,
+                     CASE
+                       WHEN g < b1 * (1e0 / 12) THEN b1 - 1
+                       WHEN b1 <> 11 AND g >= (b1 + 1) * (1e0 / 12)
+                         THEN b1 + 1
+                       ELSE b1 END AS bi
+              FROM (
+                SELECT v.media_id, g,
+                       CASE WHEN b0 = 12 THEN 11 ELSE b0 END AS b1
+                FROM (
+                  SELECT v.media_id, v.v / st.maxv AS g,
+                         CAST(floor((v.v / st.maxv) * 12e0) AS BIGINT) AS b0
+                  FROM vals v JOIN stats st ON v.media_id = st.media_id
+                ) v
+              ) v
+            ),
+            hist AS (
+              SELECT media_id, bi, COUNT(*) AS cnt
+              FROM binned GROUP BY media_id, bi
+            ),
+            feat AS (
+              SELECT media_id, 0 AS i, (sv / n) / maxv AS f FROM stats
+              UNION ALL
+              SELECT media_id, z.i, 0e0 AS f
+              FROM stats CROSS JOIN (VALUES (1), (2), (3)) z(i)
+              UNION ALL
+              SELECT st.media_id, 4 + b.bi AS i,
+                     COALESCE(hi.cnt, 0) / CAST(st.n AS DOUBLE) AS f
+              FROM stats st
+              CROSS JOIN (SELECT unnest(range(0, 12)) AS bi) b
+              LEFT JOIN hist hi
+                ON hi.media_id = st.media_id AND hi.bi = b.bi
+            )
+            SELECT media_id, CAST(i AS INT) AS i,
+                   round(CAST(CAST(f AS REAL) AS DOUBLE), 6) + 0e0 AS feat
+            FROM feat
+        """,
+        "media_resize_nearest": f"""
             WITH {_PNG_DIMS_CTE},
             dest AS (
               SELECT media_id, cs, w, h, c, bit_depth, color_type,

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "autoroot_kde_fixed",
     "riskloc_layer_scores",
     "dataset_significance",
+    "evaluation_f1",
     "streaming_kpi",
     "streaming_kpi_append",
     "streaming_ewma",
@@ -100,6 +101,7 @@ BENCH_QUERIES = [
     "q_customers_without_orders",
     "events_rollup",
     "media_features",
+    "media_resize_nearest",
     "media_resize_bilinear",
     "adtributor_elements_derived",
     "robustspot_ca",

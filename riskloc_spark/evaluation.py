@@ -72,3 +72,90 @@ def evaluate_batch(
         tp, fp, fn, _ = score_root_causes(preds, label)
         TP, FP, FN = TP + tp, FP + fp, FN + fn
     return {"tp": TP, "fp": FP, "fn": FN, "f1": f1(TP, FP, FN)}
+
+
+def evaluate_df(
+    preds,
+    labels,
+    case_col: str = "case_id",
+    pred_col: str = "pred",
+    label_col: str = "label",
+    with_total: bool = True,
+):
+    """Distributed ``score_root_causes`` + ``evaluate_batch``: per-case
+    TP/FP/FN/F1 as set algebra over DataFrames (ref utils/evaluation.py:
+    4-28 + run.py's TP/FP/FN aggregation), parity-tested against the
+    driver functions.
+
+    ``labels``: one row per case — (case_col, label) with the reference
+    label grammar ';' between causes, '&' between a cause's dim=value
+    predicates (unordered; canonicalized here exactly like
+    ``canonical``). ``preds``: (case_col, pred) — one row per predicted
+    cause string, already canonical ('d=v' sorted, the form
+    ``root_cause_postprocessing`` emits), duplicates allowed and
+    counted as FPs exactly as the reference's ``len(preds) - tp`` does.
+    The label frame defines the case set (a case with no pred rows
+    scores tp=0, fp=0, fn=n_true — the reference's empty-prediction
+    branch). ``with_total`` appends a '__total__' row aggregating
+    TP/FP/FN before the F1 (the reference's dataset-level protocol).
+
+    Scale shape: labels/preds are RESULT-sized (a handful of causes per
+    case), so every join here is tiny; one explode + three small
+    groupBys, no window.
+    """
+    from pyspark.sql import functions as F
+
+    canon = (
+        labels.select(
+            case_col, F.explode(F.split(F.col(label_col), ";")).alias("c")
+        )
+        .select(
+            case_col,
+            F.array_join(F.array_sort(F.split("c", "&")), "&").alias("tl"),
+        )
+        .distinct()
+    )
+    n_true = canon.groupBy(case_col).agg(F.count(F.lit(1)).alias("n_true"))
+    n_pred = preds.groupBy(case_col).agg(F.count(F.lit(1)).alias("n_pred"))
+    # tp = true labels present in the pred list (string equality against
+    # the canonical true label; preds are NOT canonicalized — reference
+    # semantics)
+    hits = (
+        canon.join(
+            preds.select(case_col, F.col(pred_col).alias("tl")).distinct(),
+            [case_col, "tl"],
+            "left_semi",
+        )
+        .groupBy(case_col)
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    per = (
+        n_true.join(n_pred, case_col, "left")
+        .join(hits, case_col, "left")
+        .select(
+            F.col(case_col),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.greatest(
+                F.coalesce("n_pred", F.lit(0)) - F.coalesce("tp", F.lit(0)),
+                F.lit(0),
+            ).cast("long").alias("fp"),
+            (F.col("n_true") - F.coalesce("tp", F.lit(0)))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    if with_total:
+        total = per.agg(
+            F.sum("tp").alias("tp"),
+            F.sum("fp").alias("fp"),
+            F.sum("fn").alias("fn"),
+        ).select(F.lit("__total__").alias(case_col), "tp", "fp", "fn")
+        per = per.unionByName(total)
+    denom = 2 * F.col("tp") + F.col("fp") + F.col("fn")
+    return per.withColumn(
+        "f1",
+        F.round(
+            F.when(denom > 0, 2.0 * F.col("tp") / denom).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
