@@ -256,6 +256,10 @@ def scale_block(spark) -> dict:
         out["dedup"] = _dedup_scale(spark)
     except Exception as e:
         out["dedup"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        out["media"] = _media_scale(spark)
+    except Exception as e:
+        out["media"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     # second rung (SPARK_GRAFT_SCALE2=0 skips): ~5.4M leaves for the two
     # fastest searches + a 510k-doc dedup — the scaling CURVE, not just
     # one point (562k -> 5.4M showed ~2.2x riskloc / ~2.1x autoroot for
@@ -275,12 +279,19 @@ def scale_block(spark) -> dict:
 
 
 def _rca_scale2(spark) -> dict:
-    """Second scale rung: ~5.4M leaves (60x50x45x40), the two fastest
-    searches. One timed run each with found-cause flags."""
+    """Second scale rung: ~5.4M leaves (60x50x45x40), ALL FOUR searches
+    (round 8: squeeze and robustspot joined riskloc/autoroot — the
+    driver-recorded scale curve, not a SURVEY-quoted one-off). One
+    timed run each with found-cause flags. robustspot runs its
+    distributed-after mining here: the kneedle ID knee admits >2M rows
+    on this noise profile, which used to trip the anomalous-set guard —
+    the mining now runs as signature-bucket aggregations."""
     from riskloc_spark.evaluation import root_cause_postprocessing
     from riskloc_spark.generator import generate_rca_instance
     from riskloc_spark.operators.autoroot import autoroot
     from riskloc_spark.operators.riskloc import riskloc
+    from riskloc_spark.operators.robustspot import robustspot
+    from riskloc_spark.operators.squeeze import squeeze
 
     dims = {"a": 60, "b": 50, "c": 45, "d": 40}  # 5,400,000 leaves
     df, label, _ = generate_rca_instance(
@@ -303,6 +314,8 @@ def _rca_scale2(spark) -> dict:
         for name, fn in [
             ("riskloc", lambda: riskloc(df, attrs, risk_threshold=0.3)),
             ("autoroot", lambda: autoroot(df, attrs)),
+            ("squeeze", lambda: squeeze(df, attrs)),
+            ("robustspot", lambda: robustspot(df, attrs, driver_rows=1000)),
         ]:
             t0 = time.perf_counter()
             try:
@@ -405,6 +418,96 @@ def _writers_scale(spark, leaves) -> dict:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bench_leaves_bucketed")
         shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def _media_scale(spark) -> dict:
+    """Multimodal decode throughput envelope (round 8): per format,
+    synthesize a corpus of realistic-size images inside executors
+    (mapInPandas, untimed, persisted), then time the FULL pixel decode
+    path (media_features: decode -> channel means + histogram) and
+    report aggregate MB/s of payload and Mpix/s across local[N]. These
+    are the numbers that say what a 100-TB multimodal corpus would cost
+    on the pure-Python codecs (the honest per-core envelope is in
+    SURVEY; entropy stages are per-symbol Python — a native codec
+    behind the same mapInPandas plumbing is the production upgrade)."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import types as T
+
+    from riskloc_spark.operators.multimodal import media_features
+
+    def make_corpus(fmt: str, n: int):
+        import numpy as np
+
+        from riskloc_spark.operators.gif import encode_gif
+        from riskloc_spark.operators.jpeg import encode_jpeg
+        from riskloc_spark.operators.png import encode_png
+
+        out_schema = T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+
+        def synth(i: int) -> bytes:
+            rng = np.random.default_rng(i)
+            if fmt == "png":
+                # gradient + noise RGB: all five filters do real work
+                base = np.add.outer(np.arange(128), np.arange(128))
+                img = (
+                    (base[:, :, None] + rng.integers(0, 32, (128, 128, 3)))
+                    % 256
+                )
+                return encode_png(img, 2, 8, filter_mode="cycle")
+            if fmt == "gif":
+                idx = rng.integers(0, 8, (96, 96))
+                pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+                return encode_gif([idx], pal)
+            # jpeg: smooth content + noise (a realistic AC density)
+            base = np.add.outer(np.arange(128), np.arange(128)) // 2
+            img = (base + rng.integers(0, 16, (128, 128))) % 256
+            return encode_jpeg(img)
+
+        def run(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["id"],
+                        "payload": [synth(int(i)) for i in pdf["id"]],
+                    }
+                )
+
+        par = spark.sparkContext.defaultParallelism
+        return (
+            spark.range(n)
+            .repartition(par)
+            .mapInPandas(run, schema=out_schema)
+        )
+
+    out: dict = {}
+    # pix counts PIXELS (the PNG corpus is RGB: 3 samples per pixel)
+    for fmt, n, pix in [
+        ("png", 800, 128 * 128),
+        ("gif", 1200, 96 * 96),
+        ("jpeg", 600, 128 * 128),
+    ]:
+        corpus = make_corpus(fmt, n).persist()
+        total_mb = (
+            corpus.select(F.sum(F.length("payload"))).first()[0] / 1e6
+        )
+        t0 = time.perf_counter()
+        media_features(corpus, dim=16).count()
+        wall = time.perf_counter() - t0
+        corpus.unpersist()
+        out[fmt] = {
+            "images": n,
+            "payload_mb": round(total_mb, 1),
+            "sec": round(wall, 2),
+            "mb_per_s": round(total_mb / wall, 1),
+            "mpix_per_s": round(n * pix / 1e6 / wall, 1),
+        }
     return out
 
 

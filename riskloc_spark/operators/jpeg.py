@@ -123,56 +123,73 @@ def _huff_decode_table(bits: list, vals: list) -> dict:
     return out
 
 
-class _BitReader:
-    """MSB-first bit reader over the entropy stream with 0xFF00
-    unstuffing. Holds at most the current byte, so ``self.pos`` is
-    always byte-exact — alignment for restart markers is just dropping
-    the partial byte. Markers (0xFF followed by non-zero) are never
-    consumed; hitting one mid-read yields None."""
+class _BitStream:
+    """MSB-first bit cursor over ONE unstuffed entropy segment. The
+    constructor unstuffs bytes up to the next marker in a single pass
+    (0xFF 0x00 -> 0xFF; markers are never consumed — ``end_pos`` points
+    at the marker byte) and unpacks them to a flat bit buffer, so the
+    hot path reads bits by plain bytes-indexing instead of the per-bit
+    byte-refill state machine the round-7 reader ran (round 8: the
+    Huffman walk was the JPEG throughput bottleneck). Restart alignment
+    is a bit-index round-up; the next restart segment is a fresh
+    stream at ``end_pos + 2``."""
 
     def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.cur = 0
-        self.n = 0
-
-    def read_bit(self) -> int | None:
-        if self.n == 0:
-            if self.pos >= len(self.data):
-                return None
-            b = self.data[self.pos]
+        buf = bytearray()
+        n = len(data)
+        while pos < n:
+            b = data[pos]
             if b == 0xFF:
-                nxt = (
-                    self.data[self.pos + 1]
-                    if self.pos + 1 < len(self.data)
-                    else None
-                )
-                if nxt != 0x00:
-                    return None  # marker: stop
-                self.pos += 2  # stuffed 0xFF data byte
-            else:
-                self.pos += 1
-            self.cur = b
-            self.n = 8
-        self.n -= 1
-        return (self.cur >> self.n) & 1
+                if pos + 1 < n and data[pos + 1] == 0x00:
+                    buf.append(0xFF)
+                    pos += 2
+                    continue
+                break  # marker (or truncated trailing 0xFF): stop
+            buf.append(b)
+            pos += 1
+        self.end_pos = pos
+        self.bits = (
+            np.unpackbits(np.frombuffer(bytes(buf), dtype=np.uint8)).tobytes()
+            if buf
+            else b""
+        )
+        self.i = 0
 
     def read_bits(self, k: int) -> int | None:
+        i, bits = self.i, self.bits
+        if i + k > len(bits):
+            return None
         v = 0
-        for _ in range(k):
-            b = self.read_bit()
-            if b is None:
-                return None
-            v = (v << 1) | b
+        for j in range(i, i + k):
+            v = (v << 1) | bits[j]
+        self.i = i + k
         return v
 
-    def align_to_marker(self):
-        """Drop the partial byte; self.pos already points at the next
-        unconsumed byte (the RSTn marker, when present)."""
-        self.n = 0
+    def align_byte(self) -> None:
+        """Drop the partial byte (restart-marker alignment): unstuffed
+        byte boundaries coincide with entropy-stream byte boundaries."""
+        self.i = (self.i + 7) & ~7
+
+    def exhausted(self) -> bool:
+        return self.i >= len(self.bits)
 
 
-def _receive_extend(reader: _BitReader, s: int) -> int | None:
+def _fast_huff_table(table: dict) -> list:
+    """256-entry first-8-bits lookup for a {(length, code): symbol}
+    Huffman table — codes <= 8 bits resolve in one indexed load
+    (entries pack (symbol << 8) | code_length); longer codes fall back
+    to the per-bit walk. The standard canonical-Huffman fast path."""
+    fast: list = [None] * 256
+    for (length, code), sym in table.items():
+        if length <= 8:
+            prefix = code << (8 - length)
+            entry = (sym << 8) | length
+            for t in range(1 << (8 - length)):
+                fast[prefix | t] = entry
+    return fast
+
+
+def _receive_extend(reader: _BitStream, s: int) -> int | None:
     """JPEG RECEIVE/EXTEND: s magnitude bits -> signed value."""
     if s == 0:
         return 0
@@ -184,15 +201,45 @@ def _receive_extend(reader: _BitReader, s: int) -> int | None:
     return v
 
 
-def _decode_huff_symbol(reader: _BitReader, table: dict) -> int | None:
+def _decode_huff_symbol(
+    reader: _BitStream, table: dict, fast: list
+) -> int | None:
+    bits = reader.bits
+    i = reader.i
+    nb = len(bits)
+    if i + 8 <= nb:
+        key = (
+            (bits[i] << 7)
+            | (bits[i + 1] << 6)
+            | (bits[i + 2] << 5)
+            | (bits[i + 3] << 4)
+            | (bits[i + 4] << 3)
+            | (bits[i + 5] << 2)
+            | (bits[i + 6] << 1)
+            | bits[i + 7]
+        )
+        entry = fast[key]
+        if entry is not None:
+            reader.i = i + (entry & 0xFF)
+            return entry >> 8
+        code = key
+        for length in range(9, 17):
+            if i + length > nb:
+                return None
+            code = (code << 1) | bits[i + length - 1]
+            sym = table.get((length, code))
+            if sym is not None:
+                reader.i = i + length
+                return sym
+        return None
     code = 0
     for length in range(1, 17):
-        b = reader.read_bit()
-        if b is None:
+        if i + length > nb:
             return None
-        code = (code << 1) | b
+        code = (code << 1) | bits[i + length - 1]
         sym = table.get((length, code))
         if sym is not None:
+            reader.i = i + length
             return sym
     return None
 
@@ -335,15 +382,21 @@ def _decode_scan(
         if c["tq"] not in qtables:
             return None
 
-    reader = _BitReader(data, pos)
+    reader = _BitStream(data, pos)
+    fast_tables = {key: _fast_huff_table(tbl) for key, tbl in htables.items()}
     preds = [0] * len(comps)
     n_mcu = mcux * mcuy
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
-            reader.align_to_marker()
-            p = reader.pos
-            if p + 1 < len(data) and data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7:
-                reader.pos = p + 2
+            reader.align_byte()
+            if reader.exhausted():
+                p = reader.end_pos
+                if (
+                    p + 1 < len(data)
+                    and data[p] == 0xFF
+                    and 0xD0 <= data[p + 1] <= 0xD7
+                ):
+                    reader = _BitStream(data, p + 2)
             preds = [0] * len(comps)
         my, mx = divmod(m, mcux)
         for k, (comp, td, ta) in enumerate(scan):
@@ -351,10 +404,12 @@ def _decode_scan(
             act = htables.get((1, ta))
             if dct is None or act is None:
                 return None
+            dct_fast = fast_tables[(0, td)]
+            act_fast = fast_tables[(1, ta)]
             q = qtables[comp["tq"]]
             for by in range(comp["v"]):
                 for bx in range(comp["h"]):
-                    s = _decode_huff_symbol(reader, dct)
+                    s = _decode_huff_symbol(reader, dct, dct_fast)
                     if s is None or s > 11:
                         return None
                     diff = _receive_extend(reader, s)
@@ -365,7 +420,7 @@ def _decode_scan(
                     zz[0] = preds[k]
                     i = 1
                     while i < 64:
-                        rs = _decode_huff_symbol(reader, act)
+                        rs = _decode_huff_symbol(reader, act, act_fast)
                         if rs is None:
                             return None
                         r, ssss = rs >> 4, rs & 0x0F

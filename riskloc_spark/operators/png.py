@@ -161,18 +161,24 @@ def _filter_stream(
             filt = line - shifted  # uint8 wraps mod 256
         elif ftype == 2:  # Up
             filt = line - prev
-        elif ftype == 3:  # Average
-            filt = np.empty_like(line)
+        elif ftype == 3:  # Average (list loop — see the decode twin)
+            ln = line.tolist()
+            pv = prev.tolist()
+            out = [0] * stride
             for i in range(stride):
-                a = int(line[i - bpp]) if i >= bpp else 0
-                filt[i] = (int(line[i]) - ((a + int(prev[i])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            filt = np.empty_like(line)
+                a = ln[i - bpp] if i >= bpp else 0
+                out[i] = (ln[i] - ((a + pv[i]) >> 1)) & 0xFF
+            filt = np.array(out, dtype=np.uint8)
+        elif ftype == 4:  # Paeth (list loop — see the decode twin)
+            ln = line.tolist()
+            pv = prev.tolist()
+            out = [0] * stride
             for i in range(stride):
-                a = int(line[i - bpp]) if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                filt[i] = (int(line[i]) - _paeth(a, b, c)) & 0xFF
+                a = ln[i - bpp] if i >= bpp else 0
+                b = pv[i]
+                c = pv[i - bpp] if i >= bpp else 0
+                out[i] = (ln[i] - _paeth(a, b, c)) & 0xFF
+            filt = np.array(out, dtype=np.uint8)
         else:
             raise ValueError(f"bad filter {ftype}")
         raw.append(ftype)
@@ -375,15 +381,36 @@ def _decode_raw(
         elif ftype == 2:  # Up
             line += prev
         elif ftype == 3:  # Average
+            # plain-int list loop: ~4x over numpy scalar indexing (each
+            # line[i] access was a boxed-scalar round trip) — the
+            # recurrence is spec-serial, so the win is constant-factor
+            f = line.tolist()
+            pv = prev.tolist()
+            x = [0] * stride
             for i in range(stride):
-                a = int(line[i - bpp]) if i >= bpp else 0
-                line[i] = (int(line[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
+                a = x[i - bpp] if i >= bpp else 0
+                x[i] = (f[i] + ((a + pv[i]) >> 1)) & 0xFF
+            line = np.array(x, dtype=np.uint8)
+        elif ftype == 4:  # Paeth (same list-loop rationale as Average)
+            f = line.tolist()
+            pv = prev.tolist()
+            x = [0] * stride
             for i in range(stride):
-                a = int(line[i - bpp]) if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                line[i] = (int(line[i]) + _paeth(a, b, c)) & 0xFF
+                a = x[i - bpp] if i >= bpp else 0
+                b = pv[i]
+                c = pv[i - bpp] if i >= bpp else 0
+                pp = a + b - c
+                pa = pp - a if pp >= a else a - pp
+                pb = pp - b if pp >= b else b - pp
+                pc = pp - c if pp >= c else c - pp
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                x[i] = (f[i] + pred) & 0xFF
+            line = np.array(x, dtype=np.uint8)
         else:
             return None
         lines[y] = line

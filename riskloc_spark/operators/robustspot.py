@@ -22,6 +22,12 @@ Spark-first split of the work:
 * Support deltas are computed on the leaf frame with one aggregation per
   iteration using an item-match bitmask groupBy, so the driver only ever
   sees <= 2^|itemset| compact counts, never leaves.
+* When even the ID/CA-filtered anomalous set is too large to collect
+  (a weak-contrast case where the knee threshold admits most rows),
+  the mining round itself runs distributed: weighted modes and the
+  2^d signature-bucket table are Spark aggregations and the driver
+  sees only <= d + 2^d compact rows (round 8; removes the former
+  anomalous-set ValueError).
 """
 from __future__ import annotations
 
@@ -242,32 +248,20 @@ def _subset_supports(pdf: pd.DataFrame, causes: list) -> np.ndarray:
     return _subset_sums(pdf, causes) / len(pdf)
 
 
-def _mine_candidates(
-    after: pd.DataFrame,
-    weights: pd.Series,
-    attributes: list[str],
-    confidence_threshold: float,
+def _powerset(items, lo, hi):
+    return chain.from_iterable(combinations(items, r) for r in range(lo, hi))
+
+
+def _rules_from_frequent(
+    frequent: list, wcount, confidence_threshold: float
 ) -> list[tuple]:
-    """Candidate generation half of the rule mining (ref mining.py:76-99):
-    frequent items + association rules over the (weight-expanded)
-    anomalous frame. Only touches ``after`` — delta ranking against the
-    full frame is the caller's job (local or distributed)."""
-    if len(after) == 0 or weights.sum() <= 0:
-        return []
-    # frequent item per column = weighted mode (pandas .mode() of the
-    # expanded frame == max total weight; ties -> smallest value, matching
-    # pandas mode()[0])
-    frequent = [(c, _weighted_mode(after, c, weights)) for c in attributes]
-
-    def powerset(items, lo, hi):
-        return chain.from_iterable(combinations(items, r) for r in range(lo, hi))
-
-    # every rule cause is a subset of ``frequent``: one signature pass
-    # replaces a boolean mask per rule (see _subset_counter — exact)
-    wcount = _subset_counter(after, frequent, np.asarray(weights, float))
-
+    """Association-rule candidate generation given the per-attribute
+    frequent items and a weighted-count oracle over the anomalous frame
+    (ref mining.py:76-99). Shared verbatim by the pandas path and the
+    distributed-after path — only where ``wcount`` comes from differs
+    (pandas signature bincount vs a Spark signature groupBy)."""
     rules = set()
-    for itemset in powerset(frequent, 2, 4):
+    for itemset in _powerset(frequent, 2, 4):
         s = set(itemset)
         for r in range(1, len(itemset)):
             for lhs in combinations(itemset, r):
@@ -285,8 +279,31 @@ def _mine_candidates(
             if c not in cross:
                 cross.append(c)
     causes = [tuple(c) for c in cross]
-    causes.extend(powerset(frequent, 1, 2))
+    causes.extend(_powerset(frequent, 1, 2))
     return causes
+
+
+def _mine_candidates(
+    after: pd.DataFrame,
+    weights: pd.Series,
+    attributes: list[str],
+    confidence_threshold: float,
+) -> list[tuple]:
+    """Candidate generation half of the rule mining (ref mining.py:76-99):
+    frequent items + association rules over the (weight-expanded)
+    anomalous frame. Only touches ``after`` — delta ranking against the
+    full frame is the caller's job (local or distributed)."""
+    if len(after) == 0 or weights.sum() <= 0:
+        return []
+    # frequent item per column = weighted mode (pandas .mode() of the
+    # expanded frame == max total weight; ties -> smallest value, matching
+    # pandas mode()[0])
+    frequent = [(c, _weighted_mode(after, c, weights)) for c in attributes]
+
+    # every rule cause is a subset of ``frequent``: one signature pass
+    # replaces a boolean mask per rule (see _subset_counter — exact)
+    wcount = _subset_counter(after, frequent, np.asarray(weights, float))
+    return _rules_from_frequent(frequent, wcount, confidence_threshold)
 
 
 def _rank_by_delta(causes: list[tuple], deltas: np.ndarray) -> list[tuple]:
@@ -397,12 +414,99 @@ def _supports_dist(frame: DataFrame, causes: list) -> np.ndarray:
     )
 
 
-def _final_merge(mined, support_before0, after0: pd.DataFrame, k: int):
+def _weighted_mode_dist(
+    frame: DataFrame, attributes: list[str], w_col: str
+) -> list[tuple]:
+    """Per-attribute weighted mode of a Spark frame — the distributed
+    twin of ``[(c, _weighted_mode(after, c, w)) for c in attributes]``.
+    One melt (explode to (attr, val) pairs) + one groupBy + a tiny
+    top-1-per-attribute window; the driver sees d rows. Ties break to
+    the smallest value (pandas sort_index + idxmax semantics); weight
+    sums are integer-valued so any aggregation order is exact."""
+    from pyspark.sql import Window
+
+    pairs = frame.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(a).alias("attr"), F.col(a).alias("val"))
+                    for a in attributes
+                ]
+            )
+        ).alias("p"),
+        F.col(w_col).alias("__w"),
+    )
+    agg = pairs.groupBy("p.attr", "p.val").agg(F.sum("__w").alias("ws"))
+    wnd = Window.partitionBy("attr").orderBy(
+        F.col("ws").desc(), F.col("val").asc()
+    )
+    rows = (
+        agg.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    mode = {r["attr"]: r["val"] for r in rows}
+    return [(a, mode[a]) for a in attributes if a in mode]
+
+
+def _bucket_counters(frame: DataFrame, items: list, w_col: str):
+    """Signature-bucket aggregation of a Spark frame over a small item
+    set: bit i of the signature = row matches ``items[i]``; ONE
+    groupBy(signature) collects <= 2^d rows, from which exact
+    count/weight sums for ANY cause drawn from ``items`` follow (the
+    distributed twin of ``_subset_counter`` — same bincount math, the
+    rows never leave the executors). Returns (wcount, ccount, total_w,
+    n_rows)."""
+    if len(items) > _SUBSET_ITEM_BOUND:
+        raise ValueError(
+            f"distributed robustspot mining needs <= {_SUBSET_ITEM_BOUND} "
+            f"attributes (got {len(items)}); the 2^d signature table and "
+            "the reference's rule powerset are both exponential in d"
+        )
+    sig = F.lit(0).cast("long")
+    for bit, (col, val) in enumerate(items):
+        sig = sig + F.shiftleft(
+            (F.col(col) == F.lit(val)).cast("long"), bit
+        )
+    rows = (
+        frame.groupBy(sig.alias("__sig"))
+        .agg(F.count(F.lit(1)).alias("c"), F.sum(w_col).alias("ws"))
+        .collect()
+    )
+    n_groups = 1 << len(items)
+    gsum_c = np.zeros(n_groups)
+    gsum_w = np.zeros(n_groups)
+    for r in rows:
+        gsum_c[int(r["__sig"])] = float(r["c"])
+        gsum_w[int(r["__sig"])] = float(r["ws"] or 0.0)
+    idx = np.arange(n_groups)
+    bit_of = {item: 1 << i for i, item in enumerate(items)}
+
+    def make_count(gsum):
+        def count(cause) -> float:
+            bits = 0
+            for it in cause:
+                bits |= bit_of[it]
+            return float(gsum[(idx & bits) == bits].sum())
+
+        return count
+
+    return (
+        make_count(gsum_w),
+        make_count(gsum_c),
+        float(gsum_w.sum()),
+        int(gsum_c.sum()),
+    )
+
+
+def _final_merge(mined, support_before0, support_after0, k: int):
     """Cross-iteration merge + rank (ref final.py:5-70,
     robustspot.py:71-97), shared by the driver and distributed paths.
-    ``support_before0(causes)`` returns supports over the round-0 full
-    frame (local _support or one distributed aggregation); ``after0`` is
-    the (always driver-sized) round-0 anomalous frame."""
+    ``support_before0(causes)`` / ``support_after0(causes)`` return
+    supports over the round-0 full / anomalous frame — local _support
+    when the frame sits on the driver, one conditional-count
+    aggregation when it does not (round 8: the anomalous frame is no
+    longer required to fit on the driver)."""
 
     def merge2(a: list[tuple], b: list[tuple]) -> list[list[tuple]]:
         out = []
@@ -484,9 +588,8 @@ def _final_merge(mined, support_before0, after0: pd.DataFrame, k: int):
 
     if not out_res:
         return []
-    deltas = support_before0([list(mc) for mc in out_res]) - np.array(
-        [_support(after0, list(mc)) for mc in out_res]
-    )
+    queries = [list(mc) for mc in out_res]
+    deltas = support_before0(queries) - support_after0(queries)
     order = np.argsort(deltas, kind="stable")[:k]
     return [out_res[i] for i in order]
 
@@ -501,6 +604,7 @@ def robustspot(
     lambda_amplification: float = 100,
     driver_rows: int = 2_000_000,
     flip_derived: bool = True,
+    after_rows: int = 2_000_000,
 ) -> list[list[tuple]]:
     """Full RobustSpot (ref robustspot.py:39-113).
 
@@ -510,7 +614,9 @@ def robustspot(
     reference algorithm is defined over exactly this compact frame).
     ID/CA are recomputed per round on the round's subset, matching the
     reference's leave-one-out semantics. ``driver_rows`` guards the
-    collect.
+    collect; past it the distributed mirror runs, where ``after_rows``
+    is the collect threshold for each round's anomalous set (beyond it
+    the mining itself runs distributed — see _robustspot_distributed).
     """
     if not derived:
         contribution_ability_threshold = -1  # ref robustspot.py:45
@@ -543,6 +649,7 @@ def robustspot(
             confidence_threshold,
             lambda_amplification,
             k,
+            after_rows=after_rows,
         )
 
     def drop_top(p: pd.DataFrame, cause) -> pd.DataFrame:
@@ -588,7 +695,17 @@ def robustspot(
             ]
         )
 
-    return _final_merge(mined, support_before0, after_list[0], k)
+    def support_after0(causes):
+        return np.array(
+            [
+                _support(
+                    after_list[0], list(c) if isinstance(c, list) else c
+                )
+                for c in causes
+            ]
+        )
+
+    return _final_merge(mined, support_before0, support_after0, k)
 
 
 def _robustspot_distributed(
@@ -603,19 +720,29 @@ def _robustspot_distributed(
     after_rows: int = 2_000_000,
 ) -> list[list[tuple]]:
     """robustspot beyond driver-sized leaf frames: the full frame never
-    leaves the executors.
+    leaves the executors — and since round 8, neither must the
+    anomalous set.
 
     Per round: ID/CA are the same global-sum column algebra
     (add_influence_degree / add_contribution_ability) on the round's
     filtered frame; the knee threshold fits on DISTINCT (ID, count)
     pairs (bounded by ``max_pairs``, histogram fallback past it — ID is
-    in [0,1)); only rows passing the ID/CA filter collect (they ARE the
-    anomaly — small by construction, honestly guarded by
-    ``after_rows``); support deltas and the final merge run as
-    conditional-count aggregations (one job, len(causes) numbers).
-    Dropped-cause rounds become predicate pushdowns instead of pandas
-    row drops. Parity-tested against the driver path."""
+    in [0,1)). Rows passing the ID/CA filter collect only while they
+    fit ``after_rows``; past that the round mines DISTRIBUTED: the
+    weighted mode per attribute (melt + groupBy + top-1 window) and a
+    signature groupBy whose <= 2^d bucket rows replay every rule
+    count/support exactly (_bucket_counters — the Spark twin of
+    _subset_counter), so the kneedle threshold selecting most of a
+    5.4M-leaf frame no longer kills the operator. Support deltas and
+    the final merge run as conditional-count aggregations (one job,
+    len(causes) numbers). Dropped-cause rounds become predicate
+    pushdowns instead of pandas row drops. Parity-tested against the
+    driver path in both after-collect regimes."""
     sel = sel.persist()
+    # round-0 anomalous frame as a SPARK handle when it does not fit the
+    # driver (the final merge needs its supports — one conditional-count
+    # aggregation, never a collect)
+    after0_frame: list = [None]
     try:
         before_pred: list = [None] * 7  # Spark predicate; None = full frame
         after_list: list = [None] * 7
@@ -667,40 +794,89 @@ def _robustspot_distributed(
                     cnts = np.array([float(r["c"]) for r in hrows])
                 thr = _id_threshold_weighted(vals, cnts)
 
-                after = (
-                    scored.filter(
-                        (F.col("ID") > thr)
-                        & (F.col("CA") > contribution_ability_threshold)
-                    )
-                    .select(*attributes, "ID", "CA")
-                    .limit(after_rows + 1)
-                    .toPandas()
+                filt = (F.col("ID") > thr) & (
+                    F.col("CA") > contribution_ability_threshold
                 )
+                n_after = int(scored.filter(filt).count())
+                after = None
+                frequent: list = []
+                wcount = ccount = None
+                total_w = 0.0
+                if n_after <= after_rows:
+                    # driver-sized anomalous set: collect and mine in
+                    # pandas (exact, battle-tested; after_rows is now a
+                    # COLLECT threshold, not an operator limit)
+                    after = (
+                        scored.filter(filt)
+                        .select(*attributes, "ID", "CA")
+                        .toPandas()
+                    )
+                else:
+                    # round 8: the anomalous set stays distributed. The
+                    # whole mining round needs only (a) the weighted
+                    # mode per attribute and (b) count/weight sums for
+                    # causes drawn from those <= d frequent items — a
+                    # melt+groupBy and ONE signature groupBy whose
+                    # <= 2^d bucket rows are all the driver sees
+                    # (ref mining.py:76-106 semantics unchanged).
+                    if derived:
+                        wexpr = (
+                            F.col("ID")
+                            * F.col("CA")
+                            * F.lit(lambda_amplification)
+                        )
+                    else:
+                        wexpr = F.col("ID") * F.lit(lambda_amplification)
+                    af = scored.filter(filt).select(
+                        *attributes,
+                        F.floor(wexpr).cast("double").alias("__w"),
+                    )
+                    if index == 0:
+                        # the final merge re-reads round 0's anomalous
+                        # supports: persist while `scored` is still
+                        # cached (both stats actions materialize it)
+                        af = af.persist()
+                        after0_frame[0] = af
+                    frequent = _weighted_mode_dist(af, attributes, "__w")
+                    if frequent:
+                        wcount, ccount, total_w, _ = _bucket_counters(
+                            af, frequent, "__w"
+                        )
             finally:
                 scored.unpersist()
-            if len(after) > after_rows:
-                raise ValueError(
-                    f"robustspot anomalous set exceeds after_rows="
-                    f"{after_rows}; the ID/CA filter selected most of the "
-                    "frame — not an anomaly-localization case"
-                )
-            if derived:
-                w = (after["ID"] * after["CA"] * lambda_amplification).astype(int)
-            else:
-                w = (after["ID"] * lambda_amplification).astype(int)
-            w = w.astype(float)
 
             before_pred[index] = pred
             after_list[index] = after
-            causes = _mine_candidates(
-                after, w, attributes, confidence_threshold
-            )
-            if not causes:
-                mined[index] = []
-                return
-            deltas = _supports_dist(frame_of(pred), causes) - _subset_supports(
-                after, causes
-            )
+            if after is not None:
+                if derived:
+                    w = (
+                        after["ID"] * after["CA"] * lambda_amplification
+                    ).astype(int)
+                else:
+                    w = (after["ID"] * lambda_amplification).astype(int)
+                w = w.astype(float)
+                causes = _mine_candidates(
+                    after, w, attributes, confidence_threshold
+                )
+                if not causes:
+                    mined[index] = []
+                    return
+                deltas = _supports_dist(
+                    frame_of(pred), causes
+                ) - _subset_supports(after, causes)
+            else:
+                if not frequent or total_w <= 0:
+                    mined[index] = []
+                    return
+                causes = _rules_from_frequent(
+                    frequent, wcount, confidence_threshold
+                )
+                if not causes:
+                    mined[index] = []
+                    return
+                deltas = _supports_dist(frame_of(pred), causes) - np.array(
+                    [ccount(c) for c in causes]
+                ) / n_after
             mined[index] = _rank_by_delta(causes, deltas)
 
         def and_pred(base_pred, cause):
@@ -748,8 +924,22 @@ def _robustspot_distributed(
         def support_before0(causes):
             return _supports_dist(sel, causes)
 
-        return _final_merge(mined, support_before0, after_list[0], k)
+        def support_after0(causes):
+            if after0_frame[0] is not None:
+                return _supports_dist(after0_frame[0], causes)
+            return np.array(
+                [
+                    _support(
+                        after_list[0], list(c) if isinstance(c, list) else c
+                    )
+                    for c in causes
+                ]
+            )
+
+        return _final_merge(mined, support_before0, support_after0, k)
     finally:
+        if after0_frame[0] is not None:
+            after0_frame[0].unpersist()
         sel.unpersist()
 
 

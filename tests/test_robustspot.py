@@ -106,6 +106,46 @@ def test_robustspot_distributed_parity(spark, derived_pdf):
     assert "a=a1" in flat
 
 
+def test_robustspot_distributed_after_mining_parity(spark, derived_pdf):
+    """Round 8: when a round's ID/CA-filtered anomalous set exceeds
+    after_rows, the mining itself runs distributed (weighted-mode
+    aggregation + 2^d signature-bucket groupBy) instead of raising.
+    Forcing after_rows=1 routes EVERY round through that path — the
+    causes must be identical to the driver path (counts and
+    integer-valued weights sum exactly under any order, and the rule
+    iteration is shared code)."""
+    df = spark.createDataFrame(derived_pdf)
+    drv = robustspot(df, ["a", "b", "c"], derived=True)
+    dist = robustspot(
+        df, ["a", "b", "c"], derived=True, driver_rows=10, after_rows=1
+    )
+    assert drv == dist
+    flat = {f"{c}={v}" for mc in dist for cause in mc for c, v in cause}
+    assert "a=a1" in flat
+
+
+def test_robustspot_distributed_after_mining_parity_plain(spark):
+    """Plain-measure twin of the distributed-after parity (the weight
+    expression differs: ID*lambda, no CA factor)."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for a in [f"a{i}" for i in range(4)]:
+        for b in [f"b{i}" for i in range(5)]:
+            for c in [f"c{i}" for i in range(3)]:
+                predict = float(rng.integers(80, 120))
+                real = predict * (1.0 + rng.uniform(-0.03, 0.03))
+                if b == "b3":
+                    real = predict * 0.4
+                rows.append((a, b, c, real, predict))
+    pdf = pd.DataFrame(rows, columns=["a", "b", "c", "real", "predict"])
+    df = spark.createDataFrame(pdf)
+    drv = robustspot(df, ["a", "b", "c"])
+    dist = robustspot(df, ["a", "b", "c"], driver_rows=10, after_rows=1)
+    assert drv == dist
+    flat = {f"{c}={v}" for mc in dist for cause in mc for c, v in cause}
+    assert "b=b3" in flat
+
+
 def test_robustspot_wide_cardinality_localizes(spark):
     """A wide-cardinality instance that previously raised (leaf frame >
     driver_rows) now localizes via the distributed path."""

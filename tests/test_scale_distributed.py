@@ -53,3 +53,19 @@ def test_autoroot_distributed_at_562k_leaves(spark, big_instance):
     causes = autoroot(df, list(DIMS))
     preds = root_cause_postprocessing(causes, "autoroot")
     assert label in preds, preds
+
+
+def test_robustspot_distributed_after_parity_at_562k_leaves(spark, big_instance):
+    """Round 8 (VERDICT r7 #1): the two after-set regimes of the
+    distributed robustspot — anomalous rows collected and mined in
+    pandas vs anomalous set left distributed (weighted-mode + signature
+    -bucket aggregations) — must return identical causes on the 562k
+    instance. after_rows=100 forces every round distributed; the
+    default collects (the anomalous sets here are thousands of rows)."""
+    from riskloc_spark.operators.robustspot import robustspot
+
+    df, label = big_instance
+    drv = robustspot(df, list(DIMS), driver_rows=1000)
+    dist = robustspot(df, list(DIMS), driver_rows=1000, after_rows=100)
+    assert drv == dist
+    assert drv, "expected non-empty causes on the planted instance"
