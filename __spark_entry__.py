@@ -481,6 +481,43 @@ def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pq_knn's full ADC machinery under the hash gate (round 8):
+    product-quantization encode (per-subspace nearest-codebook argmin,
+    8 subspaces x 8 dims over the 64-dim embeddings), per-query
+    distance tables, and the table-lookup ADC ranking. The codebooks
+    are data-driven seeds — subvectors of the first 8 embeddings by
+    vec_id — so the DuckDB twin derives identical codebooks from the
+    view (the k-means fit is exercised by the recall/exactness unit
+    tests, same carve-out as knn_ivf)."""
+    import numpy as np
+
+    from riskloc_spark.operators.similarity import pq_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.select("embedding", "vec_id")
+            .orderBy("vec_id")
+            .limit(8)
+            .collect()
+        ]
+    )  # (8, 64)
+    # codebooks[m][j] = seed j's m-th subvector
+    cb = seeds.reshape(8, 8, 8).transpose(1, 0, 2)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_knn(emb, queries, k=5, n_sub=8, codebooks=cb)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("adc_dist", 6).alias("adc_dist"),
+        F.col("rank").cast("int").alias("rnk"),
+    )
+
+
 # quantizer cache for the warm IVF serving path: in a real deployment the
 # centroids are fit once (ivf_fit_centroids) and persisted; refitting
 # k-means per query call is the cold-start cost BENCH_r03 exposed (16.1s
@@ -2262,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evaluation_f1": evaluation_f1_q,
         "media_features": media_features_q,
         "media_resize_nearest": media_resize_nearest_q,
+        "knn_pq": knn_pq_q,
         "media_decode": media_decode_q,
         "media_resize_bilinear": media_resize_bilinear_q,
         "media_frames": media_frames_q,
@@ -4874,6 +4912,51 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(),
         "knn_lsh": _knn_lsh_sql(),
         "knn_ivf": _knn_ivf_sql(),
+        "knn_pq": """
+            WITH seeds AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+                     embedding::DOUBLE[] AS se
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            ms AS (SELECT unnest(range(0, 8)) AS m),
+            cb AS (
+              SELECT j, m, se[m*8+1 : m*8+8] AS csub
+              FROM seeds CROSS JOIN ms
+            ),
+            c AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings),
+            codes AS (
+              SELECT vec_id, m, j AS code FROM (
+                SELECT c.vec_id, cb.m, cb.j,
+                       row_number() OVER (PARTITION BY c.vec_id, cb.m
+                            ORDER BY list_distance(
+                              c.ee[cb.m*8+1 : cb.m*8+8], cb.csub), cb.j)
+                         AS rn
+                FROM c CROSS JOIN cb
+              ) WHERE rn = 1
+            ),
+            q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+              FROM embeddings WHERE vec_id < 8
+            ),
+            qtab AS (
+              SELECT q.query_id, cb.m, cb.j,
+                     list_distance(q.qe[cb.m*8+1 : cb.m*8+8], cb.csub) ** 2
+                       AS d2
+              FROM q CROSS JOIN cb
+            ),
+            adc AS (
+              SELECT t.query_id, cd.vec_id, SUM(t.d2) AS dist
+              FROM codes cd JOIN qtab t ON t.m = cd.m AND t.j = cd.code
+              GROUP BY t.query_id, cd.vec_id
+            ),
+            r AS (
+              SELECT query_id, vec_id, round(dist, 6) + 0e0 AS adc_dist,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY dist ASC, vec_id ASC) AS INT) AS rnk
+              FROM adc
+            )
+            SELECT query_id, vec_id, adc_dist, rnk FROM r WHERE rnk <= 5
+        """,
         "doc_fingerprints": f"""
             SELECT doc_id, {_MD5H.format(x=_NORM_TEXT)} AS fp FROM documents
         """,

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "knn_lsh",
     "knn_ivf",
     "knn_ivf_warm",
+    "knn_pq",
     "minhash_pairs",
     "simhash_pairs",
     "dedup_groups",
@@ -260,6 +261,10 @@ def scale_block(spark) -> dict:
         out["media"] = _media_scale(spark)
     except Exception as e:
         out["media"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        out["ann"] = _ann_scale(spark)
+    except Exception as e:
+        out["ann"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     # second rung (SPARK_GRAFT_SCALE2=0 skips): ~5.4M leaves for the two
     # fastest searches + a 510k-doc dedup — the scaling CURVE, not just
     # one point (562k -> 5.4M showed ~2.2x riskloc / ~2.1x autoroot for
@@ -508,6 +513,121 @@ def _media_scale(spark) -> dict:
             "mb_per_s": round(total_mb / wall, 1),
             "mpix_per_s": round(n * pix / 1e6 / wall, 1),
         }
+    return out
+
+
+def _ann_scale(spark, n: int = 200_000, n_queries: int = 50) -> dict:
+    """ANN at scale (round 8): a 200k x 32-dim clustered synthetic
+    embedding corpus built from column expressions (256 hash-derived
+    cluster centers + per-vector noise), 50 held-out queries near the
+    centers. Times exact brute-force cosine (the baseline the approx
+    paths must beat), LSH-bucketed search, and PQ-ADC over the fitted
+    codebooks, and reports recall@10 of the brute-force top-1 — so the
+    speedups can't silently buy wrong neighbors."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.similarity import (
+        knn_bruteforce,
+        lsh_bucket_knn,
+        pq_encode,
+        pq_fit_codebooks,
+        pq_knn,
+    )
+
+    def emb(cid, rid, noise_salt, noise_scale):
+        def val(j):
+            c = (F.abs(F.xxhash64(cid, F.lit(j), F.lit("c"))) % 1000) / 125.0
+            nz = (
+                F.abs(F.xxhash64(rid, F.lit(j), F.lit(noise_salt))) % 1000
+            ) / F.lit(1000.0 / noise_scale)
+            return (c + nz).cast("float")
+        return F.array(*[val(j) for j in range(32)])
+
+    corpus = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            emb(F.col("id") % 256, F.col("id"), "n", 0.5).alias("embedding"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    corpus.count()
+    # each query is a corpus vector plus a SMALL perturbation (the
+    # realistic serving case: the true neighbor is well-separated from
+    # its cluster-mates; querying fresh cluster noise instead would
+    # make "the" nearest neighbor a coin flip among hundreds of equally
+    # close vectors and recall of any method meaningless)
+    base = (F.col("id") * 3989) % n
+
+    def delta(j):
+        return (
+            (F.abs(F.xxhash64(F.col("id"), F.lit(j), F.lit("dq"))) % 1000)
+            / 20000.0
+            - 0.025
+        )
+
+    queries = spark.range(n_queries).select(
+        (F.col("id") + 1_000_000).alias("query_id"),
+        F.array(
+            *[
+                (
+                    (F.abs(F.xxhash64(base % 256, F.lit(j), F.lit("c")))
+                     % 1000) / 125.0
+                    + (F.abs(F.xxhash64(base, F.lit(j), F.lit("n")))
+                       % 1000) / 2000.0
+                    + delta(j)
+                ).cast("float")
+                for j in range(32)
+            ]
+        ).alias("embedding"),
+    ).persist()
+    queries.count()
+
+    out: dict = {"vectors": n, "queries": n_queries}
+    truth: dict = {}
+    t0 = time.perf_counter()
+    bf = knn_bruteforce(corpus, queries, k=1).collect()
+    out["bruteforce_sec"] = round(time.perf_counter() - t0, 2)
+    truth = {r["query_id"]: r["vec_id"] for r in bf}
+
+    def recall(rows) -> float:
+        got: dict = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(1 for q, v in truth.items() if v in got.get(q, set()))
+        return round(hits / len(truth), 3)
+
+    t0 = time.perf_counter()
+    rows = lsh_bucket_knn(corpus, queries, k=10).collect()
+    out["lsh"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "recall_at_10": recall(rows),
+    }
+    # PQ: fit + ingest-time encode are the one-time costs (the coded
+    # frame IS the compressed corpus a deployment stores — 8 bytes per
+    # vector here); the warm number is the serving cost
+    t0 = time.perf_counter()
+    cb = pq_fit_codebooks(corpus, n_sub=8, n_codes=256, fit_sample=5_000)
+    fit_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    coded = pq_encode(corpus, cb).persist()
+    coded.count()
+    encode_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rows = pq_knn(
+        corpus, queries, k=10, n_sub=8, codebooks=cb, rerank=1000,
+        coded=coded,
+    ).collect()
+    out["pq"] = {
+        "fit_sec": round(fit_sec, 2),
+        "encode_sec": round(encode_sec, 2),
+        "sec": round(time.perf_counter() - t0, 2),
+        "recall_at_10": recall(rows),
+    }
+    coded.unpersist()
+    corpus.unpersist()
+    queries.unpersist()
     return out
 
 

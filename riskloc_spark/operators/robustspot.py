@@ -120,6 +120,39 @@ def add_contribution_ability(df: DataFrame) -> DataFrame:
     ).drop("__fm", "__fd")
 
 
+def score_id_ca(df: DataFrame) -> DataFrame:
+    """ID + CA in ONE totals aggregation (round 8): the two scorers each
+    pulled their own global-sum broadcast, so every mining round paid
+    two full scans of the (cached) frame; fusing the five sums into one
+    ``agg`` + one broadcast crossJoin halves the per-round scan count.
+    The per-row algebra is copied verbatim from add_influence_degree /
+    add_contribution_ability (same float ops, same order) — parity-
+    locked by test_fused_score_matches_composed."""
+    totals = df.agg(
+        F.sum("k_real").alias("__sv"),
+        F.sum("k_predict").alias("__sf"),
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("value_predict").alias("__fm"),
+        F.sum("cnt_predict").alias("__fd"),
+    )
+    out = df.crossJoin(F.broadcast(totals))
+    avg_v = (F.col("__sv") - F.col("k_real")) / (F.col("__n") - 1)
+    avg_f = (F.col("__sf") - F.col("k_predict")) / (F.col("__n") - 1)
+    ratio = (F.col("k_real") - F.col("k_predict")) / (avg_v - avg_f)
+    rate1 = F.col("__fd") / F.col("__fm")
+    rate2 = (
+        F.col("value_real") + (F.col("__fm") - F.col("value_predict"))
+    ) / (F.col("cnt_real") + (F.col("__fd") - F.col("cnt_predict")))
+    ca = rate1 * rate2 - 1.0
+    return (
+        out.withColumn("ID", 1.0 - 1.0 / (F.abs(ratio) + 1.0))
+        .withColumn(
+            "CA", F.when(F.isnan(ca) | ca.isNull(), F.lit(0.0)).otherwise(ca)
+        )
+        .drop("__sv", "__sf", "__n", "__fm", "__fd")
+    )
+
+
 def _id_threshold(pos_ids: np.ndarray) -> float:
     """Knee of the positive-ID CDF (ref select_expand.py:39-62); 0.5 when
     no knee is found."""
@@ -756,9 +789,7 @@ def _robustspot_distributed(
             # the anomalous-row collect both scan it, and ID/CA each pull
             # a scalar-total broadcast — uncached, the whole scoring ran
             # twice per round (3 actions x 7 rounds was the wall-clock)
-            scored = add_contribution_ability(
-                add_influence_degree(frame_of(pred))
-            ).persist()
+            scored = score_id_ca(frame_of(pred)).persist()
             # ONE aggregation decides exact-vs-histogram AND doubles as
             # the histogram: buckets partition the ID domain (bucket is
             # a function of ID), so the per-bucket EXACT distinct

@@ -384,3 +384,209 @@ def ivf_knn(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )
+
+
+def pq_fit_codebooks(
+    corpus: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 256,
+    fit_sample: int = 10_000,
+    n_iter: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> "np.ndarray":
+    """Fit product-quantization codebooks once: the vector is split into
+    ``n_sub`` contiguous subspaces and each gets its own ``n_codes``-entry
+    k-means codebook (driver numpy on the same bounded DETERMINISTIC
+    sample discipline as ivf_fit_centroids). Returns (n_sub, n_codes,
+    dim/n_sub) — pass to ``pq_knn(codebooks=...)``; a query-serving path
+    must not refit per call."""
+    import numpy as np
+
+    sample = np.asarray(
+        [
+            r[0]
+            for r in corpus.select(vec_col, id_col)
+            .orderBy(id_col)
+            .limit(fit_sample)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    dim = sample.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    ds = dim // n_sub
+    return np.stack(
+        [
+            _kmeans_fit(
+                sample[:, m * ds: (m + 1) * ds], n_codes, n_iter, seed + m
+            )
+            for m in range(n_sub)
+        ]
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode a corpus against fitted PQ codebooks: (id, __code) where
+    __code[m] is the nearest codebook entry of subspace m (np.argmin
+    tie-break — first minimum). This IS the compressed corpus a
+    production deployment stores (n_sub small ints per vector instead
+    of the full float array); run once at ingest, serve many queries
+    (pq_knn(coded=...)). Arrow-vectorized matmul-shaped assignment,
+    same sanctioned Pandas-UDF case as IVF."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    CB = np.asarray(codebooks, dtype=np.float64)
+    M, K, ds = CB.shape
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        xs = x.reshape(len(x), M, 1, ds)
+        d = ((xs - CB[None, :, :, :]) ** 2).sum(axis=3)  # (b, M, K)
+        return pd.Series(list(d.argmin(axis=2).tolist()))
+
+    return spread_small_scan(corpus).select(
+        F.col(id_col), encode(F.col(vec_col)).alias("__code")
+    )
+
+
+def pq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = 8,
+    n_codes: int = 256,
+    fit_sample: int = 10_000,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 7,
+    codebooks: "np.ndarray | None" = None,
+    rerank: int = 0,
+    coded: DataFrame | None = None,
+) -> DataFrame:
+    """Product-quantization approximate top-k (ADC): each corpus vector
+    compresses to ``n_sub`` code bytes (nearest sub-centroid per
+    subspace); a query precomputes one (n_sub x n_codes) distance table
+    and the approximate squared-L2 distance to ANY coded vector is a
+    table-lookup sum — no full vector is touched at query time.
+
+    100-TB shape: this is the MEMORY-side ANN path (the codes are
+    dim/n_sub * 4-byte-float -> 1-byte compressions; a 3 KB float64
+    embedding becomes n_sub bytes, so a petabyte-scale embedding corpus
+    can keep its searchable form in cluster RAM). Encoding is one
+    Arrow-vectorized pass (same sanctioned matmul-shaped Pandas-UDF
+    case as IVF assignment); the scan is a broadcast join against the
+    (tiny) query tables with the lookup sum in JVM expressions
+    (zip_with + element_at + aggregate — no Python in the per-pair hot
+    path); ranking is one partitioned window. Composes with IVF
+    (IVF-PQ) by bucketing the coded corpus on the coarse cell.
+
+    ``coded`` accepts a PRE-ENCODED corpus (``pq_encode`` output —
+    (id, __code)): in production the codes are computed once at ingest
+    and stored (they are the compressed corpus); encoding per query
+    call is the cold-start cost, exactly like refitting IVF's
+    quantizer. ``rerank=R`` adds the standard exact re-ranking stage: the ADC
+    top-R candidates per query join back to their full vectors and the
+    final top-k is exact squared L2 over that bounded candidate set —
+    PQ's reconstruction error then only has to keep the true neighbors
+    inside R, not rank them (the operating mode every production PQ
+    system uses). rerank=0 ranks by raw ADC distance.
+
+    Returns (query_id, vec_id, adc_dist, rank): adc_dist ASCENDING
+    (approximate squared L2; the exact squared L2 when reranked), ties
+    broken by vec_id (deterministic).
+    """
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    if codebooks is None:
+        codebooks = pq_fit_codebooks(
+            corpus, n_sub, n_codes, fit_sample, n_iter, vec_col, id_col, seed
+        )
+    CB = np.asarray(codebooks, dtype=np.float64)  # (M, K, ds)
+    M, K, ds = CB.shape
+
+    @pandas_udf("array<array<double>>")
+    def dist_table(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        xs = x.reshape(len(x), M, 1, ds)
+        d = ((xs - CB[None, :, :, :]) ** 2).sum(axis=3)
+        return pd.Series(list(d.tolist()))
+
+    if coded is None:
+        coded = pq_encode(
+            corpus, CB, id_col=id_col, vec_col=vec_col
+        )
+    q = queries.select(
+        F.col(query_id_col), dist_table(F.col(vec_col)).alias("__qtab")
+    )
+    # ADC: sum of per-subspace table lookups — all JVM-side
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("__code"),
+            F.col("__qtab"),
+            lambda c, t: F.element_at(t, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = coded.crossJoin(F.broadcast(q)).select(
+        query_id_col, id_col, adc.alias("adc_dist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max(k, rerank))
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )
+    if rerank <= 0:
+        return top
+    # exact re-rank of the bounded candidate set: candidates join back
+    # to their vectors (broadcast — R x queries rows), queries join by
+    # id, squared L2 in JVM expressions, one tiny window
+    cand = top.select(query_id_col, id_col)
+    qv = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    exact = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.col("__qv"),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adc_dist"),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )

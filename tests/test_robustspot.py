@@ -313,3 +313,28 @@ def test_subset_counter_wide_item_fallback():
     counter0 = _subset_counter(pdf, items)
     for c in causes:
         assert counter0(c) == float(_match_mask(pdf, c).sum())
+
+
+def test_fused_score_matches_composed(spark, derived_pdf):
+    """score_id_ca (one totals aggregation) must be bit-identical to
+    add_contribution_ability(add_influence_degree(df)) — the fused form
+    is what the distributed mining rounds run (round 8)."""
+    from riskloc_spark.operators.robustspot import score_id_ca
+
+    df = adapt_frame(spark.createDataFrame(derived_pdf), derived=True)
+    a = (
+        add_contribution_ability(add_influence_degree(df))
+        .select("a", "b", "c", "ID", "CA")
+        .toPandas()
+        .sort_values(["a", "b", "c"])
+        .reset_index(drop=True)
+    )
+    b = (
+        score_id_ca(df)
+        .select("a", "b", "c", "ID", "CA")
+        .toPandas()
+        .sort_values(["a", "b", "c"])
+        .reset_index(drop=True)
+    )
+    assert (a["ID"].to_numpy() == b["ID"].to_numpy()).all()
+    assert (a["CA"].to_numpy() == b["CA"].to_numpy()).all()

@@ -130,3 +130,83 @@ def test_ivf_multiprobe_recall_curve_on_clustered_corpus(spark):
         recalls[n_probe] = len(bfset & ivset) / len(bfset)
     assert recalls[1] <= recalls[2] + 1e-9 and recalls[2] <= recalls[4] + 1e-9, recalls
     assert recalls[4] >= 0.95, recalls
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 8)
+
+
+def test_pq_exact_when_codebooks_contain_subvectors(spark):
+    """With codebooks whose entries include every corpus subvector, each
+    vector's code reconstructs it exactly (its own subvector is at
+    distance 0), so the ADC distance IS the true squared L2 and pq_knn
+    must equal the exact L2 ranking."""
+    import numpy as np
+
+    from riskloc_spark.operators.similarity import pq_knn
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(24, 16)).round(3)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100 + i, [float(x) for x in vecs[i] + 0.01]) for i in range(3)],
+        "query_id long, embedding array<float>",
+    )
+    # codebooks[m][j] = vector j's m-th subvector (4 subspaces x 4 dims)
+    cb = np.stack(
+        [vecs.astype(np.float32).astype(np.float64)[:, m * 4: (m + 1) * 4]
+         for m in range(4)]
+    )
+    out = pq_knn(corpus, queries, k=3, n_sub=4, codebooks=cb)
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"] for r in out.collect()
+    }
+    # exact L2 ranking on the float32-rounded values
+    vf = vecs.astype(np.float32).astype(np.float64)
+    for qi in range(3):
+        qv = (vecs[qi] + 0.01).astype(np.float32).astype(np.float64)
+        d = ((vf - qv) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(len(vecs)), d))
+        for rank, vid in enumerate(order[:3], start=1):
+            assert got[(100 + qi, rank)] == vid
+
+
+def test_pq_fitted_codebooks_recall_on_clustered_data(spark):
+    """End-to-end with the REAL k-means fit: on clustered vectors the
+    true nearest neighbor (brute force) appears in PQ's top-5 for the
+    overwhelming majority of queries."""
+    import numpy as np
+
+    from riskloc_spark.operators.similarity import (
+        knn_bruteforce,
+        pq_fit_codebooks,
+        pq_knn,
+    )
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(scale=4.0, size=(6, 32))
+    vecs = np.concatenate(
+        [c + rng.normal(scale=0.4, size=(40, 32)) for c in centers]
+    )
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i * 17 % len(vecs)] + 0.05])
+         for i in range(12)],
+        "query_id long, embedding array<float>",
+    )
+    cb = pq_fit_codebooks(corpus, n_sub=4, n_codes=16, fit_sample=500)
+    assert cb.shape == (4, 16, 8)
+    pq = pq_knn(corpus, queries, k=5, n_sub=4, codebooks=cb)
+    bf = knn_bruteforce(corpus, queries, k=1)
+    top1 = {r["query_id"]: r["vec_id"] for r in bf.collect()}
+    pq_sets: dict = {}
+    for r in pq.collect():
+        pq_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(1 for qid, vid in top1.items() if vid in pq_sets[qid])
+    assert hits >= 10, (hits, len(top1))
