@@ -518,6 +518,40 @@ def knn_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ pipeline under the hash gate (round 8): the
+    coarse probe (first-16-embedding seed centroids, 6-cell probe) AND
+    the PQ ADC (first-8-embedding seed codebooks, table-lookup sum)
+    running TOGETHER — candidate pruning and compressed scoring, the
+    production ANN shape. Both quantizers are data-driven seeds so the
+    DuckDB twin derives them from the view; the fitted path is covered
+    by the unit recall tests."""
+    import numpy as np
+
+    from riskloc_spark.operators.similarity import ivfpq_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.select("embedding", "vec_id").orderBy("vec_id").limit(16).collect()
+    )
+    seeds16 = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+    )
+    cb = seeds16[:8].reshape(8, 8, 8).transpose(1, 0, 2)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_knn(
+        emb, queries, k=5, n_sub=8, centroids=seeds16, codebooks=cb
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("adc_dist", 6).alias("adc_dist"),
+        F.col("rank").cast("int").alias("rnk"),
+    )
+
+
 # quantizer cache for the warm IVF serving path: in a real deployment the
 # centroids are fit once (ivf_fit_centroids) and persisted; refitting
 # k-means per query call is the cold-start cost BENCH_r03 exposed (16.1s
@@ -2300,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": media_features_q,
         "media_resize_nearest": media_resize_nearest_q,
         "knn_pq": knn_pq_q,
+        "knn_ivfpq": knn_ivfpq_q,
         "media_decode": media_decode_q,
         "media_resize_bilinear": media_resize_bilinear_q,
         "media_frames": media_frames_q,
@@ -4912,6 +4947,80 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(),
         "knn_lsh": _knn_lsh_sql(),
         "knn_ivf": _knn_ivf_sql(),
+        "knn_ivfpq": """
+            WITH seeds16 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     embedding::DOUBLE[] AS ce
+              FROM embeddings ORDER BY vec_id LIMIT 16
+            ),
+            seeds8 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+                     embedding::DOUBLE[] AS se
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            ms AS (SELECT unnest(range(0, 8)) AS m),
+            cb AS (
+              SELECT j, m, se[m*8+1 : m*8+8] AS csub
+              FROM seeds8 CROSS JOIN ms
+            ),
+            c AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings),
+            cells AS (
+              SELECT vec_id, cell FROM (
+                SELECT c.vec_id, s.cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                            ORDER BY list_distance(c.ee, s.ce), s.cell) AS rn
+                FROM c CROSS JOIN seeds16 s
+              ) WHERE rn = 1
+            ),
+            codes AS (
+              SELECT vec_id, m, j AS code FROM (
+                SELECT c.vec_id, cb.m, cb.j,
+                       row_number() OVER (PARTITION BY c.vec_id, cb.m
+                            ORDER BY list_distance(
+                              c.ee[cb.m*8+1 : cb.m*8+8], cb.csub), cb.j)
+                         AS rn
+                FROM c CROSS JOIN cb
+              ) WHERE rn = 1
+            ),
+            q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+              FROM embeddings WHERE vec_id < 8
+            ),
+            probes AS (
+              SELECT query_id, cell FROM (
+                SELECT q.query_id, s.cell,
+                       row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_distance(q.qe, s.ce), s.cell) AS rn
+                FROM q CROSS JOIN seeds16 s
+              ) WHERE rn <= 6
+            ),
+            qtab AS (
+              SELECT q.query_id, cb.m, cb.j,
+                     list_distance(q.qe[cb.m*8+1 : cb.m*8+8], cb.csub) ** 2
+                       AS d2
+              FROM q CROSS JOIN cb
+            ),
+            pairs AS (
+              SELECT p.query_id, cl.vec_id
+              FROM probes p JOIN cells cl ON p.cell = cl.cell
+            ),
+            adc AS (
+              SELECT pr.query_id, pr.vec_id, SUM(t.d2) AS dist
+              FROM pairs pr
+              JOIN codes cd ON cd.vec_id = pr.vec_id
+              JOIN qtab t
+                ON t.query_id = pr.query_id
+               AND t.m = cd.m AND t.j = cd.code
+              GROUP BY pr.query_id, pr.vec_id
+            ),
+            r AS (
+              SELECT query_id, vec_id, round(dist, 6) + 0e0 AS adc_dist,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY dist ASC, vec_id ASC) AS INT) AS rnk
+              FROM adc
+            )
+            SELECT query_id, vec_id, adc_dist, rnk FROM r WHERE rnk <= 5
+        """,
         "knn_pq": """
             WITH seeds AS (
               SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,

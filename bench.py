@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "knn_ivf",
     "knn_ivf_warm",
     "knn_pq",
+    "knn_ivfpq",
     "minhash_pairs",
     "simhash_pairs",
     "dedup_groups",
@@ -527,6 +528,9 @@ def _ann_scale(spark, n: int = 200_000, n_queries: int = 50) -> dict:
     from pyspark.sql import functions as F
 
     from riskloc_spark.operators.similarity import (
+        ivf_fit_centroids,
+        ivfpq_assign_cells,
+        ivfpq_knn,
         knn_bruteforce,
         lsh_bucket_knn,
         pq_encode,
@@ -625,6 +629,28 @@ def _ann_scale(spark, n: int = 200_000, n_queries: int = 50) -> dict:
         "sec": round(time.perf_counter() - t0, 2),
         "recall_at_10": recall(rows),
     }
+    # IVF-PQ: the composed production shape — coarse probe prunes the
+    # candidate set, codes compress the scan; index (cells + codes)
+    # built once at ingest, serving re-ranks the bounded survivors
+    t0 = time.perf_counter()
+    cents = ivf_fit_centroids(corpus, n_clusters=64, fit_sample=5_000)
+    index = (
+        coded.join(ivfpq_assign_cells(corpus, cents), "vec_id").persist()
+    )
+    index.count()
+    index_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rows = ivfpq_knn(
+        corpus, queries, k=10, n_clusters=64, n_probe=8, n_sub=8,
+        centroids=cents, codebooks=cb, rerank=1000,
+        coded=index,
+    ).collect()
+    out["ivfpq"] = {
+        "index_sec": round(index_sec, 2),
+        "sec": round(time.perf_counter() - t0, 2),
+        "recall_at_10": recall(rows),
+    }
+    index.unpersist()
     coded.unpersist()
     corpus.unpersist()
     queries.unpersist()

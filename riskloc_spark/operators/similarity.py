@@ -590,3 +590,171 @@ def pq_knn(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "adc_dist", "rank")
     )
+
+
+def ivfpq_assign_cells(
+    corpus: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-cell assignment for IVF-PQ: (id, __cell), computed once at
+    ingest alongside pq_encode — persist/bucket the joined (id, cell,
+    code) index and serve queries from it (ivfpq_knn(coded=, cells=))."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def cell_of(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        x = np.stack(v.to_numpy())
+        d = ((x[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1))
+
+    return spread_small_scan(corpus).select(
+        F.col(id_col), cell_of(F.col(vec_col)).alias("__cell")
+    )
+
+
+def ivfpq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 6,
+    n_sub: int = 8,
+    n_codes: int = 256,
+    fit_sample: int = 10_000,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 7,
+    centroids: "np.ndarray | None" = None,
+    codebooks: "np.ndarray | None" = None,
+    rerank: int = 0,
+    coded: DataFrame | None = None,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: the composition production ANN systems actually deploy at
+    corpus scales where neither a full scan nor full vectors in memory
+    are affordable. IVF's coarse quantizer prunes the CANDIDATE SET
+    (each query touches only its ``n_probe`` nearest cells); PQ's codes
+    compress what remains to ``n_sub`` bytes per vector, scored by the
+    same table-lookup ADC; ``rerank=R`` re-ranks the bounded survivors
+    with exact squared L2.
+
+    100-TB shape: cell + code are both computed ONCE at ingest (the
+    coded corpus is tiny and can be bucketed/persisted on cell — see
+    write_bucketed); a query broadcasts its probe-cell list and its
+    (n_sub x n_codes) distance table, so the scan reads only the probed
+    cells' code bytes and never a full vector until the (optional,
+    bounded) re-rank join. Both quantizers fit on bounded driver
+    samples, once.
+    """
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    if centroids is None:
+        centroids = ivf_fit_centroids(
+            corpus, n_clusters, fit_sample, n_iter, vec_col, seed, id_col
+        )
+    if codebooks is None:
+        codebooks = pq_fit_codebooks(
+            corpus, n_sub, n_codes, fit_sample, n_iter, vec_col, id_col, seed
+        )
+    C = np.asarray(centroids, dtype=np.float64)
+    CB = np.asarray(codebooks, dtype=np.float64)
+    M, K, ds = CB.shape
+
+    def _cdists(series: "pd.Series") -> "np.ndarray":
+        import numpy as np
+
+        x = np.stack(series.to_numpy())
+        return ((x[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+
+    @pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        idx = np.argsort(_cdists(v), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(idx.tolist()))
+
+    @pandas_udf("array<array<double>>")
+    def dist_table(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        xs = x.reshape(len(x), M, 1, ds)
+        d = ((xs - CB[None, :, :, :]) ** 2).sum(axis=3)
+        return pd.Series(list(d.tolist()))
+
+    if coded is not None and "__cell" in coded.columns:
+        # pre-joined ingest index (id, __cell, __code) — the artifact a
+        # deployment persists (bucketed by __cell): no per-query join
+        indexed = coded
+    else:
+        if coded is None:
+            coded = pq_encode(corpus, CB, id_col=id_col, vec_col=vec_col)
+        if cells is None:
+            cells = ivfpq_assign_cells(
+                corpus, C, id_col=id_col, vec_col=vec_col
+            )
+        indexed = coded.join(cells, id_col)
+    q = queries.select(
+        F.col(query_id_col),
+        dist_table(F.col(vec_col)).alias("__qtab"),
+        F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("__code"),
+            F.col("__qtab"),
+            lambda c, t: F.element_at(t, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = indexed.join(F.broadcast(q), on="__cell").select(
+        query_id_col, id_col, adc.alias("adc_dist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max(k, rerank))
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )
+    if rerank <= 0:
+        return top
+    cand = top.select(query_id_col, id_col)
+    qv = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    exact = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.col("__qv"),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adc_dist"),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )

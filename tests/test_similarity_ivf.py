@@ -210,3 +210,44 @@ def test_pq_fitted_codebooks_recall_on_clustered_data(spark):
         pq_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
     hits = sum(1 for qid, vid in top1.items() if vid in pq_sets[qid])
     assert hits >= 10, (hits, len(top1))
+
+
+def test_ivfpq_recall_with_fitted_quantizers(spark):
+    """IVF-PQ end-to-end with REAL fits (coarse k-means + per-subspace
+    codebooks) and exact re-rank: perturbed-copy queries on a clustered
+    corpus must recover their true neighbor in the top-5 for nearly all
+    queries — pruning (probe) and compression (ADC) composing without
+    destroying recall."""
+    import numpy as np
+
+    from riskloc_spark.operators.similarity import (
+        ivf_fit_centroids,
+        ivfpq_knn,
+        pq_fit_codebooks,
+    )
+
+    rng = np.random.default_rng(21)
+    centers = rng.normal(scale=4.0, size=(8, 32))
+    vecs = np.concatenate(
+        [c + rng.normal(scale=0.3, size=(50, 32)) for c in centers]
+    )
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    qidx = [(i * 37) % len(vecs) for i in range(12)]
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[qidx[i]] + 0.02]) for i in range(12)],
+        "query_id long, embedding array<float>",
+    )
+    cents = ivf_fit_centroids(corpus, n_clusters=8, fit_sample=400)
+    cb = pq_fit_codebooks(corpus, n_sub=4, n_codes=32, fit_sample=400)
+    out = ivfpq_knn(
+        corpus, queries, k=5, n_probe=3, n_sub=4,
+        centroids=cents, codebooks=cb, rerank=50,
+    )
+    got: dict = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(1 for i in range(12) if qidx[i] in got.get(i, set()))
+    assert hits >= 11, (hits, got)
