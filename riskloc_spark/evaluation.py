@@ -54,7 +54,14 @@ def root_cause_postprocessing(
                     "&".join(f"{d}={v}" for d, v in zip(rc["cuboid"], element))
                 )
 
-    return sorted({canonical(p) for p in preds})
+    # reference order of operations (utils/evaluation.py:57-60):
+    # np.unique on the RAW strings FIRST, then canonicalize each — two
+    # orderings of the same cause ('a=1&b=2' vs 'b=2&a=1') survive the
+    # unique and canonicalize to DUPLICATE predictions, which
+    # score_root_causes counts as extra FPs (len(preds) - tp).
+    # Deduping after canonicalization would silently improve F1 in that
+    # corner; mirrored bug-for-bug instead.
+    return [canonical(p) for p in sorted(set(preds))]
 
 
 def f1(tp: int, fp: int, fn: int) -> float:

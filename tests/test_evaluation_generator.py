@@ -218,3 +218,25 @@ def test_evaluate_df_matches_driver_randomized(spark):
     tot = out["__total__"]
     assert (tot["tp"], tot["fp"], tot["fn"]) == (agg["tp"], agg["fp"], agg["fn"])
     assert abs(tot["f1"] - round(agg["f1"], 6)) < 1e-12
+
+
+def test_postprocessing_dedups_before_canonical_like_reference():
+    """The reference np.unique's the RAW cause strings and only then
+    sorts each cause's dims (utils/evaluation.py:57-60) — so the same
+    cause written in two dim orders yields DUPLICATE canonical
+    predictions, and score_root_causes counts the duplicate as an FP.
+    Mirrored bug-for-bug (deduping after canonicalization would
+    silently improve F1)."""
+    from riskloc_spark.evaluation import (
+        root_cause_postprocessing,
+        score_root_causes,
+    )
+
+    causes = [
+        [[("a", "1"), ("b", "2")]],
+        [[("b", "2"), ("a", "1")]],
+    ]
+    preds = root_cause_postprocessing(causes, "robustspot")
+    assert preds == ["a=1&b=2", "a=1&b=2"]
+    tp, fp, fn, _ = score_root_causes(preds, "a=1&b=2")
+    assert (tp, fp, fn) == (1, 1, 0)

@@ -375,3 +375,71 @@ def test_curate_corpus_plan_shape(spark):
     shuffles = plan.count("Exchange hashpartitioning")
     assert shuffles <= 1, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_knn_plan_shape(spark):
+    """PQ ADC plan contract (round 8): the query side (codes tables)
+    reaches the scan via a BROADCAST (no shuffle of the coded corpus
+    for the join), and Python appears only in the Arrow encode/table
+    UDFs — the per-pair ADC lookup sum is JVM expressions (no
+    BatchEvalPython = no row-at-a-time UDF anywhere)."""
+    import numpy as np
+
+    from riskloc_spark.operators.similarity import pq_knn
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter("vec_id < 4").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    seeds = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.orderBy("vec_id").limit(8).collect()
+        ]
+    )
+    cb = seeds.reshape(8, 8, 8).transpose(1, 0, 2)
+    out = pq_knn(emb, q, k=3, n_sub=8, codebooks=cb)
+    plan = plan_str(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan  # Arrow UDFs only
+    assert "ArrowEvalPython" in plan
+
+
+def test_ivfpq_serving_plan_shape(spark):
+    """IVF-PQ serving from a pre-joined index: the probed-cell join
+    broadcasts the (tiny) query side and the index side carries NO
+    shuffle of its own before the join — the scan reads code bytes
+    straight into the equi-join on cell."""
+    import numpy as np
+
+    from riskloc_spark.operators.similarity import (
+        ivfpq_assign_cells,
+        ivfpq_knn,
+        pq_encode,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter("vec_id < 4").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    seeds = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.orderBy("vec_id").limit(16).collect()
+        ]
+    )
+    cb = seeds[:8].reshape(8, 8, 8).transpose(1, 0, 2)
+    index = pq_encode(emb, cb).join(
+        ivfpq_assign_cells(emb, seeds), "vec_id"
+    )
+    out = ivfpq_knn(
+        emb, q, k=3, n_sub=8, centroids=seeds, codebooks=cb, coded=index
+    )
+    plan = plan_str(out)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    # exactly one shuffle: the rank window's partitioning by query —
+    # the probe join itself must not hash-exchange the corpus index
+    # (broadcast side only); the index join (id) may add one when not
+    # pre-materialized
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
