@@ -1388,6 +1388,24 @@ def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_trigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-conditional trigram LM scorer under the hash gate
+    (round 8): P(c3 | c1 c2) trained on the documents table itself, and
+    each document scored by the mean log-probability of its trigrams
+    (functions/text.trigram_lm_scores). The oracle replays the trigram
+    explode, the conditional counts, and the mean log in SQL; both
+    engines' natural logs agree far inside the 6-decimal round."""
+    from riskloc_spark.functions.text import trigram_lm_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    out = trigram_lm_scores(d)
+    return out.select(
+        "doc_id",
+        F.col("n_trigrams").cast("long").alias("n_trigrams"),
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    )
+
+
 def streaming_kpi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming surface under the correctness gate: the
     windowed KPI stream (riskloc_spark.streaming.windowed_kpi_stream)
@@ -2335,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_nearest": media_resize_nearest_q,
         "knn_pq": knn_pq_q,
         "knn_ivfpq": knn_ivfpq_q,
+        "text_trigram_lm": text_trigram_lm_q,
         "media_decode": media_decode_q,
         "media_resize_bilinear": media_resize_bilinear_q,
         "media_frames": media_frames_q,
@@ -4947,6 +4966,30 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(),
         "knn_lsh": _knn_lsh_sql(),
         "knn_ivf": _knn_ivf_sql(),
+        "text_trigram_lm": """
+            WITH tris AS (
+              SELECT doc_id, substr(text, CAST(i AS INT), 3) AS tri
+              FROM (
+                SELECT doc_id, text,
+                       unnest(range(1, length(text) - 1)) AS i
+                FROM documents WHERE length(text) >= 3
+              )
+            ),
+            c3 AS (SELECT tri, COUNT(*) AS c3 FROM tris GROUP BY tri),
+            c2 AS (
+              SELECT substr(tri, 1, 2) AS pre, SUM(c3) AS c2
+              FROM c3 GROUP BY 1
+            ),
+            probs AS (
+              SELECT tri, CAST(c3 AS DOUBLE) / c2 AS p
+              FROM c3 JOIN c2 ON substr(c3.tri, 1, 2) = c2.pre
+            )
+            SELECT t.doc_id,
+                   COUNT(*) AS n_trigrams,
+                   round(AVG(ln(p.p)), 6) + 0e0 AS avg_logprob
+            FROM tris t JOIN probs p ON t.tri = p.tri
+            GROUP BY t.doc_id
+        """,
         "knn_ivfpq": """
             WITH seeds16 AS (
               SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,

@@ -120,3 +120,69 @@ def bpe_token_count(text: Column) -> Column:
     shipping a vocab; a real tokenizer plugs in as a broadcast merge
     table over these pieces."""
     return F.size(F.regexp_extract_all(text, F.lit(BPE_PIECE_REGEX), 0))
+
+
+def trigram_lm_scores(
+    docs, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Corpus-conditional character-trigram language-model quality score
+    (round 8) — the classic no-model fluency signal an LLM corpus
+    pipeline uses to rank documents: train P(c3 | c1 c2) on the corpus
+    ITSELF (conditional trigram frequencies), score each document by
+    the mean log-probability of its trigrams. Gibberish, boilerplate
+    and wrong-charset documents sit far below the corpus's own
+    character statistics; no external model or vocab ships.
+
+    No reference counterpart (the reference is tabular-only) — part of
+    the LLM-data-pipeline surface alongside quality_score / lang_id.
+
+    Fully declarative and scale-shaped: the corpus is scanned exactly
+    TWICE — once to build the (persisted) trigram-count table, whose
+    prefix (bigram) totals are a second tiny groupBy over that table,
+    and once to score each document against the broadcast
+    probabilities; the count table is bounded by the distinct-trigram
+    vocabulary (thousands-to-millions of rows regardless of corpus
+    size), so it broadcasts to the per-doc join at any corpus scale.
+    Documents shorter than 3 characters have no trigrams and are
+    absent from the output (nothing to score — both engines agree).
+
+    Returns (id_col, n_trigrams, avg_logprob): avg_logprob in
+    (-inf, 0], higher = more typical of the corpus.
+    """
+    tris = (
+        docs.filter(F.length(F.col(text_col)) >= 3)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.length(F.col(text_col)) - F.lit(3)
+                    ),
+                    lambda i: F.col(text_col).substr(i + 1, F.lit(3)),
+                )
+            ).alias("tri"),
+        )
+    )
+    # persist the (bounded-vocabulary) count table: it feeds BOTH the
+    # prefix totals and the probability join — uncached, Catalyst
+    # re-derives the full corpus explode for each, so the text would
+    # scan three times instead of twice (once to count, once to score)
+    c3 = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c3")).persist()
+    c2 = (
+        c3.groupBy(F.substring("tri", 1, 2).alias("pre"))
+        .agg(F.sum("c3").alias("c2"))
+    )
+    probs = c3.join(
+        c2, F.substring(c3["tri"], 1, 2) == c2["pre"]
+    ).select(
+        "tri",
+        (F.col("c3").cast("double") / F.col("c2")).alias("p"),
+    )
+    return (
+        tris.join(F.broadcast(probs), "tri")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.avg(F.log(F.col("p"))).alias("avg_logprob"),
+        )
+    )

@@ -99,3 +99,55 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # round-trip fidelity on the partition slice + the full set
     assert one.count() == docs.filter(F.col("source") == src).count()
     assert back.count() == docs.count()
+
+
+def test_bucketed_ivfpq_index_probe_join_no_index_exchange(spark, tmp_path):
+    """The 100-TB ANN serving layout: the (id, cell, code) IVF-PQ index
+    written bucketed on __cell joins the (broadcast) probe list with NO
+    exchange of the index side — the scan reads each probed cell's code
+    bytes straight off its bucket. Composes write_bucketed with
+    ivfpq_knn's serving path."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.data import load_table
+    from riskloc_spark.operators.similarity import (
+        ivfpq_assign_cells,
+        ivfpq_knn,
+        pq_encode,
+    )
+    from riskloc_spark.sources.writers import read_bucketed, write_bucketed
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seeds = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.orderBy("vec_id").limit(16).collect()
+        ]
+    )
+    cb = seeds[:8].reshape(8, 8, 8).transpose(1, 0, 2)
+    index = pq_encode(emb, cb).join(ivfpq_assign_cells(emb, seeds), "vec_id")
+    write_bucketed(
+        index, "t_ivfpq_index", "__cell", 8,
+        path=str(tmp_path / "ivfpq_index"),
+    )
+    try:
+        stored = read_bucketed(spark, "t_ivfpq_index")
+        q = emb.filter("vec_id < 4").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        out = ivfpq_knn(
+            emb, q, k=3, n_sub=8, centroids=seeds, codebooks=cb,
+            coded=stored,
+        )
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "simple"
+        )
+        # the probe equi-join on __cell must not exchange the index
+        # side (only broadcasts of the query side appear); the one
+        # hashpartitioning exchange allowed is the rank window's
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+        assert "BroadcastHashJoin" in plan
+        assert out.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivfpq_index")
