@@ -1598,6 +1598,61 @@ def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup suppression under the hash gate (round 8):
+    documents stream through the LSH-bucket stateful operator
+    (near_dup_events_stream) in one availableNow batch with the
+    PORTABLE md5 hash family, so the DuckDB twin replays the full
+    pipeline — shingles, 32 seeded minhashes, 16 banded buckets, the
+    per-bucket earliest-(ts,id) representative, and the signature-
+    agreement verdict — in closed-form SQL. ts is derived monotonically
+    from doc_id, so "first arrival" == MIN(doc_id) per bucket and the
+    single-batch semantics are deterministic."""
+    import uuid
+
+    from riskloc_spark.operators.dedup import md5_hash64
+    from riskloc_spark.streaming.pipeline import near_dup_events_stream
+
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    # the file-stream source requires a DIRECTORY: point at sf_dir and
+    # glob-filter to the documents file (the events_stream translation)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.col("doc_id")
+            ).alias("ts"),
+        )
+    )
+    flags = near_dup_events_stream(
+        stream, bands=16, jaccard_threshold=0.5, hash_fn=md5_hash64
+    )
+    qname = "streaming_near_dup_" + uuid.uuid4().hex[:8]
+    q = (
+        flags.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_near_dup: run did not finish in 300s")
+    q.stop()
+    return spark.table(qname).select(
+        "doc_id",
+        F.col("band").cast("int").alias("band"),
+        F.col("is_dup").cast("int").alias("is_dup"),
+    )
+
+
 def hotspot_search_ps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hotspot's ps-scoring search variant under the oracle — the same
     exhaustive 2-dim slice as hotspot_search, scoring='ps' (euclidean
@@ -2354,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq": knn_pq_q,
         "knn_ivfpq": knn_ivfpq_q,
         "text_trigram_lm": text_trigram_lm_q,
+        "streaming_near_dup": streaming_near_dup_q,
         "media_decode": media_decode_q,
         "media_resize_bilinear": media_resize_bilinear_q,
         "media_frames": media_frames_q,
@@ -2639,6 +2695,60 @@ def _minhash_pairs_sql(src: str = "documents") -> str:
         )
         SELECT id_a, id_b, round(ej, 6) + 0e0 AS est_jaccard
         FROM est WHERE ej >= 0.5
+    """
+
+
+def _streaming_near_dup_sql() -> str:
+    """DuckDB twin of streaming_near_dup_q: the md5-portable minhash
+    machinery of _minhash_pairs_sql with 16 bands x 2 rows, then the
+    single-batch stateful semantics — per (band, bucket) the
+    representative is the earliest arrival (== MIN(doc_id): ts is
+    monotone in doc_id), the representative emits is_dup 0, and every
+    other member emits (signature agreement vs the REPRESENTATIVE
+    >= 0.5)."""
+    h_seeded = _MD5H.format(x="concat(s, ':', CAST(k AS VARCHAR))")
+    h_band = _MD5H.format(
+        x="string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)"
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE list_transform(range(1, len(t) - 1),
+                                     i -> array_to_string(t[i:i+2], ' '))
+                 END AS ss
+          FROM toks
+        ),
+        shingled AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        sigs AS (
+          SELECT doc_id, k, MIN({h_seeded}) AS mh
+          FROM shingled CROSS JOIN range(32) t(k)
+          GROUP BY doc_id, k
+        ),
+        bands AS (
+          SELECT doc_id, k // 2 AS band, {h_band} AS bucket
+          FROM sigs GROUP BY doc_id, k // 2
+        ),
+        rep AS (
+          SELECT band, bucket, MIN(doc_id) AS rep_doc
+          FROM bands GROUP BY band, bucket
+        ),
+        agree AS (
+          SELECT b.doc_id, b.band, r.rep_doc,
+                 SUM(CASE WHEN a.mh = c.mh THEN 1 ELSE 0 END) / 32.0 AS ag
+          FROM bands b
+          JOIN rep r ON b.band = r.band AND b.bucket = r.bucket
+          JOIN sigs a ON a.doc_id = b.doc_id
+          JOIN sigs c ON c.doc_id = r.rep_doc AND c.k = a.k
+          GROUP BY 1, 2, 3
+        )
+        SELECT doc_id, CAST(band AS INT) AS band,
+               CAST(CASE WHEN doc_id <> rep_doc AND ag >= 0.5
+                    THEN 1 ELSE 0 END AS INT) AS is_dup
+        FROM agree
     """
 
 
@@ -4953,6 +5063,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.ep > 0.05
         """,
         "minhash_pairs": _minhash_pairs_sql(),
+        "streaming_near_dup": _streaming_near_dup_sql(),
         "token_stats": """
             SELECT doc_id,
                    CAST(CASE WHEN trim(text) = '' THEN 0

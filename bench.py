@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "streaming_kpi_append",
     "streaming_ewma",
     "streaming_dedup",
+    "streaming_near_dup",
     "q4_priority_semi",
     "q_customers_without_orders",
     "events_rollup",

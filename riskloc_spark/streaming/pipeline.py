@@ -292,3 +292,181 @@ def dedup_events_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def near_dup_events_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.6,
+    watermark: str = "2 hours",
+    state_ttl_ms: int = 2 * 3600 * 1000,
+    hash_fn=None,
+) -> DataFrame:
+    """Streaming NEAR-duplicate detection with watermark-bounded state —
+    the near-dup sibling of ``dedup_events_stream`` (which is exact-key
+    only; a content-farm stream needs small-edit suppression too).
+
+    Shape: each document's MinHash signature is a pure projection
+    (``minhash_signature_col`` — no aggregation, so it can precede a
+    stateful op), exploded to its LSH band buckets; a per-(band,
+    bucket) ``applyInPandasWithState`` keeps ONE representative per
+    bucket (the earliest (ts, id) seen) plus its signature, and flags
+    every later arrival whose signature agreement clears
+    ``jaccard_threshold``. Event-time timeouts evict buckets
+    ``state_ttl_ms`` past their last arrival, so state is bounded by
+    (active buckets per horizon), not stream lifetime.
+
+    Output (append): one row per (document x band) —
+    (doc_id, ts, band, is_dup). A document is a near-duplicate if ANY
+    band flags it; reduce with ``near_dup_verdicts`` (windowed OR) or
+    a batch groupBy over a bounded sink.
+
+    Documented bounded-state trades (the streaming analogues of the
+    batch pipeline's probabilistic recall): (1) only the bucket
+    REPRESENTATIVE is kept — two near-dups that both arrive after an
+    unrelated doc claimed their bucket are not paired through that
+    band (the other bands usually catch them); (2) a near-dup of a
+    representative evicted past the horizon is re-admitted, exactly
+    like the exact-dedup horizon trade; (3) within one micro-batch,
+    rows are ordered by (ts, id) before the representative is chosen,
+    so results are deterministic per batch composition."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from riskloc_spark.operators.dedup import (
+        minhash_signature_col,
+        xxhash64_fn,
+    )
+
+    hash_fn = hash_fn or xxhash64_fn
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature_col(
+        F.col(text_col), num_hashes=num_hashes, hash_fn=hash_fn
+    )
+    banded = (
+        docs.withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col), F.col(ts_col), sig.alias("__sig")
+        )
+        .select(
+            id_col,
+            ts_col,
+            "__sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            # same bucket mechanism as the batch
+                            # pipeline (minhash_lsh_dedup): hash of the
+                            # comma-joined band rows — so the portable
+                            # md5 hash_fn makes the whole stream
+                            # SQL-replayable
+                            hash_fn(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.col("__sig")[
+                                            b * rows_per_band + r
+                                        ].cast("string")
+                                        for r in range(rows_per_band)
+                                    ],
+                                )
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(
+            id_col,
+            ts_col,
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+            # plain name: itertuples renames _-prefixed columns
+            F.concat_ws(",", F.col("__sig").cast("array<string>")).alias(
+                "sigs"
+            ),
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("is_dup", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("rep_ts_us", T.LongType()),
+            T.StructField("rep_doc", T.LongType()),
+            T.StructField("rep_sig", T.StringType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        band = int(key[0])
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                [], columns=["doc_id", "ts", "band", "is_dup"]
+            )
+            return
+        batch = pd.concat(list(pdfs))
+        rows = []
+        if len(batch):
+            batch = batch.sort_values(["ts", "doc_id"], kind="stable")
+            if state.exists:
+                rep_ts_us, rep_doc, rep_sig = state.get
+                rep = [int(x) for x in rep_sig.split(",")]
+            else:
+                rep_ts_us = rep_doc = None
+                rep = None
+            max_ts_us = 0
+            for r in batch.itertuples(index=False):
+                ts_us = int(pd.Timestamp(r.ts).value // 1_000)
+                max_ts_us = max(max_ts_us, ts_us)
+                cur = [int(x) for x in r.sigs.split(",")]
+                if rep is None:
+                    rep, rep_ts_us, rep_doc = cur, ts_us, int(r.doc_id)
+                    rows.append((int(r.doc_id), r.ts, band, False))
+                    continue
+                agree = sum(a == b for a, b in zip(cur, rep)) / len(rep)
+                rows.append(
+                    (int(r.doc_id), r.ts, band,
+                     bool(agree >= jaccard_threshold)),
+                )
+            state.update(
+                (rep_ts_us, rep_doc, ",".join(str(x) for x in rep))
+            )
+            state.setTimeoutTimestamp(max_ts_us // 1_000 + state_ttl_ms)
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "ts", "band", "is_dup"]
+        )
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def near_dup_verdicts(flags: DataFrame) -> DataFrame:
+    """Per-document OR-reduction of the band-level near-dup flags — a
+    plain groupBy for batch frames (e.g. the collected availableNow
+    output of ``near_dup_events_stream``). On a live stream, run this
+    as a windowed aggregation over the flag stream or inside a
+    foreachBatch sink."""
+    return flags.groupBy("doc_id").agg(
+        F.max("is_dup").alias("is_near_dup")
+    )

@@ -437,3 +437,172 @@ def test_streaming_dedup_state_eviction(spark, tmp_path):
     assert counts[200] == 1, counts  # in-horizon duplicate dropped
     assert counts[100] == 2, counts  # evicted key re-emitted
     assert counts[300] == 1 and counts[400] == 1, counts
+
+
+def test_streaming_near_dup_flags_planted_edits(spark, tmp_path):
+    """Streaming NEAR-dup suppression (round 8): planted small-edit
+    copies are flagged through the LSH-bucket stateful operator while
+    distinct documents pass, in one availableNow batch; the earliest
+    (ts, id) per cluster is retained (its verdict is False)."""
+    import uuid
+    from datetime import datetime
+
+    import pandas as pd
+
+    from riskloc_spark.streaming.pipeline import (
+        near_dup_events_stream,
+        near_dup_verdicts,
+    )
+
+    base = datetime(2024, 1, 10, 12, 0, 0)
+    # DISJOINT 40-word vocabularies per original (overlapping windows
+    # would make the originals near-dups of each other)
+    words = [f"w{i}" for i in range(400)]
+
+    def doc(doc_id, minutes, text):
+        return {
+            "doc_id": doc_id,
+            "ts": pd.Timestamp(base) + pd.Timedelta(minutes=minutes),
+            "text": text,
+        }
+
+    originals = {
+        i: " ".join(words[(i // 2) * 40: (i // 2) * 40 + 40])
+        for i in range(0, 12, 2)
+    }
+    rows = [doc(i, i, t) for i, t in originals.items()]
+    # near-dup partner per original: 2 word edits, LATER timestamp
+    for i, t in originals.items():
+        toks = t.split()
+        toks[5], toks[20] = "edited", "tokens"
+        rows.append(doc(100 + i, 30 + i, " ".join(toks)))
+    # distinct background docs
+    for i in range(200, 205):
+        rows.append(
+            doc(i, 15, " ".join(f"u{i}x{j}" for j in range(40)))
+        )
+
+    src = tmp_path / "docs"
+    spark.createDataFrame(pd.DataFrame(rows)).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    schema = "doc_id long, ts timestamp, text string"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    # 16 bands x 2 rows: per-band collision probability j^2 makes a
+    # missed bucket across all bands vanishingly rare at j ~ 0.7-0.9
+    # (8x4 banding left pair 8 with zero shared bands — the standard
+    # LSH recall/precision dial, exactly as in the batch pipeline)
+    flags = near_dup_events_stream(
+        stream, bands=16, jaccard_threshold=0.5
+    )
+    sink = f"near_dup_{uuid.uuid4().hex[:8]}"
+    q = (
+        flags.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish"
+    verdicts = {
+        r["doc_id"]: r["is_near_dup"]
+        for r in near_dup_verdicts(spark.table(sink)).collect()
+    }
+    for i in originals:
+        assert verdicts[i] is False, f"original {i} wrongly flagged"
+        assert verdicts[100 + i] is True, f"edit copy {100+i} missed"
+    for i in range(200, 205):
+        assert verdicts[i] is False, f"distinct doc {i} wrongly flagged"
+
+
+def test_streaming_near_dup_state_eviction(spark, tmp_path):
+    """The horizon trade, pinned for the NEAR-dup operator exactly as
+    for exact dedup: a near-copy arriving while its bucket's
+    representative is in state is flagged; after the representative's
+    bucket aged past the TTL (event-time timeout), a fresh near-copy is
+    re-admitted (is_near_dup False). Staged mtime-ordered files,
+    maxFilesPerTrigger=1, late data two triggers after the
+    watermark-advancing data."""
+    import os
+    import shutil
+    import uuid
+    from datetime import datetime
+
+    import pandas as pd
+
+    from riskloc_spark.streaming.pipeline import (
+        near_dup_events_stream,
+        near_dup_verdicts,
+    )
+
+    T0 = datetime(2024, 1, 10, 12, 0, 0)
+    # K and R use DISJOINT vocabularies (an overlap would let R's
+    # representative catch K's near-copy through a shared bucket)
+    words = [f"v{i}" for i in range(120)]
+    text = " ".join(words[:40])
+    r_text = " ".join(words[40:80])
+    near = text.split()
+    near[3], near[17] = "edited", "tokens"
+    near_text = " ".join(near)
+
+    def doc(doc_id, hours_before, t):
+        return {
+            "doc_id": doc_id,
+            "ts": pd.Timestamp(T0) - pd.Timedelta(hours=hours_before),
+            "text": t,
+        }
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    # A: old original K (10h before max), recent original R (0.5h), a
+    # max-ts filler. Watermark after A = T0 - 2h; K's buckets (TTL =
+    # its event time + 2h = T0 - 8h) are evictable, R's are not.
+    a = pd.DataFrame(
+        [
+            doc(1, 10.0, text),
+            doc(2, 0.5, r_text),
+            doc(3, 0.0, " ".join(f"f{j}" for j in range(40))),
+        ]
+    )
+    # B: filler above the watermark — its trigger evicts K's buckets
+    b = pd.DataFrame([doc(4, 0.2, " ".join(f"g{j}" for j in range(40)))])
+    # C: fresh-ts near-copies: K's buckets were evicted -> re-admitted
+    # (False); R's representative is live -> flagged (True)
+    r_near = " ".join(
+        ["edited" if j == 2 else w for j, w in enumerate(words[40: 80])]
+    )
+    c = pd.DataFrame([doc(10, 0.3, near_text), doc(11, 0.25, r_near)])
+    for i, (name, pdf) in enumerate([("a", a), ("b", b), ("c", c)]):
+        tmp = tmp_path / f"{name}.dir"
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        part = [f for f in os.listdir(tmp) if f.startswith("part-")][0]
+        dst = stream_dir / f"{name}.parquet"
+        shutil.move(str(tmp / part), str(dst))
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    schema = "doc_id long, ts timestamp, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    flags = near_dup_events_stream(
+        stream, bands=16, jaccard_threshold=0.5
+    )
+    sink = f"near_dup_ev_{uuid.uuid4().hex[:8]}"
+    q = (
+        flags.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish"
+    verdicts = {
+        r["doc_id"]: r["is_near_dup"]
+        for r in near_dup_verdicts(spark.table(sink)).collect()
+    }
+    assert verdicts[10] is False, "evicted bucket must re-admit"
+    assert verdicts[11] is True, "live representative must flag the copy"
