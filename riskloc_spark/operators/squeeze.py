@@ -539,6 +539,17 @@ def _locate_all(
         for c in range(n_cl):
             sel = (F.col("__cl") == c) | F.col("__nm")
             aggs.append(F.sum((F.col("__cl") == c).cast("int")).alias(f"ne_{c}"))
+            # per-element universe terms (round 8): the per-cuboid
+            # cluster+normal count and sum-of-|real-predict| used to ride
+            # a SEPARATE full pass over the 81M-row explode (the `uni`
+            # aggregation); summing per-element here and re-aggregating
+            # the tiny stats frame by cid removes that whole scan
+            aggs.append(F.sum(sel.cast("long")).alias(f"cnt_{c}"))
+            aggs.append(
+                F.sum(
+                    F.when(sel, F.abs(F.col("real") - F.col("predict")))
+                ).alias(f"sad_{c}")
+            )
             if derived:
                 aggs += [
                     F.sum(F.when(sel, F.col("real_a"))).alias(f"Va_{c}"),
@@ -706,17 +717,15 @@ def _locate_all(
                 f"cluster int, cid int, elem string, __rank int, {rp_schema}",
             )
 
+            # universe totals from the per-element stats (one tiny agg
+            # that reuses the stats exchange — no extra pass over ex)
             uni_aggs = []
             for c in plans:
-                selc = (F.col("__cl") == c) | F.col("__nm")
-                uni_aggs.append(F.sum(selc.cast("long")).alias(f"cnt_{c}"))
-                uni_aggs.append(
-                    F.sum(
-                        F.when(selc, F.abs(F.col("real") - F.col("predict")))
-                    ).alias(f"sad_{c}")
-                )
+                uni_aggs.append(F.sum(f"cnt_{c}").alias(f"cnt_{c}"))
+                uni_aggs.append(F.sum(f"sad_{c}").alias(f"sad_{c}"))
             uni = {
-                r["cid"]: r for r in ex.groupBy("cid").agg(*uni_aggs).collect()
+                r["cid"]: r
+                for r in stats.groupBy("cid").agg(*uni_aggs).collect()
             }
 
             joined = (

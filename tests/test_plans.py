@@ -443,3 +443,22 @@ def test_ivfpq_serving_plan_shape(spark):
     # (broadcast side only); the index join (id) may add one when not
     # pre-materialized
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_trigram_lm_plan_shape(spark):
+    """trigram_lm_scores contract: the persisted count table serves both
+    the prefix totals and the probability join (2 InMemoryTableScans
+    after materialization), the probability table BROADCASTS to the
+    per-doc join, and no Python appears anywhere (pure column
+    expressions)."""
+    from riskloc_spark.functions.text import trigram_lm_scores
+
+    d = load_table(spark, SF_DIR, "documents")
+    out = trigram_lm_scores(d)
+    out.count()  # materialize the count-table cache
+    out2 = trigram_lm_scores(d)
+    out2.count()
+    plan = plan_str(out2)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan  # no Python UDFs of any kind
