@@ -1631,8 +1631,11 @@ def streaming_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ts"),
         )
     )
+    # 8 bands (the operator default): the stateful op is group-count-
+    # bound (one Python update() per (band, bucket)), so the gate keeps
+    # the group count at docs x 8
     flags = near_dup_events_stream(
-        stream, bands=16, jaccard_threshold=0.5, hash_fn=md5_hash64
+        stream, bands=8, jaccard_threshold=0.5, hash_fn=md5_hash64
     )
     qname = "streaming_near_dup_" + uuid.uuid4().hex[:8]
     q = (
@@ -2700,7 +2703,7 @@ def _minhash_pairs_sql(src: str = "documents") -> str:
 
 def _streaming_near_dup_sql() -> str:
     """DuckDB twin of streaming_near_dup_q: the md5-portable minhash
-    machinery of _minhash_pairs_sql with 16 bands x 2 rows, then the
+    machinery of _minhash_pairs_sql with 8 bands x 4 rows, then the
     single-batch stateful semantics — per (band, bucket) the
     representative is the earliest arrival (== MIN(doc_id): ts is
     monotone in doc_id), the representative emits is_dup 0, and every
@@ -2729,8 +2732,8 @@ def _streaming_near_dup_sql() -> str:
           GROUP BY doc_id, k
         ),
         bands AS (
-          SELECT doc_id, k // 2 AS band, {h_band} AS bucket
-          FROM sigs GROUP BY doc_id, k // 2
+          SELECT doc_id, k // 4 AS band, {h_band} AS bucket
+          FROM sigs GROUP BY doc_id, k // 4
         ),
         rep AS (
           SELECT band, bucket, MIN(doc_id) AS rep_doc

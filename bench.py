@@ -100,7 +100,12 @@ BENCH_QUERIES = [
     "streaming_kpi_append",
     "streaming_ewma",
     "streaming_dedup",
-    "streaming_near_dup",
+    # streaming_near_dup is excluded from the headline set: a full
+    # streaming-query lifecycle (checkpoint + state stores + two
+    # stateful shuffles) costs ~25s at sf0.1 regardless of data size —
+    # timing it twice here would measure stream-harness overhead, not
+    # engine work; the correctness gate still checks it end-to-end at
+    # sf0.01 (same precedent as embedding_near_dup_exact)
     "q4_priority_semi",
     "q_customers_without_orders",
     "events_rollup",

@@ -529,14 +529,27 @@ def minhash_signature_col(
     aggregation, so it composes with Structured Streaming's stateful
     operators (a groupBy-based signature would be a streaming
     aggregation, and Spark forbids stateful ops downstream of one).
-    Batch pipelines should prefer ``minhash_signatures`` (explode+agg:
-    Catalyst's projection collapse re-shingles the text once per
-    permutation in this form — acceptable at streaming num_hashes=16,
-    measured 2.5x slower at batch num_hashes=32)."""
+
+    Shape note (round 8): ONE ``F.aggregate`` fold over the shingle
+    array with an elementwise-min accumulator — the lambda binds each
+    shingle once, so the shingling (normalize/split/slice/concat) runs
+    once per shingle. The per-permutation ``array_min(transform(...))``
+    formulation looks equivalent but Catalyst's projection collapse
+    inlines the WHOLE shingle expression into every permutation branch
+    (the round-1 minhash finding), which made the streaming gate ~10x
+    slower than this fold. Batch pipelines still prefer
+    ``minhash_signatures`` (explode + groupBy: hashes each shingle
+    once per permutation but with map-side combine and codegen)."""
     sh = shingles(text, shingle_n)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: hash_fn(s, k)))
-            for k in range(num_hashes)
-        ]
+    init = F.array(
+        *([F.lit(9223372036854775807).cast("long")] * num_hashes)
+    )
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, sv: F.zip_with(
+            acc,
+            F.array(*[hash_fn(sv, k) for k in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
     )

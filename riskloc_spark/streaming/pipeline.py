@@ -348,8 +348,15 @@ def near_dup_events_stream(
     sig = minhash_signature_col(
         F.col(text_col), num_hashes=num_hashes, hash_fn=hash_fn
     )
+    # fan out before the signature projection: a single-file micro-batch
+    # arrives as ONE partition and the minhash fold is the CPU cost of
+    # this operator — the round-robin exchange of raw docs is cheap next
+    # to serializing the hashing (the streaming analogue of the batch
+    # spread_small_scan)
+    par = docs.sparkSession.sparkContext.defaultParallelism
     banded = (
-        docs.withWatermark(ts_col, watermark)
+        docs.repartition(par)
+        .withWatermark(ts_col, watermark)
         .select(
             F.col(id_col), F.col(ts_col), sig.alias("__sig")
         )
@@ -412,41 +419,53 @@ def near_dup_events_stream(
         ]
     )
 
+    empty = pd.DataFrame([], columns=["doc_id", "ts", "band", "is_dup"])
+
     def update(key, pdfs, state):
+        # most buckets hold one or two rows: plain-list row handling
+        # (no pd.concat / sort_values per group) — the per-group Python
+        # cost is what bounds this operator's throughput (group-count-
+        # bound, like any fine-keyed stateful op)
         band = int(key[0])
         if state.hasTimedOut:
             state.remove()
-            yield pd.DataFrame(
-                [], columns=["doc_id", "ts", "band", "is_dup"]
-            )
+            yield empty
             return
-        batch = pd.concat(list(pdfs))
+        recs = []
+        for pdf in pdfs:
+            if len(pdf):
+                ids = pdf["doc_id"].tolist()
+                tss = pdf["ts"].tolist()
+                sgs = pdf["sigs"].tolist()
+                recs.extend(zip(tss, ids, sgs))
         rows = []
-        if len(batch):
-            batch = batch.sort_values(["ts", "doc_id"], kind="stable")
+        if recs:
+            recs.sort(key=lambda r: (r[0], r[1]))
             if state.exists:
                 rep_ts_us, rep_doc, rep_sig = state.get
-                rep = [int(x) for x in rep_sig.split(",")]
+                rep = rep_sig.split(",")
             else:
                 rep_ts_us = rep_doc = None
                 rep = None
             max_ts_us = 0
-            for r in batch.itertuples(index=False):
-                ts_us = int(pd.Timestamp(r.ts).value // 1_000)
-                max_ts_us = max(max_ts_us, ts_us)
-                cur = [int(x) for x in r.sigs.split(",")]
+            for ts, doc_id, sigstr in recs:
+                ts_us = int(pd.Timestamp(ts).value // 1_000)
+                if ts_us > max_ts_us:
+                    max_ts_us = ts_us
                 if rep is None:
-                    rep, rep_ts_us, rep_doc = cur, ts_us, int(r.doc_id)
-                    rows.append((int(r.doc_id), r.ts, band, False))
+                    # string-level signature compare: the joined sig
+                    # string splits once, no int parsing needed
+                    rep = sigstr.split(",")
+                    rep_ts_us, rep_doc = ts_us, int(doc_id)
+                    rows.append((int(doc_id), ts, band, False))
                     continue
+                cur = sigstr.split(",")
                 agree = sum(a == b for a, b in zip(cur, rep)) / len(rep)
                 rows.append(
-                    (int(r.doc_id), r.ts, band,
+                    (int(doc_id), ts, band,
                      bool(agree >= jaccard_threshold)),
                 )
-            state.update(
-                (rep_ts_us, rep_doc, ",".join(str(x) for x in rep))
-            )
+            state.update((rep_ts_us, rep_doc, ",".join(rep)))
             state.setTimeoutTimestamp(max_ts_us // 1_000 + state_ttl_ms)
         yield pd.DataFrame(
             rows, columns=["doc_id", "ts", "band", "is_dup"]
