@@ -422,6 +422,11 @@ def media_features(
     from riskloc_spark.operators.gif import decode_gif_frames, expand_gif_palette
     from riskloc_spark.operators.jpeg import decode_jpeg
 
+    # capture at call time: the closure ships the budget to executors
+    # (a module-global read inside the worker would see the worker's own
+    # import, not the driver's setting)
+    budget = MAX_DECODE_BYTES
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
@@ -433,7 +438,7 @@ def media_features(
                         _png_feature(decoded_samples(decoded), dim).tolist()
                     )
                     continue
-                if len(b) <= MAX_DECODE_BYTES:
+                if len(b) <= budget:
                     gif = decode_gif_frames(b)
                     if gif is not None:
                         # frame 0's expanded RGB — Pillow's mode-'P'
@@ -490,6 +495,7 @@ def resize_media(
         ]
     )
     target_len = width * height // 64  # deterministic stand-in size
+    budget = MAX_DECODE_BYTES  # call-time capture (see media_features)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -526,7 +532,7 @@ def resize_media(
                         }
                     )
                     continue
-                jpg = decode_jpeg(b) if len(b) <= MAX_DECODE_BYTES else None
+                jpg = decode_jpeg(b) if len(b) <= budget else None
                 if jpg is not None:
                     # real resample on true pixels, re-encoded as a
                     # baseline 4:4:4 JPEG
@@ -549,7 +555,7 @@ def resize_media(
                     )
                     continue
                 gif = (
-                    decode_gif_frames(b) if len(b) <= MAX_DECODE_BYTES else None
+                    decode_gif_frames(b) if len(b) <= budget else None
                 )
                 if gif is not None:
                     # nearest on the frame-0 index plane (the only
@@ -607,6 +613,8 @@ def sample_frames(
     from riskloc_spark.operators.gif import decode_gif_frames, encode_gif
     from riskloc_spark.operators.png import decode_apng_frames, encode_png
 
+    budget = MAX_DECODE_BYTES  # call-time capture (see media_features)
+
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -636,7 +644,7 @@ def sample_frames(
                         )
                     continue
                 gif = (
-                    decode_gif_frames(b) if len(b) <= MAX_DECODE_BYTES else None
+                    decode_gif_frames(b) if len(b) <= budget else None
                 )
                 if gif is not None and all(
                     (fr["x"], fr["y"], fr["w"], fr["h"])

@@ -210,3 +210,38 @@ def test_curate_corpus_near_dup_collapses_groups(spark):
     # the a~b~c chain keeps exactly its min id
     assert 1 in kept and 2 not in kept and 3 not in kept
     assert 5 in kept
+
+
+def test_minhash_signature_col_matches_groupby_signatures(spark):
+    """The projection-only fold signature (streaming path) must be
+    bit-identical to the explode+groupBy batch signatures for both hash
+    families (round 8: the fold replaced a projection-collapse-prone
+    per-permutation form)."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.data import load_table
+    from riskloc_spark.operators.dedup import (
+        md5_hash64,
+        minhash_signature_col,
+        minhash_signatures,
+        xxhash64_fn,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    for fn in (xxhash64_fn, md5_hash64):
+        a = {
+            r["doc_id"]: list(r["sig"])
+            for r in d.select(
+                "doc_id",
+                minhash_signature_col(
+                    F.col("text"), num_hashes=16, hash_fn=fn
+                ).alias("sig"),
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: list(r["sig"])
+            for r in minhash_signatures(
+                d, num_hashes=16, hash_fn=fn
+            ).collect()
+        }
+        assert a == b

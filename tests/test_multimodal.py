@@ -288,3 +288,31 @@ def test_parse_image_header_never_raises_on_arbitrary_bytes():
             assert out is None or isinstance(out, dict)
 
     run()
+
+
+def test_decode_byte_budget_falls_back_to_stub(spark, monkeypatch):
+    """GIF/JPEG payloads over MAX_DECODE_BYTES take the stub-feature
+    path (their entropy decoders are per-symbol Python — a huge payload
+    would stall an executor task); under budget they decode for real.
+    The kernels capture the budget AT CALL TIME so the closure ships it
+    to executors — which is also what lets this test shrink it instead
+    of building a multi-megabyte payload."""
+    import numpy as np
+
+    from riskloc_spark.operators import multimodal as mm
+    from riskloc_spark.operators.gif import decode_gif_frames, encode_gif
+
+    idx = np.arange(64).reshape(8, 8) % 8
+    pal = (np.arange(24).reshape(8, 3) * 10 % 256).astype(np.uint8)
+    payload = encode_gif([idx], pal)
+    assert decode_gif_frames(payload) is not None  # sanity: decodable
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    real = mm.media_features(df, dim=8).collect()[0]["feature"]
+    monkeypatch.setattr(mm, "MAX_DECODE_BYTES", len(payload) - 1)
+    stub = mm.media_features(df, dim=8).collect()[0]["feature"]
+    # over budget: the content-hash stub vector (unit norm), not pixels
+    assert real != stub
+    assert abs(sum(x * x for x in stub) - 1.0) < 1e-3
