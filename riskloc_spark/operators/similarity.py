@@ -452,9 +452,17 @@ def pq_encode(
         import numpy as np
 
         x = np.stack(v.to_numpy()).astype(np.float64)
-        xs = x.reshape(len(x), M, 1, ds)
-        d = ((xs - CB[None, :, :, :]) ** 2).sum(axis=3)  # (b, M, K)
-        return pd.Series(list(d.argmin(axis=2).tolist()))
+        xs = x.reshape(len(x), M, ds)
+        # per-subspace loop: identical float ops to the one-shot
+        # broadcast (same subtract/square/sum-last-axis order per
+        # element) but the temporary is (b, K, ds) instead of
+        # (b, M, K, ds) — the one-shot form allocated ~650 MB per
+        # 10k-row Arrow batch and was the ann bench's variance hotspot
+        codes = np.empty((len(x), M), dtype=np.int64)
+        for m in range(M):
+            d = ((xs[:, m, None, :] - CB[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = d.argmin(axis=1)
+        return pd.Series(list(codes.tolist()))
 
     return spread_small_scan(corpus).select(
         F.col(id_col), encode(F.col(vec_col)).alias("__code")
@@ -525,8 +533,12 @@ def pq_knn(
         import numpy as np
 
         x = np.stack(v.to_numpy()).astype(np.float64)
-        xs = x.reshape(len(x), M, 1, ds)
-        d = ((xs - CB[None, :, :, :]) ** 2).sum(axis=3)
+        xs = x.reshape(len(x), M, ds)
+        d = np.empty((len(x), M, K), dtype=np.float64)
+        for m in range(M):  # same per-subspace loop as pq_encode
+            d[:, m, :] = (
+                (xs[:, m, None, :] - CB[m][None, :, :]) ** 2
+            ).sum(axis=2)
         return pd.Series(list(d.tolist()))
 
     if coded is None:
@@ -689,8 +701,12 @@ def ivfpq_knn(
         import numpy as np
 
         x = np.stack(v.to_numpy()).astype(np.float64)
-        xs = x.reshape(len(x), M, 1, ds)
-        d = ((xs - CB[None, :, :, :]) ** 2).sum(axis=3)
+        xs = x.reshape(len(x), M, ds)
+        d = np.empty((len(x), M, K), dtype=np.float64)
+        for m in range(M):  # same per-subspace loop as pq_encode
+            d[:, m, :] = (
+                (xs[:, m, None, :] - CB[m][None, :, :]) ** 2
+            ).sum(axis=2)
         return pd.Series(list(d.tolist()))
 
     if coded is not None and "__cell" in coded.columns:
