@@ -982,15 +982,19 @@ def evaluation_f1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_real = Window.partitionBy("event_type").orderBy(
         F.col("real").desc(), F.col("hr").asc(), F.col("ub").asc()
     )
-    # persist the (tiny) ranked frame: labels, preds, the dup branch and
-    # the bounds all reuse it — without the cache the events scan + rca
+    # materialize the (tiny) ranked frame: labels, preds, the dup branch
+    # and the bounds all reuse it — without it the events scan + rca
     # aggregation re-derive ~8x (the round-4 scalar-subquery lineage
-    # blowup: 40 scans / 89 exchanges -> 1 scan through the cache)
+    # blowup: 40 scans / 89 exchanges -> 1 scan). localCheckpoint, not
+    # persist: a lazy result frame means no unpersist hook exists, and a
+    # CacheManager entry would leak for the session; the checkpointed
+    # RDD is ContextCleaner-reclaimed once the frame is GC'd (round 9,
+    # same pattern as trigram_lm_scores)
     ranked = (
         rca.withColumn("rn_dev", F.row_number().over(w_dev))
         .withColumn("rn_real", F.row_number().over(w_real))
         .filter((F.col("rn_dev") <= 2) | (F.col("rn_real") <= 3))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # every event_type has an rn_dev=1 row, so the bounds of the ranked
     # frame equal the bounds of the full frame
@@ -5696,7 +5700,12 @@ def oracle_sql() -> dict[str, str]:
             -- np.histogram uniform fast path, bit-exact: idx=trunc(g*12),
             -- clamp 12->11, then the linspace-edge corrections (edges[i]
             -- = i*(1/12) for i<=11; edges[12]=1.0 is never referenced
-            -- because the increment check requires idx != 11)
+            -- because the increment check requires idx != 11).
+            -- b1*(1e0/12) replicates np.linspace EXACTLY by construction,
+            -- not just empirically: numpy 1.26's linspace takes the
+            -- y *= step branch (step = fl(1/12) != 0; the (i*delta)/div
+            -- branch only fires for step == 0 denormals), so edges[i] =
+            -- i*fl(1/12) — verified bitwise for all 13 edges (round 9)
             binned AS (
               SELECT v.media_id,
                      CASE

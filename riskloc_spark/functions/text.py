@@ -123,7 +123,10 @@ def bpe_token_count(text: Column) -> Column:
 
 
 def trigram_lm_scores(
-    docs, text_col: str = "text", id_col: str = "doc_id"
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab_limit: int = 2_000_000,
 ):
     """Corpus-conditional character-trigram language-model quality score
     (round 8) — the classic no-model fluency signal an LLM corpus
@@ -137,13 +140,20 @@ def trigram_lm_scores(
     the LLM-data-pipeline surface alongside quality_score / lang_id.
 
     Fully declarative and scale-shaped: the corpus is scanned exactly
-    TWICE — once to build the (persisted) trigram-count table, whose
-    prefix (bigram) totals are a second tiny groupBy over that table,
-    and once to score each document against the broadcast
-    probabilities; the count table is bounded by the distinct-trigram
-    vocabulary (thousands-to-millions of rows regardless of corpus
-    size), so it broadcasts to the per-doc join at any corpus scale.
-    Documents shorter than 3 characters have no trigrams and are
+    TWICE — once to build the trigram-count table, whose prefix
+    (bigram) totals are a second tiny groupBy over that table, and
+    once to score each document against the per-trigram probabilities.
+    The count table is bounded by the distinct-trigram vocabulary
+    (thousands-to-millions of rows for typical corpora) — the vocab
+    size is PROBED, not assumed: up to ``broadcast_vocab_limit``
+    distinct trigrams the probability table broadcasts to the per-doc
+    join; past it (multilingual / CJK corpora can push distinct
+    character trigrams beyond any broadcast budget) the join falls
+    back to a shuffle on the trigram key. The probed count doubles as
+    the materialization action for a localCheckpoint of the (tiny)
+    probability table, so the corpus-scan cache is released before the
+    caller consumes the lazy result — no persisted RDD outlives the
+    call. Documents shorter than 3 characters have no trigrams and are
     absent from the output (nothing to score — both engines agree).
 
     Returns (id_col, n_trigrams, avg_logprob): avg_logprob in
@@ -163,23 +173,38 @@ def trigram_lm_scores(
             ).alias("tri"),
         )
     )
-    # persist the (bounded-vocabulary) count table: it feeds BOTH the
-    # prefix totals and the probability join — uncached, Catalyst
-    # re-derives the full corpus explode for each, so the text would
-    # scan three times instead of twice (once to count, once to score)
+    # persist the (bounded-vocabulary) count table while building the
+    # probability table: it feeds BOTH the prefix totals and the join —
+    # uncached, Catalyst re-derives the full corpus explode for each,
+    # so the text would scan three times instead of twice
     c3 = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c3")).persist()
-    c2 = (
-        c3.groupBy(F.substring("tri", 1, 2).alias("pre"))
-        .agg(F.sum("c3").alias("c2"))
-    )
-    probs = c3.join(
-        c2, F.substring(c3["tri"], 1, 2) == c2["pre"]
-    ).select(
-        "tri",
-        (F.col("c3").cast("double") / F.col("c2")).alias("p"),
+    try:
+        # the action that materializes the cache IS the broadcast guard
+        n_vocab = c3.count()
+        c2 = (
+            c3.groupBy(F.substring("tri", 1, 2).alias("pre"))
+            .agg(F.sum("c3").alias("c2"))
+        )
+        probs = c3.join(
+            c2, F.substring(c3["tri"], 1, 2) == c2["pre"]
+        ).select(
+            "tri",
+            (F.col("c3").cast("double") / F.col("c2")).alias("p"),
+        )
+        # cut lineage so c3's cache can be dropped NOW instead of
+        # leaking for the session (the returned frame is lazy); the
+        # checkpointed table is vocab-bounded, and ContextCleaner
+        # reclaims it once the result frame is garbage-collected
+        probs = probs.localCheckpoint(eager=True)
+    finally:
+        c3.unpersist()
+    joined = (
+        tris.join(F.broadcast(probs), "tri")
+        if n_vocab <= broadcast_vocab_limit
+        else tris.join(probs, "tri")
     )
     return (
-        tris.join(F.broadcast(probs), "tri")
+        joined
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),

@@ -469,6 +469,9 @@ def _weighted_mode_dist(
         ).alias("p"),
         F.col(w_col).alias("__w"),
     )
+    # pandas groupby drops NaN keys, so a null attribute value must not
+    # become a candidate mode on the distributed path
+    pairs = pairs.filter(F.col("p.val").isNotNull())
     agg = pairs.groupBy("p.attr", "p.val").agg(F.sum("__w").alias("ws"))
     wnd = Window.partitionBy("attr").orderBy(
         F.col("ws").desc(), F.col("val").asc()
@@ -858,9 +861,13 @@ def _robustspot_distributed(
                         )
                     else:
                         wexpr = F.col("ID") * F.lit(lambda_amplification)
+                    # cast('long') truncates toward zero, matching the
+                    # pandas path's .astype(int) (ref select_expand.py:75
+                    # uses int() semantics); F.floor would diverge on
+                    # negative ID*CA products (floor(-0.5) = -1, not 0)
                     af = scored.filter(filt).select(
                         *attributes,
-                        F.floor(wexpr).cast("double").alias("__w"),
+                        wexpr.cast("long").cast("double").alias("__w"),
                     )
                     if index == 0:
                         # the final merge re-reads round 0's anomalous

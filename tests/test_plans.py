@@ -446,19 +446,61 @@ def test_ivfpq_serving_plan_shape(spark):
 
 
 def test_trigram_lm_plan_shape(spark):
-    """trigram_lm_scores contract: the persisted count table serves both
-    the prefix totals and the probability join (2 InMemoryTableScans
-    after materialization), the probability table BROADCASTS to the
-    per-doc join, and no Python appears anywhere (pure column
-    expressions)."""
+    """trigram_lm_scores contract (round 9 shape): the probability
+    table is materialized once (localCheckpoint — the corpus-scan
+    cache is released before return, so repeated calls do not leak
+    persisted RDDs), it BROADCASTS to the per-doc join under the vocab
+    limit, and no Python appears anywhere (pure column expressions)."""
     from riskloc_spark.functions.text import trigram_lm_scores
 
     d = load_table(spark, SF_DIR, "documents")
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
     out = trigram_lm_scores(d)
-    out.count()  # materialize the count-table cache
-    out2 = trigram_lm_scores(d)
-    out2.count()
-    plan = plan_str(out2)
-    assert plan.count("InMemoryTableScan") >= 2, plan
+    out.count()
+    # the count-table persist must not outlive the call; the ONE
+    # surviving entry is the checkpointed vocab table, which (unlike a
+    # CacheManager persist) ContextCleaner reclaims once the result
+    # frame is garbage-collected
+    assert jsc.getPersistentRDDs().size() <= before + 1
+    plan = plan_str(out)
+    # the probability table is a checkpointed (materialized) RDD scan,
+    # not a recomputation of the corpus explode
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan  # no Python UDFs of any kind
+
+
+def test_trigram_lm_wide_vocab_shuffle_fallback(spark):
+    """Past broadcast_vocab_limit distinct trigrams the probability
+    join must fall back to a shuffle join (a multilingual/CJK 100-TB
+    corpus can push distinct character trigrams beyond any broadcast
+    budget) — and produce the same result as the broadcast path."""
+    from riskloc_spark.functions.text import trigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(i, f"abcdefgh{i:04d}xyz") for i in range(40)],
+        "doc_id long, text string",
+    )
+    # the guard's job is to stop FORCING broadcast past the vocab
+    # budget — under the limit the explicit hint overrides any
+    # threshold; past it Catalyst's own statistics decide. Disable
+    # auto-broadcast to make the two regimes observable on a tiny
+    # table (with it on, Catalyst rightly broadcasts the small side).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fast = trigram_lm_scores(docs)
+        slow = trigram_lm_scores(docs, broadcast_vocab_limit=3)
+        assert "BroadcastHashJoin" in plan_str(fast)  # hint still wins
+        plan = plan_str(slow)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    a = {r["doc_id"]: r for r in fast.collect()}
+    b = {r["doc_id"]: r for r in slow.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["n_trigrams"] == b[k]["n_trigrams"]
+        assert abs(a[k]["avg_logprob"] - b[k]["avg_logprob"]) < 1e-12

@@ -146,6 +146,36 @@ def test_robustspot_distributed_after_mining_parity_plain(spark):
     assert "b=b3" in flat
 
 
+def test_robustspot_distributed_negative_weight_parity(spark, derived_pdf):
+    """Round 9 (ADVICE): a negative contribution_ability_threshold lets
+    rows with negative ID*CA products into the anomalous set; the
+    distributed weight must use truncation-toward-zero (cast to long,
+    matching pandas .astype(int)), not floor — floor(-0.5) = -1 vs
+    int(-0.5) = 0 would break driver/distributed parity exactly here."""
+    df = spark.createDataFrame(derived_pdf)
+    kw = dict(derived=True, contribution_ability_threshold=-5.0)
+    drv = robustspot(df, ["a", "b", "c"], **kw)
+    dist = robustspot(
+        df, ["a", "b", "c"], driver_rows=10, after_rows=1, **kw
+    )
+    assert drv == dist
+
+
+def test_weighted_mode_dist_drops_null_keys(spark):
+    """Round 9 (ADVICE): pandas groupby drops NaN keys, so a null
+    attribute value must never become the distributed 'frequent item'
+    even when its weight sum dominates."""
+    from riskloc_spark.operators.robustspot import _weighted_mode_dist
+
+    df = spark.createDataFrame(
+        [(None, "b1", 100.0), (None, "b1", 100.0), ("a2", "b2", 1.0)],
+        "a string, b string, w double",
+    )
+    got = dict(_weighted_mode_dist(df, ["a", "b"], "w"))
+    assert got["a"] == "a2"  # not None, despite weight 200 vs 1
+    assert got["b"] == "b1"
+
+
 def test_robustspot_wide_cardinality_localizes(spark):
     """A wide-cardinality instance that previously raised (leaf frame >
     driver_rows) now localizes via the distributed path."""
