@@ -354,6 +354,57 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(d).select("doc_id")
 
 
+def _boilerplate_framed(d: DataFrame) -> DataFrame:
+    """The synthetic paragraph corpus for the paragraph-dedup gates: the
+    test documents have no blank lines, so frame each one with a
+    per-source header and per-lang footer paragraph — the classic
+    boilerplate shape (20 shared headers + 5 shared footers across 500+
+    otherwise-distinct pages), built from the REAL table so the oracle
+    can reconstruct it verbatim."""
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("share this page on "),
+            F.col("source"),
+            F.lit("\n\n"),
+            F.col("text"),
+            F.lit("\n\n"),
+            F.lit("copyright notice "),
+            F.col("lang"),
+        ).alias("text"),
+    )
+
+
+def dedup_paragraphs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """paragraph_dedup under the hash gate (round 9): blank-line split,
+    whitespace-normalized keys, corpus-wide keep-first by (doc_id,
+    position) — every surviving (doc_id, para_idx, para) row compared.
+    The boilerplate header/footer paragraphs must survive exactly once
+    each, at their smallest (doc_id, position)."""
+    from riskloc_spark.operators.dedup import paragraph_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    out = paragraph_dedup(_boilerplate_framed(d))
+    return out.select(
+        "doc_id",
+        F.col("para_idx").cast("int").alias("para_idx"),
+        "para",
+    )
+
+
+def dedup_paragraphs_rebuild_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remove_duplicate_paragraphs under the hash gate: documents
+    reassembled from surviving paragraphs in original order (the
+    array_sort(collect_list(struct)) ordering seam vs the oracle's
+    string_agg ORDER BY), boilerplate-only documents absent."""
+    from riskloc_spark.operators.dedup import remove_duplicate_paragraphs
+
+    d = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_paragraphs(_boilerplate_framed(d)).select(
+        "doc_id", "text"
+    )
+
+
 def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
@@ -2404,6 +2455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "token_stats": token_stats_q,
         "dedup_exact": dedup_exact_q,
+        "dedup_paragraphs": dedup_paragraphs_q,
+        "dedup_paragraphs_rebuild": dedup_paragraphs_rebuild_q,
         "knn_bruteforce": knn_bruteforce_q,
         "adtributor_elements": adtributor_elements,
         "adtributor_candidates": adtributor_candidates_q,
@@ -2482,6 +2535,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 _RCA_CTE = f"rca AS ({RCA_EVENTS_SQL})"
+
+# DuckDB twin of paragraph_dedup over the boilerplate-framed corpus
+# (_boilerplate_framed): PARAGRAPH_BOUNDARY / normalization / blank
+# filter verbatim from operators/dedup.py (explicit whitespace classes,
+# engine-portable); parallel unnests zip, range() gives the 0-based raw
+# split position posexplode produces; keep-first is the row_number twin
+# of the min(struct) aggregate.
+_PARAGRAPH_CTE = r"""
+            WITH framed AS MATERIALIZED (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                       'share this page on ' || source
+                         || chr(10) || chr(10) || text || chr(10)
+                         || chr(10) || 'copyright notice ' || lang,
+                       '\n[ \t\x0B\f\r]*\n[ \t\n\x0B\f\r]*') AS ps
+              FROM documents
+            ),
+            parts AS (
+              SELECT doc_id,
+                     unnest(ps) AS para,
+                     unnest(range(0, len(ps))) AS para_idx
+              FROM framed
+            ),
+            ranked AS (
+              SELECT doc_id, para_idx, para,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY regexp_replace(lower(trim(para)),
+                         '[ \t\n\x0B\f\r]+', ' ', 'g')
+                       ORDER BY doc_id, para_idx) AS rn
+              FROM parts
+              WHERE regexp_matches(para, '[^ \t\n\x0B\f\r]')
+            )
+"""
 
 _STOPWORDS_SQL = "['the','and','of','to','a','in','is','it','that','for']"
 
@@ -4994,6 +5080,17 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             GROUP BY norm
+        """,
+        "dedup_paragraphs": _PARAGRAPH_CTE + """
+            SELECT doc_id, CAST(para_idx AS INT) AS para_idx, para
+            FROM ranked WHERE rn = 1
+        """,
+        "dedup_paragraphs_rebuild": _PARAGRAPH_CTE + """
+            SELECT doc_id,
+                   string_agg(para, chr(10) || chr(10)
+                              ORDER BY para_idx) AS text
+            FROM ranked WHERE rn = 1
+            GROUP BY doc_id
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -67,6 +67,95 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep.select(id_col), on=id_col, how="inner")
 
 
+# Paragraph boundary: a blank line — newline, optional horizontal
+# whitespace, newline — plus any run of further whitespace/newlines
+# (consecutive blank lines are ONE boundary). Explicit classes, not \s:
+# Java regex (Spark) and RE2 (DuckDB) disagree on \s for VT, so the
+# oracle twin can reuse the pattern verbatim.
+PARAGRAPH_BOUNDARY = r"\n[ \t\x0B\f\r]*\n[ \t\n\x0B\f\r]*"
+
+# a paragraph survives splitting iff it contains a non-whitespace char
+_NON_BLANK = r"[^ \t\n\x0B\f\r]"
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary: str = PARAGRAPH_BOUNDARY,
+    hash_fn=xxhash64_fn,
+) -> DataFrame:
+    """Within-and-across-document paragraph dedup: split each document
+    on blank-line boundaries and keep only the FIRST corpus-wide
+    occurrence (smallest (id, position)) of each distinct normalized
+    paragraph — the boilerplate-removal operator (repeated headers,
+    footers, navigation blocks across otherwise-distinct pages) of the
+    Lee et al. exact-substring family, at paragraph granularity. No
+    reference counterpart (the reference is tabular-only).
+
+    Returns (id_col, para_idx, para): the raw surviving paragraph and
+    its raw split position (positions are preserved so documents can be
+    reassembled in order; whitespace-only parts are dropped but still
+    consume a position). The dedup key is the whitespace-collapsed,
+    lowercased paragraph, matching exact_dedup's normalization.
+
+    Scale shape: split + posexplode are projections (no shuffle); the
+    keep-first is ONE groupBy on the paragraph hash with a min(struct)
+    aggregate. Deliberately groupBy, not a row_number window: map-side
+    partial aggregation absorbs boilerplate skew — a header present in
+    10% of a 100-TB corpus combines to one row per map task instead of
+    hot-keying a window sort partition.
+    """
+    parts = spread_small_scan(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), boundary)).alias(
+            "__i", "__p"
+        ),
+    )
+    parts = parts.filter(F.col("__p").rlike(_NON_BLANK))
+    first = parts.groupBy(
+        hash_fn(_norm_text(F.col("__p"))).alias("__h")
+    ).agg(
+        F.min(
+            F.struct(
+                F.col(id_col),
+                F.col("__i").alias("para_idx"),
+                F.col("__p").alias("para"),
+            )
+        ).alias("f")
+    )
+    return first.select(
+        F.col(f"f.{id_col}").alias(id_col),
+        F.col("f.para_idx").alias("para_idx"),
+        F.col("f.para").alias("para"),
+    )
+
+
+def remove_duplicate_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary: str = PARAGRAPH_BOUNDARY,
+    hash_fn=xxhash64_fn,
+) -> DataFrame:
+    """Rebuild each document from its surviving paragraphs (see
+    paragraph_dedup), joined by a blank line in original order — the
+    curation form of the operator: boilerplate paragraphs disappear
+    from every document except the first one that carried them, and a
+    document whose every paragraph was seen earlier drops entirely.
+    One extra shuffle (groupBy id) over paragraph_dedup."""
+    s = paragraph_dedup(df, text_col, id_col, boundary, hash_fn)
+    return s.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                lambda x: x["para"],
+            ),
+            "\n\n",
+        ).alias(text_col)
+    )
+
+
 def shingles(col, n: int = 3):
     """Word n-gram shingles as an array column (JVM-side)."""
     toks = F.split(_norm_text(col), " ")

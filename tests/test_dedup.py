@@ -245,3 +245,101 @@ def test_minhash_signature_col_matches_groupby_signatures(spark):
             ).collect()
         }
         assert a == b
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    """Boilerplate paragraphs shared across documents survive only at
+    their first (doc_id, position); unique paragraphs all survive;
+    within-document repeats keep the first position; whitespace-only
+    parts vanish but still consume a split position."""
+    from riskloc_spark.operators.dedup import paragraph_dedup
+
+    header = "subscribe to our newsletter"
+    rows = [
+        (1, f"{header}\n\nunique body one\n\n{header}"),  # repeat in-doc
+        (2, f"{header}\n\nunique body two"),
+        (3, f"unique body three\n\n \t \n\n{header}"),    # blank middle
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["para_idx"]): r["para"]
+        for r in paragraph_dedup(df).collect()
+    }
+    # header survives ONCE, at its first corpus position (doc 1, idx 0)
+    assert got[(1, 0)] == header
+    assert sum(1 for p in got.values() if p == header) == 1
+    assert got[(1, 1)] == "unique body one"
+    assert got[(2, 1)] == "unique body two"
+    assert got[(3, 0)] == "unique body three"
+    assert len(got) == 4
+
+
+def test_paragraph_dedup_normalizes_key_keeps_raw(spark):
+    """Case/whitespace variants of a paragraph are ONE key (matching
+    exact_dedup's normalization) but the surviving row carries the raw
+    first-seen text; consecutive blank lines are a single boundary."""
+    from riskloc_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "Hello   World\n\n\n\nsecond"),
+        (2, "hello world"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["para_idx"]): r["para"]
+        for r in paragraph_dedup(df).collect()
+    }
+    assert got[(1, 0)] == "Hello   World"  # raw survivor
+    assert (2, 0) not in got               # normalized dup of (1, 0)
+    assert got[(1, 1)] == "second"         # \n\n\n\n was one boundary
+    assert len(got) == 2
+
+
+def test_remove_duplicate_paragraphs_rebuilds_in_order(spark):
+    """The curation form: documents are reassembled from surviving
+    paragraphs in original order, and a document that was ALL
+    boilerplate drops entirely."""
+    from riskloc_spark.operators.dedup import remove_duplicate_paragraphs
+
+    header, footer = "shared header", "shared footer"
+    rows = [
+        (1, f"{header}\n\nbody one\n\n{footer}"),
+        (2, f"{header}\n\nbody two\n\n{footer}"),
+        (3, f"{header}\n\n{footer}"),  # pure boilerplate -> gone
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in remove_duplicate_paragraphs(df).collect()}
+    assert got[1] == f"{header}\n\nbody one\n\n{footer}"
+    assert got[2] == "body two"
+    assert 3 not in got
+
+
+def test_paragraph_dedup_composes_with_curation(spark):
+    """Pipeline composition: paragraph dedup before document-level
+    curation — boilerplate is stripped first, then the de-boilerplated
+    documents flow through curate_corpus (quality + lang + exact dedup)
+    unchanged."""
+    from riskloc_spark.operators.corpus import curate_corpus
+    from riskloc_spark.operators.dedup import remove_duplicate_paragraphs
+
+    body = (
+        "the quick brown fox jumps over the lazy dog, and it is a fine "
+        "day for all of the animals in the field."
+    )
+    boiler = "click here to subscribe and share this page with friends."
+    rows = [
+        (1, f"{boiler}\n\n{body}", "s"),
+        (2, f"{boiler}\n\n{body} some extra words on the end here.", "s"),
+        (3, boiler, "s"),  # boilerplate-only page
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    stripped = remove_duplicate_paragraphs(df)
+    # doc 1 keeps the boiler paragraph (first occurrence) + body; doc 3
+    # is gone before curation even runs
+    out = curate_corpus(
+        stripped.join(df.select("doc_id", "source"), "doc_id"),
+        min_quality=0.5,
+        lang="en",
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 2]

@@ -445,6 +445,24 @@ def test_ivfpq_serving_plan_shape(spark):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
+def test_paragraph_dedup_plan_shape(spark):
+    """paragraph_dedup contract: split + posexplode are projections and
+    the keep-first is ONE hash exchange (groupBy with map-side partial
+    aggregation — boilerplate skew combines before the shuffle, which a
+    row_number window could not), with no Python anywhere."""
+    from riskloc_spark.operators.dedup import paragraph_dedup
+
+    d = load_table(spark, SF_DIR, "documents")
+    plan = plan_str(paragraph_dedup(d))
+    # exactly one hash exchange (the keep-first groupBy); the only other
+    # exchange allowed is spread_small_scan's round-robin on tiny files
+    assert plan.count("hashpartitioning(") == 1, plan
+    # partial aggregation runs before the exchange (skew absorption)
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan
+
+
 def test_trigram_lm_plan_shape(spark):
     """trigram_lm_scores contract (round 9 shape): the probability
     table is materialized once (localCheckpoint — the corpus-scan
