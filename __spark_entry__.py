@@ -349,6 +349,45 @@ def corpus_curate_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_curate_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEMANTIC curation pipeline end-to-end under the gate (round
+    9): quality/language filters -> unit-normalize survivor embeddings
+    -> coarse cells + PQ codes (data-driven seed quantizers: the
+    normalized first-16/first-8 embeddings by vec_id, so the DuckDB
+    twin derives identical quantizers from the view — same carve-out
+    as knn_pq/knn_ivfpq; the k-means fit is covered by the recall unit
+    tests) -> co-cell pairs -> SDC code-lookup pre-filter -> exact
+    cosine >= 0.4 -> connected-components closure -> one
+    representative per group. Documents and embeddings align 1:1 by
+    id. The SDC threshold sits 0.29 above the largest true-pair SDC at
+    sf0.1 (measured), so the cross-engine float seam cannot flip an
+    output row."""
+    import numpy as np
+
+    from riskloc_spark.operators.corpus import curate_corpus_semantic
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.select("embedding", "vec_id").orderBy("vec_id").limit(16).collect()
+    )
+    seeds = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+    )
+    # sequential 64-element sums: bit-identical to the JVM fold and the
+    # oracle's list_dot_product
+    seeds = seeds / np.sqrt((seeds * seeds).sum(axis=1, keepdims=True))
+    cb = seeds[:8].reshape(8, 8, 8).transpose(1, 0, 2)
+    out = curate_corpus_semantic(
+        d, emb, min_quality=0.5, lang="en", cos_threshold=0.4,
+        centroids=seeds, codebooks=cb,
+    )
+    return out.select(
+        "doc_id", "source",
+        F.round("quality", 6).alias("quality"), "lang_pred",
+    )
+
+
 def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return exact_dedup(d).select("doc_id")
@@ -2519,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_exact": embedding_near_dup_exact,
         "corpus_curate": corpus_curate_q,
         "corpus_curate_near_dup": corpus_curate_near_dup_q,
+        "corpus_curate_semantic": corpus_curate_semantic_q,
         "riskloc_rca": riskloc_rca,
         "riskloc_rca_derived": riskloc_rca_derived,
         "autoroot_rca": autoroot_rca,
@@ -5037,6 +5077,100 @@ def oracle_sql() -> dict[str, str]:
               WHERE s.quality >= 0.5 AND s.lang_pred = 'en'
             ),
             pairs AS ({_minhash_pairs_sql(src="kept")}),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, r) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+            ),
+            comp AS (SELECT id, MIN(r) AS group_id FROM reach GROUP BY id)
+            SELECT k.doc_id, k.source,
+                   round(k.quality, 6) + 0e0 AS quality, k.lang_pred
+            FROM kept k LEFT JOIN comp ON comp.id = k.doc_id
+            WHERE COALESCE(comp.group_id, k.doc_id) = k.doc_id
+        """,
+        "corpus_curate_semantic": f"""
+            WITH RECURSIVE {_TEXT_STATS_CTE},
+            kept AS MATERIALIZED (
+              SELECT s.doc_id, s.source, s.quality, s.lang_pred
+              FROM scored_docs s
+              WHERE s.quality >= 0.5 AND s.lang_pred = 'en'
+            ),
+            -- unit-normalized survivor embeddings (sequential
+            -- list_dot_product = the operator's JVM fold)
+            ne AS MATERIALIZED (
+              SELECT e.vec_id,
+                     list_transform(e.embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(
+                         e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS nv,
+                     e.embedding::DOUBLE[] AS ee
+              FROM embeddings e JOIN kept k ON e.vec_id = k.doc_id
+            ),
+            -- seed quantizers: normalized first 16 embeddings by vec_id
+            seeds16 AS MATERIALIZED (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(
+                         embedding::DOUBLE[], embedding::DOUBLE[]))) AS ce
+              FROM embeddings ORDER BY vec_id LIMIT 16
+            ),
+            ms AS (SELECT unnest(range(0, 8)) AS m),
+            cbs AS MATERIALIZED (
+              SELECT s.cell AS j, m, ce[m*8+1 : m*8+8] AS csub
+              FROM seeds16 s CROSS JOIN ms WHERE s.cell < 8
+            ),
+            cells AS MATERIALIZED (
+              SELECT vec_id, cell FROM (
+                SELECT n.vec_id, s.cell,
+                       row_number() OVER (PARTITION BY n.vec_id
+                            ORDER BY list_distance(n.nv, s.ce), s.cell)
+                         AS rn
+                FROM ne n CROSS JOIN seeds16 s
+              ) WHERE rn = 1
+            ),
+            codes AS MATERIALIZED (
+              SELECT vec_id, m, j AS code FROM (
+                SELECT n.vec_id, c.m, c.j,
+                       row_number() OVER (PARTITION BY n.vec_id, c.m
+                            ORDER BY list_distance(
+                              n.nv[c.m*8+1 : c.m*8+8], c.csub), c.j) AS rn
+                FROM ne n CROSS JOIN cbs c
+              ) WHERE rn = 1
+            ),
+            cpairs AS MATERIALIZED (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM cells a JOIN cells b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+            ),
+            -- SDC: per-subspace squared L2 between the pair's codebook
+            -- entries, summed — exact elementwise form (no
+            -- sqrt-then-square), matching the numpy table
+            sdc AS MATERIALIZED (
+              SELECT p.id_a, p.id_b,
+                     SUM(list_sum(list_transform(
+                       list_zip(ca.csub, cb2.csub),
+                       x -> (x[1] - x[2]) * (x[1] - x[2])))) AS d2
+              FROM cpairs p
+              JOIN codes ka ON ka.vec_id = p.id_a
+              JOIN codes kb ON kb.vec_id = p.id_b AND kb.m = ka.m
+              JOIN cbs ca ON ca.m = ka.m AND ca.j = ka.code
+              JOIN cbs cb2 ON cb2.m = kb.m AND cb2.j = kb.code
+              GROUP BY p.id_a, p.id_b
+            ),
+            pairs AS MATERIALIZED (
+              SELECT s.id_a, s.id_b
+              FROM sdc s
+              JOIN ne a ON a.vec_id = s.id_a
+              JOIN ne b ON b.vec_id = s.id_b
+              WHERE s.d2 <= 2e0 * (2e0 - 2e0 * 4e-1)
+                AND list_dot_product(a.ee, b.ee)
+                    / (sqrt(list_dot_product(a.ee, a.ee))
+                       * sqrt(list_dot_product(b.ee, b.ee))) >= 4e-1
+            ),
             edges AS (
               SELECT id_a AS u, id_b AS v FROM pairs
               UNION

@@ -120,3 +120,54 @@ def curate_corpus_near_dup(
     finally:
         kept.unpersist()
     return out
+
+
+def curate_corpus_semantic(
+    df: DataFrame,
+    embeddings: DataFrame,
+    min_quality: float = 0.5,
+    lang: str | None = "en",
+    cos_threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    **ann_kwargs,
+) -> DataFrame:
+    """Filter + SEMANTIC dedup — the third dedup tier (after
+    curate_corpus's exact hashes and curate_corpus_near_dup's MinHash):
+    embedding-space near-duplicates (paraphrases, re-renderings) found
+    via the IVF-PQ index (semantic_dedup_pairs: co-cell candidates, SDC
+    code-lookup pre-filter, exact-cosine re-check), resolved with the
+    SAME connected-components closure and min-id representative as the
+    lexical tier. ``embeddings`` carries one vector per document
+    (emb_id_col values == id_col values); ``ann_kwargs`` pass through
+    to semantic_dedup_pairs (centroids/codebooks/index for a
+    pre-built ingest index). Only the quality/lang SURVIVORS enter the
+    pair graph — a rejected document never pulls a kept one into its
+    group."""
+    from riskloc_spark.operators.dedup import dedup_groups
+    from riskloc_spark.operators.similarity import semantic_dedup_pairs
+
+    kept = score_and_filter(df, min_quality, lang, text_col).persist()
+    try:
+        emb_kept = embeddings.join(
+            kept.select(F.col(id_col).alias(emb_id_col)), emb_id_col
+        )
+        pairs = semantic_dedup_pairs(
+            emb_kept,
+            cos_threshold=cos_threshold,
+            id_col=emb_id_col,
+            **ann_kwargs,
+        )
+        groups = dedup_groups(
+            pairs.select("id_a", "id_b"), documents=kept, id_col=id_col
+        )
+        reps = groups.filter(F.col("is_representative")).select(id_col)
+        # same bounded materialization as curate_corpus_near_dup: only
+        # the tiny representative-id frame is checkpointed; the output
+        # stays a lazy, recomputable join
+        reps = reps.localCheckpoint(eager=True)
+        out = kept.join(reps, on=id_col, how="inner")
+    finally:
+        kept.unpersist()
+    return out

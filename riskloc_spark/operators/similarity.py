@@ -774,3 +774,148 @@ def ivfpq_knn(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "adc_dist", "rank")
     )
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize a vector column with JVM expressions (sequential
+    fold for the norm — the summation order an ANSI-SQL twin's
+    list_dot_product reproduces exactly). On the unit sphere squared L2
+    is 2 - 2*cos, so cosine thresholds translate to the L2 geometry the
+    PQ/IVF machinery quantizes."""
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
+def sdc_tables(codebooks) -> "np.ndarray":
+    """Symmetric-distance (SDC) lookup tables from PQ codebooks: entry
+    [m][i][j] is the squared L2 between codebook entries i and j of
+    subspace m, so the approximate distance between two CODED vectors
+    is a pure table-lookup sum — the code-to-code analogue of ADC (no
+    float vector touched for either side). (n_sub, n_codes, n_codes),
+    tiny (n_sub * n_codes^2 doubles)."""
+    import numpy as np
+
+    CB = np.asarray(codebooks, dtype=np.float64)
+    return ((CB[:, :, None, :] - CB[:, None, :, :]) ** 2).sum(axis=3)
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    cos_threshold: float = 0.4,
+    n_clusters: int = 16,
+    n_sub: int = 8,
+    n_codes: int = 256,
+    fit_sample: int = 10_000,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    centroids: "np.ndarray | None" = None,
+    codebooks: "np.ndarray | None" = None,
+    index: DataFrame | None = None,
+    sdc_slack: float = 2.0,
+) -> DataFrame:
+    """Semantic near-duplicate pairs (SemDeDup, Abbas et al. 2023 —
+    arXiv:2303.09540): the third classic LLM dedup tier after exact
+    hashes and MinHash — pairs whose EMBEDDINGS are close, catching
+    paraphrases and re-renderings no lexical signature sees. No
+    reference counterpart (the reference is tabular-only).
+
+    Shape (the 100-TB recipe, built on the IVF-PQ index):
+    1. unit-normalize (squared L2 becomes 2 - 2*cos);
+    2. coarse cells + PQ codes — the SAME (id, cell, code) ingest
+       artifact ivfpq_knn serves from (pass ``index=`` to reuse a
+       persisted/bucketed one; fits run once on a bounded sample);
+    3. candidate pairs = self-join WITHIN a cell only (the SemDeDup
+       trade: near-identical vectors co-locate in a cell with
+       probability ~1, and cross-cell recall is surrendered for
+       never comparing all pairs);
+    4. SDC pre-filter: the pair distance is a code-to-code table
+       lookup sum against one broadcast (n_sub, K, K) table — no
+       float vector is read for EITHER side of the pair until
+    5. the exact cosine re-check of the bounded survivors
+       (>= cos_threshold), the only stage that touches floats.
+
+    The SDC gate keeps pairs with approx-L2^2 <= sdc_slack *
+    (2 - 2*cos_threshold): slack absorbs quantization error (recall
+    guard), pruning absorbs the quadratic co-cell blowup. Returns
+    (id_a, id_b, cos_sim), id_a < id_b — feed to dedup_groups for the
+    transitive-closure representative choice.
+    """
+    import numpy as np
+
+    normed = emb.select(
+        F.col(id_col), l2_normalize(F.col(vec_col)).alias("__nv")
+    )
+    if centroids is None:
+        centroids = ivf_fit_centroids(
+            normed, n_clusters, fit_sample, n_iter, "__nv", seed, id_col
+        )
+    if codebooks is None:
+        codebooks = pq_fit_codebooks(
+            normed, n_sub, n_codes, fit_sample, n_iter, "__nv", id_col, seed
+        )
+    CB = np.asarray(codebooks, dtype=np.float64)
+    M = CB.shape[0]
+    if index is None:
+        cells = ivfpq_assign_cells(normed, centroids, id_col, "__nv")
+        coded = pq_encode(normed, CB, id_col=id_col, vec_col="__nv")
+        index = cells.join(coded, id_col)
+
+    a = index.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__cell").alias("__cell_a"),
+        F.col("__code").alias("__code_a"),
+    )
+    b = index.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__cell").alias("__cell_b"),
+        F.col("__code").alias("__code_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("__cell_a") == F.col("__cell_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    # one-row broadcast frame, not a literal: n_sub * n_codes^2 doubles
+    # embedded as a CreateArray literal would blow up codegen at K=256
+    sdf = emb.sparkSession.createDataFrame(
+        [(sdc_tables(CB).tolist(),)],
+        "sdct array<array<array<double>>>",
+    )
+    sdc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(M - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(
+                F.element_at(F.col("sdct"), m + F.lit(1)),
+                F.element_at(F.col("__code_a"), m + F.lit(1)) + F.lit(1),
+            ),
+            F.element_at(F.col("__code_b"), m + F.lit(1)) + F.lit(1),
+        ),
+    )
+    cand = (
+        pairs.crossJoin(F.broadcast(sdf))
+        .filter(sdc <= F.lit(sdc_slack * (2.0 - 2.0 * cos_threshold)))
+        .select("id_a", "id_b")
+    )
+    # exact re-check of the bounded survivors: cosine on the RAW
+    # vectors (scale-invariant — same formula as
+    # embedding_near_dup_exact_pairs, so the twin is shared)
+    ea = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    eb = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(cos_threshold))
+    )

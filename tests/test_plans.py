@@ -445,6 +445,37 @@ def test_ivfpq_serving_plan_shape(spark):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
+def test_semantic_dedup_plan_shape(spark):
+    """semantic_dedup_pairs contract: Python appears ONLY in the two
+    ingest-time Arrow passes (cell assignment + PQ encode — never
+    row-at-a-time); the SDC pair distance is a JVM table-lookup fold
+    against a BROADCAST one-row table; the exact-cosine re-check joins
+    are plain column algebra."""
+    import numpy as np
+
+    from riskloc_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = emb.select("embedding", "vec_id").orderBy("vec_id").limit(16).collect()
+    seeds = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    seeds = seeds / np.sqrt((seeds * seeds).sum(axis=1, keepdims=True))
+    out = semantic_dedup_pairs(
+        emb, cos_threshold=0.4,
+        centroids=seeds, codebooks=seeds[:8].reshape(8, 8, 8).transpose(1, 0, 2),
+    )
+    plan = plan_str(out, "simple")
+    # Python = ONLY the Arrow-batched ingest passes (cell + encode; the
+    # lineage re-derives per join side when index= isn't a persisted
+    # artifact); never row-at-a-time
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    # the 1-row SDC table comes in broadcast (nested-loop on a single
+    # row), never a shuffle; the lookup sum is JVM expression algebra
+    # with the m-sequence constant-folded to an array literal
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "element_at(element_at(element_at(sdct" in plan.replace(" ", ""), plan
+
+
 def test_paragraph_dedup_plan_shape(spark):
     """paragraph_dedup contract: split + posexplode are projections and
     the keep-first is ONE hash exchange (groupBy with map-side partial

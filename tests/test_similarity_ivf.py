@@ -251,3 +251,125 @@ def test_ivfpq_recall_with_fitted_quantizers(spark):
         got.setdefault(r["query_id"], set()).add(r["vec_id"])
     hits = sum(1 for i in range(12) if qidx[i] in got.get(i, set()))
     assert hits >= 11, (hits, got)
+
+
+def test_semantic_dedup_pairs_finds_planted_near_dups(spark):
+    """Fitted quantizers on clustered vectors: every planted near-dup
+    pair (a vector plus a tiny perturbation of it — cosine ~1) is
+    recovered, no pair is reported between distinct cluster centers,
+    and reported cosines match the exact pairwise values."""
+    import numpy as np
+
+    from riskloc_spark.operators.similarity import (
+        pq_fit_codebooks,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(21)
+    centers = rng.normal(scale=4.0, size=(8, 32))
+    base = np.concatenate(
+        [c + rng.normal(scale=0.3, size=(30, 32)) for c in centers]
+    )  # 240 well-separated vectors
+    dups = base[::12] + rng.normal(scale=0.01, size=(20, 32))  # 20 planted
+    vecs = np.concatenate([base, dups])
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_dedup_pairs(
+        corpus, cos_threshold=0.95, n_clusters=8, n_sub=4, n_codes=16
+    )
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in out.collect()}
+    planted = {(j * 12, 240 + j) for j in range(20)}
+    assert planted <= set(got), planted - set(got)
+    # no cross-center pair sneaks past the exact cosine re-check
+    fv = vecs.astype(np.float32).astype(np.float64)  # storage is float32
+    nv = fv / np.linalg.norm(fv, axis=1, keepdims=True)
+    for (a, b), cs in got.items():
+        assert abs(cs - float(nv[a] @ nv[b])) < 1e-9
+        assert cs >= 0.95
+
+
+def test_semantic_dedup_pairs_accepts_prebuilt_index(spark):
+    """The serving path: a pre-built (id, cell, code) ingest index
+    yields the same pairs as the cold path with the same quantizers."""
+    import numpy as np
+
+    from riskloc_spark.operators.similarity import (
+        ivf_fit_centroids,
+        ivfpq_assign_cells,
+        l2_normalize,
+        pq_encode,
+        pq_fit_codebooks,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(22)
+    centers = rng.normal(scale=4.0, size=(4, 16))
+    base = np.concatenate(
+        [c + rng.normal(scale=0.3, size=(25, 16)) for c in centers]
+    )
+    dups = base[::10] + rng.normal(scale=0.01, size=(10, 16))
+    vecs = np.concatenate([base, dups])
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    normed = corpus.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("__nv")
+    )
+    cents = ivf_fit_centroids(normed, 4, vec_col="__nv")
+    cb = pq_fit_codebooks(normed, n_sub=4, n_codes=16, vec_col="__nv")
+    index = ivfpq_assign_cells(normed, cents, "vec_id", "__nv").join(
+        pq_encode(normed, cb, id_col="vec_id", vec_col="__nv"), "vec_id"
+    )
+    cold = semantic_dedup_pairs(
+        corpus, cos_threshold=0.95, n_clusters=4, n_sub=4, n_codes=16,
+        centroids=cents, codebooks=cb,
+    )
+    warm = semantic_dedup_pairs(
+        corpus, cos_threshold=0.95, codebooks=cb, index=index,
+    )
+    a = {(r["id_a"], r["id_b"]) for r in cold.collect()}
+    b = {(r["id_a"], r["id_b"]) for r in warm.collect()}
+    assert a == b and len(a) >= 10
+
+
+def test_curate_corpus_semantic_composes(spark):
+    """Pipeline: quality/lang filtering happens BEFORE the pair graph
+    (a junk doc that is semantically identical to a kept one must not
+    suppress it), then one representative (min id) per semantic
+    group."""
+    import numpy as np
+
+    from riskloc_spark.operators.corpus import curate_corpus_semantic
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and it is a fine "
+        "day for all of the animals in the field."
+    )
+    rng = np.random.default_rng(23)
+    v = rng.normal(size=(5, 16))
+    v[1] = v[0] + 0.001  # doc 1 ~ doc 0 semantically
+    v[3] = v[2] + 0.001  # doc 3 ~ doc 2, but doc 2 is junk
+    docs = spark.createDataFrame(
+        [
+            (0, good, "s"),
+            (1, good + " with a few extra words.", "s"),
+            (2, "short", "s"),  # junk: filtered before the pair graph
+            (3, good + " entirely different framing here.", "s"),
+            (4, good + " and another unrelated document.", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v[i]]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    out = curate_corpus_semantic(
+        docs, emb, min_quality=0.5, lang="en", cos_threshold=0.95,
+        n_clusters=2, n_sub=4, n_codes=4,
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # 0~1 collapse to 0; 2 junk; 3 survives (its twin was junk); 4 kept
+    assert kept == [0, 3, 4]
