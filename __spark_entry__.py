@@ -2471,65 +2471,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDER MATTERS: the driver's correctness window records the FIRST 50
     # keys only.  Oracled gates lead, ROTATED each round so every hash
-    # gate accumulates driver-recorded greens: round 8 leads with the 22
-    # gates past round 7's cutoff (their last driver greens are from
-    # rounds 1-6), then the never-recorded round-8 gates, then the media
-    # and robustspot gates (their operators changed this round), then a
-    # flagship fill; the oracled gates recorded green in round 7 sit just
-    # past the window, and rows-only queries last so they never consume a
+    # gate accumulates driver-recorded greens: round 9 leads with the 28
+    # oracled gates past round 8's cutoff (their last driver greens are
+    # from rounds <= 7), then the never-recorded round-9 gates
+    # (paragraph dedup x2, semantic curation), then the gates whose
+    # operators changed this round (robustspot trunc/null-mode fixes,
+    # trigram broadcast guard, evaluation checkpoint), then a flagship
+    # fill; the oracled gates recorded green in round 8 sit just past
+    # the window, and rows-only queries last so they never consume a
     # scored slot.
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q_top_customers_per_nation": q_top_customers_per_nation,
-        "events_hourly": events_hourly,
-        "events_props_agg": events_props_agg,
-        "rca_frame": rca_frame,
-        "rca_scores": rca_scores,
-        "rca_partition": rca_partition,
-        "rca_derived_scores": rca_derived_scores,
-        "text_stats": text_stats,
-        "lang_quality_by_source": lang_quality_by_source,
-        "doc_fingerprints": doc_fingerprints,
-        "token_stats": token_stats_q,
-        "dedup_exact": dedup_exact_q,
-        "dedup_paragraphs": dedup_paragraphs_q,
-        "dedup_paragraphs_rebuild": dedup_paragraphs_rebuild_q,
-        "knn_bruteforce": knn_bruteforce_q,
-        "adtributor_elements": adtributor_elements,
-        "adtributor_candidates": adtributor_candidates_q,
-        "rev_adtributor": rev_adtributor_q,
-        "dataset_significance": dataset_significance_q,
-        "robustspot_scores": robustspot_scores,
-        "evaluation_f1": evaluation_f1_q,
-        "media_features": media_features_q,
-        "media_resize_nearest": media_resize_nearest_q,
-        "knn_pq": knn_pq_q,
-        "knn_ivfpq": knn_ivfpq_q,
-        "text_trigram_lm": text_trigram_lm_q,
-        "streaming_near_dup": streaming_near_dup_q,
-        "media_decode": media_decode_q,
-        "media_resize_bilinear": media_resize_bilinear_q,
-        "media_frames": media_frames_q,
-        "media_gif_decode": media_gif_decode_q,
-        "media_jpeg_decode": media_jpeg_decode_q,
-        "media_meta": media_meta_q,
-        "robustspot_supports": robustspot_supports_q,
-        "robustspot_round0": robustspot_round0_q,
-        "robustspot_round1": robustspot_round1_q,
-        "robustspot_round0_derived": robustspot_round0_derived_q,
-        "robustspot_ca": robustspot_ca_q,
-        "streaming_kpi": streaming_kpi_q,
-        "streaming_kpi_append": streaming_kpi_append_q,
-        "streaming_ewma": streaming_ewma_q,
-        "streaming_dedup": streaming_dedup_q,
-        "riskloc_first_cause": riskloc_first_cause_q,
-        "riskloc_first_cause_derived": riskloc_first_cause_derived_q,
-        "riskloc_two_pass": riskloc_two_pass_q,
-        "riskloc_two_pass_derived": riskloc_two_pass_derived_q,
-        "squeeze_search": squeeze_search_q,
-        "squeeze_clusters": squeeze_clusters_q,
         "hotspot_search": hotspot_search_q,
         "hotspot_search_ps": hotspot_search_ps_q,
         "autoroot_search_fixed": autoroot_search_fixed_q,
@@ -2558,7 +2508,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_exact": embedding_near_dup_exact,
         "corpus_curate": corpus_curate_q,
         "corpus_curate_near_dup": corpus_curate_near_dup_q,
+        "dedup_paragraphs": dedup_paragraphs_q,
+        "dedup_paragraphs_rebuild": dedup_paragraphs_rebuild_q,
         "corpus_curate_semantic": corpus_curate_semantic_q,
+        "robustspot_supports": robustspot_supports_q,
+        "robustspot_round0": robustspot_round0_q,
+        "robustspot_round1": robustspot_round1_q,
+        "robustspot_round0_derived": robustspot_round0_derived_q,
+        "robustspot_ca": robustspot_ca_q,
+        "text_trigram_lm": text_trigram_lm_q,
+        "evaluation_f1": evaluation_f1_q,
+        "q1_pricing_summary": q1_pricing_summary,
+        "rca_frame": rca_frame,
+        "rca_scores": rca_scores,
+        "rca_derived_scores": rca_derived_scores,
+        "adtributor_elements": adtributor_elements,
+        "dedup_exact": dedup_exact_q,
+        "knn_bruteforce": knn_bruteforce_q,
+        "knn_pq": knn_pq_q,
+        "knn_ivfpq": knn_ivfpq_q,
+        "media_features": media_features_q,
+        "streaming_kpi": streaming_kpi_q,
+        "streaming_near_dup": streaming_near_dup_q,
+    # ---- driver window cutoff (50) — everything below is oracled but
+    # was driver-recorded green in round 8, or is rows-only ----
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q_top_customers_per_nation": q_top_customers_per_nation,
+        "events_hourly": events_hourly,
+        "events_props_agg": events_props_agg,
+        "rca_partition": rca_partition,
+        "text_stats": text_stats,
+        "lang_quality_by_source": lang_quality_by_source,
+        "doc_fingerprints": doc_fingerprints,
+        "token_stats": token_stats_q,
+        "adtributor_candidates": adtributor_candidates_q,
+        "rev_adtributor": rev_adtributor_q,
+        "dataset_significance": dataset_significance_q,
+        "robustspot_scores": robustspot_scores,
+        "media_resize_nearest": media_resize_nearest_q,
+        "media_decode": media_decode_q,
+        "media_resize_bilinear": media_resize_bilinear_q,
+        "media_frames": media_frames_q,
+        "media_gif_decode": media_gif_decode_q,
+        "media_jpeg_decode": media_jpeg_decode_q,
+        "media_meta": media_meta_q,
+        "streaming_kpi_append": streaming_kpi_append_q,
+        "streaming_ewma": streaming_ewma_q,
+        "streaming_dedup": streaming_dedup_q,
+        "riskloc_first_cause": riskloc_first_cause_q,
+        "riskloc_first_cause_derived": riskloc_first_cause_derived_q,
+        "riskloc_two_pass": riskloc_two_pass_q,
+        "riskloc_two_pass_derived": riskloc_two_pass_derived_q,
+        "squeeze_search": squeeze_search_q,
+        "squeeze_clusters": squeeze_clusters_q,
         "riskloc_rca": riskloc_rca,
         "riskloc_rca_derived": riskloc_rca_derived,
         "autoroot_rca": autoroot_rca,

@@ -37,8 +37,11 @@ BENCH_QUERIES = [
     "text_trigram_lm",
     "lang_quality_by_source",
     "dedup_exact",
+    "dedup_paragraphs",
+    "dedup_paragraphs_rebuild",
     "corpus_curate",
     "corpus_curate_near_dup",
+    "corpus_curate_semantic",
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
@@ -168,6 +171,30 @@ def main() -> None:
         per_query[name] = round(best, 2)
 
     total = round(sum(per_query.values()), 2)
+
+    # isolated side record (round 9; VERDICT r8 #5): the shared-session
+    # map above carries O(#queries) JVM drift (code cache, GC pressure,
+    # box load) — two rounds running it needed hand re-times to prove
+    # "regressions" were session structure. Re-time every query min-of-2
+    # with a session restart every SPARK_GRAFT_SIDE_ISOLATED queries
+    # (default 12; 0 disables) and record BOTH maps: cross-round
+    # per-query deltas should read queries_isolated, the headline total
+    # stays the shared number for continuity.
+    side_k = int(os.environ.get("SPARK_GRAFT_SIDE_ISOLATED", "12"))
+    per_query_iso: dict[str, float] = {}
+    if side_k and not isolated and not only:
+        for qi, name in enumerate(bench_queries):
+            if qi % side_k == 0:
+                spark.stop()
+                spark = _fresh_session(sf_dir, queries)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = queries[name](spark, sf_dir)
+                df.count()
+                best = min(best, time.perf_counter() - t0)
+            per_query_iso[name] = round(best, 2)
+
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     # per-query map FIRST, summary/scale LAST: the driver records only the
     # last 2000 chars of stdout, so rounds 5-7 lost most per-query numbers
@@ -180,6 +207,10 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
     }
+    if per_query_iso:
+        out["queries_isolated"] = per_query_iso
+        out["isolated_every"] = side_k
+        out["isolated_total"] = round(sum(per_query_iso.values()), 2)
     if isolated:
         out["isolated"] = isolated
     if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
@@ -200,7 +231,10 @@ def main() -> None:
     # whole, so BENCH_r0N regains a parseable record — headline total,
     # every scale block, and the slowest queries; the full map lives in
     # the line above and in BENCH_FULL_latest.json
-    compact = {k: v for k, v in out.items() if k != "queries"}
+    compact = {
+        k: v for k, v in out.items()
+        if k not in ("queries", "queries_isolated")
+    }
     compact["queries_truncated"] = True
     compact["queries_file"] = "BENCH_FULL_latest.json"
     compact["queries"] = dict(
@@ -286,6 +320,10 @@ def scale_block(spark) -> dict:
             out["dedup2"] = _dedup_scale(spark, n_base=500_000)
         except Exception as e:
             out["dedup2"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        try:
+            out["ann2"] = _ann_serving_rung(spark)
+        except Exception as e:
+            out["ann2"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     if errors:
         out["errors"] = errors
     return out
@@ -524,26 +562,10 @@ def _media_scale(spark) -> dict:
     return out
 
 
-def _ann_scale(spark, n: int = 200_000, n_queries: int = 50) -> dict:
-    """ANN at scale (round 8): a 200k x 32-dim clustered synthetic
-    embedding corpus built from column expressions (256 hash-derived
-    cluster centers + per-vector noise), 50 held-out queries near the
-    centers. Times exact brute-force cosine (the baseline the approx
-    paths must beat), LSH-bucketed search, and PQ-ADC over the fitted
-    codebooks, and reports recall@10 of the brute-force top-1 — so the
-    speedups can't silently buy wrong neighbors."""
+def _ann_corpus(spark, n: int):
+    """n x 32-dim clustered synthetic embeddings from column expressions
+    (256 hash-derived cluster centers + per-vector noise), persisted."""
     from pyspark.sql import functions as F
-
-    from riskloc_spark.operators.similarity import (
-        ivf_fit_centroids,
-        ivfpq_assign_cells,
-        ivfpq_knn,
-        knn_bruteforce,
-        lsh_bucket_knn,
-        pq_encode,
-        pq_fit_codebooks,
-        pq_knn,
-    )
 
     def emb(cid, rid, noise_salt, noise_scale):
         def val(j):
@@ -564,11 +586,18 @@ def _ann_scale(spark, n: int = 200_000, n_queries: int = 50) -> dict:
         .persist()
     )
     corpus.count()
-    # each query is a corpus vector plus a SMALL perturbation (the
-    # realistic serving case: the true neighbor is well-separated from
-    # its cluster-mates; querying fresh cluster noise instead would
-    # make "the" nearest neighbor a coin flip among hundreds of equally
-    # close vectors and recall of any method meaningless)
+    return corpus
+
+
+def _ann_queries(spark, n: int, n_queries: int):
+    """Held-out queries: each is a corpus vector plus a SMALL
+    perturbation (the realistic serving case: the true neighbor is
+    well-separated from its cluster-mates; querying fresh cluster noise
+    instead would make "the" nearest neighbor a coin flip among
+    hundreds of equally close vectors and recall of any method
+    meaningless). Persisted."""
+    from pyspark.sql import functions as F
+
     base = (F.col("id") * 3989) % n
 
     def delta(j):
@@ -594,6 +623,30 @@ def _ann_scale(spark, n: int = 200_000, n_queries: int = 50) -> dict:
         ).alias("embedding"),
     ).persist()
     queries.count()
+    return queries
+
+
+def _ann_scale(spark, n: int = 200_000, n_queries: int = 50) -> dict:
+    """ANN at scale (round 8): a 200k x 32-dim clustered synthetic
+    embedding corpus built from column expressions (256 hash-derived
+    cluster centers + per-vector noise), 50 held-out queries near the
+    centers. Times exact brute-force cosine (the baseline the approx
+    paths must beat), LSH-bucketed search, and PQ-ADC over the fitted
+    codebooks, and reports recall@10 of the brute-force top-1 — so the
+    speedups can't silently buy wrong neighbors."""
+    from riskloc_spark.operators.similarity import (
+        ivf_fit_centroids,
+        ivfpq_assign_cells,
+        ivfpq_knn,
+        knn_bruteforce,
+        lsh_bucket_knn,
+        pq_encode,
+        pq_fit_codebooks,
+        pq_knn,
+    )
+
+    corpus = _ann_corpus(spark, n)
+    queries = _ann_queries(spark, n, n_queries)
 
     out: dict = {"vectors": n, "queries": n_queries}
     truth: dict = {}
@@ -659,6 +712,83 @@ def _ann_scale(spark, n: int = 200_000, n_queries: int = 50) -> dict:
     }
     index.unpersist()
     coded.unpersist()
+    corpus.unpersist()
+    queries.unpersist()
+    return out
+
+
+def _ann_serving_rung(spark, n: int = 2_000_000, n_queries: int = 32) -> dict:
+    """The rung where IVF-PQ's pruning has to WIN (round 9; VERDICT r8
+    Missing #2): at 200k vectors the bench records IVF-PQ as a wash vs
+    full-scan PQ (per-stage overheads dominate), so the 100-TB serving
+    claim — a query touches only its probed cells' code bytes — needs a
+    corpus size where the ADC scan + per-query ranking is the
+    bottleneck. 2M vectors, SERVING-ONLY timing: fits, encode and the
+    (id, cell, code) index are built once as ingest artifacts
+    (ingest_sec, amortized across every query for the life of the
+    corpus) and both serving paths read the SAME persisted index frame
+    — full-scan PQ ranks n x queries ADC rows, IVF-PQ only the probed
+    ~n_probe/n_clusters fraction. recall@10 of the brute-force top-1 is
+    reported for both so the pruning can't buy wrong neighbors;
+    truth_sec is the exact-scan yardstick at this scale."""
+    from riskloc_spark.operators.similarity import (
+        ivf_fit_centroids,
+        ivfpq_assign_cells,
+        ivfpq_knn,
+        knn_bruteforce,
+        pq_encode,
+        pq_fit_codebooks,
+        pq_knn,
+    )
+
+    corpus = _ann_corpus(spark, n)
+    queries = _ann_queries(spark, n, n_queries)
+    out: dict = {"vectors": n, "queries": n_queries}
+
+    t0 = time.perf_counter()
+    bf = knn_bruteforce(corpus, queries, k=1).collect()
+    out["truth_sec"] = round(time.perf_counter() - t0, 2)
+    truth = {r["query_id"]: r["vec_id"] for r in bf}
+
+    def recall(rows) -> float:
+        got: dict = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(1 for q, v in truth.items() if v in got.get(q, set()))
+        return round(hits / len(truth), 3)
+
+    # ingest: fit both quantizers, encode, assign cells, persist the
+    # (id, cell, code) index — the artifact a deployment stores
+    t0 = time.perf_counter()
+    cb = pq_fit_codebooks(corpus, n_sub=8, n_codes=256, fit_sample=5_000)
+    cents = ivf_fit_centroids(corpus, n_clusters=64, fit_sample=5_000)
+    index = (
+        pq_encode(corpus, cb)
+        .join(ivfpq_assign_cells(corpus, cents), "vec_id")
+        .persist()
+    )
+    index.count()
+    out["ingest_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    rows = pq_knn(
+        corpus, queries, k=10, n_sub=8, codebooks=cb, rerank=1000,
+        coded=index,
+    ).collect()
+    out["pq"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "recall_at_10": recall(rows),
+    }
+    t0 = time.perf_counter()
+    rows = ivfpq_knn(
+        corpus, queries, k=10, n_clusters=64, n_probe=8, n_sub=8,
+        centroids=cents, codebooks=cb, rerank=1000, coded=index,
+    ).collect()
+    out["ivfpq"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "recall_at_10": recall(rows),
+    }
+    index.unpersist()
     corpus.unpersist()
     queries.unpersist()
     return out
