@@ -388,6 +388,66 @@ def corpus_curate_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_sample_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hash_split under the gate (round 9): the reproducible
+    train/val/test assignment — every document labeled by its
+    consecutive hash-range bucket (75/15/10, portable md5 family, salt
+    'split'), disjoint + exhaustive by construction. The oracle
+    replays the 60-bit md5 hash, the modulus and the exact boundary
+    integers (750000 / 900000 — see sampling.split_bounds)."""
+    from riskloc_spark.operators.dedup import md5_hash64
+    from riskloc_spark.operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    out = hash_split(
+        d, {"train": 75, "val": 15, "test": 10},
+        salt="split", hash_fn=md5_hash64,
+    )
+    return out.select("doc_id", "split")
+
+
+def corpus_sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stratified_sample under the gate (round 9): the mixture-weights
+    operator — per-source keep rates (src0 1.0 / src1 0.5 / src2 0.25,
+    default 0.05) decided by the same pure (id, salt) hash rule, so
+    membership is reproducible and nested in the rate. Every kept
+    (doc_id, source) row compared."""
+    from riskloc_spark.operators.dedup import md5_hash64
+    from riskloc_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, "source",
+        salt="mix", default_fraction=0.05, hash_fn=md5_hash64,
+    )
+    return out.select("doc_id", "source")
+
+
+def decontamination_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contamination_stats under the gate (round 9): benchmark
+    decontamination — every document's distinct word-4-gram overlap
+    against a benchmark drawn from the corpus itself (doc_id % 17 ==
+    0: those docs audit at contamination 1.0, docs sharing phrases
+    audit partially, the rest 0 — at sf0.01 that's 31 full / 37
+    partial / 432 clean, so the gate exercises all three regimes).
+    The production xxhash64 gram path runs on the Spark side; the
+    oracle joins on the gram STRINGS (same carve-out as dedup_exact:
+    a 64-bit collision is the only way they can differ). n=4 here
+    because the synthetic corpus has no 8-gram collisions between
+    distinct docs; production default stays n=8."""
+    from riskloc_spark.operators.decontamination import contamination_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    out = contamination_stats(d, bench, n=4)
+    return out.select(
+        "doc_id",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.round("contamination", 6).alias("contamination"),
+    )
+
+
 def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return exact_dedup(d).select("doc_id")
@@ -2511,6 +2571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": dedup_paragraphs_q,
         "dedup_paragraphs_rebuild": dedup_paragraphs_rebuild_q,
         "corpus_curate_semantic": corpus_curate_semantic_q,
+        "corpus_sample_split": corpus_sample_split_q,
+        "corpus_sample_stratified": corpus_sample_stratified_q,
+        "decontamination_audit": decontamination_audit_q,
         "robustspot_supports": robustspot_supports_q,
         "robustspot_round0": robustspot_round0_q,
         "robustspot_round1": robustspot_round1_q,
@@ -2527,11 +2590,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": knn_bruteforce_q,
         "knn_pq": knn_pq_q,
         "knn_ivfpq": knn_ivfpq_q,
+    # ---- driver window cutoff (50) — everything below is oracled but
+    # was driver-recorded green in round 8, or is rows-only ----
         "media_features": media_features_q,
         "streaming_kpi": streaming_kpi_q,
         "streaming_near_dup": streaming_near_dup_q,
-    # ---- driver window cutoff (50) — everything below is oracled but
-    # was driver-recorded green in round 8, or is rows-only ----
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -5209,6 +5272,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.doc_id, k.source,
                    round(k.quality, 6) + 0e0 AS quality, k.lang_pred
             FROM kept k JOIN surv USING (doc_id)
+        """,
+        "corpus_sample_split": f"""
+            SELECT doc_id,
+                   CASE WHEN h < 750000 THEN 'train'
+                        WHEN h < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     {_MD5H.format(x="CAST(doc_id AS VARCHAR) || ':split'")}
+                       % 1000000 AS h
+              FROM documents
+            )
+        """,
+        "corpus_sample_stratified": f"""
+            SELECT doc_id, source
+            FROM (
+              SELECT doc_id, source,
+                     {_MD5H.format(x="CAST(doc_id AS VARCHAR) || ':mix'")}
+                       % 1000000 AS h
+              FROM documents
+            )
+            WHERE h < CASE source
+                        WHEN 'src0' THEN 1000000
+                        WHEN 'src1' THEN 500000
+                        WHEN 'src2' THEN 250000
+                        ELSE 50000 END
+        """,
+        "decontamination_audit": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w
+              FROM documents
+            ),
+            grams AS MATERIALIZED (
+              SELECT DISTINCT doc_id,
+                     unnest(CASE WHEN len(w) < 4
+                       THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(0, len(w) - 3),
+                         i -> array_to_string(w[i+1 : i+4], ' ')) END) AS g
+              FROM toks
+            ),
+            bench AS MATERIALIZED (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0
+            ),
+            st AS (
+              SELECT doc_id, COUNT(*) AS n_ngrams,
+                     CAST(SUM(CASE WHEN g IN (SELECT g FROM bench)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+              FROM grams GROUP BY doc_id
+            )
+            SELECT doc_id, n_ngrams, n_matched,
+                   round(CAST(n_matched AS DOUBLE) / n_ngrams, 6) + 0e0
+                     AS contamination
+            FROM st
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id

@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "corpus_curate",
     "corpus_curate_near_dup",
     "corpus_curate_semantic",
+    "corpus_sample_split",
+    "corpus_sample_stratified",
+    "decontamination_audit",
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",

@@ -1,0 +1,140 @@
+"""Deterministic sampling operators for training-data assembly.
+
+The mixture-weights layer of an LLM corpus pipeline: which fraction of
+each source enters the mix, and how the corpus splits into train/val/
+test. ``df.sample`` is wrong for this job at scale — its membership
+depends on partitioning and run order, so a re-run (or a second
+consumer of the same split) sees a different sample. Every operator
+here decides membership as a PURE FUNCTION of (id, salt): stable across
+runs, partitionings and cluster sizes, reproducible by any engine, and
+composable (complementary salts give independent samples; one salt's
+split buckets are disjoint and exhaustive).
+
+No reference counterpart (the reference is an RCA repo) — part of the
+LLM-data-pipeline surface alongside dedup/curation. All pure column
+algebra: a sample is a FILTER (predicate-pushdown friendly — at 100 TB
+the sample predicate reaches the scan and unselected row groups are
+still read but never shuffled), a split is a projection; no shuffle
+anywhere.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from riskloc_spark.operators.dedup import xxhash64_fn
+
+# hash granularity: fractions resolve to 1/NGRAIN steps (1e-6 — finer
+# than any practical mixture weight; documented so 0.35 means exactly
+# 350_000/1_000_000 of hash space, not "approximately 35%")
+_GRAIN = 1_000_000
+
+
+def _unit_hash(id_col: Column, salt: str, hash_fn) -> Column:
+    """Uniform integer in [0, _GRAIN) from (id, salt): non-negative
+    pmod of the 64-bit hash of the string key 'id' or 'id:salt' (always
+    string-keyed, so any engine replays it). The salt makes samples
+    independent — different salts draw from effectively independent
+    permutations of the id space."""
+    key = (
+        id_col.cast("string")
+        if salt == ""
+        else F.concat_ws(":", id_col.cast("string"), F.lit(salt))
+    )
+    return F.pmod(hash_fn(key), F.lit(_GRAIN))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    salt: str = "",
+    id_col: str = "doc_id",
+    hash_fn=xxhash64_fn,
+) -> DataFrame:
+    """Reproducible Bernoulli sample: keep a row iff
+    pmod(hash(id:salt), 1e6) < fraction * 1e6. Membership is a pure
+    function of (id, salt) — re-runs, repartitions and other consumers
+    see the SAME sample, and samples with different salts are
+    independent. The production hash is xxhash64; pass md5_hash64 for
+    an ANSI-SQL-replayable sample."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    cut = int(fraction * _GRAIN)
+    return df.filter(_unit_hash(F.col(id_col), salt, hash_fn) < F.lit(cut))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict,
+    strata_col: str,
+    salt: str = "",
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    hash_fn=xxhash64_fn,
+) -> DataFrame:
+    """Per-stratum deterministic rates — the MIXTURE-WEIGHTS operator:
+    ``fractions`` maps a stratum value (e.g. source) to its keep
+    fraction; unlisted strata keep ``default_fraction``. Same hash rule
+    as deterministic_sample, so the same (id, salt) stays in or out as
+    its stratum's rate moves — raising a rate only ADDS documents
+    (nested samples), which makes mixture re-weighting reproducible
+    instead of a reshuffle."""
+    for v, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {v!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1]")
+    cut = F.lit(int(default_fraction * _GRAIN))
+    for v, f in sorted(fractions.items()):
+        cut = F.when(
+            F.col(strata_col) == F.lit(v), F.lit(int(f * _GRAIN))
+        ).otherwise(cut)
+    return df.filter(_unit_hash(F.col(id_col), salt, hash_fn) < cut)
+
+
+def split_bounds(weights: dict) -> list:
+    """The cumulative hash-space bounds hash_split assigns (one per
+    bucket except the last, which takes the remainder): raw weights
+    accumulate BEFORE the single divide, so integer weights ({3, 1} or
+    {75, 15, 10}) produce exact cumulative fractions instead of
+    compounding float error per bucket. Exposed so an external twin
+    (or audit) can reproduce the exact boundary integers."""
+    names = list(weights)
+    total = float(sum(weights.values()))
+    bounds = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        bounds.append(int(acc / total * _GRAIN))
+    return bounds
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict,
+    salt: str = "split",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    hash_fn=xxhash64_fn,
+) -> DataFrame:
+    """Disjoint, exhaustive, reproducible split (train/val/test):
+    ``weights`` maps split name -> weight (normalized to sum 1; buckets
+    are consecutive hash ranges in the given insertion order, boundary
+    rounding absorbed by the LAST bucket so the split is exhaustive by
+    construction). Adds ``split_col``; filtering it is the 100-TB
+    split-read (a pure predicate, no shuffle, any consumer
+    re-derives the same assignment)."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    h = _unit_hash(F.col(id_col), salt, hash_fn)
+    names = list(weights)
+    bounds = split_bounds(weights)
+    # nest from the last bucket outward: the outermost WHEN tests the
+    # first (smallest) bound, so each row takes the first range it fits
+    expr = F.lit(names[-1])
+    for name, b in list(zip(names[:-1], bounds))[::-1]:
+        expr = F.when(h < F.lit(b), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

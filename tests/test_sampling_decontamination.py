@@ -1,0 +1,168 @@
+"""Deterministic sampling (mixture weights / splits) and benchmark
+decontamination: reproducibility, disjointness, nesting, and the
+overlap math on planted contamination."""
+import pytest
+from pyspark.sql import functions as F
+
+from riskloc_spark.operators.decontamination import (
+    contamination_stats,
+    decontaminate,
+)
+from riskloc_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, " ".join(f"w{(i * 31 + j) % 97}" for j in range(40)),
+         f"s{i % 4}")
+        for i in range(400)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def test_deterministic_sample_is_reproducible_and_near_rate(spark, docs):
+    a = {r["doc_id"] for r in deterministic_sample(docs, 0.3, "x").collect()}
+    b = {r["doc_id"] for r in deterministic_sample(docs, 0.3, "x").collect()}
+    assert a == b  # pure function of (id, salt)
+    assert 0.2 <= len(a) / 400 <= 0.4  # near the rate
+    # a different salt draws an effectively independent sample
+    c = {r["doc_id"] for r in deterministic_sample(docs, 0.3, "y").collect()}
+    assert c != a
+    # repartitioning cannot change membership
+    d = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(7), 0.3, "x").collect()
+    }
+    assert d == a
+
+
+def test_deterministic_samples_are_nested_in_rate(spark, docs):
+    """Raising the fraction only ADDS rows (same salt) — mixture
+    re-weighting is monotone, not a reshuffle."""
+    small = {r["doc_id"] for r in deterministic_sample(docs, 0.2, "m").collect()}
+    big = {r["doc_id"] for r in deterministic_sample(docs, 0.5, "m").collect()}
+    assert small <= big
+
+
+def test_stratified_sample_rates_per_stratum(spark, docs):
+    out = stratified_sample(
+        docs, {"s0": 1.0, "s1": 0.5, "s2": 0.0}, "source", salt="st"
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src.get("s0", set())) == 100   # rate 1.0: all of s0
+    assert "s2" not in by_src                    # rate 0.0
+    assert "s3" not in by_src                    # default_fraction 0.0
+    assert 30 <= len(by_src["s1"]) <= 70         # rate 0.5 of 100
+    # per-stratum membership equals the flat sample at the same rate
+    flat = {
+        r["doc_id"]
+        for r in deterministic_sample(
+            docs.filter(F.col("source") == "s1"), 0.5, "st"
+        ).collect()
+    }
+    assert by_src["s1"] == flat
+
+
+def test_hash_split_disjoint_exhaustive_reproducible(spark, docs):
+    out = hash_split(
+        docs, {"train": 0.7, "val": 0.2, "test": 0.1}, salt="sp"
+    ).collect()
+    assert len(out) == 400  # exhaustive: a projection, not a filter
+    by_split = {}
+    for r in out:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by_split) == {"train", "val", "test"}
+    tot = sum(len(v) for v in by_split.values())
+    assert tot == 400  # disjoint + exhaustive
+    assert len(by_split["train"]) > len(by_split["val"]) > len(by_split["test"])
+    again = hash_split(
+        docs, {"train": 0.7, "val": 0.2, "test": 0.1}, salt="sp"
+    ).collect()
+    assert {(r["doc_id"], r["split"]) for r in again} == {
+        (r["doc_id"], r["split"]) for r in out
+    }
+
+
+def test_sampling_validates_fractions(spark, docs):
+    with pytest.raises(ValueError):
+        deterministic_sample(docs, 1.5)
+    with pytest.raises(ValueError):
+        stratified_sample(docs, {"s0": -0.1}, "source")
+    with pytest.raises(ValueError):
+        hash_split(docs, {})
+
+
+def test_contamination_stats_planted_overlap(spark):
+    """A doc sharing exactly one 8-gram with the benchmark reports
+    n_matched = 1; the benchmark doc itself (if present in the corpus)
+    reports contamination 1.0; disjoint docs report 0."""
+    bench_text = " ".join(f"b{j}" for j in range(20))  # 13 distinct 8-grams
+    clean = " ".join(f"c{j}" for j in range(20))
+    # one planted 8-gram from the middle of the benchmark text
+    partial = "x0 x1 " + " ".join(f"b{j}" for j in range(5, 13)) + " x2 x3"
+    corpus = spark.createDataFrame(
+        [(1, bench_text), (2, clean), (3, partial)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "bid long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in contamination_stats(corpus, bench, n=8).collect()
+    }
+    assert got[1]["n_ngrams"] == 13 and got[1]["contamination"] == 1.0
+    assert got[2]["n_matched"] == 0 and got[2]["contamination"] == 0.0
+    assert got[3]["n_matched"] == 1  # exactly the planted 8-gram
+    assert got[3]["n_ngrams"] == 5   # 12 words -> 5 8-grams
+    assert abs(got[3]["contamination"] - 0.2) < 1e-12
+
+
+def test_decontaminate_strict_and_thresholded(spark):
+    bench_text = " ".join(f"b{j}" for j in range(20))
+    clean = " ".join(f"c{j}" for j in range(20))
+    partial = "x0 x1 " + " ".join(f"b{j}" for j in range(5, 13)) + " x2 x3"
+    corpus = spark.createDataFrame(
+        [(1, bench_text), (2, clean), (3, partial)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "bid long, text string")
+    strict = sorted(
+        r["doc_id"] for r in decontaminate(corpus, bench, n=8).collect()
+    )
+    assert strict == [2]  # any shared 8-gram rejects
+    loose = sorted(
+        r["doc_id"]
+        for r in decontaminate(
+            corpus, bench, n=8, max_contamination=0.5
+        ).collect()
+    )
+    assert loose == [2, 3]  # 20% overlap tolerated, the verbatim copy not
+    # evidence columns ride along
+    row = decontaminate(corpus, bench, n=8).collect()[0]
+    assert {"n_ngrams", "n_matched", "contamination"} <= set(row.asDict())
+
+
+def test_short_document_is_one_shingle(spark):
+    """shingles() contract: a document shorter than n words is ONE
+    n-gram of its whole text — a short benchmark question still
+    contaminates its verbatim copy."""
+    corpus = spark.createDataFrame(
+        [(1, "what is the capital"), (2, "something else entirely")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "what is the capital")], "bid long, text string"
+    )
+    got = {
+        r["doc_id"]: r for r in contamination_stats(corpus, bench, n=8).collect()
+    }
+    assert got[1]["n_ngrams"] == 1 and got[1]["contamination"] == 1.0
+    assert got[2]["contamination"] == 0.0
