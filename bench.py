@@ -310,6 +310,10 @@ def scale_block(spark) -> dict:
         out["ann"] = _ann_scale(spark)
     except Exception as e:
         out["ann"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        out["semantic"] = _semantic_scale(spark)
+    except Exception as e:
+        out["semantic"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     # second rung (SPARK_GRAFT_SCALE2=0 skips): ~5.4M leaves for the two
     # fastest searches + a 510k-doc dedup — the scaling CURVE, not just
     # one point (562k -> 5.4M showed ~2.2x riskloc / ~2.1x autoroot for
@@ -627,6 +631,66 @@ def _ann_queries(spark, n: int, n_queries: int):
     ).persist()
     queries.count()
     return queries
+
+
+def _semantic_scale(spark, n: int = 100_000, dup_every: int = 100) -> dict:
+    """Semantic dedup at scale: 100k 32-dim zero-mean synthetic
+    embeddings (unrelated pairs sit near cos 0 / normalized L2^2 near
+    2) with a planted near-duplicate partner (per-dim perturbation,
+    cos ~1) for every ``dup_every``-th vector. Times the full
+    semantic_dedup_pairs pipeline — fitted quantizers (512 coarse
+    cells, 8x256 PQ codebooks), co-cell candidates, SDC code-lookup
+    pre-filter, exact-cosine re-check — and reports planted-pair recall
+    (bounded by the documented co-cell trade: a dup pair split across a
+    cell boundary is unreachable by design) plus the false-pair count
+    (expected 0 at cos 0.9 against a near-orthogonal background)."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.similarity import semantic_dedup_pairs
+
+    def vec(idc, extra=None):
+        def val(j):
+            v = (
+                F.abs(F.xxhash64(idc, F.lit(j), F.lit("sv"))) % 1000
+            ) / 125.0 - 4.0
+            if extra is not None:
+                v = v + extra(j)
+            return v.cast("float")
+        return F.array(*[val(j) for j in range(32)])
+
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"), vec(F.col("id")).alias("embedding")
+    )
+
+    def delta(j):
+        return (
+            F.abs(F.xxhash64(F.col("id"), F.lit(j), F.lit("sd"))) % 1000
+        ) / 50000.0 - 0.01
+
+    dups = spark.range(n // dup_every).select(
+        (F.col("id") + n).alias("vec_id"),
+        vec(F.col("id") * dup_every, delta).alias("embedding"),
+    )
+    corpus = base.union(dups).repartition(
+        spark.sparkContext.defaultParallelism
+    ).persist()
+    n_vecs = corpus.count()
+    t0 = time.perf_counter()
+    rows = semantic_dedup_pairs(
+        corpus, cos_threshold=0.9, n_clusters=512, n_sub=8,
+        n_codes=256, fit_sample=5_000,
+    ).collect()
+    sec = round(time.perf_counter() - t0, 2)
+    planted = {(j * dup_every, n + j) for j in range(n // dup_every)}
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    corpus.unpersist()
+    return {
+        "vectors": n_vecs,
+        "planted_pairs": len(planted),
+        "sec": sec,
+        "recall": round(len(got & planted) / len(planted), 4),
+        "false_pairs": len(got - planted),
+    }
 
 
 def _ann_scale(spark, n: int = 200_000, n_queries: int = 50) -> dict:

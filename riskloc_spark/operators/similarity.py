@@ -267,7 +267,15 @@ def _kmeans_fit(sample, n_clusters: int, n_iter: int, seed: int):
     rng = np.random.default_rng(seed)
     centroids = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
     for _ in range(n_iter):
-        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        # chunked like ivfpq_assign_cells (identical per-element float
+        # ops): the one-shot temporary is sample x K x dim doubles —
+        # 655 MB per iteration at 5000 x 512 x 32
+        d = np.empty((len(x), len(centroids)), dtype=np.float64)
+        for k0 in range(0, len(centroids), 64):
+            blk = centroids[k0:k0 + 64]
+            d[:, k0:k0 + len(blk)] = (
+                (x[:, None, :] - blk[None, :, :]) ** 2
+            ).sum(axis=2)
         assign = d.argmin(axis=1)
         for c in range(len(centroids)):
             members = x[assign == c]
@@ -623,7 +631,18 @@ def ivfpq_assign_cells(
         import numpy as np
 
         x = np.stack(v.to_numpy())
-        d = ((x[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # chunk over centroid blocks (round 9, same fix as the r8 PQ
+        # encode chunking): the one-shot (batch, K, dim) temporary is
+        # ~1.3 GB per 10k-row Arrow batch at K=512 — the semantic-dedup
+        # cell count. Per-element float ops are IDENTICAL (subtract,
+        # square, sum over dim), so cell assignments — and the oracle
+        # twins ordering by list_distance — are unchanged bit-for-bit.
+        d = np.empty((len(x), len(C)), dtype=np.float64)
+        for k0 in range(0, len(C), 64):
+            blk = C[k0:k0 + 64]
+            d[:, k0:k0 + len(blk)] = (
+                (x[:, None, :] - blk[None, :, :]) ** 2
+            ).sum(axis=2)
         return pd.Series(d.argmin(axis=1))
 
     return spread_small_scan(corpus).select(
@@ -860,7 +879,14 @@ def semantic_dedup_pairs(
     if index is None:
         cells = ivfpq_assign_cells(normed, centroids, id_col, "__nv")
         coded = pq_encode(normed, CB, id_col=id_col, vec_col="__nv")
-        index = cells.join(coded, id_col)
+        # materialize the (id, cell, code) frame once: it IS the ingest
+        # artifact a deployment stores, and lazily it would re-derive
+        # both Arrow passes on EACH side of the self-join (measured
+        # ~1.5x the whole pipeline at 100k vectors). localCheckpoint,
+        # not persist — no unpersist hook exists for a lazy result, and
+        # ContextCleaner reclaims the checkpoint once the result frame
+        # is GC'd (same pattern as trigram_lm_scores).
+        index = cells.join(coded, id_col).localCheckpoint(eager=True)
 
     a = index.select(
         F.col(id_col).alias("id_a"),

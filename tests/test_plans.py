@@ -464,11 +464,12 @@ def test_semantic_dedup_plan_shape(spark):
         centroids=seeds, codebooks=seeds[:8].reshape(8, 8, 8).transpose(1, 0, 2),
     )
     plan = plan_str(out, "simple")
-    # Python = ONLY the Arrow-batched ingest passes (cell + encode; the
-    # lineage re-derives per join side when index= isn't a persisted
-    # artifact); never row-at-a-time
-    assert "ArrowEvalPython" in plan
-    assert "BatchEvalPython" not in plan
+    # the (id, cell, code) ingest index is materialized ONCE (round 9:
+    # localCheckpoint — lazily, both Arrow ingest passes re-derived on
+    # EACH self-join side, ~1.5x the whole pipeline at 100k vectors);
+    # the SERVING plan contains no Python at all
+    assert "ExistingRDD" in plan, plan
+    assert "EvalPython" not in plan, plan
     # the 1-row SDC table comes in broadcast (nested-loop on a single
     # row), never a shuffle; the lookup sum is JVM expression algebra
     # with the m-sequence constant-folded to an array literal
