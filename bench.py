@@ -314,6 +314,10 @@ def scale_block(spark) -> dict:
         out["semantic"] = _semantic_scale(spark)
     except Exception as e:
         out["semantic"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        out["paragraphs"] = _paragraph_scale(spark)
+    except Exception as e:
+        out["paragraphs"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     # second rung (SPARK_GRAFT_SCALE2=0 skips): ~5.4M leaves for the two
     # fastest searches + a 510k-doc dedup — the scaling CURVE, not just
     # one point (562k -> 5.4M showed ~2.2x riskloc / ~2.1x autoroot for
@@ -631,6 +635,68 @@ def _ann_queries(spark, n: int, n_queries: int):
     ).persist()
     queries.count()
     return queries
+
+
+def _paragraph_scale(
+    spark, n_docs: int = 500_000, n_headers: int = 200
+) -> dict:
+    """Paragraph dedup at scale: 500k synthetic documents, each framed
+    as header-paragraph / distinct body / global footer-paragraph with
+    one of ``n_headers`` shared boilerplate headers — the classic
+    repeated-navigation shape. paragraph_dedup must keep each header
+    exactly once, the footer exactly once, and every distinct body;
+    counts are verified with ONE aggregation (nothing collects but the
+    four numbers)."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.dedup import paragraph_dedup
+
+    def body(id_col):
+        idx = F.sequence(F.lit(0), F.lit(59))
+        return F.concat_ws(
+            " ",
+            F.transform(
+                idx,
+                lambda i: F.concat(
+                    F.lit("w"),
+                    (F.abs(F.xxhash64(id_col, i, F.lit("pb"))) % 50000)
+                    .cast("string"),
+                ),
+            ),
+        )
+
+    corpus = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared header variant "),
+            (F.col("id") % n_headers).cast("string"),
+            F.lit("\n\n"),
+            body(F.col("id")),
+            F.lit("\n\nglobal copyright footer"),
+        ).alias("text"),
+    ).repartition(spark.sparkContext.defaultParallelism).persist()
+    corpus.count()
+    t0 = time.perf_counter()
+    surv = paragraph_dedup(corpus)
+    row = surv.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.col("para").startswith("shared header").cast("long")
+        ).alias("headers"),
+        F.sum(
+            (F.col("para") == "global copyright footer").cast("long")
+        ).alias("footer"),
+    ).first()
+    sec = round(time.perf_counter() - t0, 2)
+    corpus.unpersist()
+    return {
+        "docs": n_docs,
+        "sec": sec,
+        "survivors": int(row["n"]),
+        "headers_kept": int(row["headers"]),  # expected: n_headers
+        "footer_kept": int(row["footer"]),    # expected: 1
+        "bodies_kept": int(row["n"] - row["headers"] - row["footer"]),
+    }
 
 
 def _semantic_scale(spark, n: int = 100_000, dup_every: int = 100) -> dict:
