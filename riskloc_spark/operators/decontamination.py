@@ -30,12 +30,12 @@ from riskloc_spark.operators.dedup import (
 )
 
 
-def _distinct_doc_ngrams(
+def _doc_ngrams(
     df: DataFrame, text_col: str, id_col: str, n: int, hash_fn
 ) -> DataFrame:
-    """(id, __g) with one row per DISTINCT n-gram hash per document
-    (overlap is counted over a document's distinct n-grams, the
-    literature's convention). shingles() semantics: whitespace-
+    """(id, __g) n-gram hash occurrence rows (NOT deduplicated — the
+    per-doc aggregation counts distinct, so deduping here would buy a
+    whole extra corpus shuffle). shingles() semantics: whitespace-
     normalized word n-grams; a document shorter than n words is ONE
     shingle of its whole text."""
     return (
@@ -45,7 +45,6 @@ def _distinct_doc_ngrams(
             F.explode(shingles(F.col(text_col), n)).alias("__s"),
         )
         .select(F.col(id_col), hash_fn(F.col("__s")).alias("__g"))
-        .distinct()
     )
 
 
@@ -80,15 +79,30 @@ def contamination_stats(
         .select(hash_fn(F.col("__s")).alias("__g"))
         .distinct()
     )
-    doc_grams = _distinct_doc_ngrams(corpus, text_col, id_col, n, hash_fn)
+    doc_grams = _doc_ngrams(corpus, text_col, id_col, n, hash_fn)
+    # broadcast-probe the RAW occurrence rows (no exchange), then ONE
+    # corpus-volume shuffle total: repartition by id, and BOTH
+    # aggregations — the per-(id, gram) dedupe and the per-doc counts —
+    # reuse that partitioning (hash(id) clusters every (id, gram)
+    # group too, so neither groupBy adds an exchange; plan-asserted).
+    # The alternatives each shuffle the gram set twice: .distinct()
+    # then groupBy(id), or count_distinct (Catalyst's rewrite
+    # exchanges on (id, gram, gid) and then on id). Skew is bounded by
+    # document length — one partition never holds more than a doc's
+    # own grams beyond the hash mix.
     hits = doc_grams.join(
         F.broadcast(bench_grams.withColumn("__hit", F.lit(1))),
         "__g",
         "left",
     )
-    return hits.groupBy(id_col).agg(
+    per_gram = (
+        hits.repartition(F.col(id_col))
+        .groupBy(id_col, "__g")
+        .agg(F.max(F.coalesce(F.col("__hit"), F.lit(0))).alias("__hit"))
+    )
+    return per_gram.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_ngrams"),
-        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_matched"),
+        F.sum("__hit").alias("n_matched"),
     ).select(
         id_col,
         "n_ngrams",

@@ -477,6 +477,19 @@ def test_semantic_dedup_plan_shape(spark):
     assert "element_at(element_at(element_at(sdct" in plan.replace(" ", ""), plan
 
 
+def test_decontamination_plan_single_corpus_shuffle(spark):
+    """contamination_stats contract: the corpus gram set crosses the
+    wire ONCE — an explicit repartition(id) that BOTH aggregations
+    (per-(id, gram) dedupe, per-doc counts) reuse. The only other hash
+    exchange is the bench-side distinct feeding the broadcast
+    (bench-volume, tiny by assumption); no Python anywhere."""
+    df = entry_mod.queries()["decontamination_audit"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+    assert "BroadcastExchange" in plan
+    assert "EvalPython" not in plan
+
+
 def test_paragraph_dedup_plan_shape(spark):
     """paragraph_dedup contract: split + posexplode are projections and
     the keep-first is ONE hash exchange (groupBy with map-side partial

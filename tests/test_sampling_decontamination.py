@@ -166,3 +166,35 @@ def test_short_document_is_one_shingle(spark):
     }
     assert got[1]["n_ngrams"] == 1 and got[1]["contamination"] == 1.0
     assert got[2]["contamination"] == 0.0
+
+
+def test_deterministic_sample_composes_with_streaming(spark, tmp_path):
+    """The sample is a pure stateless filter, so it composes with
+    Structured Streaming unchanged — and because membership is a pure
+    function of (id, salt), the streaming sample equals the batch
+    sample over the same rows (the property df.sample cannot give a
+    stream)."""
+    import pandas as pd
+
+    path = str(tmp_path / "docs")
+    pdf = pd.DataFrame(
+        {"doc_id": range(300), "text": [f"t{i}" for i in range(300)]}
+    )
+    spark.createDataFrame(pdf).write.parquet(path)
+    static = spark.read.parquet(path)
+    stream = spark.readStream.schema(static.schema).parquet(path)
+    q = (
+        deterministic_sample(stream, 0.4, "sal")
+        .writeStream.format("memory")
+        .queryName("sampled_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"] for r in spark.sql("SELECT * FROM sampled_stream").collect()
+    }
+    want = {
+        r["doc_id"] for r in deterministic_sample(static, 0.4, "sal").collect()
+    }
+    assert got == want and 60 <= len(got) <= 180
