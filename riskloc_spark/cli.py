@@ -34,6 +34,21 @@ Data forms (ref run.py:39-53):
 The reference fans instances over a process pool because pandas is
 single-threaded; here ONE SparkSession runs instances sequentially and
 parallelizes each across cores (executors on a cluster).
+
+Corpus-pipeline subcommands (no reference counterpart — the
+LLM-data-pipeline surface; parquet in, parquet out, one JSON status
+line):
+    python -m riskloc_spark.cli pipeline curate docs.parquet --output out
+    python -m riskloc_spark.cli pipeline curate-near-dup docs.parquet --output out
+    python -m riskloc_spark.cli pipeline curate-semantic docs.parquet \
+        --embeddings emb.parquet --output out
+    python -m riskloc_spark.cli pipeline dedup-paragraphs docs.parquet --output out
+    python -m riskloc_spark.cli pipeline sample docs.parquet --output out \
+        --fraction 0.3 --salt mix [--strata-col source --rate src0=1.0]
+    python -m riskloc_spark.cli pipeline split docs.parquet --output out \
+        --weights train=0.8,val=0.1,test=0.1
+    python -m riskloc_spark.cli pipeline decontaminate docs.parquet \
+        --benchmark bench.parquet --output out [--ngram 8 --max-contamination 0]
 """
 from __future__ import annotations
 
@@ -170,7 +185,158 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--contribution-ability-threshold", type=float, default=0.0)
     sp.add_argument("--confidence-threshold", type=float, default=0.8)
 
+    # corpus-pipeline subcommands (no reference counterpart — the
+    # LLM-data-pipeline surface): parquet in, parquet out, one JSON
+    # status line on stdout
+    pp = sub.add_parser(
+        "pipeline",
+        help="corpus pipeline ops over parquet (documents schema: "
+        "doc_id, text[, source, lang])",
+    )
+    psub = pp.add_subparsers(dest="pipeline_op", required=True)
+
+    def pcommon(sp2: argparse.ArgumentParser) -> None:
+        sp2.add_argument("data", help="input parquet path")
+        sp2.add_argument("--output", required=True, help="output parquet path")
+        sp2.add_argument("--cpus", default=None)
+
+    sp2 = psub.add_parser("curate", help="quality/lang filter + exact dedup")
+    pcommon(sp2)
+    sp2.add_argument("--min-quality", type=float, default=0.5)
+    sp2.add_argument("--lang", default="en")
+
+    sp2 = psub.add_parser(
+        "curate-near-dup", help="quality/lang filter + MinHash near-dup"
+    )
+    pcommon(sp2)
+    sp2.add_argument("--min-quality", type=float, default=0.5)
+    sp2.add_argument("--lang", default="en")
+    sp2.add_argument("--jaccard-threshold", type=float, default=0.5)
+
+    sp2 = psub.add_parser(
+        "curate-semantic",
+        help="quality/lang filter + embedding near-dup (IVF-PQ SemDeDup)",
+    )
+    pcommon(sp2)
+    sp2.add_argument(
+        "--embeddings", required=True,
+        help="parquet with (vec_id, embedding) aligned to doc_id",
+    )
+    sp2.add_argument("--min-quality", type=float, default=0.5)
+    sp2.add_argument("--lang", default="en")
+    sp2.add_argument("--cos-threshold", type=float, default=0.9)
+
+    sp2 = psub.add_parser(
+        "dedup-paragraphs",
+        help="strip repeated boilerplate paragraphs, rebuild documents",
+    )
+    pcommon(sp2)
+
+    sp2 = psub.add_parser(
+        "sample", help="deterministic Bernoulli / per-stratum sampling"
+    )
+    pcommon(sp2)
+    sp2.add_argument("--fraction", type=float, required=True)
+    sp2.add_argument("--salt", default="")
+    sp2.add_argument("--strata-col", help="sample per-stratum instead")
+    sp2.add_argument(
+        "--rate", action="append", default=[], metavar="VALUE=FRACTION",
+        help="per-stratum rate (repeatable); --fraction is the default rate",
+    )
+
+    sp2 = psub.add_parser(
+        "split", help="disjoint reproducible train/val/test split column"
+    )
+    pcommon(sp2)
+    sp2.add_argument(
+        "--weights", default="train=0.8,val=0.1,test=0.1",
+        help="name=weight[,name=weight...]",
+    )
+    sp2.add_argument("--salt", default="split")
+
+    sp2 = psub.add_parser(
+        "decontaminate", help="drop documents overlapping a benchmark"
+    )
+    pcommon(sp2)
+    sp2.add_argument(
+        "--benchmark", required=True, help="benchmark parquet (text column)"
+    )
+    sp2.add_argument("--ngram", type=int, default=8)
+    sp2.add_argument("--max-contamination", type=float, default=0.0)
+
     return p
+
+
+def run_pipeline(spark, args) -> dict:
+    """Dispatch a `pipeline` subcommand: read parquet, run the operator,
+    write parquet, return the status record printed as JSON."""
+    df = spark.read.parquet(args.data)
+    op = args.pipeline_op
+    if op == "curate":
+        from riskloc_spark.operators.corpus import curate_corpus
+
+        out = curate_corpus(df, args.min_quality, args.lang or None)
+    elif op == "curate-near-dup":
+        from riskloc_spark.operators.corpus import curate_corpus_near_dup
+
+        out = curate_corpus_near_dup(
+            df, args.min_quality, args.lang or None,
+            jaccard_threshold=args.jaccard_threshold,
+        )
+    elif op == "curate-semantic":
+        from riskloc_spark.operators.corpus import curate_corpus_semantic
+
+        emb = spark.read.parquet(args.embeddings)
+        out = curate_corpus_semantic(
+            df, emb, args.min_quality, args.lang or None,
+            cos_threshold=args.cos_threshold,
+        )
+    elif op == "dedup-paragraphs":
+        from riskloc_spark.operators.dedup import remove_duplicate_paragraphs
+
+        out = remove_duplicate_paragraphs(df)
+    elif op == "sample":
+        if args.strata_col:
+            from riskloc_spark.operators.sampling import stratified_sample
+
+            rates = {}
+            for spec in args.rate:
+                k, _, v = spec.partition("=")
+                rates[k] = float(v)
+            out = stratified_sample(
+                df, rates, args.strata_col, salt=args.salt,
+                default_fraction=args.fraction,
+            )
+        else:
+            from riskloc_spark.operators.sampling import deterministic_sample
+
+            out = deterministic_sample(df, args.fraction, salt=args.salt)
+    elif op == "split":
+        from riskloc_spark.operators.sampling import hash_split
+
+        weights = {}
+        for spec in args.weights.split(","):
+            k, _, v = spec.partition("=")
+            weights[k] = float(v)
+        out = hash_split(df, weights, salt=args.salt)
+    elif op == "decontaminate":
+        from riskloc_spark.operators.decontamination import decontaminate
+
+        bench = spark.read.parquet(args.benchmark)
+        out = decontaminate(
+            df, bench, n=args.ngram,
+            max_contamination=args.max_contamination,
+        )
+    else:  # pragma: no cover - argparse enforces choices
+        raise ValueError(op)
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    return {
+        "pipeline_op": op,
+        "input_rows": df.count(),
+        "output_rows": written.count(),
+        "output": args.output,
+    }
 
 
 def run_method(df, attributes, algorithm, derived, opts, rs_data=False):
@@ -446,9 +612,19 @@ def _csv_suffix(output_suffix: str, opts: dict) -> str:
 def main(argv: list[str] | None = None) -> int:
     p = build_parser()
     args = p.parse_args(argv)
-    opts = {k: getattr(args, k) for k in ALGO_OPTIONS[args.algorithm]}
 
     from riskloc_spark.session import get_spark
+
+    if args.algorithm == "pipeline":
+        spark = get_spark(
+            "riskloc-spark-pipeline",
+            master=f"local[{args.cpus}]" if args.cpus else None,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps(run_pipeline(spark, args)))
+        return 0
+
+    opts = {k: getattr(args, k) for k in ALGO_OPTIONS[args.algorithm]}
 
     spark = get_spark(
         "riskloc-spark-cli", master=f"local[{args.cpus}]" if args.cpus else None

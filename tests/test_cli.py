@@ -264,3 +264,97 @@ def test_directory_batch_rs_dataset(spark, tmp_path):
     assert len(all_df) == 1
     assert summary.loc[0, "Dataset"] == "RS"
     assert summary.loc[0, "TP"] >= 1, all_df
+
+
+def test_cli_pipeline_sample_and_split(spark, tmp_path):
+    """pipeline subcommands: parquet in -> parquet out, one JSON status
+    line; the sample CLI reproduces the operator's deterministic
+    membership, split adds the label column."""
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"text number {i}", "s0") for i in range(200)],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    out1 = str(tmp_path / "sampled")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline", "sample",
+            src, "--output", out1, "--fraction", "0.3", "--salt", "x",
+            "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["input_rows"] == 200 and 0 < rec["output_rows"] < 200
+    from riskloc_spark.operators.sampling import deterministic_sample
+
+    want = {
+        r2["doc_id"]
+        for r2 in deterministic_sample(
+            spark.read.parquet(src), 0.3, "x"
+        ).collect()
+    }
+    got = {r2["doc_id"] for r2 in spark.read.parquet(out1).collect()}
+    assert got == want
+
+    out2 = str(tmp_path / "splits")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline", "split",
+            src, "--output", out2, "--weights", "train=0.7,val=0.3",
+            "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = spark.read.parquet(out2).collect()
+    assert len(rows) == 200
+    assert {r2["split"] for r2 in rows} == {"train", "val"}
+
+
+def test_cli_pipeline_curate_and_decontaminate(spark, tmp_path):
+    good = (
+        "the quick brown fox jumps over the lazy dog and it is a fine "
+        "day for all of the animals in the field."
+    )
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, good, "s"),
+            (2, good, "s"),            # exact dup -> curate drops
+            (3, "short", "s"),         # junk -> curate drops
+            (4, good + " extra tail of words here we go.", "s"),
+        ],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    out1 = str(tmp_path / "curated")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline", "curate",
+            src, "--output", out1, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert sorted(
+        r2["doc_id"] for r2 in spark.read.parquet(out1).collect()
+    ) == [1, 4]
+
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(9, good)], "bid long, text string"
+    ).write.parquet(bench)
+    out2 = str(tmp_path / "decontaminated")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "decontaminate", src, "--output", out2,
+            "--benchmark", bench, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    kept = sorted(r2["doc_id"] for r2 in spark.read.parquet(out2).collect())
+    # docs 1/2/4 share benchmark 8-grams; only the junk doc survives
+    assert kept == [3]
