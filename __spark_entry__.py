@@ -448,6 +448,29 @@ def decontamination_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpe_token_counts under the hash gate (round 9): the real merge
+    machinery — JVM pre-tokenization, lowest-rank-pair iteration,
+    merge-all-per-round rewrite — under a FIXED two-chain merge table
+    ((t,h)->(th,e) and (i,n)->(in,g)). For that table the token count
+    has a closed form the oracle recomputes from the RAW text: base
+    symbols are the characters (the piece regex is exhaustive), each
+    non-overlapping 'th'/'in' occurrence saves one symbol and each
+    'the'/'ing' one more — the chains are over disjoint letters so the
+    savings are additive, and letter merges cannot cross piece
+    boundaries because a letter run IS a piece (the corpus has no
+    contraction apostrophes, the one splitter of adjacent letters —
+    verified at all three scales; the theorem itself is
+    property-tested in tests/test_bpe.py). The LEARNED-table path is
+    covered by the fit/encode parity and determinism tests — same
+    carve-out as the k-means quantizers."""
+    from riskloc_spark.functions.bpe import bpe_token_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("in", "g")]
+    return bpe_token_counts(d, merges)
+
+
 def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return exact_dedup(d).select("doc_id")
@@ -2574,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_split": corpus_sample_split_q,
         "corpus_sample_stratified": corpus_sample_stratified_q,
         "decontamination_audit": decontamination_audit_q,
+        "bpe_token_counts": bpe_token_counts_q,
         "robustspot_supports": robustspot_supports_q,
         "robustspot_round0": robustspot_round0_q,
         "robustspot_round1": robustspot_round1_q,
@@ -2589,9 +2613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact_q,
         "knn_bruteforce": knn_bruteforce_q,
         "knn_pq": knn_pq_q,
-        "knn_ivfpq": knn_ivfpq_q,
     # ---- driver window cutoff (50) — everything below is oracled but
     # was driver-recorded green in round 8, or is rows-only ----
+        "knn_ivfpq": knn_ivfpq_q,
         "media_features": media_features_q,
         "streaming_kpi": streaming_kpi_q,
         "streaming_near_dup": streaming_near_dup_q,
@@ -5272,6 +5296,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.doc_id, k.source,
                    round(k.quality, 6) + 0e0 AS quality, k.lang_pred
             FROM kept k JOIN surv USING (doc_id)
+        """,
+        "bpe_token_counts": """
+            SELECT doc_id,
+                   CAST(length(text)
+                        - len(regexp_extract_all(text, 'th'))
+                        - len(regexp_extract_all(text, 'the'))
+                        - len(regexp_extract_all(text, 'in'))
+                        - len(regexp_extract_all(text, 'ing'))
+                     AS BIGINT) AS n_tokens
+            FROM documents
         """,
         "corpus_sample_split": f"""
             SELECT doc_id,

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "adtributor_candidates",
     "text_stats",
     "token_stats",
+    "bpe_token_counts",
     "text_trigram_lm",
     "lang_quality_by_source",
     "dedup_exact",
