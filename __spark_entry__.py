@@ -471,6 +471,27 @@ def bpe_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(d, merges)
 
 
+def corpus_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_documents under the hash gate (round 9): deterministic
+    sequence packing — whitespace token counts (the token_stats
+    formula), md5 hash routing to 8 buckets, next-fit in id order at a
+    120-token budget. Every (doc_id, bucket, seq_id, seq_tokens) row
+    compared; the oracle replays the routing hash and the sequential
+    next-fit fold as a per-bucket recursive CTE."""
+    from riskloc_spark.functions.text import token_count
+    from riskloc_spark.operators.dedup import md5_hash64
+    from riskloc_spark.operators.packing import pack_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return pack_documents(
+        counted, max_tokens=120, n_buckets=8, hash_fn=md5_hash64
+    )
+
+
 def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return exact_dedup(d).select("doc_id")
@@ -2598,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_stratified": corpus_sample_stratified_q,
         "decontamination_audit": decontamination_audit_q,
         "bpe_token_counts": bpe_token_counts_q,
+        "corpus_pack": corpus_pack_q,
         "robustspot_supports": robustspot_supports_q,
         "robustspot_round0": robustspot_round0_q,
         "robustspot_round1": robustspot_round1_q,
@@ -2612,9 +2634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adtributor_elements": adtributor_elements,
         "dedup_exact": dedup_exact_q,
         "knn_bruteforce": knn_bruteforce_q,
-        "knn_pq": knn_pq_q,
     # ---- driver window cutoff (50) — everything below is oracled but
     # was driver-recorded green in round 8, or is rows-only ----
+        "knn_pq": knn_pq_q,
         "knn_ivfpq": knn_ivfpq_q,
         "media_features": media_features_q,
         "streaming_kpi": streaming_kpi_q,
@@ -5296,6 +5318,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.doc_id, k.source,
                    round(k.quality, 6) + 0e0 AS quality, k.lang_pred
             FROM kept k JOIN surv USING (doc_id)
+        """,
+        "corpus_pack": f"""
+            WITH RECURSIVE d0 AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text),
+                            '[ \\t\\n\\x0B\\f\\r]+')) END AS BIGINT) AS tok,
+                     CAST({_MD5H.format(x="CAST(doc_id AS VARCHAR) || ':pack'")}
+                          % 1000000 % 8 AS INT) AS bucket
+              FROM documents
+            ),
+            d AS MATERIALIZED (
+              SELECT *, CAST(row_number() OVER (PARTITION BY bucket
+                             ORDER BY doc_id) AS INT) AS i
+              FROM d0
+            ),
+            -- the next-fit fold, one doc per recursion step per bucket
+            rec(bucket, i, doc_id, tok, seq_id, used) AS (
+              SELECT bucket, i, doc_id, tok, 1, tok FROM d WHERE i = 1
+              UNION ALL
+              SELECT nd.bucket, nd.i, nd.doc_id, nd.tok,
+                     CASE WHEN rec.used + nd.tok > 120
+                          THEN rec.seq_id + 1 ELSE rec.seq_id END,
+                     CASE WHEN rec.used + nd.tok > 120
+                          THEN nd.tok ELSE rec.used + nd.tok END
+              FROM rec JOIN d nd
+                ON nd.bucket = rec.bucket AND nd.i = rec.i + 1
+            ),
+            seqtot AS (
+              SELECT bucket, seq_id, MAX(used) AS seq_tokens
+              FROM rec GROUP BY bucket, seq_id
+            )
+            SELECT r.doc_id, r.bucket, CAST(r.seq_id AS INT) AS seq_id,
+                   s.seq_tokens
+            FROM rec r JOIN seqtot s
+              ON s.bucket = r.bucket AND s.seq_id = r.seq_id
         """,
         "bpe_token_counts": """
             SELECT doc_id,

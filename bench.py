@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "corpus_curate_semantic",
     "corpus_sample_split",
     "corpus_sample_stratified",
+    "corpus_pack",
     "decontamination_audit",
     "knn_bruteforce",
     "knn_lsh",
