@@ -2565,6 +2565,208 @@ def streaming_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Corpus-quality gates (Gopher repetition / filter, C4 cleaning, PII,
+# tf-idf) — functions/quality.py
+# --------------------------------------------------------------------------
+
+
+def _quality_framed(d: DataFrame) -> DataFrame:
+    """Synthetic multi-line corpus for the Gopher-stat gates: the test
+    documents are single-line, so frame each as a 4-line page — a
+    per-source menu line, the body TWICE (a planted duplicate line), and
+    a per-lang contact footer — built from the REAL table so the oracle
+    reconstructs it verbatim."""
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("source"),
+            F.lit(" site menu\n"),
+            F.col("text"),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\ncontact "),
+            F.col("lang"),
+        ).alias("text"),
+    )
+
+
+def quality_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition statistics (functions/quality.repetition_stats,
+    Rae et al. 2021 App. A) under the hash gate: duplicate-line fraction
+    and char mass, top-2/3-gram coverage, (count-1)-weighted duplicate
+    5/6-gram mass — computed as a zero-shuffle sorted-run fold in Spark
+    and replayed as unnest + GROUP BY in the oracle (same values, fully
+    independent evaluation strategy)."""
+    from riskloc_spark.functions.quality import repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    out = repetition_stats(_quality_framed(d), top_ns=(2, 3), dup_ns=(5, 6))
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_words").cast("int").alias("n_words"),
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
+        F.round("top_3gram_char_frac", 6).alias("top_3gram_char_frac"),
+        F.round("dup_5gram_char_frac", 6).alias("dup_5gram_char_frac"),
+        F.round("dup_6gram_char_frac", 6).alias("dup_6gram_char_frac"),
+    )
+
+
+# gate thresholds for gopher_quality: tuned so the framed sf corpus
+# exercises a mix of kept pages and several distinct failure reasons
+_GOPHER_GATE_KW: dict[str, Any] = dict(
+    min_words=30,
+    max_words=160,
+    min_mean_word_len=2.5,
+    max_mean_word_len=6.0,
+    max_ellipsis_line_frac=0.3,
+    min_alpha_word_frac=0.8,
+    min_stopword_hits=1,
+    max_dup_line_frac=0.4,
+    max_dup_line_char_frac=0.95,
+    top_ngram_limits=((2, 0.12),),
+    dup_ngram_limits=((5, 2.0),),
+)
+
+
+def quality_gopher_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-quality verdict (functions/quality
+    .gopher_quality): the full rule chain — length and mean-word-length
+    bands, ellipsis/alpha/stopword rules, then the repetition thresholds
+    — with the FIRST failing rule as the reason. The oracle replays the
+    stats and the same CASE chain."""
+    from riskloc_spark.functions.quality import gopher_quality
+
+    d = load_table(spark, sf_dir, "documents")
+    out = gopher_quality(_quality_framed(d), **_GOPHER_GATE_KW)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.col("stopword_hits").cast("int").alias("stopword_hits"),
+        F.coalesce(F.col("reason"), F.lit("none")).alias("reason"),
+        "kept",
+    )
+
+
+def _c4_framed(d: DataFrame) -> DataFrame:
+    """Synthetic page corpus for the C4 gate: a nav line without
+    terminal punctuation, the body with a punctuated tail, then
+    id-derived plantings of the C4 drop rules (a javascript line, a
+    lorem-ipsum phrase, a curly brace), a too-short line, and a clean
+    closing line."""
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Site nav menu\n"),
+            F.col("text"),
+            F.lit(" extra tail here."),
+            F.when(did % 13 == 0, F.lit("\nuses javascript today.")).otherwise(
+                F.lit("")
+            ),
+            F.when(did % 97 == 0, F.lit("\nlorem ipsum block here.")).otherwise(
+                F.lit("")
+            ),
+            F.when(did % 89 == 0, F.lit("\nbrace { line here.")).otherwise(
+                F.lit("")
+            ),
+            F.lit("\nOk.\nThis closing line stays right here."),
+        ).alias("text"),
+    )
+
+
+def c4_line_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (functions/quality.c4_line_audit, Raffel
+    et al. 2020 §2.2) under the hash gate: terminal-punctuation and
+    min-word line retention, the javascript line rule, and the
+    lorem-ipsum / curly-brace / min-kept-lines page rules, with the
+    cleaned text itself hash-compared."""
+    from riskloc_spark.functions.quality import c4_line_audit
+
+    d = load_table(spark, sf_dir, "documents")
+    return c4_line_audit(_c4_framed(d), min_kept_lines=2).select(
+        "doc_id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_kept_lines").cast("int").alias("n_kept_lines"),
+        "page_kept",
+        "clean_text",
+    )
+
+
+def _pii_framed(d: DataFrame) -> DataFrame:
+    """PII-planted corpus for the redaction gate: an email, an IPv4, and
+    (for every third id) a dashed phone number, all derived from row
+    data so the oracle rebuilds the exact input."""
+    did = F.col("doc_id")
+    num = lambda m: (did % m).cast("string")  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "),
+            F.col("source"),
+            F.lit("."),
+            F.col("lang"),
+            F.lit("@mail"),
+            num(7),
+            F.lit(".example.com ip 10."),
+            num(256),
+            F.lit("."),
+            num(100),
+            F.lit("."),
+            num(250),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" call "),
+                    F.lpad(num(1000), 3, "0"),
+                    F.lit("-555-"),
+                    F.lpad(num(10000), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/quality.redact_pii) end-to-end: the
+    chained email -> IPv4 -> phone regexp passes with
+    count-before-each-pass semantics. The real risk the gate pins is
+    regex ENGINE parity — Java (leftmost-first) vs RE2
+    (leftmost-longest) must produce byte-identical redactions, which
+    holds because the patterns are alternation- and lookaround-free."""
+    from riskloc_spark.functions.quality import redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    return redact_pii(_pii_framed(d)).select(
+        "doc_id", "text", "n_emails", "n_ips", "n_phones"
+    )
+
+
+def tfidf_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tf-idf top terms (functions/quality.tfidf_top_terms):
+    ONE corpus-sized explode + groupBy, then vocabulary-sized df/idf
+    frames and a per-group top-k window with a deterministic (score
+    desc, term asc) tie-break. Both engines compute idf with their
+    native ln; the 6-dp round absorbs any sub-ulp disagreement."""
+    from riskloc_spark.functions.quality import tfidf_top_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    out = tfidf_top_terms(d, group_col="source", k=8)
+    return out.select(
+        "source",
+        F.col("rank").cast("int").alias("rank"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df_groups").cast("long").alias("df_groups"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full RiskLoc root-cause localization on the sf0.001
     events-derived RCA frame."""
@@ -2620,6 +2822,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_audit": decontamination_audit_q,
         "bpe_token_counts": bpe_token_counts_q,
         "corpus_pack": corpus_pack_q,
+        "quality_repetition": quality_repetition_q,
+        "quality_gopher_filter": quality_gopher_filter_q,
+        "c4_line_clean": c4_line_clean_q,
+        "pii_redaction": pii_redaction_q,
+        "tfidf_terms": tfidf_terms_q,
         "robustspot_supports": robustspot_supports_q,
         "robustspot_round0": robustspot_round0_q,
         "robustspot_round1": robustspot_round1_q,
@@ -2629,13 +2836,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evaluation_f1": evaluation_f1_q,
         "q1_pricing_summary": q1_pricing_summary,
         "rca_frame": rca_frame,
+    # ---- driver window cutoff (50) — everything below is oracled but
+    # was driver-recorded green in round 8, or is rows-only ----
         "rca_scores": rca_scores,
         "rca_derived_scores": rca_derived_scores,
         "adtributor_elements": adtributor_elements,
         "dedup_exact": dedup_exact_q,
         "knn_bruteforce": knn_bruteforce_q,
-    # ---- driver window cutoff (50) — everything below is oracled but
-    # was driver-recorded green in round 8, or is rows-only ----
         "knn_pq": knn_pq_q,
         "knn_ivfpq": knn_ivfpq_q,
         "media_features": media_features_q,
@@ -4966,6 +5173,165 @@ def _png_value_sql(m: str, cs: str, s: str) -> str:
                END"""
 
 
+# --------------------------------------------------------------------------
+# DuckDB twins of the corpus-quality gates (functions/quality.py). The
+# Spark side computes every per-document statistic as a zero-shuffle
+# sorted-run fold inside the row; the twins use a completely independent
+# strategy — unnest + GROUP BY — so a bug in either evaluation breaks the
+# hash. Divisions are exact IEEE doubles on both sides; only outputs round.
+# --------------------------------------------------------------------------
+
+# engine-portable whitespace split (see functions/text.WS_CLASS)
+_Q_WS = r"[ \t\n\x0B\f\r]+"
+
+# the operator's own PII patterns (alternation- and lookaround-free, so
+# Java and RE2 agree) — interpolated verbatim into the twin
+from riskloc_spark.functions.quality import (  # noqa: E402
+    EMAIL_RE as _PII_EMAIL,
+    IPV4_RE as _PII_IPV4,
+    PHONE_RE as _PII_PHONE,
+)
+
+_QUALITY_BASE_CTE = rf"""
+            framed AS MATERIALIZED (
+              SELECT doc_id,
+                     source || ' site menu' || chr(10) || text || chr(10)
+                       || text || chr(10) || 'contact ' || lang AS text
+              FROM documents
+            ),
+            qlines AS MATERIALIZED (
+              SELECT f.doc_id, trim(u.l) AS line
+              FROM framed f, unnest(string_split(f.text, chr(10))) u(l)
+              WHERE regexp_matches(u.l, '[^ \t\n\x0B\f\r]')
+            ),
+            line_counts AS (
+              SELECT doc_id, line, count(*) AS c FROM qlines GROUP BY 1, 2
+            ),
+            line_stats AS (
+              SELECT doc_id,
+                     sum(c)::BIGINT AS n_lines,
+                     count(*)::BIGINT AS n_distinct,
+                     sum(c * length(line))::BIGINT AS total_line_chars,
+                     sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)::BIGINT
+                       AS dup_all_chars,
+                     sum(CASE WHEN line LIKE '%...' OR line LIKE '%…' THEN c
+                         ELSE 0 END)::BIGINT AS ellipsis_lines
+              FROM line_counts GROUP BY doc_id
+            ),
+            qtoks AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '{_Q_WS}'),
+                                 x -> x <> '') AS t
+              FROM framed
+            ),
+            tok_stats AS (
+              SELECT doc_id, len(t)::BIGINT AS n_words,
+                     length(array_to_string(t, ' '))::BIGINT AS norm_len,
+                     coalesce(list_sum(list_transform(t, x -> length(x))), 0)::BIGINT
+                       AS tok_chars,
+                     len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT
+                       AS alpha_words,
+                     len(list_filter(['the','be','to','of','and','that','have','with'],
+                                     s -> list_contains(t, s)))::BIGINT AS stop_hits
+              FROM qtoks
+            )"""
+
+
+def _gram_counts_cte(n: int) -> str:
+    """Per-(doc, word n-gram) occurrence counts from the qtoks CTE."""
+    return rf"""
+            g{n} AS (
+              SELECT tk.doc_id, g.gram, count(*) AS c
+              FROM qtoks tk,
+                   unnest(list_transform(range(0, greatest(len(tk.t) - {n - 1}, 0)),
+                     i -> array_to_string(list_slice(tk.t, i + 1, i + {n}), ' ')))
+                     g(gram)
+              GROUP BY 1, 2
+            )"""
+
+
+def _top_gram_cte(n: int) -> str:
+    """Most frequent n-gram per doc; ties to the smallest gram — the SQL
+    twin of the _top_run fold's first-max-of-sorted-array rule."""
+    return rf"""
+            top{n} AS (
+              SELECT doc_id, c, gram FROM (
+                SELECT doc_id, c, gram,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, gram ASC) AS rn
+                FROM g{n}
+              ) WHERE rn = 1
+            )"""
+
+
+def _dup_gram_cte(n: int) -> str:
+    """(count-1)-weighted duplicate n-gram char mass per doc."""
+    return rf"""
+            dupg{n} AS (
+              SELECT doc_id, sum((c - 1) * length(gram))::BIGINT AS extra
+              FROM g{n} WHERE c > 1 GROUP BY doc_id
+            )"""
+
+
+def _quality_stats_sql() -> str:
+    """Shared CTE block + a per-doc stats projection (unrounded — gates
+    round only in their final SELECT so threshold comparisons see the
+    same doubles Spark compares)."""
+    return (
+        "WITH "
+        + _QUALITY_BASE_CTE
+        + ","
+        + ",".join(_gram_counts_cte(n) for n in (2, 3, 5, 6))
+        + ","
+        + ",".join(_top_gram_cte(n) for n in (2, 3))
+        + ","
+        + ",".join(_dup_gram_cte(n) for n in (5, 6))
+        + r""",
+            qstats AS (
+              SELECT f.doc_id,
+                     coalesce(ls.n_lines, 0) AS n_lines,
+                     coalesce(ts.n_words, 0) AS n_words,
+                     CASE WHEN coalesce(ls.n_lines, 0) = 0 THEN 0e0
+                          ELSE (ls.n_lines - ls.n_distinct)::DOUBLE / ls.n_lines
+                     END AS dup_line_frac,
+                     CASE WHEN coalesce(ls.total_line_chars, 0) = 0 THEN 0e0
+                          ELSE ls.dup_all_chars::DOUBLE / ls.total_line_chars
+                     END AS dup_line_char_frac,
+                     CASE WHEN coalesce(ts.norm_len, 0) = 0 OR t2.gram IS NULL
+                          THEN 0e0
+                          ELSE (t2.c * length(t2.gram))::DOUBLE / ts.norm_len
+                     END AS top_2gram_char_frac,
+                     CASE WHEN coalesce(ts.norm_len, 0) = 0 OR t3.gram IS NULL
+                          THEN 0e0
+                          ELSE (t3.c * length(t3.gram))::DOUBLE / ts.norm_len
+                     END AS top_3gram_char_frac,
+                     CASE WHEN coalesce(ts.norm_len, 0) = 0 THEN 0e0
+                          ELSE coalesce(d5.extra, 0)::DOUBLE / ts.norm_len
+                     END AS dup_5gram_char_frac,
+                     CASE WHEN coalesce(ts.norm_len, 0) = 0 THEN 0e0
+                          ELSE coalesce(d6.extra, 0)::DOUBLE / ts.norm_len
+                     END AS dup_6gram_char_frac,
+                     CASE WHEN coalesce(ts.n_words, 0) = 0 THEN 0e0
+                          ELSE ts.tok_chars::DOUBLE / ts.n_words
+                     END AS mean_word_len,
+                     CASE WHEN coalesce(ls.n_lines, 0) = 0 THEN 0e0
+                          ELSE ls.ellipsis_lines::DOUBLE / ls.n_lines
+                     END AS ellipsis_line_frac,
+                     CASE WHEN coalesce(ts.n_words, 0) = 0 THEN 0e0
+                          ELSE ts.alpha_words::DOUBLE / ts.n_words
+                     END AS alpha_word_frac,
+                     coalesce(ts.stop_hits, 0) AS stopword_hits
+              FROM framed f
+              LEFT JOIN line_stats ls ON ls.doc_id = f.doc_id
+              LEFT JOIN tok_stats ts ON ts.doc_id = f.doc_id
+              LEFT JOIN top2 t2 ON t2.doc_id = f.doc_id
+              LEFT JOIN top3 t3 ON t3.doc_id = f.doc_id
+              LEFT JOIN dupg5 d5 ON d5.doc_id = f.doc_id
+              LEFT JOIN dupg6 d6 ON d6.doc_id = f.doc_id
+            )"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -5550,6 +5916,148 @@ def oracle_sql() -> dict[str, str]:
                    round(AVG(ln(p.p)), 6) + 0e0 AS avg_logprob
             FROM tris t JOIN probs p ON t.tri = p.tri
             GROUP BY t.doc_id
+        """,
+        "quality_repetition": _quality_stats_sql()
+        + """
+            SELECT doc_id,
+                   CAST(n_lines AS INT) AS n_lines,
+                   CAST(n_words AS INT) AS n_words,
+                   round(dup_line_frac, 6) + 0e0 AS dup_line_frac,
+                   round(dup_line_char_frac, 6) + 0e0 AS dup_line_char_frac,
+                   round(top_2gram_char_frac, 6) + 0e0 AS top_2gram_char_frac,
+                   round(top_3gram_char_frac, 6) + 0e0 AS top_3gram_char_frac,
+                   round(dup_5gram_char_frac, 6) + 0e0 AS dup_5gram_char_frac,
+                   round(dup_6gram_char_frac, 6) + 0e0 AS dup_6gram_char_frac
+            FROM qstats
+        """,
+        "quality_gopher_filter": _quality_stats_sql()
+        + """
+            , verdict AS (
+              SELECT doc_id, n_words, mean_word_len, stopword_hits,
+                     CASE
+                       WHEN n_words < 30 THEN 'n_words_low'
+                       WHEN n_words > 160 THEN 'n_words_high'
+                       WHEN mean_word_len < 25e-1 THEN 'mean_word_len_low'
+                       WHEN mean_word_len > 6e0 THEN 'mean_word_len_high'
+                       WHEN ellipsis_line_frac > 3e-1 THEN 'ellipsis_lines'
+                       WHEN alpha_word_frac < 8e-1 THEN 'alpha_words'
+                       WHEN stopword_hits < 1 THEN 'stopwords'
+                       WHEN dup_line_frac > 4e-1 THEN 'dup_line_frac'
+                       WHEN dup_line_char_frac > 95e-2 THEN 'dup_line_char_frac'
+                       WHEN top_2gram_char_frac > 12e-2 THEN 'top_2gram'
+                       WHEN dup_5gram_char_frac > 2e0 THEN 'dup_5gram'
+                     END AS reason
+              FROM qstats
+            )
+            SELECT doc_id,
+                   CAST(n_words AS INT) AS n_words,
+                   round(mean_word_len, 6) + 0e0 AS mean_word_len,
+                   CAST(stopword_hits AS INT) AS stopword_hits,
+                   coalesce(reason, 'none') AS reason,
+                   reason IS NULL AS kept
+            FROM verdict
+        """,
+        "c4_line_clean": rf"""
+            WITH framed AS MATERIALIZED (
+              SELECT doc_id,
+                'Site nav menu' || chr(10) || text || ' extra tail here.'
+                || CASE WHEN doc_id % 13 = 0
+                        THEN chr(10) || 'uses javascript today.' ELSE '' END
+                || CASE WHEN doc_id % 97 = 0
+                        THEN chr(10) || 'lorem ipsum block here.' ELSE '' END
+                || CASE WHEN doc_id % 89 = 0
+                        THEN chr(10) || 'brace {{ line here.' ELSE '' END
+                || chr(10) || 'Ok.' || chr(10)
+                || 'This closing line stays right here.' AS text
+              FROM documents
+            ),
+            audit AS (
+              SELECT doc_id, text,
+                len(list_filter(string_split(text, chr(10)),
+                    l -> regexp_matches(l, '[^ \t\n\x0B\f\r]'))) AS n_lines,
+                list_transform(
+                  list_filter(string_split(text, chr(10)), l ->
+                    trim(l) <> ''
+                    AND regexp_matches(trim(l), '[.!?"'']$')
+                    AND len(list_filter(
+                          regexp_split_to_array(lower(trim(l)), '{_Q_WS}'),
+                          w -> w <> '')) >= 3
+                    AND NOT list_contains(list_filter(
+                          regexp_split_to_array(lower(trim(l)), '{_Q_WS}'),
+                          w -> w <> ''), 'javascript')
+                  ), l -> trim(l)) AS kl
+              FROM framed
+            )
+            SELECT doc_id,
+                   CAST(n_lines AS INT) AS n_lines,
+                   CAST(len(kl) AS INT) AS n_kept_lines,
+                   (len(kl) >= 2
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{{')) AS page_kept,
+                   array_to_string(kl, chr(10)) AS clean_text
+            FROM audit
+        """,
+        "pii_redaction": rf"""
+            WITH framed AS MATERIALIZED (
+              SELECT doc_id,
+                text || ' contact ' || source || '.' || lang || '@mail'
+                  || (doc_id % 7)::VARCHAR || '.example.com ip 10.'
+                  || (doc_id % 256)::VARCHAR || '.' || (doc_id % 100)::VARCHAR
+                  || '.' || (doc_id % 250)::VARCHAR
+                  || CASE WHEN doc_id % 3 = 0
+                       THEN ' call ' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                            || '-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                       ELSE '' END AS text
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+                     regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+              FROM framed
+            ),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                     len(regexp_extract_all(t1, '{_PII_IPV4}')) AS n_ips,
+                     regexp_replace(t1, '{_PII_IPV4}', '<IP>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS text,
+                   CAST(n_emails AS INT) AS n_emails,
+                   CAST(n_ips AS INT) AS n_ips,
+                   CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS INT)
+                     AS n_phones
+            FROM s2
+        """,
+        "tfidf_terms": rf"""
+            WITH ttoks AS MATERIALIZED (
+              SELECT source,
+                     list_filter(regexp_split_to_array(lower(text), '{_Q_WS}'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            tf AS (
+              SELECT source, u.term, count(*) AS tf
+              FROM ttoks, unnest(t) u(term) GROUP BY 1, 2
+            ),
+            dfq AS (SELECT term, count(*) AS df_groups FROM tf GROUP BY term),
+            ng AS (SELECT count(DISTINCT source) AS n FROM documents),
+            ranked AS (
+              SELECT s.source, s.term, s.tf, d.df_groups,
+                     s.tf * (ln((1 + n.n) / (1 + d.df_groups)) + 1) AS score,
+                     row_number() OVER (
+                       PARTITION BY s.source
+                       ORDER BY s.tf * (ln((1 + n.n) / (1 + d.df_groups)) + 1)
+                                  DESC,
+                                s.term ASC) AS rank
+              FROM tf s JOIN dfq d USING (term), ng n
+            )
+            SELECT source, CAST(rank AS INT) AS rank, term,
+                   CAST(tf AS BIGINT) AS tf,
+                   CAST(df_groups AS BIGINT) AS df_groups,
+                   round(score, 6) + 0e0 AS score
+            FROM ranked WHERE rank <= 8
         """,
         "knn_ivfpq": """
             WITH seeds16 AS (

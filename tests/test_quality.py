@@ -1,0 +1,212 @@
+"""Gopher repetition statistics, the Gopher quality filter, C4 line
+cleaning, PII redaction, and tf-idf — hand-computed expectations, engine
+parity of the shared regexes, and the zero-shuffle plan contract."""
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from riskloc_spark.functions.quality import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    c4_clean,
+    c4_line_audit,
+    gopher_quality,
+    redact_pii,
+    repetition_stats,
+    tfidf_top_terms,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "a b c\na b c\nx y z"),
+            (1, "the cat the cat the cat sat"),
+            (2, ""),
+            (3, "   \n\t\n "),
+            (4, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_repetition_stats_hand_values(docs):
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_stats(docs, top_ns=(2,), dup_ns=(2,)).collect()
+    }
+    # doc 0: 3 lines, one duplicated pair of 5-char lines (10 of 15 chars);
+    # tokens a b c a b c x y z -> joined len 17; "a b"/"b c" each twice.
+    r0 = rows[0]
+    assert r0["n_lines"] == 3 and r0["n_words"] == 9
+    assert r0["dup_line_frac"] == pytest.approx(1 / 3)
+    assert r0["dup_line_char_frac"] == pytest.approx(10 / 15)
+    assert r0["top_2gram_char_frac"] == pytest.approx(2 * 3 / 17)
+    assert r0["dup_2gram_char_frac"] == pytest.approx((3 + 3) / 17)
+    # doc 1: "the cat" x3 of 27 joined chars
+    r1 = rows[1]
+    assert r1["top_2gram_char_frac"] == pytest.approx(3 * 7 / 27)
+    assert r1["dup_2gram_char_frac"] == pytest.approx((2 * 7 + 7) / 27)
+    # empty / whitespace-only documents: all stats zero, no nulls
+    for i in (2, 3):
+        r = rows[i]
+        assert r["n_lines"] == 0 and r["n_words"] == 0
+        assert r["dup_line_frac"] == 0.0 == r["top_2gram_char_frac"]
+    # doc 4: no repeats; top gram has count 1 and ties resolve to the
+    # lexicographically smallest 2-gram ("five six", 8 chars of 33)
+    assert rows[4]["top_2gram_char_frac"] == pytest.approx(8 / 33)
+    assert rows[4]["dup_2gram_char_frac"] == 0.0
+
+
+def test_repetition_stats_order_invariant(spark):
+    """The stats fold sorts internally — shuffled word order with the
+    same multiset of lines/grams gives the same duplicate mass."""
+    a = spark.createDataFrame(
+        [(0, "x y\nq r\nx y"), (1, "q r\nx y\nx y")],
+        "doc_id long, text string",
+    )
+    out = repetition_stats(a, top_ns=(1,), dup_ns=(1,)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    for col in ("dup_line_frac", "dup_line_char_frac", "top_1gram_char_frac"):
+        assert by_id[0][col] == by_id[1][col]
+
+
+def test_gopher_quality_reasons(spark):
+    # a passing document needs enough length that no single n-gram
+    # dominates — exactly the regime the Gopher thresholds assume
+    # every 2-gram contains an indexed word, so nothing repeats
+    good = " ".join(
+        f"the alpha{i:02d} of beta{i:02d} and gamma{i:02d}" for i in range(10)
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality(docs, min_words=5, min_mean_word_len=2.0).collect()
+    }
+    assert out[0]["kept"] and out[0]["reason"] is None
+    # pure repetition: fails the stopword rule first (rule order fixed)
+    assert out[1]["reason"] == "stopwords"
+    assert out[2]["reason"] == "n_words_low"
+
+
+def test_c4_line_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "This is a good sentence.\nshort\nFine line here!\nuses javascript here.\nno terminal punct"),
+            (1, "lorem ipsum dolor sit amet.\nGood line here too."),
+            (2, "var x = {a: 1};\nA fine sentence here."),
+            (3, "  Padded line stays trimmed.  \nAnother keeper stays here."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_line_audit(docs).collect()}
+    assert out[0]["n_kept_lines"] == 2 and out[0]["page_kept"]
+    assert "javascript" not in out[0]["clean_text"]
+    assert not out[1]["page_kept"]  # lorem ipsum
+    assert not out[2]["page_kept"]  # curly brace
+    assert out[3]["clean_text"] == (
+        "Padded line stays trimmed.\nAnother keeper stays here."
+    )
+    survivors = {r["doc_id"] for r in c4_clean(docs).collect()}
+    assert survivors == {0, 3}
+
+
+def test_redact_pii_counts_and_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b@c10.0.0.12.com then 10.0.0.1 and 555-123-4567"),
+            (1, "no pii here at all"),
+            (2, "two mails x@y.zz w@v.qq one ip 1.2.3.4"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    # the ip-looking domain is consumed by the email pass first — only
+    # the standalone address counts as an IP
+    assert (out[0]["n_emails"], out[0]["n_ips"], out[0]["n_phones"]) == (1, 1, 1)
+    assert out[0]["text"] == "mail <EMAIL> then <IP> and <PHONE>"
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (0, 0, 0)
+    assert (out[2]["n_emails"], out[2]["n_ips"]) == (2, 1)
+
+
+def test_pii_regex_engine_parity(spark):
+    """The gate's real risk: Java regex (Spark) is leftmost-first, RE2
+    (DuckDB) leftmost-longest. The patterns are alternation-free, so both
+    engines must produce byte-identical redactions — checked here on
+    adversarial near-matches and the gate hashes it per round."""
+    cases = [
+        "a@b.c",  # single-letter TLD: no match
+        "x a@b.co extra dots a@b.c.d.ee",
+        "1.2.3.4.5.6 and 999.999.999.999",
+        "555-123-45678 and 12-345-6789 and 555-123-4567",
+        "trailing dot a@b.com. and ip 1.2.3.4.",
+        "e@mail.com@mail.com",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(cases):
+        r = con.execute(
+            """
+            with a as (select regexp_replace(?, ?, '<EMAIL>', 'g') t),
+                 b as (select regexp_replace(t, ?, '<IP>', 'g') t from a)
+            select regexp_replace(t, ?, '<PHONE>', 'g') from b
+            """,
+            [t, EMAIL_RE, IPV4_RE, PHONE_RE],
+        ).fetchone()[0]
+        assert got[i]["text"] == r, (t, got[i]["text"], r)
+
+
+def test_tfidf_formula_and_ranks(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (0, "s0", "alpha alpha beta shared"),
+            (1, "s1", "gamma shared shared"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = tfidf_top_terms(docs, k=10).collect()
+    by = {(r["source"], r["term"]): r for r in out}
+    # alpha: tf 2 in s0 only -> idf = ln(3/2)+1
+    assert by[("s0", "alpha")]["score"] == pytest.approx(
+        2 * (math.log(3 / 2) + 1)
+    )
+    assert by[("s0", "alpha")]["rank"] == 1
+    # shared appears in both groups -> idf = ln(3/3)+1 = 1
+    assert by[("s1", "shared")]["score"] == pytest.approx(2.0)
+    assert by[("s0", "shared")]["df_groups"] == 2
+
+
+def test_quality_projections_are_shuffle_free(spark, sf_dir):
+    """The 100-TB contract: per-document quality stats are projections —
+    zero exchanges in the executed plan."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for out in (
+        repetition_stats(d),
+        gopher_quality(d),
+        c4_line_audit(d),
+        redact_pii(d),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
+    # the staging contract: higher-order functions are interpreted (no
+    # cross-column CSE), so the token/line arrays must be named columns
+    # evaluated ONCE — the optimized plan re-tokenizes at most twice
+    # (lines + words), not once per statistic (measured 16x difference)
+    opt = (
+        repetition_stats(d)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert opt.count("split(") <= 2, opt
