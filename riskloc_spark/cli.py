@@ -49,6 +49,13 @@ line):
         --weights train=0.8,val=0.1,test=0.1
     python -m riskloc_spark.cli pipeline decontaminate docs.parquet \
         --benchmark bench.parquet --output out [--ngram 8 --max-contamination 0]
+    python -m riskloc_spark.cli pipeline gopher-filter docs.parquet --output out \
+        [--min-words 50 --max-words 100000 --audit]
+    python -m riskloc_spark.cli pipeline c4-clean docs.parquet --output out \
+        [--min-line-words 3 --min-kept-lines 1]
+    python -m riskloc_spark.cli pipeline redact-pii docs.parquet --output out
+    python -m riskloc_spark.cli pipeline tfidf docs.parquet --output out \
+        [--group-col source --top-k 10]
 """
 from __future__ import annotations
 
@@ -264,6 +271,39 @@ def build_parser() -> argparse.ArgumentParser:
     sp2.add_argument("--ngram", type=int, default=8)
     sp2.add_argument("--max-contamination", type=float, default=0.0)
 
+    sp2 = psub.add_parser(
+        "gopher-filter",
+        help="Gopher quality rules (Rae et al. 2021); survivors only "
+        "unless --audit",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--min-words", type=int, default=50)
+    sp2.add_argument("--max-words", type=int, default=100_000)
+    sp2.add_argument(
+        "--audit", action="store_true",
+        help="write every page with stats + reason + kept instead of "
+        "filtering",
+    )
+
+    sp2 = psub.add_parser(
+        "c4-clean", help="C4 line-level cleaning (Raffel et al. 2020)"
+    )
+    pcommon(sp2)
+    sp2.add_argument("--min-line-words", type=int, default=3)
+    sp2.add_argument("--min-kept-lines", type=int, default=1)
+
+    sp2 = psub.add_parser(
+        "redact-pii", help="redact emails / IPv4s / dashed phone numbers"
+    )
+    pcommon(sp2)
+
+    sp2 = psub.add_parser(
+        "tfidf", help="top-k characteristic terms per group by tf-idf"
+    )
+    pcommon(sp2)
+    sp2.add_argument("--group-col", default="source")
+    sp2.add_argument("--top-k", type=int, default=10)
+
     return p
 
 
@@ -327,6 +367,32 @@ def run_pipeline(spark, args) -> dict:
             df, bench, n=args.ngram,
             max_contamination=args.max_contamination,
         )
+    elif op == "gopher-filter":
+        from pyspark.sql import functions as F
+
+        from riskloc_spark.functions.quality import gopher_quality
+
+        out = gopher_quality(
+            df, min_words=args.min_words, max_words=args.max_words
+        )
+        if not args.audit:
+            out = out.filter(F.col("kept")).select(*df.columns)
+    elif op == "c4-clean":
+        from riskloc_spark.functions.quality import c4_clean
+
+        out = c4_clean(
+            df,
+            min_line_words=args.min_line_words,
+            min_kept_lines=args.min_kept_lines,
+        )
+    elif op == "redact-pii":
+        from riskloc_spark.functions.quality import redact_pii
+
+        out = redact_pii(df)
+    elif op == "tfidf":
+        from riskloc_spark.functions.quality import tfidf_top_terms
+
+        out = tfidf_top_terms(df, group_col=args.group_col, k=args.top_k)
     else:  # pragma: no cover - argparse enforces choices
         raise ValueError(op)
     out.write.mode("overwrite").parquet(args.output)

@@ -358,3 +358,73 @@ def test_cli_pipeline_curate_and_decontaminate(spark, tmp_path):
     kept = sorted(r2["doc_id"] for r2 in spark.read.parquet(out2).collect())
     # docs 1/2/4 share benchmark 8-grams; only the junk doc survives
     assert kept == [3]
+
+
+def test_cli_pipeline_quality_ops(spark, tmp_path):
+    """gopher-filter / c4-clean / redact-pii / tfidf subcommands:
+    parquet in -> parquet out, matching the operators' direct output."""
+    good = (
+        "The quick brown fox jumps over the lazy dog and it is a fine "
+        "day for all of the animals in the big field to be with friends."
+    )
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, good + "\nAnother fine sentence stays right here.", "s0"),
+            (2, "spam spam spam spam spam", "s0"),
+            (3, "Contact a@b.com or 1.2.3.4 right now.\nKeep this line here.", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+
+    out1 = str(tmp_path / "gophered")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "gopher-filter", src, "--output", out1, "--min-words", "10",
+            "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert [
+        r2["doc_id"] for r2 in spark.read.parquet(out1).collect()
+    ] == [1]
+
+    out2 = str(tmp_path / "c4")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "c4-clean", src, "--output", out2, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    c4 = {r2["doc_id"]: r2["text"] for r2 in spark.read.parquet(out2).collect()}
+    assert 2 not in c4 and "Keep this line here." in c4[3]
+
+    out3 = str(tmp_path / "pii")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "redact-pii", src, "--output", out3, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    pii = {r2["doc_id"]: r2 for r2 in spark.read.parquet(out3).collect()}
+    assert pii[3]["n_emails"] == 1 and pii[3]["n_ips"] == 1
+    assert "<EMAIL>" in pii[3]["text"] and "<IP>" in pii[3]["text"]
+
+    out4 = str(tmp_path / "tfidf")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "tfidf", src, "--output", out4, "--top-k", "3", "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = spark.read.parquet(out4).collect()
+    assert {r2["source"] for r2 in rows} == {"s0", "s1"}
+    assert all(1 <= r2["rank"] <= 3 for r2 in rows)

@@ -210,3 +210,46 @@ def test_quality_projections_are_shuffle_free(spark, sf_dir):
         repetition_stats(d)._jdf.queryExecution().optimizedPlan().toString()
     )
     assert opt.count("split(") <= 2, opt
+
+
+def test_quality_filters_compose_with_streaming(spark, tmp_path):
+    """The quality verdicts are stateless projections, so they compose
+    with Structured Streaming unchanged — a streaming gopher filter
+    emits exactly the batch filter's survivors."""
+    import pandas as pd
+
+    path = str(tmp_path / "qdocs")
+    good = " ".join(
+        f"the alpha{i:02d} of beta{i:02d} and gamma{i:02d}" for i in range(10)
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(60),
+            "text": [good if i % 3 else "spam spam spam" for i in range(60)],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(path)
+    static = spark.read.parquet(path)
+    stream = spark.readStream.schema(static.schema).parquet(path)
+    out = gopher_quality(stream, min_words=5, min_mean_word_len=2.0).filter(
+        "kept"
+    )
+    q = (
+        out.select("doc_id")
+        .writeStream.format("memory")
+        .queryName("gopher_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"] for r in spark.sql("SELECT * FROM gopher_stream").collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in gopher_quality(static, min_words=5, min_mean_word_len=2.0)
+        .filter("kept")
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want and len(got) == 40
