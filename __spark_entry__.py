@@ -2747,6 +2747,47 @@ def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# planted shared spans for the exact-substring gate (10 and 11 tokens —
+# with n=8 each produces several overlapping duplicate grams that must
+# merge to ONE removed interval per non-first occurrence)
+_SPAN_SLOGAN = " the shared slogan of this network appears right here today"
+_SPAN_PROMO = " trailing promo of the service follows you to every page now"
+
+
+def _span_framed(d: DataFrame) -> DataFrame:
+    """Corpus for the span-dedup gate: every 10th document carries a
+    shared slogan, every 7th-congruent-to-3 a shared promo tail — the
+    not-paragraph-aligned boilerplate exact_substring dedup exists for.
+    Built from the REAL table so the oracle reconstructs it verbatim."""
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 10 == 0, F.lit(_SPAN_SLOGAN)).otherwise(F.lit("")),
+            F.when(did % 7 == 3, F.lit(_SPAN_PROMO)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (duplicate n-token span) dedup under the hash
+    gate (operators/dedup.remove_duplicate_spans, the Lee et al. 2022
+    operator): the Spark side hashes token tuples in place and resolves
+    first-occurrence with a partition-only window; the oracle counts by
+    gram STRING with row_number — same equivalence classes (space-join
+    of whitespace-split tokens is injective), fully independent
+    strategy. Rebuilt text, removal counts, and merged-span counts all
+    hash-compared."""
+    from riskloc_spark.operators.dedup import remove_duplicate_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(_span_framed(d), n=8).select(
+        "doc_id", "text", "n_tokens", "n_tokens_removed", "n_dup_grams",
+        "n_spans",
+    )
+
+
 def tfidf_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tf-idf top terms (functions/quality.tfidf_top_terms):
     ONE corpus-sized explode + groupBy, then vocabulary-sized df/idf
@@ -2827,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_clean": c4_line_clean_q,
         "pii_redaction": pii_redaction_q,
         "tfidf_terms": tfidf_terms_q,
+        "dedup_spans": dedup_spans_q,
         "robustspot_supports": robustspot_supports_q,
         "robustspot_round0": robustspot_round0_q,
         "robustspot_round1": robustspot_round1_q,
@@ -2835,9 +2877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_trigram_lm": text_trigram_lm_q,
         "evaluation_f1": evaluation_f1_q,
         "q1_pricing_summary": q1_pricing_summary,
-        "rca_frame": rca_frame,
     # ---- driver window cutoff (50) — everything below is oracled but
     # was driver-recorded green in round 8, or is rows-only ----
+        "rca_frame": rca_frame,
         "rca_scores": rca_scores,
         "rca_derived_scores": rca_derived_scores,
         "adtributor_elements": adtributor_elements,
@@ -6029,6 +6071,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS INT)
                      AS n_phones
             FROM s2
+        """,
+        "dedup_spans": rf"""
+            WITH framed AS MATERIALIZED (
+              SELECT doc_id,
+                text
+                || CASE WHEN doc_id % 10 = 0 THEN '{_SPAN_SLOGAN}'
+                   ELSE '' END
+                || CASE WHEN doc_id % 7 = 3 THEN '{_SPAN_PROMO}'
+                   ELSE '' END AS text
+              FROM documents
+            ),
+            stoks AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '{_Q_WS}'),
+                                 x -> x <> '') AS t
+              FROM framed
+            ),
+            occ AS MATERIALIZED (
+              SELECT tk.doc_id, g.i AS pos,
+                     array_to_string(list_slice(tk.t, g.i + 1, g.i + 8), ' ')
+                       AS gram
+              FROM stoks tk, unnest(range(0, greatest(len(tk.t) - 7, 0))) g(i)
+            ),
+            removedq AS MATERIALIZED (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY gram) AS c,
+                       row_number() OVER (PARTITION BY gram
+                                          ORDER BY doc_id, pos) AS rn
+                FROM occ
+              ) WHERE c >= 2 AND rn > 1
+            ),
+            spansq AS (
+              SELECT doc_id, list_sort(list(pos)) AS P
+              FROM removedq GROUP BY doc_id
+            ),
+            nspans AS (
+              SELECT doc_id,
+                     sum(CASE WHEN prev IS NULL OR pos >= prev + 8
+                         THEN 1 ELSE 0 END) AS k
+              FROM (
+                SELECT doc_id, pos,
+                       lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS prev
+                FROM removedq
+              ) GROUP BY doc_id
+            ),
+            rebuilt AS (
+              SELECT tk.doc_id, tk.t,
+                     coalesce(s.P, []) AS P,
+                     list_filter(tk.t, (x, i) ->
+                       len(list_filter(coalesce(s.P, []),
+                           p -> p <= i - 1 AND i - 1 < p + 8)) = 0) AS K
+              FROM stoks tk LEFT JOIN spansq s USING (doc_id)
+            )
+            SELECT r.doc_id,
+                   -- array_to_string([]) is NULL in DuckDB but
+                   -- F.array_join([]) is '' — coalesce to match
+                   coalesce(array_to_string(r.K, ' '), '') AS text,
+                   CAST(len(r.t) AS INT) AS n_tokens,
+                   CAST(len(r.t) - len(r.K) AS INT) AS n_tokens_removed,
+                   CAST(len(r.P) AS INT) AS n_dup_grams,
+                   CAST(coalesce(ns.k, 0) AS INT) AS n_spans
+            FROM rebuilt r LEFT JOIN nspans ns USING (doc_id)
         """,
         "tfidf_terms": rf"""
             WITH ttoks AS MATERIALIZED (

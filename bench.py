@@ -324,6 +324,10 @@ def scale_block(spark) -> dict:
         out["quality"] = _quality_scale(spark)
     except Exception as e:
         out["quality"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        out["spans"] = _span_scale(spark)
+    except Exception as e:
+        out["spans"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     # second rung (SPARK_GRAFT_SCALE2=0 skips): ~5.4M leaves for the two
     # fastest searches + a 510k-doc dedup — the scaling CURVE, not just
     # one point (562k -> 5.4M showed ~2.2x riskloc / ~2.1x autoroot for
@@ -702,6 +706,78 @@ def _paragraph_scale(
         "headers_kept": int(row["headers"]),  # expected: n_headers
         "footer_kept": int(row["footer"]),    # expected: 1
         "bodies_kept": int(row["n"] - row["headers"] - row["footer"]),
+    }
+
+
+def _span_scale(spark, n_docs: int = 200_000, dup_every: int = 10) -> dict:
+    """Exact-substring dedup at scale: 200k ~60-token synthetic docs,
+    every 10th carrying a shared 12-token slogan mid-document (the
+    not-paragraph-aligned boilerplate case). remove_duplicate_spans
+    must keep the slogan in exactly ONE document and strip it as one
+    merged span everywhere else; the verification is one aggregation
+    (docs touched, tokens removed, spans). tokens_removed slightly
+    exceeds the planted expectation by design: a straddling gram (one
+    random body token + seven slogan tokens) is itself duplicated
+    whenever two carriers' adjacent body tokens collide (birthday over
+    the 1e6-word vocab, ~hundreds of pairs at 20k carriers) — real
+    duplicate spans under the operator's definition. The measured cost
+    is the corpus-volume gram-hash exchange + partition-only window —
+    the operator's single heavy stage at any scale."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.dedup import remove_duplicate_spans
+
+    def body(id_col, k, salt):
+        idx = F.sequence(F.lit(0), F.lit(k))
+        return F.concat_ws(
+            " ",
+            F.transform(
+                idx,
+                lambda i: F.concat(
+                    F.lit("w"),
+                    (F.abs(F.xxhash64(id_col, i, F.lit(salt))) % 1000000)
+                    .cast("string"),
+                ),
+            ),
+        )
+
+    slogan = "the shared slogan of this network appears right here today ok yes"
+    corpus = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % dup_every == 0,
+            F.concat_ws(
+                " ",
+                body(F.col("id"), 29, "sa"),
+                F.lit(slogan),
+                body(F.col("id"), 29, "sb"),
+            ),
+        )
+        .otherwise(body(F.col("id"), 59, "sc"))
+        .alias("text"),
+    ).repartition(spark.sparkContext.defaultParallelism).persist()
+    corpus.count()
+    t0 = time.perf_counter()
+    out = remove_duplicate_spans(corpus, n=8)
+    row = out.agg(
+        F.sum((F.col("n_tokens_removed") > 0).cast("long")).alias("touched"),
+        F.sum("n_tokens_removed").alias("removed"),
+        F.sum("n_spans").alias("spans"),
+    ).first()
+    sec = round(time.perf_counter() - t0, 2)
+    corpus.unpersist()
+    n_carriers = n_docs // dup_every
+    return {
+        "docs": n_docs,
+        "sec": sec,
+        "docs_per_sec": round(n_docs / sec),
+        # expected: every carrier except the first loses the 12-token
+        # slogan as one span
+        "docs_touched": int(row["touched"]),
+        "expected_touched": n_carriers - 1,
+        "tokens_removed": int(row["removed"]),
+        "expected_tokens_removed": (n_carriers - 1) * 12,
+        "spans": int(row["spans"]),
     }
 
 

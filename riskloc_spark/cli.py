@@ -49,6 +49,8 @@ line):
         --weights train=0.8,val=0.1,test=0.1
     python -m riskloc_spark.cli pipeline decontaminate docs.parquet \
         --benchmark bench.parquet --output out [--ngram 8 --max-contamination 0]
+    python -m riskloc_spark.cli pipeline dedup-spans docs.parquet --output out \
+        [--ngram 8]
     python -m riskloc_spark.cli pipeline gopher-filter docs.parquet --output out \
         [--min-words 50 --max-words 100000 --audit]
     python -m riskloc_spark.cli pipeline c4-clean docs.parquet --output out \
@@ -272,6 +274,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp2.add_argument("--max-contamination", type=float, default=0.0)
 
     sp2 = psub.add_parser(
+        "dedup-spans",
+        help="remove repeated n-token spans corpus-wide (exact-substring "
+        "dedup, Lee et al. 2022)",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--ngram", type=int, default=8)
+
+    sp2 = psub.add_parser(
         "gopher-filter",
         help="Gopher quality rules (Rae et al. 2021); survivors only "
         "unless --audit",
@@ -367,6 +377,10 @@ def run_pipeline(spark, args) -> dict:
             df, bench, n=args.ngram,
             max_contamination=args.max_contamination,
         )
+    elif op == "dedup-spans":
+        from riskloc_spark.operators.dedup import remove_duplicate_spans
+
+        out = remove_duplicate_spans(df, n=args.ngram)
     elif op == "gopher-filter":
         from pyspark.sql import functions as F
 

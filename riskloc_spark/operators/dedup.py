@@ -7,7 +7,7 @@ join. MinHash/SimHash signatures are built with JVM-side hash functions
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from riskloc_spark.functions.text import WS_CLASS
@@ -641,4 +641,119 @@ def minhash_signature_col(
             F.array(*[hash_fn(sv, k) for k in range(num_hashes)]),
             lambda a, b: F.least(a, b),
         ),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup at n-token granularity (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" operator,
+    re-expressed relationally): any n-token span occurring more than once
+    ANYWHERE in the corpus — across documents or within one — is removed
+    from every position except its first corpus-wide occurrence
+    (smallest (id, position)). This is the sub-document tier below
+    paragraph_dedup: it catches boilerplate that is not paragraph-aligned
+    (inlined disclaimers, templated sentences, quoted reposts).
+
+    Returns (id, rebuilt text over normalized tokens, n_tokens,
+    n_tokens_removed, n_dup_grams, n_spans). Overlapping duplicate grams
+    merge into maximal spans; a doc whose every token is covered comes
+    back with empty text (drop on n_tokens_removed == n_tokens).
+
+    Scale shape: Lee et al. build a corpus-wide suffix array; the same
+    semantics is ONE corpus-volume exchange here — token-position gram
+    hashes (no gram strings are ever materialized: each position hashes
+    its n tokens directly) shuffle by hash once into a partition-only
+    WINDOW that yields each occurrence's group count and group-first in
+    the same pass (plan-asserted). A groupBy + self-join would move the
+    gram frame twice under AQE (stage reuse does not fire across the
+    broadcast conversion — measured) and risks an unbounded broadcast of
+    the duplicate set; the window buffers one gram-group at a time with
+    disk spill, so a mega-duplicated gram degrades instead of OOMing.
+    The remaining shuffles (span collection, rebuild join) carry only
+    duplicate occurrences and doc ids. Span merging and text rebuild
+    are within-row folds over the sorted removal positions.
+    """
+    from riskloc_spark.functions.quality import words
+
+    toks_df = spread_small_scan(df).select(
+        F.col(id_col), words(F.col(text_col)).alias("__T")
+    )
+    T = F.col("__T")
+    empty_occ = F.array().cast("array<struct<pos:int,h:bigint>>")
+    gram_structs = F.when(F.size(T) < n, empty_occ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(T) - n),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.xxhash64(
+                    *[F.element_at(T, i + j + 1) for j in range(n)]
+                ).alias("h"),
+            ),
+        )
+    )
+    occ = toks_df.select(
+        F.col(id_col), F.explode(gram_structs).alias("o")
+    ).select(id_col, F.col("o.pos").alias("pos"), F.col("o.h").alias("h"))
+    wh = Window.partitionBy("h")
+    removed = (
+        occ.select(
+            F.col(id_col),
+            "pos",
+            F.count(F.lit(1)).over(wh).alias("__c"),
+            F.min(F.struct(F.col(id_col), F.col("pos")))
+            .over(wh)
+            .alias("__f"),
+        )
+        .filter(
+            (F.col("__c") >= 2)
+            & ~(
+                (F.col(id_col) == F.col(f"__f.{id_col}"))
+                & (F.col("pos") == F.col("__f.pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    spans = removed.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("__P")
+    )
+    joined = toks_df.join(spans, id_col, "left").select(
+        F.col(id_col),
+        T,
+        F.coalesce(F.col("__P"), F.array().cast("array<int>")).alias("__P"),
+    )
+    P = F.col("__P")
+    staged = joined.select(
+        F.col(id_col),
+        T,
+        P,
+        F.filter(
+            T,
+            lambda t, i: ~F.exists(P, lambda p: (p <= i) & (i < p + n)),
+        ).alias("__K"),
+    )
+    # merged-interval count: a removal position starts a new span iff it
+    # lies past the furthest end seen so far (positions are sorted)
+    span_fold = F.aggregate(
+        P,
+        F.struct(
+            F.lit(-1).cast("int").alias("end"), F.lit(0).cast("int").alias("k")
+        ),
+        lambda a, p: F.struct(
+            F.greatest(a["end"], (p + n).cast("int")).alias("end"),
+            (a["k"] + F.when(p >= a["end"], 1).otherwise(0)).alias("k"),
+        ),
+        lambda a: a["k"],
+    )
+    return staged.select(
+        F.col(id_col),
+        F.array_join(F.col("__K"), " ").alias(text_col),
+        F.size(T).cast("int").alias("n_tokens"),
+        (F.size(T) - F.size(F.col("__K"))).cast("int").alias("n_tokens_removed"),
+        F.size(P).cast("int").alias("n_dup_grams"),
+        span_fold.alias("n_spans"),
     )

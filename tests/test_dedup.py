@@ -343,3 +343,87 @@ def test_paragraph_dedup_composes_with_curation(spark):
     )
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [1, 2]
+
+
+def test_remove_duplicate_spans_cross_doc(spark):
+    """Lee et al. span dedup: an n-token span shared across documents
+    survives only at its smallest (doc, pos); straddling grams that mix
+    unique context with the shared span stay untouched."""
+    from riskloc_spark.operators.dedup import remove_duplicate_spans
+
+    slogan = "the shared slogan of this network appears right here today"
+    docs = spark.createDataFrame(
+        [
+            (0, f"u0 v0 w0 x0 {slogan} z0"),
+            (1, f"u1 v1 w1 x1 {slogan} z1"),
+            (2, f"{slogan} leading position here"),
+            (3, "completely unique text with no duplicated spans at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(docs, n=8).collect()
+    }
+    # doc 0 holds the first occurrence (slogan at pos 4 < doc 2's pos 0
+    # only by doc order: (0,4) < (2,0)) and keeps everything
+    assert out[0]["n_tokens_removed"] == 0
+    assert slogan in out[0]["text"]
+    # docs 1 and 2 lose exactly the 10-token slogan as ONE merged span
+    for i in (1, 2):
+        assert out[i]["n_tokens_removed"] == 10
+        assert out[i]["n_spans"] == 1
+        assert slogan not in out[i]["text"]
+    assert out[1]["text"] == "u1 v1 w1 x1 z1"
+    assert out[2]["text"] == "leading position here"
+    assert out[3]["n_tokens_removed"] == 0
+
+
+def test_remove_duplicate_spans_within_doc(spark):
+    """A span repeated INSIDE one document keeps its first occurrence
+    and drops the repeat — the within-doc case Lee et al. handle that
+    paragraph_dedup misses when the repeat is not paragraph-aligned."""
+    from riskloc_spark.operators.dedup import remove_duplicate_spans
+
+    ten = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(0, f"{ten} mid1 mid2 {ten}")],
+        "doc_id long, text string",
+    )
+    r = remove_duplicate_spans(docs, n=8).first()
+    assert r["n_tokens_removed"] == 10 and r["n_spans"] == 1
+    assert r["text"] == f"{ten} mid1 mid2"
+
+
+def test_remove_duplicate_spans_overlapping_merge(spark):
+    """Adjacent duplicated grams merge into one maximal span: a 12-token
+    shared block yields 5 duplicate 8-grams but ONE removed interval of
+    12 tokens."""
+    from riskloc_spark.operators.dedup import remove_duplicate_spans
+
+    block = "p q r s t u v w x y zz ww"
+    docs = spark.createDataFrame(
+        [(0, f"first0 {block} tail0"), (1, f"other1 {block} tail1")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, n=8).collect()}
+    assert out[0]["n_tokens_removed"] == 0
+    assert out[1]["n_dup_grams"] == 5
+    assert out[1]["n_spans"] == 1
+    assert out[1]["n_tokens_removed"] == 12
+    assert out[1]["text"] == "other1 tail1"
+
+
+def test_remove_duplicate_spans_plan_single_corpus_exchange(spark, sf_dir):
+    """Scale contract: the gram-occurrence frame crosses the wire ONCE
+    (a partition-only window yields group count + group first in the
+    same pass — no self-join, no unbounded broadcast); the only other
+    hash exchanges carry duplicate occurrences / doc ids."""
+    from riskloc_spark.operators.dedup import remove_duplicate_spans
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = remove_duplicate_spans(d, n=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(h") == 1, plan
+    assert plan.count("Window") == 1, plan
+    assert "EvalPython" not in plan
