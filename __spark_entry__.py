@@ -2820,13 +2820,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys only.  Oracled gates lead, ROTATED each round so every hash
     # gate accumulates driver-recorded greens: round 9 leads with the 28
     # oracled gates past round 8's cutoff (their last driver greens are
-    # from rounds <= 7), then the never-recorded round-9 gates
-    # (paragraph dedup x2, semantic curation), then the gates whose
-    # operators changed this round (robustspot trunc/null-mode fixes,
-    # trigram broadcast guard, evaluation checkpoint), then a flagship
-    # fill; the oracled gates recorded green in round 8 sit just past
-    # the window, and rows-only queries last so they never consume a
-    # scored slot.
+    # from rounds <= 7), then the never-recorded round-9 gates (paragraph
+    # dedup x2, semantic curation, sampling/decontamination/BPE/packing,
+    # and the six corpus-quality gates: Gopher repetition + filter, C4
+    # cleaning, PII redaction, tf-idf, exact-substring span dedup), then
+    # the gates whose operators changed this round, then a flagship fill;
+    # the oracled gates recorded green in round 8 sit just past the
+    # window, and rows-only queries last so they never consume a scored
+    # slot.
         "hotspot_search": hotspot_search_q,
         "hotspot_search_ps": hotspot_search_ps_q,
         "autoroot_search_fixed": autoroot_search_fixed_q,

@@ -428,3 +428,28 @@ def test_cli_pipeline_quality_ops(spark, tmp_path):
     rows = spark.read.parquet(out4).collect()
     assert {r2["source"] for r2 in rows} == {"s0", "s1"}
     assert all(1 <= r2["rank"] <= 3 for r2 in rows)
+
+
+def test_cli_pipeline_dedup_spans(spark, tmp_path):
+    slogan = "the shared slogan of this network appears right here today"
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (0, f"u0 v0 w0 x0 {slogan} z0"),
+            (1, f"u1 v1 w1 x1 {slogan} z1"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "spanned")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "dedup-spans", src, "--output", out, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = {r2["doc_id"]: r2 for r2 in spark.read.parquet(out).collect()}
+    assert rows[0]["n_tokens_removed"] == 0
+    assert rows[1]["n_tokens_removed"] == 10
+    assert rows[1]["text"] == "u1 v1 w1 x1 z1"
