@@ -2747,6 +2747,50 @@ def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality verdict as a STREAM (round 9, session 2): the
+    documents file read through an availableNow readStream, framed and
+    scored by the same stateless projection as quality_gopher_filter,
+    into a memory sink. Batch/stream equality is the property under the
+    hash: the oracle is the identical relation the batch gate uses, so
+    a verdict that diverges under the streaming runner (state,
+    micro-batch boundaries, schema drift) breaks the gate."""
+    import os
+    import tempfile
+    import uuid
+
+    from riskloc_spark.functions.quality import gopher_quality
+
+    batch = load_table(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="squality_")
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(stage, "documents.parquet"),
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
+    out = gopher_quality(_quality_framed(stream), **_GOPHER_GATE_KW).select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.col("stopword_hits").cast("int").alias("stopword_hits"),
+        F.coalesce(F.col("reason"), F.lit("none")).alias("reason"),
+        "kept",
+    )
+    name = "streaming_quality_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_quality: run did not finish in 300s")
+    q.stop()
+    return spark.table(name)
+
+
 # planted shared spans for the exact-substring gate (10 and 11 tokens —
 # with n=8 each produces several overlapping duplicate grams that must
 # merge to ONE removed interval per non-first occurrence)
@@ -2870,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": pii_redaction_q,
         "tfidf_terms": tfidf_terms_q,
         "dedup_spans": dedup_spans_q,
+        "streaming_quality": streaming_quality_q,
         "robustspot_supports": robustspot_supports_q,
         "robustspot_round0": robustspot_round0_q,
         "robustspot_round1": robustspot_round1_q,
@@ -2877,9 +2922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robustspot_ca": robustspot_ca_q,
         "text_trigram_lm": text_trigram_lm_q,
         "evaluation_f1": evaluation_f1_q,
-        "q1_pricing_summary": q1_pricing_summary,
     # ---- driver window cutoff (50) — everything below is oracled but
     # was driver-recorded green in round 8, or is rows-only ----
+        "q1_pricing_summary": q1_pricing_summary,
         "rca_frame": rca_frame,
         "rca_scores": rca_scores,
         "rca_derived_scores": rca_derived_scores,
@@ -5375,6 +5420,43 @@ def _quality_stats_sql() -> str:
     )
 
 
+# the Gopher verdict twin — shared verbatim by the batch gate
+# (quality_gopher_filter) and the streaming gate (streaming_quality): the
+# operator is a stateless projection, so stream output == batch output
+# over the same files, and both hash against this one relation. The CASE
+# chain mirrors _GOPHER_GATE_KW rule-for-rule (float literals in e-form
+# per the repo's DECIMAL-parse policy).
+_GOPHER_VERDICT_SQL = (
+    _quality_stats_sql()
+    + """
+            , verdict AS (
+              SELECT doc_id, n_words, mean_word_len, stopword_hits,
+                     CASE
+                       WHEN n_words < 30 THEN 'n_words_low'
+                       WHEN n_words > 160 THEN 'n_words_high'
+                       WHEN mean_word_len < 25e-1 THEN 'mean_word_len_low'
+                       WHEN mean_word_len > 6e0 THEN 'mean_word_len_high'
+                       WHEN ellipsis_line_frac > 3e-1 THEN 'ellipsis_lines'
+                       WHEN alpha_word_frac < 8e-1 THEN 'alpha_words'
+                       WHEN stopword_hits < 1 THEN 'stopwords'
+                       WHEN dup_line_frac > 4e-1 THEN 'dup_line_frac'
+                       WHEN dup_line_char_frac > 95e-2 THEN 'dup_line_char_frac'
+                       WHEN top_2gram_char_frac > 12e-2 THEN 'top_2gram'
+                       WHEN dup_5gram_char_frac > 2e0 THEN 'dup_5gram'
+                     END AS reason
+              FROM qstats
+            )
+            SELECT doc_id,
+                   CAST(n_words AS INT) AS n_words,
+                   round(mean_word_len, 6) + 0e0 AS mean_word_len,
+                   CAST(stopword_hits AS INT) AS stopword_hits,
+                   coalesce(reason, 'none') AS reason,
+                   reason IS NULL AS kept
+            FROM verdict
+        """
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -5973,33 +6055,11 @@ def oracle_sql() -> dict[str, str]:
                    round(dup_6gram_char_frac, 6) + 0e0 AS dup_6gram_char_frac
             FROM qstats
         """,
-        "quality_gopher_filter": _quality_stats_sql()
-        + """
-            , verdict AS (
-              SELECT doc_id, n_words, mean_word_len, stopword_hits,
-                     CASE
-                       WHEN n_words < 30 THEN 'n_words_low'
-                       WHEN n_words > 160 THEN 'n_words_high'
-                       WHEN mean_word_len < 25e-1 THEN 'mean_word_len_low'
-                       WHEN mean_word_len > 6e0 THEN 'mean_word_len_high'
-                       WHEN ellipsis_line_frac > 3e-1 THEN 'ellipsis_lines'
-                       WHEN alpha_word_frac < 8e-1 THEN 'alpha_words'
-                       WHEN stopword_hits < 1 THEN 'stopwords'
-                       WHEN dup_line_frac > 4e-1 THEN 'dup_line_frac'
-                       WHEN dup_line_char_frac > 95e-2 THEN 'dup_line_char_frac'
-                       WHEN top_2gram_char_frac > 12e-2 THEN 'top_2gram'
-                       WHEN dup_5gram_char_frac > 2e0 THEN 'dup_5gram'
-                     END AS reason
-              FROM qstats
-            )
-            SELECT doc_id,
-                   CAST(n_words AS INT) AS n_words,
-                   round(mean_word_len, 6) + 0e0 AS mean_word_len,
-                   CAST(stopword_hits AS INT) AS stopword_hits,
-                   coalesce(reason, 'none') AS reason,
-                   reason IS NULL AS kept
-            FROM verdict
-        """,
+        "quality_gopher_filter": _GOPHER_VERDICT_SQL,
+        # identical relation: the streaming gate runs the SAME stateless
+        # verdict projection through an availableNow readStream into a
+        # memory sink — batch/stream equality IS the property under test
+        "streaming_quality": _GOPHER_VERDICT_SQL,
         "c4_line_clean": rf"""
             WITH framed AS MATERIALIZED (
               SELECT doc_id,

@@ -122,6 +122,16 @@ BENCH_QUERIES = [
     "media_resize_bilinear",
     "adtributor_elements_derived",
     "robustspot_ca",
+    # round-9 session-2 corpus-quality surface (streaming_quality is
+    # excluded for the same stream-lifecycle reason as
+    # streaming_near_dup; its batch twin quality_gopher_filter times
+    # the identical projection)
+    "quality_repetition",
+    "quality_gopher_filter",
+    "c4_line_clean",
+    "pii_redaction",
+    "tfidf_terms",
+    "dedup_spans",
 ]
 
 
