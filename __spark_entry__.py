@@ -2791,6 +2791,29 @@ def streaming_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet (functions/quality.corpus_report):
+    EXACT type-1 token-count quantiles read off a per-(source, length)
+    histogram — one corpus aggregation, then histogram-sized work. The
+    oracle replays histogram, cumulative counts, and the
+    ceil-threshold quantile rule; integer sums keep the cumulative
+    window engine-exact."""
+    from riskloc_spark.functions.quality import corpus_report
+
+    d = load_table(spark, sf_dir, "documents")
+    out = corpus_report(d)
+    return out.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.round("mean_tokens", 6).alias("mean_tokens"),
+        F.col("max_tokens").cast("int").alias("max_tokens"),
+        F.col("p50_tokens").cast("int").alias("p50_tokens"),
+        F.col("p90_tokens").cast("int").alias("p90_tokens"),
+        F.col("p99_tokens").cast("int").alias("p99_tokens"),
+    )
+
+
 # planted shared spans for the exact-substring gate (10 and 11 tokens —
 # with n=8 each produces several overlapping duplicate grams that must
 # merge to ONE removed interval per non-first occurrence)
@@ -2885,7 +2908,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adtributor_elements_derived": adtributor_elements_derived,
         "q4_priority_semi": q4_priority_semi,
         "q_customers_without_orders": q_customers_without_orders,
-        "events_rollup": events_rollup,
         "rev_adtributor_rec": rev_adtributor_rec_q,
         "riskloc_layer_scores": riskloc_layer_scores_q,
         "squeeze_cluster_stats": squeeze_cluster_stats_q,
@@ -2915,6 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": tfidf_terms_q,
         "dedup_spans": dedup_spans_q,
         "streaming_quality": streaming_quality_q,
+        "corpus_report": corpus_report_q,
         "robustspot_supports": robustspot_supports_q,
         "robustspot_round0": robustspot_round0_q,
         "robustspot_round1": robustspot_round1_q,
@@ -2937,6 +2960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kpi": streaming_kpi_q,
         "streaming_near_dup": streaming_near_dup_q,
         "q3_shipping_priority": q3_shipping_priority,
+        "events_rollup": events_rollup,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q_top_customers_per_nation": q_top_customers_per_nation,
@@ -6196,6 +6220,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(r.P) AS INT) AS n_dup_grams,
                    CAST(coalesce(ns.k, 0) AS INT) AS n_spans
             FROM rebuilt r LEFT JOIN nspans ns USING (doc_id)
+        """,
+        "corpus_report": rf"""
+            WITH th AS MATERIALIZED (
+              SELECT source,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '{_Q_WS}'))
+                          END AS INT) AS n_tokens
+              FROM documents
+            ),
+            hist AS (
+              SELECT source, n_tokens, count(*) AS c FROM th GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT source, n_tokens, c,
+                     sum(c) OVER (PARTITION BY source ORDER BY n_tokens
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+              FROM hist
+            ),
+            tot AS (
+              SELECT source, sum(c)::BIGINT AS n_docs,
+                     sum(n_tokens::BIGINT * c)::BIGINT AS total_tokens
+              FROM hist GROUP BY source
+            )
+            SELECT h.source, t.n_docs, t.total_tokens,
+                   round(t.total_tokens::DOUBLE / t.n_docs, 6) + 0e0
+                     AS mean_tokens,
+                   CAST(max(h.n_tokens) AS INT) AS max_tokens,
+                   CAST(min(CASE WHEN h.cum >= ceil(5e-1 * t.n_docs)
+                            THEN h.n_tokens END) AS INT) AS p50_tokens,
+                   CAST(min(CASE WHEN h.cum >= ceil(9e-1 * t.n_docs)
+                            THEN h.n_tokens END) AS INT) AS p90_tokens,
+                   CAST(min(CASE WHEN h.cum >= ceil(99e-2 * t.n_docs)
+                            THEN h.n_tokens END) AS INT) AS p99_tokens
+            FROM cum h JOIN tot t USING (source)
+            GROUP BY h.source, t.n_docs, t.total_tokens
         """,
         "tfidf_terms": rf"""
             WITH ttoks AS MATERIALIZED (

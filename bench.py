@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "pii_redaction",
     "tfidf_terms",
     "dedup_spans",
+    "corpus_report",
 ]
 
 

@@ -58,6 +58,8 @@ line):
     python -m riskloc_spark.cli pipeline redact-pii docs.parquet --output out
     python -m riskloc_spark.cli pipeline tfidf docs.parquet --output out \
         [--group-col source --top-k 10]
+    python -m riskloc_spark.cli pipeline report docs.parquet --output out \
+        [--group-col source]
 """
 from __future__ import annotations
 
@@ -314,6 +316,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp2.add_argument("--group-col", default="source")
     sp2.add_argument("--top-k", type=int, default=10)
 
+    sp2 = psub.add_parser(
+        "report",
+        help="per-group corpus datasheet (counts, token totals, exact "
+        "quantiles)",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--group-col", default="source")
+
     return p
 
 
@@ -407,6 +417,10 @@ def run_pipeline(spark, args) -> dict:
         from riskloc_spark.functions.quality import tfidf_top_terms
 
         out = tfidf_top_terms(df, group_col=args.group_col, k=args.top_k)
+    elif op == "report":
+        from riskloc_spark.functions.quality import corpus_report
+
+        out = corpus_report(df, group_col=args.group_col)
     else:  # pragma: no cover - argparse enforces choices
         raise ValueError(op)
     out.write.mode("overwrite").parquet(args.output)

@@ -576,3 +576,74 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(group_col, "rank", "term", "tf", "df_groups", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus datasheet (per-group profile with exact quantiles)
+# ---------------------------------------------------------------------------
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group corpus datasheet: document count, token totals, mean,
+    max, and EXACT token-count quantiles — the "datasheet for datasets"
+    numbers a curation run reports per source / shard / dump.
+
+    Quantiles are exact by construction, not sketched: token counts are
+    small integers, so the corpus collapses to a per-(group, n_tokens)
+    HISTOGRAM first (one groupBy, map-side combinable, output bounded by
+    distinct lengths — thousands of rows regardless of corpus size), and
+    quantile q is read off the histogram's cumulative counts as the
+    smallest length whose running count reaches ceil(q * n_docs)
+    (type-1 / inverse-CDF). Everything after the first aggregation is
+    histogram-sized; ``approx_percentile`` would be cheaper by a
+    constant but is sketch-order dependent and engine-specific, which
+    would make the result unverifiable — and at a histogram this small,
+    exactness is free.
+    """
+    from riskloc_spark.functions.text import token_count
+
+    hist = (
+        df.select(
+            F.col(group_col),
+            token_count(F.col(text_col)).alias("n_tokens"),
+        )
+        .groupBy(group_col, "n_tokens")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.groupBy(group_col).agg(
+        F.sum("c").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long") * F.col("c")).alias(
+            "total_tokens"
+        ),
+    )
+    j = cum.join(tot, group_col)
+    aggs = [
+        F.first("n_docs").alias("n_docs"),
+        F.first("total_tokens").alias("total_tokens"),
+        (F.first("total_tokens").cast("double") / F.first("n_docs")).alias(
+            "mean_tokens"
+        ),
+        F.max("n_tokens").alias("max_tokens"),
+    ]
+    for q in quantiles:
+        tag = f"p{round(q * 100)}"
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(q) * F.col("n_docs")),
+                    F.col("n_tokens"),
+                )
+            ).alias(f"{tag}_tokens")
+        )
+    return j.groupBy(group_col).agg(*aggs)

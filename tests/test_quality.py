@@ -253,3 +253,63 @@ def test_quality_filters_compose_with_streaming(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 40
+
+
+def test_corpus_report_exact_quantiles(spark):
+    """Type-1 quantile rule pinned by hand: smallest length whose
+    cumulative count reaches ceil(q * n)."""
+    from riskloc_spark.functions.quality import corpus_report
+
+    # lengths 1..10, one doc each: p50 -> ceil(0.5*10)=5th -> 5;
+    # p90 -> 9; p99 -> ceil(9.9)=10th -> 10
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * i), "s") for i in range(1, 11)],
+        "doc_id long, text string, source string",
+    )
+    r = corpus_report(docs).first()
+    assert (r["n_docs"], r["total_tokens"], r["max_tokens"]) == (10, 55, 10)
+    assert (r["p50_tokens"], r["p90_tokens"], r["p99_tokens"]) == (5, 9, 10)
+    # heavy tie mass: 9 docs of length 2, one of 100 -> all low
+    # quantiles sit on the tie, p99 on the outlier (ceil(9.9)=10th)
+    docs2 = spark.createDataFrame(
+        [(i, "a b", "s") for i in range(9)] + [(9, " ".join(["w"] * 100), "s")],
+        "doc_id long, text string, source string",
+    )
+    r2 = corpus_report(docs2).first()
+    assert (r2["p50_tokens"], r2["p90_tokens"], r2["p99_tokens"]) == (2, 2, 100)
+
+
+def test_quality_dedup_chain_composes(spark):
+    """The full curation chain the operators were built for: C4 line
+    cleaning -> paragraph dedup -> span dedup -> gopher filter, each
+    stage feeding the next as plain DataFrames."""
+    from riskloc_spark.functions.quality import c4_clean, gopher_quality
+    from riskloc_spark.operators.dedup import (
+        remove_duplicate_paragraphs,
+        remove_duplicate_spans,
+    )
+
+    slogan = "the shared slogan of this network appears right here today"
+    body = " ".join(
+        f"the alpha{i:02d} of beta{i:02d} and gamma{i:02d}" for i in range(10)
+    )
+    header = "Shared navigation header stays once."
+    docs = spark.createDataFrame(
+        [
+            (0, f"{header}\n\n{body} {slogan}.\nnot a terminal line"),
+            (1, f"{header}\n\n{body} extra words here {slogan}."),
+            (2, "junk { page with a brace."),
+        ],
+        "doc_id long, text string",
+    )
+    cleaned = c4_clean(docs)                      # drops doc 2, bad lines
+    stripped = remove_duplicate_paragraphs(cleaned)   # header kept once
+    spanned = remove_duplicate_spans(stripped, n=8)   # slogan kept once
+    final = gopher_quality(
+        spanned, min_words=5, min_mean_word_len=2.0
+    ).filter("kept")
+    rows = {r["doc_id"]: r["text"] for r in spanned.collect()}
+    assert set(rows) == {0, 1}
+    assert sum(header.lower() in t.lower() for t in rows.values()) == 1
+    assert sum(slogan in t for t in rows.values()) == 1
+    assert {r["doc_id"] for r in final.collect()} <= {0, 1}
