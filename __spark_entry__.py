@@ -2855,6 +2855,28 @@ def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_spans_sampled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-dedup 100-TB volume knob under the hash gate: only
+    positions whose gram hash is divisible by sample_mod=4 enter the
+    pipeline (content-based selection — occurrences of a duplicated
+    span fingerprint the same relative positions regardless of
+    alignment), cutting the exchanged fingerprint volume 4x. The
+    md5-portable hash family makes the SELECTION itself oracle-checked,
+    not just the downstream dedup."""
+    from riskloc_spark.operators.dedup import (
+        md5_hash64,
+        remove_duplicate_spans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(
+        _span_framed(d), n=8, sample_mod=4, hash_fn=md5_hash64
+    ).select(
+        "doc_id", "text", "n_tokens", "n_tokens_removed", "n_dup_grams",
+        "n_spans",
+    )
+
+
 def tfidf_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tf-idf top terms (functions/quality.tfidf_top_terms):
     ONE corpus-sized explode + groupBy, then vocabulary-sized df/idf
@@ -2906,7 +2928,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squeeze_search_derived": squeeze_search_derived_q,
         "autoroot_kde_fixed": autoroot_kde_fixed_q,
         "adtributor_elements_derived": adtributor_elements_derived,
-        "q4_priority_semi": q4_priority_semi,
         "q_customers_without_orders": q_customers_without_orders,
         "rev_adtributor_rec": rev_adtributor_rec_q,
         "riskloc_layer_scores": riskloc_layer_scores_q,
@@ -2936,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": pii_redaction_q,
         "tfidf_terms": tfidf_terms_q,
         "dedup_spans": dedup_spans_q,
+        "dedup_spans_sampled": dedup_spans_sampled_q,
         "streaming_quality": streaming_quality_q,
         "corpus_report": corpus_report_q,
         "robustspot_supports": robustspot_supports_q,
@@ -2960,6 +2982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kpi": streaming_kpi_q,
         "streaming_near_dup": streaming_near_dup_q,
         "q3_shipping_priority": q3_shipping_priority,
+        "q4_priority_semi": q4_priority_semi,
         "events_rollup": events_rollup,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -5444,6 +5467,86 @@ def _quality_stats_sql() -> str:
     )
 
 
+def _dedup_spans_sql(sample_mod: int | None = None) -> str:
+    """DuckDB twin of remove_duplicate_spans over the span-framed
+    corpus. The exhaustive gate counts by gram STRING; the sampled gate
+    additionally keeps only positions whose md5-portable gram hash is
+    divisible by ``sample_mod`` — the same content-based selection the
+    operator applies via hash_fn=md5_hash64, replayed with the repo's
+    portable-hash SQL family."""
+    sel = ""
+    if sample_mod is not None:
+        h = "CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)"
+        sel = f"WHERE {h} % {sample_mod} = 0"
+    return rf"""
+            WITH framed AS MATERIALIZED (
+              SELECT doc_id,
+                text
+                || CASE WHEN doc_id % 10 = 0 THEN '{_SPAN_SLOGAN}'
+                   ELSE '' END
+                || CASE WHEN doc_id % 7 = 3 THEN '{_SPAN_PROMO}'
+                   ELSE '' END AS text
+              FROM documents
+            ),
+            stoks AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '{_Q_WS}'),
+                                 x -> x <> '') AS t
+              FROM framed
+            ),
+            occ AS MATERIALIZED (
+              SELECT * FROM (
+                SELECT tk.doc_id, g.i AS pos,
+                       array_to_string(list_slice(tk.t, g.i + 1, g.i + 8), ' ')
+                         AS gram
+                FROM stoks tk,
+                     unnest(range(0, greatest(len(tk.t) - 7, 0))) g(i)
+              ) {sel}
+            ),
+            removedq AS MATERIALIZED (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY gram) AS c,
+                       row_number() OVER (PARTITION BY gram
+                                          ORDER BY doc_id, pos) AS rn
+                FROM occ
+              ) WHERE c >= 2 AND rn > 1
+            ),
+            spansq AS (
+              SELECT doc_id, list_sort(list(pos)) AS P
+              FROM removedq GROUP BY doc_id
+            ),
+            nspans AS (
+              SELECT doc_id,
+                     sum(CASE WHEN prev IS NULL OR pos >= prev + 8
+                         THEN 1 ELSE 0 END) AS k
+              FROM (
+                SELECT doc_id, pos,
+                       lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS prev
+                FROM removedq
+              ) GROUP BY doc_id
+            ),
+            rebuilt AS (
+              SELECT tk.doc_id, tk.t,
+                     coalesce(s.P, []) AS P,
+                     list_filter(tk.t, (x, i) ->
+                       len(list_filter(coalesce(s.P, []),
+                           p -> p <= i - 1 AND i - 1 < p + 8)) = 0) AS K
+              FROM stoks tk LEFT JOIN spansq s USING (doc_id)
+            )
+            SELECT r.doc_id,
+                   -- array_to_string([]) is NULL in DuckDB but
+                   -- F.array_join([]) is '' — coalesce to match
+                   coalesce(array_to_string(r.K, ' '), '') AS text,
+                   CAST(len(r.t) AS INT) AS n_tokens,
+                   CAST(len(r.t) - len(r.K) AS INT) AS n_tokens_removed,
+                   CAST(len(r.P) AS INT) AS n_dup_grams,
+                   CAST(coalesce(ns.k, 0) AS INT) AS n_spans
+            FROM rebuilt r LEFT JOIN nspans ns USING (doc_id)
+        """
+
+
 # the Gopher verdict twin — shared verbatim by the batch gate
 # (quality_gopher_filter) and the streaming gate (streaming_quality): the
 # operator is a stateless projection, so stream output == batch output
@@ -6157,70 +6260,8 @@ def oracle_sql() -> dict[str, str]:
                      AS n_phones
             FROM s2
         """,
-        "dedup_spans": rf"""
-            WITH framed AS MATERIALIZED (
-              SELECT doc_id,
-                text
-                || CASE WHEN doc_id % 10 = 0 THEN '{_SPAN_SLOGAN}'
-                   ELSE '' END
-                || CASE WHEN doc_id % 7 = 3 THEN '{_SPAN_PROMO}'
-                   ELSE '' END AS text
-              FROM documents
-            ),
-            stoks AS MATERIALIZED (
-              SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(text), '{_Q_WS}'),
-                                 x -> x <> '') AS t
-              FROM framed
-            ),
-            occ AS MATERIALIZED (
-              SELECT tk.doc_id, g.i AS pos,
-                     array_to_string(list_slice(tk.t, g.i + 1, g.i + 8), ' ')
-                       AS gram
-              FROM stoks tk, unnest(range(0, greatest(len(tk.t) - 7, 0))) g(i)
-            ),
-            removedq AS MATERIALIZED (
-              SELECT doc_id, pos FROM (
-                SELECT doc_id, pos,
-                       count(*) OVER (PARTITION BY gram) AS c,
-                       row_number() OVER (PARTITION BY gram
-                                          ORDER BY doc_id, pos) AS rn
-                FROM occ
-              ) WHERE c >= 2 AND rn > 1
-            ),
-            spansq AS (
-              SELECT doc_id, list_sort(list(pos)) AS P
-              FROM removedq GROUP BY doc_id
-            ),
-            nspans AS (
-              SELECT doc_id,
-                     sum(CASE WHEN prev IS NULL OR pos >= prev + 8
-                         THEN 1 ELSE 0 END) AS k
-              FROM (
-                SELECT doc_id, pos,
-                       lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                         AS prev
-                FROM removedq
-              ) GROUP BY doc_id
-            ),
-            rebuilt AS (
-              SELECT tk.doc_id, tk.t,
-                     coalesce(s.P, []) AS P,
-                     list_filter(tk.t, (x, i) ->
-                       len(list_filter(coalesce(s.P, []),
-                           p -> p <= i - 1 AND i - 1 < p + 8)) = 0) AS K
-              FROM stoks tk LEFT JOIN spansq s USING (doc_id)
-            )
-            SELECT r.doc_id,
-                   -- array_to_string([]) is NULL in DuckDB but
-                   -- F.array_join([]) is '' — coalesce to match
-                   coalesce(array_to_string(r.K, ' '), '') AS text,
-                   CAST(len(r.t) AS INT) AS n_tokens,
-                   CAST(len(r.t) - len(r.K) AS INT) AS n_tokens_removed,
-                   CAST(len(r.P) AS INT) AS n_dup_grams,
-                   CAST(coalesce(ns.k, 0) AS INT) AS n_spans
-            FROM rebuilt r LEFT JOIN nspans ns USING (doc_id)
-        """,
+        "dedup_spans": _dedup_spans_sql(),
+        "dedup_spans_sampled": _dedup_spans_sql(sample_mod=4),
         "corpus_report": rf"""
             WITH th AS MATERIALIZED (
               SELECT source,

@@ -649,6 +649,8 @@ def remove_duplicate_spans(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sample_mod: int | None = None,
+    hash_fn=None,
 ) -> DataFrame:
     """Exact-substring dedup at n-token granularity (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better" operator,
@@ -677,6 +679,23 @@ def remove_duplicate_spans(
     The remaining shuffles (span collection, rebuild join) carry only
     duplicate occurrences and doc ids. Span merging and text rebuild
     are within-row folds over the sorted removal positions.
+
+    ``sample_mod=m`` is the 100-TB volume knob: only positions whose
+    gram hash is divisible by m enter the pipeline, cutting the
+    exchanged fingerprint volume m-fold. Selection is content-based
+    (same gram -> same hash -> same decision), so occurrences of a
+    duplicated span fingerprint the SAME relative positions regardless
+    of where the span sits in each document — the mod-sampling trick of
+    Broder-style sketching. The trade, stated honestly: a duplicated
+    span is detected with probability 1 - (1 - 1/m)^(its gram count)
+    (long boilerplate is caught, an isolated duplicated n-gram may
+    not), and removal covers only the sampled grams' windows (interior
+    gaps longer than n between sampled positions survive; for spans,
+    sampled positions recur every ~m grams, so coverage holds when
+    m <= n). ``hash_fn`` swaps the position hash (a fn of the
+    space-joined gram string) for the md5-portable family so the
+    sampled pipeline is oracle-checkable; the default hashes the token
+    tuple directly with xxhash64 and never builds a gram string.
     """
     from riskloc_spark.functions.quality import words
 
@@ -684,18 +703,27 @@ def remove_duplicate_spans(
         F.col(id_col), words(F.col(text_col)).alias("__T")
     )
     T = F.col("__T")
+
+    def pos_hash(i):
+        toks_n = [F.element_at(T, i + j + 1) for j in range(n)]
+        if hash_fn is None:
+            return F.xxhash64(*toks_n)
+        return hash_fn(F.concat_ws(" ", *toks_n))
+
     empty_occ = F.array().cast("array<struct<pos:int,h:bigint>>")
     gram_structs = F.when(F.size(T) < n, empty_occ).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size(T) - n),
             lambda i: F.struct(
-                i.cast("int").alias("pos"),
-                F.xxhash64(
-                    *[F.element_at(T, i + j + 1) for j in range(n)]
-                ).alias("h"),
+                i.cast("int").alias("pos"), pos_hash(i).alias("h")
             ),
         )
     )
+    if sample_mod is not None and sample_mod > 1:
+        gram_structs = F.filter(
+            gram_structs,
+            lambda o: F.pmod(o["h"], F.lit(sample_mod)) == 0,
+        )
     occ = toks_df.select(
         F.col(id_col), F.explode(gram_structs).alias("o")
     ).select(id_col, F.col("o.pos").alias("pos"), F.col("o.h").alias("h"))

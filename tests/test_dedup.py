@@ -427,3 +427,45 @@ def test_remove_duplicate_spans_plan_single_corpus_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning(h") == 1, plan
     assert plan.count("Window") == 1, plan
     assert "EvalPython" not in plan
+
+
+def test_remove_duplicate_spans_sampled_alignment_free(spark):
+    """sample_mod selection is content-based: the same span planted at
+    DIFFERENT offsets in each document fingerprints the same relative
+    positions, so detection does not depend on alignment — and removal
+    stays within the span."""
+    from riskloc_spark.operators.dedup import md5_hash64, remove_duplicate_spans
+
+    span = (
+        "the shared slogan of this network appears right here today "
+        "and it keeps going with even more trailing words attached"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, f"a0 {span}"),
+            (1, f"b1 c1 d1 e1 f1 g1 {span} h1"),
+            (2, "nothing shared lives in this document at all today ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            docs, n=8, sample_mod=3, hash_fn=md5_hash64
+        ).collect()
+    }
+    # doc 0 is first everywhere it fingerprints; doc 1's copy is caught
+    # despite the different offset, and nothing outside the span goes
+    assert out[0]["n_tokens_removed"] == 0
+    assert out[1]["n_tokens_removed"] > 0
+    assert out[2]["n_tokens_removed"] == 0
+    for w in ("b1", "c1", "d1", "e1", "f1", "g1", "h1"):
+        assert w in out[1]["text"]
+    # sampled removal is a subset of the exhaustive removal
+    full = {
+        r["doc_id"]: r["n_tokens_removed"]
+        for r in remove_duplicate_spans(
+            docs, n=8, hash_fn=md5_hash64
+        ).collect()
+    }
+    assert out[1]["n_tokens_removed"] <= full[1]
