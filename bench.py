@@ -356,6 +356,10 @@ def scale_block(spark) -> dict:
             out["ann2"] = _ann_serving_rung(spark)
         except Exception as e:
             out["ann2"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        try:
+            out["spans2"] = _span_scale(spark, n_docs=1_000_000)
+        except Exception as e:
+            out["spans2"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     if errors:
         out["errors"] = errors
     return out
