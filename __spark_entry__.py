@@ -2791,6 +2791,29 @@ def streaming_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def langid_pred_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Cavnar-Trenkle rank-order language classifier
+    (functions/langid.py) fit on the documents table's own labels and
+    applied back to every document. Distances are integer out-of-place
+    sums, so fit, profile ranking, the (doc, lang) distance grid, and
+    the argmin are ALL engine-exact — the twin replays the whole
+    classifier with row_number windows, no float seam anywhere."""
+    from riskloc_spark.functions.langid import (
+        classify_language,
+        lang_profiles,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    prof = lang_profiles(d, k=300)
+    out = classify_language(d, prof, k=300)
+    return out.select(
+        "doc_id",
+        "pred_lang",
+        F.col("distance").cast("long").alias("distance"),
+        F.col("n_grams").cast("int").alias("n_grams"),
+    )
+
+
 def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus datasheet (functions/quality.corpus_report):
     EXACT type-1 token-count quantiles read off a per-(source, length)
@@ -2928,7 +2951,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squeeze_search_derived": squeeze_search_derived_q,
         "autoroot_kde_fixed": autoroot_kde_fixed_q,
         "adtributor_elements_derived": adtributor_elements_derived,
-        "q_customers_without_orders": q_customers_without_orders,
         "rev_adtributor_rec": rev_adtributor_rec_q,
         "riskloc_layer_scores": riskloc_layer_scores_q,
         "squeeze_cluster_stats": squeeze_cluster_stats_q,
@@ -2960,6 +2982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_sampled": dedup_spans_sampled_q,
         "streaming_quality": streaming_quality_q,
         "corpus_report": corpus_report_q,
+        "langid_pred": langid_pred_q,
         "robustspot_supports": robustspot_supports_q,
         "robustspot_round0": robustspot_round0_q,
         "robustspot_round1": robustspot_round1_q,
@@ -2983,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_near_dup": streaming_near_dup_q,
         "q3_shipping_priority": q3_shipping_priority,
         "q4_priority_semi": q4_priority_semi,
+        "q_customers_without_orders": q_customers_without_orders,
         "events_rollup": events_rollup,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -6262,6 +6286,64 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_spans": _dedup_spans_sql(),
         "dedup_spans_sampled": _dedup_spans_sql(sample_mod=4),
+        "langid_pred": rf"""
+            WITH lnorm AS MATERIALIZED (
+              SELECT doc_id, lang,
+                     regexp_replace(lower(trim(text)), '{_Q_WS}', ' ', 'g')
+                       AS s
+              FROM documents
+            ),
+            lgrams AS MATERIALIZED (
+              SELECT doc_id, lang, substr(s, CAST(i AS INT), 3) AS gram
+              FROM (
+                SELECT doc_id, lang, s, unnest(range(1, length(s) - 1)) AS i
+                FROM lnorm WHERE length(s) >= 3
+              )
+            ),
+            lp AS MATERIALIZED (
+              SELECT lang, gram, rank FROM (
+                SELECT lang, gram,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY count(*) DESC, gram ASC)
+                         AS rank
+                FROM lgrams GROUP BY lang, gram
+              ) WHERE rank <= 300
+            ),
+            dp AS MATERIALIZED (
+              SELECT doc_id, gram, r_doc FROM (
+                SELECT doc_id, gram,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY count(*) DESC, gram ASC)
+                         AS r_doc
+                FROM lgrams GROUP BY doc_id, gram
+              ) WHERE r_doc <= 300
+            ),
+            ds AS (SELECT doc_id, count(*) AS n_grams FROM dp GROUP BY doc_id),
+            plangs AS (SELECT DISTINCT lang FROM lp),
+            lmatched AS (
+              SELECT dp.doc_id, lp.lang,
+                     sum(abs(dp.r_doc - lp.rank)) AS m_dist,
+                     count(*) AS m_n
+              FROM dp JOIN lp USING (gram) GROUP BY 1, 2
+            ),
+            lgrid AS (
+              SELECT ds.doc_id, l.lang, ds.n_grams,
+                     coalesce(m.m_dist, 0)
+                       + 300 * (ds.n_grams - coalesce(m.m_n, 0)) AS distance
+              FROM ds CROSS JOIN plangs l
+              LEFT JOIN lmatched m
+                ON m.doc_id = ds.doc_id AND m.lang = l.lang
+            )
+            SELECT doc_id, lang AS pred_lang,
+                   CAST(distance AS BIGINT) AS distance,
+                   CAST(n_grams AS INT) AS n_grams
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY distance ASC, lang ASC)
+                          AS rn
+              FROM lgrid
+            ) WHERE rn = 1
+        """,
         "corpus_report": rf"""
             WITH th AS MATERIALIZED (
               SELECT source,

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "tfidf_terms",
     "dedup_spans",
     "corpus_report",
+    "langid_pred",
 ]
 
 

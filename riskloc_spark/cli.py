@@ -60,6 +60,8 @@ line):
         [--group-col source --top-k 10]
     python -m riskloc_spark.cli pipeline report docs.parquet --output out \
         [--group-col source]
+    python -m riskloc_spark.cli pipeline langid docs.parquet --output out \
+        [--lang-col lang --profile-size 300]
 """
 from __future__ import annotations
 
@@ -324,6 +326,15 @@ def build_parser() -> argparse.ArgumentParser:
     pcommon(sp2)
     sp2.add_argument("--group-col", default="source")
 
+    sp2 = psub.add_parser(
+        "langid",
+        help="Cavnar-Trenkle n-gram language ID: fit profiles on the "
+        "labeled rows, predict every row",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--lang-col", default="lang")
+    sp2.add_argument("--profile-size", type=int, default=300)
+
     return p
 
 
@@ -421,6 +432,16 @@ def run_pipeline(spark, args) -> dict:
         from riskloc_spark.functions.quality import corpus_report
 
         out = corpus_report(df, group_col=args.group_col)
+    elif op == "langid":
+        from riskloc_spark.functions.langid import (
+            classify_language,
+            lang_profiles,
+        )
+
+        prof = lang_profiles(
+            df, lang_col=args.lang_col, k=args.profile_size
+        )
+        out = classify_language(df, prof, k=args.profile_size)
     else:  # pragma: no cover - argparse enforces choices
         raise ValueError(op)
     out.write.mode("overwrite").parquet(args.output)

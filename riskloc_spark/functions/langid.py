@@ -1,0 +1,134 @@
+"""Language identification by character n-gram rank-order profiles —
+the Cavnar & Trenkle 1994 "N-Gram-Based Text Categorization" classifier
+(the textcat method), trained on the corpus's own labels.
+
+Why rank-order and not naive-Bayes log-probabilities: the distance is a
+SUM OF INTEGERS (|rank difference| per shared n-gram, a fixed penalty
+per unshared one), so classification is bit-exact across engines — the
+DuckDB twin replays fit and predict verbatim and the gate hashes the
+argmin itself, with no ln() seam and no summation-order float noise.
+
+Scale shape: fitting explodes labeled text once into (lang, n-gram)
+counts (map-side combinable) and ranks per language — output is
+``n_langs x k`` rows, a broadcast table by construction. Classification
+explodes each document into its OWN top-k profile (corpus-volume, but
+capped at k rows per doc), joins the broadcast profile table, and
+aggregates one (doc, lang) distance grid. Two corpus-volume exchanges
+(the per-doc count and the distance aggregation); everything else is
+profile-sized. The heuristic ``functions/text.lang_id`` remains the
+zero-shuffle fast path; this is the real classifier behind it.
+
+No reference counterpart (pipeline extension).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from riskloc_spark.functions.text import WS_CLASS
+
+
+def _char_ngrams(text, n: int):
+    """Character n-grams of the whitespace-collapsed lowercased text as
+    an array column (empty when shorter than n)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), WS_CLASS + "+", " ")
+    return F.when(
+        F.length(norm) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (n - 1)),
+            lambda i: F.substring(norm, i, n),
+        )
+    )
+
+
+def lang_profiles(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    k: int = 300,
+    n: int = 3,
+) -> DataFrame:
+    """Per-language rank-order profiles: the top-``k`` character
+    n-grams of each language's labeled text, ranked 1..k by
+    (count desc, n-gram asc) — the deterministic tie-break both engines
+    share. Returns (lang, gram, rank); ``n_langs x k`` rows."""
+    grams = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(_char_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", "gram", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def classify_language(
+    df: DataFrame,
+    profiles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 300,
+    n: int = 3,
+    penalty: int | None = None,
+) -> DataFrame:
+    """Cavnar-Trenkle out-of-place classification: each document's own
+    top-``k`` n-gram profile is compared to every language profile —
+    distance = sum over the document's grams of |doc rank - lang rank|,
+    with ``penalty`` (default k) for grams absent from the language
+    profile — and the language with the smallest (distance, lang)
+    wins. Returns (id, pred_lang, distance, n_grams); all-integer
+    arithmetic, so the argmin is engine-exact."""
+    if penalty is None:
+        penalty = k
+    grams = df.select(
+        F.col(id_col), F.explode(_char_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    counts = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("gram"))
+    doc_prof = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "gram", F.col("rank").cast("int").alias("r_doc"))
+    )
+    doc_stats = doc_prof.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    langs = profiles.select("lang").distinct()
+    matched = (
+        doc_prof.join(F.broadcast(profiles), "gram")
+        .groupBy(id_col, "lang")
+        .agg(
+            F.sum(F.abs(F.col("r_doc") - F.col("rank"))).alias("m_dist"),
+            F.count(F.lit(1)).alias("m_n"),
+        )
+    )
+    grid = (
+        doc_stats.crossJoin(F.broadcast(langs))
+        .join(matched, [id_col, "lang"], "left")
+        .select(
+            F.col(id_col),
+            "lang",
+            "n_grams",
+            (
+                F.coalesce(F.col("m_dist"), F.lit(0))
+                + F.lit(penalty)
+                * (F.col("n_grams") - F.coalesce(F.col("m_n"), F.lit(0)))
+            )
+            .cast("long")
+            .alias("distance"),
+        )
+    )
+    best = grid.groupBy(id_col).agg(
+        F.min(F.struct(F.col("distance"), F.col("lang"))).alias("b"),
+        F.first("n_grams").alias("n_grams"),
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("b.lang").alias("pred_lang"),
+        F.col("b.distance").alias("distance"),
+        F.col("n_grams").cast("int").alias("n_grams"),
+    )
