@@ -113,3 +113,72 @@ def test_connected_components_equals_union_find(spark, edges):
         for r in connected_components(sdf).collect()
     }
     assert got == expect
+
+
+# --- exact-substring span dedup vs a brute-force reference ---
+
+span_docs = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _spans_reference(token_lists, n):
+    """Brute-force Python oracle of remove_duplicate_spans semantics:
+    count every n-token tuple corpus-wide, keep the smallest (doc, pos)
+    occurrence of each duplicated tuple, remove the rest with interval
+    coverage, rebuild."""
+    occ = {}
+    for d, toks in enumerate(token_lists):
+        for p in range(len(toks) - n + 1):
+            occ.setdefault(tuple(toks[p : p + n]), []).append((d, p))
+    removed = {d: set() for d in range(len(token_lists))}
+    for gram, places in occ.items():
+        if len(places) >= 2:
+            first = min(places)
+            for d, p in places:
+                if (d, p) != first:
+                    removed[d].add(p)
+    out = []
+    for d, toks in enumerate(token_lists):
+        cover = set()
+        for p in removed[d]:
+            cover.update(range(p, p + n))
+        kept = [t for i, t in enumerate(toks) if i not in cover]
+        # merged spans over sorted removal starts
+        spans, end = 0, -1
+        for p in sorted(removed[d]):
+            if p >= end:
+                spans += 1
+            end = max(end, p + n)
+        out.append(
+            (d, " ".join(kept), len(toks), len(toks) - len(kept),
+             len(removed[d]), spans)
+        )
+    return out
+
+
+@given(docs=span_docs)
+@relaxed
+def test_remove_duplicate_spans_matches_reference(spark, docs):
+    """Tiny-alphabet corpora are duplicate-dense: every (doc, pos)
+    bookkeeping corner — within-doc self-overlap, cross-doc firsts,
+    interval merging, all-tokens-removed documents — must match the
+    brute-force oracle exactly."""
+    from riskloc_spark.operators.dedup import remove_duplicate_spans
+
+    n = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["doc_id"], r["text"], r["n_tokens"], r["n_tokens_removed"],
+            r["n_dup_grams"], r["n_spans"],
+        )
+        for r in remove_duplicate_spans(df, n=n).collect()
+    }
+    want = {row[0]: row for row in _spans_reference(docs, n)}
+    assert got == want
