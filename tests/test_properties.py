@@ -182,3 +182,32 @@ def test_remove_duplicate_spans_matches_reference(spark, docs):
     }
     want = {row[0]: row for row in _spans_reference(docs, n)}
     assert got == want
+
+
+# --- corpus_report exact quantiles vs the type-1 rule ---
+
+token_counts = st.lists(
+    st.integers(min_value=0, max_value=40), min_size=1, max_size=30
+)
+
+
+@given(counts=token_counts)
+@relaxed
+def test_corpus_report_quantiles_match_type1_rule(spark, counts):
+    """For any multiset of token counts, each reported quantile must be
+    the smallest value whose cumulative frequency reaches ceil(q * n)
+    (inverse CDF / type-1) — checked against a direct sort."""
+    from riskloc_spark.functions.quality import corpus_report
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * c) if c else "", "s") for i, c in enumerate(counts)],
+        "doc_id long, text string, source string",
+    )
+    r = corpus_report(docs).first()
+    s = sorted(counts)
+    n = len(s)
+    for q, col in ((0.5, "p50_tokens"), (0.9, "p90_tokens"), (0.99, "p99_tokens")):
+        want = s[math.ceil(q * n) - 1]
+        assert r[col] == want, (q, s, r[col], want)
+    assert r["n_docs"] == n and r["total_tokens"] == sum(counts)
+    assert r["max_tokens"] == max(counts)
