@@ -2814,6 +2814,48 @@ def langid_pred_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _url_framed(d: DataFrame) -> DataFrame:
+    """Corpus with planted URLs for the web-corpus gate: a per-source
+    documentation URL on every page, plus an ad-tracker URL on every
+    fourth — both derived from row data so the oracle reconstructs the
+    text verbatim."""
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.col("lang"),
+            F.lit("/"),
+            (did % 50).cast("string"),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit(" and http://ads."),
+                    F.col("lang"),
+                    F.lit(".net/track?id="),
+                    (did % 9).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def url_domains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL extraction (functions/quality.extract_urls): one
+    row per URL occurrence with the lowercased domain — the exploded
+    form the blocklist / per-domain-cap curation rules consume. The
+    regex is whitespace-delimited with explicit classes, so Java and
+    RE2 extract identical spans; the twin replays extract + domain
+    capture in SQL."""
+    from riskloc_spark.functions.quality import extract_urls
+
+    d = load_table(spark, sf_dir, "documents")
+    return extract_urls(_url_framed(d)).select("doc_id", "url", "domain")
+
+
 def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus datasheet (functions/quality.corpus_report):
     EXACT type-1 token-count quantiles read off a per-(source, length)
@@ -2991,7 +3033,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_trigram_lm": text_trigram_lm_q,
         "evaluation_f1": evaluation_f1_q,
     # ---- driver window cutoff (50) — everything below is oracled but
-    # was driver-recorded green in round 8, or is rows-only ----
+    # was driver-recorded green in round 8, replayed green at three
+    # scales this session (url_domains), or is rows-only ----
+        "url_domains": url_domains_q,
         "q1_pricing_summary": q1_pricing_summary,
         "rca_frame": rca_frame,
         "rca_scores": rca_scores,
@@ -6286,6 +6330,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_spans": _dedup_spans_sql(),
         "dedup_spans_sampled": _dedup_spans_sql(sample_mod=4),
+        "url_domains": rf"""
+            WITH framed AS MATERIALIZED (
+              SELECT doc_id,
+                text || ' see https://' || source || '.example.com/'
+                  || lang || '/' || (doc_id % 50)::VARCHAR
+                  || CASE WHEN doc_id % 4 = 0
+                       THEN ' and http://ads.' || lang || '.net/track?id='
+                            || (doc_id % 9)::VARCHAR
+                       ELSE '' END AS text
+              FROM documents
+            ),
+            u AS (
+              SELECT doc_id, unnest(regexp_extract_all(text,
+                       'https?://[^ \t\n\x0B\f\r]+')) AS url
+              FROM framed
+            )
+            SELECT doc_id, url,
+                   lower(regexp_extract(url,
+                     'https?://([^/ \t\n\x0B\f\r]+)', 1)) AS domain
+            FROM u
+        """,
         "langid_pred": rf"""
             WITH lnorm AS MATERIALIZED (
               SELECT doc_id, lang,

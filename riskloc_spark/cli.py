@@ -62,6 +62,8 @@ line):
         [--group-col source]
     python -m riskloc_spark.cli pipeline langid docs.parquet --output out \
         [--lang-col lang --profile-size 300]
+    python -m riskloc_spark.cli pipeline block-domains docs.parquet --output out \
+        --domain ads.net [--domain tracker.io ...]
 """
 from __future__ import annotations
 
@@ -327,6 +329,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp2.add_argument("--group-col", default="source")
 
     sp2 = psub.add_parser(
+        "block-domains",
+        help="drop documents containing a URL on a blocked domain",
+    )
+    pcommon(sp2)
+    sp2.add_argument(
+        "--domain", action="append", required=True,
+        help="blocked domain (repeatable)",
+    )
+
+    sp2 = psub.add_parser(
         "langid",
         help="Cavnar-Trenkle n-gram language ID: fit profiles on the "
         "labeled rows, predict every row",
@@ -432,6 +444,10 @@ def run_pipeline(spark, args) -> dict:
         from riskloc_spark.functions.quality import corpus_report
 
         out = corpus_report(df, group_col=args.group_col)
+    elif op == "block-domains":
+        from riskloc_spark.functions.quality import filter_blocked_domains
+
+        out = filter_blocked_domains(df, tuple(args.domain))
     elif op == "langid":
         from riskloc_spark.functions.langid import (
             classify_language,

@@ -647,3 +647,71 @@ def corpus_report(
             ).alias(f"{tag}_tokens")
         )
     return j.groupBy(group_col).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# web-corpus URL operators
+# ---------------------------------------------------------------------------
+
+# whitespace-delimited URL; explicit classes keep Java and RE2 identical.
+# Deliberately greedy-simple (trailing punctuation sticks to the URL, as
+# in most web-corpus pipelines) — deterministic in both engines.
+URL_RE = r"https?://[^ \t\n\x0B\f\r]+"
+_DOMAIN_RE = r"https?://([^/ \t\n\x0B\f\r]+)"
+
+
+def extract_urls(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per URL occurrence: (id, url, domain) with the domain
+    lowercased — the exploded form the domain-level curation ops
+    (blocklists, per-domain caps, domain mixing weights) consume.
+    A projection + explode; no shuffle."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(text, F.lit(URL_RE), F.lit(0))).alias(
+            "url"
+        ),
+    ).select(
+        F.col(id_col),
+        "url",
+        F.lower(F.regexp_extract(F.col("url"), _DOMAIN_RE, 1)).alias(
+            "domain"
+        ),
+    )
+
+
+def domain_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain corpus profile: URL occurrences and distinct documents
+    — the table a per-domain cap or blocklist review reads. One
+    map-side-combinable aggregation over the exploded URLs."""
+    u = extract_urls(df, text_col, id_col)
+    return u.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop documents containing a URL on a blocked domain — the
+    C4/CommonCrawl blocklist rule. Zero shuffles: the URL scan and the
+    domain test run inside the row; the blocklist is a literal array
+    (swap in a broadcast join for blocklists beyond a few thousand
+    entries)."""
+    text = F.col(text_col)
+    urls = F.regexp_extract_all(text, F.lit(URL_RE), F.lit(0))
+    hit = F.exists(
+        urls,
+        lambda u: F.lower(F.regexp_extract(u, _DOMAIN_RE, 1)).isin(
+            list(blocked)
+        ),
+    )
+    return df.filter(~hit)

@@ -313,3 +313,42 @@ def test_quality_dedup_chain_composes(spark):
     assert sum(header.lower() in t.lower() for t in rows.values()) == 1
     assert sum(slogan in t for t in rows.values()) == 1
     assert {r["doc_id"] for r in final.collect()} <= {0, 1}
+
+
+def test_url_extraction_and_blocklist(spark):
+    from riskloc_spark.functions.quality import (
+        domain_stats,
+        extract_urls,
+        filter_blocked_domains,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "read https://Docs.Example.com/a and http://ads.net/x?id=1"),
+            (1, "plain text with no links at all"),
+            (2, "again https://docs.example.com/b here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = extract_urls(docs).collect()
+    assert {(r["doc_id"], r["domain"]) for r in rows} == {
+        (0, "docs.example.com"),
+        (0, "ads.net"),
+        (2, "docs.example.com"),
+    }
+    stats = {r["domain"]: r for r in domain_stats(docs).collect()}
+    assert stats["docs.example.com"]["n_urls"] == 2
+    assert stats["docs.example.com"]["n_docs"] == 2
+    kept = {
+        r["doc_id"]
+        for r in filter_blocked_domains(docs, ("ads.net",)).collect()
+    }
+    assert kept == {1, 2}
+    # the blocklist filter is a zero-shuffle projection
+    plan = (
+        filter_blocked_domains(docs, ("ads.net",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 0
