@@ -340,6 +340,10 @@ def scale_block(spark) -> dict:
         out["spans"] = _span_scale(spark)
     except Exception as e:
         out["spans"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        out["langid"] = _langid_scale(spark)
+    except Exception as e:
+        out["langid"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     # second rung (SPARK_GRAFT_SCALE2=0 skips): ~5.4M leaves for the two
     # fastest searches + a 510k-doc dedup — the scaling CURVE, not just
     # one point (562k -> 5.4M showed ~2.2x riskloc / ~2.1x autoroot for
@@ -794,6 +798,84 @@ def _span_scale(spark, n_docs: int = 200_000, dup_every: int = 10) -> dict:
         "tokens_removed": int(row["removed"]),
         "expected_tokens_removed": (n_carriers - 1) * 12,
         "spans": int(row["spans"]),
+    }
+
+
+def _langid_scale(spark, n_per_lang: int = 100_000) -> dict:
+    """Language-ID at scale: three synthetic languages with disjoint
+    hashed-word alphabets, 100k docs each; fit rank profiles on all
+    docs, classify all docs back, and verify accuracy exactly (ONE
+    aggregation). Measures the operator's real cost — two
+    trigram-volume exchanges (per-doc counts, the distance grid) plus
+    the broadcast profile join."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.functions.langid import (
+        classify_language,
+        lang_profiles,
+    )
+
+    alphabets = {"aa": "abcdefghij", "bb": "nopqrstuvw", "cc": "0123456789"}
+
+    def body(id_col, alpha):
+        idx = F.sequence(F.lit(0), F.lit(19))
+        chars = F.array(*[F.lit(ch) for ch in alpha])
+        return F.concat_ws(
+            " ",
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    "",
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(4)),
+                        lambda j: F.element_at(
+                            chars,
+                            (
+                                F.abs(F.xxhash64(id_col, i, j, F.lit("lg")))
+                                % 10
+                            ).cast("int")
+                            + 1,
+                        ),
+                    ),
+                ),
+            ),
+        )
+
+    frames = []
+    for off, (lang, alpha) in enumerate(alphabets.items()):
+        frames.append(
+            spark.range(n_per_lang).select(
+                (F.col("id") + off * n_per_lang).alias("doc_id"),
+                F.lit(lang).alias("lang"),
+                body(F.col("id"), alpha).alias("text"),
+            )
+        )
+    corpus = frames[0].union(frames[1]).union(frames[2]).repartition(
+        spark.sparkContext.defaultParallelism
+    ).persist()
+    corpus.count()
+    t0 = time.perf_counter()
+    prof = lang_profiles(corpus, k=300)
+    pred = classify_language(corpus, prof, k=300)
+    row = (
+        pred.join(corpus.select("doc_id", "lang"), "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("pred_lang") == F.col("lang")).cast("long")).alias(
+                "correct"
+            ),
+        )
+        .first()
+    )
+    sec = round(time.perf_counter() - t0, 2)
+    corpus.unpersist()
+    n = int(row["n"])
+    return {
+        "docs": 3 * n_per_lang,
+        "sec": sec,
+        "docs_per_sec": round(3 * n_per_lang / sec),
+        "classified": n,
+        "accuracy": round(int(row["correct"]) / n, 6),
     }
 
 
