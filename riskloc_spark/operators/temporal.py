@@ -1,0 +1,252 @@
+"""Time-series relational operators: as-of join and sessionization.
+
+Two operators every event/KPI pipeline needs that vanilla Spark SQL
+lacks as primitives (the reference consumes pre-aligned KPI frames —
+run_utils.py assumes real/predict already joined; these operators are
+the alignment step that PRODUCES such frames from raw event streams):
+
+- ``asof_join``: for each left row, the single most recent right row
+  (per key) at or before the left timestamp — the canonical way to
+  attach a slowly-changing attribute, the latest forecast, or the last
+  prior action to an event.  Implemented with the union-marker trick:
+  ONE hash shuffle of |L|+|R| rows on the join keys and one
+  partition-local sort, never a range-join explosion and never a
+  per-left-row probe.  At 100 TB this is the shape that survives: the
+  only exchange is the same one an equi-join would pay, and AQE's
+  skew-split handles a hot key because the window is
+  running-prefix (rows UNBOUNDED PRECEDING .. CURRENT) rather than a
+  whole-partition frame.
+- ``sessionize`` / ``session_stats``: gap-based session assignment
+  (a new session starts when the inter-event gap EXCEEDS ``gap``) and
+  the per-session rollup.  Batch twin of Structured Streaming's
+  ``session_window`` — ``session_stats_stream`` IS that built-in, and
+  the two are pinned equal by tests and by the ``streaming_sessions``
+  hash gate (same boundary rule: an event exactly ``gap`` after its
+  predecessor still extends the session — session_window merges
+  touching windows, verified empirically).
+
+All timestamp arithmetic is integer microseconds (``unix_micros`` /
+DuckDB ``epoch_us``) so the oracle replay is engine-exact.
+"""
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "asof_join",
+    "sessionize",
+    "session_stats",
+    "session_stats_stream",
+]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    right_cols: Iterable[str] | None = None,
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: attach, per key, the latest right row at or
+    before each left row's timestamp (``direction='backward'``) or the
+    earliest at-or-after row (``'forward'``).
+
+    Every left row is kept (unmatched rows carry NULLs).  The matched
+    right timestamp is exposed as ``<prefix><right_ts>`` alongside the
+    requested ``right_cols`` (each as ``<prefix><col>``).
+
+    Semantics pinned by tests: a right row at EXACTLY the left
+    timestamp matches (DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``
+    agrees); with ``tolerance_us`` set, matches strictly older than
+    ``left_ts - tolerance_us`` (backward) are nulled out.
+
+    Plan shape (asserted in tests/test_temporal.py): one hash exchange
+    on ``on`` over the union of both sides + one window sort — the
+    union-marker formulation.  Rows are tagged with a side marker,
+    unioned, and a running ``last(value, ignorenulls=True)`` over
+    (key, ts, side) carries the most recent right payload onto each
+    left row; right rows sort BEFORE left rows at equal timestamps so
+    the at-the-instant match is visible.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    right_cols = list(right_cols)
+
+    payload = [f"__r_{c}" for c in right_cols]
+    rts_tag = "__r_ts"
+    side = "__side"
+
+    lhs = left.withColumn(side, F.lit(1))
+    for tag in payload + [rts_tag]:
+        lhs = lhs.withColumn(tag, F.lit(None).cast(
+            dict(zip(payload, [right.schema[c].dataType for c in right_cols]),
+                 **{rts_tag: right.schema[right_ts].dataType})[tag]
+        ))
+    rhs = right.select(
+        *keys,
+        F.col(right_ts).alias(left_ts),
+        F.lit(0).alias(side),
+        F.col(right_ts).alias(rts_tag),
+        *[F.col(c).alias(t) for c, t in zip(right_cols, payload)],
+    )
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    ts_order = F.col(left_ts) if direction == "backward" else F.col(left_ts).desc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_order, F.col(side))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        F.last(rts_tag, ignorenulls=True).over(w).alias("__m_ts"),
+        *[
+            F.last(t, ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c, t in zip(right_cols, payload)
+        ],
+    )
+    out = carried.filter(F.col(side) == 1)
+
+    in_tol = F.lit(True)
+    if tolerance_us is not None:
+        gap = F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("__m_ts"))
+        if direction == "forward":
+            gap = -gap
+        in_tol = gap <= F.lit(int(tolerance_us))
+    out = out.select(
+        *[c for c in left.columns],
+        F.when(in_tol, F.col("__m_ts")).alias(f"{prefix}{right_ts}"),
+        *[
+            F.when(in_tol, F.col(f"__m_{c}")).alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
+    )
+    return out
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Assign gap-based sessions: a new session opens on a row whose
+    gap to the previous row of the same key is STRICTLY GREATER than
+    ``gap_minutes`` — an event exactly ``gap`` after its predecessor
+    still extends the session, matching Structured Streaming's
+    ``session_window`` merge rule (touching windows merge; verified
+    empirically and pinned by
+    test_session_stats_stream_matches_batch).
+
+    Adds ``session_idx`` (1-based per key, in time order) and a
+    ``session_id`` string.  One hash exchange on the key + one
+    partition-local sort; the running-prefix flag sum never buffers a
+    whole partition.
+    """
+    gap_us = int(round(gap_minutes * 60.0 * 1_000_000))
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    is_new = F.when(
+        prev_us.isNull()
+        | (F.unix_micros(F.col(ts_col)) - prev_us > F.lit(gap_us)),
+        1,
+    ).otherwise(0)
+    run = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = events.withColumn("session_idx", F.sum(is_new).over(run))
+    return out.withColumn(
+        "session_id",
+        F.concat_ws("-", F.col(key_col).cast("string"), F.col("session_idx")),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Per-session rollup: start / end timestamps, duration (micros),
+    event count, and (optionally) the summed value column.
+
+    Runs ``sessionize`` then ONE groupBy on (key, session_idx).  The
+    groupBy's partial aggregation is map-side: after the sessionize
+    window every (key, session) is contiguous within its partition, so
+    the second exchange moves one combined row per session, not one
+    per event.
+    """
+    sess = sessionize(events, key_col, ts_col, gap_minutes)
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (
+            F.max(F.unix_micros(F.col(ts_col)))
+            - F.min(F.unix_micros(F.col(ts_col)))
+        ).alias("duration_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return sess.groupBy(key_col, "session_idx").agg(*aggs)
+
+
+def session_stats_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    value_col: str | None = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``session_stats`` on Structured Streaming's
+    built-in ``session_window``: watermark-bounded state, sessions
+    close (and emit, in append mode) once the watermark passes their
+    end.  Emits the same columns as the batch rollup — equality with
+    the batch operator over the same rows is the pinned property
+    (``streaming_sessions`` gate; session_window's window.end is
+    last-event + gap, so session_end is recovered exactly as
+    window.end - gap in integer microseconds).
+    """
+    gap_us = int(round(gap_minutes * 60.0 * 1_000_000))
+    ws = stream.withWatermark(ts_col, watermark)
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    grouped = ws.groupBy(
+        F.col(key_col),
+        F.session_window(F.col(ts_col), f"{gap_minutes} minutes"),
+    ).agg(*aggs)
+    return grouped.select(
+        key_col,
+        "session_start",
+        F.timestamp_micros(
+            F.unix_micros(F.col("session_window.end")) - F.lit(gap_us)
+        ).alias("session_end"),
+        (
+            F.unix_micros(F.col("session_window.end"))
+            - F.lit(gap_us)
+            - F.unix_micros(F.col("session_start"))
+        ).alias("duration_us"),
+        "n_events",
+        *([F.col("sum_value")] if value_col is not None else []),
+    )

@@ -1,0 +1,227 @@
+"""As-of join and sessionization (operators/temporal.py): semantics
+pinned against hand-computed frames and DuckDB's native ASOF JOIN (an
+independent implementation), the session_window boundary rule pinned
+stream-vs-batch, and the single-exchange plan shapes asserted."""
+import datetime as dt
+import os
+import tempfile
+import uuid
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from riskloc_spark.operators.temporal import (
+    asof_join,
+    session_stats,
+    session_stats_stream,
+    sessionize,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def ts(minutes, micros=0):
+    return T0 + dt.timedelta(minutes=minutes, microseconds=micros)
+
+
+@pytest.fixture()
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", ts(5)),
+            (2, "u1", ts(10)),   # exact tie with a right row
+            (3, "u1", ts(25)),
+            (4, "u2", ts(7)),    # no right rows for this key
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", ts(0), 100.0),
+            ("u1", ts(10), 200.0),
+            ("u1", ts(20), 300.0),
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    return left, right
+
+
+def test_asof_backward(spark, asof_frames):
+    left, right = asof_frames
+    rows = {
+        r["event_id"]: (r["asof_ts"], r["asof_value"])
+        for r in asof_join(left, right, on="user_id").collect()
+    }
+    assert rows[1] == (ts(0), 100.0)
+    assert rows[2] == (ts(10), 200.0)  # at-the-instant right row matches
+    assert rows[3] == (ts(20), 300.0)
+    assert rows[4] == (None, None)     # left row kept, nulls
+
+
+def test_asof_tolerance(spark, asof_frames):
+    left, right = asof_frames
+    tol = 6 * 60 * 1_000_000
+    rows = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(left, right, on="user_id", tolerance_us=tol).collect()
+    }
+    # event 1 is 5 min after its match (within 6 min), event 3 is 5 min too
+    assert rows[1] == 100.0 and rows[3] == 300.0 and rows[2] == 200.0
+    rows = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(
+            left, right, on="user_id", tolerance_us=60 * 1_000_000
+        ).collect()
+    }
+    assert rows[1] is None and rows[3] is None and rows[2] == 200.0
+
+
+def test_asof_forward(spark, asof_frames):
+    left, right = asof_frames
+    rows = {
+        r["event_id"]: (r["asof_ts"], r["asof_value"])
+        for r in asof_join(left, right, on="user_id", direction="forward").collect()
+    }
+    assert rows[1] == (ts(10), 200.0)
+    assert rows[2] == (ts(10), 200.0)
+    assert rows[3] == (None, None)
+    assert rows[4] == (None, None)
+
+
+def test_asof_matches_duckdb_on_real_events(spark, sf_dir):
+    """Parity against DuckDB's native ASOF JOIN — a fully independent
+    implementation — on the real events table (purchases as the right
+    side)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    got = sorted(
+        (r["event_id"], r["asof_ts"], r["asof_value"])
+        for r in asof_join(left, right, on="user_id").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    want = sorted(
+        con.execute(
+            """
+            SELECT l.event_id, r.ts, r.value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type <> 'purchase') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_asof_plan_single_exchange(spark, asof_frames):
+    """The union-marker formulation pays ONE hash exchange on the key
+    (plus the window sort) — no range join, no per-row probe."""
+    from tests.test_plans import plan_str
+
+    left, right = asof_frames
+    plan = plan_str(asof_join(left, right, on="user_id"), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_sessionize_boundary_and_multiuser(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "u", ts(0), 1.0),
+            (2, "u", ts(30), 1.0),      # exactly gap -> SAME session
+            (3, "u", ts(60), 1.0),      # exactly gap again -> same
+            (4, "u", ts(90, 1), 1.0),   # gap exceeded by 1 us -> new
+            (5, "v", ts(0), 1.0),
+        ],
+        "event_id long, user_id string, ts timestamp, value double",
+    )
+    rows = {
+        r["event_id"]: (r["session_idx"], r["session_id"])
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert rows[1] == (1, "u-1") and rows[2] == (1, "u-1")
+    assert rows[3] == (1, "u-1")
+    assert rows[4] == (2, "u-2")
+    assert rows[5] == (1, "v-1")
+
+
+def test_session_stats(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "u", ts(0), 2.0),
+            (2, "u", ts(10), 3.0),
+            (3, "u", ts(90), 5.0),
+        ],
+        "event_id long, user_id string, ts timestamp, value double",
+    )
+    out = {
+        r["session_idx"]: r
+        for r in session_stats(ev, gap_minutes=30).collect()
+    }
+    assert out[1]["n_events"] == 2 and out[1]["sum_value"] == 5.0
+    assert out[1]["session_start"] == ts(0) and out[1]["session_end"] == ts(10)
+    assert out[1]["duration_us"] == 10 * 60 * 1_000_000
+    assert out[2]["n_events"] == 1 and out[2]["duration_us"] == 0
+
+
+def test_session_stats_stream_matches_batch(spark):
+    """The pinned property: the streaming session_window rollup equals
+    the batch gap-rule rollup over the same rows — including an event
+    at EXACTLY the gap boundary (session_window merges touching
+    windows; the batch rule is strictly-greater for that reason)."""
+    ev = spark.createDataFrame(
+        [
+            (1, "u", ts(0), 1.0),
+            (2, "u", ts(30), 2.0),      # touching boundary
+            (3, "u", ts(75), 4.0),      # new session
+            (4, "v", ts(5), 8.0),
+            (5, "v", ts(20), 16.0),
+        ],
+        "event_id long, user_id string, ts timestamp, value double",
+    )
+    batch = sorted(
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["duration_us"], r["n_events"], r["sum_value"])
+        for r in session_stats(ev, gap_minutes=30).collect()
+    )
+    stage = tempfile.mkdtemp(prefix="sess_")
+    ev.write.parquet(os.path.join(stage, "p"))
+    st = spark.readStream.schema(ev.schema).parquet(os.path.join(stage, "p"))
+    name = "sess_" + uuid.uuid4().hex[:8]
+    q = (
+        session_stats_stream(st, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "streaming sessions did not finish"
+    q.stop()
+    stream = sorted(
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["duration_us"], r["n_events"], r["sum_value"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    assert stream == batch
+
+
+def test_sessionize_plan_single_exchange(spark):
+    from tests.test_plans import plan_str
+
+    ev = spark.createDataFrame(
+        [(1, "u", ts(0), 1.0)],
+        "event_id long, user_id string, ts timestamp, value double",
+    )
+    plan = plan_str(sessionize(ev), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
