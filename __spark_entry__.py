@@ -2962,6 +2962,102 @@ def tfidf_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_purchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.asof_join): every non-purchase
+    event attached to the same user's latest prior-or-simultaneous
+    purchase. The Spark side is the union-marker window (ONE hash
+    exchange); the oracle is DuckDB's NATIVE ASOF LEFT JOIN — a fully
+    independent implementation of the semantics, so a tie-break or
+    ordering bug on either side breaks the hash. (user_id, ts) pairs
+    are unique at every sf (verified), so the match is well-defined."""
+    from riskloc_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(left, right, on="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "asof_ts",
+        F.round("asof_value", 6).alias("asof_value"),
+    )
+
+
+_SESSION_GAP_MINUTES = 360.0  # 6 h: a mixed singleton/multi-event regime
+
+
+def events_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization rollup (operators/temporal.
+    session_stats): strictly-greater 6-hour gap rule (the
+    session_window-compatible boundary), integer-microsecond
+    durations. The oracle replays lag + running-sum + groupBy in SQL;
+    inter-event gaps are all-integer micros so the boundary decision
+    is engine-exact."""
+    from riskloc_spark.operators.temporal import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    out = session_stats(ev, gap_minutes=_SESSION_GAP_MINUTES)
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "session_start",
+        "session_end",
+        "duration_us",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def streaming_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (operators/temporal.
+    session_stats_stream): Structured Streaming's built-in
+    session_window over an availableNow readStream of the events file,
+    complete mode. The oracle is the SAME lag/running-sum SQL as the
+    batch gate (minus the index column) — stream == batch is the
+    property under the hash, including the touching-boundary merge
+    rule."""
+    import os
+    import tempfile
+    import uuid
+
+    from riskloc_spark.operators.temporal import session_stats_stream
+
+    batch = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="ssessions_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage, "events.parquet"),
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
+    out = session_stats_stream(stream, gap_minutes=_SESSION_GAP_MINUTES)
+    name = "streaming_sessions_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_sessions: run did not finish in 300s")
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}").select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "duration_us",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full RiskLoc root-cause localization on the sf0.001
     events-derived RCA frame."""
@@ -3025,6 +3121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quality": streaming_quality_q,
         "corpus_report": corpus_report_q,
         "langid_pred": langid_pred_q,
+        "events_asof_purchase": events_asof_purchase_q,
+        "events_sessions": events_sessions_q,
+        "streaming_sessions": streaming_sessions_q,
         "robustspot_supports": robustspot_supports_q,
         "robustspot_round0": robustspot_round0_q,
         "robustspot_round1": robustspot_round1_q,
@@ -7336,6 +7435,77 @@ def oracle_sql() -> dict[str, str]:
                    SUM(val * ((t % 89) + 1)) / SUM((t % 89) + 1) AS b_wmean
             FROM px
             GROUP BY media_id, c
+        """,
+        # DuckDB's NATIVE ASOF LEFT JOIN — an independent implementation
+        # of the as-of semantics (union-marker window on the Spark side).
+        "events_asof_purchase": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS asof_ts,
+                   round(r.value, 6) + 0e0 AS asof_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type <> 'purchase') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # lag + running-sum replay of the strictly-greater 6h gap rule;
+        # all boundary decisions are integer-microsecond comparisons.
+        "events_sessions": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 21600000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            numbered AS (
+              SELECT user_id, ts, value,
+                     SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING)
+                       AS session_idx
+              FROM flagged
+            )
+            SELECT user_id,
+                   CAST(session_idx AS BIGINT) AS session_idx,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+                   COUNT(*) AS n_events,
+                   round(SUM(value), 6) + 0e0 AS sum_value
+            FROM numbered
+            GROUP BY 1, 2
+        """,
+        # the SAME batch relation minus the index column — stream ==
+        # batch is the property under the hash (session_window merge
+        # rule vs the strictly-greater batch rule, touching boundary
+        # included).
+        "streaming_sessions": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 21600000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            numbered AS (
+              SELECT user_id, ts, value,
+                     SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING)
+                       AS session_idx
+              FROM flagged
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+                   COUNT(*) AS n_events,
+                   round(SUM(value), 6) + 0e0 AS sum_value
+            FROM numbered
+            GROUP BY user_id, session_idx
         """,
         # riskloc_rca / autoroot_rca / hotspot_rca / squeeze_rca /
         # robustspot_rca: iterative driver-orchestrated searches;

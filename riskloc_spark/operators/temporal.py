@@ -43,6 +43,16 @@ __all__ = [
 ]
 
 
+def _micros(col):
+    """Integer-microsecond epoch of a timestamp column, NTZ-safe:
+    parquet written with isAdjustedToUTC=false reads as TIMESTAMP_NTZ,
+    which ``unix_micros`` rejects — cast first.  Only DIFFERENCES of
+    this value cross the oracle seam (gaps, durations), so the session
+    timezone offset cancels and the arithmetic stays engine-exact."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -122,7 +132,7 @@ def asof_join(
 
     in_tol = F.lit(True)
     if tolerance_us is not None:
-        gap = F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("__m_ts"))
+        gap = _micros(left_ts) - _micros("__m_ts")
         if direction == "forward":
             gap = -gap
         in_tol = gap <= F.lit(int(tolerance_us))
@@ -158,10 +168,10 @@ def sessionize(
     """
     gap_us = int(round(gap_minutes * 60.0 * 1_000_000))
     w = Window.partitionBy(key_col).orderBy(ts_col)
-    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    prev_us = F.lag(_micros(ts_col)).over(w)
     is_new = F.when(
         prev_us.isNull()
-        | (F.unix_micros(F.col(ts_col)) - prev_us > F.lit(gap_us)),
+        | (_micros(ts_col) - prev_us > F.lit(gap_us)),
         1,
     ).otherwise(0)
     run = (
@@ -196,10 +206,9 @@ def session_stats(
     aggs = [
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
-        (
-            F.max(F.unix_micros(F.col(ts_col)))
-            - F.min(F.unix_micros(F.col(ts_col)))
-        ).alias("duration_us"),
+        (F.max(_micros(ts_col)) - F.min(_micros(ts_col))).alias(
+            "duration_us"
+        ),
         F.count(F.lit(1)).alias("n_events"),
     ]
     if value_col is not None:
@@ -225,16 +234,21 @@ def session_stats_stream(
     window.end - gap in integer microseconds).
     """
     gap_us = int(round(gap_minutes * 60.0 * 1_000_000))
-    ws = stream.withWatermark(ts_col, watermark)
+    # watermarks require TIMESTAMP (NTZ parquet reads are rejected)
+    ws = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    ws = ws.withWatermark(ts_col, watermark)
     aggs = [
         F.min(ts_col).alias("session_start"),
         F.count(F.lit(1)).alias("n_events"),
     ]
     if value_col is not None:
         aggs.append(F.sum(value_col).alias("sum_value"))
+    # gap as integer microseconds: a float-formatted interval string
+    # ("360.0 minutes") is NOT a valid gap duration and silently yields
+    # an empty aggregation (no analysis error — found the hard way)
     grouped = ws.groupBy(
         F.col(key_col),
-        F.session_window(F.col(ts_col), f"{gap_minutes} minutes"),
+        F.session_window(F.col(ts_col), f"{gap_us} microseconds"),
     ).agg(*aggs)
     return grouped.select(
         key_col,

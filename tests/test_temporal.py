@@ -199,7 +199,10 @@ def test_session_stats_stream_matches_batch(spark):
     st = spark.readStream.schema(ev.schema).parquet(os.path.join(stage, "p"))
     name = "sess_" + uuid.uuid4().hex[:8]
     q = (
-        session_stats_stream(st, gap_minutes=30)
+        # 30.0 (float) on purpose: a float-formatted interval string is
+        # silently invalid for session_window — the gap must be built
+        # from integer microseconds (regression pin)
+        session_stats_stream(st, gap_minutes=30.0)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
