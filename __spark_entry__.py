@@ -3058,6 +3058,63 @@ def streaming_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wav_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PCM16 WAV payloads per document id (formula
+    contract on operators/audio._synth_params / _synth_samples) —
+    the audio-modality analogue of synthesize_png_corpus."""
+    from riskloc_spark.operators.dedup import spread_small_scan
+    from riskloc_spark.operators.audio import synthesize_wav_corpus
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return synthesize_wav_corpus(spread_small_scan(d))
+
+
+def audio_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE container decode under the hash gate (round 9):
+    deterministic PCM16 WAVs (with a LIST metadata chunk and the RIFF
+    pad byte in half the payloads, so the generic chunk walk is ON the
+    gated path) are parsed by operators/audio.parse_wav and reduced to
+    container metadata; the oracle recomputes every field from the
+    synthesis contract in closed-form SQL (integer duration_us, no
+    float seam).  Audio has no reference counterpart — this surface is
+    the training-data-pipeline multimodal brief."""
+    from riskloc_spark.operators.audio import decode_audio
+
+    return decode_audio(_wav_corpus(spark, sf_dir))
+
+
+def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel integer amplitude statistics (energy, sum|s|, peak,
+    sign zero-crossings) from the REAL decoded PCM — stereo payloads
+    de-interleave, so the channel dimension itself is gated.  The
+    oracle replays the waveform formula per (doc, channel, index) with
+    pure integer arithmetic and aggregates the identical stats."""
+    from riskloc_spark.operators.audio import audio_features
+
+    return audio_features(_wav_corpus(spark, sf_dir))
+
+
+def audio_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimation resample (keep every 3rd sample) measured through the
+    same integer feature reduction; the oracle reindexes the contract
+    at i = 3j (zero-crossings across KEPT samples, j-1 -> j)."""
+    from riskloc_spark.operators.audio import resample_audio_features
+
+    return resample_audio_features(_wav_corpus(spark, sf_dir), 3)
+
+
+def audio_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling: fixed 512-sample windows per channel (partial
+    tail kept with its true length) reduced to integer energy + peak —
+    one blob fans out to a bounded strip of rows inside the Arrow
+    batch.  Oracle groups the replayed waveform by i // 512."""
+    from riskloc_spark.operators.audio import audio_frame_energy
+
+    return audio_frame_energy(_wav_corpus(spark, sf_dir), frame_len=512)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full RiskLoc root-cause localization on the sf0.001
     events-derived RCA frame."""
@@ -3124,6 +3181,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase": events_asof_purchase_q,
         "events_sessions": events_sessions_q,
         "streaming_sessions": streaming_sessions_q,
+        "audio_meta": audio_meta_q,
+        "audio_features": audio_features_q,
+        "audio_resample": audio_resample_q,
+        "audio_frames": audio_frames_q,
+    # ---- driver window cutoff (50) — everything below is oracled but
+    # was driver-recorded green in round 8, replayed green at three
+    # scales this session (url_domains, the robustspot/trigram/
+    # evaluation gates displaced by the four new audio gates), or is
+    # rows-only ----
         "robustspot_supports": robustspot_supports_q,
         "robustspot_round0": robustspot_round0_q,
         "robustspot_round1": robustspot_round1_q,
@@ -3131,9 +3197,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robustspot_ca": robustspot_ca_q,
         "text_trigram_lm": text_trigram_lm_q,
         "evaluation_f1": evaluation_f1_q,
-    # ---- driver window cutoff (50) — everything below is oracled but
-    # was driver-recorded green in round 8, replayed green at three
-    # scales this session (url_domains), or is rows-only ----
         "url_domains": url_domains_q,
         "q1_pricing_summary": q1_pricing_summary,
         "rca_frame": rca_frame,
@@ -5751,6 +5814,47 @@ _GOPHER_VERDICT_SQL = (
 )
 
 
+def _audio_vals_sql(k: int) -> str:
+    """dims/chans/samp/vals CTE replaying the WAV synthesis contract
+    (operators/audio._synth_params / _synth_samples) at decimation
+    ``k``: kept sample j reads original index i = k*j; ``sprev`` is the
+    previous KEPT sample (i = k*(j-1)), NULL at j = 0.  All terms are
+    non-negative before the %, so Spark/DuckDB/numpy modulo agree, and
+    everything stays integer — no float summation-order seam."""
+
+    def s(i: str) -> str:
+        return (
+            f"(CASE WHEN (({i}) // p) % 2 = 0 THEN 6000 ELSE -6000 END)"
+            f" + (media_id * 2654435761 + c * 97 + ({i}) * 48271) % 4096"
+            f" - 2048"
+        )
+
+    return f"""
+            WITH dims AS MATERIALIZED (
+              SELECT doc_id AS media_id,
+                     1600 + (doc_id % 7) * 800 AS n,
+                     1 + doc_id % 2 AS ch,
+                     8 + doc_id % 29 AS p
+              FROM documents
+            ),
+            chans AS (
+              SELECT media_id, n, p, unnest(range(0, ch)) AS c FROM dims
+            ),
+            samp AS (
+              SELECT media_id, p, c,
+                     unnest(range(0, (n + {k} - 1) // {k})) AS j
+              FROM chans
+            ),
+            vals AS (
+              SELECT media_id, c, j,
+                     {s(f"j * {k}")} AS s,
+                     CASE WHEN j = 0 THEN NULL
+                          ELSE {s(f"(j - 1) * {k}")} END AS sprev
+              FROM samp
+            )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -7506,6 +7610,61 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(value), 6) + 0e0 AS sum_value
             FROM numbered
             GROUP BY user_id, session_idx
+        """,
+        # audio gates: every field recomputed from the WAV synthesis
+        # contract (operators/audio._synth_params / _synth_samples) in
+        # pure integer SQL — the Spark side decodes the REAL bytes.
+        "audio_meta": """
+            SELECT doc_id AS media_id,
+                   CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+                   CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+                   CAST(16 AS INTEGER) AS bits,
+                   CAST(1600 + (doc_id % 7) * 800 AS BIGINT) AS n_samples,
+                   CAST(((1600 + (doc_id % 7) * 800) * 1000000)
+                        // (8000 * (1 + doc_id % 3)) AS BIGINT)
+                     AS duration_us
+            FROM documents
+        """,
+        "audio_features": f"""
+            {_audio_vals_sql(1)}
+            SELECT media_id,
+                   CAST(c AS INTEGER) AS channel,
+                   CAST(COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(SUM(s * s) AS BIGINT) AS energy,
+                   CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+                   CAST(MAX(ABS(s)) AS INTEGER) AS peak,
+                   CAST(SUM(CASE WHEN sprev IS NOT NULL
+                                  AND ((s >= 0) <> (sprev >= 0))
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS zero_crossings
+            FROM vals
+            GROUP BY media_id, c
+        """,
+        "audio_resample": f"""
+            {_audio_vals_sql(3)}
+            SELECT media_id,
+                   CAST(c AS INTEGER) AS channel,
+                   CAST(COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(SUM(s * s) AS BIGINT) AS energy,
+                   CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+                   CAST(MAX(ABS(s)) AS INTEGER) AS peak,
+                   CAST(SUM(CASE WHEN sprev IS NOT NULL
+                                  AND ((s >= 0) <> (sprev >= 0))
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS zero_crossings
+            FROM vals
+            GROUP BY media_id, c
+        """,
+        "audio_frames": f"""
+            {_audio_vals_sql(1)}
+            SELECT media_id,
+                   CAST(c AS INTEGER) AS channel,
+                   CAST(j // 512 AS INTEGER) AS frame_idx,
+                   CAST(COUNT(*) AS INTEGER) AS frame_n,
+                   CAST(SUM(s * s) AS BIGINT) AS energy,
+                   CAST(MAX(ABS(s)) AS INTEGER) AS peak
+            FROM vals
+            GROUP BY media_id, c, (j // 512)
         """,
         # riskloc_rca / autoroot_rca / hotspot_rca / squeeze_rca /
         # robustspot_rca: iterative driver-orchestrated searches;

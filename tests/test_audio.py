@@ -1,0 +1,219 @@
+"""Audio (RIFF/WAVE) modality: codec round trips, chunk-walk
+robustness, and the Spark-side feature operators against direct numpy
+on the synthesis contract."""
+import numpy as np
+import pytest
+
+from riskloc_spark.operators.audio import (
+    MAX_AUDIO_BYTES,
+    audio_features,
+    audio_frame_energy,
+    decode_audio,
+    encode_wav,
+    parse_wav,
+    resample_audio_features,
+    synthesize_wav_corpus,
+    _synth_params,
+    _synth_samples,
+    _synth_wav,
+)
+
+
+def rng(seed):
+    return np.random.default_rng(seed)
+
+
+# ---------------------------------------------------------------------------
+# codec (pure python, no spark)
+# ---------------------------------------------------------------------------
+
+def test_roundtrip_mono16():
+    s = rng(1).integers(-32768, 32768, size=333).astype(np.int16)
+    dec = parse_wav(encode_wav(s, 8000))
+    assert dec["sample_rate"] == 8000
+    assert dec["n_channels"] == 1
+    assert dec["bits"] == 16
+    assert dec["n_samples"] == 333
+    np.testing.assert_array_equal(dec["samples"][:, 0], s.astype(np.int32))
+
+
+def test_roundtrip_stereo16_interleave():
+    s = rng(2).integers(-32768, 32768, size=(100, 2)).astype(np.int16)
+    dec = parse_wav(encode_wav(s, 44100))
+    assert dec["n_channels"] == 2
+    np.testing.assert_array_equal(dec["samples"], s.astype(np.int32))
+
+
+def test_roundtrip_pcm8_bias():
+    s = rng(3).integers(-128, 128, size=57)
+    dec = parse_wav(encode_wav(s, 16000, bits=8))
+    assert dec["bits"] == 8
+    np.testing.assert_array_equal(dec["samples"][:, 0], s)
+
+
+def test_odd_data_chunk_pad():
+    # 8-bit mono with odd sample count -> odd data chunk, pad byte
+    s = rng(4).integers(-128, 128, size=7)
+    raw = encode_wav(s, 8000, bits=8)
+    assert len(raw) % 2 == 0
+    dec = parse_wav(raw)
+    assert dec["n_samples"] == 7
+
+
+def test_list_chunk_walk_and_odd_padding():
+    s = np.arange(10, dtype=np.int16)
+    # odd LIST body exercises the pad-byte skip before data
+    raw = encode_wav(s, 8000, list_info=b"ISFTabc")
+    dec = parse_wav(raw)
+    assert dec is not None and dec["n_samples"] == 10
+    np.testing.assert_array_equal(dec["samples"][:, 0], s.astype(np.int32))
+
+
+def test_unknown_chunk_skipped():
+    s = np.arange(5, dtype=np.int16)
+    raw = encode_wav(s, 8000)
+    # splice an unknown chunk between WAVE and fmt
+    import struct
+    junk = b"junk" + struct.pack("<I", 3) + b"xyz" + b"\x00"
+    patched = raw[:12] + junk + raw[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    dec = parse_wav(patched)
+    assert dec is not None and dec["n_samples"] == 5
+
+
+def test_rejects_garbage_truncated_nonpcm_oversize():
+    s = np.arange(20, dtype=np.int16)
+    raw = encode_wav(s, 8000)
+    assert parse_wav(b"not a wav at all") is None
+    assert parse_wav(raw[:30]) is None  # truncated mid-chunk
+    # flip the fmt audio_format field to 2 (ADPCM) -> rejected
+    import struct
+    fpos = raw.index(b"fmt ") + 8
+    bad = raw[:fpos] + struct.pack("<H", 2) + raw[fpos + 2 :]
+    assert parse_wav(bad) is None
+    assert parse_wav(raw, budget=10) is None
+    assert MAX_AUDIO_BYTES >= 1 << 20
+
+
+def test_trailing_partial_sample_dropped():
+    s = np.arange(4, dtype=np.int16)
+    raw = encode_wav(s, 8000)
+    import struct
+    # declare one extra byte in the data chunk and append it
+    dpos = raw.index(b"data")
+    (size,) = struct.unpack("<I", raw[dpos + 4 : dpos + 8])
+    patched = (
+        raw[: dpos + 4]
+        + struct.pack("<I", size + 1)
+        + raw[dpos + 8 : dpos + 8 + size]
+        + b"\x7f"
+    )
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    dec = parse_wav(patched)
+    assert dec["n_samples"] == 4
+
+
+# ---------------------------------------------------------------------------
+# synthesis contract
+# ---------------------------------------------------------------------------
+
+def test_synth_contract_matches_decode():
+    for d in [0, 1, 2, 3, 6, 7, 13, 28, 29, 101, 1000003]:
+        sr, n, ch, p = _synth_params(d)
+        want = _synth_samples(d)
+        assert want.shape == (n, ch)
+        assert np.abs(want).max() < 32768
+        dec = parse_wav(_synth_wav(d))
+        assert dec["sample_rate"] == sr
+        assert dec["n_channels"] == ch
+        assert dec["n_samples"] == n
+        np.testing.assert_array_equal(dec["samples"], want)
+
+
+# ---------------------------------------------------------------------------
+# spark operators
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def wav_corpus(spark):
+    ids = spark.range(0, 40).withColumnRenamed("id", "media_id")
+    return synthesize_wav_corpus(ids).cache()
+
+
+def test_decode_audio_meta(spark, wav_corpus):
+    rows = {r["media_id"]: r for r in decode_audio(wav_corpus).collect()}
+    assert len(rows) == 40
+    for d in range(40):
+        sr, n, ch, _ = _synth_params(d)
+        r = rows[d]
+        assert (r["sample_rate"], r["n_channels"], r["bits"]) == (sr, ch, 16)
+        assert r["n_samples"] == n
+        assert r["duration_us"] == n * 1_000_000 // sr
+
+
+def test_decode_audio_null_row_for_garbage(spark):
+    df = spark.createDataFrame(
+        [(7, bytearray(b"nope"))], "media_id long, payload binary"
+    )
+    r = decode_audio(df).collect()[0]
+    assert r["media_id"] == 7 and r["sample_rate"] is None
+
+
+def _np_features(d, stride=1):
+    s = _synth_samples(d)[::stride]
+    out = {}
+    for c in range(s.shape[1]):
+        v = s[:, c]
+        nonneg = v >= 0
+        out[c] = (
+            int(v.size),
+            int((v * v).sum()),
+            int(np.abs(v).sum()),
+            int(np.abs(v).max()),
+            int(np.count_nonzero(nonneg[1:] != nonneg[:-1])),
+        )
+    return out
+
+
+@pytest.mark.parametrize("stride", [1, 3])
+def test_audio_features_match_numpy(spark, wav_corpus, stride):
+    got = {}
+    res = (
+        audio_features(wav_corpus, stride=stride)
+        if stride == 1
+        else resample_audio_features(wav_corpus, stride)
+    )
+    for r in res.collect():
+        got[(r["media_id"], r["channel"])] = (
+            r["n_samples"],
+            r["energy"],
+            r["sum_abs"],
+            r["peak"],
+            r["zero_crossings"],
+        )
+    n_rows = 0
+    for d in range(40):
+        for c, want in _np_features(d, stride).items():
+            assert got[(d, c)] == want
+            n_rows += 1
+    assert len(got) == n_rows
+
+
+def test_audio_frames(spark, wav_corpus):
+    res = audio_frame_energy(wav_corpus, frame_len=512)
+    by_id = {}
+    for r in res.collect():
+        by_id.setdefault((r["media_id"], r["channel"]), []).append(r)
+    for d in [0, 5, 13]:
+        _sr, n, ch, _ = _synth_params(d)
+        s = _synth_samples(d)
+        for c in range(ch):
+            frames = sorted(by_id[(d, c)], key=lambda r: r["frame_idx"])
+            assert len(frames) == (n + 511) // 512
+            assert sum(f["frame_n"] for f in frames) == n
+            # spot-check frame 1 and the partial tail
+            for fr in (frames[1], frames[-1]):
+                v = s[fr["frame_idx"] * 512 : (fr["frame_idx"] + 1) * 512, c]
+                assert fr["frame_n"] == v.size
+                assert fr["energy"] == int((v * v).sum())
+                assert fr["peak"] == int(np.abs(v).max())
