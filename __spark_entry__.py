@@ -589,6 +589,37 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(d, max_hamming=3, hash_fn=md5_hash64)
 
 
+def incremental_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INGESTION dedup tier under the hash gate (round 9): the
+    corpus splits into a base (doc_id % 3 != 0) whose
+    build_near_dup_index artifact is the only thing the probe touches,
+    and an incoming batch (doc_id % 3 == 0) deduplicated against it via
+    incremental_near_dup — signature -> band -> bucket probe join ->
+    agreement threshold, all in the md5-portable family so the oracle
+    replays the identical algebra (the SAME sigs/bands CTEs as
+    minhash_pairs, with a new-x-base candidate join instead of the
+    self-join)."""
+    from riskloc_spark.operators.dedup import (
+        build_near_dup_index,
+        incremental_near_dup,
+        md5_hash64,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    index = build_near_dup_index(
+        d.filter(F.col("doc_id") % 3 != 0), hash_fn=md5_hash64
+    )
+    out = incremental_near_dup(
+        d.filter(F.col("doc_id") % 3 == 0),
+        index,
+        jaccard_threshold=0.5,
+        hash_fn=md5_hash64,
+    )
+    return out.select(
+        "new_id", "base_id", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
 def dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUP resolution: the same md5-gated minhash pair graph
     as `minhash_pairs`, closed transitively into (doc_id, group_id,
@@ -3151,7 +3182,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squeeze_cluster_stats": squeeze_cluster_stats_q,
         "squeeze_derived_cluster_stats": squeeze_derived_cluster_stats_q,
         "autoroot_nps": autoroot_nps_q,
-        "hotspot_element_stats": hotspot_element_stats_q,
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash_pairs,
         "ngram_jaccard": ngram_jaccard_q,
@@ -3160,6 +3190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_exact": embedding_near_dup_exact,
         "corpus_curate": corpus_curate_q,
         "corpus_curate_near_dup": corpus_curate_near_dup_q,
+        "incremental_near_dup": incremental_near_dup_q,
         "dedup_paragraphs": dedup_paragraphs_q,
         "dedup_paragraphs_rebuild": dedup_paragraphs_rebuild_q,
         "corpus_curate_semantic": corpus_curate_semantic_q,
@@ -3186,10 +3217,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample": audio_resample_q,
         "audio_frames": audio_frames_q,
     # ---- driver window cutoff (50) — everything below is oracled but
-    # was driver-recorded green in round 8, replayed green at three
-    # scales this session (url_domains, the robustspot/trigram/
-    # evaluation gates displaced by the four new audio gates), or is
+    # was driver-recorded green in round 8 or 7 (hotspot_element_stats,
+    # displaced by incremental_near_dup; the robustspot/trigram/
+    # evaluation gates displaced by the four audio gates), replayed
+    # green at three scales this session (url_domains), or is
     # rows-only ----
+        "hotspot_element_stats": hotspot_element_stats_q,
         "robustspot_supports": robustspot_supports_q,
         "robustspot_round0": robustspot_round0_q,
         "robustspot_round1": robustspot_round1_q,
@@ -3512,6 +3545,59 @@ def _minhash_pairs_sql(src: str = "documents") -> str:
           GROUP BY 1, 2
         )
         SELECT id_a, id_b, round(ej, 6) + 0e0 AS est_jaccard
+        FROM est WHERE ej >= 0.5
+    """
+
+
+def _incremental_near_dup_sql() -> str:
+    """DuckDB twin of incremental_near_dup over a build_near_dup_index
+    artifact: the sigs/bands machinery of _minhash_pairs_sql verbatim,
+    then a new-batch (doc_id % 3 == 0) x base (doc_id % 3 != 0)
+    candidate join in place of the self-join; same-id matches excluded
+    (vacuous here — the mod classes are disjoint — but part of the
+    operator contract)."""
+    h_seeded = _MD5H.format(x="concat(s, ':', CAST(k AS VARCHAR))")
+    h_band = _MD5H.format(
+        x="string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)"
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE list_transform(range(1, len(t) - 1),
+                                     i -> array_to_string(t[i:i+2], ' '))
+                 END AS ss
+          FROM toks
+        ),
+        shingled AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        sigs AS (
+          SELECT doc_id, k, MIN({h_seeded}) AS mh
+          FROM shingled CROSS JOIN range(32) t(k)
+          GROUP BY doc_id, k
+        ),
+        bands AS (
+          SELECT doc_id, k // 4 AS band, {h_band} AS bucket
+          FROM sigs GROUP BY doc_id, k // 4
+        ),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id
+          FROM bands n JOIN bands b
+            ON n.band = b.band AND n.bucket = b.bucket
+           AND n.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+           AND n.doc_id <> b.doc_id
+        ),
+        est AS (
+          SELECT c.new_id, c.base_id,
+                 SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 32.0 AS ej
+          FROM cand c
+          JOIN sigs a ON a.doc_id = c.new_id
+          JOIN sigs b ON b.doc_id = c.base_id AND b.k = a.k
+          GROUP BY 1, 2
+        )
+        SELECT new_id, base_id, round(ej, 6) + 0e0 AS est_jaccard
         FROM est WHERE ej >= 0.5
     """
 
@@ -6402,6 +6488,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.ep > 0.05
         """,
         "minhash_pairs": _minhash_pairs_sql(),
+        "incremental_near_dup": _incremental_near_dup_sql(),
         "streaming_near_dup": _streaming_near_dup_sql(),
         "token_stats": """
             SELECT doc_id,

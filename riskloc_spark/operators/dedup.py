@@ -200,6 +200,38 @@ def minhash_signatures(
     )
 
 
+def _band_buckets(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int, hash_fn
+) -> DataFrame:
+    """(id, sig) -> (id, sig, band, bucket): hash each band's signature
+    slice to a bucket key and explode — one row per (doc, band), the
+    shared LSH step of the batch self-join, the persisted index, and
+    the incremental probe."""
+    return sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        hash_fn(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -225,29 +257,7 @@ def minhash_lsh_dedup(
         df, text_col, id_col, num_hashes, shingle_n, hash_fn=hash_fn
     ).persist()
 
-    banded = sigs.select(
-        id_col,
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        hash_fn(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    banded = _band_buckets(sigs, id_col, bands, rows_per_band, hash_fn)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -282,6 +292,110 @@ def minhash_lsh_dedup(
         .filter(F.col("est_jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "est_jaccard")
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def build_near_dup_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_fn=xxhash64_fn,
+) -> DataFrame:
+    """Ingest-time near-dup INDEX for a base corpus: one row per
+    (doc, band) carrying (id, sig, band, bucket) — exactly the frame
+    the batch self-join buckets on, exposed as a persistable artifact.
+
+    The 100-TB ingestion story: signatures of the base corpus are
+    computed ONCE at ingest and written bucketed on (band, bucket)
+    (sources/writers.py), so deduplicating each incoming batch probes
+    the index with a join that never rescans — or re-shingles — the
+    base corpus.  Carrying ``sig`` in the index (bands x 8 B x
+    num_hashes per doc) trades storage for skipping a second join to
+    fetch signatures at probe time, the same trade the self-join makes.
+    """
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, hash_fn=hash_fn
+    )
+    return _band_buckets(sigs, id_col, bands, num_hashes // bands, hash_fn)
+
+
+def incremental_near_dup(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    hash_fn=xxhash64_fn,
+) -> DataFrame:
+    """Dedupe an incoming batch AGAINST a base-corpus index built by
+    ``build_near_dup_index`` (same num_hashes/bands/shingle_n/hash_fn):
+    returns (new_id, base_id, est_jaccard >= threshold) pairs.
+
+    Only the new batch is shingled/signed; the base side contributes
+    the index rows alone.  The probe shuffles on (band, bucket) — when
+    the index was written bucketed on those keys, the index side reads
+    exchange-free and only the (small) batch moves.  Within-batch
+    duplicates are the batch self-join's job (minhash_lsh_dedup on
+    new_df); this operator is the batch-vs-corpus tier."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        new_df, text_col, id_col, num_hashes, shingle_n, hash_fn=hash_fn
+    ).persist()
+    probe = _band_buckets(sigs, id_col, bands, rows_per_band, hash_fn)
+
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_new", "sig_base", lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(num_hashes)
+    )
+    # threshold before the pair-dedup exchange, as in the self-join:
+    # the shuffle carries (new_id, base_id, est) only
+    return (
+        probe.alias("n")
+        .join(
+            index.alias("b"),
+            on=[
+                F.col("n.band") == F.col("b.band"),
+                F.col("n.bucket") == F.col("b.bucket"),
+                # a re-submitted identical id is not "a duplicate of
+                # itself" — skip exact self-matches
+                F.col(f"n.{id_col}") != F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("base_id"),
+            F.col("n.sig").alias("sig_new"),
+            F.col("b.sig").alias("sig_base"),
+        )
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("new_id", "base_id", "est_jaccard")
+        .dropDuplicates(["new_id", "base_id"])
+    )
+
+
+def accept_new_documents(
+    new_df: DataFrame, matches: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The ingestion decision: new-batch docs with NO base-corpus match
+    (anti join on the incremental_near_dup pair frame).  The accepted
+    docs' index rows (build_near_dup_index over this frame) are what an
+    ingest pipeline appends to the index for the next batch."""
+    return new_df.join(
+        matches.select(F.col("new_id").alias(id_col)).distinct(),
+        on=id_col,
+        how="left_anti",
     )
 
 

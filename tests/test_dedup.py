@@ -469,3 +469,65 @@ def test_remove_duplicate_spans_sampled_alignment_free(spark):
         ).collect()
     }
     assert out[1]["n_tokens_removed"] <= full[1]
+
+
+# ---------------------------------------------------------------------------
+# incremental ingestion tier: probe a persisted index, never rescan base
+# ---------------------------------------------------------------------------
+
+def test_incremental_near_dup_against_index(spark, docs):
+    from riskloc_spark.operators.dedup import (
+        accept_new_documents,
+        build_near_dup_index,
+        incremental_near_dup,
+        minhash_lsh_dedup,
+    )
+
+    base = docs  # ids 0..39 + 100, 101
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(500)]
+    base_rows = {r["doc_id"]: r["text"] for r in base.collect()}
+    new_rows = [
+        (200, base_rows[0].upper() + " "),  # exact re-copy of base 0
+        (201, base_rows[5]),                # exact re-copy of base 5
+        (0, base_rows[0]),                  # re-submitted same id: skip
+        (202, " ".join(rng.choice(vocab, size=80))),  # fresh
+    ]
+    near = base_rows[3].split()
+    near[7] = "tweaked"
+    new_rows.append((203, " ".join(near)))  # near-dup of base 3
+    new = spark.createDataFrame(
+        pd.DataFrame(new_rows, columns=["doc_id", "text"])
+    )
+
+    index = build_near_dup_index(base)
+    got = {
+        (r["new_id"], r["base_id"])
+        for r in incremental_near_dup(
+            new, index, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (200, 0) in got and (201, 5) in got and (203, 3) in got
+    # re-submitted id 0 is not "a duplicate of itself" (no (0, 0)) but
+    # IS a duplicate of base 100, the whitespace copy of base 0
+    assert (0, 0) not in got and (0, 100) in got
+    assert not any(n == 202 for n, _ in got)  # fresh doc matches nothing
+
+    # parity: the incremental pairs equal the union self-join's
+    # cross-split pairs (same params, new ids all > base ids)
+    union_pairs = {
+        (r["id_b"], r["id_a"])
+        for r in minhash_lsh_dedup(
+            base.union(new.filter("doc_id != 0")), jaccard_threshold=0.5
+        ).collect()
+        if r["id_b"] >= 200 and r["id_a"] < 200
+    }
+    assert {p for p in got if p[0] >= 200} == union_pairs
+
+    accepted = {
+        r["doc_id"]
+        for r in accept_new_documents(
+            new, incremental_near_dup(new, index, jaccard_threshold=0.5)
+        ).collect()
+    }
+    assert accepted == {202}

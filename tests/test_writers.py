@@ -151,3 +151,48 @@ def test_bucketed_ivfpq_index_probe_join_no_index_exchange(spark, tmp_path):
         assert out.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ivfpq_index")
+
+
+def test_bucketed_near_dup_index_probe_no_index_exchange(
+    spark, tmp_path, no_broadcast
+):
+    """The 100-TB ingestion-dedup layout: build_near_dup_index written
+    bucketed on (band, bucket) probes an incoming batch with NO
+    exchange of the index side — only the (small) batch shuffles to the
+    bucket partitioning, plus the pair-dedup exchange. A plain-path
+    read of the same index pays a third exchange (the index side)."""
+    from riskloc_spark.operators.dedup import (
+        build_near_dup_index,
+        incremental_near_dup,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    index = build_near_dup_index(docs.filter("doc_id % 3 != 0"))
+    write_bucketed(
+        index, "t_neardup_index", ["band", "bucket"], 8,
+        path=str(tmp_path / "neardup_index"),
+    )
+    try:
+        def simple(df):
+            return df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "simple"
+            )
+
+        new = docs.filter("doc_id % 3 = 0")
+        stored = read_bucketed(spark, "t_neardup_index")
+        out = incremental_near_dup(new, stored, jaccard_threshold=0.5)
+        # batch-side shuffles only: signature groupBy(doc_id), probe
+        # repartition to the bucket layout, pair dedup — the index scan
+        # reads its buckets directly
+        p = simple(out)
+        assert p.count("Exchange hashpartitioning") <= 3, p
+        assert "Bucketed: true" in p
+        plain = incremental_near_dup(
+            new,
+            spark.read.parquet(str(tmp_path / "neardup_index")),
+            jaccard_threshold=0.5,
+        )
+        assert simple(plain).count("Exchange hashpartitioning") == 4
+        assert out.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_neardup_index")
