@@ -589,6 +589,33 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(d, max_hamming=3, hash_fn=md5_hash64)
 
 
+def text_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization under the hash gate (round 9): each
+    document is decorated with a deterministic suffix per doc_id % 5 —
+    combining acute, combining ring, Hangul jamo pair, precomposed
+    e-acute plus a C0 control — then control-stripped (JVM) and
+    NFC-composed (Arrow-batched unicodedata UDF).  The oracle applies
+    the same decoration with chr() literals and DuckDB's native
+    nfc_normalize — two independent Unicode implementations must agree
+    on the full normalized TEXT, code-point counts, and change flags."""
+    from riskloc_spark.functions.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = (
+        # explicit escapes: decomposed e+acute / A+ring / Hangul
+        # jamo pair / PREcomposed e-acute + a C0 control to strip
+        F.when(F.col("doc_id") % 5 == 0, F.lit("e\u0301"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("A\u030a"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("\u1100\u1161"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("\u00e9\u0001"))
+        .otherwise(F.lit(""))
+    )
+    deco = d.withColumn("text", F.concat(F.col("text"), suffix))
+    return normalize_text(deco).select(
+        "doc_id", "text", "n_chars_before", "n_chars_after", "changed"
+    )
+
+
 def incremental_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The INGESTION dedup tier under the hash gate (round 9): the
     corpus splits into a base (doc_id % 3 != 0) whose
@@ -3181,7 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "riskloc_layer_scores": riskloc_layer_scores_q,
         "squeeze_cluster_stats": squeeze_cluster_stats_q,
         "squeeze_derived_cluster_stats": squeeze_derived_cluster_stats_q,
-        "autoroot_nps": autoroot_nps_q,
+        "text_normalize": text_normalize_q,
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash_pairs,
         "ngram_jaccard": ngram_jaccard_q,
@@ -3222,6 +3249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # evaluation gates displaced by the four audio gates), replayed
     # green at three scales this session (url_domains), or is
     # rows-only ----
+        "autoroot_nps": autoroot_nps_q,
         "hotspot_element_stats": hotspot_element_stats_q,
         "robustspot_supports": robustspot_supports_q,
         "robustspot_round0": robustspot_round0_q,
@@ -6489,6 +6517,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_pairs_sql(),
         "incremental_near_dup": _incremental_near_dup_sql(),
+        # DuckDB's NATIVE nfc_normalize vs Python's unicodedata — two
+        # independent Unicode implementations agreeing on the full
+        # normalized text; decoration via chr() codepoint literals
+        # (769 = combining acute, 778 = combining ring, 4352/4449 =
+        # Hangul jamo, 233 = precomposed e-acute, 1 = C0 control)
+        "text_normalize": r"""
+            WITH deco AS (
+              SELECT doc_id,
+                     text || CASE doc_id % 5
+                       WHEN 0 THEN 'e' || chr(769)
+                       WHEN 1 THEN 'A' || chr(778)
+                       WHEN 2 THEN chr(4352) || chr(4449)
+                       WHEN 3 THEN chr(233) || chr(1)
+                       ELSE '' END AS t
+              FROM documents
+            ),
+            norm AS (
+              SELECT doc_id, t,
+                     nfc_normalize(regexp_replace(t,
+                       '[\x00-\x08\x0E-\x1F\x7F\x{0080}-\x{009F}]',
+                       '', 'g')) AS tn
+              FROM deco
+            )
+            SELECT doc_id, tn AS text,
+                   CAST(length(t) AS BIGINT) AS n_chars_before,
+                   CAST(length(tn) AS BIGINT) AS n_chars_after,
+                   (tn <> t) AS changed
+            FROM norm
+        """,
         "streaming_near_dup": _streaming_near_dup_sql(),
         "token_stats": """
             SELECT doc_id,

@@ -211,3 +211,72 @@ def trigram_lm_scores(
             F.avg(F.log(F.col("p"))).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (the one justified Python stage in this module)
+# ---------------------------------------------------------------------------
+
+# C0 controls except \t \n \r (vertical tab / form feed stay: they are
+# whitespace to the tokenizers above), DEL, and the C1 range — the
+# characters a web-scrape corpus carries that no tokenizer wants.
+# Spelled with regex-engine escapes so the Java and RE2 twins parse the
+# identical class.
+CONTROL_CLASS = r"[\x00-\x08\x0E-\x1F\x7F\x{0080}-\x{009F}]"
+
+
+def strip_control_chars(text: Column) -> Column:
+    """Remove C0 (except tab/newline/CR/VT/FF), DEL, and C1 control
+    characters — JVM-side, one regexp_replace."""
+    return F.regexp_replace(text, CONTROL_CLASS, "")
+
+
+def nfc_normalize_col(text: Column) -> Column:
+    """Unicode NFC normalization via an Arrow-batched pandas UDF.
+
+    This is deliberately NOT a JVM expression: Spark SQL has no
+    normalization builtin, and NFC needs the Unicode character database
+    (Python's ``unicodedata``). The UDF is the vectorized slow path the
+    project reserves for exactly this case; everything around it
+    (control stripping, lengths, change flags) stays JVM-side. The
+    DuckDB twin is ``nfc_normalize`` — verified character-identical on
+    combining sequences, Hangul jamo, and precomposed forms."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x)
+            if x is not None
+            else None
+        )
+
+    return _nfc(text)
+
+
+def normalize_text(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus text canonicalization: strip control characters
+    (JVM-side), then NFC-compose (Arrow-batched UDF). Returns the
+    frame with ``text_col`` replaced plus integer before/after
+    code-point counts and a ``changed`` flag — the audit columns an
+    ingest pipeline logs.
+
+    Zero shuffles: a pure projection, whatever partitioning the input
+    has survives. At 100 TB the UDF stage is the bottleneck by design —
+    it is one Arrow round trip per batch, and only documents that the
+    cheap JVM ``changed``-precheck can't decide still pay it (here we
+    normalize unconditionally: the precheck would itself need the UCD).
+    """
+    before = F.length(F.col(text_col))
+    stripped = strip_control_chars(F.col(text_col))
+    out = df.withColumn("__norm", nfc_normalize_col(stripped))
+    return (
+        out.withColumn("n_chars_before", before.cast("long"))
+        .withColumn("n_chars_after", F.length("__norm").cast("long"))
+        .withColumn("changed", F.col("__norm") != F.col(text_col))
+        .withColumn(text_col, F.col("__norm"))
+        .drop("__norm")
+    )
