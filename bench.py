@@ -344,6 +344,14 @@ def scale_block(spark) -> dict:
         out["langid"] = _langid_scale(spark)
     except Exception as e:
         out["langid"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        out["ingest"] = _ingest_scale(spark)
+    except Exception as e:
+        out["ingest"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        out["audio"] = _audio_scale(spark)
+    except Exception as e:
+        out["audio"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     # second rung (SPARK_GRAFT_SCALE2=0 skips): ~5.4M leaves for the two
     # fastest searches + a 510k-doc dedup — the scaling CURVE, not just
     # one point (562k -> 5.4M showed ~2.2x riskloc / ~2.1x autoroot for
@@ -1247,6 +1255,160 @@ def _dedup_scale(spark, n_base: int = 50_000, dup_every: int = 50) -> dict:
         "planted_pairs": len(planted),
         "recall": round(hits / len(planted), 4),
         "false_merge_groups": bad_groups,
+    }
+
+
+def _ingest_scale(
+    spark, n_base: int = 200_000, n_batch: int = 20_000, dup_every: int = 10
+) -> dict:
+    """The ingestion-dedup claim, measured: a 200k-doc base corpus is
+    indexed ONCE (build_near_dup_index -> bucketed parquet on
+    (band, bucket)) and a 20k-doc incoming batch — 10% planted
+    near-dups of base docs, 90% fresh — is deduplicated by probing the
+    index. ``probe_sec`` is the recurring per-batch cost; ``index_sec``
+    the amortized ingest; ``selfjoin_sec`` what the same batch costs
+    WITHOUT the index (full minhash_lsh_dedup over base+batch,
+    re-shingling the base corpus every time). Recall of the planted
+    cross pairs and the false-match count keep the seconds honest."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.dedup import (
+        build_near_dup_index,
+        incremental_near_dup,
+        minhash_lsh_dedup,
+    )
+    from riskloc_spark.sources.writers import read_bucketed, write_bucketed
+
+    def words(id_col, edit: bool, salt: int = 0):
+        idx = F.sequence(F.lit(0), F.lit(79))
+
+        def word(i):
+            base = F.concat(
+                F.lit("w"),
+                (F.abs(F.xxhash64(id_col + salt, i)) % 5000).cast("string"),
+            )
+            if not edit:
+                return base
+            return F.when((i == 10) | (i == 50), F.lit("edited")).otherwise(
+                base
+            )
+
+        return F.concat_ws(" ", F.transform(idx, word))
+
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        spark.range(n_base)
+        .select(
+            F.col("id").alias("doc_id"), words(F.col("id"), False).alias("text")
+        )
+        .repartition(par)
+        .persist()
+    )
+    base.count()
+    n_planted = n_batch // dup_every
+    dups = spark.range(n_planted).select(
+        (F.col("id") * dup_every + n_base).alias("doc_id"),
+        words(F.col("id") * dup_every, True).alias("text"),
+    )
+    fresh = spark.range(n_batch - n_planted).select(
+        (F.col("id") + n_base + n_batch).alias("doc_id"),
+        # distinct hash salt: fresh docs share no vocabulary pattern
+        words(F.col("id"), False, salt=1_000_003).alias("text"),
+    )
+    batch = dups.union(fresh).repartition(par).persist()
+    batch.count()
+
+    tmp = tempfile.mkdtemp(prefix="bench_neardup_index_")
+    spark.sql("DROP TABLE IF EXISTS bench_neardup_index")
+    try:
+        t0 = _t.perf_counter()
+        write_bucketed(
+            build_near_dup_index(base),
+            "bench_neardup_index",
+            ["band", "bucket"],
+            num_buckets=par,
+            path=tmp,
+        )
+        index_sec = round(_t.perf_counter() - t0, 3)
+
+        index = read_bucketed(spark, "bench_neardup_index")
+        t0 = _t.perf_counter()
+        matches = incremental_near_dup(
+            batch, index, jaccard_threshold=0.5
+        ).collect()
+        probe_sec = round(_t.perf_counter() - t0, 3)
+
+        t0 = _t.perf_counter()
+        full = (
+            minhash_lsh_dedup(base.union(batch), jaccard_threshold=0.5)
+            .filter(
+                (F.col("id_b") >= n_base) & (F.col("id_a") < n_base)
+            )
+            .count()
+        )
+        selfjoin_sec = round(_t.perf_counter() - t0, 3)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bench_neardup_index")
+        shutil.rmtree(tmp, ignore_errors=True)
+        base.unpersist()
+        batch.unpersist()
+
+    got = {(r["new_id"], r["base_id"]) for r in matches}
+    planted = {
+        (i * dup_every + n_base, i * dup_every) for i in range(n_planted)
+    }
+    hits = len(planted & got)
+    return {
+        "base_docs": n_base,
+        "batch_docs": n_batch,
+        "index_sec": index_sec,
+        "probe_sec": probe_sec,
+        "selfjoin_sec": selfjoin_sec,
+        "selfjoin_cross_pairs": full,
+        "planted_pairs": len(planted),
+        "recall": round(hits / len(planted), 4),
+        "false_matches": len(got - planted),
+    }
+
+
+def _audio_scale(spark, n_docs: int = 20_000) -> dict:
+    """Audio-modality throughput: n synthetic PCM16 WAVs (1600-6400
+    samples, mono/stereo per the gate contract) decoded by the real
+    RIFF walk and reduced to per-channel integer features. Reports
+    payload MB/s and samples/s through the full mapInPandas pipeline
+    (synthesis cost included — it is ~10% of decode+reduce)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.audio import (
+        audio_features,
+        synthesize_wav_corpus,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    ids = spark.range(n_docs).select(F.col("id").alias("media_id")).repartition(par)
+    media = synthesize_wav_corpus(ids).persist()
+    stats = media.select(
+        F.count("*").alias("n"), F.sum(F.length("payload")).alias("bytes")
+    ).collect()[0]
+    t0 = _t.perf_counter()
+    agg = audio_features(media).select(
+        F.sum("n_samples").alias("samples"), F.count("*").alias("rows")
+    ).collect()[0]
+    sec = round(_t.perf_counter() - t0, 3)
+    media.unpersist()
+    return {
+        "docs": int(stats["n"]),
+        "payload_mb": round(stats["bytes"] / 1e6, 1),
+        "sec": sec,
+        "mb_per_s": round(stats["bytes"] / 1e6 / sec, 1),
+        "msamples_per_s": round(agg["samples"] / 1e6 / sec, 1),
+        "channel_rows": int(agg["rows"]),
     }
 
 
