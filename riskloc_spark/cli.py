@@ -60,6 +60,11 @@ line):
         [--group-col source --top-k 10]
     python -m riskloc_spark.cli pipeline report docs.parquet --output out \
         [--group-col source]
+    python -m riskloc_spark.cli pipeline normalize docs.parquet --output out
+    python -m riskloc_spark.cli pipeline build-dedup-index docs.parquet \
+        --output index
+    python -m riskloc_spark.cli pipeline ingest-dedup batch.parquet \
+        --output accepted --index index --jaccard-threshold 0.8
     python -m riskloc_spark.cli pipeline langid docs.parquet --output out \
         [--lang-col lang --profile-size 300]
     python -m riskloc_spark.cli pipeline block-domains docs.parquet --output out \
@@ -347,6 +352,35 @@ def build_parser() -> argparse.ArgumentParser:
     sp2.add_argument("--lang-col", default="lang")
     sp2.add_argument("--profile-size", type=int, default=300)
 
+    sp2 = psub.add_parser(
+        "normalize",
+        help="Unicode canonicalization: strip C0/C1/DEL controls, "
+        "NFC-compose; adds before/after counts + changed flag",
+    )
+    pcommon(sp2)
+
+    sp2 = psub.add_parser(
+        "build-dedup-index",
+        help="write the MinHash near-dup index for a base corpus "
+        "(ingest-dedup probes it without rescanning the base)",
+    )
+    pcommon(sp2)
+
+    sp2 = psub.add_parser(
+        "ingest-dedup",
+        help="dedupe an incoming batch against a build-dedup-index "
+        "artifact; writes accepted (unmatched) docs",
+    )
+    pcommon(sp2)
+    sp2.add_argument(
+        "--index", required=True, help="parquet written by build-dedup-index"
+    )
+    sp2.add_argument("--jaccard-threshold", type=float, default=0.8)
+    sp2.add_argument(
+        "--matches-output", help="also write the (new_id, base_id, "
+        "est_jaccard) match table here",
+    )
+
     return p
 
 
@@ -458,6 +492,29 @@ def run_pipeline(spark, args) -> dict:
             df, lang_col=args.lang_col, k=args.profile_size
         )
         out = classify_language(df, prof, k=args.profile_size)
+    elif op == "normalize":
+        from riskloc_spark.functions.text import normalize_text
+
+        out = normalize_text(df)
+    elif op == "build-dedup-index":
+        from riskloc_spark.operators.dedup import build_near_dup_index
+
+        out = build_near_dup_index(df)
+    elif op == "ingest-dedup":
+        from riskloc_spark.operators.dedup import (
+            accept_new_documents,
+            incremental_near_dup,
+        )
+
+        index = spark.read.parquet(args.index)
+        matches = incremental_near_dup(
+            df, index, jaccard_threshold=args.jaccard_threshold
+        )
+        if args.matches_output:
+            matches.write.mode("overwrite").parquet(args.matches_output)
+            # re-read: accept must not recompute the probe twice
+            matches = spark.read.parquet(args.matches_output)
+        out = accept_new_documents(df, matches)
     else:  # pragma: no cover - argparse enforces choices
         raise ValueError(op)
     out.write.mode("overwrite").parquet(args.output)

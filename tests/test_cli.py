@@ -453,3 +453,70 @@ def test_cli_pipeline_dedup_spans(spark, tmp_path):
     assert rows[0]["n_tokens_removed"] == 0
     assert rows[1]["n_tokens_removed"] == 10
     assert rows[1]["text"] == "u1 v1 w1 x1 z1"
+
+
+def test_cli_pipeline_normalize_and_ingest_dedup(spark, tmp_path):
+    """normalize: NFC + control strip through the CLI; build-dedup-index
+    + ingest-dedup: the two-step ingestion flow, matches table included."""
+    base_src = str(tmp_path / "base")
+
+    def body(i):
+        return " ".join(f"w{i}x{j}" for j in range(30))
+
+    spark.createDataFrame(
+        [(i, body(i), "s") for i in range(20)],
+        "doc_id long, text string, source string",
+    ).write.parquet(base_src)
+    # batch: 100 is a near-dup of base doc 3 (one word edit), 101 fresh
+    batch_src = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [
+            (100, body(3).replace("w3x7", "edited"), "s"),
+            (101, body(999), "s"),
+        ],
+        "doc_id long, text string, source string",
+    ).write.parquet(batch_src)
+
+    idx_out = str(tmp_path / "index")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "build-dedup-index", base_src, "--output", idx_out,
+            "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["output_rows"] == 20 * 8  # one row per (doc, band)
+
+    acc_out = str(tmp_path / "accepted")
+    m_out = str(tmp_path / "matches")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "ingest-dedup", batch_src, "--output", acc_out,
+            "--index", idx_out, "--jaccard-threshold", "0.5",
+            "--matches-output", m_out, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    accepted = {r2["doc_id"] for r2 in spark.read.parquet(acc_out).collect()}
+    assert accepted == {101}
+    matches = spark.read.parquet(m_out).collect()
+    assert {(m["new_id"], m["base_id"]) for m in matches} == {(100, 3)}
+
+    norm_out = str(tmp_path / "normed")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "normalize", base_src, "--output", norm_out, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = spark.read.parquet(norm_out).collect()
+    assert len(rows) == 20
+    assert all(not r2["changed"] for r2 in rows)  # ASCII corpus
+    assert {"n_chars_before", "n_chars_after"} <= set(rows[0].asDict())
