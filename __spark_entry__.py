@@ -589,6 +589,19 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(d, max_hamming=3, hash_fn=md5_hash64)
 
 
+def corpus_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking under the hash gate (round 9):
+    40-token windows with an 8-token overlap (step 32) over the
+    documents table — full chunk TEXT, indices and lengths checked; the
+    oracle replays the start-generation rule and token slicing with
+    DuckDB list algebra (integer ceil division, 1-based inclusive
+    slices)."""
+    from riskloc_spark.operators.packing import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, max_tokens=40, overlap=8)
+
+
 def text_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode canonicalization under the hash gate (round 9): each
     document is decorated with a deterministic suffix per doc_id % 5 —
@@ -3207,7 +3220,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rev_adtributor_rec": rev_adtributor_rec_q,
         "riskloc_layer_scores": riskloc_layer_scores_q,
         "squeeze_cluster_stats": squeeze_cluster_stats_q,
-        "squeeze_derived_cluster_stats": squeeze_derived_cluster_stats_q,
         "text_normalize": text_normalize_q,
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash_pairs,
@@ -3226,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_audit": decontamination_audit_q,
         "bpe_token_counts": bpe_token_counts_q,
         "corpus_pack": corpus_pack_q,
+        "corpus_chunks": corpus_chunks_q,
         "quality_repetition": quality_repetition_q,
         "quality_gopher_filter": quality_gopher_filter_q,
         "c4_line_clean": c4_line_clean_q,
@@ -3249,6 +3262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # evaluation gates displaced by the four audio gates), replayed
     # green at three scales this session (url_domains), or is
     # rows-only ----
+        "squeeze_derived_cluster_stats": squeeze_derived_cluster_stats_q,
         "autoroot_nps": autoroot_nps_q,
         "hotspot_element_stats": hotspot_element_stats_q,
         "robustspot_supports": robustspot_supports_q,
@@ -6522,6 +6536,30 @@ def oracle_sql() -> dict[str, str]:
         # normalized text; decoration via chr() codepoint literals
         # (769 = combining acute, 778 = combining ring, 4352/4449 =
         # Hangul jamo, 233 = precomposed e-acute, 1 = C0 control)
+        # chunk window contract: step = 40 - 8 = 32; starts while they
+        # introduce a token past the previous overlap (integer ceil);
+        # DuckDB list slices are 1-based inclusive and clamp at n
+        "corpus_chunks": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text),
+                                        '[ \t\n\x0B\f\r]+') AS t
+              FROM documents
+              WHERE trim(text) <> ''
+            ),
+            dims AS (SELECT doc_id, t, len(t) AS n FROM toks),
+            starts AS (
+              SELECT doc_id, t, n,
+                     unnest(range(0, (greatest(n - 8, 1) + 31) // 32))
+                       AS k
+              FROM dims
+            )
+            SELECT doc_id,
+                   CAST(k AS INTEGER) AS chunk_idx,
+                   array_to_string(t[k*32+1 : k*32+40], ' ') AS chunk_text,
+                   CAST(least(n - k*32, 40) AS BIGINT) AS n_tokens
+            FROM starts
+        """,
         "text_normalize": r"""
             WITH deco AS (
               SELECT doc_id,

@@ -353,6 +353,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp2.add_argument("--profile-size", type=int, default=300)
 
     sp2 = psub.add_parser(
+        "chunk",
+        help="split documents into fixed-token-window chunks with overlap",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--max-tokens", type=int, default=512)
+    sp2.add_argument("--overlap", type=int, default=0)
+
+    sp2 = psub.add_parser(
         "normalize",
         help="Unicode canonicalization: strip C0/C1/DEL controls, "
         "NFC-compose; adds before/after counts + changed flag",
@@ -492,6 +500,12 @@ def run_pipeline(spark, args) -> dict:
             df, lang_col=args.lang_col, k=args.profile_size
         )
         out = classify_language(df, prof, k=args.profile_size)
+    elif op == "chunk":
+        from riskloc_spark.operators.packing import chunk_documents
+
+        out = chunk_documents(
+            df, max_tokens=args.max_tokens, overlap=args.overlap
+        )
     elif op == "normalize":
         from riskloc_spark.functions.text import normalize_text
 

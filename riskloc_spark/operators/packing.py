@@ -113,3 +113,60 @@ def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
             F.greatest(F.lit(max_tokens) - F.col("st"), F.lit(0))
         ).alias("waste_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into fixed-token-window chunks with
+    ``overlap`` shared tokens between consecutive windows — the
+    long-document complement of pack_documents (chunking cuts oversize
+    docs down to the training context; packing fills the context with
+    whole short docs).
+
+    Window k starts at token k*(max_tokens - overlap); starts are
+    generated while they introduce at least one token past the previous
+    window's overlap (range(0, max(n - overlap, 1), step) — a doc with
+    n <= max_tokens yields exactly one chunk, the final chunk may be
+    short, blank docs yield none). Output: (id, chunk_idx, chunk_text,
+    n_tokens). Deterministic in the text alone, so any engine replays
+    it.
+
+    Scale shape: a pure projection + posexplode — ZERO shuffles, no
+    Python; whole-stage codegen end to end. Chunk fan-out is bounded by
+    n/step per doc.
+    """
+    if overlap < 0 or overlap >= max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    from riskloc_spark.functions.text import WS_CLASS
+
+    toks = F.split(F.trim(F.col(text_col)), WS_CLASS + "+")
+    n = F.size(toks)
+    # number of window starts: ceil(max(n - overlap, 1) / step)
+    n_starts = F.ceil(F.greatest(n - overlap, F.lit(1)) / F.lit(step))
+    starts = F.sequence(F.lit(0), (n_starts - 1).cast("int"))
+    chunks = F.transform(
+        starts,
+        lambda k: F.struct(
+            k.alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(toks, k * step + 1, max_tokens)
+            ).alias("chunk_text"),
+            F.least(n - k * step, F.lit(max_tokens)).alias("n_tokens"),
+        ),
+    )
+    return (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(id_col, F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

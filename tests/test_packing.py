@@ -84,3 +84,67 @@ def test_packing_composes_with_token_counts(spark):
     assert packed.count() == 50
     stats = packing_stats(packed, 64).first()
     assert stats["n_docs"] == 50 and stats["mean_fill"] > 0.5
+
+
+# ---------------------------------------------------------------------------
+# chunking (the long-document complement of packing)
+# ---------------------------------------------------------------------------
+
+def _mkdocs(spark, sizes):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(len(sizes)),
+                "text": [
+                    " ".join(f"d{i}t{j}" for j in range(n))
+                    for i, n in enumerate(sizes)
+                ],
+            }
+        )
+    )
+
+
+def test_chunk_boundaries_and_reconstruction(spark):
+    from riskloc_spark.operators.packing import chunk_documents
+
+    sizes = [1, 39, 40, 41, 48, 49, 100, 0]
+    df = _mkdocs(spark, sizes)
+    out = chunk_documents(df, max_tokens=40, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 7 not in by_doc  # blank doc yields nothing
+    for i, n in enumerate(sizes):
+        if n == 0:
+            continue
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        # start rule: one start per step while past-overlap tokens remain
+        assert len(chunks) == (max(n - 8, 1) + 31) // 32
+        assert sum(c["n_tokens"] for c in chunks) == n + 8 * (len(chunks) - 1)
+        # reconstruction: chunk 0 + the post-overlap tail of each later
+        # chunk re-assembles the document exactly
+        toks = chunks[0]["chunk_text"].split()
+        for c in chunks[1:]:
+            toks += c["chunk_text"].split()[8:]
+        assert toks == [f"d{i}t{j}" for j in range(n)]
+        # every chunk except the last is full
+        assert all(c["n_tokens"] == 40 for c in chunks[:-1])
+
+
+def test_chunk_no_overlap_and_validation(spark):
+    import pytest as _pytest
+
+    from riskloc_spark.operators.packing import chunk_documents
+
+    df = _mkdocs(spark, [70])
+    out = sorted(
+        chunk_documents(df, max_tokens=32, overlap=0).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["n_tokens"] for r in out] == [32, 32, 6]
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=32, overlap=32)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=32, overlap=-1)
