@@ -589,6 +589,60 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(d, max_hamming=3, hash_fn=md5_hash64)
 
 
+def streaming_ingest_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-STATIC ingestion probe under the hash gate (round 9):
+    documents with doc_id % 3 == 0 arrive through an availableNow
+    readStream and are deduplicated against the STATIC
+    build_near_dup_index artifact of the rest of the corpus — the
+    continuous form of incremental_near_dup, stateless end to end (the
+    per-band output is the contract; collapsing needs event time). The
+    oracle replays the per-band candidate join in the md5 family, so a
+    divergence under the streaming runner (micro-batch planning of the
+    static side included) breaks the gate."""
+    import os
+    import tempfile
+    import uuid
+
+    from riskloc_spark.operators.dedup import build_near_dup_index, md5_hash64
+    from riskloc_spark.streaming.pipeline import ingest_dedup_stream
+
+    batch = load_table(spark, sf_dir, "documents")
+    index = build_near_dup_index(
+        batch.filter(F.col("doc_id") % 3 != 0), hash_fn=md5_hash64
+    )
+    stage = tempfile.mkdtemp(prefix="singest_")
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(stage, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(stage)
+        .filter(F.col("doc_id") % 3 == 0)
+    )
+    out = ingest_dedup_stream(
+        stream, index, jaccard_threshold=0.5, hash_fn=md5_hash64
+    ).select(
+        "new_id",
+        "base_id",
+        F.col("band").cast("int").alias("band"),
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+    )
+    name = "streaming_ingest_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_ingest_dedup: did not finish in 300s")
+    q.stop()
+    return spark.table(name)
+
+
 def corpus_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-window document chunking under the hash gate (round 9):
     40-token windows with an 8-token overlap (step 32) over the
@@ -3219,7 +3273,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adtributor_elements_derived": adtributor_elements_derived,
         "rev_adtributor_rec": rev_adtributor_rec_q,
         "riskloc_layer_scores": riskloc_layer_scores_q,
-        "squeeze_cluster_stats": squeeze_cluster_stats_q,
         "text_normalize": text_normalize_q,
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash_pairs,
@@ -3247,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": dedup_spans_q,
         "dedup_spans_sampled": dedup_spans_sampled_q,
         "streaming_quality": streaming_quality_q,
+        "streaming_ingest_dedup": streaming_ingest_dedup_q,
         "corpus_report": corpus_report_q,
         "langid_pred": langid_pred_q,
         "events_asof_purchase": events_asof_purchase_q,
@@ -3262,6 +3316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # evaluation gates displaced by the four audio gates), replayed
     # green at three scales this session (url_domains), or is
     # rows-only ----
+        "squeeze_cluster_stats": squeeze_cluster_stats_q,
         "squeeze_derived_cluster_stats": squeeze_derived_cluster_stats_q,
         "autoroot_nps": autoroot_nps_q,
         "hotspot_element_stats": hotspot_element_stats_q,
@@ -3640,6 +3695,58 @@ def _incremental_near_dup_sql() -> str:
           GROUP BY 1, 2
         )
         SELECT new_id, base_id, round(ej, 6) + 0e0 AS est_jaccard
+        FROM est WHERE ej >= 0.5
+    """
+
+
+def _streaming_ingest_dedup_sql() -> str:
+    """DuckDB twin of the stream-static ingestion probe: identical
+    machinery to _incremental_near_dup_sql but PER BAND (the stateless
+    stream emits one row per matching band — collapsing would need
+    event-time state), so the band column itself is under the hash."""
+    h_seeded = _MD5H.format(x="concat(s, ':', CAST(k AS VARCHAR))")
+    h_band = _MD5H.format(
+        x="string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)"
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE list_transform(range(1, len(t) - 1),
+                                     i -> array_to_string(t[i:i+2], ' '))
+                 END AS ss
+          FROM toks
+        ),
+        shingled AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        sigs AS (
+          SELECT doc_id, k, MIN({h_seeded}) AS mh
+          FROM shingled CROSS JOIN range(32) t(k)
+          GROUP BY doc_id, k
+        ),
+        bands AS (
+          SELECT doc_id, k // 4 AS band, {h_band} AS bucket
+          FROM sigs GROUP BY doc_id, k // 4
+        ),
+        cand AS (
+          SELECT n.doc_id AS new_id, b.doc_id AS base_id, n.band
+          FROM bands n JOIN bands b
+            ON n.band = b.band AND n.bucket = b.bucket
+           AND n.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+           AND n.doc_id <> b.doc_id
+        ),
+        est AS (
+          SELECT c.new_id, c.base_id, c.band,
+                 SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 32.0 AS ej
+          FROM cand c
+          JOIN sigs a ON a.doc_id = c.new_id
+          JOIN sigs b ON b.doc_id = c.base_id AND b.k = a.k
+          GROUP BY 1, 2, 3
+        )
+        SELECT new_id, base_id, CAST(band AS INTEGER) AS band,
+               round(ej, 6) + 0e0 AS est_jaccard
         FROM est WHERE ej >= 0.5
     """
 
@@ -6531,6 +6638,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_pairs_sql(),
         "incremental_near_dup": _incremental_near_dup_sql(),
+        "streaming_ingest_dedup": _streaming_ingest_dedup_sql(),
         # DuckDB's NATIVE nfc_normalize vs Python's unicodedata — two
         # independent Unicode implementations agreeing on the full
         # normalized text; decoration via chr() codepoint literals

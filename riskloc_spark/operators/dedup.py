@@ -201,14 +201,21 @@ def minhash_signatures(
 
 
 def _band_buckets(
-    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int, hash_fn
+    sigs: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    hash_fn,
+    keep_cols: tuple = (),
 ) -> DataFrame:
-    """(id, sig) -> (id, sig, band, bucket): hash each band's signature
-    slice to a bucket key and explode — one row per (doc, band), the
-    shared LSH step of the batch self-join, the persisted index, and
-    the incremental probe."""
+    """(id, sig) -> (id, *keep_cols, sig, band, bucket): hash each
+    band's signature slice to a bucket key and explode — one row per
+    (doc, band), the shared LSH step of the batch self-join, the
+    persisted index, the incremental probe, and the streaming probe
+    (``keep_cols`` carries the event-time column through)."""
     return sigs.select(
         id_col,
+        *keep_cols,
         "sig",
         F.explode(
             F.array(
@@ -229,7 +236,7 @@ def _band_buckets(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    ).select(id_col, *keep_cols, "sig", "bb.band", "bb.bucket")
 
 
 def minhash_lsh_dedup(

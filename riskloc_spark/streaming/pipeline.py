@@ -489,3 +489,94 @@ def near_dup_verdicts(flags: DataFrame) -> DataFrame:
     return flags.groupBy("doc_id").agg(
         F.max("is_dup").alias("is_near_dup")
     )
+
+
+def ingest_dedup_stream(
+    docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.6,
+    ts_col: str | None = None,
+    watermark: str = "2 hours",
+    hash_fn=None,
+) -> DataFrame:
+    """Streaming ingestion dedup: a STREAM-STATIC join of incoming
+    documents against a persisted base-corpus near-dup index
+    (operators/dedup.build_near_dup_index) — the continuous form of
+    ``incremental_near_dup``, and the streaming pattern the suite
+    lacked: the static side is planned once per micro-batch (bucketed
+    index layouts keep it exchange-free), the stream side is a pure
+    projection (``minhash_signature_col`` -> band buckets), and the
+    join itself is STATELESS — no watermark, no state store, exactly
+    the Spark-native shape for "dedupe the firehose against the
+    archive".
+
+    Output (append): one row per (incoming doc x matching band) —
+    (new_id, base_id, band, est_jaccard >= threshold). A pair matching
+    in k bands emits k rows; with ``ts_col`` set the duplicates are
+    collapsed per watermark horizon via dropDuplicatesWithinWatermark
+    (the only stateful stage, bounded by the horizon); without it the
+    stateless per-band stream is the output and downstream reduces
+    (the trade is recorded here instead of hidden: collapsing without
+    event time would need unbounded state)."""
+    from riskloc_spark.operators.dedup import (
+        _band_buckets,
+        minhash_signature_col,
+        xxhash64_fn,
+    )
+
+    hash_fn = hash_fn or xxhash64_fn
+    sig = minhash_signature_col(
+        F.col(text_col), num_hashes=num_hashes, hash_fn=hash_fn
+    )
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    stream = docs.repartition(par)
+    keep: tuple = ()
+    if ts_col is not None:
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        stream = stream.withWatermark(ts_col, watermark)
+        keep = (ts_col,)
+    sigs = stream.select(id_col, *keep, sig.alias("sig"))
+    probe = _band_buckets(
+        sigs, id_col, bands, num_hashes // bands, hash_fn, keep_cols=keep
+    )
+
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_new", "sig_base", lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(num_hashes)
+    )
+    out = (
+        probe.alias("n")
+        .join(
+            index.alias("b"),
+            on=[
+                F.col("n.band") == F.col("b.band"),
+                F.col("n.bucket") == F.col("b.bucket"),
+                F.col(f"n.{id_col}") != F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            *([F.col(f"n.{ts_col}").alias(ts_col)] if ts_col else []),
+            F.col(f"b.{id_col}").alias("base_id"),
+            F.col("n.band").alias("band"),
+            F.col("n.sig").alias("sig_new"),
+            F.col("b.sig").alias("sig_base"),
+        )
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .drop("sig_new", "sig_base")
+    )
+    if ts_col is not None:
+        out = out.dropDuplicatesWithinWatermark(["new_id", "base_id"]).drop(
+            "band"
+        )
+    return out

@@ -606,3 +606,82 @@ def test_streaming_near_dup_state_eviction(spark, tmp_path):
     }
     assert verdicts[10] is False, "evicted bucket must re-admit"
     assert verdicts[11] is True, "live representative must flag the copy"
+
+
+def test_ingest_dedup_stream_matches_batch_probe(spark, tmp_path):
+    """The stream-static ingestion probe: stateless per-band output
+    equals the batch incremental_near_dup pairs (collapsed over bands);
+    the ts variant collapses in-stream via dropDuplicatesWithinWatermark
+    and yields exactly the pair set."""
+    import uuid
+
+    import pandas as pd
+
+    from riskloc_spark.operators.dedup import (
+        build_near_dup_index,
+        incremental_near_dup,
+    )
+    from riskloc_spark.streaming.pipeline import ingest_dedup_stream
+
+    def body(i):
+        return " ".join(f"w{i}x{j}" for j in range(40))
+
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(30), "text": [body(i) for i in range(30)]}
+        )
+    )
+    index = build_near_dup_index(base).persist()
+    # batch: near-dups of base 4 and 9 (one edit), one fresh doc
+    rows = [
+        # tokens chosen so the substring replace edits exactly one word
+        # ("w4x3" would also hit w4x30..w4x39)
+        (100, body(4).replace("w4x11 ", "edita "), "2024-01-10 12:00:00"),
+        (101, body(9).replace("w9x12 ", "editb "), "2024-01-10 12:01:00"),
+        (102, body(777), "2024-01-10 12:02:00"),
+    ]
+    src = str(tmp_path / "batchdocs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts string"
+    ).parquet(src)
+
+    def run(out_df):
+        name = "ingest_test_" + uuid.uuid4().hex[:8]
+        q = (
+            out_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        q.stop()
+        return spark.table(name).collect()
+
+    stateless = run(
+        ingest_dedup_stream(stream, index, jaccard_threshold=0.5)
+    )
+    want = {
+        (r["new_id"], r["base_id"])
+        for r in incremental_near_dup(
+            spark.read.parquet(src), index, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert want == {(100, 4), (101, 9)}
+    assert {(r["new_id"], r["base_id"]) for r in stateless} == want
+    # a high-agreement pair matches in >1 band -> per-band rows exceed
+    # the pair count (the stateless contract the docstring records)
+    assert len(stateless) > len(want)
+
+    collapsed = run(
+        ingest_dedup_stream(
+            stream, index, jaccard_threshold=0.5, ts_col="ts",
+            watermark="1 hour",
+        )
+    )
+    assert {(r["new_id"], r["base_id"]) for r in collapsed} == want
+    assert len(collapsed) == len(want)  # one row per pair
+    index.unpersist()
