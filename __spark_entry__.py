@@ -589,6 +589,31 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(d, max_hamming=3, hash_fn=md5_hash64)
 
 
+def jsonl_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSONL interchange sink/source under the hash gate (round 9):
+    the documents table is written as newline-delimited JSON
+    (sources/readers.write_jsonl) and read back with an explicit schema
+    (read_jsonl) — the oracle is the ORIGINAL parquet relation, so any
+    loss in the round trip (JSON string escaping, unicode, integer
+    width, null handling, shard boundaries) breaks the hash."""
+    import tempfile
+
+    from riskloc_spark.sources.readers import read_jsonl, write_jsonl
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    stage = tempfile.mkdtemp(prefix="jsonl_rt_") + "/docs"
+    write_jsonl(d, stage)
+    back = read_jsonl(
+        spark,
+        stage,
+        schema="doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
 def streaming_ingest_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAM-STATIC ingestion probe under the hash gate (round 9):
     documents with doc_id % 3 == 0 arrive through an availableNow
@@ -3328,6 +3353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_trigram_lm": text_trigram_lm_q,
         "evaluation_f1": evaluation_f1_q,
         "url_domains": url_domains_q,
+        "jsonl_roundtrip": jsonl_roundtrip_q,
         "q1_pricing_summary": q1_pricing_summary,
         "rca_frame": rca_frame,
         "rca_scores": rca_scores,
@@ -6639,6 +6665,11 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_sql(),
         "incremental_near_dup": _incremental_near_dup_sql(),
         "streaming_ingest_dedup": _streaming_ingest_dedup_sql(),
+        # the oracle IS the original relation: any JSONL round-trip
+        # loss (escaping, unicode, widths, nulls, shards) breaks it
+        "jsonl_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
         # DuckDB's NATIVE nfc_normalize vs Python's unicodedata — two
         # independent Unicode implementations agreeing on the full
         # normalized text; decoration via chr() codepoint literals

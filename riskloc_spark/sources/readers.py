@@ -114,3 +114,32 @@ def read_robustspot_csv(
     return df.select(
         *attrs, "real", "predict", "real_a", "predict_a", "real_b", "predict_b"
     ), attrs
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """Read newline-delimited JSON (the interchange format of LLM
+    training pipelines). ``schema`` (DDL string or StructType) should
+    be supplied in production: without it Spark runs a full inference
+    pass over the data before the real scan — fine for exploration,
+    a wasted corpus read at 100 TB."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, compression: str | None = None, mode: str = "overwrite"
+) -> None:
+    """Write newline-delimited JSON shards (one file per partition —
+    repartition first to control shard count/size). ``compression``:
+    e.g. 'gzip' / 'zstd' for shipping; None for local interchange.
+    JSON is a lossy container for some Spark types (timestamps
+    stringify, binary base64s) — this sink is for TEXT corpus frames;
+    columnar data stays in parquet."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -76,3 +76,39 @@ def test_read_robustspot_csv(spark, tmp_path):
     assert got.loc["cdn1", "predict_b"] == pytest.approx(100.0)
     assert got.loc["cdn1", "predict"] == pytest.approx(hist_fail / 100.0)
     assert got.loc["cdn2", "real"] == pytest.approx(0.5)
+
+
+def test_jsonl_roundtrip_tricky_content(spark, tmp_path):
+    """JSONL sink/source must survive what corpus text actually
+    contains: quotes, backslashes, newlines, tabs, unicode (composed
+    and decomposed), nulls, and empty strings."""
+    import pandas as pd
+
+    from riskloc_spark.sources.readers import read_jsonl, write_jsonl
+
+    rows = [
+        (1, 'he said "hi" \\ and left', "en"),
+        (2, "line one\nline two\ttabbed", "en"),
+        (3, "café vs café 가 ☃", "unk"),
+        (4, None, None),
+        (5, "", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(df.repartition(2), path)
+    back = read_jsonl(
+        spark, path, schema="doc_id long, text string, lang string"
+    )
+    got = {r["doc_id"]: (r["text"], r["lang"]) for r in back.collect()}
+    want = {i: (t, l) for i, t, l in rows}
+    assert got == want
+    # compressed shards read back identically
+    gz = str(tmp_path / "docs_gz")
+    write_jsonl(df, gz, compression="gzip")
+    got2 = {
+        r["doc_id"]: (r["text"], r["lang"])
+        for r in read_jsonl(
+            spark, gz, schema="doc_id long, text string, lang string"
+        ).collect()
+    }
+    assert got2 == want
