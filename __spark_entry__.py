@@ -589,6 +589,42 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(d, max_hamming=3, hash_fn=md5_hash64)
 
 
+def _avi_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from riskloc_spark.operators.dedup import spread_small_scan
+    from riskloc_spark.operators.video import synthesize_avi_corpus
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return synthesize_avi_corpus(spread_small_scan(d))
+
+
+def video_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container demux under the hash gate (round 9):
+    deterministic MJPEG AVIs (canonical avih/strh/strf headers, 00dc
+    movi chunks, idx1) parsed by operators/video.parse_avi — the RIFF
+    walk, header unpack, and frame-chunk collection all on the gated
+    path; the oracle recomputes every field (dimensions, frame count,
+    integer frame duration and total duration) from the synthesis
+    contract."""
+    from riskloc_spark.operators.video import video_meta
+
+    return video_meta(_avi_corpus(spark, sf_dir))
+
+
+def video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling + decode under the hash gate (round 9):
+    each AVI demuxes to its MJPEG frames, every frame runs the full
+    baseline-JPEG pipeline (Huffman, DC prediction, dequant, IDCT), and
+    reduces to integer pixel stats stamped with the frame's integer
+    presentation time. The oracle replays constant_block_round_trip per
+    (tile, frame) — the still-image JPEG closed form with a frame
+    axis."""
+    from riskloc_spark.operators.video import video_frame_stats
+
+    return video_frame_stats(_avi_corpus(spark, sf_dir))
+
+
 def jsonl_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The JSONL interchange sink/source under the hash gate (round 9):
     the documents table is written as newline-delimited JSON
@@ -3290,8 +3326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autoroot_search_fixed": autoroot_search_fixed_q,
         "dedup_groups": dedup_groups_q,
         "squeeze_clusters_kde": squeeze_clusters_kde_q,
-        "squeeze_clusters_auto": squeeze_clusters_auto_q,
-        "squeeze_auto_edges": squeeze_auto_edges_q,
+        "video_meta": video_meta_q,
+        "video_frames": video_frames_q,
         "squeeze_search_filtered": squeeze_search_filtered_q,
         "squeeze_search_derived": squeeze_search_derived_q,
         "autoroot_kde_fixed": autoroot_kde_fixed_q,
@@ -3341,6 +3377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # evaluation gates displaced by the four audio gates), replayed
     # green at three scales this session (url_domains), or is
     # rows-only ----
+        "squeeze_clusters_auto": squeeze_clusters_auto_q,
+        "squeeze_auto_edges": squeeze_auto_edges_q,
         "squeeze_cluster_stats": squeeze_cluster_stats_q,
         "squeeze_derived_cluster_stats": squeeze_derived_cluster_stats_q,
         "autoroot_nps": autoroot_nps_q,
@@ -6665,6 +6703,63 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_sql(),
         "incremental_near_dup": _incremental_near_dup_sql(),
         "streaming_ingest_dedup": _streaming_ingest_dedup_sql(),
+        # video gates: the AVI synthesis contract in closed-form SQL
+        # (operators/video._synth_params); frames replay the JPEG
+        # constant_block_round_trip closed form with a frame axis
+        "video_meta": """
+            SELECT doc_id AS media_id,
+                   CAST((2 + doc_id % 3) * 8 AS INTEGER) AS width,
+                   CAST((1 + doc_id % 2) * 8 AS INTEGER) AS height,
+                   CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+                   CAST(40000 * (1 + doc_id % 2) AS BIGINT) AS us_per_frame,
+                   CAST((2 + doc_id % 3) * 40000 * (1 + doc_id % 2)
+                        AS BIGINT) AS duration_us
+            FROM documents
+        """,
+        "video_frames": """
+            WITH vdims AS MATERIALIZED (
+              SELECT doc_id AS media_id,
+                     2 + doc_id % 3 AS tw,
+                     1 + doc_id % 2 AS th,
+                     40000 * (1 + doc_id % 2) AS upf,
+                     unnest(range(0, 2 + doc_id % 3)) AS k
+              FROM documents
+            ),
+            px AS (
+              SELECT media_id, tw, th, upf, k,
+                     unnest(range(0, tw * th * 64)) AS s
+              FROM vdims
+            ),
+            tiles AS (
+              SELECT media_id, tw, th, upf, k, s,
+                     ((s // (8 * tw)) // 8) * tw + ((s % (8 * tw)) // 8) AS t
+              FROM px
+            ),
+            vals AS (
+              SELECT media_id, tw, th, upf, k, s,
+                     (media_id * 23 + t * 71 + k * 37) % 256 AS v
+              FROM tiles
+            ),
+            dec AS (
+              SELECT media_id, tw, th, upf, k, s,
+                     LEAST(GREATEST(CAST(floor(
+                       (CAST(floor((8 * v - 1024) / 13e0 + 5e-1) AS BIGINT)
+                        * 13 + 1028) / 8e0
+                     ) AS BIGINT), 0), 255) AS f
+              FROM vals
+            )
+            SELECT media_id,
+                   CAST(k AS INTEGER) AS frame_idx,
+                   CAST(k * upf AS BIGINT) AS ts_us,
+                   CAST(8 * tw AS INTEGER) AS width,
+                   CAST(8 * th AS INTEGER) AS height,
+                   CAST(SUM(f) AS BIGINT) AS pix_sum,
+                   CAST(SUM(f * ((s % 97) + 1)) AS BIGINT) AS pix_wsum,
+                   CAST(MIN(f) AS BIGINT) AS pix_min,
+                   CAST(MAX(f) AS BIGINT) AS pix_max
+            FROM dec
+            GROUP BY media_id, k, upf, tw, th
+        """,
         # the oracle IS the original relation: any JSONL round-trip
         # loss (escaping, unicode, widths, nulls, shards) breaks it
         "jsonl_roundtrip": """

@@ -1,0 +1,350 @@
+"""Video modality: a real RIFF/AVI (MJPEG) demuxer plus Spark-side
+frame operators — closing the container gap the multimodal suite
+recorded (images and animation frames were real; a VIDEO CONTAINER
+was not).
+
+MJPEG-in-AVI is the honest dependency-free choice: AVI is RIFF (the
+same chunk discipline as the WAV codec in operators/audio.py — sizes
+declared, unknown chunks skipped, odd sizes pad to word alignment),
+and MJPEG frames are baseline JPEGs, which operators/jpeg.py already
+decodes with a hash-gated pipeline.  So the demux walk, the stream
+headers (avih / strh / strf), the frame chunk extraction, AND the
+per-frame pixel decode are all real code on the gated path.  Modern
+codecs (H.264/AV1 in MP4) need entropy decoders far past a
+pure-Python engine and stay an explicitly stated production gap — at
+100 TB you put a native decoder behind the same mapInPandas seam.
+
+``MAX_VIDEO_BYTES`` bounds per-row demux work; ``MAX_FRAMES`` bounds
+the frame fan-out (a hostile header cannot make one row explode).
+"""
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "MAX_VIDEO_BYTES",
+    "MAX_FRAMES",
+    "encode_avi_mjpeg",
+    "parse_avi",
+    "synthesize_avi_corpus",
+    "video_meta",
+    "video_frame_stats",
+]
+
+MAX_VIDEO_BYTES = 16 * 1024 * 1024
+MAX_FRAMES = 4096
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return cid + struct.pack("<I", len(body)) + body + pad
+
+
+def _list(ltype: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", ltype + body)
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    us_per_frame: int,
+) -> bytes:
+    """Encode JPEG frame payloads as an AVI (MJPEG 'vids' stream with
+    canonical avih/strh/strf headers, '00dc' frame chunks in the movi
+    list, and an idx1 index — the classic pre-OpenDML layout every
+    AVI reader understands)."""
+    n = len(frames)
+    avih = struct.pack(
+        "<14I",
+        us_per_frame, 0, 0, 0x10,  # AVIF_HASINDEX
+        n, 0, 1, max((len(f) for f in frames), default=0),
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4H",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        us_per_frame, 1_000_000,  # dwScale / dwRate: fps = rate/scale
+        0, n, max((len(f) for f in frames), default=0),
+        -1, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi_body = b""
+    idx_entries = []
+    for f in frames:
+        # idx1 offsets are from the 'movi' fourcc (the common reader
+        # convention): the fourcc is 4 bytes, first chunk sits at 4
+        idx_entries.append((len(movi_body) + 4, len(f)))
+        movi_body += _chunk(b"00dc", f)
+    movi = _list(b"movi", movi_body)
+    idx1 = _chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off, size)
+            for off, size in idx_entries
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi(
+    data: bytes,
+    budget: int = MAX_VIDEO_BYTES,
+    max_frames: int = MAX_FRAMES,
+) -> dict | None:
+    """Demux a RIFF/AVI file: generic chunk walk (LISTs recursed by
+    declared size, unknown chunks skipped, odd sizes consume the pad
+    byte), avih/strh headers parsed, video frame chunks ('..dc'/'..db')
+    collected from the movi list in stream order.
+
+    Returns ``{width, height, n_frames, us_per_frame, duration_us,
+    frames}`` (frames = raw JPEG payload bytes; decode with
+    operators/jpeg.decode_jpeg), or None for non-AVI / truncated /
+    over-budget payloads or frame counts past ``max_frames``."""
+    if data is None or len(data) < 12 or len(data) > budget:
+        return None
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    meta: dict = {}
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int, in_movi: bool) -> bool:
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_at = pos + 8
+            if body_at + size > end:
+                return False  # truncated chunk
+            if cid == b"LIST" and size >= 4:
+                ltype = data[body_at : body_at + 4]
+                if not walk(
+                    body_at + 4, body_at + size, ltype == b"movi"
+                ):
+                    return False
+            elif cid == b"avih" and size >= 40:
+                upf, _mbs, _pad, _flags, total, _init, _streams, _sug, w, h = (
+                    struct.unpack("<10I", data[body_at : body_at + 40])
+                )
+                meta.update(
+                    us_per_frame=int(upf), n_frames=int(total),
+                    width=int(w), height=int(h),
+                )
+            elif in_movi and len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                if len(frames) >= max_frames:
+                    return False
+                frames.append(data[body_at : body_at + size])
+            pos = body_at + size + (size % 2)
+        return True
+
+    end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
+    if not walk(12, end, False):
+        return None
+    if "width" not in meta or meta.get("us_per_frame", 0) <= 0:
+        return None
+    if meta["n_frames"] != len(frames):
+        # header/index disagreement: trust the actual stream
+        meta["n_frames"] = len(frames)
+    meta["duration_us"] = meta["n_frames"] * meta["us_per_frame"]
+    meta["frames"] = frames
+    return meta
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthesis (formula contract shared with the SQL oracle)
+# ---------------------------------------------------------------------------
+
+def _synth_params(d: int) -> tuple[int, int, int, int]:
+    """(n_frames, tiles_across, tiles_down, us_per_frame) for media id
+    d.  Contract (replayed by the DuckDB twins — keep in sync):
+      n_frames     = 2 + d % 3
+      tiles across = 2 + d % 3,  tiles down = 1 + d % 2
+      us_per_frame = 40000 * (1 + d % 2)      (25 / 12.5 fps)
+    Frame k, tile t (row-major): v(t, k) = (d*23 + t*71 + k*37) % 256,
+    encoded with the gate JPEG table (DC quantizer 13) so each decoded
+    tile equals constant_block_round_trip(v, 13) — the same closed
+    form the still-image gate uses, now with a frame axis."""
+    return 2 + d % 3, 2 + d % 3, 1 + d % 2, 40000 * (1 + d % 2)
+
+
+def _synth_avi(d: int) -> bytes:
+    from riskloc_spark.operators.jpeg import encode_jpeg
+    from riskloc_spark.operators.multimodal import _gate_jpeg_qtable
+
+    nf, tw, th, upf = _synth_params(d)
+    q = _gate_jpeg_qtable()
+    frames = []
+    t = np.arange(tw * th, dtype=np.int64)
+    for k in range(nf):
+        tiles = ((d * 23 + t * 71 + k * 37) % 256).reshape(th, tw)
+        img = np.kron(tiles, np.ones((8, 8), dtype=np.int64))
+        frames.append(encode_jpeg(img, qtable=q))
+    return encode_avi_mjpeg(frames, tw * 8, th * 8, upf)
+
+
+def synthesize_avi_corpus(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(id) -> (id, payload): deterministic MJPEG AVIs per the formula
+    contract on ``_synth_params``, built inside an Arrow-batched
+    mapInPandas (no driver loop)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [_synth_avi(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("us_per_frame", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+    ]
+)
+
+
+def video_meta(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(id, payload) -> container metadata via the real AVI demux walk.
+    Undecodable payloads yield NULL fields."""
+    budget = MAX_VIDEO_BYTES
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                dec = parse_avi(bytes(payload), budget)
+                if dec is None:
+                    rows.append(
+                        dict.fromkeys(
+                            (f.name for f in _META_SCHEMA), None
+                        )
+                        | {"media_id": int(mid)}
+                    )
+                    continue
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": dec["width"],
+                        "height": dec["height"],
+                        "n_frames": dec["n_frames"],
+                        "us_per_frame": dec["us_per_frame"],
+                        "duration_us": dec["duration_us"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _META_SCHEMA], dtype=object
+            )
+
+    return media.mapInPandas(run, schema=_META_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pix_sum", T.LongType()),
+        T.StructField("pix_wsum", T.LongType()),
+        T.StructField("pix_min", T.LongType()),
+        T.StructField("pix_max", T.LongType()),
+    ]
+)
+
+
+def video_frame_stats(
+    media: DataFrame, id_col: str = "media_id", every: int = 1
+) -> DataFrame:
+    """Demux + per-frame JPEG decode + integer pixel statistics — the
+    video form of frame sampling: one blob fans out to one row per
+    sampled frame (``every`` = temporal stride), each stamped with its
+    integer presentation time.  Same weighting as the still-image gate
+    ((s % 97) + 1 over row-major samples), so the oracle reuses the
+    constant_block_round_trip replay with a frame axis.  Undecodable
+    containers are dropped; an undecodable FRAME inside a good
+    container surfaces NULL stats for that frame (fan-out must stay
+    accountable)."""
+    from riskloc_spark.operators.jpeg import decode_jpeg
+
+    budget = MAX_VIDEO_BYTES
+    step = int(every)
+    if step < 1:
+        raise ValueError("every must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                dec = parse_avi(bytes(payload), budget)
+                if dec is None:
+                    continue
+                for k in range(0, dec["n_frames"], step):
+                    base = {
+                        "media_id": int(mid),
+                        "frame_idx": k,
+                        "ts_us": k * dec["us_per_frame"],
+                    }
+                    px = decode_jpeg(dec["frames"][k])
+                    if px is None:
+                        rows.append(
+                            dict.fromkeys(
+                                (f.name for f in _FRAME_SCHEMA), None
+                            )
+                            | base
+                        )
+                        continue
+                    h, w, _c = px.shape
+                    flat = px.reshape(-1)
+                    wts = (np.arange(flat.size, dtype=np.int64) % 97) + 1
+                    rows.append(
+                        base
+                        | {
+                            "width": w,
+                            "height": h,
+                            "pix_sum": int(flat.sum()),
+                            "pix_wsum": int((flat * wts).sum()),
+                            "pix_min": int(flat.min()),
+                            "pix_max": int(flat.max()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _FRAME_SCHEMA], dtype=object
+            )
+
+    return media.mapInPandas(run, schema=_FRAME_SCHEMA)

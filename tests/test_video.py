@@ -1,0 +1,128 @@
+"""Video (RIFF/AVI MJPEG) modality: demux round trips, chunk-walk
+robustness, guards, and the Spark-side frame operators."""
+import struct
+
+import numpy as np
+import pytest
+
+from riskloc_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from riskloc_spark.operators.video import (
+    MAX_FRAMES,
+    MAX_VIDEO_BYTES,
+    encode_avi_mjpeg,
+    parse_avi,
+    synthesize_avi_corpus,
+    video_frame_stats,
+    video_meta,
+    _synth_params,
+)
+
+
+def _jpeg(v, tw=2, th=1):
+    t = np.arange(tw * th, dtype=np.int64)
+    tiles = ((v + t * 7) % 256).reshape(th, tw)
+    return encode_jpeg(np.kron(tiles, np.ones((8, 8), dtype=np.int64)))
+
+
+def test_roundtrip_demux():
+    frames = [_jpeg(10), _jpeg(60), _jpeg(200)]
+    raw = encode_avi_mjpeg(frames, 16, 8, 40000)
+    dec = parse_avi(raw)
+    assert dec["width"] == 16 and dec["height"] == 8
+    assert dec["n_frames"] == 3 and dec["us_per_frame"] == 40000
+    assert dec["duration_us"] == 120000
+    assert dec["frames"] == frames
+    for f in dec["frames"]:
+        assert decode_jpeg(f) is not None
+
+
+def test_unknown_chunk_and_list_skipped():
+    raw = encode_avi_mjpeg([_jpeg(1)], 16, 8, 40000)
+    junk = b"JUNK" + struct.pack("<I", 5) + b"abcde" + b"\x00"
+    patched = raw[:12] + junk + raw[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    dec = parse_avi(patched)
+    assert dec is not None and dec["n_frames"] == 1
+
+
+def test_rejects_garbage_truncated_oversize_bomb():
+    raw = encode_avi_mjpeg([_jpeg(1), _jpeg(2)], 16, 8, 40000)
+    assert parse_avi(b"not an avi") is None
+    assert parse_avi(raw[:50]) is None
+    assert parse_avi(raw, budget=10) is None
+    assert parse_avi(raw, max_frames=1) is None  # frame-count bomb guard
+    assert MAX_VIDEO_BYTES >= 1 << 20 and MAX_FRAMES >= 256
+
+
+def test_header_stream_disagreement_trusts_stream():
+    raw = encode_avi_mjpeg([_jpeg(1), _jpeg(2)], 16, 8, 40000)
+    # corrupt avih dwTotalFrames (offset 16 into the 40-byte body)
+    p = raw.index(b"avih") + 8 + 16
+    bad = raw[:p] + struct.pack("<I", 99) + raw[p + 4 :]
+    dec = parse_avi(bad)
+    assert dec["n_frames"] == 2 and dec["duration_us"] == 80000
+
+
+@pytest.fixture(scope="module")
+def avi_corpus(spark):
+    ids = spark.range(0, 24).withColumnRenamed("id", "media_id")
+    return synthesize_avi_corpus(ids).cache()
+
+
+def test_video_meta_contract(spark, avi_corpus):
+    rows = {r["media_id"]: r for r in video_meta(avi_corpus).collect()}
+    assert len(rows) == 24
+    for d in range(24):
+        nf, tw, th, upf = _synth_params(d)
+        r = rows[d]
+        assert (r["width"], r["height"]) == (tw * 8, th * 8)
+        assert (r["n_frames"], r["us_per_frame"]) == (nf, upf)
+        assert r["duration_us"] == nf * upf
+
+
+def test_video_meta_null_for_garbage(spark):
+    df = spark.createDataFrame(
+        [(9, bytearray(b"xx"))], "media_id long, payload binary"
+    )
+    r = video_meta(df).collect()[0]
+    assert r["media_id"] == 9 and r["width"] is None
+
+
+def test_video_frame_stats_and_stride(spark, avi_corpus):
+    full = video_frame_stats(avi_corpus).collect()
+    by_id = {}
+    for r in full:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for d in [0, 1, 5]:
+        nf, tw, th, upf = _synth_params(d)
+        frames = sorted(by_id[d], key=lambda r: r["frame_idx"])
+        assert [f["frame_idx"] for f in frames] == list(range(nf))
+        assert [f["ts_us"] for f in frames] == [k * upf for k in range(nf)]
+        assert all(
+            (f["width"], f["height"]) == (tw * 8, th * 8) for f in frames
+        )
+    # temporal stride keeps every other frame
+    strided = video_frame_stats(avi_corpus, every=2).collect()
+    assert {r["frame_idx"] for r in strided} <= {0, 2}
+    want = {
+        (r["media_id"], r["frame_idx"]): r["pix_sum"]
+        for r in full
+        if r["frame_idx"] % 2 == 0
+    }
+    got = {(r["media_id"], r["frame_idx"]): r["pix_sum"] for r in strided}
+    assert got == want
+    with pytest.raises(ValueError):
+        video_frame_stats(avi_corpus, every=0)
+
+
+def test_bad_frame_inside_good_container(spark):
+    raw = encode_avi_mjpeg([_jpeg(1), b"\xff\xd8 not a jpeg"], 16, 8, 40000)
+    df = spark.createDataFrame(
+        [(1, bytearray(raw))], "media_id long, payload binary"
+    )
+    rows = sorted(
+        video_frame_stats(df).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert len(rows) == 2
+    assert rows[0]["pix_sum"] is not None
+    assert rows[1]["pix_sum"] is None  # accountable, not silently dropped
