@@ -211,3 +211,45 @@ def test_corpus_report_quantiles_match_type1_rule(spark, counts):
         assert r[col] == want, (q, s, r[col], want)
     assert r["n_docs"] == n and r["total_tokens"] == sum(counts)
     assert r["max_tokens"] == max(counts)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=8),
+    st.integers(min_value=2, max_value=50),
+    st.data(),
+)
+@relaxed
+def test_chunk_documents_reconstruction(spark, sizes, max_tokens, data):
+    """For ANY (doc sizes, window, overlap): the start rule yields
+    ceil(max(n-ov,1)/step) chunks, all but the last full, and chunk 0
+    plus each later chunk's post-overlap tail rebuilds the document."""
+    overlap = data.draw(st.integers(min_value=0, max_value=max_tokens - 1))
+    from riskloc_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(len(sizes)),
+                "text": [
+                    " ".join(f"d{i}t{j}" for j in range(n))
+                    for i, n in enumerate(sizes)
+                ],
+            }
+        )
+    )
+    step = max_tokens - overlap
+    out = chunk_documents(df, max_tokens=max_tokens, overlap=overlap)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(sizes):
+        if n == 0:
+            assert i not in by_doc
+            continue
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert len(chunks) == (max(n - overlap, 1) + step - 1) // step
+        assert all(c["n_tokens"] == max_tokens for c in chunks[:-1])
+        toks = chunks[0]["chunk_text"].split()
+        for c in chunks[1:]:
+            toks += c["chunk_text"].split()[overlap:]
+        assert toks == [f"d{i}t{j}" for j in range(n)]
