@@ -132,8 +132,26 @@ BENCH_QUERIES = [
     "pii_redaction",
     "tfidf_terms",
     "dedup_spans",
+    "dedup_spans_sampled",
     "corpus_report",
     "langid_pred",
+    "url_domains",
+    # round-9 session-3 surface (streaming_ingest_dedup and
+    # streaming_sessions are excluded for the same stream-lifecycle
+    # reason as streaming_near_dup; their batch twins
+    # incremental_near_dup / events_sessions time the identical work)
+    "events_asof_purchase",
+    "events_sessions",
+    "incremental_near_dup",
+    "text_normalize",
+    "corpus_chunks",
+    "jsonl_roundtrip",
+    "audio_meta",
+    "audio_features",
+    "audio_resample",
+    "audio_frames",
+    "video_meta",
+    "video_frames",
 ]
 
 
