@@ -625,6 +625,19 @@ def video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_stats(_avi_corpus(spark, sf_dir))
 
 
+def frequent_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate mining under the hash gate (round 9):
+    top-30 word 3-grams by (doc_freq desc, total_count desc, ngram asc)
+    — the fully deterministic tie-break makes the top-k set a pure
+    function of the corpus, so an order-insensitive hash can gate a
+    ranked result. Both engines sort strings bytewise (UTF8 binary /
+    DuckDB default collation), so boundary ties resolve identically."""
+    from riskloc_spark.operators.dedup import frequent_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    return frequent_ngrams(d, n=3, top_k=30)
+
+
 def jsonl_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The JSONL interchange sink/source under the hash gate (round 9):
     the documents table is written as newline-delimited JSON
@@ -3392,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evaluation_f1": evaluation_f1_q,
         "url_domains": url_domains_q,
         "jsonl_roundtrip": jsonl_roundtrip_q,
+        "frequent_ngrams": frequent_ngrams_q,
         "q1_pricing_summary": q1_pricing_summary,
         "rca_frame": rca_frame,
         "rca_scores": rca_scores,
@@ -6759,6 +6773,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(f) AS BIGINT) AS pix_max
             FROM dec
             GROUP BY media_id, k, upf, tw, th
+        """,
+        # top-k set gated via the deterministic (doc_freq desc,
+        # total desc, ngram asc) tie-break; both engines sort strings
+        # bytewise so boundary ties resolve identically
+        "frequent_ngrams": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                     ELSE list_transform(range(1, len(t) - 1),
+                                         i -> array_to_string(t[i:i+2], ' '))
+                     END AS ss
+              FROM toks
+            ),
+            grams AS (SELECT doc_id, unnest(ss) AS g FROM sh),
+            per_doc AS (
+              SELECT g, doc_id, COUNT(*) AS c FROM grams GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT g AS ngram,
+                     CAST(COUNT(*) AS BIGINT) AS doc_freq,
+                     CAST(SUM(c) AS BIGINT) AS total_count
+              FROM per_doc GROUP BY 1
+            )
+            SELECT ngram, doc_freq, total_count
+            FROM agg
+            ORDER BY doc_freq DESC, total_count DESC, ngram ASC
+            LIMIT 30
         """,
         # the oracle IS the original relation: any JSONL round-trip
         # loss (escaping, unicode, widths, nulls, shards) breaks it

@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "events_asof_purchase",
     "events_sessions",
     "incremental_near_dup",
+    "frequent_ngrams",
     "text_normalize",
     "corpus_chunks",
     "jsonl_roundtrip",

@@ -353,6 +353,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp2.add_argument("--profile-size", type=int, default=300)
 
     sp2 = psub.add_parser(
+        "top-ngrams",
+        help="corpus-wide top-k word n-grams by document frequency "
+        "(boilerplate mining)",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--ngram", type=int, default=3)
+    sp2.add_argument("--top-k", type=int, default=20)
+
+    sp2 = psub.add_parser(
         "chunk",
         help="split documents into fixed-token-window chunks with overlap",
     )
@@ -500,6 +509,10 @@ def run_pipeline(spark, args) -> dict:
             df, lang_col=args.lang_col, k=args.profile_size
         )
         out = classify_language(df, prof, k=args.profile_size)
+    elif op == "top-ngrams":
+        from riskloc_spark.operators.dedup import frequent_ngrams
+
+        out = frequent_ngrams(df, n=args.ngram, top_k=args.top_k)
     elif op == "chunk":
         from riskloc_spark.operators.packing import chunk_documents
 

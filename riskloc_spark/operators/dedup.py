@@ -906,3 +906,52 @@ def remove_duplicate_spans(
         F.size(P).cast("int").alias("n_dup_grams"),
         span_fold.alias("n_spans"),
     )
+
+
+def frequent_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by DOCUMENT frequency — the
+    boilerplate detector: templated sentences, shared disclaimers, and
+    nav fragments surface as n-grams carried by many documents, and the
+    output ranks what span/paragraph dedup would remove (run this
+    first, pick thresholds from evidence).
+
+    Output: (ngram, doc_freq, total_count) — total_count counts every
+    occurrence, doc_freq distinct carrying documents — ranked by
+    (doc_freq desc, total_count desc, ngram asc): a fully deterministic
+    tie-break, so the result is a pure function of the corpus.
+
+    Scale shape: ONE explode over the shingle array, a per-(gram, doc)
+    partial pre-aggregation (map-side combinable; a document repeating
+    one gram a million times contributes one row to the gram-level
+    exchange), a gram-level groupBy, and a global TakeOrdered(k) — no
+    full sort materializes."""
+    ex = spread_small_scan(df).select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("__g"),
+    )
+    per_doc = ex.groupBy("__g", id_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    agg = per_doc.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("__c").alias("total_count"),
+    )
+    return (
+        agg.select(
+            F.col("__g").alias("ngram"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.col("total_count").cast("long").alias("total_count"),
+        )
+        .orderBy(
+            F.col("doc_freq").desc(),
+            F.col("total_count").desc(),
+            F.col("ngram").asc(),
+        )
+        .limit(int(top_k))
+    )

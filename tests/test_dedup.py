@@ -531,3 +531,22 @@ def test_incremental_near_dup_against_index(spark, docs):
         ).collect()
     }
     assert accepted == {202}
+
+
+def test_frequent_ngrams_ranks_boilerplate_first(spark):
+    from riskloc_spark.operators.dedup import frequent_ngrams
+
+    rows = []
+    for i in range(8):
+        body = " ".join(f"u{i}w{j}" for j in range(10))
+        # boilerplate carried by 6 of 8 docs, twice in doc 0
+        extra = " all rights reserved" if i < 6 else ""
+        dup = " all rights reserved" if i == 0 else ""
+        rows.append((i, body + extra + dup))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = frequent_ngrams(df, n=3, top_k=4).collect()
+    assert out[0]["ngram"].endswith("all rights reserved")
+    assert out[0]["doc_freq"] == 6 and out[0]["total_count"] == 7
+    # deterministic: two runs return the identical ranked set
+    again = frequent_ngrams(df, n=3, top_k=4).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
