@@ -371,6 +371,10 @@ def scale_block(spark) -> dict:
         out["audio"] = _audio_scale(spark)
     except Exception as e:
         out["audio"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        out["normalize"] = _normalize_scale(spark)
+    except Exception as e:
+        out["normalize"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     # second rung (SPARK_GRAFT_SCALE2=0 skips): ~5.4M leaves for the two
     # fastest searches + a 510k-doc dedup — the scaling CURVE, not just
     # one point (562k -> 5.4M showed ~2.2x riskloc / ~2.1x autoroot for
@@ -1274,6 +1278,57 @@ def _dedup_scale(spark, n_base: int = 50_000, dup_every: int = 50) -> dict:
         "planted_pairs": len(planted),
         "recall": round(hits / len(planted), 4),
         "false_merge_groups": bad_groups,
+    }
+
+
+def _normalize_scale(spark, n_docs: int = 100_000) -> dict:
+    """Unicode normalization throughput: the NFC pandas UDF is the one
+    deliberate Python stage in the text suite — measure it instead of
+    guessing. 100k synthetic docs (~200 chars, 1 in 5 carrying a
+    decomposed suffix + a control char) through the full normalize_text
+    projection; reports docs/s and the changed count (1 in 5 exactly —
+    the seconds can't buy wrong answers)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.functions.text import normalize_text
+
+    par = spark.sparkContext.defaultParallelism
+    base = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(24)),
+            lambda i: F.concat(
+                F.lit("w"),
+                (F.abs(F.xxhash64(F.col("doc_id"), i)) % 9999).cast("string"),
+            ),
+        ),
+    )
+    # decomposed e+acute plus a C0 control, explicit escapes
+    suffix = F.when(
+        F.col("doc_id") % 5 == 0, F.lit("e\u0301\u0001")
+    ).otherwise(F.lit(""))
+    docs = (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"))
+        .repartition(par)
+        .withColumn("text", F.concat(base, suffix))
+        .persist()
+    )
+    docs.count()
+    t0 = _t.perf_counter()
+    changed = (
+        normalize_text(docs).filter(F.col("changed")).count()
+    )
+    sec = round(_t.perf_counter() - t0, 3)
+    docs.unpersist()
+    return {
+        "docs": n_docs,
+        "sec": sec,
+        "docs_per_s": round(n_docs / sec),
+        "changed": changed,
+        "changed_expected": n_docs // 5,
     }
 
 
