@@ -396,6 +396,14 @@ def scale_block(spark) -> dict:
             out["spans2"] = _span_scale(spark, n_docs=1_000_000)
         except Exception as e:
             out["spans2"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        try:
+            # the ingestion CURVE: 2.5x the base corpus — probe cost
+            # should track the BATCH, the self-join the base
+            out["ingest2"] = _ingest_scale(
+                spark, n_base=500_000, n_batch=20_000
+            )
+        except Exception as e:
+            out["ingest2"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     if errors:
         out["errors"] = errors
     return out
