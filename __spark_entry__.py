@@ -625,6 +625,31 @@ def video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_stats(_avi_corpus(spark, sf_dir))
 
 
+def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group TOKEN-budget sampling under the hash gate (round 9):
+    the mixture step ("N tokens of web, M of code") — documents order
+    within their source by the portable (id, salt) hash, a per-group
+    running token total takes docs while it fits the budget, and the
+    cum_tokens audit column rides along. Two explicit budgets + a
+    default exercise every branch; the oracle replays the window
+    cumsum + CASE budget in SQL."""
+    from riskloc_spark.functions.text import token_count
+    from riskloc_spark.operators.dedup import md5_hash64
+    from riskloc_spark.operators.sampling import token_budget_sample
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+        .drop("text")
+    )
+    out = token_budget_sample(
+        d, {"src0": 400, "src1": 800}, default_budget=600,
+        hash_fn=md5_hash64,
+    )
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
 def frequent_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide boilerplate mining under the hash gate (round 9):
     top-30 word 3-grams by (doc_freq desc, total_count desc, ngram asc)
@@ -3406,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domains": url_domains_q,
         "jsonl_roundtrip": jsonl_roundtrip_q,
         "frequent_ngrams": frequent_ngrams_q,
+        "token_budget_sample": token_budget_sample_q,
         "q1_pricing_summary": q1_pricing_summary,
         "rca_frame": rca_frame,
         "rca_scores": rca_scores,
@@ -6773,6 +6799,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(f) AS BIGINT) AS pix_max
             FROM dec
             GROUP BY media_id, k, upf, tw, th
+        """,
+        # per-group window cumsum over the portable (id) hash order;
+        # pmod == % on the non-negative md5-derived hash
+        "token_budget_sample": r"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text),
+                                   '[ \t\n\x0B\f\r]+')) END AS BIGINT)
+                       AS n_tokens,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 15) AS BIGINT) % 1000000 AS h
+              FROM documents
+            ),
+            cum AS (
+              SELECT doc_id, source, n_tokens,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              FROM toks
+            )
+            SELECT doc_id, source, n_tokens,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM cum
+            WHERE cum_tokens <= CASE source WHEN 'src0' THEN 400
+                                            WHEN 'src1' THEN 800
+                                            ELSE 600 END
         """,
         # top-k set gated via the deterministic (doc_freq desc,
         # total desc, ngram asc) tie-break; both engines sort strings

@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "events_sessions",
     "incremental_near_dup",
     "frequent_ngrams",
+    "token_budget_sample",
     "text_normalize",
     "corpus_chunks",
     "jsonl_roundtrip",

@@ -353,6 +353,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp2.add_argument("--profile-size", type=int, default=300)
 
     sp2 = psub.add_parser(
+        "sample-tokens",
+        help="deterministic per-group sampling to a TOKEN budget "
+        "(mixture weights in tokens, not rates)",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--group-col", default="source")
+    sp2.add_argument(
+        "--budget", action="append", default=[], metavar="GROUP=TOKENS",
+        help="per-group token budget (repeatable)",
+    )
+    sp2.add_argument("--default-budget", type=int, default=None)
+    sp2.add_argument("--salt", default="")
+
+    sp2 = psub.add_parser(
         "top-ngrams",
         help="corpus-wide top-k word n-grams by document frequency "
         "(boilerplate mining)",
@@ -509,6 +523,24 @@ def run_pipeline(spark, args) -> dict:
             df, lang_col=args.lang_col, k=args.profile_size
         )
         out = classify_language(df, prof, k=args.profile_size)
+    elif op == "sample-tokens":
+        from pyspark.sql import functions as F
+
+        from riskloc_spark.functions.text import token_count
+        from riskloc_spark.operators.sampling import token_budget_sample
+
+        budgets = {}
+        for spec in args.budget:
+            k, _, v = spec.partition("=")
+            budgets[k] = int(v)
+        if "n_tokens" not in df.columns:
+            df = df.withColumn(
+                "n_tokens", token_count(F.col("text")).cast("long")
+            )
+        out = token_budget_sample(
+            df, budgets, group_col=args.group_col, salt=args.salt,
+            default_budget=args.default_budget,
+        )
     elif op == "top-ngrams":
         from riskloc_spark.operators.dedup import frequent_ngrams
 

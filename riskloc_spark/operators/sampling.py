@@ -138,3 +138,70 @@ def hash_split(
     for name, b in list(zip(names[:-1], bounds))[::-1]:
         expr = F.when(h < F.lit(b), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_budget: int | None = None,
+    hash_fn=xxhash64_fn,
+) -> DataFrame:
+    """Deterministic PER-GROUP sampling to a TOKEN budget — the mixture
+    step training pipelines actually run ("200B tokens of web, 30B of
+    code"), where per-document rates undershoot or overshoot because
+    documents have wildly different lengths.
+
+    Documents are ordered within their group by the same pure (id,
+    salt) hash the other sampling operators use (a deterministic
+    shuffle — no quality bias, stable across runs/partitionings, and a
+    different salt redraws independently), then taken while the
+    group's RUNNING token total stays within budget: a document is
+    kept iff cum_tokens_through_it <= budget, so the kept set
+    overshoots by at most zero and undershoots by less than the first
+    rejected document. Groups without a budget pass through when
+    ``default_budget`` is None, else use the default.
+
+    Output: the kept rows plus ``cum_tokens`` (the audit column: the
+    running total that justified each keep — the evidence an auditor
+    re-checks). One shuffle (the per-group window sort); at 100 TB
+    groups are few and large, and the window sorts within each group
+    partition — a skewed giant group sorts in parallel by range within
+    its partition spill-safely."""
+    from pyspark.sql import Window
+
+    h = _unit_hash(F.col(id_col), salt, hash_fn)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w)
+    budget = None
+    for g, b in budgets.items():
+        clause = F.when(F.col(group_col) == F.lit(g), F.lit(int(b)))
+        budget = clause if budget is None else budget.when(
+            F.col(group_col) == F.lit(g), F.lit(int(b))
+        )
+    if budget is None:
+        budget = F.lit(
+            int(default_budget) if default_budget is not None else None
+        )
+    else:
+        budget = budget.otherwise(
+            F.lit(int(default_budget)) if default_budget is not None
+            else F.lit(None)
+        )
+    out = df.withColumn("cum_tokens", cum.cast("long")).withColumn(
+        "__budget", budget
+    )
+    return (
+        out.filter(
+            F.col("__budget").isNull()
+            | (F.col("cum_tokens") <= F.col("__budget"))
+        )
+        .drop("__budget")
+    )

@@ -198,3 +198,60 @@ def test_deterministic_sample_composes_with_streaming(spark, tmp_path):
         r["doc_id"] for r in deterministic_sample(static, 0.4, "sal").collect()
     }
     assert got == want and 60 <= len(got) <= 180
+
+
+def test_token_budget_sample_semantics(spark):
+    """Per-group budgets bite independently; kept totals never exceed
+    the budget; undershoot is less than the first rejected doc; groups
+    without a budget pass through (or take the default); membership is
+    stable across partitionings and nested in the budget (a bigger
+    budget keeps a superset)."""
+    import pandas as pd
+
+    from riskloc_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(30),
+                "source": ["a"] * 10 + ["b"] * 10 + ["c"] * 10,
+                "n_tokens": list(range(10, 110, 10)) * 3,
+            }
+        )
+    )
+    out = token_budget_sample(df, {"a": 120, "b": 300}).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], []).append(r)
+    assert sum(r["n_tokens"] for r in by["a"]) <= 120
+    assert sum(r["n_tokens"] for r in by["b"]) <= 300
+    assert len(by["c"]) == 10  # no budget, no default -> passthrough
+    # audit column equals the running total in hash order
+    for g in ("a", "b"):
+        rows = sorted(by[g], key=lambda r: r["cum_tokens"])
+        run = 0
+        for r in rows:
+            run += r["n_tokens"]
+            assert r["cum_tokens"] == run
+    # default budget applies to unlisted groups
+    out2 = token_budget_sample(df, {"a": 120}, default_budget=150).collect()
+    c2 = [r for r in out2 if r["source"] == "c"]
+    assert 0 < len(c2) < 10 and sum(r["n_tokens"] for r in c2) <= 150
+    # nested: doubling a budget keeps a superset
+    small = {
+        r["doc_id"] for r in token_budget_sample(df, {"a": 120}).collect()
+        if r["source"] == "a"
+    }
+    big = {
+        r["doc_id"] for r in token_budget_sample(df, {"a": 240}).collect()
+        if r["source"] == "a"
+    }
+    assert small <= big
+    # stable across partitionings
+    again = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            df.repartition(7), {"a": 120, "b": 300}
+        ).collect()
+    }
+    assert again == {r["doc_id"] for r in out}
