@@ -567,3 +567,49 @@ def test_trigram_lm_wide_vocab_shuffle_fallback(spark):
     for k in a:
         assert a[k]["n_trigrams"] == b[k]["n_trigrams"]
         assert abs(a[k]["avg_logprob"] - b[k]["avg_logprob"]) < 1e-12
+
+
+def test_chunk_and_normalize_zero_shuffle(spark):
+    """chunk_documents and normalize_text are pure projections — the
+    physical plan must carry NO Exchange at all (whatever partitioning
+    the input has survives)."""
+    from riskloc_spark.functions.text import normalize_text
+    from riskloc_spark.operators.packing import chunk_documents
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    for df in (
+        chunk_documents(d, max_tokens=40, overlap=8),
+        normalize_text(d),
+    ):
+        plan = plan_str(df, "simple")
+        assert "Exchange" not in plan, plan
+
+
+def test_token_budget_sample_single_exchange(spark):
+    """token_budget_sample is one per-group window: exactly ONE hash
+    exchange (to the group partitioning) and one Window sort."""
+    from riskloc_spark.functions.text import token_count
+    from riskloc_spark.operators.sampling import token_budget_sample
+
+    d = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+        .drop("text")
+    )
+    out = token_budget_sample(d, {"src0": 400}, default_budget=600)
+    plan = plan_str(out, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan
+
+
+def test_frequent_ngrams_takeordered_no_full_sort(spark):
+    """frequent_ngrams must end in TakeOrdered (global top-k), never a
+    full Sort, and pre-aggregate per (gram, doc) map-side (two
+    hash-aggregate pairs, two exchanges: gram+doc, then gram)."""
+    from riskloc_spark.operators.dedup import frequent_ngrams
+
+    d = load_table(spark, SF_DIR, "documents")
+    plan = plan_str(frequent_ngrams(d, n=3, top_k=30), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
