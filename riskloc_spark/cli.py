@@ -353,6 +353,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp2.add_argument("--profile-size", type=int, default=300)
 
     sp2 = psub.add_parser(
+        "audio-features",
+        help="decode WAV payloads (media_id, payload) to per-channel "
+        "integer amplitude features",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--stride", type=int, default=1)
+
+    sp2 = psub.add_parser(
+        "video-frames",
+        help="demux AVI payloads (media_id, payload), decode MJPEG "
+        "frames at a temporal stride, emit per-frame pixel stats",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--every", type=int, default=1)
+
+    sp2 = psub.add_parser(
         "sample-tokens",
         help="deterministic per-group sampling to a TOKEN budget "
         "(mixture weights in tokens, not rates)",
@@ -523,6 +539,14 @@ def run_pipeline(spark, args) -> dict:
             df, lang_col=args.lang_col, k=args.profile_size
         )
         out = classify_language(df, prof, k=args.profile_size)
+    elif op == "audio-features":
+        from riskloc_spark.operators.audio import audio_features
+
+        out = audio_features(df, stride=args.stride)
+    elif op == "video-frames":
+        from riskloc_spark.operators.video import video_frame_stats
+
+        out = video_frame_stats(df, every=args.every)
     elif op == "sample-tokens":
         from pyspark.sql import functions as F
 

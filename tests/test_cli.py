@@ -520,3 +520,43 @@ def test_cli_pipeline_normalize_and_ingest_dedup(spark, tmp_path):
     assert len(rows) == 20
     assert all(not r2["changed"] for r2 in rows)  # ASCII corpus
     assert {"n_chars_before", "n_chars_after"} <= set(rows[0].asDict())
+
+
+def test_cli_pipeline_audio_and_video(spark, tmp_path):
+    """media subcommands: WAV payloads -> features; AVI payloads ->
+    per-frame stats, through the subprocess CLI."""
+    from riskloc_spark.operators.audio import synthesize_wav_corpus
+    from riskloc_spark.operators.video import synthesize_avi_corpus
+
+    ids = spark.range(0, 6).withColumnRenamed("id", "media_id")
+    wav_src = str(tmp_path / "wavs")
+    synthesize_wav_corpus(ids).write.parquet(wav_src)
+    avi_src = str(tmp_path / "avis")
+    synthesize_avi_corpus(ids).write.parquet(avi_src)
+
+    a_out = str(tmp_path / "afeat")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "audio-features", wav_src, "--output", a_out, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = spark.read.parquet(a_out).collect()
+    # one row per (doc, channel): ids 0..5 -> 3 stereo, 3 mono
+    assert len(rows) == 9
+    assert all(r2["energy"] > 0 for r2 in rows)
+
+    v_out = str(tmp_path / "vframes")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "video-frames", avi_src, "--output", v_out,
+            "--every", "2", "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    vrows = spark.read.parquet(v_out).collect()
+    assert vrows and all(r2["frame_idx"] % 2 == 0 for r2 in vrows)
