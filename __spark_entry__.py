@@ -625,6 +625,29 @@ def video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_stats(_avi_corpus(spark, sf_dir))
 
 
+def events_rolling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window activity features under the hash gate (round 9):
+    per event, the count and value-sum of the same user's events in the
+    preceding hour (RANGE frame over integer microseconds, peers at the
+    boundary and at equal timestamps included). The oracle is DuckDB's
+    native RANGE window over epoch_us — an independent implementation
+    of the frame semantics."""
+    from riskloc_spark.operators.temporal import rolling_window_features
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = rolling_window_features(e, window_minutes=60.0)
+    return out.select(
+        "event_id",
+        "user_id",
+        "n_events_window",
+        (F.round("sum_value_window", 6) + F.lit(0.0)).alias(
+            "sum_value_window"
+        ),
+    )
+
+
 def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group TOKEN-budget sampling under the hash gate (round 9):
     the mixture step ("N tokens of web, M of code") — documents order
@@ -3432,6 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": jsonl_roundtrip_q,
         "frequent_ngrams": frequent_ngrams_q,
         "token_budget_sample": token_budget_sample_q,
+        "events_rolling": events_rolling_q,
         "q1_pricing_summary": q1_pricing_summary,
         "rca_frame": rca_frame,
         "rca_scores": rca_scores,
@@ -6799,6 +6823,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(f) AS BIGINT) AS pix_max
             FROM dec
             GROUP BY media_id, k, upf, tw, th
+        """,
+        # DuckDB's native RANGE window over epoch_us — an independent
+        # implementation of the trailing-frame semantics (peers at the
+        # boundary and equal timestamps included on both engines)
+        "events_rolling": """
+            SELECT event_id, user_id,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_events_window,
+                   round(SUM(value) OVER w, 6) + 0e0 AS sum_value_window
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+            )
         """,
         # per-group window cumsum over the portable (id) hash order;
         # pmod == % on the non-negative md5-derived hash

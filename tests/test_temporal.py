@@ -228,3 +228,36 @@ def test_sessionize_plan_single_exchange(spark):
     )
     plan = plan_str(sessionize(ev), "simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_rolling_window_features_vs_reference(spark):
+    """Trailing-hour frame vs a brute-force pandas reference: counts and
+    sums per event, boundary inclusive, equal-timestamp peers included."""
+    import pandas as pd
+
+    from riskloc_spark.operators.temporal import rolling_window_features
+
+    rows = []
+    t0 = pd.Timestamp("2024-01-10 12:00:00")
+    # user 1: events at 0, 30m, 60m (boundary!), 61m, 200m; duplicate ts
+    offs = [0, 30, 60, 60, 61, 200]
+    for i, m in enumerate(offs):
+        rows.append((i, 1, t0 + pd.Timedelta(minutes=m), float(i + 1)))
+    rows.append((9, 2, t0, 5.0))  # other key: independent
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    )
+    got = {
+        r["event_id"]: (r["n_events_window"], r["sum_value_window"])
+        for r in rolling_window_features(df, window_minutes=60.0).collect()
+    }
+    for i, m in enumerate(offs):
+        in_win = [
+            j for j, m2 in enumerate(offs) if 0 <= (m - m2) <= 60
+        ]
+        # equal timestamps are peers: both rows at 60m see each other
+        peers = [j for j, m2 in enumerate(offs) if m2 == m]
+        want = set(in_win) | set(peers)
+        assert got[i][0] == len(want), (i, got[i], want)
+        assert got[i][1] == sum(j + 1 for j in want)
+    assert got[9] == (1, 5.0)
