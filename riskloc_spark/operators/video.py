@@ -126,7 +126,9 @@ def parse_avi(
     meta: dict = {}
     frames: list[bytes] = []
 
-    def walk(pos: int, end: int, in_movi: bool) -> bool:
+    def walk(pos: int, end: int, in_movi: bool, depth: int = 0) -> bool:
+        if depth > 32:
+            return False  # nesting bomb: real AVIs are ~3 levels deep
         while pos + 8 <= end:
             cid = data[pos : pos + 4]
             (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -136,7 +138,8 @@ def parse_avi(
             if cid == b"LIST" and size >= 4:
                 ltype = data[body_at : body_at + 4]
                 if not walk(
-                    body_at + 4, body_at + size, ltype == b"movi"
+                    body_at + 4, body_at + size, ltype == b"movi",
+                    depth + 1,
                 ):
                     return False
             elif cid == b"avih" and size >= 40:

@@ -126,3 +126,13 @@ def test_bad_frame_inside_good_container(spark):
     assert len(rows) == 2
     assert rows[0]["pix_sum"] is not None
     assert rows[1]["pix_sum"] is None  # accountable, not silently dropped
+
+
+def test_nesting_bomb_rejected():
+    # 40 levels of nested LISTs: must return None, not blow the stack
+    inner = b""
+    for _ in range(40):
+        body = b"aaaa" + inner
+        inner = b"LIST" + struct.pack("<I", len(body)) + body
+    raw = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    assert parse_avi(raw) is None
