@@ -6873,8 +6873,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             sh AS (
+              -- strict n-grams: sub-n-token docs contribute NOTHING
+              -- (the MinHash whole-text fallback is wrong here)
               SELECT doc_id,
-                     CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                     CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
                      ELSE list_transform(range(1, len(t) - 1),
                                          i -> array_to_string(t[i:i+2], ' '))
                      END AS ss

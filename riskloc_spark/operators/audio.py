@@ -33,7 +33,6 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
@@ -108,16 +107,17 @@ def parse_wav(data: bytes, budget: int = MAX_AUDIO_BYTES) -> dict | None:
         return None
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         return None
+    end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
     pos = 12
     fmt_info: tuple | None = None
     raw: bytes | None = None
-    end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
     while pos + 8 <= end:
         cid = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body_at = pos + 8
-        if body_at + size > len(data):
-            return None  # truncated chunk
+        if body_at + size > end:
+            return None  # chunk past the declared RIFF end (truncated
+            # or size-lying container — same rule as parse_avi)
         if cid == b"fmt " and size >= 16:
             audio_format, ch, sr, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", data[body_at : body_at + 16]
@@ -234,7 +234,10 @@ def decode_audio(media: DataFrame, id_col: str = "media_id") -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf["payload"]):
-                dec = parse_wav(bytes(payload), budget)
+                dec = parse_wav(
+                    bytes(payload) if payload is not None else None,
+                    budget,
+                )
                 if dec is None:
                     rows.append(
                         dict.fromkeys(
@@ -312,7 +315,10 @@ def audio_features(
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf["payload"]):
-                dec = parse_wav(bytes(payload), budget)
+                dec = parse_wav(
+                    bytes(payload) if payload is not None else None,
+                    budget,
+                )
                 if dec is None:
                     continue
                 s = dec["samples"]
@@ -365,7 +371,10 @@ def audio_frame_energy(
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf["payload"]):
-                dec = parse_wav(bytes(payload), budget)
+                dec = parse_wav(
+                    bytes(payload) if payload is not None else None,
+                    budget,
+                )
                 if dec is None:
                     continue
                 s = dec["samples"].astype(np.int64)

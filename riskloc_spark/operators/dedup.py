@@ -351,9 +351,11 @@ def incremental_near_dup(
     duplicates are the batch self-join's job (minhash_lsh_dedup on
     new_df); this operator is the batch-vs-corpus tier."""
     rows_per_band = num_hashes // bands
+    # no persist: unlike the self-join (both sides reread the banded
+    # frame), the probe consumes the batch signatures exactly once
     sigs = minhash_signatures(
         new_df, text_col, id_col, num_hashes, shingle_n, hash_fn=hash_fn
-    ).persist()
+    )
     probe = _band_buckets(sigs, id_col, bands, rows_per_band, hash_fn)
 
     est = (
@@ -926,14 +928,25 @@ def frequent_ngrams(
     (doc_freq desc, total_count desc, ngram asc): a fully deterministic
     tie-break, so the result is a pure function of the corpus.
 
-    Scale shape: ONE explode over the shingle array, a per-(gram, doc)
+    Scale shape: ONE explode over the gram array, a per-(gram, doc)
     partial pre-aggregation (map-side combinable; a document repeating
     one gram a million times contributes one row to the gram-level
     exchange), a gram-level groupBy, and a global TakeOrdered(k) — no
-    full sort materializes."""
+    full sort materializes.
+
+    Unlike the MinHash ``shingles`` (whose short-document fallback
+    hashes the whole text so every doc gets a signature), documents
+    with fewer than ``n`` tokens contribute NO grams here — a corpus
+    of empty/near-empty docs must not push pseudo-grams into the
+    boilerplate ranking (review finding)."""
+    toks = F.split(_norm_text(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
     ex = spread_small_scan(df).select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col), n)).alias("__g"),
+        F.col(id_col), F.explode(grams).alias("__g")
     )
     per_doc = ex.groupBy("__g", id_col).agg(
         F.count(F.lit(1)).alias("__c")

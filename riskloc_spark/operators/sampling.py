@@ -182,9 +182,11 @@ def token_budget_sample(
     cum = F.sum(F.col(tokens_col)).over(w)
     budget = None
     for g, b in budgets.items():
-        clause = F.when(F.col(group_col) == F.lit(g), F.lit(int(b)))
-        budget = clause if budget is None else budget.when(
-            F.col(group_col) == F.lit(g), F.lit(int(b))
+        cond = F.col(group_col) == F.lit(g)
+        budget = (
+            F.when(cond, F.lit(int(b)))
+            if budget is None
+            else budget.when(cond, F.lit(int(b)))
         )
     if budget is None:
         budget = F.lit(

@@ -40,6 +40,7 @@ __all__ = [
     "sessionize",
     "session_stats",
     "session_stats_stream",
+    "rolling_window_features",
 ]
 
 

@@ -26,7 +26,6 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
@@ -137,8 +136,11 @@ def parse_avi(
                 return False  # truncated chunk
             if cid == b"LIST" and size >= 4:
                 ltype = data[body_at : body_at + 4]
+                # in_movi propagates into sub-LISTs: interleaved AVIs
+                # wrap frame chunks in 'rec ' LISTs INSIDE movi
                 if not walk(
-                    body_at + 4, body_at + size, ltype == b"movi",
+                    body_at + 4, body_at + size,
+                    in_movi or ltype == b"movi",
                     depth + 1,
                 ):
                     return False
@@ -250,7 +252,10 @@ def video_meta(media: DataFrame, id_col: str = "media_id") -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf["payload"]):
-                dec = parse_avi(bytes(payload), budget)
+                dec = parse_avi(
+                    bytes(payload) if payload is not None else None,
+                    budget,
+                )
                 if dec is None:
                     rows.append(
                         dict.fromkeys(
@@ -314,7 +319,10 @@ def video_frame_stats(
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf["payload"]):
-                dec = parse_avi(bytes(payload), budget)
+                dec = parse_avi(
+                    bytes(payload) if payload is not None else None,
+                    budget,
+                )
                 if dec is None:
                     continue
                 for k in range(0, dec["n_frames"], step):

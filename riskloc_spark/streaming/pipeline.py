@@ -498,6 +498,7 @@ def ingest_dedup_stream(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
+    shingle_n: int = 3,
     jaccard_threshold: float = 0.6,
     ts_col: str | None = None,
     watermark: str = "2 hours",
@@ -529,8 +530,12 @@ def ingest_dedup_stream(
     )
 
     hash_fn = hash_fn or xxhash64_fn
+    # num_hashes / bands / shingle_n MUST match the index build —
+    # a different shingle family never collides and near-dups stream
+    # through unflagged
     sig = minhash_signature_col(
-        F.col(text_col), num_hashes=num_hashes, hash_fn=hash_fn
+        F.col(text_col), num_hashes=num_hashes, shingle_n=shingle_n,
+        hash_fn=hash_fn,
     )
     par = docs.sparkSession.sparkContext.defaultParallelism
     stream = docs.repartition(par)

@@ -217,3 +217,21 @@ def test_audio_frames(spark, wav_corpus):
                 assert fr["frame_n"] == v.size
                 assert fr["energy"] == int((v * v).sum())
                 assert fr["peak"] == int(np.abs(v).max())
+
+
+def test_null_payload_rows_survive(spark):
+    df = spark.createDataFrame(
+        [(3, None)], "media_id long, payload binary"
+    )
+    r = decode_audio(df).collect()[0]
+    assert r["media_id"] == 3 and r["sample_rate"] is None
+    assert audio_features(df).collect() == []
+
+
+def test_chunk_past_declared_riff_end_rejected():
+    import struct
+    s = np.arange(8, dtype=np.int16)
+    raw = encode_wav(s, 8000)
+    # shrink the declared RIFF size so the data chunk straddles it
+    bad = raw[:4] + struct.pack("<I", len(raw) - 8 - 6) + raw[8:]
+    assert parse_wav(bad) is None

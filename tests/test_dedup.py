@@ -550,3 +550,18 @@ def test_frequent_ngrams_ranks_boilerplate_first(spark):
     # deterministic: two runs return the identical ranked set
     again = frequent_ngrams(df, n=3, top_k=4).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_frequent_ngrams_ignores_short_and_empty_docs(spark):
+    """Sub-n-token and empty docs contribute NO grams (review finding:
+    the MinHash whole-text fallback must not pollute the ranking)."""
+    from riskloc_spark.operators.dedup import frequent_ngrams
+
+    rows = [(i, "") for i in range(50)]            # empty flood
+    rows += [(100 + i, "two words") for i in range(50)]  # sub-n flood
+    rows += [(200 + i, "real shared gram here") for i in range(3)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = frequent_ngrams(df, n=3, top_k=5).collect()
+    assert out, "real grams must survive"
+    assert all(len(r["ngram"].split()) == 3 for r in out)
+    assert out[0]["doc_freq"] == 3

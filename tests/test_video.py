@@ -136,3 +136,39 @@ def test_nesting_bomb_rejected():
         inner = b"LIST" + struct.pack("<I", len(body)) + body
     raw = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
     assert parse_avi(raw) is None
+
+
+def test_rec_list_wrapped_frames_collected():
+    """Interleaved AVIs wrap frame chunks in 'rec ' LISTs inside movi
+    (review finding): in_movi must propagate into sub-LISTs."""
+    frames = [_jpeg(3), _jpeg(9)]
+    raw = encode_avi_mjpeg(frames, 16, 8, 40000)
+    # rebuild: wrap each 00dc chunk in its own 'rec ' LIST
+    movi_body = b""
+    for f in frames:
+        chunk = b"00dc" + struct.pack("<I", len(f)) + f
+        if len(f) % 2:
+            chunk += b"\x00"
+        rec = b"rec " + chunk
+        movi_body += b"LIST" + struct.pack("<I", len(rec)) + rec
+    movi = b"movi" + movi_body
+    movi_list = b"LIST" + struct.pack("<I", len(movi)) + movi
+    hdr_end = raw.index(b"LIST", raw.index(b"hdrl") - 8)  # original movi
+    # splice: keep everything before the original movi LIST, swap it
+    orig_movi_at = raw.index(b"movi") - 8
+    (orig_size,) = struct.unpack("<I", raw[orig_movi_at + 4 : orig_movi_at + 8])
+    after = raw[orig_movi_at + 8 + orig_size :]
+    patched = raw[:orig_movi_at] + movi_list + after
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    dec = parse_avi(patched)
+    assert dec is not None and dec["n_frames"] == 2
+    assert dec["frames"] == frames
+
+
+def test_null_payload_rows_survive(spark):
+    df = spark.createDataFrame(
+        [(1, None)], "media_id long, payload binary"
+    )
+    r = video_meta(df).collect()[0]
+    assert r["media_id"] == 1 and r["width"] is None
+    assert video_frame_stats(df).collect() == []
