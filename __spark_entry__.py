@@ -625,6 +625,34 @@ def video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_stats(_avi_corpus(spark, sf_dir))
 
 
+def events_asof_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join's TOLERANCE branch under the hash gate (round 9):
+    matches strictly older than 30 minutes are nulled out (both the
+    matched timestamp and the payload). The oracle post-filters
+    DuckDB's native ASOF LEFT JOIN with the same integer-microsecond
+    gap rule — the boundary (gap == tolerance exactly) stays matched
+    on both sides."""
+    from riskloc_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        left, right, on="user_id", tolerance_us=30 * 60 * 1_000_000
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "asof_ts",
+        F.round("asof_value", 6).alias("asof_value"),
+    )
+
+
 def events_rolling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window activity features under the hash gate (round 9):
     per event, the count and value-sum of the same user's events in the
@@ -3456,6 +3484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_ngrams": frequent_ngrams_q,
         "token_budget_sample": token_budget_sample_q,
         "events_rolling": events_rolling_q,
+        "events_asof_tolerance": events_asof_tolerance_q,
         "q1_pricing_summary": q1_pricing_summary,
         "rca_frame": rca_frame,
         "rca_scores": rca_scores,
@@ -6823,6 +6852,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(f) AS BIGINT) AS pix_max
             FROM dec
             GROUP BY media_id, k, upf, tw, th
+        """,
+        # the tolerance branch: native ASOF LEFT JOIN post-filtered by
+        # the same integer-microsecond gap rule (boundary matched)
+        "events_asof_tolerance": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   CASE WHEN epoch_us(l.ts) - epoch_us(r.ts)
+                             <= 1800000000
+                        THEN r.ts END AS asof_ts,
+                   CASE WHEN epoch_us(l.ts) - epoch_us(r.ts)
+                             <= 1800000000
+                        THEN round(r.value, 6) + 0e0 END AS asof_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type <> 'purchase') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         # DuckDB's native RANGE window over epoch_us — an independent
         # implementation of the trailing-frame semantics (peers at the

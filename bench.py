@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     # reason as streaming_near_dup; their batch twins
     # incremental_near_dup / events_sessions time the identical work)
     "events_asof_purchase",
+    "events_asof_tolerance",
     "events_sessions",
     "events_rolling",
     "incremental_near_dup",
