@@ -653,6 +653,30 @@ def events_asof_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join's FORWARD direction under the hash gate
+    (round 9): every non-purchase event attached to the same user's
+    EARLIEST at-or-after purchase (the "time-to-next-conversion"
+    shape). The oracle flips DuckDB's native ASOF inequality."""
+    from riskloc_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(left, right, on="user_id", direction="forward")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "asof_ts",
+        F.round("asof_value", 6).alias("asof_value"),
+    )
+
+
 def events_rolling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window activity features under the hash gate (round 9):
     per event, the count and value-sum of the same user's events in the
@@ -3485,6 +3509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": token_budget_sample_q,
         "events_rolling": events_rolling_q,
         "events_asof_tolerance": events_asof_tolerance_q,
+        "events_asof_forward": events_asof_forward_q,
         "q1_pricing_summary": q1_pricing_summary,
         "rca_frame": rca_frame,
         "rca_scores": rca_scores,
@@ -6852,6 +6877,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(f) AS BIGINT) AS pix_max
             FROM dec
             GROUP BY media_id, k, upf, tw, th
+        """,
+        # the forward direction: the native ASOF inequality flipped
+        "events_asof_forward": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS asof_ts,
+                   round(r.value, 6) + 0e0 AS asof_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type <> 'purchase') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts <= r.ts
         """,
         # the tolerance branch: native ASOF LEFT JOIN post-filtered by
         # the same integer-microsecond gap rule (boundary matched)

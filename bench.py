@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     # incremental_near_dup / events_sessions time the identical work)
     "events_asof_purchase",
     "events_asof_tolerance",
+    "events_asof_forward",
     "events_sessions",
     "events_rolling",
     "incremental_near_dup",
