@@ -2,8 +2,10 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
 record as JSON: first the full line (per-query map first, headline and
 scale blocks last; also written to BENCH_FULL_latest.json), then a
-compact final line < 2000 chars that always fits the driver's
-tail-capture whole.
+compact FINAL line built by build_compact_line — headline first, one
+summarized entry per scale block, hard-asserted < 1900 chars so it
+always fits the driver's 2000-char tail-capture whole (tests/
+test_bench_compact.py locks this at 2x today's block count).
 
 Timing forces full execution with a count-style action (``write`` to
 noop would be ideal; ``count`` after ``cache``-free plans measures the
@@ -267,21 +269,174 @@ def main() -> None:
     except OSError:
         pass
     print(full_line)
-    # compact FINAL line (< 2000 chars): always fits the driver's tail
-    # whole, so BENCH_r0N regains a parseable record — headline total,
-    # every scale block, and the slowest queries; the full map lives in
-    # the line above and in BENCH_FULL_latest.json
-    compact = {
-        k: v for k, v in out.items()
-        if k not in ("queries", "queries_isolated")
-    }
-    compact["queries_truncated"] = True
-    compact["queries_file"] = "BENCH_FULL_latest.json"
-    compact["queries"] = dict(
-        sorted(per_query.items(), key=lambda kv: -kv[1])[:8]
-    )
-    print(json.dumps(compact))
+    # compact FINAL line: always fits the driver's 2000-char tail whole
+    # (hard-asserted < 1900 in build_compact_line), so BENCH_r0N keeps a
+    # parseable record no matter how many scale blocks future rounds add
+    print(build_compact_line(out))
     spark.stop()
+
+
+def _block_summary(block) -> dict:
+    """One-number-plus-quality-flag digest of a scale block for the
+    compact line (VERDICT r9 #1: BENCH_r09 went ``parsed: null`` because
+    the compact line carried every block verbatim and grew past the
+    driver's 2000-char tail).  Keeps exactly what a cross-round reader
+    needs: the wall seconds, the found/recall/exactness flag, and for
+    the two curve blocks (ann2, ingest) the two numbers that ARE the
+    claim.  Everything else lives in BENCH_FULL_latest.json."""
+    if not isinstance(block, dict):
+        return {"v": block}
+    if "error" in block:
+        return {"error": str(block["error"])[:60]}
+    s: dict = {}
+    sec = block.get("sec")
+    if isinstance(sec, dict):  # rung1/rung2 search maps: keep all four
+        s["sec"] = {k: round(v, 1) for k, v in sec.items()}
+    elif isinstance(sec, (int, float)):
+        s["sec"] = round(sec, 2)
+    else:
+        # multi-phase blocks: sum every top-level *_sec number plus any
+        # nested sub-block's sec (media's png/gif/jpeg, ann's lsh/pq/...)
+        tot = sum(
+            v for k, v in block.items()
+            if k.endswith("_sec") and isinstance(v, (int, float))
+        ) + sum(
+            v["sec"] for v in block.values()
+            if isinstance(v, dict) and isinstance(v.get("sec"), (int, float))
+        )
+        if tot:
+            s["sec"] = round(tot, 2)
+    found = block.get("found")
+    if isinstance(found, dict):
+        s["found"] = all(found.values())
+    # correctness flags: planted-cause recall / classifier accuracy,
+    # zero-false-positive booleans, expected==actual exactness booleans
+    for k in ("recall", "recall_at_10", "accuracy"):
+        if k in block:
+            s[k] = block[k]
+    sub_recalls = [
+        v["recall_at_10"] for v in block.values()
+        if isinstance(v, dict) and "recall_at_10" in v
+    ]
+    if sub_recalls and "recall" not in s:
+        s["recall"] = min(sub_recalls)
+    for k in ("false_merge_groups", "false_pairs", "false_matches"):
+        if k in block:
+            s["fp0"] = block[k] == 0
+    # exactness flags are explicit, not pattern-matched: spans'
+    # tokens_removed legitimately exceeds its expected_ floor (incidental
+    # non-planted repeats are removed too), so a generic expected_==actual
+    # sweep would read a healthy run as a failure
+    if "expected_touched" in block and "docs_touched" in block:
+        s["exact"] = block["docs_touched"] == block["expected_touched"]
+    elif "changed_expected" in block and "changed" in block:
+        s["exact"] = block["changed"] == block["changed_expected"]
+    # the curve claims: serving-rung pq-vs-ivfpq, probe-vs-selfjoin
+    if "ivfpq" in block and isinstance(block["ivfpq"], dict):
+        s["ivfpq"] = block["ivfpq"].get("sec")
+        if isinstance(block.get("pq"), dict):
+            s["pq"] = block["pq"].get("sec")
+    for k in ("probe_sec", "selfjoin_sec", "bruteforce_sec", "truth_sec"):
+        if k in block:
+            s[k[:-4]] = block[k]
+    if "writers" in block and isinstance(block["writers"], dict):
+        wr = block["writers"]
+        s["writers"] = {
+            "bucketed": (wr.get("bucketed_join") or {}).get("sec"),
+            "plain": (wr.get("plain_join") or {}).get("sec"),
+        }
+    if "errors" in block:
+        s["errors"] = {
+            k: str(v)[:40] for k, v in block["errors"].items()
+        }
+    return s
+
+
+def build_compact_line(out: dict, limit: int = 1900) -> str:
+    """The driver-facing compact record: HEADLINE FIRST (metric/value/
+    unit/sf lead the line, so even a mid-line truncation keeps the
+    number), one summarized entry per scale block, then as many
+    slowest-query samples as fit.  Hard-asserts < ``limit`` chars so
+    block growth can never silently push the line past the driver's
+    2000-char tail window again (it did in rounds 5, 7, and 9)."""
+    compact: dict = {}
+    for k in ("metric", "value", "unit", "sf", "isolated_total",
+              "isolated_every", "isolated"):
+        if k in out:
+            compact[k] = out[k]
+    compact["queries_file"] = "BENCH_FULL_latest.json"
+    scale = out.get("scale")
+    if isinstance(scale, dict):
+        summary: dict = {}
+        # the top-level leaves/sec/found of scale IS the first rung
+        rung1 = {
+            k: scale[k] for k in ("sec", "found", "errors") if k in scale
+        }
+        if rung1:
+            summary["rung1"] = _block_summary(rung1)
+        for k, v in scale.items():
+            if k in ("leaves", "label", "sec", "found", "errors"):
+                continue
+            summary[k] = _block_summary(v)
+        compact["scale"] = summary
+    slow = sorted(
+        (out.get("queries") or {}).items(), key=lambda kv: -kv[1]
+    )
+    line = ""
+    # shrink ladder: drop slowest-query samples first, then tighten every
+    # block to {sec, ok, recall} — the quality flags are the last thing
+    # standing, never silently truncated mid-JSON
+    for level, top in ((0, 8), (0, 6), (0, 4), (0, 2), (0, 0),
+                       (1, 4), (1, 0), (2, 0), (3, 0)):
+        if level and "scale" in compact:
+            if level == 3:
+                # last resort: a block inventory so large even sec-only
+                # overflows — keep the headline parseable, flag the loss
+                compact.pop("scale", None)
+                compact["scale_truncated"] = True
+            else:
+                compact["scale"] = {
+                    k: _tighten(v, ultra=level >= 2)
+                    for k, v in compact["scale"].items()
+                }
+        if top:
+            compact["slowest"] = dict(slow[:top])
+        else:
+            compact.pop("slowest", None)
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) < limit:
+            break
+    assert len(line) < limit, (
+        f"compact bench line is {len(line)} chars (>= {limit}); "
+        "trim _block_summary — the driver tail-captures 2000 chars"
+    )
+    return line
+
+
+def _tighten(s: dict, ultra: bool = False) -> dict:
+    """Second compression level: one number + one boolean per block
+    (``ultra`` keeps only the seconds, plus ``ok`` when it is False —
+    a failure flag is never dropped, only the redundant all-green)."""
+    t: dict = {}
+    sec = s.get("sec")
+    if isinstance(sec, dict):
+        t["sec"] = round(sum(sec.values()), 1)
+    elif sec is not None:
+        t["sec"] = sec
+    # "ok" included so re-tightening an already-tight dict keeps a False
+    flags = [s[k] for k in ("found", "fp0", "exact", "ok") if k in s]
+    ok = all(flags) if flags else None
+    if "errors" in s or "error" in s:
+        ok = False
+    if ok is not None and (not ultra or ok is False):
+        t["ok"] = ok
+    if not ultra:
+        for k in ("recall", "accuracy"):
+            if k in s:
+                t[k] = s[k]
+        if "error" in s:
+            t["error"] = str(s["error"])[:30]
+    return t
 
 
 def scale_block(spark) -> dict:
@@ -384,6 +539,17 @@ def scale_block(spark) -> dict:
     # one point (562k -> 5.4M showed ~2.2x riskloc / ~2.1x autoroot for
     # 9.6x the data; dedup ~5x for 10x the docs)
     if os.environ.get("SPARK_GRAFT_SCALE2", "1") != "0":
+        # fresh session for the second rung (VERDICT r9 #6): the handle
+        # arrives here ~120 headline queries deep in shared-JVM drift
+        # (code cache, GC pressure), and rung2 autoroot/squeeze drifted
+        # upward two rounds in a row in the shared-session record — the
+        # isolated min-of-2 below is the apples-to-apples number
+        spark.stop()
+        spark = get_spark("riskloc-spark-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(64).repartition(64).mapInPandas(
+            lambda it: it, schema="id long"
+        ).count()
         try:
             out["rung2"] = _rca_scale2(spark)
         except Exception as e:
@@ -446,20 +612,32 @@ def _rca_scale2(spark) -> dict:
         times: dict[str, float] = {}
         found: dict[str, bool] = {}
         errors: dict[str, str] = {}
+        runs2: dict[str, list[float]] = {}
         for name, fn in [
             ("riskloc", lambda: riskloc(df, attrs, risk_threshold=0.3)),
             ("autoroot", lambda: autoroot(df, attrs)),
             ("squeeze", lambda: squeeze(df, attrs)),
             ("robustspot", lambda: robustspot(df, attrs, driver_rows=1000)),
         ]:
-            t0 = time.perf_counter()
+            # min-of-2 (VERDICT r9 #6): one shared-session sample drifted
+            # upward for autoroot/squeeze two rounds running inside the
+            # documented ±8s box-noise band — two samples in a fresh
+            # session settle whether the regression is real
+            samples: list[float] = []
             try:
-                causes = fn()
-                times[name] = round(time.perf_counter() - t0, 3)
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    causes = fn()
+                    samples.append(round(time.perf_counter() - t0, 3))
+                times[name] = min(samples)
+                runs2[name] = samples
                 found[name] = label in root_cause_postprocessing(causes, name)
             except Exception as e:
                 errors[name] = f"{type(e).__name__}: {e}"[:200]
-        out = {"leaves": n_leaves, "label": label, "sec": times, "found": found}
+        out = {
+            "leaves": n_leaves, "label": label, "sec": times,
+            "sec_runs": runs2, "found": found,
+        }
         # bucketed-writer replay on the 5.4M-leaf frame — the rung where
         # the shuffle is big enough that paying it once at write shows up
         # in wall-clock (at 562k the exchange is visible only in the plan)
