@@ -745,6 +745,8 @@ def jsonl_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (read_jsonl) — the oracle is the ORIGINAL parquet relation, so any
     loss in the round trip (JSON string escaping, unicode, integer
     width, null handling, shard boundaries) breaks the hash."""
+    import atexit
+    import shutil
     import tempfile
 
     from riskloc_spark.sources.readers import read_jsonl, write_jsonl
@@ -752,7 +754,12 @@ def jsonl_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    stage = tempfile.mkdtemp(prefix="jsonl_rt_") + "/docs"
+    # the returned frame reads the staging dir LAZILY, so it can't be
+    # removed here — atexit reclaims the corpus-sized JSONL copy once
+    # the bench/gate process ends instead of leaking it per run
+    base = tempfile.mkdtemp(prefix="jsonl_rt_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    stage = base + "/docs"
     write_jsonl(d, stage)
     back = read_jsonl(
         spark,
@@ -784,36 +791,46 @@ def streaming_ingest_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = build_near_dup_index(
         batch.filter(F.col("doc_id") % 3 != 0), hash_fn=md5_hash64
     )
+    import shutil
+
     stage = tempfile.mkdtemp(prefix="singest_")
-    os.symlink(
-        os.path.join(sf_dir, "documents.parquet"),
-        os.path.join(stage, "documents.parquet"),
-    )
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .parquet(stage)
-        .filter(F.col("doc_id") % 3 == 0)
-    )
-    out = ingest_dedup_stream(
-        stream, index, jaccard_threshold=0.5, hash_fn=md5_hash64
-    ).select(
-        "new_id",
-        "base_id",
-        F.col("band").cast("int").alias("band"),
-        F.round("est_jaccard", 6).alias("est_jaccard"),
-    )
-    name = "streaming_ingest_" + uuid.uuid4().hex[:8]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
+    # the memory sink materializes inside this function (availableNow +
+    # awaitTermination), so the symlink staging dir can be reclaimed
+    # before returning instead of leaking one per gate run
+    try:
+        os.symlink(
+            os.path.join(sf_dir, "documents.parquet"),
+            os.path.join(stage, "documents.parquet"),
+        )
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .parquet(stage)
+            .filter(F.col("doc_id") % 3 == 0)
+        )
+        out = ingest_dedup_stream(
+            stream, index, jaccard_threshold=0.5, hash_fn=md5_hash64
+        ).select(
+            "new_id",
+            "base_id",
+            F.col("band").cast("int").alias("band"),
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+        )
+        name = "streaming_ingest_" + uuid.uuid4().hex[:8]
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_ingest_dedup: did not finish in 300s"
+            )
         q.stop()
-        raise TimeoutError("streaming_ingest_dedup: did not finish in 300s")
-    q.stop()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     return spark.table(name)
 
 
@@ -6240,10 +6257,14 @@ def _audio_vals_sql(k: int) -> str:
     everything stays integer — no float summation-order seam."""
 
     def s(i: str) -> str:
+        # media_id reduced mod 4096 before the multiply, in lockstep
+        # with _synth_samples: the raw product wraps int64 negative
+        # past id ~ 3.5e9 where the engines' % signs diverge, and the
+        # reduction is congruent mod 4096 so no value changes
         return (
             f"(CASE WHEN (({i}) // p) % 2 = 0 THEN 6000 ELSE -6000 END)"
-            f" + (media_id * 2654435761 + c * 97 + ({i}) * 48271) % 4096"
-            f" - 2048"
+            f" + ((media_id % 4096) * 2654435761 + c * 97"
+            f" + ({i}) * 48271) % 4096 - 2048"
         )
 
     return f"""

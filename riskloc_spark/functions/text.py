@@ -22,8 +22,12 @@ WS_CLASS = r"[ \t\n\x0B\f\r]"
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace tokenization; empty string -> 0 tokens."""
-    trimmed = F.trim(text)
+    """Whitespace tokenization; empty string -> 0 tokens.  NULL text
+    counts as empty, not -1: split(NULL) is NULL and size(NULL) is -1
+    under the default legacy sizeOfNull, which poisoned downstream
+    cumulative sums (token_budget_sample, the CLI sample-tokens path)
+    with negative token counts for null-text rows."""
+    trimmed = F.trim(F.coalesce(text, F.lit("")))
     return F.when(trimmed == "", F.lit(0)).otherwise(
         F.size(F.split(trimmed, WS_CLASS + "+"))
     )

@@ -165,15 +165,20 @@ def _synth_params(d: int) -> tuple[int, int, int, int]:
 def _synth_samples(d: int) -> np.ndarray:
     """(n, ch) int64 waveform per the contract: channel c, index i ->
       sq(i)    = +6000 if (i // p) % 2 == 0 else -6000
-      noise    = (d*2654435761 + c*97 + i*48271) % 4096 - 2048
+      noise    = ((d % 4096)*2654435761 + c*97 + i*48271) % 4096 - 2048
       s(c, i)  = sq(i) + noise
     All integer, |s| <= 8047 (fits int16), every term non-negative
-    before the %, so Spark/DuckDB/numpy modulo semantics agree."""
+    before the %, so Spark/DuckDB/numpy modulo semantics agree.  The
+    id is reduced mod 4096 BEFORE the multiply: d * 2654435761 wraps
+    int64 negative past d ~ 3.5e9, where numpy's sign-of-divisor %
+    silently diverges from DuckDB's sign-of-dividend % — and
+    (d % 4096) * K is congruent to d * K mod 4096, so the reduction
+    changes no value at any id."""
     _sr, n, ch, p = _synth_params(d)
     i = np.arange(n, dtype=np.int64)[:, None]
     c = np.arange(ch, dtype=np.int64)[None, :]
     sq = np.where((i // p) % 2 == 0, 6000, -6000)
-    noise = (d * 2654435761 + c * 97 + i * 48271) % 4096 - 2048
+    noise = ((d % 4096) * 2654435761 + c * 97 + i * 48271) % 4096 - 2048
     return sq + noise
 
 
@@ -319,7 +324,11 @@ def audio_features(
                     bytes(payload) if payload is not None else None,
                     budget,
                 )
-                if dec is None:
+                # n_samples == 0: a decodable WAV with an empty data
+                # chunk has no signal to describe — the SQL oracle
+                # (range over n samples) emits no row, so emitting a
+                # zeros row here would diverge the contract
+                if dec is None or dec["n_samples"] == 0:
                     continue
                 s = dec["samples"]
                 for c in range(dec["n_channels"]):

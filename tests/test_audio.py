@@ -235,3 +235,32 @@ def test_chunk_past_declared_riff_end_rejected():
     # shrink the declared RIFF size so the data chunk straddles it
     bad = raw[:4] + struct.pack("<I", len(raw) - 8 - 6) + raw[8:]
     assert parse_wav(bad) is None
+
+
+def test_synth_noise_no_int64_overflow_at_large_ids():
+    # d * 2654435761 wraps int64 negative past d ~ 3.5e9, where numpy's
+    # sign-of-divisor % diverges from DuckDB's sign-of-dividend %; the
+    # (d % 4096) reduction is congruent mod 4096 so values are identical
+    # to exact big-int arithmetic at ANY id
+    for d in [3_500_000_000, 2**33 + 5, 2**62 // 2654435761 + 7]:
+        s = _synth_samples(d)
+        _sr, n, ch, p = _synth_params(d)
+        # exact arbitrary-precision replay of the contract on a sample
+        for i in [0, 1, p, n - 1]:
+            for c in range(ch):
+                sq = 6000 if (i // p) % 2 == 0 else -6000
+                noise = (d * 2654435761 + c * 97 + i * 48271) % 4096 - 2048
+                assert int(s[i, c]) == sq + noise, (d, i, c)
+
+
+def test_audio_features_skips_empty_data_chunk(spark):
+    # a decodable WAV whose data chunk is empty has no signal: the
+    # operator must emit NO row (the SQL oracle's range over n samples
+    # emits none), not a zeros row
+    empty = encode_wav(np.zeros((0, 1), dtype=np.int16), 8000)
+    dec = parse_wav(empty)
+    assert dec is not None and dec["n_samples"] == 0
+    df = spark.createDataFrame([(1, bytearray(empty))],
+                               "media_id long, payload binary")
+    assert audio_features(df).count() == 0
+    assert resample_audio_features(df, 3).count() == 0

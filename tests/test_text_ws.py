@@ -77,3 +77,20 @@ def test_ws_class_is_engine_identical():
     """The class spells out exactly Java's \\s set, so neither engine's
     shorthand semantics are load-bearing."""
     assert WS_CLASS == r"[ \t\n\x0B\f\r]"
+
+
+def test_token_count_null_text_is_zero(spark):
+    # split(NULL) -> NULL, size(NULL) -> -1 under legacy sizeOfNull:
+    # a null-text row must count 0 tokens, not poison cumulative token
+    # budgets with -1 (ADVICE r9)
+    sdf = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "  "), (4, "a b")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in sdf.select(
+            "id", token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0, 4: 2}
