@@ -3116,12 +3116,19 @@ def langid_pred_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier with row_number windows, no float seam anywhere."""
     from riskloc_spark.functions.langid import (
         classify_language,
+        doc_gram_counts,
         lang_profiles,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    prof = lang_profiles(d, k=300)
-    out = classify_language(d, prof, k=300)
+    # ONE corpus explode shared by fit and classify (VERDICT r9 Wrong
+    # #2: deriving it twice made this the most expensive headline
+    # query).  localCheckpoint materializes the per-(doc, gram) counts
+    # so both consumers read the checkpoint; per-language counts are
+    # sums of per-doc counts, so outputs are bit-identical
+    counts = doc_gram_counts(d).localCheckpoint(eager=True)
+    prof = lang_profiles(d, k=300, doc_counts=counts)
+    out = classify_language(d, prof, k=300, doc_counts=counts)
     return out.select(
         "doc_id",
         "pred_lang",

@@ -1033,6 +1033,7 @@ def _langid_scale(spark, n_per_lang: int = 100_000) -> dict:
 
     from riskloc_spark.functions.langid import (
         classify_language,
+        doc_gram_counts,
         lang_profiles,
     )
 
@@ -1076,8 +1077,10 @@ def _langid_scale(spark, n_per_lang: int = 100_000) -> dict:
     ).persist()
     corpus.count()
     t0 = time.perf_counter()
-    prof = lang_profiles(corpus, k=300)
-    pred = classify_language(corpus, prof, k=300)
+    # one shared corpus explode for fit + classify (VERDICT r9 #2)
+    counts = doc_gram_counts(corpus).localCheckpoint(eager=True)
+    prof = lang_profiles(corpus, k=300, doc_counts=counts)
+    pred = classify_language(corpus, prof, k=300, doc_counts=counts)
     row = (
         pred.join(corpus.select("doc_id", "lang"), "doc_id")
         .agg(

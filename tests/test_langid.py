@@ -6,7 +6,11 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from riskloc_spark.functions.langid import classify_language, lang_profiles
+from riskloc_spark.functions.langid import (
+    classify_language,
+    doc_gram_counts,
+    lang_profiles,
+)
 
 
 def _corpus(rng, lang, alphabet, n_docs, start_id=0):
@@ -89,3 +93,56 @@ def test_langid_short_document_edge(spark):
     out = classify_language(docs, prof, k=50)
     ids = {r["doc_id"] for r in out.collect()}
     assert ids == {0}
+
+
+def test_shared_doc_counts_bit_identical(spark):
+    """The shared doc_gram_counts path (one corpus explode for fit +
+    classify, VERDICT r9 #2) must be bit-identical to the independent
+    explodes: per-language counts are sums of per-document counts."""
+    rows = [
+        (i, ["aa", "bb"][i % 2],
+         ("alpha beta gamma delta " * (1 + i % 3))
+         if i % 2 == 0 else ("nop qrs tuv wxy zzz " * (1 + i % 3)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    counts = doc_gram_counts(docs).localCheckpoint(eager=True)
+
+    prof_direct = lang_profiles(docs, k=80)
+    prof_shared = lang_profiles(docs, k=80, doc_counts=counts)
+    assert sorted(map(tuple, prof_direct.collect())) == sorted(
+        map(tuple, prof_shared.collect())
+    )
+
+    pred_direct = classify_language(docs, prof_direct, k=80)
+    pred_shared = classify_language(docs, prof_shared, k=80,
+                                    doc_counts=counts)
+    assert sorted(map(tuple, pred_direct.collect())) == sorted(
+        map(tuple, pred_shared.collect())
+    )
+
+
+def test_gram_rows_matches_char_ngrams_including_non_bmp(spark):
+    """_gram_rows (staged element_at slide, the linear corpus path) must
+    produce exactly the grams of the substring-based _char_ngrams form
+    — including across surrogate pairs (split('') yields whole code
+    points) and collapsed whitespace runs."""
+    from riskloc_spark.functions.langid import _char_ngrams, _gram_rows
+
+    rows = [
+        (0, "Hello  World\t!"),
+        (1, "ab"),                      # shorter than n -> no grams
+        (2, ""),
+        (3, None),
+        (4, "a\U0001F600b\U0001F680c surrogate pairs"),
+        (5, "  leading and trailing  "),
+        (6, "éèê accents café"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    via_expr = docs.select(
+        "doc_id", F.explode(_char_ngrams(F.col("text"), 3)).alias("gram")
+    )
+    via_staged = _gram_rows(docs, [F.col("doc_id")], "text", 3)
+    assert sorted(map(tuple, via_expr.collect())) == sorted(
+        map(tuple, via_staged.collect())
+    )
