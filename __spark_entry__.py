@@ -3438,6 +3438,86 @@ def audio_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_energy(_wav_corpus(spark, sf_dir), frame_len=512)
 
 
+_HTTP_HEAD = (
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+)
+
+
+def html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction under the hash gate (round 10; VERDICT
+    r9 Missing #2): every document row is wrapped in a closed-form HTML
+    page exercising each extractor rule (title/script/style removal,
+    block vs inline tags, entity decode incl. the &amp;-last ordering,
+    comments hiding markup, block whitespace semantics), and the twin
+    reconstructs the EXPECTED text directly from the original columns
+    — so the gate checks the extraction semantics themselves, not a
+    shared regex library."""
+    from riskloc_spark.operators.html import (
+        extract_html_docs,
+        synthesize_html_corpus,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return extract_html_docs(synthesize_html_corpus(d))
+
+
+def warc_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARC container round trip (round 10): synthesized HTML pages
+    wrapped as HTTP responses, written through the WARC sink, read back
+    through the record chunk-walk, HTTP-split, and text-extracted — the
+    full crawl-to-documents ingestion path in one gate.  The oracle
+    rebuilds every field closed-form from the original columns,
+    INCLUDING the byte-exact Content-Length of the rebuilt payload, so
+    a framing drift anywhere (record headers, payload slicing, the
+    HTTP header split, extraction) breaks the hash."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from riskloc_spark.operators.html import (
+        html_to_text,
+        synthesize_html_corpus,
+    )
+    from riskloc_spark.sources.warc import (
+        http_response_parts,
+        read_warc_records,
+        write_warc,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    recs = synthesize_html_corpus(d, keep=["source"]).select(
+        F.concat(
+            F.lit("<urn:riskloc:"), F.col("doc_id"), F.lit(">")
+        ).alias("record_id"),
+        F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.com/doc/"), F.col("doc_id"),
+        ).alias("target_uri"),
+        F.concat(F.lit(_HTTP_HEAD), F.col("html"))
+        .cast("binary")
+        .alias("payload"),
+    )
+    # the reader consumes the staged files LAZILY -> atexit reclaim
+    # (the jsonl_roundtrip precedent)
+    stage = tempfile.mkdtemp(prefix="warc_rt_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    write_warc(recs.repartition(8), stage).count()
+    parts = http_response_parts(read_warc_records(spark, stage))
+    return parts.select(
+        F.regexp_extract("record_id", r"urn:riskloc:(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "record_id",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "content_length",
+        "http_status",
+        "content_type",
+        html_to_text(F.col("body")).alias("text"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full RiskLoc root-cause localization on the sf0.001
     events-derived RCA frame."""
@@ -3508,6 +3588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": audio_features_q,
         "audio_resample": audio_resample_q,
         "audio_frames": audio_frames_q,
+        "html_extract": html_extract_q,
+        "warc_records": warc_records_q,
     # ---- driver window cutoff (50) — everything below is oracled but
     # was driver-recorded green in round 8 or 7 (hotspot_element_stats,
     # displaced by incremental_near_dup; the robustspot/trigram/
@@ -6300,6 +6382,57 @@ def _audio_vals_sql(k: int) -> str:
 """
 
 
+def _html_norm_sql(x: str) -> str:
+    """The block-whitespace normalization chain of operators/html.py
+    in DuckDB form (explicit classes, 'g' flag): horizontal runs ->
+    one space, space-padded newlines -> newline, newline runs ->
+    blank line, trimmed edges.  Applied to the CLOSED-FORM expected
+    text so both engines canonicalize identically."""
+    return (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        + x
+        + r", '[ \t\x0B\f\r]+', ' ', 'g')"
+        + r", ' *\n *', chr(10), 'g')"
+        + r", '\n\n+', chr(10)||chr(10), 'g')"
+        + r", '^[ \n]+|[ \n]+$', '', 'g')"
+    )
+
+
+# expected extraction of the synthesized page: the seven visible blocks
+# joined by blank lines — title, heading (entities decoded), the nav
+# line (inline tags vanish), the body text (escape round-trips), the
+# two list items, the entity-quoted footer
+_HTML_EXPECTED_RAW = (
+    "(source || ' ' || doc_id || {nn}"
+    " || 'Doc \"' || doc_id || '\"' || {nn}"
+    " || 'home | about | contact' || {nn}"
+    " || text || {nn}"
+    " || 'lang: ' || lang || {nn}"
+    " || 'chars: ' || n_chars || {nn}"
+    " || '''' || source || ''' fin')"
+).format(nn="chr(10)||chr(10)")
+
+# byte-exact rebuild of the synthesized page (operators/html.py
+# synthesize_html_corpus) for the WARC Content-Length check
+_HTML_PAGE_SQL = r"""
+            '<html>' || chr(10) || ' <head>' || chr(10)
+            || '  <title>' || source || ' ' || doc_id || '</title>' || chr(10)
+            || '  <style type="text/css">p { margin: 0; }</style>' || chr(10)
+            || '  <script>if (1 < 2 && "a" > "b") { x = "&amp;"; }</script>' || chr(10)
+            || ' </head>' || chr(10) || ' <body>' || chr(10)
+            || '  <h1>Doc &quot;' || doc_id || '&quot;</h1>' || chr(10)
+            || '  <div class="nav"><a href="https://' || source
+            || '.example.com/?a=1&amp;b=2">home</a> | <b>about</b> | <i>contact</i></div>' || chr(10)
+            || '  <p>' || replace(replace(replace(text, '&', '&amp;'),
+                                          '<', '&lt;'), '>', '&gt;') || '</p>' || chr(10)
+            || '  <ul><li>lang: ' || lang || '</li><li>chars: ' || n_chars
+            || '</li></ul>' || chr(10)
+            || '  <!-- hidden <p>spam</p> -->' || chr(10)
+            || '  <footer>&#39;' || source || '&apos; &nbsp; fin</footer>' || chr(10)
+            || ' </body>' || chr(10) || '</html>'
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -7010,6 +7143,40 @@ def oracle_sql() -> dict[str, str]:
         # loss (escaping, unicode, widths, nulls, shards) breaks it
         "jsonl_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        # CLOSED-FORM expected extraction (not a shared regex library):
+        # the synthesized page's visible blocks rebuilt from the raw
+        # columns, canonicalized by the same block-whitespace rules
+        "html_extract": f"""
+            SELECT doc_id,
+                   {_html_norm_sql(_HTML_EXPECTED_RAW)} AS text
+            FROM documents
+        """,
+        # every field rebuilt closed-form, INCLUDING the byte-exact
+        # Content-Length of the HTTP-response payload around the
+        # rebuilt page (encode -> octet_length counts UTF-8 bytes,
+        # matching the sink's len(payload))
+        "warc_records": f"""
+            WITH page AS (
+              SELECT doc_id, source, lang, n_chars, text,
+                     {_HTML_PAGE_SQL} AS html
+              FROM documents
+            )
+            SELECT doc_id,
+                   '<urn:riskloc:' || doc_id || '>' AS record_id,
+                   'response' AS warc_type,
+                   'https://' || source || '.example.com/doc/' || doc_id
+                     AS target_uri,
+                   '2026-01-01T00:00:00Z' AS warc_date,
+                   CAST(octet_length(encode(
+                     'HTTP/1.1 200 OK' || chr(13) || chr(10)
+                     || 'Content-Type: text/html; charset=utf-8'
+                     || chr(13) || chr(10) || chr(13) || chr(10)
+                     || html)) AS BIGINT) AS content_length,
+                   200 AS http_status,
+                   'text/html; charset=utf-8' AS content_type,
+                   {_html_norm_sql(_HTML_EXPECTED_RAW)} AS text
+            FROM page
         """,
         # DuckDB's NATIVE nfc_normalize vs Python's unicodedata — two
         # independent Unicode implementations agreeing on the full

@@ -153,6 +153,9 @@ BENCH_QUERIES = [
     "text_normalize",
     "corpus_chunks",
     "jsonl_roundtrip",
+    # round-10 ingestion surface: crawl -> documents
+    "html_extract",
+    "warc_records",
     "audio_meta",
     "audio_features",
     "audio_resample",

@@ -1,0 +1,214 @@
+"""HTML -> text extraction and the WARC record source/sink: extractor
+rule coverage, chunk-walk robustness against malformed containers, and
+the composition into the existing boilerplate machinery
+(paragraph_dedup over extracted blocks)."""
+import gzip
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from riskloc_spark.operators.html import (
+    escape_html_text,
+    extract_html_docs,
+    html_to_text,
+    synthesize_html_corpus,
+)
+from riskloc_spark.sources.warc import (
+    format_warc_record,
+    http_response_parts,
+    parse_warc_members,
+    read_warc_records,
+    write_warc,
+)
+
+
+def _extract(spark, html: str) -> str:
+    df = spark.createDataFrame([(html,)], "html string")
+    return df.select(html_to_text(F.col("html")).alias("t")).first()["t"]
+
+
+# ---------------------------------------------------------------------------
+# extractor rules
+# ---------------------------------------------------------------------------
+
+def test_block_tags_become_blank_lines(spark):
+    assert _extract(spark, "<p>a</p><p>b</p><div>c</div>") == "a\n\nb\n\nc"
+
+
+def test_inline_tags_vanish(spark):
+    assert (
+        _extract(spark, "<p><a href='/x'>home</a> | <b>about</b></p>")
+        == "home | about"
+    )
+
+
+def test_script_style_comment_content_removed(spark):
+    html = (
+        "<p>keep</p><script>if (1 < 2 && x) { y(\"<p>no</p>\"); }"
+        "</script><style>p { color: red }</style>"
+        "<!-- hidden <p>spam</p> --><p>also</p>"
+    )
+    assert _extract(spark, html) == "keep\n\nalso"
+
+
+def test_entity_decode_amp_last(spark):
+    # "&amp;lt;" must decode to the literal "&lt;", never double-decode
+    assert _extract(spark, "<p>&amp;lt; &lt; &gt; &quot; &#39; &nbsp;x</p>") \
+        == "&lt; < > \" ' x"
+
+
+def test_whitespace_block_semantics(spark):
+    html = "<div>  a   b  </div>\n\n\n   <div>\t c </div>"
+    assert _extract(spark, html) == "a b\n\nc"
+
+
+def test_case_insensitive_tags(spark):
+    assert _extract(spark, "<P>a</P><SCRIPT>x<1</SCRIPT><DIV>b</DIV>") \
+        == "a\n\nb"
+
+
+def test_escape_round_trip(spark):
+    df = spark.createDataFrame(
+        [("tricky & <angled> text > here",)], "text string"
+    )
+    out = df.select(
+        html_to_text(
+            F.concat(F.lit("<p>"), escape_html_text(F.col("text")),
+                     F.lit("</p>"))
+        ).alias("t")
+    ).first()["t"]
+    assert out == "tricky & <angled> text > here"
+
+
+def test_extract_composes_with_paragraph_dedup(spark, sf_dir):
+    """The crawl story end to end: synthesized pages share identical
+    nav blocks; extraction surfaces blocks as blank-line paragraphs, so
+    paragraph_dedup keeps the nav exactly once corpus-wide and every
+    distinct body survives."""
+    from riskloc_spark.data import load_table
+    from riskloc_spark.operators.dedup import paragraph_dedup
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    docs = extract_html_docs(synthesize_html_corpus(d))
+    kept = paragraph_dedup(docs)
+    navs = kept.filter(F.col("para") == "home | about | contact")
+    assert navs.count() == 1
+    # every body paragraph (distinct per doc) survives
+    bodies = kept.join(
+        d.select("doc_id", F.col("text").alias("orig")), "doc_id"
+    ).filter(F.col("para") == F.col("orig"))
+    assert bodies.count() == 50
+
+
+# ---------------------------------------------------------------------------
+# WARC container
+# ---------------------------------------------------------------------------
+
+def _mk_record(i: int, body: bytes = b"hello world") -> bytes:
+    return format_warc_record(
+        {
+            "WARC-Type": "response",
+            "WARC-Record-ID": f"<urn:test:{i}>",
+            "WARC-Date": "2026-01-01T00:00:00Z",
+            "WARC-Target-URI": f"https://x.example/{i}",
+        },
+        body,
+    )
+
+
+def test_parse_multi_record_file():
+    data = b"".join(_mk_record(i, b"payload %d" % i) for i in range(5))
+    recs = parse_warc_members(data, "f")
+    assert len(recs) == 5
+    assert recs[3]["record_id"] == "<urn:test:3>"
+    assert recs[3]["payload"] == b"payload 3"
+    assert recs[3]["content_length"] == len(b"payload 3")
+    assert recs[0]["record_offset"] == 0
+
+
+def test_parse_truncated_tail_keeps_prefix():
+    data = b"".join(_mk_record(i) for i in range(3))
+    recs = parse_warc_members(data[:-20], "f")
+    assert len(recs) == 2  # the cut record is dropped, prefix kept
+
+
+def test_parse_resyncs_past_garbage():
+    data = _mk_record(0) + b"GARBAGE NOT A RECORD" + _mk_record(1)
+    recs = parse_warc_members(data, "f")
+    assert [r["record_id"] for r in recs] == ["<urn:test:0>", "<urn:test:1>"]
+
+
+def test_parse_bad_content_length_stops():
+    bad = _mk_record(0).replace(b"Content-Length: 11",
+                                b"Content-Length: 99999")
+    recs = parse_warc_members(bad + _mk_record(1), "f")
+    # the declared length points past EOF -> walk ends, nothing bogus
+    assert all(r["record_id"] != "<urn:test:0>" or r["payload"] is not None
+               for r in recs)
+    assert len(recs) <= 1
+
+
+def test_read_warc_gz_and_plain(spark):
+    stage = tempfile.mkdtemp(prefix="warc_gz_")
+    try:
+        with open(os.path.join(stage, "a.warc"), "wb") as f:
+            f.write(_mk_record(0) + _mk_record(1))
+        with open(os.path.join(stage, "b.warc.gz"), "wb") as f:
+            f.write(gzip.compress(_mk_record(2)))
+        recs = read_warc_records(spark, stage)
+        got = sorted(r["record_id"] for r in recs.collect())
+        assert got == ["<urn:test:0>", "<urn:test:1>", "<urn:test:2>"]
+    finally:
+        import shutil
+        shutil.rmtree(stage)
+
+
+def test_read_warc_oversize_budget(spark):
+    stage = tempfile.mkdtemp(prefix="warc_big_")
+    try:
+        with open(os.path.join(stage, "big.warc"), "wb") as f:
+            f.write(_mk_record(0, b"x" * 4096))
+        recs = read_warc_records(spark, stage, budget=1024).collect()
+        assert len(recs) == 1
+        assert recs[0]["warc_type"] == "__oversize__"
+        assert recs[0]["payload"] is None
+    finally:
+        import shutil
+        shutil.rmtree(stage)
+
+
+def test_http_response_parts_malformed_payload(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"HTTP/1.1 404 Not Found\r\n"
+                       b"Content-Type: text/plain\r\n\r\nbody text")),
+         (2, bytearray(b"no header split here"))],
+        "id long, payload binary",
+    )
+    rows = {r["id"]: r for r in http_response_parts(df).collect()}
+    assert rows[1]["http_status"] == 404
+    assert rows[1]["content_type"] == "text/plain"
+    assert rows[1]["body"] == "body text"
+    assert rows[2]["http_status"] is None
+    assert rows[2]["body"] is None
+
+
+def test_write_read_round_trip_exact_bytes(spark):
+    df = spark.createDataFrame(
+        [(f"<urn:t:{i}>", f"https://e/{i}",
+          bytearray(f"payload-{i}".encode()) * (i + 1))
+         for i in range(10)],
+        "record_id string, target_uri string, payload binary",
+    )
+    stage = tempfile.mkdtemp(prefix="warc_rt2_")
+    try:
+        manifest = write_warc(df.repartition(3), stage).collect()
+        assert sum(m["records"] for m in manifest) == 10
+        back = {r["record_id"]: bytes(r["payload"])
+                for r in read_warc_records(spark, stage).collect()}
+        assert back == {f"<urn:t:{i}>": f"payload-{i}".encode() * (i + 1)
+                        for i in range(10)}
+    finally:
+        import shutil
+        shutil.rmtree(stage)
