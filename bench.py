@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     # round-10 ingestion surface: crawl -> documents
     "html_extract",
     "warc_records",
+    "quality_classifier",
     "audio_meta",
     "audio_features",
     "audio_resample",

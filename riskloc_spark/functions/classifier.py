@@ -1,0 +1,187 @@
+"""Trained text classifier: hashed character-n-gram multinomial Naive
+Bayes — the fastText-style linear tier above the heuristic quality
+suite (VERDICT r9 Missing #3).
+
+Model = a (label, bucket) -> weight table of FIXED-POINT log
+probabilities ("micronats": round(ln(p) * 1e6) as BIGINT) plus
+per-label default weight and prior.  Everything downstream of the two
+ln() calls is INTEGER arithmetic: scores are exact BIGINT sums, the
+argmax is engine-exact, and the only float seam is the micronat
+rounding itself (the round(x, 6)-family convention every float gate in
+this repo shares).
+
+Fit is DISTRIBUTED and SQL-expressible (not a driver loop): hashed
+gram counts are one groupBy, class totals a second — so the DuckDB
+twin replays fit AND scoring verbatim and the gate hashes the
+predictions.  Feature hashing uses the portable md5 family in gates
+(dedup.md5_hash64) and xxhash64 in production paths.
+
+Scale shape: features are ONE corpus-volume explode (the staged
+O(len) char-array slide from functions/langid._gram_rows) folded to at
+most ``n_buckets`` rows per document; the weight table is
+n_labels x n_buckets rows — broadcast by construction; scoring is a
+broadcast join + one aggregation.  The fit's labeled sample is
+bounded by the caller (deterministic id-mod split, the bpe_fit /
+k-means precedent).
+
+No reference counterpart (pipeline extension).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from riskloc_spark.functions.langid import _gram_rows
+from riskloc_spark.operators.dedup import xxhash64_fn
+
+
+def _micronats(x: Column) -> Column:
+    """Fixed-point log weight: round(ln * 1e6) as BIGINT.  Integer from
+    here on — sums are exact, argmax is engine-exact."""
+    return F.round(x * F.lit(1_000_000.0), 0).cast("long")
+
+
+def hashed_gram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_buckets: int = 4096,
+    hash_fn=xxhash64_fn,
+) -> DataFrame:
+    """(id, bucket, cnt): hashed character-n-gram counts per document.
+    One staged corpus explode, folded to <= n_buckets rows per doc."""
+    grams = _gram_rows(df, [F.col(id_col)], text_col, n)
+    return (
+        grams.select(
+            F.col(id_col),
+            F.pmod(hash_fn(F.col("gram")), F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def fit_text_classifier(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_buckets: int = 4096,
+    hash_fn=xxhash64_fn,
+) -> dict:
+    """Multinomial NB fit with Laplace smoothing over hashed grams.
+    Returns {"weights": (label, bucket, w), "label_stats": (label, w0,
+    prior), ...params}: w = micronats((c+1)/(tot+n_buckets)), w0 the
+    unseen-bucket default, prior = micronats(docs_label/docs_total).
+    Both frames are broadcastable (n_labels x n_buckets bound)."""
+    lab = labeled.select(F.col(id_col), F.col(label_col).alias("label"))
+    feats = hashed_gram_features(
+        labeled, text_col, id_col, n, n_buckets, hash_fn
+    )
+    cb = (
+        feats.join(lab, id_col)
+        .groupBy("label", "bucket")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    tot = cb.groupBy("label").agg(F.sum("c").alias("tot"))
+    weights = cb.join(tot, "label").select(
+        "label",
+        "bucket",
+        _micronats(
+            F.log(
+                (F.col("c") + F.lit(1)).cast("double")
+                / (F.col("tot") + F.lit(n_buckets))
+            )
+        ).alias("w"),
+    )
+    ndocs = lab.groupBy("label").agg(F.count(F.lit(1)).alias("nl"))
+    ntot = F.sum("nl").over(Window.partitionBy())
+    label_stats = (
+        tot.join(ndocs, "label")
+        .select(
+            "label",
+            "tot",
+            "nl",
+            ntot.alias("ntot"),
+        )
+        .select(
+            "label",
+            _micronats(
+                F.log(
+                    F.lit(1.0) / (F.col("tot") + F.lit(n_buckets))
+                )
+            ).alias("w0"),
+            _micronats(
+                F.log(F.col("nl").cast("double") / F.col("ntot"))
+            ).alias("prior"),
+        )
+    )
+    return {
+        "weights": weights,
+        "label_stats": label_stats,
+        "n": n,
+        "n_buckets": n_buckets,
+        "hash_fn": hash_fn,
+    }
+
+
+def score_text_classifier(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pred_label, score, n_grams): argmax-label NB scoring as a
+    broadcast join + one aggregation.  score = prior + sum over grams
+    of the (label, bucket) weight, unseen buckets paying the per-label
+    default — all BIGINT.  Ties break on label ASC (engine-exact).
+    Documents with no grams (shorter than n) are absent, matching the
+    SQL twin."""
+    feats = hashed_gram_features(
+        docs, text_col, id_col,
+        model["n"], model["n_buckets"], model["hash_fn"],
+    )
+    doc_tot = feats.groupBy(id_col).agg(F.sum("cnt").alias("n_grams"))
+    matched = (
+        feats.join(F.broadcast(model["weights"]), "bucket")
+        .groupBy(id_col, "label")
+        .agg(
+            F.sum(F.col("cnt") * F.col("w")).alias("mw"),
+            F.sum("cnt").alias("mc"),
+        )
+    )
+    grid = (
+        doc_tot.crossJoin(F.broadcast(model["label_stats"]))
+        .join(matched, [id_col, "label"], "left")
+        .select(
+            F.col(id_col),
+            "label",
+            (
+                F.col("prior")
+                + F.coalesce(F.col("mw"), F.lit(0))
+                + (F.col("n_grams") - F.coalesce(F.col("mc"), F.lit(0)))
+                * F.col("w0")
+            ).cast("long").alias("score"),
+            "n_grams",
+        )
+    )
+    best = grid.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("score")).alias("neg"),
+                F.col("label"),
+                F.col("score"),
+            )
+        ).alias("b"),
+        F.first("n_grams").alias("n_grams"),
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("b.label").alias("pred_label"),
+        F.col("b.score").alias("score"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+    )
