@@ -3566,17 +3566,100 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDER MATTERS: the driver's correctness window records the FIRST 50
-    # keys only.  Oracled gates lead, ROTATED each round so every hash
-    # gate accumulates driver-recorded greens: round 9 leads with the 28
-    # oracled gates past round 8's cutoff (their last driver greens are
-    # from rounds <= 7), then the never-recorded round-9 gates (paragraph
-    # dedup x2, semantic curation, sampling/decontamination/BPE/packing,
-    # and the six corpus-quality gates: Gopher repetition + filter, C4
-    # cleaning, PII redaction, tf-idf, exact-substring span dedup), then
-    # the gates whose operators changed this round, then a flagship fill;
-    # the oracled gates recorded green in round 8 sit just past the
-    # window, and rows-only queries last so they never consume a scored
-    # slot.
+    # keys only, ROTATED each round so every hash gate accumulates
+    # driver-recorded greens.  Round 10 leads with the 10 never-recorded
+    # gates (the 7 window-overflow carryovers VERDICT r9 #2 named, plus
+    # the three new round-10 gates), then the 9 gates whose newest
+    # record is round 7, then every gate whose operator changed this
+    # round, then a stalest-first (round-8) fill.  Round-9-recorded
+    # gates sit just past the window; rows-only queries last.
+    # ---- never driver-recorded: the 7 carried from round 9 + the 3 new
+    # round-10 gates (html/warc/classifier) ----
+        "url_domains": url_domains_q,
+        "jsonl_roundtrip": jsonl_roundtrip_q,
+        "frequent_ngrams": frequent_ngrams_q,
+        "token_budget_sample": token_budget_sample_q,
+        "events_rolling": events_rolling_q,
+        "events_asof_tolerance": events_asof_tolerance_q,
+        "events_asof_forward": events_asof_forward_q,
+        "html_extract": html_extract_q,
+        "warc_records": warc_records_q,
+        "quality_classifier": quality_classifier_q,
+    # ---- newest driver record is round 7 ----
+        "squeeze_clusters_auto": squeeze_clusters_auto_q,
+        "squeeze_auto_edges": squeeze_auto_edges_q,
+        "squeeze_cluster_stats": squeeze_cluster_stats_q,
+        "squeeze_derived_cluster_stats": squeeze_derived_cluster_stats_q,
+        "autoroot_nps": autoroot_nps_q,
+        "hotspot_element_stats": hotspot_element_stats_q,
+        "q4_priority_semi": q4_priority_semi,
+        "q_customers_without_orders": q_customers_without_orders,
+        "events_rollup": events_rollup,
+    # ---- operators changed this round (langid staged explode,
+    # trigram guard, audio synth/empty-chunk, token_count null,
+    # ingest-gate staging) ----
+        "langid_pred": langid_pred_q,
+        "text_trigram_lm": text_trigram_lm_q,
+        "audio_meta": audio_meta_q,
+        "audio_features": audio_features_q,
+        "audio_resample": audio_resample_q,
+        "audio_frames": audio_frames_q,
+        "streaming_ingest_dedup": streaming_ingest_dedup_q,
+        "token_stats": token_stats_q,
+        "text_stats": text_stats,
+    # ---- stalest remaining (round-8 records) fill to the 50-cutoff ----
+        "robustspot_supports": robustspot_supports_q,
+        "robustspot_round0": robustspot_round0_q,
+        "robustspot_round1": robustspot_round1_q,
+        "robustspot_round0_derived": robustspot_round0_derived_q,
+        "robustspot_ca": robustspot_ca_q,
+        "evaluation_f1": evaluation_f1_q,
+        "q1_pricing_summary": q1_pricing_summary,
+        "rca_frame": rca_frame,
+        "rca_scores": rca_scores,
+        "rca_derived_scores": rca_derived_scores,
+        "adtributor_elements": adtributor_elements,
+        "dedup_exact": dedup_exact_q,
+        "knn_bruteforce": knn_bruteforce_q,
+        "knn_pq": knn_pq_q,
+        "knn_ivfpq": knn_ivfpq_q,
+        "media_features": media_features_q,
+        "streaming_kpi": streaming_kpi_q,
+        "streaming_near_dup": streaming_near_dup_q,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q_top_customers_per_nation": q_top_customers_per_nation,
+    # ---- driver window cutoff (50): everything below is oracled and
+    # driver-recorded green in round 8 or 9 (unchanged operators,
+    # replayed at three scales this round), or rows-only last so they
+    # never consume a scored slot ----
+        "events_hourly": events_hourly,
+        "events_props_agg": events_props_agg,
+        "rca_partition": rca_partition,
+        "lang_quality_by_source": lang_quality_by_source,
+        "doc_fingerprints": doc_fingerprints,
+        "adtributor_candidates": adtributor_candidates_q,
+        "rev_adtributor": rev_adtributor_q,
+        "dataset_significance": dataset_significance_q,
+        "robustspot_scores": robustspot_scores,
+        "media_resize_nearest": media_resize_nearest_q,
+        "media_decode": media_decode_q,
+        "media_resize_bilinear": media_resize_bilinear_q,
+        "media_frames": media_frames_q,
+        "media_gif_decode": media_gif_decode_q,
+        "media_jpeg_decode": media_jpeg_decode_q,
+        "media_meta": media_meta_q,
+        "streaming_kpi_append": streaming_kpi_append_q,
+        "streaming_ewma": streaming_ewma_q,
+        "streaming_dedup": streaming_dedup_q,
+        "riskloc_first_cause": riskloc_first_cause_q,
+        "riskloc_first_cause_derived": riskloc_first_cause_derived_q,
+        "riskloc_two_pass": riskloc_two_pass_q,
+        "riskloc_two_pass_derived": riskloc_two_pass_derived_q,
+        "squeeze_search": squeeze_search_q,
+        "squeeze_clusters": squeeze_clusters_q,
+    # ---- round-9 driver records ----
         "hotspot_search": hotspot_search_q,
         "hotspot_search_ps": hotspot_search_ps_q,
         "autoroot_search_fixed": autoroot_search_fixed_q,
@@ -3617,91 +3700,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": dedup_spans_q,
         "dedup_spans_sampled": dedup_spans_sampled_q,
         "streaming_quality": streaming_quality_q,
-        "streaming_ingest_dedup": streaming_ingest_dedup_q,
         "corpus_report": corpus_report_q,
-        "langid_pred": langid_pred_q,
         "events_asof_purchase": events_asof_purchase_q,
         "events_sessions": events_sessions_q,
         "streaming_sessions": streaming_sessions_q,
-        "audio_meta": audio_meta_q,
-        "audio_features": audio_features_q,
-        "audio_resample": audio_resample_q,
-        "audio_frames": audio_frames_q,
-        "html_extract": html_extract_q,
-        "warc_records": warc_records_q,
-        "quality_classifier": quality_classifier_q,
-    # ---- driver window cutoff (50) — everything below is oracled but
-    # was driver-recorded green in round 8 or 7 (hotspot_element_stats,
-    # displaced by incremental_near_dup; the robustspot/trigram/
-    # evaluation gates displaced by the four audio gates), replayed
-    # green at three scales this session (url_domains), or is
-    # rows-only ----
-        "squeeze_clusters_auto": squeeze_clusters_auto_q,
-        "squeeze_auto_edges": squeeze_auto_edges_q,
-        "squeeze_cluster_stats": squeeze_cluster_stats_q,
-        "squeeze_derived_cluster_stats": squeeze_derived_cluster_stats_q,
-        "autoroot_nps": autoroot_nps_q,
-        "hotspot_element_stats": hotspot_element_stats_q,
-        "robustspot_supports": robustspot_supports_q,
-        "robustspot_round0": robustspot_round0_q,
-        "robustspot_round1": robustspot_round1_q,
-        "robustspot_round0_derived": robustspot_round0_derived_q,
-        "robustspot_ca": robustspot_ca_q,
-        "text_trigram_lm": text_trigram_lm_q,
-        "evaluation_f1": evaluation_f1_q,
-        "url_domains": url_domains_q,
-        "jsonl_roundtrip": jsonl_roundtrip_q,
-        "frequent_ngrams": frequent_ngrams_q,
-        "token_budget_sample": token_budget_sample_q,
-        "events_rolling": events_rolling_q,
-        "events_asof_tolerance": events_asof_tolerance_q,
-        "events_asof_forward": events_asof_forward_q,
-        "q1_pricing_summary": q1_pricing_summary,
-        "rca_frame": rca_frame,
-        "rca_scores": rca_scores,
-        "rca_derived_scores": rca_derived_scores,
-        "adtributor_elements": adtributor_elements,
-        "dedup_exact": dedup_exact_q,
-        "knn_bruteforce": knn_bruteforce_q,
-        "knn_pq": knn_pq_q,
-        "knn_ivfpq": knn_ivfpq_q,
-        "media_features": media_features_q,
-        "streaming_kpi": streaming_kpi_q,
-        "streaming_near_dup": streaming_near_dup_q,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q4_priority_semi": q4_priority_semi,
-        "q_customers_without_orders": q_customers_without_orders,
-        "events_rollup": events_rollup,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q_top_customers_per_nation": q_top_customers_per_nation,
-        "events_hourly": events_hourly,
-        "events_props_agg": events_props_agg,
-        "rca_partition": rca_partition,
-        "text_stats": text_stats,
-        "lang_quality_by_source": lang_quality_by_source,
-        "doc_fingerprints": doc_fingerprints,
-        "token_stats": token_stats_q,
-        "adtributor_candidates": adtributor_candidates_q,
-        "rev_adtributor": rev_adtributor_q,
-        "dataset_significance": dataset_significance_q,
-        "robustspot_scores": robustspot_scores,
-        "media_resize_nearest": media_resize_nearest_q,
-        "media_decode": media_decode_q,
-        "media_resize_bilinear": media_resize_bilinear_q,
-        "media_frames": media_frames_q,
-        "media_gif_decode": media_gif_decode_q,
-        "media_jpeg_decode": media_jpeg_decode_q,
-        "media_meta": media_meta_q,
-        "streaming_kpi_append": streaming_kpi_append_q,
-        "streaming_ewma": streaming_ewma_q,
-        "streaming_dedup": streaming_dedup_q,
-        "riskloc_first_cause": riskloc_first_cause_q,
-        "riskloc_first_cause_derived": riskloc_first_cause_derived_q,
-        "riskloc_two_pass": riskloc_two_pass_q,
-        "riskloc_two_pass_derived": riskloc_two_pass_derived_q,
-        "squeeze_search": squeeze_search_q,
-        "squeeze_clusters": squeeze_clusters_q,
+    # ---- rows-only (no SQL-expressible oracle; each has a
+    # same-algorithm hash-gated twin or parity test) ----
         "riskloc_rca": riskloc_rca,
         "riskloc_rca_derived": riskloc_rca_derived,
         "autoroot_rca": autoroot_rca,
