@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from riskloc_spark.operators.dedup import (
-    shingles,
+    shingle_rows,
     spread_small_scan,
     xxhash64_fn,
 )
@@ -35,17 +35,12 @@ def _doc_ngrams(
 ) -> DataFrame:
     """(id, __g) n-gram hash occurrence rows (NOT deduplicated — the
     per-doc aggregation counts distinct, so deduping here would buy a
-    whole extra corpus shuffle). shingles() semantics: whitespace-
+    whole extra corpus shuffle). shingle_rows semantics: whitespace-
     normalized word n-grams; a document shorter than n words is ONE
     shingle of its whole text."""
-    return (
-        spread_small_scan(df)
-        .select(
-            F.col(id_col),
-            F.explode(shingles(F.col(text_col), n)).alias("__s"),
-        )
-        .select(F.col(id_col), hash_fn(F.col("__s")).alias("__g"))
-    )
+    return shingle_rows(
+        spread_small_scan(df), [F.col(id_col)], text_col, n
+    ).select(F.col(id_col), hash_fn(F.col("__s")).alias("__g"))
 
 
 def contamination_stats(
@@ -71,11 +66,7 @@ def contamination_stats(
     for an ANSI-SQL-replayable run (production default xxhash64).
     """
     bench_grams = (
-        benchmark.select(
-            F.explode(
-                shingles(F.col(bench_text_col or text_col), n)
-            ).alias("__s")
-        )
+        shingle_rows(benchmark, [], bench_text_col or text_col, n)
         .select(hash_fn(F.col("__s")).alias("__g"))
         .distinct()
     )

@@ -156,12 +156,43 @@ def remove_duplicate_paragraphs(
     )
 
 
-def shingles(col, n: int = 3):
-    """Word n-gram shingles as an array column (JVM-side)."""
-    toks = F.split(_norm_text(col), " ")
+def shingle_tokens(col):
+    """The normalized token array a shingle slide consumes.  STAGE THIS
+    AS A NAMED COLUMN before calling ``shingles_of_tokens``: an
+    expression referenced inside a transform lambda is re-evaluated per
+    element (no CSE in higher-order functions), so sliding directly
+    over split(norm(text)) re-normalizes and re-splits the document
+    once per shingle — measured 6.9s vs 1.0s for the corpus shingle
+    explode at sf0.1 (the same pathology functions/langid._gram_rows
+    documents for char n-grams)."""
+    return F.split(_norm_text(col), " ")
+
+
+def shingles_of_tokens(toks, n: int = 3):
+    """Word n-gram shingles of a (staged) token array column.  A
+    document shorter than n words is ONE shingle of its whole text.
+    ``toks`` should be an attribute reference (F.col), not an inline
+    expression — see shingle_tokens."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingles as a single expression — small frames and
+    tests only; corpus-volume paths stage the token array first
+    (shingle_tokens + shingles_of_tokens) so the normalize/split runs
+    once per document instead of once per shingle."""
+    return shingles_of_tokens(shingle_tokens(col), n)
+
+
+def shingle_rows(df: DataFrame, keep, text_col: str, n: int = 3) -> DataFrame:
+    """Exploded (keep..., __s) shingle rows with the token array staged
+    — the linear corpus-volume path every batch consumer uses."""
+    staged = df.select(*keep, shingle_tokens(F.col(text_col)).alias("__T"))
+    return staged.select(
+        *keep, F.explode(shingles_of_tokens(F.col("__T"), n)).alias("__s")
     )
 
 
@@ -184,9 +215,8 @@ def minhash_signatures(
     re-shingled num_hashes times per row. The explode+agg plan hashes
     each shingle num_hashes times but shingles once; measured ~2.5x
     faster end-to-end at sf0.1."""
-    ex = spread_small_scan(df).select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"),
+    ex = shingle_rows(
+        spread_small_scan(df), [F.col(id_col)], text_col, shingle_n
     )
     agg = ex.groupBy(id_col).agg(
         *[
@@ -530,7 +560,6 @@ def ngram_jaccard_pairs(
     an inverted-index join on shingle hash (only pairs sharing >=1 shingle
     are compared — no cross join). Jaccard from co-occurrence counts:
     |A∩B| / (|A| + |B| - |A∩B|)."""
-    sh = shingles(F.col(text_col), shingle_n)
     # AllPairs prefix filter (set-similarity join literature): under any
     # global shingle order, two sets with J >= t must share an element
     # within each set's first (n - ceil(t*n) + 1) elements — so only
@@ -539,11 +568,16 @@ def ngram_jaccard_pairs(
     # floor instead of ceil keeps the prefix one element longer, immune
     # to float rounding of t*n. Verification is exact: array_intersect
     # of the full (distinct, hashed) shingle arrays per candidate pair.
+    # Token array staged (shingle_tokens docstring).
     hashed = F.sort_array(
-        F.transform(F.array_distinct(sh), lambda s: F.xxhash64(s))
+        F.transform(
+            F.array_distinct(shingles_of_tokens(F.col("__T"), shingle_n)),
+            lambda s: F.xxhash64(s),
+        )
     )
     docs = (
         spread_small_scan(df)
+        .select(F.col(id_col), shingle_tokens(F.col(text_col)).alias("__T"))
         .select(F.col(id_col), hashed.alias("__arr"))
         .withColumn("__n", F.size("__arr"))
         .withColumn(
@@ -735,7 +769,11 @@ def dedup_groups(
 
 
 def minhash_signature_col(
-    text, num_hashes: int = 16, shingle_n: int = 3, hash_fn=xxhash64_fn
+    text=None,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    hash_fn=xxhash64_fn,
+    tokens=None,
 ):
     """MinHash signature as a PURE PROJECTION (array<long> column) — no
     aggregation, so it composes with Structured Streaming's stateful
@@ -751,8 +789,18 @@ def minhash_signature_col(
     (the round-1 minhash finding), which made the streaming gate ~10x
     slower than this fold. Batch pipelines still prefer
     ``minhash_signatures`` (explode + groupBy: hashes each shingle
-    once per permutation but with map-side combine and codegen)."""
-    sh = shingles(text, shingle_n)
+    once per permutation but with map-side combine and codegen).
+
+    Round 10: pass ``tokens`` — a STAGED token-array attribute
+    (``shingle_tokens(text)`` named in a prior select) — so the
+    normalize/split runs once per document; with only ``text`` the
+    split re-evaluates per shingle inside the transform lambda (the
+    shingle_tokens pathology, ~7x at sf0.1)."""
+    sh = (
+        shingles_of_tokens(tokens, shingle_n)
+        if tokens is not None
+        else shingles(text, shingle_n)
+    )
     init = F.array(
         *([F.lit(9223372036854775807).cast("long")] * num_hashes)
     )
@@ -939,14 +987,20 @@ def frequent_ngrams(
     with fewer than ``n`` tokens contribute NO grams here — a corpus
     of empty/near-empty docs must not push pseudo-grams into the
     boilerplate ranking (review finding)."""
-    toks = F.split(_norm_text(F.col(text_col)), " ")
+    # token array staged (shingle_tokens docstring): sliding inline over
+    # split(norm(text)) re-normalizes per gram
+    toks = F.col("__T")
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.when(
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
     ).otherwise(F.array().cast("array<string>"))
-    ex = spread_small_scan(df).select(
-        F.col(id_col), F.explode(grams).alias("__g")
+    ex = (
+        spread_small_scan(df)
+        .select(
+            F.col(id_col), shingle_tokens(F.col(text_col)).alias("__T")
+        )
+        .select(F.col(id_col), F.explode(grams).alias("__g"))
     )
     per_doc = ex.groupBy("__g", id_col).agg(
         F.count(F.lit(1)).alias("__c")

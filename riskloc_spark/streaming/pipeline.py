@@ -340,13 +340,17 @@ def near_dup_events_stream(
 
     from riskloc_spark.operators.dedup import (
         minhash_signature_col,
+        shingle_tokens,
         xxhash64_fn,
     )
 
     hash_fn = hash_fn or xxhash64_fn
     rows_per_band = num_hashes // bands
+    # token array staged as a named column so the minhash fold consumes
+    # an attribute — inline, the normalize/split re-evaluates per
+    # shingle (dedup.shingle_tokens docstring)
     sig = minhash_signature_col(
-        F.col(text_col), num_hashes=num_hashes, hash_fn=hash_fn
+        num_hashes=num_hashes, hash_fn=hash_fn, tokens=F.col("__T")
     )
     # fan out before the signature projection: a single-file micro-batch
     # arrives as ONE partition and the minhash fold is the CPU cost of
@@ -357,6 +361,10 @@ def near_dup_events_stream(
     banded = (
         docs.repartition(par)
         .withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col), F.col(ts_col),
+            shingle_tokens(F.col(text_col)).alias("__T"),
+        )
         .select(
             F.col(id_col), F.col(ts_col), sig.alias("__sig")
         )
@@ -526,6 +534,7 @@ def ingest_dedup_stream(
     from riskloc_spark.operators.dedup import (
         _band_buckets,
         minhash_signature_col,
+        shingle_tokens,
         xxhash64_fn,
     )
 
@@ -533,9 +542,10 @@ def ingest_dedup_stream(
     # num_hashes / bands / shingle_n MUST match the index build —
     # a different shingle family never collides and near-dups stream
     # through unflagged
+    # staged token array (dedup.shingle_tokens docstring)
     sig = minhash_signature_col(
-        F.col(text_col), num_hashes=num_hashes, shingle_n=shingle_n,
-        hash_fn=hash_fn,
+        num_hashes=num_hashes, shingle_n=shingle_n,
+        hash_fn=hash_fn, tokens=F.col("__T"),
     )
     par = docs.sparkSession.sparkContext.defaultParallelism
     stream = docs.repartition(par)
@@ -544,7 +554,9 @@ def ingest_dedup_stream(
         stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         stream = stream.withWatermark(ts_col, watermark)
         keep = (ts_col,)
-    sigs = stream.select(id_col, *keep, sig.alias("sig"))
+    sigs = stream.select(
+        id_col, *keep, shingle_tokens(F.col(text_col)).alias("__T")
+    ).select(id_col, *keep, sig.alias("sig"))
     probe = _band_buckets(
         sigs, id_col, bands, num_hashes // bands, hash_fn, keep_cols=keep
     )
