@@ -135,53 +135,63 @@ def score_text_classifier(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, pred_label, score, n_grams): argmax-label NB scoring as a
-    broadcast join + one aggregation.  score = prior + sum over grams
-    of the (label, bucket) weight, unseen buckets paying the per-label
-    default — all BIGINT.  Ties break on label ASC (engine-exact).
-    Documents with no grams (shorter than n) are absent, matching the
-    SQL twin."""
+    """(id, pred_label, score, n_grams): argmax-label NB scoring.
+    score = prior + sum over grams of the (label, bucket) weight,
+    unseen buckets paying the per-label default — all BIGINT.  Ties
+    break on label ASC (engine-exact).  Documents with no grams
+    (shorter than n) are absent, matching the SQL twin.
+
+    Shape: the sparse weight table PIVOTS wide per label (bounded:
+    n_buckets rows x n_labels columns; labels and the per-label
+    w0/prior scalars are a bounded driver collect, the adtributor
+    precedent), so scoring is ONE broadcast hash join of the feature
+    rows against the wide table and ONE exchange (the per-doc
+    aggregation).  The naive (doc x label) grid formulation instead
+    sort-merge-joins two corpus-volume frames and pays three
+    exchanges; algebraically identical (exact integers:
+    sum(cnt * coalesce(w, w0)) == matched + (n - matched_cnt) * w0)."""
     feats = hashed_gram_features(
         docs, text_col, id_col,
         model["n"], model["n_buckets"], model["hash_fn"],
     )
-    doc_tot = feats.groupBy(id_col).agg(F.sum("cnt").alias("n_grams"))
-    matched = (
-        feats.join(F.broadcast(model["weights"]), "bucket")
-        .groupBy(id_col, "label")
-        .agg(
-            F.sum(F.col("cnt") * F.col("w")).alias("mw"),
-            F.sum("cnt").alias("mc"),
+    stats = sorted(
+        (r["label"], r["w0"], r["prior"])
+        for r in model["label_stats"].collect()
+    )
+    labels = [s[0] for s in stats]
+    # materialize the (model-sized) wide table: left lazy, the whole
+    # FIT subtree — including its corpus-volume feature explode — would
+    # re-run inside every scoring action, and its exchanges would sit
+    # in the scoring plan
+    wide = (
+        model["weights"]
+        .groupBy("bucket")
+        .pivot("label", labels)
+        .agg(F.first("w"))
+        .localCheckpoint(eager=True)
+    )
+    joined = feats.join(F.broadcast(wide), "bucket", "left")
+    per_doc = joined.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_grams"),
+        *[
+            F.sum(
+                F.col("cnt") * F.coalesce(F.col(f"`{lab}`"), F.lit(w0))
+            ).alias(f"__s_{i}")
+            for i, (lab, w0, _) in enumerate(stats)
+        ],
+    )
+    cands = [
+        F.struct(
+            (-(F.col(f"__s_{i}") + F.lit(prior))).alias("neg"),
+            F.lit(lab).alias("label"),
+            (F.col(f"__s_{i}") + F.lit(prior)).alias("score"),
         )
-    )
-    grid = (
-        doc_tot.crossJoin(F.broadcast(model["label_stats"]))
-        .join(matched, [id_col, "label"], "left")
-        .select(
-            F.col(id_col),
-            "label",
-            (
-                F.col("prior")
-                + F.coalesce(F.col("mw"), F.lit(0))
-                + (F.col("n_grams") - F.coalesce(F.col("mc"), F.lit(0)))
-                * F.col("w0")
-            ).cast("long").alias("score"),
-            "n_grams",
-        )
-    )
-    best = grid.groupBy(id_col).agg(
-        F.min(
-            F.struct(
-                (-F.col("score")).alias("neg"),
-                F.col("label"),
-                F.col("score"),
-            )
-        ).alias("b"),
-        F.first("n_grams").alias("n_grams"),
-    )
-    return best.select(
+        for i, (lab, _, prior) in enumerate(stats)
+    ]
+    best = F.least(*cands) if len(cands) > 1 else cands[0]
+    return per_doc.select(
         F.col(id_col),
-        F.col("b.label").alias("pred_label"),
-        F.col("b.score").alias("score"),
+        best["label"].alias("pred_label"),
+        best["score"].cast("long").alias("score"),
         F.col("n_grams").cast("long").alias("n_grams"),
     )

@@ -613,3 +613,56 @@ def test_frequent_ngrams_takeordered_no_full_sort(spark):
     plan = plan_str(frequent_ngrams(d, n=3, top_k=30), "simple")
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_html_extract_zero_shuffle_single_projection(spark):
+    """html_to_text is a regexp_replace chain — the extraction plan
+    must carry NO Exchange and NO Python evaluation node."""
+    from riskloc_spark.operators.html import (
+        extract_html_docs,
+        synthesize_html_corpus,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    out = extract_html_docs(synthesize_html_corpus(d))
+    plan = plan_str(out, "simple")
+    assert "Exchange" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+
+
+def test_classifier_scoring_broadcasts_model(spark):
+    """NB scoring must broadcast both model frames (bounded
+    n_labels x n_buckets) — the corpus side never shuffles for the
+    model joins; the only hash exchanges are the feature folds and the
+    final per-doc argmax."""
+    from riskloc_spark.functions.classifier import (
+        fit_text_classifier,
+        score_text_classifier,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", F.col("lang").alias("label")
+    )
+    model = fit_text_classifier(d, n_buckets=64)
+    out = score_text_classifier(d.drop("label"), model)
+    plan = plan_str(out, "simple")
+    # ONE broadcast join (features x wide pivoted weights) and exactly
+    # two corpus exchanges: the (doc, bucket) feature fold and the
+    # per-doc aggregation — the model is never shuffle-joined
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_staged_shingles_single_split_per_doc(spark):
+    """The staged shingle path must evaluate the normalize+split ONCE
+    per document: exactly one split(...) in the explode stage's
+    projection, none inside the transform lambda (the no-CSE
+    pathology re-normalized per shingle)."""
+    from riskloc_spark.operators.dedup import shingle_rows
+
+    d = load_table(spark, SF_DIR, "documents")
+    rows = shingle_rows(d, [F.col("doc_id")], "text", 3)
+    plan = plan_str(rows, "formatted")
+    assert plan.count("split(") == 1, plan
