@@ -538,6 +538,14 @@ def scale_block(spark) -> dict:
         out["normalize"] = _normalize_scale(spark)
     except Exception as e:
         out["normalize"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        out["html"] = _html_scale(spark)
+    except Exception as e:
+        out["html"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        out["classifier"] = _classifier_scale(spark)
+    except Exception as e:
+        out["classifier"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     # second rung (SPARK_GRAFT_SCALE2=0 skips): ~5.4M leaves for the two
     # fastest searches + a 510k-doc dedup — the scaling CURVE, not just
     # one point (562k -> 5.4M showed ~2.2x riskloc / ~2.1x autoroot for
@@ -1026,6 +1034,28 @@ def _span_scale(spark, n_docs: int = 200_000, dup_every: int = 10) -> dict:
     }
 
 
+def _lang_corpus(spark, n_per_lang, alphabets, body):
+    """Three synthetic languages with disjoint hashed-word alphabets,
+    n_per_lang docs each — persisted (shared by the langid and
+    classifier rungs)."""
+    from pyspark.sql import functions as F
+
+    frames = []
+    for off, (lang, alpha) in enumerate(alphabets.items()):
+        frames.append(
+            spark.range(n_per_lang).select(
+                (F.col("id") + off * n_per_lang).alias("doc_id"),
+                F.lit(lang).alias("lang"),
+                body(F.col("id"), alpha).alias("text"),
+            )
+        )
+    corpus = frames[0].union(frames[1]).union(frames[2]).repartition(
+        spark.sparkContext.defaultParallelism
+    ).persist()
+    corpus.count()
+    return corpus
+
+
 def _langid_scale(spark, n_per_lang: int = 100_000) -> dict:
     """Language-ID at scale: three synthetic languages with disjoint
     hashed-word alphabets, 100k docs each; fit rank profiles on all
@@ -1067,22 +1097,16 @@ def _langid_scale(spark, n_per_lang: int = 100_000) -> dict:
             ),
         )
 
-    frames = []
-    for off, (lang, alpha) in enumerate(alphabets.items()):
-        frames.append(
-            spark.range(n_per_lang).select(
-                (F.col("id") + off * n_per_lang).alias("doc_id"),
-                F.lit(lang).alias("lang"),
-                body(F.col("id"), alpha).alias("text"),
-            )
-        )
-    corpus = frames[0].union(frames[1]).union(frames[2]).repartition(
-        spark.sparkContext.defaultParallelism
-    ).persist()
-    corpus.count()
+    corpus = _lang_corpus(spark, n_per_lang, alphabets, body)
     t0 = time.perf_counter()
-    # one shared corpus explode for fit + classify (VERDICT r9 #2)
-    counts = doc_gram_counts(corpus).localCheckpoint(eager=True)
+    # one shared corpus explode for fit + classify (VERDICT r9 #2).
+    # persist, not localCheckpoint: at 300k docs the per-(doc, gram)
+    # table is ~35M rows, and an EAGER checkpoint pins it all as local
+    # blocks — enough storage pressure in an 8g driver to fail the
+    # profile broadcast build.  persist'd blocks are evictable and
+    # recomputable, and the rung's action brackets let us unpersist
+    # deterministically.
+    counts = doc_gram_counts(corpus).persist()
     prof = lang_profiles(corpus, k=300, doc_counts=counts)
     pred = classify_language(corpus, prof, k=300, doc_counts=counts)
     row = (
@@ -1096,6 +1120,7 @@ def _langid_scale(spark, n_per_lang: int = 100_000) -> dict:
         .first()
     )
     sec = round(time.perf_counter() - t0, 2)
+    counts.unpersist()
     corpus.unpersist()
     n = int(row["n"])
     return {
@@ -1104,6 +1129,160 @@ def _langid_scale(spark, n_per_lang: int = 100_000) -> dict:
         "docs_per_sec": round(3 * n_per_lang / sec),
         "classified": n,
         "accuracy": round(int(row["correct"]) / n, 6),
+    }
+
+
+def _classifier_scale(spark, n_per_lang: int = 70_000) -> dict:
+    """Trained-classifier rung: hashed-gram NB fit on the even-id half
+    of a 210k-doc three-language corpus, scored over everything, with
+    holdout accuracy measured ONLY on the odd ids the fit never saw
+    (one aggregation; nothing collects but the scalars)."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.functions.classifier import (
+        fit_text_classifier,
+        score_text_classifier,
+    )
+
+    alphabets = {"aa": "abcdefghij", "bb": "nopqrstuvw", "cc": "0123456789"}
+
+    def body(id_col, alpha):
+        idx = F.sequence(F.lit(0), F.lit(19))
+        chars = F.array(*[F.lit(ch) for ch in alpha])
+        return F.concat_ws(
+            " ",
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    "",
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(4)),
+                        lambda j: F.element_at(
+                            chars,
+                            (
+                                F.abs(F.xxhash64(id_col, i, j, F.lit("lg")))
+                                % 10
+                            ).cast("int")
+                            + 1,
+                        ),
+                    ),
+                ),
+            ),
+        )
+
+    corpus = _lang_corpus(spark, n_per_lang, alphabets, body)
+    labeled = corpus.withColumnRenamed("lang", "label")
+    t0 = time.perf_counter()
+    model = fit_text_classifier(
+        labeled.filter(F.col("doc_id") % 2 == 0), n_buckets=4096
+    )
+    fit_sec = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    scored = score_text_classifier(labeled, model)
+    row = (
+        scored.join(labeled.select("doc_id", "label"), "doc_id")
+        .filter(F.col("doc_id") % 2 == 1)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("pred_label") == F.col("label")).cast("long")
+            ).alias("correct"),
+        )
+        .first()
+    )
+    score_sec = round(time.perf_counter() - t0, 2)
+    corpus.unpersist()
+    n = int(row["n"])
+    return {
+        "docs": 3 * n_per_lang,
+        "fit_sec": fit_sec,
+        "score_sec": score_sec,
+        "docs_per_sec": round(3 * n_per_lang / max(score_sec, 1e-9)),
+        "holdout": n,
+        "accuracy": round(int(row["correct"]) / n, 6),
+    }
+
+
+def _html_scale(spark, n_docs: int = 300_000) -> dict:
+    """HTML-extraction rung: n_docs rows wrapped in the closed-form
+    synthesized page and extracted; correctness verified AT SCALE by
+    comparing every extracted text to the expected block join built
+    from the raw columns (one aggregation).  Throughput is the
+    extraction scan itself — zero shuffle."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.html import (
+        extract_html_docs,
+        synthesize_html_corpus,
+    )
+
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(39)),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        (F.abs(F.xxhash64(F.col("id"), i)) % 5000)
+                        .cast("string"),
+                    ),
+                ),
+            ).alias("text"),
+            (F.col("id") % 5).cast("string").alias("lang"),
+            F.concat(F.lit("s"), (F.col("id") % 50).cast("string"))
+            .alias("source"),
+            (F.col("id") % 997).alias("n_chars"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    docs.count()
+    pages = synthesize_html_corpus(docs).persist()
+    page_bytes = pages.agg(
+        F.sum(F.octet_length("html")).alias("b")
+    ).first()["b"]
+    t0 = time.perf_counter()
+    nn = F.lit("\n\n")
+    row = (
+        extract_html_docs(pages)
+        .join(docs.withColumnRenamed("text", "__orig"), "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.col("text")
+                    == F.concat(
+                        F.col("source"), F.lit(" "),
+                        F.col("doc_id").cast("string"), nn,
+                        F.lit("Doc \""), F.col("doc_id").cast("string"),
+                        F.lit("\""), nn,
+                        F.lit("home | about | contact"), nn,
+                        F.col("__orig"), nn,
+                        F.lit("lang: "), F.col("lang"), nn,
+                        F.lit("chars: "), F.col("n_chars").cast("string"),
+                        nn,
+                        F.lit("'"), F.col("source"), F.lit("' fin"),
+                    )
+                ).cast("long")
+            ).alias("exactly"),
+        )
+        .first()
+    )
+    sec = round(time.perf_counter() - t0, 3)
+    pages.unpersist()
+    docs.unpersist()
+    return {
+        "docs": n_docs,
+        "payload_mb": round(page_bytes / 1e6, 1),
+        "sec": sec,
+        "docs_per_sec": round(n_docs / sec),
+        "mb_per_s": round(page_bytes / 1e6 / sec, 1),
+        "extracted": int(row["n"]),
+        "matched": int(row["exactly"]),
+        "exact": int(row["exactly"]) == n_docs,
     }
 
 

@@ -82,10 +82,16 @@ def fit_text_classifier(
     feats = hashed_gram_features(
         labeled, text_col, id_col, n, n_buckets, hash_fn
     )
+    # the ONE corpus-volume pass of the fit, materialized here: weights
+    # and label_stats both derive from this bounded (label, bucket)
+    # table, and scoring consumes the model through a collect AND a
+    # pivot-checkpoint — left lazy, the corpus explode would re-run for
+    # each (the trigram-LM guard discipline)
     cb = (
         feats.join(lab, id_col)
         .groupBy("label", "bucket")
         .agg(F.sum("cnt").alias("c"))
+        .localCheckpoint(eager=True)
     )
     tot = cb.groupBy("label").agg(F.sum("c").alias("tot"))
     weights = cb.join(tot, "label").select(
