@@ -428,14 +428,43 @@ def build_parser() -> argparse.ArgumentParser:
         "est_jaccard) match table here",
     )
 
+    sp2 = psub.add_parser(
+        "html-extract",
+        help="strip HTML to text under block whitespace semantics "
+        "(crawl -> documents; input needs doc_id + an html column)",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--html-col", default="html")
+
+    sp2 = psub.add_parser(
+        "warc-extract",
+        help="read WARC response records from a directory of .warc/"
+        ".warc.gz files, HTTP-split, extract text (data arg = WARC dir)",
+    )
+    pcommon(sp2)
+
+    sp2 = psub.add_parser(
+        "classify",
+        help="hashed char-n-gram NB: fit on --label-col over the "
+        "--train-mod id split, score every document",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--label-col", default="label")
+    sp2.add_argument("--buckets", type=int, default=4096)
+    sp2.add_argument(
+        "--train-mod", type=int, default=1,
+        help="fit on doc_id %% mod == 0 (1 = fit on everything)",
+    )
+
     return p
 
 
 def run_pipeline(spark, args) -> dict:
     """Dispatch a `pipeline` subcommand: read parquet, run the operator,
     write parquet, return the status record printed as JSON."""
-    df = spark.read.parquet(args.data)
     op = args.pipeline_op
+    # warc-extract's input is a directory of WARC files, not parquet
+    df = None if op == "warc-extract" else spark.read.parquet(args.data)
     if op == "curate":
         from riskloc_spark.operators.corpus import curate_corpus
 
@@ -598,13 +627,55 @@ def run_pipeline(spark, args) -> dict:
             # re-read: accept must not recompute the probe twice
             matches = spark.read.parquet(args.matches_output)
         out = accept_new_documents(df, matches)
+    elif op == "html-extract":
+        from riskloc_spark.operators.html import extract_html_docs
+
+        out = extract_html_docs(df, html_col=args.html_col)
+    elif op == "warc-extract":
+        from pyspark.sql import functions as F
+
+        from riskloc_spark.operators.html import html_to_text
+        from riskloc_spark.sources.warc import (
+            http_response_parts,
+            read_warc_records,
+        )
+
+        recs = read_warc_records(spark, args.data)
+        parts = http_response_parts(
+            recs.filter(F.col("warc_type") == "response")
+        )
+        out = parts.select(
+            "record_id",
+            "target_uri",
+            "warc_date",
+            "http_status",
+            "content_type",
+            html_to_text(F.col("body")).alias("text"),
+        )
+    elif op == "classify":
+        from pyspark.sql import functions as F
+
+        from riskloc_spark.functions.classifier import (
+            fit_text_classifier,
+            score_text_classifier,
+        )
+
+        train = (
+            df
+            if args.train_mod <= 1
+            else df.filter(F.col("doc_id") % args.train_mod == 0)
+        )
+        model = fit_text_classifier(
+            train, label_col=args.label_col, n_buckets=args.buckets
+        )
+        out = score_text_classifier(df, model)
     else:  # pragma: no cover - argparse enforces choices
         raise ValueError(op)
     out.write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)
     return {
         "pipeline_op": op,
-        "input_rows": df.count(),
+        "input_rows": df.count() if df is not None else None,
         "output_rows": written.count(),
         "output": args.output,
     }

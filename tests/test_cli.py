@@ -560,3 +560,74 @@ def test_cli_pipeline_audio_and_video(spark, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     vrows = spark.read.parquet(v_out).collect()
     assert vrows and all(r2["frame_idx"] % 2 == 0 for r2 in vrows)
+
+
+def test_cli_pipeline_html_warc_classify(spark, tmp_path):
+    """The round-10 ingestion family end to end through the CLI:
+    html-extract strips a synthesized page corpus, warc-extract reads a
+    WARC staging dir back to text, classify fits-and-scores NB on a
+    label column."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.html import synthesize_html_corpus
+    from riskloc_spark.sources.warc import write_warc
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i} delta", ["en", "de"][i % 2],
+          f"s{i % 3}", 20 + i) for i in range(40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pages = synthesize_html_corpus(docs)
+    html_src = str(tmp_path / "pages")
+    pages.write.parquet(html_src)
+    out1 = str(tmp_path / "extracted")
+    r = subprocess.run(
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "html-extract", html_src, "--output", out1, "--cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {r2["doc_id"]: r2["text"]
+           for r2 in spark.read.parquet(out1).collect()}
+    assert len(got) == 40
+    assert "alpha beta gamma 7 delta" in got[7]
+    assert "<" not in got[7] and "home | about | contact" in got[7]
+
+    warc_dir = str(tmp_path / "warcs")
+    recs = pages.select(
+        F.concat(F.lit("<urn:t:"), F.col("doc_id"), F.lit(">"))
+        .alias("record_id"),
+        F.concat(F.lit("https://e/"), F.col("doc_id")).alias("target_uri"),
+        F.concat(
+            F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+            F.col("html"),
+        ).cast("binary").alias("payload"),
+    )
+    write_warc(recs.repartition(2), warc_dir).count()
+    out2 = str(tmp_path / "warc_out")
+    r = subprocess.run(
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "warc-extract", warc_dir, "--output", out2, "--cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = {r2["target_uri"]: r2 for r2 in
+            spark.read.parquet(out2).collect()}
+    assert len(rows) == 40
+    assert rows["https://e/3"]["http_status"] == 200
+    assert "alpha beta gamma 3 delta" in rows["https://e/3"]["text"]
+
+    lab_src = str(tmp_path / "labeled")
+    docs.withColumnRenamed("lang", "label").write.parquet(lab_src)
+    out3 = str(tmp_path / "classified")
+    r = subprocess.run(
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "classify", lab_src, "--output", out3, "--label-col", "label",
+         "--buckets", "256", "--train-mod", "2", "--cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    scored = spark.read.parquet(out3)
+    assert scored.count() == 40
+    assert set(scored.columns) == {"doc_id", "pred_label", "score",
+                                   "n_grams"}
