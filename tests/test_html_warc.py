@@ -212,3 +212,62 @@ def test_write_read_round_trip_exact_bytes(spark):
     finally:
         import shutil
         shutil.rmtree(stage)
+
+
+def test_curate_from_crawl_end_to_end(spark, tmp_path_factory):
+    """The one-call crawl pipeline: WARC -> extract -> boilerplate
+    paragraph removal -> quality/lang filter -> exact dedup.  Shared
+    nav/footer blocks across pages must survive exactly once
+    corpus-wide; per-page bodies survive; an exact-duplicate page
+    collapses; a non-HTML and a non-200 record are dropped."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.corpus import curate_from_crawl
+
+    body_words = (
+        "the and of to a in is it that for document body text "
+        "with plenty of the common stopwords and the filler"
+    )
+    pages = []
+    for i in range(8):
+        body = f"{body_words} page number {i}"
+        pages.append(
+            (f"<urn:c:{i}>", f"https://site/{i}",
+             "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+             "<html><body><div>shared nav bar</div>"
+             f"<p>{body}</p>"
+             "<footer>shared footer line</footer></body></html>")
+        )
+    # an exact duplicate of page 0 under a different uri
+    pages.append((f"<urn:c:dup>", "https://site/dup",
+                  pages[0][2]))
+    # a 404 and a non-html record: dropped by the status/type filter
+    pages.append(("<urn:c:404>", "https://site/404",
+                  "HTTP/1.1 404 Not Found\r\nContent-Type: text/html"
+                  "\r\n\r\n<p>gone</p>"))
+    pages.append(("<urn:c:bin>", "https://site/bin",
+                  "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\nPNG"))
+    df = spark.createDataFrame(
+        pages, "record_id string, target_uri string, body string"
+    ).select(
+        "record_id", "target_uri",
+        F.col("body").cast("binary").alias("payload"),
+    )
+    from riskloc_spark.sources.warc import write_warc
+
+    warc_dir = str(tmp_path_factory.mktemp("crawl"))
+    write_warc(df.repartition(2), warc_dir).count()
+
+    out = curate_from_crawl(spark, warc_dir, min_quality=0.0, lang="en")
+    rows = out.collect()
+    texts = [r["text"] for r in rows]
+    # 8 distinct pages survive; the duplicate page collapsed (its nav/
+    # footer/body paragraphs are all dupes, leaving empty text that the
+    # curation filter may keep as a distinct empty doc — assert bodies)
+    bodies = [t for t in texts if "page number" in t]
+    assert len(bodies) == 8
+    # boilerplate survives exactly once corpus-wide
+    assert sum("shared nav bar" in t for t in texts) == 1
+    assert sum("shared footer line" in t for t in texts) == 1
+    assert all("404" not in (r["target_uri"] or "") for r in rows)
+    assert all("bin" not in (r["target_uri"] or "") for r in rows)
