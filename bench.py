@@ -301,9 +301,13 @@ def _block_summary(block) -> dict:
     else:
         # multi-phase blocks: sum every top-level *_sec number plus any
         # nested sub-block's sec (media's png/gif/jpeg, ann's lsh/pq/...)
+        # — but never the *_per_sec THROUGHPUTS (docs_per_sec summed
+        # into the classifier block's "sec" as 44784s in the r10 dry
+        # run)
         tot = sum(
             v for k, v in block.items()
-            if k.endswith("_sec") and isinstance(v, (int, float))
+            if k.endswith("_sec") and not k.endswith("_per_sec")
+            and isinstance(v, (int, float))
         ) + sum(
             v["sec"] for v in block.values()
             if isinstance(v, dict) and isinstance(v.get("sec"), (int, float))
@@ -586,6 +590,11 @@ def scale_block(spark) -> dict:
             )
         except Exception as e:
             out["ingest2"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        try:
+            # extraction linearity: 3.3x the first html rung
+            out["html2"] = _html_scale(spark, n_docs=1_000_000)
+        except Exception as e:
+            out["html2"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     if errors:
         out["errors"] = errors
     return out

@@ -10,6 +10,8 @@ import json
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import build_compact_line  # noqa: E402
@@ -196,6 +198,20 @@ def test_compact_line_shrinks_slowest_not_blocks():
     assert len(line) < 1900
     assert "rung1" in rec["scale"] and "ann2_x2c" in rec["scale"]
     assert rec["scale"]["rung2"]["ok"] is False
+
+
+def test_throughput_keys_never_summed_as_seconds():
+    # docs_per_sec ends in _sec but is a THROUGHPUT: it must never fold
+    # into the block's seconds (it put sec=44784 on the classifier
+    # block in the r10 dry run)
+    out = _fixture()
+    out["scale"]["classifier"] = {
+        "docs": 210000, "fit_sec": 5.38, "score_sec": 5.33,
+        "docs_per_sec": 39400, "holdout": 105000, "accuracy": 1.0,
+    }
+    rec = json.loads(build_compact_line(out))
+    assert rec["scale"]["classifier"]["sec"] == pytest.approx(10.71)
+    assert rec["scale"]["classifier"]["accuracy"] == 1.0
 
 
 def test_compact_line_real_record_if_present():
