@@ -3518,6 +3518,24 @@ def warc_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def html_block_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block link-density extraction under the hash gate (round
+    10): every synthesized page decomposes into its seven visible
+    blocks with text, char counts, anchor-text chars and the
+    Kohlschuetter-style link density — the oracle enumerates the
+    blocks closed-form (nav block: 4 anchor chars of 'home' over its
+    22 chars) and re-ranks after the same empty-block filter, so a
+    drift in block segmentation, anchor extraction, or the density
+    arithmetic breaks the hash."""
+    from riskloc_spark.operators.html import (
+        html_block_stats,
+        synthesize_html_corpus,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return html_block_stats(synthesize_html_corpus(d))
+
+
 def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TRAINED quality classifier under the hash gate (round 10;
     VERDICT r9 Missing #3): hashed char-trigram multinomial NB with
@@ -3584,6 +3602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_forward": events_asof_forward_q,
         "html_extract": html_extract_q,
         "warc_records": warc_records_q,
+        "html_block_stats": html_block_stats_q,
         "quality_classifier": quality_classifier_q,
     # ---- newest driver record is round 7 ----
         "squeeze_clusters_auto": squeeze_clusters_auto_q,
@@ -7271,6 +7290,42 @@ def oracle_sql() -> dict[str, str]:
               FROM grid
             ) g JOIN labeled l USING (doc_id)
             WHERE g.rn = 1
+        """,
+        # the seven visible blocks enumerated closed-form with their
+        # anchor-char counts; re-ranked after the empty-block filter so
+        # the indices match Spark's dense block_idx even for degenerate
+        # text
+        "html_block_stats": f"""
+            WITH cand AS (
+              SELECT doc_id, unnest([
+                struct_pack(i := 0,
+                            t := source || ' ' || doc_id, a := 0),
+                struct_pack(i := 1,
+                            t := 'Doc "' || doc_id || '"', a := 0),
+                struct_pack(i := 2,
+                            t := 'home | about | contact', a := 4),
+                struct_pack(i := 3,
+                            t := {_html_norm_sql("text")}, a := 0),
+                struct_pack(i := 4, t := 'lang: ' || lang, a := 0),
+                struct_pack(i := 5, t := 'chars: ' || n_chars, a := 0),
+                struct_pack(i := 6,
+                            t := '''' || source || ''' fin', a := 0)
+              ]) AS b
+              FROM documents
+            ),
+            ranked AS (
+              SELECT doc_id, b,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY b.i) - 1 AS block_idx
+              FROM cand WHERE length(b.t) > 0
+            )
+            SELECT doc_id,
+                   CAST(block_idx AS INT) AS block_idx,
+                   b.t AS text,
+                   CAST(length(b.t) AS BIGINT) AS n_chars,
+                   CAST(b.a AS BIGINT) AS anchor_chars,
+                   round(b.a / length(b.t), 6) AS link_density
+            FROM ranked
         """,
         # CLOSED-FORM expected extraction (not a shared regex library):
         # the synthesized page's visible blocks rebuilt from the raw

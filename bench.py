@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "jsonl_roundtrip",
     # round-10 ingestion surface: crawl -> documents
     "html_extract",
+    "html_block_stats",
     "warc_records",
     "quality_classifier",
     "audio_meta",

@@ -33,7 +33,7 @@ LLM-pipeline ingestion surface VERDICT r9 Missing #2 called for.
 """
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Elements whose CONTENT is invisible: removed wholesale, content and
@@ -140,3 +140,96 @@ def synthesize_html_corpus(df: DataFrame, keep: list | None = None) -> DataFrame
         F.lit("&apos; &nbsp; fin</footer>\n </body>\n</html>"),
     )
     return df.select("doc_id", *(keep or []), html.alias("html"))
+
+
+def html_block_stats(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-BLOCK extraction with the classic boilerplate signal: one
+    row per visible block of each page — (id, block_idx, text,
+    n_chars, anchor_chars, link_density) — where ``anchor_chars``
+    counts the characters of <a>...</a> inner text and
+    ``link_density`` is their share of the block.  Navigation, menus
+    and footer link farms sit near density 1; body prose near 0 — the
+    content-extraction heuristic of the boilerplate literature
+    (Kohlschuetter et al. 2010's text-to-link ratio), computable as
+    pure column algebra.
+
+    Blocks are the same units ``html_to_text`` separates with blank
+    lines, so ``drop_boilerplate_blocks`` rebuilds exactly the
+    documents the plain extractor would produce minus the link-heavy
+    blocks.  Zero Python; the fragment and anchor arrays are staged as
+    named columns (the no-CSE discipline), and the per-anchor cleanup
+    runs on lambda ELEMENTS (each anchor processed once)."""
+    pre = F.regexp_replace(F.col(html_col), _COMMENT, "")
+    pre = F.regexp_replace(pre, _INVISIBLE, "\n\n")
+    pre = F.regexp_replace(pre, _BLOCK, "\n\n")
+    staged = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(pre, r"\n\n+")).alias("__raw_idx", "__frag"),
+    )
+
+    def clean(x):
+        out = F.regexp_replace(x, _ANY_TAG, "")
+        for ent, rep in _ENTITIES:
+            out = F.replace(out, F.lit(ent), F.lit(rep))
+        for pat, rep in (_WS_RUN, _LINE, _BLOCK_RUN, _EDGES):
+            out = F.regexp_replace(out, pat, rep)
+        return out
+
+    frag = F.col("__frag")
+    cleaned = staged.select(
+        F.col(id_col),
+        "__raw_idx",
+        clean(frag).alias("text"),
+        F.regexp_extract_all(
+            frag, F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"), 1
+        ).alias("__anchors"),
+    ).filter(F.length("text") > 0)
+    w = Window.partitionBy(id_col).orderBy("__raw_idx")
+    return cleaned.select(
+        F.col(id_col),
+        (F.row_number().over(w) - 1).cast("int").alias("block_idx"),
+        "text",
+        F.length("text").cast("long").alias("n_chars"),
+        F.aggregate(
+            F.col("__anchors"),
+            F.lit(0).cast("long"),
+            lambda acc, a: acc + F.length(clean(a)),
+        ).alias("anchor_chars"),
+    ).withColumn(
+        "link_density",
+        F.round(
+            F.col("anchor_chars").cast("double") / F.col("n_chars"), 6
+        ),
+    )
+
+
+def drop_boilerplate_blocks(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    max_link_density: float = 0.5,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Main-content extraction: rebuild each document from the blocks
+    whose link density stays under ``max_link_density`` (and that
+    carry at least ``min_chars`` of text), joined by blank lines in
+    block order.  The WITHIN-page complement of the cross-page
+    paragraph dedup: navigation dropped by its own shape even when it
+    is unique to the page.  One window + one groupBy exchange."""
+    blocks = html_block_stats(df, html_col, id_col).filter(
+        (F.col("link_density") <= max_link_density)
+        & (F.col("n_chars") >= min_chars)
+    )
+    return blocks.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("block_idx", "text"))
+                ),
+                lambda s: s["text"],
+            ),
+            "\n\n",
+        ).alias("text")
+    )

@@ -271,3 +271,55 @@ def test_curate_from_crawl_end_to_end(spark, tmp_path_factory):
     assert sum("shared footer line" in t for t in texts) == 1
     assert all("404" not in (r["target_uri"] or "") for r in rows)
     assert all("bin" not in (r["target_uri"] or "") for r in rows)
+
+
+def test_block_stats_and_link_density(spark):
+    from riskloc_spark.operators.html import html_block_stats
+
+    html = (
+        "<html><body>"
+        "<div class='nav'><a href='/'>home</a> <a href='/a'>about us</a>"
+        "</div>"
+        "<p>real prose with a single <a href='x'>link</a> inside it</p>"
+        "<footer><a href='1'>one</a><a href='2'>two</a></footer>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(7, html)], "doc_id long, html string")
+    rows = {r["block_idx"]: r
+            for r in html_block_stats(df).collect()}
+    assert len(rows) == 3
+    nav = rows[0]
+    assert nav["text"] == "home about us"
+    assert nav["anchor_chars"] == len("home") + len("about us")
+    assert nav["link_density"] == round(12 / 13, 6)
+    prose = rows[1]
+    assert prose["anchor_chars"] == 4
+    assert prose["link_density"] < 0.15
+    foot = rows[2]
+    assert foot["text"] == "onetwo" and foot["link_density"] == 1.0
+
+
+def test_drop_boilerplate_blocks_rebuild(spark):
+    from riskloc_spark.operators.html import (
+        drop_boilerplate_blocks,
+        extract_html_docs,
+    )
+
+    html = (
+        "<html><body>"
+        "<div><a href='/'>home</a> | <a href='/b'>blog</a></div>"
+        "<p>the actual article text goes here</p>"
+        "<p>and a second paragraph of it</p>"
+        "<footer><a href='x'>links</a><a href='y'>only</a></footer>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    kept = drop_boilerplate_blocks(df, max_link_density=0.3).first()
+    assert kept["text"] == (
+        "the actual article text goes here"
+        "\n\nand a second paragraph of it"
+    )
+    # with the threshold wide open the rebuild equals the plain extract
+    all_blocks = drop_boilerplate_blocks(df, max_link_density=1.0).first()
+    plain = extract_html_docs(df).first()
+    assert all_blocks["text"] == plain["text"]
