@@ -3533,6 +3533,14 @@ def html_block_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
+    # flatten embedded newlines BEFORE page synthesis (both sides): a
+    # text column containing a blank line would legitimately split the
+    # body into extra blocks Spark-side while the oracle enumerates a
+    # fixed seven — this gate tests PAGE block segmentation, and the
+    # sanitize keeps it well-defined on any corpus (review r10)
+    d = d.withColumn(
+        "text", F.regexp_replace("text", r"\n+", " ")
+    )
     return html_block_stats(synthesize_html_corpus(d))
 
 
@@ -3780,7 +3788,7 @@ _STOPWORDS_SQL = "['the','and','of','to','a','in','is','it','that','for']"
 _TEXT_STATS_CTE = f"""
 stats AS (
   SELECT doc_id, source,
-    CAST(CASE WHEN trim(text) = '' THEN 0
+    CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
          ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS INT) AS n_tokens,
     CASE WHEN length(text) = 0 THEN 0.0
          ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?]', '', 'g')) AS DOUBLE)
@@ -6852,7 +6860,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pack": f"""
             WITH RECURSIVE d0 AS (
               SELECT doc_id,
-                     CAST(CASE WHEN trim(text) = '' THEN 0
+                     CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
                           ELSE len(string_split_regex(trim(text),
                             '[ \\t\\n\\x0B\\f\\r]+')) END AS BIGINT) AS tok,
                      CAST({_MD5H.format(x="CAST(doc_id AS VARCHAR) || ':pack'")}
@@ -7147,7 +7155,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_sample": r"""
             WITH toks AS (
               SELECT doc_id, source,
-                     CAST(CASE WHEN trim(text) = '' THEN 0
+                     CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
                           ELSE len(string_split_regex(trim(text),
                                    '[ \t\n\x0B\f\r]+')) END AS BIGINT)
                        AS n_tokens,
@@ -7296,7 +7304,12 @@ def oracle_sql() -> dict[str, str]:
         # the indices match Spark's dense block_idx even for degenerate
         # text
         "html_block_stats": f"""
-            WITH cand AS (
+            WITH flat AS (
+              SELECT doc_id, source, lang, n_chars,
+                     regexp_replace(text, '\\n+', ' ', 'g') AS text
+              FROM documents
+            ),
+            cand AS (
               SELECT doc_id, unnest([
                 struct_pack(i := 0,
                             t := source || ' ' || doc_id, a := 0),
@@ -7311,7 +7324,7 @@ def oracle_sql() -> dict[str, str]:
                 struct_pack(i := 6,
                             t := '''' || source || ''' fin', a := 0)
               ]) AS b
-              FROM documents
+              FROM flat
             ),
             ranked AS (
               SELECT doc_id, b,
@@ -7417,7 +7430,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_near_dup": _streaming_near_dup_sql(),
         "token_stats": """
             SELECT doc_id,
-                   CAST(CASE WHEN trim(text) = '' THEN 0
+                   CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
                         ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))
                         END AS INT) AS n_tokens,
                    CAST(len(regexp_extract_all(text,
@@ -7627,7 +7640,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": rf"""
             WITH th AS MATERIALIZED (
               SELECT source,
-                     CAST(CASE WHEN trim(text) = '' THEN 0
+                     CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
                           ELSE len(string_split_regex(trim(text), '{_Q_WS}'))
                           END AS INT) AS n_tokens
               FROM documents

@@ -335,8 +335,12 @@ def _block_summary(block) -> dict:
     # exactness flags are explicit, not pattern-matched: spans'
     # tokens_removed legitimately exceeds its expected_ floor (incidental
     # non-planted repeats are removed too), so a generic expected_==actual
-    # sweep would read a healthy run as a failure
-    if "expected_touched" in block and "docs_touched" in block:
+    # sweep would read a healthy run as a failure.  A block carrying a
+    # literal boolean "exact" (the html rungs) passes it through verbatim
+    # — review r10: without this, a red extraction rung read as healthy.
+    if isinstance(block.get("exact"), bool):
+        s["exact"] = block["exact"]
+    elif "expected_touched" in block and "docs_touched" in block:
         s["exact"] = block["docs_touched"] == block["expected_touched"]
     elif "changed_expected" in block and "changed" in block:
         s["exact"] = block["changed"] == block["changed_expected"]

@@ -77,8 +77,19 @@ def fit_text_classifier(
     Returns {"weights": (label, bucket, w), "label_stats": (label, w0,
     prior), ...params}: w = micronats((c+1)/(tot+n_buckets)), w0 the
     unseen-bucket default, prior = micronats(docs_label/docs_total).
-    Both frames are broadcastable (n_labels x n_buckets bound)."""
-    lab = labeled.select(F.col(id_col), F.col(label_col).alias("label"))
+    Both frames are broadcastable (n_labels x n_buckets bound).
+
+    Rows with a NULL label are dropped.  A label whose every training
+    document is shorter than ``n`` characters contributes no grams and
+    therefore no class statistics: it is absent from the model and can
+    never be predicted — callers needing such labels must lower n or
+    provide longer exemplars."""
+    # unlabeled rows can't inform class statistics, and a None label
+    # group would later break the scoring sort (review r10) — drop them
+    # here, visibly documented rather than silently propagated
+    lab = labeled.select(
+        F.col(id_col), F.col(label_col).alias("label")
+    ).filter(F.col("label").isNotNull())
     feats = hashed_gram_features(
         labeled, text_col, id_col, n, n_buckets, hash_fn
     )
@@ -164,6 +175,13 @@ def score_text_classifier(
         (r["label"], r["w0"], r["prior"])
         for r in model["label_stats"].collect()
     )
+    if not stats:
+        raise ValueError(
+            "score_text_classifier: the fitted model has no labels — "
+            "the training frame was empty, every training document was "
+            f"shorter than n={model['n']} characters, or every label "
+            "was NULL"
+        )
     labels = [s[0] for s in stats]
     # materialize the (model-sized) wide table: left lazy, the whole
     # FIT subtree — including its corpus-volume feature explode — would

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import gzip
 import os
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -154,9 +155,13 @@ def read_warc_records(
             for p, content in zip(pdf["path"], pdf["content"]):
                 data = bytes(content)
                 if p.endswith(".gz"):
+                    # BadGzipFile is an OSError, but a TRUNCATED member
+                    # raises EOFError and corrupt deflate data raises
+                    # zlib.error — one interrupted download must skip
+                    # the file, not abort the whole read (review r10)
                     try:
                         data = gzip.decompress(data)
-                    except OSError:
+                    except (OSError, EOFError, zlib.error):
                         continue
                 if len(data) > budget:
                     rows.append(

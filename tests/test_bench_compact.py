@@ -200,6 +200,18 @@ def test_compact_line_shrinks_slowest_not_blocks():
     assert rec["scale"]["rung2"]["ok"] is False
 
 
+def test_literal_exact_boolean_passes_through():
+    # the html rungs carry a literal "exact" boolean: a red extraction
+    # rung must surface in the compact line (review r10)
+    out = _fixture()
+    out["scale"]["html"] = {"docs": 300000, "payload_mb": 208.0,
+                            "sec": 3.1, "docs_per_sec": 96774,
+                            "mb_per_s": 67.0, "extracted": 300000,
+                            "matched": 299998, "exact": False}
+    rec = json.loads(build_compact_line(out))
+    assert rec["scale"]["html"]["exact"] is False
+
+
 def test_throughput_keys_never_summed_as_seconds():
     # docs_per_sec ends in _sec but is a THROUGHPUT: it must never fold
     # into the block's seconds (it put sec=44784 on the classifier

@@ -101,3 +101,29 @@ def test_features_bounded_per_doc(spark):
     norm = "abcdefghij " * 100
     norm = " ".join(norm.split())
     assert total == len(norm) - 2
+
+
+def test_empty_model_raises_clearly(spark):
+    labeled = spark.createDataFrame(
+        [(1, "long enough text", "a")],
+        "doc_id long, text string, label string",
+    )
+    # train-mod filter that matches nothing -> empty model
+    model = fit_text_classifier(labeled.filter("doc_id % 2 = 0"))
+    with pytest.raises(ValueError, match="no labels"):
+        score_text_classifier(labeled, model)
+
+
+def test_null_labels_dropped_in_fit(spark):
+    labeled = spark.createDataFrame(
+        [(0, "alpha beta gamma delta " * 3, "aa"),
+         (1, "nop qrs tuv wxy zzz " * 3, "bb"),
+         (2, "alpha beta gamma delta " * 3, None),
+         (3, "nop qrs tuv wxy zzz " * 3, None)],
+        "doc_id long, text string, label string",
+    )
+    model = fit_text_classifier(labeled, n_buckets=64)
+    stats = {r["label"] for r in model["label_stats"].collect()}
+    assert stats == {"aa", "bb"}  # no None group, no scoring TypeError
+    scored = score_text_classifier(labeled, model)
+    assert scored.count() == 4

@@ -323,3 +323,40 @@ def test_drop_boilerplate_blocks_rebuild(spark):
     all_blocks = drop_boilerplate_blocks(df, max_link_density=1.0).first()
     plain = extract_html_docs(df).first()
     assert all_blocks["text"] == plain["text"]
+
+
+def test_truncated_gzip_member_skipped(spark):
+    """One interrupted .warc.gz download must skip the file, not abort
+    the read: truncated gzip raises EOFError (not OSError), corrupt
+    deflate raises zlib.error (review r10)."""
+    stage = tempfile.mkdtemp(prefix="warc_badgz_")
+    try:
+        with open(os.path.join(stage, "ok.warc"), "wb") as f:
+            f.write(_mk_record(0))
+        whole = gzip.compress(_mk_record(1))
+        with open(os.path.join(stage, "trunc.warc.gz"), "wb") as f:
+            f.write(whole[: len(whole) // 2])
+        with open(os.path.join(stage, "corrupt.warc.gz"), "wb") as f:
+            f.write(whole[:10] + b"\x00" * 30)
+        got = sorted(r["record_id"]
+                     for r in read_warc_records(spark, stage).collect())
+        assert got == ["<urn:test:0>"]
+    finally:
+        import shutil
+        shutil.rmtree(stage)
+
+
+def test_block_stats_splits_embedded_blank_lines(spark):
+    """Operator semantics on multi-paragraph block content: an embedded
+    blank line splits the block (same units html_to_text separates);
+    the html_block_stats GATE sanitizes newlines on both sides, so the
+    fixed-seven-block oracle stays well-defined on any corpus."""
+    from riskloc_spark.operators.html import html_block_stats
+
+    df = spark.createDataFrame(
+        [(1, "<p>first para\n\nsecond para</p>")],
+        "doc_id long, html string",
+    )
+    texts = [r["text"] for r in
+             html_block_stats(df).orderBy("block_idx").collect()]
+    assert texts == ["first para", "second para"]

@@ -94,3 +94,30 @@ def test_token_count_null_text_is_zero(spark):
         ).collect()
     }
     assert got == {1: 0, 2: 0, 3: 0, 4: 2}
+
+
+def test_token_count_null_matches_duckdb_twin(spark):
+    """The NULL->0 fix must hold on BOTH sides of the oracle seam: the
+    twins coalesce text before the trim, so a null-text row counts 0
+    tokens in Spark AND DuckDB (review r10 — the first fix was
+    Spark-only, a latent hash divergence)."""
+    import duckdb
+
+    rows = [(1, None), (2, ""), (3, "  "), (4, "a  b\tc")]
+    sdf = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["n"]
+        for r in sdf.select(
+            "id", token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(con.execute(r"""
+        SELECT id, CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+             ELSE len(string_split_regex(trim(text),
+                      '[ \t\n\x0B\f\r]+')) END AS INT)
+        FROM t
+    """).fetchall())
+    assert got == want == {1: 0, 2: 0, 3: 0, 4: 3}
