@@ -3544,6 +3544,37 @@ def html_block_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_block_stats(synthesize_html_corpus(d))
 
 
+def knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus kNN GRAPH (round 10) under the hash gate: top-5
+    cosine neighbors for EVERY embedding via IVF co-cell blocking —
+    the same injectable-quantizer discipline as knn_ivf (seeds = first
+    16 embeddings by vec_id, sf-agnostic), but with the corpus on BOTH
+    sides of the cell join and self-pairs excluded, so the twin
+    replays assignment, the 6-cell probe fan-out, the blocked
+    candidate join, and the per-vector argmax ranking."""
+    import numpy as np
+
+    from riskloc_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.select("embedding", "vec_id")
+            .orderBy("vec_id")
+            .limit(16)
+            .collect()
+        ]
+    )
+    out = knn_graph(emb, k=5, n_probe=6, centroids=seeds)
+    return out.select(
+        "vec_id",
+        "nbr_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rnk"),
+    )
+
+
 def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TRAINED quality classifier under the hash gate (round 10;
     VERDICT r9 Missing #3): hashed char-trigram multinomial NB with
@@ -3611,6 +3642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": html_extract_q,
         "warc_records": warc_records_q,
         "html_block_stats": html_block_stats_q,
+        "knn_graph": knn_graph_q,
         "quality_classifier": quality_classifier_q,
     # ---- newest driver record is round 7 ----
         "squeeze_clusters_auto": squeeze_clusters_auto_q,
@@ -7441,6 +7473,52 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(),
         "knn_lsh": _knn_lsh_sql(),
         "knn_ivf": _knn_ivf_sql(),
+        # knn_graph: the ivf twin with the corpus on BOTH sides of the
+        # cell join (every vector probes its 6 nearest seed cells) and
+        # self-pairs excluded
+        "knn_graph": """
+            WITH seeds AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     embedding::DOUBLE[] AS ce
+              FROM embeddings ORDER BY vec_id LIMIT 16
+            ),
+            c AS (
+              SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings
+            ),
+            cells AS (
+              SELECT vec_id, ee, cell FROM (
+                SELECT c.vec_id, c.ee, s.cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                            ORDER BY list_distance(c.ee, s.ce), s.cell)
+                         AS rn
+                FROM c CROSS JOIN seeds s
+              ) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT vec_id, ee AS qe, cell FROM (
+                SELECT c.vec_id, c.ee, s.cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                            ORDER BY list_distance(c.ee, s.ce), s.cell)
+                         AS rn
+                FROM c CROSS JOIN seeds s
+              ) WHERE rn <= 6
+            ),
+            s AS (
+              SELECT p.vec_id, cl.vec_id AS nbr_id,
+                     list_dot_product(p.qe, cl.ee)
+                     / (sqrt(list_dot_product(p.qe, p.qe))
+                        * sqrt(list_dot_product(cl.ee, cl.ee))) AS cs
+              FROM probes p JOIN cells cl ON p.cell = cl.cell
+              WHERE p.vec_id <> cl.vec_id
+            ),
+            r AS (
+              SELECT vec_id, nbr_id, round(cs, 6) + 0e0 AS cos_sim,
+                     CAST(row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cs DESC, nbr_id ASC) AS INT) AS rnk
+              FROM s
+            )
+            SELECT vec_id, nbr_id, cos_sim, rnk FROM r WHERE rnk <= 5
+        """,
         "text_trigram_lm": """
             WITH tris AS (
               SELECT doc_id, substr(text, CAST(i AS INT), 3) AS tri

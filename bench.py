@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "knn_ivf_warm",
     "knn_pq",
     "knn_ivfpq",
+    "knn_graph",
     "minhash_pairs",
     "simhash_pairs",
     "dedup_groups",

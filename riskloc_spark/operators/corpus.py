@@ -179,6 +179,7 @@ def curate_from_crawl(
     min_quality: float = 0.5,
     lang: str | None = "en",
     drop_boilerplate: bool = True,
+    max_link_density: float | None = None,
 ) -> DataFrame:
     """The FULL crawl-to-corpus path in one declarative call: WARC
     response records -> HTTP split -> HTML -> text extraction ->
@@ -200,7 +201,10 @@ def curate_from_crawl(
     the birthday bound is ~1e-4 and exact dedup downstream collapses
     any colliding pair that had identical text anyway)."""
     from riskloc_spark.operators.dedup import remove_duplicate_paragraphs
-    from riskloc_spark.operators.html import html_to_text
+    from riskloc_spark.operators.html import (
+        drop_boilerplate_blocks,
+        html_to_text,
+    )
     from riskloc_spark.sources.warc import (
         http_response_parts,
         read_warc_records,
@@ -213,11 +217,26 @@ def curate_from_crawl(
         (F.col("http_status") == 200)
         & F.col("content_type").startswith("text/html")
     )
-    docs = parts.select(
+    keyed = parts.select(
         F.xxhash64("warc_file", "record_offset").alias("doc_id"),
-        F.col("target_uri"),
-        html_to_text(F.col("body")).alias("text"),
-    ).filter(F.length("text") > 0)
+        "target_uri",
+        "body",
+    )
+    if max_link_density is not None:
+        # within-page boilerplate first (link-density block filter),
+        # so a page-unique nav bar never reaches the corpus
+        uris = keyed.select("doc_id", "target_uri")
+        docs = drop_boilerplate_blocks(
+            keyed.select("doc_id", F.col("body").alias("html")),
+            max_link_density=max_link_density,
+        ).join(uris, "doc_id")
+    else:
+        docs = keyed.select(
+            "doc_id",
+            "target_uri",
+            html_to_text(F.col("body")).alias("text"),
+        )
+    docs = docs.filter(F.length("text") > 0)
     if drop_boilerplate:
         kept_uri = docs.select("doc_id", "target_uri")
         docs = remove_duplicate_paragraphs(docs.select("doc_id", "text"))

@@ -311,6 +311,115 @@ def ivf_fit_centroids(
     return _kmeans_fit(sample, n_clusters, n_iter, seed)
 
 
+def _coarse_assign_udfs(centroids, n_probe: int):
+    """The IVF coarse-quantizer UDF pair shared by ivf_knn / knn_graph:
+    centroid assignment as an Arrow-vectorized pandas UDF — a batch
+    (b x dim) @ centroid matmul replaces 2*n_clusters interpreted
+    higher-order-function lambdas per row (the sanctioned Pandas-UDF
+    case: built-in column algebra can't express the matmul).  Returns
+    (cell_of, probe_cells); the centroid matrix is closure-captured
+    (tiny)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids  # (n_clusters x dim)
+
+    def _dists(series: "pd.Series") -> "np.ndarray":
+        x = np.stack(series.to_numpy())
+        return ((x[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+
+    @pandas_udf("int")
+    def cell_of(v: pd.Series) -> pd.Series:
+        return pd.Series(_dists(v).argmin(axis=1))
+
+    @pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        idx = np.argsort(_dists(v), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(idx.tolist()))
+
+    return cell_of, probe_cells
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    fit_sample: int = 10_000,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """Corpus kNN GRAPH: approximate top-``k`` cosine neighbors for
+    EVERY vector — the primitive under SemDeDup-style clustering,
+    duplicate-cluster audits, and graph-based corpus analytics (kNN
+    graph construction is the first stage of HDBSCAN/Louvain corpus
+    maps).
+
+    Candidates come from IVF co-cell blocking: every vector is ASSIGNED
+    to its nearest coarse cell and PROBES its ``n_probe`` nearest
+    cells; vector b is a candidate neighbor of a iff cell(b) is among
+    a's probed cells (each b has exactly one cell, so no candidate is
+    generated twice).  Exact cosine ranks candidates; self-pairs are
+    excluded.  Returns (id_col, nbr_id, cos_sim, rank).
+
+    100-TB shape: unlike query serving (broadcast query side), BOTH
+    sides are corpus-volume — the join shuffles on the cell id, so
+    work per cell is |cell| x n_probe x |cell| and the corpus never
+    cross-joins.  Cell-size balance is the k-means quantizer's job;
+    a hot cell (skewed corpus) splits under AQE skew-join, the same
+    story as the LSH band buckets.  The quantizer fits ONCE on a
+    bounded driver sample (or arrives precomputed via ``centroids`` —
+    an index-build pipeline persists it; the ivfpq serving rung's
+    discipline applies)."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = ivf_fit_centroids(
+            corpus, n_clusters, fit_sample, n_iter, vec_col, seed, id_col
+        )
+    cell_of, probe_cells = _coarse_assign_udfs(centroids, n_probe)
+
+    base = spread_small_scan(corpus).select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__n")
+    )
+    assigned = base.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("__bv"),
+        F.col("__n").alias("__bn"),
+        cell_of(F.col(vec_col)).alias("__cell"),
+    )
+    probing = base.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__av"),
+        F.col("__n").alias("__an"),
+        F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
+    )
+    scored = (
+        probing.join(assigned, "__cell")
+        .filter(F.col(id_col) != F.col("nbr_id"))
+        .select(
+            F.col(id_col),
+            "nbr_id",
+            cosine_with_norms(
+                F.col("__av"), F.col("__bv"),
+                F.col("__an"), F.col("__bn"),
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "nbr_id", "cos_sim", "rank")
+    )
+
+
 def ivf_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -348,26 +457,7 @@ def ivf_knn(
             corpus, n_clusters, fit_sample, n_iter, vec_col, seed, id_col
         )
 
-    # centroid assignment as an Arrow-vectorized pandas UDF: a batch
-    # (b x dim) @ centroid matmul replaces 2*n_clusters interpreted
-    # higher-order-function lambdas per row — this is the sanctioned
-    # Pandas-UDF case (built-in column algebra can't express the matmul)
-    from pyspark.sql.functions import pandas_udf
-
-    C = centroids  # (n_clusters x dim), closure-captured (tiny)
-
-    def _dists(series: "pd.Series") -> "np.ndarray":
-        x = np.stack(series.to_numpy())
-        return ((x[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-
-    @pandas_udf("int")
-    def cell_of(v: pd.Series) -> pd.Series:
-        return pd.Series(_dists(v).argmin(axis=1))
-
-    @pandas_udf("array<int>")
-    def probe_cells(v: pd.Series) -> pd.Series:
-        idx = np.argsort(_dists(v), axis=1, kind="stable")[:, :n_probe]
-        return pd.Series(list(idx.tolist()))
+    cell_of, probe_cells = _coarse_assign_udfs(centroids, n_probe)
 
     c = spread_small_scan(corpus).select(
         F.col(id_col),

@@ -234,7 +234,8 @@ def test_curate_from_crawl_end_to_end(spark, tmp_path_factory):
         pages.append(
             (f"<urn:c:{i}>", f"https://site/{i}",
              "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-             "<html><body><div>shared nav bar</div>"
+             "<html><body><div><a href='/'>shared</a> <a href='/n'>nav"
+             " bar</a></div>"
              f"<p>{body}</p>"
              "<footer>shared footer line</footer></body></html>")
         )
@@ -271,6 +272,15 @@ def test_curate_from_crawl_end_to_end(spark, tmp_path_factory):
     assert sum("shared footer line" in t for t in texts) == 1
     assert all("404" not in (r["target_uri"] or "") for r in rows)
     assert all("bin" not in (r["target_uri"] or "") for r in rows)
+
+    # with the link-density stage, a link-only nav is dropped WITHIN
+    # each page (before any cross-page dedup can see it)
+    out2 = curate_from_crawl(
+        spark, warc_dir, min_quality=0.0, lang="en",
+        max_link_density=0.3,
+    )
+    texts2 = [r["text"] for r in out2.collect()]
+    assert sum("page number" in t for t in texts2) == 8
 
 
 def test_block_stats_and_link_density(spark):

@@ -373,3 +373,74 @@ def test_curate_corpus_semantic_composes(spark):
     kept = sorted(r["doc_id"] for r in out.collect())
     # 0~1 collapse to 0; 2 junk; 3 survives (its twin was junk); 4 kept
     assert kept == [0, 3, 4]
+
+
+def test_knn_graph_recall_on_clustered_corpus(spark):
+    """kNN-graph recall vs the exact graph on a clustered corpus: with
+    a fitted quantizer and n_probe=3 of 8 cells, the top-5 neighbor
+    sets must overlap the exact ones >= 0.9 on average, self-pairs are
+    absent, and every vector gets exactly k rows."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.similarity import (
+        cosine_with_norms,
+        ivf_fit_centroids,
+        knn_graph,
+        l2_norm,
+    )
+
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((8, 16)) * 5.0
+    vecs = []
+    for i in range(400):
+        c = centers[i % 8]
+        vecs.append((c + rng.standard_normal(16) * 0.4).astype(np.float32))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(400), "embedding": [v.tolist() for v in vecs]}
+        )
+    )
+    cents = ivf_fit_centroids(corpus, 8, fit_sample=400, n_iter=10)
+    approx = knn_graph(corpus, k=5, n_probe=3, centroids=cents)
+    rows = approx.collect()
+    assert all(r["vec_id"] != r["nbr_id"] for r in rows)
+    per_vec = {}
+    for r in rows:
+        per_vec.setdefault(r["vec_id"], set()).add(r["nbr_id"])
+    assert all(len(s) == 5 for s in per_vec.values())
+
+    # exact graph via self cross-join (fine at 400 vectors)
+    a = corpus.select(
+        F.col("vec_id"), F.col("embedding").alias("av"),
+        l2_norm(F.col("embedding")).alias("an"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("bv"),
+        l2_norm(F.col("embedding")).alias("bn"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cs").desc(), F.col("nbr_id").asc()
+    )
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .select(
+            "vec_id", "nbr_id",
+            cosine_with_norms(
+                F.col("av"), F.col("bv"), F.col("an"), F.col("bn")
+            ).alias("cs"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    )
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["vec_id"], set()).add(r["nbr_id"])
+    recalls = [
+        len(per_vec[v] & exact_sets[v]) / 5 for v in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9
