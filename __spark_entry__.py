@@ -3544,6 +3544,46 @@ def html_block_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_block_stats(synthesize_html_corpus(d))
 
 
+def url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + crawl URL-level dedup under the hash
+    gate (round 10): every document gets one of four deterministic URL
+    variants of the same target page (plain; uppercased host with
+    default port and fragment; utm-tracking query; tracking + a REAL
+    query param that must survive) — canonicalization must collapse
+    the first three variant classes per (source, page) group and keep
+    the lowest id, while the ?ref= variant keeps its own canonical.
+    The oracle builds both the variant URL and the EXPECTED canonical
+    closed-form (never replaying the regex rules) and replays the
+    keep-first."""
+    from riskloc_spark.operators.dedup import url_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = F.concat(F.lit("www."), F.col("source"), F.lit(".example.com"))
+    path = F.concat(F.lit("/page/"), (did % 100).cast("string"))
+    url = (
+        F.when(did % 4 == 0, F.concat(F.lit("https://"), base, path))
+        .when(
+            did % 4 == 1,
+            F.concat(F.lit("HTTPS://"), F.upper(base), F.lit(":443"),
+                     path, F.lit("#top")),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(F.lit("https://"), base, path,
+                     F.lit("?utm_source=x")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), base, path,
+                     F.lit("?utm_campaign=y&ref="), F.col("lang")),
+        )
+    )
+    framed = d.select("doc_id", url.alias("target_uri"))
+    return url_dedup(framed).select(
+        "doc_id", "target_uri", "canonical_url"
+    )
+
+
 def knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus kNN GRAPH (round 10) under the hash gate: top-5
     cosine neighbors for EVERY embedding via IVF co-cell blocking —
@@ -3643,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_records": warc_records_q,
         "html_block_stats": html_block_stats_q,
         "knn_graph": knn_graph_q,
+        "url_dedup": url_dedup_q,
         "quality_classifier": quality_classifier_q,
     # ---- newest driver record is round 7 ----
         "squeeze_clusters_auto": squeeze_clusters_auto_q,
@@ -7473,6 +7514,39 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(),
         "knn_lsh": _knn_lsh_sql(),
         "knn_ivf": _knn_ivf_sql(),
+        # closed-form canonical construction + keep-first replay: the
+        # canonicalization rules themselves are never re-run in SQL
+        "url_dedup": """
+            WITH framed AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 4 = 0
+                       THEN 'https://www.' || source
+                            || '.example.com/page/' || (doc_id % 100)
+                     WHEN doc_id % 4 = 1
+                       THEN 'HTTPS://'
+                            || upper('www.' || source || '.example.com')
+                            || ':443/page/' || (doc_id % 100) || '#top'
+                     WHEN doc_id % 4 = 2
+                       THEN 'https://www.' || source
+                            || '.example.com/page/' || (doc_id % 100)
+                            || '?utm_source=x'
+                     ELSE 'https://www.' || source
+                          || '.example.com/page/' || (doc_id % 100)
+                          || '?utm_campaign=y&ref=' || lang
+                END AS target_uri,
+                'https://www.' || source || '.example.com/page/'
+                  || (doc_id % 100)
+                  || CASE WHEN doc_id % 4 = 3 THEN '?ref=' || lang
+                          ELSE '' END AS canonical_url
+              FROM documents
+            ),
+            keep AS (
+              SELECT min(doc_id) AS doc_id FROM framed
+              GROUP BY canonical_url
+            )
+            SELECT f.doc_id, f.target_uri, f.canonical_url
+            FROM framed f JOIN keep USING (doc_id)
+        """,
         # knn_graph: the ivf twin with the corpus on BOTH sides of the
         # cell join (every vector probes its 6 nearest seed cells) and
         # self-pairs excluded

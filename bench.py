@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     # round-10 ingestion surface: crawl -> documents
     "html_extract",
     "html_block_stats",
+    "url_dedup",
     "warc_records",
     "quality_classifier",
     "audio_meta",

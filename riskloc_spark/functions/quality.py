@@ -715,3 +715,48 @@ def filter_blocked_domains(
         ),
     )
     return df.filter(~hit)
+
+
+# tracking parameters stripped by canonicalize_url: the C4/crawl-dedup
+# convention (utm_* family + the big click-id params).  The replacement
+# rules below are Java-regex-side only (the gate's oracle builds the
+# expected canonical CLOSED-FORM, never replaying these), so $1-style
+# group references are safe here — same carve-out as html._INVISIBLE.
+_TRACKING_PARAM = r"(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid)"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL for crawl-level dedup: fragment removed,
+    scheme and host lowercased, default ports stripped (:80 for http,
+    :443 for https), tracking query parameters removed (with separator
+    tidy-up), a dangling '?' and a bare trailing slash dropped.  Pure
+    column algebra, engine-parity by construction — the gate's oracle
+    builds the EXPECTED canonical closed-form rather than replaying
+    these rules."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    # lowercase scheme://host[:port] (everything before path/query)
+    pre = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    u = F.when(pre == "", u).otherwise(
+        F.concat(F.lower(pre), F.substring(u, F.length(pre) + 1, F.length(u)))
+    )
+    # default ports (after lowercasing, so the scheme test is exact)
+    u = F.when(
+        u.startswith("http://"),
+        F.regexp_replace(u, r"^(http://[^/:?#]*):80(/|\?|$)", "$1$2"),
+    ).otherwise(u)
+    u = F.when(
+        u.startswith("https://"),
+        F.regexp_replace(u, r"^(https://[^/:?#]*):443(/|\?|$)", "$1$2"),
+    ).otherwise(u)
+    # tracking params: non-first, first-with-successor, lone
+    u = F.regexp_replace(u, r"&" + _TRACKING_PARAM + r"=[^&]*", "")
+    u = F.regexp_replace(u, r"\?" + _TRACKING_PARAM + r"=[^&]*&", "?")
+    u = F.regexp_replace(u, r"\?" + _TRACKING_PARAM + r"=[^&]*$", "")
+    u = F.regexp_replace(u, r"\?$", "")
+    # bare trailing slash: stripped unless it is the root slash right
+    # after scheme://host (query-bearing URLs never end in '/': the
+    # rules above only remove trailing query text)
+    return F.when(
+        u.endswith("/") & (F.length(u) > F.length(F.lower(pre)) + 1),
+        F.substring(u, F.lit(1), F.length(u) - 1),
+    ).otherwise(u)

@@ -1030,3 +1030,31 @@ def frequent_ngrams(
         )
         .limit(int(top_k))
     )
+
+
+def url_dedup(
+    df: DataFrame, uri_col: str = "target_uri", id_col: str = "doc_id"
+) -> DataFrame:
+    """Crawl URL-level dedup: keep the lowest-id document per CANONICAL
+    URL (functions/quality.canonicalize_url — fragment / tracking-param
+    / case / default-port variants collapse) — the stage a crawl
+    pipeline runs BEFORE any content dedup, since the same page
+    refetched under a tracking link is dropped without touching its
+    text.  Same shape as exact_dedup: one groupBy-min exchange on the
+    canonical key + a semi-join back; rows with a NULL uri are kept
+    (nothing to key on).  The kept frame carries ``canonical_url``."""
+    from riskloc_spark.functions.quality import canonicalize_url
+
+    keyed = df.withColumn(
+        "canonical_url", canonicalize_url(F.col(uri_col))
+    )
+    with_key = keyed.filter(F.col("canonical_url").isNotNull())
+    keep = (
+        with_key.select(F.col(id_col), "canonical_url")
+        .groupBy("canonical_url")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    kept = with_key.join(keep.select(id_col), on=id_col, how="inner")
+    return kept.unionByName(
+        keyed.filter(F.col("canonical_url").isNull())
+    )

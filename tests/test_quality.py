@@ -352,3 +352,54 @@ def test_url_extraction_and_blocklist(spark):
         .toString()
     )
     assert plan.count("Exchange") == 0
+
+
+def test_canonicalize_url_rules(spark):
+    """Fragment, case, default ports, tracking params (first / middle /
+    last / only), dangling '?', trailing slash; non-URLs pass through
+    mostly untouched."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.functions.quality import canonicalize_url
+
+    cases = {
+        "HTTPS://WWW.Ex.COM:443/P/3/?utm_source=f&q=en&utm_campaign=x#z":
+            "https://www.ex.com/P/3/?q=en",
+        "http://Site.org:80/a?gclid=123": "http://site.org/a",
+        "http://site.org:8080/a": "http://site.org:8080/a",
+        "http://site.org/a/": "http://site.org/a",
+        "https://site.org/": "https://site.org/",
+        "https://site.org/a?q=1&fbclid=zz&r=2":
+            "https://site.org/a?q=1&r=2",
+        "https://site.org/a?utm_a=1&utm_b=2": "https://site.org/a",
+        "https://site.org/a?ref=keep&utm_x=1":
+            "https://site.org/a?ref=keep",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = {
+        r["u"]: r["c"]
+        for r in df.select(
+            "u", canonicalize_url(F.col("u")).alias("c")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_url_dedup_keep_first_and_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.dedup import url_dedup
+
+    rows = [
+        (0, "https://a.example/x"),
+        (1, "HTTPS://A.Example:443/x#frag"),      # same canonical as 0
+        (2, "https://a.example/x?utm_source=t"),  # same canonical as 0
+        (3, "https://a.example/y"),
+        (4, None),                                # no key -> kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, target_uri string")
+    kept = {r["doc_id"]: r["canonical_url"]
+            for r in url_dedup(df).collect()}
+    assert set(kept) == {0, 3, 4}
+    assert kept[0] == "https://a.example/x"
+    assert kept[4] is None
