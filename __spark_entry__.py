@@ -3544,6 +3544,28 @@ def html_block_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_block_stats(synthesize_html_corpus(d))
 
 
+def sentence_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based sentence splitting under the hash gate (round 10):
+    each document is framed as four known sentences (period / bang /
+    question boundaries, digits and an upper-case continuation after
+    each, the raw corpus text as the uncapitalized-safe tail), and the
+    oracle enumerates the EXPECTED sentences closed-form — the
+    boundary pattern itself (Java lookaround) is never replayed."""
+    from riskloc_spark.functions.text import split_sentences
+
+    d = load_table(spark, sf_dir, "documents")
+    framed = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Alpha about "), F.col("source"),
+            F.lit(". It has "), F.col("n_chars").cast("string"),
+            F.lit(" things! Is "), F.col("lang"),
+            F.lit(" fine? Then "), F.col("text"),
+        ).alias("text"),
+    )
+    return split_sentences(framed)
+
+
 def url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + crawl URL-level dedup under the hash
     gate (round 10): every document gets one of four deterministic URL
@@ -3684,6 +3706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_block_stats": html_block_stats_q,
         "knn_graph": knn_graph_q,
         "url_dedup": url_dedup_q,
+        "sentence_split": sentence_split_q,
         "quality_classifier": quality_classifier_q,
     # ---- newest driver record is round 7 ----
         "squeeze_clusters_auto": squeeze_clusters_auto_q,
@@ -7514,6 +7537,27 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(),
         "knn_lsh": _knn_lsh_sql(),
         "knn_ivf": _knn_ivf_sql(),
+        # the four framed sentences enumerated closed-form (the
+        # lookaround boundary is never replayed); the tail sentence
+        # carries the raw corpus text
+        "sentence_split": """
+            WITH cand AS (
+              SELECT doc_id, unnest([
+                struct_pack(i := 0,
+                            s := 'Alpha about ' || source || '.'),
+                struct_pack(i := 1,
+                            s := 'It has ' || n_chars || ' things!'),
+                struct_pack(i := 2, s := 'Is ' || lang || ' fine?'),
+                struct_pack(i := 3, s := 'Then ' || text)
+              ]) AS b
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(b.i AS INT) AS sent_idx,
+                   b.s AS sentence,
+                   CAST(length(b.s) AS BIGINT) AS n_chars
+            FROM cand
+        """,
         # closed-form canonical construction + keep-first replay: the
         # canonicalization rules themselves are never re-run in SQL
         "url_dedup": """

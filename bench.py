@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "frequent_ngrams",
     "token_budget_sample",
     "text_normalize",
+    "sentence_split",
     "corpus_chunks",
     "jsonl_roundtrip",
     # round-10 ingestion surface: crawl -> documents

@@ -121,3 +121,36 @@ def test_token_count_null_matches_duckdb_twin(spark):
         FROM t
     """).fetchall())
     assert got == want == {1: 0, 2: 0, 3: 0, 4: 3}
+
+
+def test_split_sentences_rules(spark):
+    from riskloc_spark.functions.text import split_sentences
+
+    df = spark.createDataFrame(
+        [(1, 'One here. Two has 3! Three? "Quoted." And 3.5 stays. '
+             'lowercase continuation stays too.'),
+         (2, "   "),
+         (3, "No terminal punctuation at all")],
+        "doc_id long, text string",
+    )
+    rows = split_sentences(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["sent_idx"], r["sentence"])
+        )
+    s1 = [s for _, s in sorted(by_doc[1])]
+    assert s1 == [
+        "One here.",
+        "Two has 3!",
+        "Three?",
+        # quote-FINAL sentences don't split (lookbehind sees the quote,
+        # not the period — a stated seam), decimals and lower-case
+        # continuations stay joined
+        '"Quoted." And 3.5 stays. lowercase continuation stays too.',
+    ]
+    assert 2 not in by_doc  # whitespace-only: no sentences
+    assert [s for _, s in sorted(by_doc[3])] == [
+        "No terminal punctuation at all"
+    ]
+    assert all(r["n_chars"] == len(r["sentence"]) for r in rows)
