@@ -728,35 +728,95 @@ _TRACKING_PARAM = r"(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid)"
 def canonicalize_url(url: Column) -> Column:
     """Canonical form of a URL for crawl-level dedup: fragment removed,
     scheme and host lowercased, default ports stripped (:80 for http,
-    :443 for https), tracking query parameters removed (with separator
-    tidy-up), a dangling '?' and a bare trailing slash dropped.  Pure
-    column algebra, engine-parity by construction — the gate's oracle
-    builds the EXPECTED canonical closed-form rather than replaying
-    these rules."""
+    :443 for https — the anchored regexes only match their scheme, so
+    no conditional wrapper is needed), tracking query parameters
+    removed (with separator tidy-up), a dangling '?' and a bare
+    trailing slash dropped.
+
+    SINGLE-EXPRESSION form — tests and small frames only.  The
+    when/otherwise stages reference their input several times and CASE
+    branches get no common-subexpression elimination, so the nested
+    regex chain multiplies out (~8s for 5k rows when the r10 gate ran
+    it inline).  Corpus-volume paths use ``canonicalize_urls`` (the
+    df-staged twin; equality is test-pinned)."""
     u = F.regexp_replace(url, r"#.*$", "")
-    # lowercase scheme://host[:port] (everything before path/query)
     pre = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     u = F.when(pre == "", u).otherwise(
         F.concat(F.lower(pre), F.substring(u, F.length(pre) + 1, F.length(u)))
     )
-    # default ports (after lowercasing, so the scheme test is exact)
-    u = F.when(
-        u.startswith("http://"),
-        F.regexp_replace(u, r"^(http://[^/:?#]*):80(/|\?|$)", "$1$2"),
-    ).otherwise(u)
-    u = F.when(
-        u.startswith("https://"),
-        F.regexp_replace(u, r"^(https://[^/:?#]*):443(/|\?|$)", "$1$2"),
-    ).otherwise(u)
-    # tracking params: non-first, first-with-successor, lone
+    u = F.regexp_replace(u, r"^(http://[^/:?#]*):80(/|\?|$)", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]*):443(/|\?|$)", "$1$2")
     u = F.regexp_replace(u, r"&" + _TRACKING_PARAM + r"=[^&]*", "")
     u = F.regexp_replace(u, r"\?" + _TRACKING_PARAM + r"=[^&]*&", "?")
     u = F.regexp_replace(u, r"\?" + _TRACKING_PARAM + r"=[^&]*$", "")
     u = F.regexp_replace(u, r"\?$", "")
-    # bare trailing slash: stripped unless it is the root slash right
-    # after scheme://host (query-bearing URLs never end in '/': the
-    # rules above only remove trailing query text)
     return F.when(
-        u.endswith("/") & (F.length(u) > F.length(F.lower(pre)) + 1),
+        u.endswith("/")
+        & (
+            F.length(u)
+            > F.length(
+                F.regexp_extract(
+                    u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1
+                )
+            )
+            + 1
+        ),
         F.substring(u, F.lit(1), F.length(u) - 1),
     ).otherwise(u)
+
+
+def canonicalize_urls(
+    df: DataFrame, uri_col: str, out_col: str = "canonical_url"
+) -> DataFrame:
+    """Staged (df-level) URL canonicalization — the corpus-volume form:
+    each multi-referenced intermediate is a NAMED column, so every rule
+    evaluates once per row instead of the single-expression form's
+    multiplied CASE branches (the no-CSE discipline of
+    langid._gram_rows / dedup.shingle_tokens, applied to CASE/when).
+    Rules identical to ``canonicalize_url``; equality is test-pinned.
+    NULL uris yield a NULL canonical."""
+    u0 = F.regexp_replace(F.col(uri_col), r"#.*$", "")
+    s1 = df.withColumns(
+        {
+            "__u0": u0,
+            "__pre": F.regexp_extract(
+                u0, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1
+            ),
+        }
+    )
+    lowered = F.when(F.col("__pre") == "", F.col("__u0")).otherwise(
+        F.concat(
+            F.lower(F.col("__pre")),
+            F.substring(
+                F.col("__u0"),
+                F.length(F.col("__pre")) + 1,
+                F.length(F.col("__u0")),
+            ),
+        )
+    )
+    chain = F.regexp_replace(
+        lowered, r"^(http://[^/:?#]*):80(/|\?|$)", "$1$2"
+    )
+    chain = F.regexp_replace(
+        chain, r"^(https://[^/:?#]*):443(/|\?|$)", "$1$2"
+    )
+    chain = F.regexp_replace(chain, r"&" + _TRACKING_PARAM + r"=[^&]*", "")
+    chain = F.regexp_replace(
+        chain, r"\?" + _TRACKING_PARAM + r"=[^&]*&", "?"
+    )
+    chain = F.regexp_replace(
+        chain, r"\?" + _TRACKING_PARAM + r"=[^&]*$", ""
+    )
+    chain = F.regexp_replace(chain, r"\?$", "")
+    s2 = s1.withColumn("__u1", chain)
+    final = F.when(
+        F.col("__u1").endswith("/")
+        & (
+            F.length(F.col("__u1"))
+            > F.length(F.lower(F.col("__pre"))) + 1
+        ),
+        F.substring(
+            F.col("__u1"), F.lit(1), F.length(F.col("__u1")) - 1
+        ),
+    ).otherwise(F.col("__u1"))
+    return s2.withColumn(out_col, final).drop("__u0", "__pre", "__u1")

@@ -1043,11 +1043,9 @@ def url_dedup(
     text.  Same shape as exact_dedup: one groupBy-min exchange on the
     canonical key + a semi-join back; rows with a NULL uri are kept
     (nothing to key on).  The kept frame carries ``canonical_url``."""
-    from riskloc_spark.functions.quality import canonicalize_url
+    from riskloc_spark.functions.quality import canonicalize_urls
 
-    keyed = df.withColumn(
-        "canonical_url", canonicalize_url(F.col(uri_col))
-    )
+    keyed = canonicalize_urls(df, uri_col)
     with_key = keyed.filter(F.col("canonical_url").isNotNull())
     keep = (
         with_key.select(F.col(id_col), "canonical_url")

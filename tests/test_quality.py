@@ -403,3 +403,33 @@ def test_url_dedup_keep_first_and_nulls(spark):
     assert set(kept) == {0, 3, 4}
     assert kept[0] == "https://a.example/x"
     assert kept[4] is None
+
+
+def test_canonicalize_staged_equals_expression_form(spark):
+    """canonicalize_urls (staged, corpus-volume) must equal
+    canonicalize_url (single expression) on every rule case."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.functions.quality import (
+        canonicalize_url,
+        canonicalize_urls,
+    )
+
+    cases = [
+        "HTTPS://WWW.Ex.COM:443/P/3/?utm_source=f&q=en&utm_campaign=x#z",
+        "http://Site.org:80/a?gclid=123",
+        "http://site.org:8080/a",
+        "http://site.org/a/",
+        "https://site.org/",
+        "https://site.org/a?q=1&fbclid=zz&r=2",
+        "https://site.org/a?utm_a=1&utm_b=2",
+        "https://site.org/a?ref=keep&utm_x=1",
+        "not a url at all/",
+        None,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "u string")
+    expr = {r["u"]: r["c"] for r in df.select(
+        "u", canonicalize_url(F.col("u")).alias("c")).collect()}
+    staged = {r["u"]: r["canonical_url"] for r in
+              canonicalize_urls(df, "u").collect()}
+    assert expr == staged
