@@ -455,6 +455,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp2.add_argument("--keep-boilerplate", action="store_true")
 
     sp2 = psub.add_parser(
+        "url-dedup",
+        help="canonicalize URLs (fragments/case/ports/tracking params) "
+        "and keep the first document per canonical URL",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--uri-col", default="target_uri")
+
+    sp2 = psub.add_parser(
+        "sentences",
+        help="rule-based sentence splitting: one row per sentence with "
+        "dense indices",
+    )
+    pcommon(sp2)
+
+    sp2 = psub.add_parser(
         "classify",
         help="hashed char-n-gram NB: fit on --label-col over the "
         "--train-mod id split, score every document",
@@ -682,6 +697,14 @@ def run_pipeline(spark, args) -> dict:
             lang=args.lang or None,
             drop_boilerplate=not args.keep_boilerplate,
         )
+    elif op == "url-dedup":
+        from riskloc_spark.operators.dedup import url_dedup
+
+        out = url_dedup(df, uri_col=args.uri_col)
+    elif op == "sentences":
+        from riskloc_spark.functions.text import split_sentences
+
+        out = split_sentences(df)
     elif op == "classify":
         from pyspark.sql import functions as F
 

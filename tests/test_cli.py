@@ -643,3 +643,37 @@ def test_cli_pipeline_html_warc_classify(spark, tmp_path):
     crawled = spark.read.parquet(out4)
     assert crawled.count() > 0
     assert "text" in crawled.columns and "quality" in crawled.columns
+
+
+def test_cli_pipeline_url_dedup_and_sentences(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "https://a.example/x", "One two. Three four! rest here"),
+         (1, "HTTPS://A.Example:443/x#f", "short text."),
+         (2, "https://a.example/y?utm_source=t", "Another doc. Fine!")],
+        "doc_id long, target_uri string, text string",
+    ).write.parquet(src)
+
+    out1 = str(tmp_path / "urldedup")
+    r = subprocess.run(
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "url-dedup", src, "--output", out1, "--cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    kept = {r2["doc_id"]: r2["canonical_url"]
+            for r2 in spark.read.parquet(out1).collect()}
+    assert set(kept) == {0, 2}
+    assert kept[2] == "https://a.example/y"
+
+    out2 = str(tmp_path / "sents")
+    r = subprocess.run(
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "sentences", src, "--output", out2, "--cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = spark.read.parquet(out2).collect()
+    s0 = sorted((r2["sent_idx"], r2["sentence"])
+                for r2 in rows if r2["doc_id"] == 0)
+    assert [s for _, s in s0] == ["One two.", "Three four! rest here"]
