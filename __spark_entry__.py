@@ -3548,19 +3548,30 @@ def sentence_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-based sentence splitting under the hash gate (round 10):
     each document is framed as four known sentences (period / bang /
     question boundaries, digits and an upper-case continuation after
-    each, the raw corpus text as the uncapitalized-safe tail), and the
-    oracle enumerates the EXPECTED sentences closed-form — the
-    boundary pattern itself (Java lookaround) is never replayed."""
+    each, the corpus text as the tail), and the oracle enumerates the
+    EXPECTED sentences closed-form — the boundary pattern itself (Java
+    lookaround) is never replayed.  The tail is SANITIZED on both
+    sides (r10 advisory): every [.!?]+whitespace run is collapsed to a
+    single space and trailing whitespace dropped, so no boundary can
+    fire inside the tail on ANY corpus text (the boundary also
+    triggers before digits/quotes, so 'uncapitalized-safe' alone is
+    not enough) — the html_block_stats newline-flatten discipline."""
     from riskloc_spark.functions.text import split_sentences
 
     d = load_table(spark, sf_dir, "documents")
+    tail = F.regexp_replace(
+        F.regexp_replace(
+            F.col("text"), r"[.!?]+[ \t\n\x0B\f\r]+", " "
+        ),
+        r"[ \t\n\x0B\f\r]+$", "",
+    )
     framed = d.select(
         "doc_id",
         F.concat(
             F.lit("Alpha about "), F.col("source"),
             F.lit(". It has "), F.col("n_chars").cast("string"),
             F.lit(" things! Is "), F.col("lang"),
-            F.lit(" fine? Then "), F.col("text"),
+            F.lit(" fine? Then "), tail,
         ).alias("text"),
     )
     return split_sentences(framed)
@@ -7542,7 +7553,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _knn_ivf_sql(),
         # the four framed sentences enumerated closed-form (the
         # lookaround boundary is never replayed); the tail sentence
-        # carries the raw corpus text
+        # carries the corpus text with the SAME sanitize as the Spark
+        # side ([.!?]+ws collapsed, trailing ws dropped) so no further
+        # boundary can fire in it — not a replay of the lookaround,
+        # just the shared framing
         "sentence_split": """
             WITH cand AS (
               SELECT doc_id, unnest([
@@ -7551,7 +7565,10 @@ def oracle_sql() -> dict[str, str]:
                 struct_pack(i := 1,
                             s := 'It has ' || n_chars || ' things!'),
                 struct_pack(i := 2, s := 'Is ' || lang || ' fine?'),
-                struct_pack(i := 3, s := 'Then ' || text)
+                struct_pack(i := 3, s := 'Then ' || regexp_replace(
+                  regexp_replace(text,
+                                 '[.!?]+[ \t\n\x0B\f\r]+', ' ', 'g'),
+                  '[ \t\n\x0B\f\r]+$', ''))
               ]) AS b
               FROM documents
             )

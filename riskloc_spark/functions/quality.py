@@ -808,15 +808,27 @@ def canonicalize_urls(
         chain, r"\?" + _TRACKING_PARAM + r"=[^&]*$", ""
     )
     chain = F.regexp_replace(chain, r"\?$", "")
-    s2 = s1.withColumn("__u1", chain)
+    # The trailing-slash test must use the prefix of the PORT-STRIPPED
+    # url (__u1), not __pre (extracted before :80/:443 removal) — with
+    # the pre-strip prefix, 'http://site.org:80/a/' keeps its slash
+    # while the expression form strips it, so url_dedup would miss
+    # default-port/plain duplicate pairs.  Stage it once (no-CSE).
+    s2 = s1.withColumn("__u1", chain).withColumn(
+        "__pre2",
+        F.regexp_extract(
+            F.col("__u1"), r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1
+        ),
+    )
     final = F.when(
         F.col("__u1").endswith("/")
         & (
             F.length(F.col("__u1"))
-            > F.length(F.lower(F.col("__pre"))) + 1
+            > F.length(F.col("__pre2")) + 1
         ),
         F.substring(
             F.col("__u1"), F.lit(1), F.length(F.col("__u1")) - 1
         ),
     ).otherwise(F.col("__u1"))
-    return s2.withColumn(out_col, final).drop("__u0", "__pre", "__u1")
+    return s2.withColumn(out_col, final).drop(
+        "__u0", "__pre", "__pre2", "__u1"
+    )

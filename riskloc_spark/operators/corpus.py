@@ -215,7 +215,16 @@ def curate_from_crawl(
         recs.filter(F.col("warc_type") == "response")
     ).filter(
         (F.col("http_status") == 200)
-        & F.col("content_type").startswith("text/html")
+        # real crawls carry 'Text/HTML' / 'TEXT/HTML' — HTTP header
+        # values are case-insensitive, so lowercase before matching
+        & F.lower(F.col("content_type")).startswith("text/html")
+        # bodies the server compressed (Content-Encoding: gzip/br)
+        # would reach html_to_text as mojibake after the UTF-8 cast
+        # in http_response_parts — drop them here (stated seam there)
+        & (
+            F.col("content_encoding").isNull()
+            | F.lower(F.col("content_encoding")).isin("identity", "")
+        )
     )
     keyed = parts.select(
         F.xxhash64("warc_file", "record_offset").alias("doc_id"),

@@ -246,10 +246,18 @@ def write_warc(
 
 def http_response_parts(df: DataFrame) -> DataFrame:
     """Split HTTP-response payloads into (http_status, content_type,
-    body): the standard post-read stage for response records.  Pure
-    column algebra over the binary payload cast to string — the header
-    block ends at the first blank line; a payload with no blank line
-    yields a NULL body (malformed response)."""
+    content_encoding, body): the standard post-read stage for response
+    records.  Pure column algebra over the binary payload cast to
+    string — the header block ends at the first blank line; a payload
+    with no blank line yields a NULL body (malformed response).
+
+    Stated production seams (alongside the module seams at the top):
+    the binary→string cast assumes UTF-8 — latin-1/shift-jis bodies
+    get replacement chars (a charset-sniffing decode per the page's
+    meta/BOM would go behind mapInPandas, like the codecs), and a
+    Content-Encoding: gzip/br body passes through as mojibake 'text'.
+    ``content_encoding`` is surfaced exactly so downstream consumers
+    can drop compressed responses — curate_from_crawl does."""
     s = F.col("payload").cast("string")
     split_at = F.instr(s, "\r\n\r\n")
     head = F.when(split_at > 0, s.substr(F.lit(1), split_at - 1))
@@ -261,6 +269,12 @@ def http_response_parts(df: DataFrame) -> DataFrame:
             ).cast("int"),
             "content_type": F.regexp_extract(
                 head, r"(?im)^content-type:\s*([^\r\n]+)", 1
+            ),
+            "content_encoding": F.nullif(
+                F.regexp_extract(
+                    head, r"(?im)^content-encoding:\s*([^\r\n]+)", 1
+                ),
+                F.lit(""),
             ),
             "body": body,
         }

@@ -189,9 +189,22 @@ def test_http_response_parts_malformed_payload(spark):
     rows = {r["id"]: r for r in http_response_parts(df).collect()}
     assert rows[1]["http_status"] == 404
     assert rows[1]["content_type"] == "text/plain"
+    assert rows[1]["content_encoding"] is None
     assert rows[1]["body"] == "body text"
     assert rows[2]["http_status"] is None
     assert rows[2]["body"] is None
+
+
+def test_http_response_parts_content_encoding(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"HTTP/1.1 200 OK\r\n"
+                       b"Content-Type: TEXT/HTML; charset=utf-8\r\n"
+                       b"Content-Encoding: gzip\r\n\r\n<html>x</html>"))],
+        "id long, payload binary",
+    )
+    r = http_response_parts(df).collect()[0]
+    assert r["content_type"] == "TEXT/HTML; charset=utf-8"
+    assert r["content_encoding"] == "gzip"
 
 
 def test_write_read_round_trip_exact_bytes(spark):
@@ -248,6 +261,20 @@ def test_curate_from_crawl_end_to_end(spark, tmp_path_factory):
                   "\r\n\r\n<p>gone</p>"))
     pages.append(("<urn:c:bin>", "https://site/bin",
                   "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\nPNG"))
+    # an UPPERCASE content-type must still be accepted (headers are
+    # case-insensitive; r10 advisory), and a gzip-encoded body must be
+    # dropped (would be mojibake after the UTF-8 cast)
+    pages.append(
+        ("<urn:c:uc>", "https://site/uc",
+         "HTTP/1.1 200 OK\r\nContent-Type: TEXT/HTML; charset=utf-8"
+         "\r\n\r\n<html><body><p>uppercase header page body with the "
+         "and of to in plenty stopwords</p></body></html>")
+    )
+    pages.append(
+        ("<urn:c:gz>", "https://site/gz",
+         "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+         "Content-Encoding: gzip\r\n\r\n<p>pretend-compressed bytes</p>")
+    )
     df = spark.createDataFrame(
         pages, "record_id string, target_uri string, body string"
     ).select(
@@ -272,6 +299,8 @@ def test_curate_from_crawl_end_to_end(spark, tmp_path_factory):
     assert sum("shared footer line" in t for t in texts) == 1
     assert all("404" not in (r["target_uri"] or "") for r in rows)
     assert all("bin" not in (r["target_uri"] or "") for r in rows)
+    assert sum("uppercase header page" in t for t in texts) == 1
+    assert all("pretend-compressed" not in t for t in texts)
 
     # with the link-density stage, a link-only nav is dropped WITHIN
     # each page (before any cross-page dedup can see it)

@@ -424,6 +424,12 @@ def test_canonicalize_staged_equals_expression_form(spark):
         "https://site.org/a?q=1&fbclid=zz&r=2",
         "https://site.org/a?utm_a=1&utm_b=2",
         "https://site.org/a?ref=keep&utm_x=1",
+        # default-port + trailing-slash interaction: the slash test
+        # must run against the POST-port-strip prefix (r10 advisory —
+        # the staged form used the pre-strip prefix and kept the slash)
+        "http://site.org:80/a/",
+        "https://site.org:443/ab/",
+        "HTTP://Site.ORG:80/a/",
         "not a url at all/",
         None,
     ]
@@ -433,3 +439,5 @@ def test_canonicalize_staged_equals_expression_form(spark):
     staged = {r["u"]: r["canonical_url"] for r in
               canonicalize_urls(df, "u").collect()}
     assert expr == staged
+    assert staged["http://site.org:80/a/"] == "http://site.org/a"
+    assert staged["https://site.org:443/ab/"] == "https://site.org/ab"
