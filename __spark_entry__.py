@@ -3697,152 +3697,140 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDER MATTERS: the driver's correctness window records the FIRST 50
     # keys only, ROTATED each round so every hash gate accumulates
-    # driver-recorded greens.  Round 10 leads with the 14 never-recorded
-    # gates (the 7 window-overflow carryovers VERDICT r9 #2 named, plus
-    # the seven new round-10 gates), then the 9 gates whose newest
-    # record is round 7, then every gate whose operator changed this
-    # round, then a stalest-first (round-8) fill — four r8-fill gates
-    # slid just past the cutoff as the late round-10 gates landed (all
-    # driver-recorded green in r8).  Round-9-recorded gates sit past
-    # the window; rows-only queries last.
-    # ---- never driver-recorded: the 7 carried from round 9 + the 7
-    # new round-10 gates (html extract + block stats, warc, knn graph,
-    # url dedup, sentence split, classifier) ----
-        "url_domains": url_domains_q,
-        "jsonl_roundtrip": jsonl_roundtrip_q,
-        "frequent_ngrams": frequent_ngrams_q,
-        "token_budget_sample": token_budget_sample_q,
-        "events_rolling": events_rolling_q,
-        "events_asof_tolerance": events_asof_tolerance_q,
-        "events_asof_forward": events_asof_forward_q,
-        "html_extract": html_extract_q,
-        "warc_records": warc_records_q,
-        "html_block_stats": html_block_stats_q,
-        "knn_graph": knn_graph_q,
-        "url_dedup": url_dedup_q,
-        "sentence_split": sentence_split_q,
-        "quality_classifier": quality_classifier_q,
-    # ---- newest driver record is round 7 ----
-        "squeeze_clusters_auto": squeeze_clusters_auto_q,
-        "squeeze_auto_edges": squeeze_auto_edges_q,
-        "squeeze_cluster_stats": squeeze_cluster_stats_q,
-        "squeeze_derived_cluster_stats": squeeze_derived_cluster_stats_q,
-        "autoroot_nps": autoroot_nps_q,
-        "hotspot_element_stats": hotspot_element_stats_q,
-        "q4_priority_semi": q4_priority_semi,
-        "q_customers_without_orders": q_customers_without_orders,
-        "events_rollup": events_rollup,
-    # ---- operators changed this round (langid staged explode,
-    # trigram guard, audio synth/empty-chunk, token_count null,
-    # ingest-gate staging) ----
-        "langid_pred": langid_pred_q,
-        "text_trigram_lm": text_trigram_lm_q,
-        "audio_meta": audio_meta_q,
-        "audio_features": audio_features_q,
-        "audio_resample": audio_resample_q,
-        "audio_frames": audio_frames_q,
-        "streaming_ingest_dedup": streaming_ingest_dedup_q,
-        "token_stats": token_stats_q,
-        "text_stats": text_stats,
-    # ---- stalest remaining (round-8 records) fill to the 50-cutoff ----
-        "robustspot_supports": robustspot_supports_q,
-        "robustspot_round0": robustspot_round0_q,
-        "robustspot_round1": robustspot_round1_q,
-        "robustspot_round0_derived": robustspot_round0_derived_q,
-        "robustspot_ca": robustspot_ca_q,
-        "evaluation_f1": evaluation_f1_q,
-        "q1_pricing_summary": q1_pricing_summary,
-        "rca_frame": rca_frame,
-        "rca_scores": rca_scores,
-        "rca_derived_scores": rca_derived_scores,
-        "adtributor_elements": adtributor_elements,
-        "dedup_exact": dedup_exact_q,
-        "knn_bruteforce": knn_bruteforce_q,
-        "knn_pq": knn_pq_q,
-        "knn_ivfpq": knn_ivfpq_q,
-        "media_features": media_features_q,
-        "streaming_kpi": streaming_kpi_q,
-        "streaming_near_dup": streaming_near_dup_q,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q_top_customers_per_nation": q_top_customers_per_nation,
-    # ---- driver window cutoff (50): everything below is oracled and
-    # driver-recorded green in round 8 or 9 (unchanged operators,
-    # replayed at three scales this round), or rows-only last so they
-    # never consume a scored slot ----
+    # driver-recorded greens.  Every oracled gate has >=1 recorded green
+    # as of round 10, so round 11 rotates pure stalest-first: new
+    # round-11 gates (never recorded) lead, then the 29 gates whose
+    # newest record is round 8, then round-9-recorded gates to fill 50.
+    # Round-10-recorded gates sit past the window; rows-only last.
+    # ---- new round-11 gates (never driver-recorded) ----
+    # (inserted here as they land)
+    # ---- newest driver record is round 8 ----
+        "adtributor_candidates": adtributor_candidates_q,
+        "dataset_significance": dataset_significance_q,
+        "doc_fingerprints": doc_fingerprints,
         "events_hourly": events_hourly,
         "events_props_agg": events_props_agg,
-        "rca_partition": rca_partition,
         "lang_quality_by_source": lang_quality_by_source,
-        "doc_fingerprints": doc_fingerprints,
-        "adtributor_candidates": adtributor_candidates_q,
-        "rev_adtributor": rev_adtributor_q,
-        "dataset_significance": dataset_significance_q,
-        "robustspot_scores": robustspot_scores,
-        "media_resize_nearest": media_resize_nearest_q,
         "media_decode": media_decode_q,
-        "media_resize_bilinear": media_resize_bilinear_q,
         "media_frames": media_frames_q,
         "media_gif_decode": media_gif_decode_q,
         "media_jpeg_decode": media_jpeg_decode_q,
         "media_meta": media_meta_q,
-        "streaming_kpi_append": streaming_kpi_append_q,
-        "streaming_ewma": streaming_ewma_q,
-        "streaming_dedup": streaming_dedup_q,
+        "media_resize_bilinear": media_resize_bilinear_q,
+        "media_resize_nearest": media_resize_nearest_q,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q_top_customers_per_nation": q_top_customers_per_nation,
+        "rca_partition": rca_partition,
+        "rev_adtributor": rev_adtributor_q,
         "riskloc_first_cause": riskloc_first_cause_q,
         "riskloc_first_cause_derived": riskloc_first_cause_derived_q,
         "riskloc_two_pass": riskloc_two_pass_q,
         "riskloc_two_pass_derived": riskloc_two_pass_derived_q,
-        "squeeze_search": squeeze_search_q,
+        "robustspot_scores": robustspot_scores,
         "squeeze_clusters": squeeze_clusters_q,
-    # ---- round-9 driver records ----
-        "hotspot_search": hotspot_search_q,
-        "hotspot_search_ps": hotspot_search_ps_q,
-        "autoroot_search_fixed": autoroot_search_fixed_q,
-        "dedup_groups": dedup_groups_q,
-        "squeeze_clusters_kde": squeeze_clusters_kde_q,
-        "video_meta": video_meta_q,
-        "video_frames": video_frames_q,
-        "squeeze_search_filtered": squeeze_search_filtered_q,
-        "squeeze_search_derived": squeeze_search_derived_q,
-        "autoroot_kde_fixed": autoroot_kde_fixed_q,
+        "squeeze_search": squeeze_search_q,
+        "streaming_dedup": streaming_dedup_q,
+        "streaming_ewma": streaming_ewma_q,
+        "streaming_kpi_append": streaming_kpi_append_q,
+    # ---- newest driver record is round 9 (window fill) ----
         "adtributor_elements_derived": adtributor_elements_derived,
-        "rev_adtributor_rec": rev_adtributor_rec_q,
-        "riskloc_layer_scores": riskloc_layer_scores_q,
-        "text_normalize": text_normalize_q,
-        "minhash_pairs": minhash_pairs,
-        "simhash_pairs": simhash_pairs,
-        "ngram_jaccard": ngram_jaccard_q,
-        "knn_lsh": knn_lsh_q,
-        "knn_ivf": knn_ivf_q,
-        "embedding_near_dup_exact": embedding_near_dup_exact,
+        "autoroot_kde_fixed": autoroot_kde_fixed_q,
+        "autoroot_search_fixed": autoroot_search_fixed_q,
+        "bpe_token_counts": bpe_token_counts_q,
+        "c4_line_clean": c4_line_clean_q,
+        "corpus_chunks": corpus_chunks_q,
         "corpus_curate": corpus_curate_q,
         "corpus_curate_near_dup": corpus_curate_near_dup_q,
-        "incremental_near_dup": incremental_near_dup_q,
-        "dedup_paragraphs": dedup_paragraphs_q,
-        "dedup_paragraphs_rebuild": dedup_paragraphs_rebuild_q,
         "corpus_curate_semantic": corpus_curate_semantic_q,
+        "corpus_pack": corpus_pack_q,
+        "corpus_report": corpus_report_q,
         "corpus_sample_split": corpus_sample_split_q,
         "corpus_sample_stratified": corpus_sample_stratified_q,
         "decontamination_audit": decontamination_audit_q,
-        "bpe_token_counts": bpe_token_counts_q,
-        "corpus_pack": corpus_pack_q,
-        "corpus_chunks": corpus_chunks_q,
-        "quality_repetition": quality_repetition_q,
-        "quality_gopher_filter": quality_gopher_filter_q,
-        "c4_line_clean": c4_line_clean_q,
-        "pii_redaction": pii_redaction_q,
-        "tfidf_terms": tfidf_terms_q,
+        "dedup_groups": dedup_groups_q,
+        "dedup_paragraphs": dedup_paragraphs_q,
+        "dedup_paragraphs_rebuild": dedup_paragraphs_rebuild_q,
         "dedup_spans": dedup_spans_q,
         "dedup_spans_sampled": dedup_spans_sampled_q,
-        "streaming_quality": streaming_quality_q,
-        "corpus_report": corpus_report_q,
+        "embedding_near_dup_exact": embedding_near_dup_exact,
         "events_asof_purchase": events_asof_purchase_q,
+    # ---- past the 50-slot window: round-9 remainder, then round-10 ----
         "events_sessions": events_sessions_q,
+        "hotspot_search": hotspot_search_q,
+        "hotspot_search_ps": hotspot_search_ps_q,
+        "incremental_near_dup": incremental_near_dup_q,
+        "knn_ivf": knn_ivf_q,
+        "knn_lsh": knn_lsh_q,
+        "minhash_pairs": minhash_pairs,
+        "ngram_jaccard": ngram_jaccard_q,
+        "pii_redaction": pii_redaction_q,
+        "quality_gopher_filter": quality_gopher_filter_q,
+        "quality_repetition": quality_repetition_q,
+        "rev_adtributor_rec": rev_adtributor_rec_q,
+        "riskloc_layer_scores": riskloc_layer_scores_q,
+        "simhash_pairs": simhash_pairs,
+        "squeeze_clusters_kde": squeeze_clusters_kde_q,
+        "squeeze_search_derived": squeeze_search_derived_q,
+        "squeeze_search_filtered": squeeze_search_filtered_q,
+        "streaming_quality": streaming_quality_q,
         "streaming_sessions": streaming_sessions_q,
-    # ---- rows-only (no SQL-expressible oracle; each has a
-    # same-algorithm hash-gated twin or parity test) ----
+        "text_normalize": text_normalize_q,
+        "tfidf_terms": tfidf_terms_q,
+        "video_frames": video_frames_q,
+        "video_meta": video_meta_q,
+        "adtributor_elements": adtributor_elements,
+        "audio_features": audio_features_q,
+        "audio_frames": audio_frames_q,
+        "audio_meta": audio_meta_q,
+        "audio_resample": audio_resample_q,
+        "autoroot_nps": autoroot_nps_q,
+        "dedup_exact": dedup_exact_q,
+        "evaluation_f1": evaluation_f1_q,
+        "events_asof_forward": events_asof_forward_q,
+        "events_asof_tolerance": events_asof_tolerance_q,
+        "events_rolling": events_rolling_q,
+        "events_rollup": events_rollup,
+        "frequent_ngrams": frequent_ngrams_q,
+        "hotspot_element_stats": hotspot_element_stats_q,
+        "html_block_stats": html_block_stats_q,
+        "html_extract": html_extract_q,
+        "jsonl_roundtrip": jsonl_roundtrip_q,
+        "knn_bruteforce": knn_bruteforce_q,
+        "knn_graph": knn_graph_q,
+        "knn_ivfpq": knn_ivfpq_q,
+        "knn_pq": knn_pq_q,
+        "langid_pred": langid_pred_q,
+        "media_features": media_features_q,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q4_priority_semi": q4_priority_semi,
+        "q_customers_without_orders": q_customers_without_orders,
+        "quality_classifier": quality_classifier_q,
+        "rca_derived_scores": rca_derived_scores,
+        "rca_frame": rca_frame,
+        "rca_scores": rca_scores,
+        "robustspot_ca": robustspot_ca_q,
+        "robustspot_round0": robustspot_round0_q,
+        "robustspot_round0_derived": robustspot_round0_derived_q,
+        "robustspot_round1": robustspot_round1_q,
+        "robustspot_supports": robustspot_supports_q,
+        "sentence_split": sentence_split_q,
+        "squeeze_auto_edges": squeeze_auto_edges_q,
+        "squeeze_cluster_stats": squeeze_cluster_stats_q,
+        "squeeze_clusters_auto": squeeze_clusters_auto_q,
+        "squeeze_derived_cluster_stats": squeeze_derived_cluster_stats_q,
+        "streaming_ingest_dedup": streaming_ingest_dedup_q,
+        "streaming_kpi": streaming_kpi_q,
+        "streaming_near_dup": streaming_near_dup_q,
+        "text_stats": text_stats,
+        "text_trigram_lm": text_trigram_lm_q,
+        "token_budget_sample": token_budget_sample_q,
+        "token_stats": token_stats_q,
+        "url_dedup": url_dedup_q,
+        "url_domains": url_domains_q,
+        "warc_records": warc_records_q,
+    # ---- rows-only queries (no oracle twin) last ----
         "riskloc_rca": riskloc_rca,
         "riskloc_rca_derived": riskloc_rca_derived,
         "autoroot_rca": autoroot_rca,
