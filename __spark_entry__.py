@@ -3461,6 +3461,28 @@ def html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_html_docs(synthesize_html_corpus(d))
 
 
+def html_extract_tree_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TREE-parser HTML extraction under the hash gate (round 11;
+    VERDICT r10 #1): every document row is wrapped in a closed-form
+    ADVERSARIAL-but-parseable page — quoted attribute containing '>',
+    conditional comment hiding block markup, unclosed <b>/<p>/<li>,
+    a CDATA section, a script whose string literal contains '</div>'
+    — constructs the regex chain's stated seams exclude, extracted by
+    the stdlib-tokenizer path (operators/html.py:_extract_tree behind
+    an Arrow-batched pandas_udf).  The twin reconstructs the EXPECTED
+    text directly from the original columns, so the gate checks the
+    tree extraction semantics, not a shared parser."""
+    from riskloc_spark.operators.html import (
+        extract_html_docs,
+        synthesize_adversarial_corpus,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return extract_html_docs(
+        synthesize_adversarial_corpus(d), parser="tree"
+    )
+
+
 def warc_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WARC container round trip (round 10): synthesized HTML pages
     wrapped as HTTP responses, written through the WARC sink, read back
@@ -3703,7 +3725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # newest record is round 8, then round-9-recorded gates to fill 50.
     # Round-10-recorded gates sit past the window; rows-only last.
     # ---- new round-11 gates (never driver-recorded) ----
-    # (inserted here as they land)
+        "html_extract_tree": html_extract_tree_q,
     # ---- newest driver record is round 8 ----
         "adtributor_candidates": adtributor_candidates_q,
         "dataset_significance": dataset_significance_q,
@@ -6581,6 +6603,21 @@ _HTML_EXPECTED_RAW = (
     " || '''' || source || ''' fin')"
 ).format(nn="chr(10)||chr(10)")
 
+# expected TREE extraction of the adversarial page (operators/html.py
+# synthesize_adversarial_corpus): the six visible blocks joined by
+# blank lines — attribute-with-'>' heading, the nav line (conditional
+# comment and CDATA dropped, unclosed <b> inline), the body text
+# (escape round-trips; chr(160) mapped to space like the extractor's
+# &nbsp; rule), the two unclosed-<li> items, the entity-quoted footer
+_HTML_TREE_EXPECTED_RAW = (
+    "('Doc ' || doc_id || {nn}"
+    " || 'home | about' || {nn}"
+    " || replace(text, chr(160), ' ') || {nn}"
+    " || 'lang: ' || lang || {nn}"
+    " || 'chars: ' || n_chars || {nn}"
+    " || '''' || source || ''' fin')"
+).format(nn="chr(10)||chr(10)")
+
 # byte-exact rebuild of the synthesized page (operators/html.py
 # synthesize_html_corpus) for the WARC Content-Length check
 _HTML_PAGE_SQL = r"""
@@ -7444,6 +7481,13 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": f"""
             SELECT doc_id,
                    {_html_norm_sql(_HTML_EXPECTED_RAW)} AS text
+            FROM documents
+        """,
+        # CLOSED-FORM expected TREE extraction of the adversarial page
+        # (never replays the tokenizer — the html_extract discipline)
+        "html_extract_tree": f"""
+            SELECT doc_id,
+                   {_html_norm_sql(_HTML_TREE_EXPECTED_RAW)} AS text
             FROM documents
         """,
         # every field rebuilt closed-form, INCLUDING the byte-exact

@@ -435,6 +435,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pcommon(sp2)
     sp2.add_argument("--html-col", default="html")
+    sp2.add_argument(
+        "--parser", choices=("regex", "tree"), default="regex",
+        help="regex = codegen fast path; tree = stdlib tokenizer "
+        "(robust to malformed real-world HTML)",
+    )
 
     sp2 = psub.add_parser(
         "warc-extract",
@@ -453,6 +458,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp2.add_argument("--min-quality", type=float, default=0.5)
     sp2.add_argument("--lang", default="en")
     sp2.add_argument("--keep-boilerplate", action="store_true")
+    sp2.add_argument(
+        "--parser", choices=("regex", "tree"), default="regex",
+        help="regex = codegen fast path; tree = stdlib tokenizer "
+        "(robust to malformed real-world HTML)",
+    )
 
     sp2 = psub.add_parser(
         "url-dedup",
@@ -666,7 +676,9 @@ def run_pipeline(spark, args) -> dict:
     elif op == "html-extract":
         from riskloc_spark.operators.html import extract_html_docs
 
-        out = extract_html_docs(df, html_col=args.html_col)
+        out = extract_html_docs(
+            df, html_col=args.html_col, parser=args.parser
+        )
     elif op == "warc-extract":
         from pyspark.sql import functions as F
 
@@ -696,6 +708,7 @@ def run_pipeline(spark, args) -> dict:
             min_quality=args.min_quality,
             lang=args.lang or None,
             drop_boilerplate=not args.keep_boilerplate,
+            parser=args.parser,
         )
     elif op == "url-dedup":
         from riskloc_spark.operators.dedup import url_dedup

@@ -180,6 +180,7 @@ def curate_from_crawl(
     lang: str | None = "en",
     drop_boilerplate: bool = True,
     max_link_density: float | None = None,
+    parser: str = "regex",
 ) -> DataFrame:
     """The FULL crawl-to-corpus path in one declarative call: WARC
     response records -> HTTP split -> HTML -> text extraction ->
@@ -199,11 +200,20 @@ def curate_from_crawl(
     stable across re-reads of the same crawl, collision-checked
     nowhere (a 100-TB crawl holds ~2^37 records against a 2^64 space;
     the birthday bound is ~1e-4 and exact dedup downstream collapses
-    any colliding pair that had identical text anyway)."""
+    any colliding pair that had identical text anyway).
+
+    ``parser``: 'regex' (codegen fast path) or 'tree' (stdlib
+    tokenizer — the real-crawl default candidate: quoted '>' in
+    attributes, CDATA, conditional comments, misnested tags all
+    extract browser-like instead of leaking fragments).  The
+    link-density block path (``max_link_density``) is regex-only —
+    its per-BLOCK decomposition is pure column algebra and a tree
+    twin of it is a stated seam, so combining the two raises."""
     from riskloc_spark.operators.dedup import remove_duplicate_paragraphs
     from riskloc_spark.operators.html import (
         drop_boilerplate_blocks,
         html_to_text,
+        html_to_text_tree,
     )
     from riskloc_spark.sources.warc import (
         http_response_parts,
@@ -231,7 +241,14 @@ def curate_from_crawl(
         "target_uri",
         "body",
     )
+    if parser not in ("regex", "tree"):
+        raise ValueError(f"unknown parser {parser!r}")
     if max_link_density is not None:
+        if parser == "tree":
+            raise ValueError(
+                "max_link_density is regex-only (block decomposition "
+                "has no tree twin yet)"
+            )
         # within-page boilerplate first (link-density block filter),
         # so a page-unique nav bar never reaches the corpus
         uris = keyed.select("doc_id", "target_uri")
@@ -240,10 +257,11 @@ def curate_from_crawl(
             max_link_density=max_link_density,
         ).join(uris, "doc_id")
     else:
+        extract = html_to_text if parser == "regex" else html_to_text_tree
         docs = keyed.select(
             "doc_id",
             "target_uri",
-            html_to_text(F.col("body")).alias("text"),
+            extract(F.col("body")).alias("text"),
         )
     docs = docs.filter(F.length("text") > 0)
     if drop_boilerplate:

@@ -644,6 +644,20 @@ def test_cli_pipeline_html_warc_classify(spark, tmp_path):
     assert crawled.count() > 0
     assert "text" in crawled.columns and "quality" in crawled.columns
 
+    # the tree-parser path through the CLI (round 11): same corpus,
+    # same surviving bodies
+    out5 = str(tmp_path / "crawled_tree")
+    r = subprocess.run(
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "curate-crawl", warc_dir, "--output", out5,
+         "--min-quality", "0", "--lang", "", "--parser", "tree",
+         "--cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    treed = spark.read.parquet(out5)
+    assert treed.count() == crawled.count()
+
 
 def test_cli_pipeline_url_dedup_and_sentences(spark, tmp_path):
     src = str(tmp_path / "docs")

@@ -399,3 +399,121 @@ def test_block_stats_splits_embedded_blank_lines(spark):
     texts = [r["text"] for r in
              html_block_stats(df).orderBy("block_idx").collect()]
     assert texts == ["first para", "second para"]
+
+
+# ---------------------------------------------------------------------------
+# tree-parser extraction (round 11)
+# ---------------------------------------------------------------------------
+
+def test_tree_parity_with_regex_on_wellformed(spark):
+    """On well-formed pages (the synthesized corpus) the tree parser
+    and the regex chain must extract IDENTICAL text — the tree path is
+    a robustness upgrade, not a semantics change."""
+    from riskloc_spark.operators.html import synthesize_html_corpus
+
+    rows = [
+        (1, "web", "en", 15, "hello & goodbye"),
+        (2, "wiki", "de", 20, 'quotes "inside" text'),
+        (3, "news", "fr", 9, "a < b > c"),
+        (4, "web", "en", 0, ""),
+        (5, "arx", "en", 12, "line one\nline two\n\npara two"),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, "
+              "n_chars long, text string")
+    pages = synthesize_html_corpus(d)
+    regex = {r["doc_id"]: r["text"] for r in
+             extract_html_docs(pages, parser="regex").collect()}
+    tree = {r["doc_id"]: r["text"] for r in
+            extract_html_docs(pages, parser="tree").collect()}
+    assert regex == tree
+
+
+def test_tree_extract_malformed_pages():
+    """Pure-Python checks of the constructs the regex chain's stated
+    seams exclude — each must extract browser-like."""
+    from riskloc_spark.operators.html import _extract_tree
+
+    # quoted attribute containing '>': no fragment leaks
+    assert _extract_tree('<p data-x="a>b">hi</p>') == "hi"
+    assert _extract_tree('<a href="/x" title="1>0">link</a>') == "link"
+    # CDATA dropped wholesale (HTML5 bogus-comment behavior)
+    assert _extract_tree("<p>a</p><![CDATA[<p>hidden</p>]]><p>b</p>") \
+        == "a\n\nb"
+    # conditional comments dropped with their content
+    assert _extract_tree(
+        "<p>a</p><!--[if IE]><p>ie only</p><![endif]--><p>b</p>"
+    ) == "a\n\nb"
+    # unclosed / misnested tags: events still fire; inline tags join
+    # within the block (browser rendering: 'twobold tail' is one
+    # paragraph — no whitespace existed between 'two' and '<b>')
+    assert _extract_tree("<p>one<p>two<b><i>bold</b></i> tail") \
+        == "one\n\ntwobold tail"
+    # script whose string contains a closing-div: CDATA tokenizer mode
+    assert _extract_tree(
+        '<p>a</p><script>x("</div> junk & <p>");</script><p>b</p>'
+    ) == "a\n\nb"
+    # unclosed script suppresses the rest (browser behavior; stated
+    # divergence from the regex chain)
+    assert _extract_tree("<p>a</p><script>var x=1; <p>gone</p>") == "a"
+    # DOCTYPE / processing instructions dropped
+    assert _extract_tree("<!DOCTYPE html><?xml spam?><p>kept</p>") \
+        == "kept"
+    # HTML5 charrefs beyond the regex chain's 7-entity table decode
+    assert _extract_tree("<p>&hellip; &#x41;&nbsp;end</p>") \
+        == "… A end"
+
+
+def test_tree_null_and_empty(spark):
+    from riskloc_spark.operators.html import html_to_text_tree
+
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "<p></p>")],
+                               "doc_id long, html string")
+    got = {r["doc_id"]: r["t"] for r in df.select(
+        "doc_id", html_to_text_tree(F.col("html")).alias("t")).collect()}
+    assert got == {1: None, 2: "", 3: ""}
+
+
+def test_adversarial_corpus_expected_closed_form(spark):
+    """The gate contract: the adversarial page's tree extraction equals
+    the closed-form block join the DuckDB twin reconstructs."""
+    from riskloc_spark.operators.html import synthesize_adversarial_corpus
+
+    d = spark.createDataFrame(
+        [(9, "web", "en", 11, "body & text")],
+        "doc_id long, source string, lang string, n_chars long, "
+        "text string")
+    out = extract_html_docs(
+        synthesize_adversarial_corpus(d), parser="tree").first()
+    assert out["text"] == (
+        "Doc 9\n\nhome | about\n\nbody & text\n\n"
+        "lang: en\n\nchars: 11\n\n'web' fin"
+    )
+
+
+def test_curate_from_crawl_tree_parser(spark, tmp_path_factory):
+    from riskloc_spark.operators.corpus import curate_from_crawl
+    from riskloc_spark.sources.warc import write_warc
+
+    body = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            "<html><body><div data-x=\"a>b\"><p>the and of to a in is "
+            "it that for tree parsed body text with plenty stopwords"
+            "</p></div><script>x(\"</div> junk\")</script></body></html>")
+    df = spark.createDataFrame(
+        [("<urn:t:1>", "https://site/1", body)],
+        "record_id string, target_uri string, body string",
+    ).select("record_id", "target_uri",
+             F.col("body").cast("binary").alias("payload"))
+    warc_dir = str(tmp_path_factory.mktemp("crawl_tree"))
+    write_warc(df, warc_dir).count()
+    out = curate_from_crawl(spark, warc_dir, min_quality=0.0,
+                            lang="en", parser="tree").collect()
+    assert len(out) == 1
+    assert "tree parsed body text" in out[0]["text"]
+    assert "junk" not in out[0]["text"]
+    assert ">" not in out[0]["text"]
+    with pytest.raises(ValueError):
+        curate_from_crawl(spark, warc_dir, parser="tree",
+                          max_link_density=0.3)
+    with pytest.raises(ValueError):
+        curate_from_crawl(spark, warc_dir, parser="nope")
