@@ -517,3 +517,106 @@ def test_curate_from_crawl_tree_parser(spark, tmp_path_factory):
                           max_link_density=0.3)
     with pytest.raises(ValueError):
         curate_from_crawl(spark, warc_dir, parser="nope")
+
+
+# ---------------------------------------------------------------------------
+# per-member gzip split + sink commit protocol (round 11)
+# ---------------------------------------------------------------------------
+
+def test_write_warc_compressed_round_trip(spark, tmp_path):
+    """compress=True writes one gzip member PER RECORD (the CommonCrawl
+    layout); the reader walks members with cumulative decompressed
+    offsets equal to what an uncompressed write would produce."""
+    df = spark.createDataFrame(
+        [(f"<urn:z:{i}>", f"https://e/{i}",
+          bytearray(f"body-{i}".encode()) * (i + 1)) for i in range(12)],
+        "record_id string, target_uri string, payload binary",
+    )
+    gz_dir = str(tmp_path / "gz")
+    plain_dir = str(tmp_path / "plain")
+    from riskloc_spark.sources.warc import write_warc
+    write_warc(df.coalesce(1), gz_dir, compress=True).count()
+    write_warc(df.coalesce(1), plain_dir).count()
+    assert os.listdir(gz_dir) == ["part-00000.warc.gz"]
+    gz = {r["record_id"]: r for r in
+          read_warc_records(spark, gz_dir).collect()}
+    plain = {r["record_id"]: r for r in
+             read_warc_records(spark, plain_dir).collect()}
+    assert set(gz) == set(plain) and len(gz) == 12
+    for k in gz:
+        assert bytes(gz[k]["payload"]) == bytes(plain[k]["payload"])
+        assert gz[k]["record_offset"] == plain[k]["record_offset"]
+
+
+def test_gz_member_walk_resyncs_past_corrupt_member():
+    from riskloc_spark.sources.warc import _iter_gz_members
+
+    good = [gzip.compress(_mk_record(i), mtime=0) for i in range(3)]
+    # corrupt the middle member's deflate stream, keep its magic
+    bad = good[1][:6] + b"\x00garbage\xff" * 3
+    data = good[0] + bad + good[2]
+    members = list(_iter_gz_members(data))
+    texts = [m[2] for m in members]
+    assert _mk_record(0) in texts and _mk_record(2) in texts
+
+
+def test_gz_per_member_budget(spark, tmp_path):
+    stage = str(tmp_path)
+    small = gzip.compress(_mk_record(0), mtime=0)
+    big = gzip.compress(_mk_record(1, b"x" * 4096), mtime=0)
+    with open(os.path.join(stage, "mix.warc.gz"), "wb") as f:
+        f.write(small + big + gzip.compress(_mk_record(2), mtime=0))
+    recs = read_warc_records(spark, stage, budget=1024).collect()
+    kinds = sorted((r["warc_type"], r["record_id"]) for r in recs)
+    assert ("__oversize__", None) in kinds
+    assert ("response", "<urn:test:0>") in kinds
+    assert ("response", "<urn:test:2>") in kinds
+
+
+def test_split_read_equals_whole_read(spark, tmp_path):
+    """index_warc_gz_members + read_warc_records_split must reproduce
+    the whole-file read EXACTLY (ids, payloads, record_offsets) while
+    splitting one archive into multiple tasks."""
+    from riskloc_spark.sources.warc import (
+        index_warc_gz_members,
+        read_warc_records_split,
+        write_warc,
+    )
+
+    df = spark.createDataFrame(
+        [(f"<urn:s:{i}>", f"https://e/{i}",
+          bytearray(f"payload {i} ".encode()) * 40) for i in range(60)],
+        "record_id string, target_uri string, payload binary",
+    )
+    gz_dir = str(tmp_path / "arch")
+    write_warc(df.coalesce(1), gz_dir, compress=True).count()
+
+    # ~300B/member compressed: 2 KiB splits => many splits of one file
+    idx = index_warc_gz_members(spark, gz_dir, split_bytes=2048)
+    idx.persist().count()
+    splits = idx.collect()
+    assert len(splits) > 4, "one archive must yield multiple splits"
+    assert sum(s["members"] for s in splits) == 60
+
+    whole = {r["record_id"]: (bytes(r["payload"]), r["record_offset"])
+             for r in read_warc_records(spark, gz_dir).collect()}
+    split = {r["record_id"]: (bytes(r["payload"]), r["record_offset"])
+             for r in read_warc_records_split(spark, idx).collect()}
+    assert whole == split and len(whole) == 60
+    idx.unpersist()
+
+
+def test_write_warc_commit_leaves_no_temp_files(spark, tmp_path):
+    from riskloc_spark.sources.warc import write_warc
+
+    df = spark.createDataFrame(
+        [(f"<urn:c:{i}>", f"https://e/{i}", bytearray(b"x" * 10))
+         for i in range(8)],
+        "record_id string, target_uri string, payload binary",
+    )
+    out = str(tmp_path / "sink")
+    man = write_warc(df.repartition(4), out).collect()
+    names = sorted(os.listdir(out))
+    assert names == [f"part-{i:05d}.warc" for i in range(4)]
+    assert not any(".inprogress" in n for n in names)
+    assert sum(m["records"] for m in man) == 8
