@@ -3670,6 +3670,38 @@ def knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_graph_gemm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocked-GEMM kNN-graph scan (round 11) under the hash gate:
+    the SAME construction as knn_graph but scored through the
+    cogrouped float32-rank/float64-exact matrix path
+    (operators/similarity.py:_knn_graph_gemm) — the 100-TB scan shape
+    (BLAS tiles inside cells, no interpreted per-pair lambdas).  The
+    oracle is the identical knn_graph SQL replay: the gemm path must
+    produce the expression path's exact edges and cosines, hash-pinned
+    at every sf."""
+    import numpy as np
+
+    from riskloc_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.select("embedding", "vec_id")
+            .orderBy("vec_id")
+            .limit(16)
+            .collect()
+        ]
+    )
+    out = knn_graph(emb, k=5, n_probe=6, centroids=seeds, method="gemm")
+    return out.select(
+        "vec_id",
+        "nbr_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rnk"),
+    )
+
+
 def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TRAINED quality classifier under the hash gate (round 10;
     VERDICT r9 Missing #3): hashed char-trigram multinomial NB with
@@ -3780,6 +3812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- new round-11 gates (never driver-recorded) ----
         "html_extract_tree": html_extract_tree_q,
         "classifier_warm": classifier_warm_q,
+        "knn_graph_gemm": knn_graph_gemm_q,
     # ---- newest driver record is round 8 ----
         "adtributor_candidates": adtributor_candidates_q,
         "dataset_significance": dataset_significance_q,
@@ -9002,4 +9035,7 @@ def oracle_sql() -> dict[str, str]:
     # identical to a from-scratch fit (deterministic), so the oracle IS
     # the quality_classifier replay — the hash pins warm scoring to it
     out["classifier_warm"] = out["quality_classifier"]
+    # knn_graph_gemm must reproduce the expression path's exact edges
+    # and cosines — same oracle, hash-pinning the BLAS scan to it
+    out["knn_graph_gemm"] = out["knn_graph"]
     return out

@@ -24,6 +24,15 @@ def get_spark(
       Pandas-UDF paths) is columnar.
     - maxPartitionBytes 128m: scan parallelism tracks input size.
     """
+    # one BLAS thread per Python worker: local[N] already runs N
+    # parallel workers, and numpy's default (OpenBLAS threads = all
+    # cores) inside EACH worker oversubscribes NxN — the gemm graph
+    # scan measured ~6x slower under the thrash.  Workers inherit the
+    # JVM's env, so this must be set before the session starts; a real
+    # cluster sets it via spark.executorEnv.* instead.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"

@@ -444,3 +444,57 @@ def test_knn_graph_recall_on_clustered_corpus(spark):
         len(per_vec[v] & exact_sets[v]) / 5 for v in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_knn_graph_gemm_matches_expression_path(spark):
+    """The blocked-GEMM scan must reproduce the expression path's
+    edges EXACTLY — same neighbors, same ranks, cosines equal at the
+    gate's 6-decimal rounding (and in practice bit-identical after
+    the float64 recompute)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.similarity import (
+        ivf_fit_centroids,
+        knn_graph,
+    )
+
+    # 3 planted clusters + noise, enough vectors for multi-vector cells
+    corpus = spark.range(120).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    ((F.col("id") % 3) * 10
+                     + (F.abs(F.xxhash64("id", F.lit(j))) % 100) / 50.0)
+                ).cast("float")
+                for j in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    cents = ivf_fit_centroids(corpus, n_clusters=4, fit_sample=200)
+    expr = {(r["vec_id"], r["rank"]): (r["nbr_id"],
+                                       round(r["cos_sim"], 6))
+            for r in knn_graph(corpus, k=4, n_probe=2,
+                               centroids=cents).collect()}
+    gemm = {(r["vec_id"], r["rank"]): (r["nbr_id"],
+                                       round(r["cos_sim"], 6))
+            for r in knn_graph(corpus, k=4, n_probe=2, centroids=cents,
+                               method="gemm").collect()}
+    assert expr == gemm and len(expr) > 0
+
+
+def test_knn_graph_unknown_method_raises(spark):
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.similarity import knn_graph
+
+    corpus = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).cast("array<float>")
+        .alias("embedding"),
+    )
+    with pytest.raises(ValueError):
+        knn_graph(corpus, centroids=np.ones((2, 2)), method="nope")
