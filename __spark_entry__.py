@@ -3566,6 +3566,25 @@ def html_block_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_block_stats(synthesize_html_corpus(d))
 
 
+def html_block_stats_tree_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tree-parser twin of html_block_stats under the hash gate
+    (round 11): the SAME synthesized pages through the event-driven
+    block walk (operators/html.py:html_block_stats_tree) — the oracle
+    is the identical closed-form enumeration, so the tree walk's
+    segmentation, per-anchor accounting and density arithmetic are
+    hash-pinned to the regex path's."""
+    from riskloc_spark.operators.html import (
+        html_block_stats_tree,
+        synthesize_html_corpus,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn(
+        "text", F.regexp_replace("text", r"\n+", " ")
+    )
+    return html_block_stats_tree(synthesize_html_corpus(d))
+
+
 def sentence_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-based sentence splitting under the hash gate (round 10):
     each document is framed as four known sentences (period / bang /
@@ -3813,6 +3832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_tree": html_extract_tree_q,
         "classifier_warm": classifier_warm_q,
         "knn_graph_gemm": knn_graph_gemm_q,
+        "html_block_stats_tree": html_block_stats_tree_q,
     # ---- newest driver record is round 8 ----
         "adtributor_candidates": adtributor_candidates_q,
         "dataset_significance": dataset_significance_q,
@@ -9038,4 +9058,7 @@ def oracle_sql() -> dict[str, str]:
     # knn_graph_gemm must reproduce the expression path's exact edges
     # and cosines — same oracle, hash-pinning the BLAS scan to it
     out["knn_graph_gemm"] = out["knn_graph"]
+    # the tree block walk must reproduce the regex path's exact rows
+    # on the same synthesized pages — same closed-form oracle
+    out["html_block_stats_tree"] = out["html_block_stats"]
     return out

@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     # the persisted-artifact serving cost (VERDICT r10 Wrong #1: the
     # fit belongs to ingest, not the recorded per-query number)
     "html_extract_tree",
+    "html_block_stats_tree",
     "classifier_warm",
     "audio_meta",
     "audio_features",

@@ -205,10 +205,9 @@ def curate_from_crawl(
     ``parser``: 'regex' (codegen fast path) or 'tree' (stdlib
     tokenizer — the real-crawl default candidate: quoted '>' in
     attributes, CDATA, conditional comments, misnested tags all
-    extract browser-like instead of leaking fragments).  The
-    link-density block path (``max_link_density``) is regex-only —
-    its per-BLOCK decomposition is pure column algebra and a tree
-    twin of it is a stated seam, so combining the two raises."""
+    extract browser-like instead of leaking fragments); both compose
+    with ``max_link_density`` (the tree block twin landed in round
+    11)."""
     from riskloc_spark.operators.dedup import remove_duplicate_paragraphs
     from riskloc_spark.operators.html import (
         drop_boilerplate_blocks,
@@ -244,17 +243,13 @@ def curate_from_crawl(
     if parser not in ("regex", "tree"):
         raise ValueError(f"unknown parser {parser!r}")
     if max_link_density is not None:
-        if parser == "tree":
-            raise ValueError(
-                "max_link_density is regex-only (block decomposition "
-                "has no tree twin yet)"
-            )
         # within-page boilerplate first (link-density block filter),
         # so a page-unique nav bar never reaches the corpus
         uris = keyed.select("doc_id", "target_uri")
         docs = drop_boilerplate_blocks(
             keyed.select("doc_id", F.col("body").alias("html")),
             max_link_density=max_link_density,
+            parser=parser,
         ).join(uris, "doc_id")
     else:
         extract = html_to_text if parser == "regex" else html_to_text_tree

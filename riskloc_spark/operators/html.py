@@ -243,6 +243,148 @@ def synthesize_html_corpus(df: DataFrame, keep: list | None = None) -> DataFrame
     return df.select("doc_id", *(keep or []), html.alias("html"))
 
 
+def _block_stats_tree(page: str) -> "list[tuple[str, int]] | None":
+    """Event-driven per-BLOCK extraction: returns [(text,
+    anchor_chars)] for each visible block, in page order — the tree
+    twin of the regex path in ``html_block_stats``.  Blocks are
+    delimited by block-tag events AND by blank lines inside data (the
+    regex path splits the preprocessed page on \\n\\n+, so source
+    blank lines separate blocks there too); anchor text is tracked
+    per <a>...</a> and normalized per anchor, matching the regex
+    path's per-anchor clean.  Stated seam: an anchor whose inner text
+    spans a blank line stays in the block where it OPENED (the regex
+    path would split it; well-formed pages don't hit this)."""
+    import re as _re
+    from html.parser import HTMLParser
+
+    ws = _re.compile(r"[ \t\x0B\f\r]+")
+    ln = _re.compile(r" *\n *")
+    bl = _re.compile(r"\n\n+")
+
+    def norm(s: str) -> str:
+        return bl.sub(
+            "\n\n", ln.sub("\n", ws.sub(" ", s.replace("\xa0", " ")))
+        ).strip(" \n")
+
+    class _B(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.blocks: list[tuple[str, int]] = []
+            self.parts: list[str] = []
+            self.anchors: list[str] = []
+            self.a_buf: list[str] = []
+            self.a_depth = 0
+            self.suppress = 0
+
+        def _close_block(self):
+            text = norm("".join(self.parts))
+            a = sum(len(norm(x)) for x in self.anchors)
+            if text:
+                self.blocks.append((text, a))
+            self.parts, self.anchors = [], []
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _SUPPRESSED_TAGS:
+                self.suppress += 1
+            if tag == "a":
+                if self.a_depth == 0:
+                    self.a_buf = []
+                self.a_depth += 1
+            if tag in _BLOCK_TAG_SET:
+                self._flush_anchor()
+                self._close_block()
+
+        def handle_endtag(self, tag):
+            if tag in _SUPPRESSED_TAGS and self.suppress:
+                self.suppress -= 1
+            if tag == "a" and self.a_depth:
+                self.a_depth -= 1
+                if self.a_depth == 0:
+                    self.anchors.append("".join(self.a_buf))
+                    self.a_buf = []
+            if tag in _BLOCK_TAG_SET:
+                self._flush_anchor()
+                self._close_block()
+
+        def _flush_anchor(self):
+            # a block tag inside an open <a> (malformed): close the
+            # anchor at the block boundary rather than spanning it
+            if self.a_depth:
+                self.anchors.append("".join(self.a_buf))
+                self.a_buf = []
+                self.a_depth = 0
+
+        def handle_data(self, data):
+            if self.suppress:
+                return
+            if self.a_depth:
+                self.a_buf.append(data)
+                self.parts.append(data)
+                return
+            # blank lines inside data separate blocks (regex parity)
+            pieces = bl.split(data)
+            for i, piece in enumerate(pieces):
+                if i:
+                    self._close_block()
+                self.parts.append(piece)
+
+    try:
+        p = _B()
+        p.feed(page)
+        p.close()
+        p._flush_anchor()
+        p._close_block()
+        return p.blocks
+    except Exception:
+        return None
+
+
+def html_block_stats_tree(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Tree-parser twin of ``html_block_stats``: same output contract
+    (id, block_idx, text, n_chars, anchor_chars, link_density), same
+    blocks on well-formed pages (parity test-pinned), robust on the
+    regex seams (attributes containing '>', CDATA, conditional
+    comments, misnested tags).  Arrow-batched mapInPandas, one corpus
+    pass, zero shuffle (the dense block_idx is emitted per document
+    inside the walk, no window needed)."""
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, block_idx int, text string, n_chars long, "
+        "anchor_chars long, link_density double"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did, page in zip(pdf[id_col], pdf[html_col]):
+                if page is None:
+                    continue
+                blocks = _block_stats_tree(page) or []
+                for i, (text, a) in enumerate(blocks):
+                    rows.append(
+                        {
+                            id_col: did,
+                            "block_idx": i,
+                            "text": text,
+                            "n_chars": len(text),
+                            "anchor_chars": a,
+                            "link_density": round(a / len(text), 6),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "block_idx", "text", "n_chars",
+                    "anchor_chars", "link_density",
+                ],
+            )
+
+    return df.select(id_col, html_col).mapInPandas(run, out_schema)
+
+
 def synthesize_adversarial_corpus(df: DataFrame) -> DataFrame:
     """(documents) -> (doc_id, html): wrap each document row in a
     closed-form page of ADVERSARIAL-but-parseable constructs — the
@@ -351,14 +493,20 @@ def drop_boilerplate_blocks(
     id_col: str = "doc_id",
     max_link_density: float = 0.5,
     min_chars: int = 1,
+    parser: str = "regex",
 ) -> DataFrame:
     """Main-content extraction: rebuild each document from the blocks
     whose link density stays under ``max_link_density`` (and that
     carry at least ``min_chars`` of text), joined by blank lines in
     block order.  The WITHIN-page complement of the cross-page
     paragraph dedup: navigation dropped by its own shape even when it
-    is unique to the page.  One window + one groupBy exchange."""
-    blocks = html_block_stats(df, html_col, id_col).filter(
+    is unique to the page.  One window + one groupBy exchange
+    ('regex'); the 'tree' path emits dense indices in the walk, so it
+    is one groupBy only."""
+    if parser not in ("regex", "tree"):
+        raise ValueError(f"unknown parser {parser!r}")
+    stats = html_block_stats if parser == "regex" else html_block_stats_tree
+    blocks = stats(df, html_col, id_col).filter(
         (F.col("link_density") <= max_link_density)
         & (F.col("n_chars") >= min_chars)
     )

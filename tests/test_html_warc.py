@@ -512,9 +512,12 @@ def test_curate_from_crawl_tree_parser(spark, tmp_path_factory):
     assert "tree parsed body text" in out[0]["text"]
     assert "junk" not in out[0]["text"]
     assert ">" not in out[0]["text"]
-    with pytest.raises(ValueError):
-        curate_from_crawl(spark, warc_dir, parser="tree",
-                          max_link_density=0.3)
+    # tree parser composes with the link-density block filter (r11)
+    out2 = curate_from_crawl(spark, warc_dir, min_quality=0.0,
+                             lang="en", parser="tree",
+                             max_link_density=0.3).collect()
+    assert len(out2) == 1
+    assert "tree parsed body text" in out2[0]["text"]
     with pytest.raises(ValueError):
         curate_from_crawl(spark, warc_dir, parser="nope")
 
@@ -620,3 +623,52 @@ def test_write_warc_commit_leaves_no_temp_files(spark, tmp_path):
     assert names == [f"part-{i:05d}.warc" for i in range(4)]
     assert not any(".inprogress" in n for n in names)
     assert sum(m["records"] for m in man) == 8
+
+
+def test_block_stats_tree_parity_on_wellformed(spark):
+    """html_block_stats_tree must produce the regex path's exact rows
+    (blocks, indices, anchor accounting) on well-formed pages."""
+    from riskloc_spark.operators.html import (
+        html_block_stats,
+        html_block_stats_tree,
+        synthesize_html_corpus,
+    )
+
+    rows = [
+        (1, "web", "en", 15, "hello & goodbye"),
+        (2, "wiki", "de", 20, 'quotes "inside" text'),
+        (3, "news", "fr", 9, "a < b > c"),
+        (4, "arx", "en", 12, "line one\nline two\n\npara two"),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, "
+              "n_chars long, text string")
+    pages = synthesize_html_corpus(d)
+    key = lambda r: (r["doc_id"], r["block_idx"])
+    val = lambda r: (r["text"], r["n_chars"], r["anchor_chars"],
+                     round(r["link_density"], 6))
+    a = {key(r): val(r) for r in html_block_stats(pages).collect()}
+    b = {key(r): val(r) for r in html_block_stats_tree(pages).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_block_stats_tree_malformed():
+    """The tree block walk on the regex path's stated seams."""
+    from riskloc_spark.operators.html import _block_stats_tree
+
+    # quoted '>' in an attribute; anchor chars counted per anchor
+    got = _block_stats_tree(
+        '<div data-x="a>b"><a href="/1">one</a> and '
+        '<a href="/2"> two </a></div>'
+    )
+    assert got == [("one and two", 6)]
+    # conditional comment and CDATA drop; blank line in data splits
+    got = _block_stats_tree(
+        "<p>alpha\n\nbeta</p><!--[if IE]><p>x</p><![endif]-->"
+        "<![CDATA[<p>y</p>]]><p>gamma</p>"
+    )
+    assert got == [("alpha", 0), ("beta", 0), ("gamma", 0)]
+    # a block tag inside an open anchor closes the anchor at the
+    # boundary (stated behavior)
+    got = _block_stats_tree('<p><a href="/">link<p>tail</a></p>')
+    assert got == [("link", 4), ("tail", 0)]
