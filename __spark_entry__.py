@@ -13,6 +13,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3585,6 +3587,65 @@ def html_block_stats_tree_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_block_stats_tree(synthesize_html_corpus(d))
 
 
+def warc_decoded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware HTTP body decode under the hash gate (round 11):
+    each document becomes one of FOUR wire forms of the same page
+    string — utf-8 with a header charset, ISO-8859-1 with a header
+    charset (real latin-1 bytes on the wire), gzip-compressed utf-8
+    (Content-Encoding honored, body decompressed), and header-less
+    latin-1 declared only by an in-body <meta charset> (the sniff
+    path) — and warc.decode_http_bodies must return the ORIGINAL
+    string for all four.  The oracle enumerates the expected
+    (status, type, encoding, charset, body) closed-form; the page
+    carries latin-1-only accents so every branch is encodable."""
+    import gzip as _gzip
+
+    from pyspark.sql.functions import pandas_udf
+
+    from riskloc_spark.sources.warc import decode_http_bodies
+
+    d = load_table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("café niño Motör "), F.col("source"),
+        F.lit(" doc "), F.col("doc_id").cast("string"),
+    )
+    meta_page = F.concat(F.lit('<meta charset="iso-8859-1">'), page)
+
+    @pandas_udf("binary")
+    def gz(b: pd.Series) -> pd.Series:
+        return b.map(lambda v: _gzip.compress(bytes(v), mtime=0))
+
+    hdr = {
+        0: b"HTTP/1.1 200 OK\r\n"
+           b"Content-Type: text/plain; charset=utf-8\r\n\r\n",
+        1: b"HTTP/1.1 200 OK\r\n"
+           b"Content-Type: text/plain; charset=ISO-8859-1\r\n\r\n",
+        2: b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+           b"Content-Encoding: gzip\r\n\r\n",
+        3: b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+    }
+    branch = F.col("doc_id") % 4
+    payload = (
+        F.when(branch == 0,
+               F.concat(F.lit(bytearray(hdr[0])),
+                        F.encode(page, "UTF-8")))
+        .when(branch == 1,
+              F.concat(F.lit(bytearray(hdr[1])),
+                       F.encode(page, "ISO-8859-1")))
+        .when(branch == 2,
+              F.concat(F.lit(bytearray(hdr[2])),
+                       gz(F.encode(page, "UTF-8"))))
+        .otherwise(
+            F.concat(F.lit(bytearray(hdr[3])),
+                     F.encode(meta_page, "ISO-8859-1")))
+    )
+    framed = d.select("doc_id", payload.alias("payload"))
+    return decode_http_bodies(framed).select(
+        "doc_id", "http_status", "content_type", "content_encoding",
+        "charset", "body",
+    )
+
+
 def sentence_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-based sentence splitting under the hash gate (round 10):
     each document is framed as four known sentences (period / bang /
@@ -3833,6 +3894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_warm": classifier_warm_q,
         "knn_graph_gemm": knn_graph_gemm_q,
         "html_block_stats_tree": html_block_stats_tree_q,
+        "warc_decoded": warc_decoded_q,
     # ---- newest driver record is round 8 ----
         "adtributor_candidates": adtributor_candidates_q,
         "dataset_significance": dataset_significance_q,
@@ -9061,4 +9123,25 @@ def oracle_sql() -> dict[str, str]:
     # the tree block walk must reproduce the regex path's exact rows
     # on the same synthesized pages — same closed-form oracle
     out["html_block_stats_tree"] = out["html_block_stats"]
+    # the four wire forms of the decode gate, enumerated closed-form
+    out["warc_decoded"] = """
+        SELECT doc_id,
+               200 AS http_status,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'text/plain; charset=utf-8'
+                 WHEN 1 THEN 'text/plain; charset=ISO-8859-1'
+                 WHEN 2 THEN 'text/plain'
+                 ELSE 'text/html' END AS content_type,
+               CASE doc_id % 4 WHEN 2 THEN 'gzip' ELSE NULL END
+                 AS content_encoding,
+               CASE doc_id % 4
+                 WHEN 1 THEN 'iso-8859-1'
+                 WHEN 3 THEN 'iso-8859-1'
+                 ELSE 'utf-8' END AS charset,
+               CASE WHEN doc_id % 4 = 3
+                    THEN '<meta charset="iso-8859-1">' ELSE '' END
+                 || 'café niño Motör ' || source || ' doc ' || doc_id
+                 AS body
+        FROM documents
+    """
     return out

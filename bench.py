@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     # fit belongs to ingest, not the recorded per-query number)
     "html_extract_tree",
     "html_block_stats_tree",
+    "warc_decoded",
     "classifier_warm",
     "audio_meta",
     "audio_features",

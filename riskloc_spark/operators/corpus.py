@@ -181,6 +181,7 @@ def curate_from_crawl(
     drop_boilerplate: bool = True,
     max_link_density: float | None = None,
     parser: str = "regex",
+    decode_bodies: bool = False,
 ) -> DataFrame:
     """The FULL crawl-to-corpus path in one declarative call: WARC
     response records -> HTTP split -> HTML -> text extraction ->
@@ -207,7 +208,15 @@ def curate_from_crawl(
     attributes, CDATA, conditional comments, misnested tags all
     extract browser-like instead of leaking fragments); both compose
     with ``max_link_density`` (the tree block twin landed in round
-    11)."""
+    11).
+
+    ``decode_bodies``: False (default) splits bodies with the
+    zero-Python UTF-8 cast and DROPS Content-Encoding-compressed
+    responses; True routes payloads through
+    ``warc.decode_http_bodies`` — gzip/deflate bodies decompress
+    (bounded) and charsets sniff (header > BOM > meta > utf-8), so
+    latin-1 and compressed pages JOIN the corpus instead of mojibaking
+    or dropping.  The real-crawl setting."""
     from riskloc_spark.operators.dedup import remove_duplicate_paragraphs
     from riskloc_spark.operators.html import (
         drop_boilerplate_blocks,
@@ -215,26 +224,34 @@ def curate_from_crawl(
         html_to_text_tree,
     )
     from riskloc_spark.sources.warc import (
+        decode_http_bodies,
         http_response_parts,
         read_warc_records,
     )
 
     recs = read_warc_records(spark, warc_path)
-    parts = http_response_parts(
-        recs.filter(F.col("warc_type") == "response")
-    ).filter(
-        (F.col("http_status") == 200)
-        # real crawls carry 'Text/HTML' / 'TEXT/HTML' — HTTP header
-        # values are case-insensitive, so lowercase before matching
-        & F.lower(F.col("content_type")).startswith("text/html")
-        # bodies the server compressed (Content-Encoding: gzip/br)
-        # would reach html_to_text as mojibake after the UTF-8 cast
-        # in http_response_parts — drop them here (stated seam there)
-        & (
-            F.col("content_encoding").isNull()
-            | F.lower(F.col("content_encoding")).isin("identity", "")
+    responses = recs.filter(F.col("warc_type") == "response")
+    if decode_bodies:
+        parts = decode_http_bodies(responses).filter(
+            (F.col("http_status") == 200)
+            & F.lower(F.col("content_type")).startswith("text/html")
+            & F.col("body").isNotNull()
         )
-    )
+    else:
+        parts = http_response_parts(responses).filter(
+            (F.col("http_status") == 200)
+            # real crawls carry 'Text/HTML' / 'TEXT/HTML' — HTTP header
+            # values are case-insensitive, so lowercase before matching
+            & F.lower(F.col("content_type")).startswith("text/html")
+            # bodies the server compressed (Content-Encoding: gzip/br)
+            # would reach html_to_text as mojibake after the UTF-8 cast
+            # in http_response_parts — drop them here (stated seam
+            # there; decode_bodies=True recovers them instead)
+            & (
+                F.col("content_encoding").isNull()
+                | F.lower(F.col("content_encoding")).isin("identity", "")
+            )
+        )
     keyed = parts.select(
         F.xxhash64("warc_file", "record_offset").alias("doc_id"),
         "target_uri",

@@ -672,3 +672,87 @@ def test_block_stats_tree_malformed():
     # boundary (stated behavior)
     got = _block_stats_tree('<p><a href="/">link<p>tail</a></p>')
     assert got == [("link", 4), ("tail", 0)]
+
+
+# ---------------------------------------------------------------------------
+# charset-aware body decode (round 11)
+# ---------------------------------------------------------------------------
+
+def test_decode_http_bodies_charsets_and_gzip(spark):
+    from riskloc_spark.sources.warc import decode_http_bodies
+
+    latin = "café niño".encode("latin-1")
+    rows = [
+        (0, bytearray(b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; "
+                      b"charset=ISO-8859-1\r\n\r\n" + latin)),
+        (1, bytearray(b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                      b"Content-Encoding: gzip\r\n\r\n"
+                      + gzip.compress("trésor".encode(), mtime=0))),
+        (2, bytearray(b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                      b"\r\n" + '<meta charset="iso-8859-1">touché'
+                      .encode("latin-1"))),
+        (3, bytearray(b"HTTP/1.1 200 OK\r\nContent-Type: a\r\n"
+                      b"Content-Encoding: gzip\r\n\r\nnot actually gzip")),
+        (4, bytearray(b"no header blank line")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_http_bodies(df).collect()}
+    assert got[0]["charset"] == "iso-8859-1"
+    assert got[0]["body"] == "café niño"
+    assert got[1]["content_encoding"] == "gzip"
+    assert got[1]["body"] == "trésor"
+    assert got[2]["charset"] == "iso-8859-1"
+    assert got[2]["body"].endswith("touché")
+    assert got[3]["body"] is None  # corrupt gzip: headers kept
+    assert got[3]["http_status"] == 200
+    assert got[4]["http_status"] is None and got[4]["body"] is None
+
+
+def test_decode_http_bodies_budget(spark):
+    from riskloc_spark.sources.warc import decode_http_bodies
+
+    big = gzip.compress(b"x" * 100_000, mtime=0)
+    df = spark.createDataFrame(
+        [(0, bytearray(b"HTTP/1.1 200 OK\r\nContent-Type: t\r\n"
+                       b"Content-Encoding: gzip\r\n\r\n" + big))],
+        "doc_id long, payload binary",
+    )
+    r = decode_http_bodies(df, budget=1024).collect()[0]
+    assert r["body"] is None and r["http_status"] == 200
+
+
+def test_curate_from_crawl_decode_bodies(spark, tmp_path_factory):
+    """decode_bodies=True recovers a gzip-compressed and a latin-1
+    page that the fast path drops / mojibakes."""
+    from riskloc_spark.operators.corpus import curate_from_crawl
+    from riskloc_spark.sources.warc import write_warc
+
+    stop = ("the and of to a in is it that for with plenty of the "
+            "common stopwords and the filler")
+    plain = (f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+             f"<p>plain page {stop}</p>").encode()
+    gzbody = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+              b"Content-Encoding: gzip\r\n\r\n"
+              + gzip.compress(f"<p>zipped page {stop}</p>".encode(),
+                              mtime=0))
+    latin = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+             b"charset=ISO-8859-1\r\n\r\n"
+             + f"<p>caf\xe9 page {stop}</p>".encode("latin-1"))
+    df = spark.createDataFrame(
+        [("<urn:d:0>", "https://site/0", bytearray(plain)),
+         ("<urn:d:1>", "https://site/1", bytearray(gzbody)),
+         ("<urn:d:2>", "https://site/2", bytearray(latin))],
+        "record_id string, target_uri string, payload binary",
+    )
+    warc_dir = str(tmp_path_factory.mktemp("crawl_dec"))
+    write_warc(df, warc_dir).count()
+    fast = curate_from_crawl(spark, warc_dir, min_quality=0.0,
+                             lang="en").collect()
+    texts_fast = [r["text"] for r in fast]
+    assert not any("zipped page" in t for t in texts_fast)
+    dec = curate_from_crawl(spark, warc_dir, min_quality=0.0,
+                            lang="en", decode_bodies=True).collect()
+    texts = sorted(r["text"] for r in dec)
+    assert sum("zipped page" in t for t in texts) == 1
+    assert sum("café page" in t for t in texts) == 1
+    assert sum("plain page" in t for t in texts) == 1
