@@ -408,6 +408,22 @@ def corpus_sample_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def corpus_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shuffle_and_shard under the gate (round 11): the deterministic
+    global shuffle + shard assignment of training export — shard =
+    hash(id:salt) mod 8, pos = dense per-shard rank by an independent
+    hash then id.  The oracle replays the md5 hash family, the
+    modulus, and the window rank, so the full (shard, pos) permutation
+    is hash-pinned — re-runs, repartitions and other engines must
+    produce the identical permutation."""
+    from riskloc_spark.operators.dedup import md5_hash64
+    from riskloc_spark.operators.sampling import shuffle_and_shard
+
+    d = load_table(spark, sf_dir, "documents")
+    out = shuffle_and_shard(d, 8, salt="shard", hash_fn=md5_hash64)
+    return out.select("doc_id", "shard", "pos")
+
+
 def corpus_sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stratified_sample under the gate (round 9): the mixture-weights
     operator — per-source keep rates (src0 1.0 / src1 0.5 / src2 0.25,
@@ -3895,6 +3911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_gemm": knn_graph_gemm_q,
         "html_block_stats_tree": html_block_stats_tree_q,
         "warc_decoded": warc_decoded_q,
+        "corpus_shards": corpus_shards_q,
     # ---- newest driver record is round 8 ----
         "adtributor_candidates": adtributor_candidates_q,
         "dataset_significance": dataset_significance_q,
@@ -7216,6 +7233,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      {_MD5H.format(x="CAST(doc_id AS VARCHAR) || ':split'")}
                        % 1000000 AS h
+              FROM documents
+            )
+        """,
+        # the full deterministic permutation replayed: hash family,
+        # modulus, per-shard dense rank with the (ord-hash, id) order
+        "corpus_shards": f"""
+            SELECT doc_id,
+                   CAST(h1 % 8 AS INT) AS shard,
+                   CAST(row_number() OVER (
+                          PARTITION BY h1 % 8
+                          ORDER BY h2 % 1000000, doc_id
+                        ) - 1 AS BIGINT) AS pos
+            FROM (
+              SELECT doc_id,
+                     {_MD5H.format(x="CAST(doc_id AS VARCHAR) || ':shard'")} AS h1,
+                     {_MD5H.format(x="CAST(doc_id AS VARCHAR) || ':shard:ord'")} AS h2
               FROM documents
             )
         """,

@@ -465,6 +465,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
 
     sp2 = psub.add_parser(
+        "shard",
+        help="deterministic global shuffle + training-shard export "
+        "(shard=K/ parquet dirs; rows carry pos for order restore)",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--n-shards", type=int, default=64)
+    sp2.add_argument("--salt", default="shuffle")
+
+    sp2 = psub.add_parser(
         "url-dedup",
         help="canonicalize URLs (fragments/case/ports/tracking params) "
         "and keep the first document per canonical URL",
@@ -710,6 +719,24 @@ def run_pipeline(spark, args) -> dict:
             drop_boilerplate=not args.keep_boilerplate,
             parser=args.parser,
         )
+    elif op == "shard":
+        from riskloc_spark.operators.sampling import write_training_shards
+
+        # the writer writes the shard=K/ dirs itself; the manifest goes
+        # to a sibling path and the standard return reads the export
+        manifest = write_training_shards(
+            df, args.output, args.n_shards, salt=args.salt
+        )
+        manifest.write.mode("overwrite").parquet(
+            args.output + "_manifest"
+        )
+        written = spark.read.parquet(args.output)
+        return {
+            "pipeline_op": op,
+            "input_rows": df.count(),
+            "output_rows": written.count(),
+            "output": args.output,
+        }
     elif op == "url-dedup":
         from riskloc_spark.operators.dedup import url_dedup
 

@@ -207,3 +207,77 @@ def token_budget_sample(
         )
         .drop("__budget")
     )
+
+
+def shuffle_and_shard(
+    df: DataFrame,
+    n_shards: int,
+    salt: str = "shuffle",
+    id_col: str = "doc_id",
+    hash_fn=xxhash64_fn,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the last-mile
+    stage before training export: adds ``shard`` (pmod of hash(id:salt)
+    over n_shards) and ``pos`` (the row's dense 0-based position WITHIN
+    its shard, ordered by an independent hash then id).  Training jobs
+    that stream shard files in pos order see a reproducible global
+    permutation; a re-run, a different partitioning, or another engine
+    produces the SAME (shard, pos) for every row — ``df.orderBy(rand())``
+    has none of these properties.
+
+    Scale shape: ONE hash exchange on shard + a per-shard window (each
+    shard sorts independently — no global sort, no single-reducer
+    bottleneck; n_shards is the parallelism).  The production hash is
+    xxhash64; pass md5_hash64 for an ANSI-SQL-replayable permutation."""
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    sid = F.pmod(
+        hash_fn(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))
+        ),
+        F.lit(n_shards),
+    ).cast("int")
+    order = F.pmod(
+        hash_fn(
+            F.concat_ws(
+                ":", F.col(id_col).cast("string"), F.lit(salt + ":ord")
+            )
+        ),
+        F.lit(_GRAIN),
+    )
+    w = Window.partitionBy("shard").orderBy(order.asc(), F.col(id_col).asc())
+    return df.withColumn("shard", sid).withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    salt: str = "shuffle",
+    id_col: str = "doc_id",
+    hash_fn=xxhash64_fn,
+) -> DataFrame:
+    """Export the deterministic shuffle as one parquet directory per
+    shard (``shard=K/``), rows carrying their ``pos`` so a reader
+    restores the permutation with a per-shard sort — partitioned-write
+    pruning means a trainer reading shard K touches only its files.
+    Returns the per-shard manifest (shard, rows) — count() forces the
+    write (the write_warc convention)."""
+    sharded = shuffle_and_shard(df, n_shards, salt, id_col, hash_fn)
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    return (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )

@@ -691,3 +691,26 @@ def test_cli_pipeline_url_dedup_and_sentences(spark, tmp_path):
     s0 = sorted((r2["sent_idx"], r2["sentence"])
                 for r2 in rows if r2["doc_id"] == 0)
     assert [s for _, s in s0] == ["One two.", "Three four! rest here"]
+
+
+def test_cli_pipeline_shard(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    spark.range(100).selectExpr(
+        "id AS doc_id", "concat('text ', id) AS text"
+    ).write.parquet(src)
+    out = str(tmp_path / "sharded")
+    r = subprocess.run(
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "shard", src, "--output", out, "--n-shards", "4",
+         "--cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import os
+    assert sorted(d for d in os.listdir(out) if d.startswith("shard=")) \
+        == [f"shard={i}" for i in range(4)]
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert {"shard", "pos", "doc_id", "text"} <= set(back.columns)
+    man = spark.read.parquet(out + "_manifest")
+    assert sum(r2["rows"] for r2 in man.collect()) == 100

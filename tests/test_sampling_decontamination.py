@@ -255,3 +255,62 @@ def test_token_budget_sample_semantics(spark):
         ).collect()
     }
     assert again == {r["doc_id"] for r in out}
+
+
+def test_shuffle_and_shard_deterministic(spark):
+    """(shard, pos) is a pure function of (id, salt): stable across
+    partitionings; shards disjoint+exhaustive; pos dense per shard."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.sampling import shuffle_and_shard
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in shuffle_and_shard(df, 4).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in shuffle_and_shard(df.repartition(7), 4).collect()}
+    assert a == b and len(a) == 500
+    sizes = {}
+    for s, p in a.values():
+        sizes.setdefault(s, []).append(p)
+    assert set(sizes) == {0, 1, 2, 3}
+    for s, ps in sizes.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # a different salt is an independent permutation
+    c = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in shuffle_and_shard(df, 4, salt="other").collect()}
+    assert c != a
+    import pytest
+    with pytest.raises(ValueError):
+        shuffle_and_shard(df, 0)
+
+
+def test_write_training_shards_round_trip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.sampling import (
+        shuffle_and_shard,
+        write_training_shards,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+    )
+    out = str(tmp_path / "shards")
+    manifest = {r["shard"]: r["rows"] for r in
+                write_training_shards(df, out, 4).collect()}
+    assert set(manifest) == {0, 1, 2, 3}
+    assert sum(manifest.values()) == 200
+    # shard directories exist for partition pruning
+    import os
+    assert sorted(d for d in os.listdir(out) if d.startswith("shard=")) \
+        == [f"shard={i}" for i in range(4)]
+    # a reader restoring shard 2 in pos order sees the permutation
+    back = spark.read.parquet(out).filter(F.col("shard") == 2) \
+        .orderBy("pos").collect()
+    expect = sorted(
+        ((r["pos"], r["doc_id"]) for r in
+         shuffle_and_shard(df, 4).collect() if r["shard"] == 2)
+    )
+    assert [(r["pos"], r["doc_id"]) for r in back] == expect
