@@ -1209,6 +1209,29 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash under the hash gate (round 11): the
+    synthesized PNG corpus (all five color/depth variants, palette
+    expansion included) through the REAL decode -> integer-luma ->
+    nearest-resize(9x8) -> gradient-bit kernel
+    (operators/multimodal.py:_dhash_kernel).  The oracle replays the
+    generator formula, the floor resize mapping, the 299/587/114
+    integer luma and the bit packing (bit 63 wrapping signed) in
+    closed-form SQL — all 64 bits of every image's signature are
+    pinned."""
+    from riskloc_spark.operators.dedup import spread_small_scan
+    from riskloc_spark.operators.multimodal import (
+        media_dhash,
+        synthesize_png_corpus,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    corpus = spread_small_scan(synthesize_png_corpus(d))
+    return media_dhash(corpus)
+
+
 def media_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG pixel decode under the hash gate (round 7): deterministic
     PNGs are synthesized per doc id (formula contract in
@@ -3912,6 +3935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_block_stats_tree": html_block_stats_tree_q,
         "warc_decoded": warc_decoded_q,
         "corpus_shards": corpus_shards_q,
+        "media_dhash": media_dhash_q,
     # ---- newest driver record is round 8 ----
         "adtributor_candidates": adtributor_candidates_q,
         "dataset_significance": dataset_significance_q,
@@ -8787,6 +8811,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, CAST(i AS INT) AS i,
                    round(CAST(CAST(f AS REAL) AS DOUBLE), 6) + 0e0 AS feat
             FROM feat
+        """,
+        # every bit of the 64-bit perceptual signature replayed: the
+        # synth pixel formula, floor-mapped 9x8 nearest resize, integer
+        # luma, gradient bits, bit-63 signed wrap
+        "media_dhash": f"""
+            WITH {_PNG_DIMS_CTE},
+            dest AS (
+              SELECT media_id, cs, w, h, c, unnest(range(0, 72)) AS t
+              FROM dims
+            ),
+            chan AS (
+              SELECT media_id, cs, w, h, c, t,
+                     unnest(range(0, CASE WHEN c >= 3 THEN 3 ELSE 1 END))
+                       AS k
+              FROM dest
+            ),
+            mapped AS (
+              -- s staged as a COLUMN: _png_value_sql interpolates its
+              -- argument into multiplications, so an inline compound
+              -- expression would re-associate (the '+ k * 7' trap)
+              SELECT media_id, cs, c, t, k,
+                     (((t // 9) * h) // 8 * w
+                      + ((t % 9) * w) // 9) * c + k AS s
+              FROM chan
+            ),
+            vals AS (
+              SELECT media_id, c, t, k,
+                     {_png_value_sql("media_id", "cs", "s")} AS v
+              FROM mapped
+            ),
+            gray AS (
+              SELECT media_id, t,
+                     CASE WHEN MAX(c) >= 3
+                          THEN SUM(CASE k WHEN 0 THEN 299 * v
+                                   WHEN 1 THEN 587 * v
+                                   ELSE 114 * v END) // 1000
+                          ELSE MAX(v) END AS g
+              FROM vals GROUP BY media_id, t
+            ),
+            bits AS (
+              SELECT a.media_id,
+                     (a.t // 9) * 8 + (a.t % 9) AS kbit,
+                     CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+              FROM gray a
+              JOIN gray b ON b.media_id = a.media_id AND b.t = a.t + 1
+              WHERE a.t % 9 < 8
+            )
+            SELECT b.media_id,
+                   CAST(d.w AS INTEGER) AS width,
+                   CAST(d.h AS INTEGER) AS height,
+                   CAST(SUM(CASE WHEN bit = 0 THEN CAST(0 AS BIGINT)
+                            WHEN kbit = 63
+                              THEN -9223372036854775807 - 1
+                            ELSE CAST(1 AS BIGINT) << kbit END)
+                     AS BIGINT) AS dhash
+            FROM bits b JOIN dims d USING (media_id)
+            GROUP BY b.media_id, d.w, d.h
         """,
         "media_resize_nearest": f"""
             WITH {_PNG_DIMS_CTE},

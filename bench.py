@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "media_features",
     "media_resize_nearest",
     "media_resize_bilinear",
+    "media_dhash",
     "adtributor_elements_derived",
     "robustspot_ca",
     # round-9 session-2 corpus-quality surface (streaming_quality is

@@ -1196,3 +1196,150 @@ def documents_as_media(df: DataFrame) -> DataFrame:
             F.encode("text", "utf-8").alias("payload"),
         )
     )
+
+
+def _dhash_kernel(samples: "np.ndarray") -> int:
+    """64-bit difference hash of a decoded sample array (H, W, C):
+    integer luma (299R+587G+114B)//1000 for >=3 channels, channel 0
+    otherwise; nearest-resize (the SQL-replayable floor mapping) to
+    9x8; bit i*8+j set iff gray[i, j+1] > gray[i, j].  Returned as a
+    SIGNED 64-bit value (bit 63 wraps, the xxhash64 convention)."""
+    from riskloc_spark.operators.png import resize_nearest
+
+    s = samples.astype(np.int64)
+    if s.shape[2] >= 3:
+        gray = (
+            299 * s[:, :, 0] + 587 * s[:, :, 1] + 114 * s[:, :, 2]
+        ) // 1000
+    else:
+        gray = s[:, :, 0]
+    g = resize_nearest(gray[:, :, None], 9, 8)[:, :, 0]
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)  # (8, 8)
+    h = 0
+    for k, b in enumerate(bits.reshape(-1)):
+        if b:
+            h |= 1 << k
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+def media_dhash(
+    df: DataFrame, bytes_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """(id, width, height, dhash): perceptual difference-hash per image
+    — the standard near-duplicate signature (two images within a few
+    bits of hamming distance are crops/re-encodes/rescales of each
+    other).  PNG (palette expanded via decoded_samples), baseline JPEG
+    and GIF frame 0 decode through the dependency-free codecs;
+    payloads matching no codec (or over MAX_DECODE_BYTES) are dropped
+    — a signature of stub bytes would manufacture false duplicate
+    groups.
+
+    Scale shape: one corpus pass behind mapInPandas, zero shuffle —
+    the downstream ``image_near_dup`` pays the only exchange."""
+    from riskloc_spark.operators.gif import decode_gif_frames
+    from riskloc_spark.operators.jpeg import decode_jpeg
+    from riskloc_spark.operators.png import decode_png, decoded_samples
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+    budget = MAX_DECODE_BYTES
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[bytes_col]):
+                b = bytes(b)
+                samples = None
+                decoded = decode_png(b)
+                if decoded is not None:
+                    samples = decoded_samples(decoded)
+                elif len(b) <= budget:
+                    samples = decode_jpeg(b)
+                    if samples is None:
+                        gif = decode_gif_frames(b)
+                        if gif is not None and gif["frames"]:
+                            samples = gif["frames"][0]
+                if samples is None:
+                    continue
+                rows.append(
+                    {
+                        id_col: mid,
+                        "width": int(samples.shape[1]),
+                        "height": int(samples.shape[0]),
+                        "dhash": _dhash_kernel(samples),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "dhash"]
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(run, out_schema)
+
+
+def image_near_dup(
+    df: DataFrame,
+    max_hamming: int = 4,
+    bytes_col: str = "payload",
+    id_col: str = "media_id",
+    hashes: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming): image near-duplicate pairs by banded
+    dhash matching — the pigeonhole rule: two hashes within
+    ``max_hamming`` bits must agree EXACTLY on at least one of
+    (max_hamming + 1) disjoint bit blocks, so candidates come from an
+    equality join on (block_idx, block_bits) and only candidates pay
+    the popcount check.  Never an all-pairs comparison: the exchange
+    is the block-bucket hash join (the minhash-LSH band shape), skewed
+    buckets split under AQE.  ``hashes``: a precomputed
+    ``media_dhash`` frame (the ingest-artifact discipline)."""
+    from pyspark.sql import functions as _F
+
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
+    h = hashes if hashes is not None else media_dhash(df, bytes_col, id_col)
+    n_blocks = max_hamming + 1
+    width = (64 + n_blocks - 1) // n_blocks
+    # signed all-ones when a block spans the full hash (max_hamming=0):
+    # (1<<64)-1 doesn't fit a java long
+    mask = -1 if width >= 64 else (1 << width) - 1
+    block = _F.explode(
+        _F.array(*[_F.lit(i) for i in range(n_blocks)])
+    ).alias("__blk")
+    keyed = h.select(id_col, "dhash", block).withColumn(
+        "__bits",
+        # unsigned view of the signed hash, sliced by block (expr form:
+        # the python shiftrightunsigned wrapper takes only int numBits)
+        _F.expr(f"shiftrightunsigned(dhash, __blk * {width})")
+        .bitwiseAND(_F.lit(mask)),
+    )
+    a = keyed.select(
+        _F.col(id_col).alias("id_a"),
+        _F.col("dhash").alias("__ha"),
+        "__blk", "__bits",
+    )
+    b = keyed.select(
+        _F.col(id_col).alias("id_b"),
+        _F.col("dhash").alias("__hb"),
+        "__blk", "__bits",
+    )
+    pairs = (
+        a.join(b, ["__blk", "__bits"])
+        .filter(_F.col("id_a") < _F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            _F.bit_count(
+                _F.col("__ha").bitwiseXOR(_F.col("__hb"))
+            ).alias("hamming"),
+        )
+        .filter(_F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

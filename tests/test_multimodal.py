@@ -316,3 +316,93 @@ def test_decode_byte_budget_falls_back_to_stub(spark, monkeypatch):
     # over budget: the content-hash stub vector (unit norm), not pixels
     assert real != stub
     assert abs(sum(x * x for x in stub) - 1.0) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing + image near-dup (round 11)
+# ---------------------------------------------------------------------------
+
+def test_dhash_kernel_invariances():
+    """dhash is stable under the edits that define a near-duplicate:
+    tiny pixel noise and nearest-resampling; unrelated content is far."""
+    import numpy as np
+
+    from riskloc_spark.operators.multimodal import _dhash_kernel
+    from riskloc_spark.operators.png import resize_nearest
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (24, 32, 3))
+    h = _dhash_kernel(base)
+    noisy = np.clip(base + rng.integers(-2, 3, base.shape), 0, 255)
+    assert ham(h, _dhash_kernel(noisy)) <= 6
+    up = resize_nearest(base, 64, 48)
+    assert ham(h, _dhash_kernel(up)) == 0
+    other = rng.integers(0, 256, (24, 32, 3))
+    assert ham(h, _dhash_kernel(other)) > 12
+    # grayscale input uses channel 0; signed 64-bit wrap is in range
+    g = rng.integers(0, 256, (10, 10, 1))
+    v = _dhash_kernel(g)
+    assert -(1 << 63) <= v < (1 << 63)
+
+
+def test_media_dhash_and_image_near_dup(spark):
+    """Planted near-duplicate PNGs are found by banded matching with
+    zero false pairs among unrelated images."""
+    import numpy as np
+
+    from riskloc_spark.operators.multimodal import (
+        image_near_dup,
+        media_dhash,
+    )
+    from riskloc_spark.operators.png import encode_png
+
+    rng = np.random.default_rng(7)
+    imgs = {}
+    for i in range(6):
+        imgs[i] = rng.integers(0, 256, (16, 16, 3))
+    # 10/11: near-dups of 0 (tiny noise); 12: exact re-encode of 1
+    imgs[10] = np.clip(imgs[0] + rng.integers(-1, 2, (16, 16, 3)), 0, 255)
+    imgs[11] = np.clip(imgs[0] + rng.integers(-1, 2, (16, 16, 3)), 0, 255)
+    imgs[12] = imgs[1].copy()
+    rows = [
+        (mid, bytearray(encode_png(px.astype(np.int64), 2, 8)))
+        for mid, px in imgs.items()
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = media_dhash(df)
+    assert hashes.count() == len(imgs)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_near_dup(df, max_hamming=6).collect()}
+    assert (0, 10) in pairs and (0, 11) in pairs and (1, 12) in pairs
+    assert pairs[(1, 12)] == 0
+    # no pair between distinct random images
+    base_ids = set(range(6))
+    assert not any(a in base_ids and b in base_ids and not
+                   ((a, b) == (1, 12)) for (a, b) in pairs
+                   if a != 0 and b not in (10, 11, 12))
+
+
+def test_image_near_dup_prebuilt_hashes_and_validation(spark):
+    import numpy as np
+    import pytest
+
+    from riskloc_spark.operators.multimodal import (
+        image_near_dup,
+        media_dhash,
+    )
+    from riskloc_spark.operators.png import encode_png
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 256, (12, 12, 3))
+    rows = [(0, bytearray(encode_png(a.astype(np.int64), 2, 8))),
+            (1, bytearray(encode_png(a.astype(np.int64), 2, 8)))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    h = media_dhash(df).persist()
+    got = image_near_dup(df, max_hamming=0, hashes=h).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(0, 1, 0)]
+    h.unpersist()
+    with pytest.raises(ValueError):
+        image_near_dup(df, max_hamming=-1)
