@@ -69,6 +69,14 @@ line):
         [--lang-col lang --profile-size 300]
     python -m riskloc_spark.cli pipeline block-domains docs.parquet --output out \
         --domain ads.net [--domain tracker.io ...]
+    python -m riskloc_spark.cli pipeline html-extract pages.parquet --output out \
+        [--parser tree]
+    python -m riskloc_spark.cli pipeline warc-extract <warc-dir> --output out \
+        [--decode-bodies]
+    python -m riskloc_spark.cli pipeline curate-crawl <warc-dir> --output out \
+        [--parser tree --decode-bodies --max-link-density 0.5]
+    python -m riskloc_spark.cli pipeline shard docs.parquet --output out \
+        [--n-shards 64 --salt shuffle]
 """
 from __future__ import annotations
 
@@ -447,6 +455,11 @@ def build_parser() -> argparse.ArgumentParser:
         ".warc.gz files, HTTP-split, extract text (data arg = WARC dir)",
     )
     pcommon(sp2)
+    sp2.add_argument(
+        "--decode-bodies", action="store_true",
+        help="decompress Content-Encoding bodies and sniff charsets "
+        "(header > BOM > meta > utf-8) instead of the UTF-8 fast path",
+    )
 
     sp2 = psub.add_parser(
         "curate-crawl",
@@ -463,6 +476,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="regex = codegen fast path; tree = stdlib tokenizer "
         "(robust to malformed real-world HTML)",
     )
+    sp2.add_argument(
+        "--decode-bodies", action="store_true",
+        help="decompress Content-Encoding bodies and sniff charsets "
+        "(header > BOM > meta > utf-8) instead of the UTF-8 fast path",
+    )
+    sp2.add_argument("--max-link-density", type=float, default=None)
 
     sp2 = psub.add_parser(
         "shard",
@@ -698,9 +717,13 @@ def run_pipeline(spark, args) -> dict:
         )
 
         recs = read_warc_records(spark, args.data)
-        parts = http_response_parts(
-            recs.filter(F.col("warc_type") == "response")
-        )
+        responses = recs.filter(F.col("warc_type") == "response")
+        if args.decode_bodies:
+            from riskloc_spark.sources.warc import decode_http_bodies
+
+            parts = decode_http_bodies(responses)
+        else:
+            parts = http_response_parts(responses)
         out = parts.select(
             "record_id",
             "target_uri",
@@ -717,7 +740,9 @@ def run_pipeline(spark, args) -> dict:
             min_quality=args.min_quality,
             lang=args.lang or None,
             drop_boilerplate=not args.keep_boilerplate,
+            max_link_density=args.max_link_density,
             parser=args.parser,
+            decode_bodies=args.decode_bodies,
         )
     elif op == "shard":
         from riskloc_spark.operators.sampling import write_training_shards

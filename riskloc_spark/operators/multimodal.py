@@ -1343,3 +1343,38 @@ def image_near_dup(
         .distinct()
     )
     return pairs
+
+
+def image_dedup(
+    df: DataFrame,
+    max_hamming: int = 4,
+    bytes_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Image near-duplicate DEDUP: dhash signatures -> banded pairs ->
+    connected-components groups -> keep the min-id representative per
+    group.  Payloads no codec can decode pass through unchanged (no
+    signature means no dedup evidence — dropping them would delete
+    data on a parser gap).  Returns the input rows that survive.
+
+    Scale shape: the signature pass, the block-bucket pair join, and
+    the pointer-jumping closure — all inherited from the hash-gated
+    pieces (media_dhash, image_near_dup, dedup_groups); the final
+    keep is one semi/anti join pair."""
+    from riskloc_spark.operators.dedup import dedup_groups
+
+    h = media_dhash(df, bytes_col, id_col)
+    pairs = image_near_dup(
+        df, max_hamming, bytes_col, id_col, hashes=h
+    )
+    groups = dedup_groups(
+        pairs,
+        documents=h.select(F.col(id_col)),
+        id_col=id_col,
+    )
+    reps = groups.filter(F.col("is_representative")).select(id_col)
+    undecodable = df.select(id_col).join(
+        h.select(id_col), id_col, "left_anti"
+    )
+    keep = reps.unionByName(undecodable)
+    return df.join(keep, id_col, "left_semi")

@@ -406,3 +406,32 @@ def test_image_near_dup_prebuilt_hashes_and_validation(spark):
     h.unpersist()
     with pytest.raises(ValueError):
         image_near_dup(df, max_hamming=-1)
+
+
+def test_image_dedup_end_to_end(spark):
+    """Transitive near-dups collapse to one representative; distinct
+    images and undecodable payloads survive."""
+    import numpy as np
+
+    from riskloc_spark.operators.multimodal import image_dedup
+    from riskloc_spark.operators.png import encode_png
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (16, 16, 3))
+    other = rng.integers(0, 256, (16, 16, 3))
+    # 0 ~ 1 ~ 2 (chain), 3 distinct, 4 undecodable bytes
+    rows = [
+        (0, bytearray(encode_png(base.astype(np.int64), 2, 8))),
+        (1, bytearray(encode_png(
+            np.clip(base + rng.integers(-1, 2, base.shape), 0, 255)
+            .astype(np.int64), 2, 8))),
+        (2, bytearray(encode_png(
+            np.clip(base + rng.integers(-1, 2, base.shape), 0, 255)
+            .astype(np.int64), 2, 8))),
+        (3, bytearray(encode_png(other.astype(np.int64), 2, 8))),
+        (4, bytearray(b"not an image at all")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    kept = sorted(r["media_id"]
+                  for r in image_dedup(df, max_hamming=6).collect())
+    assert kept == [0, 3, 4]
