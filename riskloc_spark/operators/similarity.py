@@ -1173,3 +1173,70 @@ def semantic_dedup_pairs(
         )
         .filter(F.col("cos_sim") >= F.lit(cos_threshold))
     )
+
+
+def save_ann_index(
+    path: str,
+    coded: DataFrame,
+    centroids: "np.ndarray | None" = None,
+    codebooks: "np.ndarray | None" = None,
+) -> None:
+    """Persist an ANN serving index as parquet artifacts — the
+    ingest-artifact discipline (the classifier save/load precedent): a
+    deployment fits the quantizers and encodes the corpus ONCE at
+    ingest, then every query session loads the bounded tables instead
+    of re-fitting.  ``coded`` is the (vec_id, code/cell...) index
+    frame (pq_encode [+ ivfpq_assign_cells] output); ``centroids`` the
+    IVF coarse quantizer (n_clusters x dim); ``codebooks`` the PQ
+    codebooks (n_sub x n_codes x sub_dim).  Arrays ship as shape-tagged
+    flat rows through the engine's writers (DFS-portable)."""
+    import os
+
+    import numpy as np
+
+    spark = coded.sparkSession
+    coded.write.mode("overwrite").parquet(os.path.join(path, "coded"))
+
+    def _write_array(arr, name):
+        flat = [
+            (int(i), [float(v) for v in row])
+            for i, row in enumerate(arr.reshape(arr.shape[0], -1))
+        ]
+        df = spark.createDataFrame(flat, "i int, vals array<double>")
+        df.write.mode("overwrite").parquet(os.path.join(path, name))
+        spark.createDataFrame(
+            [([int(d) for d in arr.shape],)], "shape array<int>"
+        ).write.mode("overwrite").parquet(
+            os.path.join(path, name + "_shape")
+        )
+
+    if centroids is not None:
+        _write_array(np.asarray(centroids, dtype=np.float64), "centroids")
+    if codebooks is not None:
+        _write_array(np.asarray(codebooks, dtype=np.float64), "codebooks")
+
+
+def load_ann_index(spark, path: str) -> dict:
+    """Load an index persisted by ``save_ann_index``:
+    {"coded": DataFrame, "centroids": ndarray|None,
+    "codebooks": ndarray|None} — plugs straight into
+    pq_knn / ivf_knn / ivfpq_knn / knn_graph."""
+    import os
+
+    import numpy as np
+
+    out: dict = {
+        "coded": spark.read.parquet(os.path.join(path, "coded")),
+        "centroids": None,
+        "codebooks": None,
+    }
+    for name in ("centroids", "codebooks"):
+        p = os.path.join(path, name)
+        try:
+            rows = spark.read.parquet(p).orderBy("i").collect()
+            shape = spark.read.parquet(p + "_shape").first()["shape"]
+        except Exception:
+            continue
+        arr = np.array([r["vals"] for r in rows], dtype=np.float64)
+        out[name] = arr.reshape(tuple(shape))
+    return out

@@ -498,3 +498,71 @@ def test_knn_graph_unknown_method_raises(spark):
     )
     with pytest.raises(ValueError):
         knn_graph(corpus, centroids=np.ones((2, 2)), method="nope")
+
+
+def test_ann_index_save_load_round_trip(spark, tmp_path):
+    """A persisted (coded, centroids, codebooks) index must serve the
+    exact same neighbors as the in-memory one — fit at ingest, load
+    forever."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.similarity import (
+        ivf_fit_centroids,
+        ivfpq_assign_cells,
+        ivfpq_knn,
+        load_ann_index,
+        pq_encode,
+        pq_fit_codebooks,
+        save_ann_index,
+    )
+
+    corpus = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    ((F.col("id") % 4) * 8
+                     + (F.abs(F.xxhash64("id", F.lit(j))) % 64) / 32.0)
+                ).cast("float")
+                for j in range(16)
+            ]
+        ).alias("embedding"),
+    )
+    cb = pq_fit_codebooks(corpus, n_sub=4, n_codes=16, fit_sample=300)
+    cents = ivf_fit_centroids(corpus, n_clusters=4, fit_sample=300)
+    coded = pq_encode(corpus, cb).join(
+        ivfpq_assign_cells(corpus, cents), "vec_id"
+    )
+    queries = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def run(codebooks, centroids, index):
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"],
+             round(r["adc_dist"], 9))
+            for r in ivfpq_knn(
+                corpus, queries, k=3, n_clusters=4, n_probe=2,
+                n_sub=4, centroids=centroids, codebooks=codebooks,
+                rerank=20, coded=index,
+            ).collect()
+        )
+
+    before = run(cb, cents, coded)
+    path = str(tmp_path / "ann_index")
+    save_ann_index(path, coded, centroids=cents, codebooks=cb)
+    loaded = load_ann_index(spark, path)
+    assert loaded["centroids"].shape == cents.shape
+    assert loaded["codebooks"].shape == cb.shape
+    assert np.allclose(loaded["centroids"], cents)
+    assert np.allclose(loaded["codebooks"], cb)
+    after = run(loaded["codebooks"], loaded["centroids"], loaded["coded"])
+    assert before == after and len(before) > 0
+
+    # centroids-only index (plain IVF) loads with codebooks None
+    path2 = str(tmp_path / "ivf_only")
+    save_ann_index(path2, coded.select("vec_id", "__cell"),
+                   centroids=cents)
+    l2 = load_ann_index(spark, path2)
+    assert l2["codebooks"] is None and l2["centroids"] is not None
