@@ -621,6 +621,11 @@ def scale_block(spark) -> dict:
             out["graph"] = _graph_scale(spark)
         except Exception as e:
             out["graph"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        try:
+            # 102k-image near-dup chain with planted pairs
+            out["imagededup"] = _image_dedup_scale(spark)
+        except Exception as e:
+            out["imagededup"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     if errors:
         out["errors"] = errors
     return out
@@ -693,6 +698,81 @@ def _warc_split_scale(spark, n_records: int = 500_000) -> dict:
         "index_sec": index_sec,
         "split_sec": split_sec,
         "exact": n_whole == n_records and n_split == n_records,
+    }
+
+
+def _image_dedup_scale(spark, n_images: int = 100_000,
+                       dup_every: int = 50) -> dict:
+    """Image near-dup rung (round 11): n_images synthetic PNGs (16x16
+    RGB, hash-derived pixels) with a planted near-duplicate partner
+    (one +-1 pixel perturbation) for every ``dup_every``-th image.
+    Times the full chain — decode -> dhash -> banded pairs ->
+    connected components -> keep — and reports planted-pair recall
+    plus the false-merge count among unrelated images (expected 0:
+    unrelated 16x16 random images sit ~30 bits apart)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from riskloc_spark.operators.multimodal import image_dedup
+
+    n_dups = n_images // dup_every
+
+    def synth(batches):
+        from riskloc_spark.operators.png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                base = i if i < n_images else (i - n_images) * dup_every
+                rng = np.random.default_rng(base)
+                px = rng.integers(0, 256, (16, 16, 3))
+                if i >= n_images:  # the planted near-dup partner
+                    px = np.clip(
+                        px + rng.integers(-1, 2, px.shape), 0, 255
+                    )
+                rows.append(
+                    {
+                        "media_id": i,
+                        "payload": encode_png(px.astype(np.int64), 2, 8),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    corpus = (
+        spark.range(n_images + n_dups)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(synth, schema)
+        .persist()
+    )
+    corpus.count()
+    t0 = time.perf_counter()
+    kept = image_dedup(corpus, max_hamming=6).select("media_id")
+    kept_ids = set(r["media_id"] for r in kept.collect())
+    sec = round(time.perf_counter() - t0, 2)
+    # a planted pair is CAUGHT iff its partner (id >= n_images) is gone
+    caught = sum(
+        1 for i in range(n_images, n_images + n_dups)
+        if i not in kept_ids
+    )
+    # a false merge removed an UNRELATED base image
+    false_merges = sum(
+        1 for i in range(0, n_images) if i not in kept_ids
+    )
+    corpus.unpersist()
+    return {
+        "images": n_images + n_dups,
+        "sec": sec,
+        "recall": round(caught / n_dups, 4),
+        "false_merges": false_merges,
     }
 
 

@@ -77,6 +77,8 @@ line):
         [--parser tree --decode-bodies --max-link-density 0.5]
     python -m riskloc_spark.cli pipeline shard docs.parquet --output out \
         [--n-shards 64 --salt shuffle]
+    python -m riskloc_spark.cli pipeline image-dedup media.parquet --output out \
+        [--max-hamming 4]
 """
 from __future__ import annotations
 
@@ -484,6 +486,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp2.add_argument("--max-link-density", type=float, default=None)
 
     sp2 = psub.add_parser(
+        "image-dedup",
+        help="image near-duplicate dedup: dhash -> banded pairs -> "
+        "connected components -> keep min-id representative "
+        "(input needs media_id + a binary payload column)",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--max-hamming", type=int, default=4)
+
+    sp2 = psub.add_parser(
         "shard",
         help="deterministic global shuffle + training-shard export "
         "(shard=K/ parquet dirs; rows carry pos for order restore)",
@@ -744,6 +755,10 @@ def run_pipeline(spark, args) -> dict:
             parser=args.parser,
             decode_bodies=args.decode_bodies,
         )
+    elif op == "image-dedup":
+        from riskloc_spark.operators.multimodal import image_dedup
+
+        out = image_dedup(df, max_hamming=args.max_hamming)
     elif op == "shard":
         from riskloc_spark.operators.sampling import write_training_shards
 

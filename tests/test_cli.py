@@ -714,3 +714,31 @@ def test_cli_pipeline_shard(spark, tmp_path):
     assert {"shard", "pos", "doc_id", "text"} <= set(back.columns)
     man = spark.read.parquet(out + "_manifest")
     assert sum(r2["rows"] for r2 in man.collect()) == 100
+
+
+def test_cli_pipeline_image_dedup(spark, tmp_path):
+    import numpy as np
+
+    from riskloc_spark.operators.png import encode_png
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (16, 16, 3))
+    other = rng.integers(0, 256, (16, 16, 3))
+    rows = [
+        (0, bytearray(encode_png(base.astype(np.int64), 2, 8))),
+        (1, bytearray(encode_png(base.astype(np.int64), 2, 8))),
+        (2, bytearray(encode_png(other.astype(np.int64), 2, 8))),
+    ]
+    src = str(tmp_path / "media")
+    spark.createDataFrame(rows, "media_id long, payload binary") \
+        .write.parquet(src)
+    out = str(tmp_path / "deduped")
+    r = subprocess.run(
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "image-dedup", src, "--output", out, "--cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    kept = sorted(r2["media_id"] for r2 in
+                  spark.read.parquet(out).collect())
+    assert kept == [0, 2]
