@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "media_resize_nearest",
     "media_resize_bilinear",
     "media_dhash",
+    "knn_graph_gemm",
     "adtributor_elements_derived",
     "robustspot_ca",
     # round-9 session-2 corpus-quality surface (streaming_quality is
@@ -169,6 +170,7 @@ BENCH_QUERIES = [
     "html_block_stats_tree",
     "warc_decoded",
     "classifier_warm",
+    "corpus_shards",
     "audio_meta",
     "audio_features",
     "audio_resample",

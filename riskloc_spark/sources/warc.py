@@ -18,7 +18,12 @@ layout), and ``_iter_gz_members`` walks member boundaries with
 whole-tail-per-member shape), per-member budgets, corrupt members
 resynced past by scanning for the next gzip magic, and the budget
 holding the peak decompressed bytes to ONE member instead of the whole
-archive.  For mid-file SPLIT parallelism, ``index_warc_gz_members``
+archive.  Each member parses independently — a WARC record STRADDLING
+a member boundary (never produced by compliant writers: the
+convention, which our sink follows, is record-aligned members or one
+member per file) truncates at the boundary and is dropped, where the
+old whole-file decompress would have joined it; stated seam.  For
+mid-file SPLIT parallelism, ``index_warc_gz_members``
 builds a (file, offset, bytes, decompressed_base) split index in one
 parallel-per-file pass — the ingest-artifact discipline (CommonCrawl's
 cdx precedent): pay the index once, then ``read_warc_records_split``
