@@ -3479,6 +3479,18 @@ def audio_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_energy(_wav_corpus(spark, sf_dir), frame_len=512)
 
 
+def audio_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-gradient audio fingerprint under the hash gate (round
+    11): the synthesized PCM corpus through frame energies and the
+    64-bit gradient packing (operators/audio.audio_fingerprint).  The
+    oracle replays the waveform contract, the 512-sample frame
+    energies, the LEAD comparison and the bit packing (signed bit-63
+    wrap) — every bit of every (media, channel) fingerprint pinned."""
+    from riskloc_spark.operators.audio import audio_fingerprint
+
+    return audio_fingerprint(_wav_corpus(spark, sf_dir), frame_len=512)
+
+
 _HTTP_HEAD = (
     "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
 )
@@ -3936,6 +3948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_decoded": warc_decoded_q,
         "corpus_shards": corpus_shards_q,
         "media_dhash": media_dhash_q,
+        "audio_fingerprint": audio_fingerprint_q,
     # ---- newest driver record is round 8 ----
         "adtributor_candidates": adtributor_candidates_q,
         "dataset_significance": dataset_significance_q,
@@ -9210,6 +9223,38 @@ def oracle_sql() -> dict[str, str]:
                      AS zero_crossings
             FROM vals
             GROUP BY media_id, c
+        """,
+        # every bit of every (media, channel) fingerprint replayed:
+        # waveform contract, 512-frame energies, LEAD comparison,
+        # signed bit-63 packing
+        "audio_fingerprint": f"""
+            {_audio_vals_sql(1)},
+            frames AS (
+              SELECT media_id, c, j // 512 AS f,
+                     SUM(s * s) AS energy
+              FROM vals GROUP BY media_id, c, (j // 512)
+            ),
+            seq AS (
+              SELECT media_id, c, f, energy,
+                     LEAD(energy) OVER (
+                       PARTITION BY media_id, c ORDER BY f
+                     ) AS nxt
+              FROM frames
+            ),
+            bits AS (
+              SELECT media_id, c, f AS kbit,
+                     CASE WHEN nxt > energy THEN 1 ELSE 0 END AS bit
+              FROM seq WHERE nxt IS NOT NULL AND f < 64
+            )
+            SELECT media_id,
+                   CAST(c AS INTEGER) AS channel,
+                   CAST(SUM(CASE WHEN bit = 0 THEN CAST(0 AS BIGINT)
+                            WHEN kbit = 63
+                              THEN -9223372036854775807 - 1
+                            ELSE CAST(1 AS BIGINT) << kbit END)
+                     AS BIGINT) AS fingerprint,
+                   CAST(COUNT(*) AS INTEGER) AS n_bits
+            FROM bits GROUP BY media_id, c
         """,
         "audio_frames": f"""
             {_audio_vals_sql(1)}

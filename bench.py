@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "audio_features",
     "audio_resample",
     "audio_frames",
+    "audio_fingerprint",
     "video_meta",
     "video_frames",
 ]

@@ -405,3 +405,102 @@ def audio_frame_energy(
             yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA])
 
     return media.mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
+_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("fingerprint", T.LongType()),
+        T.StructField("n_bits", T.IntegerType()),
+    ]
+)
+
+
+def audio_fingerprint(
+    media: DataFrame, frame_len: int = 512, id_col: str = "media_id"
+) -> DataFrame:
+    """(id, channel, fingerprint, n_bits): energy-gradient audio
+    fingerprint — the Haitsma-Kalker shape reduced to its integer
+    core: frame the signal (``frame_len`` samples), bit k set iff
+    energy[k+1] > energy[k], packed into a signed 64-bit value (bit 63
+    wraps, the dhash convention; at most 64 comparisons — longer
+    signals fingerprint their first 65 frames, a windowed variant is
+    the production extension).  Gain changes scale every frame energy
+    by the same factor, so the comparisons — and the fingerprint —
+    are invariant under them; small noise flips only near-tie bits.
+    Channels with fewer than 2 frames yield no row.
+
+    Near-dup matching composes with ``multimodal.banded_hamming_pairs``
+    (see ``audio_near_dup``) — never an all-pairs comparison."""
+    budget = MAX_AUDIO_BYTES
+    fl = int(frame_len)
+    if fl < 1:
+        raise ValueError("frame_len must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                dec = parse_wav(
+                    bytes(payload) if payload is not None else None,
+                    budget,
+                )
+                if dec is None:
+                    continue
+                s = dec["samples"].astype(np.int64)
+                n = dec["n_samples"]
+                n_frames = (n + fl - 1) // fl
+                for c in range(dec["n_channels"]):
+                    col = s[:, c]
+                    e = [
+                        int(np.dot(col[f * fl: (f + 1) * fl],
+                                   col[f * fl: (f + 1) * fl]))
+                        for f in range(min(n_frames, 65))
+                    ]
+                    nb = min(len(e) - 1, 64)
+                    if nb < 1:
+                        continue
+                    h = 0
+                    for k in range(nb):
+                        if e[k + 1] > e[k]:
+                            h |= 1 << k
+                    if h >= 1 << 63:
+                        h -= 1 << 64
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "channel": c,
+                            "fingerprint": h,
+                            "n_bits": nb,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _FP_SCHEMA]
+            )
+
+    return media.mapInPandas(run, schema=_FP_SCHEMA)
+
+
+def audio_near_dup(
+    media: DataFrame,
+    max_hamming: int = 4,
+    frame_len: int = 512,
+    id_col: str = "media_id",
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, channel, hamming): audio near-duplicate pairs by
+    banded fingerprint matching PER CHANNEL (the channel is an extra
+    equality key of the block join, so stereo pairs must match on the
+    same channel).  ``fingerprints``: a precomputed
+    ``audio_fingerprint`` frame (the ingest-artifact discipline)."""
+    from riskloc_spark.operators.multimodal import banded_hamming_pairs
+
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else audio_fingerprint(media, frame_len, id_col)
+    )
+    return banded_hamming_pairs(
+        fp, max_hamming, "fingerprint", id_col, extra_keys=["channel"]
+    )

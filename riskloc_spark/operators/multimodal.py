@@ -1284,27 +1284,27 @@ def media_dhash(
     return df.select(id_col, bytes_col).mapInPandas(run, out_schema)
 
 
-def image_near_dup(
-    df: DataFrame,
-    max_hamming: int = 4,
-    bytes_col: str = "payload",
-    id_col: str = "media_id",
-    hashes: DataFrame | None = None,
+def banded_hamming_pairs(
+    hashes: DataFrame,
+    max_hamming: int,
+    hash_col: str,
+    id_col: str,
+    extra_keys: "list[str] | None" = None,
 ) -> DataFrame:
-    """(id_a, id_b, hamming): image near-duplicate pairs by banded
-    dhash matching — the pigeonhole rule: two hashes within
-    ``max_hamming`` bits must agree EXACTLY on at least one of
-    (max_hamming + 1) disjoint bit blocks, so candidates come from an
-    equality join on (block_idx, block_bits) and only candidates pay
-    the popcount check.  Never an all-pairs comparison: the exchange
-    is the block-bucket hash join (the minhash-LSH band shape), skewed
-    buckets split under AQE.  ``hashes``: a precomputed
-    ``media_dhash`` frame (the ingest-artifact discipline)."""
+    """(id_a, id_b[, extra_keys...], hamming): pairs of rows whose
+    64-bit ``hash_col`` values are within ``max_hamming`` bits, by the
+    pigeonhole rule — two such hashes must agree EXACTLY on at least
+    one of (max_hamming + 1) disjoint bit blocks, so candidates come
+    from an equality join on (block_idx, block_bits [, extra_keys])
+    and only candidates pay the popcount check.  Never an all-pairs
+    comparison: the exchange is the block-bucket hash join (the
+    minhash-LSH band shape), skewed buckets split under AQE.  Shared
+    by image (dhash) and audio (energy fingerprint) near-dup."""
     from pyspark.sql import functions as _F
 
     if max_hamming < 0:
         raise ValueError("max_hamming must be >= 0")
-    h = hashes if hashes is not None else media_dhash(df, bytes_col, id_col)
+    extra = list(extra_keys or [])
     n_blocks = max_hamming + 1
     width = (64 + n_blocks - 1) // n_blocks
     # signed all-ones when a block spans the full hash (max_hamming=0):
@@ -1313,28 +1313,28 @@ def image_near_dup(
     block = _F.explode(
         _F.array(*[_F.lit(i) for i in range(n_blocks)])
     ).alias("__blk")
-    keyed = h.select(id_col, "dhash", block).withColumn(
+    keyed = hashes.select(id_col, hash_col, *extra, block).withColumn(
         "__bits",
         # unsigned view of the signed hash, sliced by block (expr form:
         # the python shiftrightunsigned wrapper takes only int numBits)
-        _F.expr(f"shiftrightunsigned(dhash, __blk * {width})")
+        _F.expr(f"shiftrightunsigned({hash_col}, __blk * {width})")
         .bitwiseAND(_F.lit(mask)),
     )
     a = keyed.select(
         _F.col(id_col).alias("id_a"),
-        _F.col("dhash").alias("__ha"),
-        "__blk", "__bits",
+        _F.col(hash_col).alias("__ha"),
+        *extra, "__blk", "__bits",
     )
     b = keyed.select(
         _F.col(id_col).alias("id_b"),
-        _F.col("dhash").alias("__hb"),
-        "__blk", "__bits",
+        _F.col(hash_col).alias("__hb"),
+        *extra, "__blk", "__bits",
     )
-    pairs = (
-        a.join(b, ["__blk", "__bits"])
+    return (
+        a.join(b, ["__blk", "__bits", *extra])
         .filter(_F.col("id_a") < _F.col("id_b"))
         .select(
-            "id_a", "id_b",
+            "id_a", "id_b", *extra,
             _F.bit_count(
                 _F.col("__ha").bitwiseXOR(_F.col("__hb"))
             ).alias("hamming"),
@@ -1342,7 +1342,21 @@ def image_near_dup(
         .filter(_F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs
+
+
+def image_near_dup(
+    df: DataFrame,
+    max_hamming: int = 4,
+    bytes_col: str = "payload",
+    id_col: str = "media_id",
+    hashes: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming): image near-duplicate pairs by banded
+    dhash matching (see ``banded_hamming_pairs``).  ``hashes``: a
+    precomputed ``media_dhash`` frame (the ingest-artifact
+    discipline)."""
+    h = hashes if hashes is not None else media_dhash(df, bytes_col, id_col)
+    return banded_hamming_pairs(h, max_hamming, "dhash", id_col)
 
 
 def image_dedup(

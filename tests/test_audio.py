@@ -264,3 +264,67 @@ def test_audio_features_skips_empty_data_chunk(spark):
                                "media_id long, payload binary")
     assert audio_features(df).count() == 0
     assert resample_audio_features(df, 3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# energy-gradient fingerprint + audio near-dup (round 11)
+# ---------------------------------------------------------------------------
+
+def test_audio_fingerprint_gain_invariance_and_near_dup(spark):
+    """The fingerprint is invariant under gain; a lightly-noised copy
+    sits within a few bits; unrelated signals are far; pairs come from
+    the banded matcher per channel."""
+    import numpy as np
+
+    from riskloc_spark.operators.audio import (
+        audio_fingerprint,
+        audio_near_dup,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(21)
+    n = 512 * 20
+    base = (rng.standard_normal(n) * 3000).astype(np.int64)[:, None]
+    half = (base * 0.5).astype(np.int64)          # gain change
+    noisy = base + rng.integers(-30, 31, base.shape)
+    other = (rng.standard_normal(n) * 3000).astype(np.int64)[:, None]
+    rows = [
+        (0, bytearray(encode_wav(np.clip(base, -32768, 32767), 8000))),
+        (1, bytearray(encode_wav(np.clip(half, -32768, 32767), 8000))),
+        (2, bytearray(encode_wav(np.clip(noisy, -32768, 32767), 8000))),
+        (3, bytearray(encode_wav(np.clip(other, -32768, 32767), 8000))),
+        (4, bytearray(b"not audio")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    fp = {r["media_id"]: (r["fingerprint"], r["n_bits"])
+          for r in audio_fingerprint(df).collect()}
+    assert set(fp) == {0, 1, 2, 3}
+    assert all(v[1] == 19 for v in fp.values())
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(fp[0][0], fp[1][0]) == 0          # gain-invariant
+    assert ham(fp[0][0], fp[2][0]) <= 3          # near-dup
+    assert ham(fp[0][0], fp[3][0]) > 5           # unrelated
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in audio_near_dup(df, max_hamming=3).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0
+    assert (0, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_audio_fingerprint_short_signal_no_row(spark):
+    import numpy as np
+
+    from riskloc_spark.operators.audio import (
+        audio_fingerprint,
+        encode_wav,
+    )
+
+    one_frame = np.ones((100, 1), dtype=np.int64) * 5
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_wav(one_frame, 8000)))],
+        "media_id long, payload binary",
+    )
+    assert audio_fingerprint(df).count() == 0
