@@ -359,3 +359,88 @@ def video_frame_stats(
             )
 
     return media.mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
+_VFP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def video_dhash(
+    media: DataFrame, every: int = 1, id_col: str = "media_id"
+) -> DataFrame:
+    """(id, frame_idx, dhash): perceptual difference-hash per SAMPLED
+    frame (``every`` = temporal stride) — the video near-dup
+    signature: two videos sharing most frame hashes are re-encodes /
+    re-containers of each other.  Demux + per-frame JPEG decode +
+    the image dhash kernel (all individually hash-gated pieces);
+    undecodable frames yield no row (a stub hash would manufacture
+    false matches)."""
+    from riskloc_spark.operators.jpeg import decode_jpeg
+    from riskloc_spark.operators.multimodal import _dhash_kernel
+
+    budget = MAX_VIDEO_BYTES
+    step = int(every)
+    if step < 1:
+        raise ValueError("every must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                dec = parse_avi(
+                    bytes(payload) if payload is not None else None,
+                    budget,
+                )
+                if dec is None:
+                    continue
+                for k in range(0, dec["n_frames"], step):
+                    px = decode_jpeg(dec["frames"][k])
+                    if px is None:
+                        continue
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": k,
+                            "dhash": _dhash_kernel(px),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _VFP_SCHEMA]
+            )
+
+    return media.mapInPandas(run, schema=_VFP_SCHEMA)
+
+
+def video_near_dup(
+    media: DataFrame,
+    max_hamming: int = 6,
+    min_frame_matches: int = 2,
+    every: int = 1,
+    id_col: str = "media_id",
+    hashes: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, matched_frames): video near-duplicate pairs —
+    per-frame banded dhash matching at the SAME frame index (the
+    frame_idx is an extra equality key of the block join), kept when
+    at least ``min_frame_matches`` sampled frames match.  A re-encoded
+    or lightly-edited copy matches on most frames; two videos sharing
+    one incidental frame don't cross the threshold.  ``hashes``: a
+    precomputed ``video_dhash`` frame."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.multimodal import banded_hamming_pairs
+
+    h = hashes if hashes is not None else video_dhash(media, every, id_col)
+    frame_pairs = banded_hamming_pairs(
+        h, max_hamming, "dhash", id_col, extra_keys=["frame_idx"]
+    )
+    return (
+        frame_pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("matched_frames"))
+        .filter(F.col("matched_frames") >= min_frame_matches)
+    )

@@ -172,3 +172,52 @@ def test_null_payload_rows_survive(spark):
     r = video_meta(df).collect()[0]
     assert r["media_id"] == 1 and r["width"] is None
     assert video_frame_stats(df).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# per-frame dhash + video near-dup (round 11)
+# ---------------------------------------------------------------------------
+
+def test_video_dhash_and_near_dup(spark):
+    """A re-encode-alike copy (same pixels) matches on every frame; a
+    one-shared-frame video stays below the match threshold; an
+    unrelated video matches nothing."""
+    import numpy as np
+
+    from riskloc_spark.operators.jpeg import encode_jpeg
+    from riskloc_spark.operators.video import (
+        encode_avi_mjpeg,
+        video_dhash,
+        video_near_dup,
+    )
+
+    rng = np.random.default_rng(31)
+    frames_a = [
+        encode_jpeg(rng.integers(0, 256, (16, 16, 3)).astype(np.int64))
+        for _ in range(4)
+    ]
+    frames_c = [
+        encode_jpeg(rng.integers(0, 256, (16, 16, 3)).astype(np.int64))
+        for _ in range(4)
+    ]
+    # b: the same frame payloads re-containered; d: shares ONE frame
+    frames_b = list(frames_a)
+    frames_d = [frames_a[0]] + frames_c[1:]
+    rows = [
+        (0, bytearray(encode_avi_mjpeg(frames_a, 16, 16, 40_000))),
+        (1, bytearray(encode_avi_mjpeg(frames_b, 16, 16, 40_000))),
+        (2, bytearray(encode_avi_mjpeg(frames_c, 16, 16, 40_000))),
+        (3, bytearray(encode_avi_mjpeg(frames_d, 16, 16, 40_000))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    h = video_dhash(df)
+    assert h.count() == 16
+    pairs = {(r["id_a"], r["id_b"]): r["matched_frames"]
+             for r in video_near_dup(df, min_frame_matches=2).collect()}
+    assert pairs.get((0, 1)) == 4
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+    assert (0, 3) not in pairs  # one shared frame < threshold
+    assert pairs.get((2, 3)) == 3  # d shares 3 frames with c
+    single = {(r["id_a"], r["id_b"]): r["matched_frames"]
+              for r in video_near_dup(df, min_frame_matches=1).collect()}
+    assert single.get((0, 3)) == 1
