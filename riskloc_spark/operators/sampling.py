@@ -281,3 +281,17 @@ def write_training_shards(
         .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("rows"))
     )
+
+
+def read_training_shards(
+    spark, path: str, shard: int | None = None
+) -> DataFrame:
+    """Read a ``write_training_shards`` export back in permutation
+    order: rows of one shard (or all shards) sorted by (shard, pos).
+    Reading one shard prunes to its ``shard=K/`` directory (partition
+    pruning — a trainer touches only its files); the per-shard sort is
+    the order-restore contract stated by the writer."""
+    df = spark.read.parquet(path)
+    if shard is not None:
+        df = df.filter(F.col("shard") == int(shard))
+    return df.orderBy("shard", "pos")

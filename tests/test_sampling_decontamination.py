@@ -314,3 +314,33 @@ def test_write_training_shards_round_trip(spark, tmp_path):
          shuffle_and_shard(df, 4).collect() if r["shard"] == 2)
     )
     assert [(r["pos"], r["doc_id"]) for r in back] == expect
+
+
+def test_read_training_shards_order_and_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.sampling import (
+        read_training_shards,
+        shuffle_and_shard,
+        write_training_shards,
+    )
+
+    df = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, 3).count()
+    back = read_training_shards(spark, out, shard=1).collect()
+    assert [r["pos"] for r in back] == list(range(len(back)))
+    want = sorted(
+        (r["pos"], r["doc_id"]) for r in shuffle_and_shard(df, 3).collect()
+        if r["shard"] == 1
+    )
+    assert [(r["pos"], r["doc_id"]) for r in back] == want
+    # pruning: the single-shard plan reads one partition directory
+    plan = read_training_shards(spark, out, shard=1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "shard" in plan
+    allrows = read_training_shards(spark, out).collect()
+    assert len(allrows) == 120
