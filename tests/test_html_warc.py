@@ -756,3 +756,90 @@ def test_curate_from_crawl_decode_bodies(spark, tmp_path_factory):
     assert sum("zipped page" in t for t in texts) == 1
     assert sum("café page" in t for t in texts) == 1
     assert sum("plain page" in t for t in texts) == 1
+
+
+def test_crawl_to_training_set_end_to_end(spark, tmp_path_factory):
+    """The WHOLE ingestion story in one composition: a mixed crawl
+    (well-formed, adversarial-markup, gzip-compressed, latin-1, and
+    exact-duplicate pages) written as a per-record-member .warc.gz
+    through the committed sink, curated with the tree parser +
+    charset decode, then sharded into a deterministic training export
+    and read back in permutation order."""
+    import gzip as _gzip
+
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.corpus import curate_from_crawl
+    from riskloc_spark.operators.sampling import (
+        read_training_shards,
+        write_training_shards,
+    )
+    from riskloc_spark.sources.warc import write_warc
+
+    stop = ("the and of to a in is it that for with plenty of the "
+            "common stopwords and the filler text")
+
+    def http(body: bytes, ctype=b"text/html", enc=None) -> bytes:
+        head = b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype
+        if enc:
+            head += b"\r\nContent-Encoding: " + enc
+        return head + b"\r\n\r\n" + body
+
+    pages = []
+    for i in range(6):
+        pages.append(
+            (f"<urn:e2e:{i}>", f"https://site/{i}",
+             http(f"<p>page {i} body {stop}</p>".encode()))
+        )
+    # adversarial markup (attr '>', CDATA) the tree parser must survive
+    pages.append(
+        ("<urn:e2e:adv>", "https://site/adv",
+         http((f'<div data-x="a>b"><p>adversarial body {stop}</p>'
+               f"</div><![CDATA[<p>junk</p>]]>").encode()))
+    )
+    # gzip-compressed body
+    pages.append(
+        ("<urn:e2e:gz>", "https://site/gz",
+         http(_gzip.compress(
+             f"<p>compressed body {stop}</p>".encode(), mtime=0),
+             enc=b"gzip"))
+    )
+    # latin-1 body declared by the header charset
+    pages.append(
+        ("<urn:e2e:l1>", "https://site/l1",
+         http(f"<p>café body {stop}</p>".encode("latin-1"),
+              ctype=b"text/html; charset=ISO-8859-1"))
+    )
+    # exact duplicate of page 0 under another uri: must collapse
+    pages.append(("<urn:e2e:dup>", "https://site/dup", pages[0][2]))
+
+    df = spark.createDataFrame(
+        [(r, u, bytearray(b)) for r, u, b in pages],
+        "record_id string, target_uri string, payload binary",
+    )
+    warc_dir = str(tmp_path_factory.mktemp("e2e_crawl"))
+    write_warc(df.repartition(2), warc_dir, compress=True).count()
+    import os
+    assert all(n.endswith(".warc.gz") for n in os.listdir(warc_dir))
+
+    docs = curate_from_crawl(
+        spark, warc_dir, min_quality=0.0, lang="en",
+        parser="tree", decode_bodies=True,
+    ).persist()
+    texts = [r["text"] for r in docs.collect()]
+    bodies = [t for t in texts if "body" in t]
+    # 6 plain + adversarial + compressed + latin-1 survive; dup folds
+    assert sum("adversarial body" in t for t in texts) == 1
+    assert all("junk" not in t and ">" not in t for t in texts)
+    assert sum("compressed body" in t for t in texts) == 1
+    assert sum("café body" in t for t in texts) == 1
+    assert sum("page 0 body" in t for t in texts) == 1  # dup collapsed
+    assert len(bodies) == 9
+
+    out = str(tmp_path_factory.mktemp("e2e_out") / "shards")
+    manifest = write_training_shards(docs, out, 2).collect()
+    assert sum(m["rows"] for m in manifest) == docs.count()
+    back = read_training_shards(spark, out)
+    assert back.count() == docs.count()
+    assert {"shard", "pos", "text"} <= set(back.columns)
+    docs.unpersist()
