@@ -1392,3 +1392,87 @@ def image_dedup(
     )
     keep = reps.unionByName(undecodable)
     return df.join(keep, id_col, "left_semi")
+
+
+def build_image_index(
+    df: DataFrame,
+    max_hamming: int = 4,
+    bytes_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Ingest-time image near-dup INDEX for a base corpus: one row per
+    (image, block) carrying (id, dhash, block, bits) — exactly the
+    frame incremental probes bucket on, exposed as a persistable
+    artifact (the text-side ``build_near_dup_index`` discipline: hash
+    the base corpus ONCE at ingest, write bucketed on (block, bits),
+    and every later batch probes without re-decoding a single base
+    image).  ``max_hamming`` fixes the block geometry — probe with the
+    SAME value."""
+    from pyspark.sql import functions as _F
+
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
+    n_blocks = max_hamming + 1
+    width = (64 + n_blocks - 1) // n_blocks
+    mask = -1 if width >= 64 else (1 << width) - 1
+    h = media_dhash(df, bytes_col, id_col)
+    block = _F.explode(
+        _F.array(*[_F.lit(i) for i in range(n_blocks)])
+    ).alias("block")
+    return h.select(id_col, "dhash", block).withColumn(
+        "bits",
+        _F.expr(f"shiftrightunsigned(dhash, block * {width})")
+        .bitwiseAND(_F.lit(mask)),
+    )
+
+
+def incremental_image_dedup(
+    new_df: DataFrame,
+    index: DataFrame,
+    max_hamming: int = 4,
+    bytes_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(new_id, base_id, hamming): match an incoming image batch
+    AGAINST a base-corpus index from ``build_image_index`` (same
+    ``max_hamming``).  Only the batch is decoded and hashed; the base
+    side contributes index rows alone.  The probe shuffles on
+    (block, bits) — an index written bucketed on those keys reads
+    exchange-free and only the (small) batch moves: the text-side
+    ``incremental_near_dup`` shape, for images."""
+    from pyspark.sql import functions as _F
+
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
+    n_blocks = max_hamming + 1
+    width = (64 + n_blocks - 1) // n_blocks
+    mask = -1 if width >= 64 else (1 << width) - 1
+    h = media_dhash(new_df, bytes_col, id_col)
+    block = _F.explode(
+        _F.array(*[_F.lit(i) for i in range(n_blocks)])
+    ).alias("block")
+    probe = h.select(
+        _F.col(id_col).alias("new_id"),
+        _F.col("dhash").alias("__hn"),
+        block,
+    ).withColumn(
+        "bits",
+        _F.expr(f"shiftrightunsigned(__hn, block * {width})")
+        .bitwiseAND(_F.lit(mask)),
+    )
+    base = index.select(
+        _F.col(id_col).alias("base_id"),
+        _F.col("dhash").alias("__hb"),
+        "block", "bits",
+    )
+    return (
+        probe.join(base, ["block", "bits"])
+        .select(
+            "new_id", "base_id",
+            _F.bit_count(
+                _F.col("__hn").bitwiseXOR(_F.col("__hb"))
+            ).alias("hamming"),
+        )
+        .filter(_F.col("hamming") <= max_hamming)
+        .distinct()
+    )

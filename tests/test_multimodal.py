@@ -435,3 +435,40 @@ def test_image_dedup_end_to_end(spark):
     kept = sorted(r["media_id"]
                   for r in image_dedup(df, max_hamming=6).collect())
     assert kept == [0, 3, 4]
+
+
+def test_incremental_image_dedup(spark):
+    """A batch probes the persisted base index: near-dups of base
+    images match, fresh images don't, and the base is never
+    re-decoded (the index frame alone joins)."""
+    import numpy as np
+
+    from riskloc_spark.operators.multimodal import (
+        build_image_index,
+        incremental_image_dedup,
+    )
+    from riskloc_spark.operators.png import encode_png
+
+    rng = np.random.default_rng(13)
+    base_imgs = {i: rng.integers(0, 256, (16, 16, 3)) for i in range(5)}
+    base = spark.createDataFrame(
+        [(i, bytearray(encode_png(px.astype(np.int64), 2, 8)))
+         for i, px in base_imgs.items()],
+        "media_id long, payload binary",
+    )
+    index = build_image_index(base, max_hamming=6).persist()
+    index.count()
+
+    batch = spark.createDataFrame(
+        [(100, bytearray(encode_png(
+            np.clip(base_imgs[2] + rng.integers(-1, 2, (16, 16, 3)),
+                    0, 255).astype(np.int64), 2, 8))),
+         (101, bytearray(encode_png(
+             rng.integers(0, 256, (16, 16, 3)).astype(np.int64), 2, 8)))],
+        "media_id long, payload binary",
+    )
+    got = {(r["new_id"], r["base_id"]): r["hamming"] for r in
+           incremental_image_dedup(batch, index, max_hamming=6).collect()}
+    assert (100, 2) in got
+    assert not any(n == 101 for n, _ in got)
+    index.unpersist()
