@@ -1209,6 +1209,22 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing (Schleimer et al. 2003, the MOSS algorithm)
+    under the hash gate (round 11): every document's k=5-gram hashes
+    windowed by 4, the per-window minimum kept with the RIGHTMOST tie
+    rule, selections deduped — the oracle replays normalization, the
+    gram slide, the md5 hash family, the window enumeration
+    (including the short-document single-window case) and the
+    (h ASC, pos DESC) selection, so the exact fingerprint SET of
+    every document is pinned."""
+    from riskloc_spark.functions.text import winnow_fingerprints
+    from riskloc_spark.operators.dedup import md5_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, k=5, window=4, hash_fn=md5_hash64)
+
+
 def media_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual difference-hash under the hash gate (round 11): the
     synthesized PNG corpus (all five color/depth variants, palette
@@ -3949,6 +3965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shards": corpus_shards_q,
         "media_dhash": media_dhash_q,
         "audio_fingerprint": audio_fingerprint_q,
+        "winnow_fingerprints": winnow_fingerprints_q,
     # ---- newest driver record is round 8 ----
         "adtributor_candidates": adtributor_candidates_q,
         "dataset_significance": dataset_significance_q,
@@ -8307,6 +8324,53 @@ def oracle_sql() -> dict[str, str]:
               FROM adc
             )
             SELECT query_id, vec_id, adc_dist, rnk FROM r WHERE rnk <= 5
+        """,
+        # the exact winnowing selection replayed: normalization, the
+        # 5-gram slide (inclusive DuckDB list slices), md5 family,
+        # window enumeration incl. the short-doc single window, and
+        # the (h ASC, pos DESC) rightmost-tie pick
+        "winnow_fingerprints": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                  '[ \t\n\x0B\f\r]+', ' ', 'g'),
+                                  '') AS ch
+              FROM documents
+            ),
+            gr AS (
+              SELECT doc_id,
+                     CASE WHEN len(ch) < 5 THEN []
+                          ELSE list_transform(range(1, len(ch) - 3),
+                               i -> array_to_string(ch[i:i+4], ''))
+                     END AS gl
+              FROM toks
+            ),
+            grams AS (
+              SELECT doc_id, u.s.p AS pos,
+                     {_MD5H.format(x="u.s.g")} AS h
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(0, len(gl)),
+                                  i -> struct_pack(p := i,
+                                                   g := gl[i+1]))) AS s
+                    FROM gr) u(doc_id, s)
+            ),
+            nn AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+            starts AS (
+              SELECT doc_id,
+                     unnest(range(0, greatest(n - 4 + 1, 1))) AS s
+              FROM nn
+            ),
+            wins AS (
+              SELECT st.doc_id, st.s, g.pos, g.h,
+                     row_number() OVER (PARTITION BY st.doc_id, st.s
+                                        ORDER BY g.h ASC, g.pos DESC)
+                       AS rn
+              FROM starts st JOIN grams g
+                ON g.doc_id = st.doc_id
+               AND g.pos >= st.s AND g.pos < st.s + 4
+            )
+            SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, h AS fp
+            FROM wins WHERE rn = 1
         """,
         "doc_fingerprints": f"""
             SELECT doc_id, {_MD5H.format(x=_NORM_TEXT)} AS fp FROM documents

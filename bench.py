@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "warc_decoded",
     "classifier_warm",
     "corpus_shards",
+    "winnow_fingerprints",
     "audio_meta",
     "audio_features",
     "audio_resample",
