@@ -187,6 +187,160 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape on the reduced schema: bidirectional nation-pair
+    trade volume by ship year.  Two broadcast joins against the SAME
+    small nation dim under different aliases (supplier nation n1,
+    customer nation n2) — the self-alias-on-a-dim pattern — plus the
+    OR'd pair predicate Catalyst must keep above the joins."""
+    t = {n: load_table(spark, sf_dir, n) for n in (
+        "supplier", "lineitem", "orders", "customer", "nation")}
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    # two trade BLOCS (nation keys 0-2 vs 3-5) instead of Q7's single
+    # nation pair: the synthetic data spreads each fact row uniformly
+    # over 25x25 nation combos, so one pair is empty at sf0.001 — the
+    # bloc form keeps the OR'd bidirectional predicate shape non-empty
+    # at every scale.
+    pair = (
+        ((F.col("n1_key") < 3) & (F.col("n2_key") >= 3) & (F.col("n2_key") < 6))
+        | ((F.col("n1_key") >= 3) & (F.col("n1_key") < 6) & (F.col("n2_key") < 3))
+    )
+    return (
+        t["supplier"]
+        .join(t["lineitem"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            pair
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (o_comment NOT LIKE swapped for the reduced
+    schema's o_orderpriority <> '1-URGENT', applied INSIDE the join
+    condition — the left-outer-with-ON-predicate shape that is wrong if
+    rewritten as a post-join filter): per-customer non-urgent order
+    counts, then the distribution of those counts.  Two aggregations,
+    the second over the first's keys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotional revenue share for one ship month — a
+    fact-dim join (part broadcast at this scale) under a conditional
+    aggregate; the filter must reach the lineitem scan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers with orders above a quantity threshold —
+    a HAVING-backed semi-join (the qualifying-orderkey set) feeding a
+    three-way join and a second aggregation; top 100 by total price.
+    The qualifier reuses lineitem, so the scan is shared via exchange
+    reuse rather than read twice logically."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
+               F.col("o_orderkey") == F.col("b_orderkey"), "left_semi")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"), "sum_qty",
+        )
+    )
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape on the reduced schema: above-average-balance
+    customers with NO urgent order, profiled per market segment — a
+    scalar aggregate subquery (broadcast one-row cross join) plus a
+    left ANTI join against the urgent-order custkey set."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("abal")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("abal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
@@ -3966,6 +4120,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dhash": media_dhash_q,
         "audio_fingerprint": audio_fingerprint_q,
         "winnow_fingerprints": winnow_fingerprints_q,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q13_order_distribution": q13_order_distribution,
+        "q14_promo_effect": q14_promo_effect,
+        "q18_large_volume_customer": q18_large_volume_customer,
+        "q22_idle_rich_customers": q22_idle_rich_customers,
     # ---- newest driver record is round 8 ----
         "adtributor_candidates": adtributor_candidates_q,
         "dataset_significance": dataset_significance_q,
@@ -6930,6 +7089,77 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1998-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2) + 0e0 AS revenue
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_nationkey < 3 AND n2.n_nationkey BETWEEN 3 AND 5)
+                OR (n1.n_nationkey BETWEEN 3 AND 5 AND n2.n_nationkey < 3))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q13_order_distribution": """
+            WITH per_cust AS (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer
+              LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey
+            )
+            SELECT c_count, COUNT(*) AS custdist
+            FROM per_cust
+            GROUP BY c_count
+        """,
+        "q14_promo_effect": """
+            SELECT round(
+                     100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                 THEN l_extendedprice * (1 - l_discount)
+                                 ELSE 0e0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 6) + 0e0
+                   AS promo_revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+        """,
+        "q18_large_volume_customer": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   round(o_totalprice, 2) + 0e0 AS o_totalprice,
+                   round(SUM(l_quantity), 2) + 0e0 AS sum_qty
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+            )
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+            ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "q22_idle_rich_customers": """
+            WITH abal AS (
+              SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_mktsegment,
+                   COUNT(*) AS numcust,
+                   round(SUM(c_acctbal), 2) + 0e0 AS totacctbal
+            FROM customer CROSS JOIN abal
+            WHERE c_acctbal > a
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment
         """,
         "q_top_customers_per_nation": """
             WITH rev AS (

@@ -26,6 +26,11 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q18_large_volume_customer",
+    "q22_idle_rich_customers",
     "q_top_customers_per_nation",
     "events_hourly",
     "events_props_agg",
