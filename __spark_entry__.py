@@ -2131,6 +2131,28 @@ def text_trigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language head/middle/tail perplexity bucketing
+    (round 11; functions/text.perplexity_buckets): trigram-LM scores
+    rounded to the gate-proven 6 dp, histogrammed per (lang, score),
+    integer cumulative bucket index over the tiny histogram, broadcast
+    assignment back — the oracle replays the identical integer
+    arithmetic, so a drift in the histogram, the cumulative window, or
+    the straddling-tie rule breaks the hash."""
+    from riskloc_spark.functions.text import perplexity_buckets
+
+    d = load_table(spark, sf_dir, "documents")
+    out = perplexity_buckets(d)
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("n_trigrams").cast("long").alias("n_trigrams"),
+        "avg_logprob",
+        F.col("bucket").cast("int").alias("bucket"),
+        "ppl_bucket",
+    )
+
+
 def streaming_kpi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming surface under the correctness gate: the
     windowed KPI stream (riskloc_spark.streaming.windowed_kpi_stream)
@@ -4125,6 +4147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_effect": q14_promo_effect,
         "q18_large_volume_customer": q18_large_volume_customer,
         "q22_idle_rich_customers": q22_idle_rich_customers,
+        "perplexity_buckets": perplexity_buckets_q,
     # ---- newest driver record is round 8 ----
         "adtributor_candidates": adtributor_candidates_q,
         "dataset_significance": dataset_significance_q,
@@ -8198,6 +8221,59 @@ def oracle_sql() -> dict[str, str]:
                    round(AVG(ln(p.p)), 6) + 0e0 AS avg_logprob
             FROM tris t JOIN probs p ON t.tri = p.tri
             GROUP BY t.doc_id
+        """,
+        "perplexity_buckets": """
+            WITH tris AS (
+              SELECT doc_id, substr(text, CAST(i AS INT), 3) AS tri
+              FROM (
+                SELECT doc_id, text,
+                       unnest(range(1, length(text) - 1)) AS i
+                FROM documents WHERE length(text) >= 3
+              )
+            ),
+            c3 AS (SELECT tri, COUNT(*) AS c3 FROM tris GROUP BY tri),
+            c2 AS (
+              SELECT substr(tri, 1, 2) AS pre, SUM(c3) AS c2
+              FROM c3 GROUP BY 1
+            ),
+            probs AS (
+              SELECT tri, CAST(c3 AS DOUBLE) / c2 AS p
+              FROM c3 JOIN c2 ON substr(c3.tri, 1, 2) = c2.pre
+            ),
+            scores AS (
+              SELECT t.doc_id,
+                     COUNT(*) AS n_trigrams,
+                     round(AVG(ln(p.p)), 6) + 0e0 AS avg_logprob
+              FROM tris t JOIN probs p ON t.tri = p.tri
+              GROUP BY t.doc_id
+            ),
+            j AS (
+              SELECT d.doc_id, d.lang, s.n_trigrams, s.avg_logprob
+              FROM documents d JOIN scores s USING (doc_id)
+            ),
+            hist AS (
+              SELECT lang, avg_logprob, COUNT(*) AS cnt
+              FROM j GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT lang, avg_logprob,
+                     SUM(cnt) OVER (
+                       PARTITION BY lang ORDER BY avg_logprob DESC
+                       ROWS UNBOUNDED PRECEDING) - cnt AS strt,
+                     SUM(cnt) OVER (PARTITION BY lang) AS tot
+              FROM hist
+            ),
+            cuts AS (
+              SELECT lang, avg_logprob,
+                     CAST((strt * 3) // tot AS INT) AS bucket
+              FROM cum
+            )
+            SELECT j.doc_id, j.lang, j.n_trigrams, j.avg_logprob, c.bucket,
+                   CASE WHEN c.bucket = 0 THEN 'head'
+                        WHEN c.bucket = 2 THEN 'tail'
+                        ELSE 'middle' END AS ppl_bucket
+            FROM j JOIN cuts c
+              ON j.lang = c.lang AND j.avg_logprob = c.avg_logprob
         """,
         "quality_repetition": _quality_stats_sql()
         + """

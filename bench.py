@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "token_stats",
     "bpe_token_counts",
     "text_trigram_lm",
+    "perplexity_buckets",
     "lang_quality_by_source",
     "dedup_exact",
     "dedup_paragraphs",

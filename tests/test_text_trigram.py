@@ -68,3 +68,74 @@ def test_trigram_conditional_probabilities_sum_to_one(spark):
         by_pre[tri[:2]] += c / tot[tri[:2]]
     for pre, ssum in by_pre.items():
         assert abs(ssum - 1.0) < 1e-12, (pre, ssum)
+
+
+def test_perplexity_buckets_proportions_and_labels(spark):
+    """CCNet bucketing: with distinct scores per language, each bucket
+    holds floor/ceil(n/3) documents, head = the highest avg_logprob
+    (lowest perplexity) third, and every language is bucketed
+    independently."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.functions.text import perplexity_buckets
+
+    rows = []
+    # 9 distinguishable-fluency docs in 'en' (repetition of a common
+    # pattern raises trigram probability), 6 in 'fr'
+    for i in range(9):
+        rows.append((i, "en", "the cat sat " * (i + 1) + "zq" * (9 - i)))
+    for i in range(6):
+        rows.append((100 + i, "fr", "le chat noir " * (i + 1) + "xw" * (6 - i)))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = perplexity_buckets(docs).collect()
+    assert len(out) == 15
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, n in (("en", 9), ("fr", 6)):
+        grp = by_lang[lang]
+        assert len(grp) == n
+        counts = {}
+        for r in grp:
+            counts[r["ppl_bucket"]] = counts.get(r["ppl_bucket"], 0) + 1
+        assert counts == {"head": n // 3, "middle": n // 3, "tail": n // 3}
+        # head scores strictly >= middle >= tail
+        lo = {b: min(r["avg_logprob"] for r in grp if r["ppl_bucket"] == b)
+              for b in counts}
+        hi = {b: max(r["avg_logprob"] for r in grp if r["ppl_bucket"] == b)
+              for b in counts}
+        assert lo["head"] >= hi["middle"] >= lo["middle"] >= hi["tail"]
+
+
+def test_perplexity_buckets_straddling_tie_goes_to_first_bucket(spark):
+    """A score group that straddles a bucket boundary lands ENTIRELY in
+    the bucket of its first-ranked member: 5 identical docs + 1 worse
+    doc with n_buckets=2 puts all 5 ties in head (start index 0),
+    never split between head and tail."""
+    from riskloc_spark.functions.text import perplexity_buckets
+
+    # the corrupt doc must SHARE bigram prefixes with the clean docs
+    # and diverge on the third character (' mz' vs the common ' ma') —
+    # all-unique gibberish would get P=1 trigrams from its own unique
+    # prefixes under the corpus-conditional LM and outrank everything
+    rows = [(i, "en", "the cat sat on the mat") for i in range(5)]
+    rows.append((9, "en", "the cat sat on the mzt"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = perplexity_buckets(docs, n_buckets=2).collect()
+    labels = {r["doc_id"]: r["ppl_bucket"] for r in out}
+    assert all(labels[i] == "head" for i in range(5))
+    assert labels[9] == "tail"
+
+
+def test_perplexity_buckets_short_docs_absent(spark):
+    """Documents under 3 characters carry no trigram score and are
+    absent from the bucketed output (trigram_lm_scores contract)."""
+    from riskloc_spark.functions.text import perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [(1, "en", "ab"), (2, "en", "a proper sentence here"),
+         (3, "en", "another proper sentence here")],
+        "doc_id long, lang string, text string",
+    )
+    out = perplexity_buckets(docs).collect()
+    assert sorted(r["doc_id"] for r in out) == [2, 3]
