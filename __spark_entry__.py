@@ -62,6 +62,7 @@ from riskloc_spark.operators.similarity import (
 )
 
 from riskloc_spark.functions.scores import add_surprise
+from riskloc_spark.operators import graph as _graph_mod
 
 
 # --------------------------------------------------------------------------
@@ -2153,6 +2154,109 @@ def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _link_pages(d: DataFrame) -> DataFrame:
+    """Closed-form link-bearing pages for the link_graph gate: each
+    document becomes a page at https://{source}.EXample.com/dir/sub/
+    (mixed-case host exercises the lowercase rule) carrying one anchor
+    per resolution rule — absolute, protocol-relative, root-relative,
+    relative, fragment-bearing absolute — plus three that must be
+    DROPPED (mailto:, javascript:, fragment-only)."""
+    did = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://"), F.col("source"),
+        F.lit(".EXample.com/dir/sub/page-"), did, F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<html><body>\n<a class="m" href="https://s-'),
+        F.col("source"), F.lit(".example.com/p/"), did,
+        F.lit('">abs</a>\n<a href="//cdn-'),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit('.example.net/lib">cdn</a>\n<a href="/about/'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('">about</a>\n<a href="item-'),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('.html">rel</a>\n<a href="https://x.example.org/page#sec-'),
+        did,
+        F.lit('">frag</a>\n<a href="mailto:info@example.com">mail</a>\n'
+              '<a href="#top">top</a>\n'
+              '<a href="javascript:void(0)">js</a>\n</body></html>'),
+    )
+    return d.select("doc_id", url.alias("url"), html.alias("html"))
+
+
+def link_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor extraction + URL resolution under the hash gate (round
+    11; operators/graph.extract_links): five kept anchors per page,
+    one per resolution rule, three dropped schemes — the oracle
+    enumerates the resolved URL and lowercased host for each rule
+    closed-form from the original columns, so a drift in the href
+    regex, the scheme filter, the origin/directory split, or the
+    host lowercasing breaks the hash."""
+    from riskloc_spark.operators.graph import extract_links
+
+    d = load_table(spark, sf_dir, "documents")
+    return extract_links(_link_pages(d), keep=["doc_id"])
+
+
+# the pagerank gate's closed-form host graph: three edge families from
+# doc_id arithmetic (a fixed backbone, a scale-growing family, and
+# dangling-only targets h50-h56 that never appear as sources), distinct,
+# self-loops removed — mirrored EXACTLY by _PAGERANK_EDGES_CTE below
+def _pagerank_edges(d: DataFrame) -> DataFrame:
+    s = F.col("doc_id") % 50
+    fams = [
+        (7 * (F.col("doc_id") % 50) + 1) % 50,
+        (F.expr("doc_id div 50") + F.col("doc_id")) % 50,
+        F.lit(50) + F.col("doc_id") % 7,
+    ]
+    raw = None
+    for dst in fams:
+        part = d.select(s.alias("s"), dst.alias("d"))
+        raw = part if raw is None else raw.unionAll(part)
+    return (
+        raw.filter(F.col("s") != F.col("d"))
+        .select(
+            F.concat(F.lit("h"), F.col("s").cast("string")).alias("src"),
+            F.concat(F.lit("h"), F.col("d").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+_PAGERANK_EDGES_CTE = """edges AS (
+              SELECT DISTINCT 'h' || CAST(s AS VARCHAR) AS src,
+                              'h' || CAST(d AS VARCHAR) AS dst
+              FROM (
+                SELECT doc_id % 50 AS s,
+                       (7 * (doc_id % 50) + 1) % 50 AS d FROM documents
+                UNION ALL
+                SELECT doc_id % 50, (doc_id // 50 + doc_id) % 50
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 50, 50 + doc_id % 7 FROM documents
+              ) WHERE s <> d
+            )"""
+
+
+def pagerank_hosts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank under the hash gate (round 11;
+    operators/graph.pagerank): 5 damped iterations over the closed-form
+    host graph (57 nodes, 7 of them permanently dangling), every score
+    a BIGINT in 1e12 fixed-point mass units — the oracle unrolls the
+    identical floor-division arithmetic (graph.pagerank_sql), so a
+    drift in the share division, the dangling redistribution, or the
+    damping rational breaks the hash EXACTLY (no float tolerance)."""
+    from riskloc_spark.operators.graph import pagerank
+
+    d = load_table(spark, sf_dir, "documents")
+    # 57 nodes: width 8 avoids paying the session's shuffle width in
+    # empty-task scheduling (see pagerank's shuffle_partitions note)
+    return pagerank(
+        _pagerank_edges(d), "src", "dst", iterations=5,
+        shuffle_partitions=8,
+    )
+
+
 def streaming_kpi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming surface under the correctness gate: the
     windowed KPI stream (riskloc_spark.streaming.windowed_kpi_stream)
@@ -4148,6 +4252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_customer": q18_large_volume_customer,
         "q22_idle_rich_customers": q22_idle_rich_customers,
         "perplexity_buckets": perplexity_buckets_q,
+        "link_graph": link_graph_q,
+        "pagerank_hosts": pagerank_hosts_q,
     # ---- newest driver record is round 8 ----
         "adtributor_candidates": adtributor_candidates_q,
         "dataset_significance": dataset_significance_q,
@@ -8275,6 +8381,44 @@ def oracle_sql() -> dict[str, str]:
             FROM j JOIN cuts c
               ON j.lang = c.lang AND j.avg_logprob = c.avg_logprob
         """,
+        "link_graph": """
+            SELECT doc_id,
+                   'https://s-' || source || '.example.com/p/' || doc_id
+                     AS href,
+                   'https://s-' || source || '.example.com/p/' || doc_id
+                     AS link_url,
+                   's-' || source || '.example.com' AS link_host
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   '//cdn-' || (doc_id % 10) || '.example.net/lib',
+                   'https://cdn-' || (doc_id % 10) || '.example.net/lib',
+                   'cdn-' || (doc_id % 10) || '.example.net'
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   '/about/' || (doc_id % 5),
+                   'https://' || source || '.EXample.com/about/'
+                     || (doc_id % 5),
+                   source || '.example.com'
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   'item-' || (doc_id % 3) || '.html',
+                   'https://' || source || '.EXample.com/dir/sub/item-'
+                     || (doc_id % 3) || '.html',
+                   source || '.example.com'
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   'https://x.example.org/page',
+                   'https://x.example.org/page',
+                   'x.example.org'
+            FROM documents
+        """,
+        "pagerank_hosts": _graph_mod.pagerank_sql(
+            _PAGERANK_EDGES_CTE, iterations=5
+        ),
         "quality_repetition": _quality_stats_sql()
         + """
             SELECT doc_id,

@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "html_extract",
     "html_block_stats",
     "url_dedup",
+    "link_graph",
+    "pagerank_hosts",
     "warc_records",
     "quality_classifier",
     # round-11 ingestion surface: the tree-parser robustness path and
