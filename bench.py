@@ -638,6 +638,11 @@ def scale_block(spark) -> dict:
             out["imagededup"] = _image_dedup_scale(spark)
         except Exception as e:
             out["imagededup"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        try:
+            # ~2M-edge PageRank with a planted hub + mass conservation
+            out["pagerank"] = _pagerank_scale(spark)
+        except Exception as e:
+            out["pagerank"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     if errors:
         out["errors"] = errors
     return out
@@ -785,6 +790,64 @@ def _image_dedup_scale(spark, n_images: int = 100_000,
         "sec": sec,
         "recall": round(caught / n_dups, 4),
         "false_merges": false_merges,
+    }
+
+
+def _pagerank_scale(
+    spark, n_nodes: int = 200_000, edges_per: int = 10
+) -> dict:
+    """PageRank rung (round 11): 5 fixed-point iterations over a ~2M-
+    edge synthetic host graph with a PLANTED authority — every node
+    links to hub 0 plus ``edges_per - 1`` arithmetic neighbours, and
+    every 101st node emits nothing (dangling). The hub's in-degree is
+    ~n_nodes, the classic mega-host skew: the per-iteration reduce
+    absorbs it in PARTIAL aggregation (map-side combine on dst), which
+    is the 100-TB shape — no single reducer sees n_nodes rows.
+
+    ok = the hub ranks first AND total fixed-point mass is conserved
+    within the floor-loss envelope (< ~2·(E+3n) per iteration), so the
+    seconds can't buy a wrong or leaky ranking."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.graph import pagerank
+
+    base = (
+        spark.range(n_nodes)
+        .filter((F.col("id") % 101) != 0)
+        .select("id")
+    )
+    fams = [base.select(F.col("id").alias("s"), F.lit(0).alias("d"))]
+    for k in range(1, edges_per):
+        fams.append(
+            base.select(
+                F.col("id").alias("s"),
+                ((F.col("id") * (2 * k + 1) + k) % n_nodes).alias("d"),
+            )
+        )
+    raw = fams[0]
+    for f in fams[1:]:
+        raw = raw.unionAll(f)
+    edges = raw.select(
+        F.concat(F.lit("h"), F.col("s").cast("string")).alias("src"),
+        F.concat(F.lit("h"), F.col("d").cast("string")).alias("dst"),
+    )
+    t0 = time.perf_counter()
+    scores = pagerank(edges, "src", "dst", iterations=5).persist()
+    n = scores.count()
+    wall = round(time.perf_counter() - t0, 2)
+    top = scores.orderBy(F.col("score").desc()).limit(1).collect()[0]
+    total = scores.agg(F.sum("score")).collect()[0][0]
+    scores.unpersist()
+    n_edges = n_nodes * edges_per  # pre-distinct upper bound
+    loss_env = 2 * 5 * (n_edges + 3 * n)
+    ok = top["node"] == "h0" and 0 <= 10**12 - total < loss_env
+    return {
+        "nodes": n,
+        "approx_edges": n_edges,
+        "sec": wall,
+        "top_score": int(top["score"]),
+        "mass_deficit": int(10**12 - total),
+        "ok": ok,
     }
 
 

@@ -531,6 +531,34 @@ def build_parser() -> argparse.ArgumentParser:
         help="fit on doc_id %% mod == 0 (1 = fit on everything)",
     )
 
+    sp2 = psub.add_parser(
+        "link-graph",
+        help="anchor extraction + URL resolution over (url, html) rows "
+        "-> one row per resolved link with its lowercased host",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--url-col", default="url")
+    sp2.add_argument("--html-col", default="html")
+
+    sp2 = psub.add_parser(
+        "pagerank",
+        help="host-level webgraph + fixed-point integer PageRank over "
+        "(url, html) pages: extract links, aggregate the host graph, "
+        "rank hosts (score = 1e12 fixed-point probability mass)",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--url-col", default="url")
+    sp2.add_argument("--html-col", default="html")
+    sp2.add_argument("--iterations", type=int, default=5)
+
+    sp2 = psub.add_parser(
+        "ppl-buckets",
+        help="CCNet-style per-language perplexity bucketing: trigram-LM "
+        "score each doc, cut each language into head/middle/tail",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--n-buckets", type=int, default=3)
+
     return p
 
 
@@ -802,6 +830,32 @@ def run_pipeline(spark, args) -> dict:
             train, label_col=args.label_col, n_buckets=args.buckets
         )
         out = score_text_classifier(df, model)
+    elif op == "link-graph":
+        from riskloc_spark.operators.graph import extract_links
+
+        out = extract_links(
+            df, html_col=args.html_col, url_col=args.url_col,
+            keep=[args.url_col],
+        )
+    elif op == "pagerank":
+        from riskloc_spark.operators.graph import (
+            extract_links,
+            host_graph,
+            pagerank,
+        )
+
+        links = extract_links(
+            df, html_col=args.html_col, url_col=args.url_col,
+            keep=[args.url_col],
+        )
+        out = pagerank(
+            host_graph(links, src_url_col=args.url_col),
+            iterations=args.iterations,
+        )
+    elif op == "ppl-buckets":
+        from riskloc_spark.functions.text import perplexity_buckets
+
+        out = perplexity_buckets(df, n_buckets=args.n_buckets)
     else:  # pragma: no cover - argparse enforces choices
         raise ValueError(op)
     out.write.mode("overwrite").parquet(args.output)

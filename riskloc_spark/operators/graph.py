@@ -169,7 +169,7 @@ def pagerank(
     damping_den: int = 100,
     scale: int = 10**12,
     partitions: int | None = None,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 1,
     shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Fixed-point integer PageRank over the distinct (src, dst) edge
@@ -190,11 +190,16 @@ def pagerank(
     hash-gateable) and how each stage scales.
 
     ``checkpoint_every``: scores are localCheckpoint'ed every K
-    iterations — the score frame feeds THREE consumers per iteration
-    (shares, dangling, the final join), so K lazy iterations triple
-    the un-checkpointed subtree each step (3^K plan copies; K=5
-    measured 30s vs 7.5s at K=2 on the 57-node gate graph purely in
-    planning). K=2 balances plan growth against materialization jobs.
+    iterations. The score frame feeds THREE consumers per iteration
+    (shares, dangling, the final join), so an un-checkpointed
+    iteration is RE-EXECUTED by each consumer of the next — its
+    2M-edge join runs 3x (measured on the rung graph: 5 iterations
+    24.1s at K=2 vs linear ~2.5s/iter at K=1; and 30s at K=5 on even
+    the 57-node gate, where 3^5 subtree copies drown planning). K=1
+    is the default: one materialization job per iteration, each edge
+    join runs once. K=2 only wins on toy graphs where per-job
+    scheduling dominates real work — prefer ``shuffle_partitions``
+    for those.
 
     ``shuffle_partitions``: when set, the session's shuffle width is
     pinned to this value for the duration of the run (and restored):

@@ -742,3 +742,78 @@ def test_cli_pipeline_image_dedup(spark, tmp_path):
     kept = sorted(r2["media_id"] for r2 in
                   spark.read.parquet(out).collect())
     assert kept == [0, 2]
+
+
+def test_cli_pipeline_pagerank_and_ppl_buckets(spark, tmp_path):
+    """pipeline pagerank: (url, html) pages -> host scores through the
+    subprocess CLI, cross-checked against the in-process operator
+    chain; ppl-buckets labels every scorable doc."""
+    import sys
+
+    pages = str(tmp_path / "pages")
+    rows = []
+    for i in range(30):
+        rows.append(
+            (
+                f"https://h{i % 5}.com/p{i}.html",
+                f'<html><a href="https://h{(i + 1) % 5}.com/x">n</a>'
+                f'<a href="/local">l</a></html>',
+            )
+        )
+    spark.createDataFrame(rows, "url string, html string").write.parquet(
+        pages
+    )
+    out = str(tmp_path / "pr")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "pagerank", pages, "--output", out, "--iterations", "3",
+            "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {
+        r2["node"]: r2["score"]
+        for r2 in spark.read.parquet(out).collect()
+    }
+    from riskloc_spark.operators.graph import (
+        extract_links,
+        host_graph,
+        pagerank,
+    )
+
+    want = {
+        r2["node"]: r2["score"]
+        for r2 in pagerank(
+            host_graph(
+                extract_links(
+                    spark.read.parquet(pages), keep=["url"]
+                ),
+                src_url_col="url",
+            ),
+            iterations=3,
+        ).collect()
+    }
+    assert got == want and len(got) == 5
+
+    docs = str(tmp_path / "pdocs")
+    spark.createDataFrame(
+        [
+            (i, "en", "the cat sat on the mat number %d" % (i % 7))
+            for i in range(12)
+        ],
+        "doc_id long, lang string, text string",
+    ).write.parquet(docs)
+    out2 = str(tmp_path / "buckets")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "ppl-buckets", docs, "--output", out2, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows2 = spark.read.parquet(out2).collect()
+    assert len(rows2) == 12
+    assert {r2["ppl_bucket"] for r2 in rows2} <= {"head", "middle", "tail"}
