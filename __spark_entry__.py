@@ -2132,6 +2132,20 @@ def text_trigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def domain_caps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps under the hash gate (round 11;
+    operators/sampling.cap_per_key): keep the 7 largest documents per
+    source, n_chars-descending with the doc_id tiebreak — the oracle
+    replays the ranked filter, and the WindowGroupLimit scale shape
+    (map-side partial limit) is plan-asserted in the test suite."""
+    from riskloc_spark.operators.sampling import cap_per_key
+
+    d = load_table(spark, sf_dir, "documents")
+    return cap_per_key(
+        d, ["source"], 7, order_by=[F.col("n_chars").desc()]
+    ).select("doc_id", "source", "n_chars")
+
+
 def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-language head/middle/tail perplexity bucketing
     (round 11; functions/text.perplexity_buckets): trigram-LM scores
@@ -4254,6 +4268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": perplexity_buckets_q,
         "link_graph": link_graph_q,
         "pagerank_hosts": pagerank_hosts_q,
+        "domain_caps": domain_caps_q,
     # ---- newest driver record is round 8 ----
         "adtributor_candidates": adtributor_candidates_q,
         "dataset_significance": dataset_significance_q,
@@ -8419,6 +8434,15 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_hosts": _graph_mod.pagerank_sql(
             _PAGERANK_EDGES_CTE, iterations=5
         ),
+        "domain_caps": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM documents
+            ) WHERE rn <= 7
+        """,
         "quality_repetition": _quality_stats_sql()
         + """
             SELECT doc_id,

@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "url_dedup",
     "link_graph",
     "pagerank_hosts",
+    "domain_caps",
     "warc_records",
     "quality_classifier",
     # round-11 ingestion surface: the tree-parser robustness path and

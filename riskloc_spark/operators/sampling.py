@@ -209,6 +209,36 @@ def token_budget_sample(
     )
 
 
+def cap_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    k: int,
+    order_by: list | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``k`` rows per key — the C4/RefinedWeb per-domain
+    cap that stops a single mega-host from dominating the training
+    mix.  Rows are kept by ``order_by`` priority (default: none),
+    always tie-broken by ``id_col`` so the survivor set is
+    deterministic under any partitioning.
+
+    Scale shape: the rank<=k filter over a partitioned window compiles
+    to WindowGroupLimit (plan-asserted in tests), which Spark applies
+    on the MAP side before the shuffle — a mega-domain ships at most
+    k rows per input partition to the reducer instead of its whole
+    row set, so the classic hot-domain skew never reaches one core at
+    full volume.  (A plain groupBy-collect_list cap would.)"""
+    from pyspark.sql import Window
+
+    order = list(order_by or []) + [F.col(id_col).asc()]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def shuffle_and_shard(
     df: DataFrame,
     n_shards: int,

@@ -344,3 +344,40 @@ def test_read_training_shards_order_and_pruning(spark, tmp_path):
     assert "shard" in plan
     allrows = read_training_shards(spark, out).collect()
     assert len(allrows) == 120
+
+
+def test_cap_per_key_semantics_and_group_limit_plan(spark):
+    """cap_per_key keeps exactly k rows per key by priority with the
+    id tiebreak, and the rank filter compiles to WindowGroupLimit —
+    the map-side partial limit that stops a mega-domain shipping its
+    whole row set through the shuffle."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.sampling import cap_per_key
+
+    rows = [(i, f"d{i % 3}", i % 10) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, sz int")
+    out = cap_per_key(
+        df, ["domain"], 4, order_by=[F.col("sz").desc()], id_col="doc_id"
+    )
+    got = out.collect()
+    assert len(got) == 12
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r["domain"], []).append(r)
+    for dom, grp in by_dom.items():
+        assert len(grp) == 4
+        # driver replay: sz-desc with the doc_id tiebreak
+        want = sorted(
+            ((i, s) for i, d, s in rows if d == dom),
+            key=lambda t: (-t[1], t[0]),
+        )[:4]
+        assert sorted((r["doc_id"], r["sz"]) for r in grp) == sorted(want)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()
