@@ -50,9 +50,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# double-quoted href in an <a> tag; explicit classes parse identically
-# in Java regex and RE2 (the WS_CLASS discipline of functions/text.py)
-HREF_RE = r'<[Aa][ \t\n\x0B\f\r][^>]*href="([^"]*)"'
+# href in an <a> tag — double-quoted, single-quoted, or unquoted (the
+# three forms HTML allows; real crawls carry all of them).  One
+# alternation, ONE capture group per alternative; explicit classes
+# parse identically in Java regex and RE2 (the WS_CLASS discipline of
+# functions/text.py).  regexp_extract_all takes a single group index,
+# so the three forms are three passes whose arrays concatenate.
+# the attribute NAME must start after whitespace (the optional
+# non-capturing run), so suffix attributes (data-href=, xlink:href=)
+# never false-positive
+_A_PRE = r"<[Aa][ \t\n\x0B\f\r](?:[^>]*[ \t\n\x0B\f\r])?href="
+HREF_DQ_RE = _A_PRE + r'"([^"]*)"'
+HREF_SQ_RE = _A_PRE + r"'([^']*)'"
+HREF_UQ_RE = _A_PRE + r"([^ \t\n\x0B\f\r>\"'][^ \t\n\x0B\f\r>]*)"
+# kept name for the canonical (double-quoted) form
+HREF_RE = HREF_DQ_RE
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*):"
 _ORIGIN_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
@@ -78,9 +90,21 @@ def extract_links(
 
     Pure column algebra over a regexp explode — each multi-referenced
     intermediate is a NAMED column (the no-CSE staging discipline), so
-    the resolution CASE evaluates each regex once per link."""
+    the resolution CASE evaluates each regex once per link.  All three
+    HTML attribute forms extract (href="x", href='x', href=x); an
+    anchor matches at most one (the quote character decides)."""
     href0 = F.explode(
-        F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), F.lit(1))
+        F.concat(
+            F.regexp_extract_all(
+                F.col(html_col), F.lit(HREF_DQ_RE), F.lit(1)
+            ),
+            F.regexp_extract_all(
+                F.col(html_col), F.lit(HREF_SQ_RE), F.lit(1)
+            ),
+            F.regexp_extract_all(
+                F.col(html_col), F.lit(HREF_UQ_RE), F.lit(1)
+            ),
+        )
     ).alias("__href0")
     s1 = pages.select(*(keep or []), F.col(url_col).alias("__base"), href0)
     s2 = s1.withColumns(
@@ -171,11 +195,20 @@ def pagerank(
     partitions: int | None = None,
     checkpoint_every: int = 1,
     shuffle_partitions: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-point integer PageRank over the distinct (src, dst) edge
     set: returns (node, score) with score in ``scale`` fixed-point
     units of probability mass (sum over nodes ≈ scale, minus floor
     losses).
+
+    ``weight_col``: when set (e.g. host_graph's n_links), parallel
+    edges merge by SUMMING their integer weights and each edge carries
+    share = (score · w) div W_src instead of the uniform split — the
+    weighted host-graph variant.  Weights must be positive integers
+    with max_w · scale < 2^63 (at the default scale, w up to ~9e6);
+    larger multiplicities should be capped upstream — a host linking
+    a neighbour nine million times is boilerplate, not signal.
 
     Per iteration, pinned exactly (the oracle twin unrolls the same):
 
@@ -217,6 +250,15 @@ def pagerank(
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+    ) if weight_col is None else (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
     )
     if partitions:
         e = e.repartition(partitions, "src")
@@ -227,9 +269,10 @@ def pagerank(
         )
     try:
         e = e.persist()
-        outdeg = (
-            e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg")).persist()
+        odeg_agg = (
+            F.count(F.lit(1)) if weight_col is None else F.sum("w")
         )
+        outdeg = e.groupBy("src").agg(odeg_agg.alias("odeg")).persist()
         nodes = (
             e.select(F.col("src").alias("node"))
             .union(e.select(F.col("dst").alias("node")))
@@ -252,14 +295,21 @@ def pagerank(
             "node", init.cast("long").alias("score")
         )
         for t in range(iterations):
-            shares = (
-                scores.join(outdeg, F.col("node") == F.col("src"))
-                .select("src", F.expr("score div odeg").alias("share"))
-            )
-            incoming = (
-                e.join(shares, "src")
-                .groupBy("dst")
-                .agg(F.sum("share").alias("incoming"))
+            if weight_col is None:
+                shares = (
+                    scores.join(outdeg, F.col("node") == F.col("src"))
+                    .select("src", F.expr("score div odeg").alias("share"))
+                )
+                contribs = e.join(shares, "src").select("dst", "share")
+            else:
+                per_src = scores.join(
+                    outdeg, F.col("node") == F.col("src")
+                ).select("src", "score", "odeg")
+                contribs = e.join(per_src, "src").select(
+                    "dst", F.expr("(score * w) div odeg").alias("share")
+                )
+            incoming = contribs.groupBy("dst").agg(
+                F.sum("share").alias("incoming")
             )
             dang = dangset.join(scores, "node").agg(
                 F.coalesce(F.sum("score"), F.lit(0)).alias("dang")

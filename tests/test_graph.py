@@ -131,3 +131,74 @@ def test_pagerank_self_loops_and_duplicate_edges_ignored(spark):
     )
     got = {r["node"]: r["score"] for r in pagerank(df, "src", "dst").collect()}
     assert got == _pagerank_py([("a", "b"), ("b", "a")])
+
+
+def test_extract_links_quote_forms_and_attr_boundaries(spark):
+    """All three HTML attribute forms extract (double-quoted,
+    single-quoted, unquoted); suffix attributes (data-href=,
+    xlink:href=) never false-positive."""
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://base.org/d/p.html",
+                "<a href='https://sq.org/x'>sq</a>"
+                '<a rel=nofollow href=https://uq.org/y>uq</a>'
+                '<a href="https://dq.org/z">dq</a>'
+                '<a data-href="https://no.org/1">skip</a>'
+                '<a xlink:href="https://no.org/2">skip</a>'
+                '<div href="https://no.org/3">not-an-anchor</div>',
+            )
+        ],
+        "url string, html string",
+    )
+    from riskloc_spark.operators.graph import extract_links
+
+    got = sorted(r["link_url"] for r in extract_links(pages).collect())
+    assert got == [
+        "https://dq.org/z",
+        "https://sq.org/x",
+        "https://uq.org/y",
+    ]
+
+
+def _pagerank_weighted_py(
+    wedges, iterations=5, num=85, den=100, scale=10**12
+):
+    nodes = sorted({s for s, _, _ in wedges} | {d for _, d, _ in wedges})
+    wout = {}
+    for s, _, w in wedges:
+        wout[s] = wout.get(s, 0) + w
+    n = len(nodes)
+    score = {v: scale // n for v in nodes}
+    base = ((den - num) * (scale // n)) // den
+    for _ in range(iterations):
+        inc = {v: 0 for v in nodes}
+        for s, d, w in wedges:
+            inc[d] += (score[s] * w) // wout[s]
+        dang = sum(score[v] for v in nodes if v not in wout)
+        score = {
+            v: base + (num * (inc[v] + dang // n)) // den for v in nodes
+        }
+    return score
+
+
+def test_pagerank_weighted_merges_parallel_edges(spark):
+    """weight_col: parallel edges merge by weight sum, shares split
+    proportionally; matches the driver replay, and heavier edges beat
+    lighter ones."""
+    df = spark.createDataFrame(
+        [
+            ("a", "b", 9), ("a", "c", 1),
+            ("a", "b", 1),  # parallel: merges to w=10
+            ("b", "a", 1), ("c", "a", 1),
+        ],
+        "src string, dst string, n long",
+    )
+    got = {
+        r["node"]: r["score"]
+        for r in pagerank(df, "src", "dst", weight_col="n").collect()
+    }
+    assert got == _pagerank_weighted_py(
+        [("a", "b", 10), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)]
+    )
+    assert got["b"] > got["c"]
