@@ -873,6 +873,21 @@ def events_rolling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel under the hash gate (round 11;
+    operators/temporal.funnel): per user, the first view, the first
+    click STRICTLY after it, and the first purchase strictly after
+    that — the oracle replays the chained conditional-min semantics
+    with correlated joins, so a drift in the strict-after rule or the
+    left-edge NULL propagation breaks the hash."""
+    from riskloc_spark.operators.temporal import funnel
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    return funnel(e, ["view", "click", "purchase"])
+
+
 def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group TOKEN-budget sampling under the hash gate (round 9):
     the mixture step ("N tokens of web, M of code") — documents order
@@ -4269,6 +4284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": link_graph_q,
         "pagerank_hosts": pagerank_hosts_q,
         "domain_caps": domain_caps_q,
+        "events_funnel": events_funnel_q,
     # ---- newest driver record is round 8 ----
         "adtributor_candidates": adtributor_candidates_q,
         "dataset_significance": dataset_significance_q,
@@ -8434,6 +8450,28 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_hosts": _graph_mod.pagerank_sql(
             _PAGERANK_EDGES_CTE, iterations=5
         ),
+        "events_funnel": """
+            WITH s1 AS (
+              SELECT user_id, MIN(ts) AS t1
+              FROM events WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, MIN(e.ts) AS t2
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, MIN(e.ts) AS t3
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              GROUP BY e.user_id
+            )
+            SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+            FROM s1
+            LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+        """,
         "domain_caps": """
             SELECT doc_id, source, n_chars FROM (
               SELECT doc_id, source, n_chars,

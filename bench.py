@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "link_graph",
     "pagerank_hosts",
     "domain_caps",
+    "events_funnel",
     "warc_records",
     "quality_classifier",
     # round-11 ingestion surface: the tree-parser robustness path and

@@ -41,6 +41,8 @@ __all__ = [
     "session_stats",
     "session_stats_stream",
     "rolling_window_features",
+    "funnel",
+    "funnel_counts",
 ]
 
 
@@ -298,3 +300,71 @@ def rolling_window_features(
     if value_col is not None:
         out = out.withColumn("sum_value_window", F.sum(value_col).over(w))
     return out
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the FIRST time each
+    step completed, where step k must occur STRICTLY after the user's
+    step k-1 time (the classic product-analytics conversion funnel:
+    view -> click -> purchase).  Returns one row per user who reached
+    step 1: (user_col, t1..tk) with NULL from the first unreached
+    step; ``funnel_counts`` rolls this into per-step conversion
+    counts.
+
+    Scale shape: step k is a per-user MIN aggregation over the events
+    of ONE type, joined to the (users x 1 row) times of step k-1 —
+    each round shuffles only the single step's filtered events plus a
+    users-sized frame, and every aggregation/join keys on the SAME
+    column, so the exchanges reuse one partitioning. k-1 chained
+    shuffles total, never a per-user sort or a collected event list
+    (hot users cost nothing beyond their filtered row count: the min
+    is combiner-absorbed map-side).  An applyInPandas per-user scan
+    would pay one shuffle but materialize whole user histories;
+    the chained form never does."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    t_names = [f"t{i + 1}" for i in range(len(steps))]
+    out = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(t_names[0]))
+    )
+    for i in range(1, len(steps)):
+        prev_t, cur_t = t_names[i - 1], t_names[i]
+        nxt = (
+            df.filter(F.col(type_col) == steps[i])
+            .join(out.select(user_col, prev_t), user_col)
+            .filter(F.col(ts_col) > F.col(prev_t))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(cur_t))
+        )
+        out = out.join(nxt, user_col, "left_outer")
+    return out.select(user_col, *t_names)
+
+
+def funnel_counts(
+    funnel_df: DataFrame, steps: Sequence[str]
+) -> DataFrame:
+    """(funnel output) -> (step_idx, step, n_users): how many users
+    reached each step.  One tiny aggregation over the per-user
+    frame."""
+    aggs = [
+        F.count(f"t{i + 1}").cast("long").alias(f"n{i + 1}")
+        for i in range(len(steps))
+    ]
+    wide = funnel_df.agg(*aggs)
+    rows = None
+    for i, s in enumerate(steps):
+        one = wide.select(
+            F.lit(i + 1).cast("int").alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.col(f"n{i + 1}").alias("n_users"),
+        )
+        rows = one if rows is None else rows.unionAll(one)
+    return rows

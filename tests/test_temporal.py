@@ -261,3 +261,46 @@ def test_rolling_window_features_vs_reference(spark):
         assert got[i][0] == len(want), (i, got[i], want)
         assert got[i][1] == sum(j + 1 for j in want)
     assert got[9] == (1, 5.0)
+
+
+def test_funnel_strict_ordering_and_null_propagation(spark):
+    """Step k must be STRICTLY after step k-1: a click at the exact
+    view instant does not count; a user with no qualifying click gets
+    NULL for t2 AND t3 even when a purchase exists."""
+    from datetime import datetime
+
+    from riskloc_spark.operators.temporal import funnel, funnel_counts
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1: full clean funnel
+        (1, "view", T(10)), (1, "click", T(20)), (1, "purchase", T(30)),
+        # u2: click AT the view instant (not after) + later purchase
+        (2, "view", T(10)), (2, "click", T(10)), (2, "purchase", T(40)),
+        # u3: purchase BEFORE the first qualifying click
+        (3, "view", T(10)), (3, "purchase", T(15)), (3, "click", T(20)),
+        # u4: never viewed -> absent entirely
+        (4, "click", T(5)), (4, "purchase", T(6)),
+        # u5: earliest view counts, click between the two views
+        (5, "view", T(30)), (5, "view", T(10)), (5, "click", T(20)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel(df, ["view", "click", "purchase"]).collect()
+    }
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1] == (T(10), T(20), T(30))
+    assert out[2] == (T(10), None, None)
+    assert out[3] == (T(10), T(20), None)  # purchase at 15 precedes t2
+    assert out[5] == (T(10), T(20), None)
+    counts = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(
+            funnel(df, ["view", "click", "purchase"]),
+            ["view", "click", "purchase"],
+        ).collect()
+    }
+    assert counts == {"view": 4, "click": 3, "purchase": 1}
