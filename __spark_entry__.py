@@ -2267,6 +2267,18 @@ _PAGERANK_EDGES_CTE = """edges AS (
             )"""
 
 
+def host_degrees_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webgraph degree stats under the hash gate (round 11;
+    operators/graph.host_degree_stats): out/in/reciprocal degree per
+    host over the closed-form edge set — the oracle replays the
+    distinct edges, both degree aggregations, and the transpose
+    self-join that counts mutually-linked neighbour pairs."""
+    from riskloc_spark.operators.graph import host_degree_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return host_degree_stats(_pagerank_edges(d), "src", "dst")
+
+
 def pagerank_hosts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point integer PageRank under the hash gate (round 11;
     operators/graph.pagerank): 5 damped iterations over the closed-form
@@ -4285,6 +4297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": pagerank_hosts_q,
         "domain_caps": domain_caps_q,
         "events_funnel": events_funnel_q,
+        "host_degrees": host_degrees_q,
     # ---- newest driver record is round 8 ----
         "adtributor_candidates": adtributor_candidates_q,
         "dataset_significance": dataset_significance_q,
@@ -8450,6 +8463,30 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_hosts": _graph_mod.pagerank_sql(
             _PAGERANK_EDGES_CTE, iterations=5
         ),
+        "host_degrees": """
+            WITH """ + _PAGERANK_EDGES_CTE + """,
+            outd AS (
+              SELECT src AS node, COUNT(*) AS out_degree
+              FROM edges GROUP BY src
+            ),
+            ind AS (
+              SELECT dst AS node, COUNT(*) AS in_degree
+              FROM edges GROUP BY dst
+            ),
+            recip AS (
+              SELECT a.src AS node, COUNT(*) AS reciprocal_degree
+              FROM edges a JOIN edges b
+                ON a.src = b.dst AND a.dst = b.src
+              GROUP BY a.src
+            )
+            SELECT COALESCE(outd.node, ind.node) AS node,
+                   COALESCE(out_degree, 0) AS out_degree,
+                   COALESCE(in_degree, 0) AS in_degree,
+                   COALESCE(reciprocal_degree, 0) AS reciprocal_degree
+            FROM outd
+            FULL OUTER JOIN ind ON outd.node = ind.node
+            LEFT JOIN recip ON COALESCE(outd.node, ind.node) = recip.node
+        """,
         "events_funnel": """
             WITH s1 AS (
               SELECT user_id, MIN(ts) AS t1

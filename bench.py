@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "pagerank_hosts",
     "domain_caps",
     "events_funnel",
+    "host_degrees",
     "warc_records",
     "quality_classifier",
     # round-11 ingestion surface: the tree-parser robustness path and

@@ -42,8 +42,9 @@ reduction order and could never hash-gate).
 
 Stated seams (documented non-goals, same discipline as html.py):
 ``../`` segments in relative hrefs are NOT normalized (resolved
-against the base directory verbatim); hrefs in single quotes or
-unquoted are not extracted; <base href> tags are ignored.
+against the base directory verbatim); <base href> tags are ignored;
+anchors inside comments/scripts are extracted (use html.py's tree
+path upstream to strip them first when that matters).
 """
 from __future__ import annotations
 
@@ -388,4 +389,60 @@ def pagerank_sql(
         f"WITH {body}\n"
         f"SELECT node, CAST(score AS BIGINT) AS score"
         f" FROM s{iterations}"
+    )
+
+
+def host_degree_stats(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Per-host webgraph degrees over the distinct edge set:
+    (node, out_degree, in_degree, reciprocal_degree) — the summary
+    table a crawl publishes alongside its host graph (degree
+    distributions, reciprocity) and the input to frontier-priority
+    heuristics that do not need a full PageRank.
+
+    reciprocal_degree counts neighbours linked in BOTH directions
+    (|{u : v->u AND u->v}|) — computed by self-joining the distinct
+    edge set against its transpose on the (src, dst) pair, which
+    shuffles each edge once on the SAME composite key both sides
+    (never a per-node neighbour list: hub hosts would materialize
+    million-element arrays).  Self-loops are excluded throughout,
+    matching ``pagerank``."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_deg = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    recip = (
+        e.alias("a")
+        .join(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ).alias("b"),
+            ["src", "dst"],
+        )
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("reciprocal_degree"))
+    )
+    return (
+        out_deg.join(in_deg, "node", "full_outer")
+        .join(recip, "node", "left_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("reciprocal_degree", F.lit(0)).alias(
+                "reciprocal_degree"
+            ),
+        )
     )

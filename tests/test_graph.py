@@ -202,3 +202,31 @@ def test_pagerank_weighted_merges_parallel_edges(spark):
         [("a", "b", 10), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)]
     )
     assert got["b"] > got["c"]
+
+
+def test_host_degree_stats(spark):
+    """out/in/reciprocal degrees over the distinct self-loop-free edge
+    set; a dst-only node appears with out_degree 0."""
+    from riskloc_spark.operators.graph import host_degree_stats
+
+    df = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # reciprocal pair
+            ("a", "c"), ("a", "c"),          # duplicate collapses
+            ("c", "d"),                      # d: dst-only
+            ("b", "b"),                      # self-loop: dropped
+        ],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: (
+            r["out_degree"], r["in_degree"], r["reciprocal_degree"]
+        )
+        for r in host_degree_stats(df, "src", "dst").collect()
+    }
+    assert got == {
+        "a": (2, 1, 1),
+        "b": (1, 1, 1),
+        "c": (1, 1, 0),
+        "d": (0, 1, 0),
+    }
