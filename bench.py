@@ -31,6 +31,10 @@ BENCH_QUERIES = [
     "q14_promo_effect",
     "q18_large_volume_customer",
     "q22_idle_rich_customers",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
     "q_top_customers_per_nation",
     "events_hourly",
     "events_props_agg",
