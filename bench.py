@@ -650,6 +650,11 @@ def scale_block(spark) -> dict:
             out["pagerank"] = _pagerank_scale(spark)
         except Exception as e:
             out["pagerank"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        try:
+            # 2M-row mega-domain cap: WindowGroupLimit on/off A/B
+            out["domaincap"] = _domain_cap_scale(spark)
+        except Exception as e:
+            out["domaincap"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     if errors:
         out["errors"] = errors
     return out
@@ -856,6 +861,76 @@ def _pagerank_scale(
         "mass_deficit": int(10**12 - total),
         "ok": ok,
     }
+
+
+def _domain_cap_scale(
+    spark, n_mega: int = 2_000_000, n_domains: int = 200,
+    per_domain: int = 1_000, k: int = 5,
+) -> dict:
+    """Per-domain cap rung (round 11): 2M rows in ONE mega-domain plus
+    200 x 1k normal domains, capped at k=5 — the A/B is Spark's
+    InferWindowGroupLimit rule ON (the map-side partial top-k the
+    operator's scale claim rests on) vs EXCLUDED (every mega-domain
+    row ships through the shuffle into one reducer's full sort).
+    ok requires: the limited plan carries WindowGroupLimit, the
+    excluded plan does not, and both produce the IDENTICAL survivor
+    set (the optimization cannot change results)."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.sampling import cap_per_key
+
+    # a ~360-byte payload rides every row: the cap's scale win is
+    # SHUFFLE BYTES (documents carry text), not comparator time —
+    # without it the full sort of 2M narrow rows is nearly free on 32
+    # cores and the A/B shows only the plan difference
+    payload = F.concat(
+        F.lpad(F.col("id").cast("string"), 360, "x")
+    ).alias("payload")
+    mega = spark.range(n_mega).select(
+        F.col("id").alias("doc_id"),
+        F.lit("mega.com").alias("domain"),
+        (F.col("id") % 9973).cast("int").alias("sz"),
+        payload,
+    )
+    small = spark.range(n_domains * per_domain).select(
+        (F.col("id") + n_mega).alias("doc_id"),
+        F.concat(F.lit("d"), (F.col("id") % n_domains).cast("string"))
+        .alias("domain"),
+        (F.col("id") % 997).cast("int").alias("sz"),
+        payload,
+    )
+    df = mega.unionAll(small).persist()
+    df.count()
+    rule = "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit"
+    prev = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    out: dict = {"rows": n_mega + n_domains * per_domain}
+    try:
+        results = {}
+        for label, excluded in (("limited", ""), ("full_sort", rule)):
+            spark.conf.set("spark.sql.optimizer.excludedRules", excluded)
+            capped = cap_per_key(
+                df, ["domain"], k, order_by=[F.col("sz").desc()],
+                id_col="doc_id",
+            )
+            t0 = time.perf_counter()
+            rows = capped.collect()
+            out[f"{label}_sec"] = round(time.perf_counter() - t0, 2)
+            plan = capped._jdf.queryExecution().executedPlan().toString()
+            out[f"{label}_group_limit"] = "WindowGroupLimit" in plan
+            results[label] = sorted(
+                (r["domain"], r["doc_id"], r["sz"], r["payload"][-8:])
+                for r in rows
+            )
+        out["ok"] = (
+            out["limited_group_limit"]
+            and not out["full_sort_group_limit"]
+            and results["limited"] == results["full_sort"]
+            and len(results["limited"]) == (n_domains + 1) * k
+        )
+    finally:
+        spark.conf.set("spark.sql.optimizer.excludedRules", prev)
+        df.unpersist()
+    return out
 
 
 def _graph_scale(spark, n_gemm: int = 1_000_000, n_skew: int = 30_000) -> dict:
