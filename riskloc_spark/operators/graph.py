@@ -197,6 +197,7 @@ def pagerank(
     checkpoint_every: int = 1,
     shuffle_partitions: int | None = None,
     weight_col: str | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-point integer PageRank over the distinct (src, dst) edge
     set: returns (node, score) with score in ``scale`` fixed-point
@@ -222,6 +223,16 @@ def pagerank(
     with n = |nodes| and every division BIGINT floor division — see
     the module docstring for why fixed-point (order-independent,
     hash-gateable) and how each stage scales.
+
+    ``seeds``: a one-column frame of node ids makes this PERSONALIZED
+    PageRank (random walk with restart to the seed set — the crawl
+    seed-expansion / topical-authority variant): the teleport term and
+    the dangling redistribution go ONLY to seeds (scale div |S∩nodes|
+    each; |S| replaces n in both), initial mass starts on the seeds,
+    and non-seed scores decay to pure link-derived mass.  seeds=None
+    is exactly the uniform case (every node a seed, s = n — the
+    formulas are one code path, so the oracle-gated arithmetic cannot
+    drift between variants).
 
     ``checkpoint_every``: scores are localCheckpoint'ed every K
     iterations. The score frame feeds THREE consumers per iteration
@@ -286,13 +297,41 @@ def pagerank(
             outdeg, F.col("node") == F.col("src"), "left_anti"
         ).persist()
         # one-row frames broadcast into the plan: NOTHING collects
-        cnt = nodes.agg(F.count(F.lit(1)).alias("n"))
-        base = F.expr(
-            f"(({damping_den - damping_num}) * ({scale} div n))"
-            f" div {damping_den}"
+        # seed flags ride the node frame (one code path: uniform
+        # PageRank IS the all-seeds case, s = n)
+        if seeds is not None:
+            seed_nodes = (
+                seeds.select(F.col(seeds.columns[0]).alias("node"))
+                .distinct()
+                .withColumn("__s", F.lit(True))
+            )
+            flagged = (
+                nodes.join(seed_nodes, "node", "left_outer")
+                .select(
+                    "node",
+                    F.coalesce("__s", F.lit(False)).alias("is_seed"),
+                )
+                .persist()
+            )
+        else:
+            flagged = nodes.withColumn("is_seed", F.lit(True)).persist()
+        cnt = flagged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("is_seed"), 1).otherwise(0))
+            .cast("long")
+            .alias("s"),
         )
-        init = F.expr(f"{scale} div n")
-        scores = nodes.crossJoin(F.broadcast(cnt)).select(
+        base = F.when(
+            F.col("is_seed"),
+            F.expr(
+                f"(({damping_den - damping_num}) * ({scale} div s))"
+                f" div {damping_den}"
+            ),
+        ).otherwise(F.lit(0))
+        init = F.when(
+            F.col("is_seed"), F.expr(f"{scale} div s")
+        ).otherwise(F.lit(0))
+        scores = flagged.crossJoin(F.broadcast(cnt)).select(
             "node", init.cast("long").alias("score")
         )
         for t in range(iterations):
@@ -316,7 +355,7 @@ def pagerank(
                 F.coalesce(F.sum("score"), F.lit(0)).alias("dang")
             )
             scores = (
-                nodes.join(
+                flagged.join(
                     incoming, F.col("node") == F.col("dst"), "left_outer"
                 )
                 .crossJoin(F.broadcast(dang))
@@ -327,7 +366,8 @@ def pagerank(
                         base
                         + F.expr(
                             f"({damping_num} * (coalesce(incoming, 0)"
-                            f" + (dang div n))) div {damping_den}"
+                            f" + (case when is_seed then dang div s"
+                            f" else 0 end))) div {damping_den}"
                         )
                     )
                     .cast("long")
@@ -336,7 +376,7 @@ def pagerank(
             )
             if (t + 1) % checkpoint_every == 0 or t == iterations - 1:
                 scores = scores.localCheckpoint(eager=True)
-        for frame in (e, outdeg, nodes, dangset):
+        for frame in (e, outdeg, nodes, dangset, flagged):
             frame.unpersist()
         return scores
     finally:
