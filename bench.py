@@ -368,6 +368,11 @@ def _block_summary(block) -> dict:
     # sweep would read a healthy run as a failure.  A block carrying a
     # literal boolean "exact" (the html rungs) passes it through verbatim
     # — review r10: without this, a red extraction rung read as healthy.
+    # blocks carrying their own composite verdict (pagerank, domaincap)
+    # pass it through verbatim — without this a False ok would vanish
+    # from the compact line at every shrink level
+    if isinstance(block.get("ok"), bool):
+        s["ok"] = block["ok"]
     if isinstance(block.get("exact"), bool):
         s["exact"] = block["exact"]
     elif "expected_touched" in block and "docs_touched" in block:
