@@ -110,9 +110,24 @@ def extract_links(
     s1 = pages.select(*(keep or []), F.col(url_col).alias("__base"), href0)
     s2 = s1.withColumns(
         {
-            "href": F.regexp_replace(F.col("__href0"), r"#.*$", ""),
+            # fragment off, then surrounding ASCII whitespace off (the
+            # HTML URL parser strips it; a quoted href=" /x" must
+            # root-resolve, not glue a space into the path).  Interior
+            # tab/newline stripping (the full spec rule) is a stated
+            # seam.
+            "href": F.regexp_replace(
+                F.regexp_replace(F.col("__href0"), r"#.*$", ""),
+                r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$",
+                "",
+            ),
             "__scheme": F.lower(
-                F.regexp_extract(F.col("__href0"), _SCHEME_RE, 1)
+                F.regexp_extract(
+                    F.regexp_replace(
+                        F.col("__href0"), r"^[ \t\n\x0B\f\r]+", ""
+                    ),
+                    _SCHEME_RE,
+                    1,
+                )
             ),
             "__origin": F.regexp_extract(F.col("__base"), _ORIGIN_RE, 1),
         }
@@ -232,7 +247,10 @@ def pagerank(
     and non-seed scores decay to pure link-derived mass.  seeds=None
     is exactly the uniform case (every node a seed, s = n — the
     formulas are one code path, so the oracle-gated arithmetic cannot
-    drift between variants).
+    drift between variants).  The seed frame must intersect the
+    graph's nodes: with zero surviving seeds the in-plan ``div s``
+    yields NULL scores rather than raising (nothing collects, so
+    there is no driver-side count to validate against).
 
     ``checkpoint_every``: scores are localCheckpoint'ed every K
     iterations. The score frame feeds THREE consumers per iteration

@@ -289,3 +289,23 @@ def test_pagerank_all_seeds_equals_uniform(spark):
         for r in pagerank(df, "src", "dst", seeds=allseeds).collect()
     }
     assert uni == per
+
+
+def test_extract_links_whitespace_trimmed(spark):
+    """Surrounding ASCII whitespace in a quoted href is stripped (the
+    HTML URL parser's rule): ' /x ' root-resolves, '\\n https://a.b/c'
+    stays absolute."""
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://h.com/d/p.html",
+                '<a href=" /x ">a</a><a href="\n https://a.b/c">b</a>',
+            )
+        ],
+        "url string, html string",
+    )
+    rows = {r["href"]: r["link_url"] for r in extract_links(pages).collect()}
+    assert rows == {
+        "/x": "https://h.com/x",
+        "https://a.b/c": "https://a.b/c",
+    }
