@@ -991,6 +991,52 @@ def events_rolling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def robots_admission_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt URL admission under the hash gate (round 11;
+    operators/robots.py): per source host a closed-form robots file
+    (a '*' group with nested Disallow/Allow, a specific-agent group
+    the '*' walk must ignore, comments, a sitemap line), and four URL
+    families per document — plain-disallowed, deeper-Allow-overridden,
+    untouched, and the '/private/publicX' near-miss that must match
+    only the SHORTER Disallow prefix.  The oracle states the expected
+    verdict per family independently (doc_id % 4 CASE), so a drift in
+    group parsing, agent selection, or longest-prefix matching breaks
+    the hash."""
+    from riskloc_spark.operators.robots import (
+        parse_robots,
+        robots_verdicts,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    robots = d.select(F.col("source")).distinct().select(
+        host.alias("host"),
+        F.concat(
+            F.lit("# robots\nUser-agent: *\nDisallow: /private/\n"
+                  "Allow: /private/public/\n\n"
+                  "User-agent: otherbot\nDisallow: /\n"
+                  "Sitemap: https://"),
+            host,
+            F.lit("/sitemap.xml\n"),
+        ).alias("body"),
+    )
+    fam = F.col("doc_id") % 4
+    path = (
+        F.when(fam == 0, F.concat(F.lit("/private/doc-"),
+                                  F.col("doc_id").cast("string")))
+        .when(fam == 1, F.concat(F.lit("/private/public/doc-"),
+                                 F.col("doc_id").cast("string")))
+        .when(fam == 2, F.concat(F.lit("/open/doc-"),
+                                 F.col("doc_id").cast("string")))
+        .otherwise(F.lit("/private/publicX"))
+    )
+    urls = d.select(
+        "doc_id", host.alias("host"), path.alias("path")
+    )
+    out = robots_verdicts(parse_robots(robots), urls)
+    return out.select("doc_id", "host", "path", "allowed")
+
+
 def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel under the hash gate (round 11;
     operators/temporal.funnel): per user, the first view, the first
@@ -4416,6 +4462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_caps": domain_caps_q,
         "events_funnel": events_funnel_q,
         "host_degrees": host_degrees_q,
+        "robots_admission": robots_admission_q,
         "q10_returned_items": q10_returned_items,
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -8660,6 +8707,23 @@ def oracle_sql() -> dict[str, str]:
             FROM outd
             FULL OUTER JOIN ind ON outd.node = ind.node
             LEFT JOIN recip ON COALESCE(outd.node, ind.node) = recip.node
+        """,
+        "robots_admission": """
+            SELECT doc_id,
+                   source || '.example.com' AS host,
+                   CASE doc_id % 4
+                     WHEN 0 THEN '/private/doc-' || doc_id
+                     WHEN 1 THEN '/private/public/doc-' || doc_id
+                     WHEN 2 THEN '/open/doc-' || doc_id
+                     ELSE '/private/publicX'
+                   END AS path,
+                   CASE doc_id % 4
+                     WHEN 0 THEN false
+                     WHEN 1 THEN true
+                     WHEN 2 THEN true
+                     ELSE false
+                   END AS allowed
+            FROM documents
         """,
         "events_funnel": """
             WITH s1 AS (

@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "domain_caps",
     "events_funnel",
     "host_degrees",
+    "robots_admission",
     "warc_records",
     "quality_classifier",
     # round-11 ingestion surface: the tree-parser robustness path and
