@@ -994,14 +994,17 @@ def events_rolling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def robots_admission_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt URL admission under the hash gate (round 11;
     operators/robots.py): per source host a closed-form robots file
-    (a '*' group with nested Disallow/Allow, a specific-agent group
-    the '*' walk must ignore, comments, a sitemap line), and four URL
-    families per document — plain-disallowed, deeper-Allow-overridden,
-    untouched, and the '/private/publicX' near-miss that must match
-    only the SHORTER Disallow prefix.  The oracle states the expected
-    verdict per family independently (doc_id % 4 CASE), so a drift in
-    group parsing, agent selection, or longest-prefix matching breaks
-    the hash."""
+    (a '*' group with nested Disallow/Allow plus RFC 9309 §2.2.3
+    wildcard rules, a specific-agent group the '*' walk must ignore,
+    comments, a sitemap line), and eight URL families per document —
+    plain-disallowed, deeper-Allow-overridden, untouched, the
+    '/private/publicX' near-miss that must match only the SHORTER
+    Disallow prefix, a '$'-anchored '*.pdf' hit, its non-anchored
+    near-miss, an interior-'*' hit, and a wildcard-Disallow beaten by
+    a longer literal Allow.  The oracle states the expected verdict
+    per family independently (doc_id % 8 CASE), so a drift in group
+    parsing, agent selection, wildcard compilation, or
+    most-specific-match ordering breaks the hash."""
     from riskloc_spark.operators.robots import (
         parse_robots,
         robots_verdicts,
@@ -1013,28 +1016,85 @@ def robots_admission_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         host.alias("host"),
         F.concat(
             F.lit("# robots\nUser-agent: *\nDisallow: /private/\n"
-                  "Allow: /private/public/\n\n"
+                  "Allow: /private/public/\n"
+                  "Disallow: /*.pdf$\n"
+                  "Disallow: /tmp/*/doc-\n"
+                  "Disallow: /dl/*\n"
+                  "Allow: /dl/ok/\n\n"
                   "User-agent: otherbot\nDisallow: /\n"
                   "Sitemap: https://"),
             host,
             F.lit("/sitemap.xml\n"),
         ).alias("body"),
     )
-    fam = F.col("doc_id") % 4
+    fam = F.col("doc_id") % 8
+    doc = F.col("doc_id").cast("string")
     path = (
-        F.when(fam == 0, F.concat(F.lit("/private/doc-"),
-                                  F.col("doc_id").cast("string")))
-        .when(fam == 1, F.concat(F.lit("/private/public/doc-"),
-                                 F.col("doc_id").cast("string")))
-        .when(fam == 2, F.concat(F.lit("/open/doc-"),
-                                 F.col("doc_id").cast("string")))
-        .otherwise(F.lit("/private/publicX"))
+        F.when(fam == 0, F.concat(F.lit("/private/doc-"), doc))
+        .when(fam == 1, F.concat(F.lit("/private/public/doc-"), doc))
+        .when(fam == 2, F.concat(F.lit("/open/doc-"), doc))
+        .when(fam == 3, F.lit("/private/publicX"))
+        .when(fam == 4, F.concat(F.lit("/cache/doc-"), doc,
+                                 F.lit(".pdf")))
+        .when(fam == 5, F.concat(F.lit("/cache/doc-"), doc,
+                                 F.lit(".pdfx")))
+        .when(fam == 6, F.concat(F.lit("/tmp/sub/doc-"), doc))
+        .otherwise(F.concat(F.lit("/dl/ok/doc-"), doc))
     )
     urls = d.select(
         "doc_id", host.alias("host"), path.alias("path")
     )
     out = robots_verdicts(parse_robots(robots), urls)
     return out.select("doc_id", "host", "path", "allowed")
+
+
+def robots_agent_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt AGENT-GROUP selection under the hash gate (round 12;
+    operators/robots.py): per host a '*' group that disallows
+    /private/, an 'otherbot' group that disallows everything, a
+    crawl-delay-ONLY 'quietbot' group, and a BARE 'User-agent:
+    freebot' group with no rules at all.  Three admission walks (one
+    per named agent) union into one frame; the oracle states each
+    agent's verdict closed-form — otherbot all blocked, quietbot and
+    freebot all allowed because ANY group naming the agent (even a
+    rule-less one) suppresses the '*' fallback per RFC 9309.  A drift
+    back to rules-derived group visibility (the r11 advisory bug)
+    flips the quietbot/freebot verdicts on /private/ paths and breaks
+    the hash."""
+    from riskloc_spark.operators.robots import (
+        parse_robots,
+        robots_verdicts,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    robots = d.select(F.col("source")).distinct().select(
+        host.alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private/\n\n"
+                  "User-agent: otherbot\nDisallow: /\n\n"
+                  "User-agent: quietbot\nCrawl-delay: 7\n\n"
+                  "User-agent: freebot\n"),
+        ).alias("body"),
+    )
+    path = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("/private/doc-"), F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("/open/doc-"), F.col("doc_id").cast("string"))
+    )
+    urls = d.select("doc_id", host.alias("host"), path.alias("path"))
+    rules = parse_robots(robots)
+    parts = [
+        robots_verdicts(rules, urls, agent=a)
+        .withColumn("agent", F.lit(a))
+        .select("doc_id", "host", "path", "agent", "allowed")
+        for a in ("otherbot", "quietbot", "freebot")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4441,6 +4501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-11 gates (never recorded) lead, then the 29 gates whose
     # newest record is round 8, then round-9-recorded gates to fill 50.
     # Round-10-recorded gates sit past the window; rows-only last.
+    # ---- new round-12 gates (never driver-recorded) ----
+        "robots_agent_groups": robots_agent_groups_q,
     # ---- new round-11 gates (never driver-recorded) ----
         "html_extract_tree": html_extract_tree_q,
         "classifier_warm": classifier_warm_q,
@@ -8711,19 +8773,45 @@ def oracle_sql() -> dict[str, str]:
         "robots_admission": """
             SELECT doc_id,
                    source || '.example.com' AS host,
-                   CASE doc_id % 4
+                   CASE doc_id % 8
                      WHEN 0 THEN '/private/doc-' || doc_id
                      WHEN 1 THEN '/private/public/doc-' || doc_id
                      WHEN 2 THEN '/open/doc-' || doc_id
-                     ELSE '/private/publicX'
+                     WHEN 3 THEN '/private/publicX'
+                     WHEN 4 THEN '/cache/doc-' || doc_id || '.pdf'
+                     WHEN 5 THEN '/cache/doc-' || doc_id || '.pdfx'
+                     WHEN 6 THEN '/tmp/sub/doc-' || doc_id
+                     ELSE '/dl/ok/doc-' || doc_id
                    END AS path,
-                   CASE doc_id % 4
-                     WHEN 0 THEN false
-                     WHEN 1 THEN true
-                     WHEN 2 THEN true
-                     ELSE false
+                   CASE doc_id % 8
+                     WHEN 0 THEN false  -- /private/ prefix
+                     WHEN 1 THEN true   -- deeper Allow wins
+                     WHEN 2 THEN true   -- untouched
+                     WHEN 3 THEN false  -- near-miss: shorter Disallow
+                     WHEN 4 THEN false  -- /*.pdf$ anchored hit
+                     WHEN 5 THEN true   -- .pdfx: '$' anchor rejects
+                     WHEN 6 THEN false  -- interior '*' spans 'sub'
+                     ELSE true          -- Allow /dl/ok/ (7) beats
+                   END AS allowed       -- Disallow /dl/* (6)
+            FROM documents
+        """,
+        "robots_agent_groups": """
+            SELECT doc_id,
+                   source || '.example.com' AS host,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '/private/doc-' || doc_id
+                        ELSE '/open/doc-' || doc_id
+                   END AS path,
+                   agent,
+                   CASE agent
+                     WHEN 'otherbot' THEN false  -- Disallow: /
+                     WHEN 'quietbot' THEN true   -- crawl-delay-only
+                                                 -- group suppresses *
+                     ELSE true                   -- bare marker group
                    END AS allowed
             FROM documents
+            CROSS JOIN (VALUES ('otherbot'), ('quietbot'), ('freebot'))
+                 AS agents(agent)
         """,
         "events_funnel": """
             WITH s1 AS (
