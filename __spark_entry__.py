@@ -2409,11 +2409,17 @@ def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _link_pages(d: DataFrame) -> DataFrame:
     """Closed-form link-bearing pages for the link_graph gate: each
-    document becomes a page at https://{source}.EXample.com/dir/sub/
-    (mixed-case host exercises the lowercase rule) carrying one anchor
-    per resolution rule — absolute, protocol-relative, root-relative,
-    relative, fragment-bearing absolute — plus three that must be
-    DROPPED (mailto:, javascript:, fragment-only)."""
+    document becomes TWO pages.  Page A at
+    https://{source}.EXample.com/dir/sub/ (mixed-case host exercises
+    the lowercase rule) carries one anchor per resolution rule —
+    absolute, protocol-relative, root-relative, relative,
+    fragment-bearing absolute, DOTTED relative (../ pops per RFC 3986
+    §5.2.4), query-only (?page=N takes the base path whole), and an
+    interior-newline absolute href (the HTML URL preprocessing rule) —
+    plus three that must be DROPPED (mailto:, javascript:,
+    fragment-only).  Page B carries a <base href> tag: its relative,
+    root-relative, and query anchors must all resolve against the
+    BASE, not the page URL."""
     did = F.col("doc_id").cast("string")
     url = F.concat(
         F.lit("https://"), F.col("source"),
@@ -2430,21 +2436,50 @@ def _link_pages(d: DataFrame) -> DataFrame:
         (F.col("doc_id") % 3).cast("string"),
         F.lit('.html">rel</a>\n<a href="https://x.example.org/page#sec-'),
         did,
-        F.lit('">frag</a>\n<a href="mailto:info@example.com">mail</a>\n'
+        F.lit('">frag</a>\n<a href="../up-'),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit('.html">up</a>\n<a href="?page='),
+        (F.col("doc_id") % 6).cast("string"),
+        F.lit('">next</a>\n<a href="https://ws.example.org/a\n\tb-'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('">ws</a>\n<a href="mailto:info@example.com">mail</a>\n'
               '<a href="#top">top</a>\n'
               '<a href="javascript:void(0)">js</a>\n</body></html>'),
     )
-    return d.select("doc_id", url.alias("url"), html.alias("html"))
+    page_a = d.select("doc_id", url.alias("url"), html.alias("html"))
+    url_b = F.concat(
+        F.lit("https://"), F.col("source"),
+        F.lit(".EXample.com/b/page-"), did, F.lit(".html"),
+    )
+    html_b = F.concat(
+        F.lit('<html><head><base href="https://based-'),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('.example.org/root/leaf.html"></head><body>\n'
+              '<a href="n-'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('.html">bn</a>\n<a href="/r/'),
+        (F.col("doc_id") % 2).cast("string"),
+        F.lit('">br</a>\n<a href="?q='),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit('">bq</a>\n</body></html>'),
+    )
+    page_b = d.select(
+        "doc_id", url_b.alias("url"), html_b.alias("html")
+    )
+    return page_a.unionAll(page_b)
 
 
 def link_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor extraction + URL resolution under the hash gate (round
-    11; operators/graph.extract_links): five kept anchors per page,
-    one per resolution rule, three dropped schemes — the oracle
-    enumerates the resolved URL and lowercased host for each rule
-    closed-form from the original columns, so a drift in the href
-    regex, the scheme filter, the origin/directory split, or the
-    host lowercasing breaks the hash."""
+    11, extended round 12; operators/graph.extract_links): eight kept
+    anchors on page A (one per resolution rule, now including dotted
+    relative, query-only, and interior-whitespace hrefs), three kept
+    anchors on the <base href>-bearing page B, three dropped schemes —
+    the oracle enumerates the resolved URL and lowercased host for
+    each rule closed-form from the original columns, so a drift in
+    the href regex, the scheme filter, the origin/directory split,
+    the §5.2.4 dot-segment fold, base-tag honoring, or the host
+    lowercasing breaks the hash."""
     from riskloc_spark.operators.graph import extract_links
 
     d = load_table(spark, sf_dir, "documents")
@@ -8741,6 +8776,51 @@ def oracle_sql() -> dict[str, str]:
                    'https://x.example.org/page',
                    'https://x.example.org/page',
                    'x.example.org'
+            FROM documents
+            UNION ALL
+            -- ../ pops /dir/sub/ back to /dir/ (RFC 3986 §5.2.4)
+            SELECT doc_id,
+                   '../up-' || (doc_id % 4) || '.html',
+                   'https://' || source || '.EXample.com/dir/up-'
+                     || (doc_id % 4) || '.html',
+                   source || '.example.com'
+            FROM documents
+            UNION ALL
+            -- ?query joins the base path WHOLE (RFC 3986 §5.3)
+            SELECT doc_id,
+                   '?page=' || (doc_id % 6),
+                   'https://' || source || '.EXample.com/dir/sub/page-'
+                     || doc_id || '.html?page=' || (doc_id % 6),
+                   source || '.example.com'
+            FROM documents
+            UNION ALL
+            -- interior newline+tab removed by URL preprocessing
+            SELECT doc_id,
+                   'https://ws.example.org/ab-' || (doc_id % 7),
+                   'https://ws.example.org/ab-' || (doc_id % 7),
+                   'ws.example.org'
+            FROM documents
+            UNION ALL
+            -- page B: <base href> replaces the page URL as the base
+            SELECT doc_id,
+                   'n-' || (doc_id % 5) || '.html',
+                   'https://based-' || (doc_id % 3)
+                     || '.example.org/root/n-' || (doc_id % 5) || '.html',
+                   'based-' || (doc_id % 3) || '.example.org'
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   '/r/' || (doc_id % 2),
+                   'https://based-' || (doc_id % 3)
+                     || '.example.org/r/' || (doc_id % 2),
+                   'based-' || (doc_id % 3) || '.example.org'
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   '?q=' || (doc_id % 4),
+                   'https://based-' || (doc_id % 3)
+                     || '.example.org/root/leaf.html?q=' || (doc_id % 4),
+                   'based-' || (doc_id % 3) || '.example.org'
             FROM documents
         """,
         "pagerank_hosts": _graph_mod.pagerank_sql(

@@ -40,11 +40,19 @@ partitioning / row order, and the DuckDB oracle replays the identical
 unrolled arithmetic (floating-point PageRank would drift with
 reduction order and could never hash-gate).
 
+URL resolution follows RFC 3986 §5.2: ``<base href>`` (first
+occurrence wins, per the HTML spec) replaces the page URL as the
+resolution base; query-only references (``?page=2``) take the base
+path whole; ``.``/``..`` dot segments are removed per §5.2.4 (a
+bounded in-row fold that only runs on the minority of links that
+contain them — the common case stays a pure regex/concat); interior
+tab/newline inside an href is removed and surrounding ASCII
+whitespace stripped (the HTML URL parser's preprocessing).
+
 Stated seams (documented non-goals, same discipline as html.py):
-``../`` segments in relative hrefs are NOT normalized (resolved
-against the base directory verbatim); <base href> tags are ignored;
 anchors inside comments/scripts are extracted (use html.py's tree
-path upstream to strip them first when that matters).
+path upstream to strip them first when that matters); %-encoding
+normalization and IDNA host folding are not attempted.
 """
 from __future__ import annotations
 
@@ -71,6 +79,58 @@ _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*):"
 _ORIGIN_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 
+# first <base href> in the page (the HTML spec: first occurrence
+# wins).  ONE alternation over the three attribute forms so all three
+# group extracts anchor at the SAME first match — a page mixing quote
+# styles still honors document order.
+_BASE_PRE = r"<[Bb][Aa][Ss][Ee][ \t\n\x0B\f\r](?:[^>]*[ \t\n\x0B\f\r])?href="
+BASE_HREF_RE = (
+    _BASE_PRE
+    + "(?:\"([^\"]*)\"|'([^']*)'"
+    + r"|([^ \t\n\x0B\f\r>\"'][^ \t\n\x0B\f\r>]*))"
+)
+
+# a path segment run containing '.' or '..' — the guard that keeps the
+# §5.2.4 fold off the common no-dot-segment path
+_DOTSEG_RE = r"/\.\.?(/|$)"
+
+
+def _strip_url_ws(col: Column) -> Column:
+    """The HTML URL parser's preprocessing: remove ALL interior ASCII
+    tab/newline (an href split across source lines is one URL), then
+    strip leading/trailing C0-control-or-space."""
+    return F.regexp_replace(
+        F.regexp_replace(col, r"[\t\n\r]", ""),
+        r"^[\x00-\x20]+|[\x00-\x20]+$",
+        "",
+    )
+
+
+def _remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 over an absolute path column: fold the
+    '/'-split segments — '.' drops, '..' pops (never past the root),
+    anything else appends; a trailing '.'/'..' leaves a trailing
+    slash.  In-row, order-dependent by construction (a fold, not an
+    aggregate), bounded by the segment count of one path."""
+    segs = F.split(path, "/")
+    folded = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(s == ".", acc)
+        .when(
+            s == "..",
+            F.slice(
+                acc, F.lit(1), F.greatest(F.size(acc) - 1, F.lit(1))
+            ),
+        )
+        .otherwise(F.concat(acc, F.array(s))),
+    )
+    last = F.element_at(segs, -1)
+    folded = F.when(
+        last.isin(".", ".."), F.concat(folded, F.array(F.lit("")))
+    ).otherwise(folded)
+    return F.array_join(folded, "/")
+
 
 def extract_links(
     pages: DataFrame,
@@ -80,56 +140,137 @@ def extract_links(
 ) -> DataFrame:
     """One row per anchor: (keep..., href, link_url, link_host).
 
-    href is the raw attribute value minus its fragment; link_url is the
-    RFC-3986-style resolution against ``url_col`` (absolute kept,
-    ``//host`` inherits the base scheme, ``/path`` joins the base
-    origin, anything else joins the base DIRECTORY — ``..`` segments
-    deliberately unnormalized, see module seams); link_host is the
-    lowercased authority of the resolution.  mailto:/javascript:/data:
-    and every other non-http(s) scheme is dropped, as are empty and
-    fragment-only hrefs.
+    href is the attribute value after the HTML URL preprocessing
+    (interior tab/newline removed, surrounding whitespace stripped)
+    minus its fragment; link_url is the RFC 3986 §5.2 resolution
+    against the page's EFFECTIVE base — the first ``<base href>`` when
+    present (itself resolved against the page URL, per the HTML spec),
+    else the page URL: absolute kept, ``//host`` inherits the base
+    scheme, ``/path`` joins the base origin, ``?query`` joins the
+    base's whole path (§5.3), anything else joins the base DIRECTORY;
+    ``.``/``..`` dot segments are then removed per §5.2.4.  link_host
+    is the lowercased authority of the resolution.
+    mailto:/javascript:/data: and every other non-http(s) scheme is
+    dropped, as are empty and fragment-only hrefs.
 
     Pure column algebra over a regexp explode — each multi-referenced
     intermediate is a NAMED column (the no-CSE staging discipline), so
-    the resolution CASE evaluates each regex once per link.  All three
-    HTML attribute forms extract (href="x", href='x', href=x); an
-    anchor matches at most one (the quote character decides)."""
+    the resolution CASE evaluates each regex once per link, the
+    per-page base work happens BEFORE the per-anchor explode, and the
+    §5.2.4 fold runs only on rows whose URL actually contains a dot
+    segment.  All three HTML attribute forms extract (href="x",
+    href='x', href=x); an anchor matches at most one (the quote
+    character decides)."""
+
+    def _dir_of(nofq: Column, origin: Column) -> Column:
+        # directory: origin + path up to the LAST '/', query/fragment
+        # dropped; a bare origin resolves relative hrefs under '/'
+        return F.when(
+            F.regexp_extract(
+                nofq, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/.*/)", 1
+            )
+            == "",
+            F.concat(origin, F.lit("/")),
+        ).otherwise(
+            F.concat(
+                origin,
+                F.regexp_extract(
+                    nofq,
+                    r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+((/[^/]*)*/)",
+                    1,
+                ),
+            )
+        )
+
+    # ---- per-page: effective base from the first <base href> ----
+    s0 = pages.select(
+        *(keep or []),
+        F.col(html_col).alias("__html"),
+        _strip_url_ws(F.col(url_col)).alias("__purl"),
+    ).withColumn(
+        "__bh",
+        F.regexp_replace(
+            _strip_url_ws(
+                F.coalesce(
+                    F.nullif(
+                        F.regexp_extract(F.col("__html"), BASE_HREF_RE, 1),
+                        F.lit(""),
+                    ),
+                    F.nullif(
+                        F.regexp_extract(F.col("__html"), BASE_HREF_RE, 2),
+                        F.lit(""),
+                    ),
+                    F.nullif(
+                        F.regexp_extract(F.col("__html"), BASE_HREF_RE, 3),
+                        F.lit(""),
+                    ),
+                    F.lit(""),
+                )
+            ),
+            r"#.*$",
+            "",
+        ),
+    ).withColumns(
+        {
+            "__pnofq": F.regexp_replace(F.col("__purl"), r"[?#].*$", ""),
+            "__porigin": F.regexp_extract(F.col("__purl"), _ORIGIN_RE, 1),
+            "__pscheme": F.regexp_extract(
+                F.col("__purl"), r"^([A-Za-z]+):", 1
+            ),
+        }
+    )
+    s0 = s0.withColumn(
+        "__pdir", _dir_of(F.col("__pnofq"), F.col("__porigin"))
+    )
+    eff_base = (
+        F.when(F.col("__bh") == "", F.col("__purl"))
+        .when(
+            F.regexp_extract(F.col("__bh"), _SCHEME_RE, 1) != "",
+            F.col("__bh"),
+        )
+        .when(
+            F.col("__bh").startswith("//"),
+            F.concat(F.col("__pscheme"), F.lit(":"), F.col("__bh")),
+        )
+        .when(
+            F.col("__bh").startswith("/"),
+            F.concat(F.col("__porigin"), F.col("__bh")),
+        )
+        .otherwise(F.concat(F.col("__pdir"), F.col("__bh")))
+    )
     href0 = F.explode(
         F.concat(
             F.regexp_extract_all(
-                F.col(html_col), F.lit(HREF_DQ_RE), F.lit(1)
+                F.col("__html"), F.lit(HREF_DQ_RE), F.lit(1)
             ),
             F.regexp_extract_all(
-                F.col(html_col), F.lit(HREF_SQ_RE), F.lit(1)
+                F.col("__html"), F.lit(HREF_SQ_RE), F.lit(1)
             ),
             F.regexp_extract_all(
-                F.col(html_col), F.lit(HREF_UQ_RE), F.lit(1)
+                F.col("__html"), F.lit(HREF_UQ_RE), F.lit(1)
             ),
         )
     ).alias("__href0")
-    s1 = pages.select(*(keep or []), F.col(url_col).alias("__base"), href0)
+    s1 = s0.select(*(keep or []), eff_base.alias("__base"), href0)
     s2 = s1.withColumns(
         {
-            # fragment off, then surrounding ASCII whitespace off (the
-            # HTML URL parser strips it; a quoted href=" /x" must
-            # root-resolve, not glue a space into the path).  Interior
-            # tab/newline stripping (the full spec rule) is a stated
-            # seam.
+            # HTML URL preprocessing first (so a scheme split across
+            # source lines reassembles), then fragment off, then any
+            # whitespace the fragment was shielding trimmed
             "href": F.regexp_replace(
-                F.regexp_replace(F.col("__href0"), r"#.*$", ""),
-                r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$",
+                F.regexp_replace(
+                    _strip_url_ws(F.col("__href0")), r"#.*$", ""
+                ),
+                r"[\x00-\x20]+$",
                 "",
             ),
             "__scheme": F.lower(
                 F.regexp_extract(
-                    F.regexp_replace(
-                        F.col("__href0"), r"^[ \t\n\x0B\f\r]+", ""
-                    ),
-                    _SCHEME_RE,
-                    1,
+                    _strip_url_ws(F.col("__href0")), _SCHEME_RE, 1
                 )
             ),
             "__origin": F.regexp_extract(F.col("__base"), _ORIGIN_RE, 1),
+            "__bnofq": F.regexp_replace(F.col("__base"), r"[?#].*$", ""),
         }
     ).filter(
         (F.length("href") > 0)
@@ -139,22 +280,9 @@ def extract_links(
         # only for http/https)
     )
     base_scheme = F.regexp_extract(F.col("__base"), r"^([A-Za-z]+):", 1)
-    # base directory: origin + path up to the LAST '/', query/fragment
-    # dropped; a bare origin resolves relative hrefs under '/'
-    base_nofq = F.regexp_replace(F.col("__base"), r"[?#].*$", "")
-    base_dir = F.when(
-        F.regexp_extract(base_nofq, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/.*/)", 1)
-        == "",
-        F.concat(F.col("__origin"), F.lit("/")),
-    ).otherwise(
-        F.concat(
-            F.col("__origin"),
-            F.regexp_extract(
-                base_nofq, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+((/[^/]*)*/)", 1
-            ),
-        )
+    s3 = s2.withColumn(
+        "__dir", _dir_of(F.col("__bnofq"), F.col("__origin"))
     )
-    s3 = s2.withColumn("__dir", base_dir)
     link_url = (
         F.when(F.col("__scheme") != "", F.col("href"))
         .when(
@@ -165,10 +293,33 @@ def extract_links(
             F.col("href").startswith("/"),
             F.concat(F.col("__origin"), F.col("href")),
         )
+        .when(
+            # query-only reference: base path WHOLE, not its directory
+            # (RFC 3986 §5.3)
+            F.col("href").startswith("?"),
+            F.concat(F.col("__bnofq"), F.col("href")),
+        )
         .otherwise(F.concat(F.col("__dir"), F.col("href")))
     )
-    s4 = s3.withColumn("link_url", link_url)
-    return s4.select(
+    s4 = s3.withColumn("__lraw", link_url)
+    # §5.2.4 remove_dot_segments — guarded: the fold touches only rows
+    # whose resolved URL contains '/./' or '/../' (or ends in a dot
+    # segment); everything else passes through the cheap branch
+    lorigin = F.regexp_extract(F.col("__lraw"), _ORIGIN_RE, 1)
+    lpath = F.regexp_extract(
+        F.col("__lraw"),
+        r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)",
+        1,
+    )
+    lquery = F.regexp_extract(F.col("__lraw"), r"(\?.*)$", 1)
+    s5 = s4.withColumn(
+        "link_url",
+        F.when(
+            F.col("__lraw").rlike(_DOTSEG_RE),
+            F.concat(lorigin, _remove_dot_segments(lpath), lquery),
+        ).otherwise(F.col("__lraw")),
+    )
+    return s5.select(
         *(keep or []),
         "href",
         "link_url",
@@ -297,23 +448,28 @@ def pagerank(
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
         )
+    cached: list = []
     try:
         e = e.persist()
+        cached.append(e)
         odeg_agg = (
             F.count(F.lit(1)) if weight_col is None else F.sum("w")
         )
         outdeg = e.groupBy("src").agg(odeg_agg.alias("odeg")).persist()
+        cached.append(outdeg)
         nodes = (
             e.select(F.col("src").alias("node"))
             .union(e.select(F.col("dst").alias("node")))
             .distinct()
             .persist()
         )
+        cached.append(nodes)
         # the dangling node SET is static across iterations (outdeg
         # never changes) — resolve it once, not one anti-join per round
         dangset = nodes.join(
             outdeg, F.col("node") == F.col("src"), "left_anti"
         ).persist()
+        cached.append(dangset)
         # one-row frames broadcast into the plan: NOTHING collects
         # seed flags ride the node frame (one code path: uniform
         # PageRank IS the all-seeds case, s = n)
@@ -333,6 +489,7 @@ def pagerank(
             )
         else:
             flagged = nodes.withColumn("is_seed", F.lit(True)).persist()
+        cached.append(flagged)
         cnt = flagged.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("is_seed"), 1).otherwise(0))
@@ -394,10 +551,13 @@ def pagerank(
             )
             if (t + 1) % checkpoint_every == 0 or t == iterations - 1:
                 scores = scores.localCheckpoint(eager=True)
-        for frame in (e, outdeg, nodes, dangset, flagged):
-            frame.unpersist()
         return scores
     finally:
+        # unpersist in the SAME finally as the width restore: an
+        # exception mid-iteration must not leak five cached frames for
+        # the session lifetime (r11 advisory)
+        for frame in cached:
+            frame.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_width)
 
 

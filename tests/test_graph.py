@@ -41,8 +41,8 @@ def test_extract_links_resolution_rules(spark):
         "//proto.net/y": ("https://proto.net/y", "proto.net"),
         "/root/z": ("https://Host.COM/root/z", "host.com"),
         "rel.html": ("https://Host.COM/dir/sub/rel.html", "host.com"),
-        # stated seam: '..' unnormalized, resolved against the base dir
-        "../up.html": ("https://Host.COM/dir/sub/../up.html", "host.com"),
+        # RFC 3986 §5.2.4: '..' pops the base directory
+        "../up.html": ("https://Host.COM/dir/up.html", "host.com"),
         "https://f.org/p": ("https://f.org/p", "f.org"),
     }
 
@@ -308,4 +308,105 @@ def test_extract_links_whitespace_trimmed(spark):
     assert rows == {
         "/x": "https://h.com/x",
         "https://a.b/c": "https://a.b/c",
+    }
+
+
+def test_extract_links_base_href_and_query_ref(spark):
+    """<base href> (first occurrence wins) replaces the page URL as
+    the resolution base; '?query' refs take the base path WHOLE (RFC
+    3986 §5.3), not its directory."""
+    pages = spark.createDataFrame(
+        [
+            # absolute base tag: relative + root-relative + query refs
+            # all resolve against it, not the page URL
+            (
+                "https://page.com/a/b.html?x=1",
+                '<base href="https://based.org/dir/index.html">'
+                '<a href="rel.html">r</a>'
+                '<a href="/rooted">s</a>'
+                '<a href="?page=2">t</a>',
+            ),
+            # base tag itself RELATIVE: resolved against the page URL
+            # first (HTML spec), then used as the base
+            (
+                "https://page.com/a/b.html",
+                "<base href='sub/'>"
+                '<a href="x.html">u</a>',
+            ),
+            # second base tag must be ignored; single-quoted first
+            (
+                "https://page.com/c/d.html",
+                "<base href='https://first.net/p/q.html'>"
+                '<base href="https://second.net/">'
+                '<a href="v.html">v</a>',
+            ),
+        ],
+        "url string, html string",
+    )
+    rows = {
+        r["href"]: r["link_url"] for r in extract_links(pages).collect()
+    }
+    assert rows == {
+        "rel.html": "https://based.org/dir/rel.html",
+        "/rooted": "https://based.org/rooted",
+        "?page=2": "https://based.org/dir/index.html?page=2",
+        "x.html": "https://page.com/a/sub/x.html",
+        "v.html": "https://first.net/p/v.html",
+    }
+
+
+def test_extract_links_dot_segments(spark):
+    """RFC 3986 §5.2.4 remove_dot_segments: '..' pops (never past the
+    root), '.' drops, trailing dot segments leave a trailing slash —
+    including inside ABSOLUTE hrefs."""
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://h.com/a/b/c/page.html",
+                '<a href="../../x.html">A</a>'
+                '<a href="./y.html">B</a>'
+                '<a href="../../../../z">C</a>'
+                '<a href="d/..">D</a>'
+                '<a href="https://abs.org/p/../q/./r">E</a>',
+            )
+        ],
+        "url string, html string",
+    )
+    rows = {
+        r["href"]: r["link_url"] for r in extract_links(pages).collect()
+    }
+    assert rows == {
+        "../../x.html": "https://h.com/a/x.html",
+        "./y.html": "https://h.com/a/b/c/y.html",
+        # four '..' against a three-deep dir: clamped at the root
+        "../../../../z": "https://h.com/z",
+        "d/..": "https://h.com/a/b/c/",
+        "https://abs.org/p/../q/./r": "https://abs.org/q/r",
+    }
+
+
+def test_extract_links_interior_whitespace(spark):
+    """The HTML URL parser removes interior tab/newline before
+    parsing: an href split across source lines is one URL, and its
+    scheme is recognized after reassembly."""
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://h.com/d/page.html",
+                '<a href="ht\ntps://x.org/long\n/path">A</a>'
+                '<a href="rel\t.html">B</a>',
+            )
+        ],
+        "url string, html string",
+    )
+    rows = {
+        r["href"]: (r["link_url"], r["link_host"])
+        for r in extract_links(pages).collect()
+    }
+    assert rows == {
+        "https://x.org/long/path": (
+            "https://x.org/long/path",
+            "x.org",
+        ),
+        "rel.html": ("https://h.com/d/rel.html", "h.com"),
     }
