@@ -1642,6 +1642,79 @@ def media_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_dhash(corpus)
 
 
+def image_ingest_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image ingestion dedup under the hash gate (round
+    12; operators/multimodal.build_image_index +
+    incremental_image_dedup): the base corpus (doc_id % 4 != 3) is
+    indexed ONCE — (id, dhash, block, bits) rows, the persistable
+    artifact — and a batch (seeds with doc_id % 4 in (0, 3), re-id'd
+    +10M after synthesis) probes it.  Seeds ≡ 0 (mod 4) are byte-
+    identical to base images (planted dups, hamming 0); seeds ≡ 3 are
+    absent from the base.  The oracle recomputes every 64-bit dhash
+    from the synthesis contract and takes the BRUTE-FORCE hamming ≤ 4
+    pairs — the pigeonhole banded probe must equal exhaustive
+    comparison exactly, incidental near-matches included, or the hash
+    breaks."""
+    from riskloc_spark.operators.dedup import spread_small_scan
+    from riskloc_spark.operators.multimodal import (
+        build_image_index,
+        incremental_image_dedup,
+        synthesize_neardup_png_corpus,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    base = synthesize_neardup_png_corpus(
+        spread_small_scan(d.filter(F.col("media_id") % 4 != 3))
+    )
+    index = build_image_index(base, max_hamming=4)
+    seeds = d.filter(
+        (F.col("media_id") % 4 == 0) | (F.col("media_id") % 4 == 3)
+    )
+    batch = synthesize_neardup_png_corpus(
+        spread_small_scan(seeds)
+    ).withColumn("media_id", F.col("media_id") + F.lit(10_000_000))
+    out = incremental_image_dedup(batch, index, max_hamming=4)
+    return out.select(
+        "new_id", "base_id", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def video_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs under the hash gate (round 12;
+    operators/video.video_dhash + video_near_dup): the high-entropy
+    AVI corpus (9x8 tile grid, xorshift-mixed values — see
+    multimodal._mix256 for why the additive contract corpus would
+    make this gate quadratic-dense) plus planted re-containers (seeds
+    ≡ 0 mod 3 re-synthesized and re-id'd +10M — byte-identical frame
+    streams), demuxed, per-frame JPEG-decoded, dhashed, and
+    pair-matched at the same frame index (banded hamming ≤ 6, ≥ 2
+    matching frames).  The oracle replays the ENTIRE pipeline
+    closed-form — mixer, JPEG constant-block round trip, 9x8 floor
+    resize, gradient bits, bit-63 signed wrap — then takes
+    brute-force same-frame pairs, so a drift anywhere from the
+    container walk to the banded join breaks the hash; output is
+    exactly the planted duplicates (one pair per seed, all frames
+    matched)."""
+    from riskloc_spark.operators.dedup import spread_small_scan
+    from riskloc_spark.operators.video import (
+        synthesize_neardup_avi_corpus,
+        video_near_dup,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    base = synthesize_neardup_avi_corpus(spread_small_scan(d))
+    dups = synthesize_neardup_avi_corpus(
+        spread_small_scan(d.filter(F.col("media_id") % 3 == 0))
+    ).withColumn("media_id", F.col("media_id") + F.lit(10_000_000))
+    media = base.unionByName(dups)
+    out = video_near_dup(media, max_hamming=6, min_frame_matches=2)
+    return out.select("id_a", "id_b", "matched_frames")
+
+
 def media_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG pixel decode under the hash gate (round 7): deterministic
     PNGs are synthesized per doc id (formula contract in
@@ -4538,6 +4611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-10-recorded gates sit past the window; rows-only last.
     # ---- new round-12 gates (never driver-recorded) ----
         "robots_agent_groups": robots_agent_groups_q,
+        "image_ingest_dedup": image_ingest_dedup_q,
+        "video_near_dup": video_near_dup_q,
     # ---- new round-11 gates (never driver-recorded) ----
         "html_extract_tree": html_extract_tree_q,
         "classifier_warm": classifier_warm_q,
@@ -7582,7 +7657,12 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
             )
             GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-            ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+            -- qualify the sort column so it binds to the RAW price
+            -- (DuckDB resolves a bare o_totalprice to the rounded
+            -- SELECT alias; Spark sorts raw — two rows raw-distinct
+            -- but rounded-equal near the LIMIT would then diverge)
+            ORDER BY orders.o_totalprice DESC, o_orderdate ASC,
+                     o_orderkey ASC
             LIMIT 100
         """,
         "q10_returned_items": """
@@ -9900,6 +9980,132 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS dhash
             FROM bits b JOIN dims d USING (media_id)
             GROUP BY b.media_id, d.w, d.h
+        """,
+        # incremental image ingest probe == brute-force hamming over
+        # the replayed 64-bit signatures (the pigeonhole guarantee)
+        "image_ingest_dedup": """
+            WITH grid AS MATERIALIZED (
+              SELECT doc_id AS media_id, unnest(range(0, 72)) AS t
+              FROM documents
+            ),
+            sm AS (
+              -- dest (gy=t//9, gx=t%9) -> 16x12 source sample
+              SELECT media_id, t,
+                     (((t // 9) * 12) // 8) * 16
+                       + ((t % 9) * 16) // 9 AS s
+              FROM grid
+            ),
+            m1 AS (
+              SELECT media_id, t,
+                     media_id * 2654435761 + s * 97 AS a
+              FROM sm
+            ),
+            m2 AS (
+              SELECT media_id, t,
+                     (xor(a, a >> 15) % 2147483648) * 1103515245 AS c
+              FROM m1
+            ),
+            gray AS (
+              SELECT media_id, t, xor(c, c >> 13) % 256 AS g
+              FROM m2
+            ),
+            bits AS (
+              SELECT a.media_id,
+                     (a.t // 9) * 8 + (a.t % 9) AS kbit,
+                     CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+              FROM gray a
+              JOIN gray b ON b.media_id = a.media_id AND b.t = a.t + 1
+              WHERE a.t % 9 < 8
+            ),
+            dh AS MATERIALIZED (
+              SELECT media_id,
+                     CAST(SUM(CASE WHEN bit = 0 THEN CAST(0 AS BIGINT)
+                              WHEN kbit = 63
+                                THEN -9223372036854775807 - 1
+                              ELSE CAST(1 AS BIGINT) << kbit END)
+                       AS BIGINT) AS dhash
+              FROM bits GROUP BY media_id
+            )
+            SELECT n.media_id + 10000000 AS new_id,
+                   b.media_id AS base_id,
+                   CAST(bit_count(xor(n.dhash, b.dhash)) AS INT)
+                     AS hamming
+            FROM dh n JOIN dh b
+              ON n.media_id % 4 IN (0, 3) AND b.media_id % 4 <> 3
+            WHERE bit_count(xor(n.dhash, b.dhash)) <= 4
+        """,
+        # full pipeline replay: AVI synthesis (high-entropy mixer) ->
+        # JPEG constant-block round trip -> 9x8 floor resize (dest
+        # sample == its own tile at the 72x64 geometry) -> gradient
+        # bits -> signed bit-63 wrap -> brute-force same-frame pairs
+        "video_near_dup": """
+            WITH ids AS MATERIALIZED (
+              SELECT doc_id AS media_id, doc_id AS seed FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, doc_id FROM documents
+              WHERE doc_id % 3 = 0
+            ),
+            grid AS (
+              SELECT media_id, seed,
+                     unnest(range(0, 2 + seed % 3)) AS k
+              FROM ids
+            ),
+            cells AS (
+              SELECT media_id, seed, k, unnest(range(0, 72)) AS t
+              FROM grid
+            ),
+            m1 AS (
+              SELECT media_id, k, t,
+                     seed * 2654435761 + t * 97
+                       + (k + 1) * 1013904223 AS a
+              FROM cells
+            ),
+            m2 AS (
+              SELECT media_id, k, t,
+                     (xor(a, a >> 15) % 2147483648) * 1103515245 AS c
+              FROM m1
+            ),
+            vals AS (
+              SELECT media_id, k, t, xor(c, c >> 13) % 256 AS v
+              FROM m2
+            ),
+            gray AS (
+              SELECT media_id, k, t,
+                     LEAST(GREATEST(CAST(floor(
+                       (CAST(floor((8 * v - 1024) / 13e0 + 5e-1)
+                         AS BIGINT) * 13 + 1028) / 8e0
+                     ) AS BIGINT), 0), 255) AS g
+              FROM vals
+            ),
+            bits AS (
+              SELECT a.media_id, a.k,
+                     (a.t // 9) * 8 + (a.t % 9) AS kbit,
+                     CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+              FROM gray a
+              JOIN gray b ON b.media_id = a.media_id
+                         AND b.k = a.k AND b.t = a.t + 1
+              WHERE a.t % 9 < 8
+            ),
+            fh AS MATERIALIZED (
+              SELECT media_id, k AS frame_idx,
+                     CAST(SUM(CASE WHEN bit = 0 THEN CAST(0 AS BIGINT)
+                              WHEN kbit = 63
+                                THEN -9223372036854775807 - 1
+                              ELSE CAST(1 AS BIGINT) << kbit END)
+                       AS BIGINT) AS dhash
+              FROM bits GROUP BY media_id, k
+            ),
+            fp AS (
+              SELECT a.media_id AS id_a, b.media_id AS id_b,
+                     a.frame_idx
+              FROM fh a JOIN fh b
+                ON a.frame_idx = b.frame_idx
+               AND a.media_id < b.media_id
+              WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+            )
+            SELECT id_a, id_b, COUNT(*) AS matched_frames
+            FROM fp GROUP BY id_a, id_b
+            HAVING COUNT(*) >= 2
         """,
         "media_resize_nearest": f"""
             WITH {_PNG_DIMS_CTE},

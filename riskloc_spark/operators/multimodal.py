@@ -777,6 +777,66 @@ def _synth_apng(d: int) -> bytes:
     )
 
 
+def _mix256(d, s, k=0):
+    """Formula contract shared with the DuckDB twins (keep in sync):
+    a 256-level xorshift-multiply mixer whose every intermediate fits
+    a signed 64-bit integer (DuckDB BIGINT throws on overflow, so no
+    wraparound tricks):
+      a = d*2654435761 + s*97 + k*1013904223
+      b = a XOR (a >> 15)
+      c = (b % 2^31) * 1103515245
+      v = (c XOR (c >> 13)) % 256
+    The additive-generator corpora (synthesize_png_corpus etc.) are
+    deliberately low-entropy — fine for codec gates, but their dhash
+    signatures collide in mod-256 shift classes, which would make any
+    near-dup PAIR gate quadratic-dense.  This mixer gives distinct
+    ids near-uniform signatures, so pair gates stay linear in the
+    planted duplicates.  Works on ints and int64 numpy arrays."""
+    a = d * 2654435761 + s * 97 + k * 1013904223
+    b = a ^ (a >> 15)
+    c = (b % 2147483648) * 1103515245
+    return (c ^ (c >> 13)) % 256
+
+
+def _synth_neardup_png(d: int) -> bytes:
+    from riskloc_spark.operators.png import encode_png
+
+    s = np.arange(16 * 12, dtype=np.int64)
+    v = _mix256(np.int64(d), s)
+    return encode_png(v.reshape(12, 16), 0, 8, filter_mode="cycle")
+
+
+def synthesize_neardup_png_corpus(
+    df: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """(id) -> (id, payload): deterministic HIGH-ENTROPY grayscale
+    PNGs for near-dup pair gates.  Contract (d = media id, p = sample
+    index row-major): W = 16, H = 12, gray8, v(p) = _mix256(d, p),
+    CYCLING row filters.  The >= 9x8 dimensions make every dhash
+    gradient bit an independent sample of the mixer, so unrelated ids
+    land ~32 hamming apart and banded matching output is exactly the
+    planted duplicates."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [
+                        _synth_neardup_png(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=out_schema)
+
+
 def synthesize_apng_corpus(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     """(id) -> (id, payload): deterministic APNGs. Formula contract
     (d = media id, k = frame, p = sample index row-major):

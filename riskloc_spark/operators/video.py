@@ -204,6 +204,59 @@ def _synth_avi(d: int) -> bytes:
     return encode_avi_mjpeg(frames, tw * 8, th * 8, upf)
 
 
+def _synth_neardup_avi(d: int) -> bytes:
+    """Gate-scale AVI: 9x8 tile grid (72x64 px) so each dhash dest
+    sample is its own 8x8 JPEG block, tile values from the
+    high-entropy mixer.  Contract (replayed by the DuckDB twin):
+      n_frames = 2 + d % 3, us_per_frame = 40000,
+      tile t of frame k: v = _mix256(d, t, k + 1),
+    each block constant, gate qtable (DC quantizer 13) — decoded
+    pixels equal constant_block_round_trip(v, 13)."""
+    from riskloc_spark.operators.jpeg import encode_jpeg
+    from riskloc_spark.operators.multimodal import (
+        _gate_jpeg_qtable,
+        _mix256,
+    )
+
+    nf = 2 + d % 3
+    q = _gate_jpeg_qtable()
+    t = np.arange(72, dtype=np.int64)
+    frames = []
+    for k in range(nf):
+        tiles = _mix256(np.int64(d), t, np.int64(k + 1)).reshape(8, 9)
+        img = np.kron(tiles, np.ones((8, 8), dtype=np.int64))
+        frames.append(encode_jpeg(img, qtable=q))
+    return encode_avi_mjpeg(frames, 72, 64, 40000)
+
+
+def synthesize_neardup_avi_corpus(
+    df: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """(id) -> (id, payload): deterministic high-entropy MJPEG AVIs
+    per the ``_synth_neardup_avi`` contract — the pair-gate corpus
+    (the additive ``_synth_params`` corpus collides in mod-256 shift
+    classes; see multimodal._mix256)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [
+                        _synth_neardup_avi(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=out_schema)
+
+
 def synthesize_avi_corpus(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     """(id) -> (id, payload): deterministic MJPEG AVIs per the formula
     contract on ``_synth_params``, built inside an Arrow-batched
