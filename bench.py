@@ -210,6 +210,43 @@ def _fresh_session(sf_dir: str, queries):
     return spark
 
 
+# noise sentinel (round 12; VERDICT r11 #3): three fixed cheap queries
+# re-timed at session start / middle / end.  The spread between the
+# three samples of the SAME code on the SAME data is the box's own
+# error bar for this run — rounds 9-11 each burned a builder/judge
+# cycle re-litigating whether a 2-3x per-query move was a regression
+# or tenant noise; now every BENCH_r{N} carries the answer inline.
+_SENTINELS = ("q6_forecast_revenue", "rca_partition", "dedup_exact")
+
+
+def _sentinel_sample(spark, sf_dir, queries) -> dict:
+    out = {}
+    for name in _SENTINELS:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def _noise_block(samples: "list[dict]") -> dict:
+    """max/min ratio per sentinel across the samples, and the worst
+    ratio overall — the run's error bar.  Deltas under ``ratio`` in
+    the round-over-round comparison are inside this run's own noise
+    and should not be treated as regressions."""
+    ratios = {}
+    for name in _SENTINELS:
+        vals = [s[name] for s in samples if name in s]
+        if vals and min(vals) > 0:
+            ratios[name] = round(max(vals) / min(vals), 2)
+    return {
+        "samples": samples,
+        "ratio": round(max(ratios.values()), 2) if ratios else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # SPARK_GRAFT_ISOLATED=K (0 = off): restart the session every K
@@ -231,6 +268,10 @@ def main() -> None:
             q for q in BENCH_QUERIES if any(s in q for s in subs)
         ]
     spark = _fresh_session(sf_dir, queries)
+    # uncounted warmup pass first: sample 1 must measure the BOX, not
+    # first-run plan compilation
+    _sentinel_sample(spark, sf_dir, queries)
+    noise_samples = [_sentinel_sample(spark, sf_dir, queries)]
 
     # min of 2 runs per query: the box this runs on shares cores with
     # other tenants, and a single sample can catch a 5-10x transient
@@ -258,6 +299,7 @@ def main() -> None:
     # (default 12; 0 disables) and record BOTH maps: cross-round
     # per-query deltas should read queries_isolated, the headline total
     # stays the shared number for continuity.
+    noise_samples.append(_sentinel_sample(spark, sf_dir, queries))
     side_k = int(os.environ.get("SPARK_GRAFT_SIDE_ISOLATED", "12"))
     per_query_iso: dict[str, float] = {}
     if side_k and not isolated and not only:
@@ -293,6 +335,8 @@ def main() -> None:
         out["isolated"] = isolated
     if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
         out["scale"] = scale_block(spark)
+    noise_samples.append(_sentinel_sample(spark, sf_dir, queries))
+    out["noise"] = _noise_block(noise_samples)
     full_line = json.dumps(out)
     # full record to a repo file so the next round can diff per-query
     # times even though the driver's BENCH_r0N keeps only the tail
@@ -413,6 +457,9 @@ def build_compact_line(out: dict, limit: int = 1900) -> str:
               "isolated_every", "isolated"):
         if k in out:
             compact[k] = out[k]
+    if isinstance(out.get("noise"), dict):
+        # ratio only — the per-sample map lives in the full record
+        compact["noise"] = {"ratio": out["noise"].get("ratio")}
     compact["queries_file"] = "BENCH_FULL_latest.json"
     scale = out.get("scale")
     if isinstance(scale, dict):
