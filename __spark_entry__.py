@@ -4604,72 +4604,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDER MATTERS: the driver's correctness window records the FIRST 50
     # keys only, ROTATED each round so every hash gate accumulates
-    # driver-recorded greens.  Every oracled gate has >=1 recorded green
-    # as of round 10, so round 11 rotates pure stalest-first: new
-    # round-11 gates (never recorded) lead, then the 29 gates whose
-    # newest record is round 8, then round-9-recorded gates to fill 50.
-    # Round-10-recorded gates sit past the window; rows-only last.
+    # driver-recorded greens.  Round 12 order: brand-new gates first,
+    # then the three gates EXTENDED this round (their r11 records pin
+    # the old semantics), then pure stalest-first by newest driver
+    # record (r8 tier, then r9, then r10, then r11); rows-only last.
     # ---- new round-12 gates (never driver-recorded) ----
         "robots_agent_groups": robots_agent_groups_q,
         "image_ingest_dedup": image_ingest_dedup_q,
         "video_near_dup": video_near_dup_q,
-    # ---- new round-11 gates (never driver-recorded) ----
-        "html_extract_tree": html_extract_tree_q,
-        "classifier_warm": classifier_warm_q,
-        "knn_graph_gemm": knn_graph_gemm_q,
-        "html_block_stats_tree": html_block_stats_tree_q,
-        "warc_decoded": warc_decoded_q,
-        "corpus_shards": corpus_shards_q,
-        "media_dhash": media_dhash_q,
-        "audio_fingerprint": audio_fingerprint_q,
-        "winnow_fingerprints": winnow_fingerprints_q,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q13_order_distribution": q13_order_distribution,
-        "q14_promo_effect": q14_promo_effect,
-        "q18_large_volume_customer": q18_large_volume_customer,
-        "q22_idle_rich_customers": q22_idle_rich_customers,
-        "perplexity_buckets": perplexity_buckets_q,
-        "link_graph": link_graph_q,
-        "pagerank_hosts": pagerank_hosts_q,
-        "domain_caps": domain_caps_q,
-        "events_funnel": events_funnel_q,
-        "host_degrees": host_degrees_q,
+    # ---- extended round 12 (wildcards/base-href/sort-binding): re-record ----
         "robots_admission": robots_admission_q,
-        "q10_returned_items": q10_returned_items,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_discounted_revenue": q19_discounted_revenue,
+        "link_graph": link_graph_q,
+        "q18_large_volume_customer": q18_large_volume_customer,
     # ---- newest driver record is round 8 ----
-        "adtributor_candidates": adtributor_candidates_q,
-        "dataset_significance": dataset_significance_q,
-        "doc_fingerprints": doc_fingerprints,
-        "events_hourly": events_hourly,
-        "events_props_agg": events_props_agg,
-        "lang_quality_by_source": lang_quality_by_source,
-        "media_decode": media_decode_q,
-        "media_frames": media_frames_q,
-        "media_gif_decode": media_gif_decode_q,
-        "media_jpeg_decode": media_jpeg_decode_q,
-        "media_meta": media_meta_q,
-        "media_resize_bilinear": media_resize_bilinear_q,
-        "media_resize_nearest": media_resize_nearest_q,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q_top_customers_per_nation": q_top_customers_per_nation,
-        "rca_partition": rca_partition,
-        "rev_adtributor": rev_adtributor_q,
-        "riskloc_first_cause": riskloc_first_cause_q,
-        "riskloc_first_cause_derived": riskloc_first_cause_derived_q,
-        "riskloc_two_pass": riskloc_two_pass_q,
-        "riskloc_two_pass_derived": riskloc_two_pass_derived_q,
-        "robustspot_scores": robustspot_scores,
-        "squeeze_clusters": squeeze_clusters_q,
         "squeeze_search": squeeze_search_q,
         "streaming_dedup": streaming_dedup_q,
         "streaming_ewma": streaming_ewma_q,
         "streaming_kpi_append": streaming_kpi_append_q,
-    # ---- newest driver record is round 9 (window fill) ----
+    # ---- newest driver record is round 9 ----
         "adtributor_elements_derived": adtributor_elements_derived,
         "autoroot_kde_fixed": autoroot_kde_fixed_q,
         "autoroot_search_fixed": autoroot_search_fixed_q,
@@ -4691,7 +4643,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_sampled": dedup_spans_sampled_q,
         "embedding_near_dup_exact": embedding_near_dup_exact,
         "events_asof_purchase": events_asof_purchase_q,
-    # ---- past the 50-slot window: round-9 remainder, then round-10 ----
         "events_sessions": events_sessions_q,
         "hotspot_search": hotspot_search_q,
         "hotspot_search_ps": hotspot_search_ps_q,
@@ -4715,6 +4666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": tfidf_terms_q,
         "video_frames": video_frames_q,
         "video_meta": video_meta_q,
+    # ---- newest driver record is round 10 ----
         "adtributor_elements": adtributor_elements,
         "audio_features": audio_features_q,
         "audio_frames": audio_frames_q,
@@ -4765,6 +4717,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": url_dedup_q,
         "url_domains": url_domains_q,
         "warc_records": warc_records_q,
+    # ---- newest driver record is round 11 ----
+        "adtributor_candidates": adtributor_candidates_q,
+        "audio_fingerprint": audio_fingerprint_q,
+        "classifier_warm": classifier_warm_q,
+        "corpus_shards": corpus_shards_q,
+        "dataset_significance": dataset_significance_q,
+        "doc_fingerprints": doc_fingerprints,
+        "domain_caps": domain_caps_q,
+        "events_funnel": events_funnel_q,
+        "events_hourly": events_hourly,
+        "events_props_agg": events_props_agg,
+        "host_degrees": host_degrees_q,
+        "html_block_stats_tree": html_block_stats_tree_q,
+        "html_extract_tree": html_extract_tree_q,
+        "knn_graph_gemm": knn_graph_gemm_q,
+        "lang_quality_by_source": lang_quality_by_source,
+        "media_decode": media_decode_q,
+        "media_dhash": media_dhash_q,
+        "media_frames": media_frames_q,
+        "media_gif_decode": media_gif_decode_q,
+        "media_jpeg_decode": media_jpeg_decode_q,
+        "media_meta": media_meta_q,
+        "media_resize_bilinear": media_resize_bilinear_q,
+        "media_resize_nearest": media_resize_nearest_q,
+        "pagerank_hosts": pagerank_hosts_q,
+        "perplexity_buckets": perplexity_buckets_q,
+        "q10_returned_items": q10_returned_items,
+        "q13_order_distribution": q13_order_distribution,
+        "q14_promo_effect": q14_promo_effect,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q22_idle_rich_customers": q22_idle_rich_customers,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q_top_customers_per_nation": q_top_customers_per_nation,
+        "rca_partition": rca_partition,
+        "rev_adtributor": rev_adtributor_q,
+        "riskloc_first_cause": riskloc_first_cause_q,
+        "riskloc_first_cause_derived": riskloc_first_cause_derived_q,
+        "riskloc_two_pass": riskloc_two_pass_q,
+        "riskloc_two_pass_derived": riskloc_two_pass_derived_q,
+        "robustspot_scores": robustspot_scores,
+        "squeeze_clusters": squeeze_clusters_q,
+        "warc_decoded": warc_decoded_q,
+        "winnow_fingerprints": winnow_fingerprints_q,
     # ---- rows-only queries (no oracle twin) last ----
         "riskloc_rca": riskloc_rca,
         "riskloc_rca_derived": riskloc_rca_derived,
