@@ -375,6 +375,158 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape on the reduced schema: a target supplier
+    nation's share of PROMO-part volume sold into the ASIA region, by
+    order year — the conditional-numerator-over-total-denominator
+    aggregate (two sums of the same join, one CASE-guarded) on a
+    six-way join with two broadcast dims chained region<-nation."""
+    t = {n: load_table(spark, sf_dir, n) for n in (
+        "part", "lineitem", "orders", "customer", "supplier",
+        "nation", "region")}
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["part"].filter(F.col("p_type") == "PROMO")
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(t["region"]),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate")
+               >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate")
+               < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("s_nationkey") == 7, vol).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape on the reduced schema (no partsupp table, so
+    supply cost is the deterministic p_retailprice * quantity / 10):
+    profit per supplier nation per order year over parts named
+    '%rod%' — the LIKE-filtered five-way join with a two-term profit
+    expression mixing fact and dim columns."""
+    t = {n: load_table(spark, sf_dir, n) for n in (
+        "part", "lineitem", "orders", "supplier", "nation")}
+    # profit in 1e-4 currency units, rounded PER ROW to the integer it
+    # mathematically is (prices have 2dp, discount 2dp): integer sums
+    # are exact in doubles, so the two engines can never disagree at a
+    # rounding boundary (a round-2 double sum here flaked: terms have
+    # 1e-4 resolution, so group sums land exactly on half-cent
+    # boundaries where ulp-level sum order decides the direction)
+    profit_em4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        - F.col("p_retailprice") * F.col("l_quantity") * 1000,
+        0,
+    ).cast("long")
+    return (
+        t["part"].filter(F.col("p_name").contains("rod"))
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit_em4).alias("sum_profit_em4"))
+    )
+
+
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape on the reduced schema (no l_shipmode /
+    commit/receipt dates): lines shipped 60+ days after their order
+    date during 1996-1997, bucketed by return flag, counting
+    high-priority (1-URGENT/2-HIGH) vs lower-priority orders — the
+    two-CASE-sum aggregate over a date-arithmetic join predicate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("l_shipdate")
+             >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            & (F.col("l_shipdate")
+               >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate")
+               < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(hi.cast("long")).alias("high_line_count"),
+            F.sum((~hi).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape on the reduced schema: suppliers from nation 3
+    whose line shipped 90+ days late on a multi-supplier order where
+    they were the ONLY late supplier — the exists/not-exists double
+    correlation, expressed as one per-order aggregate (distinct
+    suppliers, distinct LATE suppliers) re-joined to the late lines
+    instead of two correlated self-scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", late.alias("late")
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("nlate"),
+    )
+    return (
+        lo.filter(F.col("late"))
+        .join(
+            per_order.filter(
+                (F.col("nsupp") >= 2) & (F.col("nlate") == 1)
+            ),
+            "l_orderkey",
+        )
+        .join(
+            s.filter(F.col("s_nationkey") == 3),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: the supplier(s) with maximum quarterly revenue — the
     view-over-aggregate shape: a revenue CTE consumed twice (once for
@@ -4612,6 +4764,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_agent_groups": robots_agent_groups_q,
         "image_ingest_dedup": image_ingest_dedup_q,
         "video_near_dup": video_near_dup_q,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q12_late_priority": q12_late_priority,
+        "q21_waiting_supplier": q21_waiting_supplier,
     # ---- extended round 12 (wildcards/base-href/sort-binding): re-record ----
         "robots_admission": robots_admission_q,
         "link_graph": link_graph_q,
@@ -7663,6 +7819,77 @@ def oracle_sql() -> dict[str, str]:
             -- but rounded-equal near the LIMIT would then diverge)
             ORDER BY orders.o_totalprice DESC, o_orderdate ASC,
                      o_orderkey ASC
+            LIMIT 100
+        """,
+        "q8_market_share": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                   round(SUM(CASE WHEN s_nationkey = 7
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0e0 END)
+                         / SUM(l_extendedprice * (1 - l_discount)),
+                         6) + 0e0 AS mkt_share
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                   CAST(SUM(CAST(round(
+                         l_extendedprice * (1 - l_discount) * 10000
+                         - p_retailprice * l_quantity * 1000)
+                       AS BIGINT)) AS BIGINT) AS sum_profit_em4
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%rod%'
+            -- group by the COLUMN: a bare 'nation' binds to the table
+            GROUP BY n_name, o_year
+        """,
+        "q12_late_priority": """
+            SELECT l_returnflag,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_returnflag
+        """,
+        "q21_waiting_supplier": """
+            WITH lo AS (
+              SELECT l_orderkey, l_suppkey,
+                     CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                          THEN 1 ELSE 0 END AS late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            po AS (
+              SELECT l_orderkey,
+                     COUNT(DISTINCT l_suppkey) AS nsupp,
+                     COUNT(DISTINCT CASE WHEN late = 1
+                           THEN l_suppkey END) AS nlate
+              FROM lo GROUP BY l_orderkey
+            )
+            SELECT s_name, COUNT(*) AS numwait
+            FROM lo
+            JOIN po USING (l_orderkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE lo.late = 1 AND po.nsupp >= 2 AND po.nlate = 1
+              AND s_nationkey = 3
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
             LIMIT 100
         """,
         "q10_returned_items": """
