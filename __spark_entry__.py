@@ -375,6 +375,27 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_user_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketches under the hash gate (round
+    12; operators/sketches.py): per event type, the register build
+    (portable 60-bit md5 hash, integer bucket/rank slicing), the
+    exact-BIGINT register sum, the zero count, and the estimate with
+    its linear-counting branch.  The oracle replays every register in
+    SQL (same hash, same binary-length rank, same shifted-integer
+    sum), so a drift in the hash slicing, the max-merge, or the
+    estimator arithmetic breaks the hash."""
+    from riskloc_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    sk = hll_sketch(e, "user_id", key_cols=["event_type"], p=12)
+    return hll_estimate(sk, key_cols=["event_type"], p=12)
+
+
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape on the reduced schema: a target supplier
     nation's share of PROMO-part volume sold into the ASIA region, by
@@ -4768,6 +4789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q9_product_profit,
         "q12_late_priority": q12_late_priority,
         "q21_waiting_supplier": q21_waiting_supplier,
+        "hll_user_counts": hll_user_counts_q,
     # ---- extended round 12 (wildcards/base-href/sort-binding): re-record ----
         "robots_admission": robots_admission_q,
         "link_graph": link_graph_q,
@@ -7708,6 +7730,12 @@ _HTML_PAGE_SQL = r"""
 """
 
 
+
+# HLL estimator numerator alpha * m^2 * 2^rmax for p=12, computed the
+# same way the operator computes it (one Python float, interpolated
+# into both engines so the division inputs are bit-identical)
+_HLL_C = (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 * float(1 << 49)
+
 def oracle_sql() -> dict[str, str]:
     out = {
         "q1_pricing_summary": """
@@ -7820,6 +7848,41 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY orders.o_totalprice DESC, o_orderdate ASC,
                      o_orderkey ASC
             LIMIT 100
+        """,
+        "hll_user_counts": f"""
+            WITH h AS (
+              SELECT event_type,
+                     CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                          1, 15) AS BIGINT) AS hh
+              FROM events
+            ),
+            regs AS (
+              SELECT event_type,
+                     CAST(hh % 4096 AS INT) AS bucket,
+                     MAX(CASE WHEN hh >> 12 = 0 THEN 49
+                         ELSE 49 - length(bin(hh >> 12)) END) AS rank
+              FROM h GROUP BY event_type, bucket
+            ),
+            agg AS (
+              SELECT event_type,
+                     COUNT(*) AS present,
+                     SUM(CAST(1 AS BIGINT) << (49 - rank)) AS psum
+              FROM regs GROUP BY event_type
+            ),
+            fin AS (
+              SELECT event_type,
+                     CAST(4096 - present AS BIGINT) AS zeros,
+                     CAST(psum + (4096 - present)
+                          * (CAST(1 AS BIGINT) << 49) AS BIGINT)
+                       AS reg_sum
+              FROM agg
+            )
+            SELECT event_type, zeros, reg_sum,
+                   round(CASE WHEN {_HLL_C!r} / reg_sum <= 10240e0
+                              AND zeros > 0
+                         THEN 4096e0 * ln(4096e0 / zeros)
+                         ELSE {_HLL_C!r} / reg_sum END, 4) + 0e0 AS est
+            FROM fin
         """,
         "q8_market_share": """
             SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,

@@ -1,0 +1,93 @@
+"""HyperLogLog register sketches (operators/sketches.py): register
+math vs a pure-Python replay, merge == union property, estimate
+accuracy within the standard error envelope."""
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from riskloc_spark.operators.sketches import (
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
+
+
+def _h60(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+def _py_registers(values, p):
+    m = 1 << p
+    wb = 60 - p
+    regs = {}
+    for v in set(values):
+        h = _h60(v)
+        b = h % m
+        w = h >> p
+        rank = (wb + 1) if w == 0 else wb - (w.bit_length() - 1)
+        regs[b] = max(regs.get(b, 0), rank)
+    return regs
+
+
+def test_hll_registers_match_python_replay(spark):
+    vals = [f"user-{i % 700}" for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "u string")
+    got = {
+        r["bucket"]: r["rank"]
+        for r in hll_sketch(df, "u", p=8).collect()
+    }
+    assert got == _py_registers(vals, 8)
+
+
+def test_hll_estimate_within_standard_error(spark):
+    n = 20000
+    df = spark.createDataFrame(
+        [(f"v{i}",) for i in range(n)], "u string"
+    )
+    sk = hll_sketch(df, "u", p=12)
+    est = hll_estimate(sk, p=12).collect()[0]["est"]
+    # standard error 1.04/sqrt(4096) ~ 1.6%; allow 3 sigma
+    assert abs(est - n) / n < 0.05, est
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    a = spark.createDataFrame(
+        [(f"x{i}",) for i in range(3000)], "u string"
+    )
+    b = spark.createDataFrame(
+        [(f"x{i}",) for i in range(1500, 4500)], "u string"
+    )
+    merged = hll_merge(
+        hll_sketch(a, "u", p=10), hll_sketch(b, "u", p=10)
+    )
+    union = hll_sketch(a.unionAll(b), "u", p=10)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, union.collect())
+    )
+
+
+def test_hll_keyed_and_linear_counting_branch(spark):
+    # tiny cardinalities: the zeros>0 branch must fire and stay exact
+    rows = [("s1", f"a{i}") for i in range(10)] + [
+        ("s2", f"b{i}") for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "src string, u string")
+    out = {
+        r["src"]: r
+        for r in hll_estimate(
+            hll_sketch(df, "u", key_cols=["src"], p=12),
+            key_cols=["src"],
+            p=12,
+        ).collect()
+    }
+    m = 4096
+    for src, n in (("s1", 10), ("s2", 300)):
+        regs = _py_registers(
+            [u for s, u in rows if s == src], 12
+        )
+        zeros = m - len(regs)
+        expect = round(m * math.log(m / zeros), 4)
+        assert out[src]["zeros"] == zeros
+        assert abs(out[src]["est"] - expect) < 1e-6, (src, out[src])
+        assert abs(out[src]["est"] - n) / n < 0.2
