@@ -375,6 +375,30 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERIES = [
+    (0, "spark sql engine"),
+    (1, "table scan merge"),
+    (2, "slow query filter join"),
+]
+
+
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval under the hash gate (round 12;
+    operators/retrieval.py): three fixed corpus-vocabulary queries
+    against the documents table — posting build, document-frequency
+    idf, length-normalized tf saturation, score-desc/doc-id-asc
+    ranking.  The oracle replays the whole scoring pipeline in SQL
+    (same tokenization, same non-negative idf, same k1/b), so a drift
+    in any stage or in the rank tiebreak breaks the hash."""
+    from riskloc_spark.operators.retrieval import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, query string"
+    )
+    return bm25_topk(d, qs, topk=10)
+
+
 def hll_user_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user sketches under the hash gate (round
     12; operators/sketches.py): per event type, the register build
@@ -4790,6 +4814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_late_priority": q12_late_priority,
         "q21_waiting_supplier": q21_waiting_supplier,
         "hll_user_counts": hll_user_counts_q,
+        "bm25_topk": bm25_topk_q,
     # ---- extended round 12 (wildcards/base-href/sort-binding): re-record ----
         "robots_admission": robots_admission_q,
         "link_graph": link_graph_q,
@@ -7848,6 +7873,68 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY orders.o_totalprice DESC, o_orderdate ASC,
                      o_orderkey ASC
             LIMIT 100
+        """,
+        "bm25_topk": r"""
+            WITH queries(query_id, query) AS (
+              VALUES (0, 'spark sql engine'),
+                     (1, 'table scan merge'),
+                     (2, 'slow query filter join')
+            ),
+            toks AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)),
+                            '[ \t\n\x0B\f\r]+')) AS term
+              FROM documents WHERE trim(text) <> ''
+            ),
+            tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf
+              FROM toks WHERE term <> '' GROUP BY doc_id, term
+            ),
+            dl AS (
+              SELECT doc_id, COUNT(*) AS dl
+              FROM toks WHERE term <> '' GROUP BY doc_id
+            ),
+            stats AS (
+              SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+            ),
+            dfq AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ),
+            qt AS (
+              SELECT DISTINCT query_id, term FROM (
+                SELECT query_id,
+                       unnest(string_split_regex(lower(trim(query)),
+                              '[ \t\n\x0B\f\r]+')) AS term
+                FROM queries
+              ) WHERE term <> ''
+            ),
+            scored AS (
+              SELECT qt.query_id, tf.doc_id,
+                     -- parenthesized to Spark's association order
+                     -- (idf * ((tf*(k1+1)) / (tf + k1*(...)))):
+                     -- double multiply is not associative
+                     SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * ((tf.tf * 2.2)
+                            / (tf.tf
+                               + 1.2 * (1 - 0.75
+                                        + 0.75 * (dl.dl / avgdl)))))
+                       AS score
+              FROM tf
+              JOIN qt USING (term)
+              JOIN dfq USING (term)
+              JOIN dl USING (doc_id)
+              CROSS JOIN stats
+              GROUP BY qt.query_id, tf.doc_id
+            )
+            SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+                   round(score, 6) + 0e0 AS score
+            FROM (
+              SELECT query_id, doc_id, score,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 10
         """,
         "hll_user_counts": f"""
             WITH h AS (

@@ -1,0 +1,98 @@
+"""BM25 retrieval (operators/retrieval.py): scores vs a pure-Python
+replay, tf saturation, length normalization, top-k determinism."""
+import math
+
+from riskloc_spark.operators.retrieval import bm25_scores, bm25_topk
+
+DOCS = [
+    (0, "spark sql engine runs fast"),
+    (1, "spark spark spark everywhere spark"),
+    (2, "the query engine joins tables"),
+    (3, "an unrelated document about cats"),
+    (4, "fast fast engine"),
+]
+QUERIES = [(0, "spark engine"), (1, "fast query")]
+
+
+def _py_bm25(docs, queries, k1=1.2, b=0.75):
+    toks = {d: t.lower().split() for d, t in docs}
+    dl = {d: len(t) for d, t in toks.items()}
+    n = len(docs)
+    avgdl = sum(dl.values()) / n
+    dfreq = {}
+    for t in toks.values():
+        for term in set(t):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    out = {}
+    for qid, q in queries:
+        for d, t in toks.items():
+            s = 0.0
+            matched = False
+            for term in set(q.lower().split()):
+                tf = t.count(term)
+                if tf == 0 or term not in dfreq:
+                    continue
+                matched = True
+                idf = math.log(
+                    1 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5)
+                )
+                s += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * dl[d] / avgdl)
+                )
+            if matched:
+                out[(qid, d)] = s
+    return out
+
+
+def test_bm25_scores_match_python_replay(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id long, query string")
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_scores(docs, qs).collect()
+    }
+    want = _py_bm25(DOCS, QUERIES)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_bm25_saturation_and_ranking(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id long, query string")
+    top = bm25_topk(docs, qs, topk=3).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    # query 0 'spark engine': doc 1 (tf=4 on the rarer term) edges out
+    # doc 0 (both terms at tf=1): 0.875*1.667 vs (0.875+0.539)*0.966
+    # by hand — but saturation caps it at ~1.07x despite 4x the tf,
+    # and the two-term doc 0 must beat every other one-term match
+    q0 = sorted(by_q[0])
+    assert [d for _, d, _ in q0] == [1, 0, 4]
+    assert q0[0][2] / q0[1][2] < 1.1
+    # ranks are 1..k, scores non-increasing
+    for ranked in by_q.values():
+        ranked.sort()
+        assert [r for r, _, _ in ranked] == list(range(1, len(ranked) + 1))
+        scores = [s for _, _, s in ranked]
+        assert scores == sorted(scores, reverse=True)
+    # the cats document matches nothing
+    assert all(r["doc_id"] != 3 for r in top)
+
+
+def test_bm25_duplicate_query_terms_count_once(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q1 = spark.createDataFrame(
+        [(0, "engine engine engine")], "query_id long, query string"
+    )
+    q2 = spark.createDataFrame(
+        [(0, "engine")], "query_id long, query string"
+    )
+    a = {(r["query_id"], r["doc_id"]): r["score"]
+         for r in bm25_scores(docs, q1).collect()}
+    b = {(r["query_id"], r["doc_id"]): r["score"]
+         for r in bm25_scores(docs, q2).collect()}
+    assert a == b
