@@ -375,6 +375,42 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cms_term_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketches under the hash gate (round 12;
+    operators/cms.py): per-source term-frequency registers (4 seeded
+    hash rows x 1024 buckets, exact BIGINT counts) probed with six
+    fixed terms including one absent from the corpus.  The oracle
+    replays every register (same seeded 60-bit hash, same modulo
+    bucketing, same row-min with the absent-register-counts-zero
+    rule) in SQL, so a drift in seeding, bucketing, merging, or the
+    lookup min breaks the hash."""
+    from riskloc_spark.functions.text import WS_CLASS
+    from riskloc_spark.operators.cms import cms_lookup, cms_sketch
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.trim(F.col("text")) != "")
+        .select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), WS_CLASS + "+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    sk = cms_sketch(
+        toks, "term", key_cols=["source"], width=1024, depth=4
+    )
+    items = spark.createDataFrame(
+        [("the",), ("spark",), ("merge",), ("batch",), ("join",),
+         ("zzz-absent",)],
+        "t string",
+    )
+    return cms_lookup(
+        sk, items, "t", key_cols=["source"], width=1024, depth=4
+    )
+
+
 _BM25_QUERIES = [
     (0, "spark sql engine"),
     (1, "table scan merge"),
@@ -4815,6 +4851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_supplier": q21_waiting_supplier,
         "hll_user_counts": hll_user_counts_q,
         "bm25_topk": bm25_topk_q,
+        "cms_term_counts": cms_term_counts_q,
     # ---- extended round 12 (wildcards/base-href/sort-binding): re-record ----
         "robots_admission": robots_admission_q,
         "link_graph": link_graph_q,
@@ -7873,6 +7910,48 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY orders.o_totalprice DESC, o_orderdate ASC,
                      o_orderkey ASC
             LIMIT 100
+        """,
+        "cms_term_counts": r"""
+            WITH toks AS MATERIALIZED (
+              SELECT source,
+                     unnest(string_split_regex(lower(trim(text)),
+                            '[ \t\n\x0B\f\r]+')) AS term
+              FROM documents WHERE trim(text) <> ''
+            ),
+            rws(rw) AS (VALUES (0), (1), (2), (3)),
+            probe(item) AS (
+              VALUES ('the'), ('spark'), ('merge'), ('batch'),
+                     ('join'), ('zzz-absent')
+            ),
+            regs AS (
+              SELECT source, rw,
+                     CAST(CAST('0x' || substr(md5(term || ':' || rw),
+                          1, 15) AS BIGINT) % 1024 AS INT) AS bucket,
+                     COUNT(*) AS cnt
+              FROM toks CROSS JOIN rws
+              WHERE term <> ''
+              GROUP BY source, rw, bucket
+            ),
+            pr AS (
+              SELECT item, rw,
+                     CAST(CAST('0x' || substr(md5(item || ':' || rw),
+                          1, 15) AS BIGINT) % 1024 AS INT) AS bucket
+              FROM probe CROSS JOIN rws
+            ),
+            matched AS (
+              SELECT regs.source, pr.item,
+                     MIN(cnt) AS mn, COUNT(*) AS nrows
+              FROM regs JOIN pr
+                ON regs.rw = pr.rw AND regs.bucket = pr.bucket
+              GROUP BY regs.source, pr.item
+            )
+            SELECT s.source, p.item,
+                   CAST(CASE WHEN m.nrows IS NULL OR m.nrows < 4
+                        THEN 0 ELSE m.mn END AS BIGINT) AS est
+            FROM (SELECT DISTINCT source FROM toks WHERE term <> '') s
+            CROSS JOIN probe p
+            LEFT JOIN matched m
+              ON m.source = s.source AND m.item = p.item
         """,
         "bm25_topk": r"""
             WITH queries(query_id, query) AS (

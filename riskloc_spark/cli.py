@@ -559,6 +559,30 @@ def build_parser() -> argparse.ArgumentParser:
     pcommon(sp2)
     sp2.add_argument("--n-buckets", type=int, default=3)
 
+    sp2 = psub.add_parser(
+        "hll",
+        help="HyperLogLog distinct-count sketch: build the mergeable "
+        "(key, bucket, rank) register table, or estimate from one",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--value-col", required=True)
+    sp2.add_argument("--key-cols", default="",
+                     help="comma-separated group keys (optional)")
+    sp2.add_argument("--precision", type=int, default=12)
+    sp2.add_argument("--estimate", action="store_true",
+                     help="input is a register table: emit estimates")
+
+    sp2 = psub.add_parser(
+        "bm25",
+        help="BM25 top-k retrieval: score (query_id, query) rows from "
+        "--queries parquet against the document corpus",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--queries", required=True,
+                     help="parquet with (query_id, query) rows")
+    sp2.add_argument("--topk", type=int, default=10)
+    sp2.add_argument("--text-col", default="text")
+
     return p
 
 
@@ -856,6 +880,26 @@ def run_pipeline(spark, args) -> dict:
         from riskloc_spark.functions.text import perplexity_buckets
 
         out = perplexity_buckets(df, n_buckets=args.n_buckets)
+    elif op == "hll":
+        from riskloc_spark.operators.sketches import (
+            hll_estimate,
+            hll_sketch,
+        )
+
+        keys = [k for k in args.key_cols.split(",") if k]
+        if args.estimate:
+            out = hll_estimate(df, key_cols=keys, p=args.precision)
+        else:
+            out = hll_sketch(
+                df, args.value_col, key_cols=keys, p=args.precision
+            )
+    elif op == "bm25":
+        from riskloc_spark.operators.retrieval import bm25_topk
+
+        qs = spark.read.parquet(args.queries)
+        out = bm25_topk(
+            df, qs, topk=args.topk, text_col=args.text_col
+        )
     else:  # pragma: no cover - argparse enforces choices
         raise ValueError(op)
     out.write.mode("overwrite").parquet(args.output)

@@ -1,0 +1,134 @@
+"""Count-Min frequency sketches (Cormode & Muthukrishnan 2005, "An
+improved data stream summary: the count-min sketch and its
+applications") — the mergeable frequency-estimate companion to the
+HLL cardinality sketch (operators/sketches.py).
+
+The sketch is an ordinary DataFrame of (key..., row, bucket, cnt)
+register rows: ``depth`` hash rows x ``width`` buckets, counts summed
+exactly (BIGINT — no float anywhere, so merge and estimate are
+bit-identical under any partitioning).  Build once per shard/day with
+ONE map-combinable aggregation, persist like any table, MERGE by
+summing counts (sketch(A ∪ B) == merge(sketch(A), sketch(B)),
+property-tested), and look up items with a broadcast join + min.
+
+Guarantees (classic): estimate >= true count always (counts only
+collide upward), and estimate <= true + eps*N with probability
+1 - delta for width >= e/eps, depth >= ln(1/delta).
+
+The row hashes are the portable 60-bit md5 with the ROW INDEX as the
+seed (operators/dedup.md5_hash64 appends ':<seed>'), so a DuckDB twin
+replays every register; production swaps in xxhash64 via ``hash_fn``.
+
+No reference counterpart (shaido987/riskloc is tabular RCA only).
+"""
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from riskloc_spark.operators.dedup import md5_hash64
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list | None = None,
+    width: int = 1024,
+    depth: int = 4,
+    weight_col: str | None = None,
+    hash_fn=md5_hash64,
+) -> DataFrame:
+    """(key..., row, bucket, cnt): the Count-Min register table for
+    the multiset of ``value_col`` per key group (``weight_col`` counts
+    each row that many times; default 1).  One explode over the depth
+    rows + one combinable aggregation — a mega-key contributes at most
+    depth x width rows per input partition after partial agg."""
+    if width < 2 or depth < 1:
+        raise ValueError("width must be >= 2, depth >= 1")
+    keys = list(key_cols or [])
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    rows = [
+        df.select(
+            *keys,
+            F.lit(r).alias("row"),
+            (hash_fn(F.col(value_col), seed=r) % width)
+            .cast("int")
+            .alias("bucket"),
+            w.alias("__w"),
+        )
+        for r in range(depth)
+    ]
+    return (
+        reduce(lambda a, b: a.unionAll(b), rows)
+        .groupBy(*keys, "row", "bucket")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union register tables from any number of shards/windows: the
+    same groupBy SUM (counts are additive).  Columns must match."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    key_cols: list | None = None,
+    width: int = 1024,
+    depth: int = 4,
+    hash_fn=md5_hash64,
+) -> DataFrame:
+    """(key..., item, est): the Count-Min frequency estimate for each
+    item — min over the depth rows of the matching register, absent
+    registers counting 0.  The item frame is broadcast into the
+    register join (items are tiny against a persisted sketch); the
+    min is one small aggregation per (key, item)."""
+    keys = list(key_cols or [])
+    uniq = items.select(F.col(item_col).alias("item")).distinct()
+    probes = [
+        uniq.select(
+            "item",
+            F.lit(r).alias("row"),
+            (hash_fn(F.col("item"), seed=r) % width)
+            .cast("int")
+            .alias("bucket"),
+        )
+        for r in range(depth)
+    ]
+    probe = reduce(lambda a, b: a.unionAll(b), probes)
+    joined = sketch.join(F.broadcast(probe), ["row", "bucket"])
+    # an absent register means NO collision landed there either: that
+    # row's count is 0, so the min is 0 — count matched rows to
+    # detect, and anchor on the full (key x item) frame so an item
+    # with ZERO matching registers in a group still gets its 0 row
+    per = joined.groupBy(*keys, "item").agg(
+        F.min("cnt").alias("__min"),
+        F.count(F.lit(1)).alias("__rows"),
+    )
+    base = (
+        sketch.select(*keys).distinct().crossJoin(F.broadcast(uniq))
+        if keys
+        else uniq
+    )
+    return base.join(per, [*keys, "item"], "left_outer").select(
+        *keys,
+        "item",
+        F.when(
+            F.col("__rows").isNull() | (F.col("__rows") < depth),
+            F.lit(0).cast("long"),
+        )
+        .otherwise(F.col("__min"))
+        .alias("est"),
+    )

@@ -817,3 +817,68 @@ def test_cli_pipeline_pagerank_and_ppl_buckets(spark, tmp_path):
     rows2 = spark.read.parquet(out2).collect()
     assert len(rows2) == 12
     assert {r2["ppl_bucket"] for r2 in rows2} <= {"head", "middle", "tail"}
+
+
+def test_cli_pipeline_hll_and_bm25(spark, tmp_path):
+    """round-12 subcommands: hll builds a register table then
+    estimates from it; bm25 ranks a queries parquet against the
+    corpus — both end-to-end through the subprocess entrypoint."""
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"term{i % 7} common word doc {i}", f"s{i % 3}")
+         for i in range(300)],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+
+    sk = str(tmp_path / "sketch")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline", "hll",
+            src, "--output", sk, "--value-col", "doc_id",
+            "--key-cols", "source", "--precision", "8", "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    est = str(tmp_path / "est")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline", "hll",
+            sk, "--output", est, "--value-col", "doc_id",
+            "--key-cols", "source", "--precision", "8", "--estimate",
+            "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {
+        row["source"]: row["est"]
+        for row in spark.read.parquet(est).collect()
+    }
+    assert set(got) == {"s0", "s1", "s2"}
+    for v in got.values():
+        assert abs(v - 100) / 100 < 0.25, got  # p=8: ~6.5% stderr
+
+    qsrc = str(tmp_path / "queries")
+    spark.createDataFrame(
+        [(0, "term1 doc"), (1, "common")], "query_id long, query string"
+    ).write.parquet(qsrc)
+    ranked = str(tmp_path / "ranked")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline", "bm25",
+            src, "--output", ranked, "--queries", qsrc, "--topk", "5",
+            "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = spark.read.parquet(ranked).collect()
+    by_q = {}
+    for row in rows:
+        by_q.setdefault(row["query_id"], []).append(row)
+    assert set(by_q) == {0, 1}
+    assert all(len(v) == 5 for v in by_q.values())
+    # query 0's top docs must actually contain term1 (doc_id % 7 == 1)
+    top0 = sorted(by_q[0], key=lambda r2: r2["rank"])[0]
+    assert top0["doc_id"] % 7 == 1

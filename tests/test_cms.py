@@ -1,0 +1,90 @@
+"""Count-Min sketches (operators/cms.py): registers vs a pure-Python
+replay, overestimate-only guarantee, merge == union, absent-item
+zero."""
+import hashlib
+
+from riskloc_spark.operators.cms import cms_lookup, cms_merge, cms_sketch
+
+
+def _h60(v, seed) -> int:
+    return int(
+        hashlib.md5(f"{v}:{seed}".encode()).hexdigest()[:15], 16
+    )
+
+
+def _py_regs(values, width, depth):
+    regs = {}
+    for v in values:
+        for r in range(depth):
+            b = _h60(v, r) % width
+            regs[(r, b)] = regs.get((r, b), 0) + 1
+    return regs
+
+
+def _py_est(v, regs, width, depth):
+    return min(
+        regs.get((r, _h60(v, r) % width), 0) for r in range(depth)
+    )
+
+
+def test_cms_registers_match_python_replay(spark):
+    vals = [f"t{i % 40}" for i in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    got = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(df, "t", width=64, depth=3).collect()
+    }
+    assert got == _py_regs(vals, 64, 3)
+
+
+def test_cms_lookup_overestimates_never_under(spark):
+    vals = [f"w{i % 50}" for i in range(2000)] + ["rare"] * 3
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    sk = cms_sketch(df, "t", width=128, depth=4)
+    items = spark.createDataFrame(
+        [("w0",), ("w7",), ("rare",), ("absent",)], "t string"
+    )
+    got = {
+        r["item"]: r["est"]
+        for r in cms_lookup(sk, items, "t", width=128, depth=4).collect()
+    }
+    true = {"w0": 40, "w7": 40, "rare": 3, "absent": 0}
+    regs = _py_regs(vals, 128, 4)
+    for item, t in true.items():
+        assert got[item] >= t, (item, got[item], t)
+        assert got[item] == _py_est(item, regs, 128, 4), item
+    assert got["absent"] == _py_est("absent", regs, 128, 4)
+
+
+def test_cms_merge_equals_union_sketch(spark):
+    a = spark.createDataFrame(
+        [(f"x{i % 9}",) for i in range(300)], "t string"
+    )
+    b = spark.createDataFrame(
+        [(f"x{i % 13}",) for i in range(500)], "t string"
+    )
+    kw = dict(width=32, depth=3)
+    merged = cms_merge(cms_sketch(a, "t", **kw), cms_sketch(b, "t", **kw))
+    union = cms_sketch(a.unionAll(b), "t", **kw)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, union.collect())
+    )
+
+
+def test_cms_keyed_and_weighted(spark):
+    rows = [("s1", "a", 5), ("s1", "a", 2), ("s1", "b", 1),
+            ("s2", "a", 10)]
+    df = spark.createDataFrame(rows, "src string, t string, n long")
+    sk = cms_sketch(
+        df, "t", key_cols=["src"], width=64, depth=3, weight_col="n"
+    )
+    items = spark.createDataFrame([("a",), ("b",)], "t string")
+    got = {
+        (r["src"], r["item"]): r["est"]
+        for r in cms_lookup(
+            sk, items, "t", key_cols=["src"], width=64, depth=3
+        ).collect()
+    }
+    # width 64 >> 2 distinct values: no collisions, estimates exact
+    assert got == {("s1", "a"): 7, ("s1", "b"): 1,
+                   ("s2", "a"): 10, ("s2", "b"): 0}
