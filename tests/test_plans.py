@@ -666,3 +666,46 @@ def test_staged_shingles_single_split_per_doc(spark):
     rows = shingle_rows(d, [F.col("doc_id")], "text", 3)
     plan = plan_str(rows, "formatted")
     assert plan.count("split(") == 1, plan
+
+
+def test_bm25_corpus_side_broadcast_and_window_limit(spark):
+    """bm25_topk's corpus side must see only BROADCAST joins (query
+    terms, query-restricted df table, one-row stats) — the single
+    exchange pair is the posting aggregation + score reduce — and the
+    rank<=k filter must compile to WindowGroupLimit (map-side cap)."""
+    from riskloc_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 5} common text") for i in range(50)],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(0, "term1 common")], "query_id long, query string"
+    )
+    df = bm25_topk(docs, qs, topk=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "WindowGroupLimit" in plan, plan
+    # dl join is doc-keyed (corpus side) — allowed to shuffle; but no
+    # cartesian product anywhere except the one-row stats broadcast
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hll_sketch_single_exchange(spark):
+    """hll_sketch is ONE combinable aggregation: exactly one exchange
+    (the groupBy bucket), partial agg before it."""
+    from riskloc_spark.operators.sketches import hll_sketch
+
+    df = spark.createDataFrame(
+        [(f"u{i}",) for i in range(100)], "u string"
+    )
+    plan = (
+        hll_sketch(df, "u", p=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    assert len(re.findall(r"Exchange", plan)) == 1, plan
+    assert "partial_max" in plan or "HashAggregate" in plan, plan
