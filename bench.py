@@ -195,6 +195,17 @@ BENCH_QUERIES = [
     "audio_fingerprint",
     "video_meta",
     "video_frames",
+    # round-12 additions
+    "robots_agent_groups",
+    "image_ingest_dedup",
+    "video_near_dup",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_late_priority",
+    "q21_waiting_supplier",
+    "hll_user_counts",
+    "bm25_topk",
+    "cms_term_counts",
 ]
 
 
