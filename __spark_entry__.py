@@ -375,6 +375,60 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zorder_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering keys under the hash gate (round 12;
+    operators/zorder.py): two derived numeric columns per document,
+    the broadcast min/max bounds, the IEEE-double quantization onto
+    the 8-bit lattice, and the Morton bit interleave.  The oracle
+    replays bounds, quantization (same multiply/divide/floor
+    sequence), and every shift/mask term in SQL, so a drift anywhere
+    in the layout key breaks the hash."""
+    from riskloc_spark.operators.zorder import zorder_key
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 97).alias("x"),
+        ((F.col("doc_id") * 7) % 89).alias("y"),
+    )
+    out = zorder_key(d, ["x", "y"], bits=8)
+    return out.select("doc_id", "x", "y", F.col("__z").alias("z"))
+
+
+def streaming_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming distinct-count registers under the
+    hash gate (round 12; streaming/pipeline.hll_registers_stream):
+    the events table arrives through an availableNow readStream and
+    aggregates into per-event-type HLL registers in complete mode —
+    state is the SKETCH (at most 2^12 rows per key), never the
+    distinct user set.  The oracle replays every register in SQL, so
+    streaming registers must equal batch registers exactly."""
+    import os
+    import uuid
+
+    from riskloc_spark.streaming.pipeline import (
+        events_stream,
+        hll_registers_stream,
+    )
+
+    src = events_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ).select("event_type", "user_id")
+    regs = hll_registers_stream(src)
+    name = "streaming_hll_" + uuid.uuid4().hex[:8]
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_hll: did not finish in 300s")
+    q.stop()
+    return spark.table(name)
+
+
 def cms_term_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketches under the hash gate (round 12;
     operators/cms.py): per-source term-frequency registers (4 seeded
@@ -4852,6 +4906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_user_counts": hll_user_counts_q,
         "bm25_topk": bm25_topk_q,
         "cms_term_counts": cms_term_counts_q,
+        "zorder_keys": zorder_keys_q,
+        "streaming_hll": streaming_hll_q,
     # ---- extended round 12 (wildcards/base-href/sort-binding): re-record ----
         "robots_admission": robots_admission_q,
         "link_graph": link_graph_q,
@@ -7910,6 +7966,53 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY orders.o_totalprice DESC, o_orderdate ASC,
                      o_orderkey ASC
             LIMIT 100
+        """,
+        "zorder_keys": """
+            WITH src AS MATERIALIZED (
+              SELECT doc_id, doc_id % 97 AS x, (doc_id * 7) % 89 AS y
+              FROM documents
+            ),
+            b AS (
+              SELECT MIN(x) AS lox, MAX(x) AS hix,
+                     MIN(y) AS loy, MAX(y) AS hiy
+              FROM src
+            ),
+            q AS (
+              SELECT doc_id, x, y,
+                     CASE WHEN hix - lox <= 0 THEN 0
+                          ELSE LEAST(GREATEST(CAST(floor(
+                            ((x - lox) * 255e0) / (hix - lox))
+                            AS BIGINT), 0), 255) END AS qx,
+                     CASE WHEN hiy - loy <= 0 THEN 0
+                          ELSE LEAST(GREATEST(CAST(floor(
+                            ((y - loy) * 255e0) / (hiy - loy))
+                            AS BIGINT), 0), 255) END AS qy
+              FROM src CROSS JOIN b
+            ),
+            bits AS (
+              SELECT doc_id, x, y, qx, qy, unnest(range(0, 8)) AS bb
+              FROM q
+            )
+            SELECT doc_id, x, y,
+                   CAST(SUM((((qx >> bb) & 1) << (bb * 2))
+                            + (((qy >> bb) & 1) << (bb * 2 + 1)))
+                     AS BIGINT) AS z
+            FROM bits
+            GROUP BY doc_id, x, y
+        """,
+        "streaming_hll": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                          1, 15) AS BIGINT) AS hh
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(hh % 4096 AS INT) AS bucket,
+                   CAST(MAX(CASE WHEN hh >> 12 = 0 THEN 49
+                        ELSE 49 - length(bin(hh >> 12)) END) AS INT)
+                     AS rank
+            FROM h GROUP BY event_type, bucket
         """,
         "cms_term_counts": r"""
             WITH toks AS MATERIALIZED (

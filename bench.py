@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "hll_user_counts",
     "bm25_topk",
     "cms_term_counts",
+    "zorder_keys",
+    "streaming_hll",
 ]
 
 
@@ -346,6 +348,15 @@ def main() -> None:
         out["isolated"] = isolated
     if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
         out["scale"] = scale_block(spark)
+        # scale_block rotates to a fresh session internally (the rung2
+        # isolation) — the handle HERE is the stopped one; re-acquire
+        # the live session for the final sentinel sample
+        from pyspark.sql import SparkSession as _S
+
+        live = _S.getActiveSession()
+        spark = (
+            live if live is not None else _fresh_session(sf_dir, queries)
+        )
     noise_samples.append(_sentinel_sample(spark, sf_dir, queries))
     out["noise"] = _noise_block(noise_samples)
     full_line = json.dumps(out)

@@ -79,6 +79,12 @@ line):
         [--n-shards 64 --salt shuffle]
     python -m riskloc_spark.cli pipeline image-dedup media.parquet --output out \
         [--max-hamming 4]
+    python -m riskloc_spark.cli pipeline hll docs.parquet --output sketch \
+        --value-col user_id [--key-cols source --precision 12 | --estimate]
+    python -m riskloc_spark.cli pipeline bm25 docs.parquet --output ranked \
+        --queries queries.parquet [--topk 10]
+    python -m riskloc_spark.cli pipeline zorder facts.parquet --output tiled \
+        --cols x,y [--bits 16 --partitions 64]
 """
 from __future__ import annotations
 
@@ -583,6 +589,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp2.add_argument("--topk", type=int, default=10)
     sp2.add_argument("--text-col", default="text")
 
+    sp2 = psub.add_parser(
+        "zorder",
+        help="rewrite parquet tiled along the Z-curve of the given "
+        "columns (multi-column range pruning layout)",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--cols", required=True,
+                     help="comma-separated numeric columns")
+    sp2.add_argument("--bits", type=int, default=16)
+    sp2.add_argument("--partitions", type=int, default=0)
+
     return p
 
 
@@ -900,6 +917,20 @@ def run_pipeline(spark, args) -> dict:
         out = bm25_topk(
             df, qs, topk=args.topk, text_col=args.text_col
         )
+    elif op == "zorder":
+        from riskloc_spark.operators.zorder import write_zordered
+
+        write_zordered(
+            df, args.output, args.cols.split(","), bits=args.bits,
+            partitions=args.partitions or None,
+        )
+        written = spark.read.parquet(args.output)
+        return {
+            "pipeline_op": op,
+            "input_rows": df.count(),
+            "output_rows": written.count(),
+            "output": args.output,
+        }
     else:  # pragma: no cover - argparse enforces choices
         raise ValueError(op)
     out.write.mode("overwrite").parquet(args.output)

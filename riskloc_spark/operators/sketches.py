@@ -42,19 +42,18 @@ from riskloc_spark.operators.dedup import md5_hash64
 _HASH_BITS = 60  # md5_hash64 yields 15 hex chars = 60 bits
 
 
-def hll_sketch(
+def hll_register_rows(
     df: DataFrame,
     value_col: str,
     key_cols: list | None = None,
     p: int = 12,
     hash_fn=md5_hash64,
 ) -> DataFrame:
-    """(key..., bucket, rank): the HLL register table for the distinct
-    values of ``value_col`` per key group.  bucket = low ``p`` hash
-    bits; rank = leading-zero count of the remaining (60-p)-bit word
-    plus one (the all-zeros word ranks 61-p).  One combinable
-    aggregation — a mega-key contributes at most 2^p rows per input
-    partition after partial aggregation."""
+    """(key..., bucket, rank) PRE-aggregation rows — one per input
+    row.  Shared by the batch sketch (groupBy max below) and the
+    streaming register aggregation (streaming/pipeline.py), which
+    needs the projection on a streaming frame before its own stateful
+    max."""
     if not 4 <= p <= 18:
         raise ValueError("p must be in [4, 18]")
     keys = list(key_cols or [])
@@ -75,8 +74,27 @@ def hll_sketch(
         .otherwise(F.lit(w_bits) - F.length(F.conv(w, 10, 2)) + 1)
         .cast("int")
     )
+    return staged.select(
+        *keys, bucket.alias("bucket"), rank.alias("rank")
+    )
+
+
+def hll_sketch(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list | None = None,
+    p: int = 12,
+    hash_fn=md5_hash64,
+) -> DataFrame:
+    """(key..., bucket, rank): the HLL register table for the distinct
+    values of ``value_col`` per key group.  bucket = low ``p`` hash
+    bits; rank = leading-zero count of the remaining (60-p)-bit word
+    plus one (the all-zeros word ranks 61-p).  One combinable
+    aggregation — a mega-key contributes at most 2^p rows per input
+    partition after partial aggregation."""
+    keys = list(key_cols or [])
     return (
-        staged.select(*keys, bucket.alias("bucket"), rank.alias("rank"))
+        hll_register_rows(df, value_col, keys, p, hash_fn)
         .groupBy(*keys, "bucket")
         .agg(F.max("rank").alias("rank"))
     )

@@ -597,3 +597,37 @@ def ingest_dedup_stream(
             "band"
         )
     return out
+
+
+def hll_registers_stream(
+    events: DataFrame,
+    value_col: str = "user_id",
+    key_cols: tuple = ("event_type",),
+    p: int = 12,
+    hash_fn=None,
+) -> DataFrame:
+    """Bounded-state streaming distinct counts: the HLL register
+    aggregation (operators/sketches.py) over a stream — groupBy
+    (key, bucket) max(rank) in complete/update mode.
+
+    This is the state-store shape ``dropDuplicates`` cannot offer: a
+    streaming distinct-user count via dedup keeps EVERY key seen (the
+    state grows with the stream forever, or a watermark silently
+    forgets), while the sketch's state is at most 2^p rows per key —
+    fixed, forever, with the standard ~1.04/sqrt(2^p) error.  The
+    register table lands in any sink and ``hll_estimate`` /
+    ``hll_merge`` consume it exactly like a batch sketch (streaming
+    registers == batch registers over the same rows, gate-pinned)."""
+    from riskloc_spark.operators.dedup import md5_hash64
+    from riskloc_spark.operators.sketches import hll_register_rows
+
+    rows = hll_register_rows(
+        events,
+        value_col,
+        list(key_cols),
+        p,
+        hash_fn or md5_hash64,
+    )
+    return rows.groupBy(*key_cols, "bucket").agg(
+        F.max("rank").alias("rank")
+    )

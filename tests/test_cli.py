@@ -882,3 +882,26 @@ def test_cli_pipeline_hll_and_bm25(spark, tmp_path):
     # query 0's top docs must actually contain term1 (doc_id % 7 == 1)
     top0 = sorted(by_q[0], key=lambda r2: r2["rank"])[0]
     assert top0["doc_id"] % 7 == 1
+
+
+def test_cli_pipeline_zorder(spark, tmp_path):
+    """pipeline zorder: rewrite tiled along the Z-curve, round trip
+    intact, layout key dropped."""
+    src = str(tmp_path / "facts")
+    rows = [(i, i % 16, (i * 5) % 16) for i in range(512)]
+    spark.createDataFrame(rows, "id long, x long, y long").write.parquet(src)
+    out = str(tmp_path / "tiled")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "zorder", src, "--output", out, "--cols", "x,y",
+            "--bits", "4", "--partitions", "4", "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["input_rows"] == 512 and rec["output_rows"] == 512
+    back = spark.read.parquet(out)
+    assert "__z" not in back.columns
+    assert sorted(map(tuple, back.collect())) == sorted(rows)

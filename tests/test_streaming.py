@@ -685,3 +685,39 @@ def test_ingest_dedup_stream_matches_batch_probe(spark, tmp_path):
     assert {(r["new_id"], r["base_id"]) for r in collapsed} == want
     assert len(collapsed) == len(want)  # one row per pair
     index.unpersist()
+
+
+def test_streaming_hll_registers_equal_batch(spark, tmp_path):
+    """hll_registers_stream in complete mode over availableNow files
+    must produce EXACTLY the batch sketch's registers — the
+    bounded-state streaming distinct-count contract."""
+    from riskloc_spark.operators.sketches import hll_sketch
+    from riskloc_spark.streaming.pipeline import hll_registers_stream
+
+    src = str(tmp_path / "ev")
+    df = spark.createDataFrame(
+        [(f"t{i % 3}", i % 700) for i in range(4000)],
+        "event_type string, user_id long",
+    )
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    regs = hll_registers_stream(stream, p=8)
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    got = sorted(map(tuple, spark.table("hll_regs_t").collect()))
+    want = sorted(
+        map(
+            tuple,
+            hll_sketch(
+                df, "user_id", key_cols=["event_type"], p=8
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
