@@ -429,6 +429,32 @@ def streaming_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def bloom_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership sketches under the hash gate (round 12;
+    operators/bloom.py): per-event-type set-bit tables over user ids
+    (4 seeded hash rows mod 2^16, distinct positions) probed with
+    five fixed items including an id absent from the corpus.  The
+    oracle replays every bit position and the all-k-positions-set
+    membership rule (with the k-hash self-collision handled by
+    counting DISTINCT required positions) in SQL."""
+    from riskloc_spark.operators.bloom import bloom_build, bloom_probe
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    bloom = bloom_build(
+        e, "user_id", key_cols=["event_type"], m_bits=1 << 16, k=4
+    )
+    items = spark.createDataFrame(
+        [("1",), ("7",), ("42",), ("31337",), ("no-such-user",)],
+        "u string",
+    )
+    return bloom_probe(
+        bloom, items, "u", key_cols=["event_type"],
+        m_bits=1 << 16, k=4,
+    )
+
+
 def cms_term_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketches under the hash gate (round 12;
     operators/cms.py): per-source term-frequency registers (4 seeded
@@ -4908,6 +4934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_term_counts": cms_term_counts_q,
         "zorder_keys": zorder_keys_q,
         "streaming_hll": streaming_hll_q,
+        "bloom_membership": bloom_membership_q,
     # ---- extended round 12 (wildcards/base-href/sort-binding): re-record ----
         "robots_admission": robots_admission_q,
         "link_graph": link_graph_q,
@@ -8013,6 +8040,39 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 49 - length(bin(hh >> 12)) END) AS INT)
                      AS rank
             FROM h GROUP BY event_type, bucket
+        """,
+        "bloom_membership": """
+            WITH rws(rw) AS (VALUES (0), (1), (2), (3)),
+            bloom AS MATERIALIZED (
+              SELECT DISTINCT event_type,
+                     CAST(CAST('0x' || substr(md5(
+                          CAST(user_id AS VARCHAR) || ':' || rw),
+                          1, 15) AS BIGINT) % 65536 AS BIGINT) AS pos
+              FROM events CROSS JOIN rws
+            ),
+            probe0(item) AS (
+              VALUES ('1'), ('7'), ('42'), ('31337'), ('no-such-user')
+            ),
+            probe AS (
+              SELECT DISTINCT item,
+                     CAST(CAST('0x' || substr(md5(item || ':' || rw),
+                          1, 15) AS BIGINT) % 65536 AS BIGINT) AS pos
+              FROM probe0 CROSS JOIN rws
+            ),
+            need AS (
+              SELECT item, COUNT(*) AS nd FROM probe GROUP BY item
+            ),
+            hit AS (
+              SELECT b.event_type, p.item, COUNT(*) AS ht
+              FROM bloom b JOIN probe p USING (pos)
+              GROUP BY b.event_type, p.item
+            )
+            SELECT s.event_type, n.item,
+                   COALESCE(h.ht, 0) = n.nd AS maybe_present
+            FROM (SELECT DISTINCT event_type FROM events) s
+            CROSS JOIN need n
+            LEFT JOIN hit h
+              ON h.event_type = s.event_type AND h.item = n.item
         """,
         "cms_term_counts": r"""
             WITH toks AS MATERIALIZED (

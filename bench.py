@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "cms_term_counts",
     "zorder_keys",
     "streaming_hll",
+    "bloom_membership",
 ]
 
 

@@ -1,0 +1,82 @@
+"""Bloom membership sketches (operators/bloom.py): positions vs a
+pure-Python replay, NO-false-negatives guarantee, measured
+false-positive rate, merge == union, keyed anchoring."""
+import hashlib
+
+from riskloc_spark.operators.bloom import (
+    bloom_build,
+    bloom_merge,
+    bloom_probe,
+)
+
+
+def _h60(v, seed) -> int:
+    return int(
+        hashlib.md5(f"{v}:{seed}".encode()).hexdigest()[:15], 16
+    )
+
+
+def _py_positions(values, m, k):
+    return {
+        _h60(v, r) % m for v in values for r in range(k)
+    }
+
+
+def test_bloom_positions_match_python_replay(spark):
+    vals = [f"u{i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {
+        r["pos"] for r in bloom_build(df, "v", m_bits=4096, k=3).collect()
+    }
+    assert got == _py_positions(vals, 4096, 3)
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    members = [f"id-{i}" for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in members], "v string")
+    bloom = bloom_build(df, "v", m_bits=1 << 16, k=4)
+    probes = members[:200] + [f"absent-{i}" for i in range(2000)]
+    items = spark.createDataFrame([(v,) for v in probes], "v string")
+    got = {
+        r["item"]: r["maybe_present"]
+        for r in bloom_probe(
+            bloom, items, "v", m_bits=1 << 16, k=4
+        ).collect()
+    }
+    # every member MUST be present-maybe
+    for v in members[:200]:
+        assert got[v], v
+    # fp rate at n=2000, m=65536, k=4: ~(1-e^-0.122)^4 ~ 1.7e-4
+    fps = sum(1 for i in range(2000) if got[f"absent-{i}"])
+    assert fps <= 5, fps
+
+
+def test_bloom_merge_equals_union_build(spark):
+    a = spark.createDataFrame([(f"x{i}",) for i in range(300)], "v string")
+    b = spark.createDataFrame([(f"y{i}",) for i in range(300)], "v string")
+    kw = dict(m_bits=8192, k=3)
+    merged = bloom_merge(
+        bloom_build(a, "v", **kw), bloom_build(b, "v", **kw)
+    )
+    union = bloom_build(a.unionAll(b), "v", **kw)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, union.collect())
+    )
+
+
+def test_bloom_keyed_anchoring(spark):
+    rows = [("s1", "a"), ("s1", "b"), ("s2", "c")]
+    df = spark.createDataFrame(rows, "src string, v string")
+    bloom = bloom_build(df, "v", key_cols=["src"], m_bits=1024, k=3)
+    items = spark.createDataFrame([("a",), ("c",), ("zz",)], "v string")
+    got = {
+        (r["src"], r["item"]): r["maybe_present"]
+        for r in bloom_probe(
+            bloom, items, "v", key_cols=["src"], m_bits=1024, k=3
+        ).collect()
+    }
+    assert got[("s1", "a")] is True
+    assert got[("s2", "c")] is True
+    assert got[("s1", "zz")] is False and got[("s2", "zz")] is False
+    # 'a' lives only in s1 (collision-improbable at this load)
+    assert got[("s2", "a")] is False
