@@ -455,6 +455,48 @@ def bloom_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 change history under the hash gate (round 12;
+    operators/temporal.scd2_history): the events feed as per-user
+    attribute updates — same-instant ties resolved by the struct max,
+    consecutive no-change updates collapsed, validity intervals
+    chained by the lead, the open interval flagged current.  The
+    oracle replays the tie-dedup, the change-collapse lag, and the
+    interval lead in SQL window functions."""
+    from riskloc_spark.operators.temporal import scd2_history
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    return scd2_history(e, ["user_id"], "ts", ["event_type"])
+
+
+def events_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval-containment join under the hash gate
+    (round 12; operators/temporal.interval_join): every purchase
+    opens a [ts, ts + 90 min) window per user; all of that user's
+    events inside the window pair with it.  The Spark side runs the
+    bucket-explode equi-join (never BroadcastNestedLoop,
+    plan-tested); the oracle is the PLAIN inequality join — the
+    bucketed rewrite must reproduce exact containment, boundary
+    exclusivity included."""
+    from riskloc_spark.operators.temporal import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select("user_id", F.col("event_id").alias("pid"), "ts")
+    ivs = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("iid"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("e"),
+    )
+    out = interval_join(
+        pts, ivs, "ts", "s", "e", keys=["user_id"],
+        bucket_seconds=3600,
+    )
+    return out.select("user_id", "pid", "iid")
+
+
 def cms_term_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketches under the hash gate (round 12;
     operators/cms.py): per-source term-frequency registers (4 seeded
@@ -4935,6 +4977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": zorder_keys_q,
         "streaming_hll": streaming_hll_q,
         "bloom_membership": bloom_membership_q,
+        "scd2_history": scd2_history_q,
+        "events_interval_join": events_interval_join_q,
     # ---- extended round 12 (wildcards/base-href/sort-binding): re-record ----
         "robots_admission": robots_admission_q,
         "link_graph": link_graph_q,
@@ -8073,6 +8117,39 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN need n
             LEFT JOIN hit h
               ON h.event_type = s.event_type AND h.item = n.item
+        """,
+        "scd2_history": """
+            WITH dedup AS (
+              SELECT user_id, ts, MAX(event_type) AS event_type
+              FROM events GROUP BY user_id, ts
+            ),
+            changed AS (
+              SELECT user_id, ts, event_type FROM (
+                SELECT user_id, ts, event_type,
+                       LAG(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts) AS prev
+                FROM dedup
+              ) WHERE prev IS NULL OR prev <> event_type
+            )
+            SELECT user_id, event_type,
+                   ts AS valid_from,
+                   LEAD(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts) AS valid_to,
+                   LEAD(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts) IS NULL
+                     AS is_current
+            FROM changed
+        """,
+        "events_interval_join": """
+            SELECT p.user_id, p.event_id AS pid, i.event_id AS iid
+            FROM events p
+            JOIN (
+              SELECT user_id, event_id, ts AS s,
+                     ts + INTERVAL 90 MINUTE AS e
+              FROM events WHERE event_type = 'purchase'
+            ) i
+              ON p.user_id = i.user_id
+             AND p.ts >= i.s AND p.ts < i.e
         """,
         "cms_term_counts": r"""
             WITH toks AS MATERIALIZED (

@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "zorder_keys",
     "streaming_hll",
     "bloom_membership",
+    "scd2_history",
+    "events_interval_join",
 ]
 
 

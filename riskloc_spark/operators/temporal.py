@@ -368,3 +368,102 @@ def funnel_counts(
         )
         rows = one if rows is None else rows.unionAll(one)
     return rows
+
+
+def scd2_history(
+    updates: DataFrame,
+    key_cols: list,
+    ts_col: str,
+    attr_cols: list,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from a change feed:
+    (key..., attr..., valid_from, valid_to, is_current) — one row per
+    VERSION, consecutive no-change updates collapsed (an update whose
+    attributes equal the previous version's opens no new interval),
+    valid_to = the next version's valid_from (NULL while current).
+
+    One window pass per step on the same (key, ts) ordering — the
+    change-collapse lag and the interval lead reuse one sort; no
+    self-joins, no collected histories.  Ties on ts within a key keep
+    the last row by a deterministic struct-max (documented: a feed
+    emitting two different updates at the same instant has no defined
+    order — the struct tiebreak over the attributes pins one)."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    # ts ties: keep one deterministic winner per (key, ts)
+    dedup = (
+        updates.groupBy(*key_cols, ts_col)
+        .agg(F.max(attrs).alias("__a"))
+        .select(
+            *key_cols,
+            ts_col,
+            *[F.col(f"__a.{c}").alias(c) for c in attr_cols],
+        )
+    )
+    changed = dedup.withColumn("__prev", F.lag(attrs).over(w)).filter(
+        F.col("__prev").isNull() | (F.col("__prev") != attrs)
+    )
+    return (
+        changed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(
+            Window.partitionBy(*key_cols).orderBy(ts_col)
+        ))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            *key_cols, *attr_cols,
+            "valid_from", "valid_to", "is_current",
+        )
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    keys: list | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Containment join: every (point, interval) pair with
+    start <= ts < end (and equal ``keys`` when given).  Degenerate
+    intervals (end <= start) match nothing.
+
+    The Spark-first shape: a naive range join plans
+    BroadcastNestedLoopJoin (O(points x intervals) comparisons).
+    Instead each interval EXPLODES into the integer time buckets it
+    covers (floor(epoch_us / bucket) from start through the last
+    microsecond before the exclusive end — bounded by interval length
+    / bucket width) and each point computes its single bucket; the
+    join is an EQUI-join on (keys..., bucket) with exact containment
+    as a cheap post-filter on the (few) co-bucket candidates.  Pick
+    ``bucket_seconds`` near the typical interval length: shorter
+    buckets explode long intervals wider, longer buckets put more
+    non-overlapping candidates in each bucket.  A pathological
+    months-long interval fans out linearly — cap upstream or split
+    the dimension (documented seam)."""
+    ks = list(keys or [])
+    bus = int(bucket_seconds) * 1_000_000
+
+    def bidx(c):
+        return F.floor(_micros(c) / bus).cast("long")
+
+    start = F.col(start_col)
+    end = F.col(end_col)
+    ivals = (
+        intervals.filter(end > start)
+        .withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    bidx(start),
+                    F.floor((_micros(end) - 1) / bus).cast("long"),
+                )
+            ),
+        )
+    )
+    pts = points.withColumn("__b", bidx(F.col(ts_col)))
+    out = pts.join(ivals, [*ks, "__b"]).filter(
+        (F.col(ts_col) >= start) & (F.col(ts_col) < end)
+    )
+    return out.drop("__b")

@@ -304,3 +304,69 @@ def test_funnel_strict_ordering_and_null_propagation(spark):
         ).collect()
     }
     assert counts == {"view": 4, "click": 3, "purchase": 1}
+
+
+def test_scd2_history_versions_and_collapse(spark):
+    """scd2_history: consecutive no-change updates open no version,
+    intervals chain valid_from -> next valid_from, last is current,
+    same-instant conflicting updates resolve by the struct tiebreak."""
+    from riskloc_spark.operators.temporal import scd2_history
+
+    rows = [
+        ("k1", "2024-01-01 00:00:00", "a", 1),
+        ("k1", "2024-01-02 00:00:00", "a", 1),   # no change: collapsed
+        ("k1", "2024-01-03 00:00:00", "b", 1),   # attr change
+        ("k1", "2024-01-04 00:00:00", "b", 2),   # attr change
+        ("k2", "2024-01-01 00:00:00", "x", 9),
+        ("k2", "2024-01-01 00:00:00", "y", 9),   # same-instant tie
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, c string, n int"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_history(df, ["k"], "ts", ["c", "n"])
+    got = sorted(
+        (r["k"], str(r["valid_from"]), str(r["valid_to"]),
+         r["c"], r["n"], r["is_current"])
+        for r in out.collect()
+    )
+    assert got == [
+        ("k1", "2024-01-01 00:00:00", "2024-01-03 00:00:00", "a", 1, False),
+        ("k1", "2024-01-03 00:00:00", "2024-01-04 00:00:00", "b", 1, False),
+        ("k1", "2024-01-04 00:00:00", "None", "b", 2, True),
+        # struct max picks ('y', 9) over ('x', 9)
+        ("k2", "2024-01-01 00:00:00", "None", "y", 9, True),
+    ]
+
+
+def test_interval_join_containment_and_plan(spark):
+    """interval_join: exact [start, end) containment incl. boundary
+    rows, degenerate intervals match nothing, long intervals span
+    buckets — and the plan is an EQUI join, never
+    BroadcastNestedLoop."""
+    from riskloc_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame(
+        [(i, f"2024-01-01 0{h}:{m:02d}:00") for i, (h, m) in enumerate(
+            [(0, 30), (1, 0), (1, 59), (2, 0), (5, 15)]
+        )],
+        "pid long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ivs = spark.createDataFrame(
+        [
+            (100, "2024-01-01 01:00:00", "2024-01-01 02:00:00"),
+            (101, "2024-01-01 00:00:00", "2024-01-01 06:00:00"),
+            (102, "2024-01-01 03:00:00", "2024-01-01 03:00:00"),
+        ],
+        "iid long, s string, e string",
+    ).withColumns({"s": F.col("s").cast("timestamp"),
+                   "e": F.col("e").cast("timestamp")})
+    out = interval_join(pts, ivs, "ts", "s", "e")
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    # iv 100 = [01:00, 02:00): catches 01:00 and 01:59, NOT 02:00
+    # iv 101 = [00:00, 06:00): catches all five points
+    # iv 102 degenerate: nothing
+    assert got == [(0, 101), (1, 100), (1, 101), (2, 100),
+                   (2, 101), (3, 101), (4, 101)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "Join" in plan
