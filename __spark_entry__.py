@@ -497,6 +497,26 @@ def events_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "pid", "iid")
 
 
+def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted sampling under the hash gate (round 12;
+    operators/sampling.weighted_sample_topk): 20 documents per source
+    drawn without replacement proportionally to n_chars, in the
+    md5-replayable hash family.  The oracle replays the uniform draw
+    ((pmod + 1) / (grain + 1)), the exponential-race key ln(u)/w, and
+    the rank with the doc_id tiebreak, so a drift in the draw, the
+    key, or the selection order breaks the hash."""
+    from riskloc_spark.operators.dedup import md5_hash64
+    from riskloc_spark.operators.sampling import weighted_sample_topk
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return weighted_sample_topk(
+        d, 20, "n_chars", key_cols=["source"], salt="es",
+        hash_fn=md5_hash64,
+    )
+
+
 def cms_term_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketches under the hash gate (round 12;
     operators/cms.py): per-source term-frequency registers (4 seeded
@@ -4979,6 +4999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": bloom_membership_q,
         "scd2_history": scd2_history_q,
         "events_interval_join": events_interval_join_q,
+        "weighted_sample": weighted_sample_q,
     # ---- extended round 12 (wildcards/base-href/sort-binding): re-record ----
         "robots_admission": robots_admission_q,
         "link_graph": link_graph_q,
@@ -8150,6 +8171,26 @@ def oracle_sql() -> dict[str, str]:
             ) i
               ON p.user_id = i.user_id
              AND p.ts >= i.s AND p.ts < i.e
+        """,
+        "weighted_sample": """
+            WITH u AS (
+              SELECT source, doc_id, n_chars,
+                     CAST('0x' || substr(md5(doc_id || ':es'), 1, 15)
+                          AS BIGINT) % 1000000 AS hv
+              FROM documents WHERE n_chars > 0
+            ),
+            es AS (
+              SELECT source, doc_id, n_chars,
+                     ln((hv + 1) / 1000001e0) / n_chars AS kk
+              FROM u
+            )
+            SELECT source, doc_id, n_chars FROM (
+              SELECT source, doc_id, n_chars,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY kk DESC, doc_id ASC) AS rn
+              FROM es
+            ) WHERE rn <= 20
         """,
         "cms_term_counts": r"""
             WITH toks AS MATERIALIZED (

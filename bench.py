@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "bloom_membership",
     "scd2_history",
     "events_interval_join",
+    "weighted_sample",
 ]
 
 

@@ -239,6 +239,48 @@ def cap_per_key(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_cols: list | None = None,
+    salt: str = "",
+    id_col: str = "doc_id",
+    hash_fn=xxhash64_fn,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per key group —
+    Efraimidis & Spirakis 2006 (A-ES): each row draws the
+    deterministic uniform u = (hash(id:salt) + 1) / (grain + 1) and
+    ranks by the exponential-race key ln(u) / w (the u^(1/w) ordering
+    in log space); the top-k by that key IS a weight-proportional
+    sample without replacement.  Membership is a pure function of
+    (id, salt, weight) — re-runs and repartitions agree, different
+    salts draw independent samples.  Rows with NULL or non-positive
+    weight never qualify.
+
+    Scale shape: the rank<=k filter compiles to WindowGroupLimit
+    (map-side cap — the cap_per_key shape), so a mega-group ships at
+    most k rows per input partition; no global sort, no collected
+    candidate lists.  The production hash is xxhash64; pass
+    md5_hash64 for the ANSI-SQL-replayable draw."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols or [])
+    u = (_unit_hash(F.col(id_col), salt, hash_fn) + 1) / F.lit(
+        float(_GRAIN + 1)
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__es").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__es", F.log(u) / F.col(weight_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__es", "__rn")
+    )
+
+
 def shuffle_and_shard(
     df: DataFrame,
     n_shards: int,

@@ -381,3 +381,70 @@ def test_cap_per_key_semantics_and_group_limit_plan(spark):
     with redirect_stdout(buf):
         out.explain("formatted")
     assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_weighted_sample_topk_matches_python_replay(spark):
+    """A-ES weighted sampling: the Spark selection equals a pure-
+    Python replay of u=(pmod(md5)+1)/(grain+1), key=ln(u)/w, top-k
+    with the id tiebreak; zero/null weights never qualify; heavier
+    rows win the expected share across salts."""
+    import hashlib
+    import math
+
+    from riskloc_spark.operators.dedup import md5_hash64
+    from riskloc_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, "g1" if i % 2 == 0 else "g2",
+             (10 if i % 17 == 0 else 1)) for i in range(400)]
+    rows += [(1000, "g1", 0), (1001, "g2", None)]  # never sampled
+    df = spark.createDataFrame(rows, "doc_id long, g string, w int")
+
+    def py_sample(salt, k=15):
+        out = {}
+        for i, g, w in rows:
+            if not w:
+                continue
+            h = int(hashlib.md5(
+                (f"{i}:{salt}" if salt else str(i)).encode()
+            ).hexdigest()[:15], 16) % 1_000_000
+            u = (h + 1) / 1_000_001
+            out.setdefault(g, []).append((math.log(u) / w, -i))
+        keep = {}
+        for g, lst in out.items():
+            lst.sort(reverse=True)
+            keep[g] = {-i for _, i in lst[:k]}
+        return keep
+
+    for salt in ("", "s1"):
+        got = {}
+        for r in weighted_sample_topk(
+            df, 15, "w", key_cols=["g"], salt=salt,
+            hash_fn=md5_hash64,
+        ).collect():
+            got.setdefault(r["g"], set()).add(r["doc_id"])
+        assert got == py_sample(salt), salt
+        assert 1000 not in got.get("g1", set())
+        assert 1001 not in got.get("g2", set())
+    # weight proportionality across many salts: 10x-weight ids
+    # (24/400 rows) should take well over their uniform share
+    heavy_hits = total = 0
+    for s in range(20):
+        sel = py_sample(f"m{s}")
+        for g, ids in sel.items():
+            for i in ids:
+                total += 1
+                if i % 17 == 0:
+                    heavy_hits += 1
+    assert heavy_hits / total > 0.25, (heavy_hits, total)
+
+
+def test_weighted_sample_topk_window_group_limit_plan(spark):
+    from riskloc_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(i, "g", 1 + i % 5) for i in range(100)],
+        "doc_id long, g string, w int",
+    )
+    out = weighted_sample_topk(df, 5, "w", key_cols=["g"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
