@@ -517,6 +517,25 @@ def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantiles under the hash gate (round 12;
+    functions/stats.histogram_quantiles): per-source n_chars
+    quantiles at four fractions, resolution 1 — the no-global-sort
+    percentile shape (lattice histogram + integer cumulative cuts).
+    The oracle replays the lattice, the cumulative window, and the
+    ceil(q*n) threshold with the SAME double fractions (a DECIMAL q
+    would ceil differently on exact boundaries), so a drift in the
+    lattice or the cut rule breaks the hash."""
+    from riskloc_spark.functions.stats import histogram_quantiles
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    )
+    return histogram_quantiles(
+        d, "n_chars", [0.25, 0.5, 0.9, 0.99], key_cols=["source"]
+    )
+
+
 def cms_term_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketches under the hash gate (round 12;
     operators/cms.py): per-source term-frequency registers (4 seeded
@@ -5000,6 +5019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": scd2_history_q,
         "events_interval_join": events_interval_join_q,
         "weighted_sample": weighted_sample_q,
+        "length_quantiles": length_quantiles_q,
     # ---- extended round 12 (wildcards/base-href/sort-binding): re-record ----
         "robots_admission": robots_admission_q,
         "link_graph": link_graph_q,
@@ -8191,6 +8211,32 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY kk DESC, doc_id ASC) AS rn
               FROM es
             ) WHERE rn <= 20
+        """,
+        "length_quantiles": """
+            WITH hist AS (
+              SELECT source,
+                     CAST(floor(n_chars / 1e0) AS BIGINT) AS cell,
+                     COUNT(*) AS cnt
+              FROM documents WHERE n_chars IS NOT NULL
+              GROUP BY source, cell
+            ),
+            cum AS (
+              SELECT source, cell,
+                     SUM(cnt) OVER (
+                       PARTITION BY source ORDER BY cell) AS cm,
+                     SUM(cnt) OVER (PARTITION BY source) AS n
+              FROM hist
+            ),
+            qs(q) AS (
+              -- DOUBLE fractions: a DECIMAL 0.9 * n is exact and
+              -- ceils differently than the engines' double product
+              VALUES (0.25e0), (0.5e0), (0.9e0), (0.99e0)
+            )
+            SELECT source, q + 0e0 AS q,
+                   MIN(cell) * 1e0 AS value
+            FROM cum CROSS JOIN qs
+            WHERE cm >= CAST(ceil(q * n) AS BIGINT)
+            GROUP BY source, q
         """,
         "cms_term_counts": r"""
             WITH toks AS MATERIALIZED (

@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "scd2_history",
     "events_interval_join",
     "weighted_sample",
+    "length_quantiles",
 ]
 
 
