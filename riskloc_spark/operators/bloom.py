@@ -46,16 +46,19 @@ def bloom_build(
     if m_bits < 2 or k < 1:
         raise ValueError("m_bits must be >= 2, k >= 1")
     keys = list(key_cols or [])
-    rows = [
-        df.select(
-            *keys,
-            (hash_fn(F.col(value_col), seed=r) % m_bits)
-            .cast("long")
-            .alias("pos"),
+    # ONE scan: the k seeded positions explode from an in-row array (a
+    # union of per-seed selects would scan the corpus k times)
+    pos = F.explode(
+        F.array(
+            *[
+                (hash_fn(F.col(value_col), seed=r) % m_bits).cast(
+                    "long"
+                )
+                for r in range(k)
+            ]
         )
-        for r in range(k)
-    ]
-    return reduce(lambda a, b: a.unionAll(b), rows).distinct()
+    ).alias("pos")
+    return df.select(*keys, pos).distinct()
 
 
 def bloom_merge(*filters: DataFrame) -> DataFrame:

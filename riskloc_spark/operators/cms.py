@@ -53,19 +53,18 @@ def cms_sketch(
         if weight_col
         else F.lit(1).cast("long")
     )
-    rows = [
-        df.select(
-            *keys,
-            F.lit(r).alias("row"),
-            (hash_fn(F.col(value_col), seed=r) % width)
-            .cast("int")
-            .alias("bucket"),
-            w.alias("__w"),
+    # ONE scan: the depth seeded hashes explode from an in-row array
+    # (a union of per-seed selects would scan the corpus depth times)
+    buckets = F.posexplode(
+        F.array(
+            *[
+                (hash_fn(F.col(value_col), seed=r) % width).cast("int")
+                for r in range(depth)
+            ]
         )
-        for r in range(depth)
-    ]
+    ).alias("row", "bucket")
     return (
-        reduce(lambda a, b: a.unionAll(b), rows)
+        df.select(*keys, w.alias("__w"), buckets)
         .groupBy(*keys, "row", "bucket")
         .agg(F.sum("__w").alias("cnt"))
     )

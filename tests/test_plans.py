@@ -709,3 +709,22 @@ def test_hll_sketch_single_exchange(spark):
 
     assert len(re.findall(r"Exchange", plan)) == 1, plan
     assert "partial_max" in plan or "HashAggregate" in plan, plan
+
+
+def test_cms_and_bloom_single_scan(spark):
+    """cms_sketch / bloom_build must read the input ONCE: the k/depth
+    seeded hashes explode from an in-row array, never a union of
+    per-seed scans."""
+    from riskloc_spark.operators.bloom import bloom_build
+    from riskloc_spark.operators.cms import cms_sketch
+
+    df = spark.createDataFrame(
+        [(f"v{i}",) for i in range(50)], "v string"
+    )
+    for frame in (
+        cms_sketch(df, "v", width=64, depth=4),
+        bloom_build(df, "v", m_bits=1024, k=4),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan ExistingRDD") <= 1, plan
+        assert "Union" not in plan, plan
