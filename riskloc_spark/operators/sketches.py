@@ -158,3 +158,51 @@ def hll_estimate(
         .withColumn("est", F.round(est, 4))
         .select(*keys, "zeros", "reg_sum", "est")
     )
+
+
+def hll_intersection_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """(key..., est_a, est_b, est_union, est_intersection): the
+    inclusion-exclusion overlap estimate |A ∩ B| ~ E(A) + E(B) -
+    E(A ∪ B) from two register tables over the SAME (p, hash) family
+    — the classic HLL set-op composition (union is exact in sketch
+    space via ``hll_merge``; intersection inherits the summed error
+    of three estimates, so small overlaps of large sets drown in
+    noise — documented, test-pinned).  Keys must appear in both
+    sketches; a key missing from one side estimates that side as 0.
+    Composes three ``hll_estimate`` calls on gated machinery — no
+    separate oracle by design."""
+    keys = list(key_cols or [])
+    ea = hll_estimate(a, keys, p).select(
+        *keys, F.col("est").alias("est_a")
+    )
+    eb = hll_estimate(b, keys, p).select(
+        *keys, F.col("est").alias("est_b")
+    )
+    eu = hll_estimate(hll_merge(a, b), keys, p).select(
+        *keys, F.col("est").alias("est_union")
+    )
+    join = (
+        eu.join(ea, keys, "left_outer").join(eb, keys, "left_outer")
+        if keys
+        else eu.crossJoin(ea).crossJoin(eb)
+    )
+    return join.select(
+        *keys,
+        F.coalesce("est_a", F.lit(0.0)).alias("est_a"),
+        F.coalesce("est_b", F.lit(0.0)).alias("est_b"),
+        "est_union",
+        F.round(
+            F.greatest(
+                F.coalesce("est_a", F.lit(0.0))
+                + F.coalesce("est_b", F.lit(0.0))
+                - F.col("est_union"),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("est_intersection"),
+    )

@@ -91,3 +91,31 @@ def test_hll_keyed_and_linear_counting_branch(spark):
         assert out[src]["zeros"] == zeros
         assert abs(out[src]["est"] - expect) < 1e-6, (src, out[src])
         assert abs(out[src]["est"] - n) / n < 0.2
+
+
+def test_hll_intersection_estimate(spark):
+    """inclusion-exclusion overlap: two 3000-element sets sharing
+    1500 estimate the overlap within the summed-error envelope; a
+    disjoint pair estimates ~0 (clamped non-negative)."""
+    from riskloc_spark.operators.sketches import (
+        hll_intersection_estimate,
+    )
+
+    a = spark.createDataFrame(
+        [(f"x{i}",) for i in range(3000)], "u string"
+    )
+    b = spark.createDataFrame(
+        [(f"x{i}",) for i in range(1500, 4500)], "u string"
+    )
+    out = hll_intersection_estimate(
+        hll_sketch(a, "u", p=12), hll_sketch(b, "u", p=12), p=12
+    ).collect()[0]
+    assert abs(out["est_union"] - 4500) / 4500 < 0.05
+    assert abs(out["est_intersection"] - 1500) / 1500 < 0.15, out
+    c = spark.createDataFrame(
+        [(f"z{i}",) for i in range(3000)], "u string"
+    )
+    out2 = hll_intersection_estimate(
+        hll_sketch(a, "u", p=12), hll_sketch(c, "u", p=12), p=12
+    ).collect()[0]
+    assert out2["est_intersection"] < 450, out2
