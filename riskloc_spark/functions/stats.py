@@ -11,9 +11,14 @@ lattice size (not the row count), and each requested quantile is
 integer arithmetic over that tiny histogram — the smallest lattice
 value whose cumulative count reaches ceil(q * n).  That is the
 classic Type-1 (inverse-CDF) empirical quantile ON the lattice:
-exact for integer-valued columns at resolution 1, within half a
-lattice step otherwise, deterministic under any row order in any
-engine (the DuckDB twin replays the same integer arithmetic).
+exact for integer-valued columns at resolution 1; otherwise the
+reported value is the winning cell's LOWER bound, so it
+underestimates the true Type-1 quantile by up to one full lattice
+step (floor bias — choose ``resolution`` accordingly).  Deterministic
+under any row order in any engine (the DuckDB twin replays the same
+integer arithmetic).  For quantiles WITHOUT choosing a lattice a
+priori, see the mergeable bottom-k quantile sketch
+(operators/quantiles.py).
 
 No reference counterpart (shaido987/riskloc is tabular RCA only).
 """
@@ -34,8 +39,10 @@ def histogram_quantiles(
     """(key..., q, value): for each quantile fraction in ``qs``, the
     smallest lattice value v (value_col floored to ``resolution``
     steps) with at least ceil(q * n) values <= its lattice cell —
-    Type-1 empirical quantiles on the lattice.  NULL values are
-    excluded from n.  q must be in (0, 1]."""
+    Type-1 empirical quantiles on the lattice (the returned value is
+    the cell's lower bound: a floor bias of up to one ``resolution``
+    step for non-integer data).  NULL values are excluded from n.
+    q must be in (0, 1]."""
     if not qs or any(not 0 < q <= 1 for q in qs):
         raise ValueError("qs must be fractions in (0, 1]")
     keys = list(key_cols or [])

@@ -17,7 +17,11 @@ touching the archive — a day's ingest probes last year's bloom rows
 (KBs-to-MBs per shard) instead of semi-joining petabytes; only
 present-maybe hits pay the exact lookup.  The k hash rows reuse the
 portable seeded 60-bit md5 (operators/dedup.md5_hash64) so a DuckDB
-twin replays every bit; production swaps in xxhash64 via ``hash_fn``.
+twin replays every bit; production swaps in xxhash64 via ``hash_fn``
+— every hash is masked to its low 60 non-negative bits before the
+position mod, so a signed 64-bit hash cannot set negative positions.
+NULL values are excluded on both build and probe sides (a NULL would
+otherwise hash as the bare seed string, setting spurious bits).
 
 No reference counterpart (shaido987/riskloc is tabular RCA only).
 """
@@ -29,6 +33,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from riskloc_spark.operators.dedup import md5_hash64
+
+_HASH_MASK = (1 << 60) - 1  # fold ANY hash into [0, 2^60)
+
+
+def _pos(hash_fn, col, seed: int, m_bits: int):
+    """Non-negative bit position: mask the (possibly signed 64-bit)
+    hash to its low 60 bits, then mod — a no-op for md5_hash64."""
+    return (
+        hash_fn(col, seed=seed).bitwiseAND(F.lit(_HASH_MASK)) % m_bits
+    ).cast("long")
 
 
 def bloom_build(
@@ -51,14 +65,16 @@ def bloom_build(
     pos = F.explode(
         F.array(
             *[
-                (hash_fn(F.col(value_col), seed=r) % m_bits).cast(
-                    "long"
-                )
+                _pos(hash_fn, F.col(value_col), r, m_bits)
                 for r in range(k)
             ]
         )
     ).alias("pos")
-    return df.select(*keys, pos).distinct()
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, pos)
+        .distinct()
+    )
 
 
 def bloom_merge(*filters: DataFrame) -> DataFrame:
@@ -85,13 +101,15 @@ def bloom_probe(
     persisted filter); anchored on the full key x item frame so an
     item matching zero positions still gets its false row."""
     keys = list(key_cols or [])
-    uniq = items.select(F.col(item_col).alias("item")).distinct()
+    uniq = (
+        items.filter(F.col(item_col).isNotNull())
+        .select(F.col(item_col).alias("item"))
+        .distinct()
+    )
     probes = [
         uniq.select(
             "item",
-            (hash_fn(F.col("item"), seed=r) % m_bits)
-            .cast("long")
-            .alias("pos"),
+            _pos(hash_fn, F.col("item"), r, m_bits).alias("pos"),
         )
         for r in range(k)
     ]

@@ -17,7 +17,12 @@ collide upward), and estimate <= true + eps*N with probability
 
 The row hashes are the portable 60-bit md5 with the ROW INDEX as the
 seed (operators/dedup.md5_hash64 appends ':<seed>'), so a DuckDB twin
-replays every register; production swaps in xxhash64 via ``hash_fn``.
+replays every register; production swaps in xxhash64 via ``hash_fn``
+— every hash is masked to its low 60 non-negative bits before the
+bucket mod, so a signed 64-bit hash cannot yield negative buckets.
+NULL values are excluded on both the build and lookup sides (md5's
+concat_ws seeding would otherwise hash a NULL as the bare seed
+string, adding phantom counts).
 
 No reference counterpart (shaido987/riskloc is tabular RCA only).
 """
@@ -29,6 +34,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from riskloc_spark.operators.dedup import md5_hash64
+
+_HASH_MASK = (1 << 60) - 1  # fold ANY hash into [0, 2^60)
+
+
+def _bucket(hash_fn, col, seed: int, width: int):
+    """Non-negative bucket: mask the (possibly signed 64-bit) hash to
+    its low 60 bits, then mod — a no-op re-slice for md5_hash64."""
+    return (
+        hash_fn(col, seed=seed).bitwiseAND(F.lit(_HASH_MASK)) % width
+    ).cast("int")
 
 
 def cms_sketch(
@@ -58,13 +73,14 @@ def cms_sketch(
     buckets = F.posexplode(
         F.array(
             *[
-                (hash_fn(F.col(value_col), seed=r) % width).cast("int")
+                _bucket(hash_fn, F.col(value_col), r, width)
                 for r in range(depth)
             ]
         )
     ).alias("row", "bucket")
     return (
-        df.select(*keys, w.alias("__w"), buckets)
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, w.alias("__w"), buckets)
         .groupBy(*keys, "row", "bucket")
         .agg(F.sum("__w").alias("cnt"))
     )
@@ -95,14 +111,16 @@ def cms_lookup(
     register join (items are tiny against a persisted sketch); the
     min is one small aggregation per (key, item)."""
     keys = list(key_cols or [])
-    uniq = items.select(F.col(item_col).alias("item")).distinct()
+    uniq = (
+        items.filter(F.col(item_col).isNotNull())
+        .select(F.col(item_col).alias("item"))
+        .distinct()
+    )
     probes = [
         uniq.select(
             "item",
             F.lit(r).alias("row"),
-            (hash_fn(F.col("item"), seed=r) % width)
-            .cast("int")
-            .alias("bucket"),
+            _bucket(hash_fn, F.col("item"), r, width).alias("bucket"),
         )
         for r in range(depth)
     ]

@@ -26,7 +26,12 @@ exactly, so the sum is bit-identical under any partitioning, and the
 single final double division is IEEE-exact on identical inputs.  The
 hash is the portable 60-bit md5 (operators/dedup.md5_hash64) so a
 DuckDB twin replays every register; production swaps in xxhash64 via
-``hash_fn`` (same algebra, ~5x cheaper, no SQL twin).
+``hash_fn`` (same algebra, ~5x cheaper, no SQL twin).  Any hash is
+masked to the low ``_HASH_BITS`` non-negative bits before slicing —
+a signed 64-bit hash (xxhash64) would otherwise yield negative
+buckets and sign-extended rank words.  NULL values are excluded
+before hashing (matching ``approx_count_distinct`` semantics — a
+NULL register row would inflate small-set estimates).
 
 No reference counterpart (shaido987/riskloc is tabular RCA only).
 """
@@ -40,6 +45,7 @@ from pyspark.sql import functions as F
 from riskloc_spark.operators.dedup import md5_hash64
 
 _HASH_BITS = 60  # md5_hash64 yields 15 hex chars = 60 bits
+_HASH_MASK = (1 << _HASH_BITS) - 1  # fold ANY hash into [0, 2^60)
 
 
 def hll_register_rows(
@@ -61,9 +67,15 @@ def hll_register_rows(
     w_bits = _HASH_BITS - p
     # STAGE the hash as a column and slice it with integer ops only: a
     # 60-bit value does not fit a double mantissa, so `h / m` would
-    # round and corrupt both the bucket and the rank word
-    staged = df.select(
-        *keys, hash_fn(F.col(value_col)).alias("__h")
+    # round and corrupt both the bucket and the rank word.  Mask to
+    # the low 60 non-negative bits so a SIGNED hash (xxhash64) cannot
+    # produce negative buckets / sign-extended rank words; a no-op
+    # for md5_hash64.  NULLs are dropped (md5(NULL) is NULL and would
+    # register a phantom (NULL, NULL) row).
+    staged = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        (hash_fn(F.col(value_col)).bitwiseAND(F.lit(_HASH_MASK)))
+        .alias("__h"),
     )
     bucket = (F.col("__h") % m).cast("int")
     w = F.expr(f"shiftright(__h, {p})")

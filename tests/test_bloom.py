@@ -80,3 +80,29 @@ def test_bloom_keyed_anchoring(spark):
     assert got[("s1", "zz")] is False and got[("s2", "zz")] is False
     # 'a' lives only in s1 (collision-improbable at this load)
     assert got[("s2", "a")] is False
+
+
+def test_bloom_xxhash64_and_null_handling(spark):
+    """r12 advisory: signed xxhash64 positions are masked
+    non-negative, and NULLs set no bits / probe no rows."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.dedup import xxhash64_fn
+
+    df = spark.createDataFrame(
+        [(f"k{i}",) for i in range(300)] + [(None,)] * 3, "v string"
+    )
+    bl = bloom_build(df, "v", m_bits=4096, k=4, hash_fn=xxhash64_fn)
+    rows = bl.collect()
+    assert all(0 <= r["pos"] < 4096 for r in rows)
+    items = spark.createDataFrame(
+        [("k5",), ("absent-xyz",), (None,)], "v string"
+    )
+    out = {
+        r["item"]: r["maybe_present"]
+        for r in bloom_probe(
+            bl, items, "v", m_bits=4096, k=4, hash_fn=xxhash64_fn
+        ).collect()
+    }
+    assert out["k5"] is True
+    assert None not in out and len(out) == 2

@@ -88,3 +88,29 @@ def test_cms_keyed_and_weighted(spark):
     # width 64 >> 2 distinct values: no collisions, estimates exact
     assert got == {("s1", "a"): 7, ("s1", "b"): 1,
                    ("s2", "a"): 10, ("s2", "b"): 0}
+
+
+def test_cms_xxhash64_and_null_handling(spark):
+    """r12 advisory: signed xxhash64 buckets are masked non-negative
+    (effective width preserved), and NULLs add no phantom counts on
+    either the build or lookup side."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.dedup import xxhash64_fn
+
+    df = spark.createDataFrame(
+        [(f"v{i % 50}",) for i in range(500)] + [(None,)] * 7,
+        "t string",
+    )
+    sk = cms_sketch(df, "t", width=256, depth=4, hash_fn=xxhash64_fn)
+    rows = sk.collect()
+    assert all(0 <= r["bucket"] < 256 for r in rows)
+    assert sum(r["cnt"] for r in rows) == 500 * 4  # NULLs excluded
+    items = spark.createDataFrame(
+        [("v0",), (None,)], "t string"
+    )
+    out = cms_lookup(
+        sk, items, "t", width=256, depth=4, hash_fn=xxhash64_fn
+    ).collect()
+    assert len(out) == 1 and out[0]["item"] == "v0"
+    assert out[0]["est"] >= 10

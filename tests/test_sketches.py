@@ -119,3 +119,33 @@ def test_hll_intersection_estimate(spark):
         hll_sketch(a, "u", p=12), hll_sketch(c, "u", p=12), p=12
     ).collect()[0]
     assert out2["est_intersection"] < 450, out2
+
+
+def test_hll_xxhash64_and_null_handling(spark):
+    """The r12 advisory fixes: (a) a SIGNED 64-bit hash (xxhash64)
+    must yield sane estimates — the register slicer masks to the low
+    60 non-negative bits, so negative hashes cannot produce negative
+    buckets / sign-extended ranks; (b) NULLs are excluded, matching
+    approx_count_distinct semantics."""
+    from riskloc_spark.operators.dedup import xxhash64_fn
+
+    n = 2000
+    df = spark.createDataFrame(
+        [(f"v{i}",) for i in range(n)], "u string"
+    )
+    sk = hll_sketch(df, "u", p=12, hash_fn=xxhash64_fn)
+    rows = sk.collect()
+    assert all(0 <= r["bucket"] < 4096 for r in rows)
+    assert all(1 <= r["rank"] <= 49 for r in rows)
+    out = hll_estimate(sk, p=12).collect()[0]
+    assert out["zeros"] >= 0
+    assert abs(out["est"] - n) / n < 0.1, out["est"]
+    # NULLs contribute nothing: {a, NULL, b} estimates ~2, and the
+    # sketch has no NULL register row
+    df2 = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "u string"
+    )
+    sk2 = hll_sketch(df2, "u", p=12)
+    assert sk2.filter(F.col("bucket").isNull()).count() == 0
+    est2 = hll_estimate(sk2, p=12).collect()[0]["est"]
+    assert abs(est2 - 2.0) < 0.01, est2
