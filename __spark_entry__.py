@@ -705,24 +705,36 @@ def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit/receipt dates): lines shipped 60+ days after their order
     date during 1996-1997, bucketed by return flag, counting
     high-priority (1-URGENT/2-HIGH) vs lower-priority orders — the
-    two-CASE-sum aggregate over a date-arithmetic join predicate."""
+    two-CASE-sum aggregate over a date-arithmetic join predicate.
+
+    The predicate runs at DATE granularity (to_date + date_add) on
+    purpose: the timestamps load as timestamp_ntz, and comparing ntz
+    against a string-cast TIMESTAMP literal coerces through the
+    session timezone — a seam that can flip midnight-exact boundary
+    rows between engines under a non-UTC driver TZ.  Dates have no
+    zone in either engine, so this form is bit-stable anywhere."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ship = F.to_date("l_shipdate")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(
-            (F.col("l_shipdate")
-             >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-            & (F.col("l_shipdate")
-               >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate")
-               < F.lit("1998-01-01").cast("timestamp"))
+            (ship >= F.date_add(F.to_date("o_orderdate"), 60))
+            & (ship >= F.lit("1996-01-01").cast("date"))
+            & (ship < F.lit("1998-01-01").cast("date"))
         )
         .groupBy("l_returnflag")
         .agg(
-            F.sum(hi.cast("long")).alias("high_line_count"),
-            F.sum((~hi).cast("long")).alias("low_line_count"),
+            # when/otherwise (not bool casts): mirrors SQL CASE
+            # exactly — a NULL priority lands in the ELSE branch on
+            # both engines instead of vanishing from the Spark sum
+            F.sum(
+                F.when(hi, F.lit(1)).otherwise(0).cast("long")
+            ).alias("high_line_count"),
+            F.sum(
+                F.when(hi, F.lit(0)).otherwise(1).cast("long")
+            ).alias("low_line_count"),
         )
     )
 
@@ -733,13 +745,17 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     they were the ONLY late supplier — the exists/not-exists double
     correlation, expressed as one per-order aggregate (distinct
     suppliers, distinct LATE suppliers) re-joined to the late lines
-    instead of two correlated self-scans."""
+    instead of two correlated self-scans.
+
+    DATE-granularity lateness predicate for the same reason as
+    q12_late_priority: to_date + date_add is timezone-free in both
+    engines, timestamp-interval arithmetic is not."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
     late = (
-        F.col("l_shipdate")
-        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        F.to_date("l_shipdate")
+        > F.date_add(F.to_date("o_orderdate"), 90)
     )
     lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
         "l_orderkey", "l_suppkey", late.alias("late")
@@ -8419,15 +8435,20 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                        THEN 0 ELSE 1 END) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
-              AND l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate < TIMESTAMP '1998-01-01'
+            -- DATE granularity on purpose: timezone-free in both
+            -- engines (see q12_late_priority docstring)
+            WHERE CAST(l_shipdate AS DATE)
+                    >= CAST(o_orderdate AS DATE) + 60
+              AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
             GROUP BY l_returnflag
         """,
         "q21_waiting_supplier": """
             WITH lo AS (
               SELECT l_orderkey, l_suppkey,
-                     CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                     -- DATE granularity: timezone-free (q12 note)
+                     CASE WHEN CAST(l_shipdate AS DATE)
+                               > CAST(o_orderdate AS DATE) + 90
                           THEN 1 ELSE 0 END AS late
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             ),

@@ -81,3 +81,28 @@ def test_rows_only_queries(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize(
+    "name", ["q12_late_priority", "q21_waiting_supplier"]
+)
+def test_date_hardened_gates_tz_stable(spark, duck, name):
+    """The r12 q12 driver red motivated DATE-granularity predicates:
+    verify the hardened queries match their oracles even when the
+    Spark session timezone is NOT the driver default — dates have no
+    zone, so a non-UTC harness cannot flip boundary rows."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("Asia/Tokyo", "America/Los_Angeles"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            sdf = QUERIES[name](spark, SF_DIR)
+            a = normalize(
+                [tuple(r) for r in sdf.collect()], sdf.columns
+            )
+            res = duck.execute(ORACLES[name])
+            b = normalize(
+                res.fetchall(), [d[0] for d in res.description]
+            )
+            assert a == b, f"{name} diverges under {tz}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -2,7 +2,16 @@
 against its DuckDB twin at a given sf dir, using the driver's compare
 (row count + sorted column names + values at 1e-9, order-insensitive).
 
-Usage: python tools/replay_gates.py [sf_dir] [name_substring ...]
+Usage: python tools/replay_gates.py [--diff] [--tz ZONE] [sf_dir]
+                                    [name_substring ...]
+
+--diff      on a hash mismatch, print EVERY differing row pair
+            (spark-only rows vs oracle-only rows, aligned after the
+            normalized sort) plus a per-column first-divergence note,
+            so a driver red is diagnosable from this output alone.
+--tz ZONE   set spark.sql.session.timeZone AND the JVM user.timezone
+            to ZONE (e.g. America/Los_Angeles) to reproduce a driver
+            harness running under a non-UTC timezone.
 """
 import math
 import sys
@@ -35,15 +44,56 @@ def normalize(rows, columns):
     return sorted(out)
 
 
+def explain_red(name, scols, srows, dcols, drows):
+    """Full per-row diagnosis of a mismatch: set-difference of the
+    normalized rows, printed completely (both sides are gate-sized)."""
+    a = normalize(srows, scols)
+    b = normalize(drows, dcols)
+    only_a = [r for r in a if r not in set(b)]
+    only_b = [r for r in b if r not in set(a)]
+    cols = sorted(scols)
+    print(f"  diff {name}: columns (sorted) = {cols}")
+    print(f"  spark-only rows ({len(only_a)}):")
+    for r in only_a:
+        print(f"    S {r}")
+    print(f"  oracle-only rows ({len(only_b)}):")
+    for r in only_b:
+        print(f"    O {r}")
+    # per-column first divergence on the aligned sorted lists — spots
+    # a single drifting column (a float format, a unit, a timezone)
+    for x, y in zip(a, b):
+        if x != y:
+            for c, (xv, yv) in zip(cols, zip(x, y)):
+                if xv != yv:
+                    print(f"  first divergence: col {c}: "
+                          f"spark={xv!r} oracle={yv!r}")
+                    return
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    pats = sys.argv[2:]
-    spark = (
+    args = sys.argv[1:]
+    show_diff = "--diff" in args
+    if show_diff:
+        args.remove("--diff")
+    tz = None
+    if "--tz" in args:
+        i = args.index("--tz")
+        tz = args[i + 1]
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    pats = args[1:]
+    builder = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if tz:
+        builder = builder.config(
+            "spark.sql.session.timeZone", tz
+        ).config(
+            "spark.driver.extraJavaOptions", f"-Duser.timezone={tz}"
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
@@ -83,6 +133,8 @@ def main():
             b = normalize(drows, dcols)
             diff = [(x, y) for x, y in zip(a, b) if x != y][:2]
             print(f"RED   {name}: rows {len(srows)}/{len(drows)} diff {diff}")
+            if show_diff:
+                explain_red(name, scols, srows, dcols, drows)
     print(f"\n{n_green}/{len(names)} green at {sf_dir}")
     if reds:
         print("REDS:", reds)
