@@ -536,6 +536,31 @@ def length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k quantile sketch under the hash gate (round 13;
+    operators/quantiles.py): per-language n_chars quantiles from a
+    k=256 hash-threshold sample — build (WindowGroupLimit bottom-k on
+    the seeded doc_id hash), then the Type-1 ceil(q*s) pick over the
+    sample.  The oracle replays the sample membership row-for-row
+    (same 60-bit md5 of doc_id:salt, same (h, value) order, same
+    rank cut) and the same DOUBLE ceil arithmetic, so a drift in the
+    hash, the bottom-k rule, or the estimator breaks the hash."""
+    from riskloc_spark.operators.quantiles import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    sk = quantile_sketch(
+        d, "n_chars", "doc_id", key_cols=["lang"], k=256, salt=0
+    )
+    return quantile_estimate(
+        sk, [0.25, 0.5, 0.9, 0.99], key_cols=["lang"]
+    )
+
+
 def cms_term_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketches under the hash gate (round 12;
     operators/cms.py): per-source term-frequency registers (4 seeded
@@ -5018,6 +5043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the three gates EXTENDED this round (their r11 records pin
     # the old semantics), then pure stalest-first by newest driver
     # record (r8 tier, then r9, then r10, then r11); rows-only last.
+    # ---- new round-13 gates (never driver-recorded) ----
+        "quantile_sketch": quantile_sketch_q,
     # ---- new round-12 gates (never driver-recorded) ----
         "robots_agent_groups": robots_agent_groups_q,
         "image_ingest_dedup": image_ingest_dedup_q,
@@ -8253,6 +8280,42 @@ def oracle_sql() -> dict[str, str]:
             FROM cum CROSS JOIN qs
             WHERE cm >= CAST(ceil(q * n) AS BIGINT)
             GROUP BY source, q
+        """,
+        "quantile_sketch": """
+            WITH h AS (
+              SELECT lang,
+                     CAST('0x' || substr(
+                       md5(CAST(doc_id AS VARCHAR) || ':0'),
+                       1, 15) AS BIGINT) AS h,
+                     CAST(n_chars AS DOUBLE) AS value
+              FROM documents
+              WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+            ),
+            sk AS (
+              SELECT lang, h, value FROM (
+                SELECT lang, h, value,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY lang
+                         ORDER BY h ASC, value ASC) AS rn
+                FROM h
+              ) WHERE rn <= 256
+            ),
+            r AS (
+              SELECT lang, h, value,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY value ASC, h ASC) AS rn,
+                     COUNT(*) OVER (PARTITION BY lang) AS s
+              FROM sk
+            ),
+            qs(q) AS (
+              -- DOUBLE fractions (length_quantiles note): a DECIMAL
+              -- q * s is exact and ceils differently than doubles
+              VALUES (0.25e0), (0.5e0), (0.9e0), (0.99e0)
+            )
+            SELECT lang, q + 0e0 AS q, value + 0e0 AS value
+            FROM r CROSS JOIN qs
+            WHERE rn = CAST(ceil(q * s) AS INT)
         """,
         "cms_term_counts": r"""
             WITH toks AS MATERIALIZED (
