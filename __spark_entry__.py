@@ -561,6 +561,27 @@ def quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter DISCOVERY under the hash gate (round 13;
+    operators/cms.heavy_hitters): top-15 users per event type from
+    the bottom-1024 candidate sample composed with the Count-Min
+    estimate — the sketch tier answering "WHO are the heavy hitters",
+    not just "how often is X".  The oracle replays the candidate
+    sample membership (seeded event_id hash, WindowGroupLimit rank),
+    every CMS register, the min-with-absent-counts-zero lookup, and
+    the est-desc/item-asc rank, so a drift anywhere in the
+    composition breaks the hash."""
+    from riskloc_spark.operators.cms import heavy_hitters
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id"
+    )
+    return heavy_hitters(
+        e, "user_id", "event_id", key_cols=["event_type"],
+        top_k=15, sample_k=1024, width=1024, depth=4, salt=0,
+    )
+
+
 def cms_term_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketches under the hash gate (round 12;
     operators/cms.py): per-source term-frequency registers (4 seeded
@@ -5045,6 +5066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # record (r8 tier, then r9, then r10, then r11); rows-only last.
     # ---- new round-13 gates (never driver-recorded) ----
         "quantile_sketch": quantile_sketch_q,
+        "heavy_hitters": heavy_hitters_q,
     # ---- new round-12 gates (never driver-recorded) ----
         "robots_agent_groups": robots_agent_groups_q,
         "image_ingest_dedup": image_ingest_dedup_q,
@@ -8316,6 +8338,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, q + 0e0 AS q, value + 0e0 AS value
             FROM r CROSS JOIN qs
             WHERE rn = CAST(ceil(q * s) AS INT)
+        """,
+        "heavy_hitters": """
+            WITH src AS (
+              SELECT event_type, event_id, user_id
+              FROM events
+              WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+            ),
+            cand AS (
+              SELECT DISTINCT event_type, item FROM (
+                SELECT event_type, user_id AS item,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY event_type
+                         ORDER BY CAST('0x' || substr(
+                             md5(CAST(event_id AS VARCHAR) || ':0'),
+                             1, 15) AS BIGINT) ASC,
+                           user_id ASC) AS rn
+                FROM src
+              ) WHERE rn <= 1024
+            ),
+            rws(rw) AS (VALUES (0), (1), (2), (3)),
+            regs AS (
+              SELECT event_type, rw,
+                     CAST(CAST('0x' || substr(
+                         md5(CAST(user_id AS VARCHAR) || ':' || rw),
+                         1, 15) AS BIGINT) % 1024 AS INT) AS bucket,
+                     COUNT(*) AS cnt
+              FROM src CROSS JOIN rws
+              GROUP BY event_type, rw, bucket
+            ),
+            uniq AS (SELECT DISTINCT item FROM cand),
+            probe AS (
+              SELECT item, rw,
+                     CAST(CAST('0x' || substr(
+                         md5(CAST(item AS VARCHAR) || ':' || rw),
+                         1, 15) AS BIGINT) % 1024 AS INT) AS bucket
+              FROM uniq CROSS JOIN rws
+            ),
+            per AS (
+              SELECT r.event_type, p.item,
+                     MIN(r.cnt) AS mn, COUNT(*) AS nrows
+              FROM regs r
+              JOIN probe p ON r.rw = p.rw AND r.bucket = p.bucket
+              GROUP BY r.event_type, p.item
+            ),
+            est AS (
+              SELECT b.event_type, u.item,
+                     CASE WHEN per.nrows IS NULL OR per.nrows < 4
+                          THEN CAST(0 AS BIGINT)
+                          ELSE CAST(per.mn AS BIGINT) END AS est
+              FROM (SELECT DISTINCT event_type FROM regs)
+                   b(event_type)
+              CROSS JOIN uniq u
+              LEFT JOIN per ON per.event_type = b.event_type
+                           AND per.item = u.item
+            )
+            SELECT event_type, CAST(rank AS INT) AS rank, item, est
+            FROM (
+              SELECT event_type, item, est,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY est DESC, item ASC) AS rank
+              FROM est
+            ) WHERE rank <= 15
         """,
         "cms_term_counts": r"""
             WITH toks AS MATERIALIZED (

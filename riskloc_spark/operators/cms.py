@@ -32,6 +32,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from riskloc_spark.operators.dedup import md5_hash64
 
@@ -148,4 +149,106 @@ def cms_lookup(
         )
         .otherwise(F.col("__min"))
         .alias("est"),
+    )
+
+
+def heavy_hitter_candidates(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    key_cols: list | None = None,
+    sample_k: int = 4096,
+    salt: int = 0,
+    hash_fn=md5_hash64,
+) -> DataFrame:
+    """(key..., item): the distinct values seen in a deterministic
+    bottom-``sample_k`` uniform row sample per key (the quantile
+    sketch's hash-threshold membership, operators/quantiles.py) — the
+    candidate stream for heavy-hitter discovery.  A value with
+    frequency >= eps*n is missed with probability <= (1-eps)^sample_k
+    (~e^(-eps*sample_k): at sample_k=4096 an 0.1%-heavy item is
+    missed <2% of the time, a 1%-heavy item essentially never).
+    Mergeable: candidate sets from shard-level bottom-k samples union
+    into a superset of the union's candidates.  ``id_col`` must be
+    unique per row."""
+    if sample_k < 1:
+        raise ValueError("sample_k must be >= 1")
+    keys = list(key_cols or [])
+    staged = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+        )
+        .select(
+            *keys,
+            (
+                hash_fn(F.col(id_col), seed=salt)
+                .bitwiseAND(F.lit(_HASH_MASK))
+            ).alias("__h"),
+            F.col(value_col).alias("item"),
+        )
+    )
+    # rank<=k compiles to WindowGroupLimit: each map task forwards at
+    # most sample_k rows per key into the shuffle
+    w = Window.partitionBy(*keys).orderBy("__h", "item")
+    return (
+        staged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= sample_k)
+        .select(*keys, "item")
+        .distinct()
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    key_cols: list | None = None,
+    top_k: int = 20,
+    sample_k: int = 4096,
+    width: int = 1024,
+    depth: int = 4,
+    salt: int = 0,
+    hash_fn=md5_hash64,
+) -> DataFrame:
+    """(key..., rank, item, est): heavy-hitter DISCOVERY — the top-k
+    most frequent values per key group, found WITHOUT an exact
+    distinct-sized aggregation: a bottom-``sample_k`` uniform sample
+    proposes candidates (every eps-heavy value w.h.p., see
+    ``heavy_hitter_candidates``), ``cms_sketch`` + ``cms_lookup``
+    estimate their counts (overestimate-only, <= true + eps_cms*N
+    w.h.p. for width >= e/eps_cms), and a WindowGroupLimit rank keeps
+    the k largest estimates (item-asc tiebreak — deterministic).
+
+    Why not SpaceSaving/Misra-Gries: their summaries depend on stream
+    order, so two partitionings of the same data disagree — not
+    replayable by an independent engine, not property-testable as
+    merge == union.  This composition is both: candidates merge by
+    union, registers by sum, so per-shard artifacts compose into the
+    corpus answer.  Two corpus scans (sample + registers), both
+    map-side bounded; everything downstream is candidate-sized.
+
+    Caveat (documented, test-pinned): ranks order CMS OVERestimates,
+    so a light item can outrank a heavier one only through register
+    collisions — size ``width`` >= e/eps for the N at hand."""
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    keys = list(key_cols or [])
+    cand = heavy_hitter_candidates(
+        df, value_col, id_col, keys, sample_k, salt, hash_fn
+    )
+    sketch = cms_sketch(
+        df, value_col, keys, width, depth, hash_fn=hash_fn
+    )
+    est = cms_lookup(
+        sketch, cand, "item", keys, width, depth, hash_fn
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("est").desc(), F.col("item").asc()
+    )
+    return (
+        est.withColumn(
+            "rank", F.row_number().over(w).cast("int")
+        )
+        .filter(F.col("rank") <= top_k)
+        .select(*keys, "rank", "item", "est")
     )

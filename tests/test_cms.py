@@ -114,3 +114,74 @@ def test_cms_xxhash64_and_null_handling(spark):
     ).collect()
     assert len(out) == 1 and out[0]["item"] == "v0"
     assert out[0]["est"] >= 10
+
+
+def _zipf_rows(n, n_items, seed=3):
+    """Deterministic Zipf-ish multiset: item j appears ~ n/(j+1)."""
+    rows, rid = [], 0
+    for j in range(n_items):
+        c = max(1, int(n / (j + 1)))
+        for _ in range(c):
+            rows.append((rid, f"item{j:03d}"))
+            rid += 1
+    return rows
+
+
+def test_heavy_hitters_recover_exact_topk(spark):
+    """On a Zipfian corpus with a wide (collision-light) CMS, the
+    discovered top-10 equals the exact groupBy-count top-10, every
+    estimate overestimates-or-equals its true count, and the result
+    is identical under repartitioning."""
+    from collections import Counter
+
+    from riskloc_spark.operators.cms import heavy_hitters
+
+    rows = _zipf_rows(2000, 120)
+    true = Counter(v for _, v in rows)
+    df = spark.createDataFrame(rows, "id long, v string")
+    out = heavy_hitters(
+        df, "v", "id", top_k=10, sample_k=512, width=2048, depth=4
+    ).collect()
+    got = [(r["rank"], r["item"], r["est"]) for r in out]
+    exact = sorted(
+        true.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:10]
+    assert [(i, it) for i, it, _ in got] == [
+        (i + 1, it) for i, (it, _) in enumerate(exact)
+    ], (got, exact)
+    for _, it, est in got:
+        assert est >= true[it], (it, est, true[it])
+    out2 = heavy_hitters(
+        df.repartition(13), "v", "id",
+        top_k=10, sample_k=512, width=2048, depth=4,
+    ).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+
+
+def test_heavy_hitter_candidates_recall_and_keys(spark):
+    """every >=2%-frequency value lands in the candidate set at
+    sample_k=512, and keyed discovery does not leak counts across
+    keys (estimates are per-key; a key-b item probed in key a gets
+    key a's collision floor, never key b's count)."""
+    from riskloc_spark.operators.cms import (
+        heavy_hitter_candidates,
+        heavy_hitters,
+    )
+
+    rows = [("a", i, f"hot{i % 20}") for i in range(1000)]
+    rows += [("b", 10000 + i, "bcold") for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, id long, v string")
+    cand = {
+        (r["g"], r["item"])
+        for r in heavy_hitter_candidates(
+            df, "v", "id", key_cols=["g"], sample_k=512
+        ).collect()
+    }
+    for j in range(20):  # each hot item is 5% of key a
+        assert ("a", f"hot{j}") in cand
+    out = heavy_hitters(
+        df, "v", "id", key_cols=["g"],
+        top_k=3, sample_k=512, width=2048, depth=4,
+    ).collect()
+    top_b = [r for r in out if r["g"] == "b" and r["rank"] == 1][0]
+    assert top_b["item"] == "bcold" and top_b["est"] == 30
