@@ -10,18 +10,33 @@ Scale shapes
 * Corpus stats (N, avgdl) are a one-row frame broadcast into the
   plan; per-term document frequencies are a second combinable
   aggregation over the (small) distinct posting keys.
-* Queries are tiny against a 100-TB corpus: the query-term frame is
-  BROADCAST into the posting join, so the corpus-volume side is never
-  shuffled by the query — the single exchange is the per-(query, doc)
-  score reduce, bounded by matched postings, combiner-absorbed.
+* Queries are usually tiny against a 100-TB corpus: the query-term
+  frame is BROADCAST into the posting join, so the corpus-volume side
+  is never shuffled by the query — the single exchange is the
+  per-(query, doc) score reduce, bounded by matched postings,
+  combiner-absorbed.  THE BROADCAST-SIZE CONTRACT: the default path
+  assumes the query set fits a broadcast (same contract as the robots
+  rules table).  When query sets can be large (decontaminating
+  against a whole benchmark suite), pass ``broadcast_queries_limit``:
+  the operator PROBES the query count (one bounded limit+count on the
+  query frame — never the corpus) and falls back to shuffle joins
+  past the limit, the robots.py probed-regime discipline.
 * Top-k per query compiles to a rank window over the scored frame —
   with a LIMIT-like filter (rank <= k) Spark plans WindowGroupLimit,
   the map-side-capped shape the domain-caps operator pins in
   test_plans.
 
-Tokenization is the repo-wide explicit-whitespace discipline
-(functions/text.WS_CLASS): lowercase, split on ASCII whitespace runs.
-Plug a better analyzer in by pre-tokenizing upstream.
+Analyzer: the default is the repo-wide explicit-whitespace discipline
+(functions/text.WS_CLASS): lowercase, split on ASCII whitespace runs
+— EXACTLY the quality suite's ``words()`` tokenizer
+(functions/quality.py:61), so BM25 and tf-idf rank over the same term
+space.  Options (applied identically to documents and queries, so
+both sides stay in one term space): ``lowercase`` off for
+case-sensitive corpora, ``stopwords`` (e.g. quality.GOPHER_STOPWORDS
+or text.EN_STOPWORDS) removed after casing, ``strip_punct`` trims
+non-alphanumeric token edges ("spark," -> "spark"), ``min_token_len``
+drops residue tokens.  All analyzer work is built-in column algebra
+inside the one token explode — no UDFs.
 
 No reference counterpart (shaido987/riskloc is tabular RCA only).
 """
@@ -34,15 +49,43 @@ from pyspark.sql.window import Window
 from riskloc_spark.functions.text import WS_CLASS
 
 
-def _terms(df: DataFrame, text_col: str, keep: list) -> DataFrame:
-    toks = F.split(
-        F.lower(F.trim(F.col(text_col))), WS_CLASS + "+"
-    )
-    return (
+def _terms(
+    df: DataFrame,
+    text_col: str,
+    keep: list,
+    lowercase: bool = True,
+    stopwords: list | None = None,
+    strip_punct: bool = False,
+    min_token_len: int = 1,
+) -> DataFrame:
+    """One analyzed (keep..., term) row per token.  The default
+    options reproduce quality.words() exactly (lowercase + WS split +
+    empty drop); every option is a column expression inside the same
+    single explode."""
+    base = F.trim(F.col(text_col))
+    if lowercase:
+        base = F.lower(base)
+    toks = F.split(base, WS_CLASS + "+")
+    out = (
         df.filter(F.trim(F.col(text_col)) != "")
         .select(*keep, F.explode(toks).alias("term"))
-        .filter(F.col("term") != "")
     )
+    if strip_punct:
+        # trim non-alphanumeric EDGES only ("spark," -> "spark",
+        # "don't" stays "don't") — Unicode classes so the analyzer
+        # is not ASCII-bound
+        out = out.withColumn(
+            "term",
+            F.regexp_replace(
+                F.col("term"),
+                r"^[^\p{L}\p{N}]+|[^\p{L}\p{N}]+$",
+                "",
+            ),
+        )
+    cond = F.length(F.col("term")) >= max(1, int(min_token_len))
+    if stopwords:
+        cond = cond & ~F.col("term").isin(list(stopwords))
+    return out.filter(cond)
 
 
 def bm25_scores(
@@ -54,12 +97,29 @@ def bm25_scores(
     query_col: str = "query",
     k1: float = 1.2,
     b: float = 0.75,
+    lowercase: bool = True,
+    stopwords: list | None = None,
+    strip_punct: bool = False,
+    min_token_len: int = 1,
+    broadcast_queries_limit: int | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score): BM25 score for every document that
     matches at least one query term.  idf is the non-negative variant
     ln(1 + (N - df + 0.5)/(df + 0.5)); duplicate terms in a query
-    count once (standard bag-of-distinct-terms form)."""
-    postings = _terms(docs, text_col, [F.col(doc_id_col).alias("doc_id")])
+    count once (standard bag-of-distinct-terms form).  Analyzer
+    options apply to BOTH sides (module docstring); the default path
+    is bit-identical to the pre-option operator.
+
+    ``broadcast_queries_limit``: None (default) trusts the
+    broadcast-size contract and always broadcasts the query-term
+    frames.  An integer PROBES the query-frame row count (bounded:
+    limit+1 rows of the QUERY table, never the corpus) and switches
+    to shuffle joins past it — the robots.py probed-regime
+    discipline for caller-supplied tables of unknown size."""
+    postings = _terms(
+        docs, text_col, [F.col(doc_id_col).alias("doc_id")],
+        lowercase, stopwords, strip_punct, min_token_len,
+    )
     tf = postings.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
@@ -70,8 +130,15 @@ def bm25_scores(
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qterms = _terms(
-        queries, query_col, [F.col(query_id_col).alias("query_id")]
+        queries, query_col, [F.col(query_id_col).alias("query_id")],
+        lowercase, stopwords, strip_punct, min_token_len,
     ).distinct()
+    small_queries = True
+    if broadcast_queries_limit is not None:
+        # the ONLY eager action: a bounded count of the query frame
+        probe = queries.limit(broadcast_queries_limit + 1).count()
+        small_queries = probe <= broadcast_queries_limit
+    hint = F.broadcast if small_queries else (lambda d: d)
     idf = F.log(
         1.0
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -83,10 +150,10 @@ def bm25_scores(
     # restrict the (vocab-sized) df table to query terms BEFORE it is
     # broadcast — the corpus side then sees only broadcast joins
     qvocab = qterms.select("term").distinct()
-    dfreq_q = dfreq.join(F.broadcast(qvocab), "term")
+    dfreq_q = dfreq.join(hint(qvocab), "term")
     return (
-        tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq_q), "term")
+        tf.join(hint(qterms), "term")
+        .join(hint(dfreq_q), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")

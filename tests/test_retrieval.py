@@ -96,3 +96,90 @@ def test_bm25_duplicate_query_terms_count_once(spark):
     b = {(r["query_id"], r["doc_id"]): r["score"]
          for r in bm25_scores(docs, q2).collect()}
     assert a == b
+
+
+def test_analyzer_default_matches_quality_words(spark):
+    """the default analyzer produces EXACTLY the quality suite's
+    words() term space — BM25 and tf-idf rank over the same tokens."""
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.functions.quality import words
+    from riskloc_spark.operators.retrieval import _terms
+
+    df = spark.createDataFrame(
+        [(0, "  The QUICK  brown\tfox. "), (1, ""), (2, "   ")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["term"])
+        for r in _terms(df, "text", [F.col("doc_id")]).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["term"])
+        for r in df.select(
+            "doc_id", F.explode(words(F.col("text"))).alias("term")
+        ).collect()
+    )
+    assert got == want
+
+
+def test_analyzer_options(spark):
+    """stopword removal, punctuation-edge stripping, case
+    preservation, and min-token-length each reshape the term space on
+    BOTH sides (document and query)."""
+    docs = spark.createDataFrame(
+        [(0, "The Spark, engine!"), (1, "a an of x")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(0, "the spark")], "query_id long, query string"
+    )
+    # default: 'spark,' != query term 'spark' -> only 'the' matches
+    base = bm25_scores(docs, qs).collect()
+    assert {r["doc_id"] for r in base} == {0}
+    # strip_punct: 'spark,' -> 'spark' matches; 'engine!' -> 'engine'
+    sp = bm25_scores(docs, qs, strip_punct=True).collect()
+    assert {r["doc_id"] for r in sp} == {0}
+    # stopwords: 'the' no longer matches anywhere; doc 1 has no hits
+    st = bm25_scores(
+        docs, qs, strip_punct=True, stopwords=["the", "a", "an", "of"]
+    ).collect()
+    assert {r["doc_id"] for r in st} == {0}
+    # case-sensitive: query 'spark' no longer matches doc 'Spark,'
+    cs = bm25_scores(
+        docs, qs, lowercase=False, strip_punct=True,
+        stopwords=["the"],
+    ).collect()
+    assert cs == []
+    # min_token_len drops the single-char residue tokens
+    ml = bm25_scores(
+        docs,
+        spark.createDataFrame(
+            [(0, "x of")], "query_id long, query string"
+        ),
+        min_token_len=2,
+    ).collect()
+    assert {r["doc_id"] for r in ml} == {1}  # only 'of' survives
+
+
+def test_query_broadcast_probe_and_shuffle_fallback(spark):
+    """the query-side join regime is probed (robots.py discipline):
+    under the limit the plan broadcasts the query terms; past it
+    (limit=0) the hints drop, the joins shuffle, and the scores are
+    identical."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(
+        QUERIES, "query_id long, query string"
+    )
+    fast = bm25_topk(docs, qs, topk=3)
+    plan_fast = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_fast, plan_fast
+    wide = bm25_topk(docs, qs, topk=3, broadcast_queries_limit=0)
+    plan_wide = wide._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "SortMergeJoin" in plan_wide
+        or "ShuffledHashJoin" in plan_wide
+    ), plan_wide
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, wide.collect())
+    )
