@@ -622,6 +622,10 @@ def scale_block(spark) -> dict:
     except Exception as e:
         out["media"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     try:
+        out["video"] = _video_breakdown(spark)
+    except Exception as e:
+        out["video"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
         out["ann"] = _ann_scale(spark)
     except Exception as e:
         out["ann"] = {"error": f"{type(e).__name__}: {e}"[:200]}
@@ -2444,3 +2448,72 @@ def _audio_scale(spark, n_docs: int = 20_000) -> dict:
 
 if __name__ == "__main__":
     main()
+
+
+def _video_breakdown(spark) -> dict:
+    """Stage cost breakdown of video_near_dup, the slowest headline
+    query (VERDICT r12 #8): on the EXACT gate corpus, time the
+    pipeline cumulatively — synthesize-only (payload byte count),
+    + demux (video_meta), + JPEG-decode+dhash (video_dhash), and the
+    full pipeline (+ banded same-frame matching) — and report each
+    stage as the delta.  Says whether the cost is the container walk,
+    the dependency-free per-symbol JPEG decoder (the documented
+    production seam: a native decoder behind the same mapInPandas
+    plumbing), or the matching plan."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.dedup import spread_small_scan
+    from riskloc_spark.operators.video import (
+        synthesize_neardup_avi_corpus,
+        video_dhash,
+        video_meta,
+        video_near_dup,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    d = entry_mod.load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def corpus():
+        base = synthesize_neardup_avi_corpus(spread_small_scan(d))
+        dups = synthesize_neardup_avi_corpus(
+            spread_small_scan(d.filter(F.col("media_id") % 3 == 0))
+        ).withColumn(
+            "media_id", F.col("media_id") + F.lit(10_000_000)
+        )
+        return base.unionByName(dups)
+
+    def best2(fn):
+        b = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    t_synth = best2(
+        lambda: corpus().agg(
+            F.sum(F.length("payload"))
+        ).collect()
+    )
+    t_demux = best2(lambda: video_meta(corpus()).count())
+    t_decode = best2(lambda: video_dhash(corpus()).count())
+    t_full = best2(
+        lambda: video_near_dup(
+            corpus(), max_hamming=6, min_frame_matches=2
+        ).count()
+    )
+    return {
+        "synthesize_sec": round(t_synth, 2),
+        "demux_sec": round(max(0.0, t_demux - t_synth), 2),
+        "jpeg_decode_dhash_sec": round(
+            max(0.0, t_decode - t_demux), 2
+        ),
+        "matching_sec": round(max(0.0, t_full - t_decode), 2),
+        "full_sec": round(t_full, 2),
+    }

@@ -1359,11 +1359,24 @@ def banded_hamming_pairs(
     and only candidates pay the popcount check.  Never an all-pairs
     comparison: the exchange is the block-bucket hash join (the
     minhash-LSH band shape), skewed buckets split under AQE.  Shared
-    by image (dhash) and audio (energy fingerprint) near-dup."""
+    by image (dhash) and audio (energy fingerprint) near-dup.
+
+    The input is lazily LOCAL-CHECKPOINTED before the self-join:
+    Spark performs no common-subexpression elimination across join
+    branches, so without it the entire upstream pipeline (decode +
+    hash — the expensive part of every caller) executes TWICE, once
+    per side (measured 2x on the video gate corpus, BENCH r13 video
+    block).  Hash rows are tiny (id + 64-bit hash), so the
+    checkpoint copy is noise next to the saved decode pass.  Skipped
+    for streaming inputs (checkpointing a streaming frame is
+    unsupported; the streaming callers pair against a persisted
+    index, not themselves)."""
     from pyspark.sql import functions as _F
 
     if max_hamming < 0:
         raise ValueError("max_hamming must be >= 0")
+    if not hashes.isStreaming:
+        hashes = hashes.localCheckpoint(eager=False)
     extra = list(extra_keys or [])
     n_blocks = max_hamming + 1
     width = (64 + n_blocks - 1) // n_blocks
