@@ -317,6 +317,184 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape on the reduced schema (no partsupp —
+    lineitem-derived supply relationships stand in): for each LARGE
+    big part, the region-3 supplier with the MINIMUM total revenue on
+    that part (the "cheapest supplier" correlated-min, decorrelated
+    into a rank-1 window with a suppkey tiebreak), profiled by
+    supplier account balance — Q2's min-cost-supplier-per-part join
+    topology.  Region membership is s_nationkey % 5 (the generator's
+    n_regionkey rule) so the predicate is scale-stable even where the
+    nation dim has fewer rows than supplier nationkeys reference.
+    Money sums in exact BIGINT cents (the q9 em-discipline)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    region3 = s.filter(F.col("s_nationkey") % 5 == 3)
+    rev = (
+        l.join(
+            F.broadcast(region3.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            ).alias("rev_em2")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("rev_em2").asc(), F.col("l_suppkey").asc()
+    )
+    best = (
+        rev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return (
+        best.join(
+            p.filter(
+                (F.col("p_type") == "LARGE") & (F.col("p_size") > 30)
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(
+                region3.select("s_suppkey", "s_name", "s_acctbal")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "p_partkey",
+            "p_name",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape on the reduced schema (no partsupp — shipped
+    value stands in for stock value): parts whose region-3 shipped
+    value exceeds TWICE the mean part value — the GROUP BY ... HAVING
+    SUM > scalar-subquery-fraction-of-total shape, decorrelated into
+    one aggregate plus a broadcast one-row total.  The mean-relative
+    cut (value * n_parts > total * 2) is scale-free where Q11's fixed
+    fraction would empty out as the part count grows.  Value in exact
+    BIGINT (cents x integer quantity) so the sums and the threshold
+    compare are bit-stable under any partitioning."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    val_em2 = F.round(F.col("l_extendedprice") * 100, 0).cast(
+        "long"
+    ) * F.col("l_quantity").cast("long")
+    v = (
+        l.join(
+            F.broadcast(
+                s.filter(F.col("s_nationkey") % 5 == 3)
+                .select("s_suppkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(val_em2).alias("value_em2"))
+    )
+    tot = v.agg(
+        F.sum("value_em2").alias("__tot"),
+        F.count(F.lit(1)).alias("__np"),
+    )
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value_em2") * F.col("__np") > F.col("__tot") * 2
+        )
+        .select("l_partkey", "value_em2")
+    )
+
+
+def q16_supplier_part_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 shape on the reduced schema (no partsupp — the
+    distinct (part, supplier) pairs observed in lineitem stand in):
+    supplier counts per (brand, type, size) over square sizes,
+    excluding one brand, one type, and low-balance suppliers via a
+    broadcast LEFT ANTI join (Q16's NOT IN complaint-supplier
+    subquery).  countDistinct keeps the exchange keyed on the group
+    columns; the anti join never shuffles the fact side."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    excl = s.filter(F.col("s_acctbal") < 1000).select("s_suppkey")
+    return (
+        p.filter(
+            (F.col("p_brand") != "Brand#3")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .join(l, F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(excl),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_dominant_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 shape on the reduced schema (no partsupp — yearly
+    shipped volume stands in for available stock): region-3 suppliers
+    who shipped MORE THAN HALF of some rod-part's total 1997 volume —
+    Q20's exists-with-correlated-aggregate, decorrelated into a
+    per-(part, supplier) aggregate compared against the per-part
+    total.  DATE-granularity year filter (the q12 timezone
+    discipline); quantities in exact BIGINT."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    od = F.to_date("o_orderdate")
+    q = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            p.filter(F.col("p_name").contains("rod")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(
+            (od >= F.lit("1997-01-01").cast("date"))
+            & (od < F.lit("1998-01-01").cast("date"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    pt = q.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("qty").alias("tot")
+    )
+    return (
+        q.join(pt, F.col("l_partkey") == F.col("pt_partkey"))
+        .filter(F.col("qty") * 2 > F.col("tot"))
+        .join(
+            F.broadcast(
+                s.filter(F.col("s_nationkey") % 5 == 3)
+                .select("s_suppkey", "s_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("qualifying_parts"))
+    )
+
+
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape on the reduced schema: above-average-balance
     customers with NO urgent order, profiled per market segment — a
@@ -5067,6 +5245,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- new round-13 gates (never driver-recorded) ----
         "quantile_sketch": quantile_sketch_q,
         "heavy_hitters": heavy_hitters_q,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q11_important_parts": q11_important_parts,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q20_dominant_suppliers": q20_dominant_suppliers,
     # ---- new round-12 gates (never driver-recorded) ----
         "robots_agent_groups": robots_agent_groups_q,
         "image_ingest_dedup": image_ingest_dedup_q,
@@ -8302,6 +8484,84 @@ def oracle_sql() -> dict[str, str]:
             FROM cum CROSS JOIN qs
             WHERE cm >= CAST(ceil(q * n) AS BIGINT)
             GROUP BY source, q
+        """,
+        "q2_min_cost_supplier": """
+            WITH rev AS (
+              SELECT l_partkey, l_suppkey,
+                     SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS rev_em2
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              WHERE s_nationkey % 5 = 3
+              GROUP BY l_partkey, l_suppkey
+            ),
+            best AS (
+              SELECT l_partkey, l_suppkey FROM (
+                SELECT l_partkey, l_suppkey,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY l_partkey
+                         ORDER BY rev_em2 ASC, l_suppkey ASC) AS rn
+                FROM rev
+              ) WHERE rn = 1
+            )
+            SELECT round(s_acctbal, 2) + 0e0 AS s_acctbal,
+                   s_name, p_partkey, p_name
+            FROM best
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE p_type = 'LARGE' AND p_size > 30
+            ORDER BY s_acctbal DESC, s_name ASC, p_partkey ASC
+            LIMIT 100
+        """,
+        "q11_important_parts": """
+            WITH v AS (
+              SELECT l_partkey,
+                     SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(l_quantity AS BIGINT)) AS value_em2
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              WHERE s_nationkey % 5 = 3
+              GROUP BY l_partkey
+            ),
+            t AS (
+              SELECT SUM(value_em2) AS tot, COUNT(*) AS np FROM v
+            )
+            SELECT l_partkey, value_em2
+            FROM v CROSS JOIN t
+            WHERE value_em2 * np > tot * 2
+        """,
+        "q16_supplier_part_counts": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q20_dominant_suppliers": """
+            WITH q AS (
+              SELECT l_partkey, l_suppkey,
+                     SUM(CAST(l_quantity AS BIGINT)) AS qty
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE '%rod%'
+                AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+                AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+              GROUP BY l_partkey, l_suppkey
+            ),
+            pt AS (
+              SELECT l_partkey, SUM(qty) AS tot FROM q GROUP BY 1
+            )
+            SELECT s_name, COUNT(*) AS qualifying_parts
+            FROM q
+            JOIN pt USING (l_partkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE qty * 2 > tot AND s_nationkey % 5 = 3
+            GROUP BY s_name
         """,
         "quantile_sketch": """
             WITH h AS (
