@@ -607,6 +607,45 @@ def streaming_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming quantile registers under the hash gate
+    (round 13; streaming/pipeline.quantile_registers_stream): the
+    events table arrives through an availableNow readStream and
+    aggregates into per-event-type bucketed-min sample registers in
+    complete mode — state is the SAMPLE (at most k=128 rows per key),
+    never the value multiset; a true bottom-k order statistic cannot
+    run as a bounded streaming aggregation, which is why the
+    bucketed-min variant exists (operators/quantiles.py).  The oracle
+    replays every register in SQL (same seeded 60-bit id hash, same
+    bucket split, same lexicographic (h, value) min), so streaming
+    registers must equal batch registers exactly."""
+    import os
+    import uuid
+
+    from riskloc_spark.streaming.pipeline import (
+        events_stream,
+        quantile_registers_stream,
+    )
+
+    src = events_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ).select("event_type", "event_id", "value")
+    regs = quantile_registers_stream(src, k=128)
+    name = "streaming_quantiles_" + uuid.uuid4().hex[:8]
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_quantiles: did not finish in 300s")
+    q.stop()
+    return spark.table(name)
+
+
 def bloom_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom membership sketches under the hash gate (round 12;
     operators/bloom.py): per-event-type set-bit tables over user ids
@@ -5249,6 +5288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_parts": q11_important_parts,
         "q16_supplier_part_counts": q16_supplier_part_counts,
         "q20_dominant_suppliers": q20_dominant_suppliers,
+        "streaming_quantiles": streaming_quantiles_q,
     # ---- new round-12 gates (never driver-recorded) ----
         "robots_agent_groups": robots_agent_groups_q,
         "image_ingest_dedup": image_ingest_dedup_q,
@@ -8562,6 +8602,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             WHERE qty * 2 > tot AND s_nationkey % 5 = 3
             GROUP BY s_name
+        """,
+        "streaming_quantiles": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST('0x' || substr(
+                       md5(CAST(event_id AS VARCHAR) || ':0'),
+                       1, 15) AS BIGINT) AS h,
+                     CAST(value AS DOUBLE) AS value
+              FROM events
+              WHERE event_id IS NOT NULL AND value IS NOT NULL
+            ),
+            b AS (
+              SELECT event_type, CAST(h % 128 AS INT) AS bucket,
+                     h, value
+              FROM h
+            )
+            SELECT event_type, bucket, h, value + 0e0 AS value
+            FROM (
+              SELECT event_type, bucket, h, value,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY event_type, bucket
+                       ORDER BY h ASC, value ASC) AS rn
+              FROM b
+            ) WHERE rn = 1
         """,
         "quantile_sketch": """
             WITH h AS (

@@ -162,3 +162,76 @@ def quantile_error_bound(k: int, delta: float = 0.01) -> float:
     if k < 1 or not 0 < delta < 1:
         raise ValueError("k >= 1 and delta in (0, 1) required")
     return math.sqrt(math.log(2.0 / delta) / (2.0 * k))
+
+
+def quantile_register_rows(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    key_cols: list | None = None,
+    k: int = 256,
+    salt: int = 0,
+    hash_fn=md5_hash64,
+) -> DataFrame:
+    """(key..., bucket, h, value) PRE-aggregation rows for the
+    BUCKETED-MIN sample — the bounded-state sibling of the bottom-k
+    sketch: the hash space is split into k buckets (h % k) and each
+    register keeps the lexicographic-min (h, value) of its bucket.
+    Shared by the batch sketch (groupBy min below) and the streaming
+    register aggregation (streaming/pipeline.quantile_registers_
+    stream), exactly the hll_register_rows pattern."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    keys = list(key_cols or [])
+    return (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+        )
+        .select(
+            *keys,
+            (
+                hash_fn(F.col(id_col), seed=salt)
+                .bitwiseAND(F.lit(_HASH_MASK))
+            ).alias("h"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .withColumn("bucket", (F.col("h") % k).cast("int"))
+    )
+
+
+def bucketed_min_sample(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    key_cols: list | None = None,
+    k: int = 256,
+    salt: int = 0,
+    hash_fn=md5_hash64,
+) -> DataFrame:
+    """(key..., bucket, h, value): the bucketed-min quantile sample —
+    per key at most k register rows, register j holding the
+    lexicographic-min (h, value) among rows whose id-hash lands in
+    bucket j.  Each register is a uniform draw from its bucket's
+    rows, so the k values are a stratified uniform sample: Type-1
+    quantile estimates over them carry the same DKW-style
+    sqrt(ln(2/d)/2k) rank envelope as the bottom-k sketch (strata
+    only tighten it).  Why it exists alongside ``quantile_sketch``:
+    min is a plain decomposable aggregate — this sketch runs as a
+    STREAMING complete-mode aggregation with state bounded at k rows
+    per key forever (the hll_registers_stream shape), and merges
+    across shards/windows by the very same groupBy min.  Drop the
+    sample into ``quantile_estimate`` unchanged."""
+    keys = list(key_cols or [])
+    rows = quantile_register_rows(
+        df, value_col, id_col, keys, k, salt, hash_fn
+    )
+    m = F.min(F.struct(F.col("h"), F.col("value"))).alias("__m")
+    return (
+        rows.groupBy(*keys, "bucket")
+        .agg(m)
+        .select(
+            *keys, "bucket",
+            F.col("__m.h").alias("h"),
+            F.col("__m.value").alias("value"),
+        )
+    )

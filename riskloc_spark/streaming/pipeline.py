@@ -631,3 +631,48 @@ def hll_registers_stream(
     return rows.groupBy(*key_cols, "bucket").agg(
         F.max("rank").alias("rank")
     )
+
+
+def quantile_registers_stream(
+    events: DataFrame,
+    value_col: str = "value",
+    id_col: str = "event_id",
+    key_cols: tuple = ("event_type",),
+    k: int = 128,
+    hash_fn=None,
+) -> DataFrame:
+    """Bounded-state streaming quantile sample: the bucketed-min
+    register aggregation (operators/quantiles.bucketed_min_sample)
+    over a stream — groupBy (key, bucket) min(struct(h, value)) in
+    complete/update mode.  State is at most k register rows per key,
+    fixed forever (the hll_registers_stream shape — an order
+    statistic like bottom-k can NOT run as a bounded streaming
+    aggregation, which is exactly why the bucketed-min variant
+    exists).  The register table lands in any sink and
+    ``quantile_estimate`` / the batch groupBy-min merge consume it
+    exactly like a batch sample (streaming registers == batch
+    registers over the same rows, gate-pinned)."""
+    from riskloc_spark.operators.dedup import md5_hash64
+    from riskloc_spark.operators.quantiles import (
+        quantile_register_rows,
+    )
+
+    rows = quantile_register_rows(
+        events,
+        value_col,
+        id_col,
+        list(key_cols),
+        k,
+        0,
+        hash_fn or md5_hash64,
+    )
+    m = F.min(F.struct(F.col("h"), F.col("value"))).alias("__m")
+    return (
+        rows.groupBy(*key_cols, "bucket")
+        .agg(m)
+        .select(
+            *key_cols, "bucket",
+            F.col("__m.h").alias("h"),
+            F.col("__m.value").alias("value"),
+        )
+    )

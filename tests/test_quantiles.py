@@ -132,3 +132,92 @@ def test_error_bound_function():
         quantile_error_bound(1024, 0.01)
         - math.sqrt(math.log(200.0) / 2048.0)
     ) < 1e-12
+
+
+def test_bucketed_min_sample_merge_and_bound(spark):
+    """the bounded-state sibling: register tables merge by the SAME
+    groupBy min (merge(sample(A), sample(B)) == sample(A ∪ B)), the
+    sample feeds quantile_estimate with the same DKW-style envelope,
+    and results are identical under repartitioning."""
+    from riskloc_spark.operators.quantiles import bucketed_min_sample
+
+    vals = [(i, float((i * 2654435761) % 9973)) for i in range(8000)]
+    full = spark.createDataFrame(vals, "id long, v double")
+    shards = [
+        spark.createDataFrame(vals[i::2], "id long, v double")
+        for i in range(2)
+    ]
+    whole = bucketed_min_sample(full, "v", "id", k=256)
+    merged_rows = (
+        bucketed_min_sample(shards[0], "v", "id", k=256)
+        .unionByName(bucketed_min_sample(shards[1], "v", "id", k=256))
+        .groupBy("bucket")
+        .agg(
+            F.min(F.struct(F.col("h"), F.col("value"))).alias("__m")
+        )
+        .select(
+            "bucket",
+            F.col("__m.h").alias("h"),
+            F.col("__m.value").alias("value"),
+        )
+    )
+    assert _rows(whole) == _rows(merged_rows)
+    assert _rows(whole) == _rows(
+        bucketed_min_sample(full.repartition(11), "v", "id", k=256)
+    )
+    # estimation: same Type-1 machinery, stratified-uniform sample
+    import numpy as np
+
+    got = {
+        r["q"]: r["value"]
+        for r in quantile_estimate(
+            whole.select("h", "value"), [0.5, 0.9]
+        ).collect()
+    }
+    data = np.sort([v for _, v in vals])
+    eps = quantile_error_bound(256, delta=0.01)
+    for q in (0.5, 0.9):
+        est_rank = np.searchsorted(data, got[q], side="right")
+        assert abs(est_rank - q * len(vals)) <= eps * len(vals) + 1
+
+
+def test_streaming_registers_equal_batch_sample(spark, tmp_path):
+    """streaming bucketed-min registers (complete mode, availableNow)
+    equal the batch sample over the same rows — the bounded-state
+    streaming-quantiles contract."""
+    from riskloc_spark.operators.quantiles import bucketed_min_sample
+    from riskloc_spark.streaming.pipeline import (
+        quantile_registers_stream,
+    )
+
+    rows = [
+        (i, f"t{i % 3}", float((i * 48271) % 1000))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    path = str(tmp_path / "ev")
+    df.write.parquet(path)
+    src = (
+        spark.readStream.schema(df.schema).parquet(path)
+    )
+    regs = quantile_registers_stream(
+        src, "value", "event_id", ("event_type",), k=64
+    )
+    name = "tq_stream_regs"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    got = sorted(tuple(r) for r in spark.table(name).collect())
+    want = sorted(
+        tuple(r)
+        for r in bucketed_min_sample(
+            df, "value", "event_id", ["event_type"], k=64
+        ).select("event_type", "bucket", "h", "value").collect()
+    )
+    assert got == want
