@@ -5277,10 +5277,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDER MATTERS: the driver's correctness window records the FIRST 50
     # keys only, ROTATED each round so every hash gate accumulates
-    # driver-recorded greens.  Round 12 order: brand-new gates first,
-    # then the three gates EXTENDED this round (their r11 records pin
-    # the old semantics), then pure stalest-first by newest driver
-    # record (r8 tier, then r9, then r10, then r11); rows-only last.
+    # driver-recorded greens.  Round 13 order: brand-new gates first,
+    # then the two gates whose predicates were HARDENED this round
+    # (q12 was driver-RED in r12 and must re-record; q21 shares the
+    # new DATE-granularity form), then pure stalest-first by newest
+    # driver record (the r9-tier remainder the r12 window did not
+    # reach, then the r10 tier, r11 tier, r12-recorded tier);
+    # rows-only last.
     # ---- new round-13 gates (never driver-recorded) ----
         "quantile_sketch": quantile_sketch_q,
         "heavy_hitters": heavy_hitters_q,
@@ -5289,60 +5292,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_counts": q16_supplier_part_counts,
         "q20_dominant_suppliers": q20_dominant_suppliers,
         "streaming_quantiles": streaming_quantiles_q,
-    # ---- new round-12 gates (never driver-recorded) ----
-        "robots_agent_groups": robots_agent_groups_q,
-        "image_ingest_dedup": image_ingest_dedup_q,
-        "video_near_dup": video_near_dup_q,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
+    # ---- hardened round 13 (DATE-granularity predicates): re-record ----
         "q12_late_priority": q12_late_priority,
         "q21_waiting_supplier": q21_waiting_supplier,
-        "hll_user_counts": hll_user_counts_q,
-        "bm25_topk": bm25_topk_q,
-        "cms_term_counts": cms_term_counts_q,
-        "zorder_keys": zorder_keys_q,
-        "streaming_hll": streaming_hll_q,
-        "bloom_membership": bloom_membership_q,
-        "scd2_history": scd2_history_q,
-        "events_interval_join": events_interval_join_q,
-        "weighted_sample": weighted_sample_q,
-        "length_quantiles": length_quantiles_q,
-    # ---- extended round 12 (wildcards/base-href/sort-binding): re-record ----
-        "robots_admission": robots_admission_q,
-        "link_graph": link_graph_q,
-        "q18_large_volume_customer": q18_large_volume_customer,
-    # ---- newest driver record is round 8 ----
-        "squeeze_search": squeeze_search_q,
-        "streaming_dedup": streaming_dedup_q,
-        "streaming_ewma": streaming_ewma_q,
-        "streaming_kpi_append": streaming_kpi_append_q,
-    # ---- newest driver record is round 9 ----
-        "adtributor_elements_derived": adtributor_elements_derived,
-        "autoroot_kde_fixed": autoroot_kde_fixed_q,
-        "autoroot_search_fixed": autoroot_search_fixed_q,
-        "bpe_token_counts": bpe_token_counts_q,
-        "c4_line_clean": c4_line_clean_q,
-        "corpus_chunks": corpus_chunks_q,
-        "corpus_curate": corpus_curate_q,
-        "corpus_curate_near_dup": corpus_curate_near_dup_q,
-        "corpus_curate_semantic": corpus_curate_semantic_q,
-        "corpus_pack": corpus_pack_q,
-        "corpus_report": corpus_report_q,
-        "corpus_sample_split": corpus_sample_split_q,
-        "corpus_sample_stratified": corpus_sample_stratified_q,
-        "decontamination_audit": decontamination_audit_q,
-        "dedup_groups": dedup_groups_q,
-        "dedup_paragraphs": dedup_paragraphs_q,
-        "dedup_paragraphs_rebuild": dedup_paragraphs_rebuild_q,
-        "dedup_spans": dedup_spans_q,
-        "dedup_spans_sampled": dedup_spans_sampled_q,
-        "embedding_near_dup_exact": embedding_near_dup_exact,
-        "events_asof_purchase": events_asof_purchase_q,
-        "events_sessions": events_sessions_q,
-        "hotspot_search": hotspot_search_q,
-        "hotspot_search_ps": hotspot_search_ps_q,
-        "incremental_near_dup": incremental_near_dup_q,
-        "knn_ivf": knn_ivf_q,
+    # ---- newest driver record is round 9 (r12 window stopped above here) ----
         "knn_lsh": knn_lsh_q,
         "minhash_pairs": minhash_pairs,
         "ngram_jaccard": ngram_jaccard_q,
@@ -5460,6 +5413,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squeeze_clusters": squeeze_clusters_q,
         "warc_decoded": warc_decoded_q,
         "winnow_fingerprints": winnow_fingerprints_q,
+    # ---- newest driver record is round 12 ----
+        "robots_agent_groups": robots_agent_groups_q,
+        "image_ingest_dedup": image_ingest_dedup_q,
+        "video_near_dup": video_near_dup_q,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "hll_user_counts": hll_user_counts_q,
+        "bm25_topk": bm25_topk_q,
+        "cms_term_counts": cms_term_counts_q,
+        "zorder_keys": zorder_keys_q,
+        "streaming_hll": streaming_hll_q,
+        "bloom_membership": bloom_membership_q,
+        "scd2_history": scd2_history_q,
+        "events_interval_join": events_interval_join_q,
+        "weighted_sample": weighted_sample_q,
+        "length_quantiles": length_quantiles_q,
+        "robots_admission": robots_admission_q,
+        "link_graph": link_graph_q,
+        "q18_large_volume_customer": q18_large_volume_customer,
+        "squeeze_search": squeeze_search_q,
+        "streaming_dedup": streaming_dedup_q,
+        "streaming_ewma": streaming_ewma_q,
+        "streaming_kpi_append": streaming_kpi_append_q,
+        "adtributor_elements_derived": adtributor_elements_derived,
+        "autoroot_kde_fixed": autoroot_kde_fixed_q,
+        "autoroot_search_fixed": autoroot_search_fixed_q,
+        "bpe_token_counts": bpe_token_counts_q,
+        "c4_line_clean": c4_line_clean_q,
+        "corpus_chunks": corpus_chunks_q,
+        "corpus_curate": corpus_curate_q,
+        "corpus_curate_near_dup": corpus_curate_near_dup_q,
+        "corpus_curate_semantic": corpus_curate_semantic_q,
+        "corpus_pack": corpus_pack_q,
+        "corpus_report": corpus_report_q,
+        "corpus_sample_split": corpus_sample_split_q,
+        "corpus_sample_stratified": corpus_sample_stratified_q,
+        "decontamination_audit": decontamination_audit_q,
+        "dedup_groups": dedup_groups_q,
+        "dedup_paragraphs": dedup_paragraphs_q,
+        "dedup_paragraphs_rebuild": dedup_paragraphs_rebuild_q,
+        "dedup_spans": dedup_spans_q,
+        "dedup_spans_sampled": dedup_spans_sampled_q,
+        "embedding_near_dup_exact": embedding_near_dup_exact,
+        "events_asof_purchase": events_asof_purchase_q,
+        "events_sessions": events_sessions_q,
+        "hotspot_search": hotspot_search_q,
+        "hotspot_search_ps": hotspot_search_ps_q,
+        "incremental_near_dup": incremental_near_dup_q,
+        "knn_ivf": knn_ivf_q,
     # ---- rows-only queries (no oracle twin) last ----
         "riskloc_rca": riskloc_rca,
         "riskloc_rca_derived": riskloc_rca_derived,
