@@ -85,6 +85,11 @@ line):
         --queries queries.parquet [--topk 10]
     python -m riskloc_spark.cli pipeline zorder facts.parquet --output tiled \
         --cols x,y [--bits 16 --partitions 64]
+    python -m riskloc_spark.cli pipeline quantiles docs.parquet --output sk \
+        --value-col n_chars --id-col doc_id [--key-cols lang --k 1024 |
+        --estimate 0.5,0.9,0.99]
+    python -m riskloc_spark.cli pipeline heavy-hitters docs.parquet \
+        --output hh --value-col domain --id-col doc_id [--top-k 20]
 """
 from __future__ import annotations
 
@@ -600,6 +605,37 @@ def build_parser() -> argparse.ArgumentParser:
     sp2.add_argument("--bits", type=int, default=16)
     sp2.add_argument("--partitions", type=int, default=0)
 
+    sp2 = psub.add_parser(
+        "quantiles",
+        help="mergeable bottom-k quantile sketch: build the (key..., "
+        "h, value) sample table, or estimate quantiles from one",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--value-col", required=True)
+    sp2.add_argument("--id-col", default="doc_id",
+                     help="unique row id the sample membership hashes")
+    sp2.add_argument("--key-cols", default="",
+                     help="comma-separated group keys (optional)")
+    sp2.add_argument("--k", type=int, default=1024)
+    sp2.add_argument("--salt", type=int, default=0)
+    sp2.add_argument("--estimate", default="",
+                     help="input is a sketch table: emit these "
+                     "comma-separated quantile fractions")
+
+    sp2 = psub.add_parser(
+        "heavy-hitters",
+        help="top-k most frequent values per key via the bottom-k "
+        "candidate sample composed with Count-Min estimates",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--value-col", required=True)
+    sp2.add_argument("--id-col", default="doc_id")
+    sp2.add_argument("--key-cols", default="")
+    sp2.add_argument("--top-k", type=int, default=20)
+    sp2.add_argument("--sample-k", type=int, default=4096)
+    sp2.add_argument("--width", type=int, default=1024)
+    sp2.add_argument("--depth", type=int, default=4)
+
     return p
 
 
@@ -916,6 +952,30 @@ def run_pipeline(spark, args) -> dict:
         qs = spark.read.parquet(args.queries)
         out = bm25_topk(
             df, qs, topk=args.topk, text_col=args.text_col
+        )
+    elif op == "quantiles":
+        from riskloc_spark.operators.quantiles import (
+            quantile_estimate,
+            quantile_sketch,
+        )
+
+        keys = [k for k in args.key_cols.split(",") if k]
+        if args.estimate:
+            qs = [float(x) for x in args.estimate.split(",") if x]
+            out = quantile_estimate(df, qs, key_cols=keys)
+        else:
+            out = quantile_sketch(
+                df, args.value_col, args.id_col, key_cols=keys,
+                k=args.k, salt=args.salt,
+            )
+    elif op == "heavy-hitters":
+        from riskloc_spark.operators.cms import heavy_hitters
+
+        keys = [k for k in args.key_cols.split(",") if k]
+        out = heavy_hitters(
+            df, args.value_col, args.id_col, key_cols=keys,
+            top_k=args.top_k, sample_k=args.sample_k,
+            width=args.width, depth=args.depth,
         )
     elif op == "zorder":
         from riskloc_spark.operators.zorder import write_zordered

@@ -905,3 +905,60 @@ def test_cli_pipeline_zorder(spark, tmp_path):
     back = spark.read.parquet(out)
     assert "__z" not in back.columns
     assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_cli_pipeline_quantiles_and_heavy_hitters(spark, tmp_path):
+    """round-13 subcommands: quantiles builds a bottom-k sample table
+    then estimates from it; heavy-hitters discovers the top values —
+    both end-to-end through the subprocess entrypoint."""
+    src = str(tmp_path / "docs13")
+    spark.createDataFrame(
+        [(i, i % 101, f"d{(i * i) % 9}") for i in range(600)],
+        "doc_id long, n long, domain string",
+    ).write.parquet(src)
+
+    sk = str(tmp_path / "qsk")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "quantiles", src, "--output", sk, "--value-col", "n",
+            "--id-col", "doc_id", "--k", "128", "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    est = str(tmp_path / "qest")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "quantiles", sk, "--output", est, "--value-col", "n",
+            "--estimate", "0.5,0.99", "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {
+        row["q"]: row["value"]
+        for row in spark.read.parquet(est).collect()
+    }
+    assert set(got) == {0.5, 0.99}
+    assert 30 <= got[0.5] <= 70  # true median 50, k=128 envelope
+
+    hh = str(tmp_path / "hh")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "heavy-hitters", src, "--output", hh,
+            "--value-col", "domain", "--id-col", "doc_id",
+            "--top-k", "3", "--sample-k", "256", "--width", "512",
+            "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = sorted(
+        spark.read.parquet(hh).collect(), key=lambda r2: r2["rank"]
+    )
+    assert len(rows) == 3
+    # squares mod 9 land on {0,1,4,7} with 0 the most frequent
+    assert rows[0]["item"] == "d0" and rows[0]["est"] >= 150
