@@ -626,6 +626,10 @@ def scale_block(spark) -> dict:
     except Exception as e:
         out["video"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     try:
+        out["sketch"] = _sketch_scale(spark)
+    except Exception as e:
+        out["sketch"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
         out["ann"] = _ann_scale(spark)
     except Exception as e:
         out["ann"] = {"error": f"{type(e).__name__}: {e}"[:200]}
@@ -2517,3 +2521,91 @@ def _video_breakdown(spark) -> dict:
         "matching_sec": round(max(0.0, t_full - t_decode), 2),
         "full_sec": round(t_full, 2),
     }
+
+
+def _sketch_scale(spark, n: int = 5_000_000) -> dict:
+    """The round-13 sketch tier at scale: a 5M-row synthetic frame
+    (Zipf(1)-ish item column, exponential value column, 8 key groups
+    — all hash-derived column algebra, no Python) through HLL
+    distinct counts, heavy-hitter discovery (bottom-k candidates +
+    Count-Min), and the bottom-k quantile sketch, with correctness
+    flags so speed can't silently buy wrong answers: HLL within the
+    standard error, the discovered top-1 equals the exact top-1, the
+    p50/p99 estimates inside the DKW envelope vs exact quantiles."""
+    import math
+    import time
+
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.cms import heavy_hitters
+    from riskloc_spark.operators.quantiles import (
+        quantile_error_bound,
+        quantile_estimate,
+        quantile_sketch,
+    )
+    from riskloc_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    mask = (1 << 60) - 1
+    u = (
+        F.xxhash64(F.col("id")).bitwiseAND(F.lit(mask)).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.col("id") % 8).cast("string").alias("grp"),
+            # Zipf(1)-ish: item j drawn with prob ~ 1/j, capped
+            F.least(
+                F.floor(1.0 / (u + 1e-12)).cast("long"), F.lit(5000)
+            ).cast("string").alias("item"),
+            # exponential value
+            (-F.log(u + 1e-12)).alias("value"),
+        )
+        .persist()
+    )
+    n_rows = df.count()  # materialize once, untimed
+
+    out: dict = {"rows": n_rows}
+    t0 = time.time()
+    est = hll_estimate(
+        hll_sketch(df, "id", key_cols=["grp"], p=12),
+        key_cols=["grp"], p=12,
+    ).collect()
+    out["hll_sec"] = round(time.time() - t0, 2)
+    per_grp = n / 8
+    out["hll_ok"] = all(
+        abs(r["est"] - per_grp) / per_grp < 0.05 for r in est
+    )
+
+    t0 = time.time()
+    hh = heavy_hitters(
+        df, "item", "id", top_k=10, sample_k=4096,
+        width=4096, depth=4,
+    ).collect()
+    out["hh_sec"] = round(time.time() - t0, 2)
+    top1 = sorted(hh, key=lambda r: r["rank"])[0]
+    exact_top1 = (
+        df.groupBy("item").count()
+        .orderBy(F.desc("count"), F.asc("item")).first()
+    )
+    out["hh_top1_ok"] = top1["item"] == exact_top1["item"]
+
+    t0 = time.time()
+    sk = quantile_sketch(df, "value", "id", k=1024)
+    got = {
+        r["q"]: r["value"]
+        for r in quantile_estimate(sk, [0.5, 0.99]).collect()
+    }
+    out["quantile_sec"] = round(time.time() - t0, 2)
+    # exponential(1): F(v) = 1 - e^-v; check rank error vs the CDF
+    eps = quantile_error_bound(1024, delta=0.01)
+    out["quantile_ok"] = all(
+        abs((1.0 - math.exp(-got[q])) - q) <= eps + 0.005
+        for q in (0.5, 0.99)
+    )
+    df.unpersist()
+    return out

@@ -106,6 +106,10 @@ def bloom_probe(
         .select(F.col(item_col).alias("item"))
         .distinct()
     )
+    # two plan branches (probe + anchoring base), no cross-branch CSE
+    # — checkpoint so an expensive item pipeline runs once
+    if not uniq.isStreaming:
+        uniq = uniq.localCheckpoint(eager=False)
     probes = [
         uniq.select(
             "item",

@@ -117,6 +117,12 @@ def cms_lookup(
         .select(F.col(item_col).alias("item"))
         .distinct()
     )
+    # the item frame feeds TWO plan branches (the probe and the
+    # anchoring base) and Spark does no cross-branch CSE — without a
+    # checkpoint an expensive upstream (e.g. heavy_hitter_candidates'
+    # corpus scan) runs twice (the banded_hamming_pairs lesson)
+    if not uniq.isStreaming:
+        uniq = uniq.localCheckpoint(eager=False)
     probes = [
         uniq.select(
             "item",
@@ -233,12 +239,16 @@ def heavy_hitters(
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
     keys = list(key_cols or [])
+    # both intermediates are corpus scans reused across plan branches
+    # inside cms_lookup — checkpoint so each scan happens once (the
+    # results are tiny: <= sample_k items, <= depth x width registers
+    # per key)
     cand = heavy_hitter_candidates(
         df, value_col, id_col, keys, sample_k, salt, hash_fn
-    )
+    ).localCheckpoint(eager=False)
     sketch = cms_sketch(
         df, value_col, keys, width, depth, hash_fn=hash_fn
-    )
+    ).localCheckpoint(eager=False)
     est = cms_lookup(
         sketch, cand, "item", keys, width, depth, hash_fn
     )
