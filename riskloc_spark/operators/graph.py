@@ -635,6 +635,12 @@ def host_degree_stats(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    # e feeds FOUR plan branches (out/in degrees + both sides of the
+    # reciprocity self-join) and Spark does no cross-branch CSE — an
+    # expensive upstream (extract_links' regex pipeline) would run
+    # four times without the checkpoint
+    if not e.isStreaming:
+        e = e.localCheckpoint(eager=False)
     out_deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("out_degree")
     )

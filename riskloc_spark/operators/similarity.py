@@ -120,6 +120,10 @@ def embedding_near_dup_exact_pairs(
     emb = df.select(
         id_col, vec_col, l2_norm(F.col(vec_col)).alias("__n")
     )
+    # norms feed both sides of the self-join; checkpoint so the scan
+    # + norm pipeline runs once (no cross-branch CSE in Spark)
+    if not emb.isStreaming:
+        emb = emb.localCheckpoint(eager=False)
     l, r = emb.alias("l"), emb.alias("r")
     return (
         l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
@@ -233,6 +237,10 @@ def embedding_near_dup(
         bucket_of(F.col(vec_col)).alias("__bkt"),
         l2_norm(F.col(vec_col)).alias("__n"),
     )
+    # the LSH bits + norms feed both self-join sides — checkpoint so
+    # the hyperplane projections run once (no cross-branch CSE)
+    if not b.isStreaming:
+        b = b.localCheckpoint(eager=False)
     pairs = (
         b.alias("l")
         .join(
