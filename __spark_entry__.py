@@ -1412,6 +1412,33 @@ def decontamination_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-scale two-phase decontamination under the hash gate
+    (round 13; decontamination.bloom_contamination_stats): the same
+    audit as `decontamination_audit` but through the Bloom pipeline —
+    archive gram hashes build a bounded bit table, corpus grams probe
+    it through k broadcast joins (never an archive-vocabulary
+    broadcast), maybe-hits are exactly re-verified against a second
+    archive scan.  The ORACLE IS THE EXACT AUDIT SQL: no false
+    negatives + exact re-verification means the two-phase result must
+    equal the one-phase result bit-for-bit — the strongest possible
+    gate for the composition (a single surviving false positive or a
+    lost true match breaks the hash)."""
+    from riskloc_spark.operators.decontamination import (
+        bloom_contamination_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    arch = d.filter(F.col("doc_id") % 17 == 0)
+    out = bloom_contamination_stats(d, arch, n=4, m_bits=1 << 18, k=4)
+    return out.select(
+        "doc_id",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.round("contamination", 6).alias("contamination"),
+    )
+
+
 def bpe_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bpe_token_counts under the hash gate (round 9): the real merge
     machinery — JVM pre-tokenization, lowest-rank-pair iteration,
@@ -5292,6 +5319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_counts": q16_supplier_part_counts,
         "q20_dominant_suppliers": q20_dominant_suppliers,
         "streaming_quantiles": streaming_quantiles_q,
+        "bloom_decontamination": bloom_decontamination_q,
     # ---- hardened round 13 (DATE-granularity predicates): re-record ----
         "q12_late_priority": q12_late_priority,
         "q21_waiting_supplier": q21_waiting_supplier,
@@ -9400,6 +9428,33 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 50000 END
         """,
         "decontamination_audit": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w
+              FROM documents
+            ),
+            grams AS MATERIALIZED (
+              SELECT DISTINCT doc_id,
+                     unnest(CASE WHEN len(w) < 4
+                       THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(0, len(w) - 3),
+                         i -> array_to_string(w[i+1 : i+4], ' ')) END) AS g
+              FROM toks
+            ),
+            bench AS MATERIALIZED (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0
+            ),
+            st AS (
+              SELECT doc_id, COUNT(*) AS n_ngrams,
+                     CAST(SUM(CASE WHEN g IN (SELECT g FROM bench)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+              FROM grams GROUP BY doc_id
+            )
+            SELECT doc_id, n_ngrams, n_matched,
+                   round(CAST(n_matched AS DOUBLE) / n_ngrams, 6) + 0e0
+                     AS contamination
+            FROM st
+        """,
+        "bloom_decontamination": f"""
             WITH toks AS (
               SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w
               FROM documents

@@ -448,3 +448,42 @@ def test_weighted_sample_topk_window_group_limit_plan(spark):
     out = weighted_sample_topk(df, 5, "w", key_cols=["g"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_bloom_contamination_equals_exact(spark):
+    """the archive-scale two-phase audit (bloom prefilter + exact
+    re-verification) returns BIT-IDENTICAL output to the one-phase
+    exact audit — including under a deliberately tiny filter that
+    forces heavy false positives (phase 2 must verify them all
+    away)."""
+    from riskloc_spark.operators.decontamination import (
+        bloom_contamination_stats,
+        contamination_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma delta w{i} x{i} y{i} z{i} "
+                "common phrase here too")
+            for i in range(200)
+        ],
+        "doc_id long, text string",
+    )
+    arch = docs.filter("doc_id % 7 = 0")
+    exact = sorted(
+        tuple(r) for r in contamination_stats(docs, arch, n=4).collect()
+    )
+    two_phase = sorted(
+        tuple(r)
+        for r in bloom_contamination_stats(
+            docs, arch, n=4, m_bits=1 << 14, k=4
+        ).collect()
+    )
+    assert two_phase == exact
+    fp_heavy = sorted(
+        tuple(r)
+        for r in bloom_contamination_stats(
+            docs, arch, n=4, m_bits=64, k=2
+        ).collect()
+    )
+    assert fp_heavy == exact
