@@ -1439,6 +1439,35 @@ def bloom_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE under the hash gate (round 13; temporal.cdc_apply):
+    the customer table as the snapshot (priority 'NONE', balance
+    cents), the orders stream as the change feed (o_orderkey as the
+    monotone change sequence; 'F' status deletes the customer,
+    otherwise upserts priority + total cents), applied in one
+    WindowGroupLimit winner pick + one full-outer join.  The oracle
+    replays the latest-change window and the three merge cases
+    (update / delete / untouched) in SQL."""
+    from riskloc_spark.operators.temporal import cdc_apply
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.lit("NONE").alias("pri"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long")
+        .alias("total_em2"),
+    )
+    ch = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("ts"),
+        F.when(F.col("o_orderstatus") == "F", "delete")
+        .otherwise("upsert").alias("op"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("total_em2"),
+    )
+    return cdc_apply(c, ch, ["k"], "ts", ["pri", "total_em2"])
+
+
 def bpe_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bpe_token_counts under the hash gate (round 9): the real merge
     machinery — JVM pre-tokenization, lowest-rank-pair iteration,
@@ -5320,6 +5349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_dominant_suppliers": q20_dominant_suppliers,
         "streaming_quantiles": streaming_quantiles_q,
         "bloom_decontamination": bloom_decontamination_q,
+        "cdc_apply": cdc_apply_q,
     # ---- hardened round 13 (DATE-granularity predicates): re-record ----
         "q12_late_priority": q12_late_priority,
         "q21_waiting_supplier": q21_waiting_supplier,
@@ -8554,6 +8584,31 @@ def oracle_sql() -> dict[str, str]:
             FROM cum CROSS JOIN qs
             WHERE cm >= CAST(ceil(q * n) AS BIGINT)
             GROUP BY source, q
+        """,
+        "cdc_apply": """
+            WITH latest AS (
+              SELECT k, op, pri, total_em2 FROM (
+                SELECT o_custkey AS k, o_orderkey AS ts,
+                       CASE WHEN o_orderstatus = 'F' THEN 'delete'
+                            ELSE 'upsert' END AS op,
+                       o_orderpriority AS pri,
+                       CAST(round(o_totalprice * 100) AS BIGINT)
+                         AS total_em2,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderkey DESC) AS rn
+                FROM orders
+              ) WHERE rn = 1
+            )
+            SELECT COALESCE(c.c_custkey, l.k) AS k,
+                   CASE WHEN l.op IS NOT NULL THEN l.pri
+                        ELSE 'NONE' END AS pri,
+                   CASE WHEN l.op IS NOT NULL THEN l.total_em2
+                        ELSE CAST(round(c.c_acctbal * 100) AS BIGINT)
+                        END AS total_em2
+            FROM customer c
+            FULL OUTER JOIN latest l ON c.c_custkey = l.k
+            WHERE l.op IS NULL OR l.op <> 'delete'
         """,
         "q2_min_cost_supplier": """
             WITH rev AS (

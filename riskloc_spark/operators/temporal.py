@@ -467,3 +467,69 @@ def interval_join(
         (F.col(ts_col) >= start) & (F.col(ts_col) < end)
     )
     return out.drop("__b")
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list,
+    ts_col: str,
+    attr_cols: list,
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Apply a change-data-capture feed to a snapshot — the MERGE
+    INTO shape (upsert + delete) as plain DataFrame algebra:
+    (key..., attr...) where each key carries its LATEST change's
+    attributes (``op_col`` != ``delete_op``), disappears if the
+    latest change is a delete, and keeps its snapshot row untouched
+    when the feed never mentions it.  New keys in the feed insert.
+
+    One rank window over the feed picks the winner per key (rank<=1
+    compiles to WindowGroupLimit — map-side capped, the domain-caps
+    shape), then ONE full-outer join against the snapshot resolves
+    the three cases; the snapshot is never shuffled twice and no
+    side is collected.  Ties on ts within a key are pinned by a
+    deterministic struct-max over (op, attrs) — a feed emitting two
+    ops at the same instant has no defined order (the SCD2 carve-out;
+    same discipline as scd2_history).  Feed rows need op + the full
+    attribute set; partial-column updates compose upstream with a
+    coalesce against the prior version if needed."""
+    keys = list(key_cols)
+    payload = F.struct(
+        F.col(op_col).alias("__op"),
+        *[F.col(c) for c in attr_cols],
+    )
+    dedup = (
+        changes.groupBy(*keys, ts_col)
+        .agg(F.max(payload).alias("__p"))
+        .select(*keys, ts_col, "__p")
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).desc())
+    latest = (
+        dedup.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *keys,
+            F.col(f"__p.__op").alias("__op"),
+            *[F.col(f"__p.{c}").alias(f"__c_{c}") for c in attr_cols],
+        )
+    )
+    snap = snapshot.select(
+        *keys, *[F.col(c).alias(f"__s_{c}") for c in attr_cols]
+    )
+    joined = snap.join(latest, keys, "full_outer")
+    # delete wins; change attrs win over snapshot attrs; snapshot
+    # survives untouched keys
+    kept = joined.filter(
+        F.col("__op").isNull() | (F.col("__op") != delete_op)
+    )
+    return kept.select(
+        *keys,
+        *[
+            F.when(
+                F.col("__op").isNotNull(), F.col(f"__c_{c}")
+            ).otherwise(F.col(f"__s_{c}")).alias(c)
+            for c in attr_cols
+        ],
+    )

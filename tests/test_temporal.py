@@ -370,3 +370,53 @@ def test_interval_join_containment_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan, plan
     assert "Join" in plan
+
+
+def test_cdc_apply_semantics(spark):
+    """MERGE cases: untouched key keeps its snapshot row; latest
+    upsert wins over earlier ones; latest delete removes the key even
+    after earlier upserts; a delete then later upsert re-inserts; a
+    brand-new key inserts; same-instant ties pin deterministically;
+    the winner-pick plan is WindowGroupLimit."""
+    from riskloc_spark.operators.temporal import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k long, name string, v long",
+    )
+    ch = spark.createDataFrame(
+        [
+            (2, 5, "upsert", "b2", 21),
+            (2, 7, "upsert", "b3", 22),   # latest for k=2
+            (3, 5, "upsert", "c2", 31),
+            (3, 9, "delete", None, None),  # k=3 removed
+            (4, 5, "delete", None, None),
+            (4, 8, "upsert", "d2", 41),   # re-inserted
+            (5, 6, "upsert", "e", 50),    # new key
+        ],
+        "k long, ts long, op string, name string, v long",
+    )
+    out = cdc_apply(snap, ch, ["k"], "ts", ["name", "v"])
+    got = {r["k"]: (r["name"], r["v"]) for r in out.collect()}
+    assert got == {
+        1: ("a", 10),
+        2: ("b3", 22),
+        4: ("d2", 41),
+        5: ("e", 50),
+    }
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowGroupLimit" in plan, plan
+    # same-instant tie: deterministic struct-max winner, stable
+    # under repartitioning
+    tie = spark.createDataFrame(
+        [(9, 1, "upsert", "x", 1), (9, 1, "upsert", "y", 2)],
+        "k long, ts long, op string, name string, v long",
+    )
+    r1 = cdc_apply(snap, tie, ["k"], "ts", ["name", "v"]).collect()
+    r2 = cdc_apply(
+        snap, tie.repartition(5), ["k"], "ts", ["name", "v"]
+    ).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    assert {r["k"]: r["name"] for r in r1}[9] == "y"  # struct max
