@@ -646,6 +646,43 @@ def streaming_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_cms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming frequency registers under the hash
+    gate (round 13; streaming/pipeline.cms_registers_stream): the
+    events table arrives through an availableNow readStream and
+    aggregates into per-event-type Count-Min registers in complete
+    mode — counts are additive, so the streaming aggregation must
+    equal the batch sketch register-for-register; state is at most
+    depth x width rows per key forever.  The oracle replays every
+    register in SQL (same seeded 60-bit hash, same bucket mod, same
+    exact sums)."""
+    import os
+    import uuid
+
+    from riskloc_spark.streaming.pipeline import (
+        cms_registers_stream,
+        events_stream,
+    )
+
+    src = events_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ).select("event_type", "user_id")
+    regs = cms_registers_stream(src, width=512, depth=4)
+    name = "streaming_cms_" + uuid.uuid4().hex[:8]
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_cms: did not finish in 300s")
+    q.stop()
+    return spark.table(name)
+
+
 def bloom_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom membership sketches under the hash gate (round 12;
     operators/bloom.py): per-event-type set-bit tables over user ids
@@ -5350,6 +5387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quantiles": streaming_quantiles_q,
         "bloom_decontamination": bloom_decontamination_q,
         "cdc_apply": cdc_apply_q,
+        "streaming_cms": streaming_cms_q,
     # ---- hardened round 13 (DATE-granularity predicates): re-record ----
         "q12_late_priority": q12_late_priority,
         "q21_waiting_supplier": q21_waiting_supplier,
@@ -8584,6 +8622,17 @@ def oracle_sql() -> dict[str, str]:
             FROM cum CROSS JOIN qs
             WHERE cm >= CAST(ceil(q * n) AS BIGINT)
             GROUP BY source, q
+        """,
+        "streaming_cms": """
+            SELECT event_type, rw AS row,
+                   CAST(CAST('0x' || substr(
+                       md5(CAST(user_id AS VARCHAR) || ':' || rw),
+                       1, 15) AS BIGINT) % 512 AS INT) AS bucket,
+                   COUNT(*) AS cnt
+            FROM events
+            CROSS JOIN (VALUES (0), (1), (2), (3)) AS rws(rw)
+            WHERE user_id IS NOT NULL
+            GROUP BY event_type, rw, bucket
         """,
         "cdc_apply": """
             WITH latest AS (

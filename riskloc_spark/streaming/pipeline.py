@@ -676,3 +676,40 @@ def quantile_registers_stream(
             F.col("__m.value").alias("value"),
         )
     )
+
+
+def cms_registers_stream(
+    events: DataFrame,
+    value_col: str = "user_id",
+    key_cols: tuple = ("event_type",),
+    width: int = 1024,
+    depth: int = 4,
+    hash_fn=None,
+) -> DataFrame:
+    """Bounded-state streaming frequency sketch: the Count-Min
+    register aggregation (operators/cms.cms_sketch) over a stream —
+    groupBy (key, row, bucket) SUM in complete/update mode.  State is
+    at most depth x width register rows per key, fixed forever
+    (counts are additive, so the streaming aggregation IS the batch
+    sketch — gate-pinned); the register table lands in any sink and
+    ``cms_lookup`` / ``cms_merge`` consume it exactly like a batch
+    sketch.  Completes the bounded-state streaming trio: HLL
+    (distinct), bucketed-min (quantiles), Count-Min (frequency)."""
+    from riskloc_spark.operators.cms import _bucket
+    from riskloc_spark.operators.dedup import md5_hash64
+
+    hf = hash_fn or md5_hash64
+    buckets = F.posexplode(
+        F.array(
+            *[
+                _bucket(hf, F.col(value_col), r, width)
+                for r in range(depth)
+            ]
+        )
+    ).alias("row", "bucket")
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .select(*key_cols, buckets)
+        .groupBy(*key_cols, "row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )

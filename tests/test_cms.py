@@ -185,3 +185,37 @@ def test_heavy_hitter_candidates_recall_and_keys(spark):
     ).collect()
     top_b = [r for r in out if r["g"] == "b" and r["rank"] == 1][0]
     assert top_b["item"] == "bcold" and top_b["est"] == 30
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """streaming Count-Min registers (complete mode, availableNow)
+    equal the batch sketch register-for-register over the same rows —
+    counts are additive, so the streaming aggregation IS the
+    sketch."""
+    from riskloc_spark.streaming.pipeline import cms_registers_stream
+
+    rows = [(f"t{i % 3}", f"u{i % 41}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "event_type string, user_id string")
+    path = str(tmp_path / "cmsev")
+    df.write.parquet(path)
+    src = spark.readStream.schema(df.schema).parquet(path)
+    regs = cms_registers_stream(src, width=128, depth=3)
+    name = "tcms_stream_regs"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    got = sorted(tuple(r) for r in spark.table(name).collect())
+    want = sorted(
+        tuple(r)
+        for r in cms_sketch(
+            df, "user_id", key_cols=["event_type"],
+            width=128, depth=3,
+        ).select("event_type", "row", "bucket", "cnt").collect()
+    )
+    assert got == want
