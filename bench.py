@@ -2512,13 +2512,13 @@ def _video_breakdown(spark) -> dict:
             corpus(), max_hamming=6, min_frame_matches=2
         ).count()
     )
+    # stage keys deliberately do NOT end in _sec: _block_summary sums
+    # every *_sec number, and deltas + full would double-count
     return {
-        "synthesize_sec": round(t_synth, 2),
-        "demux_sec": round(max(0.0, t_demux - t_synth), 2),
-        "jpeg_decode_dhash_sec": round(
-            max(0.0, t_decode - t_demux), 2
-        ),
-        "matching_sec": round(max(0.0, t_full - t_decode), 2),
+        "synthesize": round(t_synth, 2),
+        "demux": round(max(0.0, t_demux - t_synth), 2),
+        "jpeg_decode_dhash": round(max(0.0, t_decode - t_demux), 2),
+        "matching": round(max(0.0, t_full - t_decode), 2),
         "full_sec": round(t_full, 2),
     }
 
@@ -2606,6 +2606,10 @@ def _sketch_scale(spark, n: int = 5_000_000) -> dict:
     out["quantile_ok"] = all(
         abs((1.0 - math.exp(-got[q])) - q) <= eps + 0.005
         for q in (0.5, 0.99)
+    )
+    # one flag for the compact line (_block_summary reads "ok")
+    out["ok"] = bool(
+        out["hll_ok"] and out["hh_top1_ok"] and out["quantile_ok"]
     )
     df.unpersist()
     return out
