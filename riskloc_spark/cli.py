@@ -623,6 +623,32 @@ def build_parser() -> argparse.ArgumentParser:
                      "comma-separated quantile fractions")
 
     sp2 = psub.add_parser(
+        "scd2",
+        help="type-2 slowly-changing-dimension history from a change "
+        "feed: one row per version with validity intervals",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--keys", required=True,
+                     help="comma-separated dimension key columns")
+    sp2.add_argument("--ts-col", required=True)
+    sp2.add_argument("--attrs", required=True,
+                     help="comma-separated tracked attribute columns")
+
+    sp2 = psub.add_parser(
+        "cdc-apply",
+        help="apply an upsert/delete change feed to a snapshot "
+        "(MERGE INTO shape); input parquet is the snapshot",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--changes", required=True,
+                     help="parquet with (keys..., ts, op, attrs...)")
+    sp2.add_argument("--keys", required=True)
+    sp2.add_argument("--ts-col", required=True)
+    sp2.add_argument("--attrs", required=True)
+    sp2.add_argument("--op-col", default="op")
+    sp2.add_argument("--delete-op", default="delete")
+
+    sp2 = psub.add_parser(
         "heavy-hitters",
         help="top-k most frequent values per key via the bottom-k "
         "candidate sample composed with Count-Min estimates",
@@ -968,6 +994,28 @@ def run_pipeline(spark, args) -> dict:
                 df, args.value_col, args.id_col, key_cols=keys,
                 k=args.k, salt=args.salt,
             )
+    elif op == "scd2":
+        from riskloc_spark.operators.temporal import scd2_history
+
+        out = scd2_history(
+            df,
+            args.keys.split(","),
+            args.ts_col,
+            args.attrs.split(","),
+        )
+    elif op == "cdc-apply":
+        from riskloc_spark.operators.temporal import cdc_apply
+
+        changes = spark.read.parquet(args.changes)
+        out = cdc_apply(
+            df,
+            changes,
+            args.keys.split(","),
+            args.ts_col,
+            args.attrs.split(","),
+            op_col=args.op_col,
+            delete_op=args.delete_op,
+        )
     elif op == "heavy-hitters":
         from riskloc_spark.operators.cms import heavy_hitters
 

@@ -962,3 +962,54 @@ def test_cli_pipeline_quantiles_and_heavy_hitters(spark, tmp_path):
     assert len(rows) == 3
     # squares mod 9 land on {0,1,4,7} with 0 the most frequent
     assert rows[0]["item"] == "d0" and rows[0]["est"] >= 150
+
+
+def test_cli_pipeline_scd2_and_cdc_apply(spark, tmp_path):
+    """round-13 temporal subcommands end-to-end: scd2 builds the
+    version history from a feed; cdc-apply merges the feed's latest
+    ops into a snapshot."""
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [
+            (1, 10, "upsert", "a", 5),
+            (1, 20, "upsert", "a2", 6),
+            (2, 10, "upsert", "b", 7),
+            (2, 30, "delete", None, None),
+        ],
+        "k long, ts long, op string, name string, v long",
+    ).write.parquet(feed)
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(1, "old", 1), (3, "c", 9)], "k long, name string, v long"
+    ).write.parquet(snap)
+
+    hist = str(tmp_path / "hist")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "scd2", feed, "--output", hist, "--keys", "k",
+            "--ts-col", "ts", "--attrs", "name,v", "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    hrows = spark.read.parquet(hist).collect()
+    cur = {r2["k"]: r2["name"] for r2 in hrows if r2["is_current"]}
+    assert cur[1] == "a2"
+
+    merged = str(tmp_path / "merged")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "cdc-apply", snap, "--output", merged,
+            "--changes", feed, "--keys", "k", "--ts-col", "ts",
+            "--attrs", "name,v", "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {
+        r2["k"]: (r2["name"], r2["v"])
+        for r2 in spark.read.parquet(merged).collect()
+    }
+    assert got == {1: ("a2", 6), 3: ("c", 9)}  # 2 deleted, 3 untouched
