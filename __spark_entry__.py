@@ -751,6 +751,36 @@ def events_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "pid", "iid")
 
 
+def events_interval_join_hier_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hierarchical (multi-resolution) interval join under the hash
+    gate (round 13; temporal.interval_join_hierarchical): every
+    purchase opens a [ts, ts + 7 DAYS) window — the shape whose plain
+    bucket explode fans 168 rows per interval at 1h buckets; the
+    multi-level grid registers each interval at most TWICE at its own
+    level while points probe one bucket per level.  The oracle is the
+    PLAIN inequality join again — the rewrite must reproduce exact
+    containment regardless of level assignment."""
+    from riskloc_spark.operators.temporal import (
+        interval_join_hierarchical,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select("user_id", F.col("event_id").alias("pid"), "ts")
+    ivs = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("iid"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("e"),
+    )
+    out = interval_join_hierarchical(
+        pts, ivs, "ts", "s", "e", keys=["user_id"],
+        base_bucket_seconds=3600, levels=12,
+    )
+    return out.select("user_id", "pid", "iid")
+
+
 def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ES weighted sampling under the hash gate (round 12;
     operators/sampling.weighted_sample_topk): 20 documents per source
@@ -5388,6 +5418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontamination": bloom_decontamination_q,
         "cdc_apply": cdc_apply_q,
         "streaming_cms": streaming_cms_q,
+        "events_interval_join_hier": events_interval_join_hier_q,
     # ---- hardened round 13 (DATE-granularity predicates): re-record ----
         "q12_late_priority": q12_late_priority,
         "q21_waiting_supplier": q21_waiting_supplier,
@@ -8572,6 +8603,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN (
               SELECT user_id, event_id, ts AS s,
                      ts + INTERVAL 90 MINUTE AS e
+              FROM events WHERE event_type = 'purchase'
+            ) i
+              ON p.user_id = i.user_id
+             AND p.ts >= i.s AND p.ts < i.e
+        """,
+        "events_interval_join_hier": """
+            SELECT p.user_id, p.event_id AS pid, i.event_id AS iid
+            FROM events p
+            JOIN (
+              SELECT user_id, event_id, ts AS s,
+                     ts + INTERVAL 7 DAY AS e
               FROM events WHERE event_type = 'purchase'
             ) i
               ON p.user_id = i.user_id

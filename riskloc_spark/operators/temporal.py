@@ -533,3 +533,73 @@ def cdc_apply(
             for c in attr_cols
         ],
     )
+
+
+def interval_join_hierarchical(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    keys: list | None = None,
+    base_bucket_seconds: int = 3600,
+    levels: int = 12,
+) -> DataFrame:
+    """``interval_join`` without its months-long-interval seam: the
+    multi-resolution grid (the segment-tree join shape).  Level l has
+    bucket width base * 2^l; each interval registers at the ONE level
+    whose width first covers its length, exploding at most TWO bucket
+    rows there (an interval longer than every level still registers
+    at the top level, fanning out only past base * 2^(levels-1) —
+    ~170 days at the defaults); each point probes its bucket at EVERY
+    level (``levels`` rows per point, a fixed constant).  The join is
+    the same (keys..., level, bucket) equi-join with exact
+    containment post-filtered.
+
+    Fan-out: plain ``interval_join`` explodes len/bucket rows per
+    interval (a 30-day interval at 1h buckets = 720 rows); here it is
+    <= 2 per interval + ``levels`` per point.  Correctness does not
+    depend on the level assignment (any level's bucket cover is
+    exact; points probe all levels), so the float log2 picking the
+    level is a pure fan-out heuristic — the oracle is still the plain
+    inequality join.  Each interval lives at exactly one level, so no
+    pair ever matches twice."""
+    ks = list(keys or [])
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    base_us = int(base_bucket_seconds) * 1_000_000
+
+    start = F.col(start_col)
+    end = F.col(end_col)
+    length = _micros(end) - _micros(start)
+    lvl = F.when(length <= base_us, F.lit(0)).otherwise(
+        F.least(
+            F.lit(levels - 1),
+            F.ceil(F.log2(length / F.lit(float(base_us)))).cast("int"),
+        )
+    )
+    # SQL form: the python shiftleft wrapper takes only int numBits
+    width = F.expr(f"shiftleft(CAST({base_us} AS BIGINT), __lvl)")
+    ivals = (
+        intervals.filter(end > start)
+        .withColumn("__lvl", lvl.cast("int"))
+        .withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    F.floor(_micros(start) / width).cast("long"),
+                    F.floor((_micros(end) - 1) / width).cast("long"),
+                )
+            ),
+        )
+    )
+    lvl_arr = F.explode(
+        F.array(*[F.lit(i) for i in range(levels)])
+    ).alias("__lvl")
+    pts = points.select("*", lvl_arr).withColumn(
+        "__b", F.floor(_micros(F.col(ts_col)) / width).cast("long")
+    )
+    out = pts.join(ivals, [*ks, "__lvl", "__b"]).filter(
+        (F.col(ts_col) >= start) & (F.col(ts_col) < end)
+    )
+    return out.drop("__lvl", "__b")

@@ -420,3 +420,82 @@ def test_cdc_apply_semantics(spark):
     ).collect()
     assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
     assert {r["k"]: r["name"] for r in r1}[9] == "y"  # struct max
+
+
+def test_interval_join_hierarchical_equals_plain(spark):
+    """the multi-resolution rewrite returns exactly the plain
+    inequality join's pairs — mixed second-scale to month-scale
+    intervals, boundary exclusivity, degenerate intervals, keyed —
+    while exploding long intervals to at most two rows at their
+    level (fan-out asserted)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from riskloc_spark.operators.temporal import (
+        interval_join,
+        interval_join_hierarchical,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [
+            ("u1", i, t0 + dt.timedelta(minutes=17 * i))
+            for i in range(200)
+        ],
+        "k string, pid long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            # seconds-scale, hour-scale, day-scale, month-scale
+            ("u1", 0, t0, t0 + dt.timedelta(seconds=30)),
+            ("u1", 1, t0 + dt.timedelta(hours=2),
+             t0 + dt.timedelta(hours=3)),
+            ("u1", 2, t0 + dt.timedelta(days=1),
+             t0 + dt.timedelta(days=2, hours=5)),
+            ("u1", 3, t0, t0 + dt.timedelta(days=31)),
+            ("u1", 4, t0 + dt.timedelta(days=3),
+             t0 + dt.timedelta(days=3)),  # degenerate
+            ("u2", 5, t0, t0 + dt.timedelta(days=31)),  # other key
+        ],
+        "k string, iid long, s timestamp, e timestamp",
+    )
+    plain = interval_join(
+        pts, ivs, "ts", "s", "e", keys=["k"], bucket_seconds=3600
+    ).select("pid", "iid")
+    hier = interval_join_hierarchical(
+        pts, ivs, "ts", "s", "e", keys=["k"],
+        base_bucket_seconds=3600, levels=12,
+    ).select("pid", "iid")
+    a = sorted(tuple(r) for r in plain.collect())
+    b = sorted(tuple(r) for r in hier.collect())
+    assert a == b and len(a) > 0
+    # fan-out: the 31-day interval explodes <= 2 rows at its level
+    # (plain would explode 744); count the exploded interval rows
+    from riskloc_spark.operators.temporal import _micros  # noqa: F401
+
+    base_us = 3600 * 1_000_000
+    lvl = F.when(
+        (F.unix_micros(F.col("e")) - F.unix_micros(F.col("s")))
+        <= base_us, F.lit(0)
+    ).otherwise(
+        F.least(
+            F.lit(11),
+            F.ceil(F.log2(
+                (F.unix_micros(F.col("e")) - F.unix_micros(F.col("s")))
+                / F.lit(float(base_us))
+            )).cast("int"),
+        )
+    )
+    w = F.lit(base_us).cast("long") * F.pow(F.lit(2.0), lvl).cast("long")
+    n_expl = (
+        ivs.filter(F.col("e") > F.col("s"))
+        .select(
+            (
+                F.floor((F.unix_micros("e") - 1) / w)
+                - F.floor(F.unix_micros("s") / w) + 1
+            ).alias("n")
+        )
+        .agg(F.max("n")).collect()[0][0]
+    )
+    assert n_expl <= 2, n_expl
