@@ -683,6 +683,43 @@ def streaming_cms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming membership filter under the hash gate
+    (round 13; streaming/pipeline.bloom_positions_stream): the events
+    table arrives through an availableNow readStream and aggregates
+    into per-event-type Bloom set-bit tables in complete mode — the
+    filter SATURATES at m_bits rows per key instead of tracking every
+    distinct value like dropDuplicates state.  Streaming positions
+    must equal the batch filter bit-for-bit; the oracle replays every
+    seeded position in SQL.  Completes the bounded-state streaming
+    sketch quartet (HLL / Count-Min / bucketed-min / Bloom)."""
+    import os
+    import uuid
+
+    from riskloc_spark.streaming.pipeline import (
+        bloom_positions_stream,
+        events_stream,
+    )
+
+    src = events_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ).select("event_type", "user_id")
+    regs = bloom_positions_stream(src, m_bits=1 << 12, k=3)
+    name = "streaming_bloom_" + uuid.uuid4().hex[:8]
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_bloom: did not finish in 300s")
+    q.stop()
+    return spark.table(name)
+
+
 def bloom_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom membership sketches under the hash gate (round 12;
     operators/bloom.py): per-event-type set-bit tables over user ids
@@ -5419,6 +5456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": cdc_apply_q,
         "streaming_cms": streaming_cms_q,
         "events_interval_join_hier": events_interval_join_hier_q,
+        "streaming_bloom": streaming_bloom_q,
     # ---- hardened round 13 (DATE-granularity predicates): re-record ----
         "q12_late_priority": q12_late_priority,
         "q21_waiting_supplier": q21_waiting_supplier,
@@ -8664,6 +8702,15 @@ def oracle_sql() -> dict[str, str]:
             FROM cum CROSS JOIN qs
             WHERE cm >= CAST(ceil(q * n) AS BIGINT)
             GROUP BY source, q
+        """,
+        "streaming_bloom": """
+            SELECT DISTINCT event_type,
+                   CAST(CAST('0x' || substr(
+                       md5(CAST(user_id AS VARCHAR) || ':' || rw),
+                       1, 15) AS BIGINT) % 4096 AS BIGINT) AS pos
+            FROM events
+            CROSS JOIN (VALUES (0), (1), (2)) AS rws(rw)
+            WHERE user_id IS NOT NULL
         """,
         "streaming_cms": """
             SELECT event_type, rw AS row,

@@ -713,3 +713,44 @@ def cms_registers_stream(
         .groupBy(*key_cols, "row", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+def bloom_positions_stream(
+    events: DataFrame,
+    value_col: str = "user_id",
+    key_cols: tuple = ("event_type",),
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    hash_fn=None,
+) -> DataFrame:
+    """Bounded-state streaming membership filter: the Bloom set-bit
+    aggregation (operators/bloom.bloom_build) over a stream — the
+    k seeded positions explode per row and a complete/update-mode
+    groupBy keeps each distinct (key, pos) once.  State is at most
+    ``m_bits`` rows per key FOREVER (the filter saturates, it never
+    grows) — unlike a streaming dropDuplicates on the values
+    themselves, whose state tracks every distinct value seen.  The
+    position table lands in any sink and ``bloom_probe`` /
+    ``bloom_merge`` consume it exactly like a batch filter
+    (streaming == batch, gate-pinned).  Completes the bounded-state
+    streaming sketch QUARTET: HLL (distinct), Count-Min (frequency),
+    bucketed-min (quantiles), Bloom (membership)."""
+    from riskloc_spark.operators.bloom import _pos
+    from riskloc_spark.operators.dedup import md5_hash64
+
+    hf = hash_fn or md5_hash64
+    pos = F.explode(
+        F.array(
+            *[
+                _pos(hf, F.col(value_col), r, m_bits)
+                for r in range(k)
+            ]
+        )
+    ).alias("pos")
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .select(*key_cols, pos)
+        .groupBy(*key_cols, "pos")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(*key_cols, "pos")
+    )

@@ -106,3 +106,36 @@ def test_bloom_xxhash64_and_null_handling(spark):
     }
     assert out["k5"] is True
     assert None not in out and len(out) == 2
+
+
+def test_streaming_bloom_equals_batch_filter(spark, tmp_path):
+    """streaming Bloom positions (complete mode, availableNow) equal
+    the batch filter bit-for-bit over the same rows — the saturating
+    bounded-state membership stream."""
+    from riskloc_spark.streaming.pipeline import bloom_positions_stream
+
+    rows = [(f"t{i % 2}", f"u{i % 97}") for i in range(1500)]
+    df = spark.createDataFrame(rows, "event_type string, user_id string")
+    path = str(tmp_path / "bloomev")
+    df.write.parquet(path)
+    src = spark.readStream.schema(df.schema).parquet(path)
+    regs = bloom_positions_stream(src, m_bits=1 << 10, k=3)
+    name = "tbloom_stream_regs"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    got = sorted(tuple(r) for r in spark.table(name).collect())
+    want = sorted(
+        tuple(r)
+        for r in bloom_build(
+            df, "user_id", key_cols=["event_type"],
+            m_bits=1 << 10, k=3,
+        ).collect()
+    )
+    assert got == want
