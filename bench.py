@@ -2450,8 +2450,6 @@ def _audio_scale(spark, n_docs: int = 20_000) -> dict:
     }
 
 
-if __name__ == "__main__":
-    main()
 
 
 def _video_breakdown(spark) -> dict:
@@ -2613,3 +2611,7 @@ def _sketch_scale(spark, n: int = 5_000_000) -> dict:
     )
     df.unpersist()
     return out
+
+
+if __name__ == "__main__":
+    main()
