@@ -487,3 +487,34 @@ def test_bloom_contamination_equals_exact(spark):
         ).collect()
     )
     assert fp_heavy == exact
+
+
+def test_bloom_contamination_plan_shape(spark):
+    """the two-phase audit's shuffle budget, plan-asserted: exactly
+    THREE shuffle exchanges (the bounded bloom-build distinct, the
+    FP-bounded maybe-set distinct, and the one corpus-volume audit
+    repartition) — every corpus-side probe join is a broadcast."""
+    from riskloc_spark.operators.decontamination import (
+        bloom_contamination_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"a b c d e{i} f{i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    arch = docs.filter("doc_id % 5 = 0")
+    out = bloom_contamination_stats(
+        docs, arch, n=3, m_bits=1 << 12, k=4
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    lines = [
+        ln.strip() for ln in plan.splitlines()
+        if ln.strip().startswith("(") and "Exchange" in ln
+    ]
+    shuffles = [ln for ln in lines if "BroadcastExchange" not in ln]
+    broadcasts = [ln for ln in lines if "BroadcastExchange" in ln]
+    assert len(shuffles) == 3, (shuffles, plan[:500])
+    # k probe joins + the maybe and verified broadcasts
+    assert len(broadcasts) >= 5, broadcasts
