@@ -221,3 +221,47 @@ def test_streaming_registers_equal_batch_sample(spark, tmp_path):
         ).select("event_type", "bucket", "h", "value").collect()
     )
     assert got == want
+
+
+def test_sketch_artifacts_persist_roundtrip(spark, tmp_path):
+    """the per-shard artifact story end-to-end: a day-1 quantile
+    sketch written to parquet, read back, merged with a day-2 sketch
+    — identical to the sketch of the union (and the same for a Bloom
+    position table re-used through bloom_probe)."""
+    from riskloc_spark.operators.bloom import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    d1 = spark.createDataFrame(
+        [(i, float(i % 503)) for i in range(0, 4000, 2)],
+        "id long, v double",
+    )
+    d2 = spark.createDataFrame(
+        [(i, float(i % 503)) for i in range(1, 4000, 2)],
+        "id long, v double",
+    )
+    path = str(tmp_path / "day1_sketch")
+    quantile_sketch(d1, "v", "id", k=128).write.parquet(path)
+    day1 = spark.read.parquet(path)
+    merged = quantile_sketch_merge(
+        day1, quantile_sketch(d2, "v", "id", k=128), k=128
+    )
+    whole = quantile_sketch(d1.unionByName(d2), "v", "id", k=128)
+    assert _rows(merged) == _rows(whole)
+
+    bpath = str(tmp_path / "day1_bloom")
+    bloom_build(d1, "id", m_bits=1 << 12, k=3).write.parquet(bpath)
+    b1 = spark.read.parquet(bpath)
+    bm = bloom_merge(b1, bloom_build(d2, "id", m_bits=1 << 12, k=3))
+    items = spark.createDataFrame(
+        [(7,), (999999,)], "id long"
+    )
+    got = {
+        r["item"]: r["maybe_present"]
+        for r in bloom_probe(
+            bm, items, "id", m_bits=1 << 12, k=3
+        ).collect()
+    }
+    assert got[7] is True  # present (odd id, day 2)
