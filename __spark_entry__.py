@@ -1543,6 +1543,49 @@ def bloom_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy key join under the hash gate (round 13;
+    operators/fuzzy.fuzzy_join): an 800-key identifier vocabulary
+    built from the corpus (alpha term x doc-bucket suffix — the
+    vendor-code / handle shape fuzzy joins exist for), each key
+    typo'd by deleting its middle character, matched back at
+    Levenshtein distance <= 1 through the deletion-neighborhood
+    blocked equi-join.  The oracle is the BRUTE-FORCE levenshtein
+    cross join — the blocking must be complete (a missed pair or a
+    phantom candidate surviving the verify breaks the hash)."""
+    from riskloc_spark.functions.text import WS_CLASS
+    from riskloc_spark.operators.fuzzy import fuzzy_join
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.filter(F.trim(F.col("text")) != "")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), WS_CLASS + "+")
+            ).alias("w"),
+            (F.col("doc_id") % 50).alias("b"),
+        )
+        .filter(F.col("w").rlike("^[a-z]{4,12}$"))
+        .select(
+            F.concat(F.col("w"), F.lit("-"), F.col("b").cast("string"))
+            .alias("k")
+        )
+        .distinct()
+        .orderBy("k")
+        .limit(800)
+    )
+    # delete the middle character (1-based position floor(len/2)+1)
+    typos = vocab.select(
+        F.concat(
+            F.expr("substr(k, 1, CAST(floor(length(k)/2) AS INT))"),
+            F.expr(
+                "substr(k, CAST(floor(length(k)/2) AS INT) + 2)"
+            ),
+        ).alias("k")
+    ).distinct()
+    return fuzzy_join(typos, vocab, "k", max_distance=1)
+
+
 def cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE under the hash gate (round 13; temporal.cdc_apply):
     the customer table as the snapshot (priority 'NONE', balance
@@ -5457,6 +5500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cms": streaming_cms_q,
         "events_interval_join_hier": events_interval_join_hier_q,
         "streaming_bloom": streaming_bloom_q,
+        "fuzzy_join": fuzzy_join_q,
     # ---- hardened round 13 (DATE-granularity predicates): re-record ----
         "q12_late_priority": q12_late_priority,
         "q21_waiting_supplier": q21_waiting_supplier,
@@ -8722,6 +8766,31 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (VALUES (0), (1), (2), (3)) AS rws(rw)
             WHERE user_id IS NOT NULL
             GROUP BY event_type, rw, bucket
+        """,
+        "fuzzy_join": r"""
+            WITH toks AS (
+              SELECT unnest(string_split_regex(lower(trim(text)),
+                     '[ \t\n\x0B\f\r]+')) AS w,
+                     doc_id % 50 AS b
+              FROM documents WHERE trim(text) <> ''
+            ),
+            vocab AS (
+              SELECT DISTINCT w || '-' || CAST(b AS VARCHAR) AS k
+              FROM toks
+              WHERE regexp_matches(w, '^[a-z]{4,12}$')
+              ORDER BY k LIMIT 800
+            ),
+            typos AS (
+              SELECT DISTINCT
+                     substr(k, 1, CAST(floor(length(k)/2) AS INT))
+                     || substr(k, CAST(floor(length(k)/2) AS INT) + 2)
+                       AS k
+              FROM vocab
+            )
+            SELECT DISTINCT t.k AS left_key, v.k AS right_key,
+                   CAST(levenshtein(t.k, v.k) AS INT) AS distance
+            FROM typos t CROSS JOIN vocab v
+            WHERE levenshtein(t.k, v.k) <= 1
         """,
         "cdc_apply": """
             WITH latest AS (

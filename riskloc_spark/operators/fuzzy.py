@@ -1,0 +1,115 @@
+"""Fuzzy key joins: match rows whose string keys are within a small
+edit distance — the data-cleaning primitive behind entity resolution
+(vendor names, user handles, typo'd identifiers) that a plain
+equi-join can't express and a levenshtein theta-join turns into a
+cartesian product.
+
+The Spark-first shape is DELETION-NEIGHBORHOOD BLOCKING (the idea
+behind SymSpell, Garbe 2012): for edit distance <= 1, two strings
+x, y match iff their deletion neighborhoods intersect, where
+D(x) = {x} ∪ {x with one character deleted}.  Proof sketch per edit
+type: substitution — deleting the differing position from both sides
+yields the same string; insertion/deletion — deleting the extra
+character from the longer side yields the shorter; identity — x
+itself.  For distance <= 2 the neighborhoods nest one more deletion
+(D2 = D(D1)); the blocking is then a SUPERSET of the true pairs, and
+every candidate is verified with Spark's built-in ``levenshtein``
+(JVM-side, no UDF) — false candidates cost one popcount-cheap check,
+never a wrong answer.
+
+Scale: each key explodes into |key|+1 (d=1) or O(|key|^2) (d=2)
+variant rows — bounded by key LENGTH, never corpus size — and the
+join is a plain equi-join on the variant string: one shuffle keyed
+on variants, hot variants (short common fragments) split by AQE.
+The verify filter runs before the pair-dedup exchange so only true
+matches shuffle twice.  No reference counterpart (shaido987/riskloc
+is tabular RCA only).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _deletion_variants(col, depth: int):
+    """Array of deletion-neighborhood strings: the value itself plus
+    every string reachable by <= ``depth`` single-character deletions
+    — pure column algebra (sequence + transform + substr)."""
+    d1 = (
+        "transform(sequence(1, length({s})), "
+        "i -> concat(substr({s}, 1, i - 1), substr({s}, i + 1)))"
+    )
+    if depth == 1:
+        expr = f"array_union(array({{s}}), {d1})".format(s="{s}")
+    else:  # depth == 2: D1 plus one more deletion of every D1 member
+        inner = d1.format(s="x")
+        expr = (
+            "array_union(array({s}), array_union("
+            + d1
+            + ", flatten(transform("
+            + d1
+            + f", x -> {inner}))))"
+        )
+    return F.expr(expr.format(s=col))
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    max_distance: int = 1,
+    left_id: str | None = None,
+    right_id: str | None = None,
+) -> DataFrame:
+    """(left_key, right_key[, left_id, right_id], distance): every
+    pair of rows whose ``key_col`` values are within ``max_distance``
+    Levenshtein edits (1 or 2).  Candidates come from the deletion-
+    neighborhood equi-join (complete — see module docstring), the
+    exact distance from the built-in ``levenshtein`` verify.  Pass
+    ``left_id``/``right_id`` to carry row identifiers through;
+    otherwise distinct key pairs are returned.  NULL keys never
+    match.  Self-join usage: pass the same frame twice and filter
+    the reflexive pairs downstream."""
+    if max_distance not in (1, 2):
+        raise ValueError("max_distance must be 1 or 2")
+    lcols = [F.col(key_col).alias("left_key")] + (
+        [F.col(left_id).alias("left_id")] if left_id else []
+    )
+    rcols = [F.col(key_col).alias("right_key")] + (
+        [F.col(right_id).alias("right_id")] if right_id else []
+    )
+    lv = (
+        left.filter(F.col(key_col).isNotNull())
+        .select(
+            *lcols,
+            F.explode(
+                _deletion_variants(key_col, max_distance)
+            ).alias("__v"),
+        )
+        .distinct()
+    )
+    rv = (
+        right.filter(F.col(key_col).isNotNull())
+        .select(
+            *rcols,
+            F.explode(
+                _deletion_variants(key_col, max_distance)
+            ).alias("__v"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("left_key"), F.col("right_key"))
+    out_cols = ["left_key", "right_key"]
+    if left_id:
+        out_cols.append("left_id")
+    if right_id:
+        out_cols.append("right_id")
+    return (
+        lv.join(rv, "__v")
+        # verify BEFORE the pair-dedup exchange: only true matches
+        # shuffle again
+        .withColumn("distance", dist)
+        .filter(F.col("distance") <= max_distance)
+        .select(*out_cols, "distance")
+        .distinct()
+    )
