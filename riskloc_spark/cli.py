@@ -649,6 +649,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp2.add_argument("--delete-op", default="delete")
 
     sp2 = psub.add_parser(
+        "fuzzy-join",
+        help="match keys within a small Levenshtein distance via the "
+        "deletion-neighborhood blocked equi-join; input parquet is "
+        "the left side",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--right", required=True,
+                     help="parquet with the right-side rows")
+    sp2.add_argument("--key", required=True,
+                     help="key column name (same on both sides)")
+    sp2.add_argument("--max-distance", type=int, default=1,
+                     choices=(1, 2))
+    sp2.add_argument("--left-id", default=None)
+    sp2.add_argument("--right-id", default=None)
+
+    sp2 = psub.add_parser(
         "heavy-hitters",
         help="top-k most frequent values per key via the bottom-k "
         "candidate sample composed with Count-Min estimates",
@@ -1015,6 +1031,15 @@ def run_pipeline(spark, args) -> dict:
             args.attrs.split(","),
             op_col=args.op_col,
             delete_op=args.delete_op,
+        )
+    elif op == "fuzzy-join":
+        from riskloc_spark.operators.fuzzy import fuzzy_join
+
+        right = spark.read.parquet(args.right)
+        out = fuzzy_join(
+            df, right, args.key,
+            max_distance=args.max_distance,
+            left_id=args.left_id, right_id=args.right_id,
         )
     elif op == "heavy-hitters":
         from riskloc_spark.operators.cms import heavy_hitters

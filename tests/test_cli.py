@@ -1013,3 +1013,30 @@ def test_cli_pipeline_scd2_and_cdc_apply(spark, tmp_path):
         for r2 in spark.read.parquet(merged).collect()
     }
     assert got == {1: ("a2", 6), 3: ("c", 9)}  # 2 deleted, 3 untouched
+
+
+def test_cli_pipeline_fuzzy_join(spark, tmp_path):
+    """round-13 fuzzy-join subcommand end-to-end through the
+    subprocess entrypoint."""
+    left = str(tmp_path / "fl")
+    right = str(tmp_path / "fr")
+    spark.createDataFrame(
+        [(1, "acme corp"), (2, "zzz")], "lid long, k string"
+    ).write.parquet(left)
+    spark.createDataFrame(
+        [(10, "acme korp"), (11, "unrelated")], "rid long, k string"
+    ).write.parquet(right)
+    out = str(tmp_path / "fj")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "fuzzy-join", left, "--output", out, "--right", right,
+            "--key", "k", "--left-id", "lid", "--right-id", "rid",
+            "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = spark.read.parquet(out).collect()
+    assert [(x["left_id"], x["right_id"], x["distance"])
+            for x in rows] == [(1, 10, 1)]
