@@ -78,25 +78,31 @@ def fuzzy_join(
     rcols = [F.col(key_col).alias("right_key")] + (
         [F.col(right_id).alias("right_id")] if right_id else []
     )
+    # dedupe the (key[, id]) rows BEFORE the explode: the variant
+    # arrays are already per-row unique (array_union), so a
+    # post-explode distinct would shuffle corpus x (len+1) variant
+    # rows to remove nothing
     lv = (
         left.filter(F.col(key_col).isNotNull())
+        .select(*lcols)
+        .distinct()
         .select(
-            *lcols,
+            "*",
             F.explode(
-                _deletion_variants(key_col, max_distance)
+                _deletion_variants("left_key", max_distance)
             ).alias("__v"),
         )
-        .distinct()
     )
     rv = (
         right.filter(F.col(key_col).isNotNull())
+        .select(*rcols)
+        .distinct()
         .select(
-            *rcols,
+            "*",
             F.explode(
-                _deletion_variants(key_col, max_distance)
+                _deletion_variants("right_key", max_distance)
             ).alias("__v"),
         )
-        .distinct()
     )
     dist = F.levenshtein(F.col("left_key"), F.col("right_key"))
     out_cols = ["left_key", "right_key"]
