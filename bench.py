@@ -213,6 +213,20 @@ BENCH_QUERIES = [
     "events_interval_join",
     "weighted_sample",
     "length_quantiles",
+    # round 13
+    "quantile_sketch",
+    "heavy_hitters",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
+    "streaming_quantiles",
+    "bloom_decontamination",
+    "cdc_apply",
+    "streaming_cms",
+    "events_interval_join_hier",
+    "streaming_bloom",
+    "fuzzy_join",
 ]
 
 
