@@ -1543,6 +1543,21 @@ def bloom_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix under the hash gate (round 13;
+    temporal.retention_cohorts): users bucketed by the week of their
+    first event, distinct-counted in every week they return, as a
+    fraction of the cohort.  DATE-granularity week buckets (to_date +
+    datediff — the q12 timezone discipline; an epoch-microsecond
+    bucket would shift under a non-UTC session).  The oracle replays
+    the first-seen min, the user-period dedup, both aggregations, and
+    the 6dp rounding in SQL."""
+    from riskloc_spark.operators.temporal import retention_cohorts
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return retention_cohorts(e, period_days=7)
+
+
 def fuzzy_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy key join under the hash gate (round 13;
     operators/fuzzy.fuzzy_join): an 800-key identifier vocabulary
@@ -5501,6 +5516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join_hier": events_interval_join_hier_q,
         "streaming_bloom": streaming_bloom_q,
         "fuzzy_join": fuzzy_join_q,
+        "retention_cohorts": retention_cohorts_q,
     # ---- hardened round 13 (DATE-granularity predicates): re-record ----
         "q12_late_priority": q12_late_priority,
         "q21_waiting_supplier": q21_waiting_supplier,
@@ -8766,6 +8782,29 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (VALUES (0), (1), (2), (3)) AS rws(rw)
             WHERE user_id IS NOT NULL
             GROUP BY event_type, rw, bucket
+        """,
+        "retention_cohorts": """
+            WITH ue AS (
+              SELECT DISTINCT user_id AS u,
+                     CAST(floor(date_diff('day', DATE '1970-01-01',
+                          CAST(ts AS DATE)) / 7) AS BIGINT) AS p
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            f AS (SELECT u, MIN(p) AS cohort FROM ue GROUP BY u),
+            per AS (
+              SELECT cohort, p - cohort AS period,
+                     COUNT(DISTINCT u) AS active_users
+              FROM ue JOIN f USING (u) GROUP BY cohort, period
+            ),
+            sz AS (
+              SELECT cohort AS c, active_users AS cohort_size
+              FROM per WHERE period = 0
+            )
+            SELECT cohort, period, active_users, cohort_size,
+                   round(active_users / CAST(cohort_size AS DOUBLE),
+                         6) + 0e0 AS retention
+            FROM per JOIN sz ON cohort = c
         """,
         "fuzzy_join": r"""
             WITH toks AS (

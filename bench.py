@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "events_interval_join_hier",
     "streaming_bloom",
     "fuzzy_join",
+    "retention_cohorts",
 ]
 
 

@@ -603,3 +603,63 @@ def interval_join_hierarchical(
         (F.col(ts_col) >= start) & (F.col(ts_col) < end)
     )
     return out.drop("__lvl", "__b")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """(cohort, period, active_users, cohort_size, retention): the
+    classic cohort-retention matrix — users grouped by the period of
+    their FIRST event (the cohort), counted distinct in every later
+    period they return, as a fraction of the cohort.  Period 0 rows
+    are the cohort definition (retention 1.0 by construction).
+
+    Two aggregations: first-seen per user (map-combinable min), then
+    distinct users per (cohort, period) — the (user, period) pair is
+    deduped BEFORE the count so the heavy exchange carries one row
+    per user-period, not one per event.  Periods are DATE-granularity
+    buckets (days since epoch / period_days via to_date + datediff —
+    timezone-free on both engines, the q12 discipline; an
+    epoch-microsecond bucket would shift at non-UTC session
+    timezones).  Retention is rounded to 6dp for stable engine
+    comparison."""
+    if period_days < 1:
+        raise ValueError("period_days must be >= 1")
+    day = F.floor(
+        F.datediff(
+            F.to_date(F.col(ts_col)),
+            F.lit("1970-01-01").cast("date"),
+        ) / period_days
+    ).cast("long")
+    ue = (
+        events.filter(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(F.col(user_col).alias("__u"), day.alias("__p"))
+        .distinct()
+    )
+    first = ue.groupBy("__u").agg(F.min("__p").alias("cohort"))
+    per = (
+        ue.join(first, "__u")
+        .groupBy("cohort", (F.col("__p") - F.col("cohort")).alias("period"))
+        .agg(F.countDistinct("__u").alias("active_users"))
+    )
+    size = per.filter(F.col("period") == 0).select(
+        F.col("cohort").alias("__c"),
+        F.col("active_users").alias("cohort_size"),
+    )
+    return (
+        per.join(size, per["cohort"] == size["__c"])
+        .select(
+            "cohort",
+            F.col("period").cast("long").alias("period"),
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.col("active_users") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )

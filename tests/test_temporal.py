@@ -499,3 +499,38 @@ def test_interval_join_hierarchical_equals_plain(spark):
         .agg(F.max("n")).collect()[0][0]
     )
     assert n_expl <= 2, n_expl
+
+
+def test_retention_cohorts_semantics(spark):
+    """cohort = first-seen period; period-0 retention is 1.0; later
+    periods count distinct returning users over the cohort size;
+    multiple events in one period count once; NULL users/ts drop."""
+    import datetime as dt
+
+    from riskloc_spark.operators.temporal import retention_cohorts
+
+    d0 = dt.datetime(2024, 1, 1, 9)
+    rows = []
+    # cohort A (week 0): u1, u2, u3; u1 returns wk1+wk2, u2 wk1 twice
+    for u, weeks in ((1, [0, 1, 2]), (2, [0, 1, 1]), (3, [0])):
+        for w in weeks:
+            rows.append((u, d0 + dt.timedelta(days=7 * w)))
+    # cohort B (week 1): u4 returns week 2
+    rows += [(4, d0 + dt.timedelta(days=7)),
+             (4, d0 + dt.timedelta(days=14))]
+    rows += [(None, d0), (5, None)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["cohort"], r["period"]): (
+            r["active_users"], r["cohort_size"], r["retention"]
+        )
+        for r in retention_cohorts(df, period_days=7).collect()
+    }
+    cohorts = sorted({c for c, _ in out})
+    a, b = cohorts
+    assert out[(a, 0)] == (3, 3, 1.0)
+    assert out[(a, 1)] == (2, 3, round(2 / 3, 6))
+    assert out[(a, 2)] == (1, 3, round(1 / 3, 6))
+    assert out[(b, 0)] == (1, 1, 1.0)
+    assert out[(b, 1)] == (1, 1, 1.0)
+    assert len(out) == 5
