@@ -106,3 +106,34 @@ def test_date_hardened_gates_tz_stable(spark, duck, name):
             assert a == b, f"{name} diverges under {tz}"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_all_tpch_gates_tz_stable(spark, duck):
+    """The whole seam class, not just q12/q21: EVERY TPC-H gate must
+    match its oracle under a non-UTC session timezone.  The remaining
+    timestamp-literal predicates are safe because the
+    string->timestamp->ntz coercion round-trips through the SAME
+    session timezone (identity) — this pins that analysis against
+    engine upgrades."""
+    qkeys = sorted(
+        k for k in ORACLES if k.startswith("q") and k[1].isdigit()
+    )
+    assert len(qkeys) == 22  # the full sweep
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        bad = []
+        for name in qkeys:
+            sdf = QUERIES[name](spark, SF_DIR)
+            a = normalize(
+                [tuple(r) for r in sdf.collect()], sdf.columns
+            )
+            res = duck.execute(ORACLES[name])
+            b = normalize(
+                res.fetchall(), [d[0] for d in res.description]
+            )
+            if a != b:
+                bad.append(name)
+        assert not bad, f"TZ-divergent gates: {bad}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
