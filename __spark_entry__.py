@@ -409,10 +409,15 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_em2").alias("__tot"),
         F.count(F.lit(1)).alias("__np"),
     )
+    # Compare in DECIMAL(38,0): BIGINT * row-count can overflow at
+    # large SF, and non-ANSI Spark would wrap silently where DuckDB
+    # raises — widening both sides keeps the gate exact and loud.
+    dec = "decimal(38,0)"
     return (
         v.crossJoin(F.broadcast(tot))
         .filter(
-            F.col("value_em2") * F.col("__np") > F.col("__tot") * 2
+            F.col("value_em2").cast(dec) * F.col("__np")
+            > F.col("__tot").cast(dec) * 2
         )
         .select("l_partkey", "value_em2")
     )
@@ -864,8 +869,9 @@ def quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the seeded doc_id hash), then the Type-1 ceil(q*s) pick over the
     sample.  The oracle replays the sample membership row-for-row
     (same 60-bit md5 of doc_id:salt, same (h, value) order, same
-    rank cut) and the same DOUBLE ceil arithmetic, so a drift in the
-    hash, the bottom-k rule, or the estimator breaks the hash."""
+    rank cut) and the same epsilon-guarded ceil(q*s - 1e-9) rank
+    arithmetic, so a drift in the hash, the bottom-k rule, or the
+    estimator breaks the hash."""
     from riskloc_spark.operators.quantiles import (
         quantile_estimate,
         quantile_sketch,
@@ -1539,6 +1545,180 @@ def bloom_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_ngrams").cast("long").alias("n_ngrams"),
         F.col("n_matched").cast("long").alias("n_matched"),
+        F.round("contamination", 6).alias("contamination"),
+    )
+
+
+def decontamination_near_dup_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FUZZY-level benchmark decontamination under the hash gate
+    (round 14; decontamination.near_dup_contamination_stats): the
+    MinHash-LSH machinery pointed at a benchmark — catches
+    paraphrased/reformatted eval leakage that exact n-gram audits
+    miss.  The benchmark is a deterministic paraphrase of every 23rd
+    document (id-offset twin with an appended suffix — near-dup but
+    not exact, so the exact path under-reports it while the fuzzy
+    path must flag it), and the output is the COMPLETE per-document
+    audit: match count, best estimated Jaccard, best benchmark id
+    (max-est/min-id tiebreak).  md5-portable hashes: the oracle
+    replays signatures, bands, the corpus x benchmark candidate
+    join, the threshold, and the arg-max tiebreak."""
+    from riskloc_spark.operators.decontamination import (
+        near_dup_contamination_stats,
+    )
+    from riskloc_spark.operators.dedup import md5_hash64
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    bench = d.filter(F.col("doc_id") % 23 == 7).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz bench suffix")).alias(
+            "text"
+        ),
+    )
+    out = near_dup_contamination_stats(
+        d, bench, jaccard_threshold=0.5, hash_fn=md5_hash64
+    )
+    return out.select(
+        "doc_id",
+        "n_bench_matches",
+        F.round("max_est_jaccard", 6).alias("max_est_jaccard"),
+        "bench_id",
+    )
+
+
+def decontamination_semantic_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination under the hash gate
+    (round 14; decontamination.semantic_contamination_stats): the
+    embedding tier of the decontamination suite — every corpus
+    vector audited for cosine >= 0.8 against a benchmark built from
+    every 37th vector (id-offset twins, so each planted source must
+    flag itself at cos 1.0 plus any natural high-cos neighbors).
+    EXACT broadcast audit (the honest baseline; the IVF-pruned scale
+    path is property-tested against it).  The oracle replays the
+    double-math dot products, the threshold, the match count, and
+    the max-cos/min-id arg-max bit-for-bit."""
+    from riskloc_spark.operators.decontamination import (
+        semantic_contamination_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    bench = emb.filter(F.col("vec_id") % 37 == 5).select(
+        (F.col("vec_id") + 10000000).alias("vec_id"), "embedding"
+    )
+    out = semantic_contamination_stats(emb, bench, cos_threshold=0.8)
+    return out.select(
+        "vec_id",
+        "n_bench_matches",
+        F.round("max_cos", 6).alias("max_cos"),
+        "bench_id",
+    )
+
+
+def streaming_decontamination_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING benchmark decontamination under the hash gate
+    (round 14; streaming/pipeline.contamination_stream): the n-gram
+    contamination audit as an append-mode + watermark stream — the
+    bounded-state form of `decontamination_audit` (same benchmark:
+    doc_id % 17 == 0, same n=4, same output columns).  Documents get
+    synthesized event times inside one 2-hour window; two far-future
+    carrier files (1h apart, inside each other's horizon) advance
+    the watermark past every real document, so the emitted set is
+    EXACTLY the full corpus — one row per doc, finalized once — and
+    the oracle is the BATCH audit SQL verbatim.  The stream side:
+    in-row distinct grams (no cross-row dedup state), stream-static
+    broadcast gram probe (stateless), one watermark-bounded
+    counting aggregation."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from riskloc_spark.operators.decontamination import (
+        benchmark_gram_set,
+    )
+    from riskloc_spark.streaming.pipeline import contamination_stream
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = 1_714_500_000  # fixed epoch anchor
+    staged_docs = d.select(
+        "doc_id",
+        F.timestamp_seconds(
+            F.lit(base) + (F.col("doc_id") % 120) * 60
+        ).alias("ts"),
+        "text",
+    )
+    carrier1 = spark.createDataFrame(
+        [(-1, "carrier one text")], "doc_id long, text string"
+    ).select(
+        "doc_id",
+        F.timestamp_seconds(F.lit(base + 2 * 86400)).alias("ts"),
+        "text",
+    )
+    carrier2 = spark.createDataFrame(
+        [(-2, "carrier two text")], "doc_id long, text string"
+    ).select(
+        "doc_id",
+        F.timestamp_seconds(F.lit(base + 2 * 86400 + 3600)).alias("ts"),
+        "text",
+    )
+
+    stage = tempfile.mkdtemp(prefix="sdecon_")
+    try:
+        stream_dir = os.path.join(stage, "stream")
+        os.makedirs(stream_dir)
+        for name, frame, mtime in (
+            ("a.parquet", staged_docs, 1_000_000),
+            ("b.parquet", carrier1, 1_000_100),
+            ("c.parquet", carrier2, 1_000_200),
+        ):
+            out_dir = os.path.join(stage, name + ".dir")
+            frame.coalesce(1).write.mode("overwrite").parquet(out_dir)
+            part = [
+                f for f in os.listdir(out_dir) if f.startswith("part-")
+            ][0]
+            dst = os.path.join(stream_dir, name)
+            shutil.move(os.path.join(out_dir, part), dst)
+            os.utime(dst, (mtime, mtime))
+
+        bg = benchmark_gram_set(d.filter(F.col("doc_id") % 17 == 0), n=4)
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, ts timestamp, text string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        out = contamination_stream(stream, bg, n=4, watermark="2 hours")
+        qname = "streaming_decontamination_" + uuid.uuid4().hex[:8]
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        q.stop()
+        if not finished:
+            raise TimeoutError(
+                "streaming_decontamination: availableNow run did not "
+                "finish in 300s — emitted doc set would be truncated"
+            )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(qname).select(
+        "doc_id",
+        "n_ngrams",
+        "n_matched",
         F.round("contamination", 6).alias("contamination"),
     )
 
@@ -5495,67 +5675,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDER MATTERS: the driver's correctness window records the FIRST 50
     # keys only, ROTATED each round so every hash gate accumulates
-    # driver-recorded greens.  Round 13 order: brand-new gates first,
-    # then the two gates whose predicates were HARDENED this round
-    # (q12 was driver-RED in r12 and must re-record; q21 shares the
-    # new DATE-granularity form), then pure stalest-first by newest
-    # driver record (the r9-tier remainder the r12 window did not
-    # reach, then the r10 tier, r11 tier, r12-recorded tier);
-    # rows-only last.
-    # ---- new round-13 gates (never driver-recorded) ----
-        "quantile_sketch": quantile_sketch_q,
-        "heavy_hitters": heavy_hitters_q,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
+    # driver-recorded greens.  Round 14 order: q11 + q12 lead (the two
+    # r13 reds — their oracles' integer-SUM outputs now carry the
+    # CAST(... AS BIGINT) pandas-dtype discipline and MUST re-record
+    # green), then the brand-new r14 gate, then pure stalest-first by
+    # newest driver record: the round-10-recorded remainder the r13
+    # window did not reach, then the r11 tier, r12 tier, and the
+    # 48 gates recorded green in r13; rows-only last.
+    # ---- r13 driver reds, oracles fixed: re-record first ----
         "q11_important_parts": q11_important_parts,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q20_dominant_suppliers": q20_dominant_suppliers,
-        "streaming_quantiles": streaming_quantiles_q,
-        "bloom_decontamination": bloom_decontamination_q,
-        "cdc_apply": cdc_apply_q,
-        "streaming_cms": streaming_cms_q,
-        "events_interval_join_hier": events_interval_join_hier_q,
-        "streaming_bloom": streaming_bloom_q,
-        "fuzzy_join": fuzzy_join_q,
-        "retention_cohorts": retention_cohorts_q,
-    # ---- hardened round 13 (DATE-granularity predicates): re-record ----
         "q12_late_priority": q12_late_priority,
-        "q21_waiting_supplier": q21_waiting_supplier,
-    # ---- newest driver record is round 9 (r12 window stopped above here) ----
-        "knn_lsh": knn_lsh_q,
-        "minhash_pairs": minhash_pairs,
-        "ngram_jaccard": ngram_jaccard_q,
-        "pii_redaction": pii_redaction_q,
-        "quality_gopher_filter": quality_gopher_filter_q,
-        "quality_repetition": quality_repetition_q,
-        "rev_adtributor_rec": rev_adtributor_rec_q,
-        "riskloc_layer_scores": riskloc_layer_scores_q,
-        "simhash_pairs": simhash_pairs,
-        "squeeze_clusters_kde": squeeze_clusters_kde_q,
-        "squeeze_search_derived": squeeze_search_derived_q,
-        "squeeze_search_filtered": squeeze_search_filtered_q,
-        "streaming_quality": streaming_quality_q,
-        "streaming_sessions": streaming_sessions_q,
-        "text_normalize": text_normalize_q,
-        "tfidf_terms": tfidf_terms_q,
-        "video_frames": video_frames_q,
-        "video_meta": video_meta_q,
+    # ---- new round-14 gates (never driver-recorded) ----
+        "decontamination_near_dup": decontamination_near_dup_q,
+        "decontamination_semantic": decontamination_semantic_q,
+        "streaming_decontamination": streaming_decontamination_q,
     # ---- newest driver record is round 10 ----
-        "adtributor_elements": adtributor_elements,
-        "audio_features": audio_features_q,
-        "audio_frames": audio_frames_q,
-        "audio_meta": audio_meta_q,
-        "audio_resample": audio_resample_q,
-        "autoroot_nps": autoroot_nps_q,
-        "dedup_exact": dedup_exact_q,
-        "evaluation_f1": evaluation_f1_q,
-        "events_asof_forward": events_asof_forward_q,
-        "events_asof_tolerance": events_asof_tolerance_q,
-        "events_rolling": events_rolling_q,
-        "events_rollup": events_rollup,
-        "frequent_ngrams": frequent_ngrams_q,
-        "hotspot_element_stats": hotspot_element_stats_q,
-        "html_block_stats": html_block_stats_q,
-        "html_extract": html_extract_q,
         "jsonl_roundtrip": jsonl_roundtrip_q,
         "knn_bruteforce": knn_bruteforce_q,
         "knn_graph": knn_graph_q,
@@ -5687,6 +5821,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_search_ps": hotspot_search_ps_q,
         "incremental_near_dup": incremental_near_dup_q,
         "knn_ivf": knn_ivf_q,
+    # ---- newest driver record is round 13 (freshest, rotate last) ----
+        "quantile_sketch": quantile_sketch_q,
+        "heavy_hitters": heavy_hitters_q,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q20_dominant_suppliers": q20_dominant_suppliers,
+        "streaming_quantiles": streaming_quantiles_q,
+        "bloom_decontamination": bloom_decontamination_q,
+        "cdc_apply": cdc_apply_q,
+        "streaming_cms": streaming_cms_q,
+        "events_interval_join_hier": events_interval_join_hier_q,
+        "streaming_bloom": streaming_bloom_q,
+        "fuzzy_join": fuzzy_join_q,
+        "retention_cohorts": retention_cohorts_q,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "knn_lsh": knn_lsh_q,
+        "minhash_pairs": minhash_pairs,
+        "ngram_jaccard": ngram_jaccard_q,
+        "pii_redaction": pii_redaction_q,
+        "quality_gopher_filter": quality_gopher_filter_q,
+        "quality_repetition": quality_repetition_q,
+        "rev_adtributor_rec": rev_adtributor_rec_q,
+        "riskloc_layer_scores": riskloc_layer_scores_q,
+        "simhash_pairs": simhash_pairs,
+        "squeeze_clusters_kde": squeeze_clusters_kde_q,
+        "squeeze_search_derived": squeeze_search_derived_q,
+        "squeeze_search_filtered": squeeze_search_filtered_q,
+        "streaming_quality": streaming_quality_q,
+        "streaming_sessions": streaming_sessions_q,
+        "text_normalize": text_normalize_q,
+        "tfidf_terms": tfidf_terms_q,
+        "video_frames": video_frames_q,
+        "video_meta": video_meta_q,
+        "adtributor_elements": adtributor_elements,
+        "audio_features": audio_features_q,
+        "audio_frames": audio_frames_q,
+        "audio_meta": audio_meta_q,
+        "audio_resample": audio_resample_q,
+        "autoroot_nps": autoroot_nps_q,
+        "dedup_exact": dedup_exact_q,
+        "evaluation_f1": evaluation_f1_q,
+        "events_asof_forward": events_asof_forward_q,
+        "events_asof_tolerance": events_asof_tolerance_q,
+        "events_rolling": events_rolling_q,
+        "events_rollup": events_rollup,
+        "frequent_ngrams": frequent_ngrams_q,
+        "hotspot_element_stats": hotspot_element_stats_q,
+        "html_block_stats": html_block_stats_q,
+        "html_extract": html_extract_q,
     # ---- rows-only queries (no oracle twin) last ----
         "riskloc_rca": riskloc_rca,
         "riskloc_rca_derived": riskloc_rca_derived,
@@ -5704,6 +5887,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 _RCA_CTE = f"rca AS ({RCA_EVENTS_SQL})"
+
+# DuckDB twin of contamination_stats(documents, doc_id % 17 == 0, n=4)
+# — shared verbatim by the batch gate (decontamination_audit) and its
+# streaming twin (streaming_decontamination), whose staging emits
+# exactly this audit.  The oracle joins gram STRINGS where Spark joins
+# xxhash64(gram): a 64-bit collision is the only way they can differ
+# (the dedup_exact carve-out).
+_DECON_AUDIT_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split({norm}, ' ') AS w
+      FROM documents
+    ),
+    grams AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(w) < 4
+               THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(0, len(w) - 3),
+                 i -> array_to_string(w[i+1 : i+4], ' ')) END) AS g
+      FROM toks
+    ),
+    bench AS MATERIALIZED (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0
+    ),
+    st AS (
+      SELECT doc_id, COUNT(*) AS n_ngrams,
+             CAST(SUM(CASE WHEN g IN (SELECT g FROM bench)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+      FROM grams GROUP BY doc_id
+    )
+    SELECT doc_id, n_ngrams, n_matched,
+           round(CAST(n_matched AS DOUBLE) / n_ngrams, 6) + 0e0
+             AS contamination
+    FROM st
+"""
 
 # DuckDB twin of paragraph_dedup over the boilerplate-framed corpus
 # (_boilerplate_framed): PARAGRAPH_BOUNDARY / normalization / blank
@@ -6010,6 +6227,81 @@ def _incremental_near_dup_sql() -> str:
         )
         SELECT new_id, base_id, round(ej, 6) + 0e0 AS est_jaccard
         FROM est WHERE ej >= 0.5
+    """
+
+
+def _near_dup_decontamination_sql() -> str:
+    """DuckDB twin of near_dup_contamination_stats over the offset
+    paraphrase benchmark (decontamination_near_dup_q): the minhash
+    sigs/bands machinery of _minhash_pairs_sql over corpus UNION
+    benchmark (bench ids offset by 1e7, text || ' zz bench suffix'),
+    corpus x bench candidate join, signature-agreement estimate >=
+    0.5, then the complete audit — every corpus doc with its match
+    count, max estimate, and arg-max bench id (ej DESC, base_id ASC
+    tiebreak, the min_by struct twin)."""
+    h_seeded = _MD5H.format(x="concat(s, ':', CAST(k AS VARCHAR))")
+    h_band = _MD5H.format(
+        x="string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)"
+    )
+    return f"""
+        WITH allr AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000 AS doc_id,
+                 text || ' zz bench suffix' AS text
+          FROM documents WHERE doc_id % 23 = 7
+        ),
+        toks AS (
+          SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM allr
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE list_transform(range(1, len(t) - 1),
+                                     i -> array_to_string(t[i:i+2], ' '))
+                 END AS ss
+          FROM toks
+        ),
+        shingled AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        sigs AS (
+          SELECT doc_id, k, MIN({h_seeded}) AS mh
+          FROM shingled CROSS JOIN range(32) t(k)
+          GROUP BY doc_id, k
+        ),
+        bands AS (
+          SELECT doc_id, k // 4 AS band, {h_band} AS bucket
+          FROM sigs GROUP BY doc_id, k // 4
+        ),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id
+          FROM bands n JOIN bands b
+            ON n.band = b.band AND n.bucket = b.bucket
+           AND n.doc_id < 10000000 AND b.doc_id >= 10000000
+        ),
+        est AS (
+          SELECT c.new_id, c.base_id,
+                 SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 32.0 AS ej
+          FROM cand c
+          JOIN sigs a ON a.doc_id = c.new_id
+          JOIN sigs b ON b.doc_id = c.base_id AND b.k = a.k
+          GROUP BY 1, 2
+        ),
+        pairs AS (SELECT * FROM est WHERE ej >= 0.5),
+        ranked AS (
+          SELECT new_id, base_id, ej,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY new_id
+                   ORDER BY ej DESC, base_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY new_id) AS nm
+          FROM pairs
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(r.nm, 0) AS BIGINT) AS n_bench_matches,
+               round(COALESCE(r.ej, 0.0), 6) + 0e0 AS max_est_jaccard,
+               r.base_id AS bench_id
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+          ON d.doc_id = r.new_id
     """
 
 
@@ -8897,9 +9189,16 @@ def oracle_sql() -> dict[str, str]:
             t AS (
               SELECT SUM(value_em2) AS tot, COUNT(*) AS np FROM v
             )
-            SELECT l_partkey, value_em2
+            -- Outer CAST: DuckDB widens SUM(BIGINT) to HUGEINT, which
+            -- pandas .df() renders as float64 while Spark outputs bigint
+            -- (the proven r12/r13 driver hash-red mechanism; q9 has the
+            -- same discipline). The cast pins the pandas dtype to int64.
+            SELECT l_partkey, CAST(value_em2 AS BIGINT) AS value_em2
             FROM v CROSS JOIN t
-            WHERE value_em2 * np > tot * 2
+            -- HUGEINT compare mirrors the Spark side's DECIMAL(38,0)
+            -- widening (BIGINT * part-count could overflow at scale).
+            WHERE CAST(value_em2 AS HUGEINT) * np
+                    > CAST(tot AS HUGEINT) * 2
         """,
         "q16_supplier_part_counts": """
             SELECT p_brand, p_type, p_size,
@@ -8992,7 +9291,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, q + 0e0 AS q, value + 0e0 AS value
             FROM r CROSS JOIN qs
-            WHERE rn = CAST(ceil(q * s) AS INT)
+            -- the 1e-9 epsilon mirrors quantile_estimate: absorbs
+            -- IEEE products a hair above an exact integer so both
+            -- engines pick the textbook Type-1 rank
+            WHERE rn = CAST(ceil(q * s - 1e-9) AS INT)
         """,
         "heavy_hitters": """
             WITH src AS (
@@ -9232,11 +9534,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name, o_year
         """,
         "q12_late_priority": """
+            -- Outer CASTs: DuckDB widens integer SUMs to HUGEINT ->
+            -- pandas float64, vs Spark bigint (the proven r12/r13
+            -- driver hash-red mechanism). CAST pins pandas int64.
             SELECT l_returnflag,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS high_line_count,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                       ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                       ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             -- DATE granularity on purpose: timezone-free in both
             -- engines (see q12_late_priority docstring)
@@ -9728,33 +10035,15 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'src2' THEN 250000
                         ELSE 50000 END
         """,
-        "decontamination_audit": f"""
-            WITH toks AS (
-              SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w
-              FROM documents
-            ),
-            grams AS MATERIALIZED (
-              SELECT DISTINCT doc_id,
-                     unnest(CASE WHEN len(w) < 4
-                       THEN [array_to_string(w, ' ')]
-                       ELSE list_transform(range(0, len(w) - 3),
-                         i -> array_to_string(w[i+1 : i+4], ' ')) END) AS g
-              FROM toks
-            ),
-            bench AS MATERIALIZED (
-              SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0
-            ),
-            st AS (
-              SELECT doc_id, COUNT(*) AS n_ngrams,
-                     CAST(SUM(CASE WHEN g IN (SELECT g FROM bench)
-                       THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
-              FROM grams GROUP BY doc_id
-            )
-            SELECT doc_id, n_ngrams, n_matched,
-                   round(CAST(n_matched AS DOUBLE) / n_ngrams, 6) + 0e0
-                     AS contamination
-            FROM st
-        """,
+        "decontamination_audit": _DECON_AUDIT_SQL.format(
+            norm=_NORM_TEXT
+        ),
+        # the streaming gate's staging guarantees the emitted set is
+        # exactly the full corpus audit, one row per doc — so the
+        # oracle IS the batch audit SQL (streaming == batch pinned)
+        "streaming_decontamination": _DECON_AUDIT_SQL.format(
+            norm=_NORM_TEXT
+        ),
         "bloom_decontamination": f"""
             WITH toks AS (
               SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w
@@ -9877,6 +10166,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.ep > 0.05
         """,
         "minhash_pairs": _minhash_pairs_sql(),
+        "decontamination_near_dup": _near_dup_decontamination_sql(),
+        "decontamination_semantic": """
+            WITH bench AS (
+              SELECT vec_id + 10000000 AS bench_id, embedding
+              FROM embeddings WHERE vec_id % 37 = 5
+            ),
+            pairs AS (
+              SELECT c.vec_id, b.bench_id,
+                     list_dot_product(c.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                              c.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[])))
+                       AS cos
+              FROM embeddings c CROSS JOIN bench b
+            ),
+            hits AS (SELECT * FROM pairs WHERE cos >= 0.8),
+            ranked AS (
+              SELECT vec_id, bench_id, cos,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cos DESC, bench_id ASC) AS rn,
+                     COUNT(*) OVER (PARTITION BY vec_id) AS nm
+              FROM hits
+            )
+            SELECT e.vec_id,
+                   CAST(COALESCE(r.nm, 0) AS BIGINT) AS n_bench_matches,
+                   round(COALESCE(r.cos, 0.0), 6) + 0e0 AS max_cos,
+                   r.bench_id
+            FROM (SELECT DISTINCT vec_id FROM embeddings) e
+            LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+              ON e.vec_id = r.vec_id
+        """,
         "incremental_near_dup": _incremental_near_dup_sql(),
         "streaming_ingest_dedup": _streaming_ingest_dedup_sql(),
         # video gates: the AVI synthesis contract in closed-form SQL

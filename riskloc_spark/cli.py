@@ -306,6 +306,36 @@ def build_parser() -> argparse.ArgumentParser:
     sp2.add_argument("--max-contamination", type=float, default=0.0)
 
     sp2 = psub.add_parser(
+        "decontaminate-near-dup",
+        help="drop documents that MinHash-near-duplicate a benchmark "
+        "(catches paraphrased eval leakage exact n-grams miss)",
+    )
+    pcommon(sp2)
+    sp2.add_argument(
+        "--benchmark", required=True, help="benchmark parquet (text column)"
+    )
+    sp2.add_argument("--jaccard-threshold", type=float, default=0.5)
+    sp2.add_argument("--bands", type=int, default=8)
+
+    sp2 = psub.add_parser(
+        "semantic-contamination",
+        help="embedding-tier contamination audit: input is the corpus "
+        "embeddings parquet (vec_id, embedding), output the complete "
+        "per-item audit vs a benchmark embeddings parquet",
+    )
+    pcommon(sp2)
+    sp2.add_argument(
+        "--benchmark", required=True,
+        help="benchmark embeddings parquet (vec_id, embedding)",
+    )
+    sp2.add_argument("--cos-threshold", type=float, default=0.8)
+    sp2.add_argument(
+        "--ivf-clusters", type=int, default=0,
+        help="0 = exact broadcast audit; N > 0 = IVF co-cell pruned "
+        "path with N coarse cells",
+    )
+
+    sp2 = psub.add_parser(
         "dedup-spans",
         help="remove repeated n-token spans corpus-wide (exact-substring "
         "dedup, Lee et al. 2022)",
@@ -623,6 +653,28 @@ def build_parser() -> argparse.ArgumentParser:
                      "comma-separated quantile fractions")
 
     sp2 = psub.add_parser(
+        "bpe-fit",
+        help="learn a BPE merge table from the corpus; output is the "
+        "(rank, a, b) merge table, --save also persists it as the "
+        "reusable tokenizer artifact",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--merges", type=int, default=200)
+    sp2.add_argument("--sample-docs", type=int, default=10_000)
+    sp2.add_argument("--save", default="",
+                     help="also persist the merge table artifact here "
+                     "(load with bpe-count --model)")
+
+    sp2 = psub.add_parser(
+        "bpe-count",
+        help="per-document BPE token counts under a persisted merge "
+        "table (bpe-fit --save)",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--model", required=True,
+                     help="merge-table artifact path from bpe-fit --save")
+
+    sp2 = psub.add_parser(
         "scd2",
         help="type-2 slowly-changing-dimension history from a change "
         "feed: one row per version with validity intervals",
@@ -738,6 +790,33 @@ def run_pipeline(spark, args) -> dict:
             k, _, v = spec.partition("=")
             weights[k] = float(v)
         out = hash_split(df, weights, salt=args.salt)
+    elif op == "decontaminate-near-dup":
+        from riskloc_spark.operators.decontamination import (
+            decontaminate_near_dup,
+        )
+
+        bench = spark.read.parquet(args.benchmark)
+        out = decontaminate_near_dup(
+            df, bench,
+            jaccard_threshold=args.jaccard_threshold,
+            bands=args.bands,
+        )
+    elif op == "semantic-contamination":
+        from riskloc_spark.operators.decontamination import (
+            semantic_contamination_stats,
+            semantic_contamination_stats_ivf,
+        )
+
+        bench = spark.read.parquet(args.benchmark)
+        if args.ivf_clusters > 0:
+            out = semantic_contamination_stats_ivf(
+                df, bench, cos_threshold=args.cos_threshold,
+                n_clusters=args.ivf_clusters,
+            )
+        else:
+            out = semantic_contamination_stats(
+                df, bench, cos_threshold=args.cos_threshold
+            )
     elif op == "decontaminate":
         from riskloc_spark.operators.decontamination import decontaminate
 
@@ -1010,6 +1089,22 @@ def run_pipeline(spark, args) -> dict:
                 df, args.value_col, args.id_col, key_cols=keys,
                 k=args.k, salt=args.salt,
             )
+    elif op == "bpe-fit":
+        from riskloc_spark.functions.bpe import bpe_fit, save_bpe
+
+        merges = bpe_fit(
+            df, num_merges=args.merges, sample_docs=args.sample_docs
+        )
+        if args.save:
+            save_bpe(spark, merges, args.save)
+        out = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "rank int, a string, b string",
+        )
+    elif op == "bpe-count":
+        from riskloc_spark.functions.bpe import bpe_token_counts, load_bpe
+
+        out = bpe_token_counts(df, load_bpe(spark, args.model))
     elif op == "scd2":
         from riskloc_spark.operators.temporal import scd2_history
 

@@ -114,6 +114,29 @@ def bpe_fit(
     return merges
 
 
+def save_bpe(spark, merges: list, path: str) -> None:
+    """Persist a fitted merge table as ONE parquet artifact
+    (rank, a, b) — the ingest-artifact discipline of the quality
+    classifier (save_text_classifier) and the IVF-PQ index
+    (save_ann_index): fit once at ingest, persist, and every
+    packing/chunking/budgeting batch loads the bounded table instead
+    of re-running the fit's corpus pass.  Rank IS the merge order,
+    so the round-trip is exact (test-pinned to identical
+    ``bpe_encode`` output).  Goes through the engine's writers —
+    DFS-portable, no local-FS side files."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe(spark, path: str) -> list:
+    """Load a merge table persisted by ``save_bpe``; the result plugs
+    straight into ``bpe_token_counts`` / ``bpe_encode``."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["a"], r["b"]) for r in rows]
+
+
 def _pieces_col(text_col: str) -> Column:
     # pieces come from the JVM regex — the exact pre-tokenizer the
     # piece-count gate pins; Python's re lacks \p classes, so the

@@ -32,7 +32,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from riskloc_spark.operators.dedup import md5_hash64
+from riskloc_spark.operators.dedup import md5_hash64, reuse_checkpoint
 
 _HASH_MASK = (1 << 60) - 1  # fold ANY hash into [0, 2^60)
 
@@ -108,8 +108,7 @@ def bloom_probe(
     )
     # two plan branches (probe + anchoring base), no cross-branch CSE
     # — checkpoint so an expensive item pipeline runs once
-    if not uniq.isStreaming:
-        uniq = uniq.localCheckpoint(eager=False)
+    uniq = reuse_checkpoint(uniq)
     probes = [
         uniq.select(
             "item",

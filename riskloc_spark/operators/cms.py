@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from riskloc_spark.operators.dedup import md5_hash64
+from riskloc_spark.operators.dedup import md5_hash64, reuse_checkpoint
 
 _HASH_MASK = (1 << 60) - 1  # fold ANY hash into [0, 2^60)
 
@@ -110,21 +110,35 @@ def cms_lookup(
     item — min over the depth rows of the matching register, absent
     registers counting 0.  The item frame is broadcast into the
     register join (items are tiny against a persisted sketch); the
-    min is one small aggregation per (key, item)."""
+    min is one small aggregation per (key, item).
+
+    When ``key_cols`` are given AND the item frame carries them, each
+    key group is probed ONLY with its own (key, item) pairs — the
+    probe joins on (key..., row, bucket), so a value never observed
+    in a key cannot enter that key's estimates through the pooled
+    candidate set, and probe volume stays |pairs| x depth instead of
+    |keys| x |items| x depth.  An item frame WITHOUT the key columns
+    falls back to the pooled cross-key probe (every key x every
+    item), which is the right shape for an explicit "estimate these
+    items everywhere" lookup."""
     keys = list(key_cols or [])
+    keyed_items = bool(keys) and all(
+        k in items.columns for k in keys
+    )
+    item_keys = keys if keyed_items else []
     uniq = (
         items.filter(F.col(item_col).isNotNull())
-        .select(F.col(item_col).alias("item"))
+        .select(*item_keys, F.col(item_col).alias("item"))
         .distinct()
     )
     # the item frame feeds TWO plan branches (the probe and the
     # anchoring base) and Spark does no cross-branch CSE — without a
     # checkpoint an expensive upstream (e.g. heavy_hitter_candidates'
     # corpus scan) runs twice (the banded_hamming_pairs lesson)
-    if not uniq.isStreaming:
-        uniq = uniq.localCheckpoint(eager=False)
+    uniq = reuse_checkpoint(uniq)
     probes = [
         uniq.select(
+            *item_keys,
             "item",
             F.lit(r).alias("row"),
             _bucket(hash_fn, F.col("item"), r, width).alias("bucket"),
@@ -132,20 +146,27 @@ def cms_lookup(
         for r in range(depth)
     ]
     probe = reduce(lambda a, b: a.unionAll(b), probes)
-    joined = sketch.join(F.broadcast(probe), ["row", "bucket"])
+    joined = sketch.join(
+        F.broadcast(probe), [*item_keys, "row", "bucket"]
+    )
     # an absent register means NO collision landed there either: that
     # row's count is 0, so the min is 0 — count matched rows to
-    # detect, and anchor on the full (key x item) frame so an item
-    # with ZERO matching registers in a group still gets its 0 row
+    # detect, and anchor on the full (key, item) probe frame so an
+    # item with ZERO matching registers in a group still gets its 0
+    # row
     per = joined.groupBy(*keys, "item").agg(
         F.min("cnt").alias("__min"),
         F.count(F.lit(1)).alias("__rows"),
     )
-    base = (
-        sketch.select(*keys).distinct().crossJoin(F.broadcast(uniq))
-        if keys
-        else uniq
-    )
+    if keyed_items:
+        base = uniq
+    elif keys:
+        base = (
+            sketch.select(*keys).distinct()
+            .crossJoin(F.broadcast(uniq))
+        )
+    else:
+        base = uniq
     return base.join(per, [*keys, "item"], "left_outer").select(
         *keys,
         "item",
@@ -243,12 +264,12 @@ def heavy_hitters(
     # inside cms_lookup — checkpoint so each scan happens once (the
     # results are tiny: <= sample_k items, <= depth x width registers
     # per key)
-    cand = heavy_hitter_candidates(
+    cand = reuse_checkpoint(heavy_hitter_candidates(
         df, value_col, id_col, keys, sample_k, salt, hash_fn
-    ).localCheckpoint(eager=False)
-    sketch = cms_sketch(
+    ))
+    sketch = reuse_checkpoint(cms_sketch(
         df, value_col, keys, width, depth, hash_fn=hash_fn
-    ).localCheckpoint(eager=False)
+    ))
     est = cms_lookup(
         sketch, cand, "item", keys, width, depth, hash_fn
     )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from riskloc_spark.operators.dedup import (
+    reuse_checkpoint,
     shingle_rows,
     spread_small_scan,
     xxhash64_fn,
@@ -41,6 +42,24 @@ def _doc_ngrams(
     return shingle_rows(
         spread_small_scan(df), [F.col(id_col)], text_col, n
     ).select(F.col(id_col), hash_fn(F.col("__s")).alias("__g"))
+
+
+def benchmark_gram_set(
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    hash_fn=xxhash64_fn,
+) -> DataFrame:
+    """(__g): the benchmark's distinct n-gram hash vocabulary — the
+    broadcastable static artifact every contamination probe (batch
+    ``contamination_stats``, streaming
+    ``streaming.pipeline.contamination_stream``) joins against.
+    Persist it per benchmark snapshot and skip the re-shingle."""
+    return (
+        shingle_rows(benchmark, [], text_col, n)
+        .select(hash_fn(F.col("__s")).alias("__g"))
+        .distinct()
+    )
 
 
 def contamination_stats(
@@ -65,10 +84,8 @@ def contamination_stats(
     tiny against a training corpus); pass ``md5_hash64`` as hash_fn
     for an ANSI-SQL-replayable run (production default xxhash64).
     """
-    bench_grams = (
-        shingle_rows(benchmark, [], bench_text_col or text_col, n)
-        .select(hash_fn(F.col("__s")).alias("__g"))
-        .distinct()
+    bench_grams = benchmark_gram_set(
+        benchmark, n, bench_text_col or text_col, hash_fn
     )
     doc_grams = _doc_ngrams(corpus, text_col, id_col, n, hash_fn)
     # broadcast-probe the RAW occurrence rows (no exchange), then ONE
@@ -127,6 +144,302 @@ def decontaminate(
     return corpus.join(kept, id_col)
 
 
+def near_dup_contamination_stats(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    hash_fn=xxhash64_fn,
+) -> DataFrame:
+    """FUZZY-level benchmark decontamination: per corpus document,
+    whether it NEAR-DUPLICATES (MinHash-estimated Jaccard >=
+    threshold) any benchmark/eval document — the contamination the
+    exact n-gram audit (``contamination_stats``) misses when eval
+    items are paraphrased, reformatted, or lightly edited into the
+    training set (the failure mode Yang et al. 2023, "Rethinking
+    benchmark and contamination" documents).
+
+    Returns (id_col, n_bench_matches, max_est_jaccard, bench_id):
+    every corpus document appears (clean docs with 0 / 0.0 / NULL),
+    the same complete-audit contract as ``contamination_stats`` —
+    filter for the decision, keep the evidence.  ``bench_id`` is the
+    best-matching benchmark document (max est_jaccard, min id
+    tiebreak — deterministic).
+
+    Pure composition of the ingestion-dedup machinery pointed at a
+    benchmark: ``build_near_dup_index`` over the (small) benchmark,
+    ``incremental_near_dup`` probing it with the corpus as the
+    "batch".  Scale shape: the benchmark index is eval-set-sized, so
+    the (band, bucket) probe join broadcasts or shuffles only tiny
+    rows; the corpus is shingled/signed ONCE (the same one-scan,
+    one-groupBy plan as MinHash dedup) and the audit tail is one
+    doc-keyed aggregation.  Same-family near-dup detection quality
+    follows the LSH S-curve of (num_hashes, bands) — defaults catch
+    Jaccard >= ~0.5 with the 32/8 gate-pinned configuration."""
+    from riskloc_spark.operators.dedup import (
+        build_near_dup_index,
+        incremental_near_dup,
+    )
+
+    bid = bench_id_col or id_col
+    bench = benchmark.select(
+        F.col(bid).alias("__bench_id"),
+        F.col(bench_text_col or text_col).alias("__btext"),
+    )
+    index = build_near_dup_index(
+        bench, "__btext", "__bench_id",
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        hash_fn=hash_fn,
+    )
+    matches = incremental_near_dup(
+        corpus.select(F.col(id_col), F.col(text_col)),
+        index.withColumnRenamed("__bench_id", id_col),
+        text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold, hash_fn=hash_fn,
+        # corpus and benchmark are DIFFERENT tables: an id collision
+        # across them is coincidence, never a re-submission
+        skip_same_id=False,
+    )
+    per_doc = (
+        matches.groupBy(F.col("new_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_matches"),
+            F.max("est_jaccard").alias("max_est_jaccard"),
+            F.min_by(
+                "base_id",
+                F.struct(
+                    (-F.col("est_jaccard")).alias("a"),
+                    F.col("base_id").alias("b"),
+                ),
+            ).alias("bench_id"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .distinct()
+        .join(per_doc, id_col, "left_outer")
+        .select(
+            id_col,
+            F.coalesce("n_bench_matches", F.lit(0))
+            .cast("long")
+            .alias("n_bench_matches"),
+            F.coalesce("max_est_jaccard", F.lit(0.0)).alias(
+                "max_est_jaccard"
+            ),
+            "bench_id",
+        )
+    )
+
+
+def decontaminate_near_dup(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    jaccard_threshold: float = 0.5,
+    **kwargs,
+) -> DataFrame:
+    """The clean corpus under the FUZZY rule: documents that near-
+    duplicate NO benchmark document at the threshold.  Rides the
+    audit columns along (same evidence contract as ``decontaminate``
+    / ``curate_corpus``)."""
+    id_col = kwargs.get("id_col", "doc_id")
+    stats = near_dup_contamination_stats(
+        corpus, benchmark, jaccard_threshold, **kwargs
+    )
+    kept = stats.filter(F.col("n_bench_matches") == 0)
+    return corpus.join(kept, id_col)
+
+
+def semantic_contamination_stats(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    cos_threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding tier above
+    exact n-grams (``contamination_stats``) and MinHash
+    (``near_dup_contamination_stats``): a corpus item is contaminated
+    if its embedding is within ``cos_threshold`` cosine of any
+    benchmark item (the SemDeDup observation pointed at eval leakage:
+    re-renderings and translations that share no lexical surface still
+    co-locate in embedding space).
+
+    Returns (id_col, n_bench_matches, max_cos, bench_id) — the
+    complete per-item audit (clean items with 0 / 0.0 / NULL), max-cos
+    / min-id deterministic tiebreak, the same evidence contract as the
+    other two tiers.
+
+    Scale shape: EXACT — the benchmark side must be broadcastable
+    (eval sets are thousands of rows; norms are computed once per
+    side, the corpus is scanned once, and the only exchange is the
+    item-keyed audit aggregation).  Per-row cost is O(|bench| * dim)
+    — the honest exhaustive audit.  For benchmark sources too big to
+    broadcast or corpora where that product hurts, use
+    ``semantic_contamination_stats_ivf`` (co-cell pruning, the
+    SemDeDup recall trade)."""
+    from riskloc_spark.operators.similarity import (
+        cosine_with_norms,
+        l2_norm,
+    )
+
+    bid = bench_id_col or id_col
+    bvec = bench_vec_col or vec_col
+    c = corpus_emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    b = bench_emb.select(
+        F.col(bid).alias("__bench_id"),
+        F.col(bvec).alias("__bv"),
+        l2_norm(F.col(bvec)).alias("__bn"),
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(b))
+        .select(
+            id_col,
+            "__bench_id",
+            cosine_with_norms(
+                F.col("__cv"), F.col("__bv"),
+                F.col("__cn"), F.col("__bn"),
+            ).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= F.lit(float(cos_threshold)))
+    )
+    per_item = pairs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bench_matches"),
+        F.max("__cos").alias("max_cos"),
+        F.min_by(
+            "__bench_id",
+            F.struct(
+                (-F.col("__cos")).alias("a"),
+                F.col("__bench_id").alias("b"),
+            ),
+        ).alias("bench_id"),
+    )
+    return (
+        corpus_emb.select(id_col)
+        .distinct()
+        .join(per_item, id_col, "left_outer")
+        .select(
+            id_col,
+            F.coalesce("n_bench_matches", F.lit(0))
+            .cast("long")
+            .alias("n_bench_matches"),
+            F.coalesce("max_cos", F.lit(0.0)).alias("max_cos"),
+            "bench_id",
+        )
+    )
+
+
+def semantic_contamination_stats_ivf(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    cos_threshold: float = 0.8,
+    n_clusters: int = 16,
+    fit_sample: int = 10_000,
+    n_iter: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+    centroids=None,
+) -> DataFrame:
+    """The PRUNED semantic audit: both sides are coarse-assigned to
+    shared IVF cells (fit on a bounded corpus sample — or pass a
+    persisted ``centroids``), and only CO-CELL (corpus, bench) pairs
+    pay the exact cosine — the semantic_dedup_pairs trade applied to
+    decontamination.  Near-identical vectors co-locate with
+    probability ~1, so recall loss is confined to borderline pairs
+    near the threshold (property-tested against the exact audit on
+    planted duplicates).  Same output columns as
+    ``semantic_contamination_stats``; the candidate join is keyed on
+    the cell, so neither side is ever cross-joined in full."""
+    from riskloc_spark.operators.similarity import (
+        cosine_with_norms,
+        ivf_fit_centroids,
+        ivfpq_assign_cells,
+        l2_norm,
+        l2_normalize,
+    )
+
+    bid = bench_id_col or id_col
+    bvec = bench_vec_col or vec_col
+    cn = corpus_emb.select(
+        F.col(id_col), l2_normalize(F.col(vec_col)).alias("__nv")
+    )
+    if centroids is None:
+        centroids = ivf_fit_centroids(
+            cn, n_clusters, fit_sample, n_iter, "__nv", seed, id_col
+        )
+    c_cells = ivfpq_assign_cells(cn, centroids, id_col, "__nv")
+    bn = bench_emb.select(
+        F.col(bid).alias("__bench_id"),
+        l2_normalize(F.col(bvec)).alias("__nv"),
+    )
+    b_cells = ivfpq_assign_cells(
+        bn, centroids, "__bench_id", "__nv"
+    )
+    c = corpus_emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    ).join(c_cells.select(id_col, "__cell"), id_col)
+    b = bench_emb.select(
+        F.col(bid).alias("__bench_id"),
+        F.col(bvec).alias("__bv"),
+        l2_norm(F.col(bvec)).alias("__bn"),
+    ).join(
+        b_cells.select("__bench_id", "__cell"), "__bench_id"
+    )
+    pairs = (
+        c.join(F.broadcast(b), "__cell")
+        .select(
+            id_col,
+            "__bench_id",
+            cosine_with_norms(
+                F.col("__cv"), F.col("__bv"),
+                F.col("__cn"), F.col("__bn"),
+            ).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= F.lit(float(cos_threshold)))
+    )
+    per_item = pairs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bench_matches"),
+        F.max("__cos").alias("max_cos"),
+        F.min_by(
+            "__bench_id",
+            F.struct(
+                (-F.col("__cos")).alias("a"),
+                F.col("__bench_id").alias("b"),
+            ),
+        ).alias("bench_id"),
+    )
+    return (
+        corpus_emb.select(id_col)
+        .distinct()
+        .join(per_item, id_col, "left_outer")
+        .select(
+            id_col,
+            F.coalesce("n_bench_matches", F.lit(0))
+            .cast("long")
+            .alias("n_bench_matches"),
+            F.coalesce("max_cos", F.lit(0.0)).alias("max_cos"),
+            "bench_id",
+        )
+    )
+
+
 _HASH_MASK = (1 << 60) - 1  # fold ANY hash into [0, 2^60)
 
 
@@ -172,9 +485,9 @@ def bloom_contamination_stats(
     arch_grams = shingle_rows(
         spread_small_scan(archive), [], archive_text_col or text_col, n
     ).select(hash_fn(F.col("__s")).alias("__g"))
-    bloom = bloom_build(
+    bloom = reuse_checkpoint(bloom_build(
         arch_grams, "__g", m_bits=m_bits, k=k, hash_fn=hash_fn
-    ).localCheckpoint(eager=False)  # bounded; reused k+1 times below
+    ))  # bounded; reused k+1 times below
 
     doc_grams = _doc_ngrams(corpus, text_col, id_col, n, hash_fn)
 

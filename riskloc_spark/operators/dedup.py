@@ -35,6 +35,30 @@ def md5_hash64(col, seed: int | None = None):
     return F.conv(F.substring(F.md5(inp), 1, 15), 16, 10).cast("long")
 
 
+def reuse_checkpoint(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint for a frame that feeds MULTIPLE plan
+    branches (Spark does no cross-branch CSE, so an expensive
+    upstream would otherwise run once per branch — the
+    banded_hamming_pairs lesson).  Honors the session conf
+    ``spark.riskloc.localCheckpoint`` (default ``true``): local
+    checkpoints live in NON-replicated executor storage, so a
+    cluster with dynamic allocation / spot executors can set it to
+    ``false`` and trade the duplicate branch computation for lineage
+    recoverability (r13 advisory).  Streaming frames pass through
+    untouched — checkpointing is a batch-only optimization."""
+    if df.isStreaming:
+        return df
+    flag = (
+        df.sparkSession.conf.get(
+            "spark.riskloc.localCheckpoint", "true"
+        )
+        or "true"
+    )
+    if flag.strip().lower() in ("false", "0", "off", "no"):
+        return df
+    return df.localCheckpoint(eager=False)
+
+
 def spread_small_scan(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's parallelism when the scan yields
     fewer splits (a small/single-row-group file reads as ONE partition
@@ -369,10 +393,18 @@ def incremental_near_dup(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
     hash_fn=xxhash64_fn,
+    skip_same_id: bool = True,
 ) -> DataFrame:
     """Dedupe an incoming batch AGAINST a base-corpus index built by
     ``build_near_dup_index`` (same num_hashes/bands/shingle_n/hash_fn):
     returns (new_id, base_id, est_jaccard >= threshold) pairs.
+
+    ``skip_same_id`` (default True) treats an equal id on both sides
+    as a re-submission of the same document, not a duplicate — right
+    for re-ingestion against the corpus's own index.  Pass False when
+    the index covers a DIFFERENT table (e.g. a benchmark in
+    decontamination), where an id collision across tables is
+    coincidence and the pair must be reported.
 
     Only the new batch is shingled/signed; the base side contributes
     the index rows alone.  The probe shuffles on (band, bucket) — when
@@ -406,10 +438,14 @@ def incremental_near_dup(
             on=[
                 F.col("n.band") == F.col("b.band"),
                 F.col("n.bucket") == F.col("b.bucket"),
+            ]
+            + (
                 # a re-submitted identical id is not "a duplicate of
                 # itself" — skip exact self-matches
-                F.col(f"n.{id_col}") != F.col(f"b.{id_col}"),
-            ],
+                [F.col(f"n.{id_col}") != F.col(f"b.{id_col}")]
+                if skip_same_id
+                else []
+            ),
         )
         .select(
             F.col(f"n.{id_col}").alias("new_id"),

@@ -60,6 +60,7 @@ def fuzzy_join(
     max_distance: int = 1,
     left_id: str | None = None,
     right_id: str | None = None,
+    max_key_length: int | None = 64,
 ) -> DataFrame:
     """(left_key, right_key[, left_id, right_id], distance): every
     pair of rows whose ``key_col`` values are within ``max_distance``
@@ -69,9 +70,37 @@ def fuzzy_join(
     ``left_id``/``right_id`` to carry row identifiers through;
     otherwise distinct key pairs are returned.  NULL keys never
     match.  Self-join usage: pass the same frame twice and filter
-    the reflexive pairs downstream."""
+    the reflexive pairs downstream.
+
+    ``max_key_length`` (the d=2 boundary contract, r13 review): at
+    ``max_distance=2`` the variant array is O(|key|^2) per key —
+    bounded for identifier-length keys, EXPLOSIVE for free text (a
+    4 KB key would emit ~16M variant rows).  When set (default 64),
+    a bounded probe (filter + limit 1, never a full count) REFUSES
+    d=2 inputs containing a longer key instead of silently building
+    the quadratic frame; raise the cap or pass None to accept the
+    cost explicitly, or drop to ``max_distance=1`` (linear
+    variants, no guard needed)."""
     if max_distance not in (1, 2):
         raise ValueError("max_distance must be 1 or 2")
+    if max_distance == 2 and max_key_length is not None:
+        for side, df in (("left", left), ("right", right)):
+            long_key = (
+                df.filter(
+                    F.length(F.col(key_col)) > max_key_length
+                )
+                .select(key_col)
+                .limit(1)
+                .collect()
+            )
+            if long_key:
+                raise ValueError(
+                    f"fuzzy_join: {side} key "
+                    f"{long_key[0][0]!r:.50} exceeds max_key_length="
+                    f"{max_key_length} at max_distance=2 (variants "
+                    f"are O(len^2) per key); raise max_key_length, "
+                    f"pass max_key_length=None, or use max_distance=1"
+                )
     lcols = [F.col(key_col).alias("left_key")] + (
         [F.col(left_id).alias("left_id")] if left_id else []
     )

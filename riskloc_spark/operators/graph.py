@@ -59,6 +59,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from riskloc_spark.operators.dedup import reuse_checkpoint
+
 # href in an <a> tag — double-quoted, single-quoted, or unquoted (the
 # three forms HTML allows; real crawls carry all of them).  One
 # alternation, ONE capture group per alternative; explicit classes
@@ -639,8 +641,7 @@ def host_degree_stats(
     # reciprocity self-join) and Spark does no cross-branch CSE — an
     # expensive upstream (extract_links' regex pipeline) would run
     # four times without the checkpoint
-    if not e.isStreaming:
-        e = e.localCheckpoint(eager=False)
+    e = reuse_checkpoint(e)
     out_deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("out_degree")
     )

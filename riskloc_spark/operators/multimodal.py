@@ -1373,10 +1373,11 @@ def banded_hamming_pairs(
     index, not themselves)."""
     from pyspark.sql import functions as _F
 
+    from riskloc_spark.operators.dedup import reuse_checkpoint
+
     if max_hamming < 0:
         raise ValueError("max_hamming must be >= 0")
-    if not hashes.isStreaming:
-        hashes = hashes.localCheckpoint(eager=False)
+    hashes = reuse_checkpoint(hashes)
     extra = list(extra_keys or [])
     n_blocks = max_hamming + 1
     width = (64 + n_blocks - 1) // n_blocks

@@ -123,9 +123,14 @@ def quantile_estimate(
 ) -> DataFrame:
     """(key..., q, value): the Type-1 (inverse-CDF) quantile of the
     sampled values per key — the ceil(q*s)-th smallest of the s
-    sketch rows.  With prob 1-delta over the hash choice, the
-    reported value's TRUE rank is within n * sqrt(ln(2/delta)/(2k))
-    of q*n (Dvoretzky-Kiefer-Wolfowitz over a uniform sample; without
+    sketch rows.  The rank is ceil(q*s - 1e-9): the epsilon absorbs
+    IEEE-double products that land a hair ABOVE an exact integer
+    (0.9 * 10 = 9.000000000000002 would otherwise ceil to 10, one
+    rank past the Type-1 pick) — the oracle twin applies the same
+    epsilon, so both engines compute the textbook rank.  With prob
+    1-delta over the hash choice, the reported value's TRUE rank is
+    within n * sqrt(ln(2/delta)/(2k)) of q*n
+    (Dvoretzky-Kiefer-Wolfowitz over a uniform sample; without
     replacement only tightens it).  q must be in (0, 1]."""
     if not qs or any(not 0 < q <= 1 for q in qs):
         raise ValueError("qs must be fractions in (0, 1]")
@@ -149,7 +154,9 @@ def quantile_estimate(
         ranked.select(*keys, "value", "__rn", "__s", qf)
         .filter(
             F.col("__rn")
-            == F.ceil(F.col("q") * F.col("__s")).cast("int")
+            == F.ceil(
+                F.col("q") * F.col("__s") - F.lit(1e-9)
+            ).cast("int")
         )
         .select(*keys, "q", "value")
     )

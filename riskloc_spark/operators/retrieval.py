@@ -112,10 +112,13 @@ def bm25_scores(
 
     ``broadcast_queries_limit``: None (default) trusts the
     broadcast-size contract and always broadcasts the query-term
-    frames.  An integer PROBES the query-frame row count (bounded:
-    limit+1 rows of the QUERY table, never the corpus) and switches
-    to shuffle joins past it — the robots.py probed-regime
-    discipline for caller-supplied tables of unknown size."""
+    frames.  An integer PROBES what actually gets broadcast — the
+    EXPLODED per-term query frame (bounded: limit+1 rows of the
+    tokenized query table, never the corpus) — and switches to
+    shuffle joins past it: the robots.py probed-regime discipline
+    for caller-supplied tables of unknown size.  Probing terms, not
+    query rows, means a handful of very long queries cannot sneak a
+    terms frame past the threshold (r13 advisory)."""
     postings = _terms(
         docs, text_col, [F.col(doc_id_col).alias("doc_id")],
         lowercase, stopwords, strip_punct, min_token_len,
@@ -135,8 +138,11 @@ def bm25_scores(
     ).distinct()
     small_queries = True
     if broadcast_queries_limit is not None:
-        # the ONLY eager action: a bounded count of the query frame
-        probe = queries.limit(broadcast_queries_limit + 1).count()
+        # the ONLY eager action: a bounded count of the EXPLODED
+        # per-term frame — the thing the hint below broadcasts (a
+        # row-count probe of `queries` would pass a few megabyte-long
+        # queries whose term explosion exceeds the threshold)
+        probe = qterms.limit(broadcast_queries_limit + 1).count()
         small_queries = probe <= broadcast_queries_limit
     hint = F.broadcast if small_queries else (lambda d: d)
     idf = F.log(

@@ -14,7 +14,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from riskloc_spark.operators.dedup import spread_small_scan
+from riskloc_spark.operators.dedup import (
+    reuse_checkpoint,
+    spread_small_scan,
+)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -121,9 +124,10 @@ def embedding_near_dup_exact_pairs(
         id_col, vec_col, l2_norm(F.col(vec_col)).alias("__n")
     )
     # norms feed both sides of the self-join; checkpoint so the scan
-    # + norm pipeline runs once (no cross-branch CSE in Spark)
-    if not emb.isStreaming:
-        emb = emb.localCheckpoint(eager=False)
+    # + norm pipeline runs once (no cross-branch CSE in Spark) —
+    # conf-gated via spark.riskloc.localCheckpoint for clusters that
+    # prefer lineage recoverability over the duplicate scan
+    emb = reuse_checkpoint(emb)
     l, r = emb.alias("l"), emb.alias("r")
     return (
         l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
@@ -238,9 +242,9 @@ def embedding_near_dup(
         l2_norm(F.col(vec_col)).alias("__n"),
     )
     # the LSH bits + norms feed both self-join sides — checkpoint so
-    # the hyperplane projections run once (no cross-branch CSE)
-    if not b.isStreaming:
-        b = b.localCheckpoint(eager=False)
+    # the hyperplane projections run once (no cross-branch CSE);
+    # conf-gated via spark.riskloc.localCheckpoint
+    b = reuse_checkpoint(b)
     pairs = (
         b.alias("l")
         .join(

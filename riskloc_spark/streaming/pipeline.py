@@ -754,3 +754,79 @@ def bloom_positions_stream(
         .agg(F.count(F.lit(1)).alias("__n"))
         .select(*key_cols, "pos")
     )
+
+
+def contamination_stream(
+    docs: DataFrame,
+    bench_grams: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    hash_fn=None,
+) -> DataFrame:
+    """STREAMING benchmark decontamination: audit a document firehose
+    against a static benchmark gram vocabulary
+    (operators/decontamination.benchmark_gram_set) — append-mode
+    (doc_id, n_ngrams, n_matched, contamination), one row per
+    document, finalized when the watermark passes the document's
+    event time.
+
+    The Spark-native shape, stage by stage:
+    - the distinct gram set is computed IN-ROW (array_distinct over
+      the staged token shingles) and exploded — no cross-row dedup
+      state, because a document's grams live in its own row;
+    - the benchmark probe is a STREAM-STATIC broadcast left join
+      (stateless; the vocabulary is the bounded eval-set artifact);
+    - the only stateful stage is the per-(doc, event-time) counting
+      aggregation, append-mode under the watermark — state is
+      bounded by the documents inside the horizon, and each group
+      emits EXACTLY ONCE when the watermark passes its timestamp
+      (equality with the batch audit is gate-pinned).
+
+    Late documents beyond the watermark are dropped, the standard
+    trade; a replay pipeline re-audits them in batch.  n / text
+    normalization / hash_fn MUST match the gram-set build."""
+    from riskloc_spark.operators.dedup import (
+        shingle_tokens,
+        shingles_of_tokens,
+        xxhash64_fn,
+    )
+
+    hf = hash_fn or xxhash64_fn
+    stream = docs.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    ).withWatermark(ts_col, watermark)
+    staged = stream.select(
+        id_col, ts_col, shingle_tokens(F.col(text_col)).alias("__T")
+    )
+    grams = staged.select(
+        id_col,
+        ts_col,
+        F.explode(
+            F.array_distinct(shingles_of_tokens(F.col("__T"), n))
+        ).alias("__s"),
+    ).select(id_col, ts_col, hf(F.col("__s")).alias("__g"))
+    hits = grams.join(
+        F.broadcast(bench_grams.withColumn("__hit", F.lit(1))),
+        "__g",
+        "left",
+    )
+    return (
+        hits.groupBy(id_col, ts_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias(
+                "n_matched"
+            ),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            F.col("n_matched").cast("long").alias("n_matched"),
+            (F.col("n_matched") / F.col("n_ngrams")).alias(
+                "contamination"
+            ),
+        )
+    )

@@ -146,3 +146,59 @@ def test_distributed_counts_and_tokens(spark):
         for r in bpe_token_counts(docs, learned).collect()
     }
     assert n[1] < len("the thing")
+
+
+def test_bpe_artifact_roundtrip_and_cli(spark, tmp_path):
+    """save_bpe/load_bpe round-trips the merge table EXACTLY (rank
+    order preserved), pinned to identical bpe_encode output; the CLI
+    bpe-fit --save / bpe-count --model path exercises the same
+    artifacts end-to-end."""
+    import subprocess
+    import sys
+
+    from riskloc_spark.functions.bpe import load_bpe, save_bpe
+
+    docs = spark.createDataFrame(
+        [(i, "the thing sings in the night " * 3) for i in range(20)],
+        "doc_id long, text string",
+    )
+    merges = bpe_fit(docs, num_merges=40, sample_docs=20)
+    path = str(tmp_path / "bpe_model")
+    save_bpe(spark, merges, path)
+    loaded = load_bpe(spark, path)
+    assert loaded == [tuple(m) for m in merges]
+    a = sorted(map(tuple, bpe_encode(docs, merges).collect()))
+    b = sorted(map(tuple, bpe_encode(docs, loaded).collect()))
+    assert a == b
+
+    data = str(tmp_path / "docs")
+    docs.write.parquet(data)
+    model2 = str(tmp_path / "bpe_model2")
+    fit_out = str(tmp_path / "fit_out")
+    cnt_out = str(tmp_path / "cnt_out")
+    env_cmd = [
+        sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+    ]
+    r = subprocess.run(
+        env_cmd + ["bpe-fit", data, "--output", fit_out,
+                   "--merges", "40", "--sample-docs", "20",
+                   "--save", model2, "--cpus", "4"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert load_bpe(spark, model2) == loaded  # same fit, same artifact
+    r = subprocess.run(
+        env_cmd + ["bpe-count", data, "--output", cnt_out,
+                   "--model", model2, "--cpus", "4"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {
+        r2["doc_id"]: r2["n_tokens"]
+        for r2 in spark.read.parquet(cnt_out).collect()
+    }
+    want = {
+        r2["doc_id"]: r2["n_tokens"]
+        for r2 in bpe_token_counts(docs, merges).collect()
+    }
+    assert got == want

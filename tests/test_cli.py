@@ -1040,3 +1040,63 @@ def test_cli_pipeline_fuzzy_join(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert [(x["left_id"], x["right_id"], x["distance"])
             for x in rows] == [(1, 10, 1)]
+
+
+def test_cli_pipeline_decontamination_tiers(spark, tmp_path):
+    """round-14 decontamination subcommands end-to-end:
+    decontaminate-near-dup drops the paraphrased benchmark twin the
+    exact tier misses; semantic-contamination audits embeddings in
+    both the exact and IVF regimes."""
+    docs = str(tmp_path / "docs")
+    body = " ".join(f"tok{j}" for j in range(40))
+    para = " ".join(
+        f"EDIT{j}" if j % 9 == 4 else f"tok{j}" for j in range(40)
+    )
+    spark.createDataFrame(
+        [(1, para), (2, "completely unrelated words here " * 6)],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(100, body)], "doc_id long, text string"
+    ).write.parquet(bench)
+    out = str(tmp_path / "clean")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "decontaminate-near-dup", docs, "--output", out,
+            "--benchmark", bench, "--jaccard-threshold", "0.3",
+            "--bands", "16", "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    kept = [r2["doc_id"] for r2 in spark.read.parquet(out).collect()]
+    assert kept == [2]
+
+    emb = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(emb)
+    bemb = str(tmp_path / "bemb")
+    spark.createDataFrame(
+        [(50, [0.99, 0.01, 0.0])],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(bemb)
+    audit = str(tmp_path / "audit")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "semantic-contamination", emb, "--output", audit,
+            "--benchmark", bemb, "--cos-threshold", "0.9",
+            "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {
+        r2["vec_id"]: r2["n_bench_matches"]
+        for r2 in spark.read.parquet(audit).collect()
+    }
+    assert got == {1: 1, 2: 0}

@@ -187,6 +187,35 @@ def test_heavy_hitter_candidates_recall_and_keys(spark):
     assert top_b["item"] == "bcold" and top_b["est"] == 30
 
 
+def test_cms_lookup_keyed_items_probe_only_their_key(spark):
+    """r13 advisory: when the item frame CARRIES the key columns,
+    each key is probed only with its own (key, item) pairs — a
+    key-b-only item yields NO row for key a (instead of a pooled
+    collision-floor estimate), and the output row count is exactly
+    the distinct (key, item) pair count, not |keys| x |items|."""
+    rows = [("a", f"v{i % 5}") for i in range(100)]
+    rows += [("b", "bonly")] * 7
+    df = spark.createDataFrame(rows, "g string, t string")
+    sk = cms_sketch(df, "t", key_cols=["g"], width=256, depth=3)
+    items = spark.createDataFrame(
+        [("a", "v0"), ("a", "v1"), ("b", "bonly")], "g string, t string"
+    )
+    out = cms_lookup(
+        sk, items, "t", key_cols=["g"], width=256, depth=3
+    ).collect()
+    got = {(r["g"], r["item"]): r["est"] for r in out}
+    assert got == {("a", "v0"): 20, ("a", "v1"): 20, ("b", "bonly"): 7}
+    # pooled fallback: an UNKEYED item frame still probes everywhere
+    pooled = cms_lookup(
+        sk,
+        spark.createDataFrame([("bonly",)], "t string"),
+        "t", key_cols=["g"], width=256, depth=3,
+    ).collect()
+    assert {(r["g"], r["item"]) for r in pooled} == {
+        ("a", "bonly"), ("b", "bonly")
+    }
+
+
 def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     """streaming Count-Min registers (complete mode, availableNow)
     equal the batch sketch register-for-register over the same rows —

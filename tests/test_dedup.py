@@ -565,3 +565,24 @@ def test_frequent_ngrams_ignores_short_and_empty_docs(spark):
     assert out, "real grams must survive"
     assert all(len(r["ngram"].split()) == 3 for r in out)
     assert out[0]["doc_freq"] == 3
+
+
+def test_reuse_checkpoint_honors_conf_flag(spark):
+    """r13 advisory: cross-branch reuse checkpoints must be
+    opt-out-able — with spark.riskloc.localCheckpoint=false the frame
+    passes through UN-checkpointed (lineage preserved for clusters
+    with dynamic allocation); default and 'true' checkpoint it."""
+    from riskloc_spark.operators.dedup import reuse_checkpoint
+
+    df = spark.range(10)
+    on = reuse_checkpoint(df)
+    assert on is not df
+    assert sorted(r["id"] for r in on.collect()) == list(range(10))
+    try:
+        spark.conf.set("spark.riskloc.localCheckpoint", "false")
+        off = reuse_checkpoint(df)
+        assert off is df  # pass-through, no checkpoint node
+    finally:
+        spark.conf.unset("spark.riskloc.localCheckpoint")
+    back = reuse_checkpoint(df)
+    assert back is not df

@@ -69,3 +69,27 @@ def test_fuzzy_join_plan_is_equi_join(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Join" in plan
+
+
+def test_fuzzy_join_d2_length_guard(spark):
+    """the d=2 boundary contract: a key longer than max_key_length is
+    refused (O(len^2) variant explosion), the cap is adjustable, d=1
+    is unguarded (linear variants)."""
+    import pytest
+
+    long_key = "x" * 100
+    df = spark.createDataFrame(
+        [("alpha",), (long_key,)], "k string"
+    )
+    with pytest.raises(ValueError, match="max_key_length"):
+        fuzzy_join(df, df, "k", max_distance=2)
+    # raising the cap (or disabling it) accepts the key
+    out = fuzzy_join(
+        df, df, "k", max_distance=2, max_key_length=128
+    ).collect()
+    assert {(r["left_key"], r["right_key"]) for r in out} >= {
+        ("alpha", "alpha"), (long_key, long_key)
+    }
+    # d=1 never probes: linear variants need no guard
+    out1 = fuzzy_join(df, df, "k", max_distance=1).collect()
+    assert len(out1) == 2

@@ -71,6 +71,42 @@ def test_oracle_parity(spark, duck, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 
 
+def _family(dtype):
+    return {"i": "int", "u": "int", "f": "float"}.get(dtype.kind)
+
+
+def test_oracle_output_dtype_families(spark, duck):
+    """Registry-wide pin of the r12/r13 driver-red class: for every
+    oracled gate, each numeric output column must land in the same
+    int-vs-float family on BOTH sides of the driver's comparator —
+    the Spark result through `toPandas()` vs the oracle through
+    DuckDB's pandas bridge (`.df()`).  Both pandas conversions, NOT
+    `df.dtypes` vs `fetchall()`, because pandas is where the seams
+    live: DuckDB 1.0 widens an integer SUM to HUGEINT -> float64
+    (the q12-r12 / q11+q12-r13 reds: Spark int64 '3' hashed against
+    '3.0'), while an int column WITH NULLs promotes to float64 on
+    BOTH bridges and cancels out (events_rollup.hr under ROLLUP —
+    driver-green, and this test must agree).  Discipline: wrap
+    integer-SUM oracle outputs in `CAST(... AS BIGINT)`
+    (q9/q11/q12 style)."""
+    bad = []
+    for name in sorted(ORACLES):
+        spdf = QUERIES[name](spark, SF_DIR).toPandas()
+        pdf = duck.execute(ORACLES[name]).df()
+        for col in pdf.columns:
+            pfam = _family(pdf[col].dtype)
+            sfam = (
+                _family(spdf[col].dtype)
+                if col in spdf.columns else None
+            )
+            if sfam and pfam and sfam != pfam:
+                bad.append(
+                    f"{name}.{col}: spark-pandas {spdf[col].dtype} "
+                    f"vs oracle-pandas {pdf[col].dtype}"
+                )
+    assert not bad, f"dtype-family mismatches: {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries(spark, name):
     df = QUERIES[name](spark, SF_DIR)

@@ -84,6 +84,23 @@ def test_small_n_is_exact_and_partition_deterministic(spark):
     assert _rows(sk) == _rows(sk2)
 
 
+def test_estimate_rank_is_textbook_type1_on_exact_products(spark):
+    """the r13 advisory case: q*s products that land a hair ABOVE an
+    exact integer in IEEE doubles (0.9 * 10 = 9.000000000000002) must
+    still pick the ceil(q*s)-th row, not one past it — the 1e-9
+    epsilon in quantile_estimate absorbs the drift."""
+    vals = [(i, float(i + 1)) for i in range(10)]  # 1..10
+    df = spark.createDataFrame(vals, "id long, v double")
+    sk = quantile_sketch(df, "v", "id", k=64)
+    got = {
+        r["q"]: r["value"]
+        for r in quantile_estimate(
+            sk, [0.1, 0.3, 0.7, 0.9]).collect()
+    }
+    # exact Type-1 picks on n=10: rank ceil(10q) = 1, 3, 7, 9
+    assert got == {0.1: 1.0, 0.3: 3.0, 0.7: 7.0, 0.9: 9.0}
+
+
 def test_keyed_sketch_and_null_exclusion(spark):
     """per-key sketches don't leak across keys; NULL values and NULL
     ids are excluded."""

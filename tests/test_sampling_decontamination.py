@@ -518,3 +518,145 @@ def test_bloom_contamination_plan_shape(spark):
     assert len(shuffles) == 3, (shuffles, plan[:500])
     # k probe joins + the maybe and verified broadcasts
     assert len(broadcasts) >= 5, broadcasts
+
+
+def test_near_dup_contamination_planted_paraphrase(spark):
+    """fuzzy decontamination catches PARAPHRASED benchmark leakage the
+    exact n-gram audit misses: a corpus doc that copies a benchmark
+    item with every 7th word edited shares high Jaccard over 3-gram
+    shingles but few exact 8-grams; the audit is complete (every
+    corpus doc appears), evidence deterministic, and the filter
+    removes exactly the planted docs."""
+    from riskloc_spark.operators.decontamination import (
+        decontaminate_near_dup,
+        near_dup_contamination_stats,
+    )
+
+    bench_rows = [
+        (100 + b, " ".join(f"b{b}t{j}" for j in range(60)))
+        for b in range(5)
+    ]
+    benchmark = spark.createDataFrame(
+        bench_rows, "doc_id long, text string"
+    )
+    # paraphrase: every 7th token replaced — exact 8-gram overlap ~0,
+    # 3-gram shingle Jaccard still high
+    def paraphrase(b):
+        toks = [
+            f"EDIT{j}" if j % 7 == 3 else f"b{b}t{j}"
+            for j in range(60)
+        ]
+        return " ".join(toks)
+
+    corpus_rows = [(b, paraphrase(b)) for b in range(3)]  # planted
+    corpus_rows += [
+        (10 + i, " ".join(f"c{i}w{j}" for j in range(60)))
+        for i in range(20)
+    ]  # clean
+    corpus = spark.createDataFrame(
+        corpus_rows, "doc_id long, text string"
+    )
+
+    # the exact audit at n=8 sees (near) zero contamination
+    exact = {
+        r["doc_id"]: r["contamination"]
+        for r in contamination_stats(corpus, benchmark, n=8).collect()
+    }
+    assert all(v < 0.05 for v in exact.values()), exact
+
+    # bands=16 (rows_per_band=2) steepens the S-curve enough to
+    # catch J ~ 0.4 paraphrases that the dedup-default 32/8 curve
+    # (tuned for J >= ~0.5) would coin-flip on
+    stats = near_dup_contamination_stats(
+        corpus, benchmark, jaccard_threshold=0.3, bands=16
+    )
+    rows = {r["doc_id"]: r for r in stats.collect()}
+    assert len(rows) == 23  # complete audit: every corpus doc
+    for b in range(3):
+        assert rows[b]["n_bench_matches"] >= 1, rows[b]
+        assert rows[b]["bench_id"] == 100 + b
+        assert rows[b]["max_est_jaccard"] >= 0.3
+    for i in range(20):
+        r = rows[10 + i]
+        assert r["n_bench_matches"] == 0
+        assert r["max_est_jaccard"] == 0.0 and r["bench_id"] is None
+
+    clean = decontaminate_near_dup(
+        corpus, benchmark, jaccard_threshold=0.3, bands=16
+    )
+    assert sorted(r["doc_id"] for r in clean.collect()) == [
+        10 + i for i in range(20)
+    ]
+    # id collisions across tables still report (skip_same_id=False):
+    # corpus doc 0 vs bench id 0 carrying the same text
+    bench_clash = spark.createDataFrame(
+        [(0, corpus_rows[0][1])], "doc_id long, text string"
+    )
+    clash = near_dup_contamination_stats(
+        corpus, bench_clash, jaccard_threshold=0.9
+    ).filter(F.col("doc_id") == 0).collect()
+    assert clash[0]["n_bench_matches"] == 1
+    assert clash[0]["bench_id"] == 0
+
+
+def test_semantic_contamination_exact_and_ivf(spark):
+    """the embedding decontamination tier: planted near-identical
+    bench vectors (tiny perturbations of corpus rows) are flagged by
+    the exact audit with the right evidence; the IVF-pruned path
+    agrees with the exact audit on every planted (high-cos) item;
+    audits are complete (every corpus vector appears)."""
+    import numpy as np
+
+    from riskloc_spark.operators.decontamination import (
+        semantic_contamination_stats,
+        semantic_contamination_stats_ivf,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((80, 16))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    # bench: perturbed copies of corpus rows 0..4 + 3 unrelated
+    bench_rows = [
+        (1000 + i,
+         [float(x) for x in base[i] + 0.01 * rng.standard_normal(16)])
+        for i in range(5)
+    ]
+    bench_rows += [
+        (2000 + j, [float(x) for x in rng.standard_normal(16)])
+        for j in range(3)
+    ]
+    bench = spark.createDataFrame(
+        bench_rows, "vec_id long, embedding array<double>"
+    )
+
+    exact = {
+        r["vec_id"]: r
+        for r in semantic_contamination_stats(
+            corpus, bench, cos_threshold=0.9
+        ).collect()
+    }
+    assert len(exact) == 80
+    for i in range(5):
+        assert exact[i]["n_bench_matches"] >= 1
+        assert exact[i]["bench_id"] == 1000 + i
+        assert exact[i]["max_cos"] > 0.99
+    clean = [i for i in range(5, 80) if exact[i]["n_bench_matches"]]
+    assert not clean  # random 16-dim cosines never reach 0.9
+
+    ivf = {
+        r["vec_id"]: r
+        for r in semantic_contamination_stats_ivf(
+            corpus, bench, cos_threshold=0.9,
+            n_clusters=4, fit_sample=80, seed=3,
+        ).collect()
+    }
+    assert len(ivf) == 80
+    # planted near-identical pairs co-locate in a cell w.p. ~1: the
+    # pruned audit must agree with the exact one on every planted row
+    for i in range(5):
+        assert ivf[i]["n_bench_matches"] == exact[i]["n_bench_matches"]
+        assert ivf[i]["bench_id"] == exact[i]["bench_id"]
+        assert abs(ivf[i]["max_cos"] - exact[i]["max_cos"]) < 1e-12

@@ -721,3 +721,105 @@ def test_streaming_hll_registers_equal_batch(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_contamination_stream_equals_batch_audit(spark, tmp_path):
+    """streaming decontamination (append + watermark) == the batch
+    audit row-for-row: documents whose event time the watermark has
+    passed emit exactly once with the batch n_ngrams / n_matched /
+    contamination; carrier docs inside the horizon stay open (not
+    emitted)."""
+    import os
+
+    import pandas as pd
+
+    from riskloc_spark.operators.decontamination import (
+        benchmark_gram_set,
+        contamination_stats,
+    )
+    from riskloc_spark.streaming.pipeline import contamination_stream
+
+    texts = []
+    for i in range(10):
+        if i < 3:  # planted: share the benchmark phrase verbatim
+            texts.append(
+                "alpha beta gamma delta epsilon zeta "
+                + " ".join(f"d{i}w{j}" for j in range(10))
+            )
+        else:
+            texts.append(" ".join(f"d{i}w{j}" for j in range(16)))
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+
+    d = tmp_path / "docs"
+    d.mkdir()
+
+    def write(name, ids, ts_list, txts, mtime):
+        path = d / name
+        pd.DataFrame(
+            {
+                "doc_id": ids,
+                # micros, not pandas-default nanos: the declared
+                # stream schema is a plain timestamp
+                "ts": pd.to_datetime(ts_list).astype("datetime64[us]"),
+                "text": txts,
+            }
+        ).to_parquet(path)
+        os.utime(path, (mtime, mtime))
+
+    write(
+        "b1.parquet",
+        list(range(10)),
+        [f"2024-05-01 10:{10 + i:02d}:00" for i in range(10)],
+        texts,
+        1_000_000,
+    )
+    # carriers: push the watermark past every real doc; their own
+    # groups stay open and never emit
+    write("b2.parquet", [900], ["2024-05-02 10:00:00"],
+          ["carrier one text"], 1_000_100)
+    # within the 2h horizon of carrier one, so NEITHER carrier's
+    # group closes (wm after b3 = 09:00 < carrier one's 10:00)
+    write("b3.parquet", [901], ["2024-05-02 11:00:00"],
+          ["carrier two text"], 1_000_200)
+
+    bg = benchmark_gram_set(bench, n=4)
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    out = contamination_stream(
+        stream, bg, n=4, watermark="2 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("contam_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_matched"],
+                      round(r["contamination"], 9))
+        for r in spark.table("contam_stream").collect()
+    }
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    want = {
+        r["doc_id"]: (r["n_ngrams"], r["n_matched"],
+                      round(r["contamination"], 9))
+        for r in contamination_stats(corpus, bench, n=4).collect()
+    }
+    assert got == want  # every real doc, once, batch-equal; no carriers
+    for i in range(3):
+        assert got[i][1] >= 1  # planted overlap flagged
+    assert got[5][1] == 0
