@@ -1621,6 +1621,61 @@ def decontamination_semantic_q(
     )
 
 
+def decontamination_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level decontamination under the hash gate (round 14;
+    decontamination.excise_contaminated_spans): the benchmark is the
+    shared slogan the span-dedup corpus plants on every 10th document
+    — the excision must cut exactly the slogan's token windows from
+    the carriers (rebuilt text, token counts, merged-span counts all
+    under the hash), leave the promo tail and every clean document
+    untouched, and never drop a document.  The oracle replays the
+    position grams and the interval rebuild by gram STRING (the
+    xxhash64 carve-out), independent machinery from the Spark side's
+    in-row hash probe."""
+    from riskloc_spark.operators.decontamination import (
+        excise_contaminated_spans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = spark.createDataFrame(
+        [(0, _SPAN_SLOGAN)], "doc_id long, text string"
+    )
+    out = excise_contaminated_spans(_span_framed(d), bench, n=8)
+    return out.select(
+        "doc_id", "text", "n_tokens", "n_tokens_removed",
+        "n_contaminated_grams", "n_spans",
+    )
+
+
+def benchmark_exposure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse (eval-side) contamination audit under the hash gate
+    (round 14; decontamination.benchmark_exposure_stats): per
+    benchmark item — built as every 17th document's text plus a
+    novel suffix, so the copied body is fully exposed while the
+    suffix grams are not — the distinct-gram exposure fraction and
+    the count of corpus documents sharing at least one gram.  The
+    oracle replays the gram sets, the matched (gram, corpus doc)
+    pairs, and both aggregations on gram STRINGS (the xxhash64
+    collision carve-out, as in decontamination_audit)."""
+    from riskloc_spark.operators.decontamination import (
+        benchmark_exposure_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq ww ee rr")).alias("text"),
+    )
+    out = benchmark_exposure_stats(d, bench, n=4)
+    return out.select(
+        "bench_id",
+        "n_ngrams",
+        "n_exposed",
+        F.round("exposure", 6).alias("exposure"),
+        "n_corpus_docs",
+    )
+
+
 def streaming_decontamination_q(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2204,6 +2259,32 @@ def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = token_budget_sample(
         d, {"src0": 400, "src1": 800}, default_budget=600,
         hash_fn=md5_hash64,
+    )
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+def mixture_alpha_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixture sampling under the hash gate (round 14;
+    sampling.alpha_mixture_sample): per-source token budgets derived
+    from (source token count)^0.5 — the multilingual up-sampling
+    family — in integer-quantized arithmetic (floor(sqrt(n) * 2^20)
+    weights, exact integer division), then the deterministic
+    hash-order take while the running total fits.  The oracle replays
+    the weight quantization in HUGEINT, the budget division, the
+    window cumsum, and the keep rule; alpha=0.5 keeps the weight
+    IEEE-portable (sqrt, not pow)."""
+    from riskloc_spark.functions.text import token_count
+    from riskloc_spark.operators.dedup import md5_hash64
+    from riskloc_spark.operators.sampling import alpha_mixture_sample
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+        .drop("text")
+    )
+    out = alpha_mixture_sample(
+        d, total_tokens=3000, alpha=0.5, hash_fn=md5_hash64
     )
     return out.select("doc_id", "source", "n_tokens", "cum_tokens")
 
@@ -5689,6 +5770,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_near_dup": decontamination_near_dup_q,
         "decontamination_semantic": decontamination_semantic_q,
         "streaming_decontamination": streaming_decontamination_q,
+        "mixture_alpha_sample": mixture_alpha_sample_q,
+        "benchmark_exposure": benchmark_exposure_q,
+        "decontamination_spans": decontamination_spans_q,
     # ---- newest driver record is round 10 ----
         "jsonl_roundtrip": jsonl_roundtrip_q,
         "knn_bruteforce": knn_bruteforce_q,
@@ -10035,6 +10119,61 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'src2' THEN 250000
                         ELSE 50000 END
         """,
+        "benchmark_exposure": f"""
+            WITH b AS (
+              SELECT doc_id + 10000000 AS bench_id,
+                     text || ' qq ww ee rr' AS text
+              FROM documents WHERE doc_id % 17 = 0
+            ),
+            ctoks AS (
+              SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w
+              FROM documents
+            ),
+            cg AS MATERIALIZED (
+              SELECT DISTINCT doc_id,
+                     unnest(CASE WHEN len(w) < 4
+                       THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(0, len(w) - 3),
+                         i -> array_to_string(w[i+1 : i+4], ' ')) END) AS g
+              FROM ctoks
+            ),
+            btoks AS (
+              SELECT bench_id, string_split({_NORM_TEXT}, ' ') AS w
+              FROM b
+            ),
+            bg AS MATERIALIZED (
+              SELECT DISTINCT bench_id,
+                     unnest(CASE WHEN len(w) < 4
+                       THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(0, len(w) - 3),
+                         i -> array_to_string(w[i+1 : i+4], ' ')) END) AS g
+              FROM btoks
+            ),
+            matched AS MATERIALIZED (
+              SELECT DISTINCT cg.g, cg.doc_id
+              FROM cg JOIN (SELECT DISTINCT g FROM bg) s ON cg.g = s.g
+            ),
+            per_item AS (
+              SELECT bench_id, COUNT(*) AS n_ngrams,
+                     CAST(SUM(CASE WHEN g IN (SELECT g FROM matched)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_exposed
+              FROM bg GROUP BY 1
+            ),
+            docs_per AS (
+              SELECT bench_id, COUNT(*) AS n_corpus_docs
+              FROM (
+                SELECT DISTINCT bg.bench_id, m.doc_id
+                FROM bg JOIN matched m ON bg.g = m.g
+              ) GROUP BY 1
+            )
+            SELECT p.bench_id, p.n_ngrams, p.n_exposed,
+                   round(CAST(p.n_exposed AS DOUBLE) / p.n_ngrams, 6)
+                     + 0e0 AS exposure,
+                   CAST(COALESCE(d.n_corpus_docs, 0) AS BIGINT)
+                     AS n_corpus_docs
+            FROM per_item p LEFT JOIN docs_per d
+              ON p.bench_id = d.bench_id
+        """,
         "decontamination_audit": _DECON_AUDIT_SQL.format(
             norm=_NORM_TEXT
         ),
@@ -10301,6 +10440,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         # per-group window cumsum over the portable (id) hash order;
         # pmod == % on the non-negative md5-derived hash
+        "mixture_alpha_sample": r"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text),
+                                   '[ \t\n\x0B\f\r]+')) END AS BIGINT)
+                       AS n_tokens,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 15) AS BIGINT) % 1000000 AS h
+              FROM documents
+            ),
+            -- alpha=0.5 weights, quantized to integers so the budget
+            -- division is exact (HUGEINT): w = floor(sqrt(nt) * 2^20)
+            g AS (
+              SELECT source, SUM(n_tokens) AS nt FROM toks GROUP BY 1
+            ),
+            w AS (
+              SELECT source,
+                     CAST(floor(sqrt(CAST(nt AS DOUBLE)) * 1048576)
+                          AS HUGEINT) AS wq
+              FROM g
+            ),
+            b AS (
+              SELECT source,
+                     CAST((3000 * wq) // (SELECT SUM(wq) FROM w)
+                          AS BIGINT) AS budget
+              FROM w
+            ),
+            cum AS (
+              SELECT doc_id, t.source, n_tokens, budget,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY t.source ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              FROM toks t JOIN b ON t.source = b.source
+            )
+            SELECT doc_id, source, n_tokens,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM cum
+            WHERE cum_tokens <= budget
+        """,
         "token_budget_sample": r"""
             WITH toks AS (
               SELECT doc_id, source,
@@ -11054,6 +11233,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_spans": _dedup_spans_sql(),
         "dedup_spans_sampled": _dedup_spans_sql(sample_mod=4),
+        "decontamination_spans": rf"""
+            WITH framed AS MATERIALIZED (
+              SELECT doc_id,
+                text
+                || CASE WHEN doc_id % 10 = 0 THEN '{_SPAN_SLOGAN}'
+                   ELSE '' END
+                || CASE WHEN doc_id % 7 = 3 THEN '{_SPAN_PROMO}'
+                   ELSE '' END AS text
+              FROM framed_src
+            ),
+            stoks AS MATERIALIZED (
+              SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t
+              FROM framed
+            ),
+            btoks AS (
+              SELECT string_split(regexp_replace(lower(trim(
+                       '{_SPAN_SLOGAN}')), '[ \t\n\x0B\f\r]+', ' ', 'g'),
+                     ' ') AS bt
+            ),
+            bgrams AS MATERIALIZED (
+              SELECT DISTINCT
+                     array_to_string(list_slice(bt, g.i + 1, g.i + 8), ' ')
+                       AS g
+              FROM btoks,
+                   unnest(range(0, greatest(len(bt) - 7, 0))) g(i)
+            ),
+            occ AS MATERIALIZED (
+              SELECT tk.doc_id, g.i AS pos,
+                     array_to_string(list_slice(tk.t, g.i + 1, g.i + 8), ' ')
+                       AS gram
+              FROM stoks tk,
+                   unnest(range(0, greatest(len(tk.t) - 7, 0))) g(i)
+            ),
+            removedq AS MATERIALIZED (
+              SELECT doc_id, pos FROM occ
+              WHERE gram IN (SELECT g FROM bgrams)
+            ),
+            spansq AS (
+              SELECT doc_id, list_sort(list(pos)) AS P
+              FROM removedq GROUP BY doc_id
+            ),
+            nspans AS (
+              SELECT doc_id,
+                     sum(CASE WHEN prev IS NULL OR pos >= prev + 8
+                         THEN 1 ELSE 0 END) AS k
+              FROM (
+                SELECT doc_id, pos,
+                       lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS prev
+                FROM removedq
+              ) GROUP BY doc_id
+            ),
+            rebuilt AS (
+              SELECT tk.doc_id, tk.t,
+                     coalesce(s.P, []) AS P,
+                     list_filter(tk.t, (x, i) ->
+                       len(list_filter(coalesce(s.P, []),
+                           p -> p <= i - 1 AND i - 1 < p + 8)) = 0) AS K
+              FROM stoks tk LEFT JOIN spansq s USING (doc_id)
+            )
+            SELECT r.doc_id,
+                   coalesce(array_to_string(r.K, ' '), '') AS text,
+                   CAST(len(r.t) AS INT) AS n_tokens,
+                   CAST(len(r.t) - len(r.K) AS INT) AS n_tokens_removed,
+                   CAST(len(r.P) AS INT) AS n_contaminated_grams,
+                   CAST(coalesce(ns.k, 0) AS INT) AS n_spans
+            FROM rebuilt r LEFT JOIN nspans ns USING (doc_id)
+        """.replace("framed_src", "documents"),
         "url_domains": rf"""
             WITH framed AS MATERIALIZED (
               SELECT doc_id,

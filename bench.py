@@ -228,6 +228,13 @@ BENCH_QUERIES = [
     "streaming_bloom",
     "fuzzy_join",
     "retention_cohorts",
+    # ---- round 14 ----
+    "decontamination_near_dup",
+    "decontamination_semantic",
+    "streaming_decontamination",
+    "mixture_alpha_sample",
+    "benchmark_exposure",
+    "decontamination_spans",
 ]
 
 

@@ -294,6 +294,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="name=weight[,name=weight...]",
     )
     sp2.add_argument("--salt", default="split")
+    sp2.add_argument(
+        "--by-col", default="",
+        help="leakage-safe GROUP split: assign whole groups (domain, "
+        "user, source) keyed on this column instead of per document",
+    )
+
+    sp2 = psub.add_parser(
+        "sample-alpha",
+        help="temperature-mixture sampling: per-group token budgets "
+        "proportional to size^alpha, taken to a total token target",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--total-tokens", type=int, required=True)
+    sp2.add_argument("--alpha", type=float, default=0.5)
+    sp2.add_argument("--group-col", default="source")
 
     sp2 = psub.add_parser(
         "decontaminate", help="drop documents overlapping a benchmark"
@@ -316,6 +331,17 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp2.add_argument("--jaccard-threshold", type=float, default=0.5)
     sp2.add_argument("--bands", type=int, default=8)
+
+    sp2 = psub.add_parser(
+        "decontaminate-spans",
+        help="cut benchmark-matching n-token spans out of documents "
+        "(keep the clean remainder) instead of dropping whole docs",
+    )
+    pcommon(sp2)
+    sp2.add_argument(
+        "--benchmark", required=True, help="benchmark parquet (text column)"
+    )
+    sp2.add_argument("--ngram", type=int, default=8)
 
     sp2 = psub.add_parser(
         "semantic-contamination",
@@ -783,13 +809,37 @@ def run_pipeline(spark, args) -> dict:
 
             out = deterministic_sample(df, args.fraction, salt=args.salt)
     elif op == "split":
-        from riskloc_spark.operators.sampling import hash_split
+        from riskloc_spark.operators.sampling import (
+            group_split,
+            hash_split,
+        )
 
         weights = {}
         for spec in args.weights.split(","):
             k, _, v = spec.partition("=")
             weights[k] = float(v)
-        out = hash_split(df, weights, salt=args.salt)
+        if args.by_col:
+            out = group_split(
+                df, weights, args.by_col, salt=args.salt
+            )
+        else:
+            out = hash_split(df, weights, salt=args.salt)
+    elif op == "sample-alpha":
+        from pyspark.sql import functions as F
+
+        from riskloc_spark.functions.text import token_count
+        from riskloc_spark.operators.sampling import (
+            alpha_mixture_sample,
+        )
+
+        if "n_tokens" not in df.columns:
+            df = df.withColumn(
+                "n_tokens", token_count(F.col("text")).cast("long")
+            )
+        out = alpha_mixture_sample(
+            df, total_tokens=args.total_tokens, alpha=args.alpha,
+            group_col=args.group_col,
+        )
     elif op == "decontaminate-near-dup":
         from riskloc_spark.operators.decontamination import (
             decontaminate_near_dup,
@@ -801,6 +851,13 @@ def run_pipeline(spark, args) -> dict:
             jaccard_threshold=args.jaccard_threshold,
             bands=args.bands,
         )
+    elif op == "decontaminate-spans":
+        from riskloc_spark.operators.decontamination import (
+            excise_contaminated_spans,
+        )
+
+        bench = spark.read.parquet(args.benchmark)
+        out = excise_contaminated_spans(df, bench, n=args.ngram)
     elif op == "semantic-contamination":
         from riskloc_spark.operators.decontamination import (
             semantic_contamination_stats,

@@ -144,6 +144,162 @@ def decontaminate(
     return corpus.join(kept, id_col)
 
 
+def benchmark_exposure_stats(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    hash_fn=xxhash64_fn,
+) -> DataFrame:
+    """The REVERSE audit: per BENCHMARK item, how exposed is it in
+    the training corpus — the eval-side question ("is this benchmark
+    still meaningful against this corpus?") that the per-corpus-doc
+    audit (``contamination_stats``) answers only indirectly.
+
+    Returns (bench_id, n_ngrams, n_exposed, exposure,
+    n_corpus_docs): the item's distinct n-gram count, how many of
+    those grams appear ANYWHERE in the corpus, the fraction, and how
+    many distinct corpus documents share at least one gram with it.
+    Every benchmark item appears (unexposed items with 0 / 0.0 / 0).
+
+    Scale shape: the benchmark gram set broadcasts into ONE corpus
+    scan (the same probe as contamination_stats); everything after
+    the probe is matched-pair-sized (n>=8 grams shared across
+    unrelated documents are rare), so the corpus itself never
+    shuffles — the two aggregations run over the (gram, corpus_doc)
+    match set and the bench-sized gram table."""
+    bid = bench_id_col or id_col
+    staged_bench = benchmark.select(
+        F.col(bid).alias("__bench_id"),
+        F.col(bench_text_col or text_col).alias("__btext"),
+    )
+    bench_grams = (
+        shingle_rows(
+            staged_bench, [F.col("__bench_id")], "__btext", n
+        )
+        .select("__bench_id", hash_fn(F.col("__s")).alias("__g"))
+        .distinct()
+    )
+    # the bench gram table feeds THREE branches (probe, exposure
+    # join, per-item totals) — checkpoint the bounded frame once
+    bench_grams = reuse_checkpoint(bench_grams)
+    corpus_grams = _doc_ngrams(corpus, text_col, id_col, n, hash_fn)
+    # ONE corpus scan: keep only occurrences of benchmark grams, then
+    # dedupe to (gram, corpus_doc) pairs — matched-set-sized
+    matched = (
+        corpus_grams.join(
+            F.broadcast(bench_grams.select("__g").distinct()), "__g"
+        )
+        .select("__g", F.col(id_col).alias("__cdoc"))
+        .distinct()
+    )
+    matched = reuse_checkpoint(matched)
+    exposed_grams = matched.select("__g").distinct().withColumn(
+        "__hit", F.lit(1)
+    )
+    per_item = (
+        bench_grams.join(F.broadcast(exposed_grams), "__g", "left")
+        .groupBy("__bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_exposed"),
+        )
+    )
+    docs_per_item = (
+        bench_grams.join(matched, "__g")
+        .select("__bench_id", "__cdoc")
+        .distinct()
+        .groupBy("__bench_id")
+        .agg(F.count(F.lit(1)).alias("n_corpus_docs"))
+    )
+    return (
+        per_item.join(docs_per_item, "__bench_id", "left_outer")
+        .select(
+            F.col("__bench_id").alias("bench_id"),
+            "n_ngrams",
+            "n_exposed",
+            (F.col("n_exposed") / F.col("n_ngrams")).alias("exposure"),
+            F.coalesce("n_corpus_docs", F.lit(0))
+            .cast("long")
+            .alias("n_corpus_docs"),
+        )
+    )
+
+
+def excise_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    hash_fn=xxhash64_fn,
+) -> DataFrame:
+    """SPAN-level decontamination: instead of dropping a whole
+    document that shares n-grams with the benchmark
+    (``decontaminate``), cut ONLY the contaminated token spans and
+    keep the rest — the right tool when long, mostly-clean documents
+    carry a quoted eval item (dropping them wastes the clean 99%).
+    The sub-document tier of the decontamination suite, exactly as
+    ``remove_duplicate_spans`` is the sub-document tier of dedup —
+    and it shares that operator's span-merge + rebuild tail, so
+    overlap merging and audit semantics are identical.
+
+    Returns (id, rebuilt text over normalized tokens, n_tokens,
+    n_tokens_removed, n_contaminated_grams, n_spans); a fully-covered
+    document comes back empty (drop on n_tokens_removed == n_tokens).
+
+    Scale shape: ONE corpus scan — each token position hashes its
+    n-gram in-row and probes the BROADCAST benchmark vocabulary
+    (benchmark_gram_set; eval-set-sized by contract), so removal
+    positions are matched-set-sized and the only corpus-volume
+    exchange is the rebuild join.  Corpus documents shorter than n
+    tokens contain no n-gram and pass through untouched; benchmark
+    items shorter than n contribute their whole-text shingle, which
+    can never match a positional n-gram — the document-level tiers
+    cover that edge."""
+    from riskloc_spark.operators.dedup import (
+        _rebuild_after_removals,
+        shingle_tokens,
+    )
+
+    toks_df = spread_small_scan(corpus).select(
+        F.col(id_col), shingle_tokens(F.col(text_col)).alias("__T")
+    )
+    T = F.col("__T")
+    empty_occ = F.array().cast("array<struct<pos:int,h:bigint>>")
+    gram_structs = F.when(F.size(T) < n, empty_occ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(T) - n),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                hash_fn(
+                    F.concat_ws(" ", F.slice(T, i + 1, n))
+                ).alias("h"),
+            ),
+        )
+    )
+    occ = toks_df.select(
+        F.col(id_col), F.explode(gram_structs).alias("o")
+    ).select(
+        id_col, F.col("o.pos").alias("pos"), F.col("o.h").alias("h")
+    )
+    bench_grams = benchmark_gram_set(
+        benchmark, n, bench_text_col or text_col, hash_fn
+    )
+    removed = occ.join(
+        F.broadcast(bench_grams.withColumnRenamed("__g", "h")), "h"
+    ).select(id_col, "pos")
+    return _rebuild_after_removals(
+        toks_df, removed, n, id_col, text_col
+    ).withColumnRenamed("n_dup_grams", "n_contaminated_grams")
+
+
 def near_dup_contamination_stats(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -199,7 +355,10 @@ def near_dup_contamination_stats(
     )
     matches = incremental_near_dup(
         corpus.select(F.col(id_col), F.col(text_col)),
-        index.withColumnRenamed("__bench_id", id_col),
+        # the benchmark index is eval-set-sized by this operator's
+        # contract: hint the broadcast instead of waiting for AQE so
+        # the corpus side never shuffles for candidate generation
+        F.broadcast(index.withColumnRenamed("__bench_id", id_col)),
         text_col=text_col, id_col=id_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         jaccard_threshold=jaccard_threshold, hash_fn=hash_fn,

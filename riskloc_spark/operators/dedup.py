@@ -953,6 +953,23 @@ def remove_duplicate_spans(
         )
         .select(id_col, "pos")
     )
+    return _rebuild_after_removals(toks_df, removed, n, id_col, text_col)
+
+
+def _rebuild_after_removals(
+    toks_df: DataFrame,
+    removed: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared span-excision tail: given the staged token frame
+    (id, __T) and the removal POSITIONS (id, pos — each covering
+    tokens [pos, pos+n)), merge overlaps, cut the covered tokens,
+    and rebuild the text with the audit columns.  Consumed by
+    ``remove_duplicate_spans`` (corpus-wide duplicate grams) and
+    ``excise_contaminated_spans`` (benchmark-matching grams)."""
+    T = F.col("__T")
     spans = removed.groupBy(id_col).agg(
         F.array_sort(F.collect_list("pos")).alias("__P")
     )

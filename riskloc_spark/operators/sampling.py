@@ -367,3 +367,111 @@ def read_training_shards(
     if shard is not None:
         df = df.filter(F.col("shard") == int(shard))
     return df.orderBy("shard", "pos")
+
+
+def alpha_mixture_budgets(
+    df: DataFrame,
+    total_tokens: int,
+    alpha: float = 0.5,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    quant_bits: int = 20,
+) -> dict:
+    """{group: token_budget}: sampling-temperature mixture weights —
+    budget_g proportional to (group's token count)^alpha (the
+    multilingual-corpus standard: alpha < 1 up-samples small
+    languages/sources relative to their natural share; Lample &
+    Conneau 2019, XLM-R, mT5 all train on this family), scaled so
+    the budgets sum to ~``total_tokens``.
+
+    Engine-portable exact arithmetic: the per-group weight n^alpha
+    is QUANTIZED to an integer floor(n^alpha * 2^quant_bits), and
+    budget_g = total * w_g // sum(w) runs in exact integer math
+    (Python bigints on the bounded per-group table; the oracle uses
+    HUGEINT) — so budgets never hinge on the last ulp of a float
+    sum over groups.  The 2^-20 relative quantization of the weight
+    is the documented price.  alpha=0.5 is sqrt — IEEE-exact and
+    bit-identical in every engine; other alphas go through pow,
+    identical only when both engines share a libm.  One bounded
+    aggregation (groups are few); compose with
+    ``token_budget_sample`` or call ``alpha_mixture_sample``."""
+    import math
+
+    if total_tokens < 0:
+        raise ValueError("total_tokens must be >= 0")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    rows = (
+        df.groupBy(group_col)
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("__nt"))
+        .collect()
+    )
+    scale = 1 << quant_bits
+    weights = {}
+    for r in rows:
+        nt = int(r["__nt"] or 0)
+        if alpha == 0.5:
+            w = int(math.sqrt(nt) * scale)
+        else:
+            w = int((float(nt) ** alpha) * scale)
+        weights[r[group_col]] = w
+    den = sum(weights.values())
+    if den == 0:
+        return {g: 0 for g in weights}
+    return {
+        g: (int(total_tokens) * w) // den
+        for g, w in sorted(weights.items())
+    }
+
+
+def alpha_mixture_sample(
+    df: DataFrame,
+    total_tokens: int,
+    alpha: float = 0.5,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "",
+    quant_bits: int = 20,
+    hash_fn=xxhash64_fn,
+) -> DataFrame:
+    """Temperature-mixture corpus sampling in one call: derive the
+    per-group token budgets from (size)^alpha
+    (``alpha_mixture_budgets``) and take documents per group by the
+    deterministic hash order until the budget fills
+    (``token_budget_sample`` — cum_tokens audit column rides along).
+    The composition training pipelines run as "sample a T-tempered
+    mixture of sources to N tokens"."""
+    budgets = alpha_mixture_budgets(
+        df, total_tokens, alpha, group_col, tokens_col, quant_bits
+    )
+    return token_budget_sample(
+        df, budgets, group_col, tokens_col, id_col, salt,
+        default_budget=None, hash_fn=hash_fn,
+    )
+
+
+def group_split(
+    df: DataFrame,
+    weights: dict,
+    group_col: str,
+    salt: str = "split",
+    split_col: str = "split",
+    hash_fn=xxhash64_fn,
+) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: assign whole GROUPS (a
+    domain, a source document family, a user) to one split by hashing
+    the group key — ``hash_split`` keyed on ``group_col``.  Why it
+    exists as a named operator: splitting per document leaks
+    near-duplicates and same-source siblings across the boundary
+    (val items whose twin sits in train measure memorization, not
+    generalization — the same failure benchmark decontamination
+    chases INSIDE the corpus).  Same guarantees as hash_split:
+    disjoint, exhaustive, reproducible, assignment re-derivable by
+    any consumer from (group, salt) alone; split sizes track group
+    token mass only as well as groups are balanced — rebalance with
+    per-group weights upstream if a mega-group dominates."""
+    return hash_split(
+        df, weights, salt=salt, id_col=group_col,
+        split_col=split_col, hash_fn=hash_fn,
+    )

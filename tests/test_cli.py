@@ -1100,3 +1100,50 @@ def test_cli_pipeline_decontamination_tiers(spark, tmp_path):
         for r2 in spark.read.parquet(audit).collect()
     }
     assert got == {1: 1, 2: 0}
+
+
+def test_cli_pipeline_alpha_sample_and_group_split(spark, tmp_path):
+    """round-14 sampling subcommands end-to-end: sample-alpha fills
+    per-source budgets from size^alpha; split --by-col assigns whole
+    groups to one split."""
+    docs = str(tmp_path / "docs")
+    rows = [(i, "big", "w " * 20) for i in range(60)]
+    rows += [(100 + i, "small", "w " * 20) for i in range(10)]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(docs)
+
+    out = str(tmp_path / "mix")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "sample-alpha", docs, "--output", out,
+            "--total-tokens", "400", "--alpha", "0.5", "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = spark.read.parquet(out).collect()
+    per_g = {}
+    for r2 in got:
+        per_g[r2["source"]] = max(
+            per_g.get(r2["source"], 0), r2["cum_tokens"]
+        )
+    assert set(per_g) == {"big", "small"}
+    assert per_g["big"] <= 400 and per_g["small"] <= 400
+
+    sp = str(tmp_path / "split")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+            "split", docs, "--output", sp,
+            "--weights", "train=0.5,val=0.5", "--by-col", "source",
+            "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    per_group = {}
+    for r2 in spark.read.parquet(sp).collect():
+        per_group.setdefault(r2["source"], set()).add(r2["split"])
+    assert all(len(s) == 1 for s in per_group.values())

@@ -660,3 +660,249 @@ def test_semantic_contamination_exact_and_ivf(spark):
         assert ivf[i]["n_bench_matches"] == exact[i]["n_bench_matches"]
         assert ivf[i]["bench_id"] == exact[i]["bench_id"]
         assert abs(ivf[i]["max_cos"] - exact[i]["max_cos"]) < 1e-12
+
+
+def test_alpha_mixture_budgets_and_sample(spark):
+    """temperature-mixture sampling: budgets follow n^alpha exactly
+    (integer-quantized arithmetic, hand-replayed), alpha=1 recovers
+    proportional shares, small groups gain share as alpha drops, and
+    the sample itself respects every budget deterministically."""
+    import math
+
+    from riskloc_spark.operators.sampling import (
+        alpha_mixture_budgets,
+        alpha_mixture_sample,
+    )
+
+    rows = []
+    for g, (n_docs, tok) in {
+        "big": (90, 20), "mid": (30, 20), "small": (10, 20)
+    }.items():
+        rows += [(f"{g}-{i}", g, tok) for i in range(n_docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, n_tokens long"
+    )
+    total = 1000
+    got = alpha_mixture_budgets(df, total, alpha=0.5)
+    # hand replay: w_g = int(sqrt(tokens_g) * 2^20), exact int division
+    nts = {"big": 1800, "mid": 600, "small": 200}
+    ws = {g: int(math.sqrt(nt) * (1 << 20)) for g, nt in nts.items()}
+    den = sum(ws.values())
+    assert got == {g: total * w // den for g, w in ws.items()}
+    # alpha = 1: proportional to token share
+    got1 = alpha_mixture_budgets(df, total, alpha=1.0)
+    assert got1["big"] > 3 * got1["mid"] - 5
+    # tempering: small's share strictly grows as alpha drops
+    share = lambda b: b["small"] / max(1, sum(b.values()))
+    assert share(got) > share(got1)
+
+    out = alpha_mixture_sample(df, total, alpha=0.5)
+    kept = out.collect()
+    per_g = {}
+    for r in kept:
+        per_g.setdefault(r["source"], []).append(r["cum_tokens"])
+    for g, cums in per_g.items():
+        assert max(cums) <= got[g], (g, max(cums), got[g])
+    # deterministic under repartitioning
+    again = alpha_mixture_sample(df.repartition(7), total, alpha=0.5)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, kept)
+    )
+    # degenerate: zero corpus -> zero budgets, empty sample
+    empty = alpha_mixture_budgets(
+        df.filter(F.col("n_tokens") < 0), total
+    )
+    assert empty == {}
+
+
+def test_group_split_is_leakage_safe(spark, docs):
+    """every group lands WHOLLY in one split (no doc-level leakage),
+    splits are exhaustive/disjoint/reproducible, and per-doc
+    hash_split would NOT have this property on the same data."""
+    from riskloc_spark.operators.sampling import group_split
+
+    out = group_split(
+        docs, {"train": 0.5, "val": 0.25, "test": 0.25}, "source"
+    )
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per_group.values()), per_group
+    again = group_split(
+        docs.repartition(5),
+        {"train": 0.5, "val": 0.25, "test": 0.25}, "source",
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, rows)
+    )
+    # contrast: the per-doc split scatters a group across splits
+    doc_level = hash_split(
+        docs, {"train": 0.5, "val": 0.25, "test": 0.25}
+    )
+    scattered = {}
+    for r in doc_level.collect():
+        scattered.setdefault(r["source"], set()).add(r["split"])
+    assert any(len(s) > 1 for s in scattered.values())
+
+
+def test_near_dup_and_semantic_contamination_plan_shape(spark):
+    """plan pins for the round-14 tiers: the MinHash probe joins the
+    BROADCAST benchmark index (no corpus-side shuffle for candidate
+    generation beyond the signature aggregation), and the exact
+    semantic audit broadcasts the benchmark into its nested-loop
+    pair scan — neither plan contains a non-broadcast cartesian."""
+    from riskloc_spark.operators.decontamination import (
+        near_dup_contamination_stats,
+        semantic_contamination_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}w{j}" for j in range(12)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id % 7 = 0").select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    nd = near_dup_contamination_stats(docs, bench)
+    plan = nd._sc._jvm.PythonSQLUtils.explainString(
+        nd._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    bemb = emb.filter("vec_id % 9 = 0").select(
+        (F.col("vec_id") + 500).alias("vec_id"), "embedding"
+    )
+    se = semantic_contamination_stats(emb, bemb)
+    plan2 = se._sc._jvm.PythonSQLUtils.explainString(
+        se._jdf.queryExecution(), "formatted"
+    )
+    # the pair scan is the INTENDED broadcast nested loop (benchmark
+    # side broadcast); a shuffle cartesian would be the bug
+    assert "BroadcastNestedLoopJoin" in plan2
+    assert "CartesianProduct" not in plan2
+
+
+def test_benchmark_exposure_stats_planted(spark):
+    """the reverse audit: a fully-copied bench item shows exposure
+    1.0 and counts its carrier docs; a half-leaked item shows the
+    exact gram fraction; an unleaked item shows 0 / 0.0 / 0 and
+    still appears (complete audit)."""
+    from riskloc_spark.operators.decontamination import (
+        benchmark_exposure_stats,
+    )
+
+    leaked = " ".join(f"L{j}" for j in range(12))       # 9 4-grams
+    half = " ".join(f"H{j}" for j in range(12))
+    half_prefix = " ".join(f"H{j}" for j in range(7))   # grams 0..3
+    corpus_rows = [
+        (1, leaked + " tail one"),
+        (2, "head two " + leaked),
+        (3, half_prefix + " unrelated suffix words here"),
+        (4, "totally unrelated corpus document text " * 3),
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, leaked), (200, half), (300, " ".join(
+            f"U{j}" for j in range(12)))],
+        "doc_id long, text string",
+    )
+    got = {
+        r["bench_id"]: r
+        for r in benchmark_exposure_stats(corpus, bench, n=4).collect()
+    }
+    assert len(got) == 3
+    assert got[100]["n_ngrams"] == 9 and got[100]["n_exposed"] == 9
+    assert got[100]["exposure"] == 1.0
+    assert got[100]["n_corpus_docs"] == 2
+    assert got[200]["n_ngrams"] == 9 and got[200]["n_exposed"] == 4
+    assert abs(got[200]["exposure"] - 4 / 9) < 1e-12
+    assert got[200]["n_corpus_docs"] == 1
+    assert got[300]["n_exposed"] == 0
+    assert got[300]["exposure"] == 0.0
+    assert got[300]["n_corpus_docs"] == 0
+
+
+def test_excise_contaminated_spans_planted(spark):
+    """span-level decontamination: the quoted benchmark item is cut
+    out of a long mostly-clean document (clean words survive), a
+    clean doc passes untouched, a fully-contaminated doc comes back
+    empty, and overlapping matched grams merge into one span."""
+    from riskloc_spark.operators.decontamination import (
+        excise_contaminated_spans,
+    )
+
+    bench_text = " ".join(f"B{j}" for j in range(10))
+    clean_head = " ".join(f"c{j}" for j in range(12))
+    clean_tail = " ".join(f"d{j}" for j in range(12))
+    corpus = spark.createDataFrame(
+        [
+            (1, f"{clean_head} {bench_text} {clean_tail}"),
+            (2, " ".join(f"x{j}" for j in range(20))),
+            (3, bench_text),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in excise_contaminated_spans(corpus, bench, n=4).collect()
+    }
+    # doc 1: tokens 12..21 carry bench 4-grams at positions 12..18 —
+    # ONE merged span covering [12, 22); head+tail survive
+    r1 = got[1]
+    assert r1["n_spans"] == 1
+    assert r1["n_contaminated_grams"] == 7
+    assert r1["n_tokens"] == 34 and r1["n_tokens_removed"] == 10
+    assert r1["text"] == f"{clean_head} {clean_tail}"
+    # doc 2: untouched
+    assert got[2]["n_tokens_removed"] == 0
+    assert got[2]["n_spans"] == 0
+    assert got[2]["text"] == " ".join(f"x{j}" for j in range(20))
+    # doc 3: fully covered -> empty rebuild
+    assert got[3]["n_tokens_removed"] == got[3]["n_tokens"] == 10
+    assert got[3]["text"] == ""
+
+
+def test_excise_spans_plan_shape(spark):
+    """span excision's shuffle budget: the benchmark vocabulary is
+    BROADCAST into the position probe (no corpus-side exchange for
+    matching); the only corpus-volume shuffles are the removal
+    collection and the rebuild join."""
+    from riskloc_spark.operators.decontamination import (
+        excise_contaminated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(20)))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, " ".join(f"w3x{j}" for j in range(20)))],
+        "doc_id long, text string",
+    )
+    out = excise_contaminated_spans(docs, bench, n=4)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    lines = [
+        ln.strip() for ln in plan.splitlines()
+        if ln.strip().startswith("(") and "Exchange" in ln
+        and "BroadcastExchange" not in ln
+    ]
+    # bench-gram distinct + removal groupBy + rebuild join (+AQE reads)
+    assert len(lines) <= 4, (lines, plan[:400])
