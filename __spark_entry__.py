@@ -1621,6 +1621,33 @@ def decontamination_semantic_q(
     )
 
 
+def quality_percentile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-relative quality filtering under the hash gate
+    (round 14; corpus.quality_percentile_filter): keep each
+    language's documents clearing that language's 0.6-quantile of
+    the heuristic quality score — cutoffs from the bottom-k quantile
+    sketch (k=256, md5-portable), never a global sort.  The oracle
+    replays the score algebra, the sketch membership row-for-row,
+    the epsilon-guarded Type-1 rank pick, and the per-group keep
+    rule."""
+    from riskloc_spark.operators.corpus import quality_percentile_filter
+    from riskloc_spark.operators.dedup import md5_hash64
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    out = quality_percentile_filter(
+        d, q=0.6, key_cols=("lang",), k=256, salt=0,
+        hash_fn=md5_hash64,
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        F.round("quality", 6).alias("quality"),
+        F.round("quality_cutoff", 6).alias("quality_cutoff"),
+    )
+
+
 def decontamination_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPAN-level decontamination under the hash gate (round 14;
     decontamination.excise_contaminated_spans): the benchmark is the
@@ -5773,6 +5800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_alpha_sample": mixture_alpha_sample_q,
         "benchmark_exposure": benchmark_exposure_q,
         "decontamination_spans": decontamination_spans_q,
+        "quality_percentile": quality_percentile_q,
     # ---- newest driver record is round 10 ----
         "jsonl_roundtrip": jsonl_roundtrip_q,
         "knn_bruteforce": knn_bruteforce_q,
@@ -9340,6 +9368,73 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY h ASC, value ASC) AS rn
               FROM b
             ) WHERE rn = 1
+        """,
+        "quality_percentile": """
+            WITH stats AS (
+              SELECT doc_id, lang,
+                CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text),
+                          '[ \\t\\n\\x0B\\f\\r]+')) END AS INT)
+                  AS n_tokens,
+                CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE CAST(length(text) - length(regexp_replace(
+                            text, '[.,!?]', '', 'g')) AS DOUBLE)
+                          / length(text) END AS punct_ratio,
+                CASE WHEN trim(text) = '' THEN 0.0
+                     ELSE CAST(len(list_filter(string_split_regex(
+                            lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+                            x -> list_contains(['the','and','of','to',
+                              'a','in','is','it','that','for'], x)))
+                            AS DOUBLE)
+                          / len(string_split_regex(trim(text),
+                              '[ \\t\\n\\x0B\\f\\r]+')) END
+                  AS stopword_ratio
+              FROM documents
+            ),
+            scored AS (
+              SELECT doc_id, lang,
+                (CASE WHEN n_tokens >= 5 AND n_tokens <= 10000
+                      THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN punct_ratio > 0.0 AND punct_ratio < 0.2
+                        THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN stopword_ratio > 0.05
+                        THEN 0.3 ELSE 0.0 END) AS quality
+              FROM stats
+            ),
+            h AS (
+              SELECT lang,
+                     CAST('0x' || substr(
+                       md5(CAST(doc_id AS VARCHAR) || ':0'),
+                       1, 15) AS BIGINT) AS h,
+                     CAST(quality AS DOUBLE) AS value
+              FROM scored
+            ),
+            sk AS (
+              SELECT lang, h, value FROM (
+                SELECT lang, h, value,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY lang
+                         ORDER BY h ASC, value ASC) AS rn
+                FROM h
+              ) WHERE rn <= 256
+            ),
+            r AS (
+              SELECT lang, value,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY value ASC, h ASC) AS rn,
+                     COUNT(*) OVER (PARTITION BY lang) AS s
+              FROM sk
+            ),
+            cut AS (
+              SELECT lang, value AS quality_cutoff
+              FROM r WHERE rn = CAST(ceil(0.6e0 * s - 1e-9) AS INT)
+            )
+            SELECT sc.doc_id, sc.lang,
+                   round(sc.quality, 6) + 0e0 AS quality,
+                   round(c.quality_cutoff, 6) + 0e0 AS quality_cutoff
+            FROM scored sc JOIN cut c ON sc.lang = c.lang
+            WHERE sc.quality >= c.quality_cutoff
         """,
         "quantile_sketch": """
             WITH h AS (

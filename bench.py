@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "mixture_alpha_sample",
     "benchmark_exposure",
     "decontamination_spans",
+    "quality_percentile",
 ]
 
 

@@ -333,6 +333,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp2.add_argument("--bands", type=int, default=8)
 
     sp2 = psub.add_parser(
+        "quality-percentile",
+        help="keep each group's documents clearing that group's "
+        "q-quantile of the heuristic quality score (sketch cutoffs, "
+        "no global sort)",
+    )
+    pcommon(sp2)
+    sp2.add_argument("--q", type=float, default=0.6)
+    sp2.add_argument("--key-cols", default="lang",
+                     help="comma-separated group keys")
+    sp2.add_argument("--k", type=int, default=1024,
+                     help="quantile-sketch sample size per group")
+
+    sp2 = psub.add_parser(
         "decontaminate-spans",
         help="cut benchmark-matching n-token spans out of documents "
         "(keep the clean remainder) instead of dropping whole docs",
@@ -850,6 +863,15 @@ def run_pipeline(spark, args) -> dict:
             df, bench,
             jaccard_threshold=args.jaccard_threshold,
             bands=args.bands,
+        )
+    elif op == "quality-percentile":
+        from riskloc_spark.operators.corpus import (
+            quality_percentile_filter,
+        )
+
+        keys = tuple(k for k in args.key_cols.split(",") if k)
+        out = quality_percentile_filter(
+            df, q=args.q, key_cols=keys, k=args.k
         )
     elif op == "decontaminate-spans":
         from riskloc_spark.operators.decontamination import (

@@ -281,3 +281,52 @@ def curate_from_crawl(
         docs = remove_duplicate_paragraphs(docs.select("doc_id", "text"))
         docs = docs.join(kept_uri, "doc_id")
     return curate_corpus(docs, min_quality=min_quality, lang=lang)
+
+
+def quality_percentile_filter(
+    df: DataFrame,
+    q: float = 0.6,
+    key_cols: tuple = ("lang",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 1024,
+    salt: int = 0,
+    hash_fn=None,
+) -> DataFrame:
+    """PERCENTILE-relative quality filtering: keep the documents whose
+    heuristic quality score clears their group's q-quantile — "top
+    (1-q) of each language", the FineWeb-style threshold that adapts
+    per group instead of hard-coding one global cutoff (a fixed bar
+    over-prunes low-resource languages whose score distribution sits
+    lower).
+
+    The cutoff comes from the mergeable bottom-k quantile sketch
+    (operators/quantiles.py) — NO global sort, no per-group ntile
+    over the corpus: one bounded WindowGroupLimit sample per group,
+    a <= k-row estimate, and a broadcast join back.  Returns the
+    surviving rows plus ``quality`` and ``quality_cutoff`` (the
+    evidence columns; the audit re-checks quality >= cutoff).  The
+    sketch makes the cutoff an ESTIMATE with the DKW rank envelope
+    — the documented price for never sorting the corpus."""
+    from riskloc_spark.functions.text import quality_score
+    from riskloc_spark.operators.dedup import xxhash64_fn
+    from riskloc_spark.operators.quantiles import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    hf = hash_fn or xxhash64_fn
+    keys = list(key_cols)
+    scored = df.select(
+        "*", quality_score(F.col(text_col)).alias("quality")
+    )
+    sketch = quantile_sketch(
+        scored, "quality", id_col, key_cols=keys, k=k, salt=salt,
+        hash_fn=hf,
+    )
+    cut = quantile_estimate(sketch, [q], key_cols=keys).select(
+        *keys, F.col("value").alias("quality_cutoff")
+    )
+    return scored.join(F.broadcast(cut), keys).filter(
+        F.col("quality") >= F.col("quality_cutoff")
+    )

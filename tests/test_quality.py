@@ -441,3 +441,35 @@ def test_canonicalize_staged_equals_expression_form(spark):
     assert expr == staged
     assert staged["http://site.org:80/a/"] == "http://site.org/a"
     assert staged["https://site.org:443/ab/"] == "https://site.org/ab"
+
+
+def test_quality_percentile_filter_per_group_cutoffs(spark):
+    """percentile-relative filtering: each group keeps exactly the
+    docs clearing ITS OWN q-quantile (a global bar would empty the
+    low-scoring group); evidence columns ride along; deterministic
+    under repartitioning."""
+    from riskloc_spark.operators.corpus import quality_percentile_filter
+
+    good = ("the meeting of the board is in the room and "
+            "it is set for the day. " * 3)
+    rows = [(i, "hi", f"w{i}" if i < 8 else good) for i in range(16)]
+    rows += [(100 + i, "lo", f"only w{i} here") for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = quality_percentile_filter(df, q=0.6, k=64)
+    got = out.collect()
+    assert {"quality", "quality_cutoff"} <= set(out.columns)
+    per_lang = {}
+    for r in got:
+        per_lang.setdefault(r["lang"], []).append(r)
+        assert r["quality"] >= r["quality_cutoff"]
+    # BOTH groups keep something: the 'lo' group's cutoff adapts to
+    # its own (uniformly low) distribution instead of hi's bar
+    assert per_lang.get("hi") and per_lang.get("lo")
+    # 'hi' keeps only its good half (quality strictly above the short
+    # junk docs' score)
+    hi_ids = sorted(r["doc_id"] for r in per_lang["hi"])
+    assert hi_ids == list(range(8, 16))
+    again = quality_percentile_filter(df.repartition(5), q=0.6, k=64)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, got)
+    )
