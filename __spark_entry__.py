@@ -1621,6 +1621,58 @@ def decontamination_semantic_q(
     )
 
 
+def events_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution under the hash gate (round 14;
+    temporal.attribution): every purchase's first/last preceding
+    touch within a 7-day lookback plus the touch count — conversions
+    with no touch appear with NULLs/0 (the instrumentation-gap
+    number).  The Spark side routes through the bucketed interval
+    equi-join (backward windows, user-keyed — no BNLJ); the oracle
+    is the PLAIN inequality join with window-rank first/last picks,
+    so the bucketing must be exactly containment-neutral."""
+    from riskloc_spark.operators.temporal import attribution
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    return attribution(e, "purchase", window_days=7.0)
+
+
+def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff under the hash gate (round 14;
+    corpus.corpus_diff): old = the documents table; new = a
+    deterministic mutation (every 13th-congruent-1 doc dropped,
+    every 7th-congruent-4 doc's text edited, a block of fresh ids
+    added) — the per-document added/removed/changed/unchanged status
+    a versioned ingest publishes.  Fingerprints compare the
+    whitespace-normalized case-folded text; the oracle compares the
+    normalized STRINGS directly (the hash-collision carve-out), so
+    the status algebra itself is what's under the hash."""
+    from riskloc_spark.operators.corpus import corpus_diff
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    new = (
+        d.filter(F.col("doc_id") % 13 != 1)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 4,
+                F.concat(F.col("text"), F.lit(" edited")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 2).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(d, new)
+
+
 def quality_percentile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile-relative quality filtering under the hash gate
     (round 14; corpus.quality_percentile_filter): keep each
@@ -5801,6 +5853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_exposure": benchmark_exposure_q,
         "decontamination_spans": decontamination_spans_q,
         "quality_percentile": quality_percentile_q,
+        "corpus_diff": corpus_diff_q,
+        "events_attribution": events_attribution_q,
     # ---- newest driver record is round 10 ----
         "jsonl_roundtrip": jsonl_roundtrip_q,
         "knn_bruteforce": knn_bruteforce_q,
@@ -9368,6 +9422,82 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY h ASC, value ASC) AS rn
               FROM b
             ) WHERE rn = 1
+        """,
+        "events_attribution": """
+            WITH conv AS (
+              SELECT event_id AS conversion_id, user_id,
+                     ts AS conversion_ts
+              FROM events WHERE event_type = 'purchase'
+            ),
+            t AS (
+              SELECT user_id, ts AS touch_ts,
+                     event_type AS touch_type, event_id AS touch_id
+              FROM events
+            ),
+            p AS (
+              SELECT c.conversion_id, c.user_id, c.conversion_ts,
+                     t.touch_ts, t.touch_type, t.touch_id
+              FROM conv c JOIN t ON c.user_id = t.user_id
+              WHERE t.touch_ts >= c.conversion_ts - INTERVAL 7 DAY
+                AND t.touch_ts < c.conversion_ts
+            ),
+            ranked AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY conversion_id
+                       ORDER BY touch_ts ASC, touch_id ASC) AS rf,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY conversion_id
+                       ORDER BY touch_ts DESC, touch_id DESC) AS rl,
+                     COUNT(*) OVER (
+                       PARTITION BY conversion_id) AS nt
+              FROM p
+            ),
+            firsts AS (
+              SELECT conversion_id, touch_type AS first_touch_type,
+                     touch_ts AS first_touch_ts, nt
+              FROM ranked WHERE rf = 1
+            ),
+            lasts AS (
+              SELECT conversion_id, touch_type AS last_touch_type,
+                     touch_ts AS last_touch_ts
+              FROM ranked WHERE rl = 1
+            )
+            SELECT c.conversion_id, c.user_id, c.conversion_ts,
+                   f.first_touch_type, f.first_touch_ts,
+                   l.last_touch_type, l.last_touch_ts,
+                   CAST(COALESCE(f.nt, 0) AS BIGINT) AS n_touches
+            FROM conv c
+            LEFT JOIN firsts f ON c.conversion_id = f.conversion_id
+            LEFT JOIN lasts l ON c.conversion_id = l.conversion_id
+        """,
+        "corpus_diff": f"""
+            WITH oldc AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)),
+                       '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS fp
+              FROM documents
+            ),
+            newc AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(
+                       CASE WHEN doc_id % 7 = 4
+                            THEN text || ' edited' ELSE text END)),
+                       '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS fp
+              FROM documents WHERE doc_id % 13 <> 1
+              UNION ALL
+              SELECT doc_id + 2000000 AS doc_id,
+                     regexp_replace(lower(trim(text)),
+                       '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS fp
+              FROM documents WHERE doc_id % 11 = 2
+            )
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.fp IS NULL THEN 'added'
+                        WHEN n.fp IS NULL THEN 'removed'
+                        WHEN o.fp = n.fp THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM oldc o FULL OUTER JOIN newc n
+              ON o.doc_id = n.doc_id
         """,
         "quality_percentile": """
             WITH stats AS (

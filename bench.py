@@ -236,6 +236,8 @@ BENCH_QUERIES = [
     "benchmark_exposure",
     "decontamination_spans",
     "quality_percentile",
+    "corpus_diff",
+    "events_attribution",
 ]
 
 

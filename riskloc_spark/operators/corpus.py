@@ -330,3 +330,65 @@ def quality_percentile_filter(
     return scored.join(F.broadcast(cut), keys).filter(
         F.col("quality") >= F.col("quality_cutoff")
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: (id, status) with
+    status in {added, removed, changed, unchanged} — the audit a
+    versioned ingest pipeline publishes with every snapshot ("what
+    moved since the corpus the last model trained on?").
+
+    Rows compare by the deterministic content fingerprint
+    (functions/text.fingerprint — whitespace-normalized, case-folded),
+    so formatting-only edits read as unchanged; ``portable_hash``
+    swaps in the md5 family for oracle replay.  ONE full-outer join
+    on the id — both sides are scanned once, the join is the only
+    exchange, and at scale snapshots bucketed on the id join
+    exchange-free (sources/writers.py)."""
+    from riskloc_spark.functions.text import fingerprint
+
+    o = old.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col), portable=portable_hash).alias(
+            "__old_fp"
+        ),
+    )
+    nw = new.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col), portable=portable_hash).alias(
+            "__new_fp"
+        ),
+    )
+    return o.join(nw, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("__old_fp").isNull(), F.lit("added"))
+        .when(F.col("__new_fp").isNull(), F.lit("removed"))
+        .when(
+            F.col("__old_fp") == F.col("__new_fp"), F.lit("unchanged")
+        )
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
+def corpus_diff_stats(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """(status, n): the one-line summary of ``corpus_diff`` — the
+    number a snapshot publisher alerts on (an unexpected 'removed'
+    spike is a broken upstream, not a corpus improvement)."""
+    return (
+        corpus_diff(old, new, id_col, text_col, portable_hash)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -663,3 +663,97 @@ def retention_cohorts(
             ).alias("retention"),
         )
     )
+
+
+def attribution(
+    events: DataFrame,
+    conversion_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    window_days: float = 7.0,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Marketing-style conversion ATTRIBUTION: for every conversion
+    event (``type_col == conversion_type``), the user's FIRST and
+    LAST preceding touch inside the lookback window — the
+    first-touch / last-touch pair every attribution report starts
+    from, plus the touch count (the denominator of linear
+    attribution).
+
+    Returns (conversion id, user, conversion ts, first_touch_type,
+    first_touch_ts, last_touch_type, last_touch_ts, n_touches);
+    conversions with NO touch in the window appear with NULL touches
+    and n_touches 0 (the complete-audit contract — unattributed
+    conversions are the number that catches instrumentation gaps).
+
+    The Spark-first shape: each conversion opens a BACKWARD interval
+    [ts - window, ts), touches probe it through the bucketed
+    interval EQUI-join (``interval_join`` keyed on the user — never
+    a theta/BNLJ pair scan), and first/last resolve as min/max
+    structs in one aggregation.  Ties on touch ts break to the
+    smaller/larger event id (deterministic).  Self-touches
+    (conversion events as touches for LATER conversions) count —
+    a repeat purchase is a real touch; exclude upstream if not."""
+    win_us = int(window_days * 86400 * 1_000_000)
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(id_col).alias("conversion_id"),
+        F.col(user_col),
+        F.col(ts_col).alias("conversion_ts"),
+        F.timestamp_micros(
+            _micros(F.col(ts_col)) - F.lit(win_us)
+        ).alias("__w_start"),
+        F.col(ts_col).alias("__w_end"),
+    )
+    touches = events.select(
+        F.col(user_col),
+        F.col(ts_col).alias("__touch_ts"),
+        F.col(type_col).alias("__touch_type"),
+        F.col(id_col).alias("__touch_id"),
+    )
+    pairs = interval_join(
+        touches,
+        conv,
+        "__touch_ts",
+        "__w_start",
+        "__w_end",
+        keys=[user_col],
+        bucket_seconds=bucket_seconds,
+    )
+    first = F.min(
+        F.struct(
+            F.col("__touch_ts"),
+            F.col("__touch_id"),
+            F.col("__touch_type"),
+        )
+    ).alias("__first")
+    last = F.max(
+        F.struct(
+            F.col("__touch_ts"),
+            F.col("__touch_id"),
+            F.col("__touch_type"),
+        )
+    ).alias("__last")
+    agg = pairs.groupBy(
+        "conversion_id", user_col, "conversion_ts"
+    ).agg(first, last, F.count(F.lit(1)).alias("n_touches"))
+    return (
+        conv.select("conversion_id", user_col, "conversion_ts")
+        .join(
+            agg, ["conversion_id", user_col, "conversion_ts"],
+            "left_outer",
+        )
+        .select(
+            "conversion_id",
+            user_col,
+            "conversion_ts",
+            F.col("__first.__touch_type").alias("first_touch_type"),
+            F.col("__first.__touch_ts").alias("first_touch_ts"),
+            F.col("__last.__touch_type").alias("last_touch_type"),
+            F.col("__last.__touch_ts").alias("last_touch_ts"),
+            F.coalesce("n_touches", F.lit(0))
+            .cast("long")
+            .alias("n_touches"),
+        )
+    )

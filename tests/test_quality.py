@@ -473,3 +473,31 @@ def test_quality_percentile_filter_per_group_cutoffs(spark):
     assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, got)
     )
+
+
+def test_corpus_diff_statuses(spark):
+    """snapshot diff: added/removed/changed/unchanged each detected;
+    formatting-only edits (case, whitespace) read as unchanged."""
+    from riskloc_spark.operators.corpus import (
+        corpus_diff,
+        corpus_diff_stats,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "kept  Text"),
+         (4, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha beta EDITED"), (2, "gamma delta"),
+         (3, "KEPT text"), (5, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new).collect()}
+    assert got == {1: "changed", 2: "unchanged", 3: "unchanged",
+                   4: "removed", 5: "added"}
+    stats = {r["status"]: r["n"]
+             for r in corpus_diff_stats(old, new).collect()}
+    assert stats == {"changed": 1, "unchanged": 2, "removed": 1,
+                     "added": 1}

@@ -534,3 +534,54 @@ def test_retention_cohorts_semantics(spark):
     assert out[(b, 0)] == (1, 1, 1.0)
     assert out[(b, 1)] == (1, 1, 1.0)
     assert len(out) == 5
+
+
+def test_attribution_first_last_touch(spark):
+    """attribution: first/last preceding touch inside the lookback,
+    window boundaries (exclusive end, inclusive start), unattributed
+    conversions with NULLs and n_touches 0, deterministic id
+    tiebreaks on equal timestamps."""
+    from datetime import datetime
+
+    from riskloc_spark.operators.temporal import attribution
+
+    T = datetime
+    rows = [
+        # user 1: click -> view -> purchase (both inside 7d)
+        (10, T(2024, 5, 1, 10), 1, "click", 0.0, ""),
+        (11, T(2024, 5, 3, 10), 1, "view", 0.0, ""),
+        (12, T(2024, 5, 5, 10), 1, "purchase", 9.0, ""),
+        # user 2: touch EXACTLY at conversion ts (excluded: end is
+        # exclusive) and one 8 days before (outside window)
+        (20, T(2024, 5, 5, 10), 2, "click", 0.0, ""),
+        (21, T(2024, 4, 27, 9), 2, "view", 0.0, ""),
+        (22, T(2024, 5, 5, 10), 2, "purchase", 5.0, ""),
+        # user 3: two touches at the SAME instant -> id tiebreak
+        (30, T(2024, 5, 4, 10), 3, "click", 0.0, ""),
+        (31, T(2024, 5, 4, 10), 3, "view", 0.0, ""),
+        (32, T(2024, 5, 5, 10), 3, "purchase", 1.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    got = {
+        r["conversion_id"]: r
+        for r in attribution(ev, "purchase", window_days=7.0).collect()
+    }
+    assert len(got) == 3
+    r1 = got[12]
+    assert (r1["first_touch_type"], r1["last_touch_type"]) == (
+        "click", "view",
+    )
+    assert r1["n_touches"] == 2
+    r2 = got[22]
+    assert r2["n_touches"] == 0
+    assert r2["first_touch_type"] is None and r2["last_touch_ts"] is None
+    r3 = got[32]
+    # equal ts: first -> smaller event id (click 30), last -> larger
+    # (view 31)
+    assert r3["first_touch_type"] == "click"
+    assert r3["last_touch_type"] == "view"
+    assert r3["n_touches"] == 2
