@@ -1621,6 +1621,29 @@ def decontamination_semantic_q(
     )
 
 
+def cms_join_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-size estimation under the hash gate
+    (round 14; cms.cms_join_size — the Cormode-Muthukrishnan inner
+    product): per event type, the register-only estimate of the
+    user_id SELF-join cardinality (sum of per-user count squares) —
+    the "will this join explode" planning diagnostic computed from
+    KB-sized artifacts without scanning the table.  md5-portable
+    registers; the oracle replays every register, the per-row dot
+    products, and the min, with the outer CAST(... AS BIGINT)
+    dtype discipline on the summed estimate."""
+    from riskloc_spark.operators.cms import cms_join_size, cms_sketch
+    from riskloc_spark.operators.dedup import md5_hash64
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    sk = cms_sketch(
+        e, "user_id", key_cols=["event_type"], width=1024, depth=4,
+        hash_fn=md5_hash64,
+    )
+    return cms_join_size(sk, sk, key_cols=["event_type"], depth=4)
+
+
 def events_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion attribution under the hash gate (round 14;
     temporal.attribution): every purchase's first/last preceding
@@ -5855,6 +5878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile": quality_percentile_q,
         "corpus_diff": corpus_diff_q,
         "events_attribution": events_attribution_q,
+        "cms_join_size": cms_join_size_q,
     # ---- newest driver record is round 10 ----
         "jsonl_roundtrip": jsonl_roundtrip_q,
         "knn_bruteforce": knn_bruteforce_q,
@@ -9422,6 +9446,28 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY h ASC, value ASC) AS rn
               FROM b
             ) WHERE rn = 1
+        """,
+        "cms_join_size": """
+            WITH src AS (
+              SELECT event_type, CAST(user_id AS VARCHAR) AS v
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            regs AS (
+              SELECT event_type, k AS "row",
+                     CAST(CAST('0x' || substr(
+                       md5(v || ':' || CAST(k AS VARCHAR)),
+                       1, 15) AS BIGINT) % 1024 AS INT) AS bucket,
+                     COUNT(*) AS cnt
+              FROM src CROSS JOIN range(4) t(k)
+              GROUP BY 1, 2, 3
+            ),
+            dots AS (
+              SELECT event_type, "row",
+                     CAST(SUM(cnt * cnt) AS BIGINT) AS dot
+              FROM regs GROUP BY 1, 2
+            )
+            SELECT event_type, CAST(MIN(dot) AS BIGINT) AS est
+            FROM dots GROUP BY 1
         """,
         "events_attribution": """
             WITH conv AS (

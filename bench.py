@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "quality_percentile",
     "corpus_diff",
     "events_attribution",
+    "cms_join_size",
 ]
 
 

@@ -283,3 +283,71 @@ def heavy_hitters(
         .filter(F.col("rank") <= top_k)
         .select(*keys, "rank", "item", "est")
     )
+
+
+def cms_join_size(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    key_cols: list | None = None,
+    depth: int = 4,
+) -> DataFrame:
+    """(key..., est): the Count-Min JOIN-SIZE estimate — how many
+    rows an equi-join of the two sketched multisets would produce
+    (|A JOIN B on v| = sum_v cnt_A(v) * cnt_B(v)), computed from the
+    registers alone (Cormode & Muthukrishnan 2005, the inner-product
+    estimator).  The 100-TB planning diagnostic: before running a
+    join that might explode, dot two persisted per-column sketches
+    (KB-sized artifacts) instead of scanning either table.
+
+    est = min over the depth hash rows of the per-row bucket dot
+    product.  Guarantee: every row's dot product counts each true
+    (value, value) pairing exactly once plus non-negative collision
+    cross-terms, so est >= true ALWAYS, and est <= true +
+    eps * N_A * N_B w.h.p. for width >= e/eps (the classic bound).
+    Exact when value sets are collision-free in every row
+    (property-tested).  Both sketches must share (width, ``depth``,
+    hash_fn, seeding); per-key sketches estimate per key group — a
+    key present in both sketches with NO shared bucket in some hash
+    row estimates 0 (that row's dot product is empty), which is why
+    ``depth`` is a parameter: the register join drops empty rows and
+    the anchor below restores their zeros.  Register tables are
+    bucket-aligned by construction, so the join is register-sized —
+    nothing rescans the data."""
+    keys = list(key_cols or [])
+    a = sketch_a.select(
+        *keys, "row", "bucket", F.col("cnt").alias("__ca")
+    )
+    b = sketch_b.select(
+        *keys, "row", "bucket", F.col("cnt").alias("__cb")
+    )
+    per_row = (
+        a.join(b, [*keys, "row", "bucket"])
+        .groupBy(*keys, "row")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"))
+    )
+    per_key = per_row.groupBy(*keys).agg(
+        F.min("__dot").alias("__min"),
+        F.count(F.lit(1)).alias("__rows"),
+    )
+    est = (
+        F.when(
+            F.col("__rows").isNull() | (F.col("__rows") < depth),
+            F.lit(0).cast("long"),
+        )
+        .otherwise(F.col("__min"))
+        .alias("est")
+    )
+    if keys:
+        base = a.select(*keys).distinct().join(
+            b.select(*keys).distinct(), keys
+        )
+        return base.join(per_key, keys, "left_outer").select(
+            *keys, est
+        )
+    # unkeyed: per_key is zero-or-one row — anchor on a literal
+    # one-row frame so an empty register intersection yields est 0
+    base = sketch_a.sparkSession.range(1).select(
+        F.lit(1).alias("__k")
+    )
+    pk = per_key.withColumn("__k", F.lit(1))
+    return base.join(pk, "__k", "left_outer").select(est)

@@ -248,3 +248,57 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
         ).select("event_type", "row", "bucket", "cnt").collect()
     )
     assert got == want
+
+
+def test_cms_join_size_estimate(spark):
+    """join-size estimation from registers alone: exact on
+    collision-free sketches, NEVER an underestimate under heavy
+    collision pressure, and keyed sketches estimate per group."""
+    from collections import Counter
+
+    from riskloc_spark.operators.cms import cms_join_size
+
+    rows_a = [(f"v{i % 7}",) for i in range(200)]
+    rows_b = [(f"v{i % 5}",) for i in range(150)]
+    a = spark.createDataFrame(rows_a, "t string")
+    b = spark.createDataFrame(rows_b, "t string")
+    ca, cb = Counter(r[0] for r in rows_a), Counter(
+        r[0] for r in rows_b
+    )
+    true = sum(ca[v] * cb[v] for v in ca)
+    # wide sketch: 12 distinct values over 512 buckets -> collision-
+    # free in every row, estimate EXACT
+    kw = dict(width=512, depth=4)
+    est = cms_join_size(
+        cms_sketch(a, "t", **kw), cms_sketch(b, "t", **kw)
+    ).collect()[0]["est"]
+    assert est == true
+    # tiny sketch: collisions everywhere -> still never UNDER
+    kw2 = dict(width=4, depth=2)
+    est2 = cms_join_size(
+        cms_sketch(a, "t", **kw2), cms_sketch(b, "t", **kw2),
+        depth=2,
+    ).collect()[0]["est"]
+    assert est2 >= true
+    # keyed: per-group estimates
+    ka = spark.createDataFrame(
+        [("g1", "x")] * 10 + [("g2", "y")] * 3, "g string, t string"
+    )
+    kb = spark.createDataFrame(
+        [("g1", "x")] * 7 + [("g2", "z")] * 9, "g string, t string"
+    )
+    got = {
+        r["g"]: r["est"]
+        for r in cms_join_size(
+            cms_sketch(ka, "t", key_cols=["g"], **kw),
+            cms_sketch(kb, "t", key_cols=["g"], **kw),
+            key_cols=["g"], depth=4,
+        ).collect()
+    }
+    # disjoint multisets in g2: true join size 0, estimated 0
+    empty = cms_join_size(
+        cms_sketch(ka.filter("g = 'zzz'"), "t", **kw),
+        cms_sketch(kb, "t", **kw), depth=4,
+    ).collect()
+    assert len(empty) == 1 and empty[0]["est"] == 0
+    assert got == {"g1": 70, "g2": 0}
