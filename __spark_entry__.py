@@ -1621,6 +1621,35 @@ def decontamination_semantic_q(
     )
 
 
+def data_expectations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations under the hash gate
+    (round 14; operators/expectations.validate_expectations): five
+    invariants over the events table — id non-null + unique, a
+    deliberately-too-small event-type domain and value range (so the
+    gate exercises NONZERO violation counts), user non-null — all
+    counted in ONE scan.  The oracle replays every rule's CASE sum,
+    the unique-extras count, and the rate division, with the
+    CAST(... AS BIGINT) dtype discipline on the counts."""
+    from riskloc_spark.operators.expectations import (
+        validate_expectations,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    rules = [
+        {"col": "event_id", "kind": "not_null"},
+        {"col": "event_id", "kind": "unique"},
+        {"col": "event_type", "kind": "in_set",
+         "values": ["view", "click", "purchase", "signup"]},
+        {"col": "value", "kind": "range", "min": 0, "max": 100},
+        {"col": "user_id", "kind": "not_null"},
+    ]
+    out = validate_expectations(e, rules)
+    return out.select(
+        "rule", "col", "kind", "n_rows", "n_violations",
+        F.round("violation_rate", 6).alias("violation_rate"),
+    )
+
+
 def cms_join_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based join-size estimation under the hash gate
     (round 14; cms.cms_join_size — the Cormode-Muthukrishnan inner
@@ -5879,6 +5908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": corpus_diff_q,
         "events_attribution": events_attribution_q,
         "cms_join_size": cms_join_size_q,
+        "data_expectations": data_expectations_q,
     # ---- newest driver record is round 10 ----
         "jsonl_roundtrip": jsonl_roundtrip_q,
         "knn_bruteforce": knn_bruteforce_q,
@@ -9446,6 +9476,44 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY h ASC, value ASC) AS rn
               FROM b
             ) WHERE rn = 1
+        """,
+        "data_expectations": """
+            WITH t AS (
+              SELECT COUNT(*) AS n,
+                SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS v0,
+                COUNT(event_id) - COUNT(DISTINCT event_id) AS v1,
+                SUM(CASE WHEN event_type IS NOT NULL
+                     AND event_type NOT IN
+                       ('view', 'click', 'purchase', 'signup')
+                     THEN 1 ELSE 0 END) AS v2,
+                SUM(CASE WHEN value IS NOT NULL
+                     AND (value < 0 OR value > 100)
+                     THEN 1 ELSE 0 END) AS v3,
+                SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v4
+              FROM events
+            ),
+            u AS (
+              SELECT 'event_id_not_null' AS rule, 'event_id' AS col,
+                     'not_null' AS kind, n, v0 AS v FROM t
+              UNION ALL
+              SELECT 'event_id_unique', 'event_id', 'unique', n, v1
+              FROM t
+              UNION ALL
+              SELECT 'event_type_in_set', 'event_type', 'in_set', n, v2
+              FROM t
+              UNION ALL
+              SELECT 'value_range', 'value', 'range', n, v3 FROM t
+              UNION ALL
+              SELECT 'user_id_not_null', 'user_id', 'not_null', n, v4
+              FROM t
+            )
+            SELECT rule, col, kind,
+                   CAST(n AS BIGINT) AS n_rows,
+                   CAST(v AS BIGINT) AS n_violations,
+                   round(CASE WHEN n = 0 THEN 0.0
+                         ELSE CAST(v AS DOUBLE) / n END, 6) + 0e0
+                     AS violation_rate
+            FROM u
         """,
         "cms_join_size": """
             WITH src AS (

@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "corpus_diff",
     "events_attribution",
     "cms_join_size",
+    "data_expectations",
 ]
 
 

@@ -333,6 +333,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp2.add_argument("--bands", type=int, default=8)
 
     sp2 = psub.add_parser(
+        "expect",
+        help="data-quality expectations audit: per-rule violation "
+        "counts in one scan; rules like col:not_null, col:unique, "
+        "col:in_set:a|b, col:range:0:100, col:regex:^x$",
+    )
+    pcommon(sp2)
+    sp2.add_argument(
+        "--rule", action="append", required=True,
+        help="repeatable rule spec (colon-separated; see --help)",
+    )
+
+    sp2 = psub.add_parser(
         "quality-percentile",
         help="keep each group's documents clearing that group's "
         "q-quantile of the heuristic quality score (sketch cutoffs, "
@@ -864,6 +876,28 @@ def run_pipeline(spark, args) -> dict:
             jaccard_threshold=args.jaccard_threshold,
             bands=args.bands,
         )
+    elif op == "expect":
+        from riskloc_spark.operators.expectations import (
+            validate_expectations,
+        )
+
+        rules = []
+        for spec in args.rule:
+            parts = spec.split(":", 2)
+            col, kind = parts[0], parts[1]
+            rule = {"col": col, "kind": kind}
+            if kind == "in_set":
+                rule["values"] = parts[2].split("|")
+            elif kind == "range":
+                lo, _, hi = parts[2].partition(":")
+                if lo:
+                    rule["min"] = float(lo)
+                if hi:
+                    rule["max"] = float(hi)
+            elif kind == "regex":
+                rule["pattern"] = parts[2]
+            rules.append(rule)
+        out = validate_expectations(df, rules)
     elif op == "quality-percentile":
         from riskloc_spark.operators.corpus import (
             quality_percentile_filter,
