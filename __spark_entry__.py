@@ -1650,6 +1650,61 @@ def data_expectations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_expectations_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming data-quality expectations under the hash gate
+    (round 14; streaming/pipeline.expectations_stream): the
+    data_expectations audit (minus the unique rule — unbounded
+    streaming state, refused by contract) as a complete-mode global
+    aggregation over the events file read as a stream — state is ONE
+    row of rule counters forever.  The oracle is the batch audit SQL
+    for the same four rules: streaming == batch is the property
+    under the hash."""
+    import os
+    import tempfile
+    import uuid
+
+    from riskloc_spark.streaming.pipeline import (
+        events_stream,
+        expectations_stream,
+    )
+
+    batch = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="sexpect_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage, "events.parquet"),
+    )
+    stream = events_stream(spark, stage)
+    rules = [
+        {"col": "event_id", "kind": "not_null"},
+        {"col": "event_type", "kind": "in_set",
+         "values": ["view", "click", "purchase", "signup"]},
+        {"col": "value", "kind": "range", "min": 0, "max": 100},
+        {"col": "user_id", "kind": "not_null"},
+    ]
+    out = expectations_stream(stream, rules).select(
+        "rule", "col", "kind", "n_rows", "n_violations",
+        F.round("violation_rate", 6).alias("violation_rate"),
+    )
+    name = "streaming_expectations_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_expectations: run did not finish in 300s"
+        )
+    q.stop()
+    return spark.table(name)
+
+
 def cms_join_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based join-size estimation under the hash gate
     (round 14; cms.cms_join_size — the Cormode-Muthukrishnan inner
@@ -5909,6 +5964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": events_attribution_q,
         "cms_join_size": cms_join_size_q,
         "data_expectations": data_expectations_q,
+        "streaming_expectations": streaming_expectations_q,
     # ---- newest driver record is round 10 ----
         "jsonl_roundtrip": jsonl_roundtrip_q,
         "knn_bruteforce": knn_bruteforce_q,
@@ -9476,6 +9532,40 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY h ASC, value ASC) AS rn
               FROM b
             ) WHERE rn = 1
+        """,
+        "streaming_expectations": """
+            WITH t AS (
+              SELECT COUNT(*) AS n,
+                SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS v0,
+                SUM(CASE WHEN event_type IS NOT NULL
+                     AND event_type NOT IN
+                       ('view', 'click', 'purchase', 'signup')
+                     THEN 1 ELSE 0 END) AS v1,
+                SUM(CASE WHEN value IS NOT NULL
+                     AND (value < 0 OR value > 100)
+                     THEN 1 ELSE 0 END) AS v2,
+                SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v3
+              FROM events
+            ),
+            u AS (
+              SELECT 'event_id_not_null' AS rule, 'event_id' AS col,
+                     'not_null' AS kind, n, v0 AS v FROM t
+              UNION ALL
+              SELECT 'event_type_in_set', 'event_type', 'in_set', n, v1
+              FROM t
+              UNION ALL
+              SELECT 'value_range', 'value', 'range', n, v2 FROM t
+              UNION ALL
+              SELECT 'user_id_not_null', 'user_id', 'not_null', n, v3
+              FROM t
+            )
+            SELECT rule, col, kind,
+                   CAST(n AS BIGINT) AS n_rows,
+                   CAST(v AS BIGINT) AS n_violations,
+                   round(CASE WHEN n = 0 THEN 0.0
+                         ELSE CAST(v AS DOUBLE) / n END, 6) + 0e0
+                     AS violation_rate
+            FROM u
         """,
         "data_expectations": """
             WITH t AS (

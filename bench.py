@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "events_attribution",
     "cms_join_size",
     "data_expectations",
+    "streaming_expectations",
 ]
 
 

@@ -830,3 +830,63 @@ def contamination_stream(
             ),
         )
     )
+
+
+def expectations_stream(
+    docs: DataFrame, rules: list[dict]
+) -> DataFrame:
+    """Bounded-state STREAMING data-quality expectations: the
+    one-scan violation audit (operators/expectations.
+    validate_expectations) as a complete-mode global aggregation —
+    state is ONE row of |rules| counters forever, and every trigger
+    publishes the audit over everything seen so far (the continuous
+    ingest-gate dashboard).  No stream-static join anywhere: the
+    rule metadata rides as literals inside the post-aggregation
+    projection, which is why this twin exists instead of reusing the
+    batch function's meta-join.  Streaming == batch over the same
+    files (test-pinned).  ``unique`` rules are NOT supported here —
+    a streaming count-distinct would hold every value in state
+    (unbounded); run those in batch or via the HLL registers."""
+    from riskloc_spark.operators.expectations import (
+        _named,
+        _violation,
+    )
+
+    if any(r["kind"] == "unique" for r in rules):
+        raise ValueError(
+            "expectations_stream: 'unique' needs unbounded state — "
+            "audit uniqueness in batch or approximately via "
+            "hll_registers_stream"
+        )
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.when(_violation(r), 1).otherwise(0)).alias(f"__v{i}")
+        for i, r in enumerate(rules)
+    ]
+    agg = docs.agg(*aggs)
+    return agg.select(
+        F.col("__n"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(_named(r)).alias("rule"),
+                        F.lit(r["col"]).alias("col"),
+                        F.lit(r["kind"]).alias("kind"),
+                        F.coalesce(
+                            F.col(f"__v{i}"), F.lit(0)
+                        ).cast("long").alias("nv"),
+                    )
+                    for i, r in enumerate(rules)
+                ]
+            )
+        ).alias("v"),
+    ).select(
+        F.col("v.rule").alias("rule"),
+        F.col("v.col").alias("col"),
+        F.col("v.kind").alias("kind"),
+        F.col("__n").cast("long").alias("n_rows"),
+        F.col("v.nv").alias("n_violations"),
+        F.when(F.col("__n") == 0, F.lit(0.0))
+        .otherwise(F.col("v.nv") / F.col("__n"))
+        .alias("violation_rate"),
+    )

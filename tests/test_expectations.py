@@ -112,3 +112,36 @@ def test_cli_pipeline_expect(spark, tmp_path):
     }
     assert got == {"id_not_null": 0, "id_unique": 1,
                    "kind_in_set": 1, "v_range": 1, "kind_regex": 0}
+
+
+def test_expectations_stream_equals_batch(spark, tmp_path, frame):
+    """streaming expectations (complete mode, availableNow) equal the
+    batch audit row-for-row over the same files; state is one row of
+    counters; 'unique' is refused with a pointer at the bounded
+    alternatives."""
+    from riskloc_spark.streaming.pipeline import expectations_stream
+
+    rules = [r for r in RULES if r["kind"] != "unique"]
+    path = str(tmp_path / "rows")
+    frame.write.parquet(path)
+    stream = spark.readStream.schema(frame.schema).parquet(path)
+    out = expectations_stream(stream, rules)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("expect_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    got = sorted(
+        map(tuple, spark.table("expect_stream").collect())
+    )
+    want = sorted(
+        map(tuple, validate_expectations(frame, rules).collect())
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="unique"):
+        expectations_stream(stream, RULES)
