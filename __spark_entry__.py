@@ -23,6 +23,7 @@ from riskloc_spark.data import (
     RCA_EVENTS_DERIVED_SQL,
     RCA_EVENTS_SQL,
     load_table,
+    local_rows_df,
     rca_events,
     rca_events_derived,
 )
@@ -741,7 +742,7 @@ def bloom_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = bloom_build(
         e, "user_id", key_cols=["event_type"], m_bits=1 << 16, k=4
     )
-    items = spark.createDataFrame(
+    items = local_rows_df(spark, 
         [("1",), ("7",), ("42",), ("31337",), ("no-such-user",)],
         "u string",
     )
@@ -935,7 +936,7 @@ def cms_term_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = cms_sketch(
         toks, "term", key_cols=["source"], width=1024, depth=4
     )
-    items = spark.createDataFrame(
+    items = local_rows_df(spark, 
         [("the",), ("spark",), ("merge",), ("batch",), ("join",),
          ("zzz-absent",)],
         "t string",
@@ -963,7 +964,7 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from riskloc_spark.operators.retrieval import bm25_topk
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    qs = spark.createDataFrame(
+    qs = local_rows_df(spark, 
         _BM25_QUERIES, "query_id long, query string"
     )
     return bm25_topk(d, qs, topk=10)
@@ -1689,19 +1690,26 @@ def streaming_expectations_q(
         F.round("violation_rate", 6).alias("violation_rate"),
     )
     name = "streaming_expectations_" + uuid.uuid4().hex[:8]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "streaming_expectations: run did not finish in 300s"
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
         )
-    q.stop()
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_expectations: run did not finish in 300s"
+            )
+        q.stop()
+    finally:
+        # the memory sink is materialized once the query terminates;
+        # repeated gate runs must not leak staging dirs
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
     return spark.table(name)
 
 
@@ -1823,7 +1831,7 @@ def decontamination_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    bench = spark.createDataFrame(
+    bench = local_rows_df(spark, 
         [(0, _SPAN_SLOGAN)], "doc_id long, text string"
     )
     out = excise_contaminated_spans(_span_framed(d), bench, n=8)
@@ -1897,20 +1905,20 @@ def streaming_decontamination_q(
         ).alias("ts"),
         "text",
     )
-    carrier1 = spark.createDataFrame(
-        [(-1, "carrier one text")], "doc_id long, text string"
-    ).select(
-        "doc_id",
-        F.timestamp_seconds(F.lit(base + 2 * 86400)).alias("ts"),
-        "text",
-    )
-    carrier2 = spark.createDataFrame(
-        [(-2, "carrier two text")], "doc_id long, text string"
-    ).select(
-        "doc_id",
-        F.timestamp_seconds(F.lit(base + 2 * 86400 + 3600)).alias("ts"),
-        "text",
-    )
+    # JVM-side one-row frames (spark.range), NOT createDataFrame: a
+    # Python-parallelized local relation splits into defaultParallelism
+    # pickled slices, and the staging coalesce(1) task then pays one
+    # SERIAL Python-worker round trip per slice — measured ~6s per
+    # carrier write on local[32] vs 0.3s for the range form
+    def _carrier(doc_id: int, text: str, ts_s: int):
+        return spark.range(1).select(
+            F.lit(doc_id).cast("long").alias("doc_id"),
+            F.timestamp_seconds(F.lit(ts_s)).alias("ts"),
+            F.lit(text).alias("text"),
+        )
+
+    carrier1 = _carrier(-1, "carrier one text", base + 2 * 86400)
+    carrier2 = _carrier(-2, "carrier two text", base + 2 * 86400 + 3600)
 
     stage = tempfile.mkdtemp(prefix="sdecon_")
     try:
@@ -1930,12 +1938,27 @@ def streaming_decontamination_q(
             shutil.move(os.path.join(out_dir, part), dst)
             os.utime(dst, (mtime, mtime))
 
-        bg = benchmark_gram_set(d.filter(F.col("doc_id") % 17 == 0), n=4)
+        from riskloc_spark.operators.dedup import reuse_checkpoint
+
+        # the static side of a stream-static join is re-executed on
+        # EVERY micro-batch — without the checkpoint each batch
+        # re-scans documents, re-shingles the benchmark and rebuilds
+        # the broadcast (3x the gram-set build in the r14 record)
+        bg = reuse_checkpoint(
+            benchmark_gram_set(d.filter(F.col("doc_id") % 17 == 0), n=4)
+        )
+        # two batches, not three: batch 1 = {docs, carrier1} (the
+        # carrier's 3-token text has no 4-grams — explode of the empty
+        # gram array drops it, so it can share the docs batch without
+        # touching the output), batch 2 = {carrier2} arrives with the
+        # watermark already past every document window and flushes the
+        # full audit.  Emitted set is IDENTICAL to the 3-batch ladder
+        # (oracle-replayed); one whole micro-batch lifecycle saved.
         stream = (
             spark.readStream.schema(
                 "doc_id long, ts timestamp, text string"
             )
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", "2")
             .parquet(stream_dir)
         )
         out = contamination_stream(stream, bg, n=4, watermark="2 hours")
@@ -2396,7 +2419,14 @@ def robots_agent_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("/open/doc-"), F.col("doc_id").cast("string"))
     )
     urls = d.select("doc_id", host.alias("host"), path.alias("path"))
-    rules = parse_robots(robots)
+    from riskloc_spark.operators.dedup import reuse_checkpoint
+
+    # one parse shared by the three agent walks: the rules table is
+    # KB-sized (distinct sources x ~10 rows) but its plan is the
+    # posexplode + two-windows parse — without the checkpoint each
+    # agent branch re-plans AND re-executes it (126-Exchange plan,
+    # r14 bench)
+    rules = reuse_checkpoint(parse_robots(robots))
     parts = [
         robots_verdicts(rules, urls, agent=a)
         .withColumn("agent", F.lit(a))
@@ -2847,7 +2877,7 @@ def _causes_to_df(spark, causes, score_key, schema_score):
         for rc in causes
         for el in rc["elements"]
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows, f"root_cause string, {schema_score} double, layer int"
     )
 
@@ -2868,7 +2898,7 @@ def hotspot_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
 def squeeze_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = rca_events(spark, sf_dir)
     causes = squeeze(df, RCA_ATTRIBUTES)
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [(s,) for s in causes], "root_cause string"
     )
 
@@ -2878,7 +2908,7 @@ def squeeze_rca_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     locate orchestration is not SQL-expressible)."""
     df = rca_events_derived(spark, sf_dir)
     causes = squeeze(df, RCA_ATTRIBUTES, derived=True)
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [(s,) for s in causes] or [("<none>",)], "root_cause string"
     )
 
@@ -3979,10 +4009,16 @@ def streaming_kpi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from riskloc_spark.streaming.pipeline import events_stream, windowed_kpi_stream
 
+    from riskloc_spark.operators.dedup import reuse_checkpoint
+
     ev = events_stream(spark, f"{sf_dir}/events.parquet")
     base = load_table(spark, sf_dir, "events")
-    baseline = base.groupBy("event_type").agg(
-        (F.sum("value") / F.count(F.lit(1))).alias("mean_value")
+    # static side of a stream-static join: re-executed per micro-batch
+    # without the checkpoint (full events scan + agg each time)
+    baseline = reuse_checkpoint(
+        base.groupBy("event_type").agg(
+            (F.sum("value") / F.count(F.lit(1))).alias("mean_value")
+        )
     )
     out = windowed_kpi_stream(ev, baseline)
     name = "streaming_kpi_" + uuid.uuid4().hex[:8]
@@ -4034,7 +4070,7 @@ def robustspot_supports_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     sup = _supports_dist(df, causes)
     rows = [(l, round(float(s), 9)) for l, s in zip(labels, sup)]
-    return spark.createDataFrame(rows, "cause string, support double")
+    return local_rows_df(spark, rows, "cause string, support double")
 
 
 def hotspot_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4065,7 +4101,7 @@ def hotspot_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ";".join(elements),
         round(float(best["score"]), 6),
     )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [row], "layer int, cuboid string, elements string, score double"
     )
 
@@ -4095,7 +4131,7 @@ def rev_adtributor_rec_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for cs in out
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows, "cuboid string, elements string, ep double, surprise double"
     )
 
@@ -4243,7 +4279,7 @@ def hotspot_search_ps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ";".join(elements),
         round(float(best["score"]), 6),
     )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [row], "layer int, cuboid string, elements string, score double"
     )
 
@@ -4297,8 +4333,15 @@ def streaming_kpi_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.move(os.path.join(out_dir, part), dst)
             os.utime(dst, (mtime, mtime))
 
-        baseline = ev.groupBy("event_type").agg(
-            (F.sum("value") / F.count(F.lit(1))).alias("mean_value")
+        from riskloc_spark.operators.dedup import reuse_checkpoint
+
+        # static side of the stream-static baseline join — without the
+        # checkpoint all three micro-batches re-scan events and re-run
+        # the aggregation
+        baseline = reuse_checkpoint(
+            ev.groupBy("event_type").agg(
+                (F.sum("value") / F.count(F.lit(1))).alias("mean_value")
+            )
         )
         stream = events_stream(
             spark, stream_dir, options={"maxFilesPerTrigger": "1"}
@@ -4403,7 +4446,7 @@ def squeeze_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (i, round(lo, 6), round(hi, 6)) for i, (lo, hi) in enumerate(ranges)
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows, "cluster int, lo double, hi double"
     )
 
@@ -4423,7 +4466,7 @@ def squeeze_clusters_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (i, round(lo, 6), round(hi, 6)) for i, (lo, hi) in enumerate(ranges)
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows, "cluster int, lo double, hi double"
     )
 
@@ -4443,7 +4486,7 @@ def squeeze_auto_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = [edges[0] - 0.1 * i for i in range(-5, 0, -1)] + edges + [
         edges[-1] + 0.1 * i for i in range(1, 6)
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [(i, round(e, 6)) for i, e in enumerate(edges)], "i int, edge double"
     )
 
@@ -4490,7 +4533,7 @@ def squeeze_clusters_kde_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (i, round(lo, 6), round(hi, 6)) for i, (lo, hi) in enumerate(ranges)
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows, "cluster int, lo double, hi double"
     )
 
@@ -4515,7 +4558,7 @@ def squeeze_search_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             filter_density_fn=_metric_box_density,
         ),
     )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [(c,) for c in causes], "root_cause string"
     )
 
@@ -4537,7 +4580,7 @@ def squeeze_search_derived_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         derived=True,
     )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [(c,) for c in causes], "root_cause string"
     )
 
@@ -4569,7 +4612,7 @@ def autoroot_search_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for rc in causes
         for el in rc["elements"]
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows, "root_cause string, layer int, avg_score double"
     )
 
@@ -4600,7 +4643,7 @@ def autoroot_kde_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for rc in causes
         for el in rc["elements"]
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows, "root_cause string, layer int, avg_score double"
     )
 
@@ -4644,7 +4687,7 @@ def robustspot_round0_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i, "&".join(f"{c}={v}" for c, v in cause))
         for i, cause in enumerate(mined)
     ]
-    return spark.createDataFrame(rows, "rnk int, root_cause string")
+    return local_rows_df(spark, rows, "rnk int, root_cause string")
 
 
 def robustspot_round1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4687,7 +4730,7 @@ def robustspot_round1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (i, "&".join(f"{c}={v}" for c, v in cause))
             for i, cause in enumerate(mined1)
         ]
-    return spark.createDataFrame(rows, "rnk int, root_cause string")
+    return local_rows_df(spark, rows, "rnk int, root_cause string")
 
 
 def riskloc_two_pass_derived_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4715,7 +4758,7 @@ def riskloc_two_pass_derived_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(float(rc["low risk score"]), 6),
             )
         )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows,
         "iteration int, root_cause string, layer int, ep_score double,"
         " risk double, high double, low double",
@@ -4747,7 +4790,7 @@ def riskloc_first_cause_derived_q(spark: SparkSession, sf_dir: str) -> DataFrame
                 round(float(rc["low risk score"]), 6),
             )
         )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows,
         "root_cause string, layer int, ep_score double, risk double,"
         " high double, low double",
@@ -4791,7 +4834,7 @@ def robustspot_round0_derived_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i, "&".join(f"{c}={v}" for c, v in cause))
         for i, cause in enumerate(mined)
     ]
-    return spark.createDataFrame(rows, "rnk int, root_cause string")
+    return local_rows_df(spark, rows, "rnk int, root_cause string")
 
 
 def squeeze_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4814,7 +4857,7 @@ def squeeze_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             histogram_bar_width=0.05, enable_filter=False
         ),
     )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [(c,) for c in causes], "root_cause string"
     )
 
@@ -4845,7 +4888,7 @@ def riskloc_first_cause_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(float(rc["low risk score"]), 6),
             )
         )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows,
         "root_cause string, layer int, ep_score double, risk double,"
         " high double, low double",
@@ -4882,7 +4925,7 @@ def riskloc_two_pass_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(float(rc["low risk score"]), 6),
             )
         )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows,
         "iteration int, root_cause string, layer int, ep_score double,"
         " risk double, high double, low double",
@@ -9837,31 +9880,33 @@ def oracle_sql() -> dict[str, str]:
               FROM src CROSS JOIN rws
               GROUP BY event_type, rw, bucket
             ),
-            uniq AS (SELECT DISTINCT item FROM cand),
+            -- KEYED probe (r14 cms_lookup semantics): each key group
+            -- is probed only with its OWN candidate items, so a value
+            -- never sampled under a key cannot enter that key's
+            -- estimates through a pooled cross-key candidate set
             probe AS (
-              SELECT item, rw,
+              SELECT event_type, item, rw,
                      CAST(CAST('0x' || substr(
                          md5(CAST(item AS VARCHAR) || ':' || rw),
                          1, 15) AS BIGINT) % 1024 AS INT) AS bucket
-              FROM uniq CROSS JOIN rws
+              FROM cand CROSS JOIN rws
             ),
             per AS (
-              SELECT r.event_type, p.item,
+              SELECT p.event_type, p.item,
                      MIN(r.cnt) AS mn, COUNT(*) AS nrows
               FROM regs r
-              JOIN probe p ON r.rw = p.rw AND r.bucket = p.bucket
-              GROUP BY r.event_type, p.item
+              JOIN probe p ON r.event_type = p.event_type
+                          AND r.rw = p.rw AND r.bucket = p.bucket
+              GROUP BY p.event_type, p.item
             ),
             est AS (
-              SELECT b.event_type, u.item,
+              SELECT c.event_type, c.item,
                      CASE WHEN per.nrows IS NULL OR per.nrows < 4
                           THEN CAST(0 AS BIGINT)
                           ELSE CAST(per.mn AS BIGINT) END AS est
-              FROM (SELECT DISTINCT event_type FROM regs)
-                   b(event_type)
-              CROSS JOIN uniq u
-              LEFT JOIN per ON per.event_type = b.event_type
-                           AND per.item = u.item
+              FROM cand c
+              LEFT JOIN per ON per.event_type = c.event_type
+                           AND per.item = c.item
             )
             SELECT event_type, CAST(rank AS INT) AS rank, item, est
             FROM (

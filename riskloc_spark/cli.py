@@ -1210,7 +1210,10 @@ def run_pipeline(spark, args) -> dict:
         )
         if args.save:
             save_bpe(spark, merges, args.save)
-        out = spark.createDataFrame(
+        from riskloc_spark.data import local_rows_df
+
+        out = local_rows_df(
+            spark,
             [(i, a, b) for i, (a, b) in enumerate(merges)],
             "rank int, a string, b string",
         )

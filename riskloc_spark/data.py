@@ -25,6 +25,25 @@ TABLES = (
 )
 
 
+def local_rows_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Single-slice literal DataFrame.
+
+    ``spark.createDataFrame(rows, schema)`` parallelizes the list into
+    ``defaultParallelism`` pickled slices (32 on the bench box), so
+    EVERY downstream action pays one Python-worker round trip per
+    slice — a count of a 5-row probe frame measured 4.2s cold / 1.4s
+    warm on local[32], and a ``coalesce(1)`` write pays the 32 round
+    trips SERIALLY inside one task (~6s).  One slice makes any action
+    on a literal frame a single Python task (~0.05-0.5s).  Semantics
+    are identical — same rows, same schema, only the partitioning of
+    a driver-local literal changes."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has been written both as TIMESTAMP(MICROS) (reads as a

@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from riskloc_spark.data import local_rows_df
+
 from riskloc_spark.functions.text import BPE_PIECE_REGEX
 
 
@@ -124,7 +126,7 @@ def save_bpe(spark, merges: list, path: str) -> None:
     so the round-trip is exact (test-pinned to identical
     ``bpe_encode`` output).  Goes through the engine's writers —
     DFS-portable, no local-FS side files."""
-    spark.createDataFrame(
+    local_rows_df(spark, 
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, a string, b string",
     ).coalesce(1).write.mode("overwrite").parquet(path)

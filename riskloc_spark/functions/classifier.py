@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from riskloc_spark.data import local_rows_df
+
 from riskloc_spark.functions.langid import _gram_rows
 from riskloc_spark.operators.dedup import md5_hash64, xxhash64_fn
 
@@ -249,7 +251,7 @@ def save_text_classifier(model: dict, path: str) -> None:
         os.path.join(path, "label_stats")
     )
     spark = weights.sparkSession
-    spark.createDataFrame(
+    local_rows_df(spark, 
         [(int(model["n"]), int(model["n_buckets"]), name)],
         "n int, n_buckets int, hash_fn string",
     ).write.mode("overwrite").parquet(os.path.join(path, "params"))

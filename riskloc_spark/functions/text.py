@@ -271,10 +271,17 @@ def perplexity_buckets(
     """
     from pyspark.sql import Window
 
+    from riskloc_spark.operators.dedup import reuse_checkpoint
+
     s = scores if scores is not None else trigram_lm_scores(
         docs, text_col=text_col, id_col=id_col
     )
     s = s.withColumn("avg_logprob", F.round("avg_logprob", 6))
+    # the per-doc score table feeds TWO plan branches (the histogram
+    # and the final assignment join) — without a checkpoint the whole
+    # scoring pass (corpus trigram explode + probability join + agg)
+    # executes once per branch (no cross-branch CSE)
+    s = reuse_checkpoint(s)
     j = docs.select(F.col(id_col), F.col(lang_col)).join(s, id_col)
     hist = j.groupBy(lang_col, "avg_logprob").agg(
         F.count(F.lit(1)).alias("__cnt")

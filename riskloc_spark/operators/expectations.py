@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from riskloc_spark.data import local_rows_df
+
 _KINDS = ("not_null", "unique", "in_set", "range", "regex")
 
 
@@ -89,7 +91,7 @@ def validate_expectations(
             )
     row = df.agg(*aggs)
     spark = df.sparkSession
-    meta = spark.createDataFrame(
+    meta = local_rows_df(spark, 
         [
             (i, _named(r), r["col"], r["kind"])
             for i, r in enumerate(rules)

@@ -19,6 +19,8 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from riskloc_spark.data import local_rows_df
+
 from riskloc_spark.functions.scores import (
     add_deviation_score,
     add_explanatory_power,
@@ -595,7 +597,7 @@ def root_causes_to_df(
                     int(rc["layer"]),
                 )
             )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows, "root_cause string, risk_score double, ep_score double, layer int"
     )
 

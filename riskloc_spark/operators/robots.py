@@ -51,6 +51,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from riskloc_spark.operators.dedup import reuse_checkpoint
+
 # directive: value   (comments and surrounding whitespace removed
 # upstream; explicit classes parse identically in Java and RE2)
 _DIRECTIVE_RE = r"^([A-Za-z-]+)[ \t]*:[ \t]*(.*)$"
@@ -243,10 +245,21 @@ def robots_verdicts(
     # experiment — but the array here is one host's rules, tens of
     # entries, against the alternative of an unconditional
     # corpus-volume shuffle.)
-    host_rules = compiled.groupBy("__rhost").agg(
-        F.collect_list("__r").alias("__rules")
+    # checkpointed: host_rules feeds BOTH the size probe below and the
+    # admission join — without it the whole parse pipeline (posexplode
+    # + two windows + agent-selection joins) executes twice per call
+    # (once for the eager count, once under the join), and a caller
+    # unioning several agent walks pays it once per branch (the
+    # r14 bench's robots_agent_groups carried 126 Exchanges).  The
+    # probe also counts the GROUPED table now — one row per host with
+    # >= 1 allow/disallow rule, the same cardinality the distinct-host
+    # count measured, but over the materialized KB-sized frame.
+    host_rules = reuse_checkpoint(
+        compiled.groupBy("__rhost").agg(
+            F.collect_list("__r").alias("__rules")
+        )
     )
-    n_hosts = chosen.select("__rhost").distinct().count()
+    n_hosts = host_rules.count()
     rules_side = (
         F.broadcast(host_rules)
         if n_hosts <= broadcast_hosts_limit

@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from riskloc_spark.data import local_rows_df
+
 from riskloc_spark.operators.squeeze import kneedle_knee
 
 
@@ -990,4 +992,4 @@ def robustspot_df(spark, df: DataFrame, attributes: list[str], **kwargs) -> Data
         for cause in mc:
             s = "&".join(f"{c}={v}" for c, v in sorted(cause))
             rows.append((s, rank))
-    return spark.createDataFrame(rows, "root_cause string, rank int")
+    return local_rows_df(spark, rows, "root_cause string, rank int")

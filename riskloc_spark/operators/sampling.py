@@ -401,8 +401,13 @@ def alpha_mixture_budgets(
         raise ValueError("total_tokens must be >= 0")
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
+    # NULL group values are excluded from the mixture: a None budget
+    # key could never match token_budget_sample's when-chain anyway
+    # (null-group rows would be silently dropped), and sorted() over
+    # a None/str key mix raises TypeError
     rows = (
-        df.groupBy(group_col)
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
         .agg(F.sum(F.col(tokens_col).cast("long")).alias("__nt"))
         .collect()
     )

@@ -14,6 +14,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from riskloc_spark.data import local_rows_df
+
 from riskloc_spark.operators.dedup import (
     reuse_checkpoint,
     spread_small_scan,
@@ -1145,7 +1147,7 @@ def semantic_dedup_pairs(
     )
     # one-row broadcast frame, not a literal: n_sub * n_codes^2 doubles
     # embedded as a CreateArray literal would blow up codegen at K=256
-    sdf = emb.sparkSession.createDataFrame(
+    sdf = local_rows_df(emb.sparkSession, 
         [(sdc_tables(CB).tolist(),)],
         "sdct array<array<array<double>>>",
     )
@@ -1214,9 +1216,9 @@ def save_ann_index(
             (int(i), [float(v) for v in row])
             for i, row in enumerate(arr.reshape(arr.shape[0], -1))
         ]
-        df = spark.createDataFrame(flat, "i int, vals array<double>")
+        df = local_rows_df(spark, flat, "i int, vals array<double>")
         df.write.mode("overwrite").parquet(os.path.join(path, name))
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [([int(d) for d in arr.shape],)], "shape array<int>"
         ).write.mode("overwrite").parquet(
             os.path.join(path, name + "_shape")

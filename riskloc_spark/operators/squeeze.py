@@ -33,6 +33,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from riskloc_spark.data import local_rows_df
+
 
 @dataclass
 class SqueezeOptions:
@@ -712,7 +714,7 @@ def _locate_all(
                 for rank_i in range(1, len(info["top"]) + 1)
             ]
             rp_schema = ", ".join(f"rp_{p} double" for p in range(1, p_max + 1))
-            rank_df = df.sparkSession.createDataFrame(
+            rank_df = local_rows_df(df.sparkSession, 
                 rank_rows,
                 f"cluster int, cid int, elem string, __rank int, {rp_schema}",
             )

@@ -848,10 +848,21 @@ def expectations_stream(
     a streaming count-distinct would hold every value in state
     (unbounded); run those in batch or via the HLL registers."""
     from riskloc_spark.operators.expectations import (
+        _KINDS,
         _named,
         _violation,
     )
 
+    # mirror the batch contract (validate_expectations): empty rule
+    # lists and unknown kinds fail fast instead of silently emitting
+    # zero rows / exploding later inside the stream
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    for r in rules:
+        if r["kind"] not in _KINDS:
+            raise ValueError(
+                f"unknown expectation kind {r['kind']!r}"
+            )
     if any(r["kind"] == "unique" for r in rules):
         raise ValueError(
             "expectations_stream: 'unique' needs unbounded state — "
