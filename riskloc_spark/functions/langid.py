@@ -173,12 +173,19 @@ def classify_language(
         counts = grams.groupBy(id_col, "gram").agg(
             F.count(F.lit(1)).alias("c")
         )
+    from riskloc_spark.operators.dedup import reuse_checkpoint
+
     w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("gram"))
-    doc_prof = (
+    # doc_prof feeds TWO branches (doc_stats + the profile match) and
+    # profiles feeds TWO (the broadcast match + the language list) —
+    # checkpoint both so the rank window / profile pipeline executes
+    # once instead of once per branch (no cross-branch CSE)
+    doc_prof = reuse_checkpoint(
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "gram", F.col("rank").cast("int").alias("r_doc"))
     )
+    profiles = reuse_checkpoint(profiles)
     doc_stats = doc_prof.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams")
     )

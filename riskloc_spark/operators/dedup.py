@@ -1098,7 +1098,11 @@ def url_dedup(
     (nothing to key on).  The kept frame carries ``canonical_url``."""
     from riskloc_spark.functions.quality import canonicalize_urls
 
-    keyed = canonicalize_urls(df, uri_col)
+    # checkpointed: the canonicalized frame feeds THREE plan branches
+    # (the keep-min aggregation, the semi-join back, and the NULL-uri
+    # union leg) — lazily the ~10-stage regex chain would run once per
+    # branch over the whole corpus (no cross-branch CSE)
+    keyed = reuse_checkpoint(canonicalize_urls(df, uri_col))
     with_key = keyed.filter(F.col("canonical_url").isNotNull())
     keep = (
         with_key.select(F.col(id_col), "canonical_url")

@@ -418,20 +418,32 @@ def knn_graph(
         raise ValueError(f"unknown method {method!r}")
     cell_of, probe_cells = _coarse_assign_udfs(centroids, n_probe)
 
-    base = spread_small_scan(corpus).select(
-        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__n")
+    # ONE corpus pass computes the norm, the assigned cell AND the
+    # probe list (both Arrow UDFs ride the same ArrowEvalPython node),
+    # checkpointed because the self-join reads it on BOTH sides —
+    # lazily each side would re-scan the corpus and re-run the Python
+    # quantizer (two scans + two Arrow boundary crossings instead of
+    # one; no cross-branch CSE)
+    base = reuse_checkpoint(
+        spread_small_scan(corpus).select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("__n"),
+            cell_of(F.col(vec_col)).alias("__cell0"),
+            probe_cells(F.col(vec_col)).alias("__probes"),
+        )
     )
     assigned = base.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("__bv"),
         F.col("__n").alias("__bn"),
-        cell_of(F.col(vec_col)).alias("__cell"),
+        F.col("__cell0").alias("__cell"),
     )
     probing = base.select(
         F.col(id_col),
         F.col(vec_col).alias("__av"),
         F.col("__n").alias("__an"),
-        F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
+        F.explode(F.col("__probes")).alias("__cell"),
     )
     scored = (
         probing.join(assigned, "__cell")

@@ -67,6 +67,13 @@ def main():
     include_streaming = "--streaming" in args
     if include_streaming:
         args.remove("--streaming")
+    # --exec: run the query once before capturing, so lazily
+    # materialized reuse_checkpoint frames appear in the plan as the
+    # Scan ExistingRDD they execute as (a pre-execution explain shows
+    # the full un-truncated lineage instead)
+    execute_first = "--exec" in args
+    if execute_first:
+        args.remove("--exec")
     pats = args
 
     outdir = os.path.join(
@@ -97,6 +104,8 @@ def main():
         t0 = time.time()
         try:
             df = queries[name](spark, sf_dir)
+            if execute_first:
+                df.count()
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
