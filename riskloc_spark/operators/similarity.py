@@ -341,7 +341,21 @@ def _coarse_assign_udfs(centroids, n_probe: int):
 
     def _dists(series: "pd.Series") -> "np.ndarray":
         x = np.stack(series.to_numpy())
-        return ((x[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # chunk over centroid blocks (the ivfpq_assign_cells / r9 fix,
+        # measured again this round at 1M x 256 x 32: the one-shot
+        # (batch, K, dim) temporary is ~1.3 GB per 10k-row Arrow batch
+        # and 32 concurrent workers allocating it stall on host memory
+        # compaction — 456 s for one assignment pass vs ~25 s chunked).
+        # Per-element float ops are IDENTICAL (subtract, square, sum
+        # over dim), so distances — and every argmin/argsort consumer —
+        # are unchanged bit-for-bit.
+        d = np.empty((len(x), len(C)), dtype=np.float64)
+        for k0 in range(0, len(C), 64):
+            blk = C[k0:k0 + 64]
+            d[:, k0:k0 + len(blk)] = (
+                (x[:, None, :] - blk[None, :, :]) ** 2
+            ).sum(axis=2)
+        return d
 
     @pandas_udf("int")
     def cell_of(v: pd.Series) -> pd.Series:
@@ -418,20 +432,24 @@ def knn_graph(
         raise ValueError(f"unknown method {method!r}")
     cell_of, probe_cells = _coarse_assign_udfs(centroids, n_probe)
 
-    # ONE corpus pass computes the norm, the assigned cell AND the
-    # probe list (both Arrow UDFs ride the same ArrowEvalPython node),
-    # checkpointed because the self-join reads it on BOTH sides —
-    # lazily each side would re-scan the corpus and re-run the Python
-    # quantizer (two scans + two Arrow boundary crossings instead of
-    # one; no cross-branch CSE)
+    # ONE corpus pass computes the norm, the probe list AND the
+    # assigned cell, checkpointed because the self-join reads it on
+    # BOTH sides — lazily each side would re-scan the corpus and
+    # re-run the Python quantizer (two scans + two Arrow boundary
+    # crossings instead of one; no cross-branch CSE).  The cell is
+    # probes[0] (argmin == first element of the STABLE distance
+    # argsort — identical index, and n_probe >= 1 always), so the
+    # whole quantizer is ONE pandas-UDF evaluation instead of two
+    # computing the same distance matrix.
     base = reuse_checkpoint(
-        spread_small_scan(corpus).select(
+        spread_small_scan(corpus)
+        .select(
             F.col(id_col),
             F.col(vec_col),
             l2_norm(F.col(vec_col)).alias("__n"),
-            cell_of(F.col(vec_col)).alias("__cell0"),
             probe_cells(F.col(vec_col)).alias("__probes"),
         )
+        .withColumn("__cell0", F.element_at("__probes", 1))
     )
     assigned = base.select(
         F.col(id_col).alias("nbr_id"),
@@ -497,16 +515,29 @@ def _knn_graph_gemm(
     from pyspark.sql import Window
 
     cell_of, probe_cells = _coarse_assign_udfs(centroids, n_probe)
-    base = spread_small_scan(corpus).select(F.col(id_col), F.col(vec_col))
+    # ONE checkpointed quantizer pass shared by both cogroup sides
+    # (the same shape as the expr path): members' cell is probes[0]
+    # (argmin == first element of the STABLE distance argsort —
+    # identical index), so the corpus crosses the Arrow boundary once
+    # and the distance matrix is computed once, not once per side
+    base = reuse_checkpoint(
+        spread_small_scan(corpus)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            probe_cells(F.col(vec_col)).alias("__probes"),
+        )
+        .withColumn("__cell0", F.element_at("__probes", 1))
+    )
     members = base.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("__bv"),
-        cell_of(F.col(vec_col)).alias("__cell"),
+        F.col("__cell0").alias("__cell"),
     )
     probers = base.select(
         F.col(id_col),
         F.col(vec_col).alias("__av"),
-        F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
+        F.explode("__probes").alias("__cell"),
     )
     out_schema = f"{id_col} long, nbr_id long, cos_sim double"
 

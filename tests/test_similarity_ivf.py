@@ -566,3 +566,52 @@ def test_ann_index_save_load_round_trip(spark, tmp_path):
                    centroids=cents)
     l2 = load_ann_index(spark, path2)
     assert l2["codebooks"] is None and l2["centroids"] is not None
+
+
+def test_coarse_assign_chunked_dists_bit_identical(spark):
+    """The r15 chunked quantizer contract: blocking the (batch, K, dim)
+    distance temporary over centroid blocks must not move a single bit
+    (same subtract/square/sum-over-dim per element), and the derived
+    cell (probes[0] of the STABLE argsort) must equal the plain argmin
+    the pre-r15 cell_of computed."""
+    import numpy as np
+    import pandas as pd
+
+    from riskloc_spark.operators.similarity import _coarse_assign_udfs
+
+    rng = np.random.default_rng(11)
+    # 257 centroids: exercises a partial final 64-block
+    C = rng.normal(size=(257, 32))
+    x = rng.normal(size=(500, 32))
+    # near-tie rows: two centroids at equal distance from the row, so a
+    # reformulated (non-bit-identical) distance would flip the argmin
+    x[:8] = (C[3] + C[200]) / 2.0
+
+    one_shot = ((x[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    chunked = np.empty((len(x), len(C)), dtype=np.float64)
+    for k0 in range(0, len(C), 64):
+        blk = C[k0:k0 + 64]
+        chunked[:, k0:k0 + len(blk)] = (
+            (x[:, None, :] - blk[None, :, :]) ** 2
+        ).sum(axis=2)
+    assert np.array_equal(one_shot, chunked)  # bitwise, not allclose
+
+    # probes[0] == argmin through the actual UDF pair
+    cell_of, probe_cells = _coarse_assign_udfs(C, n_probe=3)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(x)),
+                      "embedding": list(x.tolist())})
+    )
+    got = (
+        df.select(
+            "vec_id",
+            cell_of(F.col("embedding")).alias("cell"),
+            probe_cells(F.col("embedding")).alias("probes"),
+        )
+        .withColumn("cell_from_probes", F.element_at("probes", 1))
+        .collect()
+    )
+    assert len(got) == len(x)
+    for r in got:
+        assert r["cell"] == r["cell_from_probes"]
+        assert r["cell"] == int(one_shot[r["vec_id"]].argmin())
