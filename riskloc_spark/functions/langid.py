@@ -176,11 +176,17 @@ def classify_language(
     from riskloc_spark.operators.dedup import reuse_checkpoint
 
     w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("gram"))
-    # doc_prof feeds TWO branches (doc_stats + the profile match) and
-    # profiles feeds TWO (the broadcast match + the language list) —
-    # checkpoint both so the rank window / profile pipeline executes
-    # once instead of once per branch (no cross-branch CSE)
-    doc_prof = reuse_checkpoint(
+    # profiles feeds TWO branches (the broadcast match + the language
+    # list) and is bounded (n_langs x k rows) — checkpoint it so the
+    # profile pipeline executes once instead of once per branch (no
+    # cross-branch CSE).  doc_prof ALSO feeds two branches (doc_stats +
+    # the match) but is CORPUS-volume: a checkpoint pins the whole
+    # per-doc profile table as storage blocks, and the r15 interleaved
+    # A/B at 300k docs measured that pinning SLOWER than recomputing
+    # the rank window ({36.5, 36.5}s unpinned vs {52.2, 41.5}s pinned)
+    # — the duplicate branch work is one window over (typically cached
+    # or cheap) counts, while the pinned table is ~100-300 rows per doc
+    doc_prof = (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "gram", F.col("rank").cast("int").alias("r_doc"))
