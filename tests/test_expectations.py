@@ -145,3 +145,23 @@ def test_expectations_stream_equals_batch(spark, tmp_path, frame):
     assert got == want
     with pytest.raises(ValueError, match="unique"):
         expectations_stream(stream, RULES)
+
+
+def test_expectations_stream_mirrors_batch_validation(spark, tmp_path, frame):
+    """the streaming twin fails fast exactly like the batch contract:
+    empty rule lists and unknown kinds raise ValueError up front
+    instead of silently emitting zero rows."""
+    from riskloc_spark.streaming.pipeline import expectations_stream
+
+    path = str(tmp_path / "rows_v")
+    frame.write.parquet(path)
+    stream = spark.readStream.schema(frame.schema).parquet(path)
+    with pytest.raises(ValueError, match="non-empty"):
+        expectations_stream(stream, [])
+    with pytest.raises(ValueError, match="unknown expectation kind"):
+        expectations_stream(stream, [{"col": "id", "kind": "bogus"}])
+    # batch twin behaves identically on the same inputs
+    with pytest.raises(ValueError):
+        validate_expectations(frame, [])
+    with pytest.raises(ValueError):
+        validate_expectations(frame, [{"col": "id", "kind": "bogus"}])

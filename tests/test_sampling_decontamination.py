@@ -715,6 +715,23 @@ def test_alpha_mixture_budgets_and_sample(spark):
     assert empty == {}
 
 
+def test_alpha_mixture_budgets_null_group_excluded(spark):
+    """NULL group values are excluded from the mixture (documented
+    contract): budgets are computed over the non-null groups only and
+    no TypeError escapes from sorting a None/str key mix."""
+    from riskloc_spark.operators.sampling import alpha_mixture_budgets
+
+    df = spark.createDataFrame(
+        [("a-1", "a", 100), ("a-2", "a", 100),
+         ("b-1", "b", 100), ("x-1", None, 400)],
+        "doc_id string, source string, n_tokens long",
+    )
+    got = alpha_mixture_budgets(df, 300, alpha=1.0)
+    assert set(got) == {"a", "b"}
+    # alpha=1 over the non-null groups only: 200 vs 100 tokens
+    assert got["a"] == 200 and got["b"] == 100
+
+
 def test_group_split_is_leakage_safe(spark, docs):
     """every group lands WHOLLY in one split (no doc-level leakage),
     splits are exhaustive/disjoint/reproducible, and per-doc
