@@ -2134,10 +2134,9 @@ def _ann_serving_rung(spark, n: int = 2_000_000, n_queries: int = 32) -> dict:
     truth_sec is the exact-scan yardstick at this scale."""
     from riskloc_spark.operators.similarity import (
         ivf_fit_centroids,
-        ivfpq_assign_cells,
+        ivfpq_index,
         ivfpq_knn,
         knn_bruteforce,
-        pq_encode,
         pq_fit_codebooks,
         pq_knn,
     )
@@ -2158,16 +2157,14 @@ def _ann_serving_rung(spark, n: int = 2_000_000, n_queries: int = 32) -> dict:
         hits = sum(1 for q, v in truth.items() if v in got.get(q, set()))
         return round(hits / len(truth), 3)
 
-    # ingest: fit both quantizers, encode, assign cells, persist the
-    # (id, cell, code) index — the artifact a deployment stores
+    # ingest: fit both quantizers, then ONE fused encode+assign pass
+    # (same UDF arithmetic, single corpus scan, no id-join exchange —
+    # r15 optimization); persist the (id, cell, code) index — the
+    # artifact a deployment stores
     t0 = time.perf_counter()
     cb = pq_fit_codebooks(corpus, n_sub=8, n_codes=256, fit_sample=5_000)
     cents = ivf_fit_centroids(corpus, n_clusters=64, fit_sample=5_000)
-    index = (
-        pq_encode(corpus, cb)
-        .join(ivfpq_assign_cells(corpus, cents), "vec_id")
-        .persist()
-    )
+    index = ivfpq_index(corpus, cb, cents).persist()
     index.count()
     out["ingest_sec"] = round(time.perf_counter() - t0, 2)
 

@@ -721,19 +721,9 @@ def pq_fit_codebooks(
     )
 
 
-def pq_encode(
-    corpus: DataFrame,
-    codebooks: "np.ndarray",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Encode a corpus against fitted PQ codebooks: (id, __code) where
-    __code[m] is the nearest codebook entry of subspace m (np.argmin
-    tie-break — first minimum). This IS the compressed corpus a
-    production deployment stores (n_sub small ints per vector instead
-    of the full float array); run once at ingest, serve many queries
-    (pq_knn(coded=...)). Arrow-vectorized matmul-shaped assignment,
-    same sanctioned Pandas-UDF case as IVF."""
+def _pq_encode_udf(codebooks: "np.ndarray"):
+    """Build the PQ-encoding pandas UDF once so ``pq_encode`` and the
+    fused ``ivfpq_index`` pass share identical arithmetic."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -757,6 +747,23 @@ def pq_encode(
             codes[:, m] = d.argmin(axis=1)
         return pd.Series(list(codes.tolist()))
 
+    return encode
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode a corpus against fitted PQ codebooks: (id, __code) where
+    __code[m] is the nearest codebook entry of subspace m (np.argmin
+    tie-break — first minimum). This IS the compressed corpus a
+    production deployment stores (n_sub small ints per vector instead
+    of the full float array); run once at ingest, serve many queries
+    (pq_knn(coded=...)). Arrow-vectorized matmul-shaped assignment,
+    same sanctioned Pandas-UDF case as IVF."""
+    encode = _pq_encode_udf(codebooks)
     return spread_small_scan(corpus).select(
         F.col(id_col), encode(F.col(vec_col)).alias("__code")
     )
@@ -897,15 +904,10 @@ def pq_knn(
     )
 
 
-def ivfpq_assign_cells(
-    corpus: DataFrame,
-    centroids: "np.ndarray",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Coarse-cell assignment for IVF-PQ: (id, __cell), computed once at
-    ingest alongside pq_encode — persist/bucket the joined (id, cell,
-    code) index and serve queries from it (ivfpq_knn(coded=, cells=))."""
+def _cell_assign_udf(centroids: "np.ndarray"):
+    """Build the coarse-cell-assignment pandas UDF once so
+    ``ivfpq_assign_cells`` and the fused ``ivfpq_index`` pass share
+    identical arithmetic."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -930,8 +932,45 @@ def ivfpq_assign_cells(
             ).sum(axis=2)
         return pd.Series(d.argmin(axis=1))
 
+    return cell_of
+
+
+def ivfpq_assign_cells(
+    corpus: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-cell assignment for IVF-PQ: (id, __cell), computed once at
+    ingest alongside pq_encode — persist/bucket the joined (id, cell,
+    code) index and serve queries from it (ivfpq_knn(coded=, cells=))."""
+    cell_of = _cell_assign_udf(centroids)
     return spread_small_scan(corpus).select(
         F.col(id_col), cell_of(F.col(vec_col)).alias("__cell")
+    )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    codebooks: "np.ndarray",
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fused ingest pass for the (id, __cell, __code) IVF-PQ index:
+    the SAME two UDFs as ``ivfpq_assign_cells`` + ``pq_encode`` (shared
+    factories — values bit-identical), evaluated in ONE select so the
+    plan carries a single ArrowEvalPython node: the corpus is scanned
+    once and the embedding column crosses the Python boundary once,
+    and the ``join(..., id_col)`` exchange of the two-pass build
+    disappears (guide §4.1/§2.4).  Drop-in for the two-pass
+    ``pq_encode(c).join(ivfpq_assign_cells(c), id)`` composition."""
+    cell_of = _cell_assign_udf(centroids)
+    encode = _pq_encode_udf(codebooks)
+    return spread_small_scan(corpus).select(
+        F.col(id_col),
+        cell_of(F.col(vec_col)).alias("__cell"),
+        encode(F.col(vec_col)).alias("__code"),
     )
 
 
@@ -1017,6 +1056,11 @@ def ivfpq_knn(
         # pre-joined ingest index (id, __cell, __code) — the artifact a
         # deployment persists (bucketed by __cell): no per-query join
         indexed = coded
+    elif coded is None and cells is None:
+        # from-scratch build: ONE fused scan/Arrow pass, no id join
+        indexed = ivfpq_index(
+            corpus, CB, C, id_col=id_col, vec_col=vec_col
+        )
     else:
         if coded is None:
             coded = pq_encode(corpus, CB, id_col=id_col, vec_col=vec_col)
@@ -1162,16 +1206,19 @@ def semantic_dedup_pairs(
     CB = np.asarray(codebooks, dtype=np.float64)
     M = CB.shape[0]
     if index is None:
-        cells = ivfpq_assign_cells(normed, centroids, id_col, "__nv")
-        coded = pq_encode(normed, CB, id_col=id_col, vec_col="__nv")
+        # fused single scan/Arrow pass for (id, cell, code) — same UDFs
+        # as the old ivfpq_assign_cells + pq_encode + join build, minus
+        # one corpus pass and the id-join exchange.
         # materialize the (id, cell, code) frame once: it IS the ingest
         # artifact a deployment stores, and lazily it would re-derive
-        # both Arrow passes on EACH side of the self-join (measured
+        # the Arrow pass on EACH side of the self-join (measured
         # ~1.5x the whole pipeline at 100k vectors). localCheckpoint,
         # not persist — no unpersist hook exists for a lazy result, and
         # ContextCleaner reclaims the checkpoint once the result frame
         # is GC'd (same pattern as trigram_lm_scores).
-        index = cells.join(coded, id_col).localCheckpoint(eager=True)
+        index = ivfpq_index(
+            normed, CB, centroids, id_col=id_col, vec_col="__nv"
+        ).localCheckpoint(eager=True)
 
     a = index.select(
         F.col(id_col).alias("id_a"),

@@ -615,3 +615,44 @@ def test_coarse_assign_chunked_dists_bit_identical(spark):
     for r in got:
         assert r["cell"] == r["cell_from_probes"]
         assert r["cell"] == int(one_shot[r["vec_id"]].argmin())
+
+
+def test_ivfpq_index_fused_matches_two_pass_build(spark):
+    """The r15 fused ingest pass: ivfpq_index (one scan, one
+    ArrowEvalPython, no id join) must produce the EXACT rows of the
+    two-pass pq_encode(c).join(ivfpq_assign_cells(c), id) build — same
+    ids, same cells, same codes — and its plan must carry exactly one
+    ArrowEvalPython node where the two-pass build carries two plus an
+    id-join exchange."""
+    from riskloc_spark.operators.similarity import (
+        ivf_fit_centroids,
+        ivfpq_assign_cells,
+        ivfpq_index,
+        pq_encode,
+        pq_fit_codebooks,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cb = pq_fit_codebooks(emb, n_sub=8, n_codes=16, fit_sample=64)
+    cents = ivf_fit_centroids(emb, n_clusters=4, fit_sample=64)
+
+    fused = ivfpq_index(emb, cb, cents)
+    two_pass = pq_encode(emb, cb).join(
+        ivfpq_assign_cells(emb, cents), "vec_id"
+    )
+
+    def rows(df):
+        return sorted(
+            (r["vec_id"], r["__cell"], tuple(r["__code"]))
+            for r in df.collect()
+        )
+
+    a, b = rows(fused), rows(two_pass)
+    assert len(a) > 0 and a == b
+
+    # executedPlan's AQE toString repeats the tree ("== Final Plan ==" +
+    # "== Initial Plan =="); count nodes in the final section only
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ArrowEvalPython") == 1
+    assert "Join" not in final
