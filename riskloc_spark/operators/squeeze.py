@@ -587,6 +587,13 @@ def _locate_all(
                 F.col(f"F_{c}").alias("Fv"),
             ]
             melt_cols = ["cx.V", "cx.Fv"]
+        # persist the per-element stats: THREE actions read it (the
+        # top-elements window collect, the per-cuboid totals, and the
+        # universe sums) and each would otherwise re-run the groupBy
+        # over the (rows x cuboids) exploded cache — at 5.4M leaves x
+        # 15 cuboids that is an 81M-row aggregation recomputed per
+        # action (cross-query plans never reuse a shuffle)
+        stats = stats.persist()
         melted = (
             stats.select(
                 "cid",
@@ -625,13 +632,18 @@ def _locate_all(
             .filter(F.col("__rn") <= cap)
             .collect()
         )
-        # element totals from the aggregated stats frame (one row per
-        # (cid, elem)) — reuses the stats exchange instead of re-exploding
-        # and re-aggregating the base frame
-        totals = {
-            r["cid"]: r["n"]
-            for r in stats.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+        # element totals AND universe sums from the aggregated stats
+        # frame in ONE tiny action (one row per (cid, elem), persisted
+        # above): formerly two separate collects, each re-deriving stats
+        cid_aggs = [F.count(F.lit(1)).alias("n")]
+        for c in range(n_cl):
+            cid_aggs.append(F.sum(f"cnt_{c}").alias(f"cnt_{c}"))
+            cid_aggs.append(F.sum(f"sad_{c}").alias(f"sad_{c}"))
+        cid_rows = {
+            r["cid"]: r
+            for r in stats.groupBy("cid").agg(*cid_aggs).collect()
         }
+        totals = {cid: r["n"] for cid, r in cid_rows.items()}
 
         per_key: dict[tuple[int, int], list] = {}
         for r in top_rows:
@@ -719,16 +731,10 @@ def _locate_all(
                 f"cluster int, cid int, elem string, __rank int, {rp_schema}",
             )
 
-            # universe totals from the per-element stats (one tiny agg
-            # that reuses the stats exchange — no extra pass over ex)
-            uni_aggs = []
-            for c in plans:
-                uni_aggs.append(F.sum(f"cnt_{c}").alias(f"cnt_{c}"))
-                uni_aggs.append(F.sum(f"sad_{c}").alias(f"sad_{c}"))
-            uni = {
-                r["cid"]: r
-                for r in stats.groupBy("cid").agg(*uni_aggs).collect()
-            }
+            # universe totals: already collected with the per-cuboid
+            # element counts above (cid_rows carries cnt_c/sad_c for
+            # every cluster) — no extra action
+            uni = cid_rows
 
             joined = (
                 ex.join(F.broadcast(rank_df), on=["cid", "elem"], how="inner")
@@ -788,6 +794,10 @@ def _locate_all(
                     ]
                     results[(ci, cid)] = (rc, best_score)
     finally:
+        try:
+            stats.unpersist()
+        except Exception:
+            pass
         ex.unpersist()
     return results
 
