@@ -698,20 +698,28 @@ def connected_components(
 
     ``vertices`` (optional, e.g. the full corpus ids): rows that appear
     in no pair come out as singleton groups of themselves.
+
+    Only edge ENDPOINTS can ever move off their own label, so the
+    iteration runs over the endpoint set alone; ``vertices`` rows that
+    touch no pair are attached once at the end as a single anti-join
+    against the final labels.  At corpus scale (pairs << docs) this
+    keeps the corpus-sized frame out of every round's two joins and
+    checkpoint — the rounds move candidate-graph bytes only.
     """
     edges = pairs.select(
         F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")
     ).union(pairs.select(F.col(dst_col), F.col(src_col)))
-    verts = edges.select(F.col("__u").alias("__id"))
-    if vertices is not None:
-        verts = verts.union(vertices.select(F.col(id_col).alias("__id")))
-    verts = verts.distinct()
 
     # persist the (big) edge side already hash-partitioned on the join
     # key: the cached partitioning is visible to the planner, so each
     # round's edge-label join only shuffles the (small) labels frame —
     # the edge set never re-exchanges across rounds
     edges = edges.repartition("__v").persist()
+
+    # active vertices: derived from the PERSISTED edges, so the pairs
+    # input (often an expensive unpersisted upstream) computes once —
+    # the first action fills the edge cache and this distinct reads it
+    actives = edges.select(F.col("__u").alias("__id")).distinct()
 
     # type-agnostic convergence signal: sum of label hashes. Labels move
     # strictly (per-vertex, toward the component min) until the fixpoint,
@@ -728,9 +736,13 @@ def connected_components(
         ).collect()[0]["s"]
 
     try:
-        labels = verts.select(
+        # lazy checkpoints: the per-round signature agg is the action
+        # that materializes each round's labels, so a round costs ONE
+        # job (eager=True would spend a second, separate job per round
+        # just to fill the checkpoint the agg then re-reads)
+        labels = actives.select(
             "__id", F.col("__id").alias("__lbl")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         prev_sig = _label_sig(labels)
 
         for _ in range(max_iterations):
@@ -752,7 +764,7 @@ def connected_components(
                     "__id",
                     F.least("__cand", "__plbl").alias("__lbl"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             cur_sig = _label_sig(new_labels)
             labels = new_labels
@@ -766,7 +778,19 @@ def connected_components(
             )
     finally:
         edges.unpersist()
-    return labels.select(
+    out = labels
+    if vertices is not None:
+        # singleton remainder: anti-join against the FINAL labels (a
+        # materialized checkpoint, so consuming the returned frame
+        # never recomputes the pairs input after edges unpersisted)
+        singles = (
+            vertices.select(F.col(id_col).alias("__id"))
+            .distinct()
+            .join(labels.select("__id"), "__id", "left_anti")
+            .select("__id", F.col("__id").alias("__lbl"))
+        )
+        out = labels.union(singles)
+    return out.select(
         F.col("__id").alias(id_col), F.col("__lbl").alias("group_id")
     )
 

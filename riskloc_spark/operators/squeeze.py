@@ -519,11 +519,24 @@ def _locate_all(
     measure_cols = (
         ["real_a", "predict_a", "real_b", "predict_b"] if derived else []
     )
-    # persist the exploded frame: the stats aggregation, the per-cuboid
-    # totals, AND every per-cluster locate job scan it — without the
-    # cache each action re-derives the (rows x cuboids) explode from the
-    # base frame (at 562k leaves x 15 cuboids that is 8.4M rows rebuilt
-    # n_cl+2 times)
+    # the exploded frame has exactly TWO consumers since the r15 stats
+    # materialization (the stats aggregation and the broadcast locate
+    # join).  Re-deriving the explode per consumer from the persisted
+    # base beats materializing a (rows x cuboids) cache — the explode is
+    # cheap column algebra over cached rows, while pinning 15x the
+    # corpus as storage blocks pays memory-write bandwidth twice and
+    # competes with execution memory (the r15 checkpoint-regime rule:
+    # interleaved A/B measured 36.8 -> 27.9 s at 5.4M leaves and
+    # 12.3 -> 9.3 s at 562k, identical causes).  Conf-gated for
+    # deployments whose base frame is NOT cached (recompute would then
+    # re-scan storage twice): set spark.riskloc.squeeze.persistExplode
+    # true to pin the explode instead.
+    persist_ex = (
+        df.sparkSession.conf.get(
+            "spark.riskloc.squeeze.persistExplode", "false"
+        )
+        or "false"
+    ).strip().lower() in ("true", "1", "on", "yes")
     ex = df.select(
         F.explode(F.array(*structs)).alias("ce"),
         "real",
@@ -534,7 +547,9 @@ def _locate_all(
     ).select(
         F.col("ce.cid").alias("cid"), F.col("ce.elem").alias("elem"),
         "real", "predict", *measure_cols, "__cl", "__nm",
-    ).persist()
+    )
+    if persist_ex:
+        ex = ex.persist()
     try:
 
         aggs = [F.count(F.lit(1)).alias("descents")]
@@ -798,7 +813,8 @@ def _locate_all(
             stats.unpersist()
         except Exception:
             pass
-        ex.unpersist()
+        if persist_ex:
+            ex.unpersist()
     return results
 
 

@@ -156,6 +156,38 @@ def test_connected_components_string_ids(spark):
     }
 
 
+def test_connected_components_active_vertex_iteration(spark):
+    """r15 internals pin: the iteration runs over edge ENDPOINTS only
+    and the singleton remainder is attached by one anti-join at the
+    end.  Contract checks the restructure must preserve: duplicate
+    rows in ``vertices`` still yield one output row per id, endpoint
+    ids that ALSO appear in ``vertices`` are not duplicated by the
+    union with the singleton leg, and an empty pair frame degrades to
+    all-singletons."""
+    from riskloc_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]})
+    )
+    # 1-3 overlap the endpoints; 7 is a singleton given TWICE
+    verts = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 7, 7]})
+    )
+    rows = connected_components(pairs, vertices=verts).collect()
+    assert len(rows) == 4  # one row per distinct id, no union dups
+    got = {r["doc_id"]: r["group_id"] for r in rows}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7}
+
+    empty = spark.createDataFrame(
+        pd.DataFrame({"id_a": [], "id_b": []}), "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in connected_components(empty, vertices=verts).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3, 7: 7}
+
+
 def test_curate_corpus_filters_and_dedups(spark):
     """Composed curation: junk (too short / no stopwords) is dropped,
     non-English dropped, exact duplicates keep the lowest id, and the
