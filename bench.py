@@ -531,14 +531,17 @@ def build_compact_line(out: dict, limit: int = 1900) -> str:
             summary[k] = _block_summary(v)
         compact["scale"] = summary
     slow = sorted(
-        (out.get("queries") or {}).items(), key=lambda kv: -kv[1]
+        (out.get("queries") or {}).items(), key=lambda kv: (-kv[1], kv[0])
     )
     line = ""
-    # shrink ladder: drop slowest-query samples first, then tighten every
-    # block to {sec, ok, recall} — the quality flags are the last thing
-    # standing, never silently truncated mid-JSON
-    for level, top in ((0, 8), (0, 6), (0, 4), (0, 2), (0, 0),
-                       (1, 4), (1, 0), (2, 0), (3, 0)):
+    # shrink ladder: tighten the scale blocks level by level until the
+    # QUERY-FREE base fits — the quality flags are the last thing
+    # standing, never silently truncated mid-JSON.  Then greedy-fill the
+    # remaining budget with per-query samples, slowest first, under the
+    # contract key "queries" (the driver's perf/scaling comparison reads
+    # parsed["queries"]; PERF_r15 recorded n_common=0/bench_ok=false
+    # because rounds 9-15 carried the samples as "slowest" instead).
+    for level in (0, 1, 2, 3):
         if level and "scale" in compact:
             if level == 3:
                 # last resort: a block inventory so large even sec-only
@@ -550,12 +553,20 @@ def build_compact_line(out: dict, limit: int = 1900) -> str:
                     k: _tighten(v, ultra=level >= 2)
                     for k, v in compact["scale"].items()
                 }
-        if top:
-            compact["slowest"] = dict(slow[:top])
-        else:
-            compact.pop("slowest", None)
+        compact.pop("queries", None)
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) < limit:
+            take: dict = {}
+            for name, sec in slow:
+                take[name] = sec
+                trial = dict(compact)
+                trial["queries"] = take
+                if len(json.dumps(trial, separators=(",", ":"))) >= limit:
+                    del take[name]
+                    break
+            if take:
+                compact["queries"] = take
+                line = json.dumps(compact, separators=(",", ":"))
             break
     assert len(line) < limit, (
         f"compact bench line is {len(line)} chars (>= {limit}); "

@@ -697,7 +697,14 @@ def connected_components(
     long-lived production job should prefer a reliable checkpoint dir.
 
     ``vertices`` (optional, e.g. the full corpus ids): rows that appear
-    in no pair come out as singleton groups of themselves.
+    in no pair come out as singleton groups of themselves.  The
+    singleton leg is LAZY — the returned frame's endpoint labels are a
+    materialized checkpoint, but each action a caller runs re-derives
+    the anti-join against the corpus-sized ``vertices`` input.  A
+    caller running multiple actions on the result (count then write,
+    say) should ``persist()``/``localCheckpoint()`` it first; baking an
+    eager corpus-sized materialization in here would charge every
+    single-action caller for it (the r15 checkpoint-regime rule).
 
     Only edge ENDPOINTS can ever move off their own label, so the
     iteration runs over the endpoint set alone; ``vertices`` rows that

@@ -531,12 +531,24 @@ def _locate_all(
     # deployments whose base frame is NOT cached (recompute would then
     # re-scan storage twice): set spark.riskloc.squeeze.persistExplode
     # true to pin the explode instead.
-    persist_ex = (
-        df.sparkSession.conf.get(
-            "spark.riskloc.squeeze.persistExplode", "false"
+    _pe_conf = df.sparkSession.conf.get(
+        "spark.riskloc.squeeze.persistExplode", None
+    )
+    if _pe_conf is None or not str(_pe_conf).strip():
+        # conf unset: the no-persist default is only safe/fast when the
+        # base frame is already cached (squeeze() persists df before
+        # calling).  A caller passing an UNPERSISTED frame would
+        # recompute the whole upstream once per consumer — and a
+        # nondeterministic upstream could feed the stats scan and the
+        # locate join inconsistent data — so pin the explode for that
+        # caller instead (ADVICE r15).
+        from pyspark import StorageLevel
+
+        persist_ex = df.storageLevel == StorageLevel.NONE
+    else:
+        persist_ex = str(_pe_conf).strip().lower() in (
+            "true", "1", "on", "yes"
         )
-        or "false"
-    ).strip().lower() in ("true", "1", "on", "yes")
     ex = df.select(
         F.explode(F.array(*structs)).alias("ce"),
         "real",

@@ -226,6 +226,23 @@ def test_throughput_keys_never_summed_as_seconds():
     assert rec["scale"]["classifier"]["accuracy"] == 1.0
 
 
+def test_compact_line_carries_queries_contract_key():
+    # the driver's perf/scaling comparison reads parsed["queries"]: the
+    # compact line must carry per-query samples under THAT key (r9-r15
+    # carried them as "slowest" and PERF_r15 recorded n_common=0),
+    # verbatim name -> measured seconds, slowest first
+    out = _fixture()
+    rec = json.loads(build_compact_line(out))
+    assert rec["queries"]
+    for name, sec in rec["queries"].items():
+        assert out["queries"][name] == sec
+    slowest = max(out["queries"].items(), key=lambda kv: kv[1])[0]
+    assert slowest in rec["queries"]
+    # greedy fill: with today's block inventory a useful sample count
+    # fits (the fixture's 140 long-named queries leave >= 8 in budget)
+    assert len(rec["queries"]) >= 8
+
+
 def test_compact_line_real_record_if_present():
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_FULL_latest.json")

@@ -9,6 +9,35 @@ import pandas as pd
 import pytest
 
 
+def run_cli_parallel(cmds, timeout=300):
+    """Launch INDEPENDENT CLI invocations concurrently and wait for all.
+
+    Each subprocess is its own JVM (~8s startup): running back-to-back,
+    a 3-invocation e2e test pays the startup serially three times —
+    these tests were the suite's largest wall-time block (and the suite
+    timed out in the r15 driver harness, VERIFY_r15 tests_ok=false).
+    Only invocations with no data dependency between them are batched;
+    dependent steps stay in later waves.  Returns CompletedProcess-like
+    results in cmd order."""
+    procs = [
+        subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True
+        )
+        for cmd in cmds
+    ]
+    results = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+        results.append(
+            subprocess.CompletedProcess(p.args, p.returncode, out, err)
+        )
+    return results
+
+
 @pytest.fixture(scope="module")
 def case_csv(tmp_path_factory):
     rng = np.random.default_rng(4)
@@ -276,14 +305,16 @@ def test_cli_pipeline_sample_and_split(spark, tmp_path):
         "doc_id long, text string, source string",
     ).write.parquet(src)
     out1 = str(tmp_path / "sampled")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline", "sample",
-            src, "--output", out1, "--fraction", "0.3", "--salt", "x",
-            "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
+    out2 = str(tmp_path / "splits")
+    # sample and split both read only the staged src: one wave
+    r, r2s = run_cli_parallel([
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline", "sample",
+         src, "--output", out1, "--fraction", "0.3", "--salt", "x",
+         "--cpus", "4"],
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline", "split",
+         src, "--output", out2, "--weights", "train=0.7,val=0.3",
+         "--cpus", "4"],
+    ])
     assert r.returncode == 0, r.stderr[-2000:]
     rec = json.loads(r.stdout.strip().splitlines()[-1])
     assert rec["input_rows"] == 200 and 0 < rec["output_rows"] < 200
@@ -298,16 +329,7 @@ def test_cli_pipeline_sample_and_split(spark, tmp_path):
     got = {r2["doc_id"] for r2 in spark.read.parquet(out1).collect()}
     assert got == want
 
-    out2 = str(tmp_path / "splits")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline", "split",
-            src, "--output", out2, "--weights", "train=0.7,val=0.3",
-            "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
+    assert r2s.returncode == 0, r2s.stderr[-2000:]
     rows = spark.read.parquet(out2).collect()
     assert len(rows) == 200
     assert {r2["split"] for r2 in rows} == {"train", "val"}
@@ -328,33 +350,26 @@ def test_cli_pipeline_curate_and_decontaminate(spark, tmp_path):
         ],
         "doc_id long, text string, source string",
     ).write.parquet(src)
-    out1 = str(tmp_path / "curated")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline", "curate",
-            src, "--output", out1, "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert sorted(
-        r2["doc_id"] for r2 in spark.read.parquet(out1).collect()
-    ) == [1, 4]
-
     bench = str(tmp_path / "bench")
     spark.createDataFrame(
         [(9, good)], "bid long, text string"
     ).write.parquet(bench)
+
+    out1 = str(tmp_path / "curated")
     out2 = str(tmp_path / "decontaminated")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-            "decontaminate", src, "--output", out2,
-            "--benchmark", bench, "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
+    # curate and decontaminate both read only the staged src: one wave
+    for r in run_cli_parallel([
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline", "curate",
+         src, "--output", out1, "--cpus", "4"],
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "decontaminate", src, "--output", out2,
+         "--benchmark", bench, "--cpus", "4"],
+    ]):
+        assert r.returncode == 0, r.stderr[-2000:]
+    assert sorted(
+        r2["doc_id"] for r2 in spark.read.parquet(out1).collect()
+    ) == [1, 4]
+
     kept = sorted(r2["doc_id"] for r2 in spark.read.parquet(out2).collect())
     # docs 1/2/4 share benchmark 8-grams; only the junk doc survives
     assert kept == [3]
@@ -378,53 +393,34 @@ def test_cli_pipeline_quality_ops(spark, tmp_path):
     ).write.parquet(src)
 
     out1 = str(tmp_path / "gophered")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-            "gopher-filter", src, "--output", out1, "--min-words", "10",
-            "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
+    out2 = str(tmp_path / "c4")
+    out3 = str(tmp_path / "pii")
+    out4 = str(tmp_path / "tfidf")
+    # four independent subcommands over the same staged input: one wave
+    for r in run_cli_parallel([
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "gopher-filter", src, "--output", out1, "--min-words", "10",
+         "--cpus", "4"],
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "c4-clean", src, "--output", out2, "--cpus", "4"],
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "redact-pii", src, "--output", out3, "--cpus", "4"],
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "tfidf", src, "--output", out4, "--top-k", "3", "--cpus", "4"],
+    ]):
+        assert r.returncode == 0, r.stderr[-2000:]
+
     assert [
         r2["doc_id"] for r2 in spark.read.parquet(out1).collect()
     ] == [1]
 
-    out2 = str(tmp_path / "c4")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-            "c4-clean", src, "--output", out2, "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
     c4 = {r2["doc_id"]: r2["text"] for r2 in spark.read.parquet(out2).collect()}
     assert 2 not in c4 and "Keep this line here." in c4[3]
 
-    out3 = str(tmp_path / "pii")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-            "redact-pii", src, "--output", out3, "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
     pii = {r2["doc_id"]: r2 for r2 in spark.read.parquet(out3).collect()}
     assert pii[3]["n_emails"] == 1 and pii[3]["n_ips"] == 1
     assert "<EMAIL>" in pii[3]["text"] and "<IP>" in pii[3]["text"]
 
-    out4 = str(tmp_path / "tfidf")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-            "tfidf", src, "--output", out4, "--top-k", "3", "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
     rows = spark.read.parquet(out4).collect()
     assert {r2["source"] for r2 in rows} == {"s0", "s1"}
     assert all(1 <= r2["rank"] <= 3 for r2 in rows)
@@ -478,18 +474,21 @@ def test_cli_pipeline_normalize_and_ingest_dedup(spark, tmp_path):
     ).write.parquet(batch_src)
 
     idx_out = str(tmp_path / "index")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-            "build-dedup-index", base_src, "--output", idx_out,
-            "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
+    norm_out = str(tmp_path / "normed")
+    # wave 1: index build and normalize are independent
+    r, r_norm = run_cli_parallel([
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "build-dedup-index", base_src, "--output", idx_out,
+         "--cpus", "4"],
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "normalize", base_src, "--output", norm_out, "--cpus", "4"],
+    ])
     assert r.returncode == 0, r.stderr[-2000:]
     rec = json.loads(r.stdout.strip().splitlines()[-1])
     assert rec["output_rows"] == 20 * 8  # one row per (doc, band)
+    assert r_norm.returncode == 0, r_norm.stderr[-2000:]
 
+    # wave 2: the probe reads wave 1's index artifact
     acc_out = str(tmp_path / "accepted")
     m_out = str(tmp_path / "matches")
     r = subprocess.run(
@@ -507,15 +506,6 @@ def test_cli_pipeline_normalize_and_ingest_dedup(spark, tmp_path):
     matches = spark.read.parquet(m_out).collect()
     assert {(m["new_id"], m["base_id"]) for m in matches} == {(100, 3)}
 
-    norm_out = str(tmp_path / "normed")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-            "normalize", base_src, "--output", norm_out, "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
     rows = spark.read.parquet(norm_out).collect()
     assert len(rows) == 20
     assert all(not r2["changed"] for r2 in rows)  # ASCII corpus
@@ -535,29 +525,21 @@ def test_cli_pipeline_audio_and_video(spark, tmp_path):
     synthesize_avi_corpus(ids).write.parquet(avi_src)
 
     a_out = str(tmp_path / "afeat")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-            "audio-features", wav_src, "--output", a_out, "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
+    v_out = str(tmp_path / "vframes")
+    # audio and video read disjoint staged corpora: one wave
+    for r in run_cli_parallel([
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "audio-features", wav_src, "--output", a_out, "--cpus", "4"],
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "video-frames", avi_src, "--output", v_out,
+         "--every", "2", "--cpus", "4"],
+    ]):
+        assert r.returncode == 0, r.stderr[-2000:]
     rows = spark.read.parquet(a_out).collect()
     # one row per (doc, channel): ids 0..5 -> 3 stereo, 3 mono
     assert len(rows) == 9
     assert all(r2["energy"] > 0 for r2 in rows)
 
-    v_out = str(tmp_path / "vframes")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-            "video-frames", avi_src, "--output", v_out,
-            "--every", "2", "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
     vrows = spark.read.parquet(v_out).collect()
     assert vrows and all(r2["frame_idx"] % 2 == 0 for r2 in vrows)
 
@@ -580,19 +562,6 @@ def test_cli_pipeline_html_warc_classify(spark, tmp_path):
     pages = synthesize_html_corpus(docs)
     html_src = str(tmp_path / "pages")
     pages.write.parquet(html_src)
-    out1 = str(tmp_path / "extracted")
-    r = subprocess.run(
-        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-         "html-extract", html_src, "--output", out1, "--cpus", "4"],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
-    got = {r2["doc_id"]: r2["text"]
-           for r2 in spark.read.parquet(out1).collect()}
-    assert len(got) == 40
-    assert "alpha beta gamma 7 delta" in got[7]
-    assert "<" not in got[7] and "home | about | contact" in got[7]
-
     warc_dir = str(tmp_path / "warcs")
     recs = pages.select(
         F.concat(F.lit("<urn:t:"), F.col("doc_id"), F.lit(">"))
@@ -604,57 +573,56 @@ def test_cli_pipeline_html_warc_classify(spark, tmp_path):
         ).cast("binary").alias("payload"),
     )
     write_warc(recs.repartition(2), warc_dir).count()
+    lab_src = str(tmp_path / "labeled")
+    docs.withColumnRenamed("lang", "label").write.parquet(lab_src)
+
+    out1 = str(tmp_path / "extracted")
     out2 = str(tmp_path / "warc_out")
-    r = subprocess.run(
+    out3 = str(tmp_path / "classified")
+    out4 = str(tmp_path / "crawled")
+    out5 = str(tmp_path / "crawled_tree")
+    # five independent subcommands over the pre-staged inputs: one wave
+    for r in run_cli_parallel([
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "html-extract", html_src, "--output", out1, "--cpus", "4"],
         [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
          "warc-extract", warc_dir, "--output", out2, "--cpus", "4"],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "classify", lab_src, "--output", out3, "--label-col", "label",
+         "--buckets", "256", "--train-mod", "2", "--cpus", "4"],
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "curate-crawl", warc_dir, "--output", out4,
+         "--min-quality", "0", "--lang", "", "--cpus", "4"],
+        # the tree-parser path through the CLI (round 11): same corpus,
+        # same surviving bodies
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "curate-crawl", warc_dir, "--output", out5,
+         "--min-quality", "0", "--lang", "", "--parser", "tree",
+         "--cpus", "4"],
+    ]):
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    got = {r2["doc_id"]: r2["text"]
+           for r2 in spark.read.parquet(out1).collect()}
+    assert len(got) == 40
+    assert "alpha beta gamma 7 delta" in got[7]
+    assert "<" not in got[7] and "home | about | contact" in got[7]
+
     rows = {r2["target_uri"]: r2 for r2 in
             spark.read.parquet(out2).collect()}
     assert len(rows) == 40
     assert rows["https://e/3"]["http_status"] == 200
     assert "alpha beta gamma 3 delta" in rows["https://e/3"]["text"]
 
-    lab_src = str(tmp_path / "labeled")
-    docs.withColumnRenamed("lang", "label").write.parquet(lab_src)
-    out3 = str(tmp_path / "classified")
-    r = subprocess.run(
-        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-         "classify", lab_src, "--output", out3, "--label-col", "label",
-         "--buckets", "256", "--train-mod", "2", "--cpus", "4"],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
     scored = spark.read.parquet(out3)
     assert scored.count() == 40
     assert set(scored.columns) == {"doc_id", "pred_label", "score",
                                    "n_grams"}
 
-    out4 = str(tmp_path / "crawled")
-    r = subprocess.run(
-        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-         "curate-crawl", warc_dir, "--output", out4,
-         "--min-quality", "0", "--lang", "", "--cpus", "4"],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
     crawled = spark.read.parquet(out4)
     assert crawled.count() > 0
     assert "text" in crawled.columns and "quality" in crawled.columns
 
-    # the tree-parser path through the CLI (round 11): same corpus,
-    # same surviving bodies
-    out5 = str(tmp_path / "crawled_tree")
-    r = subprocess.run(
-        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-         "curate-crawl", warc_dir, "--output", out5,
-         "--min-quality", "0", "--lang", "", "--parser", "tree",
-         "--cpus", "4"],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
     treed = spark.read.parquet(out5)
     assert treed.count() == crawled.count()
 
@@ -669,24 +637,20 @@ def test_cli_pipeline_url_dedup_and_sentences(spark, tmp_path):
     ).write.parquet(src)
 
     out1 = str(tmp_path / "urldedup")
-    r = subprocess.run(
+    out2 = str(tmp_path / "sents")
+    # url-dedup and sentences both read only the staged src: one wave
+    for r in run_cli_parallel([
         [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
          "url-dedup", src, "--output", out1, "--cpus", "4"],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "sentences", src, "--output", out2, "--cpus", "4"],
+    ]):
+        assert r.returncode == 0, r.stderr[-2000:]
     kept = {r2["doc_id"]: r2["canonical_url"]
             for r2 in spark.read.parquet(out1).collect()}
     assert set(kept) == {0, 2}
     assert kept[2] == "https://a.example/y"
 
-    out2 = str(tmp_path / "sents")
-    r = subprocess.run(
-        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-         "sentences", src, "--output", out2, "--cpus", "4"],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
     rows = spark.read.parquet(out2).collect()
     s0 = sorted((r2["sent_idx"], r2["sentence"])
                 for r2 in rows if r2["doc_id"] == 0)
@@ -763,16 +727,26 @@ def test_cli_pipeline_pagerank_and_ppl_buckets(spark, tmp_path):
     spark.createDataFrame(rows, "url string, html string").write.parquet(
         pages
     )
-    out = str(tmp_path / "pr")
-    r = subprocess.run(
+    docs = str(tmp_path / "pdocs")
+    spark.createDataFrame(
         [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-            "pagerank", pages, "--output", out, "--iterations", "3",
-            "--cpus", "4",
+            (i, "en", "the cat sat on the mat number %d" % (i % 7))
+            for i in range(12)
         ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
+        "doc_id long, lang string, text string",
+    ).write.parquet(docs)
+
+    out = str(tmp_path / "pr")
+    out2 = str(tmp_path / "buckets")
+    # pagerank reads pages, ppl-buckets reads docs: one wave
+    for r in run_cli_parallel([
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "pagerank", pages, "--output", out, "--iterations", "3",
+         "--cpus", "4"],
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "ppl-buckets", docs, "--output", out2, "--cpus", "4"],
+    ]):
+        assert r.returncode == 0, r.stderr[-2000:]
     got = {
         r2["node"]: r2["score"]
         for r2 in spark.read.parquet(out).collect()
@@ -797,23 +771,6 @@ def test_cli_pipeline_pagerank_and_ppl_buckets(spark, tmp_path):
     }
     assert got == want and len(got) == 5
 
-    docs = str(tmp_path / "pdocs")
-    spark.createDataFrame(
-        [
-            (i, "en", "the cat sat on the mat number %d" % (i % 7))
-            for i in range(12)
-        ],
-        "doc_id long, lang string, text string",
-    ).write.parquet(docs)
-    out2 = str(tmp_path / "buckets")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-            "ppl-buckets", docs, "--output", out2, "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
     rows2 = spark.read.parquet(out2).collect()
     assert len(rows2) == 12
     assert {r2["ppl_bucket"] for r2 in rows2} <= {"head", "middle", "tail"}
@@ -830,16 +787,24 @@ def test_cli_pipeline_hll_and_bm25(spark, tmp_path):
         "doc_id long, text string, source string",
     ).write.parquet(src)
 
+    qsrc = str(tmp_path / "queries")
+    spark.createDataFrame(
+        [(0, "term1 doc"), (1, "common")], "query_id long, query string"
+    ).write.parquet(qsrc)
+
     sk = str(tmp_path / "sketch")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline", "hll",
-            src, "--output", sk, "--value-col", "doc_id",
-            "--key-cols", "source", "--precision", "8", "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
+    ranked = str(tmp_path / "ranked")
+    # wave 1: the hll register build and bm25 are independent
+    for r in run_cli_parallel([
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline", "hll",
+         src, "--output", sk, "--value-col", "doc_id",
+         "--key-cols", "source", "--precision", "8", "--cpus", "4"],
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline", "bm25",
+         src, "--output", ranked, "--queries", qsrc, "--topk", "5",
+         "--cpus", "4"],
+    ]):
+        assert r.returncode == 0, r.stderr[-2000:]
+    # wave 2: the estimate reads wave 1's register table
     est = str(tmp_path / "est")
     r = subprocess.run(
         [
@@ -859,20 +824,6 @@ def test_cli_pipeline_hll_and_bm25(spark, tmp_path):
     for v in got.values():
         assert abs(v - 100) / 100 < 0.25, got  # p=8: ~6.5% stderr
 
-    qsrc = str(tmp_path / "queries")
-    spark.createDataFrame(
-        [(0, "term1 doc"), (1, "common")], "query_id long, query string"
-    ).write.parquet(qsrc)
-    ranked = str(tmp_path / "ranked")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline", "bm25",
-            src, "--output", ranked, "--queries", qsrc, "--topk", "5",
-            "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
     rows = spark.read.parquet(ranked).collect()
     by_q = {}
     for row in rows:
@@ -918,15 +869,20 @@ def test_cli_pipeline_quantiles_and_heavy_hitters(spark, tmp_path):
     ).write.parquet(src)
 
     sk = str(tmp_path / "qsk")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-            "quantiles", src, "--output", sk, "--value-col", "n",
-            "--id-col", "doc_id", "--k", "128", "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
+    hh = str(tmp_path / "hh")
+    # wave 1: the sample-table build and heavy-hitters are independent
+    for r in run_cli_parallel([
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "quantiles", src, "--output", sk, "--value-col", "n",
+         "--id-col", "doc_id", "--k", "128", "--cpus", "4"],
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "heavy-hitters", src, "--output", hh,
+         "--value-col", "domain", "--id-col", "doc_id",
+         "--top-k", "3", "--sample-k", "256", "--width", "512",
+         "--cpus", "4"],
+    ]):
+        assert r.returncode == 0, r.stderr[-2000:]
+    # wave 2: the estimate reads wave 1's sample table
     est = str(tmp_path / "qest")
     r = subprocess.run(
         [
@@ -944,18 +900,6 @@ def test_cli_pipeline_quantiles_and_heavy_hitters(spark, tmp_path):
     assert set(got) == {0.5, 0.99}
     assert 30 <= got[0.5] <= 70  # true median 50, k=128 envelope
 
-    hh = str(tmp_path / "hh")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-            "heavy-hitters", src, "--output", hh,
-            "--value-col", "domain", "--id-col", "doc_id",
-            "--top-k", "3", "--sample-k", "256", "--width", "512",
-            "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
     rows = sorted(
         spark.read.parquet(hh).collect(), key=lambda r2: r2["rank"]
     )
@@ -984,30 +928,22 @@ def test_cli_pipeline_scd2_and_cdc_apply(spark, tmp_path):
     ).write.parquet(snap)
 
     hist = str(tmp_path / "hist")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-            "scd2", feed, "--output", hist, "--keys", "k",
-            "--ts-col", "ts", "--attrs", "name,v", "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
+    merged = str(tmp_path / "merged")
+    # scd2 and cdc-apply read only the staged feed/snapshot: one wave
+    for r in run_cli_parallel([
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "scd2", feed, "--output", hist, "--keys", "k",
+         "--ts-col", "ts", "--attrs", "name,v", "--cpus", "4"],
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "cdc-apply", snap, "--output", merged,
+         "--changes", feed, "--keys", "k", "--ts-col", "ts",
+         "--attrs", "name,v", "--cpus", "4"],
+    ]):
+        assert r.returncode == 0, r.stderr[-2000:]
     hrows = spark.read.parquet(hist).collect()
     cur = {r2["k"]: r2["name"] for r2 in hrows if r2["is_current"]}
     assert cur[1] == "a2"
 
-    merged = str(tmp_path / "merged")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-            "cdc-apply", snap, "--output", merged,
-            "--changes", feed, "--keys", "k", "--ts-col", "ts",
-            "--attrs", "name,v", "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
     got = {
         r2["k"]: (r2["name"], r2["v"])
         for r2 in spark.read.parquet(merged).collect()
@@ -1060,20 +996,6 @@ def test_cli_pipeline_decontamination_tiers(spark, tmp_path):
     spark.createDataFrame(
         [(100, body)], "doc_id long, text string"
     ).write.parquet(bench)
-    out = str(tmp_path / "clean")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-            "decontaminate-near-dup", docs, "--output", out,
-            "--benchmark", bench, "--jaccard-threshold", "0.3",
-            "--bands", "16", "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
-    kept = [r2["doc_id"] for r2 in spark.read.parquet(out).collect()]
-    assert kept == [2]
-
     emb = str(tmp_path / "emb")
     spark.createDataFrame(
         [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
@@ -1084,17 +1006,24 @@ def test_cli_pipeline_decontamination_tiers(spark, tmp_path):
         [(50, [0.99, 0.01, 0.0])],
         "vec_id long, embedding array<double>",
     ).write.parquet(bemb)
+
+    out = str(tmp_path / "clean")
     audit = str(tmp_path / "audit")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-            "semantic-contamination", emb, "--output", audit,
-            "--benchmark", bemb, "--cos-threshold", "0.9",
-            "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
+    # the two tiers read disjoint staged inputs: one wave
+    for r in run_cli_parallel([
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "decontaminate-near-dup", docs, "--output", out,
+         "--benchmark", bench, "--jaccard-threshold", "0.3",
+         "--bands", "16", "--cpus", "4"],
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "semantic-contamination", emb, "--output", audit,
+         "--benchmark", bemb, "--cos-threshold", "0.9",
+         "--cpus", "4"],
+    ]):
+        assert r.returncode == 0, r.stderr[-2000:]
+    kept = [r2["doc_id"] for r2 in spark.read.parquet(out).collect()]
+    assert kept == [2]
+
     got = {
         r2["vec_id"]: r2["n_bench_matches"]
         for r2 in spark.read.parquet(audit).collect()
@@ -1114,14 +1043,17 @@ def test_cli_pipeline_alpha_sample_and_group_split(spark, tmp_path):
     ).write.parquet(docs)
 
     out = str(tmp_path / "mix")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-            "sample-alpha", docs, "--output", out,
-            "--total-tokens", "400", "--alpha", "0.5", "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
+    sp = str(tmp_path / "split")
+    # sample-alpha and group-split both read only the staged docs: one wave
+    r, r_sp = run_cli_parallel([
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "sample-alpha", docs, "--output", out,
+         "--total-tokens", "400", "--alpha", "0.5", "--cpus", "4"],
+        [sys.executable, "-m", "riskloc_spark.cli", "pipeline",
+         "split", docs, "--output", sp,
+         "--weights", "train=0.5,val=0.5", "--by-col", "source",
+         "--cpus", "4"],
+    ])
     assert r.returncode == 0, r.stderr[-2000:]
     got = spark.read.parquet(out).collect()
     per_g = {}
@@ -1132,17 +1064,7 @@ def test_cli_pipeline_alpha_sample_and_group_split(spark, tmp_path):
     assert set(per_g) == {"big", "small"}
     assert per_g["big"] <= 400 and per_g["small"] <= 400
 
-    sp = str(tmp_path / "split")
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "riskloc_spark.cli", "pipeline",
-            "split", docs, "--output", sp,
-            "--weights", "train=0.5,val=0.5", "--by-col", "source",
-            "--cpus", "4",
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
+    assert r_sp.returncode == 0, r_sp.stderr[-2000:]
     per_group = {}
     for r2 in spark.read.parquet(sp).collect():
         per_group.setdefault(r2["source"], set()).add(r2["split"])

@@ -89,10 +89,18 @@ def test_oracle_output_dtype_families(spark, duck):
     driver-green, and this test must agree).  Discipline: wrap
     integer-SUM oracle outputs in `CAST(... AS BIGINT)`
     (q9/q11/q12 style)."""
-    bad = []
-    for name in sorted(ORACLES):
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(name):
+        # Spark schedules concurrent actions from driver threads fine
+        # (FIFO back-fill — guide §2.6); DuckDB connections are not
+        # thread-safe, so each worker takes its own cursor.  The gates
+        # are independent, and serial execution made this single test
+        # 227s of the suite's 36 min (it re-runs all 191 gates the
+        # parametrized parity tests already ran once).
+        errs = []
         spdf = QUERIES[name](spark, SF_DIR).toPandas()
-        pdf = duck.execute(ORACLES[name]).df()
+        pdf = duck.cursor().execute(ORACLES[name]).df()
         for col in pdf.columns:
             pfam = _family(pdf[col].dtype)
             sfam = (
@@ -100,10 +108,14 @@ def test_oracle_output_dtype_families(spark, duck):
                 if col in spdf.columns else None
             )
             if sfam and pfam and sfam != pfam:
-                bad.append(
+                errs.append(
                     f"{name}.{col}: spark-pandas {spdf[col].dtype} "
                     f"vs oracle-pandas {pdf[col].dtype}"
                 )
+        return errs
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        bad = [e for errs in pool.map(check, sorted(ORACLES)) for e in errs]
     assert not bad, f"dtype-family mismatches: {bad}"
 
 

@@ -8,10 +8,15 @@ Interleaving in ONE session means both regimes see the same box state.
 Usage: python tools/ab_squeeze_rung2.py [--rounds 2] [--dims small]
 """
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+# repo root derived from this file, not cwd: running the tool from
+# outside the repo root must import THIS tree's riskloc_spark (ADVICE r15)
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def main():
