@@ -1267,7 +1267,11 @@ def rca_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = rca_events(spark, sf_dir)
+    from riskloc_spark.operators.dedup import reuse_checkpoint
+
+    # EP's global-totals subquery + the output pass each re-derive the
+    # events aggregation otherwise — checkpoint the (leaf-bounded) frame
+    df = reuse_checkpoint(rca_events(spark, sf_dir))
     df = add_explanatory_power(df)
     df = add_deviation_score(df)
     return df.select(
@@ -1280,7 +1284,11 @@ def rca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rca_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = add_deviation_score(rca_events(spark, sf_dir))
+    from riskloc_spark.operators.dedup import reuse_checkpoint
+
+    # get_cutoff's TakeOrdered action and the output pass each re-derive
+    # the events aggregation otherwise — checkpoint the leaf-bounded frame
+    df = reuse_checkpoint(add_deviation_score(rca_events(spark, sf_dir)))
     cutoff = get_cutoff(df, n_remove=5)
     df = add_weight(add_partition(df, cutoff), cutoff)
     return df.select(
@@ -1294,10 +1302,14 @@ def rca_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def adtributor_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from riskloc_spark.operators.adtributor import _scored_elements
+
     df = rca_events(spark, sf_dir)
-    el = merge_dimensions(df, RCA_ATTRIBUTES, derived=False)
-    el = add_explanatory_power(el, derived=False)
-    el = add_surprise(el, derived=False, merged_divide=len(RCA_ATTRIBUTES))
+    # same merge -> EP -> surprise chain, through the operator's
+    # PERSISTED element frame: the EP/surprise scalar-total subqueries
+    # each re-derived the merge and the events aggregation otherwise
+    # (r16 plan audit: 32 Exchanges for this query's unpersisted form)
+    el = _scored_elements(df, RCA_ATTRIBUTES, derived=False)
     return el.select(
         "dimension",
         "element",
@@ -2943,9 +2955,14 @@ def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rca_derived_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persist: derived EP + surprise run three scalar-total subqueries,
-    # each re-deriving the events aggregation otherwise (16 base scans)
-    df = rca_events_derived(spark, sf_dir).persist()
+    from riskloc_spark.operators.dedup import reuse_checkpoint
+
+    # checkpoint: derived EP + surprise run three scalar-total
+    # subqueries, each re-deriving the events aggregation otherwise (16
+    # base scans).  Lazy localCheckpoint instead of persist (r16): no
+    # unpersist hook exists for a returned frame, and the truncated
+    # lineage keeps every consumer's plan leaf-bounded.
+    df = reuse_checkpoint(rca_events_derived(spark, sf_dir))
     df = add_explanatory_power(df, derived=True)
     df = add_surprise(df, derived=True)
     return df.select(
@@ -3478,12 +3495,17 @@ def riskloc_layer_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from riskloc_spark.operators.riskloc import _layer_scores
     from riskloc_spark.plans.cuboid import cuboids_of_layer
 
+    from riskloc_spark.operators.dedup import reuse_checkpoint
+
     df = rca_events(spark, sf_dir)
     df = add_explanatory_power(df)
     df = add_deviation_score(df)
-    # persist: get_cutoff's top-k probes, the ep-sign action, and the
+    # checkpoint: get_cutoff's top-k probes, the ep-sign action, and the
     # EP-totals subquery otherwise each re-derive the events aggregation
-    df = df.persist()
+    # (lazy localCheckpoint, not persist — no unpersist hook exists for
+    # a returned frame, and the truncated lineage keeps the _layer_scores
+    # plan leaf-bounded; r16)
+    df = reuse_checkpoint(df)
     cutoff = get_cutoff(df, n_remove=5)
     df = add_partition(df, cutoff)
     df = add_weight(df, cutoff)
@@ -3532,10 +3554,14 @@ def adtributor_elements_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived-measure adtributor element scoring: merge_dimensions with
     a/b measure sums, derived EP (normalized) and derived surprise with
     the merged divide — the derived twin of adtributor_elements."""
+    from riskloc_spark.operators.adtributor import _scored_elements
+
     df = rca_events_derived(spark, sf_dir)
-    el = merge_dimensions(df, RCA_ATTRIBUTES, derived=True)
-    el = add_explanatory_power(el, derived=True)
-    el = add_surprise(el, derived=True, merged_divide=len(RCA_ATTRIBUTES))
+    # the derived chain runs THREE scalar-total subqueries (a/b totals,
+    # ep normalization, surprise totals) — through the operator's
+    # persisted element frame each reads the cache instead of
+    # re-deriving the merge + events aggregation (88 Exchanges before)
+    el = _scored_elements(df, RCA_ATTRIBUTES, derived=True)
     return el.select(
         "dimension",
         "element",

@@ -152,6 +152,14 @@ def evaluate_df(
         )
     )
     if with_total:
+        # `per` feeds two plan branches (the per-case rows and the
+        # '__total__' aggregate): without a checkpoint the whole
+        # canon/preds/hits join tree executes once per branch.  The
+        # frame is RESULT-sized (one row per case), so the
+        # materialization is bounded (r16; same rule as the rca frames).
+        from riskloc_spark.operators.dedup import reuse_checkpoint
+
+        per = reuse_checkpoint(per)
         total = per.agg(
             F.sum("tp").alias("tp"),
             F.sum("fp").alias("fp"),

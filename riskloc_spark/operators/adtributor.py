@@ -52,12 +52,19 @@ def merge_dimensions(df: DataFrame, dimensions: list[str], derived: bool) -> Dat
 
 
 def _scored_elements(df: DataFrame, dimensions: list[str], derived: bool) -> DataFrame:
-    # persist: the EP and surprise scalar-total subqueries plus the main
-    # frame would each re-derive the merge (and its whole upstream
+    # checkpoint: the EP and surprise scalar-total subqueries plus the
+    # main frame would each re-derive the merge (and its whole upstream
     # lineage) otherwise — measured 24 base-table scans for the plain
     # adtributor element query before. The frame is one row per
-    # (dimension, element); Spark evicts LRU under pressure.
-    elements = merge_dimensions(df, dimensions, derived).persist()
+    # (dimension, element).  Lazy localCheckpoint rather than persist
+    # (r16): a lazy result frame has no unpersist hook, so a
+    # CacheManager entry would leak for the session, and the truncated
+    # lineage keeps every consumer's plan element-sized
+    # (ContextCleaner reclaims the checkpoint once the frame is GC'd —
+    # the evaluation.py / trigram_lm_scores pattern).
+    from riskloc_spark.operators.dedup import reuse_checkpoint
+
+    elements = reuse_checkpoint(merge_dimensions(df, dimensions, derived))
     elements = add_explanatory_power(elements, derived)
     elements = add_surprise(elements, derived, merged_divide=len(dimensions))
     return elements
