@@ -2926,7 +2926,13 @@ def squeeze_rca_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def robustspot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = adapt_frame(rca_events(spark, sf_dir), derived=False)
+    from riskloc_spark.operators.dedup import reuse_checkpoint
+
+    # the ID totals subquery + the output pass each re-derive the events
+    # aggregation otherwise — checkpoint the leaf-bounded frame (r16)
+    df = reuse_checkpoint(
+        adapt_frame(rca_events(spark, sf_dir), derived=False)
+    )
     out = add_influence_degree(df)
     return out.select(
         "event_type", "hr", "ub", F.round("ID", 6).alias("influence_degree")
@@ -3457,9 +3463,12 @@ def dataset_significance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     error share of total predict (the significance numerator/denominator
     algebra of dataset_statistics.py:118-133) on the RCA frame with a
     deterministic two-cause label."""
+    from riskloc_spark.operators.dedup import reuse_checkpoint
     from riskloc_spark.statistics import set_label
 
-    df = set_label(rca_events(spark, sf_dir), _SIG_LABEL)
+    # the total-predict subquery + the grouped output each re-derive the
+    # events aggregation otherwise — checkpoint the leaf-bounded frame
+    df = reuse_checkpoint(set_label(rca_events(spark, sf_dir), _SIG_LABEL))
     err = F.abs(F.col("real") - F.col("predict"))
     tot = df.agg(
         F.sum(F.col("predict").cast("decimal(38,9)"))
@@ -3541,9 +3550,14 @@ def robustspot_ca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     add_contribution_ability over the derived adapt_frame) — with
     influence degree (robustspot_scores) this puts both of the mining
     loop's scoring columns under the gate."""
+    from riskloc_spark.operators.dedup import reuse_checkpoint
     from riskloc_spark.operators.robustspot import add_contribution_ability
 
-    df = adapt_frame(rca_events_derived(spark, sf_dir), derived=True)
+    # the CA totals subquery + the output pass each re-derive the events
+    # aggregation otherwise — checkpoint the leaf-bounded frame (r16)
+    df = reuse_checkpoint(
+        adapt_frame(rca_events_derived(spark, sf_dir), derived=True)
+    )
     out = add_contribution_ability(df)
     return out.select(
         "event_type", "hr", "ub", F.round("CA", 6).alias("ca")
