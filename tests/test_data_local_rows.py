@@ -28,3 +28,36 @@ def test_local_rows_df_empty(spark):
     out = local_rows_df(spark, [], SCHEMA)
     assert out.count() == 0
     assert out.schema == spark.createDataFrame([], SCHEMA).schema
+
+
+def test_load_table_schema_cache_contract(spark):
+    """load_table's schema cache (r16): the first call per (sf_dir,
+    table) infers from the parquet footer, later calls hand the
+    recorded StructType to the reader — metadata only.  Pins: identical
+    schema and rows either way, a FRESH DataFrame per call (two calls
+    self-join without ambiguous-reference errors), and the events ts
+    fix still applies through the cached path."""
+    import riskloc_spark.data as D
+
+    sf = "/root/testdata/sf0.001"
+    D._SCHEMA_CACHE.pop((sf, "nation"), None)
+    first = D.load_table(spark, sf, "nation")      # inference path
+    assert (sf, "nation") in D._SCHEMA_CACHE
+    second = D.load_table(spark, sf, "nation")     # cached-schema path
+    assert first.schema == second.schema
+    assert sorted(map(tuple, first.collect())) == sorted(
+        map(tuple, second.collect())
+    )
+    # distinct plan ids: a join of two load_table results must not trip
+    # Spark's ambiguous-self-join analysis
+    joined = first.join(
+        second.withColumnRenamed("n_name", "n_name2"),
+        first["n_nationkey"] == second["n_nationkey"],
+    )
+    assert joined.count() == first.count()
+    # events: the ts dtype fix applies on the cached path too
+    D._SCHEMA_CACHE.pop((sf, "events"), None)
+    e1 = D.load_table(spark, sf, "events")
+    e2 = D.load_table(spark, sf, "events")
+    t1, t2 = dict(e1.dtypes)["ts"], dict(e2.dtypes)["ts"]
+    assert t1 == t2 and t1.startswith("timestamp")
